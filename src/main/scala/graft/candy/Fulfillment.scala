@@ -1,0 +1,123 @@
+package graft.candy
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sequential, time-ordered, per-product inventory fulfillment.
+  *
+  * Semantics (reference src/data_processor.py:33-62): for each product, walk
+  * its order rows in time order with a running `available` stock; a row is
+  * fulfilled in full iff `available > 0 && requested <= available` (then
+  * stock decrements), otherwise it is CANCELLED (fulfilled = 0) and stock is
+  * left untouched — later, smaller orders can still fulfill after a large one
+  * was cancelled. This is not a prefix sum, so no window function can express
+  * it; it is a per-key ordered fold.
+  *
+  * The reference runs a day-loop with an end-of-day inventory writeback
+  * (reference src/data_processor.py:347-464). Because day d completes before
+  * day d+1 and the within-day fold carries `available` continuously, a single
+  * global fold per product ordered by (order_datetime, tie-break) is exactly
+  * equivalent — one shuffle total instead of ten, and no 10-deep
+  * union/outer-join lineage.
+  *
+  * Scale design: instead of `groupByKey(...).flatMapGroups` (which
+  * materializes each group), we use the secondary-sort pattern —
+  * `repartition($"product_id")` + `sortWithinPartitions(product, time)` +
+  * `mapPartitions` with a streaming per-run fold. Each task streams its
+  * partition once with O(1) state per product run; per-product order history
+  * never has to fit in memory, so the operator survives products with
+  * billions of rows. The inventory snapshot (one (stock, price) pair per
+  * product) is a broadcast variable, as dimension state should be.
+  */
+object Fulfillment {
+
+  /** Pure per-product fold. `rows` MUST be sorted by the fulfillment order.
+    * Emits one output line per input row (cancelled rows keep quantity 0 with
+    * line_total 0.00, matching reference src/data_processor.py:53-58).
+    */
+  def fulfillProduct(
+      initial: InventoryEntry,
+      rows: Iterator[ItemRow]): Iterator[FulfilledLine] = {
+    var available = initial.stock
+    val price = initial.price
+    rows.map { r =>
+      val fulfilled =
+        if (available > 0 && r.quantity <= available) { available -= r.quantity; r.quantity }
+        else 0
+      FulfilledLine(r.order_id, r.product_id, fulfilled, price, round2(fulfilled * price))
+    }
+  }
+
+  /** 2-dp HALF_UP rounding on the shortest decimal representation of the
+    * double — the same contract as Spark's `round` expression, used inside
+    * the kernel so kernel output and DataFrame-side rounding agree.
+    */
+  def round2(x: Double): Double =
+    BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Distributed fulfillment over cleaned line items.
+    *
+    * @param items     cleaned items (order_id, order_datetime, product_id, quantity)
+    * @param inventory product_id -> (stock, sales_price) snapshot, broadcast
+    */
+  def run(
+      spark: SparkSession,
+      items: Dataset[ItemRow],
+      inventory: Map[Long, InventoryEntry]): Dataset[FulfilledLine] = {
+    import spark.implicits._
+    val inv = spark.sparkContext.broadcast(inventory)
+    items
+      .repartition(col("product_id"))
+      // Golden fulfillment order: per product, by day then ARRIVAL order
+      // within the day's file (stable-sort-on-date semantics — SURVEY §5.3;
+      // the ISO prefix substring is the date, avoiding a to_date cast).
+      .sortWithinPartitions(col("product_id"), substring(col("order_datetime"), 1, 10), col("seq"))
+      .mapPartitions { rows =>
+        // Streaming secondary-sort fold: rows arrive grouped by product (all
+        // rows of a product are consecutive) and time-ordered within each
+        // product; carry `available` across rows of the current run only.
+        var currentPid = Long.MinValue
+        var available = 0
+        var price = 0.0
+        rows.map { r =>
+          if (r.product_id != currentPid) {
+            currentPid = r.product_id
+            val e = inv.value.getOrElse(r.product_id, InventoryEntry(0, 0.0))
+            available = e.stock
+            price = e.price
+          }
+          val fulfilled =
+            if (available > 0 && r.quantity <= available) { available -= r.quantity; r.quantity }
+            else 0
+          FulfilledLine(r.order_id, r.product_id, fulfilled, price, round2(fulfilled * price))
+        }
+      }
+  }
+
+  /** Inventory snapshot for the kernel: product_id -> (stock, sales_price).
+    * 30 rows in the reference corpus; at scale this is still a dimension
+    * (products), so collect-and-broadcast is the right shape.
+    */
+  def snapshot(products: DataFrame): Map[Long, InventoryEntry] =
+    products.select("product_id", "stock", "sales_price").collect().map { r =>
+      val pid = r.get(0) match { case i: Int => i.toLong; case l: Long => l }
+      pid -> InventoryEntry(
+        if (r.isNullAt(1)) 0 else r.getInt(1),
+        if (r.isNullAt(2)) 0.0 else r.getDouble(2))
+    }.toMap
+
+  /** Post-fulfillment inventory: initial stock minus fulfilled units
+    * (replaces the reference's per-day outer-join stack, reference
+    * src/data_processor.py:444-464). Broadcast join: sold sums aggregate to
+    * one row per product.
+    */
+  def updatedInventory(products: DataFrame, fulfilled: Dataset[FulfilledLine]): DataFrame = {
+    val sold = fulfilled.groupBy("product_id")
+      .agg(sum("quantity").as("total_quantity_sold"))
+    products
+      .join(broadcast(sold), Seq("product_id"), "left")
+      .withColumn("stock",
+        (col("stock") - coalesce(col("total_quantity_sold"), lit(0))).cast("int"))
+      .drop("total_quantity_sold")
+  }
+}
