@@ -1,0 +1,398 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator battery over the TPC-H-ish testdata, one query per
+  * operator class of SURVEY §2 (scans S*, projections/filters P*, joins J*,
+  * aggregations A*, sorts/sets O*) plus the window/event-time surface the
+  * engine adds beyond the reference. Every query is deterministic: additive
+  * aggregates go through DECIMAL (order-independent) before casting back to
+  * double, and every result carries a total ORDER BY.
+  */
+object RelationalQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") Tables.events(s, dir)
+    else s.read.parquet(s"$dir/$name.parquet")
+
+  /** Exact, order-independent money sum: decimal-accumulate then to double. */
+  private def dsum(c: String): org.apache.spark.sql.Column =
+    sum(col(c).cast("decimal(18,2)")).cast("double")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S1/P-class — scan with pushed filter + pruned projection (the plan must
+    // show PushedFilters + a 4-column ReadSchema).
+    "q_s1_scan_filter_project" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_quantity") > 45 && col("l_shipdate") >= lit("1997-01-01"))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // P5 — when/otherwise bucketing + conditional aggregation.
+    "q_p5_case_buckets" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .withColumn("bucket",
+          when(col("c_acctbal") < 0, "negative")
+            .when(col("c_acctbal") < 5000, "low")
+            .otherwise("high"))
+        .groupBy("c_mktsegment", "bucket")
+        .agg(count(lit(1)).as("n"), dsum("c_acctbal").as("balance"))
+        .orderBy("c_mktsegment", "bucket")),
+
+    // P7 — date extraction + grouping by calendar parts.
+    "q_p7_dates" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .withColumn("order_year", year(col("o_orderdate")).cast("int"))
+        .withColumn("order_month", month(col("o_orderdate")).cast("int"))
+        .groupBy("order_year", "order_month")
+        .agg(count(lit(1)).as("num_orders"), dsum("o_totalprice").as("revenue"))
+        .orderBy("order_year", "order_month")),
+
+    // P8/P10 — round + %.2f string formatting at the edge (reference
+    // src/data_processor.py:565-570 semantics).
+    "q_p8_round_format" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(dsum("l_extendedprice").as("gross"))
+        .select(col("l_returnflag"),
+          format_string("%.2f", col("gross")).as("gross_2dp"))
+        .orderBy("l_returnflag")),
+
+    // P12/P13 — distinct on a projection.
+    "q_p12_distinct" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select("l_returnflag", "l_linestatus")
+        .distinct()
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // J1 — fact ⋈ small dim: explicitly broadcast, grouped rollup.
+    "q_j1_join_left_broadcast" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part").select("p_partkey", "p_brand")),
+          col("l_partkey") === col("p_partkey"), "left")
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_lines"), dsum("l_extendedprice").as("revenue"))
+        .orderBy("p_brand")),
+
+    // J2 — full outer join of a dim against aggregated facts.
+    "q_j2_full_outer" -> ((s, dir) => {
+      val perCust = t(s, dir, "orders").groupBy("o_custkey")
+        .agg(count(lit(1)).as("num_orders"))
+      t(s, dir, "customer").select("c_custkey")
+        .join(perCust, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(
+          coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          coalesce(col("num_orders"), lit(0L)).as("num_orders"))
+        .orderBy("custkey")
+    }),
+
+    // J3/A-class — TPC-H Q3 shape: selective filters, 3-way join, grouped
+    // revenue, top-10. Filters must push below the joins.
+    "q_j3_revenue_top10" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val ord = t(s, dir, "orders").filter(col("o_orderdate") < lit("1998-01-01"))
+      val li = t(s, dir, "lineitem")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey")
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // J4 — left semi: customers having at least one big order.
+    "q_j4_semi" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").filter(col("o_totalprice") > 300000)
+          .select("o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")),
+
+    // J5 — left anti: customers with no orders at all.
+    "q_j5_anti" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").select("o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")),
+
+    // J6 — cross join of two tiny dims.
+    "q_j6_cross" -> ((s, dir) =>
+      t(s, dir, "nation").select("n_name")
+        .crossJoin(t(s, dir, "region").select("r_name"))
+        .orderBy("n_name", "r_name")),
+
+    // A1/A2 — TPC-H Q1: the canonical partial+final hash aggregation.
+    "q1_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("2001-06-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          dsum("l_extendedprice").as("sum_base_price"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,4)")).cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // A3 — exact countDistinct (approx would fail the oracle by design).
+    "q_a3_count_distinct" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          countDistinct(col("user_id")).as("distinct_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy("event_type")),
+
+    // A4 — per-day revenue (the daily_summary shape at TPC-H scale).
+    "q_a4_daily_revenue" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("order_date"))
+        .agg(count(lit(1)).as("num_orders"), dsum("o_totalprice").as("revenue"))
+        .orderBy("order_date")),
+
+    // W1 — top-2 orders per customer via row_number (windowed top-k, the
+    // operator the reference imported Window for but never wrote).
+    "q_w1_topk_per_group" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+        .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy("o_custkey", "rn")
+    }),
+
+    // W2 — running total over an ordered window.
+    "q_w2_running_sum" -> ((s, dir) => {
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("order_date"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("revenue"))
+      daily
+        .withColumn("cum_revenue",
+          sum("revenue").over(Window.orderBy("order_date")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double"))
+        .select(col("order_date"), col("revenue").cast("double").as("revenue"),
+          col("cum_revenue"))
+        .orderBy("order_date")
+    }),
+
+    // W3 — lag: day-over-day revenue delta.
+    "q_w3_lag_delta" -> ((s, dir) => {
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("order_date"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("revenue"))
+      daily
+        .withColumn("prev_revenue", lag("revenue", 1).over(Window.orderBy("order_date")))
+        .select(col("order_date"),
+          col("revenue").cast("double").as("revenue"),
+          (col("revenue") - coalesce(col("prev_revenue"), lit(0)))
+            .cast("double").as("delta"))
+        .orderBy("order_date")
+    }),
+
+    // O-class set ops — union / intersect / except on key projections.
+    "q_set_union" -> ((s, dir) =>
+      t(s, dir, "customer").select(col("c_custkey").as("id"))
+        .union(t(s, dir, "events").select(col("user_id").as("id")))
+        .distinct()
+        .orderBy("id")),
+
+    "q_set_intersect" -> ((s, dir) =>
+      t(s, dir, "customer").select(col("c_custkey").as("id"))
+        .intersect(t(s, dir, "orders").select(col("o_custkey").as("id")))
+        .orderBy("id")),
+
+    "q_set_except" -> ((s, dir) =>
+      t(s, dir, "customer").select(col("c_custkey").as("id"))
+        .except(t(s, dir, "orders").select(col("o_custkey").as("id")))
+        .orderBy("id")),
+
+    // O1 — global top-k with a total tie-break.
+    "q_o1_topk" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(20)),
+
+    // E1 — event-time tumbling hourly rollup (batch twin of the streaming
+    // windowed aggregation in graft.streaming).
+    "q_e1_hourly_rollup" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum("value").as("total_value"))
+        .orderBy("hour_start", "event_type")),
+
+    // E2 — sessionization: 30-minute-gap sessions per user, counted via a
+    // windowed gap-flag prefix sum (the batch twin of
+    // flatMapGroupsWithState sessionization).
+    "q_e2_sessions" -> ((s, dir) => {
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      t(s, dir, "events")
+        .withColumn("prev_ts", lag("ts", 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1L)
+            .otherwise(0L))
+        .groupBy("user_id")
+        .agg(sum("new_session").as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_s1_scan_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_quantity > 45 AND l_shipdate >= TIMESTAMP '1997-01-01'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_p5_case_buckets" ->
+      """SELECT c_mktsegment, CASE WHEN c_acctbal < 0 THEN 'negative'
+        |            WHEN c_acctbal < 5000 THEN 'low' ELSE 'high' END AS bucket,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS balance
+        |FROM customer GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_p7_dates" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+        |       CAST(month(o_orderdate) AS INTEGER) AS order_month,
+        |       count(*) AS num_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_p8_round_format" ->
+      """SELECT l_returnflag,
+        |       printf('%.2f', CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)) AS gross_2dp
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_p12_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus
+        |FROM lineitem ORDER BY 1, 2""".stripMargin,
+
+    "q_j1_join_left_broadcast" ->
+      """SELECT p_brand, count(*) AS n_lines,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_j2_full_outer" ->
+      """SELECT COALESCE(c_custkey, o_custkey) AS custkey,
+        |       COALESCE(num_orders, 0) AS num_orders
+        |FROM customer
+        |FULL OUTER JOIN (SELECT o_custkey, count(*) AS num_orders
+        |                 FROM orders GROUP BY 1) o ON c_custkey = o_custkey
+        |ORDER BY custkey""".stripMargin,
+
+    "q_j3_revenue_top10" ->
+      """SELECT l_orderkey,
+        |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q_j4_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_j5_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_j6_cross" ->
+      """SELECT n_name, r_name FROM nation CROSS JOIN region
+        |ORDER BY n_name, r_name""".stripMargin,
+
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |       count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-06-01'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_a3_count_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS distinct_users,
+        |       count(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_a4_daily_revenue" ->
+      """SELECT CAST(o_orderdate AS DATE) AS order_date, count(*) AS num_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_w1_topk_per_group" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         CAST(row_number() OVER (PARTITION BY o_custkey
+        |           ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+        |  FROM orders) x
+        |WHERE rn <= 2 ORDER BY o_custkey, rn""".stripMargin,
+
+    "q_w2_running_sum" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS order_date,
+        |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+        |  FROM orders GROUP BY 1)
+        |SELECT order_date, CAST(revenue AS DOUBLE) AS revenue,
+        |       CAST(sum(revenue) OVER (ORDER BY order_date
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_revenue
+        |FROM daily ORDER BY order_date""".stripMargin,
+
+    "q_w3_lag_delta" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS order_date,
+        |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+        |  FROM orders GROUP BY 1)
+        |SELECT order_date, CAST(revenue AS DOUBLE) AS revenue,
+        |       CAST(revenue - COALESCE(lag(revenue, 1) OVER (ORDER BY order_date), 0) AS DOUBLE) AS delta
+        |FROM daily ORDER BY order_date""".stripMargin,
+
+    "q_set_union" ->
+      """SELECT c_custkey AS id FROM customer
+        |UNION SELECT user_id AS id FROM events ORDER BY id""".stripMargin,
+
+    "q_set_intersect" ->
+      """SELECT c_custkey AS id FROM customer
+        |INTERSECT SELECT o_custkey AS id FROM orders ORDER BY id""".stripMargin,
+
+    "q_set_except" ->
+      """SELECT c_custkey AS id FROM customer
+        |EXCEPT SELECT o_custkey AS id FROM orders ORDER BY id""".stripMargin,
+
+    "q_o1_topk" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20""".stripMargin,
+
+    "q_e1_hourly_rollup" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+        |       event_type, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_e2_sessions" ->
+      """WITH flagged AS (
+        |  SELECT user_id,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |              OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+        |       count(*) AS n_events
+        |FROM flagged GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}

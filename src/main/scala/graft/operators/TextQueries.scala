@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis and deduplication battery over the `documents` table —
+  * the LLM-training-pipeline operator surface (tokenize, quality metrics,
+  * n-gram profiles, exact + normalized dedup). Everything here stays inside
+  * Spark's codegen'd collection expressions (split / filter / transform /
+  * aggregate) — no UDFs — so the hot path survives whole-stage codegen.
+  */
+object TextQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  /** Whitespace tokens with empties dropped, as a SQL expression string. */
+  private val wordsExpr = "filter(split(text, ' '), x -> x != '')"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // P1 analogue — explode tokens, global frequency top-100.
+    "q_t0_word_freq" -> ((s, dir) =>
+      docs(s, dir)
+        .selectExpr(s"explode($wordsExpr) AS word")
+        .groupBy("word").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word"))
+        .limit(100)),
+
+    // Token statistics per document (token counting for data pipelines).
+    "q_t1_token_stats" -> ((s, dir) =>
+      docs(s, dir)
+        .selectExpr("doc_id", s"$wordsExpr AS w", "length(text) AS len_chars")
+        .selectExpr(
+          "doc_id",
+          "CAST(size(w) AS INT) AS n_tokens",
+          "CAST(size(array_distinct(w)) AS INT) AS n_distinct_tokens",
+          "CAST(len_chars AS INT) AS n_chars_computed",
+          "round(CAST(aggregate(w, 0, (acc, x) -> acc + length(x)) AS DOUBLE) / size(w), 4) AS avg_token_len")
+        .orderBy("doc_id")),
+
+    // Quality scoring: stopword ratio + lexical diversity (type/token ratio).
+    "q_t2_quality" -> ((s, dir) =>
+      docs(s, dir)
+        .selectExpr("doc_id", s"$wordsExpr AS w")
+        .selectExpr(
+          "doc_id",
+          "round(CAST(size(filter(w, x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) AS DOUBLE) / size(w), 6) AS stopword_ratio",
+          "round(CAST(size(array_distinct(w)) AS DOUBLE) / size(w), 6) AS ttr")
+        .orderBy("doc_id")),
+
+    // Word-level trigram profile, top-50 (shingling — the substrate of
+    // MinHash dedup, here surfaced as its own oracle-checked op).
+    "q_t3_trigrams" -> ((s, dir) =>
+      docs(s, dir)
+        .selectExpr(s"$wordsExpr AS w")
+        .selectExpr(
+          """explode(CASE WHEN size(w) >= 3
+            |  THEN transform(sequence(0, size(w) - 3),
+            |                 i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))
+            |  ELSE filter(w, x -> false) END) AS trigram""".stripMargin)
+        .groupBy("trigram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("trigram"))
+        .limit(50)),
+
+    // Exact dedup by grouping key: keeper = min id, with group size.
+    "q_d1_dedup_exact" -> ((s, dir) =>
+      docs(s, dir)
+        .groupBy("lang", "source")
+        .agg(min("doc_id").as("keeper_doc_id"), count(lit(1)).as("group_size"))
+        .orderBy("lang", "source")),
+
+    // Normalized-text dedup: lower/trim/collapse-whitespace before grouping
+    // (catches trivial near-duplicates exactly).
+    "q_d2_dedup_normalized" -> ((s, dir) =>
+      docs(s, dir)
+        .withColumn("norm", regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+        .groupBy("norm")
+        .agg(min("doc_id").as("keeper_doc_id"), count(lit(1)).as("n_copies"))
+        .select("keeper_doc_id", "n_copies")
+        .orderBy("keeper_doc_id"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_t0_word_freq" ->
+      """SELECT word, count(*) AS n FROM (
+        |  SELECT unnest(list_filter(string_split(text, ' '), x -> x != '')) AS word
+        |  FROM documents)
+        |GROUP BY 1 ORDER BY n DESC, word LIMIT 100""".stripMargin,
+
+    "q_t1_token_stats" ->
+      """SELECT doc_id,
+        |       CAST(len(w) AS INTEGER) AS n_tokens,
+        |       CAST(len(list_distinct(w)) AS INTEGER) AS n_distinct_tokens,
+        |       CAST(length(text) AS INTEGER) AS n_chars_computed,
+        |       round(CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w), 4) AS avg_token_len
+        |FROM (SELECT doc_id, text,
+        |             list_filter(string_split(text, ' '), x -> x != '') AS w
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_t2_quality" ->
+      """SELECT doc_id,
+        |       round(CAST(len(list_filter(w, x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) AS DOUBLE) / len(w), 6) AS stopword_ratio,
+        |       round(CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6) AS ttr
+        |FROM (SELECT doc_id,
+        |             list_filter(string_split(text, ' '), x -> x != '') AS w
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_t3_trigrams" ->
+      """SELECT trigram, count(*) AS n FROM (
+        |  SELECT unnest(list_transform(generate_series(1, len(w) - 2),
+        |                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS trigram
+        |  FROM (SELECT list_filter(string_split(text, ' '), x -> x != '') AS w
+        |        FROM documents))
+        |GROUP BY 1 ORDER BY n DESC, trigram LIMIT 50""".stripMargin,
+
+    "q_d1_dedup_exact" ->
+      """SELECT lang, source, min(doc_id) AS keeper_doc_id,
+        |       count(*) AS group_size
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_d2_dedup_normalized" ->
+      """SELECT min(doc_id) AS keeper_doc_id, count(*) AS n_copies
+        |FROM (SELECT doc_id,
+        |             regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+        |      FROM documents)
+        |GROUP BY norm ORDER BY keeper_doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity-search battery over the `embeddings` table (vec_id,
+  * embedding: array<float>, label). The dot products run as codegen'd
+  * zip_with/aggregate collection expressions — no UDF on the hot path.
+  * At 100 TB the brute-force variant is the per-bucket inner loop of the
+  * LSH-bucketed scale path (graft.operators.SimilaritySearch).
+  */
+object VectorQueries {
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** dot(a, b) in double precision, sequential left-to-right fold. */
+  private def dotExpr(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+
+  private def normExpr(a: String): String =
+    s"sqrt(aggregate($a, CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Brute-force cosine top-10 for a fixed query vector (vec_id = 0):
+    // broadcast the 1-row query side against the full table.
+    "q_v1_knn_cosine" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val query = broadcast(e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_emb")))
+      e.filter(col("vec_id") =!= 0)
+        .crossJoin(query)
+        .selectExpr(
+          "vec_id",
+          s"round(${dotExpr("embedding", "q_emb")} / (${normExpr("embedding")} * ${normExpr("q_emb")}), 6) AS cosine")
+        .orderBy(col("cosine").desc, col("vec_id"))
+        .limit(10)
+    }),
+
+    // Per-label L2-norm statistics (decimal-accumulated for determinism).
+    "q_v2_label_norms" -> ((s, dir) =>
+      emb(s, dir)
+        .selectExpr("label", s"CAST(${normExpr("embedding")} AS DECIMAL(18,8)) AS nrm")
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          round((sum("nrm") / count(lit(1))).cast("double"), 4).as("avg_norm"))
+        .orderBy("label"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_v1_knn_cosine" ->
+      """WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id,
+        |       round(
+        |         list_sum(list_transform(generate_series(1, len(embedding)),
+        |           i -> CAST(embedding[i] AS DOUBLE) * CAST(q_emb[i] AS DOUBLE)))
+        |         / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |            * sqrt(list_sum(list_transform(q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+        |         6) AS cosine
+        |FROM embeddings, q WHERE vec_id <> 0
+        |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q_v2_label_norms" ->
+      """SELECT label, count(*) AS n,
+        |       round(CAST(sum(nrm) / count(*) AS DOUBLE), 4) AS avg_norm
+        |FROM (SELECT label,
+        |             CAST(sqrt(list_sum(list_transform(embedding,
+        |               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS DECIMAL(18,8)) AS nrm
+        |      FROM embeddings)
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}
