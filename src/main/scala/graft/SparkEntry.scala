@@ -21,6 +21,7 @@ object SparkEntry {
       TextQueries.queries ++
       VectorQueries.queries ++
       MultimodalQueries.queries ++
+      DedupQueries.queries ++
       KernelQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -31,5 +32,6 @@ object SparkEntry {
       TextQueries.oracles ++
       VectorQueries.oracles ++
       MultimodalQueries.oracles ++
+      DedupQueries.oracles ++
       KernelQueries.oracles
 }

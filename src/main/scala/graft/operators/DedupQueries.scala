@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-facing queries for the dedup / similarity / text-profile
+  * extension operators. Hash-based ops (SimHash, fingerprints, SRP-LSH
+  * top-k) have no DuckDB-expressible oracle — those ship as rows-only
+  * checks here and get property/recall specs in ScalaTest instead.
+  */
+object DedupQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // MinHash-LSH near-duplicates, exact-verified: equals brute-force
+    // shingle-Jaccard >= 0.7 (LSH recall at the planted J >= 0.9 pairs is
+    // 1 - 1e-15 with 128 hashes / 32 bands).
+    "q_d3_minhash_neardup" -> ((s, dir) =>
+      Dedup.minHashNearDuplicates(docs(s, dir), "doc_id", "text",
+          shingleSize = 2, numHashes = 128, bands = 32, threshold = 0.7)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy("id_a", "id_b")),
+
+    // SimHash near-duplicates (hash-specific: rows-only + ScalaTest spec).
+    "q_d4_simhash_neardup" -> ((s, dir) =>
+      Dedup.simHashNearDuplicates(docs(s, dir), "doc_id", "text", maxDist = 3)
+        .orderBy("id_a", "id_b")),
+
+    // Language ID + quality scoring (pure expressions, oracle-checked).
+    "q_t4_langid_quality" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.languageId("text").as("lang_id"),
+        TextAnalysis.qualityScore("text").as("quality"))
+        .orderBy("doc_id")),
+
+    // Fingerprints + subword counts (xxhash64 / lookahead-regex based:
+    // rows-only + spec).
+    "q_t5_fingerprint" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.fingerprint64("text").as("fingerprint"),
+        TextAnalysis.approxSubwordCount("text").as("n_subwords"),
+        TextAnalysis.shingleSketch("text").as("sketch"))
+        .orderBy("doc_id")),
+
+    // Embedding near-duplicate pairs, brute-force exact (oracle-checked).
+    "q_v4_embedding_neardup" -> ((s, dir) =>
+      SimilaritySearch.allPairsCosine(emb(s, dir), "vec_id", "embedding", 0.4)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("id_a", "id_b")),
+
+    // SRP-LSH approximate top-k for the vec_id=0 query vector (approximate:
+    // rows-only + recall spec against brute force).
+    "q_v5_ann_lsh" -> ((s, dir) => {
+      val query = emb(s, dir).filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toArray
+      SimilaritySearch.lshTopK(emb(s, dir).filter(col("vec_id") =!= 0),
+          "vec_id", "embedding", query, k = 10)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy(col("cosine").desc, col("vec_id"))
+    })
+  )
+
+  private val shingleSql =
+    """list_distinct(CASE WHEN len(w) >= 2
+      |  THEN list_transform(generate_series(1, len(w) - 1),
+      |                      i -> w[i] || ' ' || w[i+1])
+      |  ELSE [] END)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_d3_minhash_neardup" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, $shingleSql AS sh
+         |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS w
+         |        FROM documents)),
+         |nonempty AS (SELECT * FROM d WHERE len(sh) > 0)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |             / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+         |FROM nonempty a JOIN nonempty b ON a.doc_id < b.doc_id
+         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_t4_langid_quality" -> {
+      val profiles = TextAnalysis.stopwordProfiles
+      def hits(l: String) =
+        s"len(list_filter(w, x -> x IN (${profiles(l).map(s => s"'$s'").mkString(", ")})))"
+      val langs = Seq("en", "de", "fr", "es")
+      val best = langs.map(hits).mkString("greatest(", ", ", ")")
+      val cases = langs.map(l => s"WHEN ${hits(l)} = $best THEN '$l'").mkString(" ")
+      s"""SELECT doc_id,
+         |  CASE WHEN $best = 0 THEN 'und' ELSE CASE $cases END END AS lang_id,
+         |  CASE WHEN len(w) = 0 THEN 0.0 ELSE
+         |    round(
+         |      0.4 * least(1.0, CAST(${hits("en")} AS DOUBLE) / len(w) / 0.08)
+         |    + 0.3 * least(1.0, CAST(len(list_distinct(w)) AS DOUBLE) / len(w) / 0.5)
+         |    + 0.3 * (CASE WHEN CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w)
+         |                  BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END), 6)
+         |  END AS quality
+         |FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS w
+         |      FROM documents)
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "q_v4_embedding_neardup" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       round(list_sum(list_transform(generate_series(1, len(a.embedding)),
+        |               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        |         / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |            * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cosine
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_sum(list_transform(generate_series(1, len(a.embedding)),
+        |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin
+  )
+}

@@ -1,0 +1,114 @@
+package graft.operators
+
+import graft.functions.VectorExprs
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an `array<float>` embedding
+  * column: brute-force cosine top-k as the exact baseline, and a
+  * sign-random-projection (SRP) LSH-bucketed variant as the scale path.
+  *
+  * Scale design. Brute force is a single scan + top-k (no shuffle beyond the
+  * final take-ordered) — right for one query over any corpus, wrong for
+  * many-vs-many. The SRP path hashes every vector into `tables` bucket keys
+  * with deterministic Rademacher (+/-1) hyperplanes derived from xxhash64 —
+  * pure codegen'd expressions — so candidate generation is ONE equi-join on
+  * (table, bucket), and only bucket collisions pay the exact-cosine rerank.
+  */
+object SimilaritySearch {
+
+  /** SRP bucket keys: for each of `tables` hash tables, a `bits`-bit key
+    * where bit j = sign(dot(v, H_tj)) and H_tj[i] = +1/-1 from
+    * xxhash64(t, j, i). Deterministic, seedable via `seed`.
+    */
+  def srpBucketKeys(embCol: String, tables: Int, bits: Int, seed: Int = 42): Column = expr(
+    s"""transform(sequence(0, ${tables - 1}), t ->
+       |  aggregate(sequence(0, ${bits - 1}), 0L, (key, j) ->
+       |    key | shiftleft(
+       |      IF(aggregate(zip_with($embCol, sequence(0, size($embCol) - 1),
+       |           (x, i) -> CAST(x AS DOUBLE) *
+       |             IF((xxhash64(t, j, i, $seed) & 1) = 1, 1.0D, -1.0D)),
+       |           CAST(0 AS DOUBLE), (acc, v) -> acc + v) > 0, 1L, 0L),
+       |      j)))""".stripMargin)
+
+  /** Exact brute-force cosine top-k against one query vector. */
+  def bruteForceTopK(emb: DataFrame, idCol: String, embCol: String,
+                     query: Array[Float], k: Int): DataFrame = {
+    val q = typedLit(query.toSeq)
+    emb
+      .withColumn("q_emb", q)
+      .withColumn("cosine", VectorExprs.cosine(embCol, "q_emb"))
+      .select(col(idCol), col("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** LSH-bucketed approximate top-k with MULTIPROBE: candidates are vectors
+    * whose (table, bucket) matches the query's bucket or any 1-bit
+    * perturbation of it. At p = 1 - angle/pi per bit, per-table hit
+    * probability is p^bits + bits * p^(bits-1) * (1-p); with the defaults
+    * (16 tables, 8 bits) that is ~0.97 recall even for cos ~ 0.5
+    * neighbors, while still pruning buckets at scale. Rerank is exact
+    * cosine over candidates only.
+    */
+  def lshTopK(emb: DataFrame, idCol: String, embCol: String,
+              query: Array[Float], k: Int,
+              tables: Int = 16, bits: Int = 8, seed: Int = 42): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val withBuckets = emb.withColumn("buckets", srpBucketKeys(embCol, tables, bits, seed))
+    val queryProbes = Seq(Tuple1(query.toSeq)).toDF("q_emb_src")
+      .withColumn("buckets", srpBucketKeys("q_emb_src", tables, bits, seed))
+      .select(posexplode(col("buckets")).as(Seq("tbl", "bucket")))
+      // multiprobe radius 1: the bucket itself plus every 1-bit flip
+      .select(col("tbl"), explode(expr(
+        s"concat(array(bucket), transform(sequence(0, ${bits - 1}), j -> bucket ^ shiftleft(1L, j)))"))
+        .as("bucket"))
+      .distinct()
+    withBuckets
+      .select(col(idCol), col(embCol),
+        posexplode(col("buckets")).as(Seq("tbl", "bucket")))
+      .join(broadcast(queryProbes), Seq("tbl", "bucket"))
+      .select(col(idCol), col(embCol)).distinct()
+      .withColumn("q_emb", typedLit(query.toSeq))
+      .withColumn("cosine", VectorExprs.cosine(embCol, "q_emb"))
+      .select(col(idCol), col("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** All pairs with cosine >= threshold, brute force (for dimension-scale
+    * inputs and LSH validation; the scale path prefilters with SRP buckets).
+    */
+  def allPairsCosine(emb: DataFrame, idCol: String, embCol: String,
+                     threshold: Double): DataFrame = {
+    val a = emb.select(col(idCol).as("id_a"), col(embCol).as("emb_a"))
+    val b = emb.select(col(idCol).as("id_b"), col(embCol).as("emb_b"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", VectorExprs.cosine("emb_a", "emb_b"))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
+  /** Embedding near-duplicate pairs at scale: SRP-bucket candidate join,
+    * then exact cosine verification. Same bucket-join shape as MinHash-LSH.
+    */
+  def embeddingNearDupPairs(emb: DataFrame, idCol: String, embCol: String,
+                            threshold: Double, tables: Int = 16, bits: Int = 8,
+                            seed: Int = 42): DataFrame = {
+    val withBuckets = emb
+      .select(col(idCol), col(embCol),
+        posexplode(srpBucketKeys(embCol, tables, bits, seed)).as(Seq("tbl", "bucket")))
+    withBuckets.as("a")
+      .join(withBuckets.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        col(s"a.$embCol").as("emb_a"), col(s"b.$embCol").as("emb_b"))
+      .distinct()
+      .withColumn("cosine", VectorExprs.cosine("emb_a", "emb_b"))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+}

@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines: token statistics, quality
+  * scoring, n-gram-heuristic language ID, and document fingerprinting.
+  * Everything is codegen'd collection/string expressions — no UDFs.
+  */
+object TextAnalysis {
+
+  private def w(textCol: String): String = Dedup.tokensExpr(textCol)
+
+  /** Token count (whitespace tokenization, empties dropped). */
+  def tokenCount(textCol: String): Column =
+    expr(s"CAST(size(${w(textCol)}) AS INT)")
+
+  /** BPE-ish subword count: words plus punctuation/digit splits — a cheap
+    * upper-bound proxy for tokenizer counts (splits on transitions, counts
+    * every 4 chars of long words as an extra subword).
+    */
+  def approxSubwordCount(textCol: String): Column = expr(
+    s"""CAST(aggregate(${w(textCol)}, 0, (acc, x) ->
+       |  acc + 1 + CAST(floor(length(x) / 4) AS INT)
+       |      + size(filter(split(x, '(?<=[a-z])(?=[0-9])|(?<=[0-9])(?=[a-z])'), s -> s != '')) - 1
+       |) AS INT)""".stripMargin)
+
+  /** Per-language stopword profiles for the n-gram/stopword language-ID
+    * heuristic. Deliberately tiny — language ID at pipeline scale is a
+    * cheap filter, not a model.
+    */
+  val stopwordProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu", "den", "nicht", "mit"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "des", "que", "pour"),
+    "es" -> Seq("el", "la", "los", "y", "es", "un", "una", "de", "que", "por"))
+
+  private def hitCount(wordsExpr: String, words: Seq[String]): String = {
+    val list = words.map(s => s"'$s'").mkString(", ")
+    s"size(filter($wordsExpr, x -> x IN ($list)))"
+  }
+
+  /** Language-ID heuristic: argmax of stopword hits across profiles, with a
+    * deterministic tie order (en > de > fr > es) and 'und' (undetermined)
+    * when nothing hits.
+    */
+  def languageId(textCol: String): Column = {
+    val langs = Seq("en", "de", "fr", "es")
+    val scores = langs.map(l => l -> hitCount("wv", stopwordProfiles(l))).toMap
+    val best = langs.map(scores).mkString("greatest(", ", ", ")")
+    val cases = langs.map(l => s"WHEN ${scores(l)} = $best THEN '$l'").mkString(" ")
+    expr(Dedup.letBind(w(textCol), "wv",
+      s"""CASE WHEN $best = 0 THEN 'und' ELSE
+         |  CASE $cases END END""".stripMargin))
+  }
+
+  /** Composite quality score in [0, 1]: balanced stopword ratio, lexical
+    * diversity, and sane mean token length. Deterministic; thresholds are
+    * the usual web-corpus heuristics, not learned.
+    */
+  def qualityScore(textCol: String): Column = {
+    val en = hitCount("wv", stopwordProfiles("en"))
+    expr(Dedup.letBind(w(textCol), "wv",
+      s"""CASE WHEN size(wv) = 0 THEN 0.0 ELSE
+         |  round(
+         |    0.4 * least(1.0D, CAST($en AS DOUBLE) / size(wv) / 0.08)
+         |  + 0.3 * least(1.0D, CAST(size(array_distinct(wv)) AS DOUBLE) / size(wv) / 0.5)
+         |  + 0.3 * (CASE WHEN aggregate(wv, 0, (a, x) -> a + length(x)) / size(wv)
+         |                     BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END), 6)
+         |END""".stripMargin))
+  }
+
+  /** 64-bit document fingerprint of whitespace-normalized text. */
+  def fingerprint64(textCol: String): Column =
+    expr(s"xxhash64(regexp_replace(lower(trim($textCol)), '\\\\s+', ' '))")
+
+  /** Winnowing-style sketch: the `n` smallest distinct k-shingle hashes —
+    * a compact, order-insensitive document signature for containment checks.
+    */
+  def shingleSketch(textCol: String, k: Int = 3, n: Int = 16): Column = {
+    val sh = Dedup.shinglesExprStr(textCol, k)
+    expr(s"slice(array_sort(transform($sh, s -> xxhash64(s))), 1, $n)")
+  }
+
+  /** Full per-document text profile. */
+  def profile(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol),
+      tokenCount(textCol).as("n_tokens"),
+      approxSubwordCount(textCol).as("n_subwords"),
+      languageId(textCol).as("lang_id"),
+      qualityScore(textCol).as("quality"),
+      fingerprint64(textCol).as("fingerprint"))
+}
