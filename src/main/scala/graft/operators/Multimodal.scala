@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import java.nio.charset.StandardCharsets
+
+/** Multimodal-column support: image/audio/video as opaque `binary` payloads
+  * with a typed metadata struct, plus decode / feature-extract / resize /
+  * frame-sample stages.
+  *
+  * The container ships no media codecs, so the DECODE step is a
+  * deterministic STUB (clearly marked below): it derives fake pixels /
+  * samples from the payload bytes. Everything around it — the media schema,
+  * the partition-preserving typed `mapPartitions` batch shape, feature
+  * vector layout, and the frame-sampling slicing — is the real Spark-side
+  * plumbing a production decoder would drop into (the stub body is the only
+  * thing to replace; swap `StubCodec` for a JNI/FFI codec).
+  *
+  * Scale notes: decode runs per-partition with zero shuffles; feature
+  * vectors are fixed-width `array<float>` ready for the SimilaritySearch
+  * operators; payloads never pass through the driver.
+  */
+object Multimodal {
+
+  case class MediaRecord(media_id: Long, kind: String, payload: Array[Byte])
+
+  case class MediaFeatures(media_id: Long, kind: String, n_bytes: Int,
+                           width: Int, height: Int, duration_ms: Int,
+                           features: Array[Float])
+
+  case class Frame(media_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
+
+  /** ======================= STUB CODEC =======================
+    * Deterministic fake decoder standing in for libjpeg/ffmpeg/etc., which
+    * are not available in this environment. Derives stable pseudo-metadata
+    * and a feature vector purely from payload bytes so tests are exact.
+    * Replace this object to integrate a real codec; nothing else changes.
+    */
+  object StubCodec {
+    def dims(payload: Array[Byte]): (Int, Int) =
+      if (payload.isEmpty) (0, 0)
+      else (16 + (payload.head & 0x3f), 16 + (payload.last & 0x3f))
+
+    def durationMs(payload: Array[Byte]): Int = payload.length * 7
+
+    /** Fixed-width feature vector: mean byte value per stride bucket. */
+    def features(payload: Array[Byte], dim: Int): Array[Float] = {
+      val out = new Array[Float](dim)
+      if (payload.isEmpty) return out
+      val counts = new Array[Int](dim)
+      var i = 0
+      while (i < payload.length) {
+        val b = i % dim
+        out(b) += (payload(i) & 0xff)
+        counts(b) += 1
+        i += 1
+      }
+      var j = 0
+      while (j < dim) {
+        if (counts(j) > 0) out(j) = out(j) / counts(j) / 255.0f
+        j += 1
+      }
+      out
+    }
+  }
+  /* ===================== END STUB CODEC ===================== */
+
+  /** Build a media table from the documents table: payload = UTF-8 bytes of
+    * the text (stand-in for real blobs), kind assigned deterministically.
+    */
+  def mediaFromDocuments(docs: DataFrame): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(
+      col("doc_id").as("media_id"),
+      element_at(typedLit(Seq("image", "audio", "video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
+      encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaRecord]
+  }
+
+  /** Decode + feature-extract: one partition-preserving typed pass; batch
+    * shape (iterator-in/iterator-out per partition) is exactly where a
+    * vectorized/native decoder would batch its calls.
+    */
+  def decodeFeatures(media: Dataset[MediaRecord], dim: Int = 16): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { records =>
+      records.map { r =>
+        val (w, h) = StubCodec.dims(r.payload)
+        MediaFeatures(r.media_id, r.kind, r.payload.length, w, h,
+          StubCodec.durationMs(r.payload), StubCodec.features(r.payload, dim))
+      }
+    }
+  }
+
+  /** Frame sampling for video payloads: n evenly-spaced byte windows
+    * (a real implementation samples decoded frames; slicing shape is the
+    * same). Non-video rows produce no frames.
+    */
+  def sampleFrames(media: Dataset[MediaRecord], n: Int, frameBytes: Int = 32): Dataset[Frame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.flatMap { r =>
+      if (r.kind != "video" || r.payload.isEmpty) Iterator.empty
+      else {
+        val stride = math.max(1, (r.payload.length - frameBytes).max(0) / math.max(1, n - 1))
+        (0 until n).iterator.map { i =>
+          val start = math.min(i * stride, math.max(0, r.payload.length - 1))
+          val end = math.min(start + frameBytes, r.payload.length)
+          Frame(r.media_id, i, r.payload.slice(start, end))
+        }
+      }
+    }
+  }
+
+  /** "Resize": renormalize a feature vector to a new width by linear
+    * bucket re-averaging — the plumbing twin of image resizing.
+    */
+  def resizeFeatures(features: Dataset[MediaFeatures], newDim: Int): DataFrame = {
+    features.toDF().withColumn("features",
+      expr(
+        s"""transform(sequence(0, ${newDim - 1}), i ->
+           |  aggregate(slice(features, CAST(i * size(features) / $newDim AS INT) + 1,
+           |                  greatest(1, CAST(size(features) / $newDim AS INT))),
+           |            CAST(0.0 AS DOUBLE), (acc, x) -> acc + x,
+           |            acc -> CAST(acc / greatest(1, CAST(size(features) / $newDim AS INT)) AS FLOAT)))""".stripMargin))
+  }
+
+  private def utf8(s: String): Array[Byte] = s.getBytes(StandardCharsets.UTF_8)
+}

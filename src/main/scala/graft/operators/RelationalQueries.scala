@@ -237,9 +237,10 @@ object RelationalQueries {
       val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
       t(s, dir, "events")
         .withColumn("prev_ts", lag("ts", 1).over(byUser))
+        // millisecond precision, matching graft.streaming.EventStreams
         .withColumn("new_session",
           when(col("prev_ts").isNull ||
-            col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1L)
+            expr("unix_micros(ts) div 1000") - expr("unix_micros(prev_ts) div 1000") > 1800000L, 1L)
             .otherwise(0L))
         .groupBy("user_id")
         .agg(sum("new_session").as("n_sessions"), count(lit(1)).as("n_events"))
@@ -387,7 +388,7 @@ object RelationalQueries {
       """WITH flagged AS (
         |  SELECT user_id,
         |         CASE WHEN lag(ts) OVER w IS NULL
-        |              OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+        |              OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
         |              THEN 1 ELSE 0 END AS new_session
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))

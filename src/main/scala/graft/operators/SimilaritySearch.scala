@@ -37,7 +37,7 @@ object SimilaritySearch {
     val q = typedLit(query.toSeq)
     emb
       .withColumn("q_emb", q)
-      .withColumn("cosine", VectorExprs.cosine(embCol, "q_emb"))
+      .withColumn("cosine", VectorExprs.cosineFast(emb.sparkSession, embCol, "q_emb"))
       .select(col(idCol), col("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
@@ -71,7 +71,7 @@ object SimilaritySearch {
       .join(broadcast(queryProbes), Seq("tbl", "bucket"))
       .select(col(idCol), col(embCol)).distinct()
       .withColumn("q_emb", typedLit(query.toSeq))
-      .withColumn("cosine", VectorExprs.cosine(embCol, "q_emb"))
+      .withColumn("cosine", VectorExprs.cosineFast(emb.sparkSession, embCol, "q_emb"))
       .select(col(idCol), col("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
@@ -86,28 +86,48 @@ object SimilaritySearch {
     val b = emb.select(col(idCol).as("id_b"), col(embCol).as("emb_b"))
     a.crossJoin(b)
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", VectorExprs.cosine("emb_a", "emb_b"))
+      .withColumn("cosine", VectorExprs.cosineFast(emb.sparkSession, "emb_a", "emb_b"))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
 
-  /** Embedding near-duplicate pairs at scale: SRP-bucket candidate join,
-    * then exact cosine verification. Same bucket-join shape as MinHash-LSH.
+  /** Table count needed for `targetRecall` at cosine `threshold` with
+    * `bits`-bit keys and radius-1 multiprobe on one side. p = 1 - angle/pi
+    * is the per-bit agreement probability; a pair collides in a table iff
+    * the signatures differ in at most one bit.
+    */
+  def tablesForRecall(threshold: Double, bits: Int, targetRecall: Double): Int = {
+    val p = 1.0 - math.acos(math.max(-1.0, math.min(1.0, threshold))) / math.Pi
+    val q = math.pow(p, bits) + bits * math.pow(p, bits - 1) * (1 - p)
+    math.max(1, math.ceil(math.log(1 - targetRecall) / math.log(1 - q)).toInt)
+  }
+
+  /** Embedding near-duplicate pairs at scale: SRP-bucket candidate join with
+    * radius-1 multiprobe on one side, then exact cosine verification — the
+    * same bucket-join shape as MinHash-LSH. The table count is AUTO-TUNED
+    * from the threshold: chasing weak similarity (cos 0.3) honestly costs
+    * ~28 tables for 95% recall, while true near-duplicates (cos 0.9) need 3.
     */
   def embeddingNearDupPairs(emb: DataFrame, idCol: String, embCol: String,
-                            threshold: Double, tables: Int = 16, bits: Int = 8,
+                            threshold: Double, bits: Int = 8,
+                            targetRecall: Double = 0.95,
                             seed: Int = 42): DataFrame = {
+    val tables = tablesForRecall(threshold, bits, targetRecall)
     val withBuckets = emb
       .select(col(idCol), col(embCol),
         posexplode(srpBucketKeys(embCol, tables, bits, seed)).as(Seq("tbl", "bucket")))
-    withBuckets.as("a")
+    val probes = withBuckets
+      .select(col(idCol), col(embCol), col("tbl"), explode(expr(
+        s"concat(array(bucket), transform(sequence(0, ${bits - 1}), j -> bucket ^ shiftleft(1L, j)))"))
+        .as("bucket"))
+    probes.as("a")
       .join(withBuckets.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
         col(s"a.$embCol").as("emb_a"), col(s"b.$embCol").as("emb_b"))
       .distinct()
-      .withColumn("cosine", VectorExprs.cosine("emb_a", "emb_b"))
+      .withColumn("cosine", VectorExprs.cosineFast(emb.sparkSession, "emb_a", "emb_b"))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }

@@ -1,0 +1,62 @@
+package graft.candy
+
+import graft.SparkTestBase
+
+/** Property-style checks of the pure fulfillment fold (seeded random cases)
+  * plus a distributed equivalence check: Fulfillment.run must agree with a
+  * sequential driver reference on arbitrary inputs.
+  */
+class FulfillmentSpec extends SparkTestBase {
+
+  private def randomItems(rnd: scala.util.Random, n: Int, products: Int): Seq[ItemRow] =
+    (1 to n).map { i =>
+      ItemRow(rnd.nextInt(200).toLong,
+        f"2024-02-${1 + rnd.nextInt(10)}%02dT0${rnd.nextInt(10)}:00:00.000000",
+        rnd.nextInt(products).toLong, rnd.nextInt(15), i.toLong)
+    }
+
+  test("fulfilled <= requested and total fulfilled <= initial stock (200 random cases)") {
+    val rnd = new scala.util.Random(42)
+    (1 to 200).foreach { _ =>
+      val stock = rnd.nextInt(100)
+      val items = randomItems(rnd, rnd.nextInt(40), 1)
+        .sortBy(r => (r.order_datetime, r.seq))
+      val out = Fulfillment.fulfillProduct(InventoryEntry(stock, 2.5), items.iterator).toList
+      assert(out.length == items.length)
+      out.zip(items).foreach { case (f, r) =>
+        assert(f.quantity == 0 || f.quantity == r.quantity)
+      }
+      assert(out.map(_.quantity.toLong).sum <= stock)
+    }
+  }
+
+  test("cancelled rows do not consume stock: later smaller orders can fulfill") {
+    val items = Seq(
+      ItemRow(1, "2024-02-01T00:00:00", 1, 8, 0),
+      ItemRow(2, "2024-02-01T01:00:00", 1, 9, 1), // cancelled (only 2 left)
+      ItemRow(3, "2024-02-01T02:00:00", 1, 2, 2)) // still fulfills
+    val out = Fulfillment.fulfillProduct(InventoryEntry(10, 1.0), items.iterator).toList
+    assert(out.map(_.quantity) == List(8, 0, 2))
+  }
+
+  test("line_total is 2dp of fulfilled * price") {
+    val out = Fulfillment.fulfillProduct(InventoryEntry(100, 6.7),
+      Iterator(ItemRow(1, "t", 1, 4, 0))).toList
+    assert(out.head.line_total == 26.8)
+  }
+
+  test("distributed run equals sequential reference on random input") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val items = randomItems(rnd, 500, 13)
+    val inv = (0L to 12L).map(p => p -> InventoryEntry(30 + (p * 7 % 40).toInt, 1.5 + p)).toMap
+    val got = Fulfillment.run(spark, items.toDS(), inv)
+      .collect().map(f => (f.order_id, f.product_id) -> f.quantity).toMap
+    val want = items.groupBy(_.product_id).flatMap { case (pid, rs) =>
+      val sorted = rs.sortBy(r => (r.order_datetime.take(10), r.seq))
+      Fulfillment.fulfillProduct(inv.getOrElse(pid, InventoryEntry(0, 0.0)), sorted.iterator)
+        .map(f => (f.order_id, f.product_id) -> f.quantity)
+    }
+    assert(got == want)
+  }
+}

@@ -1,0 +1,60 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+/** Exactness/recall checks for the dedup family on crafted corpora plus the
+  * driver testdata at sf0.001.
+  */
+class DedupSpec extends SparkTestBase {
+
+  private def df(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private val corpus = Seq(
+    1L -> "the quick brown fox jumps over the lazy dog near the river bank today",
+    2L -> "the quick brown fox jumps over the lazy dog near the river bank tonight", // near-dup of 1
+    3L -> "completely different content about spark query engines and shuffles here",
+    4L -> "the quick brown fox jumps over the lazy dog near the river bank today", // exact dup of 1
+    5L -> "unrelated short text")
+
+  test("minhash-LSH equals brute-force ngram jaccard at threshold 0.7") {
+    val lsh = Dedup.minHashNearDuplicates(df(corpus), "doc_id", "text", threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Dedup.ngramJaccardPairs(df(corpus), "doc_id", "text", threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == brute)
+    assert(lsh.contains((1L, 2L)) && lsh.contains((1L, 4L)) && lsh.contains((2L, 4L)))
+    assert(!lsh.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhash-LSH matches brute force on sf0.001 documents") {
+    val docs = spark.read.parquet(sfDir("0.001") + "/documents.parquet")
+    val lsh = Dedup.minHashNearDuplicates(docs, "doc_id", "text", threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == brute)
+    assert(lsh.nonEmpty, "sf0.001 corpus should contain planted near-dups")
+  }
+
+  test("simhash finds exact and near duplicates with small hamming distance") {
+    val pairs = Dedup.simHashNearDuplicates(df(corpus), "doc_id", "text", maxDist = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val asSet = pairs.map(p => (p._1, p._2)).toSet
+    assert(asSet.contains((1L, 4L)), "exact dup must have hamming 0")
+    assert(pairs.find(p => p._1 == 1L && p._2 == 4L).get._3 == 0)
+    assert(asSet.contains((1L, 2L)), "one-word change stays within hamming 8")
+  }
+
+  test("shingles produce distinct word k-grams; short docs yield empty") {
+    import spark.implicits._
+    val one = Seq(Tuple1("a b c")).toDF("text")
+      .select(Dedup.shingles("text", 2)).head().getSeq[String](0)
+    assert(one.toSet == Set("a b", "b c"))
+    val short = Seq(Tuple1("only")).toDF("text")
+      .select(Dedup.shingles("text", 2)).head().getSeq[String](0)
+    assert(short.isEmpty)
+  }
+}

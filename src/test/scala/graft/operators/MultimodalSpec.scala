@@ -1,0 +1,46 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+/** Plumbing checks for the multimodal column support (stub codec). */
+class MultimodalSpec extends SparkTestBase {
+
+  private lazy val docs = spark.read.parquet(sfDir("0.001") + "/documents.parquet")
+
+  test("media table carries binary payloads with deterministic kinds") {
+    val media = Multimodal.mediaFromDocuments(docs).collect()
+    assert(media.length == docs.count())
+    assert(media.forall(m => Set("image", "audio", "video")(m.kind)))
+    assert(media.forall(_.payload.nonEmpty))
+    // deterministic: same doc -> same kind on recompute
+    val again = Multimodal.mediaFromDocuments(docs).collect()
+    assert(media.map(m => m.media_id -> m.kind).toMap ==
+      again.map(m => m.media_id -> m.kind).toMap)
+  }
+
+  test("decodeFeatures yields fixed-width normalized vectors and metadata") {
+    val feats = Multimodal.decodeFeatures(
+      Multimodal.mediaFromDocuments(docs), dim = 16).collect()
+    assert(feats.forall(_.features.length == 16))
+    assert(feats.forall(_.features.forall(f => f >= 0.0f && f <= 1.0f)))
+    assert(feats.forall(f => f.width >= 16 && f.width < 80))
+    assert(feats.forall(f => f.n_bytes > 0 && f.duration_ms == f.n_bytes * 7))
+  }
+
+  test("frame sampling emits n frames for video rows only") {
+    val media = Multimodal.mediaFromDocuments(docs)
+    val frames = Multimodal.sampleFrames(media, n = 4).collect()
+    val videoIds = media.filter(_.kind == "video").collect().map(_.media_id).toSet
+    assert(frames.map(_.media_id).toSet == videoIds)
+    frames.groupBy(_.media_id).foreach { case (_, fs) =>
+      assert(fs.map(_.frame_idx).sorted.toSeq == Seq(0, 1, 2, 3))
+      assert(fs.forall(_.frame_bytes.length <= 32))
+    }
+  }
+
+  test("resizeFeatures halves the vector width") {
+    val feats = Multimodal.decodeFeatures(Multimodal.mediaFromDocuments(docs), dim = 16)
+    val resized = Multimodal.resizeFeatures(feats, 8).collect()
+    assert(resized.forall(_.getAs[Seq[Float]]("features").length == 8))
+  }
+}

@@ -1,0 +1,68 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import java.sql.Timestamp
+
+/** Drives the streaming operators through real micro-batches with
+  * MemoryStream: watermark advancement, session closure by gap and by
+  * timeout, and window aggregation in update mode.
+  */
+class EventStreamsSpec extends SparkTestBase {
+
+  import EventStreams._
+
+  // Offset well past epoch 0: the initial watermark is 0 and an event at
+  // exactly t=0 would be dropped as late data.
+  private def ts(minutes: Long): Timestamp = new Timestamp((1440 + minutes) * 60000L)
+
+  test("sessionize closes sessions on gap and on watermark timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = sessionize(input.toDS(), gapSeconds = 1800, watermark = "30 minutes")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 1: two events 10 min apart (one session), then 60 min gap -> new session
+      input.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(10), 1, "click", 2.0),
+        Event(3, ts(70), 1, "view", 3.0))
+      q.processAllAvailable()
+      val afterBatch1 = spark.table("sessions").as[Session].collect()
+      assert(afterBatch1.length == 1, s"gap-closed session expected, got ${afterBatch1.toSeq}")
+      assert(afterBatch1.head == Session(1, ts(0), ts(10), 2, 3.0))
+
+      // advance watermark far past the open session's timeout -> it closes
+      input.addData(Event(9, ts(500), 2, "click", 9.0))
+      q.processAllAvailable()
+      input.addData(Event(10, ts(600), 2, "click", 9.0))
+      q.processAllAvailable()
+      val all = spark.table("sessions").as[Session].collect()
+      assert(all.exists(s => s.user_id == 1 && s.session_start == ts(70) && s.n_events == 1),
+        s"timeout-closed session expected, got ${all.toSeq}")
+    } finally q.stop()
+  }
+
+  test("hourly rollup aggregates tumbling event-time windows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = hourlyRollup(input.toDS().toDF()).writeStream
+      .format("memory").queryName("rollup")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(
+        Event(1, ts(5), 1, "click", 1.0),
+        Event(2, ts(20), 2, "click", 2.0),
+        Event(3, ts(65), 1, "view", 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("rollup").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(rows.contains((ts(0), "click", 2L, 3.0)))
+      assert(rows.contains((ts(60), "view", 1L, 4.0)))
+    } finally q.stop()
+  }
+}
