@@ -53,12 +53,13 @@ object Dedup {
     * column. Hash family: xxhash64(shingle, j) for j = 0..n-1 — one codegen'd
     * expression, no UDF.
     */
-  def minHashSignature(shinglesCol: String, numHashes: Int): Column = expr(
-    // letBind: even if the optimizer inlines the shingle-building expression
-    // for `shinglesCol`, it must evaluate once per row, not once per hash.
-    letBind(shinglesCol, "shv",
-      s"""transform(sequence(0, ${numHashes - 1}),
-         |  j -> array_min(transform(shv, s -> xxhash64(s, j))))""".stripMargin))
+  def minHashSignature(shinglesCol: String, numHashes: Int): Column =
+    // Native codegen'd expression (graft.functions.MinHashSignatureExpr):
+    // hashes each shingle once, then numHashes cheap hashLong mins — the
+    // interpreted HOF formulation re-hashed the string per hash index.
+    // Requires GraftExtensions.register on the session (operator entry
+    // points do this).
+    expr(s"minhash_sig($shinglesCol, $numHashes)")
 
   /** LSH band keys from a minhash signature: `bands` hashes of `rowsPerBand`
     * consecutive signature entries each. Docs sharing any band key are
@@ -102,6 +103,7 @@ object Dedup {
       shingleSize: Int = 2, numHashes: Int = 128, bands: Int = 32,
       threshold: Double = 0.7): DataFrame = {
     require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
+    graft.plans.GraftExtensions.register(docs.sparkSession)
     val r = numHashes / bands
     // Persisted: the signature frame feeds both sides of the bucket
     // self-join plus the verification join — without it each reuse
@@ -146,18 +148,11 @@ object Dedup {
     * +1/-1; the fingerprint sets bit i where the vote sum is positive.
     * Two codegen'd fold expressions — no UDF, no explode.
     */
-  def simHash64(textCol: String): Column = {
-    val w = tokensExpr(textCol)
-    val bitSums =
-      s"""aggregate($w, array_repeat(0L, 64),
-         |  (acc, x) -> zip_with(acc,
-         |    transform(sequence(0, 63),
-         |      i -> CASE WHEN (shiftright(xxhash64(x), i) & 1) = 1 THEN 1L ELSE -1L END),
-         |    (p, q) -> p + q))""".stripMargin
-    expr(
-      s"""aggregate(zip_with($bitSums, sequence(0, 63), (v, i) -> IF(v > 0, shiftleft(1L, i), 0L)),
-         |  0L, (acc, x) -> acc | x)""".stripMargin)
-  }
+  def simHash64(textCol: String): Column =
+    // Native codegen'd fused loop (graft.functions.SimHash64Expr); the HOF
+    // formulation allocated a 64-entry vote array per token, interpreted.
+    // Requires GraftExtensions.register on the session.
+    expr(s"simhash64(${tokensExpr(textCol)})")
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -171,19 +166,25 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 3): DataFrame = {
     require(maxDist < 16, "chunk banding guarantees recall only for maxDist < 16")
-    val sigs = docs.select(col(idCol), simHash64(textCol).as("sim"))
-    val chunks = sigs.select(col(idCol), col("sim"),
-      posexplode(expr(
-        "transform(sequence(0, 3), c -> shiftright(sim, c * 16) & 65535)"))
-        .as(Seq("chunk_idx", "chunk_val")))
-    chunks.as("a")
-      .join(chunks.as("b"),
-        col("a.chunk_idx") === col("b.chunk_idx") &&
-          col("a.chunk_val") === col("b.chunk_val") &&
-          col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
-        hamming64(col("a.sim"), col("b.sim")).as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxDist)
+    graft.plans.GraftExtensions.register(docs.sparkSession)
+    // Persisted across the two sides of the chunk self-join, released after
+    // the eager localCheckpoint materializes the result.
+    val sigs = docs.select(col(idCol), simHash64(textCol).as("sim")).persist()
+    try {
+      val chunks = sigs.select(col(idCol), col("sim"),
+        posexplode(expr(
+          "transform(sequence(0, 3), c -> shiftright(sim, c * 16) & 65535)"))
+          .as(Seq("chunk_idx", "chunk_val")))
+      chunks.as("a")
+        .join(chunks.as("b"),
+          col("a.chunk_idx") === col("b.chunk_idx") &&
+            col("a.chunk_val") === col("b.chunk_val") &&
+            col(s"a.$idCol") < col(s"b.$idCol"))
+        .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+          hamming64(col("a.sim"), col("b.sim")).as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= maxDist)
+        .localCheckpoint()
+    } finally sigs.unpersist()
   }
 }

@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
 object KernelQueries {
 
   case class Req(l_orderkey: Long, l_linenumber: Int, l_partkey: Long,
-                 qty: Int, ord: String)
+                 qty: Int, ord: Long)
   case class Out(l_orderkey: Long, l_linenumber: Int, l_partkey: Long,
                  fulfilled: Int)
 
@@ -30,7 +30,7 @@ object KernelQueries {
         .select(
           col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
           col("l_quantity").cast("int").as("qty"),
-          date_format(col("l_shipdate"), "yyyy-MM-dd HH:mm:ss").as("ord"))
+          unix_micros(col("l_shipdate").cast("timestamp")).as("ord"))
         .as[Req]
         .repartition(col("l_partkey"))
         .sortWithinPartitions("l_partkey", "ord", "l_orderkey", "l_linenumber")

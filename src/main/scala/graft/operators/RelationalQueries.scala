@@ -139,6 +139,24 @@ object RelationalQueries {
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")),
 
+    // A5 — exact interpolated percentiles (median/p90) per group.
+    "q_a5_percentiles" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("median_price"),
+          round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90_price"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")),
+
+    // A6 — ROLLUP: hierarchical subtotals (year -> grand total).
+    "q_a6_rollup" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .withColumn("order_year", year(col("o_orderdate")).cast("int"))
+        .rollup(col("order_year"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("num_orders"), dsum("o_totalprice").as("revenue"))
+        .orderBy(col("order_year").asc_nulls_first, col("o_orderpriority").asc_nulls_first)),
+
     // A3 — exact countDistinct (approx would fail the oracle by design).
     "q_a3_count_distinct" -> ((s, dir) =>
       t(s, dir, "events")
@@ -324,6 +342,21 @@ object RelationalQueries {
         |       count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-06-01'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_a5_percentiles" ->
+      """SELECT o_orderpriority,
+        |       round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+        |       round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
+        |       count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_a6_rollup" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+        |       o_orderpriority, count(*) AS num_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |GROUP BY ROLLUP (1, 2)
+        |ORDER BY order_year ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
 
     "q_a3_count_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS distinct_users,

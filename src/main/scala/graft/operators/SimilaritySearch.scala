@@ -21,15 +21,11 @@ object SimilaritySearch {
     * where bit j = sign(dot(v, H_tj)) and H_tj[i] = +1/-1 from
     * xxhash64(t, j, i). Deterministic, seedable via `seed`.
     */
-  def srpBucketKeys(embCol: String, tables: Int, bits: Int, seed: Int = 42): Column = expr(
-    s"""transform(sequence(0, ${tables - 1}), t ->
-       |  aggregate(sequence(0, ${bits - 1}), 0L, (key, j) ->
-       |    key | shiftleft(
-       |      IF(aggregate(zip_with($embCol, sequence(0, size($embCol) - 1),
-       |           (x, i) -> CAST(x AS DOUBLE) *
-       |             IF((xxhash64(t, j, i, $seed) & 1) = 1, 1.0D, -1.0D)),
-       |           CAST(0 AS DOUBLE), (acc, v) -> acc + v) > 0, 1L, 0L),
-       |      j)))""".stripMargin)
+  def srpBucketKeys(embCol: String, tables: Int, bits: Int, seed: Int = 42): Column =
+    // Native codegen'd expression (graft.functions.SrpBucketKeysExpr); the
+    // HOF formulation paid an interpreted 4-arg xxhash64 per (table, bit,
+    // component). Requires GraftExtensions.register (callers do this).
+    expr(s"srp_buckets($embCol, $tables, $bits, $seed)")
 
   /** Exact brute-force cosine top-k against one query vector. */
   def bruteForceTopK(emb: DataFrame, idCol: String, embCol: String,
@@ -45,17 +41,21 @@ object SimilaritySearch {
 
   /** LSH-bucketed approximate top-k with MULTIPROBE: candidates are vectors
     * whose (table, bucket) matches the query's bucket or any 1-bit
-    * perturbation of it. At p = 1 - angle/pi per bit, per-table hit
-    * probability is p^bits + bits * p^(bits-1) * (1-p); with the defaults
-    * (16 tables, 8 bits) that is ~0.97 recall even for cos ~ 0.5
-    * neighbors, while still pruning buckets at scale. Rerank is exact
-    * cosine over candidates only.
+    * perturbation of it; the table count is auto-tuned via tablesForRecall
+    * for the declared `minCosine` similarity floor. Rerank is exact cosine
+    * over candidates only.
     */
   def lshTopK(emb: DataFrame, idCol: String, embCol: String,
               query: Array[Float], k: Int,
-              tables: Int = 16, bits: Int = 8, seed: Int = 42): DataFrame = {
+              minCosine: Double = 0.4, targetRecall: Double = 0.9,
+              bits: Int = 8, seed: Int = 42): DataFrame = {
+    // Auto-tune the table count for the declared similarity floor: recall
+    // holds for neighbors at cosine >= minCosine; weaker neighbors are
+    // best-effort. Declaring a lower floor honestly costs more tables.
+    val tables = tablesForRecall(minCosine, bits, targetRecall)
     val spark = emb.sparkSession
     import spark.implicits._
+    graft.plans.GraftExtensions.register(spark)
     val withBuckets = emb.withColumn("buckets", srpBucketKeys(embCol, tables, bits, seed))
     val queryProbes = Seq(Tuple1(query.toSeq)).toDF("q_emb_src")
       .withColumn("buckets", srpBucketKeys("q_emb_src", tables, bits, seed))
@@ -113,6 +113,7 @@ object SimilaritySearch {
                             targetRecall: Double = 0.95,
                             seed: Int = 42): DataFrame = {
     val tables = tablesForRecall(threshold, bits, targetRecall)
+    graft.plans.GraftExtensions.register(emb.sparkSession)
     val withBuckets = emb
       .select(col(idCol), col(embCol),
         posexplode(srpBucketKeys(embCol, tables, bits, seed)).as(Seq("tbl", "bucket")))

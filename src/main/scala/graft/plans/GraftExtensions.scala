@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, MinHashSignatureExpr, SimHash64Expr, SrpBucketKeysExpr}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -20,6 +20,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
 
+  private def intArg(e: Expression, fn: String): Int = e.eval() match {
+    case n: Number => n.intValue()
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal integer argument, got $other")
+  }
+
   private val functions: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("cosine_sim"),
@@ -27,6 +33,25 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 2, s"cosine_sim expects 2 arguments, got ${args.length}")
         CosineSimilarity(args.head, args.last)
+      }),
+    (FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64Expr].getName, "simhash64"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, s"simhash64 expects 1 argument, got ${args.length}")
+        SimHash64Expr(args.head)
+      }),
+    (FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSignatureExpr].getName, "minhash_sig"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, s"minhash_sig expects 2 arguments, got ${args.length}")
+        MinHashSignatureExpr(args.head, intArg(args(1), "minhash_sig"))
+      }),
+    (FunctionIdentifier("srp_buckets"),
+      new ExpressionInfo(classOf[SrpBucketKeysExpr].getName, "srp_buckets"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4, s"srp_buckets expects 4 arguments, got ${args.length}")
+        SrpBucketKeysExpr(args.head, intArg(args(1), "srp_buckets"),
+          intArg(args(2), "srp_buckets"), intArg(args(3), "srp_buckets").toLong)
       }))
 
   /** Register on a live session (no-op if already present). */

@@ -1,0 +1,61 @@
+package graft.operators
+
+import graft.SparkEntry
+import graft.SparkTestBase
+
+/** Physical-plan assertions: the optimizations we rely on for 100 TB scale
+  * must actually appear in the executed plans — broadcast joins for
+  * dimension tables, parquet filter pushdown + column pruning for selective
+  * scans, and no superfluous shuffles in the fulfillment kernel.
+  */
+class PlanSpec extends SparkTestBase {
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sfDir("0.001"))
+    df.collect() // finalize the adaptive plan so codegen spans are visible
+    val full = df.queryExecution.executedPlan.toString
+    // keep only the final adaptive plan (toString appends the initial plan)
+    val start = full.indexOf("== Final Plan ==")
+    val end = full.indexOf("== Initial Plan ==")
+    if (start >= 0 && end > start) full.substring(start, end) else full
+  }
+
+  test("dimension join broadcasts (no shuffle of the small side)") {
+    val p = plan("q_j1_join_left_broadcast")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+  }
+
+  test("TPC-H Q3 join pushes filters below the joins and broadcasts the dim") {
+    val p = plan("q_j3_revenue_top10")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(c_mktsegment)"),
+      s"expected customer filter pushed to scan:\n$p")
+  }
+
+  test("selective scan pushes filters and prunes columns") {
+    val p = plan("q_s1_scan_filter_project")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity)"), s"no pushed filters:\n$p")
+    assert(p.contains("GreaterThan(l_quantity,45.0)"), s"range filter not pushed:\n$p")
+    // pruned read schema: only the 5 referenced columns, not all 11
+    assert(!p.contains("l_returnflag"), s"column pruning failed:\n$p")
+  }
+
+  test("aggregation is partial+final hash aggregate (map-side combine)") {
+    val p = plan("q1_agg")
+    assert(p.contains("HashAggregate"), p)
+    assert("HashAggregate".r.findAllIn(p).length >= 2, s"expected partial+final agg:\n$p")
+  }
+
+  test("fulfillment kernel plans exactly two exchanges (repartition + output sort)") {
+    val p = plan("q_k1_fulfillment")
+    val exchanges = "Exchange (hash|range)partitioning".r.findAllIn(p).length
+    assert(exchanges <= 2, s"too many exchanges ($exchanges):\n$p")
+    assert(p.contains("Sort "), p)
+  }
+
+  test("whole-stage codegen covers the scan-filter-project pipeline") {
+    // codegen spans render as "*(n)" stage markers in the executed plan
+    val p = plan("q_s1_scan_filter_project")
+    assert(p.contains("*(1)"), s"no codegen span:\n$p")
+  }
+}
