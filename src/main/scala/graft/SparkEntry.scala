@@ -22,6 +22,7 @@ object SparkEntry {
       VectorQueries.queries ++
       MultimodalQueries.queries ++
       DedupQueries.queries ++
+      JoinQueries.queries ++
       KernelQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -33,5 +34,6 @@ object SparkEntry {
       VectorQueries.oracles ++
       MultimodalQueries.oracles ++
       DedupQueries.oracles ++
+      JoinQueries.oracles ++
       KernelQueries.oracles
 }

@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver queries for the as-of / range / salted join operators and the
+  * string-function surface. Each oracle re-derives the same semantics in
+  * portable SQL (window-based as-of, IEJoin-able inequality range join,
+  * plain join for the salted variant — salting must be result-invariant).
+  */
+object JoinQueries {
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Backward as-of join: each 'view' event gets the user's latest
+    // at-or-before 'click' event.
+    "q_r2_asof_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val views = ev.filter(col("event_type") === "view")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"),
+          col("value").as("click_value"))
+      Joins.asOfJoin(views, clicks, "user_id", "ts")
+        .select(col("event_id"), col("user_id"),
+          col("asof_click_id").as("click_id"),
+          round(col("asof_click_value"), 4).as("click_value"))
+        .orderBy("event_id")
+    }),
+
+    // Interval self-join: event pairs within 5 seconds of each other,
+    // via bucket-banding (no cross product).
+    "q_r1_range_join" -> ((s, dir) =>
+      Joins.withinInterval(events(s, dir), "event_id", "ts", 5000L)
+        .orderBy("id_a", "id_b")),
+
+    // Salted skew join: must produce exactly the plain join's aggregate.
+    "q_j7_salted_join" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val part = s.read.parquet(s"$dir/part.parquet").select("p_partkey", "p_brand")
+      Joins.saltedJoin(
+        li.withColumnRenamed("l_partkey", "p_partkey"), part, "p_partkey",
+        saltFactor = 8,
+        saltExpr = pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(8)))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+        .orderBy("p_brand")
+    }),
+
+    // String-function battery over part names.
+    "q_str1_functions" -> ((s, dir) =>
+      s.read.parquet(s"$dir/part.parquet")
+        .select(
+          col("p_partkey"),
+          upper(col("p_name")).as("name_upper"),
+          length(col("p_name")).cast("int").as("name_len"),
+          substring(col("p_name"), 1, 5).as("name_prefix"),
+          regexp_extract(col("p_name"), "^([a-z]+)", 1).as("first_word"),
+          col("p_name").like("%green%").as("has_green"),
+          instr(col("p_name"), " ").cast("int").as("first_space"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+          translate(col("p_name"), "aeiou", "AEIOU").as("vowels_up"))
+        .orderBy("p_partkey"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_r2_asof_join" ->
+      """WITH tagged AS (
+        |  SELECT user_id, ts, 1 AS is_left, event_id,
+        |         NULL::BIGINT AS click_id, NULL::DOUBLE AS click_value
+        |  FROM events WHERE event_type = 'view'
+        |  UNION ALL
+        |  SELECT user_id, ts, 0, NULL, event_id, value
+        |  FROM events WHERE event_type = 'click'),
+        |filled AS (
+        |  SELECT *,
+        |         last_value(click_id IGNORE NULLS) OVER w AS last_click_id,
+        |         last_value(click_value IGNORE NULLS) OVER w AS last_click_value
+        |  FROM tagged
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, is_left
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id, last_click_id AS click_id,
+        |       round(last_click_value, 4) AS click_value
+        |FROM filled WHERE is_left = 1 ORDER BY event_id""".stripMargin,
+
+    "q_r1_range_join" ->
+      """SELECT a.event_id AS id_a, b.event_id AS id_b,
+        |       epoch_ms(b.ts) - epoch_ms(a.ts) AS delta_ms
+        |FROM events a JOIN events b
+        |  ON a.event_id < b.event_id
+        | AND abs(epoch_ms(a.ts) - epoch_ms(b.ts)) <= 5000
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_j7_salted_join" ->
+      """SELECT p_brand, count(*) AS n_lines,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_str1_functions" ->
+      """SELECT p_partkey,
+        |       upper(p_name) AS name_upper,
+        |       CAST(length(p_name) AS INTEGER) AS name_len,
+        |       substr(p_name, 1, 5) AS name_prefix,
+        |       coalesce(regexp_extract(p_name, '^([a-z]+)', 1), '') AS first_word,
+        |       p_name LIKE '%green%' AS has_green,
+        |       CAST(strpos(p_name, ' ') AS INTEGER) AS first_space,
+        |       concat_ws('|', p_brand, p_type) AS brand_type,
+        |       translate(p_name, 'aeiou', 'AEIOU') AS vowels_up
+        |FROM part ORDER BY p_partkey""".stripMargin
+  )
+}

@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join operators Spark lacks as primitives, built scale-first: backward
+  * as-of join, interval (range) self-join, and salted skew joins. None of
+  * them materializes a cross product; each reduces to equi-join/window
+  * machinery Catalyst already plans well.
+  */
+object Joins {
+
+  /** Backward as-of join: for each left row, attach the latest right row of
+    * the same key with `right.timeCol <= left.timeCol`.
+    *
+    * Implementation: tag and union both sides, then one windowed
+    * `last(ignoreNulls)` pass partitioned by key and ordered by (time, tag)
+    * with right rows sorting before left rows at equal timestamps — i.e.
+    * ONE shuffle on the key, no range explosion, state O(1) per row. This
+    * is the distributed as-of shape that survives billion-row sides.
+    *
+    * @param left     left side; all its columns are preserved
+    * @param right    right side; its non-key/time columns are attached with
+    *                 `asOfPrefix` (null where no prior right row exists)
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, keyCol: String,
+               timeCol: String, asOfPrefix: String = "asof_"): DataFrame = {
+    val rightVals = right.columns.filter(c => c != keyCol && c != timeCol)
+    // genuinely NULL struct literals (not structs of null fields — those are
+    // non-null values and would defeat last(ignoreNulls))
+    def nullStruct(df: DataFrame, cols: Seq[String]) =
+      lit(null).cast(org.apache.spark.sql.types.StructType(
+        cols.map(c => df.schema(c)).toIndexedSeq))
+
+    val taggedLeft = left.select(
+      col(keyCol).as("_k"), col(timeCol).as("_t"), lit(1).as("_is_left"),
+      struct(left.columns.toIndexedSeq.map(col): _*).as("_l"),
+      nullStruct(right, rightVals.toIndexedSeq).as("_r"))
+    val taggedRight = right.select(
+      col(keyCol).as("_k"), col(timeCol).as("_t"), lit(0).as("_is_left"),
+      nullStruct(left, left.columns.toIndexedSeq).as("_l"),
+      struct(rightVals.toIndexedSeq.map(col): _*).as("_r"))
+
+    val w = Window.partitionBy("_k").orderBy(col("_t"), col("_is_left"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val joined = taggedLeft.unionByName(taggedRight)
+      .withColumn("_last_r", last("_r", ignoreNulls = true).over(w))
+      .filter(col("_is_left") === 1)
+
+    val leftCols = left.columns.map(c => col(s"_l.$c").as(c))
+    val rightCols = rightVals.map(c => col(s"_last_r.$c").as(s"$asOfPrefix$c"))
+    joined.select((leftCols ++ rightCols).toIndexedSeq: _*)
+  }
+
+  /** Interval self-join: unordered pairs of rows whose `timeCol` values lie
+    * within `intervalMs` of each other. Implementation: bucket timestamps
+    * at interval granularity, explode one side into its bucket and the next
+    * (any qualifying pair shares a bucket under this scheme), equi-join on
+    * the bucket, then exact-filter — the standard banding that turns an
+    * inequality join into one shuffled equi-join.
+    */
+  def withinInterval(df: DataFrame, idCol: String, timeCol: String,
+                     intervalMs: Long): DataFrame = {
+    val withBucket = df.select(
+      col(idCol), col(timeCol),
+      (unix_micros(col(timeCol).cast("timestamp")) / lit(1000)).cast("long").as("_ms"))
+      .withColumn("_bucket", (col("_ms") / intervalMs).cast("long"))
+    // probe all three adjacent buckets: the id_a < id_b pair orientation is
+    // independent of time order, so the partner may sit one bucket earlier
+    val probe = withBucket.withColumn("_bucket",
+      explode(array(col("_bucket") - 1, col("_bucket"), col("_bucket") + 1)))
+    probe.as("a")
+      .join(withBucket.as("b"),
+        col("a._bucket") === col("b._bucket") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .filter(abs(col("a._ms") - col("b._ms")) <= intervalMs)
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        (col("b._ms") - col("a._ms")).as("delta_ms"))
+      .distinct()
+  }
+
+  /** Salted equi-join for skewed fact keys: the fact side gets a
+    * deterministic salt in [0, saltFactor), the dimension side is
+    * replicated saltFactor times, and the join runs on (key, salt) —
+    * splitting each hot key's rows across saltFactor reducers. Produces
+    * EXACTLY the rows of the unsalted join.
+    *
+    * @param saltExpr deterministic per-row expression spreading fact rows
+    *                 (e.g. pmod(hash(other_col), saltFactor))
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+                 saltFactor: Int, saltExpr: Column,
+                 joinType: String = "inner"): DataFrame = {
+    val factS = fact.withColumn("_salt", saltExpr)
+    val dimS = dim.withColumn("_salt",
+      explode(array((0 until saltFactor).map(lit): _*)))
+    factS.join(dimS, Seq(key, "_salt"), joinType).drop("_salt")
+  }
+}
