@@ -157,6 +157,30 @@ object RelationalQueries {
         .agg(count(lit(1)).as("num_orders"), dsum("o_totalprice").as("revenue"))
         .orderBy(col("order_year").asc_nulls_first, col("o_orderpriority").asc_nulls_first)),
 
+    // A7 — pivot (explicit values => deterministic column set).
+    "q_a7_pivot" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .withColumn("order_year", year(col("o_orderdate")).cast("int"))
+        .groupBy("order_year")
+        .pivot("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"))
+        .withColumnsRenamed(Map(
+          "1-URGENT" -> "urgent", "2-HIGH" -> "high", "3-MEDIUM" -> "medium",
+          "4-NOT SPECIFIED" -> "unspecified", "5-LOW" -> "low"))
+        .orderBy("order_year")),
+
+    // F1 — JSON extraction from a string column.
+    "q_f1_json_extract" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("k").cast("decimal(18,0)")).cast("long").as("sum_k"),
+          min("k").as("min_k"), max("k").as("max_k"))
+        .orderBy("event_type")),
+
     // A3 — exact countDistinct (approx would fail the oracle by design).
     "q_a3_count_distinct" -> ((s, dir) =>
       t(s, dir, "events")
@@ -237,6 +261,21 @@ object RelationalQueries {
         .select("l_orderkey", "l_linenumber", "l_extendedprice")
         .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
         .limit(20)),
+
+    // SQL surface — the same engine driven through spark.sql text over
+    // registered views (per-day revenue by market segment).
+    "q_sql1_text_query" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("v_orders")
+      t(s, dir, "customer").createOrReplaceTempView("v_customer")
+      s.sql(
+        """SELECT c_mktsegment,
+          |       CAST(year(o_orderdate) AS INT) AS order_year,
+          |       count(*) AS num_orders,
+          |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+          |FROM v_orders JOIN v_customer ON o_custkey = c_custkey
+          |GROUP BY c_mktsegment, year(o_orderdate)
+          |ORDER BY c_mktsegment, order_year""".stripMargin)
+    }),
 
     // E1 — event-time tumbling hourly rollup (batch twin of the streaming
     // windowed aggregation in graft.streaming).
@@ -358,6 +397,22 @@ object RelationalQueries {
         |GROUP BY ROLLUP (1, 2)
         |ORDER BY order_year ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
 
+    "q_a7_pivot" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (o_orderpriority = '1-URGENT') AS DOUBLE) AS urgent,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (o_orderpriority = '2-HIGH') AS DOUBLE) AS high,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (o_orderpriority = '3-MEDIUM') AS DOUBLE) AS medium,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS DOUBLE) AS unspecified,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (o_orderpriority = '5-LOW') AS DOUBLE) AS low
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_f1_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+        |       min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+        |       max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_a3_count_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS distinct_users,
         |       count(*) AS n_events
@@ -410,6 +465,14 @@ object RelationalQueries {
     "q_o1_topk" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
         |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20""".stripMargin,
+
+    "q_sql1_text_query" ->
+      """SELECT c_mktsegment, CAST(year(o_orderdate) AS INTEGER) AS order_year,
+        |       count(*) AS num_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment, year(o_orderdate)
+        |ORDER BY c_mktsegment, order_year""".stripMargin,
 
     "q_e1_hourly_rollup" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,

@@ -69,7 +69,10 @@ object SimilaritySearch {
       .select(col(idCol), col(embCol),
         posexplode(col("buckets")).as(Seq("tbl", "bucket")))
       .join(broadcast(queryProbes), Seq("tbl", "bucket"))
-      .select(col(idCol), col(embCol)).distinct()
+      // dedupe candidate IDS (cheap longs), then rejoin the vectors —
+      // distinct over 64-float arrays would shuffle the full payload
+      .select(col(idCol)).distinct()
+      .join(emb.select(col(idCol), col(embCol)), Seq(idCol))
       .withColumn("q_emb", typedLit(query.toSeq))
       .withColumn("cosine", VectorExprs.cosineFast(emb.sparkSession, embCol, "q_emb"))
       .select(col(idCol), col("cosine"))

@@ -41,6 +41,17 @@ object EventStreams {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Streaming exact deduplication by event_id with bounded state:
+    * duplicates arriving within the watermark window are dropped, and state
+    * for old ids is evicted once the watermark passes — the streaming twin
+    * of batch dropDuplicates, with the memory bound a 100 TB/day stream
+    * needs.
+    */
+  def dedupEvents(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Gap-based sessionization: a session closes when `gapSeconds` pass with
     * no event from the user (event time). Emits CLOSED sessions only —
     * closed either by a later event from the same user or by event-time

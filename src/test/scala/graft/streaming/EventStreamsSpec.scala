@@ -46,6 +46,26 @@ class EventStreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming dedup drops duplicate event ids within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = dedupEvents(input.toDS().toDF()).writeStream
+      .format("memory").queryName("deduped")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(1, ts(1), 1, "click", 1.0), // dup id, same batch
+        Event(2, ts(2), 1, "view", 2.0))
+      q.processAllAvailable()
+      input.addData(Event(1, ts(3), 1, "click", 1.0)) // dup id, later batch
+      q.processAllAvailable()
+      val ids = spark.table("deduped").select("event_id").collect().map(_.getLong(0))
+      assert(ids.sorted.toSeq == Seq(1L, 2L), s"got ${ids.toSeq}")
+    } finally q.stop()
+  }
+
   test("hourly rollup aggregates tumbling event-time windows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
