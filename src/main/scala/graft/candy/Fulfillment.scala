@@ -60,10 +60,16 @@ object Fulfillment {
     * @param items     cleaned items (order_id, order_datetime, product_id, quantity)
     * @param inventory product_id -> (stock, sales_price) snapshot, broadcast
     */
+  /** @param reloadDaily reference config `reload_inventory_daily`
+    *                     (reference src/data_processor.py:90): when set, each
+    *                     product's stock resets to the snapshot at the start
+    *                     of every day instead of carrying across days.
+    */
   def run(
       spark: SparkSession,
       items: Dataset[ItemRow],
-      inventory: Map[Long, InventoryEntry]): Dataset[FulfilledLine] = {
+      inventory: Map[Long, InventoryEntry],
+      reloadDaily: Boolean = false): Dataset[FulfilledLine] = {
     import spark.implicits._
     val inv = spark.sparkContext.broadcast(inventory)
     items
@@ -77,14 +83,19 @@ object Fulfillment {
         // rows of a product are consecutive) and time-ordered within each
         // product; carry `available` across rows of the current run only.
         var currentPid = Long.MinValue
+        var currentDay = ""
         var available = 0
         var price = 0.0
         rows.map { r =>
           if (r.product_id != currentPid) {
             currentPid = r.product_id
+            currentDay = r.order_datetime.take(10)
             val e = inv.value.getOrElse(r.product_id, InventoryEntry(0, 0.0))
             available = e.stock
             price = e.price
+          } else if (reloadDaily && r.order_datetime.take(10) != currentDay) {
+            currentDay = r.order_datetime.take(10)
+            available = inv.value.getOrElse(r.product_id, InventoryEntry(0, 0.0)).stock
           }
           val fulfilled =
             if (available > 0 && r.quantity <= available) { available -= r.quantity; r.quantity }

@@ -262,6 +262,26 @@ object RelationalQueries {
         .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
         .limit(20)),
 
+    // Subqueries — scalar + IN, planned by Catalyst from SQL text.
+    "q_sub1_subqueries" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("v_sub_customer")
+      t(s, dir, "orders").createOrReplaceTempView("v_sub_orders")
+      s.sql(
+        """SELECT c_custkey, c_acctbal FROM v_sub_customer
+          |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM v_sub_customer)
+          |  AND c_custkey IN (SELECT o_custkey FROM v_sub_orders
+          |                    WHERE o_orderpriority = '1-URGENT')
+          |ORDER BY c_custkey""".stripMargin)
+    }),
+
+    // EXCEPT ALL — multiset difference.
+    "q_set4_except_all" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.filter(col("o_custkey") <= 750).select("o_orderpriority")
+        .exceptAll(o.filter(col("o_custkey") > 750).select("o_orderpriority"))
+        .orderBy("o_orderpriority")
+    }),
+
     // SQL surface — the same engine driven through spark.sql text over
     // registered views (per-day revenue by market segment).
     "q_sql1_text_query" -> ((s, dir) => {
@@ -465,6 +485,19 @@ object RelationalQueries {
     "q_o1_topk" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
         |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20""".stripMargin,
+
+    "q_sub1_subqueries" ->
+      """SELECT c_custkey, c_acctbal FROM customer
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+        |  AND c_custkey IN (SELECT o_custkey FROM orders
+        |                    WHERE o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_set4_except_all" ->
+      """SELECT o_orderpriority FROM orders WHERE o_custkey <= 750
+        |EXCEPT ALL
+        |SELECT o_orderpriority FROM orders WHERE o_custkey > 750
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "q_sql1_text_query" ->
       """SELECT c_mktsegment, CAST(year(o_orderdate) AS INTEGER) AS order_year,

@@ -45,6 +45,21 @@ class FulfillmentSpec extends SparkTestBase {
     assert(out.head.line_total == 26.8)
   }
 
+  test("reloadDaily resets stock at day boundaries") {
+    import spark.implicits._
+    val items = Seq(
+      ItemRow(1, "2024-02-01T00:00:00", 1, 8, 0),
+      ItemRow(2, "2024-02-01T01:00:00", 1, 3, 1), // cancelled: 2 left
+      ItemRow(3, "2024-02-02T00:00:00", 1, 9, 2)) // reload: fulfills from 10
+    val inv = Map(1L -> InventoryEntry(10, 1.0))
+    val carry = Fulfillment.run(spark, items.toDS(), inv)
+      .collect().sortBy(_.order_id).map(_.quantity).toSeq
+    val reload = Fulfillment.run(spark, items.toDS(), inv, reloadDaily = true)
+      .collect().sortBy(_.order_id).map(_.quantity).toSeq
+    assert(carry == Seq(8, 0, 0), s"carry-over: $carry")
+    assert(reload == Seq(8, 0, 9), s"daily reload: $reload")
+  }
+
   test("distributed run equals sequential reference on random input") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
