@@ -19,20 +19,25 @@ object CandyPipeline {
 
   /** Run the full pipeline from a dataset directory (transactions_*.json +
     * products.csv). Returns all five output tables, lazily where possible.
+    * `reloadDaily` mirrors the reference's RELOAD_INVENTORY_DAILY config
+    * (reference src/main.py:79): stock resets to the snapshot each day, and
+    * the inventory writeback subtracts only the final day's sales.
     */
-  def run(spark: SparkSession, dataDir: String, forecastDays: Int = 1): Results = {
+  def run(spark: SparkSession, dataDir: String, forecastDays: Int = 1,
+          reloadDaily: Boolean = false): Results = {
     implicit val s: SparkSession = spark
     val transactions = Ingest.readTransactionsOrdered(spark, dataDir)
     val products = Ingest.readProducts(spark, s"$dataDir/products.csv")
 
     val items = Outputs.prepareItems(transactions)
     val inventory = Fulfillment.snapshot(products)
-    val fulfilled = Fulfillment.run(spark, items, inventory).cache()
+    val fulfilled = Fulfillment.run(spark, items, inventory, reloadDaily).cache()
 
     val lineItems = Outputs.lineItemsFinal(fulfilled)
     val orders = Outputs.ordersFinal(transactions, fulfilled)
     val updated = Outputs.updatedInventoryFinal(
-      Fulfillment.updatedInventory(products, fulfilled))
+      if (reloadDaily) Fulfillment.updatedInventoryDailyReload(products, fulfilled)
+      else Fulfillment.updatedInventory(products, fulfilled))
     val daily = Outputs.dailySummary(orders, lineItems, products).cache()
     val forecast = Forecast.forecastSalesAndProfits(spark, daily, forecastDays)
     Results(orders, lineItems, updated, daily, forecast)
@@ -52,7 +57,9 @@ object CandyPipeline {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val r = run(spark, dataDir)
+    val reloadDaily =
+      sys.env.getOrElse("RELOAD_INVENTORY_DAILY", "false").equalsIgnoreCase("true")
+    val r = run(spark, dataDir, reloadDaily = reloadDaily)
     Ingest.saveSingleCsv(r.productsUpdated, outDir, "products_updated.csv")
     Ingest.saveSingleCsv(r.orders, outDir, "orders.csv")
     Ingest.saveSingleCsv(r.orderLineItems, outDir, "order_line_items.csv")

@@ -33,18 +33,27 @@ object Fulfillment {
 
   /** Pure per-product fold. `rows` MUST be sorted by the fulfillment order.
     * Emits one output line per input row (cancelled rows keep quantity 0 with
-    * line_total 0.00, matching reference src/data_processor.py:53-58).
+    * line_total 0.00, matching reference src/data_processor.py:53-58). With
+    * `resetDaily`, stock reloads to the snapshot at each day boundary.
     */
   def fulfillProduct(
       initial: InventoryEntry,
-      rows: Iterator[ItemRow]): Iterator[FulfilledLine] = {
+      rows: Iterator[ItemRow],
+      resetDaily: Boolean = false): Iterator[FulfilledLine] = {
     var available = initial.stock
+    var currentDay: String = null
     val price = initial.price
     rows.map { r =>
+      val day = r.order_datetime.take(10)
+      if (currentDay == null) currentDay = day
+      else if (resetDaily && day != currentDay) {
+        currentDay = day
+        available = initial.stock
+      }
       val fulfilled =
         if (available > 0 && r.quantity <= available) { available -= r.quantity; r.quantity }
         else 0
-      FulfilledLine(r.order_id, r.product_id, fulfilled, price, round2(fulfilled * price))
+      FulfilledLine(r.order_id, r.product_id, fulfilled, price, round2(fulfilled * price), day)
     }
   }
 
@@ -57,13 +66,13 @@ object Fulfillment {
 
   /** Distributed fulfillment over cleaned line items.
     *
-    * @param items     cleaned items (order_id, order_datetime, product_id, quantity)
-    * @param inventory product_id -> (stock, sales_price) snapshot, broadcast
-    */
-  /** @param reloadDaily reference config `reload_inventory_daily`
-    *                     (reference src/data_processor.py:90): when set, each
-    *                     product's stock resets to the snapshot at the start
-    *                     of every day instead of carrying across days.
+    * @param items       cleaned items (order_id, order_datetime, product_id, quantity)
+    * @param inventory   product_id -> (stock, sales_price) snapshot, broadcast
+    * @param reloadDaily reference config `reload_inventory_daily`
+    *                    (reference src/data_processor.py:90, declared there
+    *                    but never applied by its day loop): when set, each
+    *                    product's stock resets to the snapshot at the start
+    *                    of every day instead of carrying across days.
     */
   def run(
       spark: SparkSession,
@@ -85,22 +94,27 @@ object Fulfillment {
         var currentPid = Long.MinValue
         var currentDay = ""
         var available = 0
+        var snapshotStock = 0
         var price = 0.0
         rows.map { r =>
           if (r.product_id != currentPid) {
             currentPid = r.product_id
             currentDay = r.order_datetime.take(10)
             val e = inv.value.getOrElse(r.product_id, InventoryEntry(0, 0.0))
+            snapshotStock = e.stock
             available = e.stock
             price = e.price
-          } else if (reloadDaily && r.order_datetime.take(10) != currentDay) {
+          } else if (reloadDaily &&
+              !r.order_datetime.regionMatches(0, currentDay, 0, 10)) {
+            // allocation-free day-boundary check on the hot path
             currentDay = r.order_datetime.take(10)
-            available = inv.value.getOrElse(r.product_id, InventoryEntry(0, 0.0)).stock
+            available = snapshotStock
           }
           val fulfilled =
             if (available > 0 && r.quantity <= available) { available -= r.quantity; r.quantity }
             else 0
-          FulfilledLine(r.order_id, r.product_id, fulfilled, price, round2(fulfilled * price))
+          FulfilledLine(r.order_id, r.product_id, fulfilled, price,
+            round2(fulfilled * price), currentDay)
         }
       }
   }
@@ -117,13 +131,31 @@ object Fulfillment {
         if (r.isNullAt(2)) 0.0 else r.getDouble(2))
     }.toMap
 
-  /** Post-fulfillment inventory: initial stock minus fulfilled units
-    * (replaces the reference's per-day outer-join stack, reference
-    * src/data_processor.py:444-464). Broadcast join: sold sums aggregate to
-    * one row per product.
+  /** Post-fulfillment inventory under CARRY-OVER semantics: initial stock
+    * minus all fulfilled units (replaces the reference's per-day outer-join
+    * stack, reference src/data_processor.py:444-464). NOT valid when the
+    * kernel ran with reloadDaily — use updatedInventoryDailyReload, which
+    * only subtracts the final day's sales.
     */
   def updatedInventory(products: DataFrame, fulfilled: Dataset[FulfilledLine]): DataFrame = {
     val sold = fulfilled.groupBy("product_id")
+      .agg(sum("quantity").as("total_quantity_sold"))
+    products
+      .join(broadcast(sold), Seq("product_id"), "left")
+      .withColumn("stock",
+        (col("stock") - coalesce(col("total_quantity_sold"), lit(0))).cast("int"))
+      .drop("total_quantity_sold")
+  }
+
+  /** Post-fulfillment inventory under DAILY-RELOAD semantics: every day
+    * starts from the snapshot, so the end state is the snapshot minus units
+    * sold on the period's final day only.
+    */
+  def updatedInventoryDailyReload(products: DataFrame,
+                                  fulfilled: Dataset[FulfilledLine]): DataFrame = {
+    val lastDay = fulfilled.agg(max("order_date")).head().getString(0)
+    val sold = fulfilled.filter(col("order_date") === lit(lastDay))
+      .groupBy("product_id")
       .agg(sum("quantity").as("total_quantity_sold"))
     products
       .join(broadcast(sold), Seq("product_id"), "left")

@@ -64,13 +64,17 @@ case class ItemRow(
     quantity: Int,
     seq: Long)
 
-/** One fulfilled (or cancelled, quantity=0) line item. */
+/** One fulfilled (or cancelled, quantity=0) line item. `order_date` is the
+  * fulfillment day (ISO prefix) — carried so inventory writeback can apply
+  * either carry-over or daily-reload semantics.
+  */
 case class FulfilledLine(
     order_id: Long,
     product_id: Long,
     quantity: Int,
     unit_price: Double,
-    line_total: Double)
+    line_total: Double,
+    order_date: String)
 
 /** Inventory snapshot entry broadcast to the fulfillment kernel. */
 case class InventoryEntry(stock: Int, price: Double)

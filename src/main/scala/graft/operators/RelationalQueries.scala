@@ -264,14 +264,20 @@ object RelationalQueries {
 
     // Subqueries — scalar + IN, planned by Catalyst from SQL text.
     "q_sub1_subqueries" -> ((s, dir) => {
-      t(s, dir, "customer").createOrReplaceTempView("v_sub_customer")
-      t(s, dir, "orders").createOrReplaceTempView("v_sub_orders")
+      // dir-unique view names: session-global temp views would collide
+      // across concurrent invocations with different data dirs
+      val tag = math.abs(dir.hashCode).toString
+      t(s, dir, "customer").createOrReplaceTempView(s"v_sub_customer_$tag")
+      t(s, dir, "orders").createOrReplaceTempView(s"v_sub_orders_$tag")
+      // decimal-exact average (order-independent) — a raw double avg can
+      // flip boundary rows against the oracle
       s.sql(
-        """SELECT c_custkey, c_acctbal FROM v_sub_customer
-          |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM v_sub_customer)
-          |  AND c_custkey IN (SELECT o_custkey FROM v_sub_orders
-          |                    WHERE o_orderpriority = '1-URGENT')
-          |ORDER BY c_custkey""".stripMargin)
+        s"""SELECT c_custkey, c_acctbal FROM v_sub_customer_$tag
+           |WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+           |                   FROM v_sub_customer_$tag)
+           |  AND c_custkey IN (SELECT o_custkey FROM v_sub_orders_$tag
+           |                    WHERE o_orderpriority = '1-URGENT')
+           |ORDER BY c_custkey""".stripMargin)
     }),
 
     // EXCEPT ALL — multiset difference.
@@ -285,16 +291,17 @@ object RelationalQueries {
     // SQL surface — the same engine driven through spark.sql text over
     // registered views (per-day revenue by market segment).
     "q_sql1_text_query" -> ((s, dir) => {
-      t(s, dir, "orders").createOrReplaceTempView("v_orders")
-      t(s, dir, "customer").createOrReplaceTempView("v_customer")
+      val tag = math.abs(dir.hashCode).toString
+      t(s, dir, "orders").createOrReplaceTempView(s"v_orders_$tag")
+      t(s, dir, "customer").createOrReplaceTempView(s"v_customer_$tag")
       s.sql(
-        """SELECT c_mktsegment,
-          |       CAST(year(o_orderdate) AS INT) AS order_year,
-          |       count(*) AS num_orders,
-          |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-          |FROM v_orders JOIN v_customer ON o_custkey = c_custkey
-          |GROUP BY c_mktsegment, year(o_orderdate)
-          |ORDER BY c_mktsegment, order_year""".stripMargin)
+        s"""SELECT c_mktsegment,
+           |       CAST(year(o_orderdate) AS INT) AS order_year,
+           |       count(*) AS num_orders,
+           |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+           |FROM v_orders_$tag JOIN v_customer_$tag ON o_custkey = c_custkey
+           |GROUP BY c_mktsegment, year(o_orderdate)
+           |ORDER BY c_mktsegment, order_year""".stripMargin)
     }),
 
     // E1 — event-time tumbling hourly rollup (batch twin of the streaming
@@ -488,7 +495,8 @@ object RelationalQueries {
 
     "q_sub1_subqueries" ->
       """SELECT c_custkey, c_acctbal FROM customer
-        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+        |WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+        |                   FROM customer)
         |  AND c_custkey IN (SELECT o_custkey FROM orders
         |                    WHERE o_orderpriority = '1-URGENT')
         |ORDER BY c_custkey""".stripMargin,

@@ -60,18 +60,21 @@ class FulfillmentSpec extends SparkTestBase {
     assert(reload == Seq(8, 0, 9), s"daily reload: $reload")
   }
 
-  test("distributed run equals sequential reference on random input") {
+  test("distributed run equals sequential reference on random input (both modes)") {
     import spark.implicits._
-    val rnd = new scala.util.Random(7)
-    val items = randomItems(rnd, 500, 13)
-    val inv = (0L to 12L).map(p => p -> InventoryEntry(30 + (p * 7 % 40).toInt, 1.5 + p)).toMap
-    val got = Fulfillment.run(spark, items.toDS(), inv)
-      .collect().map(f => (f.order_id, f.product_id) -> f.quantity).toMap
-    val want = items.groupBy(_.product_id).flatMap { case (pid, rs) =>
-      val sorted = rs.sortBy(r => (r.order_datetime.take(10), r.seq))
-      Fulfillment.fulfillProduct(inv.getOrElse(pid, InventoryEntry(0, 0.0)), sorted.iterator)
-        .map(f => (f.order_id, f.product_id) -> f.quantity)
+    Seq(false, true).foreach { reload =>
+      val rnd = new scala.util.Random(7)
+      val items = randomItems(rnd, 500, 13)
+      val inv = (0L to 12L).map(p => p -> InventoryEntry(30 + (p * 7 % 40).toInt, 1.5 + p)).toMap
+      val got = Fulfillment.run(spark, items.toDS(), inv, reloadDaily = reload)
+        .collect().map(f => (f.order_id, f.product_id) -> f.quantity).toMap
+      val want = items.groupBy(_.product_id).flatMap { case (pid, rs) =>
+        val sorted = rs.sortBy(r => (r.order_datetime.take(10), r.seq))
+        Fulfillment.fulfillProduct(inv.getOrElse(pid, InventoryEntry(0, 0.0)),
+            sorted.iterator, resetDaily = reload)
+          .map(f => (f.order_id, f.product_id) -> f.quantity)
+      }
+      assert(got == want, s"reloadDaily=$reload")
     }
-    assert(got == want)
   }
 }
