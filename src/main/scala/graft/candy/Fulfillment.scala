@@ -104,11 +104,12 @@ object Fulfillment {
             snapshotStock = e.stock
             available = e.stock
             price = e.price
-          } else if (reloadDaily &&
-              !r.order_datetime.regionMatches(0, currentDay, 0, 10)) {
-            // allocation-free day-boundary check on the hot path
+          } else if (!r.order_datetime.regionMatches(0, currentDay, 0, 10)) {
+            // allocation-free day-boundary check on the hot path; the day is
+            // tracked in BOTH modes (order_date must be per-row truthful),
+            // but only reloadDaily resets the stock
             currentDay = r.order_datetime.take(10)
-            available = snapshotStock
+            if (reloadDaily) available = snapshotStock
           }
           val fulfilled =
             if (available > 0 && r.quantity <= available) { available -= r.quantity; r.quantity }

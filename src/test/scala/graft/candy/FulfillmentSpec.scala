@@ -66,14 +66,18 @@ class FulfillmentSpec extends SparkTestBase {
       val rnd = new scala.util.Random(7)
       val items = randomItems(rnd, 500, 13)
       val inv = (0L to 12L).map(p => p -> InventoryEntry(30 + (p * 7 % 40).toInt, 1.5 + p)).toMap
+      // multiset comparison over (order, product, quantity, order_date):
+      // (order_id, product_id) is NOT unique in random input, and order_date
+      // truthfulness in both modes is part of the contract
       val got = Fulfillment.run(spark, items.toDS(), inv, reloadDaily = reload)
-        .collect().map(f => (f.order_id, f.product_id) -> f.quantity).toMap
+        .collect().map(f => (f.order_id, f.product_id, f.quantity, f.order_date))
+        .sorted.toSeq
       val want = items.groupBy(_.product_id).flatMap { case (pid, rs) =>
         val sorted = rs.sortBy(r => (r.order_datetime.take(10), r.seq))
         Fulfillment.fulfillProduct(inv.getOrElse(pid, InventoryEntry(0, 0.0)),
             sorted.iterator, resetDaily = reload)
-          .map(f => (f.order_id, f.product_id) -> f.quantity)
-      }
+          .map(f => (f.order_id, f.product_id, f.quantity, f.order_date))
+      }.toSeq.sorted
       assert(got == want, s"reloadDaily=$reload")
     }
   }
