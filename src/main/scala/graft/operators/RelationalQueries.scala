@@ -157,6 +157,14 @@ object RelationalQueries {
         .agg(count(lit(1)).as("num_orders"), dsum("o_totalprice").as("revenue"))
         .orderBy(col("order_year").asc_nulls_first, col("o_orderpriority").asc_nulls_first)),
 
+    // A8 — CUBE: all grouping-set combinations.
+    "q_a8_cube" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .withColumn("order_year", year(col("o_orderdate")).cast("int"))
+        .cube(col("order_year"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("num_orders"), dsum("o_totalprice").as("revenue"))
+        .orderBy(col("order_year").asc_nulls_first, col("o_orderstatus").asc_nulls_first)),
+
     // A7 — pivot (explicit values => deterministic column set).
     "q_a7_pivot" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -423,6 +431,14 @@ object RelationalQueries {
         |FROM orders
         |GROUP BY ROLLUP (1, 2)
         |ORDER BY order_year ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "q_a8_cube" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+        |       o_orderstatus, count(*) AS num_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |GROUP BY CUBE (1, 2)
+        |ORDER BY order_year ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin,
 
     "q_a7_pivot" ->
       """SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
