@@ -24,7 +24,23 @@ object MultimodalQueries {
           col("doc_id"),
           octet_length(col("payload")).cast("int").as("n_bytes"),
           ascii(substring(col("text"), 1, 1)).cast("int").as("first_code"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Composition: decode media payloads to feature vectors (stub codec),
+    // then rank by cosine similarity against media_id 0's features — the
+    // full multimodal -> embedding -> similarity pipeline shape. Stub-codec
+    // features are not SQL-expressible: rows-only + MultimodalSpec.
+    "q_m2_media_similarity" -> ((s, dir) => {
+      val feats = Multimodal.decodeFeatures(
+        Multimodal.mediaFromDocuments(s.read.parquet(s"$dir/documents.parquet")))
+        .toDF().select(col("media_id"), col("features"))
+      val query = feats.filter(col("media_id") === 0)
+        .head().getSeq[Float](1).toArray
+      SimilaritySearch.bruteForceTopK(feats.filter(col("media_id") =!= 0),
+          "media_id", "features", query, 10)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy(col("cosine").desc, col("media_id"))
+    })
   )
 
   val oracles: Map[String, String] = Map(

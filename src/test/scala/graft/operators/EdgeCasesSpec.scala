@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.SparkTestBase
+import graft.candy.{Fulfillment, InventoryEntry, ItemRow}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Degenerate-input behavior: every operator must return empty (not throw)
+  * on empty input, and single-row inputs must not trip banding/windowing
+  * edge arithmetic.
+  */
+class EdgeCasesSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private val emptyDocs = spark.createDataFrame(
+    spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+    StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
+
+  test("dedup operators return empty on empty input") {
+    assert(Dedup.minHashNearDuplicates(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.simHashNearDuplicates(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.ngramJaccardPairs(emptyDocs, "doc_id", "text").count() == 0)
+  }
+
+  test("dedup operators handle single and degenerate documents") {
+    val docs = Seq((1L, "only one doc here"), (2L, ""), (3L, "   ")).toDF("doc_id", "text")
+    assert(Dedup.minHashNearDuplicates(docs, "doc_id", "text").count() == 0)
+    assert(Dedup.simHashNearDuplicates(docs, "doc_id", "text", maxDist = 8).count() >= 0)
+  }
+
+  test("fulfillment kernel on empty input returns empty") {
+    val out = Fulfillment.run(spark, spark.emptyDataset[ItemRow],
+      Map(1L -> InventoryEntry(10, 1.0)))
+    assert(out.count() == 0)
+  }
+
+  test("asOfJoin with empty right side keeps all left rows with null attach") {
+    val left = Seq((1L, new java.sql.Timestamp(1000), "x")).toDF("k", "t", "tag")
+    val right = Seq.empty[(Long, java.sql.Timestamp, Double)].toDF("k", "t", "v")
+    val out = Joins.asOfJoin(left, right, "k", "t").collect()
+    assert(out.length == 1 && out(0).isNullAt(out(0).fieldIndex("asof_v")))
+  }
+
+  test("withinInterval on single row returns no pairs") {
+    val df = Seq((1L, new java.sql.Timestamp(1000))).toDF("id", "t")
+    assert(Joins.withinInterval(df, "id", "t", 5000L).count() == 0)
+  }
+
+  test("similarity search on empty corpus returns empty") {
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+    val q = Array.fill(4)(1.0f)
+    assert(SimilaritySearch.bruteForceTopK(empty, "vec_id", "embedding", q, 5).count() == 0)
+    assert(SimilaritySearch.lshTopK(empty, "vec_id", "embedding", q, 5).count() == 0)
+    assert(SimilaritySearch.allPairsCosine(empty, "vec_id", "embedding", 0.5).count() == 0)
+  }
+
+  test("text analysis expressions tolerate empty and whitespace-only text") {
+    val docs = Seq((1L, ""), (2L, "   "), (3L, "word")).toDF("doc_id", "text")
+    val rows = docs.select(
+      TextAnalysis.tokenCount("text").as("n"),
+      TextAnalysis.languageId("text").as("lang"),
+      TextAnalysis.qualityScore("text").as("q")).collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(0, 0, 1))
+    assert(rows.map(_.getString(1)).forall(l => l == "und"))
+    assert(rows.map(_.getDouble(2)).take(2).forall(_ == 0.0))
+  }
+}
