@@ -24,14 +24,21 @@ object CandyPipeline {
     * the inventory writeback subtracts only the final day's sales.
     */
   def run(spark: SparkSession, dataDir: String, forecastDays: Int = 1,
-          reloadDaily: Boolean = false): Results = {
+          reloadDaily: Boolean = false,
+          usePlanOperator: Boolean = false): Results = {
     implicit val s: SparkSession = spark
+    import spark.implicits._
     val transactions = Ingest.readTransactionsOrdered(spark, dataDir)
     val products = Ingest.readProducts(spark, s"$dataDir/products.csv")
 
     val items = Outputs.prepareItems(transactions)
     val inventory = Fulfillment.snapshot(products)
-    val fulfilled = Fulfillment.run(spark, items, inventory, reloadDaily).cache()
+    // two equivalent kernels: the manual repartition+sort fold, or the
+    // custom Catalyst operator whose exchange/sort the planner inserts
+    val fulfilled =
+      (if (usePlanOperator)
+        graft.plans.FulfillmentPlan.run(items, inventory, reloadDaily).as[FulfilledLine]
+      else Fulfillment.run(spark, items, inventory, reloadDaily)).cache()
 
     val lineItems = Outputs.lineItemsFinal(fulfilled)
     val orders = Outputs.ordersFinal(transactions, fulfilled)
@@ -59,7 +66,9 @@ object CandyPipeline {
     spark.sparkContext.setLogLevel("WARN")
     val reloadDaily =
       sys.env.getOrElse("RELOAD_INVENTORY_DAILY", "false").equalsIgnoreCase("true")
-    val r = run(spark, dataDir, reloadDaily = reloadDaily)
+    val usePlan =
+      sys.env.getOrElse("GRAFT_PLAN_KERNEL", "false").equalsIgnoreCase("true")
+    val r = run(spark, dataDir, reloadDaily = reloadDaily, usePlanOperator = usePlan)
     Ingest.saveSingleCsv(r.productsUpdated, outDir, "products_updated.csv")
     Ingest.saveSingleCsv(r.orders, outDir, "orders.csv")
     Ingest.saveSingleCsv(r.orderLineItems, outDir, "order_line_items.csv")

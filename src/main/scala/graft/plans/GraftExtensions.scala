@@ -12,10 +12,12 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * live session with `GraftExtensions.register(spark)` (idempotent).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (ident, info, builder) =>
       ext.injectFunction((ident, info, builder))
     }
+    ext.injectPlannerStrategy(_ => FulfillmentStrategy)
+  }
 }
 
 object GraftExtensions {
@@ -59,4 +61,12 @@ object GraftExtensions {
     functions.foreach { case (ident, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
     }
+
+  /** Register the custom planner strategy on a live session (idempotent). */
+  def registerStrategy(spark: SparkSession): Unit = {
+    val ss = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    if (!ss.experimental.extraStrategies.contains(FulfillmentStrategy))
+      ss.experimental.extraStrategies =
+        ss.experimental.extraStrategies :+ FulfillmentStrategy
+  }
 }
