@@ -157,6 +157,22 @@ object RelationalQueries {
         .agg(count(lit(1)).as("num_orders"), dsum("o_totalprice").as("revenue"))
         .orderBy(col("order_year").asc_nulls_first, col("o_orderpriority").asc_nulls_first)),
 
+    // A9 — sample stddev via exact decimal moments: sqrt((Σx² − (Σx)²/n)/(n−1)).
+    // The builtin stddev_samp accumulates doubles in partition order —
+    // nondeterministic vs the oracle; decimal moments are exact.
+    "q_a9_stddev" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).as("s1"),
+          sum((col("c_acctbal") * col("c_acctbal")).cast("decimal(28,6)")).as("s2"))
+        .select(col("c_mktsegment"), col("n"),
+          round((col("s1").cast("double") / col("n")), 4).as("mean_bal"),
+          round(sqrt((col("s2").cast("double") - col("s1").cast("double") * col("s1").cast("double") / col("n"))
+            / (col("n") - 1)), 4).as("stddev_bal"))
+        .orderBy("c_mktsegment")),
+
     // A8 — CUBE: all grouping-set combinations.
     "q_a8_cube" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -431,6 +447,17 @@ object RelationalQueries {
         |FROM orders
         |GROUP BY ROLLUP (1, 2)
         |ORDER BY order_year ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "q_a9_stddev" ->
+      """WITH m AS (
+        |  SELECT c_mktsegment, count(*) AS n,
+        |         sum(CAST(c_acctbal AS DECIMAL(18,2))) AS s1,
+        |         sum(CAST(c_acctbal * c_acctbal AS DECIMAL(28,6))) AS s2
+        |  FROM customer GROUP BY 1)
+        |SELECT c_mktsegment, n,
+        |       round(CAST(s1 AS DOUBLE) / n, 4) AS mean_bal,
+        |       round(sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1)), 4) AS stddev_bal
+        |FROM m ORDER BY 1""".stripMargin,
 
     "q_a8_cube" ->
       """SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,

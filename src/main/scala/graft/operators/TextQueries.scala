@@ -62,6 +62,16 @@ object TextQueries {
         .orderBy(col("n").desc, col("trigram"))
         .limit(50)),
 
+    // Outer generator — explode_outer keeps rows whose array is empty
+    // (short docs produce no trigrams but must survive with a NULL).
+    "q_p2_explode_outer" -> ((s, dir) =>
+      docs(s, dir)
+        .selectExpr("doc_id", s"${Dedup.shinglesExprStr("text", 16)} AS grams")
+        .select(col("doc_id"), explode_outer(col("grams")).as("gram"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_rows"), count(col("gram")).as("n_grams"))
+        .orderBy("doc_id")),
+
     // Exact dedup by grouping key: keeper = min id, with group size.
     "q_d1_dedup_exact" -> ((s, dir) =>
       docs(s, dir)
@@ -114,6 +124,23 @@ object TextQueries {
         |  FROM (SELECT list_filter(string_split(text, ' '), x -> x != '') AS w
         |        FROM documents))
         |GROUP BY 1 ORDER BY n DESC, trigram LIMIT 50""".stripMargin,
+
+    "q_p2_explode_outer" -> {
+      val parts = (0 until 16).map(i => s"w[i+$i]").mkString(" || ' ' || ")
+      s"""WITH g AS (
+         |  SELECT doc_id,
+         |         list_distinct(CASE WHEN len(w) >= 16
+         |           THEN list_transform(generate_series(1, len(w) - 15), i -> $parts)
+         |           ELSE [] END) AS grams
+         |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS w
+         |        FROM documents)),
+         |exploded AS (
+         |  SELECT doc_id,
+         |         unnest(CASE WHEN len(grams) = 0 THEN [NULL] ELSE grams END) AS gram
+         |  FROM g)
+         |SELECT doc_id, count(*) AS n_rows, count(gram) AS n_grams
+         |FROM exploded GROUP BY 1 ORDER BY 1""".stripMargin
+    },
 
     "q_d1_dedup_exact" ->
       """SELECT lang, source, min(doc_id) AS keeper_doc_id,
