@@ -157,6 +157,57 @@ object Dedup {
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Connected components over near-duplicate pairs by iterative min-label
+    * propagation: every node starts labeled with itself; each round joins
+    * labels across edges and keeps the minimum; convergence when no label
+    * changes. Rounds are O(graph diameter) — near-dup clusters are shallow —
+    * and each round localCheckpoints to cut the growing lineage (the
+    * iterative-algorithm pattern that survives at scale where a driver-side
+    * union-find cannot hold the edge list).
+    *
+    * @param pairs (id_a, id_b) undirected edges
+    * @return (id, cluster) where cluster = min node id of the component;
+    *         only nodes appearing in pairs are returned
+    */
+  def connectedComponents(pairs: DataFrame, maxIterations: Int = 50): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIterations) {
+      val propagated = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(min("cluster").as("neighbor_min"))
+      val next = labels.join(propagated, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("neighbor_min"), col("cluster"))).as("cluster"))
+        .localCheckpoint()
+      val changes = next.as("n").join(labels.as("o"), "id")
+        .filter(col("n.cluster") =!= col("o.cluster")).count()
+      labels = next
+      converged = changes == 0
+      iter += 1
+    }
+    labels
+  }
+
+  /** Near-duplicate clusters with canonical selection: MinHash-LSH pairs →
+    * connected components → keep the minimum doc id per cluster as keeper.
+    */
+  def nearDupClusters(docs: DataFrame, idCol: String, textCol: String,
+                      shingleSize: Int = 2, threshold: Double = 0.7): DataFrame = {
+    val pairs = minHashNearDuplicates(docs, idCol, textCol,
+      shingleSize = shingleSize, threshold = threshold)
+    connectedComponents(pairs.select("id_a", "id_b"))
+      .withColumnRenamed("id", idCol)
+  }
+
   /** SimHash near-duplicates with Hamming distance <= maxDist (< 16): by
     * pigeonhole, any such pair agrees exactly on at least one of the four
     * 16-bit chunks, so candidates come from ONE equi-join on (chunk index,

@@ -25,6 +25,12 @@ object DedupQueries {
         .withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy("id_a", "id_b")),
 
+    // Near-dup clustering: LSH pairs -> connected components (iterative
+    // min-label propagation) -> canonical member per cluster.
+    "q_d5_neardup_clusters" -> ((s, dir) =>
+      Dedup.nearDupClusters(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // SimHash near-duplicates (hash-specific: rows-only + ScalaTest spec).
     "q_d4_simhash_neardup" -> ((s, dir) =>
       Dedup.simHashNearDuplicates(docs(s, dir), "doc_id", "text", maxDist = 3)
@@ -86,6 +92,29 @@ object DedupQueries {
          |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
          |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // Connected components of the brute-force near-dup graph via a
+    // recursive CTE: reachability closure, then min label per node.
+    "q_d5_neardup_clusters" ->
+      s"""WITH RECURSIVE d AS (
+         |  SELECT doc_id, $shingleSql AS sh
+         |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS w
+         |        FROM documents)),
+         |nonempty AS (SELECT * FROM d WHERE len(sh) > 0),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM nonempty a JOIN nonempty b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |walk(id, label) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.id)
+         |SELECT id AS doc_id, min(label) AS cluster
+         |FROM walk GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_t4_langid_quality" -> {
       val profiles = TextAnalysis.stopwordProfiles

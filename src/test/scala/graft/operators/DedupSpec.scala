@@ -48,6 +48,26 @@ class DedupSpec extends SparkTestBase {
     assert(asSet.contains((1L, 2L)), "one-word change stays within hamming 8")
   }
 
+  test("connected components handles chains, cliques, and isolated pairs") {
+    import spark.implicits._
+    // chain 1-2-3-4-5 (diameter 4: needs multiple propagation rounds),
+    // triangle 10-11-12, pair 20-21
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (21L, 20L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 5L).forall(got(_) == 1L), s"chain: $got")
+    assert((10L to 12L).forall(got(_) == 10L), s"triangle: $got")
+    assert(got(20L) == 20L && got(21L) == 20L, s"pair: $got")
+  }
+
+  test("nearDupClusters groups the planted duplicates around the min doc id") {
+    val clusters = Dedup.nearDupClusters(df(corpus), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters(1L) == 1L && clusters(2L) == 1L && clusters(4L) == 1L)
+    assert(!clusters.contains(3L) && !clusters.contains(5L), "non-dups excluded")
+  }
+
   test("shingles produce distinct word k-grams; short docs yield empty") {
     import spark.implicits._
     val one = Seq(Tuple1("a b c")).toDF("text")
