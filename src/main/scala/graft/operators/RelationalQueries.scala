@@ -157,6 +157,20 @@ object RelationalQueries {
         .agg(count(lit(1)).as("num_orders"), dsum("o_totalprice").as("revenue"))
         .orderBy(col("order_year").asc_nulls_first, col("o_orderpriority").asc_nulls_first)),
 
+    // A10 — sketch aggregates: HLL++ distinct counts and approximate
+    // percentiles. THE scale substitute for exact countDistinct/percentile
+    // (bounded memory, mergeable partials); approximate by nature, so
+    // rows-only + error-bound spec instead of an oracle.
+    "q_a10_sketches" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+          expr("approx_percentile(l_extendedprice, array(0.5, 0.99), 10000)")
+            .as("price_quantiles"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")),
+
     // A9 — sample stddev via exact decimal moments: sqrt((Σx² − (Σx)²/n)/(n−1)).
     // The builtin stddev_samp accumulates doubles in partition order —
     // nondeterministic vs the oracle; decimal moments are exact.

@@ -1,0 +1,35 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Error bounds for the sketch aggregates: approximate results must sit
+  * within their configured tolerance of the exact answers.
+  */
+class SketchSpec extends SparkTestBase {
+
+  private lazy val li = spark.read.parquet(sfDir("0.01") + "/lineitem.parquet")
+
+  test("HLL++ distinct counts within 3x configured relative error") {
+    val approx = li.groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("a"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = li.groupBy("l_returnflag")
+      .agg(countDistinct("l_orderkey").as("e"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, e) =>
+      val rel = math.abs(approx(k) - e).toDouble / e
+      assert(rel <= 0.06, s"$k: approx=${approx(k)} exact=$e rel=$rel")
+    }
+  }
+
+  test("approx_percentile within 2% rank error of exact percentile") {
+    val approx = li.agg(
+      expr("approx_percentile(l_extendedprice, 0.5, 10000)")).head().getDouble(0)
+    // exact rank window for a 2% rank tolerance around the median
+    val n = li.count()
+    val below = li.filter(col("l_extendedprice") <= approx).count()
+    val rank = below.toDouble / n
+    assert(math.abs(rank - 0.5) <= 0.02, s"approx median $approx sits at rank $rank")
+  }
+}
