@@ -149,7 +149,7 @@ case class MinHashSignatureExpr(child: Expression, numHashes: Int)
          |    }
          |  }
          |}
-         |${ev.value} = org.apache.spark.sql.catalyst.util.UnsafeArrayData.fromPrimitiveArray($sig);
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($sig);
        """.stripMargin
     })
 
@@ -230,7 +230,7 @@ case class SrpBucketKeysExpr(child: Expression, tables: Int, bits: Int, seed: Lo
          |  }
          |  $out[$t] = $key;
          |}
-         |${ev.value} = org.apache.spark.sql.catalyst.util.UnsafeArrayData.fromPrimitiveArray($out);
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
        """.stripMargin
     })
 

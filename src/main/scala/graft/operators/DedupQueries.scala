@@ -45,13 +45,17 @@ object DedupQueries {
         .orderBy("doc_id")),
 
     // Fingerprints + subword counts (xxhash64 / lookahead-regex based:
-    // rows-only + spec).
+    // rows-only + spec). The winnowing sketch is reduced to scalar
+    // (size, digest) columns — driver canonicalization can't sort array
+    // cells; TextAnalysisSpec still checks the full sketch contents.
     "q_t5_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(
         col("doc_id"),
         TextAnalysis.fingerprint64("text").as("fingerprint"),
         TextAnalysis.approxSubwordCount("text").as("n_subwords"),
-        TextAnalysis.shingleSketch("text").as("sketch"))
+        size(TextAnalysis.shingleSketch("text")).as("sketch_size"),
+        xxhash64(concat_ws(",", TextAnalysis.shingleSketch("text").cast("array<string>")))
+          .as("sketch_digest"))
         .orderBy("doc_id")),
 
     // Embedding near-duplicate pairs, brute-force exact (oracle-checked).

@@ -160,14 +160,16 @@ object RelationalQueries {
     // A10 — sketch aggregates: HLL++ distinct counts and approximate
     // percentiles. THE scale substitute for exact countDistinct/percentile
     // (bounded memory, mergeable partials); approximate by nature, so
-    // rows-only + error-bound spec instead of an oracle.
+    // rows-only + error-bound spec instead of an oracle. Quantiles are
+    // flattened to scalar columns (driver canonicalization can't sort
+    // array cells).
     "q_a10_sketches" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
           approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
-          expr("approx_percentile(l_extendedprice, array(0.5, 0.99), 10000)")
-            .as("price_quantiles"),
+          expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("p50_price"),
+          expr("approx_percentile(l_extendedprice, 0.99, 10000)").as("p99_price"),
           count(lit(1)).as("n"))
         .orderBy("l_returnflag")),
 
