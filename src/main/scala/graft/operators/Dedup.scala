@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import scala.util.chaining._
 
 /** Document deduplication for large-scale training-data pipelines: exact,
   * normalized, MinHash+LSH, and SimHash near-dup detection.
@@ -16,6 +17,27 @@ import org.apache.spark.sql.functions._
   * skewed buckets); nothing is collected to the driver.
   */
 object Dedup {
+
+  /** Eagerly materialize a frame and cut its lineage. Mode is selected by
+    * the runtime conf `graft.checkpoint.reliable`:
+    *   - "true"  → reliable `checkpoint()` (requires sc.setCheckpointDir)
+    *   - "false" → `localCheckpoint()`
+    *   - "auto" (default) → reliable iff a checkpoint dir is set
+    * Reliable checkpoints write to fault-tolerant storage, which is what an
+    * iterative job needs on a real cluster: `localCheckpoint` pins blocks
+    * non-replicated on executors, so one executor loss makes the lineage
+    * unrecoverable and kills the job. Local mode (tests, single node) can
+    * keep the cheaper local variant.
+    */
+  private[graft] def materialize(df: DataFrame): DataFrame = {
+    val ss = df.sparkSession
+    val reliable = ss.conf.get("graft.checkpoint.reliable", "auto") match {
+      case "true"  => true
+      case "false" => false
+      case _       => ss.sparkContext.getCheckpointDir.isDefined
+    }
+    if (reliable) df.checkpoint() else df.localCheckpoint()
+  }
 
   /** Whitespace tokens with empties removed. */
   def tokensExpr(textCol: String): String =
@@ -123,7 +145,7 @@ object Dedup {
         .withColumn("jaccard", jaccard("sh_a", "sh_b"))
         .filter(col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
-        .localCheckpoint()
+        .pipe(materialize)
     } finally prepared.unpersist()
   }
 
@@ -161,22 +183,26 @@ object Dedup {
     * propagation: every node starts labeled with itself; each round joins
     * labels across edges and keeps the minimum; convergence when no label
     * changes. Rounds are O(graph diameter) — near-dup clusters are shallow —
-    * and each round localCheckpoints to cut the growing lineage (the
-    * iterative-algorithm pattern that survives at scale where a driver-side
-    * union-find cannot hold the edge list).
+    * and each round checkpoints (see [[materialize]]: reliable when a
+    * checkpoint dir is configured, local otherwise) to cut the growing
+    * lineage — the iterative-algorithm pattern that survives at scale where
+    * a driver-side union-find cannot hold the edge list.
     *
     * @param pairs (id_a, id_b) undirected edges
     * @return (id, cluster) where cluster = min node id of the component;
     *         only nodes appearing in pairs are returned
+    * @throws IllegalStateException if labels have not converged after
+    *         maxIterations — unconverged labels are silently-wrong clusters,
+    *         never acceptable output for a dedup pipeline
     */
   def connectedComponents(pairs: DataFrame, maxIterations: Int = 50): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
-      .localCheckpoint()
+      .pipe(materialize)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id"))
-      .localCheckpoint()
+      .pipe(materialize)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIterations) {
@@ -187,13 +213,16 @@ object Dedup {
       val next = labels.join(propagated, Seq("id"), "left")
         .select(col("id"),
           least(col("cluster"), coalesce(col("neighbor_min"), col("cluster"))).as("cluster"))
-        .localCheckpoint()
+        .pipe(materialize)
       val changes = next.as("n").join(labels.as("o"), "id")
         .filter(col("n.cluster") =!= col("o.cluster")).count()
       labels = next
       converged = changes == 0
       iter += 1
     }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge after $maxIterations iterations " +
+        "— raise maxIterations (rounds are bounded by component diameter)")
     labels
   }
 
@@ -235,7 +264,7 @@ object Dedup {
           hamming64(col("a.sim"), col("b.sim")).as("hamming"))
         .distinct()
         .filter(col("hamming") <= maxDist)
-        .localCheckpoint()
+        .pipe(materialize)
     } finally sigs.unpersist()
   }
 }

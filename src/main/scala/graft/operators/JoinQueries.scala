@@ -80,7 +80,9 @@ object JoinQueries {
         |         last_value(click_id IGNORE NULLS) OVER w AS last_click_id,
         |         last_value(click_value IGNORE NULLS) OVER w AS last_click_value
         |  FROM tagged
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, is_left
+        |  WINDOW w AS (PARTITION BY user_id
+        |               ORDER BY ts, is_left,
+        |                        click_id NULLS FIRST, click_value NULLS FIRST
         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
         |SELECT event_id, user_id, last_click_id AS click_id,
         |       round(last_click_value, 4) AS click_value

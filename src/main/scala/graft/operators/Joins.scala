@@ -42,7 +42,16 @@ object Joins {
       nullStruct(left, left.columns.toIndexedSeq).as("_l"),
       struct(rightVals.toIndexedSeq.map(col): _*).as("_r"))
 
-    val w = Window.partitionBy("_k").orderBy(col("_t"), col("_is_left"))
+    // Tertiary sort on the right-value struct itself: several right rows
+    // can share (key, time), and (_t, _is_left) alone is not a total order
+    // over them — which row's values get attached would then depend on
+    // shuffle arrival order (and could flap against any oracle). Struct
+    // comparison is lexicographic over the right value columns, so the
+    // LARGEST right tuple deterministically wins a timestamp tie. Left
+    // rows all carry a null struct — their mutual order is irrelevant
+    // because _last_r ignores nulls.
+    val w = Window.partitionBy("_k")
+      .orderBy(col("_t"), col("_is_left"), col("_r").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val joined = taggedLeft.unionByName(taggedRight)
       .withColumn("_last_r", last("_r", ignoreNulls = true).over(w))

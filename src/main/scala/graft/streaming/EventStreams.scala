@@ -15,11 +15,18 @@ import java.sql.Timestamp
   * are the caller's concern, keeping the operators testable and reusable in
   * batch mode (same code path runs on a batch DataFrame).
   */
-/** Mutable-per-group session accumulator (start/end in epoch millis).
+/** Per-group session buffer: raw (event-time millis, value) pairs awaiting
+  * watermark passage, stored as parallel sequences. Buffering raw events —
+  * rather than a folded (start, end) accumulator — is what makes the
+  * operator correct under event-time disorder: the watermark admits late
+  * events anywhere inside the open window, including BEFORE the current
+  * session start, so no fold is final until the watermark has passed it.
+  * State is bounded by (watermark delay × per-user event rate), the same
+  * bound Spark's built-in session_window aggregation carries.
   * Top-level: Spark's state encoder generates bytecode that needs public
   * accessors, so this cannot be a private nested class.
   */
-case class SessionState(start: Long, end: Long, n: Int, total: Double)
+case class SessionBuffer(ts: Seq[Long], value: Seq[Double])
 
 object EventStreams {
 
@@ -53,48 +60,78 @@ object EventStreams {
       .dropDuplicatesWithinWatermark("event_id")
 
   /** Gap-based sessionization: a session closes when `gapSeconds` pass with
-    * no event from the user (event time). Emits CLOSED sessions only —
-    * closed either by a later event from the same user or by event-time
-    * timeout once the watermark passes the gap.
+    * no event from the user (event time). A session is emitted only once
+    * the WATERMARK has passed `session_end + gap` — the point after which
+    * no admissible event can extend it, merge into it, or split it.
     *
-    * State per user is one (start, end, n, total) tuple — O(1), unbounded
-    * users scale horizontally because state is partitioned by group key.
+    * Emitting eagerly on a later same-user event (the naive fold) is wrong
+    * under disorder: the watermark explicitly admits up to `watermark` of
+    * lateness, so an event older than the current session start — or
+    * falling inside a gap that eagerly closed a session — can still arrive.
+    * Raw events are therefore buffered in state and folded on every
+    * invocation; only the prefix of sessions that the watermark has sealed
+    * is emitted, and the unsealed tail of events stays buffered.
+    *
+    * State per user is the unsealed event tail — bounded by the watermark
+    * delay × per-user event rate; unbounded users scale horizontally
+    * because state is partitioned by group key.
     */
   def sessionize(events: Dataset[Event], gapSeconds: Long,
                  watermark: String = "2 hours"): Dataset[Session] = {
     val spark = events.sparkSession
     import spark.implicits._
+    val gapMs = gapSeconds * 1000L
 
-    def close(uid: Long, s: SessionState): Session =
-      Session(uid, new Timestamp(s.start), new Timestamp(s.end), s.n, s.total)
+    // Fold time-sorted (ts, value) pairs into contiguous gap-delimited runs.
+    def fold(uid: Long, evs: Array[(Long, Double)]): Seq[(Session, Array[(Long, Double)])] = {
+      val out = Seq.newBuilder[(Session, Array[(Long, Double)])]
+      var runStart = 0
+      var i = 1
+      while (i <= evs.length) {
+        if (i == evs.length || evs(i)._1 - evs(i - 1)._1 > gapMs) {
+          val run = evs.slice(runStart, i)
+          out += ((Session(uid, new Timestamp(run.head._1), new Timestamp(run.last._1),
+            run.length, run.iterator.map(_._2).sum), run))
+          runStart = i
+        }
+        i += 1
+      }
+      out.result()
+    }
 
     events
       .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionState, Session](
+      .flatMapGroupsWithState[SessionBuffer, Session](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        (uid: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
-          if (batch.isEmpty && state.hasTimedOut) {
-            val out = state.getOption.map(close(uid, _))
-            state.remove()
-            out.iterator
+        (uid: Long, batch: Iterator[Event], state: GroupState[SessionBuffer]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val prior = state.getOption
+            .map(b => b.ts.iterator.zip(b.value.iterator).toArray)
+            .getOrElse(Array.empty[(Long, Double)])
+          val all = (prior ++ batch.map(e => (e.ts.getTime, e.value)))
+            .sortBy(_._1)
+          if (all.isEmpty) {
+            if (state.hasTimedOut) state.remove()
+            Iterator.empty
           } else {
-            val closed = Seq.newBuilder[Session]
-            var cur = state.getOption.orNull
-            batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
-              val t = e.ts.getTime
-              if (cur == null) cur = SessionState(t, t, 1, e.value)
-              else if (t - cur.end > gapSeconds * 1000L) {
-                closed += close(uid, cur)
-                cur = SessionState(t, t, 1, e.value)
-              } else cur = SessionState(cur.start, math.max(cur.end, t),
-                cur.n + 1, cur.total + e.value)
+            // A run is sealed once wm >= end + gap: every admissible future
+            // event has ts > wm >= end + gap, so it can neither extend the
+            // run nor start anything at or before it.
+            val (finished, open) = fold(uid, all).partition {
+              case (s, _) => s.session_end.getTime + gapMs <= wm
             }
-            if (cur != null) {
-              state.update(cur)
-              state.setTimeoutTimestamp(cur.end + gapSeconds * 1000L)
+            if (open.isEmpty) state.remove()
+            else {
+              val tail = open.iterator.flatMap(_._2).toArray
+              state.update(SessionBuffer(tail.map(_._1).toSeq, tail.map(_._2).toSeq))
+              // Wake when the EARLIEST open run becomes sealable — later
+              // runs re-arm on that invocation. (Timeout timestamps must
+              // sit strictly beyond the current watermark.)
+              val earliestSeal = open.head._1.session_end.getTime + gapMs
+              state.setTimeoutTimestamp(math.max(earliestSeal, wm + 1))
             }
-            closed.result().iterator
+            finished.iterator.map(_._1)
           }
       }
   }

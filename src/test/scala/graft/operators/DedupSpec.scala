@@ -68,6 +68,33 @@ class DedupSpec extends SparkTestBase {
     assert(!clusters.contains(3L) && !clusters.contains(5L), "non-dups excluded")
   }
 
+  test("connected components works through reliable checkpoints too") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    spark.conf.set("graft.checkpoint.reliable", "true")
+    try {
+      val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+      val got = Dedup.connectedComponents(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert((1L to 5L).forall(got(_) == 1L), s"chain via checkpoint(): $got")
+    } finally {
+      // The shared test session outlives this suite: pin back the local
+      // variant so the now-set checkpoint dir can't flip "auto" elsewhere.
+      spark.conf.set("graft.checkpoint.reliable", "false")
+    }
+  }
+
+  test("connected components refuses to return unconverged labels") {
+    import spark.implicits._
+    // diameter-4 chain cannot converge in 1 round
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(pairs, maxIterations = 1)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("shingles produce distinct word k-grams; short docs yield empty") {
     import spark.implicits._
     val one = Seq(Tuple1("a b c")).toDF("text")

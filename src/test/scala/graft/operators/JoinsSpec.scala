@@ -24,6 +24,20 @@ class JoinsSpec extends SparkTestBase {
     assert(out("c") == -1.0, "no prior right row -> null")
   }
 
+  test("asOfJoin breaks right-side timestamp ties deterministically") {
+    val left = Seq((1L, ts(20), "x")).toDF("k", "t", "tag")
+    // three right rows at the SAME (key, time): the largest (v, w) tuple
+    // must win, independent of input or shuffle order
+    val rightRows = Seq((1L, ts(10), 100.0, "a"), (1L, ts(10), 300.0, "c"),
+      (1L, ts(10), 200.0, "b"))
+    for (perm <- rightRows.permutations.toSeq) {
+      val out = Joins.asOfJoin(left, perm.toDF("k", "t", "v", "w"), "k", "t")
+        .select("asof_v", "asof_w").head()
+      assert((out.getDouble(0), out.getString(1)) == ((300.0, "c")),
+        s"tie-break flapped for input order $perm")
+    }
+  }
+
   test("withinInterval finds exactly the brute-force pairs") {
     val rnd = new scala.util.Random(3)
     val rows = (1L to 300L).map(i => (i, new Timestamp(rnd.nextInt(2000000).toLong)))

@@ -25,24 +25,64 @@ class EventStreamsSpec extends SparkTestBase {
       .writeStream.format("memory").queryName("sessions")
       .outputMode(OutputMode.Append()).start()
     try {
-      // user 1: two events 10 min apart (one session), then 60 min gap -> new session
+      // user 1: two events 10 min apart (one session), then 60 min gap -> new session.
+      // Nothing emits in batch 1: the watermark (0 during processing) hasn't
+      // sealed anything yet — eager emission would be wrong under disorder.
       input.addData(
         Event(1, ts(0), 1, "click", 1.0),
         Event(2, ts(10), 1, "click", 2.0),
         Event(3, ts(70), 1, "view", 3.0))
       q.processAllAvailable()
-      val afterBatch1 = spark.table("sessions").as[Session].collect()
-      assert(afterBatch1.length == 1, s"gap-closed session expected, got ${afterBatch1.toSeq}")
-      assert(afterBatch1.head == Session(1, ts(0), ts(10), 2, 3.0))
+      assert(spark.table("sessions").isEmpty,
+        "no session may emit before the watermark seals it")
 
-      // advance watermark far past the open session's timeout -> it closes
+      // watermark jumps to ts(470): session (0,10) seals first (timeout tick
+      // at ts(40)), then the follow-up timeout batch seals (70,70) too —
+      // processAllAvailable drains timeout-only batches as well.
       input.addData(Event(9, ts(500), 2, "click", 9.0))
       q.processAllAvailable()
+      val afterBatch2 = spark.table("sessions").as[Session].collect()
+      assert(afterBatch2.contains(Session(1, ts(0), ts(10), 2, 3.0)),
+        s"gap-closed session expected once sealed, got ${afterBatch2.toSeq}")
+
       input.addData(Event(10, ts(600), 2, "click", 9.0))
       q.processAllAvailable()
       val all = spark.table("sessions").as[Session].collect()
       assert(all.exists(s => s.user_id == 1 && s.session_start == ts(70) && s.n_events == 1),
         s"timeout-closed session expected, got ${all.toSeq}")
+    } finally q.stop()
+  }
+
+  test("sessionize tolerates out-of-order events within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    // gap (10 min) < watermark (30 min): late events can land before the
+    // current session start, and can even be > gap older than it.
+    val q = sessionize(input.toDS(), gapSeconds = 600, watermark = "30 minutes")
+      .writeStream.format("memory").queryName("ooo_sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(Event(1, ts(60), 1, "click", 1.0)) // watermark -> ts(30)
+      q.processAllAvailable()
+      // Late but admissible (ts > watermark 30):
+      //  - ts(58) is within the gap of ts(60) -> merges, start moves EARLIER
+      //  - ts(35) is > gap older than ts(58) -> a separate, earlier session
+      input.addData(
+        Event(2, ts(58), 1, "click", 2.0),
+        Event(3, ts(35), 1, "view", 4.0))
+      q.processAllAvailable()
+      // Advance the watermark well past both runs' seal points.
+      input.addData(Event(9, ts(200), 2, "click", 0.0)) // watermark stays ts(30)... -> ts(170) after
+      q.processAllAvailable()
+      input.addData(Event(10, ts(210), 2, "click", 0.0)) // batch runs with wm ts(170)
+      q.processAllAvailable()
+      val u1 = spark.table("ooo_sessions").as[Session].collect()
+        .filter(_.user_id == 1).sortBy(_.session_start.getTime).toSeq
+      assert(u1 == Seq(
+        Session(1, ts(35), ts(35), 1, 4.0),
+        Session(1, ts(58), ts(60), 2, 3.0)),
+        s"out-of-order fold wrong: $u1")
     } finally q.stop()
   }
 
