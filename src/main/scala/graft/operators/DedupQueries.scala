@@ -58,9 +58,21 @@ object DedupQueries {
           .as("sketch_digest"))
         .orderBy("doc_id")),
 
-    // Embedding near-duplicate pairs, brute-force exact (oracle-checked).
+    // Embedding near-duplicate pairs, brute-force exact — the ORACLE TWIN
+    // of q_v6: a cross join is ground truth at sf-test scale but a
+    // scale-killer on a real corpus; q_v6 is the path a 100 TB run takes.
     "q_v4_embedding_neardup" -> ((s, dir) =>
       SimilaritySearch.allPairsCosine(emb(s, dir), "vec_id", "embedding", 0.4)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("id_a", "id_b")),
+
+    // Embedding near-duplicate pairs, SRP-LSH bucketed (the scale path:
+    // bucket equi-join + exact cosine verify, auto-tuned table count).
+    // Approximate recall → rows-only here; SimilaritySpec asserts the
+    // result is a subset of brute force with exact cosines and bounds the
+    // recall. Deterministic: SRP hyperplanes are seeded.
+    "q_v6_embedding_neardup_lsh" -> ((s, dir) =>
+      SimilaritySearch.embeddingNearDupPairs(emb(s, dir), "vec_id", "embedding", 0.4)
         .withColumn("cosine", round(col("cosine"), 6))
         .orderBy("id_a", "id_b")),
 
