@@ -56,9 +56,40 @@ object ScaleSmoke {
     val pairs = Dedup.minHashNearDuplicates(bigDocs, "doc_id", "text").count()
     val dedupSec = (System.nanoTime() - t1) / 1e9
 
+    // Skew stress: ~95% of fact rows share ONE key, and broadcast is
+    // disabled so the join must shuffle — the shape where a hot key pins
+    // a whole reducer. (The hot partition stays under AQE's 256 MB
+    // skewed-partition threshold, so AQE does not split it — salting is
+    // the mitigation being measured.) Both variants must agree exactly.
+    val nFact = 2000000L * factor
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val (plainSec, saltedSec) = try {
+      val fact = spark.range(nFact).select(
+        col("id"),
+        when(pmod(col("id"), lit(20)) < 19, 0L)
+          .otherwise(pmod(col("id"), lit(10000))).as("key"),
+        (col("id") % 97).cast("double").as("v"))
+      val dim = spark.range(10000).select(
+        col("id").as("key"), (col("id") % 13).cast("double").as("w"))
+      def timeSum(df: org.apache.spark.sql.DataFrame): (Double, Double) = {
+        val t = System.nanoTime()
+        val s = df.agg(sum(col("v") * col("w"))).head().getDouble(0)
+        (s, (System.nanoTime() - t) / 1e9)
+      }
+      val (plainSum, pSec) = timeSum(fact.join(dim, "key"))
+      val (saltedSum, sSec) = timeSum(graft.operators.Joins.saltedJoin(
+        fact, dim, "key", saltFactor = 32,
+        saltExpr = pmod(hash(col("id")), lit(32))))
+      require(math.abs(plainSum - saltedSum) < 1e-6 * math.abs(plainSum),
+        s"salted join diverged: $saltedSum vs $plainSum")
+      (pSec, sSec)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
     println(s"""{"kernel_rows":$nRows,"kernel_sec":$kernelSec,""" +
       s""""kernel_rows_per_sec":${(nRows / kernelSec).toLong},""" +
-      s""""dedup_docs":${docs.count() * factor},"dedup_pairs":$pairs,"dedup_sec":$dedupSec}""")
+      s""""dedup_docs":${docs.count() * factor},"dedup_pairs":$pairs,"dedup_sec":$dedupSec,""" +
+      s""""skew_plain_sec":$plainSec,"skew_salted_sec":$saltedSec,""" +
+      s""""skew_speedup":${plainSec / saltedSec}}""")
     spark.stop()
   }
 }
