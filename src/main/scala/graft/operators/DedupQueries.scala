@@ -76,6 +76,21 @@ object DedupQueries {
         .withColumn("cosine", round(col("cosine"), 6))
         .orderBy("id_a", "id_b")),
 
+    // IVF approximate top-k for the vec_id=0 query vector: spherical
+    // k-means coarse quantizer, nprobe-list scan, exact rerank. The
+    // partition-prunable alternative to q_v5's LSH (approximate: rows-only
+    // + recall spec against brute force).
+    "q_v7_ann_ivf" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val query = e.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toArray
+      val idx = SimilaritySearch.ivfIndex(
+        e.filter(col("vec_id") =!= 0), "vec_id", "embedding", nlist = 16)
+      SimilaritySearch.ivfTopK(idx, "vec_id", "embedding", query, k = 10, nprobe = 8)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy(col("cosine").desc, col("vec_id"))
+    }),
+
     // SRP-LSH approximate top-k for the vec_id=0 query vector (approximate:
     // rows-only + recall spec against brute force).
     "q_v5_ann_lsh" -> ((s, dir) => {

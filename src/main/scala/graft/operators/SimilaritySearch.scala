@@ -111,6 +111,55 @@ object SimilaritySearch {
     * from the threshold: chasing weak similarity (cos 0.3) honestly costs
     * ~28 tables for 95% recall, while true near-duplicates (cos 0.9) need 3.
     */
+  /** IVF (inverted-file) index: every vector assigned to its nearest
+    * spherical-k-means centroid (`list_id`). Training runs distributed
+    * MLlib k-means over L2-normalized vectors (a `trainFraction` sample at
+    * corpus scale — centroid quality needs samples, not the full corpus);
+    * assignment is one scan. At 100 TB the assigned frame is written
+    * PARTITIONED BY list_id, so a query's nprobe lists prune to nprobe/nlist
+    * of the data at the parquet-scan level — that pruning, not the k-means,
+    * is the scale win over per-row LSH keys.
+    */
+  final case class IvfIndex(assigned: DataFrame, centroids: Array[Array[Double]])
+
+  /** L2-normalized copy of an array<float> column, as array<double>. */
+  private def l2normalized(embCol: String): Column = expr(Dedup.letBind(
+    s"greatest(sqrt(aggregate($embCol, CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 1e-12d)",
+    "n", s"transform($embCol, x -> CAST(x AS DOUBLE) / n)"))
+
+  def ivfIndex(emb: DataFrame, idCol: String, embCol: String,
+               nlist: Int = 16, seed: Long = 42L,
+               trainFraction: Double = 1.0): IvfIndex = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val featured = emb.withColumn("_nvec", array_to_vector(l2normalized(embCol)))
+    val trainSet = if (trainFraction >= 1.0) featured
+                   else featured.sample(trainFraction, seed)
+    val model = new KMeans()
+      .setK(nlist).setSeed(seed).setMaxIter(20)
+      .setFeaturesCol("_nvec").setPredictionCol("list_id")
+      .fit(trainSet)
+    IvfIndex(model.transform(featured).drop("_nvec"),
+      model.clusterCenters.map(_.toArray))
+  }
+
+  /** IVF approximate top-k: rank centroids by cosine against the query on
+    * the driver (nlist values — dimension-sized), scan only the `nprobe`
+    * nearest lists, exact-cosine rerank within them. nprobe = nlist
+    * degrades gracefully to exact brute force.
+    */
+  def ivfTopK(index: IvfIndex, idCol: String, embCol: String,
+              query: Array[Float], k: Int, nprobe: Int = 4): DataFrame = {
+    val qNorm = math.max(math.sqrt(query.map(x => x.toDouble * x).sum), 1e-12)
+    val probes = index.centroids.zipWithIndex.map { case (c, i) =>
+      val cNorm = math.max(math.sqrt(c.map(x => x * x).sum), 1e-12)
+      val dot = c.iterator.zip(query.iterator).map { case (x, y) => x * y }.sum
+      (i, dot / (cNorm * qNorm))
+    }.sortBy(-_._2).take(nprobe).map(_._1).toSeq
+    bruteForceTopK(index.assigned.filter(col("list_id").isin(probes: _*)),
+      idCol, embCol, query, k)
+  }
+
   def embeddingNearDupPairs(emb: DataFrame, idCol: String, embCol: String,
                             threshold: Double, bits: Int = 8,
                             targetRecall: Double = 0.95,

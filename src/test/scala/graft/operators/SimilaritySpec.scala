@@ -30,6 +30,48 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.8, s"recall $recall too low: ann=$ann brute=$brute")
   }
 
+  test("IVF: nprobe=nlist equals brute force; nprobe=8/16 beats fraction probed") {
+    val base = emb.filter(col("vec_id") =!= 0)
+    val brute = SimilaritySearch.bruteForceTopK(base, "vec_id", "embedding", query, 10)
+      .collect().map(_.getLong(0)).toSet
+    val idx = SimilaritySearch.ivfIndex(base, "vec_id", "embedding", nlist = 16)
+    // probing every list must reproduce brute force exactly
+    val full = SimilaritySearch.ivfTopK(idx, "vec_id", "embedding", query,
+        k = 10, nprobe = 16)
+      .collect().map(_.getLong(0)).toSet
+    assert(full == brute, s"nprobe=nlist diverged: $full vs $brute")
+    // this corpus is near-isotropic (intra-label mean cosine ~0.02), so the
+    // honest bound at half coverage is "better than scanning a random half"
+    val probed = SimilaritySearch.ivfTopK(idx, "vec_id", "embedding", query,
+        k = 10, nprobe = 8)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (brute & probed).size.toDouble / brute.size
+    assert(recall >= 0.5, s"IVF recall $recall at 50% probe: ivf=$probed brute=$brute")
+  }
+
+  test("IVF recall >= 0.9 at nprobe=2/8 on clustered vectors") {
+    // IVF's win needs cluster structure; build a deterministic clustered
+    // corpus: 8 well-separated centers in 16-dim, 25 points each.
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val centers = Array.fill(8)(Array.fill(16)(rnd.nextGaussian()))
+    val rows = for (c <- centers.indices; i <- 0 until 25) yield {
+      val v = centers(c).map(x => (x + 0.1 * rnd.nextGaussian()).toFloat)
+      (c.toLong * 25 + i, v)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val q = rows.head._2.map(_.toFloat)
+    val base = df.filter(col("vec_id") =!= 0)
+    val brute = SimilaritySearch.bruteForceTopK(base, "vec_id", "embedding", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    val idx = SimilaritySearch.ivfIndex(base, "vec_id", "embedding", nlist = 8)
+    val probed = SimilaritySearch.ivfTopK(idx, "vec_id", "embedding", q,
+        k = 10, nprobe = 2)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (brute & probed).size.toDouble / brute.size
+    assert(recall >= 0.9, s"clustered IVF recall $recall: ivf=$probed brute=$brute")
+  }
+
   test("embeddingNearDupPairs is a subset of brute-force pairs with exact cosines") {
     val brute = SimilaritySearch.allPairsCosine(emb, "vec_id", "embedding", 0.3)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
