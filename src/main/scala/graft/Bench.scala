@@ -22,9 +22,15 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Untimed warmup: JVM/codegen/Hadoop-FS init otherwise lands on
-    // whichever query happens to iterate first.
-    spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    // Untimed warmup: JVM/codegen/shuffle/Hadoop-FS init otherwise lands on
+    // whichever query happens to iterate first — a scan alone is not enough,
+    // so exercise a hash agg, an exchange, and a broadcast join once.
+    val wl = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    wl.groupBy("l_returnflag").agg(org.apache.spark.sql.functions.sum("l_quantity")).count()
+    wl.limit(1000)
+      .join(org.apache.spark.sql.functions.broadcast(
+        wl.select("l_orderkey").limit(10)), "l_orderkey")
+      .count()
 
     def esc(s: String): String = s.flatMap {
       case '"'  => "\\\""

@@ -369,6 +369,22 @@ object RelationalQueries {
         .groupBy("user_id")
         .agg(sum("new_session").as("n_sessions"), count(lit(1)).as("n_events"))
         .orderBy("user_id")
+    }),
+
+    // E3 — view→click attribution: every (view, click) pair by the same
+    // user with the click at most 1 hour after the view. Runs the SAME
+    // code path as the watermarked stream-stream interval join in
+    // graft.streaming (watermarks are no-ops in batch). Timestamps go out
+    // as unix micros so the oracle compare is exact.
+    "q_e3_attribution" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      graft.streaming.EventStreams.attributeClicks(
+          ev.filter(col("event_type") === "view"),
+          ev.filter(col("event_type") === "click"))
+        .select(col("user_id"), col("view_id"), col("click_id"),
+          expr("unix_micros(view_ts)").as("view_us"),
+          expr("unix_micros(click_ts)").as("click_us"))
+        .orderBy("user_id", "view_id", "click_id")
     })
   )
 
@@ -590,6 +606,15 @@ object RelationalQueries {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
         |SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
         |       count(*) AS n_events
-        |FROM flagged GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM flagged GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_e3_attribution" ->
+      """SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+        |       epoch_us(v.ts) AS view_us, epoch_us(c.ts) AS click_us
+        |FROM events v JOIN events c
+        |  ON v.user_id = c.user_id
+        | AND v.event_type = 'view' AND c.event_type = 'click'
+        | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR
+        |ORDER BY 1, 2, 3""".stripMargin
   )
 }

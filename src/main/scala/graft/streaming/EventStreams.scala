@@ -135,4 +135,39 @@ object EventStreams {
           }
       }
   }
+
+  /** Stream-stream interval join: pair every click with each view by the
+    * same user in the preceding `attributionWindow`. Both inputs carry
+    * watermarks and the join condition bounds click_ts relative to view_ts,
+    * which is exactly what lets Spark evict a buffered view once the
+    * watermark passes `view_ts + attributionWindow` (and a buffered click
+    * once it passes `click_ts`) — the bounded-state contract stream-stream
+    * joins require; without the time bound, both sides buffer forever.
+    * On batch frames the watermarks are no-ops and the same code path is
+    * the q_e3 batch twin, so stream and batch semantics can't drift.
+    */
+  def attributeClicks(views: DataFrame, clicks: DataFrame,
+                      attributionWindow: String = "1 hour",
+                      watermark: String = "2 hours"): DataFrame = {
+    val v = views.select(col("event_id").as("view_id"),
+        col("user_id"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", watermark)
+    val c = clicks.select(col("event_id").as("click_id"),
+        col("user_id").as("click_user_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    v.join(c,
+        col("user_id") === col("click_user_id") &&
+          col("click_ts") >= col("view_ts") &&
+          col("click_ts") <= col("view_ts") + expr(s"INTERVAL $attributionWindow"))
+      .select(col("user_id"), col("view_id"), col("click_id"),
+        col("view_ts"), col("click_ts"))
+  }
+
+  /** Stream-static enrichment: left-join the event stream against a small
+    * static dimension via broadcast hash join. No streaming state at all —
+    * the dimension is (re)broadcast per micro-batch, so dimension updates
+    * between batches are picked up and executor memory holds only the dim.
+    */
+  def enrichEvents(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
 }

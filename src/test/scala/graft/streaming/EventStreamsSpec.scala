@@ -125,4 +125,53 @@ class EventStreamsSpec extends SparkTestBase {
       assert(rows.contains((ts(60), "view", 1L, 4.0)))
     } finally q.stop()
   }
+
+  test("stream-stream interval join attributes clicks to views within the window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[Event]
+    val clicks = MemoryStream[Event]
+    val q = attributeClicks(views.toDS().toDF(), clicks.toDS().toDF(),
+        attributionWindow = "1 hour", watermark = "30 minutes")
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      views.addData(
+        Event(100, ts(0), 1, "view", 0.0),
+        Event(101, ts(120), 1, "view", 0.0))
+      clicks.addData(
+        Event(200, ts(30), 1, "click", 0.0),  // 30 min after view 100 -> pair
+        Event(201, ts(90), 1, "click", 0.0),  // 90 min after 100, before 101 -> none
+        Event(202, ts(150), 2, "click", 0.0)) // other user -> none
+      q.processAllAvailable()
+      val rows = spark.table("attrib")
+        .select("view_id", "click_id").as[(Long, Long)].collect().toSet
+      assert(rows == Set((100L, 200L)), s"got $rows")
+      // a click in a later micro-batch still joins the buffered view 101
+      clicks.addData(Event(203, ts(130), 1, "click", 0.0))
+      q.processAllAvailable()
+      val rows2 = spark.table("attrib")
+        .select("view_id", "click_id").as[(Long, Long)].collect().toSet
+      assert(rows2 == Set((100L, 200L), (101L, 203L)), s"got $rows2")
+    } finally q.stop()
+  }
+
+  test("stream-static broadcast enrichment joins the dim per micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val q = enrichEvents(input.toDS().toDF(), dim, "user_id")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(1), 3, "view", 2.0)) // no dim row -> null tier
+      q.processAllAvailable()
+      val rows = spark.table("enriched").select("event_id", "tier")
+        .as[(Long, Option[String])].collect().toSet
+      assert(rows == Set((1L, Some("gold")), (2L, None)), s"got $rows")
+    } finally q.stop()
+  }
 }
