@@ -214,10 +214,12 @@ object Dedup {
         .select(col("id"),
           least(col("cluster"), coalesce(col("neighbor_min"), col("cluster"))).as("cluster"))
         .pipe(materialize)
-      val changes = next.as("n").join(labels.as("o"), "id")
-        .filter(col("n.cluster") =!= col("o.cluster")).count()
+      // existence check, not a count: limit-1 short-circuits the
+      // convergence probe instead of scanning every label each round
+      val changed = !next.as("n").join(labels.as("o"), "id")
+        .filter(col("n.cluster") =!= col("o.cluster")).isEmpty
       labels = next
-      converged = changes == 0
+      converged = !changed
       iter += 1
     }
     if (!converged) throw new IllegalStateException(

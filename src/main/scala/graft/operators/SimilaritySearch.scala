@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.VectorExprs
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over an `array<float>` embedding
@@ -158,6 +158,31 @@ object SimilaritySearch {
     }.sortBy(-_._2).take(nprobe).map(_._1).toSeq
     bruteForceTopK(index.assigned.filter(col("list_id").isin(probes: _*)),
       idCol, embCol, query, k)
+  }
+
+  /** Persist an IVF index as a `list_id`-partitioned table: each inverted
+    * list becomes a partition directory, so [[ivfTopK]] over the re-read
+    * index prunes to the nprobe probed lists AT THE SCAN — directories for
+    * unprobed lists are never listed or opened. That directory-level prune
+    * is the on-disk payoff of IVF at 100 TB (LSH keys, being per-row,
+    * cannot prune this way). Centroids ride along in a `_centroids`
+    * sidecar: underscore-prefixed paths are invisible to the table scan.
+    */
+  def ivfWrite(index: IvfIndex, path: String): Unit = {
+    graft.sources.LakeLayout.writePartitioned(
+      index.assigned, path, partitionCols = Seq("list_id"))
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    index.centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("list_id", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_centroids")
+  }
+
+  def ivfRead(spark: SparkSession, path: String): IvfIndex = {
+    val centroids = spark.read.parquet(s"$path/_centroids")
+      .orderBy("list_id").collect()
+      .map(_.getSeq[Double](1).toArray)
+    IvfIndex(spark.read.parquet(path), centroids)
   }
 
   def embeddingNearDupPairs(emb: DataFrame, idCol: String, embCol: String,

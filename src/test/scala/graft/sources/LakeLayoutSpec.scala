@@ -1,0 +1,101 @@
+package graft.sources
+
+import graft.SparkTestBase
+import graft.operators.SimilaritySearch
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Layout-on-disk checks: hive-style partition directories must prune at
+  * the scan (the plan reads fewer partitions, not just fewer rows), ORC
+  * round-trips losslessly, and the on-disk IVF index prunes unprobed
+  * inverted lists at the directory level.
+  */
+class LakeLayoutSpec extends SparkTestBase {
+
+  private lazy val li = spark.read.parquet(sfDir("0.001") + "/lineitem.parquet")
+
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    val full = df.queryExecution.executedPlan.toString
+    val start = full.indexOf("== Final Plan ==")
+    val end = full.indexOf("== Initial Plan ==")
+    if (start >= 0 && end > start) full.substring(start, end) else full
+  }
+
+  test("writePartitioned creates partition dirs and the scan prunes them") {
+    val path = Files.createTempDirectory("lake").toString + "/li"
+    LakeLayout.writePartitioned(li, path,
+      partitionCols = Seq("l_returnflag"), clusterCols = Seq("l_shipdate"))
+
+    val dirs = new java.io.File(path).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.toSet == Set("l_returnflag=A", "l_returnflag=N", "l_returnflag=R"),
+      s"unexpected layout: ${dirs.toSeq}")
+
+    val back = spark.read.parquet(path)
+    // lossless: same rows (modulo column order — partition col moves last)
+    assert(back.count() == li.count())
+    val filtered = back.filter(col("l_returnflag") === "A")
+    val expected = li.filter(col("l_returnflag") === "A").count()
+    assert(filtered.count() == expected)
+    // the prune must happen at planning: a partition filter in the plan,
+    // and only the one matching directory's files actually read
+    val scan = filtered.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("l_returnflag"),
+      s"partition filter missing from scan:\n$scan")
+    val dirsRead = filtered.withColumn("f", input_file_name())
+      .select("f").distinct().collect()
+      .flatMap(r => "l_returnflag=([A-Z])".r.findFirstMatchIn(r.getString(0)).map(_.group(1)))
+      .distinct
+    assert(dirsRead.toSeq == Seq("A"), s"read beyond the pruned partition: ${dirsRead.toSeq}")
+    // row-group clustering: each written file is sorted by l_shipdate
+    val disorder = spark.read.parquet(path + "/l_returnflag=A")
+      .withColumn("f", input_file_name())
+      .withColumn("prev", lag("l_shipdate", 1).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("f").orderBy(monotonically_increasing_id())))
+      .filter(col("prev") > col("l_shipdate"))
+    assert(disorder.isEmpty, "files are not clustered by l_shipdate")
+  }
+
+  test("ORC round-trip is lossless and pushes filters") {
+    val path = Files.createTempDirectory("lake").toString + "/orc"
+    LakeLayout.writeOrc(li.select("l_orderkey", "l_linenumber", "l_quantity"), path)
+    val back = LakeLayout.readOrc(spark, path)
+    val a = li.select("l_orderkey", "l_linenumber", "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber").collect().toSeq
+    val b = back.orderBy("l_orderkey", "l_linenumber").collect().toSeq
+    assert(a == b, "ORC round-trip diverged")
+    val p = finalPlan(back.filter(col("l_quantity") > 45).select("l_orderkey"))
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity)"),
+      s"ORC scan did not push filters:\n$p")
+  }
+
+  test("on-disk IVF prunes unprobed inverted lists at the directory level") {
+    val emb = spark.read.parquet(sfDir("0.001") + "/embeddings.parquet")
+    val query = emb.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val base = emb.filter(col("vec_id") =!= 0)
+    val idx = SimilaritySearch.ivfIndex(base, "vec_id", "embedding", nlist = 8)
+    val path = Files.createTempDirectory("lake").toString + "/ivf"
+    SimilaritySearch.ivfWrite(idx, path)
+    val reread = SimilaritySearch.ivfRead(spark, path)
+    assert(reread.centroids.length == 8)
+
+    // identical results from the persisted index (same lists, same rerank)
+    val mem = SimilaritySearch.ivfTopK(idx, "vec_id", "embedding", query,
+      k = 10, nprobe = 8).collect().map(_.getLong(0)).toSeq
+    val disk = SimilaritySearch.ivfTopK(reread, "vec_id", "embedding", query,
+      k = 10, nprobe = 8).collect().map(_.getLong(0)).toSeq
+    assert(disk == mem, s"disk IVF diverged: $disk vs $mem")
+
+    // nprobe=2 of 8: the scan must touch only the 2 probed directories
+    val pruned = SimilaritySearch.ivfTopK(reread, "vec_id", "embedding", query,
+      k = 10, nprobe = 2)
+    pruned.collect()
+    val files = pruned.withColumn("f", input_file_name())
+      .select("f").distinct().collect().map(_.getString(0))
+    val listsTouched = files.flatMap(f =>
+      "list_id=(\\d+)".r.findFirstMatchIn(f).map(_.group(1))).distinct
+    assert(listsTouched.length <= 2,
+      s"expected <=2 inverted lists read, got ${listsTouched.toSeq}")
+  }
+}
