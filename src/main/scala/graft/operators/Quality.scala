@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality expectations over a frame — the generalization
+  * of the reference pipeline's hardcoded cleaning steps (na.drop on totals,
+  * quantity > 0 filters: src/data_processor.py's fulfillment prep) into a
+  * rule set a 100 TB ingest can run as one audit pass.
+  *
+  * Scale design. All row-level rules (null, domain, range, pattern) fold
+  * into a SINGLE conditional-aggregation scan — one pass over the table no
+  * matter how many rules. Uniqueness needs its own shuffle (count>1 per
+  * key), and referential integrity one anti-join per dimension; both are
+  * plain Catalyst shapes (hash agg / broadcast-able anti join). Nothing
+  * collects to the driver; the result is a tiny (rule, violations) frame.
+  */
+object Quality {
+
+  sealed trait Rule { def name: String }
+
+  /** Row-level rule: `violated` is true on rows breaking the expectation. */
+  final case class RowRule(name: String, violated: Column) extends Rule
+
+  def notNull(c: String): RowRule =
+    RowRule(s"not_null($c)", col(c).isNull)
+
+  // nulls pass (they are notNull's job), matching SQL NOT IN semantics
+  def acceptedValues(c: String, values: Seq[String]): RowRule =
+    RowRule(s"accepted_values($c)",
+      col(c).isNotNull && !col(c).isin(values: _*))
+
+  def nonNegative(c: String): RowRule =
+    RowRule(s"non_negative($c)", col(c) < 0)
+
+  def inRange(c: String, lo: Double, hi: Double): RowRule =
+    RowRule(s"in_range($c)", col(c) < lo || col(c) > hi)
+
+  def matches(c: String, regex: String): RowRule =
+    RowRule(s"matches($c)", !col(c).rlike(regex))
+
+  /** Key-level rule: rows whose key occurs more than once. */
+  final case class Unique(cols: Seq[String]) extends Rule {
+    val name = s"unique(${cols.mkString(",")})"
+  }
+
+  /** Cross-table rule: fact keys with no match in the dimension. */
+  final case class RefIntegrity(factCol: String, dim: DataFrame,
+                                dimCol: String) extends Rule {
+    val name = s"ref_integrity($factCol)"
+  }
+
+  /** Run every rule and return one (rule, violations) row per rule,
+    * ordered by rule name. Row-level rules share one aggregation pass.
+    */
+  def audit(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty, "audit needs at least one rule")
+
+    val rowRules = rules.collect { case r: RowRule => r }
+    val rowResults: Option[DataFrame] =
+      if (rowRules.isEmpty) None
+      else {
+        val aggs = rowRules.map(r =>
+          sum(when(r.violated, 1L).otherwise(0L)).as(r.name))
+        val wide = df.agg(aggs.head, aggs.tail: _*)
+        // unpivot the single wide row into (rule, violations)
+        val stacked = wide.select(explode(map(
+          rowRules.flatMap(r => Seq(lit(r.name), col(r.name))): _*
+        )).as(Seq("rule", "violations")))
+        Some(stacked)
+      }
+
+    val keyResults = rules.collect { case u: Unique =>
+      df.groupBy(u.cols.map(col): _*).count()
+        .filter(col("count") > 1)
+        .agg(coalesce(sum(col("count")), lit(0L)).as("violations"))
+        .select(lit(u.name).as("rule"), col("violations"))
+    }
+
+    val refResults = rules.collect { case r: RefIntegrity =>
+      df.join(r.dim.select(col(r.dimCol).as(r.factCol)).distinct(),
+          Seq(r.factCol), "left_anti")
+        .agg(count(lit(1)).as("violations"))
+        .select(lit(r.name).as("rule"), col("violations"))
+    }
+
+    (rowResults.toSeq ++ keyResults ++ refResults)
+      .reduce(_ unionByName _)
+      .orderBy("rule")
+  }
+}

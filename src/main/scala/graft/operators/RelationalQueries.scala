@@ -385,6 +385,21 @@ object RelationalQueries {
           expr("unix_micros(view_ts)").as("view_us"),
           expr("unix_micros(click_ts)").as("click_us"))
         .orderBy("user_id", "view_id", "click_id")
+    }),
+
+    // Q1 — declarative data-quality audit: all row-level rules in one
+    // conditional-agg scan, plus a uniqueness shuffle and a referential
+    // anti-join (graft.operators.Quality). The generalized form of the
+    // reference's hardcoded na.drop/quantity>0 cleaning.
+    "q_q1_quality_audit" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      Quality.audit(li, Seq(
+        Quality.notNull("l_shipdate"),
+        Quality.nonNegative("l_quantity"),
+        Quality.inRange("l_discount", 0.0, 0.1),
+        Quality.acceptedValues("l_returnflag", Seq("A", "N", "R")),
+        Quality.Unique(Seq("l_orderkey", "l_linenumber")),
+        Quality.RefIntegrity("l_orderkey", t(s, dir, "orders"), "o_orderkey")))
     })
   )
 
@@ -615,6 +630,38 @@ object RelationalQueries {
         |  ON v.user_id = c.user_id
         | AND v.event_type = 'view' AND c.event_type = 'click'
         | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR
-        |ORDER BY 1, 2, 3""".stripMargin
+        |ORDER BY 1, 2, 3""".stripMargin,
+
+    "q_q1_quality_audit" ->
+      """SELECT rule, violations FROM (
+        |  SELECT 'accepted_values(l_returnflag)' AS rule,
+        |         CAST(sum(CASE WHEN l_returnflag IS NOT NULL
+        |                        AND l_returnflag NOT IN ('A','N','R')
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS violations
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'in_range(l_discount)',
+        |         CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.1
+        |                       THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'non_negative(l_quantity)',
+        |         CAST(sum(CASE WHEN l_quantity < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'not_null(l_shipdate)',
+        |         CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'ref_integrity(l_orderkey)',
+        |         (SELECT count(*) FROM lineitem l
+        |          WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                            WHERE o.o_orderkey = l.l_orderkey))
+        |  UNION ALL
+        |  SELECT 'unique(l_orderkey,l_linenumber)',
+        |         CAST(coalesce((SELECT sum(c) FROM (
+        |           SELECT count(*) AS c FROM lineitem
+        |           GROUP BY l_orderkey, l_linenumber
+        |           HAVING count(*) > 1)), 0) AS BIGINT)
+        |) ORDER BY rule""".stripMargin
   )
 }

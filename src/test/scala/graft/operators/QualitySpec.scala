@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Rule-by-rule checks of the data-quality audit on a frame with planted
+  * violations of every kind, plus the one-scan plan guarantee for
+  * row-level rules.
+  */
+class QualitySpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private lazy val df = Seq(
+    // (id, status, qty, score, code)
+    (1L, "ok", 5.0, 0.5, "AB12"),
+    (2L, "ok", -3.0, 0.2, "CD34"),       // negative qty
+    (3L, "bad-status", 1.0, 0.9, "EF56"),// bad status
+    (3L, "ok", 2.0, 1.5, "GH78"),        // dup id + out-of-range score
+    (4L, null, 4.0, 0.0, "xx"),          // null status + bad code pattern
+    (5L, "ok", 1.0, 0.3, "IJ90")
+  ).toDF("id", "status", "qty", "score", "code")
+
+  private def results(rules: Seq[Quality.Rule]): Map[String, Long] =
+    Quality.audit(df, rules).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("row-level rules count planted violations") {
+    val got = results(Seq(
+      Quality.notNull("status"),
+      Quality.nonNegative("qty"),
+      Quality.inRange("score", 0.0, 1.0),
+      Quality.acceptedValues("status", Seq("ok")),
+      Quality.matches("code", "^[A-Z]{2}[0-9]{2}$")))
+    assert(got == Map(
+      "not_null(status)" -> 1L,
+      "non_negative(qty)" -> 1L,
+      "in_range(score)" -> 1L,
+      // the null status must NOT also count as a bad value
+      "accepted_values(status)" -> 1L,
+      "matches(code)" -> 1L), s"got $got")
+  }
+
+  test("uniqueness counts all rows of duplicated keys; zero when unique") {
+    val got = results(Seq(Quality.Unique(Seq("id"))))
+    assert(got("unique(id)") == 2L, s"got $got")
+    val ok = results(Seq(Quality.Unique(Seq("id", "code"))))
+    assert(ok("unique(id,code)") == 0L, s"got $ok")
+  }
+
+  test("referential integrity counts orphan fact rows") {
+    val dim = Seq(1L, 2L, 3L).toDF("dim_id")
+    val got = results(Seq(Quality.RefIntegrity("id", dim, "dim_id")))
+    assert(got("ref_integrity(id)") == 2L, s"got $got") // ids 4 and 5
+  }
+
+  test("row-level rules share a single scan of the input") {
+    val audited = Quality.audit(
+      spark.read.parquet(sfDir("0.001") + "/lineitem.parquet"),
+      Seq(Quality.notNull("l_shipdate"), Quality.nonNegative("l_quantity"),
+        Quality.inRange("l_discount", 0.0, 0.1)))
+    audited.collect()
+    val full = audited.queryExecution.executedPlan.toString
+    // count scans in the final adaptive plan only (toString appends the
+    // initial plan, which would double-count)
+    val start = full.indexOf("== Final Plan ==")
+    val end = full.indexOf("== Initial Plan ==")
+    val p = if (start >= 0 && end > start) full.substring(start, end) else full
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected exactly one scan for row-level rules, got $scans:\n$p")
+  }
+}
