@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.lit
 
 /** S4/S6 — document-store source/sink. The reference mirrors each day's
   * transactions through MongoDB collections and reads them back per
@@ -28,6 +29,24 @@ object DocumentStore {
       .option("collection", collection)
       .options(extraOptions)
       .load()
+
+  /** The reference's per-day read loop (src/data_processor.py:226-255):
+    * read every named collection and union them. Day-to-day schema drift
+    * is tolerated (`unionByName` with missing-column nulls), and each row
+    * is tagged with its source collection so the ingest date stays
+    * recoverable — the loop itself is driver-side over collection NAMES
+    * only; every read and the union remain fully distributed.
+    */
+  def readCollections(spark: SparkSession, uri: String, database: String,
+                      collections: Seq[String], format: String = "mongodb",
+                      extraOptions: Map[String, String] = Map.empty,
+                      tagColumn: Option[String] = Some("_collection")): DataFrame = {
+    require(collections.nonEmpty, "readCollections needs at least one collection")
+    collections.map { c =>
+      val df = readCollection(spark, uri, database, c, format, extraOptions)
+      tagColumn.fold(df)(t => df.withColumn(t, lit(c)))
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
 
   def writeCollection(df: DataFrame, uri: String, database: String,
                       collection: String, format: String = "mongodb",

@@ -74,4 +74,24 @@ class JdbcDocStoreSpec extends SparkTestBase {
     assert(day.select(countDistinct("transaction_id")).head().getLong(0) ==
       direct.select(countDistinct("transaction_id")).head().getLong(0))
   }
+
+  test("readCollections unions per-day collections, tolerating schema drift") {
+    import spark.implicits._
+    val uri = s"file://${Files.createTempDirectory("graft-multicoll")}"
+    DocumentStore.writeCollection(
+      Seq((1L, "gummy"), (2L, "mint")).toDF("id", "name"),
+      uri, "candy", "day_20240101", format = fakeDocFormat)
+    DocumentStore.writeCollection(
+      // day 2 drifts: an extra discount column appears
+      Seq((3L, "cola", 0.1)).toDF("id", "name", "discount"),
+      uri, "candy", "day_20240102", format = fakeDocFormat)
+    val all = DocumentStore.readCollections(spark, uri, "candy",
+      Seq("day_20240101", "day_20240102"), format = fakeDocFormat)
+    assert(all.count() == 3)
+    // source tagging keeps the ingest date recoverable
+    assert(all.filter(col("_collection") === "day_20240101").count() == 2)
+    // drifted column is null for days that lack it, present where written
+    assert(all.filter(col("discount").isNotNull).count() == 1)
+    assert(all.filter(col("id") === 1).select("discount").head().isNullAt(0))
+  }
 }
