@@ -49,9 +49,15 @@ object ScaleSmoke {
 
     // ~50k-docs MinHash-LSH dedup (docs replicated with doc_id offsets, so
     // every original near-dup pair appears factor^2 times across replicas).
+    // repartition: range x one-file-parquet cross joins come out as a
+    // SINGLE partition (BNLJ streams the parquet side), which would leave
+    // every downstream stage single-threaded — the smoke must model a
+    // sanely-laid-out corpus, not a pathological one.
+    val cores = spark.sparkContext.defaultParallelism
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val bigDocs = spark.range(factor).crossJoin(docs)
       .select((col("doc_id") + col("id") * 10000000L).as("doc_id"), col("text"))
+      .repartition(cores)
     val t1 = System.nanoTime()
     val pairs = Dedup.minHashNearDuplicates(bigDocs, "doc_id", "text").count()
     val dedupSec = (System.nanoTime() - t1) / 1e9
@@ -85,11 +91,61 @@ object ScaleSmoke {
       (pSec, sSec)
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
 
+    // ANN at scale: ~500k hash-perturbed replicas of the embedding corpus
+    // (perturbation keeps replicas distinct so top-k is non-trivial), one
+    // query vector, three search paths. Brute force is the exact truth;
+    // LSH and IVF report time + recall against it. The IVF index build
+    // (k-means on a 5% sample + one assignment scan) is timed separately —
+    // at corpus scale it amortizes over every query served.
+    import graft.operators.SimilaritySearch
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val queryVec = emb.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val annFactor = factor * 25 // the embeddings table is small; ~500k at default
+    val bigEmb = spark.range(annFactor).crossJoin(emb.filter(col("vec_id") =!= 0))
+      .select(
+        (col("vec_id") + col("id") * 10000000L).as("vec_id"),
+        expr("""transform(embedding,
+               |  (x, i) -> CAST(x + pmod(hash(vec_id, id, i), 1000) / 50000.0 AS FLOAT))"""
+          .stripMargin).as("embedding"))
+      .repartition(cores)
+      .persist()
+    val nVec = bigEmb.count()
+
+    def topIds(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.collect().map(_.getLong(0)).toSet
+    val tb = System.nanoTime()
+    val bruteTop = topIds(SimilaritySearch.bruteForceTopK(
+      bigEmb, "vec_id", "embedding", queryVec, 10))
+    val bruteSec = (System.nanoTime() - tb) / 1e9
+
+    val tl = System.nanoTime()
+    val lshTop = topIds(SimilaritySearch.lshTopK(
+      bigEmb, "vec_id", "embedding", queryVec, 10, minCosine = 0.2))
+    val lshSec = (System.nanoTime() - tl) / 1e9
+
+    val ti = System.nanoTime()
+    val ivf = SimilaritySearch.ivfIndex(bigEmb, "vec_id", "embedding",
+      nlist = 64, trainFraction = 0.05)
+    val assigned = ivf.assigned.persist()
+    assigned.count()
+    val ivfBuildSec = (System.nanoTime() - ti) / 1e9
+    val tq = System.nanoTime()
+    val ivfTop = topIds(SimilaritySearch.ivfTopK(
+      ivf.copy(assigned = assigned), "vec_id", "embedding", queryVec,
+      k = 10, nprobe = 8))
+    val ivfQuerySec = (System.nanoTime() - tq) / 1e9
+    def recall(got: Set[Long]): Double = (bruteTop & got).size.toDouble / bruteTop.size
+
     println(s"""{"kernel_rows":$nRows,"kernel_sec":$kernelSec,""" +
       s""""kernel_rows_per_sec":${(nRows / kernelSec).toLong},""" +
       s""""dedup_docs":${docs.count() * factor},"dedup_pairs":$pairs,"dedup_sec":$dedupSec,""" +
       s""""skew_plain_sec":$plainSec,"skew_salted_sec":$saltedSec,""" +
-      s""""skew_speedup":${plainSec / saltedSec}}""")
+      s""""skew_speedup":${plainSec / saltedSec},""" +
+      s""""ann_vectors":$nVec,"ann_brute_sec":$bruteSec,""" +
+      s""""ann_lsh_sec":$lshSec,"ann_lsh_recall":${recall(lshTop)},""" +
+      s""""ann_ivf_build_sec":$ivfBuildSec,"ann_ivf_query_sec":$ivfQuerySec,""" +
+      s""""ann_ivf_recall":${recall(ivfTop)}}""")
     spark.stop()
   }
 }

@@ -162,6 +162,39 @@ case class MinHashSignatureExpr(child: Expression, numHashes: Int)
   * deterministic Rademacher hyperplane (component signs from
   * XXH64.hashLong over (table, bit, dim-index)). Null elements count as 0.
   */
+/** Memoized SRP hyperplane signs: sign(t, j, i) depends only on (tables,
+  * bits, seed, dim), never on the row, so deriving it per row paid
+  * tables*bits*dim xxhash64 calls per VECTOR (~15k at 30 tables x 8 bits x
+  * 64 dims — the dominant cost of bucketing a large corpus). One flat
+  * byte matrix per distinct shape, computed once per JVM; the hash family
+  * is unchanged, so bucket keys are bit-identical to the uncached form.
+  */
+object SrpSigns {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Long, Int), Array[Byte]]()
+
+  def get(tables: Int, bits: Int, seed: Long, dim: Int): Array[Byte] =
+    cache.computeIfAbsent((tables, bits, seed, dim), _ => {
+      val out = new Array[Byte](tables * bits * dim)
+      var t = 0
+      while (t < tables) {
+        var j = 0
+        while (j < bits) {
+          var i = 0
+          while (i < dim) {
+            out((t * bits + j) * dim + i) =
+              if ((XXH64.hashLong((t.toLong * bits + j) * 1000003L + i, seed) & 1L) == 1L) 1
+              else -1
+            i += 1
+          }
+          j += 1
+        }
+        t += 1
+      }
+      out
+    })
+}
+
 case class SrpBucketKeysExpr(child: Expression, tables: Int, bits: Int, seed: Long)
     extends UnaryExpression {
 
@@ -177,21 +210,28 @@ case class SrpBucketKeysExpr(child: Expression, tables: Int, bits: Int, seed: Lo
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val dim = arr.numElements()
+    val signs = SrpSigns.get(tables, bits, seed, dim)
+    // copy once into a primitive array: the sign loops touch each element
+    // tables*bits times, and per-touch accessor calls (columnar vectors,
+    // unsafe rows) dominate the arithmetic otherwise. Null elements
+    // contribute 0, exactly like the skip in the accessor formulation.
+    val vec = new Array[Float](dim)
+    var i0 = 0
+    while (i0 < dim) {
+      if (!arr.isNullAt(i0)) vec(i0) = arr.getFloat(i0)
+      i0 += 1
+    }
     val out = new Array[Long](tables)
     var t = 0
     while (t < tables) {
       var key = 0L
       var j = 0
       while (j < bits) {
+        val base = (t * bits + j) * dim
         var acc = 0.0
         var i = 0
         while (i < dim) {
-          if (!arr.isNullAt(i)) {
-            val sign =
-              if ((XXH64.hashLong((t.toLong * bits + j) * 1000003L + i, seed) & 1L) == 1L) 1.0
-              else -1.0
-            acc += arr.getFloat(i) * sign
-          }
+          acc += vec(i) * signs(base + i)
           i += 1
         }
         if (acc > 0) key |= (1L << j)
@@ -212,19 +252,24 @@ case class SrpBucketKeysExpr(child: Expression, tables: Int, bits: Int, seed: Lo
       val i = ctx.freshName("i")
       val key = ctx.freshName("key")
       val acc = ctx.freshName("acc")
+      val signs = ctx.freshName("signs")
+      val base = ctx.freshName("base")
+      val vec = ctx.freshName("vec")
       s"""
          |final int $dim = $a.numElements();
+         |final byte[] $signs = graft.functions.SrpSigns.get($tables, $bits, ${seed}L, $dim);
+         |final float[] $vec = new float[$dim];
+         |for (int $i = 0; $i < $dim; $i++) {
+         |  if (!$a.isNullAt($i)) $vec[$i] = $a.getFloat($i);
+         |}
          |final long[] $out = new long[$tables];
          |for (int $t = 0; $t < $tables; $t++) {
          |  long $key = 0L;
          |  for (int $j = 0; $j < $bits; $j++) {
+         |    final int $base = ($t * $bits + $j) * $dim;
          |    double $acc = 0.0;
          |    for (int $i = 0; $i < $dim; $i++) {
-         |      if (!$a.isNullAt($i)) {
-         |        $acc += $a.getFloat($i) *
-         |          (((org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(
-         |             ((long) $t * $bits + $j) * 1000003L + $i, ${seed}L) & 1L) == 1L) ? 1.0 : -1.0);
-         |      }
+         |      $acc += $vec[$i] * $signs[$base + $i];
          |    }
          |    if ($acc > 0) $key |= (1L << $j);
          |  }
