@@ -1,0 +1,45 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import java.sql.DriverManager
+import java.util.Properties
+
+/** Streaming sinks for destinations without a native exactly-once
+  * streaming writer. Structured Streaming's contract for such sinks is
+  * `foreachBatch` + an IDEMPOTENT batch write: the engine may re-run a
+  * micro-batch after a failure, so the write must converge when executed
+  * twice with the same batchId.
+  */
+object StreamSinks {
+
+  /** Idempotent JDBC micro-batch sink: rows are tagged with their batchId,
+    * and each (re)execution first deletes rows the same batchId may have
+    * left behind in a half-finished attempt, then appends. Combined with
+    * the checkpoint's batch tracking this yields exactly-once table
+    * contents across restarts. The delete is a driver-side statement on
+    * the batch-id index; the append is Spark's parallel JDBC writer.
+    *
+    * Use as: `df.writeStream.foreachBatch(StreamSinks.jdbcBatchSink(url, table)).start()`
+    */
+  def jdbcBatchSink(url: String, table: String,
+                    props: Properties = new Properties())
+      : (DataFrame, Long) => Unit = (df, batchId) => {
+    // identifier discipline mirrors Spark's JDBC writer exactly: the table
+    // name goes into SQL verbatim (so case folding matches the CREATE the
+    // writer issued), while COLUMN names are dialect-quoted
+    // (case-sensitive) — an unquoted batch_id would fold to BATCH_ID on
+    // Derby and miss, silently skipping the delete.
+    val qCol = org.apache.spark.sql.jdbc.JdbcDialects.get(url)
+      .quoteIdentifier("batch_id")
+    val conn = DriverManager.getConnection(url, props)
+    try {
+      val st = conn.createStatement()
+      try st.executeUpdate(s"DELETE FROM $table WHERE $qCol = $batchId")
+      catch { case _: java.sql.SQLException => () } // first batch: no table yet
+      finally st.close()
+    } finally conn.close()
+    df.withColumn("batch_id", lit(batchId))
+      .write.mode("append").jdbc(url, table, props)
+  }
+}
