@@ -69,6 +69,46 @@ class LakeLayoutSpec extends SparkTestBase {
       s"ORC scan did not push filters:\n$p")
   }
 
+  test("z-order bounds per-file spread on BOTH columns; plain sort only on one") {
+    import spark.implicits._
+    // two independent uniform dims: a linear sort cannot be dense in both
+    val n = 1 << 14
+    val rnd = new scala.util.Random(11)
+    val df = (0 until n).map(_ => (rnd.nextInt(1 << 16), rnd.nextInt(1 << 16)))
+      .toDF("x", "y").repartition(8)
+    val root = Files.createTempDirectory("zorder").toString
+
+    // skipping power per dimension: fraction of files whose [min,max]
+    // range for that column a random point predicate fails to rule out —
+    // the quantity file/row-group stats pruning actually uses
+    def touchFraction(path: String, c: String): Double = {
+      val boxes = spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg(min(col(c)).as("lo"), max(col(c)).as("hi"))
+        .collect().map(r => (r.getInt(1), r.getInt(2)))
+      val probes = (0 until 200).map(_ => rnd.nextInt(1 << 16))
+      probes.map(p =>
+        boxes.count { case (lo, hi) => p >= lo && p <= hi }.toDouble / boxes.length
+      ).sum / probes.size
+    }
+
+    LakeLayout.writeZOrdered(df, s"$root/z", Seq("x", "y"),
+      bitsPerCol = 4, numFiles = 32)
+    df.repartitionByRange(32, col("x"))
+      .sortWithinPartitions("x")
+      .write.parquet(s"$root/linear")
+
+    assert(spark.read.parquet(s"$root/z").count() == n)
+    // the linear sort is laser-precise on its leading column but BLIND on
+    // the other: a y predicate reads every file
+    assert(touchFraction(s"$root/linear", "x") < 0.1)
+    assert(touchFraction(s"$root/linear", "y") > 0.9)
+    // the curve bounds BOTH dimensions — each predicate skips most files
+    val zx = touchFraction(s"$root/z", "x")
+    val zy = touchFraction(s"$root/z", "y")
+    assert(zx < 0.5 && zy < 0.5, s"z-order touch fractions: x=$zx y=$zy")
+  }
+
   test("on-disk IVF prunes unprobed inverted lists at the directory level") {
     val emb = spark.read.parquet(sfDir("0.001") + "/embeddings.parquet")
     val query = emb.filter(col("vec_id") === 0)
