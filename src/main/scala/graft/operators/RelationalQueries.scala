@@ -328,6 +328,28 @@ object RelationalQueries {
         .orderBy("o_orderpriority")
     }),
 
+    // INTERSECT ALL — multiset intersection (min of multiplicities).
+    "q_set5_intersect_all" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.filter(col("o_custkey") <= 750).select("o_orderpriority")
+        .intersectAll(o.filter(col("o_custkey") > 750).select("o_orderpriority"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // W4 — rank-family analytics: ntile deciles, percent_rank, cume_dist
+    // over customer balances within each market segment.
+    "q_w4_rank_family" -> ((s, dir) => {
+      val w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+      t(s, dir, "customer")
+        .select(col("c_mktsegment"), col("c_custkey"),
+          ntile(10).over(w).as("decile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"))
+        .withColumn("pct_rank", round(col("pct_rank"), 6))
+        .withColumn("cume", round(col("cume"), 6))
+        .orderBy("c_mktsegment", "c_custkey")
+    }),
+
     // SQL surface — the same engine driven through spark.sql text over
     // registered views (per-day revenue by market segment).
     "q_sql1_text_query" -> ((s, dir) => {
@@ -596,6 +618,21 @@ object RelationalQueries {
         |EXCEPT ALL
         |SELECT o_orderpriority FROM orders WHERE o_custkey > 750
         |ORDER BY o_orderpriority""".stripMargin,
+
+    "q_set5_intersect_all" ->
+      """SELECT o_orderpriority FROM orders WHERE o_custkey <= 750
+        |INTERSECT ALL
+        |SELECT o_orderpriority FROM orders WHERE o_custkey > 750
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q_w4_rank_family" ->
+      """SELECT c_mktsegment, c_custkey,
+        |       CAST(ntile(10) OVER w AS INTEGER) AS decile,
+        |       round(percent_rank() OVER w, 6) AS pct_rank,
+        |       round(cume_dist() OVER w, 6) AS cume
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_mktsegment, c_custkey""".stripMargin,
 
     "q_sql1_text_query" ->
       """SELECT c_mktsegment, CAST(year(o_orderdate) AS INTEGER) AS order_year,

@@ -129,14 +129,18 @@ object SimilaritySearch {
 
   def ivfIndex(emb: DataFrame, idCol: String, embCol: String,
                nlist: Int = 16, seed: Long = 42L,
-               trainFraction: Double = 1.0): IvfIndex = {
+               trainFraction: Double = 1.0,
+               maxIter: Int = 10): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val featured = emb.withColumn("_nvec", array_to_vector(l2normalized(embCol)))
     val trainSet = if (trainFraction >= 1.0) featured
                    else featured.sample(trainFraction, seed)
+    // maxIter 10: quantizer quality only shifts which lists hold which
+    // vectors — recall is governed by nprobe and the rerank is exact, so
+    // extra k-means sweeps buy little; each sweep is a full Spark job.
     val model = new KMeans()
-      .setK(nlist).setSeed(seed).setMaxIter(20)
+      .setK(nlist).setSeed(seed).setMaxIter(maxIter)
       .setFeaturesCol("_nvec").setPredictionCol("list_id")
       .fit(trainSet)
     IvfIndex(model.transform(featured).drop("_nvec"),
