@@ -23,7 +23,8 @@ object SparkEntry {
       MultimodalQueries.queries ++
       DedupQueries.queries ++
       JoinQueries.queries ++
-      KernelQueries.queries
+      KernelQueries.queries ++
+      PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -35,5 +36,6 @@ object SparkEntry {
       MultimodalQueries.oracles ++
       DedupQueries.oracles ++
       JoinQueries.oracles ++
-      KernelQueries.oracles
+      KernelQueries.oracles ++
+      PipelineQueries.oracles
 }

@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation operators a large-scale training-data pipeline needs
+  * on top of dedup/similarity/text-analysis: deterministic dataset splits,
+  * deterministic shuffling, token-budget sequence packing, and PII-style
+  * redaction. Everything here is a pure, seed-deterministic expression over
+  * codegen'd built-ins — no RNG state, no UDFs, no driver-side loops — so
+  * results are reproducible across cluster sizes and re-runs (the property
+  * that matters when a 100 TB corpus must be re-split identically months
+  * later).
+  */
+object Pipeline {
+
+  /** First 4 hex chars of md5("seed:" + id) — a uniform, seed-keyed bucket
+    * in [0, 65536) expressed as a zero-padded hex string. String form keeps
+    * the oracle trivially portable (DuckDB md5/substr behave identically).
+    */
+  def hashBucket(idCol: Column, seed: String): Column =
+    substring(md5(concat(lit(seed + ":"), idCol.cast("string"))), 1, 4)
+
+  /** Cumulative hex thresholds for [[hashSplit]]: fraction f_i of the 65536
+    * bucket space ends at threshold hex(round(cum_i * 65536)).
+    */
+  def hexThresholds(fractions: Seq[Double]): Seq[String] = {
+    require(math.abs(fractions.sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1, got ${fractions.sum}")
+    fractions.scanLeft(0.0)(_ + _).tail.init
+      .map(c => f"${math.round(c * 65536).toInt}%04x")
+  }
+
+  /** Deterministic train/valid/test-style split: each row lands in the split
+    * whose cumulative hash-bucket range contains md5("seed:" + id). No
+    * shuffle, no sampling RNG — membership depends only on (seed, id), so
+    * the same row lands in the same split on any cluster, any partitioning,
+    * any re-run, and new rows never move old rows between splits (the
+    * stability property per-partition `randomSplit` lacks).
+    */
+  def hashSplit(df: DataFrame, idCol: String, seed: String,
+                fractions: Seq[(String, Double)]): DataFrame = {
+    val thresholds = hexThresholds(fractions.map(_._2))
+    val bucket = hashBucket(col(idCol), seed)
+    val split = fractions.init.zip(thresholds)
+      .foldLeft(Option.empty[Column]) { case (acc, ((name, _), th)) =>
+        Some(acc.fold(when(bucket < lit(th), name))(_.when(bucket < lit(th), name)))
+      }
+      .fold(lit(fractions.head._1): Column)(_.otherwise(fractions.last._1))
+    df.withColumn("split", split)
+  }
+
+  /** Seed-keyed shuffle key: ordering by it is a deterministic permutation
+    * of the corpus (md5 is collision-free for practical corpus sizes; ties
+    * would only merge byte-identical keys).
+    */
+  def shuffleKey(idCol: Column, seed: String): Column =
+    md5(concat(lit(seed + ":"), idCol.cast("string")))
+
+  /** Deterministic corpus shuffle for training-order writes: range-partition
+    * on the shuffle key, sort within partitions. File j then holds the j-th
+    * contiguous slice of the global shuffled order — a total order across
+    * files WITHOUT a global sort bottleneck (range exchange + local sorts),
+    * which is how a 100 TB corpus gets written in training order.
+    */
+  def deterministicShuffle(df: DataFrame, idCol: String, seed: String,
+                           numPartitions: Int): DataFrame =
+    df.withColumn("_shuffle_key", shuffleKey(col(idCol), seed))
+      .repartitionByRange(numPartitions, col("_shuffle_key"))
+      .sortWithinPartitions("_shuffle_key")
+      .drop("_shuffle_key")
+
+  /** Streaming sequence packing: within each group (shard), walk rows in
+    * `orderCol` order and assign row r to bin floor(tokens_before_r /
+    * budget). This is the standard one-pass distributed approximation of
+    * greedy bin packing — bins can overflow by at most one document, and
+    * assignment needs only a per-group running sum (one window, one
+    * shuffle), never cross-group coordination.
+    */
+  def packSequences(df: DataFrame, groupCol: String, orderCol: String,
+                    tokensCol: String, budgetTokens: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCol).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("bin",
+      floor(coalesce(sum(col(tokensCol)).over(w), lit(0L)) / lit(budgetTokens))
+        .cast("long"))
+  }
+
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val NumberRe = "[0-9]+(\\.[0-9]+)?"
+
+  /** PII-style redaction: replace emails then numeric literals with typed
+    * placeholder tags, and count the matches that were scrubbed. Pure
+    * codegen'd regexp expressions — the Java-regex patterns here are chosen
+    * to behave identically under RE2-family engines so the scrub is
+    * portable (and oracle-checkable).
+    */
+  def redact(textCol: Column): Column =
+    regexp_replace(regexp_replace(textCol, EmailRe, "<EMAIL>"),
+      NumberRe, "<NUM>")
+
+  def matchCount(textCol: Column, pattern: String): Column =
+    size(regexp_extract_all(textCol, lit(pattern), lit(0))).cast("int")
+}

@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-facing queries for the corpus-preparation operators ([[Pipeline]])
+  * plus the exact n-gram-Jaccard dedup twin. All five are fully
+  * deterministic and DuckDB-oracle-checked — including the splits and the
+  * shuffle, because [[Pipeline]] derives them from seeded md5, not RNG.
+  */
+object PipelineQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  private val splitFractions =
+    Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)
+  private val splitSeed = "graft-split-42"
+  private val shuffleSeed = "graft-shuffle-7"
+  private val packBudget = 256L
+
+  private val tokensSql = "filter(split(text, ' '), x -> x != '')"
+  private val duckTokens = "list_filter(string_split(text, ' '), x -> x != '')"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Deterministic 80/10/10 hash split, summarized per (split, lang):
+    // the reproducible-split primitive (same id -> same split on any
+    // cluster, any rerun; no sampling RNG).
+    "q_sp1_hash_split" -> ((s, dir) =>
+      Pipeline.hashSplit(docs(s, dir), "doc_id", splitSeed, splitFractions)
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars_total"))
+        .orderBy("split", "lang")),
+
+    // Deterministic corpus shuffle: seed-keyed md5 defines the training
+    // order; first 100 docs of the permutation. The write path is
+    // Pipeline.deterministicShuffle (range exchange + local sorts — no
+    // global sort); here the top-k prefix doubles as its oracle check.
+    "q_sp2_det_shuffle" -> ((s, dir) =>
+      docs(s, dir)
+        .select(Pipeline.shuffleKey(col("doc_id"), shuffleSeed).as("shuffle_key"),
+          col("doc_id"))
+        .orderBy("shuffle_key")
+        .limit(100)),
+
+    // Token-budget sequence packing per language shard: one-pass streaming
+    // bin assignment (bin = tokens_before / budget), summarized per bin.
+    "q_t6_seq_pack" -> ((s, dir) =>
+      Pipeline.packSequences(
+          docs(s, dir).selectExpr("doc_id", "lang",
+            s"CAST(size($tokensSql) AS BIGINT) AS n_tokens"),
+          "lang", "doc_id", "n_tokens", packBudget)
+        .groupBy("lang", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tokens_packed"))
+        .orderBy("lang", "bin")),
+
+    // PII-style scrubbing: emails then numbers to typed tags, with per-doc
+    // scrub counts and a redacted preview.
+    "q_t7_redact" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        Pipeline.matchCount(col("text"), Pipeline.EmailRe).as("n_emails"),
+        Pipeline.matchCount(col("text"), Pipeline.NumberRe).as("n_nums"),
+        substring(Pipeline.redact(col("text")), 1, 120).as("preview"))
+        .orderBy("doc_id")),
+
+    // Exact n-gram Jaccard near-dup pairs (word 3-grams, J >= 0.5) — the
+    // brute-force twin of the MinHash scale path (q_d3): cross join is
+    // ground truth at sf-test scale; a real corpus runs LSH.
+    "q_d6_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
+          shingleSize = 3, threshold = 0.5)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy("id_a", "id_b"))
+  )
+
+  private val duckShingles3 =
+    """list_distinct(CASE WHEN len(w) >= 3
+      |  THEN list_transform(generate_series(1, len(w) - 2),
+      |                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+      |  ELSE [] END)""".stripMargin
+
+  val oracles: Map[String, String] = {
+    val Seq(thTrain, thValid) =
+      Pipeline.hexThresholds(splitFractions.map(_._2))
+    Map(
+      "q_sp1_hash_split" ->
+        s"""SELECT split, lang, count(*) AS n_docs,
+           |       CAST(sum(n_chars) AS BIGINT) AS n_chars_total
+           |FROM (SELECT lang, n_chars,
+           |        CASE WHEN substr(md5('$splitSeed:' || CAST(doc_id AS VARCHAR)), 1, 4) < '$thTrain' THEN 'train'
+           |             WHEN substr(md5('$splitSeed:' || CAST(doc_id AS VARCHAR)), 1, 4) < '$thValid' THEN 'valid'
+           |             ELSE 'test' END AS split
+           |      FROM documents)
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      "q_sp2_det_shuffle" ->
+        s"""SELECT md5('$shuffleSeed:' || CAST(doc_id AS VARCHAR)) AS shuffle_key, doc_id
+           |FROM documents ORDER BY 1 LIMIT 100""".stripMargin,
+
+      "q_t6_seq_pack" ->
+        s"""SELECT lang, bin, count(*) AS n_docs,
+           |       CAST(sum(n_tokens) AS BIGINT) AS tokens_packed
+           |FROM (
+           |  SELECT lang, doc_id, n_tokens,
+           |         CAST(floor(COALESCE(sum(n_tokens) OVER (
+           |             PARTITION BY lang ORDER BY doc_id
+           |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |           / $packBudget) AS BIGINT) AS bin
+           |  FROM (SELECT lang, doc_id,
+           |               CAST(len($duckTokens) AS BIGINT) AS n_tokens
+           |        FROM documents))
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      "q_t7_redact" ->
+        s"""SELECT doc_id,
+           |       CAST(len(regexp_extract_all(text, '${Pipeline.EmailRe}')) AS INTEGER) AS n_emails,
+           |       CAST(len(regexp_extract_all(text, '${Pipeline.NumberRe}')) AS INTEGER) AS n_nums,
+           |       substr(regexp_replace(regexp_replace(text, '${Pipeline.EmailRe}', '<EMAIL>', 'g'),
+           |                             '${Pipeline.NumberRe}', '<NUM>', 'g'), 1, 120) AS preview
+           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "q_d6_ngram_jaccard" ->
+        s"""WITH d AS (
+           |  SELECT doc_id, $duckShingles3 AS sh
+           |  FROM (SELECT doc_id, $duckTokens AS w FROM documents)),
+           |nonempty AS (SELECT * FROM d WHERE len(sh) > 0)
+           |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           |             / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+           |FROM nonempty a JOIN nonempty b ON a.doc_id < b.doc_id
+           |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+           |ORDER BY id_a, id_b""".stripMargin
+    )
+  }
+}

@@ -350,6 +350,76 @@ object RelationalQueries {
         .orderBy("c_mktsegment", "c_custkey")
     }),
 
+    // H1 — TPC-H Q1 pricing summary, in full: decimal-exact additive sums,
+    // derived disc-price/charge measures, averages as sum/count. The plan
+    // must be scan -> partial agg -> ONE exchange on the 6-value grouping
+    // key -> final agg: the canonical map-side-combine shape that holds at
+    // any scale.
+    "q_h1_pricing_summary" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum("l_quantity").as("sum_qty"),
+          dsum("l_extendedprice").as("sum_base_price"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,4)")).cast("double").as("sum_disc_price"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount"))
+              * (lit(1) + col("l_tax")))
+            .cast("decimal(18,6)")).cast("double").as("sum_charge"),
+          round(sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            / count(lit(1)), 6).as("avg_qty"),
+          round(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            / count(lit(1)), 6).as("avg_price"),
+          round(sum(col("l_discount").cast("decimal(18,4)")).cast("double")
+            / count(lit(1)), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // H5 — local-supplier volume: the 6-table join (customer ⋈ orders ⋈
+    // lineitem ⋈ supplier ⋈ nation ⋈ region) with the c/s same-nation
+    // constraint. Dims are broadcast (no shuffle for them); only the two
+    // fact tables exchange on the join keys.
+    "q_h5_local_supplier_volume" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1998-01-01"))
+      t(s, dir, "customer")
+        .join(ord, col("c_custkey") === col("o_custkey"))
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")).filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // H10 — returned-item reporting: revenue lost to returns per customer,
+    // top 20. Fact ⋈ fact shuffle join + broadcast nation dim + grouped
+    // top-k (TakeOrdered — no global sort).
+    "q_h10_returned_items" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1997-01-01") &&
+          col("o_orderdate") < lit("1997-07-01"))
+      t(s, dir, "customer")
+        .join(ord, col("c_custkey") === col("o_custkey"))
+        .join(t(s, dir, "lineitem").filter(col("l_returnflag") === "R"),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
     // SQL surface — the same engine driven through spark.sql text over
     // registered views (per-day revenue by market segment).
     "q_sql1_text_query" -> ((s, dir) => {
@@ -633,6 +703,41 @@ object RelationalQueries {
         |FROM customer
         |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
         |ORDER BY c_mktsegment, c_custkey""".stripMargin,
+
+    "q_h1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+        |       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
+        |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_price,
+        |       round(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS avg_disc,
+        |       count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_h5_local_supplier_volume" ->
+      """SELECT n_name,
+        |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q_h10_returned_items" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem, nation
+        |WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey
+        |  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-07-01'
+        |GROUP BY 1, 2, 3, 4 ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
 
     "q_sql1_text_query" ->
       """SELECT c_mktsegment, CAST(year(o_orderdate) AS INTEGER) AS order_year,

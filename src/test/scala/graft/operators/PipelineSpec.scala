@@ -1,0 +1,104 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Properties of the corpus-preparation operators that the DuckDB oracles
+  * can't express: split stability under corpus growth, the cross-partition
+  * total order of the deterministic shuffle, and the packing overflow
+  * bound.
+  */
+class PipelineSpec extends SparkTestBase {
+
+  private def docs = spark.read.parquet(s"${sfDir("0.01")}/documents.parquet")
+
+  test("hexThresholds: cumulative 4-hex-digit split boundaries") {
+    assert(Pipeline.hexThresholds(Seq(0.8, 0.1, 0.1)) == Seq("cccd", "e666"))
+    assert(Pipeline.hexThresholds(Seq(0.5, 0.5)) == Seq("8000"))
+  }
+
+  test("hashSplit: fractions are roughly honored and rows are preserved") {
+    val split = Pipeline.hashSplit(docs, "doc_id", "s1",
+      Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+    val counts = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == docs.count())
+    val train = counts.getOrElse("train", 0L).toDouble / counts.values.sum
+    assert(train > 0.7 && train < 0.9, s"train fraction $train out of range")
+    assert(counts.keySet == Set("train", "valid", "test"))
+  }
+
+  test("hashSplit: membership is stable — growing the corpus never moves a row") {
+    val fr = Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)
+    val full = Pipeline.hashSplit(docs, "doc_id", "s1", fr)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val subset = Pipeline.hashSplit(docs.filter(col("doc_id") < 250), "doc_id", "s1", fr)
+      .select("doc_id", "split").collect()
+    assert(subset.nonEmpty)
+    subset.foreach { r =>
+      assert(full(r.getLong(0)) == r.getString(1),
+        s"doc ${r.getLong(0)} moved splits when the corpus grew")
+    }
+  }
+
+  test("deterministicShuffle: global total order across partitions, stable across runs") {
+    def runOnce(): Seq[Long] =
+      Pipeline.deterministicShuffle(docs, "doc_id", "sh7", 5)
+        // monotonically_increasing_id after the per-partition sort encodes
+        // (partition, position): range partitions are in key order, so
+        // ordering by it reads back the global shuffled order.
+        .withColumn("_mid", monotonically_increasing_id())
+        .orderBy("_mid").select("doc_id").collect().map(_.getLong(0)).toSeq
+    val got = runOnce()
+    val expected = docs
+      .select(col("doc_id"), Pipeline.shuffleKey(col("doc_id"), "sh7").as("k"))
+      .collect().sortBy(_.getString(1)).map(_.getLong(0)).toSeq
+    assert(got == expected, "shuffle order is not the seeded md5 permutation")
+    assert(runOnce() == got, "shuffle order changed between runs")
+    assert(got.sorted == docs.select("doc_id").collect().map(_.getLong(0)).toSeq.sorted)
+  }
+
+  test("packSequences: bins overflow by at most one document, bins contiguous") {
+    val budget = 256L
+    val packed = Pipeline.packSequences(
+      docs.selectExpr("doc_id", "lang",
+        "CAST(size(filter(split(text, ' '), x -> x != '')) AS BIGINT) AS n_tokens"),
+      "lang", "doc_id", "n_tokens", budget)
+    val perBin = packed.groupBy("lang", "bin")
+      .agg(sum("n_tokens").as("tok"), max("n_tokens").as("biggest"))
+      .collect()
+    assert(perBin.nonEmpty)
+    perBin.foreach { r =>
+      assert(r.getLong(2) - r.getLong(3) < budget,
+        s"bin ${r.get(1)} of ${r.getString(0)} exceeds budget by more than one doc")
+    }
+    // bins within each group are 0..max with no gaps
+    val byLang = perBin.groupBy(_.getString(0))
+    byLang.foreach { case (lang, rows) =>
+      val bins = rows.map(_.getLong(1)).sorted.toSeq
+      assert(bins == (0L until bins.length).toSeq,
+        s"$lang bins not contiguous: ${bins.mkString(",")}")
+    }
+  }
+
+  test("redact: emails and numbers become typed tags with exact counts") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "mail bob.smith+x@corp.example.org about invoice 1234 for 56.78 eur"),
+      (2L, "no pii here"),
+      (3L, "two mails a@b.co c@d.io and v2")
+    ).toDF("id", "text")
+    val out = df.select(
+      col("id"),
+      Pipeline.matchCount(col("text"), Pipeline.EmailRe).as("ne"),
+      Pipeline.matchCount(col("text"), Pipeline.NumberRe).as("nn"),
+      Pipeline.redact(col("text")).as("r")).orderBy("id").collect()
+    assert(out(0).getInt(1) == 1 && out(0).getInt(2) == 2)
+    assert(out(0).getString(3) ==
+      "mail <EMAIL> about invoice <NUM> for <NUM> eur")
+    assert(out(1).getInt(1) == 0 && out(1).getInt(2) == 0)
+    assert(out(2).getInt(1) == 2 && out(2).getInt(2) == 1)
+    assert(out(2).getString(3) == "two mails <EMAIL> <EMAIL> and v<NUM>")
+  }
+}

@@ -53,6 +53,23 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("Sort "), p)
   }
 
+  test("TPC-H Q1 aggregates with map-side combine and a single exchange") {
+    val p = plan("q_h1_pricing_summary")
+    assert("HashAggregate".r.findAllIn(p).length >= 2, s"expected partial+final agg:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected exactly one exchange, got $exchanges:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"date filter not pushed to scan:\n$p")
+  }
+
+  test("TPC-H Q5 six-table join broadcasts all three dimensions") {
+    val p = plan("q_h5_local_supplier_volume")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(broadcasts >= 3, s"expected >=3 broadcast dim joins, got $broadcasts:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(r_name)"),
+      s"region filter not pushed:\n$p")
+  }
+
   test("whole-stage codegen covers the scan-filter-project pipeline") {
     // codegen spans render as "*(n)" stage markers in the executed plan
     val p = plan("q_s1_scan_filter_project")
