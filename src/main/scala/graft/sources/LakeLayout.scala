@@ -60,6 +60,45 @@ object LakeLayout {
       .save(path)
   }
 
+  /** Recursively list data files under `path` (skips hidden/_metadata
+    * files), returning (count, totalBytes).
+    */
+  def dataFileStats(spark: SparkSession, path: String): (Long, Long) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    var n = 0L; var bytes = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      if (!name.startsWith("_") && !name.startsWith(".")) {
+        n += 1; bytes += f.getLen
+      }
+    }
+    (n, bytes)
+  }
+
+  /** Small-file compaction: rewrite a table directory into
+    * ceil(totalBytes / targetFileBytes) files. The small-file problem is a
+    * first-order 100 TB cost — a table written by many tasks accumulates
+    * files whose open/list/seek overhead dominates scan time, and fixing
+    * it is a periodic maintenance pass, not a read-time workaround.
+    * Round-robin repartition (no keys) spreads rows evenly regardless of
+    * skew in the input files. Writes to `outPath` (an in-place swap is the
+    * caller's rename; on object stores the swap is a manifest flip).
+    * Returns (filesBefore, filesAfter).
+    */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+              targetFileBytes: Long = 128L << 20,
+              format: String = "parquet"): (Long, Long) = {
+    val (before, bytes) = dataFileStats(spark, inPath)
+    val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    spark.read.format(format).load(inPath)
+      .repartition(nFiles)
+      .write.format(format).mode(SaveMode.Overwrite).save(outPath)
+    (before, dataFileStats(spark, outPath)._1)
+  }
+
   def readOrc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
 

@@ -18,6 +18,32 @@ class MultimodalSpec extends SparkTestBase {
       again.map(m => m.media_id -> m.kind).toMap)
   }
 
+  test("binaryFile ingestion: raw files become typed media rows, payloads intact") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("mediafiles")
+    val blobs = Map("a.jpg" -> Array[Byte](1, 2, 3, 4),
+      "b.wav" -> Array[Byte](9, 8), "c.mp4" -> Array[Byte](5, 5, 5),
+      "notes.txt" -> Array[Byte](7)) // unknown extension: dropped
+    blobs.foreach { case (name, bytes) =>
+      Files.write(dir.resolve(name), bytes)
+    }
+    val media = Multimodal.mediaFromFiles(
+      Multimodal.readBinaryFiles(spark, dir.toString)).collect()
+    assert(media.length == 3, "unknown extension should be dropped")
+    assert(media.map(_.kind).sorted.toSeq == Seq("audio", "image", "video"))
+    // payload bytes round-trip exactly
+    val byKind = media.map(m => m.kind -> m.payload.toSeq).toMap
+    assert(byKind("image") == Seq[Byte](1, 2, 3, 4))
+    assert(byKind("audio") == Seq[Byte](9, 8))
+    // stable ids across re-ingestion of the same paths
+    val again = Multimodal.mediaFromFiles(
+      Multimodal.readBinaryFiles(spark, dir.toString)).collect()
+    assert(media.map(_.media_id).sorted.toSeq == again.map(_.media_id).sorted.toSeq)
+    // size guard drops oversized blobs (b.wav 2B + notes.txt 1B survive)
+    val small = Multimodal.readBinaryFiles(spark, dir.toString, maxBytes = 2)
+    assert(small.count() == 2)
+  }
+
   test("decodeFeatures yields fixed-width normalized vectors and metadata") {
     val feats = Multimodal.decodeFeatures(
       Multimodal.mediaFromDocuments(docs), dim = 16).collect()

@@ -56,6 +56,26 @@ class LakeLayoutSpec extends SparkTestBase {
     assert(disorder.isEmpty, "files are not clustered by l_shipdate")
   }
 
+  test("compact rewrites a many-small-file table into the target file count") {
+    val in = Files.createTempDirectory("compact_in").toString
+    val out = Files.createTempDirectory("compact_out").toString
+    // 40 tiny files
+    li.repartition(40).write.mode("overwrite").parquet(in)
+    val (before, after) = LakeLayout.compact(spark, in, out,
+      targetFileBytes = 256L << 10)
+    assert(before == 40, s"setup wrote $before files")
+    assert(after < 10, s"compaction left $after files")
+    // lossless: same multiset of rows ((orderkey, linenumber) is not unique
+    // in the synthetic data, so compare canonicalized row strings)
+    val a = spark.read.parquet(in).collect().map(_.toString).sorted.toSeq
+    val b = spark.read.parquet(out).collect().map(_.toString).sorted.toSeq
+    assert(a == b)
+    // file sizes land at/below target (plus parquet overhead tolerance)
+    val fs = new java.io.File(out).listFiles()
+      .filter(f => f.getName.endsWith(".parquet"))
+    assert(fs.forall(_.length <= (256L << 10) * 2))
+  }
+
   test("ORC round-trip is lossless and pushes filters") {
     val path = Files.createTempDirectory("lake").toString + "/orc"
     LakeLayout.writeOrc(li.select("l_orderkey", "l_linenumber", "l_quantity"), path)
