@@ -87,6 +87,37 @@ object Pipeline {
         .cast("long"))
   }
 
+  /** Language/source-balanced corpus capping: keep at most `n` rows per
+    * group, best-first by `orderCols` (ties must be broken by a unique
+    * column for determinism). One shuffle on the group key; the per-group
+    * top-n never materializes a group in memory (window rank, not a
+    * collect). This is the "cap English at N docs" rebalancing step of a
+    * corpus build.
+    */
+  def capPerGroup(df: DataFrame, groupCol: String,
+                  orderCols: Seq[Column], n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("_rk",
+        row_number().over(Window.partitionBy(groupCol).orderBy(orderCols: _*)))
+      .filter(col("_rk") <= n)
+      .drop("_rk")
+  }
+
+  /** Seeded stratified sampling: per-stratum Bernoulli keep-decision from
+    * the same md5-bucket machinery as [[hashSplit]] — NOT `sampleBy`'s RNG,
+    * so membership is a pure function of (seed, id): reproducible across
+    * runs, clusters, and partitionings, and stable when the corpus grows.
+    */
+  def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
+                       seed: String, fractions: Map[String, Double]): DataFrame = {
+    val bucket = hashBucket(col(idCol), seed)
+    val keep = fractions.foldLeft(lit(false)) { case (acc, (stratum, f)) =>
+      val th = f"${math.round(f * 65536).toInt}%04x"
+      when(col(strataCol) === stratum, bucket < lit(th)).otherwise(acc)
+    }
+    df.filter(keep)
+  }
+
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val NumberRe = "[0-9]+(\\.[0-9]+)?"
 

@@ -64,11 +64,11 @@ object PipelineQueries {
         substring(Pipeline.redact(col("text")), 1, 120).as("preview"))
         .orderBy("doc_id")),
 
-    // Exact n-gram Jaccard near-dup pairs (word 3-grams, J >= 0.5) — the
-    // brute-force twin of the MinHash scale path (q_d3): cross join is
-    // ground truth at sf-test scale; a real corpus runs LSH.
+    // Exact n-gram Jaccard near-dup pairs (word 3-grams, J >= 0.5) via the
+    // prefix-filtered similarity join — EXACT results (oracle = the brute
+    // force) without the all-pairs cross join, so this one scales.
     "q_d6_ngram_jaccard" -> ((s, dir) =>
-      Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
+      Dedup.jaccardSimilarityJoin(docs(s, dir), "doc_id", "text",
           shingleSize = 3, threshold = 0.5)
         .withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy("id_a", "id_b"))

@@ -39,6 +39,29 @@ class DedupSpec extends SparkTestBase {
     assert(lsh.nonEmpty, "sf0.001 corpus should contain planted near-dups")
   }
 
+  test("prefix-filtered similarity join equals brute force exactly") {
+    // crafted corpus at two thresholds + the sf0.001 documents: pairs AND
+    // jaccard values must match the cross-join ground truth exactly.
+    for (t <- Seq(0.5, 0.8)) {
+      val fast = Dedup.jaccardSimilarityJoin(df(corpus), "doc_id", "text",
+          shingleSize = 2, threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val brute = Dedup.ngramJaccardPairs(df(corpus), "doc_id", "text",
+          shingleSize = 2, threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(fast == brute, s"mismatch at threshold $t")
+    }
+    val docs = spark.read.parquet(sfDir("0.001") + "/documents.parquet")
+    val fast = Dedup.jaccardSimilarityJoin(docs, "doc_id", "text",
+        shingleSize = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val brute = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        shingleSize = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(fast == brute)
+    assert(fast.nonEmpty, "sf0.001 corpus should contain planted near-dups")
+  }
+
   test("simhash finds exact and near duplicates with small hamming distance") {
     val pairs = Dedup.simHashNearDuplicates(df(corpus), "doc_id", "text", maxDist = 8)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
