@@ -64,6 +64,24 @@ object PipelineQueries {
         substring(Pipeline.redact(col("text")), 1, 120).as("preview"))
         .orderBy("doc_id")),
 
+    // Language-balanced corpus capping: keep at most 50 docs per language,
+    // longest-first (deterministic tie-break on doc_id) — the rebalancing
+    // step that stops one language from dominating a mixed corpus.
+    "q_sp3_lang_cap" -> ((s, dir) =>
+      Pipeline.capPerGroup(docs(s, dir), "lang",
+          Seq(col("n_chars").desc, col("doc_id")), 50)
+        .select("lang", "doc_id", "n_chars")
+        .orderBy("lang", "doc_id")),
+
+    // Seeded stratified sampling: keep 50% of en, 25% of de, 0% of the
+    // rest — membership is a pure function of (seed, doc_id), so the
+    // sample is reproducible and stable under corpus growth.
+    "q_sp4_stratified_sample" -> ((s, dir) =>
+      Pipeline.stratifiedSample(docs(s, dir), "lang", "doc_id",
+          "graft-strat-9", Map("en" -> 0.5, "de" -> 0.25))
+        .select("lang", "doc_id")
+        .orderBy("lang", "doc_id")),
+
     // Exact n-gram Jaccard near-dup pairs (word 3-grams, J >= 0.5) via the
     // prefix-filtered similarity join — EXACT results (oracle = the brute
     // force) without the all-pairs cross join, so this one scales.
@@ -119,6 +137,22 @@ object PipelineQueries {
            |       substr(regexp_replace(regexp_replace(text, '${Pipeline.EmailRe}', '<EMAIL>', 'g'),
            |                             '${Pipeline.NumberRe}', '<NUM>', 'g'), 1, 120) AS preview
            |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "q_sp3_lang_cap" ->
+        """SELECT lang, doc_id, n_chars FROM (
+          |  SELECT lang, doc_id, n_chars,
+          |         row_number() OVER (PARTITION BY lang
+          |                            ORDER BY n_chars DESC, doc_id) AS rk
+          |  FROM documents)
+          |WHERE rk <= 50 ORDER BY lang, doc_id""".stripMargin,
+
+      "q_sp4_stratified_sample" -> {
+        def th(f: Double) = f"${math.round(f * 65536).toInt}%04x"
+        s"""SELECT lang, doc_id FROM documents
+           |WHERE (lang = 'en' AND substr(md5('graft-strat-9:' || CAST(doc_id AS VARCHAR)), 1, 4) < '${th(0.5)}')
+           |   OR (lang = 'de' AND substr(md5('graft-strat-9:' || CAST(doc_id AS VARCHAR)), 1, 4) < '${th(0.25)}')
+           |ORDER BY lang, doc_id""".stripMargin
+      },
 
       "q_d6_ngram_jaccard" ->
         s"""WITH d AS (

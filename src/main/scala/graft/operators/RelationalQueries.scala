@@ -328,6 +328,21 @@ object RelationalQueries {
         .orderBy("o_orderpriority")
     }),
 
+    // A11 — explicit GROUPING SETS with grouping_id: arbitrary grouping
+    // combinations in ONE pass (the generalization under rollup/cube),
+    // plus the bit-vector telling which columns each row aggregates over.
+    "q_a11_grouping_sets" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.groupingSets(
+          Seq(Seq(col("o_orderpriority"), col("o_orderstatus")),
+            Seq(col("o_orderpriority")), Seq()),
+          col("o_orderpriority"), col("o_orderstatus"))
+        .agg(grouping_id().cast("int").as("gid"),
+          count(lit(1)).as("num_orders"), dsum("o_totalprice").as("revenue"))
+        .orderBy(col("o_orderpriority").asc_nulls_first,
+          col("o_orderstatus").asc_nulls_first)
+    }),
+
     // INTERSECT ALL — multiset intersection (min of multiplicities).
     "q_set5_intersect_all" -> ((s, dir) => {
       val o = t(s, dir, "orders")
@@ -688,6 +703,15 @@ object RelationalQueries {
         |EXCEPT ALL
         |SELECT o_orderpriority FROM orders WHERE o_custkey > 750
         |ORDER BY o_orderpriority""".stripMargin,
+
+    "q_a11_grouping_sets" ->
+      """SELECT o_orderpriority, o_orderstatus,
+        |       CAST(GROUPING(o_orderpriority, o_orderstatus) AS INTEGER) AS gid,
+        |       count(*) AS num_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin,
 
     "q_set5_intersect_all" ->
       """SELECT o_orderpriority FROM orders WHERE o_custkey <= 750
