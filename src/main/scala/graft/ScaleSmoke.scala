@@ -62,6 +62,29 @@ object ScaleSmoke {
     val pairs = Dedup.minHashNearDuplicates(bigDocs, "doc_id", "text").count()
     val dedupSec = (System.nanoTime() - t1) / 1e9
 
+    // Exact similarity join at ~50k docs: the prefix-filtered AllPairs
+    // path. Brute force here would be ~1.25B pairs — infeasible. Replicas
+    // get a disjoint per-shard vocabulary (replica tag fused into every
+    // token): corpus growth scales PAIRS linearly (10 shards x original),
+    // unlike the identical-copy replication above, which is kept for the
+    // minhash entry precisely because banding bounds its per-bucket
+    // quadratic — an exact join on 10 identical copies of everything
+    // would instead verify factor^2 x the pairs (and did, before this
+    // sharding: ~100x the work, spilling past local disk).
+    val shardedDocs = spark.range(factor).crossJoin(docs)
+      .select(
+        (col("doc_id") + col("id") * 10000000L).as("doc_id"),
+        array_join(
+          transform(
+            filter(split(col("text"), " "), (x: org.apache.spark.sql.Column) => x =!= ""),
+            x => concat(col("id").cast("string"), lit("_"), x)),
+          " ").as("text"))
+      .repartition(cores)
+    val t2 = System.nanoTime()
+    val ssjoinPairs = Dedup.jaccardSimilarityJoin(shardedDocs, "doc_id", "text",
+      shingleSize = 2, threshold = 0.7).count()
+    val ssjoinSec = (System.nanoTime() - t2) / 1e9
+
     // Skew stress: ~95% of fact rows share ONE key, and broadcast is
     // disabled so the join must shuffle — the shape where a hot key pins
     // a whole reducer. (The hot partition stays under AQE's 256 MB
@@ -140,6 +163,7 @@ object ScaleSmoke {
     println(s"""{"kernel_rows":$nRows,"kernel_sec":$kernelSec,""" +
       s""""kernel_rows_per_sec":${(nRows / kernelSec).toLong},""" +
       s""""dedup_docs":${docs.count() * factor},"dedup_pairs":$pairs,"dedup_sec":$dedupSec,""" +
+      s""""ssjoin_pairs":$ssjoinPairs,"ssjoin_sec":$ssjoinSec,""" +
       s""""skew_plain_sec":$plainSec,"skew_salted_sec":$saltedSec,""" +
       s""""skew_speedup":${plainSec / saltedSec},""" +
       s""""ann_vectors":$nVec,"ann_brute_sec":$bruteSec,""" +

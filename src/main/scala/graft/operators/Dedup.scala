@@ -159,6 +159,76 @@ object Dedup {
     } finally prepared.unpersist()
   }
 
+  /** Exact-verify candidate pairs against distinct shingle sets: one
+    * array_intersect per pair, |A∪B| from carried sizes. Shared by the
+    * LSH, prefix-filter, and incremental paths.
+    */
+  private def verifyPairs(pairs: DataFrame, sets: DataFrame, idCol: String,
+                          threshold: Double): DataFrame =
+    pairs
+      .join(sets.select(col(idCol).as("id_a"), col("sh").as("sh_a"),
+        col("sz").as("sz_a")), "id_a")
+      .join(sets.select(col(idCol).as("id_b"), col("sh").as("sh_b"),
+        col("sz").as("sz_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+
+  /** One row per (id, sh, sz, band_idx, band_key) — the PERSISTABLE LSH
+    * index state: write it once per corpus (partition by band_key range in
+    * the lake), and each incoming batch joins against it instead of
+    * re-touching history. See [[incrementalNearDuplicates]].
+    */
+  def lshIndex(docs: DataFrame, idCol: String, textCol: String,
+               shingleSize: Int = 2, numHashes: Int = 128,
+               bands: Int = 32): DataFrame = {
+    require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
+    graft.plans.GraftExtensions.register(docs.sparkSession)
+    docs.select(col(idCol), shingles(textCol, shingleSize).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sz", size(col("sh")))
+      .withColumn("sig", minHashSignature("sh", numHashes))
+      .withColumn("bands", bandKeys("sig", bands, numHashes / bands))
+      .select(col(idCol), col("sh"), col("sz"),
+        posexplode(col("bands")).as(Seq("band_idx", "band_key")))
+  }
+
+  /** Incremental near-duplicate detection: compare a NEW batch against the
+    * stored [[lshIndex]] and itself, never re-deriving old-vs-old pairs —
+    * the shape that keeps continuous corpus ingestion O(batch), not
+    * O(corpus): history participates only through one equi-join on its
+    * already-computed band keys. Returns exact-verified pairs touching at
+    * least one new doc (id_a < id_b; ids must be disjoint from the index's).
+    */
+  def incrementalNearDuplicates(
+      newDocs: DataFrame, index: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 2, numHashes: Int = 128, bands: Int = 32,
+      threshold: Double = 0.7): DataFrame = {
+    val newIdx = lshIndex(newDocs, idCol, textCol, shingleSize, numHashes, bands)
+      .persist()
+    try {
+      val nb = newIdx.select(col(idCol).as("nid"), col("band_idx"), col("band_key"))
+      val vsOld = nb
+        .join(index.select(col(idCol).as("oid"), col("band_idx"), col("band_key")),
+          Seq("band_idx", "band_key"))
+        .filter(col("nid") =!= col("oid"))
+        .select(least(col("nid"), col("oid")).as("id_a"),
+          greatest(col("nid"), col("oid")).as("id_b"))
+      val vsNew = nb.as("x")
+        .join(nb.as("y"),
+          col("x.band_idx") === col("y.band_idx") &&
+            col("x.band_key") === col("y.band_key") &&
+            col("x.nid") < col("y.nid"))
+        .select(col("x.nid").as("id_a"), col("y.nid").as("id_b"))
+      val pairs = vsOld.unionByName(vsNew).distinct()
+      val sets = index.select(col(idCol), col("sh"), col("sz")).dropDuplicates(idCol)
+        .unionByName(newIdx.select(col(idCol), col("sh"), col("sz")).dropDuplicates(idCol))
+      verifyPairs(pairs, sets, idCol, threshold).pipe(materialize)
+    } finally newIdx.unpersist()
+  }
+
   /** Brute-force n-gram Jaccard pairs — the quadratic reference path used to
     * validate LSH recall (and fine on dimension-sized inputs). The self-join
     * is a broadcast when one side is small; never use at corpus scale.

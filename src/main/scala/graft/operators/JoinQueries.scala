@@ -50,6 +50,16 @@ object JoinQueries {
         .orderBy("p_brand")
     }),
 
+    // Blocked fuzzy self-join (entity resolution): customer-name pairs
+    // within edit distance 1 inside 16-char prefix blocks, summarized per
+    // block. Blocking replaces the all-pairs comparison with one equi-join.
+    "q_str2_fuzzy_block" -> ((s, dir) =>
+      Joins.fuzzyJoin(s.read.parquet(s"$dir/customer.parquet"),
+          "c_custkey", "c_name", blockLen = 16, maxDist = 1)
+        .groupBy("block")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("block")),
+
     // String-function battery over part names.
     "q_str1_functions" -> ((s, dir) =>
       s.read.parquet(s"$dir/part.parquet")
@@ -67,6 +77,15 @@ object JoinQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_str2_fuzzy_block" ->
+      """WITH b AS (SELECT c_custkey, c_name,
+        |                  substr(c_name, 1, 16) AS blk FROM customer)
+        |SELECT a.blk AS block, count(*) AS n_pairs
+        |FROM b a JOIN b b2
+        |  ON a.blk = b2.blk AND a.c_custkey < b2.c_custkey
+        | AND levenshtein(a.c_name, b2.c_name) <= 1
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_r2_asof_join" ->
       """WITH tagged AS (
         |  SELECT user_id, ts, 1 AS is_left, event_id,

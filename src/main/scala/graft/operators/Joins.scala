@@ -106,4 +106,26 @@ object Joins {
       explode(array((0 until saltFactor).map(lit): _*)))
     factS.join(dimS, Seq(key, "_salt"), joinType).drop("_salt")
   }
+
+  /** Blocked fuzzy self-join (entity resolution): pairs whose `strCol`
+    * values agree on the first `blockLen` characters AND are within
+    * `maxDist` edit distance. Blocking turns the quadratic all-pairs
+    * comparison into one equi-join on the block key — the standard
+    * record-linkage shape; candidates outside a shared block are
+    * (deliberately, as in any blocking scheme) not compared. Levenshtein
+    * runs only inside blocks.
+    */
+  def fuzzyJoin(df: DataFrame, idCol: String, strCol: String,
+                blockLen: Int, maxDist: Int): DataFrame = {
+    val b = df.select(col(idCol), col(strCol),
+      substring(col(strCol), 1, blockLen).as("_blk"))
+    b.as("a")
+      .join(b.as("b"),
+        col("a._blk") === col("b._blk") &&
+          col(s"a.$idCol") < col(s"b.$idCol") &&
+          levenshtein(col(s"a.$strCol"), col(s"b.$strCol")) <= maxDist)
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        col("a._blk").as("block"),
+        levenshtein(col(s"a.$strCol"), col(s"b.$strCol")).as("dist"))
+  }
 }

@@ -173,6 +173,23 @@ object RelationalQueries {
           count(lit(1)).as("n"))
         .orderBy("l_returnflag")),
 
+    // A12 — MERGEABLE distinct-count sketches (Apache DataSketches HLL):
+    // per-day sketches union losslessly into per-type totals, so daily
+    // partials are REAGGREGATABLE — the property that lets a 100 TB
+    // pipeline keep rolling distinct counts without rescanning history.
+    // Approximate → rows-only; SketchSpec pins merge == direct equality.
+    "q_a12_sketch_merge" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"),
+          count(lit(1)).as("n"))
+      daily.groupBy("event_type")
+        .agg(
+          hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"),
+          sum("n").as("n_events"))
+        .orderBy("event_type")
+    }),
+
     // A9 — sample stddev via exact decimal moments: sqrt((Σx² − (Σx)²/n)/(n−1)).
     // The builtin stddev_samp accumulates doubles in partition order —
     // nondeterministic vs the oracle; decimal moments are exact.
@@ -435,6 +452,57 @@ object RelationalQueries {
         .limit(20)
     }),
 
+    // W5 — RANGE-frame window: trailing 7-day moving average of daily
+    // revenue per market segment (frame bounded by VALUE distance on epoch
+    // days, not row count — days can be missing).
+    "q_w5_moving_avg" -> ((s, dir) => {
+      val daily = t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer").select("c_custkey", "c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"), to_date(col("o_orderdate")).as("day"))
+        .agg(dsum("o_totalprice").as("revenue"))
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("epoch_day"))
+        .rangeBetween(-6, Window.currentRow)
+      daily
+        .withColumn("epoch_day", datediff(col("day"), lit("1970-01-01")).cast("long"))
+        .withColumn("ma7",
+          round(sum(col("revenue").cast("decimal(18,2)")).over(w).cast("double")
+            / count(lit(1)).over(w), 4))
+        .select("c_mktsegment", "day", "revenue", "ma7")
+        .orderBy("c_mktsegment", "day")
+    }),
+
+    // W6 — value windows: first/last/nth order price within each
+    // customer's history (full-frame; deterministic tie-break on orderkey).
+    "q_w6_value_windows" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          first("o_totalprice").over(w).as("first_price"),
+          last("o_totalprice").over(w).as("last_price"),
+          nth_value(col("o_totalprice"), 2).over(w).as("second_price"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // H18 — large-volume customers: HAVING on an aggregated subquery,
+    // semi-joined back to the order/customer detail (TPC-H Q18 shape).
+    "q_h18_big_orders" -> ((s, dir) => {
+      val bigKeys = t(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"))
+        .filter(col("sum_qty") > 180)
+        .select(col("l_orderkey").as("bk"))
+      t(s, dir, "orders")
+        .join(bigKeys, col("o_orderkey") === col("bk"), "left_semi")
+        .join(broadcast(t(s, dir, "customer").select("c_custkey", "c_name")),
+          col("o_custkey") === col("c_custkey"))
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
     // SQL surface — the same engine driven through spark.sql text over
     // registered views (per-day revenue by market segment).
     "q_sql1_text_query" -> ((s, dir) => {
@@ -460,6 +528,15 @@ object RelationalQueries {
           col("event_type"))
         .agg(count(lit(1)).as("n"), dsum("value").as("total_value"))
         .orderBy("hour_start", "event_type")),
+
+    // TS1 — time-series regularization: dense daily grid per event type
+    // with forward-filled gaps (sparse high-value observations; 46 of 150
+    // grid days are gaps at sf0.01). Two keyed windows + one join.
+    "q_ts1_gapfill" -> ((s, dir) =>
+      TimeSeries.resampleDaily(
+          Tables.events(s, dir).filter(col("value") >= 200),
+          "event_type", "ts", "value")
+        .orderBy("event_type", "day")),
 
     // E2 — sessionization: 30-minute-gap sessions per user, counted via a
     // windowed gap-flag prefix sum (the batch twin of
@@ -763,6 +840,38 @@ object RelationalQueries {
         |  AND o_orderdate < TIMESTAMP '1997-07-01'
         |GROUP BY 1, 2, 3, 4 ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
 
+    "q_w5_moving_avg" ->
+      """WITH daily AS (
+        |  SELECT c_mktsegment, CAST(o_orderdate AS DATE) AS day,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2)
+        |SELECT c_mktsegment, day, revenue,
+        |       round(CAST(sum(CAST(revenue AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |             / count(*) OVER w, 4) AS ma7
+        |FROM (SELECT *, day - DATE '1970-01-01' AS epoch_day FROM daily)
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY epoch_day
+        |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY c_mktsegment, day""".stripMargin,
+
+    "q_w6_value_windows" ->
+      """SELECT o_custkey, o_orderkey,
+        |       first_value(o_totalprice) OVER w AS first_price,
+        |       last_value(o_totalprice) OVER w AS last_price,
+        |       nth_value(o_totalprice, 2) OVER w AS second_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_h18_big_orders" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem
+        |  GROUP BY 1 HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 180)
+        |ORDER BY o_orderkey""".stripMargin,
+
     "q_sql1_text_query" ->
       """SELECT c_mktsegment, CAST(year(o_orderdate) AS INTEGER) AS order_year,
         |       count(*) AS num_orders,
@@ -776,6 +885,27 @@ object RelationalQueries {
         |       event_type, count(*) AS n,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_ts1_gapfill" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, max(value) AS v
+        |  FROM events WHERE value >= 200 GROUP BY 1, 2),
+        |spans AS (SELECT event_type, min(day) AS d0, max(day) AS d1
+        |          FROM daily GROUP BY 1),
+        |grid AS (SELECT event_type,
+        |                CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+        |                                            CAST(d1 AS TIMESTAMP),
+        |                                            INTERVAL 1 DAY)) AS DATE) AS day
+        |         FROM spans),
+        |j AS (SELECT g.event_type, g.day, d.v
+        |      FROM grid g LEFT JOIN daily d USING (event_type, day)),
+        |f AS (SELECT event_type, day, v,
+        |             count(v) OVER (PARTITION BY event_type ORDER BY day) AS grp
+        |      FROM j)
+        |SELECT event_type, day,
+        |       max(v) OVER (PARTITION BY event_type, grp) AS v_filled,
+        |       CAST(v IS NULL AS INTEGER) AS was_gap
+        |FROM f ORDER BY event_type, day""".stripMargin,
 
     "q_e2_sessions" ->
       """WITH flagged AS (

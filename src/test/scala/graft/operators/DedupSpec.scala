@@ -39,6 +39,26 @@ class DedupSpec extends SparkTestBase {
     assert(lsh.nonEmpty, "sf0.001 corpus should contain planted near-dups")
   }
 
+  test("incremental dedup: batch vs stored index equals full-batch pairs touching the batch") {
+    val docs = spark.read.parquet(sfDir("0.001") + "/documents.parquet")
+    val old = docs.filter(org.apache.spark.sql.functions.col("doc_id") < 30)
+    val fresh = docs.filter(org.apache.spark.sql.functions.col("doc_id") >= 30)
+    assert(old.count() > 0 && fresh.count() > 0)
+    // persist the index through parquet, as a real pipeline would
+    val idxPath = java.nio.file.Files.createTempDirectory("lshidx").toString
+    Dedup.lshIndex(old, "doc_id", "text").write.mode("overwrite").parquet(idxPath)
+    val index = spark.read.parquet(idxPath)
+    val inc = Dedup.incrementalNearDuplicates(fresh, index, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val freshIds = fresh.select("doc_id").collect().map(_.getLong(0)).toSet
+    val full = Dedup.minHashNearDuplicates(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      .filter(p => freshIds(p._1) || freshIds(p._2))
+    assert(inc == full,
+      s"incremental=${inc.size} fullTouchingNew=${full.size}")
+    assert(inc.nonEmpty, "split should leave cross-batch near-dups")
+  }
+
   test("prefix-filtered similarity join equals brute force exactly") {
     // crafted corpus at two thresholds + the sf0.001 documents: pairs AND
     // jaccard values must match the cross-join ground truth exactly.

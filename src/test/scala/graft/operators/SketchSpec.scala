@@ -23,6 +23,32 @@ class SketchSpec extends SparkTestBase {
     }
   }
 
+  test("DataSketches HLL: daily-sketch union equals the direct global sketch") {
+    val ev = Tables.events(spark, sfDir("0.01"))
+    // partial per-day sketches, merged up
+    val merged = ev.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("m"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // one direct global sketch
+    val direct = ev.groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // HLL register merge is lossless: partial+union must EQUAL direct
+    direct.foreach { case (k, d) =>
+      assert(merged(k) == d, s"$k: merged=${merged(k)} direct=$d")
+    }
+    // and the estimate lands near the exact distinct count
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct("user_id").as("e"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, e) =>
+      val rel = math.abs(direct(k) - e).toDouble / e
+      assert(rel <= 0.05, s"$k: sketch=${direct(k)} exact=$e rel=$rel")
+    }
+  }
+
   test("approx_percentile within 2% rank error of exact percentile") {
     val approx = li.agg(
       expr("approx_percentile(l_extendedprice, 0.5, 10000)")).head().getDouble(0)
