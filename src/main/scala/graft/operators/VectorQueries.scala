@@ -37,6 +37,21 @@ object VectorQueries {
         .limit(10)
     }),
 
+    // Grouped vector aggregation: per-label centroid (class prototype),
+    // reported through its scalar L2 norm so the driver check stays
+    // array-free. posexplode → (label, dim) decimal-exact means → fold
+    // back: one shuffle on (label, dim), no vectors on the driver.
+    "q_v8_label_centroids" -> ((s, dir) =>
+      emb(s, dir)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("i", "x")))
+        .groupBy("label", "i")
+        .agg((sum(col("x").cast("double").cast("decimal(27,12)")) /
+          count(lit(1))).cast("double").as("m"))
+        .groupBy("label")
+        .agg(round(sqrt(sum((col("m") * col("m")).cast("decimal(30,15)"))
+          .cast("double")), 6).as("centroid_norm"))
+        .orderBy("label")),
+
     // Per-label L2-norm statistics (decimal-accumulated for determinism).
     "q_v2_label_norms" -> ((s, dir) =>
       emb(s, dir)
@@ -59,6 +74,19 @@ object VectorQueries {
         |         6) AS cosine
         |FROM embeddings, q WHERE vec_id <> 0
         |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q_v8_label_centroids" ->
+      """SELECT label,
+        |       round(sqrt(CAST(sum(CAST(m * m AS DECIMAL(30,15))) AS DOUBLE)), 6) AS centroid_norm
+        |FROM (
+        |  SELECT label, i,
+        |         CAST(sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(27,12))) / count(*) AS DOUBLE) AS m
+        |  FROM (SELECT label,
+        |               unnest(embedding) AS x,
+        |               unnest(generate_series(1, len(embedding))) AS i
+        |        FROM embeddings)
+        |  GROUP BY 1, 2)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_v2_label_norms" ->
       """SELECT label, count(*) AS n,
