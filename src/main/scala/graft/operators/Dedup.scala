@@ -282,14 +282,22 @@ object Dedup {
           Window.partitionBy(col(idCol)).orderBy(col("df"), col("tok"))))
         .filter(col("rk") <=
           col("sz") - ceil(col("sz") * lit(threshold)).cast("int") + 1)
-        .select(col(idCol), col("sz"), col("tok"))
+        .select(col(idCol), col("sz"), col("tok"), col("rk"))
       val pairs = cands.as("a")
         .join(cands.as("b"),
           col("a.tok") === col("b.tok") &&
             col(s"a.$idCol") < col(s"b.$idCol") &&
             // length filter: J >= t forces t·|A| <= |B| and t·|B| <= |A|
             col("a.sz") >= col("b.sz") * threshold &&
-            col("b.sz") >= col("a.sz") * threshold)
+            col("b.sz") >= col("a.sz") * threshold &&
+            // positional filter (PPJoin): a token matched at sorted
+            // positions (i, j) caps the achievable overlap at
+            // 1 + min(|A|-i, |B|-j); J >= t needs overlap >=
+            // ceil(t/(1+t) · (|A|+|B|)), so occurrences that can't reach
+            // it never become candidates. Exact: the bound is a true
+            // upper bound, so similar pairs always keep >= 1 occurrence.
+            (least(col("a.sz") - col("a.rk"), col("b.sz") - col("b.rk")) + 1) >=
+              ceil((col("a.sz") + col("b.sz")) * lit(threshold / (1 + threshold))))
         .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
         .distinct()
       val sets = prepared.select(col(idCol), col("sh"), col("sz"))

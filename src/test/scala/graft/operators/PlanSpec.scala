@@ -70,6 +70,37 @@ class PlanSpec extends SparkTestBase {
       s"region filter not pushed:\n$p")
   }
 
+  test("AQE re-plans a shuffle join to broadcast when the filtered side shrinks") {
+    // The static planner sees a table above the broadcast threshold; the
+    // runtime filter leaves a handful of rows. AQE must switch the join to
+    // broadcast at runtime — the mechanism we rely on for selective joins
+    // at 100 TB instead of hand-tuning every threshold.
+    val spark2 = spark
+    import spark2.implicits._
+    val sc = spark.conf
+    val prev = sc.get("spark.sql.autoBroadcastJoinThreshold")
+    sc.set("spark.sql.autoBroadcastJoinThreshold", "1024") // 1 KB: static planner won't broadcast
+    try {
+      val li = spark.read.parquet(sfDir("0.01") + "/lineitem.parquet")
+      val tiny = spark.read.parquet(sfDir("0.01") + "/orders.parquet")
+        .filter(org.apache.spark.sql.functions.col("o_orderkey") < 5) // ~4 rows at runtime
+      val joined = li.join(tiny,
+        org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey"))
+      joined.collect()
+      val full = joined.queryExecution.executedPlan.toString
+      val start = full.indexOf("== Final Plan ==")
+      val end = full.indexOf("== Initial Plan ==")
+      assert(start >= 0 && end > start, s"expected an adaptive plan:\n$full")
+      val finalPlan = full.substring(start, end)
+      val initialPlan = full.substring(end)
+      assert(finalPlan.contains("BroadcastHashJoin"),
+        s"AQE did not re-plan to broadcast:\n$finalPlan")
+      assert(initialPlan.contains("SortMergeJoin"),
+        s"static plan should have been a shuffle join:\n$initialPlan")
+    } finally sc.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("whole-stage codegen covers the scan-filter-project pipeline") {
     // codegen spans render as "*(n)" stage markers in the executed plan
     val p = plan("q_s1_scan_filter_project")
