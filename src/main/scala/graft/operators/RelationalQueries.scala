@@ -238,6 +238,28 @@ object RelationalQueries {
           min("k").as("min_k"), max("k").as("max_k"))
         .orderBy("event_type")),
 
+    // F2 — typed JSON parsing: from_json into a schema'd struct (vs f1's
+    // path extraction), projected and aggregated.
+    "q_f2_json_struct" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("p", from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT")))
+        .filter(col("p.k").isNotNull)
+        .groupBy(col("event_type"), (col("p.k") % 10).as("k_mod"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("event_type", "k_mod")),
+
+    // A13 — exact fixed-width histogram via bucket arithmetic (clamped top
+    // bucket); the deterministic alternative to approximate
+    // histogram_numeric.
+    "q_a13_histogram" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .withColumn("bucket",
+          least(floor(col("o_totalprice") / 50000).cast("int"), lit(9)))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), dsum("o_totalprice").as("total"))
+        .orderBy("bucket")),
+
     // A3 — exact countDistinct (approx would fail the oracle by design).
     "q_a3_count_distinct" -> ((s, dir) =>
       t(s, dir, "events")
@@ -780,6 +802,20 @@ object RelationalQueries {
         |EXCEPT ALL
         |SELECT o_orderpriority FROM orders WHERE o_custkey > 750
         |ORDER BY o_orderpriority""".stripMargin,
+
+    "q_f2_json_struct" ->
+      """SELECT event_type,
+        |       CAST(json_extract(props, '$.k') AS INTEGER) % 10 AS k_mod,
+        |       count(*) AS n
+        |FROM events
+        |WHERE json_extract(props, '$.k') IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_a13_histogram" ->
+      """SELECT LEAST(CAST(floor(o_totalprice / 50000) AS INTEGER), 9) AS bucket,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_a11_grouping_sets" ->
       """SELECT o_orderpriority, o_orderstatus,
