@@ -21,6 +21,41 @@ class EdgeCasesSpec extends SparkTestBase {
     assert(Dedup.minHashNearDuplicates(emptyDocs, "doc_id", "text").count() == 0)
     assert(Dedup.simHashNearDuplicates(emptyDocs, "doc_id", "text").count() == 0)
     assert(Dedup.ngramJaccardPairs(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.jaccardSimilarityJoin(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.incrementalNearDuplicates(
+      emptyDocs, Dedup.lshIndex(emptyDocs, "doc_id", "text"),
+      "doc_id", "text").count() == 0)
+  }
+
+  test("corpus-prep operators tolerate empty and single-row inputs") {
+    val fr = Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)
+    assert(Pipeline.hashSplit(emptyDocs, "doc_id", "s", fr).count() == 0)
+    assert(Pipeline.stratifiedSample(emptyDocs, "text", "doc_id", "s",
+      Map("en" -> 0.5)).count() == 0)
+    assert(Pipeline.capPerGroup(emptyDocs, "text", Seq(col("doc_id")), 5).count() == 0)
+    assert(Pipeline.deterministicShuffle(emptyDocs, "doc_id", "s", 3).count() == 0)
+    val one = Seq((1L, "solo doc text")).toDF("doc_id", "text")
+    assert(Pipeline.hashSplit(one, "doc_id", "s", fr).count() == 1)
+    assert(Pipeline.capPerGroup(one, "text", Seq(col("doc_id")), 5).count() == 1)
+    val packedOne = Pipeline.packSequences(
+      one.withColumn("n_tokens", lit(1000L)), "text", "doc_id", "n_tokens", 256)
+    // a single over-budget doc still lands in bin 0 (overflow-by-one rule)
+    assert(packedOne.select("bin").head().getLong(0) == 0L)
+    assert(Dedup.jaccardSimilarityJoin(one, "doc_id", "text").count() == 0)
+    assert(Joins.fuzzyJoin(one, "doc_id", "text", 4, 2).count() == 0)
+  }
+
+  test("time-series gap-fill handles empty input and a single observation") {
+    val emptyEvents = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("k", StringType), StructField("ts", TimestampType),
+        StructField("v", DoubleType))))
+    assert(TimeSeries.resampleDaily(emptyEvents, "k", "ts", "v").count() == 0)
+    val one = Seq(("a", java.sql.Timestamp.valueOf("2024-01-05 10:00:00"), 2.5))
+      .toDF("k", "ts", "v")
+    val filled = TimeSeries.resampleDaily(one, "k", "ts", "v").collect()
+    assert(filled.length == 1 && filled.head.getDouble(2) == 2.5 &&
+      filled.head.getInt(3) == 0)
   }
 
   test("dedup operators handle single and degenerate documents") {
