@@ -76,6 +76,22 @@ class LakeLayoutSpec extends SparkTestBase {
     assert(fs.forall(_.length <= (256L << 10) * 2))
   }
 
+  test("schema evolution: mergeSchema unifies widening parquet batches") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("evolve").toString
+    // batch 1: (id, a); batch 2 adds column b
+    Seq((1L, "x"), (2L, "y")).toDF("id", "a")
+      .write.mode("append").parquet(dir)
+    Seq((3L, "z", 9.5)).toDF("id", "a", "b")
+      .write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted.toSeq == Seq("a", "b", "id"))
+    val rows = merged.orderBy("id").collect()
+    assert(rows.length == 3)
+    assert(rows(0).isNullAt(rows(0).fieldIndex("b")), "old rows surface NULL for new columns")
+    assert(rows(2).getDouble(rows(2).fieldIndex("b")) == 9.5)
+  }
+
   test("ORC round-trip is lossless and pushes filters") {
     val path = Files.createTempDirectory("lake").toString + "/orc"
     LakeLayout.writeOrc(li.select("l_orderkey", "l_linenumber", "l_quantity"), path)
