@@ -26,6 +26,20 @@ object MultimodalQueries {
           ascii(substring(col("text"), 1, 1)).cast("int").as("first_code"))
         .orderBy("doc_id")),
 
+    // Frame sampling for video payloads: n evenly-spaced byte windows per
+    // video, checked by length AND content digest — the slicing arithmetic
+    // is deterministic byte math, so the oracle reproduces it exactly
+    // (documents are ASCII: byte offsets == char offsets).
+    "q_m3_frame_sample" -> ((s, dir) =>
+      Multimodal.sampleFrames(
+          Multimodal.mediaFromDocuments(s.read.parquet(s"$dir/documents.parquet")),
+          n = 4, frameBytes = 32)
+        .toDF()
+        .select(col("media_id"), col("frame_idx"),
+          octet_length(col("frame_bytes")).cast("int").as("frame_len"),
+          md5(col("frame_bytes")).as("frame_md5"))
+        .orderBy("media_id", "frame_idx")),
+
     // Composition: decode media payloads to feature vectors (stub codec),
     // then rank by cosine similarity against media_id 0's features — the
     // full multimodal -> embedding -> similarity pipeline shape. Stub-codec
@@ -48,6 +62,26 @@ object MultimodalQueries {
       """SELECT doc_id,
         |       CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
         |       CAST(ascii(substr(text, 1, 1)) AS INTEGER) AS first_code
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Mirrors Multimodal.sampleFrames byte arithmetic: kind = video when
+    // doc_id % 3 = 2; stride = max(1, max(0, len-32) // 3); 4 frames.
+    "q_m3_frame_sample" ->
+      """WITH v AS (
+        |  SELECT doc_id AS media_id, text, length(text) AS len
+        |  FROM documents WHERE doc_id % 3 = 2 AND length(text) > 0),
+        |f AS (
+        |  SELECT media_id, text, len,
+        |         greatest(1, greatest(0, len - 32) // 3) AS stride,
+        |         unnest(generate_series(0, 3)) AS frame_idx
+        |  FROM v),
+        |g AS (
+        |  SELECT media_id, frame_idx, text, len,
+        |         least(frame_idx * stride, greatest(0, len - 1)) AS fstart
+        |  FROM f)
+        |SELECT media_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+        |       CAST(least(fstart + 32, len) - fstart AS INTEGER) AS frame_len,
+        |       md5(substr(text, fstart + 1, least(fstart + 32, len) - fstart)) AS frame_md5
+        |FROM g ORDER BY media_id, frame_idx""".stripMargin
   )
 }
