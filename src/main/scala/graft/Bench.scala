@@ -51,14 +51,34 @@ object Bench {
       }
       (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    val qs = timed.map { case (k, v, _) => s""""$k":$v""" }.mkString("{", ",", "}")
     val errs = timed.collect { case (k, _, Some(m)) => s""""$k":"${esc(m)}"""" }
       .mkString("{", ",", "}")
     val total = timed.map(_._2).sum
+    def fmt(v: Double) = f"$v%.3f"
+    // Full per-query detail (all queries, ns precision) goes to bench_out.json.
+    val qsFull = timed.map { case (k, v, _) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"errors":$errs,"n_errors":${timed.count(_._3.isDefined)},"sf":"${esc(sfDir)}"}"""
+    Files.writeString(Paths.get("bench_out.json"), fullLine + "\n")
+    // The stdout line must survive a 2000-char tail capture (the consumer only
+    // keeps the end of the log, and sbt appends a "[success]" line after us),
+    // so print headline queries only, rounded to ms — full detail is in the file.
+    val headline = Set(
+      "q1_agg", "q_k1_fulfillment",
+      "q_h1_pricing_summary", "q_h5_local_supplier_volume", "q_h10_returned_items", "q_h18_big_orders",
+      "q_d1_dedup_exact", "q_d3_minhash_neardup", "q_d5_neardup_clusters", "q_d6_ngram_jaccard",
+      "q_v1_knn_cosine", "q_v5_ann_lsh", "q_v6_embedding_neardup_lsh", "q_v7_ann_ivf",
+      "q_str2_fuzzy_block", "q_r1_range_join", "q_j7_salted_join",
+      "q_a4_daily_revenue", "q_w1_topk_per_group", "q_q1_quality_audit",
+      "q_t1_token_stats", "q_m2_media_similarity")
+    val qsHead = timed.collect { case (k, v, _) if headline(k) => s""""$k":${fmt(v)}""" }
+      .mkString("{", ",", "}")
+    val errsHead = timed.collect { case (k, _, Some(m)) => s""""$k":"${esc(m.take(60))}"""" }
+      .take(3).mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_errors":${timed.count(_._3.isDefined)},"sf":"${esc(sfDir)}"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsHead,"n_queries":${timed.size},"errors":$errsHead,"n_errors":${timed.count(_._3.isDefined)},"detail":"bench_out.json","sf":"${esc(sfDir)}"}"""
+    require(line.length <= 1800, s"bench line too long for tail capture: ${line.length}")
     println(line)
-    Files.writeString(Paths.get("bench_out.json"), line + "\n")
     if (timed.exists(_._3.isDefined)) {
       System.err.println(s"[bench] ${timed.count(_._3.isDefined)} queries failed — see errors map")
     }
