@@ -17,9 +17,15 @@ object RelationalQueries {
     if (name == "events") Tables.events(s, dir)
     else s.read.parquet(s"$dir/$name.parquet")
 
-  /** Exact, order-independent money sum: decimal-accumulate then to double. */
+  /** Exact, order-independent money sum. Each value is snapped to cents via
+    * decimal(18,2) (HALF_UP — agrees with DuckDB's double→DECIMAL cast), but
+    * the accumulator is a LONG (codegen-vectorized; decimal aggregation
+    * buffers cost ~2x). sum_cents/100.0 equals CAST(decimal_sum AS DOUBLE)
+    * exactly: both are the nearest double of the same rational. Exact for
+    * |sum| < 9.2e16 cents.
+    */
   private def dsum(c: String): org.apache.spark.sql.Column =
-    sum(col(c).cast("decimal(18,2)")).cast("double")
+    sum((col(c).cast("decimal(18,2)") * 100).cast("long")) / 100.0
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S1/P-class — scan with pushed filter + pruned projection (the plan must
@@ -132,10 +138,10 @@ object RelationalQueries {
         .filter(col("l_shipdate") <= lit("2001-06-01"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          dsum("l_quantity").as("sum_qty"),
           dsum("l_extendedprice").as("sum_base_price"),
-          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-            .cast("decimal(18,4)")).cast("double").as("sum_disc_price"),
+          (sum(((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,4)") * 10000).cast("long")) / 10000.0).as("sum_disc_price"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")),
 
