@@ -15,31 +15,58 @@ import org.apache.spark.sql.types._
   * downstream, so the hash family is free to change).
   */
 
-/** 64-bit SimHash of a token array: token hash bit i votes +1/-1, output
-  * bit i set where the vote sum is positive. Null tokens are skipped.
+/** md5-derived 60-bit string hash: the first 15 hex chars of md5 as a
+  * (always non-negative) long — i.e. the top 60 bits of the digest. md5 is
+  * the one hash family external engines reproduce bit-for-bit (DuckDB:
+  * `('0x' || substr(md5(x), 1, 15))::BIGINT`), so every sketch derived
+  * through here is exactly oracle-checkable. Digests are thread-local —
+  * MessageDigest is stateful and codegen calls this from many tasks.
   */
-case class SimHash64Expr(child: Expression) extends UnaryExpression {
+object Md5Hash {
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def hash60(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val d = md.get()
+    d.reset()
+    val digest = d.digest(s.getBytes)
+    // first 8 bytes big-endian = first 16 hex chars; >>> 4 drops the 16th
+    // hex char, leaving the first 15 (60 bits, sign-safe everywhere)
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (digest(i) & 0xffL); i += 1 }
+    h >>> 4
+  }
+}
+
+/** 60-bit SimHash of a token array: md5-derived token hash bit i votes
+  * +1/-1, output bit i set where the vote sum is positive. Null tokens are
+  * skipped. 60 bits (not 64) so signatures stay non-negative in engines
+  * without unsigned 64-bit integers; banding uses four 15-bit chunks.
+  */
+case class SimHash60Expr(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
-      s"simhash64 expects array<string>, got ${t.simpleString}")
+      s"simhash60 expects array<string>, got ${t.simpleString}")
   }
 
   override def dataType: DataType = LongType
-  override def prettyName: String = "simhash64"
+  override def prettyName: String = "simhash60"
 
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    val votes = new Array[Int](64)
+    val votes = new Array[Int](60)
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        val s = arr.getUTF8String(i)
-        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        val h = Md5Hash.hash60(arr.getUTF8String(i))
         var b = 0
-        while (b < 64) {
+        while (b < 60) {
           votes(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1)
           b += 1
         }
@@ -48,7 +75,7 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression {
     }
     var out = 0L
     var b = 0
-    while (b < 64) {
+    while (b < 60) {
       if (votes(b) > 0) out |= (1L << b)
       b += 1
     }
@@ -61,29 +88,26 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression {
       val votes = ctx.freshName("votes")
       val i = ctx.freshName("i")
       val b = ctx.freshName("b")
-      val s = ctx.freshName("s")
       val h = ctx.freshName("h")
       s"""
          |final int $n = $a.numElements();
-         |final int[] $votes = new int[64];
+         |final int[] $votes = new int[60];
          |for (int $i = 0; $i < $n; $i++) {
          |  if (!$a.isNullAt($i)) {
-         |    final org.apache.spark.unsafe.types.UTF8String $s = $a.getUTF8String($i);
-         |    final long $h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
-         |      $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 42L);
-         |    for (int $b = 0; $b < 64; $b++) {
+         |    final long $h = graft.functions.Md5Hash.hash60($a.getUTF8String($i));
+         |    for (int $b = 0; $b < 60; $b++) {
          |      $votes[$b] += ((($h >>> $b) & 1L) == 1L) ? 1 : -1;
          |    }
          |  }
          |}
          |${ev.value} = 0L;
-         |for (int $b = 0; $b < 64; $b++) {
+         |for (int $b = 0; $b < 60; $b++) {
          |  if ($votes[$b] > 0) ${ev.value} |= (1L << $b);
          |}
        """.stripMargin
     })
 
-  override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
+  override protected def withNewChildInternal(newChild: Expression): SimHash60Expr =
     copy(child = newChild)
 }
 

@@ -315,17 +315,18 @@ object Dedup {
     } finally prepared.unpersist()
   }
 
-  /** 64-bit SimHash of the token multiset: per token, xxhash64 bit i votes
-    * +1/-1; the fingerprint sets bit i where the vote sum is positive.
-    * Two codegen'd fold expressions — no UDF, no explode.
+  /** 60-bit SimHash of the token multiset: per token, the md5-derived hash
+    * bit i votes +1/-1; the fingerprint sets bit i where the vote sum is
+    * positive. One codegen'd fused loop — no UDF, no explode. md5-derived
+    * (not xxhash64) so an external oracle reproduces signatures exactly.
     */
-  def simHash64(textCol: String): Column =
-    // Native codegen'd fused loop (graft.functions.SimHash64Expr); the HOF
-    // formulation allocated a 64-entry vote array per token, interpreted.
+  def simHash60(textCol: String): Column =
+    // Native codegen'd fused loop (graft.functions.SimHash60Expr); the HOF
+    // formulation allocated a vote array per token, interpreted.
     // Requires GraftExtensions.register on the session.
-    expr(s"simhash64(${tokensExpr(textCol)})")
+    expr(s"simhash60(${tokensExpr(textCol)})")
 
-  /** Hamming distance between two 64-bit fingerprints. */
+  /** Hamming distance between two fingerprints. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   /** Connected components over near-duplicate pairs by iterative min-label
@@ -388,23 +389,23 @@ object Dedup {
       .withColumnRenamed("id", idCol)
   }
 
-  /** SimHash near-duplicates with Hamming distance <= maxDist (< 16): by
+  /** SimHash near-duplicates with Hamming distance <= maxDist (< 15): by
     * pigeonhole, any such pair agrees exactly on at least one of the four
-    * 16-bit chunks, so candidates come from ONE equi-join on (chunk index,
+    * 15-bit chunks, so candidates come from ONE equi-join on (chunk index,
     * chunk value) and are then exact-verified with bit_count.
     */
   def simHashNearDuplicates(
       docs: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 3): DataFrame = {
-    require(maxDist < 16, "chunk banding guarantees recall only for maxDist < 16")
+    require(maxDist < 15, "chunk banding guarantees recall only for maxDist < 15")
     graft.plans.GraftExtensions.register(docs.sparkSession)
     // Persisted across the two sides of the chunk self-join, released after
     // the eager localCheckpoint materializes the result.
-    val sigs = docs.select(col(idCol), simHash64(textCol).as("sim")).persist()
+    val sigs = docs.select(col(idCol), simHash60(textCol).as("sim")).persist()
     try {
       val chunks = sigs.select(col(idCol), col("sim"),
         posexplode(expr(
-          "transform(sequence(0, 3), c -> shiftright(sim, c * 16) & 65535)"))
+          "transform(sequence(0, 3), c -> shiftright(sim, c * 15) & 32767)"))
           .as(Seq("chunk_idx", "chunk_val")))
       chunks.as("a")
         .join(chunks.as("b"),

@@ -4,9 +4,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Driver-facing queries for the dedup / similarity / text-profile
-  * extension operators. Hash-based ops (SimHash, fingerprints, SRP-LSH
-  * top-k) have no DuckDB-expressible oracle — those ship as rows-only
-  * checks here and get property/recall specs in ScalaTest instead.
+  * extension operators. Hash-based ops (SimHash, fingerprints, SRP-LSH)
+  * derive every hash from md5 — the one family an external engine
+  * reproduces bit-for-bit — so their oracles replicate the full pipeline
+  * (signs -> buckets -> candidates -> exact verify) in DuckDB SQL rather
+  * than settling for rows-only checks.
   */
 object DedupQueries {
 
@@ -31,7 +33,9 @@ object DedupQueries {
       Dedup.nearDupClusters(docs(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
 
-    // SimHash near-duplicates (hash-specific: rows-only + ScalaTest spec).
+    // SimHash near-duplicates. The banded path is exact (pigeonhole recall
+    // is 100% for maxDist < chunks), and signatures are md5-derived, so the
+    // oracle recomputes them brute-force in SQL.
     "q_d4_simhash_neardup" -> ((s, dir) =>
       Dedup.simHashNearDuplicates(docs(s, dir), "doc_id", "text", maxDist = 3)
         .orderBy("id_a", "id_b")),
@@ -44,17 +48,18 @@ object DedupQueries {
         TextAnalysis.qualityScore("text").as("quality"))
         .orderBy("doc_id")),
 
-    // Fingerprints + subword counts (xxhash64 / lookahead-regex based:
-    // rows-only + spec). The winnowing sketch is reduced to scalar
-    // (size, digest) columns — driver canonicalization can't sort array
-    // cells; TextAnalysisSpec still checks the full sketch contents.
+    // Fingerprints + subword counts, md5-derived (60-bit hashes an external
+    // engine reproduces bit-for-bit — fully oracle-checked). The winnowing
+    // sketch is reduced to scalar (size, digest) columns — driver
+    // canonicalization can't sort array cells; TextAnalysisSpec still
+    // checks the full sketch contents.
     "q_t5_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(
         col("doc_id"),
-        TextAnalysis.fingerprint64("text").as("fingerprint"),
+        TextAnalysis.fingerprint60("text").as("fingerprint"),
         TextAnalysis.approxSubwordCount("text").as("n_subwords"),
         size(TextAnalysis.shingleSketch("text")).as("sketch_size"),
-        xxhash64(concat_ws(",", TextAnalysis.shingleSketch("text").cast("array<string>")))
+        md5(concat_ws(",", TextAnalysis.shingleSketch("text").cast("array<string>")))
           .as("sketch_digest"))
         .orderBy("doc_id")),
 
@@ -109,7 +114,61 @@ object DedupQueries {
       |                      i -> w[i] || ' ' || w[i+1])
       |  ELSE [] END)""".stripMargin
 
+  /** 60-bit md5 hash of a SQL string expression, DuckDB side — the exact
+    * mirror of [[TextAnalysis.md5Hash60]].
+    */
+  private def duckHash60(e: String): String =
+    s"('0x' || substr(md5($e), 1, 15))::BIGINT"
+
   val oracles: Map[String, String] = Map(
+    "q_t5_fingerprint" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, text,
+         |         list_filter(string_split(text, ' '), x -> x != '') AS w
+         |  FROM documents),
+         |sk AS (
+         |  SELECT doc_id, text, w,
+         |         list_sort(list_transform(
+         |           list_distinct(CASE WHEN len(w) >= 3
+         |             THEN list_transform(generate_series(1, len(w) - 2),
+         |                                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+         |             ELSE [] END),
+         |           s -> ${duckHash60("s")}))[1:16] AS sketch
+         |  FROM base)
+         |SELECT doc_id,
+         |       ${duckHash60("regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')")} AS fingerprint,
+         |       CAST(coalesce(list_sum(list_transform(w, x ->
+         |             1 + CAST(floor(length(x) / 4) AS INT)
+         |               + len(list_filter(string_split_regex(x, '[^0-9]+'), s -> s != '')))), 0) AS INT) AS n_subwords,
+         |       CAST(len(sketch) AS INT) AS sketch_size,
+         |       md5(array_to_string(list_transform(sketch, x -> CAST(x AS VARCHAR)), ',')) AS sketch_digest
+         |FROM sk ORDER BY doc_id""".stripMargin,
+
+    // Brute-force SimHash: recompute every 60-bit signature from md5 token
+    // hashes (±1 votes per bit), then all pairs at hamming <= 3. Equals the
+    // banded path exactly — 15-bit-chunk pigeonhole has 100% recall below
+    // 4 chunks of disagreement.
+    "q_d4_simhash_neardup" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS tok
+         |  FROM documents),
+         |th AS (SELECT doc_id, ${duckHash60("tok")} AS h FROM toks),
+         |votes AS (
+         |  SELECT doc_id, j.g AS j,
+         |         sum(CASE WHEN ((h >> j.g) & 1) = 1 THEN 1 ELSE -1 END) AS v
+         |  FROM th, generate_series(0, 59) j(g) GROUP BY 1, 2),
+         |sims0 AS (
+         |  SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END) AS sim
+         |  FROM votes GROUP BY 1),
+         |sims AS (
+         |  SELECT d.doc_id, coalesce(s.sim, 0) AS sim
+         |  FROM documents d LEFT JOIN sims0 s USING (doc_id))
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |       CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
+         |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sim, b.sim)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
+
     "q_d3_minhash_neardup" ->
       s"""WITH d AS (
          |  SELECT doc_id, $shingleSql AS sh

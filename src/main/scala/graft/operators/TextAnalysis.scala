@@ -15,14 +15,17 @@ object TextAnalysis {
   def tokenCount(textCol: String): Column =
     expr(s"CAST(size(${w(textCol)}) AS INT)")
 
-  /** BPE-ish subword count: words plus punctuation/digit splits — a cheap
-    * upper-bound proxy for tokenizer counts (splits on transitions, counts
-    * every 4 chars of long words as an extra subword).
+  /** BPE-ish subword count: words plus length and digit-run surcharges — a
+    * cheap upper-bound proxy for tokenizer counts (every 4 chars of a long
+    * word and every maximal digit run count as an extra subword). Digit runs
+    * rather than lookahead-regex transition splits: RE2-family engines (and
+    * therefore the oracle) have no lookahead, and the run count is the same
+    * signal.
     */
   def approxSubwordCount(textCol: String): Column = expr(
     s"""CAST(aggregate(${w(textCol)}, 0, (acc, x) ->
        |  acc + 1 + CAST(floor(length(x) / 4) AS INT)
-       |      + size(filter(split(x, '(?<=[a-z])(?=[0-9])|(?<=[0-9])(?=[a-z])'), s -> s != '')) - 1
+       |      + size(filter(split(x, '[^0-9]+'), s -> s != ''))
        |) AS INT)""".stripMargin)
 
   /** Per-language stopword profiles for the n-gram/stopword language-ID
@@ -70,16 +73,26 @@ object TextAnalysis {
          |END""".stripMargin))
   }
 
-  /** 64-bit document fingerprint of whitespace-normalized text. */
-  def fingerprint64(textCol: String): Column =
-    expr(s"xxhash64(regexp_replace(lower(trim($textCol)), '\\\\s+', ' '))")
+  /** 60-bit md5-derived hash of a string SQL expression: the first 15 hex
+    * chars of md5 parsed as an integer (always non-negative, fits a signed
+    * long). md5 is the one hash family every engine computes bit-for-bit
+    * (DuckDB: `('0x' || substr(md5(x), 1, 15))::BIGINT`), which is what
+    * makes every hash-derived output here exactly oracle-checkable —
+    * xxhash64 was faster but external engines cannot reproduce it.
+    */
+  def md5Hash60(e: String): String =
+    s"CAST(conv(substr(md5($e), 1, 15), 16, 10) AS BIGINT)"
+
+  /** 60-bit document fingerprint of whitespace-normalized text. */
+  def fingerprint60(textCol: String): Column =
+    expr(md5Hash60(s"regexp_replace(lower(trim($textCol)), '\\\\s+', ' ')"))
 
   /** Winnowing-style sketch: the `n` smallest distinct k-shingle hashes —
     * a compact, order-insensitive document signature for containment checks.
     */
   def shingleSketch(textCol: String, k: Int = 3, n: Int = 16): Column = {
     val sh = Dedup.shinglesExprStr(textCol, k)
-    expr(s"slice(array_sort(transform($sh, s -> xxhash64(s))), 1, $n)")
+    expr(s"slice(array_sort(transform($sh, s -> ${md5Hash60("s")})), 1, $n)")
   }
 
   /** Full per-document text profile. */
@@ -90,5 +103,5 @@ object TextAnalysis {
       approxSubwordCount(textCol).as("n_subwords"),
       languageId(textCol).as("lang_id"),
       qualityScore(textCol).as("quality"),
-      fingerprint64(textCol).as("fingerprint"))
+      fingerprint60(textCol).as("fingerprint"))
 }

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{CosineSimilarity, MinHashSignatureExpr, SimHash64Expr, SrpBucketKeysExpr}
+import graft.functions.{CosineSimilarity, MinHashSignatureExpr, SimHash60Expr, SrpBucketKeysExpr}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -36,11 +36,11 @@ object GraftExtensions {
         require(args.length == 2, s"cosine_sim expects 2 arguments, got ${args.length}")
         CosineSimilarity(args.head, args.last)
       }),
-    (FunctionIdentifier("simhash64"),
-      new ExpressionInfo(classOf[SimHash64Expr].getName, "simhash64"),
+    (FunctionIdentifier("simhash60"),
+      new ExpressionInfo(classOf[SimHash60Expr].getName, "simhash60"),
       (args: Seq[Expression]) => {
-        require(args.length == 1, s"simhash64 expects 1 argument, got ${args.length}")
-        SimHash64Expr(args.head)
+        require(args.length == 1, s"simhash60 expects 1 argument, got ${args.length}")
+        SimHash60Expr(args.head)
       }),
     (FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSignatureExpr].getName, "minhash_sig"),

@@ -34,9 +34,9 @@ class TextAnalysisSpec extends SparkTestBase {
   }
 
   test("fingerprint is whitespace-normalization invariant") {
-    val a = one("hello   world").select(TextAnalysis.fingerprint64("text")).head().getLong(0)
-    val b = one("  hello world ").select(TextAnalysis.fingerprint64("text")).head().getLong(0)
-    val c = one("hello there").select(TextAnalysis.fingerprint64("text")).head().getLong(0)
+    val a = one("hello   world").select(TextAnalysis.fingerprint60("text")).head().getLong(0)
+    val b = one("  hello world ").select(TextAnalysis.fingerprint60("text")).head().getLong(0)
+    val c = one("hello there").select(TextAnalysis.fingerprint60("text")).head().getLong(0)
     assert(a == b)
     assert(a != c)
   }
