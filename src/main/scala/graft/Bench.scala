@@ -54,7 +54,9 @@ object Bench {
     val errs = timed.collect { case (k, _, Some(m)) => s""""$k":"${esc(m)}"""" }
       .mkString("{", ",", "}")
     val total = timed.map(_._2).sum
-    def fmt(v: Double) = f"$v%.3f"
+    // Locale-fixed: under a comma-decimal default locale f"%.3f" would emit
+    // "1,062" and break the JSON headline.
+    def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     // Full per-query detail (all queries, ns precision) goes to bench_out.json.
     val qsFull = timed.map { case (k, v, _) => s""""$k":$v""" }.mkString("{", ",", "}")
     val fullLine =

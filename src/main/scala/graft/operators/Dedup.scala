@@ -389,23 +389,33 @@ object Dedup {
       .withColumnRenamed("id", idCol)
   }
 
-  /** SimHash near-duplicates with Hamming distance <= maxDist (< 15): by
-    * pigeonhole, any such pair agrees exactly on at least one of the four
-    * 15-bit chunks, so candidates come from ONE equi-join on (chunk index,
-    * chunk value) and are then exact-verified with bit_count.
+  /** SimHash near-duplicates with Hamming distance <= maxDist: the 60-bit
+    * signature is banded into `maxDist + 1` chunks, so by pigeonhole any
+    * pair within maxDist agrees exactly on at least one chunk — candidates
+    * come from ONE equi-join on (chunk index, chunk value) and are then
+    * exact-verified with bit_count. Recall is therefore 100% for every
+    * maxDist in [0, 60); larger maxDist honestly costs more chunks (more
+    * candidate pairs), it never silently loses pairs.
     */
   def simHashNearDuplicates(
       docs: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 3): DataFrame = {
-    require(maxDist < 15, "chunk banding guarantees recall only for maxDist < 15")
+    require(maxDist >= 0 && maxDist < 60,
+      "pigeonhole banding needs maxDist + 1 chunks of >= 1 bit over a 60-bit signature")
     graft.plans.GraftExtensions.register(docs.sparkSession)
+    // maxDist + 1 chunks with near-equal widths (boundaries at c*60/n).
+    val n = maxDist + 1
+    val chunkArray = (0 until n).map { c =>
+      val lo = c * 60 / n
+      val hi = (c + 1) * 60 / n
+      s"shiftright(sim, $lo) & ${(1L << (hi - lo)) - 1}L"
+    }.mkString("array(", ", ", ")")
     // Persisted across the two sides of the chunk self-join, released after
     // the eager localCheckpoint materializes the result.
     val sigs = docs.select(col(idCol), simHash60(textCol).as("sim")).persist()
     try {
       val chunks = sigs.select(col(idCol), col("sim"),
-        posexplode(expr(
-          "transform(sequence(0, 3), c -> shiftright(sim, c * 15) & 32767)"))
+        posexplode(expr(chunkArray))
           .as(Seq("chunk_idx", "chunk_val")))
       chunks.as("a")
         .join(chunks.as("b"),

@@ -21,8 +21,12 @@ object RelationalQueries {
     * decimal(18,2) (HALF_UP — agrees with DuckDB's double→DECIMAL cast), but
     * the accumulator is a LONG (codegen-vectorized; decimal aggregation
     * buffers cost ~2x). sum_cents/100.0 equals CAST(decimal_sum AS DOUBLE)
-    * exactly: both are the nearest double of the same rational. Exact for
-    * |sum| < 9.2e16 cents.
+    * exactly while |sum| < 2^53 cents (~9.0e15 cents / 9.0e13 dollars):
+    * above that the long→double conversion can be 1 ulp off the decimal
+    * path, and at 2^63 cents a long accumulator wraps silently where the
+    * decimal sum fails loudly. q1's 1e-4-scaled sum_disc_price hits 2^53
+    * scaled units around SF 15-20 — keep decimal accumulation for that
+    * column if such SFs ever enter the oracle gate.
     */
   private def dsum(c: String): org.apache.spark.sql.Column =
     sum((col(c).cast("decimal(18,2)") * 100).cast("long")) / 100.0
