@@ -42,8 +42,11 @@ object MultimodalQueries {
 
     // Composition: decode media payloads to feature vectors (stub codec),
     // then rank by cosine similarity against media_id 0's features — the
-    // full multimodal -> embedding -> similarity pipeline shape. Stub-codec
-    // features are not SQL-expressible: rows-only + MultimodalSpec.
+    // full multimodal -> embedding -> similarity pipeline shape.
+    // ORACLE-GREEN: stub features ARE SQL-expressible — per-bucket byte
+    // sums are exact integers (< 2^24, so float32 accumulation is exact)
+    // and DuckDB FLOAT/FLOAT division reproduces the float32 divisions
+    // bit-for-bit; the oracle recomputes features + cosine + top-10.
     "q_m2_media_similarity" -> ((s, dir) => {
       val feats = Multimodal.decodeFeatures(
         Multimodal.mediaFromDocuments(s.read.parquet(s"$dir/documents.parquet")))
@@ -82,6 +85,35 @@ object MultimodalQueries {
         |SELECT media_id, CAST(frame_idx AS INTEGER) AS frame_idx,
         |       CAST(least(fstart + 32, len) - fstart AS INTEGER) AS frame_len,
         |       md5(substr(text, fstart + 1, least(fstart + 32, len) - fstart)) AS frame_md5
-        |FROM g ORDER BY media_id, frame_idx""".stripMargin
+        |FROM g ORDER BY media_id, frame_idx""".stripMargin,
+
+    // Mirrors Multimodal.StubCodec.features over ASCII payloads: bucket b of
+    // 16 averages bytes at positions i ≡ b (mod 16). The byte sums are exact
+    // integers (float32-exact below 2^24); the two float divisions
+    // (sum/count, then /255) are replayed in FLOAT so every feature matches
+    // Spark's float32 bit-for-bit; cosine then matches in DOUBLE. Selection
+    // is by unrounded cosine with media_id tie-break (= bruteForceTopK).
+    "q_m2_media_similarity" ->
+      """WITH d AS (SELECT doc_id AS media_id, text, length(text) AS len FROM documents),
+        |pos AS (SELECT media_id, unnest(generate_series(1, len)) AS i, text FROM d WHERE len > 0),
+        |agg AS (SELECT media_id, (i - 1) % 16 AS bkt,
+        |               sum(ascii(substr(text, CAST(i AS INT), 1))) AS s, count(*) AS c
+        |        FROM pos GROUP BY 1, 2),
+        |grid AS (SELECT media_id, gb.b AS bkt FROM d, generate_series(0, 15) gb(b)),
+        |fv AS (SELECT g.media_id,
+        |              list(CAST(CAST(coalesce(a.s, 0) AS FLOAT) / CAST(coalesce(a.c, 1) AS FLOAT)
+        |                        / CAST(255 AS FLOAT) AS FLOAT) ORDER BY g.bkt) AS f
+        |       FROM grid g LEFT JOIN agg a ON a.media_id = g.media_id AND a.bkt = g.bkt
+        |       GROUP BY 1),
+        |q AS (SELECT f AS qf FROM fv WHERE media_id = 0),
+        |scored AS (
+        |  SELECT media_id,
+        |         list_sum(list_transform(generate_series(1, 16),
+        |             i -> CAST(f[i] AS DOUBLE) * CAST(qf[i] AS DOUBLE)))
+        |           / (sqrt(list_sum(list_transform(f, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |              * sqrt(list_sum(list_transform(qf, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS c
+        |  FROM fv, q WHERE media_id != 0)
+        |SELECT media_id, round(c, 6) AS cosine
+        |FROM scored ORDER BY c DESC, media_id LIMIT 10""".stripMargin
   )
 }

@@ -195,20 +195,27 @@ object SimilaritySearch {
                             seed: Int = 42): DataFrame = {
     val tables = tablesForRecall(threshold, bits, targetRecall)
     graft.plans.GraftExtensions.register(emb.sparkSession)
+    // Candidate generation shuffles ONLY (id, tbl, bucket) — at 75 tables x
+    // 9 probes the exploded frames dominate the exchange, so carrying the
+    // 64-float payload through them (and a distinct over it) multiplies
+    // shuffle bytes ~30x. Vectors are re-attached per UNIQUE candidate pair
+    // afterwards; the embedding side is dimension-small, so AQE broadcasts it.
     val withBuckets = emb
-      .select(col(idCol), col(embCol),
+      .select(col(idCol),
         posexplode(srpBucketKeys(embCol, tables, bits, seed)).as(Seq("tbl", "bucket")))
     val probes = withBuckets
-      .select(col(idCol), col(embCol), col("tbl"), explode(expr(
+      .select(col(idCol), col("tbl"), explode(expr(
         s"concat(array(bucket), transform(sequence(0, ${bits - 1}), j -> bucket ^ shiftleft(1L, j)))"))
         .as("bucket"))
-    probes.as("a")
+    val candidates = probes.as("a")
       .join(withBuckets.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
-        col(s"a.$embCol").as("emb_a"), col(s"b.$embCol").as("emb_b"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .distinct()
+    candidates
+      .join(emb.select(col(idCol).as("id_a"), col(embCol).as("emb_a")), "id_a")
+      .join(emb.select(col(idCol).as("id_b"), col(embCol).as("emb_b")), "id_b")
       .withColumn("cosine", VectorExprs.cosineFast(emb.sparkSession, "emb_a", "emb_b"))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
