@@ -23,14 +23,20 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: JVM/codegen/shuffle/Hadoop-FS init otherwise lands on
-    // whichever query happens to iterate first — a scan alone is not enough,
-    // so exercise a hash agg, an exchange, and a broadcast join once.
+    // whichever query happens to iterate first (q1_agg, alphabetically — it
+    // measured 2-3x its steady state before this was broadened). Exercise a
+    // hash agg, an exchange, a broadcast join, the decimal-cast codegen
+    // path, and every table's parquet footer once.
+    import org.apache.spark.sql.functions.{broadcast, col, sum}
     val wl = spark.read.parquet(s"$sfDir/lineitem.parquet")
-    wl.groupBy("l_returnflag").agg(org.apache.spark.sql.functions.sum("l_quantity")).count()
+    wl.groupBy("l_returnflag").agg(sum("l_quantity")).count()
     wl.limit(1000)
-      .join(org.apache.spark.sql.functions.broadcast(
-        wl.select("l_orderkey").limit(10)), "l_orderkey")
+      .join(broadcast(wl.select("l_orderkey").limit(10)), "l_orderkey")
       .count()
+    wl.select(sum((col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long"))).count()
+    Option(new java.io.File(sfDir).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet"))
+      .foreach(f => spark.read.parquet(f.getPath).limit(1).count())
     // Untimed IVF index build: index construction is an ingest-time step
     // (ScaleSmoke reports it as ann_ivf_build_sec); q_v7 measures the probe
     // path against the prebuilt list_id-partitioned index, as a user would.
