@@ -41,12 +41,40 @@ object Md5Hash {
   }
 }
 
-/** 60-bit SimHash of a token array: md5-derived token hash bit i votes
-  * +1/-1, output bit i set where the vote sum is positive. Null tokens are
-  * skipped. 60 bits (not 64) so signatures stay non-negative in engines
-  * without unsigned 64-bit integers; banding uses four 15-bit chunks.
+/** xxhash64-derived 60-bit string hash (top 60 bits, always non-negative):
+  * the PRODUCTION hash family — one pass of shift/multiply arithmetic per
+  * token vs md5's full digest machinery. Not reproducible by external SQL
+  * engines; use the md5 family when the output must be oracle-checked.
   */
-case class SimHash60Expr(child: Expression) extends UnaryExpression {
+object XxHash60 {
+  def hash60(s: org.apache.spark.unsafe.types.UTF8String): Long =
+    XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L) >>> 4
+}
+
+/** The two 60-bit hash families behind SimHash / fingerprints: "md5" is
+  * bit-reproducible by external engines (the oracle-check mode); "xx64" is
+  * the fast production default. Both emit non-negative 60-bit longs, so
+  * banding/chunking logic is family-agnostic.
+  */
+object HashFamily {
+  val Md5 = "md5"
+  val Xx64 = "xx64"
+  def validate(family: String): String = family match {
+    case Md5 | Xx64 => family
+    case other => throw new IllegalArgumentException(
+      s"unknown hash family '$other' (expected '$Md5' or '$Xx64')")
+  }
+}
+
+/** 60-bit SimHash of a token array: the token hash (md5- or xxhash64-derived
+  * 60-bit, per `family`) bit i votes +1/-1, output bit i set where the vote
+  * sum is positive. Null tokens are skipped. 60 bits (not 64) so signatures
+  * stay non-negative in engines without unsigned 64-bit integers.
+  */
+case class SimHash60Expr(child: Expression, family: String = HashFamily.Md5)
+    extends UnaryExpression {
+  HashFamily.validate(family)
+  private def useMd5 = family == HashFamily.Md5
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -64,7 +92,8 @@ case class SimHash60Expr(child: Expression) extends UnaryExpression {
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        val h = Md5Hash.hash60(arr.getUTF8String(i))
+        val s = arr.getUTF8String(i)
+        val h = if (useMd5) Md5Hash.hash60(s) else XxHash60.hash60(s)
         var b = 0
         while (b < 60) {
           votes(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1)
@@ -89,12 +118,15 @@ case class SimHash60Expr(child: Expression) extends UnaryExpression {
       val i = ctx.freshName("i")
       val b = ctx.freshName("b")
       val h = ctx.freshName("h")
+      val hashCall =
+        if (useMd5) "graft.functions.Md5Hash.hash60"
+        else "graft.functions.XxHash60.hash60"
       s"""
          |final int $n = $a.numElements();
          |final int[] $votes = new int[60];
          |for (int $i = 0; $i < $n; $i++) {
          |  if (!$a.isNullAt($i)) {
-         |    final long $h = graft.functions.Md5Hash.hash60($a.getUTF8String($i));
+         |    final long $h = $hashCall($a.getUTF8String($i));
          |    for (int $b = 0; $b < 60; $b++) {
          |      $votes[$b] += ((($h >>> $b) & 1L) == 1L) ? 1 : -1;
          |    }

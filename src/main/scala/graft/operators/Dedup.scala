@@ -315,16 +315,22 @@ object Dedup {
     } finally prepared.unpersist()
   }
 
-  /** 60-bit SimHash of the token multiset: per token, the md5-derived hash
-    * bit i votes +1/-1; the fingerprint sets bit i where the vote sum is
-    * positive. One codegen'd fused loop — no UDF, no explode. md5-derived
-    * (not xxhash64) so an external oracle reproduces signatures exactly.
+  /** 60-bit SimHash of the token multiset: per token, the 60-bit hash bit i
+    * votes +1/-1; the fingerprint sets bit i where the vote sum is positive.
+    * One codegen'd fused loop — no UDF, no explode.
+    *
+    * `family` picks the token hash: "xx64" (default — fast production
+    * family) or "md5" (bit-reproducible by external engines; the mode the
+    * DuckDB-oracled queries pin so signatures can be recomputed in SQL).
+    * Banding recall is family-independent; DedupSpec asserts both families
+    * find the same near-dup pairs.
     */
-  def simHash60(textCol: String): Column =
+  def simHash60(textCol: String,
+                family: String = graft.functions.HashFamily.Xx64): Column =
     // Native codegen'd fused loop (graft.functions.SimHash60Expr); the HOF
     // formulation allocated a vote array per token, interpreted.
     // Requires GraftExtensions.register on the session.
-    expr(s"simhash60(${tokensExpr(textCol)})")
+    expr(s"simhash60(${tokensExpr(textCol)}, '${graft.functions.HashFamily.validate(family)}')")
 
   /** Hamming distance between two fingerprints. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -399,7 +405,8 @@ object Dedup {
     */
   def simHashNearDuplicates(
       docs: DataFrame, idCol: String, textCol: String,
-      maxDist: Int = 3): DataFrame = {
+      maxDist: Int = 3,
+      family: String = graft.functions.HashFamily.Xx64): DataFrame = {
     require(maxDist >= 0 && maxDist < 60,
       "pigeonhole banding needs maxDist + 1 chunks of >= 1 bit over a 60-bit signature")
     graft.plans.GraftExtensions.register(docs.sparkSession)
@@ -412,7 +419,7 @@ object Dedup {
     }.mkString("array(", ", ", ")")
     // Persisted across the two sides of the chunk self-join, released after
     // the eager localCheckpoint materializes the result.
-    val sigs = docs.select(col(idCol), simHash60(textCol).as("sim")).persist()
+    val sigs = docs.select(col(idCol), simHash60(textCol, family).as("sim")).persist()
     try {
       val chunks = sigs.select(col(idCol), col("sim"),
         posexplode(expr(chunkArray))

@@ -34,10 +34,13 @@ object DedupQueries {
         .orderBy("doc_id")),
 
     // SimHash near-duplicates. The banded path is exact (pigeonhole recall
-    // is 100% for maxDist < chunks), and signatures are md5-derived, so the
-    // oracle recomputes them brute-force in SQL.
+    // is 100% for maxDist < chunks). Pins the md5 hash family — the
+    // oracle-check mode whose signatures DuckDB recomputes brute-force in
+    // SQL; production callers default to the xx64 family (same pair set,
+    // asserted by DedupSpec).
     "q_d4_simhash_neardup" -> ((s, dir) =>
-      Dedup.simHashNearDuplicates(docs(s, dir), "doc_id", "text", maxDist = 3)
+      Dedup.simHashNearDuplicates(docs(s, dir), "doc_id", "text", maxDist = 3,
+          family = graft.functions.HashFamily.Md5)
         .orderBy("id_a", "id_b")),
 
     // Language ID + quality scoring (pure expressions, oracle-checked).
@@ -53,15 +56,20 @@ object DedupQueries {
     // sketch is reduced to scalar (size, digest) columns — driver
     // canonicalization can't sort array cells; TextAnalysisSpec still
     // checks the full sketch contents.
-    "q_t5_fingerprint" -> ((s, dir) =>
+    "q_t5_fingerprint" -> ((s, dir) => {
+      // md5 family pinned: this is the oracle-check mode (DuckDB recomputes
+      // the 60-bit hashes); production fingerprinting defaults to xx64.
+      val md5Fam = graft.functions.HashFamily.Md5
       docs(s, dir).select(
         col("doc_id"),
-        TextAnalysis.fingerprint60("text").as("fingerprint"),
+        TextAnalysis.fingerprint60("text", md5Fam).as("fingerprint"),
         TextAnalysis.approxSubwordCount("text").as("n_subwords"),
-        size(TextAnalysis.shingleSketch("text")).as("sketch_size"),
-        md5(concat_ws(",", TextAnalysis.shingleSketch("text").cast("array<string>")))
+        size(TextAnalysis.shingleSketch("text", family = md5Fam)).as("sketch_size"),
+        md5(concat_ws(",",
+          TextAnalysis.shingleSketch("text", family = md5Fam).cast("array<string>")))
           .as("sketch_digest"))
-        .orderBy("doc_id")),
+        .orderBy("doc_id")
+    }),
 
     // Embedding near-duplicate pairs, brute-force exact — the ORACLE TWIN
     // of q_v6: a cross join is ground truth at sf-test scale but a

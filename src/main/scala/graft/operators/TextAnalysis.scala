@@ -77,22 +77,38 @@ object TextAnalysis {
     * chars of md5 parsed as an integer (always non-negative, fits a signed
     * long). md5 is the one hash family every engine computes bit-for-bit
     * (DuckDB: `('0x' || substr(md5(x), 1, 15))::BIGINT`), which is what
-    * makes every hash-derived output here exactly oracle-checkable —
-    * xxhash64 was faster but external engines cannot reproduce it.
+    * makes hash-derived outputs exactly oracle-checkable. The oracle-checked
+    * queries pin this family; production paths default to [[hash60]]'s
+    * xx64 — same 60-bit non-negative contract, a fraction of the cost.
     */
   def md5Hash60(e: String): String =
     s"CAST(conv(substr(md5($e), 1, 15), 16, 10) AS BIGINT)"
 
-  /** 60-bit document fingerprint of whitespace-normalized text. */
-  def fingerprint60(textCol: String): Column =
-    expr(md5Hash60(s"regexp_replace(lower(trim($textCol)), '\\\\s+', ' ')"))
+  /** 60-bit hash of a string SQL expression in the given family ("xx64"
+    * fast production default, "md5" oracle-check mode — see [[md5Hash60]]).
+    */
+  def hash60(e: String, family: String = graft.functions.HashFamily.Xx64): String =
+    graft.functions.HashFamily.validate(family) match {
+      case graft.functions.HashFamily.Md5 => md5Hash60(e)
+      case _ => s"shiftrightunsigned(xxhash64($e), 4)"
+    }
+
+  /** 60-bit document fingerprint of whitespace-normalized text. Fingerprint
+    * EQUALITY (the dedup signal) is family-independent: either family maps
+    * equal normalized texts to equal hashes, and 60-bit collisions are
+    * negligible at any corpus size where exact dedup is run per partition.
+    */
+  def fingerprint60(textCol: String,
+                    family: String = graft.functions.HashFamily.Xx64): Column =
+    expr(hash60(s"regexp_replace(lower(trim($textCol)), '\\\\s+', ' ')", family))
 
   /** Winnowing-style sketch: the `n` smallest distinct k-shingle hashes —
     * a compact, order-insensitive document signature for containment checks.
     */
-  def shingleSketch(textCol: String, k: Int = 3, n: Int = 16): Column = {
+  def shingleSketch(textCol: String, k: Int = 3, n: Int = 16,
+                    family: String = graft.functions.HashFamily.Xx64): Column = {
     val sh = Dedup.shinglesExprStr(textCol, k)
-    expr(s"slice(array_sort(transform($sh, s -> ${md5Hash60("s")})), 1, $n)")
+    expr(s"slice(array_sort(transform($sh, s -> ${hash60("s", family)})), 1, $n)")
   }
 
   /** Full per-document text profile. */

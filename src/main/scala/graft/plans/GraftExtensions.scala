@@ -39,8 +39,17 @@ object GraftExtensions {
     (FunctionIdentifier("simhash60"),
       new ExpressionInfo(classOf[SimHash60Expr].getName, "simhash60"),
       (args: Seq[Expression]) => {
-        require(args.length == 1, s"simhash60 expects 1 argument, got ${args.length}")
-        SimHash60Expr(args.head)
+        require(args.length == 1 || args.length == 2,
+          s"simhash60 expects (tokens[, family]), got ${args.length} arguments")
+        val family =
+          if (args.length == 1) graft.functions.HashFamily.Md5
+          else args(1).eval() match {
+            case s: org.apache.spark.unsafe.types.UTF8String =>
+              graft.functions.HashFamily.validate(s.toString)
+            case other => throw new IllegalArgumentException(
+              s"simhash60 family must be a string literal, got $other")
+          }
+        SimHash60Expr(args.head, family)
       }),
     (FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSignatureExpr].getName, "minhash_sig"),

@@ -91,6 +91,53 @@ class DedupSpec extends SparkTestBase {
     assert(asSet.contains((1L, 2L)), "one-word change stays within hamming 8")
   }
 
+  test("simhash hash families (md5 oracle mode, xx64 production) find the same pairs") {
+    import graft.functions.HashFamily
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    // On the crafted corpus (clear near-dups vs unrelated docs) the md5
+    // (oracle-check) and xx64 (production default) families must surface
+    // the SAME pair set. On a real corpus strict set equality at one cutoff
+    // is NOT a property either family has: a pair whose true token
+    // similarity puts its expected hamming near (or above) the cutoff can
+    // land under it by the luck of one family's per-bit draws — observed on
+    // sf0.001, where md5 alone surfaces two pairs of ~12-expected-hamming
+    // docs at hamming <= 3. The family-invariant property is about TRUE
+    // near-dups: plant one-token variants of real docs and require both
+    // families to find every planted pair.
+    def pairSet(docsDf: org.apache.spark.sql.DataFrame, maxDist: Int,
+                family: String): Set[(Long, Long)] =
+      Dedup.simHashNearDuplicates(docsDf, "doc_id", "text", maxDist, family)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairSet(df(corpus), 8, HashFamily.Md5) ==
+      pairSet(df(corpus), 8, HashFamily.Xx64))
+    val docs = spark.read.parquet(sfDir("0.001") + "/documents.parquet")
+      .select("doc_id", "text")
+    val base = docs.orderBy("doc_id").limit(30)
+    val variants = base
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" zzvariantmarker")).as("text"))
+    val planted = docs.unionByName(variants)
+    val wanted = base.collect().map(_.getLong(0)).map(i => (i, i + 1000000L)).toSet
+    Seq(HashFamily.Md5, HashFamily.Xx64).foreach { fam =>
+      val got = pairSet(planted, 8, fam)
+      assert(wanted.subsetOf(got), s"$fam missed: ${wanted -- got}")
+    }
+  }
+
+  test("fingerprint hash families agree on exact-dup groups") {
+    import graft.functions.HashFamily
+    import org.apache.spark.sql.functions.{col, collect_set, size}
+    val docs = spark.read.parquet(sfDir("0.001") + "/documents.parquet")
+    def groups(family: String): Set[Set[Long]] =
+      docs.select(col("doc_id"),
+          graft.operators.TextAnalysis.fingerprint60("text", family).as("fp"))
+        .groupBy("fp").agg(collect_set("doc_id").as("ids"))
+        .filter(size(col("ids")) > 1)
+        .collect().map(_.getSeq[Long](1).toSet).toSet
+    val g = groups(HashFamily.Md5)
+    assert(g == groups(HashFamily.Xx64))
+  }
+
   test("connected components handles chains, cliques, and isolated pairs") {
     import spark.implicits._
     // chain 1-2-3-4-5 (diameter 4: needs multiple propagation rounds),
