@@ -47,6 +47,36 @@ object ScaleSmoke {
     val nRows = fulfilled.count()
     val kernelSec = (System.nanoTime() - t0) / 1e9
 
+    // Hot-key kernel skew: ~90% of requests hit ONE product, the SURVEY §9
+    // shape where run() serializes the hot product's shuffle+sort+fold
+    // through a single task. runWithHotSplit sub-keys it by time range —
+    // parallel sort, stitched fold. seq is re-derived unique (the replicated
+    // seq collides across a shared orderkey, and fold ties are untestable);
+    // the frame is persisted so both paths fold the identical row set.
+    val hotPid = 99999999L
+    val skewed = replicated.toDF()
+      .withColumn("seq", monotonically_increasing_id())
+      .withColumn("product_id",
+        when(pmod(col("seq"), lit(10)) < 9, hotPid).otherwise(col("product_id")))
+      .as[ItemRow]
+      .persist()
+    skewed.count()
+    val skewInv = inventory + (hotPid -> InventoryEntry(Int.MaxValue / 2, 3.0))
+    def checksum(ds: org.apache.spark.sql.Dataset[graft.candy.FulfilledLine]) =
+      ds.agg(sum("quantity"), round(sum("line_total"), 2)).head()
+    val tsp = System.nanoTime()
+    val plainFold = Fulfillment.run(spark, skewed, skewInv)
+    val plainSum = checksum(plainFold)
+    val skewPlainSec = (System.nanoTime() - tsp) / 1e9
+    val tss = System.nanoTime()
+    val splitFold = Fulfillment.runWithHotSplit(spark, skewed, skewInv,
+      hotRowThreshold = 1000000L, subRanges = spark.sparkContext.defaultParallelism)
+    val splitSum = checksum(splitFold)
+    val skewSplitSec = (System.nanoTime() - tss) / 1e9
+    require(plainSum == splitSum, s"hot-split diverged: $splitSum vs $plainSum")
+    skewed.unpersist()
+    spark.catalog.clearCache()
+
     // ~50k-docs MinHash-LSH dedup (docs replicated with doc_id offsets, so
     // every original near-dup pair appears factor^2 times across replicas).
     // repartition: range x one-file-parquet cross joins come out as a
@@ -162,6 +192,8 @@ object ScaleSmoke {
 
     println(s"""{"kernel_rows":$nRows,"kernel_sec":$kernelSec,""" +
       s""""kernel_rows_per_sec":${(nRows / kernelSec).toLong},""" +
+      s""""kernel_skew_plain_sec":$skewPlainSec,"kernel_skew_split_sec":$skewSplitSec,""" +
+      s""""kernel_split_speedup":${skewPlainSec / skewSplitSec},""" +
       s""""dedup_docs":${docs.count() * factor},"dedup_pairs":$pairs,"dedup_sec":$dedupSec,""" +
       s""""ssjoin_pairs":$ssjoinPairs,"ssjoin_sec":$ssjoinSec,""" +
       s""""skew_plain_sec":$plainSec,"skew_salted_sec":$saltedSec,""" +

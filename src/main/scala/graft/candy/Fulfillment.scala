@@ -120,6 +120,153 @@ object Fulfillment {
       }
   }
 
+  /** Sub-range carry state for one hot product: stock entering the range and
+    * the last day seen before it (day-boundary detection under reloadDaily).
+    */
+  case class HotCarry(available: Int, prevDay: String)
+
+  /** Fulfillment with HOT-KEY SUB-SPLITTING (SURVEY §9's named residual
+    * risk): a product whose row count exceeds `hotRowThreshold` would
+    * serialize an entire partition through [[run]]'s single per-product
+    * task. Here its rows are split into `subRanges` time ranges instead:
+    *
+    *  1. the shuffle + within-partition SORT of the hot rows — the
+    *     expensive, memory-heavy phase — runs in PARALLEL across one task
+    *     per (product, range);
+    *  2. the scalar fold then walks the ranges in `subRanges` small
+    *     sequential jobs over the already-sorted cached blocks, stitching
+    *     the `available` state across ranges: carry-over stock is
+    *     `start − Σ fulfilled` (fulfillment only ever decrements by
+    *     fulfilled units), and under reloadDaily the carry re-derives from
+    *     the snapshot when the range crossed a day boundary.
+    *
+    * The fold itself is inherently sequential per product (cancelled orders
+    * don't consume stock — not a prefix sum), so the arithmetic pass stays
+    * serial; what the split buys is parallelizing everything around it
+    * (fetch, sort, spill) and bounding per-task memory to one range instead
+    * of one product's whole history. Non-hot products take the [[run]] path
+    * unchanged. Output rows are identical to [[run]] whenever (day, seq)
+    * is unique per product (ties at a range boundary may fold in a
+    * different — equally valid — tie order).
+    *
+    * Intermediate frames are persisted (the sorted hot blocks and each
+    * range's fold output are materialized before return); callers running
+    * many kernels per session should `spark.catalog.clearCache()` between.
+    */
+  def runWithHotSplit(
+      spark: SparkSession,
+      items: Dataset[ItemRow],
+      inventory: Map[Long, InventoryEntry],
+      reloadDaily: Boolean = false,
+      hotRowThreshold: Long = 2000000L,
+      subRanges: Int = 0): Dataset[FulfilledLine] = {
+    import spark.implicits._
+    val R = if (subRanges > 0) subRanges else spark.sparkContext.defaultParallelism
+    val counts = items.groupBy("product_id").count()
+      .filter(col("count") >= hotRowThreshold)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    if (counts.isEmpty || R <= 1) return run(spark, items, inventory, reloadDaily)
+    val hotIds = counts.keySet
+    val hotRows = counts.values.sum
+
+    val coldOut = run(spark,
+      items.filter(!col("product_id").isin(hotIds.toSeq: _*)), inventory, reloadDaily)
+
+    // Per-product range boundaries from a sample: ~200 sample points per
+    // (product, range) suffice for near-even range sizes; exactness never
+    // depends on the split, only balance does.
+    val hot = items.filter(col("product_id").isin(hotIds.toSeq: _*))
+      .withColumn("day", substring(col("order_datetime"), 1, 10))
+    val fraction = math.min(1.0, R * 200.0 * hotIds.size / hotRows)
+    val sampled = hot.select("product_id", "day", "seq").sample(fraction, seed = 42)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val boundaries: Map[Long, Array[(String, Long)]] = sampled.groupBy(_._1).map {
+      case (pid, rows) =>
+        val sorted = rows.map(t => (t._2, t._3)).sortBy(identity)
+        pid -> (1 until R).map(i => sorted(i * sorted.length / R)).distinct.toArray
+    }
+    // Range index = number of boundaries at or before this row in the
+    // (day, seq) fold order — a codegen'd comparison chain, no UDF.
+    val subCol = hotIds.foldLeft(lit(0)) { (acc, pid) =>
+      val bexpr = boundaries.getOrElse(pid, Array.empty[(String, Long)])
+        .foldLeft(lit(0)) { case (a, (bd, bs)) =>
+          a + when(col("day") > bd || (col("day") === bd && col("seq") >= bs), 1)
+            .otherwise(0)
+        }
+      when(col("product_id") === pid, bexpr).otherwise(acc)
+    }
+    val sorted = hot.withColumn("sub", subCol)
+      .repartition(math.max(R, hotIds.size * R), col("product_id"), col("sub"))
+      .sortWithinPartitions("product_id", "sub", "day", "seq")
+      .persist()
+    sorted.count() // materialize: the heavy sort runs here, fully parallel
+
+    val invB = spark.sparkContext.broadcast(inventory)
+    var carry: Map[Long, HotCarry] = hotIds.map { p =>
+      p -> HotCarry(inventory.get(p).map(_.stock).getOrElse(0), null)
+    }.toMap
+    val outs = (0 until R).map { r =>
+      val carryB = spark.sparkContext.broadcast(carry)
+      val outR = sorted.filter(col("sub") === r)
+        .drop("day", "sub").as[ItemRow]
+        .mapPartitions { rows =>
+          var pid = Long.MinValue
+          var avail = 0
+          var snap = 0
+          var price = 0.0
+          var curDay: String = null
+          rows.map { row =>
+            if (row.product_id != pid) {
+              pid = row.product_id
+              val e = invB.value.getOrElse(pid, InventoryEntry(0, 0.0))
+              snap = e.stock
+              price = e.price
+              val c = carryB.value(pid)
+              avail = c.available
+              curDay = c.prevDay
+              val day = row.order_datetime.take(10)
+              if (curDay == null) curDay = day
+              else if (day != curDay) {
+                curDay = day
+                if (reloadDaily) avail = snap
+              }
+            } else if (!row.order_datetime.regionMatches(0, curDay, 0, 10)) {
+              curDay = row.order_datetime.take(10)
+              if (reloadDaily) avail = snap
+            }
+            val fulfilled =
+              if (avail > 0 && row.quantity <= avail) { avail -= row.quantity; row.quantity }
+              else 0
+            FulfilledLine(row.order_id, pid, fulfilled, price,
+              round2(fulfilled * price), curDay)
+          }
+        }
+        .persist()
+      // Stitch: per-(product, day) fulfilled sums within this range are
+      // enough to advance the carry exactly — no second fold pass.
+      val perDay = outR.groupBy("product_id", "order_date")
+        .agg(sum("quantity").as("f")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      carry = carry.map { case (p, c) =>
+        val mine = perDay.filter(_._1 == p)
+        if (mine.isEmpty) p -> c
+        else {
+          val lastDay = mine.map(_._2).max
+          val snap = inventory.get(p).map(_.stock).getOrElse(0)
+          val avail =
+            if (reloadDaily && c.prevDay != null && lastDay != c.prevDay)
+              snap - mine.filter(_._2 == lastDay).map(_._3).sum.toInt
+            else if (reloadDaily && c.prevDay == null && mine.map(_._2).distinct.length > 1)
+              snap - mine.filter(_._2 == lastDay).map(_._3).sum.toInt
+            else c.available - mine.map(_._3).sum.toInt
+          p -> HotCarry(avail, lastDay)
+        }
+      }
+      outR
+    }
+    outs.foldLeft(coldOut)(_ union _)
+  }
+
   /** Inventory snapshot for the kernel: product_id -> (stock, sales_price).
     * 30 rows in the reference corpus; at scale this is still a dimension
     * (products), so collect-and-broadcast is the right shape.

@@ -81,4 +81,37 @@ class FulfillmentSpec extends SparkTestBase {
       assert(got == want, s"reloadDaily=$reload")
     }
   }
+
+  test("hot-key sub-split run equals plain run when one product is 90% of rows") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // product 1 = 90% of all rows (the SURVEY §9 hot-key shape), spread
+    // over 10 days so sub-ranges cross day boundaries in both modes; seq is
+    // globally unique, so the fold order is a total order and both paths
+    // must agree EXACTLY.
+    val hot = (1 to 9000).map { i =>
+      ItemRow(rnd.nextInt(500).toLong,
+        f"2024-02-${1 + i / 900}%02dT${rnd.nextInt(24)}%02d:00:00.000000",
+        1L, rnd.nextInt(15), i.toLong)
+    }
+    val cold = (1 to 1000).map { i =>
+      ItemRow(rnd.nextInt(500).toLong,
+        f"2024-02-${1 + rnd.nextInt(10)}%02dT${rnd.nextInt(24)}%02d:00:00.000000",
+        (2 + rnd.nextInt(10)).toLong, rnd.nextInt(15), 100000L + i)
+    }
+    val inv = (1L to 12L).map(p =>
+      p -> InventoryEntry(if (p == 1) 40000 else 300, 1.0 + p)).toMap
+    Seq(false, true).foreach { reload =>
+      val items = (hot ++ cold).toDS()
+      def tuples(ds: org.apache.spark.sql.Dataset[FulfilledLine]) =
+        ds.collect()
+          .map(f => (f.order_id, f.product_id, f.quantity, f.line_total, f.order_date))
+          .sorted.toSeq
+      val plain = tuples(Fulfillment.run(spark, items, inv, reloadDaily = reload))
+      val split = tuples(Fulfillment.runWithHotSplit(spark, items, inv,
+        reloadDaily = reload, hotRowThreshold = 5000, subRanges = 8))
+      assert(split == plain, s"reloadDaily=$reload")
+      spark.catalog.clearCache()
+    }
+  }
 }
