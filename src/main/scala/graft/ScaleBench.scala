@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+/** Scaling-curve bench over the flagship operators, run against SynthScale
+  * output dirs (factor 1 / 3 / 10 of sf0.1 ~= sf0.1 / sf0.3 / sf1). Prints
+  * and appends ONE JSON line per run: per-query seconds AND output rows, so
+  * superlinear growth in either is visible. Differences from Bench:
+  *
+  *  - q_v6_neardup_scale runs embeddingNearDupPairs at threshold 0.9 over
+  *    the twins PLANTED by SynthScale. The driver bench's 0.4 threshold
+  *    sits inside the random-pair background of this corpus (920 of its 2M
+  *    pairs pass at sf0.1), and background pair count is quadratic in
+  *    corpus size by construction — no operator can make a threshold join
+  *    emit quadratic output in linear time. 0.9 is above any random pair,
+  *    so output = planted structure, which SynthScale grows linearly.
+  *  - the IVF index build is timed separately (ivf_build_sec) — it is an
+  *    ingest-time cost, amortized over every query served.
+  *
+  * Usage: ScaleBench <dataDir> <outFile> [label]
+  */
+object ScaleBench {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val outFile = args(1)
+    val label = if (args.length > 2) args(2) else dir
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-scale-bench")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // Untimed warmup (Bench's rationale): JVM/codegen/FS init must not land
+    // on the first timed query. Touch every table footer + one agg/join.
+    val wl = spark.read.parquet(s"$dir/lineitem.parquet")
+    wl.groupBy("l_returnflag").agg(sum("l_quantity")).count()
+    wl.limit(1000)
+      .join(broadcast(wl.select("l_orderkey").limit(10)), "l_orderkey").count()
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet"))
+      .foreach(f => spark.read.parquet(f.getPath).limit(1).count())
+
+    // Ingest-time IVF index build, timed on its own.
+    val tIvf = System.nanoTime()
+    operators.DedupQueries.ivfCached(spark, dir, nlist = 32)
+    val ivfBuildSec = (System.nanoTime() - tIvf) / 1e9
+
+    val flagships: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+      "q_k1_fulfillment", "q_d6_ngram_jaccard",
+      "q_h1_pricing_summary", "q_h5_local_supplier_volume",
+      "q_h10_returned_items", "q_h18_big_orders",
+      "q_d3_minhash_neardup",
+      "q_v1_knn_cosine", "q_v5_ann_lsh", "q_v7_ann_ivf",
+      "q_a4_daily_revenue", "q_w1_topk_per_group"
+    ).map(n => n -> SparkEntry.queries(n)) :+
+      ("q_v6_neardup_scale" -> ((s: SparkSession, d: String) =>
+        operators.SimilaritySearch.embeddingNearDupPairs(
+          s.read.parquet(s"$d/embeddings.parquet"), "vec_id", "embedding",
+          threshold = 0.9, targetRecall = 0.999)))
+
+    val results = flagships.map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      val rows = try fn(spark, dir).count()
+      catch { case e: Throwable =>
+        System.err.println(s"[scalebench] $name FAILED: $e"); -1L
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[scalebench] $name%-28s $sec%8.2f s  $rows%10d rows")
+      (name, sec, rows)
+    }
+    def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (n, s, r) => s""""$n":{"sec":${fmt(s)},"rows":$r}""" }
+      .mkString("{", ",", "}")
+    val line = s"""{"label":"$label","dir":"$dir","ivf_build_sec":${fmt(ivfBuildSec)},"queries":$qs}"""
+    println(line)
+    Files.writeString(Paths.get(outFile), line + "\n",
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    spark.stop()
+  }
+}
