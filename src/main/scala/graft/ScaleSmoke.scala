@@ -115,6 +115,23 @@ object ScaleSmoke {
       shingleSize = 2, threshold = 0.7).count()
     val ssjoinSec = (System.nanoTime() - t2) / 1e9
 
+    // Same join through the bucketed prefix-token index: the write pays the
+    // token shuffle once (ingest-time); the query path joins exchange-free.
+    val idxPath = java.nio.file.Files.createTempDirectory("graft-smoke-d6idx").toString
+    val t3 = System.nanoTime()
+    Dedup.prefixTokenIndexWrite(shardedDocs, "doc_id", "text",
+      name = "graft_smoke_d6idx", shingleSize = 2, threshold = 0.7,
+      buckets = cores, externalPath = Some(idxPath))
+    val ssjoinIndexBuildSec = (System.nanoTime() - t3) / 1e9
+    val t4 = System.nanoTime()
+    val idxPairs = Dedup.jaccardSimilarityJoinIndexed(spark, "graft_smoke_d6idx", 0.7)
+      .count()
+    val ssjoinIndexedSec = (System.nanoTime() - t4) / 1e9
+    require(idxPairs == ssjoinPairs,
+      s"indexed similarity join diverged: $idxPairs vs $ssjoinPairs pairs")
+    spark.sql("DROP TABLE IF EXISTS graft_smoke_d6idx_tokens")
+    spark.sql("DROP TABLE IF EXISTS graft_smoke_d6idx_sets")
+
     // Skew stress: ~95% of fact rows share ONE key, and broadcast is
     // disabled so the join must shuffle — the shape where a hot key pins
     // a whole reducer. (The hot partition stays under AQE's 256 MB
@@ -196,6 +213,8 @@ object ScaleSmoke {
       s""""kernel_split_speedup":${skewPlainSec / skewSplitSec},""" +
       s""""dedup_docs":${docs.count() * factor},"dedup_pairs":$pairs,"dedup_sec":$dedupSec,""" +
       s""""ssjoin_pairs":$ssjoinPairs,"ssjoin_sec":$ssjoinSec,""" +
+      s""""ssjoin_index_build_sec":$ssjoinIndexBuildSec,""" +
+      s""""ssjoin_indexed_sec":$ssjoinIndexedSec,""" +
       s""""skew_plain_sec":$plainSec,"skew_salted_sec":$saltedSec,""" +
       s""""skew_speedup":${plainSec / saltedSec},""" +
       s""""ann_vectors":$nVec,"ann_brute_sec":$bruteSec,""" +

@@ -263,56 +263,128 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
-    import org.apache.spark.sql.expressions.Window
-    val prepared = docs
-      .select(col(idCol), shingles(textCol, shingleSize).as("sh"))
+    val prepared = shingleSets(docs, idCol, textCol, shingleSize).persist()
+    try {
+      val cands = prefixTokens(prepared, idCol, threshold)
+      val pairs = prefixCandidatesRaw(cands, idCol, threshold).distinct()
+      verifyPairs(pairs, prepared, idCol, threshold).pipe(materialize)
+    } finally prepared.unpersist()
+  }
+
+  /** (id, sh, sz): each doc's distinct shingle set with its size. */
+  private def shingleSets(docs: DataFrame, idCol: String, textCol: String,
+                          shingleSize: Int): DataFrame =
+    docs.select(col(idCol), shingles(textCol, shingleSize).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("sz", size(col("sh")))
-      .persist()
+
+  /** (id, sz, tok, rk): each doc's prefix tokens under the AllPairs global
+    * ordering. Tokens are 64-bit shingle hashes ordered by global document
+    * frequency — prefixes drawn from each set's RAREST shingles make
+    * candidate buckets tiny; a common phrase never becomes a join key,
+    * because it sorts to the suffix every prefix excludes. `rk` is the
+    * token's 1-based position in the doc's sorted set (the PPJoin position).
+    */
+  private def prefixTokens(prepared: DataFrame, idCol: String,
+                           threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tokens = prepared.select(col(idCol), col("sz"),
+      explode(expr("transform(sh, x -> xxhash64(x))")).as("tok"))
+    val freq = tokens.groupBy("tok").agg(count(lit(1)).as("df"))
+    tokens.join(freq, "tok")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("df"), col("tok"))))
+      .filter(col("rk") <=
+        col("sz") - ceil(col("sz") * lit(threshold)).cast("int") + 1)
+      .select(col(idCol), col("sz"), col("tok"), col("rk"))
+  }
+
+  /** Prefix-token self-join — candidate (id_a, id_b) pairs BEFORE dedup.
+    * Package-visible so BucketingSpec can assert the bucketed-index plan
+    * joins with zero exchange.
+    */
+  private[graft] def prefixCandidatesRaw(cands: DataFrame, idCol: String,
+                                         threshold: Double): DataFrame =
+    cands.as("a")
+      .join(cands.as("b"),
+        col("a.tok") === col("b.tok") &&
+          col(s"a.$idCol") < col(s"b.$idCol") &&
+          // length filter: J >= t forces t·|A| <= |B| and t·|B| <= |A|
+          col("a.sz") >= col("b.sz") * threshold &&
+          col("b.sz") >= col("a.sz") * threshold &&
+          // positional filter (PPJoin): a token matched at sorted
+          // positions (i, j) caps the achievable overlap at
+          // 1 + min(|A|-i, |B|-j); J >= t needs overlap >=
+          // ceil(t/(1+t) · (|A|+|B|)), so occurrences that can't reach
+          // it never become candidates. Exact: the bound is a true
+          // upper bound, so similar pairs always keep >= 1 occurrence.
+          (least(col("a.sz") - col("a.rk"), col("b.sz") - col("b.rk")) + 1) >=
+            ceil((col("a.sz") + col("b.sz")) * lit(threshold / (1 + threshold))))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+
+  /** Persist the similarity-join working state as two BUCKETED catalog
+    * tables — the lake layout that deletes the join's shuffles for a corpus
+    * that is similarity-joined repeatedly (every new-batch dedup pass,
+    * every threshold sweep):
+    *
+    *  - `<name>_tokens` (id, sz, tok, rk), bucketed AND sorted by `tok`:
+    *    both sides of the candidate self-join read the same bucket files,
+    *    so the join plans with ZERO exchange (asserted by BucketingSpec).
+    *    At 100 TB this is the dominant shuffle — the token table is a
+    *    multiple of the corpus — and it is paid ONCE at write time instead
+    *    of twice per query.
+    *  - `<name>_sets` (id, sh, sz), bucketed by the id column: the
+    *    verification joins co-locate on the already-bucketed id side, so
+    *    only the (small) candidate-pair side shuffles.
+    *
+    * The index is built for `threshold` t and serves any query threshold
+    * >= t (a higher threshold needs a SHORTER prefix — a subset of the
+    * stored rows — and the length/positional/verify filters re-apply at
+    * query time). Build-time parameters are recorded as table properties
+    * and re-checked by [[jaccardSimilarityJoinIndexed]].
+    */
+  def prefixTokenIndexWrite(
+      docs: DataFrame, idCol: String, textCol: String,
+      name: String, shingleSize: Int = 3, threshold: Double = 0.5,
+      buckets: Int = 32, externalPath: Option[String] = None): Unit = {
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
+    val spark = docs.sparkSession
+    val prepared = shingleSets(docs, idCol, textCol, shingleSize).persist()
+    def writer(df: DataFrame, table: String) = externalPath
+      .map(p => df.write.option("path", s"$p/$table")).getOrElse(df.write)
     try {
-      val tokens = prepared.select(col(idCol), col("sz"),
-        explode(expr("transform(sh, x -> xxhash64(x))")).as("tok"))
-      // Global document frequency of each shingle: the AllPairs ordering.
-      // Prefixes drawn from each set's RAREST shingles make candidate
-      // buckets tiny — a common phrase never becomes a join key, because
-      // it sorts to the suffix every prefix excludes.
-      val freq = tokens.groupBy("tok").agg(count(lit(1)).as("df"))
-      val cands = tokens.join(freq, "tok")
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col(idCol)).orderBy(col("df"), col("tok"))))
-        .filter(col("rk") <=
-          col("sz") - ceil(col("sz") * lit(threshold)).cast("int") + 1)
-        .select(col(idCol), col("sz"), col("tok"), col("rk"))
-      val pairs = cands.as("a")
-        .join(cands.as("b"),
-          col("a.tok") === col("b.tok") &&
-            col(s"a.$idCol") < col(s"b.$idCol") &&
-            // length filter: J >= t forces t·|A| <= |B| and t·|B| <= |A|
-            col("a.sz") >= col("b.sz") * threshold &&
-            col("b.sz") >= col("a.sz") * threshold &&
-            // positional filter (PPJoin): a token matched at sorted
-            // positions (i, j) caps the achievable overlap at
-            // 1 + min(|A|-i, |B|-j); J >= t needs overlap >=
-            // ceil(t/(1+t) · (|A|+|B|)), so occurrences that can't reach
-            // it never become candidates. Exact: the bound is a true
-            // upper bound, so similar pairs always keep >= 1 occurrence.
-            (least(col("a.sz") - col("a.rk"), col("b.sz") - col("b.rk")) + 1) >=
-              ceil((col("a.sz") + col("b.sz")) * lit(threshold / (1 + threshold))))
-        .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
-        .distinct()
-      val sets = prepared.select(col(idCol), col("sh"), col("sz"))
-      pairs
-        .join(sets.select(col(idCol).as("id_a"), col("sh").as("sh_a"),
-          col("sz").as("sz_a")), "id_a")
-        .join(sets.select(col(idCol).as("id_b"), col("sh").as("sh_b"),
-          col("sz").as("sz_b")), "id_b")
-        .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-        .withColumn("jaccard",
-          col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
-        .filter(col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-        .pipe(materialize)
+      spark.sql(s"DROP TABLE IF EXISTS ${name}_tokens")
+      spark.sql(s"DROP TABLE IF EXISTS ${name}_sets")
+      writer(prefixTokens(prepared, idCol, threshold), s"${name}_tokens")
+        .bucketBy(buckets, "tok").sortBy("tok")
+        .saveAsTable(s"${name}_tokens")
+      writer(prepared, s"${name}_sets")
+        .bucketBy(buckets, idCol).saveAsTable(s"${name}_sets")
+      spark.sql(s"ALTER TABLE ${name}_tokens SET TBLPROPERTIES (" +
+        s"'graft.jaccard.threshold' = '$threshold', " +
+        s"'graft.jaccard.idcol' = '$idCol')")
     } finally prepared.unpersist()
+  }
+
+  /** Exact Jaccard similarity join over a [[prefixTokenIndexWrite]] index:
+    * same output as [[jaccardSimilarityJoin]] on the indexed corpus, but the
+    * candidate self-join runs exchange-free on the bucketed token table.
+    * `threshold` must be >= the index's build threshold.
+    */
+  def jaccardSimilarityJoinIndexed(spark: org.apache.spark.sql.SparkSession,
+                                   name: String, threshold: Double): DataFrame = {
+    val props = spark.sql(s"SHOW TBLPROPERTIES ${name}_tokens")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val built = props("graft.jaccard.threshold").toDouble
+    val idCol = props("graft.jaccard.idcol")
+    require(threshold >= built,
+      s"index $name was built for threshold >= $built, got $threshold")
+    val cands = spark.table(s"${name}_tokens")
+      // re-shorten the stored prefix to the (possibly higher) query threshold
+      .filter(col("rk") <=
+        col("sz") - ceil(col("sz") * lit(threshold)).cast("int") + 1)
+    val pairs = prefixCandidatesRaw(cands, idCol, threshold).distinct()
+    verifyPairs(pairs, spark.table(s"${name}_sets"), idCol, threshold)
   }
 
   /** 60-bit SimHash of the token multiset: per token, the 60-bit hash bit i

@@ -40,4 +40,42 @@ class BucketingSpec extends SparkTestBase {
       spark.sql("DROP TABLE IF EXISTS ord_bucketed")
     }
   }
+
+  test("prefix-token index: exchange-free candidate join, equal to direct similarity join") {
+    val wh = Files.createTempDirectory("graft-d6idx").toString
+    val docs = spark.read.parquet(sfDir("0.01") + "/documents.parquet")
+    Dedup.prefixTokenIndexWrite(docs, "doc_id", "text", name = "d6idx",
+      shingleSize = 3, threshold = 0.5, buckets = 8, externalPath = Some(wh))
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e6)))
+      .toSet
+    try {
+      val direct = pairSet(
+        Dedup.jaccardSimilarityJoin(docs, "doc_id", "text", 3, 0.5))
+      val indexed = pairSet(
+        Dedup.jaccardSimilarityJoinIndexed(spark, "d6idx", 0.5))
+      assert(direct.nonEmpty && indexed == direct,
+        s"indexed join diverged: ${indexed.size} vs ${direct.size} pairs")
+
+      // a HIGHER query threshold reuses the same index (shorter prefix)
+      val direct9 = pairSet(
+        Dedup.jaccardSimilarityJoin(docs, "doc_id", "text", 3, 0.9))
+      assert(pairSet(Dedup.jaccardSimilarityJoinIndexed(spark, "d6idx", 0.9)) == direct9)
+      intercept[IllegalArgumentException](
+        Dedup.jaccardSimilarityJoinIndexed(spark, "d6idx", 0.3))
+
+      // the candidate self-join on the bucketed token table: ZERO exchange
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val raw = Dedup.prefixCandidatesRaw(spark.table("d6idx_tokens"), "doc_id", 0.5)
+        assert(raw.count() > 0)
+        val plan = raw.queryExecution.executedPlan.toString
+        assert(!plan.contains("Exchange"),
+          s"bucketed prefix-token self-join must not shuffle:\n$plan")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS d6idx_tokens")
+      spark.sql("DROP TABLE IF EXISTS d6idx_sets")
+    }
+  }
 }
