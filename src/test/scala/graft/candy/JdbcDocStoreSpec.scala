@@ -75,6 +75,73 @@ class JdbcDocStoreSpec extends SparkTestBase {
       direct.select(countDistinct("transaction_id")).head().getLong(0))
   }
 
+  /** Dialect matrix: every embedded engine whose JDBC driver is on the
+    * classpath. Derby always (its jars ship with Spark for the Hive
+    * metastore); H2 and HSQLDB join automatically when present — this
+    * build's offline dependency cache carries neither, so the matrix is
+    * Derby-only here, but the assertions are engine-generic and the matrix
+    * widens with the classpath, no test changes needed.
+    */
+  private val engines: Seq[(String, String => String)] = {
+    def ifPresent(driver: String, entry: (String, String => String)) =
+      try { Class.forName(driver); Seq(entry) }
+      catch { case _: ClassNotFoundException => Seq.empty }
+    Seq("derby" -> ((n: String) => derbyUrl(n))) ++
+      ifPresent("org.h2.Driver", "h2" -> ((n: String) =>
+        s"jdbc:h2:${Files.createTempDirectory(s"graft-h2-$n")}/db")) ++
+      ifPresent("org.hsqldb.jdbc.JDBCDriver", "hsqldb" -> ((n: String) =>
+        s"jdbc:hsqldb:file:${Files.createTempDirectory(s"graft-hsqldb-$n")}/db"))
+  }
+
+  test("dialect matrix: DECIMAL, TIMESTAMP, DATE and nulls round-trip exactly") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, BigDecimal("1234567890.12"), java.sql.Timestamp.valueOf("2024-02-29 23:59:59.123456"),
+        java.sql.Date.valueOf("2024-02-29")),
+      (2L, BigDecimal("-0.01"), java.sql.Timestamp.valueOf("1999-01-01 00:00:00"),
+        java.sql.Date.valueOf("1999-01-01")))
+    val df = rows.toDF("id", "amount", "at", "day")
+      .withColumn("amount", col("amount").cast("decimal(12,2)"))
+      .unionByName(Seq(3L).toDF("id")
+        .select(col("id"), lit(null).cast("decimal(12,2)").as("amount"),
+          lit(null).cast("timestamp").as("at"), lit(null).cast("date").as("day")))
+    for ((engine, url) <- engines) {
+      val u = url("types")
+      Ingest.writeJdbc(df, u, "typed_vals")
+      val back = Ingest.readJdbc(spark, u, "typed_vals")
+      // DECIMAL scale/precision must survive the dialect's DDL mapping
+      assert(back.schema("amount").dataType ==
+        org.apache.spark.sql.types.DecimalType(12, 2),
+        s"[$engine] decimal type mangled: ${back.schema("amount").dataType}")
+      val want = df.orderBy("id").collect().map(_.toSeq).toSeq
+      val got = back.orderBy("id").collect().map(_.toSeq).toSeq
+      assert(got == want, s"[$engine] typed round-trip diverged:\n$got\nvs\n$want")
+    }
+  }
+
+  test("dialect matrix: quoted mixed-case and reserved-word identifiers survive") {
+    import spark.implicits._
+    // "Order" is a reserved word everywhere; "unitPrice" must keep its case.
+    val df = Seq((1L, "lollipop", 2.5), (2L, "taffy", 0.75))
+      .toDF("Order", "name", "unitPrice")
+    for ((engine, url) <- engines) {
+      val u = url("idents")
+      // the dbtable option is passed through verbatim, so the caller quotes
+      // mixed-case table names; Spark's dialect quotes every COLUMN name in
+      // the DDL and DML it generates.
+      Ingest.writeJdbc(df, u, "\"OrderItems\"")
+      val back = Ingest.readJdbc(spark, u, "\"OrderItems\"")
+      assert(back.schema.fieldNames.toSeq == Seq("Order", "name", "unitPrice"),
+        s"[$engine] identifier case mangled: ${back.schema.fieldNames.toSeq}")
+      assert(back.orderBy("Order").select("unitPrice").as[Double].collect().toSeq
+        == Seq(2.5, 0.75), s"[$engine] values lost through quoted identifiers")
+      // an unquoted name must NOT collide with the quoted mixed-case table
+      Ingest.writeJdbc(df.limit(1), u, "orderitems_plain")
+      assert(Ingest.readJdbc(spark, u, "\"OrderItems\"").count() == 2,
+        s"[$engine] quoted table clobbered by unquoted write")
+    }
+  }
+
   test("readCollections unions per-day collections, tolerating schema drift") {
     import spark.implicits._
     val uri = s"file://${Files.createTempDirectory("graft-multicoll")}"

@@ -106,6 +106,76 @@ class EventStreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("dedup state is bounded by watermark x rate, not stream length") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = dedupEvents(input.toDS().toDF(), watermark = "1 hour").writeStream
+      .format("memory").queryName("dedup_bound")
+      .outputMode(OutputMode.Append()).start()
+    def stateRows: Long =
+      q.lastProgress.stateOperators.headOption.map(_.numRowsTotal).getOrElse(0L)
+    try {
+      val waves = 5
+      val perWave = 100
+      for (w <- 0 until waves) {
+        // one wave = perWave distinct ids spread over an hour, fed in a
+        // fixed pseudo-random permutation — FULL disorder within the
+        // watermark window, every event still admissible
+        val events = (0 until perWave)
+          .sortBy(i => (i * 7919) % perWave)
+          .map(i => Event((w * perWave + i).toLong, ts(w * 120 + i * 59 / perWave),
+            1L, "click", 1.0))
+        input.addData(events)
+        q.processAllAvailable()
+        if (w >= 2) {
+          // the eviction watermark lags one wave; waves are 2h apart with a
+          // 1h watermark, so state may hold the current + previous wave of
+          // ids — never the full history
+          assert(stateRows <= 2L * perWave + 10,
+            s"wave $w: state holds $stateRows rows — watermark eviction broken")
+        }
+      }
+      assert(spark.table("dedup_bound").count() == waves * perWave,
+        "every distinct id must pass through exactly once")
+    } finally q.stop()
+  }
+
+  test("sessionize state is one buffer per open user and drains to the open tail") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = sessionize(input.toDS(), gapSeconds = 600, watermark = "30 minutes")
+      .writeStream.format("memory").queryName("session_bound")
+      .outputMode(OutputMode.Append()).start()
+    def progressed: Seq[Long] =
+      q.recentProgress.toSeq.flatMap(_.stateOperators.map(_.numRowsTotal))
+    try {
+      // 10 users, 20 events each, fed out of order within the watermark
+      val users = 10
+      val events = for {
+        u <- 0 until users; i <- 0 until 20
+      } yield Event((u * 100 + i).toLong, ts(i * 2), u.toLong, "click", 1.0)
+      input.addData(events.sortBy(e => (e.event_id * 7919) % 200))
+      q.processAllAvailable()
+      assert(progressed.max <= users + 1,
+        s"state rows exceeded one-buffer-per-user: ${progressed.max}")
+
+      // advance the watermark far past every session's seal point: all 10
+      // users' buffers must seal, emit, and be REMOVED from state — only
+      // the watermark-advancing user's own open tail may remain
+      input.addData(Event(9999, ts(5000), 99L, "click", 0.0))
+      q.processAllAvailable()
+      input.addData(Event(10000, ts(5001), 99L, "click", 0.0))
+      q.processAllAvailable()
+      val finalRows = q.lastProgress.stateOperators.head.numRowsTotal
+      assert(finalRows <= 1,
+        s"sealed sessions must leave state; still holding $finalRows buffers")
+      assert(spark.table("session_bound").count() >= users,
+        "every user's sealed session must have been emitted")
+    } finally q.stop()
+  }
+
   test("hourly rollup aggregates tumbling event-time windows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
