@@ -355,10 +355,18 @@ object Dedup {
     try {
       spark.sql(s"DROP TABLE IF EXISTS ${name}_tokens")
       spark.sql(s"DROP TABLE IF EXISTS ${name}_sets")
-      writer(prefixTokens(prepared, idCol, threshold), s"${name}_tokens")
+      // Repartition on the bucket column BEFORE the bucketed write: the
+      // repartition hash and the bucket-id hash are the same
+      // pmod(murmur3(col), n), so every task holds exactly one bucket and
+      // each bucket lands in ONE sorted file. Without this, every write
+      // task emits a file per bucket it touches (tasks x buckets tiny
+      // files), and multi-file buckets forfeit the sorted-scan property —
+      // the join would re-sort both sides on every query.
+      writer(prefixTokens(prepared, idCol, threshold)
+          .repartition(buckets, col("tok")), s"${name}_tokens")
         .bucketBy(buckets, "tok").sortBy("tok")
         .saveAsTable(s"${name}_tokens")
-      writer(prepared, s"${name}_sets")
+      writer(prepared.repartition(buckets, col(idCol)), s"${name}_sets")
         .bucketBy(buckets, idCol).saveAsTable(s"${name}_sets")
       spark.sql(s"ALTER TABLE ${name}_tokens SET TBLPROPERTIES (" +
         s"'graft.jaccard.threshold' = '$threshold', " +
