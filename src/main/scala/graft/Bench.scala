@@ -37,10 +37,11 @@ object Bench {
     Option(new java.io.File(sfDir).listFiles()).getOrElse(Array.empty)
       .filter(_.getName.endsWith(".parquet"))
       .foreach(f => spark.read.parquet(f.getPath).limit(1).count())
-    // Untimed IVF index build: index construction is an ingest-time step
-    // (ScaleSmoke reports it as ann_ivf_build_sec); q_v7 measures the probe
-    // path against the prebuilt list_id-partitioned index, as a user would.
+    // Untimed index builds: index construction is an ingest-time step
+    // (ScaleBench/ScaleSmoke time it separately); q_v7 and q_d7 measure the
+    // probe/join path against the prebuilt index, as a user would.
     graft.operators.DedupQueries.ivfCached(spark, sfDir, nlist = 32)
+    graft.operators.PipelineQueries.d6IndexCached(spark, sfDir)
 
     def esc(s: String): String = s.flatMap {
       case '"'  => "\\\""
@@ -78,7 +79,8 @@ object Bench {
     val headline = Set(
       "q1_agg", "q_k1_fulfillment",
       "q_h1_pricing_summary", "q_h5_local_supplier_volume", "q_h10_returned_items", "q_h18_big_orders",
-      "q_d1_dedup_exact", "q_d3_minhash_neardup", "q_d5_neardup_clusters", "q_d6_ngram_jaccard",
+      "q_d1_dedup_exact", "q_d3_minhash_neardup", "q_d5_neardup_clusters",
+      "q_d6_ngram_jaccard", "q_d7_ngram_jaccard_indexed",
       "q_v1_knn_cosine", "q_v5_ann_lsh", "q_v6_embedding_neardup_lsh", "q_v7_ann_ivf",
       "q_str2_fuzzy_block", "q_r1_range_join", "q_j7_salted_join",
       "q_a4_daily_revenue", "q_w1_topk_per_group", "q_q1_quality_audit",

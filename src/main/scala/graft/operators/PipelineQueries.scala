@@ -89,8 +89,37 @@ object PipelineQueries {
       Dedup.jaccardSimilarityJoin(docs(s, dir), "doc_id", "text",
           shingleSize = 3, threshold = 0.5)
         .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy("id_a", "id_b")),
+
+    // Same join THROUGH the bucketed prefix-token index (the repeatedly-
+    // joined-corpus shape): the token shuffle is paid once at index build —
+    // an ingest-time step, built once per dataset dir and memoized like the
+    // IVF index — and the query path is the exchange-free bucketed join +
+    // verify. Same oracle as q_d6: identical output is the correctness
+    // claim; BucketingSpec asserts the zero-exchange plan.
+    "q_d7_ngram_jaccard_indexed" -> ((s, dir) =>
+      Dedup.jaccardSimilarityJoinIndexed(s, d6IndexCached(s, dir), 0.5)
+        .withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy("id_a", "id_b"))
   )
+
+  /** Build-once prefix-token index per (session, dataset dir) — index
+    * construction is ingest-time work (Bench builds it untimed; ScaleBench
+    * times it separately as d6_index_build_sec), so the query measures the
+    * join a user with a maintained corpus index would run.
+    */
+  private val d6Indexes = scala.collection.concurrent.TrieMap.empty[String, String]
+  private[graft] def d6IndexCached(s: SparkSession, dir: String): String =
+    d6Indexes.getOrElseUpdate(dir, {
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      val table = s"graft_d6idx_$key"
+      val path = java.nio.file.Files.createTempDirectory(s"graft-d6idx-$key")
+      Dedup.prefixTokenIndexWrite(docs(s, dir), "doc_id", "text",
+        name = table, shingleSize = 3, threshold = 0.5,
+        externalPath = Some(path.toString))
+      table
+    })
 
   private val duckShingles3 =
     """list_distinct(CASE WHEN len(w) >= 3
@@ -154,18 +183,24 @@ object PipelineQueries {
            |ORDER BY lang, doc_id""".stripMargin
       },
 
-      "q_d6_ngram_jaccard" ->
-        s"""WITH d AS (
-           |  SELECT doc_id, $duckShingles3 AS sh
-           |  FROM (SELECT doc_id, $duckTokens AS w FROM documents)),
-           |nonempty AS (SELECT * FROM d WHERE len(sh) > 0)
-           |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           |       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-           |             / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
-           |FROM nonempty a JOIN nonempty b ON a.doc_id < b.doc_id
-           |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-           |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
-           |ORDER BY id_a, id_b""".stripMargin
+      "q_d6_ngram_jaccard" -> ngramJaccardOracle,
+
+      // the indexed path must produce EXACTLY the brute-force pair set —
+      // one oracle serves both the direct and the index-backed join
+      "q_d7_ngram_jaccard_indexed" -> ngramJaccardOracle
     )
   }
+
+  private lazy val ngramJaccardOracle: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, $duckShingles3 AS sh
+       |  FROM (SELECT doc_id, $duckTokens AS w FROM documents)),
+       |nonempty AS (SELECT * FROM d WHERE len(sh) > 0)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |             / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+       |FROM nonempty a JOIN nonempty b ON a.doc_id < b.doc_id
+       |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
 }

@@ -169,34 +169,64 @@ object RelationalQueries {
 
     // A10 — sketch aggregates: HLL++ distinct counts and approximate
     // percentiles. THE scale substitute for exact countDistinct/percentile
-    // (bounded memory, mergeable partials); approximate by nature, so
-    // rows-only + error-bound spec instead of an oracle. Quantiles are
-    // flattened to scalar columns (driver canonicalization can't sort
-    // array cells).
-    "q_a10_sketches" -> ((s, dir) =>
-      t(s, dir, "lineitem")
-        .groupBy("l_returnflag")
+    // (bounded memory, mergeable partials). Sketch estimates are
+    // implementation-specific — no external engine reproduces the numbers —
+    // so the ORACLE-GREEN shape is the exact-twin pattern: emit the exact
+    // values (DuckDB recomputes those) plus in-plan invariant gates that
+    // FAIL the driver hash when a sketch drifts out of its error bound
+    // (HLL++ rsd 0.02 gated at 5% = 2.5 sigma; percentile estimates gated
+    // by their actual rank, |rank - q| <= 0.01 vs the 1e-4 contract).
+    // SketchSpec still pins the tighter numeric bounds.
+    "q_a10_sketches" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val agg = li.groupBy("l_returnflag")
         .agg(
           approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
-          expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("p50_price"),
-          expr("approx_percentile(l_extendedprice, 0.99, 10000)").as("p99_price"),
+          countDistinct(col("l_orderkey")).as("exact_orders"),
+          expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("p50"),
+          expr("approx_percentile(l_extendedprice, 0.99, 10000)").as("p99"),
           count(lit(1)).as("n"))
-        .orderBy("l_returnflag")),
+      // the percentile estimates' true ranks, measured against the data
+      val ranks = li
+        .join(broadcast(agg.select("l_returnflag", "p50", "p99")), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+          avg(when(col("l_extendedprice") < col("p50"), 1d).otherwise(0d)).as("lt50"),
+          avg(when(col("l_extendedprice") <= col("p50"), 1d).otherwise(0d)).as("le50"),
+          avg(when(col("l_extendedprice") <= col("p99"), 1d).otherwise(0d)).as("le99"))
+      agg.join(ranks, "l_returnflag")
+        .select(
+          col("l_returnflag"), col("n"), col("exact_orders"),
+          (abs(col("approx_orders") - col("exact_orders"))
+            <= col("exact_orders") * 0.05).as("orders_ok"),
+          (col("lt50") <= 0.51 && col("le50") >= 0.49).as("p50_ok"),
+          (col("le99") >= 0.98).as("p99_ok"))
+        .orderBy("l_returnflag")
+    }),
 
     // A12 — MERGEABLE distinct-count sketches (Apache DataSketches HLL):
     // per-day sketches union losslessly into per-type totals, so daily
     // partials are REAGGREGATABLE — the property that lets a 100 TB
     // pipeline keep rolling distinct counts without rescanning history.
-    // Approximate → rows-only; SketchSpec pins merge == direct equality.
+    // ORACLE-GREEN via the exact-twin pattern (see q_a10): the exact
+    // distinct count is externally recomputed; the merged-sketch estimate
+    // is gated in-plan at 5% (DataSketches lgK=12, rsd ~1.6%) so sketch
+    // drift fails the driver hash. SketchSpec pins merge == direct.
     "q_a12_sketch_merge" -> ((s, dir) => {
       val daily = Tables.events(s, dir)
         .groupBy(col("event_type"), to_date(col("ts")).as("day"))
         .agg(hll_sketch_agg(col("user_id")).as("sk"),
           count(lit(1)).as("n"))
-      daily.groupBy("event_type")
+      val merged = daily.groupBy("event_type")
         .agg(
           hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"),
           sum("n").as("n_events"))
+      val exact = Tables.events(s, dir).groupBy("event_type")
+        .agg(countDistinct("user_id").as("exact_users"))
+      merged.join(exact, "event_type")
+        .select(col("event_type"), col("n_events"), col("exact_users"),
+          (abs(col("approx_users") - col("exact_users"))
+            <= col("exact_users") * 0.05).as("users_ok"))
         .orderBy("event_type")
     }),
 
@@ -620,6 +650,20 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // exact-twin oracles for the sketch queries: DuckDB recomputes the
+    // exact counts; the *_ok invariant gates are TRUE by contract — a
+    // sketch drifting past its bound flips them false and fails the hash
+    "q_a10_sketches" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |       count(DISTINCT l_orderkey) AS exact_orders,
+        |       TRUE AS orders_ok, TRUE AS p50_ok, TRUE AS p99_ok
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_a12_sketch_merge" ->
+      """SELECT event_type, count(*) AS n_events,
+        |       count(DISTINCT user_id) AS exact_users, TRUE AS users_ok
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_s1_scan_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem
