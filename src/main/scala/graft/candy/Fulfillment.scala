@@ -133,15 +133,20 @@ object Fulfillment {
     *  1. the shuffle + within-partition SORT of the hot rows — the
     *     expensive, memory-heavy phase — runs in PARALLEL across one task
     *     per (product, range);
-    *  2. the scalar fold then walks the ranges in `subRanges` small
-    *     sequential jobs over the already-sorted cached blocks, stitching
-    *     the `available` state across ranges: carry-over stock is
-    *     `start − Σ fulfilled` (fulfillment only ever decrements by
-    *     fulfilled units), and under reloadDaily the carry re-derives from
-    *     the snapshot when the range crossed a day boundary.
+    *  2. the scalar fold then advances the carry in `R` LIGHT sequential
+    *     jobs — each folds only its range and returns the per-(product,
+    *     day) fulfilled sums (a handful of rows), which advance the carry
+    *     exactly: carry-over stock is `start − Σ fulfilled` (fulfillment
+    *     only ever decrements by fulfilled units), and under reloadDaily
+    *     the carry re-derives from the snapshot when the range crossed a
+    *     day boundary;
+    *  3. once every range's carry-in is known, the OUTPUT rows materialize
+    *     in one final fully-parallel pass over all ranges (the fold CPU
+    *     runs twice, but the scalar fold is the cheap part — what must
+    *     never be serialized-then-cached is the row volume).
     *
     * The fold itself is inherently sequential per product (cancelled orders
-    * don't consume stock — not a prefix sum), so the arithmetic pass stays
+    * don't consume stock — not a prefix sum), so the carry chain stays
     * serial; what the split buys is parallelizing everything around it
     * (fetch, sort, spill) and bounding per-task memory to one range instead
     * of one product's whole history. Non-hot products take the [[run]] path
@@ -149,9 +154,15 @@ object Fulfillment {
     * is unique per product (ties at a range boundary may fold in a
     * different — equally valid — tie order).
     *
-    * Intermediate frames are persisted (the sorted hot blocks and each
-    * range's fold output are materialized before return); callers running
-    * many kernels per session should `spark.catalog.clearCache()` between.
+    * `subRanges` <= 0 auto-sizes R to ~2x ceil(hotRows / hotRowThreshold),
+    * capped at the cluster parallelism: enough ranges that no task folds
+    * much more than the threshold, but no more — every extra range is an
+    * extra sequential stitch job, and at test scale per-job overhead is
+    * what loses to the serial fold.
+    *
+    * The sorted hot blocks stay persisted (the final pass re-reads them);
+    * callers running many kernels per session should
+    * `spark.catalog.clearCache()` between.
     */
   def runWithHotSplit(
       spark: SparkSession,
@@ -161,13 +172,24 @@ object Fulfillment {
       hotRowThreshold: Long = 2000000L,
       subRanges: Int = 0): Dataset[FulfilledLine] = {
     import spark.implicits._
-    val R = if (subRanges > 0) subRanges else spark.sparkContext.defaultParallelism
+    val debugT = spark.conf.getOption("graft.kernel.debugTiming")
+      .orElse(sys.props.get("graft.kernel.debugTiming")).contains("true")
+    var tMark = System.nanoTime()
+    def mark(phase: String): Unit = if (debugT) {
+      System.err.println(f"[hotsplit] $phase: ${(System.nanoTime() - tMark) / 1e9}%.2f s")
+      tMark = System.nanoTime()
+    }
     val counts = items.groupBy("product_id").count()
       .filter(col("count") >= hotRowThreshold)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    if (counts.isEmpty || R <= 1) return run(spark, items, inventory, reloadDaily)
+    mark("count-hot")
+    if (counts.isEmpty) return run(spark, items, inventory, reloadDaily)
     val hotIds = counts.keySet
     val hotRows = counts.values.sum
+    val R = if (subRanges > 0) subRanges
+      else math.max(2, math.min(spark.sparkContext.defaultParallelism,
+        math.ceil(hotRows.toDouble / hotRowThreshold).toInt))
+    if (R <= 1) return run(spark, items, inventory, reloadDaily)
 
     val coldOut = run(spark,
       items.filter(!col("product_id").isin(hotIds.toSeq: _*)), inventory, reloadDaily)
@@ -195,58 +217,40 @@ object Fulfillment {
         }
       when(col("product_id") === pid, bexpr).otherwise(acc)
     }
+    // Range partitioning, not hash: there are only hotIds x R distinct
+    // (product, sub) keys, and hashing that few keys into as many buckets
+    // birthday-collides (some partitions carry 2-3 ranges, some none). The
+    // range partitioner assigns exactly one key per partition.
     val sorted = hot.withColumn("sub", subCol)
-      .repartition(math.max(R, hotIds.size * R), col("product_id"), col("sub"))
+      .repartitionByRange(math.max(R, hotIds.size * R), col("product_id"), col("sub"))
       .sortWithinPartitions("product_id", "sub", "day", "seq")
       .persist()
     sorted.count() // materialize: the heavy sort runs here, fully parallel
+    mark(s"sort-persist (R=$R)")
 
     val invB = spark.sparkContext.broadcast(inventory)
     var carry: Map[Long, HotCarry] = hotIds.map { p =>
       p -> HotCarry(inventory.get(p).map(_.stock).getOrElse(0), null)
     }.toMap
-    val outs = (0 until R).map { r =>
-      val carryB = spark.sparkContext.broadcast(carry)
-      val outR = sorted.filter(col("sub") === r)
+    def rangeFold(r: Int, carryB: org.apache.spark.broadcast.Broadcast[Map[Long, HotCarry]]) =
+      sorted.filter(col("sub") === r)
         .drop("day", "sub").as[ItemRow]
-        .mapPartitions { rows =>
-          var pid = Long.MinValue
-          var avail = 0
-          var snap = 0
-          var price = 0.0
-          var curDay: String = null
-          rows.map { row =>
-            if (row.product_id != pid) {
-              pid = row.product_id
-              val e = invB.value.getOrElse(pid, InventoryEntry(0, 0.0))
-              snap = e.stock
-              price = e.price
-              val c = carryB.value(pid)
-              avail = c.available
-              curDay = c.prevDay
-              val day = row.order_datetime.take(10)
-              if (curDay == null) curDay = day
-              else if (day != curDay) {
-                curDay = day
-                if (reloadDaily) avail = snap
-              }
-            } else if (!row.order_datetime.regionMatches(0, curDay, 0, 10)) {
-              curDay = row.order_datetime.take(10)
-              if (reloadDaily) avail = snap
-            }
-            val fulfilled =
-              if (avail > 0 && row.quantity <= avail) { avail -= row.quantity; row.quantity }
-              else 0
-            FulfilledLine(row.order_id, pid, fulfilled, price,
-              round2(fulfilled * price), curDay)
-          }
-        }
-        .persist()
+        .mapPartitions(rows => foldHot(rows, invB.value, carryB.value, reloadDaily))
+    val carries = (0 until R).map { r =>
+      val carryB = spark.sparkContext.broadcast(carry)
       // Stitch: per-(product, day) fulfilled sums within this range are
-      // enough to advance the carry exactly — no second fold pass.
-      val perDay = outR.groupBy("product_id", "order_date")
-        .agg(sum("quantity").as("f")).collect()
-        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      // enough to advance the carry exactly. The sums come from the LEAN
+      // fold (ints only — no FulfilledLine allocation, no BigDecimal
+      // rounding; those are ~90% of the full fold's per-row cost and are
+      // deferred to the parallel output pass), accumulated INSIDE the fold
+      // task (no exchange, no cache): each sequential stitch job is one
+      // light stage collecting a handful of rows. The carry chain is the
+      // split's only serial work, so it has to be this thin.
+      val perDay = sorted.filter(col("sub") === r)
+        .drop("day", "sub").as[ItemRow]
+        .mapPartitions(rows => foldHotSums(rows, invB.value, carryB.value, reloadDaily))
+        .collect()
+      mark(s"stitch-$r")
       carry = carry.map { case (p, c) =>
         val mine = perDay.filter(_._1 == p)
         if (mine.isEmpty) p -> c
@@ -262,9 +266,92 @@ object Fulfillment {
           p -> HotCarry(avail, lastDay)
         }
       }
-      outR
+      carryB
     }
-    outs.foldLeft(coldOut)(_ union _)
+    // Output rows materialize in ONE fully-parallel pass: every range's
+    // fold recomputes over the persisted sorted blocks with its (final)
+    // carry broadcast.
+    (0 until R).map(r => rangeFold(r, carries(r)))
+      .foldLeft(coldOut)(_ union _)
+  }
+
+  /** LEAN twin of [[foldHot]] for the carry stitch: identical state
+    * machine, but emits only per-(product, day) fulfilled sums — integer
+    * arithmetic, no output-row allocation, no 2-dp rounding. Days where
+    * every order cancelled still appear (sum 0): the carry update keys off
+    * the range's LAST day, fulfilled or not.
+    */
+  private def foldHotSums(rows: Iterator[ItemRow], inv: Map[Long, InventoryEntry],
+                          carry: Map[Long, HotCarry],
+                          reloadDaily: Boolean): Iterator[(Long, String, Long)] = {
+    val sums = scala.collection.mutable.LinkedHashMap.empty[(Long, String), Long]
+    var pid = Long.MinValue
+    var avail = 0
+    var snap = 0
+    var curDay: String = null
+    rows.foreach { row =>
+      if (row.product_id != pid) {
+        pid = row.product_id
+        snap = inv.get(pid).map(_.stock).getOrElse(0)
+        val c = carry(pid)
+        avail = c.available
+        curDay = c.prevDay
+        val day = row.order_datetime.take(10)
+        if (curDay == null) curDay = day
+        else if (day != curDay) {
+          curDay = day
+          if (reloadDaily) avail = snap
+        }
+      } else if (!row.order_datetime.regionMatches(0, curDay, 0, 10)) {
+        curDay = row.order_datetime.take(10)
+        if (reloadDaily) avail = snap
+      }
+      val fulfilled =
+        if (avail > 0 && row.quantity <= avail) { avail -= row.quantity; row.quantity }
+        else 0
+      val k = (pid, curDay)
+      sums(k) = sums.getOrElse(k, 0L) + fulfilled
+    }
+    sums.iterator.map { case ((p, d), s) => (p, d, s) }
+  }
+
+  /** The hot-range fold: rows arrive sorted by (product, day, seq) with the
+    * range's carry-in state per product in `carry`. Shared by the stitch
+    * pass (via the lean [[foldHotSums]] twin) and the final output pass.
+    */
+  private def foldHot(rows: Iterator[ItemRow], inv: Map[Long, InventoryEntry],
+                      carry: Map[Long, HotCarry],
+                      reloadDaily: Boolean): Iterator[FulfilledLine] = {
+    var pid = Long.MinValue
+    var avail = 0
+    var snap = 0
+    var price = 0.0
+    var curDay: String = null
+    rows.map { row =>
+      if (row.product_id != pid) {
+        pid = row.product_id
+        val e = inv.getOrElse(pid, InventoryEntry(0, 0.0))
+        snap = e.stock
+        price = e.price
+        val c = carry(pid)
+        avail = c.available
+        curDay = c.prevDay
+        val day = row.order_datetime.take(10)
+        if (curDay == null) curDay = day
+        else if (day != curDay) {
+          curDay = day
+          if (reloadDaily) avail = snap
+        }
+      } else if (!row.order_datetime.regionMatches(0, curDay, 0, 10)) {
+        curDay = row.order_datetime.take(10)
+        if (reloadDaily) avail = snap
+      }
+      val fulfilled =
+        if (avail > 0 && row.quantity <= avail) { avail -= row.quantity; row.quantity }
+        else 0
+      FulfilledLine(row.order_id, pid, fulfilled, price,
+        round2(fulfilled * price), curDay)
+    }
   }
 
   /** Inventory snapshot for the kernel: product_id -> (stock, sales_price).
