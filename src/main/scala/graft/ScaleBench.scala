@@ -66,7 +66,8 @@ object ScaleBench {
       ("q_v6_neardup_scale" -> ((s: SparkSession, d: String) =>
         operators.SimilaritySearch.embeddingNearDupPairs(
           s.read.parquet(s"$d/embeddings.parquet"), "vec_id", "embedding",
-          threshold = 0.9, targetRecall = 0.999)))
+          threshold = 0.9, bits = 0 /* auto: key space grows with the corpus */,
+          targetRecall = 0.999)))
 
     val results = flagships.map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -189,11 +189,25 @@ object SimilaritySearch {
     IvfIndex(spark.read.parquet(path), centroids)
   }
 
+  /** Bits for a corpus of `n` vectors such that expected bucket occupancy
+    * n / 2^bits stays ~`targetOccupancy`: the random-pair candidate volume
+    * per table is Σ occupancy² ~ n·occupancy, so holding occupancy constant
+    * keeps candidate generation LINEAR in n — at a fixed bit width it turns
+    * quadratic once the corpus outgrows the key space. More bits honestly
+    * cost more tables for the same recall (tablesForRecall re-tunes).
+    */
+  def bitsForCorpus(n: Long, targetOccupancy: Int = 64, minBits: Int = 8): Int =
+    math.max(minBits, math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetOccupancy)) / math.log(2.0)).toInt)
+
   def embeddingNearDupPairs(emb: DataFrame, idCol: String, embCol: String,
                             threshold: Double, bits: Int = 8,
                             targetRecall: Double = 0.95,
                             seed: Int = 42): DataFrame = {
-    val tables = tablesForRecall(threshold, bits, targetRecall)
+    // bits <= 0 -> auto-size the key space to the corpus (one count scan —
+    // ingest-grade cost; the alternative is quadratic candidate growth).
+    val useBits = if (bits > 0) bits else bitsForCorpus(emb.count())
+    val tables = tablesForRecall(threshold, useBits, targetRecall)
     graft.plans.GraftExtensions.register(emb.sparkSession)
     // Candidate generation shuffles ONLY (id, tbl, bucket) — at 75 tables x
     // 9 probes the exploded frames dominate the exchange, so carrying the
@@ -202,10 +216,10 @@ object SimilaritySearch {
     // afterwards; the embedding side is dimension-small, so AQE broadcasts it.
     val withBuckets = emb
       .select(col(idCol),
-        posexplode(srpBucketKeys(embCol, tables, bits, seed)).as(Seq("tbl", "bucket")))
+        posexplode(srpBucketKeys(embCol, tables, useBits, seed)).as(Seq("tbl", "bucket")))
     val probes = withBuckets
       .select(col(idCol), col("tbl"), explode(expr(
-        s"concat(array(bucket), transform(sequence(0, ${bits - 1}), j -> bucket ^ shiftleft(1L, j)))"))
+        s"concat(array(bucket), transform(sequence(0, ${useBits - 1}), j -> bucket ^ shiftleft(1L, j)))"))
         .as("bucket"))
     val candidates = probes.as("a")
       .join(withBuckets.as("b"),

@@ -84,4 +84,22 @@ class SimilaritySpec extends SparkTestBase {
       assert(recall >= 0.5, s"bucket-join recall $recall vs ${brute.size} brute pairs")
     }
   }
+
+  test("auto-sized bits keep the recall contract and track corpus growth") {
+    // bitsForCorpus holds expected bucket occupancy flat: the candidate
+    // volume knob that keeps the bucket join linear as a corpus grows
+    assert(SimilaritySearch.bitsForCorpus(2000) == 8)     // floor
+    assert(SimilaritySearch.bitsForCorpus(205000) == 12)  // 205k/64 ~ 2^11.6
+    assert(SimilaritySearch.bitsForCorpus(100000000) == 21)
+    // at test-corpus size auto picks the same key space as the fixed
+    // default, so the pair set is IDENTICAL — the contract that lets the
+    // driver query keep its brute-force oracle while scale callers opt in
+    val fixed = SimilaritySearch.embeddingNearDupPairs(emb, "vec_id", "embedding", 0.4,
+        targetRecall = 0.99999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val auto = SimilaritySearch.embeddingNearDupPairs(emb, "vec_id", "embedding", 0.4,
+        bits = 0, targetRecall = 0.99999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto == fixed, s"auto-bits diverged: ${auto.size} vs ${fixed.size} pairs")
+  }
 }
