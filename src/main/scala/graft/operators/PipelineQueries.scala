@@ -115,8 +115,13 @@ object PipelineQueries {
         .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
       val table = s"graft_d6idx_$key"
       val path = java.nio.file.Files.createTempDirectory(s"graft-d6idx-$key")
-      Dedup.prefixTokenIndexWrite(docs(s, dir), "doc_id", "text",
-        name = table, shingleSize = 3, threshold = 0.5,
+      val d = docs(s, dir)
+      // size the bucket count to the corpus: ~200 docs of prefix tokens per
+      // bucket file — 32 buckets over a 500-doc test corpus is pure
+      // per-task overhead, and a 50k-doc corpus wants the full width
+      val buckets = math.max(4, math.min(32, (d.count() / 200).toInt))
+      Dedup.prefixTokenIndexWrite(d, "doc_id", "text",
+        name = table, shingleSize = 3, threshold = 0.5, buckets = buckets,
         externalPath = Some(path.toString))
       table
     })

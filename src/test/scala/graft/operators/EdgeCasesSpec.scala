@@ -27,6 +27,20 @@ class EdgeCasesSpec extends SparkTestBase {
       "doc_id", "text").count() == 0)
   }
 
+  test("prefix-token index handles an empty corpus and rejects a missing table") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-d6idx-edge").toString
+    Dedup.prefixTokenIndexWrite(emptyDocs, "doc_id", "text",
+      name = "d6idx_empty", buckets = 4, externalPath = Some(wh))
+    try
+      assert(Dedup.jaccardSimilarityJoinIndexed(spark, "d6idx_empty", 0.5).count() == 0)
+    finally {
+      spark.sql("DROP TABLE IF EXISTS d6idx_empty_tokens")
+      spark.sql("DROP TABLE IF EXISTS d6idx_empty_sets")
+    }
+    intercept[Exception](
+      Dedup.jaccardSimilarityJoinIndexed(spark, "d6idx_nonexistent", 0.5))
+  }
+
   test("corpus-prep operators tolerate empty and single-row inputs") {
     val fr = Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)
     assert(Pipeline.hashSplit(emptyDocs, "doc_id", "s", fr).count() == 0)
