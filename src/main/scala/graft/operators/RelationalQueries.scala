@@ -174,6 +174,7 @@ object RelationalQueries {
     // so the ORACLE-GREEN shape is the exact-twin pattern: emit the exact
     // values (DuckDB recomputes those) plus in-plan invariant gates that
     // FAIL the driver hash when a sketch drifts out of its error bound
+    // (gates emitted as 1/0 ints — bit-identical across engines)
     // (HLL++ rsd 0.02 gated at 5% = 2.5 sigma; percentile estimates gated
     // by their actual rank, |rank - q| <= 0.01 vs the 1e-4 contract).
     // SketchSpec still pins the tighter numeric bounds.
@@ -198,9 +199,9 @@ object RelationalQueries {
         .select(
           col("l_returnflag"), col("n"), col("exact_orders"),
           (abs(col("approx_orders") - col("exact_orders"))
-            <= col("exact_orders") * 0.05).as("orders_ok"),
-          (col("lt50") <= 0.51 && col("le50") >= 0.49).as("p50_ok"),
-          (col("le99") >= 0.98).as("p99_ok"))
+            <= col("exact_orders") * 0.05).cast("int").as("orders_ok"),
+          (col("lt50") <= 0.51 && col("le50") >= 0.49).cast("int").as("p50_ok"),
+          (col("le99") >= 0.98).cast("int").as("p99_ok"))
         .orderBy("l_returnflag")
     }),
 
@@ -226,7 +227,7 @@ object RelationalQueries {
       merged.join(exact, "event_type")
         .select(col("event_type"), col("n_events"), col("exact_users"),
           (abs(col("approx_users") - col("exact_users"))
-            <= col("exact_users") * 0.05).as("users_ok"))
+            <= col("exact_users") * 0.05).cast("int").as("users_ok"))
         .orderBy("event_type")
     }),
 
@@ -656,12 +657,14 @@ object RelationalQueries {
     "q_a10_sketches" ->
       """SELECT l_returnflag, count(*) AS n,
         |       count(DISTINCT l_orderkey) AS exact_orders,
-        |       TRUE AS orders_ok, TRUE AS p50_ok, TRUE AS p99_ok
+        |       CAST(1 AS INT) AS orders_ok, CAST(1 AS INT) AS p50_ok,
+        |       CAST(1 AS INT) AS p99_ok
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_a12_sketch_merge" ->
       """SELECT event_type, count(*) AS n_events,
-        |       count(DISTINCT user_id) AS exact_users, TRUE AS users_ok
+        |       count(DISTINCT user_id) AS exact_users,
+        |       CAST(1 AS INT) AS users_ok
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_s1_scan_filter_project" ->
