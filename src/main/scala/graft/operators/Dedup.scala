@@ -446,9 +446,20 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id"))
         .agg(min("cluster").as("neighbor_min"))
-      val next = labels.join(propagated, Seq("id"), "left")
+      val stepped = labels.join(propagated, Seq("id"), "left")
         .select(col("id"),
           least(col("cluster"), coalesce(col("neighbor_min"), col("cluster"))).as("cluster"))
+      // Pointer halving: also follow the label's own label. A label is
+      // always a node of the same component, so this stays within the
+      // component while short-circuiting label chains — combined with the
+      // edge step, convergence drops from O(diameter) to O(log diameter)
+      // rounds, which is what a billion-node near-dup graph needs (each
+      // round is a full shuffle + checkpoint).
+      val next = stepped.as("x")
+        .join(stepped.select(col("id").as("cluster"), col("cluster").as("cluster2")),
+          Seq("cluster"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("cluster2"), col("cluster"))).as("cluster"))
         .pipe(materialize)
       // existence check, not a count: limit-1 short-circuits the
       // convergence probe instead of scanning every label each round

@@ -113,6 +113,19 @@ object DedupQueries {
         .orderBy(col("cosine").desc, col("vec_id"))
     }),
 
+    // Semantic dedup clusters: embedding near-dup pairs (SRP-LSH banded,
+    // tuned to full recall on the test corpora — same contract as q_v6) →
+    // connected components → min-id canonical per cluster. The vector twin
+    // of q_d5: the keep-one-per-cluster step of embedding-level dedup.
+    // Oracle: recursive-CTE reachability over the brute-force cosine pairs.
+    "q_v9_embedding_dedup_clusters" -> ((s, dir) => {
+      val pairs = SimilaritySearch.embeddingNearDupPairs(
+        emb(s, dir), "vec_id", "embedding", 0.4, targetRecall = 0.99999)
+      Dedup.connectedComponents(pairs.select("id_a", "id_b"))
+        .withColumnRenamed("id", "vec_id")
+        .orderBy("vec_id")
+    }),
+
     // SRP-LSH approximate top-k for the vec_id=0 query vector. ORACLE-GREEN:
     // the similarity floor is declared at 0.25 (the weakest true top-10
     // neighbor across the test corpora sits above it) with targetRecall
@@ -282,7 +295,27 @@ object DedupQueries {
     // brute-force exact top-k (selection by UNROUNDED cosine, ties broken
     // by vec_id — mirrors bruteForceTopK's orderBy).
     "q_v5_ann_lsh" -> bruteTopKSql,
-    "q_v7_ann_ivf" -> bruteTopKSql
+    "q_v7_ann_ivf" -> bruteTopKSql,
+
+    // connected components of the brute-force cosine near-dup graph —
+    // the q_d5 oracle pattern over the vector corpus
+    "q_v9_embedding_dedup_clusters" ->
+      s"""WITH RECURSIVE pairs AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |  WHERE list_sum(list_transform(generate_series(1, len(a.embedding)),
+         |          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+         |        / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         |           * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) >= 0.4),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |walk(id, label) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.id)
+         |SELECT id AS vec_id, min(label) AS cluster
+         |FROM walk GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   private lazy val allPairsCosineSql: String =
