@@ -82,6 +82,7 @@ object Bench {
       "q_d1_dedup_exact", "q_d3_minhash_neardup", "q_d5_neardup_clusters",
       "q_d6_ngram_jaccard", "q_d7_ngram_jaccard_indexed",
       "q_v1_knn_cosine", "q_v5_ann_lsh", "q_v6_embedding_neardup_lsh", "q_v7_ann_ivf",
+      "q_v9_embedding_dedup_clusters",
       "q_str2_fuzzy_block", "q_r1_range_join", "q_j7_salted_join",
       "q_a4_daily_revenue", "q_w1_topk_per_group", "q_q1_quality_audit",
       "q_t1_token_stats", "q_m2_media_similarity")
