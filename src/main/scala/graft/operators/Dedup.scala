@@ -486,6 +486,19 @@ object Dedup {
       .withColumnRenamed("id", idCol)
   }
 
+  /** The corpus AFTER near-dup removal — the step a training-data pipeline
+    * actually ships: every doc whose id is a non-canonical member of some
+    * near-dup cluster is dropped (anti-join against the cluster table);
+    * cluster keepers and docs with no near-dup survive with all columns.
+    */
+  def dedupedCorpus(docs: DataFrame, idCol: String, textCol: String,
+                    shingleSize: Int = 2, threshold: Double = 0.7): DataFrame = {
+    val losers = nearDupClusters(docs, idCol, textCol, shingleSize, threshold)
+      .filter(col(idCol) =!= col("cluster"))
+      .select(idCol)
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** SimHash near-duplicates with Hamming distance <= maxDist: the 60-bit
     * signature is banded into `maxDist + 1` chunks, so by pigeonhole any
     * pair within maxDist agrees exactly on at least one chunk — candidates

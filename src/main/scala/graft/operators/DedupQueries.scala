@@ -113,6 +113,15 @@ object DedupQueries {
         .orderBy(col("cosine").desc, col("vec_id"))
     }),
 
+    // The deduplicated corpus itself — near-dup clusters resolved to their
+    // canonical keeper, non-canonical members dropped. This is the output a
+    // training-data pipeline ships; q_d5 exposes the cluster table, q_d8
+    // the surviving rows.
+    "q_d8_dedup_corpus" -> ((s, dir) =>
+      Dedup.dedupedCorpus(docs(s, dir), "doc_id", "text")
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")),
+
     // Semantic dedup clusters: embedding near-dup pairs (SRP-LSH banded,
     // tuned to full recall on the test corpora — same contract as q_v6) →
     // connected components → min-id canonical per cluster. The vector twin
@@ -283,6 +292,32 @@ object DedupQueries {
          |      FROM documents)
          |ORDER BY doc_id""".stripMargin
     },
+
+    // q_d5's reachability closure, resolved to the surviving rows: drop
+    // every id whose component label is smaller than itself
+    "q_d8_dedup_corpus" ->
+      s"""WITH RECURSIVE d AS (
+         |  SELECT doc_id, $shingleSql AS sh
+         |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS w
+         |        FROM documents)),
+         |nonempty AS (SELECT * FROM d WHERE len(sh) > 0),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM nonempty a JOIN nonempty b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |walk(id, label) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.id),
+         |losers AS (
+         |  SELECT id FROM walk GROUP BY id HAVING min(label) != id)
+         |SELECT doc_id, lang, n_chars FROM documents
+         |WHERE doc_id NOT IN (SELECT id FROM losers)
+         |ORDER BY doc_id""".stripMargin,
 
     "q_v4_embedding_neardup" -> allPairsCosineSql,
 

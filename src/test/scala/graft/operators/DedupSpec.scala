@@ -124,6 +124,23 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("dedupedCorpus drops exactly the non-canonical cluster members") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(sfDir("0.001") + "/documents.parquet")
+    val clusters = Dedup.nearDupClusters(docs, "doc_id", "text")
+    val losers = clusters.filter(col("doc_id") =!= col("cluster"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(losers.nonEmpty, "fixture must contain near-dups")
+    val kept = Dedup.dedupedCorpus(docs, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.size == docs.count() - losers.size)
+    assert((kept & losers).isEmpty, "a dropped doc survived")
+    // every cluster's canonical member survives
+    val keepers = clusters.select("cluster").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(keepers.subsetOf(kept), s"canonical members dropped: ${keepers -- kept}")
+  }
+
   test("fingerprint hash families agree on exact-dup groups") {
     import graft.functions.HashFamily
     import org.apache.spark.sql.functions.{col, collect_set, size}
