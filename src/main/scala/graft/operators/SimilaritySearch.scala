@@ -200,15 +200,40 @@ object SimilaritySearch {
     math.max(minBits, math.ceil(
       math.log(math.max(1.0, n.toDouble / targetOccupancy)) / math.log(2.0)).toInt)
 
+  /** `center = true` subtracts the per-dimension corpus mean INSIDE the
+    * bucket hash (verification still scores ORIGINAL cosines). Embeddings
+    * that are not mean-centered give random pairs a large shared component
+    * — per-bit sign agreement sits well above 1/2 and background bucket
+    * collisions grow quadratically no matter how the key is sized
+    * (measured: the x30 scaling run went 22x on 3x data uncentered).
+    * Centering pushes random-pair similarity to ~0 while TRUE near-dups
+    * (original cosine ~0.9+) stay high in centered space, restoring the
+    * contrast SRP needs. Do NOT center when chasing a threshold inside the
+    * corpus's shared-mean background (e.g. 0.4 on this testdata): such
+    * pairs are background in centered space, and recall for them collapses
+    * by construction — that regime belongs to the uncentered default.
+    */
   def embeddingNearDupPairs(emb: DataFrame, idCol: String, embCol: String,
                             threshold: Double, bits: Int = 8,
                             targetRecall: Double = 0.95,
-                            seed: Int = 42): DataFrame = {
+                            seed: Int = 42, center: Boolean = false): DataFrame = {
     // bits <= 0 -> auto-size the key space to the corpus (one count scan —
     // ingest-grade cost; the alternative is quadratic candidate growth).
     val useBits = if (bits > 0) bits else bitsForCorpus(emb.count())
     val tables = tablesForRecall(threshold, useBits, targetRecall)
     graft.plans.GraftExtensions.register(emb.sparkSession)
+    val hashCol =
+      if (!center) embCol
+      else {
+        // per-dimension corpus mean: one dimension-sized agg, folded into
+        // the hash expression as literals (codegen'd, no second pass)
+        val means = emb
+          .select(posexplode(col(embCol)).as(Seq("_i", "_x")))
+          .groupBy("_i").agg(avg("_x").as("_m")).orderBy("_i")
+          .collect().map(_.getDouble(1))
+        val arr = means.map(v => s"${v}D").mkString("array(", ", ", ")")
+        s"transform($embCol, (x, i) -> CAST(CAST(x AS DOUBLE) - element_at($arr, i + 1) AS FLOAT))"
+      }
     // Candidate generation shuffles ONLY (id, tbl, bucket) — at 75 tables x
     // 9 probes the exploded frames dominate the exchange, so carrying the
     // 64-float payload through them (and a distinct over it) multiplies
@@ -216,7 +241,7 @@ object SimilaritySearch {
     // afterwards; the embedding side is dimension-small, so AQE broadcasts it.
     val withBuckets = emb
       .select(col(idCol),
-        posexplode(srpBucketKeys(embCol, tables, useBits, seed)).as(Seq("tbl", "bucket")))
+        posexplode(srpBucketKeys(hashCol, tables, useBits, seed)).as(Seq("tbl", "bucket")))
     val probes = withBuckets
       .select(col(idCol), col("tbl"), explode(expr(
         s"concat(array(bucket), transform(sequence(0, ${useBits - 1}), j -> bucket ^ shiftleft(1L, j)))"))

@@ -85,6 +85,27 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("centered hashing finds every planted twin at a true-near-dup threshold") {
+    import org.apache.spark.sql.functions._
+    // plant twins at cosine ~1 on the real corpus (whose vectors share a
+    // large mean component — the regime where uncentered SRP bits lose
+    // contrast and background collisions go quadratic)
+    val base = emb.select("vec_id", "embedding").orderBy("vec_id").limit(20)
+    val twins = base.select((col("vec_id") + 5000000L).as("vec_id"),
+      expr("""transform(embedding, (x, i) ->
+             |  CAST(x + 0.001 * pmod(hash(vec_id, i), 7) AS FLOAT))""".stripMargin)
+        .as("embedding"))
+    val planted = emb.select("vec_id", "embedding").unionByName(twins)
+    val wanted = base.collect().map(_.getLong(0)).map(i => (i, i + 5000000L)).toSet
+    val got = SimilaritySearch.embeddingNearDupPairs(planted, "vec_id", "embedding",
+        threshold = 0.9, targetRecall = 0.999, center = true)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(wanted.subsetOf(got.keySet), s"centered hash missed: ${wanted -- got.keySet}")
+    // verification is ORIGINAL-space cosine: every surviving pair clears
+    // the declared threshold in the original geometry
+    got.values.foreach(c => assert(c >= 0.9))
+  }
+
   test("auto-sized bits keep the recall contract and track corpus growth") {
     // bitsForCorpus holds expected bucket occupancy flat: the candidate
     // volume knob that keeps the bucket join linear as a corpus grows
