@@ -67,7 +67,7 @@ object ScaleBench {
         operators.SimilaritySearch.embeddingNearDupPairs(
           s.read.parquet(s"$d/embeddings.parquet"), "vec_id", "embedding",
           threshold = 0.9, bits = 0 /* auto: key space grows with the corpus */,
-          targetRecall = 0.999, center = true))) :+
+          targetRecall = 0.999, center = true, multiprobe = false))) :+
       // connected components over the planted-twin graph (threshold above
       // the random-pair background, so edges grow linearly): measures the
       // pointer-halved label-propagation rounds at growing node counts
@@ -75,7 +75,8 @@ object ScaleBench {
         operators.Dedup.connectedComponents(
           operators.SimilaritySearch.embeddingNearDupPairs(
             s.read.parquet(s"$d/embeddings.parquet"), "vec_id", "embedding",
-            threshold = 0.9, bits = 0, targetRecall = 0.999, center = true)
+            threshold = 0.9, bits = 0, targetRecall = 0.999, center = true,
+            multiprobe = false)
             .select("id_a", "id_b"))))
 
     val results = flagships.map { case (name, fn) =>

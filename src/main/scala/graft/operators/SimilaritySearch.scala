@@ -95,13 +95,19 @@ object SimilaritySearch {
   }
 
   /** Table count needed for `targetRecall` at cosine `threshold` with
-    * `bits`-bit keys and radius-1 multiprobe on one side. p = 1 - angle/pi
-    * is the per-bit agreement probability; a pair collides in a table iff
-    * the signatures differ in at most one bit.
+    * `bits`-bit keys. p = 1 - angle/pi is the per-bit agreement
+    * probability; with `multiprobe` a pair collides in a table iff the
+    * signatures differ in at most one bit (radius-1 probing on one side),
+    * without it only on exact key equality — which needs MORE tables for
+    * the same recall, but shrinks the exploded join frame from
+    * n x tables x (bits+1) rows to n x tables (the memory/shuffle knob at
+    * large n).
     */
-  def tablesForRecall(threshold: Double, bits: Int, targetRecall: Double): Int = {
+  def tablesForRecall(threshold: Double, bits: Int, targetRecall: Double,
+                      multiprobe: Boolean = true): Int = {
     val p = 1.0 - math.acos(math.max(-1.0, math.min(1.0, threshold))) / math.Pi
-    val q = math.pow(p, bits) + bits * math.pow(p, bits - 1) * (1 - p)
+    val q = math.pow(p, bits) +
+      (if (multiprobe) bits * math.pow(p, bits - 1) * (1 - p) else 0.0)
     math.max(1, math.ceil(math.log(1 - targetRecall) / math.log(1 - q)).toInt)
   }
 
@@ -216,11 +222,12 @@ object SimilaritySearch {
   def embeddingNearDupPairs(emb: DataFrame, idCol: String, embCol: String,
                             threshold: Double, bits: Int = 8,
                             targetRecall: Double = 0.95,
-                            seed: Int = 42, center: Boolean = false): DataFrame = {
+                            seed: Int = 42, center: Boolean = false,
+                            multiprobe: Boolean = true): DataFrame = {
     // bits <= 0 -> auto-size the key space to the corpus (one count scan —
     // ingest-grade cost; the alternative is quadratic candidate growth).
     val useBits = if (bits > 0) bits else bitsForCorpus(emb.count())
-    val tables = tablesForRecall(threshold, useBits, targetRecall)
+    val tables = tablesForRecall(threshold, useBits, targetRecall, multiprobe)
     graft.plans.GraftExtensions.register(emb.sparkSession)
     val hashCol =
       if (!center) embCol
@@ -242,10 +249,12 @@ object SimilaritySearch {
     val withBuckets = emb
       .select(col(idCol),
         posexplode(srpBucketKeys(hashCol, tables, useBits, seed)).as(Seq("tbl", "bucket")))
-    val probes = withBuckets
-      .select(col(idCol), col("tbl"), explode(expr(
-        s"concat(array(bucket), transform(sequence(0, ${useBits - 1}), j -> bucket ^ shiftleft(1L, j)))"))
-        .as("bucket"))
+    val probes =
+      if (!multiprobe) withBuckets
+      else withBuckets
+        .select(col(idCol), col("tbl"), explode(expr(
+          s"concat(array(bucket), transform(sequence(0, ${useBits - 1}), j -> bucket ^ shiftleft(1L, j)))"))
+          .as("bucket"))
     val candidates = probes.as("a")
       .join(withBuckets.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&

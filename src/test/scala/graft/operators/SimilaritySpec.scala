@@ -104,6 +104,12 @@ class SimilaritySpec extends SparkTestBase {
     // verification is ORIGINAL-space cosine: every surviving pair clears
     // the declared threshold in the original geometry
     got.values.foreach(c => assert(c >= 0.9))
+    // the frame-shrinking variant (exact-key tables, no probing) must hold
+    // the same recall contract — tablesForRecall re-tunes the table count
+    val noProbe = SimilaritySearch.embeddingNearDupPairs(planted, "vec_id", "embedding",
+        threshold = 0.9, targetRecall = 0.999, center = true, multiprobe = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(wanted.subsetOf(noProbe), s"no-probe tables missed: ${wanted -- noProbe}")
   }
 
   test("auto-sized bits keep the recall contract and track corpus growth") {
