@@ -160,9 +160,13 @@ object Fulfillment {
     * extra sequential stitch job, and at test scale per-job overhead is
     * what loses to the serial fold.
     *
-    * The sorted hot blocks stay persisted (the final pass re-reads them);
-    * callers running many kernels per session should
-    * `spark.catalog.clearCache()` between.
+    * The sorted hot rows are CHECKPOINTED (reliable when a checkpoint dir
+    * is set, local otherwise): the final pass re-reads the exact
+    * materialized rows the stitch saw — eviction + recompute of a
+    * nondeterministic upstream could otherwise reorder ties and de-sync
+    * the carries. Checkpoint blocks free when the RDD is GC'd; callers
+    * running many kernels per session should allow that (no pinned cache
+    * to clear).
     */
   def runWithHotSplit(
       spark: SparkSession,
@@ -221,12 +225,24 @@ object Fulfillment {
     // (product, sub) keys, and hashing that few keys into as many buckets
     // birthday-collides (some partitions carry 2-3 ranges, some none). The
     // range partitioner assigns exactly one key per partition.
-    val sorted = hot.withColumn("sub", subCol)
+    // CHECKPOINT, not persist: the output pass re-folds these rows AFTER
+    // the stitch pass derived the carries from them. A mere persist can
+    // evict blocks, and a recompute of a nondeterministic upstream (seq
+    // from monotonically_increasing_id, duplicate (day, seq) ties) could
+    // reorder rows relative to what the stitch saw — making the broadcast
+    // carry-ins silently inconsistent with the refolded data. Checkpointing
+    // truncates the lineage so the materialized rows are the ONLY rows.
+    // Reliable checkpoint when a dir is configured (survives executor
+    // loss); localCheckpoint otherwise — on a real cluster without a
+    // checkpoint dir, losing an executor fails the job loudly instead of
+    // recomputing wrongly, which is the correct failure mode here.
+    val sortedPlan = hot.withColumn("sub", subCol)
       .repartitionByRange(math.max(R, hotIds.size * R), col("product_id"), col("sub"))
       .sortWithinPartitions("product_id", "sub", "day", "seq")
-      .persist()
-    sorted.count() // materialize: the heavy sort runs here, fully parallel
-    mark(s"sort-persist (R=$R)")
+    val sorted =
+      if (spark.sparkContext.getCheckpointDir.isDefined) sortedPlan.checkpoint()
+      else sortedPlan.localCheckpoint()
+    mark(s"sort-checkpoint (R=$R)")
 
     val invB = spark.sparkContext.broadcast(inventory)
     var carry: Map[Long, HotCarry] = hotIds.map { p =>

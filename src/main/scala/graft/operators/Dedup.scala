@@ -350,8 +350,11 @@ object Dedup {
     require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
     val spark = docs.sparkSession
     val prepared = shingleSets(docs, idCol, textCol, shingleSize).persist()
+    // mode=overwrite: external paths are deterministic per corpus (callers
+    // memoize them), so a rebuild must truncate stale files, not error out
     def writer(df: DataFrame, table: String) = externalPath
-      .map(p => df.write.option("path", s"$p/$table")).getOrElse(df.write)
+      .map(p => df.write.mode("overwrite").option("path", s"$p/$table"))
+      .getOrElse(df.write.mode("overwrite"))
     try {
       spark.sql(s"DROP TABLE IF EXISTS ${name}_tokens")
       spark.sql(s"DROP TABLE IF EXISTS ${name}_sets")
@@ -370,7 +373,8 @@ object Dedup {
         .bucketBy(buckets, idCol).saveAsTable(s"${name}_sets")
       spark.sql(s"ALTER TABLE ${name}_tokens SET TBLPROPERTIES (" +
         s"'graft.jaccard.threshold' = '$threshold', " +
-        s"'graft.jaccard.idcol' = '$idCol')")
+        s"'graft.jaccard.idcol' = '$idCol', " +
+        s"'graft.jaccard.shinglesize' = '$shingleSize')")
     } finally prepared.unpersist()
   }
 
@@ -378,15 +382,29 @@ object Dedup {
     * same output as [[jaccardSimilarityJoin]] on the indexed corpus, but the
     * candidate self-join runs exchange-free on the bucketed token table.
     * `threshold` must be >= the index's build threshold.
+    *
+    * `expectShingleSize`: results are for whatever n-gram granularity the
+    * index was BUILT with; a caller that assumes a specific granularity
+    * should declare it here — a mismatch fails loudly instead of silently
+    * returning pairs for the wrong shingle size. Pre-property indexes
+    * (no `graft.jaccard.shinglesize` recorded) fail the assertion too:
+    * an unverifiable granularity is a mismatch, not a pass.
     */
   def jaccardSimilarityJoinIndexed(spark: org.apache.spark.sql.SparkSession,
-                                   name: String, threshold: Double): DataFrame = {
+                                   name: String, threshold: Double,
+                                   expectShingleSize: Option[Int] = None): DataFrame = {
     val props = spark.sql(s"SHOW TBLPROPERTIES ${name}_tokens")
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     val built = props("graft.jaccard.threshold").toDouble
     val idCol = props("graft.jaccard.idcol")
     require(threshold >= built,
       s"index $name was built for threshold >= $built, got $threshold")
+    expectShingleSize.foreach { want =>
+      val got = props.get("graft.jaccard.shinglesize")
+      require(got.contains(want.toString),
+        s"index $name was built with shingleSize=${got.getOrElse("<unrecorded>")}, " +
+          s"caller expects $want")
+    }
     val cands = spark.table(s"${name}_tokens")
       // re-shorten the stored prefix to the (possibly higher) query threshold
       .filter(col("rk") <=

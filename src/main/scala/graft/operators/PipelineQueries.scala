@@ -98,7 +98,8 @@ object PipelineQueries {
     // verify. Same oracle as q_d6: identical output is the correctness
     // claim; BucketingSpec asserts the zero-exchange plan.
     "q_d7_ngram_jaccard_indexed" -> ((s, dir) =>
-      Dedup.jaccardSimilarityJoinIndexed(s, d6IndexCached(s, dir), 0.5)
+      Dedup.jaccardSimilarityJoinIndexed(s, d6IndexCached(s, dir), 0.5,
+          expectShingleSize = Some(3))
         .withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy("id_a", "id_b"))
   )
@@ -108,23 +109,35 @@ object PipelineQueries {
     * times it separately as d6_index_build_sec), so the query measures the
     * join a user with a maintained corpus index would run.
     */
+  // Memoized per dataset dir, but VALIDATED against the calling session's
+  // catalog: a second SparkSession in the same JVM (test suites, repeated
+  // Bench mains) shares the TrieMap but not necessarily the catalog entry,
+  // so a hit whose table the session can't see rebuilds instead of handing
+  // back a dangling name. The external path is deterministic per dir (and
+  // written mode=overwrite), so rebuilds reuse one directory rather than
+  // leaking a fresh temp dir per build.
   private val d6Indexes = scala.collection.concurrent.TrieMap.empty[String, String]
+  private val d6Lock = new Object
   private[graft] def d6IndexCached(s: SparkSession, dir: String): String =
-    d6Indexes.getOrElseUpdate(dir, {
-      val key = java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-      val table = s"graft_d6idx_$key"
-      val path = java.nio.file.Files.createTempDirectory(s"graft-d6idx-$key")
-      val d = docs(s, dir)
-      // size the bucket count to the corpus: ~200 docs of prefix tokens per
-      // bucket file — 32 buckets over a 500-doc test corpus is pure
-      // per-task overhead, and a 50k-doc corpus wants the full width
-      val buckets = math.max(4, math.min(32, (d.count() / 200).toInt))
-      Dedup.prefixTokenIndexWrite(d, "doc_id", "text",
-        name = table, shingleSize = 3, threshold = 0.5, buckets = buckets,
-        externalPath = Some(path.toString))
-      table
-    })
+    d6Lock.synchronized {
+      d6Indexes.get(dir).filter(t => s.catalog.tableExists(s"${t}_tokens"))
+        .getOrElse {
+          val key = java.security.MessageDigest.getInstance("MD5")
+            .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+          val table = s"graft_d6idx_$key"
+          val path = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_d6idx/$key-v1"
+          val d = docs(s, dir)
+          // size the bucket count to the corpus: ~200 docs of prefix tokens per
+          // bucket file — 32 buckets over a 500-doc test corpus is pure
+          // per-task overhead, and a 50k-doc corpus wants the full width
+          val buckets = math.max(4, math.min(32, (d.count() / 200).toInt))
+          Dedup.prefixTokenIndexWrite(d, "doc_id", "text",
+            name = table, shingleSize = 3, threshold = 0.5, buckets = buckets,
+            externalPath = Some(path))
+          d6Indexes(dir) = table
+          table
+        }
+    }
 
   private val duckShingles3 =
     """list_distinct(CASE WHEN len(w) >= 3

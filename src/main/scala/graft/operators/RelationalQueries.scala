@@ -175,8 +175,11 @@ object RelationalQueries {
     // values (DuckDB recomputes those) plus in-plan invariant gates that
     // FAIL the driver hash when a sketch drifts out of its error bound
     // (gates emitted as 1/0 ints — bit-identical across engines)
-    // (HLL++ rsd 0.02 gated at 5% = 2.5 sigma; percentile estimates gated
-    // by their actual rank, |rank - q| <= 0.01 vs the 1e-4 contract).
+    // (HLL++ rsd 0.02 gated at 8% = 4 sigma — wide enough that a CORRECT
+    // sketch on a new dataset/scale can't flip the gate by bad luck, tight
+    // enough that a broken sketch still fails the hash; percentile
+    // estimates gated by their actual rank, |rank - q| <= 0.01 vs the
+    // 1e-4 contract).
     // SketchSpec still pins the tighter numeric bounds.
     "q_a10_sketches" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
@@ -199,7 +202,7 @@ object RelationalQueries {
         .select(
           col("l_returnflag"), col("n"), col("exact_orders"),
           (abs(col("approx_orders") - col("exact_orders"))
-            <= col("exact_orders") * 0.05).cast("int").as("orders_ok"),
+            <= col("exact_orders") * 0.08).cast("int").as("orders_ok"),
           (col("lt50") <= 0.51 && col("le50") >= 0.49).cast("int").as("p50_ok"),
           (col("le99") >= 0.98).cast("int").as("p99_ok"))
         .orderBy("l_returnflag")
@@ -211,8 +214,9 @@ object RelationalQueries {
     // pipeline keep rolling distinct counts without rescanning history.
     // ORACLE-GREEN via the exact-twin pattern (see q_a10): the exact
     // distinct count is externally recomputed; the merged-sketch estimate
-    // is gated in-plan at 5% (DataSketches lgK=12, rsd ~1.6%) so sketch
-    // drift fails the driver hash. SketchSpec pins merge == direct.
+    // is gated in-plan at 8% (~5 sigma at DataSketches lgK=12, rsd ~1.6%
+    // — see the q_a10 gate-width note) so sketch drift fails the driver
+    // hash. SketchSpec pins merge == direct.
     "q_a12_sketch_merge" -> ((s, dir) => {
       val daily = Tables.events(s, dir)
         .groupBy(col("event_type"), to_date(col("ts")).as("day"))
@@ -227,7 +231,7 @@ object RelationalQueries {
       merged.join(exact, "event_type")
         .select(col("event_type"), col("n_events"), col("exact_users"),
           (abs(col("approx_users") - col("exact_users"))
-            <= col("exact_users") * 0.05).cast("int").as("users_ok"))
+            <= col("exact_users") * 0.08).cast("int").as("users_ok"))
         .orderBy("event_type")
     }),
 

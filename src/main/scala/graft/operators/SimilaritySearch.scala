@@ -214,33 +214,62 @@ object SimilaritySearch {
     * (measured: the x30 scaling run went 22x on 3x data uncentered).
     * Centering pushes random-pair similarity to ~0 while TRUE near-dups
     * (original cosine ~0.9+) stay high in centered space, restoring the
-    * contrast SRP needs. Do NOT center when chasing a threshold inside the
-    * corpus's shared-mean background (e.g. 0.4 on this testdata): such
-    * pairs are background in centered space, and recall for them collapses
-    * by construction — that regime belongs to the uncentered default.
+    * contrast SRP needs.
+    *
+    * RECALL CONTRACT under centering: the SRP bits are drawn in CENTERED
+    * space, where a pair at original cosine `threshold` sits lower — part
+    * of its similarity was the shared mean. The table count is therefore
+    * tuned to the ESTIMATED centered-space threshold, not the declared
+    * one: with s2 = E[|x|^2] and mu2 = |E[x]|^2 over the corpus,
+    * a pair at original cosine c has centered cosine
+    * ~ (c*s2 - mu2) / (s2 - mu2) (dot loses the ~mu2 shared component,
+    * norms shrink the same way). Pairs whose centered similarity falls at
+    * or below the background (estimate <= `minCenteredThreshold`) cannot
+    * be distinguished by centered SRP AT ALL — recall for them collapses
+    * by construction — so that regime fails fast with a pointer to
+    * `center = false` rather than silently missing pairs.
     */
   def embeddingNearDupPairs(emb: DataFrame, idCol: String, embCol: String,
                             threshold: Double, bits: Int = 8,
                             targetRecall: Double = 0.95,
                             seed: Int = 42, center: Boolean = false,
-                            multiprobe: Boolean = true): DataFrame = {
+                            multiprobe: Boolean = true,
+                            minCenteredThreshold: Double = 0.15): DataFrame = {
     // bits <= 0 -> auto-size the key space to the corpus (one count scan —
     // ingest-grade cost; the alternative is quadratic candidate growth).
     val useBits = if (bits > 0) bits else bitsForCorpus(emb.count())
-    val tables = tablesForRecall(threshold, useBits, targetRecall, multiprobe)
     graft.plans.GraftExtensions.register(emb.sparkSession)
-    val hashCol =
-      if (!center) embCol
+    val (hashCol, tuneThreshold) =
+      if (!center) (embCol, threshold)
       else {
-        // per-dimension corpus mean: one dimension-sized agg, folded into
-        // the hash expression as literals (codegen'd, no second pass)
-        val means = emb
+        // Per-dimension corpus mean AND second moment in ONE dimension-sized
+        // agg: the mean feeds the hash (as literals — codegen'd, no second
+        // pass); E[x_i], E[x_i^2] give mu2 = |E[x]|^2 and s2 = E[|x|^2],
+        // from which the centered-space threshold estimate is derived (see
+        // the contract note above).
+        val stats = emb
           .select(posexplode(col(embCol)).as(Seq("_i", "_x")))
-          .groupBy("_i").agg(avg("_x").as("_m")).orderBy("_i")
-          .collect().map(_.getDouble(1))
+          .groupBy("_i")
+          .agg(avg(col("_x").cast("double")).as("_m"),
+            avg(col("_x").cast("double") * col("_x").cast("double")).as("_m2"))
+          .orderBy("_i")
+          .collect().map(r => (r.getDouble(1), r.getDouble(2)))
+        val means = stats.map(_._1)
+        val mu2 = means.map(m => m * m).sum
+        val s2 = stats.map(_._2).sum
+        val centered = (threshold * s2 - mu2) / math.max(s2 - mu2, 1e-12)
+        require(centered > minCenteredThreshold,
+          f"center=true cannot hold recall for original cosine >= $threshold%.3f on this " +
+            f"corpus: the estimated centered-space similarity is $centered%.3f (shared-mean " +
+            f"fraction mu2/s2 = ${mu2 / s2}%.3f), at or below the SRP background. This " +
+            "threshold regime belongs to center=false (uncentered multiprobe).")
         val arr = means.map(v => s"${v}D").mkString("array(", ", ", ")")
-        s"transform($embCol, (x, i) -> CAST(CAST(x AS DOUBLE) - element_at($arr, i + 1) AS FLOAT))"
+        (s"transform($embCol, (x, i) -> CAST(CAST(x AS DOUBLE) - element_at($arr, i + 1) AS FLOAT))",
+          math.min(centered, threshold))
       }
+    // Tables tuned for where the bits actually live: the centered-space
+    // threshold estimate under centering, the declared one otherwise.
+    val tables = tablesForRecall(tuneThreshold, useBits, targetRecall, multiprobe)
     // Candidate generation shuffles ONLY (id, tbl, bucket) — at 75 tables x
     // 9 probes the exploded frames dominate the exchange, so carrying the
     // 64-float payload through them (and a distinct over it) multiplies

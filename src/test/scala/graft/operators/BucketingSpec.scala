@@ -63,6 +63,13 @@ class BucketingSpec extends SparkTestBase {
       assert(pairSet(Dedup.jaccardSimilarityJoinIndexed(spark, "d6idx", 0.9)) == direct9)
       intercept[IllegalArgumentException](
         Dedup.jaccardSimilarityJoinIndexed(spark, "d6idx", 0.3))
+      // granularity is recorded in the index: a caller expecting a different
+      // shingle size fails loudly instead of getting wrong-granularity pairs
+      assert(pairSet(Dedup.jaccardSimilarityJoinIndexed(spark, "d6idx", 0.5,
+        expectShingleSize = Some(3))) == direct)
+      intercept[IllegalArgumentException](
+        Dedup.jaccardSimilarityJoinIndexed(spark, "d6idx", 0.5,
+          expectShingleSize = Some(2)))
 
       // the candidate self-join on the bucketed token table: ZERO exchange
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

@@ -110,6 +110,24 @@ class SimilaritySpec extends SparkTestBase {
         threshold = 0.9, targetRecall = 0.999, center = true, multiprobe = false)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(wanted.subsetOf(noProbe), s"no-probe tables missed: ${wanted -- noProbe}")
+
+    // the recall contract is honest about its limits: on a corpus with a
+    // LARGE shared mean (every vector shifted by +0.1 per dim — mu2/s2
+    // ~0.39, the synthetic-scale regime where centering is needed at all),
+    // a declared threshold of 0.4 sits inside the shared-mean background:
+    // its centered-space similarity is ~0, unreachable by centered bits,
+    // so the call fails fast toward center=false instead of silently
+    // missing pairs. The SAME shifted corpus still accepts threshold 0.9
+    // (centered estimate ~0.84) — the true-near-dup regime stays open.
+    val shifted = planted.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x + 0.1f AS FLOAT))").as("embedding"))
+    intercept[IllegalArgumentException](
+      SimilaritySearch.embeddingNearDupPairs(shifted, "vec_id", "embedding",
+        threshold = 0.4, targetRecall = 0.999, center = true))
+    val shiftedTwins = SimilaritySearch.embeddingNearDupPairs(shifted, "vec_id", "embedding",
+        threshold = 0.9, targetRecall = 0.999, center = true, multiprobe = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(wanted.subsetOf(shiftedTwins), s"shifted-corpus twins missed: ${wanted -- shiftedTwins}")
   }
 
   test("auto-sized bits keep the recall contract and track corpus growth") {
