@@ -79,15 +79,22 @@ object DedupQueries {
         .withColumn("cosine", round(col("cosine"), 6))
         .orderBy("id_a", "id_b")),
 
-    // Embedding near-duplicate pairs, SRP-LSH bucketed (the scale path:
-    // bucket equi-join + exact cosine verify, auto-tuned table count).
-    // ORACLE-GREEN: the table count is tuned (targetRecall 0.999) so the
-    // banded path finds EVERY pair at cosine >= 0.4 on the test corpora —
-    // the oracle is the brute-force all-pairs CTE (same SQL as q_v4), so a
+    // Embedding near-duplicate pairs through the COST-BASED planner
+    // (chooseNearDupStrategy): one stats pass decides between the brute
+    // scan and the SRP-banded plan. On this corpus at threshold 0.4 /
+    // recall 0.99999 the planner measures a ~0.93 background candidate
+    // fraction — enough tables to hold the recall contract collide nearly
+    // every pair, so banding cannot prune and the brute scan IS the faster
+    // exact plan; in the true-near-dup regime (high threshold, clustered
+    // corpus) the same call picks the banded plan, and ScaleBench pins the
+    // banded path explicitly across the x1..x30 curves. ORACLE-GREEN
+    // either way: both plans are exact under the recall tuning, and the
+    // oracle is the brute-force all-pairs CTE (same SQL as q_v4), so a
     // recall regression shows up as a driver hash mismatch, not silence.
-    // SimilaritySpec additionally asserts subset-of-brute with exact cosines.
+    // SimilaritySpec asserts banded == brute pair sets and the planner's
+    // regime flips.
     "q_v6_embedding_neardup_lsh" -> ((s, dir) =>
-      SimilaritySearch.embeddingNearDupPairs(emb(s, dir), "vec_id", "embedding", 0.4,
+      SimilaritySearch.nearDupPairsAuto(emb(s, dir), "vec_id", "embedding", 0.4,
           targetRecall = 0.99999)
         .withColumn("cosine", round(col("cosine"), 6))
         .orderBy("id_a", "id_b")),
@@ -122,13 +129,14 @@ object DedupQueries {
         .select("doc_id", "lang", "n_chars")
         .orderBy("doc_id")),
 
-    // Semantic dedup clusters: embedding near-dup pairs (SRP-LSH banded,
-    // tuned to full recall on the test corpora — same contract as q_v6) →
-    // connected components → min-id canonical per cluster. The vector twin
-    // of q_d5: the keep-one-per-cluster step of embedding-level dedup.
-    // Oracle: recursive-CTE reachability over the brute-force cosine pairs.
+    // Semantic dedup clusters: embedding near-dup pairs (via the same
+    // cost-based planner as q_v6 — same recall contract, same exact
+    // output) → connected components → min-id canonical per cluster. The
+    // vector twin of q_d5: the keep-one-per-cluster step of embedding-
+    // level dedup. Oracle: recursive-CTE reachability over the brute-force
+    // cosine pairs.
     "q_v9_embedding_dedup_clusters" -> ((s, dir) => {
-      val pairs = SimilaritySearch.embeddingNearDupPairs(
+      val pairs = SimilaritySearch.nearDupPairsAuto(
         emb(s, dir), "vec_id", "embedding", 0.4, targetRecall = 0.99999)
       Dedup.connectedComponents(pairs.select("id_a", "id_b"))
         .withColumnRenamed("id", "vec_id")

@@ -242,34 +242,28 @@ object SimilaritySearch {
     val (hashCol, tuneThreshold) =
       if (!center) (embCol, threshold)
       else {
-        // Per-dimension corpus mean AND second moment in ONE dimension-sized
-        // agg: the mean feeds the hash (as literals — codegen'd, no second
-        // pass); E[x_i], E[x_i^2] give mu2 = |E[x]|^2 and s2 = E[|x|^2],
-        // from which the centered-space threshold estimate is derived (see
-        // the contract note above).
-        val stats = emb
-          .select(posexplode(col(embCol)).as(Seq("_i", "_x")))
-          .groupBy("_i")
-          .agg(avg(col("_x").cast("double")).as("_m"),
-            avg(col("_x").cast("double") * col("_x").cast("double")).as("_m2"))
-          .orderBy("_i")
-          .collect().map(r => (r.getDouble(1), r.getDouble(2)))
-        val means = stats.map(_._1)
-        val mu2 = means.map(m => m * m).sum
-        val s2 = stats.map(_._2).sum
-        val centered = (threshold * s2 - mu2) / math.max(s2 - mu2, 1e-12)
+        val st = dimStats(emb, embCol)
+        val centered = centeredThresholdEstimate(threshold, st)
         require(centered > minCenteredThreshold,
           f"center=true cannot hold recall for original cosine >= $threshold%.3f on this " +
             f"corpus: the estimated centered-space similarity is $centered%.3f (shared-mean " +
-            f"fraction mu2/s2 = ${mu2 / s2}%.3f), at or below the SRP background. This " +
+            f"fraction mu2/s2 = ${st.mu2 / st.s2}%.3f), at or below the SRP background. This " +
             "threshold regime belongs to center=false (uncentered multiprobe).")
-        val arr = means.map(v => s"${v}D").mkString("array(", ", ", ")")
+        val arr = st.means.map(v => s"${v}D").mkString("array(", ", ", ")")
         (s"transform($embCol, (x, i) -> CAST(CAST(x AS DOUBLE) - element_at($arr, i + 1) AS FLOAT))",
           math.min(centered, threshold))
       }
     // Tables tuned for where the bits actually live: the centered-space
     // threshold estimate under centering, the declared one otherwise.
     val tables = tablesForRecall(tuneThreshold, useBits, targetRecall, multiprobe)
+    bandedNearDupPairs(emb, idCol, embCol, threshold, hashCol, useBits, tables,
+      seed, multiprobe)
+  }
+
+  private def bandedNearDupPairs(emb: DataFrame, idCol: String, embCol: String,
+                                 threshold: Double, hashCol: String,
+                                 useBits: Int, tables: Int,
+                                 seed: Int, multiprobe: Boolean): DataFrame = {
     // Candidate generation shuffles ONLY (id, tbl, bucket) — at 75 tables x
     // 9 probes the exploded frames dominate the exchange, so carrying the
     // 64-float payload through them (and a distinct over it) multiplies
@@ -296,5 +290,113 @@ object SimilaritySearch {
       .withColumn("cosine", VectorExprs.cosineFast(emb.sparkSession, "emb_a", "emb_b"))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
+  }
+
+  /** Per-dimension corpus statistics in ONE dimension-sized agg:
+    * means feed the centered hash; mu2 = |E[x]|^2 and s2 = E[|x|^2] feed
+    * the centered-threshold estimate and the background-cosine estimate
+    * (a random pair's expected cosine is ~mu2/s2 — the shared-mean
+    * component is all that correlates two independent draws).
+    */
+  private[operators] final case class DimStats(means: Array[Double],
+                                               mu2: Double, s2: Double) {
+    def backgroundCosine: Double = mu2 / math.max(s2, 1e-12)
+  }
+
+  private[operators] def dimStats(emb: DataFrame, embCol: String): DimStats = {
+    val stats = emb
+      .select(posexplode(col(embCol)).as(Seq("_i", "_x")))
+      .groupBy("_i")
+      .agg(avg(col("_x").cast("double")).as("_m"),
+        avg(col("_x").cast("double") * col("_x").cast("double")).as("_m2"))
+      .orderBy("_i")
+      .collect().map(r => (r.getDouble(1), r.getDouble(2)))
+    val means = stats.map(_._1)
+    DimStats(means, means.map(m => m * m).sum, stats.map(_._2).sum)
+  }
+
+  /** Estimated centered-space cosine of a pair at original cosine `c`:
+    * dot loses the ~mu2 shared component, squared norms shrink by the same
+    * mu2 — (c*s2 - mu2) / (s2 - mu2).
+    */
+  private[operators] def centeredThresholdEstimate(c: Double, st: DimStats): Double =
+    (c * st.s2 - st.mu2) / math.max(st.s2 - st.mu2, 1e-12)
+
+  /** The chosen physical strategy for a near-duplicate pair scan, with the
+    * numbers that chose it. `candidateFraction` is the expected fraction of
+    * ALL pairs that the banded plan would surface as candidates anyway —
+    * background pairs colliding by chance across `tables` tables.
+    */
+  final case class NearDupPlan(strategy: String, bits: Int, tables: Int,
+                               candidateFraction: Double, n: Long)
+
+  /** Cost-based strategy selection for near-dup pair scans — a pure
+    * function of corpus statistics, unit-testable without a session.
+    *
+    * The banded plan only wins when bucketing actually PRUNES: its cost is
+    * ~candidateFraction * n^2/2 verifications PLUS the hash/explode/join/
+    * distinct overhead, vs exactly n^2/2 verifications for the brute scan.
+    * When the declared threshold sits near the corpus background (weak
+    * thresholds over near-random vectors), enough tables to hold the
+    * recall contract collide nearly every pair — candidateFraction -> 1 —
+    * and the banded plan degenerates to brute force with overhead on top
+    * (measured at sf0.1: 93% of all pairs collide for threshold 0.4 /
+    * recall 0.99999, and the banded q_v6 ran 3x slower than the brute
+    * q_v4). Below `maxCandidateFraction` (default 0.25: the verify savings
+    * must also cover the per-candidate join+distinct overhead, ~2-4x a
+    * verification) or below `minBandedCorpus` rows, brute wins.
+    *
+    * At 100 TB the selector picks banded wherever banding is the whole
+    * point — true near-dups (high threshold, clustered corpora) — and
+    * refuses to pretend banding prunes where it provably cannot.
+    */
+  def chooseNearDupStrategy(n: Long, backgroundCosine: Double, threshold: Double,
+                            bits: Int, targetRecall: Double, multiprobe: Boolean,
+                            maxCandidateFraction: Double = 0.25,
+                            minBandedCorpus: Long = 2000): NearDupPlan = {
+    val useBits = if (bits > 0) bits else bitsForCorpus(n)
+    val tables = tablesForRecall(threshold, useBits, targetRecall, multiprobe)
+    val p0 = 1.0 - math.acos(math.max(-1.0, math.min(1.0, backgroundCosine))) / math.Pi
+    val q0 = math.pow(p0, useBits) +
+      (if (multiprobe) useBits * math.pow(p0, useBits - 1) * (1 - p0) else 0.0)
+    val frac = 1.0 - math.pow(1.0 - q0, tables)
+    val strategy =
+      if (n < minBandedCorpus || frac > maxCandidateFraction) "brute" else "banded"
+    NearDupPlan(strategy, useBits, tables, frac, n)
+  }
+
+  /** Near-duplicate pairs with AUTOMATIC physical-strategy selection: one
+    * stats pass (count + dimension-sized moments), then
+    * [[chooseNearDupStrategy]] picks the brute scan or the SRP-banded plan
+    * — same exact output either way (the banded plan is recall-tuned to
+    * the declared contract; verification is exact original-space cosine).
+    * This is the entry point a pipeline should call: the crossover between
+    * "bucketing prunes" and "bucketing degenerates to all-pairs with
+    * overhead" depends on corpus statistics a caller shouldn't have to
+    * know. The decision and its inputs are logged.
+    */
+  def nearDupPairsAuto(emb: DataFrame, idCol: String, embCol: String,
+                       threshold: Double, bits: Int = 8,
+                       targetRecall: Double = 0.95,
+                       seed: Int = 42, center: Boolean = false,
+                       multiprobe: Boolean = true,
+                       maxCandidateFraction: Double = 0.25,
+                       minBandedCorpus: Long = 2000): DataFrame = {
+    val n = emb.count()
+    val st = dimStats(emb, embCol)
+    // Centering pushes the background to ~0 by construction and moves the
+    // recall tuning point to the centered-space threshold estimate.
+    val (background, tuneThreshold) =
+      if (center) (0.0, centeredThresholdEstimate(threshold, st))
+      else (st.backgroundCosine, threshold)
+    val plan = chooseNearDupStrategy(n, background, tuneThreshold, bits,
+      targetRecall, multiprobe, maxCandidateFraction, minBandedCorpus)
+    org.slf4j.LoggerFactory.getLogger(getClass).info(
+      f"nearDupPairsAuto: n=$n background=$background%.4f tune=$tuneThreshold%.3f " +
+        f"bits=${plan.bits} tables=${plan.tables} " +
+        f"candidateFraction=${plan.candidateFraction}%.3f -> ${plan.strategy}")
+    if (plan.strategy == "brute") allPairsCosine(emb, idCol, embCol, threshold)
+    else embeddingNearDupPairs(emb, idCol, embCol, threshold, bits,
+      targetRecall, seed, center, multiprobe)
   }
 }

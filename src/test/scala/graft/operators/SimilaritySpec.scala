@@ -130,6 +130,42 @@ class SimilaritySpec extends SparkTestBase {
     assert(wanted.subsetOf(shiftedTwins), s"shifted-corpus twins missed: ${wanted -- shiftedTwins}")
   }
 
+  test("cost-based planner: brute where banding can't prune, banded where it does") {
+    import SimilaritySearch.chooseNearDupStrategy
+    // q_v6's regime: weak threshold over near-random vectors — holding
+    // recall 0.99999 collides >90% of all pairs, so banding degenerates
+    val weak = chooseNearDupStrategy(n = 2000, backgroundCosine = 0.0005,
+      threshold = 0.4, bits = 8, targetRecall = 0.99999, multiprobe = true)
+    assert(weak.strategy == "brute" && weak.candidateFraction > 0.9, weak)
+    // true-near-dup regime at corpus scale: centered background ~0, high
+    // threshold — the banded plan prunes to a few percent of pairs
+    val strong = chooseNearDupStrategy(n = 100000, backgroundCosine = 0.0,
+      threshold = 0.8, bits = 0, targetRecall = 0.999, multiprobe = false)
+    assert(strong.strategy == "banded" && strong.candidateFraction < 0.1, strong)
+    // tiny corpora never pay banding overhead
+    assert(chooseNearDupStrategy(500, 0.0, 0.9, 8, 0.999, false).strategy == "brute")
+
+    // auto dispatch produces the SAME exact pair set as the brute scan in
+    // BOTH regimes (the planted corpus: brute by size; forced banded via
+    // minBandedCorpus=1 with the exact-key centered config)
+    import org.apache.spark.sql.functions.col
+    val base = emb.select("vec_id", "embedding").orderBy("vec_id").limit(20)
+    val twins = base.select((col("vec_id") + 5000000L).as("vec_id"),
+      org.apache.spark.sql.functions.expr(
+        """transform(embedding, (x, i) ->
+          |  CAST(x + 0.001 * pmod(hash(vec_id, i), 7) AS FLOAT))""".stripMargin)
+        .as("embedding"))
+    val planted = emb.select("vec_id", "embedding").unionByName(twins)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairSet(SimilaritySearch.allPairsCosine(planted, "vec_id", "embedding", 0.9))
+    assert(pairSet(SimilaritySearch.nearDupPairsAuto(planted, "vec_id", "embedding",
+      threshold = 0.9, targetRecall = 0.999)) == brute)
+    assert(pairSet(SimilaritySearch.nearDupPairsAuto(planted, "vec_id", "embedding",
+      threshold = 0.9, targetRecall = 0.999, center = true, multiprobe = false,
+      minBandedCorpus = 1)) == brute)
+  }
+
   test("auto-sized bits keep the recall contract and track corpus growth") {
     // bitsForCorpus holds expected bucket occupancy flat: the candidate
     // volume knob that keeps the bucket join linear as a corpus grows
