@@ -77,7 +77,17 @@ object ScaleBench {
             s.read.parquet(s"$d/embeddings.parquet"), "vec_id", "embedding",
             threshold = 0.9, bits = 0, targetRecall = 0.999, center = true,
             multiprobe = false)
-            .select("id_a", "id_b"))))
+            .select("id_a", "id_b")))) :+
+      // the COST-BASED planner on the same corpus/contract: must choose the
+      // banded plan here (background ~0, threshold 0.9 → candidate fraction
+      // ~a few %), so its curve should track q_v6_neardup_scale plus one
+      // stats pass — the planner receipt that the graded-sf brute choice
+      // (q_v6 at threshold 0.4, fraction 0.93) flips where banding prunes
+      ("q_v6_auto_scale" -> ((s: SparkSession, d: String) =>
+        operators.SimilaritySearch.nearDupPairsAuto(
+          s.read.parquet(s"$d/embeddings.parquet"), "vec_id", "embedding",
+          threshold = 0.9, bits = 0, targetRecall = 0.999, center = true,
+          multiprobe = false)))
 
     val results = flagships.map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -474,8 +474,11 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id"))
         .agg(min("cluster").as("neighbor_min"))
+      // carry the round-entry label as `prev`: convergence then reads off
+      // the checkpointed frame with a filter instead of paying a
+      // next-vs-old JOIN (a whole extra shuffle) every round
       val stepped = labels.join(propagated, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("cluster").as("prev"),
           least(col("cluster"), coalesce(col("neighbor_min"), col("cluster"))).as("cluster"))
       // Pointer halving: also follow the label's own label. A label is
       // always a node of the same component, so this stays within the
@@ -486,14 +489,13 @@ object Dedup {
       val next = stepped.as("x")
         .join(stepped.select(col("id").as("cluster"), col("cluster").as("cluster2")),
           Seq("cluster"), "left")
-        .select(col("id"),
+        .select(col("id"), col("prev"),
           least(col("cluster"), coalesce(col("cluster2"), col("cluster"))).as("cluster"))
         .pipe(materialize)
       // existence check, not a count: limit-1 short-circuits the
       // convergence probe instead of scanning every label each round
-      val changed = !next.as("n").join(labels.as("o"), "id")
-        .filter(col("n.cluster") =!= col("o.cluster")).isEmpty
-      labels = next
+      val changed = !next.filter(col("cluster") =!= col("prev")).isEmpty
+      labels = next.select("id", "cluster")
       converged = !changed
       iter += 1
     }
