@@ -120,4 +120,61 @@ object TextAnalysis {
       languageId(textCol).as("lang_id"),
       qualityScore(textCol).as("quality"),
       fingerprint60(textCol).as("fingerprint"))
+
+  /** Corpus-level BOILERPLATE profile (the RefinedWeb/C4-style "how much of
+    * this document is repeated across the corpus" signal): for each doc,
+    * the count and fraction of its distinct word n-grams whose document
+    * frequency reaches `minDf`. High-fraction docs are templated/boilerplate
+    * content a training pipeline down-weights or drops.
+    *
+    * Scale shape: explode distinct n-grams (row-local, codegen'd), ONE
+    * hash-agg shuffle on the gram key for document frequency (map-side
+    * combined; gram keys are near-unique so no skew), join the df back on
+    * the same key (the exchange is reusable — both sides hash-partition on
+    * gram), then one per-doc agg. No corpus self-join anywhere; every step
+    * is linear in total gram count. Short docs (< n words) surface with
+    * zero counts, not silently dropped.
+    */
+  def boilerplateNgramStats(docs: DataFrame, idCol: String, textCol: String,
+                            n: Int = 5, minDf: Int = 2): DataFrame = {
+    require(minDf >= 1, s"minDf must be >= 1, got $minDf")
+    val grams = docs.select(col(idCol),
+      explode(Dedup.shingles(textCol, n)).as("gram"))
+    // shingles are DISTINCT per doc, so count(*) per gram == document freq
+    val df = grams.groupBy("gram").agg(count(lit(1)).as("df"))
+    val per = grams.join(df, "gram")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") >= minDf, 1L).otherwise(0L)).as("n_boilerplate"))
+    docs.select(col(idCol))
+      .join(per, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_boilerplate"), lit(0L)).as("n_boilerplate"),
+        round(coalesce(col("n_boilerplate").cast("double") / col("n_grams"),
+          lit(0d)), 6).as("boilerplate_frac"))
+  }
+
+  /** Benchmark DECONTAMINATION check: training docs that share at least one
+    * word n-gram with the evaluation/benchmark set, with the shared-gram
+    * count. The published-pipeline shape (e.g. GPT-3 appendix C /
+    * open-LM decontamination): n-gram overlap against held-out benchmarks,
+    * flagged docs dropped or audited before training.
+    *
+    * Scale shape: the benchmark gram set is benchmark-sized — tiny next to
+    * a 100 TB corpus — so it BROADCASTS and the corpus side is one scan +
+    * explode + broadcast-hash semi-join + per-doc agg (map-side combined):
+    * the corpus never shuffles on the gram key at all. Returns only
+    * flagged docs (id, shared_grams); clean docs are the anti-join's
+    * complement and never materialize.
+    */
+  def contaminationCheck(train: DataFrame, benchmark: DataFrame,
+                         idCol: String, textCol: String, n: Int = 5): DataFrame = {
+    val benchGrams = benchmark
+      .select(explode(Dedup.shingles(textCol, n)).as("gram")).distinct()
+    train.select(col(idCol), explode(Dedup.shingles(textCol, n)).as("gram"))
+      .join(broadcast(benchGrams), "gram")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("shared_grams"))
+  }
 }

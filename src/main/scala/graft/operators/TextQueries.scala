@@ -72,6 +72,26 @@ object TextQueries {
         .agg(count(lit(1)).as("n_rows"), count(col("gram")).as("n_grams"))
         .orderBy("doc_id")),
 
+    // Corpus boilerplate profile: fraction of each doc's distinct 5-grams
+    // that recur in >= 2 documents (the templated-content signal a
+    // training pipeline down-weights). One gram-key shuffle, no self-join.
+    "q_t8_boilerplate" -> ((s, dir) =>
+      TextAnalysis.boilerplateNgramStats(docs(s, dir), "doc_id", "text",
+          n = 5, minDf = 2)
+        .orderBy("doc_id")),
+
+    // Benchmark decontamination: training docs sharing any 5-gram with the
+    // held-out set (doc_id % 50 == 0 stands in for a benchmark). The
+    // benchmark gram set broadcasts; the corpus side never shuffles on the
+    // gram key.
+    "q_t9_contamination" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextAnalysis.contaminationCheck(
+          d.filter(col("doc_id") % 50 =!= 0), d.filter(col("doc_id") % 50 === 0),
+          "doc_id", "text", n = 5)
+        .orderBy("doc_id")
+    }),
+
     // Exact dedup by grouping key: keeper = min id, with group size.
     "q_d1_dedup_exact" -> ((s, dir) =>
       docs(s, dir)
@@ -140,6 +160,48 @@ object TextQueries {
          |  FROM g)
          |SELECT doc_id, count(*) AS n_rows, count(gram) AS n_grams
          |FROM exploded GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    "q_t8_boilerplate" -> {
+      val parts = (0 until 5).map(i => s"w[i+$i]").mkString(" || ' ' || ")
+      s"""WITH base AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS w
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id,
+         |         unnest(list_distinct(CASE WHEN len(w) >= 5
+         |           THEN list_transform(generate_series(1, len(w) - 4), i -> $parts)
+         |           ELSE [] END)) AS gram
+         |  FROM base),
+         |df AS (SELECT gram, count(*) AS df FROM g GROUP BY 1),
+         |per AS (
+         |  SELECT doc_id, count(*) AS n_grams,
+         |         sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS n_boilerplate
+         |  FROM g JOIN df USING (gram) GROUP BY 1)
+         |SELECT d.doc_id,
+         |       CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
+         |       CAST(coalesce(n_boilerplate, 0) AS BIGINT) AS n_boilerplate,
+         |       round(coalesce(CAST(n_boilerplate AS DOUBLE) / n_grams, 0.0), 6) AS boilerplate_frac
+         |FROM documents d LEFT JOIN per USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "q_t9_contamination" -> {
+      val parts = (0 until 5).map(i => s"w[i+$i]").mkString(" || ' ' || ")
+      s"""WITH base AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS w
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id,
+         |         unnest(list_distinct(CASE WHEN len(w) >= 5
+         |           THEN list_transform(generate_series(1, len(w) - 4), i -> $parts)
+         |           ELSE [] END)) AS gram
+         |  FROM base),
+         |eg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS shared_grams
+         |FROM g JOIN eg USING (gram)
+         |WHERE doc_id % 50 != 0
+         |GROUP BY 1 ORDER BY 1""".stripMargin
     },
 
     "q_d1_dedup_exact" ->

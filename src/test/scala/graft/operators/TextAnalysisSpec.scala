@@ -49,4 +49,36 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(sketch.length == 2)
     assert(sketch == sketch.sorted)
   }
+
+  test("boilerplate n-gram stats count cross-document recurring grams") {
+    // docs 1 and 2 share the template "one two three"; doc 3 is unique;
+    // doc 4 is too short for a trigram and must survive with zeros
+    val docs = Seq(
+      (1L, "one two three alpha beta"),   // grams: 3, shared: "one two three"
+      (2L, "one two three gamma delta"),
+      (3L, "five six seven eight"),        // 2 grams, none shared
+      (4L, "tiny doc")                     // 0 grams
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.boilerplateNgramStats(docs, "doc_id", "text", n = 3, minDf = 2)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got(0) == ((1L, 3L, 1L, 0.333333)), got.mkString(", "))
+    assert(got(1) == ((2L, 3L, 1L, 0.333333)))
+    assert(got(2) == ((3L, 2L, 0L, 0.0)))
+    assert(got(3) == ((4L, 0L, 0L, 0.0)))
+  }
+
+  test("contamination check flags exactly the docs sharing a benchmark n-gram") {
+    val train = Seq(
+      (10L, "alpha beta gamma delta"),     // shares "alpha beta gamma" with bench
+      (11L, "epsilon zeta eta theta"),     // clean
+      (12L, "x alpha beta gamma y")        // shares the same gram mid-doc
+    ).toDF("doc_id", "text")
+    val bench = Seq(Tuple1("alpha beta gamma unrelated tail")).toDF("text")
+      .selectExpr("CAST(0 AS BIGINT) AS doc_id", "text")
+    val got = TextAnalysis.contaminationCheck(train, bench, "doc_id", "text", n = 3)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((10L, 1L), (12L, 1L)), got.mkString(", "))
+  }
 }
