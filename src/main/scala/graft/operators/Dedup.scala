@@ -162,9 +162,20 @@ object Dedup {
   /** Exact-verify candidate pairs against distinct shingle sets: one
     * array_intersect per pair, |A∪B| from carried sizes. Shared by the
     * LSH, prefix-filter, and incremental paths.
+    *
+    * The sets legs carry a SHUFFLE_HASH hint: size stats (compressed
+    * parquet for the indexed path, accurate in-memory stats for the
+    * persisted paths) otherwise make Catalyst broadcast the shingle-ARRAY
+    * side into both legs — two single-threaded hash-relation builds of the
+    * heaviest column in the query (measured 3.9s vs 0.7s of verification
+    * at 5k docs) — and at corpus scale the set side can never broadcast
+    * anyway. Shuffle-hash builds per-partition tables from the set side
+    * (id-bucketed tables join exchange-free) and moves only the thin
+    * candidate pairs.
     */
-  private def verifyPairs(pairs: DataFrame, sets: DataFrame, idCol: String,
-                          threshold: Double): DataFrame =
+  private def verifyPairs(pairs: DataFrame, sets0: DataFrame, idCol: String,
+                          threshold: Double): DataFrame = {
+    val sets = sets0.hint("shuffle_hash")
     pairs
       .join(sets.select(col(idCol).as("id_a"), col("sh").as("sh_a"),
         col("sz").as("sz_a")), "id_a")
@@ -175,6 +186,7 @@ object Dedup {
         col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+  }
 
   /** One row per (id, sh, sz, band_idx, band_key) — the PERSISTABLE LSH
     * index state: write it once per corpus (partition by band_key range in
@@ -410,17 +422,11 @@ object Dedup {
       .filter(col("rk") <=
         col("sz") - ceil(col("sz") * lit(threshold)).cast("int") + 1)
     val pairs = prefixCandidatesRaw(cands, idCol, threshold).distinct()
-    // SHUFFLE_HASH on the sets legs: compressed parquet stats make the
-    // shingle-array table look broadcastable, but materializing it as TWO
-    // single-threaded broadcast hash relations of full string arrays costs
-    // multiples of the whole verification (measured 3.9 s vs 0.7 s at 5k
-    // docs) — and at corpus scale broadcasting the set side is impossible
-    // anyway. The hinted plan builds per-bucket hash tables from the
-    // id-bucketed table with ZERO exchange on the sets side; only the
-    // (far smaller) candidate-pair side shuffles, which is the exact
-    // layout contract the index was written for.
-    verifyPairs(pairs, spark.table(s"${name}_sets").hint("shuffle_hash"),
-      idCol, threshold)
+    // verifyPairs hints SHUFFLE_HASH on the sets legs — for this path that
+    // means per-bucket hash tables with ZERO exchange on the id-bucketed
+    // sets table; only the (far smaller) candidate-pair side shuffles,
+    // which is the exact layout contract the index was written for
+    verifyPairs(pairs, spark.table(s"${name}_sets"), idCol, threshold)
   }
 
   /** 60-bit SimHash of the token multiset: per token, the 60-bit hash bit i
