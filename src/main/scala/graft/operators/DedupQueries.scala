@@ -169,8 +169,17 @@ object DedupQueries {
   private[graft] def ivfCached(s: SparkSession, dir: String,
                                nlist: Int = 16): SimilaritySearch.IvfIndex =
     ivfLock.synchronized {
+      // the key fingerprints the SOURCE FILES (name, length, mtime), not
+      // just the path: /tmp caches outlive the JVM, and a regenerated
+      // dataset at the same path must invalidate the index — a stale IVF
+      // assignment would silently return wrong neighbors
+      val src = new java.io.File(s"$dir/embeddings.parquet")
+      val entries = (if (src.isDirectory) src.listFiles().sortBy(_.getName).toSeq
+                     else Seq(src))
+        .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
       val key = java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .digest((dir +: entries).mkString("|").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
       val path = s"/tmp/graft_ivf/$key-nlist$nlist-v1"
       val marker = new java.io.File(s"$path/_graft_index_ready")
       if (!marker.exists()) {
