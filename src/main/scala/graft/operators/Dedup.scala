@@ -159,23 +159,37 @@ object Dedup {
     } finally prepared.unpersist()
   }
 
+  /** Below this many docs, verification joins hint SHUFFLE_HASH on the
+    * set side; above it they are left to Catalyst. The crossover is a
+    * data-motion trade measured at both ends:
+    *
+    *  - SMALL corpora: Catalyst's size stats (compressed parquet /
+    *    in-memory) pick the shingle-ARRAY side as the broadcast build for
+    *    BOTH verify legs — two single-threaded hash-relation builds of
+    *    the heaviest column cost 3.9s against 0.7s of verification at 5k
+    *    docs. Shuffle-hash moves only the thin pairs: 4.1s → 1.3s.
+    *  - LARGE corpora: the second verify leg's exchange carries sh_a with
+    *    every candidate row, so shuffle-hash pays candidates x array
+    *    bytes, while one broadcast of the set side is |sets| x executors.
+    *    Prefix/LSH joins keep candidates ~ O(docs), so broadcast wins
+    *    once docs x avg-candidate-fanout outgrows docs x parallelism —
+    *    measured at 50k docs: hinted 87.6s vs broadcast 17.5s.
+    *  - At TRUE corpus scale the set side exceeds the broadcast threshold
+    *    and Catalyst itself plans the shuffle, paying the inherent
+    *    candidates-x-array motion — there is no plan that avoids moving
+    *    each matched pair's array at least once.
+    */
+  private val SmallSetsDocs = 16384L
+
   /** Exact-verify candidate pairs against distinct shingle sets: one
     * array_intersect per pair, |A∪B| from carried sizes. Shared by the
-    * LSH, prefix-filter, and incremental paths.
-    *
-    * The sets legs carry a SHUFFLE_HASH hint: size stats (compressed
-    * parquet for the indexed path, accurate in-memory stats for the
-    * persisted paths) otherwise make Catalyst broadcast the shingle-ARRAY
-    * side into both legs — two single-threaded hash-relation builds of the
-    * heaviest column in the query (measured 3.9s vs 0.7s of verification
-    * at 5k docs) — and at corpus scale the set side can never broadcast
-    * anyway. Shuffle-hash builds per-partition tables from the set side
-    * (id-bucketed tables join exchange-free) and moves only the thin
-    * candidate pairs.
+    * LSH, prefix-filter, and incremental paths. `setsRows` drives the
+    * [[SmallSetsDocs]] build-side crossover; callers pass the count they
+    * already know (persisted frames, index table properties).
     */
   private def verifyPairs(pairs: DataFrame, sets0: DataFrame, idCol: String,
-                          threshold: Double): DataFrame = {
-    val sets = sets0.hint("shuffle_hash")
+                          threshold: Double, setsRows: Long): DataFrame = {
+    val sets = if (setsRows <= SmallSetsDocs) sets0.hint("shuffle_hash") else sets0
     pairs
       .join(sets.select(col(idCol).as("id_a"), col("sh").as("sh_a"),
         col("sz").as("sz_a")), "id_a")
@@ -237,7 +251,11 @@ object Dedup {
       val pairs = vsOld.unionByName(vsNew).distinct()
       val sets = index.select(col(idCol), col("sh"), col("sz")).dropDuplicates(idCol)
         .unionByName(newIdx.select(col(idCol), col("sh"), col("sz")).dropDuplicates(idCol))
-      verifyPairs(pairs, sets, idCol, threshold).pipe(materialize)
+      // the stored index side is corpus-sized by definition — never hint
+      // the small-corpus build side here; Catalyst's stats still broadcast
+      // it at toy scale
+      verifyPairs(pairs, sets, idCol, threshold, setsRows = Long.MaxValue)
+        .pipe(materialize)
     } finally newIdx.unpersist()
   }
 
@@ -277,9 +295,12 @@ object Dedup {
     require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
     val prepared = shingleSets(docs, idCol, textCol, shingleSize).persist()
     try {
+      // also warms the persisted shingle sets before the window/join passes
+      val nDocs = prepared.count()
       val cands = prefixTokens(prepared, idCol, threshold)
       val pairs = prefixCandidatesRaw(cands, idCol, threshold).distinct()
-      verifyPairs(pairs, prepared, idCol, threshold).pipe(materialize)
+      verifyPairs(pairs, prepared, idCol, threshold, setsRows = nDocs)
+        .pipe(materialize)
     } finally prepared.unpersist()
   }
 
@@ -386,7 +407,8 @@ object Dedup {
       spark.sql(s"ALTER TABLE ${name}_tokens SET TBLPROPERTIES (" +
         s"'graft.jaccard.threshold' = '$threshold', " +
         s"'graft.jaccard.idcol' = '$idCol', " +
-        s"'graft.jaccard.shinglesize' = '$shingleSize')")
+        s"'graft.jaccard.shinglesize' = '$shingleSize', " +
+        s"'graft.jaccard.ndocs' = '${prepared.count()}')")
     } finally prepared.unpersist()
   }
 
@@ -422,11 +444,14 @@ object Dedup {
       .filter(col("rk") <=
         col("sz") - ceil(col("sz") * lit(threshold)).cast("int") + 1)
     val pairs = prefixCandidatesRaw(cands, idCol, threshold).distinct()
-    // verifyPairs hints SHUFFLE_HASH on the sets legs — for this path that
-    // means per-bucket hash tables with ZERO exchange on the id-bucketed
-    // sets table; only the (far smaller) candidate-pair side shuffles,
-    // which is the exact layout contract the index was written for
-    verifyPairs(pairs, spark.table(s"${name}_sets"), idCol, threshold)
+    // the doc count recorded at index-write time drives the verify
+    // build-side crossover (SmallSetsDocs); for small corpora the hinted
+    // plan builds per-bucket hash tables with ZERO exchange on the
+    // id-bucketed sets table and only the candidate pairs shuffle
+    val nDocs = props.get("graft.jaccard.ndocs").map(_.toLong)
+      .getOrElse(spark.table(s"${name}_sets").count())
+    verifyPairs(pairs, spark.table(s"${name}_sets"), idCol, threshold,
+      setsRows = nDocs)
   }
 
   /** 60-bit SimHash of the token multiset: per token, the 60-bit hash bit i

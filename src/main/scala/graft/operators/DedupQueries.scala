@@ -93,9 +93,12 @@ object DedupQueries {
     // recall regression shows up as a driver hash mismatch, not silence.
     // SimilaritySpec asserts banded == brute pair sets and the planner's
     // regime flips.
+    // q_v6 and q_v9 are two OUTPUTS of one dedup stage (the pair listing
+    // and the clustering), so the pair set is computed once per session
+    // and shared (nearDupPairsShared) — in-session only, never across
+    // runs: a fresh driver always recomputes.
     "q_v6_embedding_neardup_lsh" -> ((s, dir) =>
-      SimilaritySearch.nearDupPairsAuto(emb(s, dir), "vec_id", "embedding", 0.4,
-          targetRecall = 0.99999)
+      nearDupPairsShared(s, dir)
         .withColumn("cosine", round(col("cosine"), 6))
         .orderBy("id_a", "id_b")),
 
@@ -135,13 +138,10 @@ object DedupQueries {
     // vector twin of q_d5: the keep-one-per-cluster step of embedding-
     // level dedup. Oracle: recursive-CTE reachability over the brute-force
     // cosine pairs.
-    "q_v9_embedding_dedup_clusters" -> ((s, dir) => {
-      val pairs = SimilaritySearch.nearDupPairsAuto(
-        emb(s, dir), "vec_id", "embedding", 0.4, targetRecall = 0.99999)
-      Dedup.connectedComponents(pairs.select("id_a", "id_b"))
+    "q_v9_embedding_dedup_clusters" -> ((s, dir) =>
+      Dedup.connectedComponents(nearDupPairsShared(s, dir).select("id_a", "id_b"))
         .withColumnRenamed("id", "vec_id")
-        .orderBy("vec_id")
-    }),
+        .orderBy("vec_id")),
 
     // SRP-LSH approximate top-k for the vec_id=0 query vector. ORACLE-GREEN:
     // the similarity floor is declared at 0.25 (the weakest true top-10
@@ -165,6 +165,26 @@ object DedupQueries {
     * Cached under /tmp keyed by the source dir — verify and bench runs over
     * the same data share one build.
     */
+  /** The verified near-dup pair set at the driver contract's (threshold
+    * 0.4, recall 0.99999), computed ONCE per (SparkContext, dataset dir)
+    * and localCheckpointed: a dedup stage materializes its pair table a
+    * single time and feeds every downstream output (the q_v6 listing, the
+    * q_v9 clustering) from it. Keyed by the context identity so a second
+    * session in the same JVM (test suites) never receives another
+    * context's cached blocks; in-session only, so a fresh run always
+    * recomputes — results are never cached across driver invocations.
+    */
+  private val pairsMemo =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+  private val pairsLock = new Object
+  private[graft] def nearDupPairsShared(s: SparkSession, dir: String): DataFrame =
+    pairsLock.synchronized {
+      pairsMemo.getOrElseUpdate(
+        (System.identityHashCode(s.sparkContext), dir),
+        SimilaritySearch.nearDupPairsAuto(emb(s, dir), "vec_id", "embedding",
+          0.4, targetRecall = 0.99999).localCheckpoint())
+    }
+
   private val ivfLock = new Object
   private[graft] def ivfCached(s: SparkSession, dir: String,
                                nlist: Int = 16): SimilaritySearch.IvfIndex =

@@ -155,6 +155,43 @@ object TextAnalysis {
           lit(0d)), 6).as("boilerplate_frac"))
   }
 
+  /** WITHIN-DOCUMENT repetition signals (the Gopher-rules family, adapted
+    * to unstructured text): over a doc's NON-distinct word n-grams,
+    *  - `top_ngram_count`: occurrences of the most repeated n-gram,
+    *  - `dup_ngram_frac`: fraction of n-gram occurrences that belong to
+    *    some repeated n-gram (count >= 2).
+    * High values flag loops/templating/keyword stuffing — content a
+    * training pipeline down-weights even when it is corpus-unique.
+    *
+    * Scale shape: explode (row-local) + two hash aggs keyed by (id, gram)
+    * then id — both map-side combined, no joins against the corpus. Short
+    * docs (< n words) surface with zeros.
+    */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int = 2): DataFrame = {
+    require(n >= 1, s"n-gram size must be >= 1, got $n")
+    val parts = (0 until n).map(i => s"w[i + $i]").mkString(", ' ', ")
+    // non-distinct n-grams: repetition is the signal, dedup would erase it
+    val gramsExpr = Dedup.letBind(Dedup.tokensExpr(textCol), "w",
+      s"""CASE WHEN size(w) >= $n
+         |  THEN transform(sequence(0, size(w) - $n), i -> concat($parts))
+         |  ELSE array() END""".stripMargin)
+    val counts = docs
+      .select(col(idCol), explode(expr(gramsExpr)).as("gram"))
+      .groupBy(idCol, "gram").agg(count(lit(1)).as("c"))
+    val per = counts.groupBy(idCol).agg(
+      sum("c").as("n_ngrams"),
+      max("c").as("top_ngram_count"),
+      sum(when(col("c") >= 2, col("c")).otherwise(0L)).as("dup_occ"))
+    docs.select(col(idCol))
+      .join(per, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_ngrams"), lit(0L)).as("n_ngrams"),
+        coalesce(col("top_ngram_count"), lit(0L)).as("top_ngram_count"),
+        round(coalesce(col("dup_occ").cast("double") / col("n_ngrams"),
+          lit(0d)), 6).as("dup_ngram_frac"))
+  }
+
   /** Benchmark DECONTAMINATION check: training docs that share at least one
     * word n-gram with the evaluation/benchmark set, with the shared-gram
     * count. The published-pipeline shape (e.g. GPT-3 appendix C /

@@ -92,6 +92,12 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Within-document repetition (Gopher-rule family): most-repeated
+    // bigram count + fraction of bigram occurrences that are repeats.
+    "q_t10_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionStats(docs(s, dir), "doc_id", "text", n = 2)
+        .orderBy("doc_id")),
+
     // Exact dedup by grouping key: keeper = min id, with group size.
     "q_d1_dedup_exact" -> ((s, dir) =>
       docs(s, dir)
@@ -203,6 +209,29 @@ object TextQueries {
          |WHERE doc_id % 50 != 0
          |GROUP BY 1 ORDER BY 1""".stripMargin
     },
+
+    "q_t10_repetition" ->
+      """WITH base AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |         unnest(CASE WHEN len(w) >= 2
+        |           THEN list_transform(generate_series(1, len(w) - 1),
+        |                               i -> w[i] || ' ' || w[i+1])
+        |           ELSE [] END) AS gram
+        |  FROM base),
+        |counts AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+        |per AS (
+        |  SELECT doc_id, sum(c) AS n_ngrams, max(c) AS top_ngram_count,
+        |         sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_occ
+        |  FROM counts GROUP BY 1)
+        |SELECT d.doc_id,
+        |       CAST(coalesce(n_ngrams, 0) AS BIGINT) AS n_ngrams,
+        |       CAST(coalesce(top_ngram_count, 0) AS BIGINT) AS top_ngram_count,
+        |       round(coalesce(CAST(dup_occ AS DOUBLE) / n_ngrams, 0.0), 6) AS dup_ngram_frac
+        |FROM documents d LEFT JOIN per USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_d1_dedup_exact" ->
       """SELECT lang, source, min(doc_id) AS keeper_doc_id,

@@ -68,6 +68,20 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(got(3) == ((4L, 0L, 0L, 0.0)))
   }
 
+  test("repetition stats: top n-gram count and duplicate-occurrence fraction") {
+    val docs = Seq(
+      (1L, "buy now buy now buy now"),   // bigrams: "buy now"x3, "now buy"x2 -> all 5 repeats
+      (2L, "one two three four"),         // 3 bigrams, all unique
+      (3L, "word")                        // too short: zeros
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionStats(docs, "doc_id", "text", n = 2)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got(0) == ((1L, 5L, 3L, 1.0)), got.mkString(", "))
+    assert(got(1) == ((2L, 3L, 1L, 0.0)))
+    assert(got(2) == ((3L, 0L, 0L, 0.0)))
+  }
+
   test("contamination check flags exactly the docs sharing a benchmark n-gram") {
     val train = Seq(
       (10L, "alpha beta gamma delta"),     // shares "alpha beta gamma" with bench
