@@ -17,6 +17,25 @@ object CandyPipeline {
       dailySummary: DataFrame,
       forecast: DataFrame)
 
+  /** Which fulfillment kernel executes the sequential per-product fold.
+    * All three produce identical rows (FulfillmentSpec equivalences;
+    * CandyGoldenSpec runs the golden E2E through each):
+    *  - [[Kernel.Fold]]     — manual repartition + sortWithinPartitions fold
+    *  - [[Kernel.Plan]]     — custom Catalyst operator (FulfillmentPlan);
+    *                          the planner inserts the exchange/sort
+    *  - [[Kernel.HotSplit]] — [[Fulfillment.runWithHotSplit]]: products above
+    *                          `hotRowThreshold` rows fold as `subRanges`
+    *                          time-ranges with stitched carries, bounding
+    *                          per-task memory at 100 TB-scale skew
+    */
+  sealed trait Kernel
+  object Kernel {
+    case object Fold extends Kernel
+    case object Plan extends Kernel
+    final case class HotSplit(hotRowThreshold: Long = 2000000L,
+                              subRanges: Int = 0) extends Kernel
+  }
+
   /** Run the full pipeline from a dataset directory (transactions_*.json +
     * products.csv). Returns all five output tables, lazily where possible.
     * `reloadDaily` mirrors the reference's RELOAD_INVENTORY_DAILY config
@@ -25,7 +44,7 @@ object CandyPipeline {
     */
   def run(spark: SparkSession, dataDir: String, forecastDays: Int = 1,
           reloadDaily: Boolean = false,
-          usePlanOperator: Boolean = false): Results = {
+          kernel: Kernel = Kernel.Fold): Results = {
     implicit val s: SparkSession = spark
     import spark.implicits._
     val transactions = Ingest.readTransactionsOrdered(spark, dataDir)
@@ -33,12 +52,14 @@ object CandyPipeline {
 
     val items = Outputs.prepareItems(transactions)
     val inventory = Fulfillment.snapshot(products)
-    // two equivalent kernels: the manual repartition+sort fold, or the
-    // custom Catalyst operator whose exchange/sort the planner inserts
-    val fulfilled =
-      (if (usePlanOperator)
+    val fulfilled = (kernel match {
+      case Kernel.Plan =>
         graft.plans.FulfillmentPlan.run(items, inventory, reloadDaily).as[FulfilledLine]
-      else Fulfillment.run(spark, items, inventory, reloadDaily)).cache()
+      case Kernel.HotSplit(thr, r) =>
+        Fulfillment.runWithHotSplit(spark, items, inventory, reloadDaily, thr, r)
+      case Kernel.Fold =>
+        Fulfillment.run(spark, items, inventory, reloadDaily)
+    }).cache()
 
     val lineItems = Outputs.lineItemsFinal(fulfilled)
     val orders = Outputs.ordersFinal(transactions, fulfilled)
@@ -66,9 +87,11 @@ object CandyPipeline {
     spark.sparkContext.setLogLevel("WARN")
     val reloadDaily =
       sys.env.getOrElse("RELOAD_INVENTORY_DAILY", "false").equalsIgnoreCase("true")
-    val usePlan =
-      sys.env.getOrElse("GRAFT_PLAN_KERNEL", "false").equalsIgnoreCase("true")
-    val r = run(spark, dataDir, reloadDaily = reloadDaily, usePlanOperator = usePlan)
+    val kernel =
+      if (sys.env.getOrElse("GRAFT_PLAN_KERNEL", "false").equalsIgnoreCase("true"))
+        Kernel.Plan
+      else Kernel.Fold
+    val r = run(spark, dataDir, reloadDaily = reloadDaily, kernel = kernel)
     Ingest.saveSingleCsv(r.productsUpdated, outDir, "products_updated.csv")
     Ingest.saveSingleCsv(r.orders, outDir, "orders.csv")
     Ingest.saveSingleCsv(r.orderLineItems, outDir, "order_line_items.csv")
