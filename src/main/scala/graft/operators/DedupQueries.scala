@@ -143,6 +143,32 @@ object DedupQueries {
         .withColumnRenamed("id", "vec_id")
         .orderBy("vec_id")),
 
+    // The PRODUCTION SRP configuration — centered, exact-key (multiprobe
+    // off), auto-sized key space — oracle-checked. The graded corpus has no
+    // true near-duplicates (max pairwise cosine 0.60), so the frame plants
+    // one twin per vector IN-QUERY with a deterministic perturbation DuckDB
+    // replays bit-for-bit (the q_m2 stub-codec pattern): noise component
+    // j is ((vec_id*31 + j) % 7 - 3) * 0.015, giving original cosine ~0.97
+    // — inside the regime the centered recall contract guarantees (pairs
+    // that stay above the tuned threshold in centered space; see
+    // SimilaritySearch.embeddingNearDupPairs). Oracle: brute-force
+    // all-pairs cosine >= 0.9 over the same derived frame, so a recall miss
+    // fails the driver hash, not a spec assumption.
+    "q_v10_centered_neardup" -> ((s, dir) => {
+      val base = emb(s, dir).select("vec_id", "embedding")
+      val twins = base.select(
+        (col("vec_id") + lit(100000L)).as("vec_id"),
+        expr("transform(embedding, (x, j) -> " +
+          "CAST(CAST(x AS DOUBLE) + ((vec_id * 31 + j) % 7 - 3) * 0.015D AS FLOAT))")
+          .as("embedding"))
+      SimilaritySearch.embeddingNearDupPairs(base.unionByName(twins),
+          "vec_id", "embedding", threshold = 0.9,
+          bits = 0 /* auto-sized to the corpus — the production default */,
+          targetRecall = 0.9999, center = true, multiprobe = false)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("id_a", "id_b")
+    }),
+
     // SRP-LSH approximate top-k for the vec_id=0 query vector. ORACLE-GREEN:
     // the similarity floor is declared at 0.25 (the weakest true top-10
     // neighbor across the test corpora sits above it) with targetRecall
@@ -357,6 +383,33 @@ object DedupQueries {
          |ORDER BY doc_id""".stripMargin,
 
     "q_v4_embedding_neardup" -> allPairsCosineSql,
+
+    // Brute-force cosine over the SAME derived planted-twin frame: DuckDB
+    // re-derives the twins (identical integer noise then FLOAT cast — IEEE
+    // round-to-nearest in both engines) and joins all pairs at >= 0.9.
+    // generate_series is 1-based where Spark's transform index is 0-based,
+    // hence (j - 1) in the noise term.
+    "q_v10_centered_neardup" ->
+      s"""WITH twins AS (
+         |  SELECT vec_id + 100000 AS id2,
+         |         list_transform(generate_series(1, len(embedding)),
+         |           j -> (embedding[j]::DOUBLE
+         |                 + ((vec_id * 31 + (j - 1)) % 7 - 3) * 0.015::DOUBLE)::FLOAT) AS emb2
+         |  FROM embeddings),
+         |allv AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL SELECT id2, emb2 FROM twins)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |       round(list_sum(list_transform(generate_series(1, len(a.embedding)),
+         |               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+         |         / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         |            * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cosine
+         |FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+         |WHERE list_sum(list_transform(generate_series(1, len(a.embedding)),
+         |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+         |      / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         |         * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) >= 0.9
+         |ORDER BY id_a, id_b""".stripMargin,
 
     // q_v6 runs the SRP-LSH banded path but must find the SAME pair set as
     // brute force (tables tuned for that) — one oracle serves both.

@@ -183,4 +183,19 @@ class SimilaritySpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(auto == fixed, s"auto-bits diverged: ${auto.size} vs ${fixed.size} pairs")
   }
+
+  test("q_v10 registry query: exactly one planted-twin pair per vector") {
+    // The driver-facing production-SRP query (centered, exact-key, auto
+    // bits) must surface precisely the deterministic twins it plants — the
+    // corpus itself has no pairs near 0.9 (max pairwise cosine 0.6), so
+    // any extra or missing row is a registry-wiring or recall regression.
+    val n = emb.count()
+    val rows = DedupQueries.queries("q_v10_centered_neardup")(spark, sfDir("0.001"))
+      .collect()
+    assert(rows.length == n, s"expected $n twin pairs, got ${rows.length}")
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(0) + 100000L, s"non-twin pair $r")
+      assert(r.getDouble(2) >= 0.9, s"below-threshold pair $r")
+    }
+  }
 }
