@@ -22,6 +22,56 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
   * Usage: ScaleBench <dataDir> <outFile> [label]
   */
 object ScaleBench {
+
+  /** Per-query physical-resource counters, accumulated from task-end
+    * events. Wall-time alone hid the round-6 SRP frame wall until it was a
+    * 210 s surprise; shuffle volume and spill counts make the next one a
+    * NUMBER that moves before the wall-time does — a query whose shuffle
+    * bytes grow superlinearly in corpus size is about to fall over at 100 TB
+    * even while its local seconds still look fine.
+    */
+  private final class TaskMetricsListener
+      extends org.apache.spark.scheduler.SparkListener {
+    import java.util.concurrent.atomic.AtomicLong
+    val shuffleWrite = new AtomicLong
+    val shuffleRead  = new AtomicLong
+    val memSpill     = new AtomicLong
+    val diskSpill    = new AtomicLong
+    val peakTaskMem  = new AtomicLong
+    val tasks        = new AtomicLong
+    override def onTaskEnd(
+        t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        memSpill.addAndGet(m.memoryBytesSpilled)
+        diskSpill.addAndGet(m.diskBytesSpilled)
+        peakTaskMem.getAndUpdate(p => math.max(p, m.peakExecutionMemory))
+        tasks.incrementAndGet()
+      }
+    }
+    def reset(): Unit =
+      Seq(shuffleWrite, shuffleRead, memSpill, diskSpill, peakTaskMem, tasks)
+        .foreach(_.set(0L))
+    /** Listener-bus delivery is asynchronous: wait until the task counter
+      * has been stable for `quietMs` (bounded by `maxWaitMs`) before
+      * reading — the tail of a just-finished job's events is still
+      * draining when the action returns.
+      */
+    def settle(quietMs: Long = 250, maxWaitMs: Long = 3000): Unit = {
+      val deadline = System.nanoTime() + maxWaitMs * 1000000L
+      var last = -1L
+      var stableSince = System.nanoTime()
+      while (System.nanoTime() < deadline &&
+             (tasks.get() != last ||
+              (System.nanoTime() - stableSince) < quietMs * 1000000L)) {
+        if (tasks.get() != last) { last = tasks.get(); stableSince = System.nanoTime() }
+        Thread.sleep(25)
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val outFile = args(1)
@@ -89,19 +139,35 @@ object ScaleBench {
           threshold = 0.9, bits = 0, targetRecall = 0.999, center = true,
           multiprobe = false)))
 
+    val listener = new TaskMetricsListener
+    spark.sparkContext.addSparkListener(listener)
+
     val results = flagships.map { case (name, fn) =>
+      listener.settle(); listener.reset()
       val t0 = System.nanoTime()
       val rows = try fn(spark, dir).count()
       catch { case e: Throwable =>
         System.err.println(s"[scalebench] $name FAILED: $e"); -1L
       }
       val sec = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[scalebench] $name%-28s $sec%8.2f s  $rows%10d rows")
-      (name, sec, rows)
+      listener.settle()
+      val mb = 1024.0 * 1024.0
+      val metrics = Map(
+        "shuffle_write_mb" -> listener.shuffleWrite.get() / mb,
+        "shuffle_read_mb"  -> listener.shuffleRead.get() / mb,
+        "spill_mem_mb"     -> listener.memSpill.get() / mb,
+        "spill_disk_mb"    -> listener.diskSpill.get() / mb,
+        "peak_task_mem_mb" -> listener.peakTaskMem.get() / mb)
+      System.err.println(f"[scalebench] $name%-28s $sec%8.2f s  $rows%10d rows  " +
+        f"shufW ${metrics("shuffle_write_mb")}%.1f MB  spillD ${metrics("spill_disk_mb")}%.1f MB")
+      (name, sec, rows, metrics)
     }
     def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (n, s, r) => s""""$n":{"sec":${fmt(s)},"rows":$r}""" }
-      .mkString("{", ",", "}")
+    val qs = results.map { case (n, s, r, m) =>
+      val extra = m.toSeq.sortBy(_._1)
+        .map { case (k, v) => s""""$k":${fmt(v)}""" }.mkString(",")
+      s""""$n":{"sec":${fmt(s)},"rows":$r,$extra}"""
+    }.mkString("{", ",", "}")
     val line = s"""{"label":"$label","dir":"$dir","ivf_build_sec":${fmt(ivfBuildSec)},"d6_index_build_sec":${fmt(d6BuildSec)},"queries":$qs}"""
     println(line)
     Files.writeString(Paths.get(outFile), line + "\n",
