@@ -120,9 +120,12 @@ object ScaleBench {
           targetRecall = 0.999, center = true, multiprobe = false))) :+
       // connected components over the planted-twin graph (threshold above
       // the random-pair background, so edges grow linearly): measures the
-      // pointer-halved label-propagation rounds at growing node counts
+      // pointer-halved label-propagation rounds at growing node counts.
+      // maxLocalEdges = 0 pins the DISTRIBUTED loop — the synthetic edge
+      // lists fit the driver-side union-find bound, which would otherwise
+      // turn this curve into a measurement of nothing
       ("q_v9_clusters_scale" -> ((s: SparkSession, d: String) =>
-        operators.Dedup.connectedComponents(
+        operators.Dedup.connectedComponents(maxLocalEdges = 0L, pairs =
           operators.SimilaritySearch.embeddingNearDupPairs(
             s.read.parquet(s"$d/embeddings.parquet"), "vec_id", "embedding",
             threshold = 0.9, bits = 0, targetRecall = 0.999, center = true,

@@ -483,6 +483,18 @@ object Dedup {
     * lineage — the iterative-algorithm pattern that survives at scale where
     * a driver-side union-find cannot hold the edge list.
     *
+    * Cost-based small-graph path (the [[SimilaritySearch.chooseNearDupStrategy]]
+    * pattern): a near-dup edge list is usually TINY relative to its corpus
+    * — dedup graphs are sparse by construction — and below
+    * `maxLocalEdges` distinct edges (default 2^20 ≈ 16 MB of id pairs,
+    * far under any driver budget) every propagation round is pure
+    * scheduler overhead: 2 shuffles + a checkpoint × O(log d) rounds to
+    * move kilobytes. There the materialized edge list is union-found on
+    * the driver in one pass — same labels, no rounds. Graphs above the
+    * bound (or with non-integral id types) always take the distributed
+    * loop; the bound is a count on the already-materialized edge frame,
+    * never a speculative collect.
+    *
     * @param pairs (id_a, id_b) undirected edges
     * @return (id, cluster) where cluster = min node id of the component;
     *         only nodes appearing in pairs are returned
@@ -490,9 +502,21 @@ object Dedup {
     *         maxIterations — unconverged labels are silently-wrong clusters,
     *         never acceptable output for a dedup pipeline
     */
-  def connectedComponents(pairs: DataFrame, maxIterations: Int = 50): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+  def connectedComponents(pairs: DataFrame, maxIterations: Int = 50,
+                          maxLocalEdges: Long = 1L << 20): DataFrame = {
+    val dedupedPairs = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .distinct()
+      .pipe(materialize)
+    val integralIds = dedupedPairs.schema.forall(f => f.dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType => true
+      case _ => false
+    })
+    if (integralIds && dedupedPairs.count() <= maxLocalEdges)
+      return localConnectedComponents(dedupedPairs)
+    val edges = dedupedPairs
+      .union(dedupedPairs.select(col("dst"), col("src")))
       .distinct()
       .pipe(materialize)
     var labels = edges.select(col("src").as("id")).distinct()
@@ -534,6 +558,47 @@ object Dedup {
       s"connectedComponents did not converge after $maxIterations iterations " +
         "— raise maxIterations (rounds are bounded by component diameter)")
     labels
+  }
+
+  /** Driver-side union-find over a bounded, already-materialized edge list
+    * — the small-graph leg of [[connectedComponents]]. Path-compressed
+    * find; labels resolved to the min node id per root in a second pass,
+    * so the result is independent of union order and identical to the
+    * min-label fixpoint the distributed loop converges to.
+    */
+  private def localConnectedComponents(dedupedPairs: DataFrame): DataFrame = {
+    val spark = dedupedPairs.sparkSession
+    import spark.implicits._
+    val idType = dedupedPairs.schema.head.dataType
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var root = x
+      while (parent(root) != root) root = parent(root)
+      var cur = x
+      while (parent(cur) != root) { val nxt = parent(cur); parent(cur) = root; cur = nxt }
+      root
+    }
+    dedupedPairs.collect().foreach { r =>
+      // null endpoints cannot reach here from the dedup operators; the
+      // distributed path would drop them at the label join — mirror that
+      if (!r.isNullAt(0) && !r.isNullAt(1)) {
+        val a = r.get(0).asInstanceOf[Number].longValue
+        val b = r.get(1).asInstanceOf[Number].longValue
+        parent.getOrElseUpdate(a, a)
+        parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+    }
+    val minLabel = scala.collection.mutable.LongMap.empty[Long]
+    parent.keysIterator.foreach { n =>
+      val r = find(n)
+      if (n < minLabel.getOrElse(r, Long.MaxValue)) minLabel(r) = n
+    }
+    parent.keysIterator.map(n => (n, minLabel(find(n)))).toSeq
+      .toDF("id", "cluster")
+      .select(col("id").cast(idType).as("id"),
+        col("cluster").cast(idType).as("cluster"))
   }
 
   /** Near-duplicate clusters with canonical selection: MinHash-LSH pairs →

@@ -161,11 +161,17 @@ class DedupSpec extends SparkTestBase {
     // triangle 10-11-12, pair 20-21
     val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (4L, 5L),
       (10L, 11L), (11L, 12L), (10L, 12L), (21L, 20L)).toDF("id_a", "id_b")
+    // default: the bounded driver-side union-find (8 edges << the bound)
     val got = Dedup.connectedComponents(pairs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert((1L to 5L).forall(got(_) == 1L), s"chain: $got")
     assert((10L to 12L).forall(got(_) == 10L), s"triangle: $got")
     assert(got(20L) == 20L && got(21L) == 20L, s"pair: $got")
+    // maxLocalEdges = 0 forces the distributed label-propagation loop:
+    // both legs of the cost-based split must produce identical labels
+    val distributed = Dedup.connectedComponents(pairs, maxLocalEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(distributed == got, s"local/distributed divergence: $distributed vs $got")
   }
 
   test("nearDupClusters groups the planted duplicates around the min doc id") {
@@ -182,7 +188,7 @@ class DedupSpec extends SparkTestBase {
     spark.conf.set("graft.checkpoint.reliable", "true")
     try {
       val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (4L, 5L)).toDF("id_a", "id_b")
-      val got = Dedup.connectedComponents(pairs)
+      val got = Dedup.connectedComponents(pairs, maxLocalEdges = 0L)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert((1L to 5L).forall(got(_) == 1L), s"chain via checkpoint(): $got")
     } finally {
@@ -197,7 +203,7 @@ class DedupSpec extends SparkTestBase {
     // diameter-4 chain cannot converge in 1 round
     val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (4L, 5L)).toDF("id_a", "id_b")
     val e = intercept[IllegalStateException] {
-      Dedup.connectedComponents(pairs, maxIterations = 1)
+      Dedup.connectedComponents(pairs, maxIterations = 1, maxLocalEdges = 0L)
     }
     assert(e.getMessage.contains("did not converge"))
   }
