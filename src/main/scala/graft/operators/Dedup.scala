@@ -136,25 +136,18 @@ object Dedup {
       .withColumn("sz", size(col("sh")))
       .withColumn("sig", minHashSignature("sh", numHashes))
       .withColumn("bands", bandKeys("sig", bands, r))
+      .withColumn("shh", hashedShingleSet("sh"))
+      .drop("sh")
       .persist()
     try {
+      // warms the persisted frame and feeds the verify build-side crossover
+      val nDocs = prepared.count()
       val pairs = lshCandidatePairs(prepared, idCol, "bands")
-      val sets = prepared.select(col(idCol), col("sh"), col("sz"))
-      // Shingle arrays are distinct sets, so |A∪B| = |A|+|B|-|A∩B| with
-      // per-doc sizes carried from `prepared` — the verify step pays ONE
-      // array_intersect per candidate pair instead of materializing and
-      // re-deduplicating the concatenated union (2x array_distinct(concat)
-      // per pair in the general jaccard()). Equal values, same math.
-      pairs
-        .join(sets.select(col(idCol).as("id_a"), col("sh").as("sh_a"),
-          col("sz").as("sz_a")), "id_a")
-        .join(sets.select(col(idCol).as("id_b"), col("sh").as("sh_b"),
-          col("sz").as("sz_b")), "id_b")
-        .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-        .withColumn("jaccard",
-          col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
-        .filter(col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+      // Shingle sets are distinct, so |A∪B| = |A|+|B|-|A∩B| with per-doc
+      // sizes carried from `prepared`; the intersection is the sorted-
+      // token merge scan (hashedVerifyNote).
+      verifyPairs(pairs, prepared.select(col(idCol), col("shh"), col("sz")),
+          idCol, threshold, setsRows = nDocs)
         .pipe(materialize)
     } finally prepared.unpersist()
   }
@@ -168,7 +161,7 @@ object Dedup {
     *    BOTH verify legs — two single-threaded hash-relation builds of
     *    the heaviest column cost 3.9s against 0.7s of verification at 5k
     *    docs. Shuffle-hash moves only the thin pairs: 4.1s → 1.3s.
-    *  - LARGE corpora: the second verify leg's exchange carries sh_a with
+    *  - LARGE corpora: the second verify leg's exchange carries shh_a with
     *    every candidate row, so shuffle-hash pays candidates x array
     *    bytes, while one broadcast of the set side is |sets| x executors.
     *    Prefix/LSH joins keep candidates ~ O(docs), so broadcast wins
@@ -181,6 +174,12 @@ object Dedup {
     */
   private val SmallSetsDocs = 16384L
 
+  /** On-disk layout tag for similarity-index `_sets` tables; bumped when
+    * the stored set representation changes (recorded and re-checked as a
+    * table property so stale indexes fail loudly).
+    */
+  private val SetFormat = "xx64-sorted-v2"
+
   /** Exact-verify candidate pairs against distinct shingle sets: one
     * array_intersect per pair, |A∪B| from carried sizes. Shared by the
     * LSH, prefix-filter, and incremental paths. `setsRows` drives the
@@ -189,13 +188,16 @@ object Dedup {
     */
   private def verifyPairs(pairs: DataFrame, sets0: DataFrame, idCol: String,
                           threshold: Double, setsRows: Long): DataFrame = {
+    graft.plans.GraftExtensions.register(sets0.sparkSession)
     val sets = if (setsRows <= SmallSetsDocs) sets0.hint("shuffle_hash") else sets0
     pairs
-      .join(sets.select(col(idCol).as("id_a"), col("sh").as("sh_a"),
+      .join(sets.select(col(idCol).as("id_a"), col("shh").as("shh_a"),
         col("sz").as("sz_a")), "id_a")
-      .join(sets.select(col(idCol).as("id_b"), col("sh").as("sh_b"),
+      .join(sets.select(col(idCol).as("id_b"), col("shh").as("shh_b"),
         col("sz").as("sz_b")), "id_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      // merge-scan intersection over the sorted token sets — see
+      // hashedVerifyNote for why this is not array_intersect over strings
+      .withColumn("inter", expr("sorted_long_intersect(shh_a, shh_b)"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
@@ -217,7 +219,9 @@ object Dedup {
       .withColumn("sz", size(col("sh")))
       .withColumn("sig", minHashSignature("sh", numHashes))
       .withColumn("bands", bandKeys("sig", bands, numHashes / bands))
-      .select(col(idCol), col("sh"), col("sz"),
+      // the stored set is the sorted hashed form (hashedVerifyNote):
+      // ~3x fewer index bytes at rest and on the verify exchange
+      .select(col(idCol), hashedShingleSet("sh").as("shh"), col("sz"),
         posexplode(col("bands")).as(Seq("band_idx", "band_key")))
   }
 
@@ -249,8 +253,8 @@ object Dedup {
             col("x.nid") < col("y.nid"))
         .select(col("x.nid").as("id_a"), col("y.nid").as("id_b"))
       val pairs = vsOld.unionByName(vsNew).distinct()
-      val sets = index.select(col(idCol), col("sh"), col("sz")).dropDuplicates(idCol)
-        .unionByName(newIdx.select(col(idCol), col("sh"), col("sz")).dropDuplicates(idCol))
+      val sets = index.select(col(idCol), col("shh"), col("sz")).dropDuplicates(idCol)
+        .unionByName(newIdx.select(col(idCol), col("shh"), col("sz")).dropDuplicates(idCol))
       // the stored index side is corpus-sized by definition — never hint
       // the small-corpus build side here; Catalyst's stats still broadcast
       // it at toy scale
@@ -304,12 +308,38 @@ object Dedup {
     } finally prepared.unpersist()
   }
 
-  /** (id, sh, sz): each doc's distinct shingle set with its size. */
+  /** Ascending-sorted xxhash64 token set of a shingle-array column — the
+    * form every verification join consumes (see [[hashedVerifyNote]]).
+    */
+  private def hashedShingleSet(shCol: String): Column =
+    sort_array(expr(s"transform($shCol, x -> xxhash64(x))"))
+
+  /** Why verification runs on hashed token sets, not string arrays.
+    *
+    * |A∩B| over `array<string>` (`array_intersect`) builds a hash map and
+    * re-hashes every string PER CANDIDATE PAIR — at 125k candidates of
+    * ~50-shingle docs (sf0.1) the verify stage measured 50-340 s of
+    * executor time, 50-67 s of it GC, and shuffled 108 MB of string
+    * arrays. The same sets as sorted xxhash64 tokens are ~3x fewer bytes
+    * on the wire, and [[graft.functions.SortedLongIntersectCount]] counts
+    * the intersection with a zero-allocation merge scan. The hashing and
+    * the sort are paid once per DOC (at set build / index write), not per
+    * pair. Jaccard equals the string-set value modulo a 64-bit in-doc
+    * hash collision (p < 1e-9 for 1e5-shingle docs) — the same collision
+    * bound the prefix candidate join already accepts; DedupSpec pins
+    * hashed-verify == string-brute-force equality.
+    */
+  private val hashedVerifyNote = ()
+
+  /** (id, shh, sz): each doc's shingle set as ascending-sorted xxhash64
+    * tokens, with the set size.
+    */
   private def shingleSets(docs: DataFrame, idCol: String, textCol: String,
                           shingleSize: Int): DataFrame =
     docs.select(col(idCol), shingles(textCol, shingleSize).as("sh"))
       .filter(size(col("sh")) > 0)
-      .withColumn("sz", size(col("sh")))
+      .select(col(idCol), hashedShingleSet("sh").as("shh"),
+        size(col("sh")).as("sz"))
 
   /** (id, sz, tok, rk): each doc's prefix tokens under the AllPairs global
     * ordering. Tokens are 64-bit shingle hashes ordered by global document
@@ -321,8 +351,9 @@ object Dedup {
   private def prefixTokens(prepared: DataFrame, idCol: String,
                            threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // the tokens ARE the stored hashed set — no re-hash, just the explode
     val tokens = prepared.select(col(idCol), col("sz"),
-      explode(expr("transform(sh, x -> xxhash64(x))")).as("tok"))
+      explode(col("shh")).as("tok"))
     val freq = tokens.groupBy("tok").agg(count(lit(1)).as("df"))
     tokens.join(freq, "tok")
       .withColumn("rk", row_number().over(
@@ -408,6 +439,7 @@ object Dedup {
         s"'graft.jaccard.threshold' = '$threshold', " +
         s"'graft.jaccard.idcol' = '$idCol', " +
         s"'graft.jaccard.shinglesize' = '$shingleSize', " +
+        s"'graft.jaccard.setformat' = '$SetFormat', " +
         s"'graft.jaccard.ndocs' = '${prepared.count()}')")
     } finally prepared.unpersist()
   }
@@ -433,6 +465,13 @@ object Dedup {
     val idCol = props("graft.jaccard.idcol")
     require(threshold >= built,
       s"index $name was built for threshold >= $built, got $threshold")
+    // the sets-table layout changed when verification moved to sorted
+    // hashed tokens — refuse a pre-switch index loudly instead of failing
+    // inside the verify join with a missing-column error
+    require(props.get("graft.jaccard.setformat").contains(SetFormat),
+      s"index $name stores sets in format " +
+        s"${props.getOrElse("graft.jaccard.setformat", "<unrecorded>")}; " +
+        s"this build reads $SetFormat — rebuild with prefixTokenIndexWrite")
     expectShingleSize.foreach { want =>
       val got = props.get("graft.jaccard.shinglesize")
       require(got.contains(want.toString),

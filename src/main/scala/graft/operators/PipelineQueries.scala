@@ -124,8 +124,11 @@ object PipelineQueries {
         .getOrElse {
           val key = java.security.MessageDigest.getInstance("MD5")
             .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-          val table = s"graft_d6idx_$key"
-          val path = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_d6idx/$key-v1"
+          // v2: the _sets table stores sorted hashed token sets (shh) —
+          // path AND table name bump so a live session or on-disk v1
+          // index can never be read with the new verify plan
+          val table = s"graft_d6idx_${key}_v2"
+          val path = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_d6idx/$key-v2"
           val d = docs(s, dir)
           // size the bucket count to the corpus: ~200 docs of prefix tokens per
           // bucket file — 32 buckets over a 500-doc test corpus is pure

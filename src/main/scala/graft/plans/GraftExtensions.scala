@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{CosineSimilarity, MinHashSignatureExpr, SimHash60Expr, SrpBucketKeysExpr}
+import graft.functions.{CosineSimilarity, MinHashSignatureExpr, SimHash60Expr, SortedLongIntersectCount, SrpBucketKeysExpr}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -63,6 +63,13 @@ object GraftExtensions {
         require(args.length == 4, s"srp_buckets expects 4 arguments, got ${args.length}")
         SrpBucketKeysExpr(args.head, intArg(args(1), "srp_buckets"),
           intArg(args(2), "srp_buckets"), intArg(args(3), "srp_buckets").toLong)
+      }),
+    (FunctionIdentifier("sorted_long_intersect"),
+      new ExpressionInfo(classOf[SortedLongIntersectCount].getName, "sorted_long_intersect"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          s"sorted_long_intersect expects 2 arguments, got ${args.length}")
+        SortedLongIntersectCount(args.head, args.last)
       }))
 
   /** Register on a live session (no-op if already present). */
