@@ -206,6 +206,33 @@ object SimilaritySearch {
     math.max(minBits, math.ceil(
       math.log(math.max(1.0, n.toDouble / targetOccupancy)) / math.log(2.0)).toInt)
 
+  /** Key width for the EXACT-KEY (multiprobe-off) banded plan, by total-
+    * cost argmin. The two cost terms move in opposite directions with
+    * `bits`:
+    *
+    *  - frame rows: n x tables(bits) — more bits need more tables for the
+    *    same recall (q = p^bits per table), growing the exploded frame;
+    *  - background candidate pairs: tables x n^2 / 2^(bits+1) — each extra
+    *    bit HALVES every table's random-collision volume.
+    *
+    * Occupancy-held-constant sizing ([[bitsForCorpus]], tuned for the
+    * multiprobe regime where the frame also fans out x(bits+1)) leaves the
+    * pair term dominant in exact-key mode: at x30 scale (61.5k vectors,
+    * bits=10, 29 tables) the measured background was 53M candidate pairs —
+    * 2.3 GB of shuffle and 15 GB of spill through the distinct+verify
+    * joins. The argmin sits near 2^bits ~ 4n (occupancy ~1/4), where the
+    * same corpus generates ~100x fewer candidates for ~4x more tables.
+    * `pairWeight` prices a candidate-pair row against a frame row (the
+    * pair pays a distinct, two joins, and an exact verification).
+    */
+  def bitsForExactKey(n: Long, tuneThreshold: Double, targetRecall: Double,
+                      pairWeight: Double = 8.0,
+                      minBits: Int = 8, maxBits: Int = 26): Int =
+    (minBits to maxBits).minBy { b =>
+      val tables = tablesForRecall(tuneThreshold, b, targetRecall, multiprobe = false)
+      tables * (n.toDouble + pairWeight * n.toDouble * n / math.pow(2.0, b + 1))
+    }
+
   /** `center = true` subtracts the per-dimension corpus mean INSIDE the
     * bucket hash (verification still scores ORIGINAL cosines). Embeddings
     * that are not mean-centered give random pairs a large shared component
@@ -235,9 +262,6 @@ object SimilaritySearch {
                             seed: Int = 42, center: Boolean = false,
                             multiprobe: Boolean = true,
                             minCenteredThreshold: Double = 0.15): DataFrame = {
-    // bits <= 0 -> auto-size the key space to the corpus (one count scan —
-    // ingest-grade cost; the alternative is quadratic candidate growth).
-    val useBits = if (bits > 0) bits else bitsForCorpus(emb.count())
     graft.plans.GraftExtensions.register(emb.sparkSession)
     val (hashCol, tuneThreshold) =
       if (!center) (embCol, threshold)
@@ -253,6 +277,15 @@ object SimilaritySearch {
         (s"transform($embCol, (x, i) -> CAST(CAST(x AS DOUBLE) - element_at($arr, i + 1) AS FLOAT))",
           math.min(centered, threshold))
       }
+    // bits <= 0 -> auto-size the key space to the corpus (one count scan —
+    // ingest-grade cost; the alternative is quadratic candidate growth).
+    // The sizing rule follows the probing mode: exact-key buys sparse keys
+    // with extra tables (bitsForExactKey argmin); multiprobe holds bucket
+    // occupancy instead, because its frame already fans out x(bits+1).
+    val useBits =
+      if (bits > 0) bits
+      else if (multiprobe) bitsForCorpus(emb.count())
+      else bitsForExactKey(emb.count(), tuneThreshold, targetRecall)
     // Tables tuned for where the bits actually live: the centered-space
     // threshold estimate under centering, the declared one otherwise.
     val tables = tablesForRecall(tuneThreshold, useBits, targetRecall, multiprobe)
@@ -354,7 +387,12 @@ object SimilaritySearch {
                             bits: Int, targetRecall: Double, multiprobe: Boolean,
                             maxCandidateFraction: Double = 0.25,
                             minBandedCorpus: Long = 2000): NearDupPlan = {
-    val useBits = if (bits > 0) bits else bitsForCorpus(n)
+    // mirror embeddingNearDupPairs' auto-sizing exactly, so the fraction
+    // this planner prices is the fraction the executed plan generates
+    val useBits =
+      if (bits > 0) bits
+      else if (multiprobe) bitsForCorpus(n)
+      else bitsForExactKey(n, threshold, targetRecall)
     val tables = tablesForRecall(threshold, useBits, targetRecall, multiprobe)
     val p0 = 1.0 - math.acos(math.max(-1.0, math.min(1.0, backgroundCosine))) / math.Pi
     val q0 = math.pow(p0, useBits) +
