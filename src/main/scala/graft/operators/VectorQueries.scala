@@ -59,6 +59,22 @@ object VectorQueries {
         .groupBy("label")
         .agg(count(lit(1)).as("n"),
           round((sum("nrm") / count(lit(1))).cast("double"), 4).as("avg_norm"))
+        .orderBy("label")),
+
+    // Int8 embedding quantization (4x corpus storage) with per-label
+    // reconstruction diagnostics. Row-local codegen'd math chosen to be
+    // bit-replayable (floor(x/scale + 0.5) round-half-up); per-vector
+    // maxima/minima are order-independent and the one cross-row mean
+    // accumulates in DECIMAL, so the driver hash is deterministic.
+    "q_v11_quantize_error" -> ((s, dir) =>
+      VectorOps.quantizeWithError(emb(s, dir), "vec_id", "embedding")
+        .select(col("label"),
+          col("max_abs_err").cast("decimal(27,12)").as("e"),
+          col("cosine_recon").as("c"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          round((sum(col("e")) / count(lit(1))).cast("double"), 8).as("avg_max_err"),
+          round(min(col("c")), 6).as("min_cosine_recon"))
         .orderBy("label"))
   )
 
@@ -95,6 +111,38 @@ object VectorQueries {
         |             CAST(sqrt(list_sum(list_transform(embedding,
         |               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS DECIMAL(18,8)) AS nrm
         |      FROM embeddings)
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Replays the exact quantization arithmetic: scale = max|x|/127
+    // (floored 1e-12), codes = clamp(floor(x/scale + 0.5)), reconstruction
+    // = code * scale — all in DOUBLE, same fold order as the Spark
+    // collection expressions.
+    "q_v11_quantize_error" ->
+      """WITH q AS (
+        |  SELECT label,
+        |         greatest(list_max(list_transform(embedding,
+        |           x -> abs(CAST(x AS DOUBLE)))) / 127.0, 1e-12) AS s,
+        |         embedding
+        |  FROM embeddings),
+        |d AS (
+        |  SELECT label,
+        |         list_transform(embedding,
+        |           x -> greatest(least(floor(CAST(x AS DOUBLE) / s + 0.5), 127.0), -127.0) * s) AS deq,
+        |         embedding
+        |  FROM q),
+        |per_vec AS (
+        |  SELECT label,
+        |         CAST(list_max(list_transform(generate_series(1, len(embedding)),
+        |           i -> abs(CAST(embedding[i] AS DOUBLE) - deq[i]))) AS DECIMAL(27,12)) AS e,
+        |         list_sum(list_transform(generate_series(1, len(embedding)),
+        |             i -> CAST(embedding[i] AS DOUBLE) * deq[i]))
+        |           / greatest(
+        |               sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |               * sqrt(list_sum(list_transform(deq, x -> x * x))), 1e-12) AS c
+        |  FROM d)
+        |SELECT label, count(*) AS n,
+        |       round(CAST(sum(e) / count(*) AS DOUBLE), 8) AS avg_max_err,
+        |       round(min(c), 6) AS min_cosine_recon
+        |FROM per_vec GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
