@@ -37,6 +37,54 @@ object VectorOps {
   def dequantize(qCol: String, scaleCol: String): Column = expr(
     s"transform($qCol, v -> CAST(v AS DOUBLE) * $scaleCol)")
 
+  /** The storable quantized corpus: (idCol, q_scale, q_emb). At scale this
+    * is materialized at ingest and the float column never enters the search
+    * scan — int8 codes are the phase-1 working set (4x fewer scan bytes,
+    * and the per-vector scale CANCELS out of cosine, so phase-1 scoring is
+    * a pure integer-code dot product).
+    */
+  def quantizedTable(emb: DataFrame, idCol: String, embCol: String): DataFrame =
+    emb
+      .withColumn("q_scale", quantScale(embCol))
+      .select(col(idCol), col("q_scale"), quantizeInt8(embCol, "q_scale").as("q_emb"))
+
+  /** Two-phase ANN top-k: approximate scoring over the QUANTIZED corpus
+    * (scan reads int8 codes only; score = dot(codes, query) / (|codes| x
+    * |query|) — q_scale cancels), take the top `k * margin` candidates,
+    * then rerank that short list against the full-precision table with
+    * exact cosine. Returns (idCol, cosine) — identical to brute force
+    * whenever the true top-k survive the approximate cut, which `margin`
+    * buys: the approximate score deviates from the true cosine by at most
+    * ~(1 - cosine_recon) ~ 1e-3 at 8-bit/64-dim, far below the candidate
+    * gap at margin 8. Phase 1 is a scan + TakeOrdered over the small
+    * quantized table; phase 2 joins `k * margin` ids (broadcast) back to
+    * full precision — the float column is read for the candidate list
+    * only.
+    */
+  def quantizedTopK(full: DataFrame, quantized: DataFrame, idCol: String,
+                    embCol: String, query: Array[Float], k: Int,
+                    margin: Int = 8): DataFrame = {
+    val q = typedLit(query.toSeq)
+    val cands = quantized
+      .withColumn("q_vec", q)
+      .withColumn("approx_cos", expr(
+        "aggregate(zip_with(q_emb, q_vec, (c, y) -> CAST(c AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (a, v) -> a + v)" +
+          " / greatest(sqrt(aggregate(q_emb, CAST(0 AS DOUBLE), (a, c) -> a + CAST(c AS DOUBLE) * CAST(c AS DOUBLE))) * " +
+          "sqrt(aggregate(q_vec, CAST(0 AS DOUBLE), (a, y) -> a + CAST(y AS DOUBLE) * CAST(y AS DOUBLE))), 1e-12D)"))
+      .orderBy(col("approx_cos").desc, col(idCol))
+      .limit(k * margin)
+      .select(col(idCol))
+    val dot = s"aggregate(zip_with($embCol, q_vec, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (a, v) -> a + v)"
+    val n1 = s"sqrt(aggregate($embCol, CAST(0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    val n2 = "sqrt(aggregate(q_vec, CAST(0 AS DOUBLE), (a, y) -> a + CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))"
+    full
+      .join(broadcast(cands), idCol)
+      .withColumn("q_vec", q)
+      .selectExpr(idCol, s"round($dot / ($n1 * $n2), 6) AS cosine")
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
   /** (id, q_scale, q_emb) + reconstruction diagnostics per vector:
     * `max_abs_err` (worst component error — bounded by q_scale/2 up to
     * clamping) and `cosine_recon` (cosine between the original and its

@@ -45,4 +45,44 @@ class VectorOpsSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
+
+  test("quantized two-phase top-k equals brute force for several queries") {
+    val quant = VectorOps.quantizedTable(emb, "vec_id", "embedding")
+    for (qid <- Seq(0L, 7L, 42L)) {
+      val queryVec = emb.filter(col("vec_id") === qid)
+        .select("embedding").head().getSeq[Float](0).toArray
+      val rest = emb.filter(col("vec_id") =!= qid)
+      // brute force with the SAME sequential-fold arithmetic the rerank
+      // (and the DuckDB oracle) uses — cosineFast associates differently
+      // in the 6th decimal
+      val brute = rest
+        .withColumn("q_vec", typedLit(queryVec.toSeq))
+        .selectExpr("vec_id",
+          "round(aggregate(zip_with(embedding, q_vec, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (a, v) -> a + v)" +
+            " / (sqrt(aggregate(embedding, CAST(0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))" +
+            " * sqrt(aggregate(q_vec, CAST(0 AS DOUBLE), (a, y) -> a + CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))), 6) AS cosine")
+        .orderBy(col("cosine").desc, col("vec_id"))
+        .limit(10).collect().toSeq
+      val twoPhase = VectorOps.quantizedTopK(rest,
+          quant.filter(col("vec_id") =!= qid), "vec_id", "embedding", queryVec, 10)
+        .collect().toSeq
+      assert(twoPhase.map(_.getLong(0)) == brute.map(_.getLong(0)),
+        s"query $qid: id sets differ")
+      assert(twoPhase.map(_.getDouble(1)) == brute.map(_.getDouble(1)),
+        s"query $qid: cosines differ")
+    }
+  }
+
+  test("quantized corpus parquet is under half the float corpus bytes") {
+    def dirBytes(p: java.io.File): Long =
+      if (p.isDirectory) p.listFiles().map(dirBytes).sum
+      else if (p.getName.endsWith(".parquet")) p.length else 0L
+    val out = java.nio.file.Files.createTempDirectory("quant").toFile
+    VectorOps.quantizedTable(emb, "vec_id", "embedding")
+      .write.mode("overwrite").parquet(out.getPath)
+    val qBytes = dirBytes(out)
+    val fBytes = dirBytes(new java.io.File(sfDir("0.001") + "/embeddings.parquet"))
+    assert(qBytes > 0 && qBytes < fBytes / 2,
+      s"quantized $qBytes bytes vs float $fBytes — phase-1 scan should read <1/2 the bytes")
+  }
 }
