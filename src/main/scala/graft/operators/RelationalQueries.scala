@@ -605,6 +605,27 @@ object RelationalQueries {
           "event_type", "ts", "value")
         .orderBy("event_type", "day")),
 
+    // TS2 — as-of join: each purchase event picks up the latest view VALUE
+    // at-or-before it for the same user (quotes-to-trades shape). One
+    // shuffle on user_id + a merge-scan window — no range join, no per-row
+    // subquery. The right side is aggregated to unique (user_id, ts)
+    // first, which is what makes "latest" well-defined in any as-of
+    // engine. Timestamps go out as unix micros for an exact compare.
+    "q_ts2_asof" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy("user_id", "ts").agg(max("value").as("view_value"))
+      TimeSeries.asOfJoin(purchases, views, "user_id", "ts", "ts",
+          Seq("view_value"))
+        .select(col("event_id"), col("user_id"),
+          expr("unix_micros(ts)").as("purchase_us"),
+          expr("unix_micros(asof_ts)").as("asof_view_us"),
+          col("asof_view_value").as("view_value"))
+        .orderBy("user_id", "event_id")
+    }),
+
     // E2 — sessionization: 30-minute-gap sessions per user, counted via a
     // windowed gap-flag prefix sum (the batch twin of
     // flatMapGroupsWithState sessionization).
@@ -1015,6 +1036,23 @@ object RelationalQueries {
         |SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
         |       count(*) AS n_events
         |FROM flagged GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // DuckDB's native ASOF LEFT JOIN is the oracle for the union+window
+    // merge-scan implementation — two independent as-of engines must
+    // agree row-for-row, including the no-match nulls and tie (>=)
+    // semantics.
+    "q_ts2_asof" ->
+      """WITH purchases AS (
+        |  SELECT event_id, user_id, ts, value FROM events
+        |  WHERE event_type = 'purchase'),
+        |views AS (
+        |  SELECT user_id, ts, max(value) AS view_value FROM events
+        |  WHERE event_type = 'view' GROUP BY 1, 2)
+        |SELECT p.event_id, p.user_id, epoch_us(p.ts) AS purchase_us,
+        |       epoch_us(v.ts) AS asof_view_us, v.view_value
+        |FROM purchases p ASOF LEFT JOIN views v
+        |  ON p.user_id = v.user_id AND p.ts >= v.ts
+        |ORDER BY p.user_id, p.event_id""".stripMargin,
 
     "q_e3_attribution" ->
       """SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,

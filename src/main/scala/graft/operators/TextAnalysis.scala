@@ -214,4 +214,67 @@ object TextAnalysis {
       .groupBy(idCol)
       .agg(count(lit(1)).as("shared_grams"))
   }
+
+  /** BM25 relevance of every document against a fixed query-term set
+    * (Robertson/Lucene `+1` idf variant):
+    *
+    *   score(d) = sum over matched terms t of
+    *     ln((N - df_t + 0.5) / (df_t + 0.5) + 1)
+    *       * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+    *
+    * Returns (idCol, n_terms, bm25) for docs matching >= 1 term, rounded
+    * to 6 dp. Ranks corpus passages for retrieval-style curation (e.g.
+    * pulling topic-relevant training slices).
+    *
+    * Scale shape: the per-doc term-frequency VECTOR for the whole query
+    * is computed row-locally in one codegen'd pass (`transform` over the
+    * query array — the corpus is never exploded on its full token list,
+    * and non-matching docs die in the scan). Only matched (doc, term)
+    * pairs — query-bounded, tiny next to the corpus — reach the df hash
+    * agg; corpus stats (N, sum dl) come from the same scan's agg, and
+    * both join back by broadcast. The corpus never shuffles.
+    *
+    * Determinism: per-term contributions are rounded to 9 dp and summed
+    * as scaled longs — integer addition is order-independent, so the
+    * score is bit-stable under any partitioning (and replayable by an
+    * external engine). idf is rounded to 9 dp before use for the same
+    * reason.
+    */
+  def bm25Score(docs: DataFrame, idCol: String, textCol: String,
+                queryTerms: Seq[String], k1: Double = 1.2,
+                b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(queryTerms.toSet.size == queryTerms.size,
+      "queryTerms must be distinct")
+    val qArr = s"array(${queryTerms.map(t => s"'${t.replace("'", "\\'")}'").mkString(",")})"
+    // one row-local pass: doc length + tf per query term (aligned with
+    // queryTerms order), corpus never exploded
+    val scanned = docs.select(
+      col(idCol),
+      expr(Dedup.letBind(w(textCol), "w",
+        s"named_struct('dl', size(w), 'tf', transform($qArr, qt -> size(filter(w, x -> x = qt))))"))
+        .as("s"))
+      .select(col(idCol), col("s.dl").as("dl"), col("s.tf").as("tf"))
+    val stats = scanned.agg(count(lit(1)).as("n_docs"),
+      sum("dl").as("sum_dl"))
+    val pairs = scanned
+      .select(col(idCol), col("dl"), posexplode(col("tf")).as(Seq("pos", "tf")))
+      .filter(col("tf") > 0)
+    val df = pairs.groupBy("pos").agg(count(lit(1)).as("df"))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    // + and * are COMMUTATIVE (bitwise) for doubles, so Column-first
+    // operand order below is value-identical to the oracle's SQL spelling
+    val saturation = col("tf") + (col("dl") * b / avgdl + (1 - b)) * k1
+    pairs
+      .join(broadcast(df), "pos")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", round(
+        log(lit(1d) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)), 9))
+      .withColumn("c9",
+        round(round(col("idf") * col("tf") * (k1 + 1) / saturation, 9) * 1e9)
+          .cast("long"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_terms"),
+        round(sum("c9") / 1e9, 6).as("bm25"))
+  }
 }

@@ -98,6 +98,17 @@ object TextQueries {
       TextAnalysis.repetitionStats(docs(s, dir), "doc_id", "text", n = 2)
         .orderBy("doc_id")),
 
+    // BM25 retrieval scoring of the corpus against a fixed query —
+    // ranking passages for topic-targeted training slices. The per-doc tf
+    // vector is computed row-locally (corpus never exploded, never
+    // shuffled); df/stats join back by broadcast. One query term is
+    // absent from the corpus on purpose (df = 0 path). Scores sum as
+    // 9-dp scaled longs so the result is bit-stable under partitioning.
+    "q_t11_bm25" -> ((s, dir) =>
+      TextAnalysis.bm25Score(docs(s, dir), "doc_id", "text",
+          Seq("spark", "window", "query", "zzyzx"))
+        .orderBy(col("bm25").desc, col("doc_id"))),
+
     // Exact dedup by grouping key: keeper = min id, with group size.
     "q_d1_dedup_exact" -> ((s, dir) =>
       docs(s, dir)
@@ -232,6 +243,33 @@ object TextQueries {
         |       round(coalesce(CAST(dup_occ AS DOUBLE) / n_ngrams, 0.0), 6) AS dup_ngram_frac
         |FROM documents d LEFT JOIN per USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // Replays bm25Score's exact arithmetic: same left-associated double
+    // products, idf rounded to 9 dp, contributions as 9-dp scaled BIGINTs
+    // (order-independent integer sum), final round to 6 dp.
+    "q_t11_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+        |  FROM documents),
+        |stats AS (SELECT count(*) AS n_docs, sum(len(w)) AS sum_dl FROM toks),
+        |q(term) AS (VALUES ('spark'), ('window'), ('query'), ('zzyzx')),
+        |m AS (
+        |  SELECT doc_id, len(w) AS dl, term,
+        |         len(list_filter(w, x -> x = term)) AS tf
+        |  FROM toks CROSS JOIN q
+        |  WHERE len(list_filter(w, x -> x = term)) > 0),
+        |df AS (SELECT term, count(*) AS df FROM m GROUP BY 1),
+        |c AS (
+        |  SELECT m.doc_id,
+        |         CAST(round(round(
+        |           round(ln(1 + (n_docs - df + 0.5) / (df + 0.5)), 9)
+        |             * tf * 2.2
+        |             / (tf + 1.2 * (0.25 + (0.75 * dl)
+        |                 / (CAST(sum_dl AS DOUBLE) / n_docs))), 9) * 1e9)
+        |           AS BIGINT) AS c9
+        |  FROM m JOIN df USING (term), stats)
+        |SELECT doc_id, count(*) AS n_terms, round(sum(c9) / 1e9, 6) AS bm25
+        |FROM c GROUP BY 1 ORDER BY bm25 DESC, doc_id""".stripMargin,
 
     "q_d1_dedup_exact" ->
       """SELECT lang, source, min(doc_id) AS keeper_doc_id,

@@ -14,6 +14,66 @@ import org.apache.spark.sql.functions._
   */
 object TimeSeries {
 
+  /** As-of join: for every left row, the LATEST right row with
+    * `right.tsCol <= left.tsCol` on the same key (the standard
+    * quotes-to-trades temporal join; DuckDB/kdb `ASOF JOIN`, pandas
+    * `merge_asof`).
+    *
+    * Spark-first shape: no range join, no per-row subquery. Both sides are
+    * tagged and UNIONED, shuffled ONCE on the key, sorted by (ts, side)
+    * with right rows ordered before left rows at equal timestamps (so a
+    * tie matches — the join is inclusive), and the right payload is
+    * carried forward with a running `last(_, ignoreNulls)` over a
+    * rows-frame window — O(1) state per row, the same merge-scan an MPP
+    * as-of join runs. At 100 TB this costs exactly one shuffle of
+    * left+right on the key and a per-partition sort; state never exceeds
+    * one right payload per key.
+    *
+    * Output: every left column, then `<prefix>ts` (the matched right
+    * timestamp) and `<prefix><v>` for each requested right value column —
+    * all null when a left row has no right row at or before it.
+    *
+    * Determinism requires unique (key, ts) pairs on the RIGHT (aggregate
+    * first otherwise); equal-key-equal-ts right duplicates would make
+    * "the latest" ill-defined in any as-of engine.
+    *
+    * `toleranceUs`: optionally null out matches older than the left
+    * timestamp by more than this many microseconds (pandas
+    * `merge_asof(tolerance=...)`).
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, keyCol: String,
+               leftTsCol: String, rightTsCol: String,
+               rightValCols: Seq[String], prefix: String = "asof_",
+               toleranceUs: Option[Long] = None): DataFrame = {
+    val carryCols = col(rightTsCol).as("_rts") +: rightValCols.map(col)
+    val rCarry = right.select(struct(carryCols: _*).as("_carry"))
+    val lRow = left.select(struct(left.columns.map(col): _*).as("_lrow"))
+    val ru = right.select(
+      col(keyCol).as("_k"), col(rightTsCol).as("_ats"), lit(0).as("_side"),
+      struct(carryCols: _*).as("_carry"),
+      lit(null).cast(lRow.schema("_lrow").dataType).as("_lrow"))
+    val lu = left.select(
+      col(keyCol).as("_k"), col(leftTsCol).as("_ats"), lit(1).as("_side"),
+      lit(null).cast(rCarry.schema("_carry").dataType).as("_carry"),
+      struct(left.columns.map(col): _*).as("_lrow"))
+    val w = Window.partitionBy("_k").orderBy("_ats", "_side")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = ru.unionByName(lu)
+      .withColumn("_m", last("_carry", ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+    val bounded = toleranceUs match {
+      case Some(tol) => matched.withColumn("_m",
+        when(col("_m").isNotNull &&
+          unix_micros(col("_ats")) - unix_micros(col("_m._rts")) <= tol,
+          col("_m")))
+      case None => matched
+    }
+    val outCols = left.columns.map(c => col(s"_lrow.$c").as(c)) ++
+      (col("_m._rts").as(s"${prefix}ts") +:
+        rightValCols.map(v => col(s"_m.$v").as(s"$prefix$v")))
+    bounded.select(outCols: _*)
+  }
+
   /** Daily resample + forward fill. Output: (key, day, v_filled, was_gap)
     * for every day between each key's first and last observation; `v` is
     * the per-day max of `valueCol` (deterministic under reordering).
