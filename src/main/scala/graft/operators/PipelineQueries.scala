@@ -101,7 +101,47 @@ object PipelineQueries {
       Dedup.jaccardSimilarityJoinIndexed(s, d6IndexCached(s, dir), 0.5,
           expectShingleSize = Some(3))
         .withColumn("jaccard", round(col("jaccard"), 6))
-        .orderBy("id_a", "id_b"))
+        .orderBy("id_a", "id_b")),
+
+    // L1 — CDC merge/upsert into a year-partitioned lake table
+    // (graft.sources.LakeLayout.mergeUpsert): base = orders partitioned by
+    // order year; the changeset re-prices every 7th key (deleting those
+    // also divisible by 3) and inserts shifted copies of every 11th key.
+    // The merge rewrites ONLY the touched year partitions (dynamic
+    // partition overwrite; LakeLayoutSpec asserts untouched directories
+    // stay byte-identical). The merge runs FRESH each invocation — it is
+    // the operator under test, not an ingest-time artifact — and the
+    // result is the post-merge table aggregated per partition, which the
+    // oracle replays set-algebraically (survivors + updates + inserts).
+    "q_l1_merge_upsert" -> ((s, dir) => {
+      val base = s.read.parquet(s"$dir/orders.parquet")
+        .withColumn("o_year", year(col("o_orderdate")))
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      val path =
+        s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_merge/$key"
+      base.write.mode("overwrite").partitionBy("o_year").parquet(path)
+      val updates = base.filter(col("o_orderkey") % 7 === 0)
+        // floor(x*100 + 0.5)/100 instead of round(x, 2): every step is a
+        // plain IEEE double op, so Spark and the oracle engine agree
+        // bit-for-bit (their round(double, 2) builtins differ on ties)
+        .withColumn("o_totalprice",
+          expr("floor(o_totalprice * 1.1D * 100D + 0.5D) / 100D"))
+        .withColumn("_deleted", col("o_orderkey") % 3 === 0)
+      val inserts = base.filter(col("o_orderkey") % 11 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L))
+        .withColumn("_deleted", lit(false))
+      graft.sources.LakeLayout.mergeUpsert(s, path,
+        updates.unionByName(inserts),
+        keyCols = Seq("o_orderkey"), partitionCols = Seq("o_year"),
+        deleteCol = Some("_deleted"))
+      s.read.parquet(path)
+        .groupBy(col("o_year").cast("int").as("o_year"))
+        .agg(count(lit(1)).as("n_orders"),
+          (sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")) / 100.0).as("revenue"))
+        .orderBy("o_year")
+    })
   )
 
   /** Build-once prefix-token index per (session, dataset dir) — index
@@ -165,6 +205,31 @@ object PipelineQueries {
       "q_sp2_det_shuffle" ->
         s"""SELECT md5('$shuffleSeed:' || CAST(doc_id AS VARCHAR)) AS shuffle_key, doc_id
            |FROM documents ORDER BY 1 LIMIT 100""".stripMargin,
+
+      // Replays the merge set-algebraically: survivors (keys not in the
+      // changeset) + re-priced updates (minus deletes) + shifted inserts,
+      // aggregated per partition with the exact-decimal sum idiom.
+      "q_l1_merge_upsert" ->
+        """WITH base AS (
+          |  SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS o_year,
+          |         o_totalprice
+          |  FROM orders),
+          |survivors AS (
+          |  SELECT o_year, o_totalprice FROM base WHERE o_orderkey % 7 != 0),
+          |updates AS (
+          |  SELECT o_year,
+          |         floor(o_totalprice * CAST(1.1 AS DOUBLE) * 100 + 0.5) / 100
+          |           AS o_totalprice
+          |  FROM base WHERE o_orderkey % 7 = 0 AND o_orderkey % 3 != 0),
+          |inserts AS (
+          |  SELECT o_year, o_totalprice FROM base WHERE o_orderkey % 11 = 0),
+          |merged AS (
+          |  SELECT * FROM survivors
+          |  UNION ALL SELECT * FROM updates
+          |  UNION ALL SELECT * FROM inserts)
+          |SELECT o_year, count(*) AS n_orders,
+          |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+          |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "q_t6_seq_pack" ->
         s"""SELECT lang, bin, count(*) AS n_docs,

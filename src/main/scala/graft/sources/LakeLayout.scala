@@ -153,4 +153,66 @@ object LakeLayout {
       .drop("_z")
       .write.format(format).mode(SaveMode.Overwrite).save(path)
   }
+
+  /** MERGE-style CDC apply into a hive-partitioned parquet table: rows in
+    * `changes` replace same-key rows, new keys insert, and rows flagged
+    * true in `deleteCol` remove their key — rewriting ONLY the partitions
+    * the changeset touches.
+    *
+    * The 100 TB shape: a day's CDC batch against a years-deep table must
+    * not rewrite (or even read) the cold partitions. The changeset's
+    * distinct partition values — bounded by the PARTITION count, never by
+    * data volume — are collected and pushed as an `isin` filter, so the
+    * read of current data directory-prunes at planning time; the write
+    * uses dynamic partition overwrite, which atomically swaps exactly the
+    * partitions present in the output and leaves every other directory's
+    * files byte-untouched. Cost is proportional to the affected
+    * partitions, not the table.
+    *
+    * CONTRACT: a key's partition value must be stable across versions
+    * (the standard CDC layout — partition by an immutable attribute of
+    * the key, e.g. creation date). A key that "moves" partitions would
+    * leave its old version behind, because the old partition is by
+    * design never read. `changes` must carry one row per key (dedupe
+    * upstream — e.g. latest-by-sequence — first) and must include the
+    * table's full column set for upserts.
+    *
+    * Returns the number of partitions rewritten.
+    */
+  def mergeUpsert(spark: SparkSession, tablePath: String, changes: DataFrame,
+                  keyCols: Seq[String], partitionCols: Seq[String],
+                  deleteCol: Option[String] = None): Long = {
+    require(keyCols.nonEmpty && partitionCols.nonEmpty)
+    require(partitionCols.forall(p => !keyCols.contains(p)),
+      "partition columns must not overlap the key")
+    // partition-count-bounded driver fetch: the affected partition VALUES
+    val affected = changes.select(partitionCols.map(col): _*).distinct().collect()
+    if (affected.isEmpty) return 0L
+    val prune = affected.map { row =>
+      partitionCols.zipWithIndex
+        .map { case (p, i) => col(p) === lit(row.get(i)) }
+        .reduce(_ && _)
+    }.reduce(_ || _)
+    val dataCols = spark.read.parquet(tablePath).columns.toSeq
+    val current = spark.read.parquet(tablePath).filter(prune)
+    val changeKeys = changes.select(keyCols.map(col): _*).distinct()
+    val upserts = deleteCol match {
+      case Some(d) => changes.filter(!coalesce(col(d), lit(false))).drop(d)
+      case None => changes
+    }
+    // localCheckpoint = the stage step of stage-then-swap: materializes
+    // ONLY the affected partitions' merged rows (executor storage), and
+    // cuts lineage so the overwrite below no longer reads the path it is
+    // about to replace (Spark rejects a same-path read-overwrite plan).
+    val merged = current
+      .join(changeKeys, keyCols, "left_anti")
+      .unionByName(upserts.select(dataCols.map(col): _*))
+      .localCheckpoint()
+    merged.write
+      .mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .parquet(tablePath)
+    affected.length.toLong
+  }
 }

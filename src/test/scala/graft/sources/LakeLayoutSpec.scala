@@ -174,4 +174,56 @@ class LakeLayoutSpec extends SparkTestBase {
     assert(listsTouched.length <= 2,
       s"expected <=2 inverted lists read, got ${listsTouched.toSeq}")
   }
+
+  test("mergeUpsert rewrites only touched partitions; untouched files stay byte-identical") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("lake").toString + "/t"
+    // 3 partitions p=1,2,3 with 2 keys each
+    Seq((1L, 1, "a", 10.0), (2L, 1, "b", 20.0),
+        (3L, 2, "c", 30.0), (4L, 2, "d", 40.0),
+        (5L, 3, "e", 50.0), (6L, 3, "f", 60.0))
+      .toDF("k", "p", "name", "v")
+      .write.partitionBy("p").parquet(path)
+    def fileState(p: Int): Seq[(String, Long, Long)] =
+      new java.io.File(s"$path/p=$p").listFiles()
+        .filter(f => f.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.length, f.lastModified)).toSeq.sorted
+    val p3Before = fileState(3)
+
+    // changeset touches p=1 (update k=1, delete k=2), p=2 (insert k=9),
+    // and a brand-new partition p=4 (insert k=10); p=3 untouched
+    val changes = Seq(
+      (1L, 1, "a2", 11.0, false), (2L, 1, "b", 20.0, true),
+      (9L, 2, "z", 90.0, false), (10L, 4, "new", 100.0, false))
+      .toDF("k", "p", "name", "v", "_deleted")
+    val n = LakeLayout.mergeUpsert(spark, path, changes,
+      keyCols = Seq("k"), partitionCols = Seq("p"),
+      deleteCol = Some("_deleted"))
+    assert(n == 3, s"expected 3 partitions rewritten, got $n")
+
+    val got = spark.read.parquet(path)
+      .select("k", "p", "name", "v").as[(Long, Int, String, Double)]
+      .collect().toSet
+    assert(got == Set(
+      (1L, 1, "a2", 11.0),                       // updated
+      (3L, 2, "c", 30.0), (4L, 2, "d", 40.0),    // untouched rows, touched partition
+      (9L, 2, "z", 90.0),                        // inserted
+      (5L, 3, "e", 50.0), (6L, 3, "f", 60.0),    // untouched partition
+      (10L, 4, "new", 100.0)),                   // new partition
+      s"merged state wrong: $got")
+    // k=2 deleted
+    assert(!got.exists(_._1 == 2L))
+    // p=3 files untouched byte-for-byte (same names, sizes, mtimes)
+    assert(fileState(3) == p3Before,
+      s"untouched partition rewritten: ${fileState(3)} vs $p3Before")
+  }
+
+  test("mergeUpsert with an empty changeset is a no-op") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("lake").toString + "/t2"
+    Seq((1L, 1, 5.0)).toDF("k", "p", "v").write.partitionBy("p").parquet(path)
+    val empty = Seq.empty[(Long, Int, Double)].toDF("k", "p", "v")
+    assert(LakeLayout.mergeUpsert(spark, path, empty, Seq("k"), Seq("p")) == 0L)
+    assert(spark.read.parquet(path).count() == 1)
+  }
 }
