@@ -98,6 +98,18 @@ object TextQueries {
       TextAnalysis.repetitionStats(docs(s, dir), "doc_id", "text", n = 2)
         .orderBy("doc_id")),
 
+    // A14 — heavy hitters: vocabulary words covering >= 1% of all token
+    // occurrences (tokenizer/stopword design input). Misra-Gries
+    // candidate pass per partition (bounded memory, provably no false
+    // negatives) + exact candidate-only verification — the output is
+    // EXACT, so the oracle is a plain HAVING over the full count; only
+    // candidate keys ever shuffle.
+    "q_a14_heavy_hitters" -> ((s, dir) =>
+      HeavyHitters.heavyHitters(
+          docs(s, dir).selectExpr(s"explode($wordsExpr) AS word"),
+          "word", theta = 0.01)
+        .orderBy(col("cnt").desc, col("word"))),
+
     // BM25 retrieval scoring of the corpus against a fixed query —
     // ranking passages for topic-targeted training slices. The per-doc tf
     // vector is computed row-locally (corpus never exploded, never
@@ -243,6 +255,21 @@ object TextQueries {
         |       round(coalesce(CAST(dup_occ AS DOUBLE) / n_ngrams, 0.0), 6) AS dup_ngram_frac
         |FROM documents d LEFT JOIN per USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // The heavy-hitter output is exact by construction (the Misra-Gries
+    // stage only prunes candidates), so the oracle needs no gate columns:
+    // a plain full-count HAVING replays it.
+    "q_a14_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+        |    AS word
+        |  FROM documents),
+        |tot AS (SELECT count(*) AS n FROM toks)
+        |SELECT word, count(*) AS cnt,
+        |       round(count(*) / (SELECT CAST(n AS DOUBLE) FROM tot), 6) AS frac
+        |FROM toks GROUP BY 1
+        |HAVING count(*) >= (SELECT n FROM tot) * 0.01
+        |ORDER BY cnt DESC, word""".stripMargin,
 
     // Replays bm25Score's exact arithmetic: same left-associated double
     // products, idf rounded to 9 dp, contributions as 9-dp scaled BIGINTs
