@@ -161,7 +161,11 @@ object DedupQueries {
         expr("transform(embedding, (x, j) -> " +
           "CAST(CAST(x AS DOUBLE) + ((vec_id * 31 + j) % 7 - 3) * 0.015D AS FLOAT))")
           .as("embedding"))
-      SimilaritySearch.embeddingNearDupPairs(base.unionByName(twins),
+      // the derived frame feeds ~6 downstream scans (count, dim stats,
+      // both bucket-join sides, two vector re-attaches); localCheckpoint
+      // computes the scan+perturbation once (corpus-sized, vectors only)
+      val planted = base.unionByName(twins).localCheckpoint()
+      SimilaritySearch.embeddingNearDupPairs(planted,
           "vec_id", "embedding", threshold = 0.9,
           bits = 0 /* auto-sized to the corpus — the production default */,
           targetRecall = 0.9999, center = true, multiprobe = false)

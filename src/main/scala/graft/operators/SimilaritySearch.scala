@@ -223,14 +223,19 @@ object SimilaritySearch {
     * joins. The argmin sits near 2^bits ~ 4n (occupancy ~1/4), where the
     * same corpus generates ~100x fewer candidates for ~4x more tables.
     * `pairWeight` prices a candidate-pair row against a frame row (the
-    * pair pays a distinct, two joins, and an exact verification).
+    * pair pays a distinct, two joins, and an exact verification);
+    * `hashWeight` prices each KEY BIT of per-row hash work (a bit is one
+    * dim-length dot product, and total hash work is n x tables x bits —
+    * without this term the argmin over-buys bits on small corpora, where
+    * hashing dominates and the pair term it buys down is already tiny).
     */
   def bitsForExactKey(n: Long, tuneThreshold: Double, targetRecall: Double,
-                      pairWeight: Double = 8.0,
-                      minBits: Int = 8, maxBits: Int = 26): Int =
+                      pairWeight: Double = 8.0, hashWeight: Double = 0.25,
+                      minBits: Int = 8, maxBits: Int = 32): Int =
     (minBits to maxBits).minBy { b =>
       val tables = tablesForRecall(tuneThreshold, b, targetRecall, multiprobe = false)
-      tables * (n.toDouble + pairWeight * n.toDouble * n / math.pow(2.0, b + 1))
+      tables * n.toDouble * (1.0 + hashWeight * b) +
+        pairWeight * tables * n.toDouble * n / math.pow(2.0, b + 1)
     }
 
   /** `center = true` subtracts the per-dimension corpus mean INSIDE the
