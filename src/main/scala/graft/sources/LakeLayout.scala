@@ -181,7 +181,8 @@ object LakeLayout {
     */
   def mergeUpsert(spark: SparkSession, tablePath: String, changes: DataFrame,
                   keyCols: Seq[String], partitionCols: Seq[String],
-                  deleteCol: Option[String] = None): Long = {
+                  deleteCol: Option[String] = None,
+                  filesPerPartition: Int = 1): Long = {
     require(keyCols.nonEmpty && partitionCols.nonEmpty)
     require(partitionCols.forall(p => !keyCols.contains(p)),
       "partition columns must not overlap the key")
@@ -200,13 +201,24 @@ object LakeLayout {
       case Some(d) => changes.filter(!coalesce(col(d), lit(false))).drop(d)
       case None => changes
     }
+    // Shape BEFORE staging, exactly like writePartitioned: co-locate each
+    // rewritten directory's rows into `filesPerPartition` tasks so the
+    // merge output keeps the table's file discipline — an unshaped merge
+    // writes every-task x every-dir small files, and the table degrades a
+    // little with every CDC batch until a compaction bails it out.
     // localCheckpoint = the stage step of stage-then-swap: materializes
     // ONLY the affected partitions' merged rows (executor storage), and
     // cuts lineage so the overwrite below no longer reads the path it is
     // about to replace (Spark rejects a same-path read-overwrite plan).
-    val merged = current
+    val raw = current
       .join(changeKeys, keyCols, "left_anti")
       .unionByName(upserts.select(dataCols.map(col): _*))
+    val shapeKeys = partitionCols.map(col) :+
+      pmod(hash(dataCols.map(col): _*), lit(filesPerPartition))
+    val merged = raw
+      .repartition(math.max(affected.length * filesPerPartition,
+        filesPerPartition), shapeKeys: _*)
+      .sortWithinPartitions(partitionCols.map(col): _*)
       .localCheckpoint()
     merged.write
       .mode(SaveMode.Overwrite)
