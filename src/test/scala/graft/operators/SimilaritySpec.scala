@@ -184,6 +184,76 @@ class SimilaritySpec extends SparkTestBase {
     assert(auto == fixed, s"auto-bits diverged: ${auto.size} vs ${fixed.size} pairs")
   }
 
+  test("centered recall holds for BOUNDARY pairs, not just twins; the " +
+    "centered-threshold estimate tracks empirically centered cosines") {
+    // The recall contract's hard case: pairs at a moderate original cosine
+    // whose similarity is PARTLY the shared mean — after centering they sit
+    // well below the declared threshold, so a table count tuned in
+    // original space would under-provision for exactly these pairs.
+    // Corpus: v = m + x with m = 1 per dim (mu2 = d) and x ~ N(0,1)
+    // (E|x|^2 = d), so s2 ~ 2d and the background cosine is ~1/2. Planted
+    // partners w = m + (a*x + b*z) have centered cosine ~ a/sqrt(a^2+b^2)
+    // = 0.75 and original cosine ~ (1 + 0.75)/2 = 0.875 — near-boundary
+    // for a declared threshold of 0.8, nowhere near a twin.
+    import spark.implicits._
+    val d = 32
+    val rnd = new scala.util.Random(11)
+    def gauss() = Array.fill(d)(rnd.nextGaussian())
+    val mean = Array.fill(d)(1.0)
+    val xs = Array.fill(220)(gauss())
+    val baseRows = xs.zipWithIndex.map { case (x, i) =>
+      (i.toLong, x.zip(mean).map { case (a, m) => (a + m).toFloat }.toSeq)
+    }
+    val (a, b) = (0.75, math.sqrt(1 - 0.75 * 0.75))
+    val partnerRows = xs.take(20).zipWithIndex.map { case (x, i) =>
+      val z = gauss()
+      val w = Array.tabulate(d)(j => (mean(j) + a * x(j) + b * z(j)).toFloat)
+      ((i + 10000).toLong, w.toSeq)
+    }
+    val corpus = spark.createDataset(baseRows ++ partnerRows)
+      .toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+      .repartition(8)
+
+    // 1) the analytic estimate matches empirically centered cosines
+    val st = SimilaritySearch.dimStats(corpus, "embedding")
+    assert(st.backgroundCosine > 0.35 && st.backgroundCosine < 0.65,
+      s"corpus not in the shared-mean regime: ${st.backgroundCosine}")
+    val emp = corpus.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(u: Array[Double], v: Array[Double]): Double = {
+      val dot = u.zip(v).map { case (p, q) => p * q }.sum
+      dot / math.max(math.sqrt(u.map(p => p * p).sum) *
+        math.sqrt(v.map(q => q * q).sum), 1e-12)
+    }
+    val centeredEmp = emp.map { case (id, v) =>
+      id -> v.zip(st.means).map { case (p, m) => p - m } }
+    val errs = (0 until 20).map { i =>
+      val (u, w) = (emp(i.toLong), emp((i + 10000).toLong))
+      val cOrig = cos(u, w)
+      val cCentered = cos(centeredEmp(i.toLong), centeredEmp((i + 10000).toLong))
+      math.abs(SimilaritySearch.centeredThresholdEstimate(cOrig, st) - cCentered)
+    }
+    assert(errs.max < 0.15 && errs.sum / errs.size < 0.06,
+      s"centered estimate off: max=${errs.max} mean=${errs.sum / errs.size}")
+
+    // 2) recall: every planted pair whose ORIGINAL cosine clears the
+    // declared threshold is found by the centered banded plan (both
+    // probing modes) — these pairs sit at centered ~0.75, far below
+    // where original-space tuning would have placed the table count.
+    val wanted = (0 until 20).map { i =>
+      (i.toLong, (i + 10000).toLong, cos(emp(i.toLong), emp((i + 10000).toLong)))
+    }.filter(_._3 >= 0.8).map(t => (t._1, t._2)).toSet
+    assert(wanted.size >= 15, s"construction drifted: only ${wanted.size} planted pairs cleared 0.8")
+    for (probe <- Seq(true, false)) {
+      val got = SimilaritySearch.embeddingNearDupPairs(corpus, "vec_id", "embedding",
+          threshold = 0.8, targetRecall = 0.999, center = true, multiprobe = probe)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(wanted.subsetOf(got),
+        s"multiprobe=$probe missed boundary pairs: ${wanted -- got}")
+    }
+  }
+
   test("q_v10 registry query: exactly one planted-twin pair per vector") {
     // The driver-facing production-SRP query (centered, exact-key, auto
     // bits) must surface precisely the deterministic twins it plants — the
