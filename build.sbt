@@ -8,6 +8,9 @@ unmanagedBase := file("/opt/spark/jars")
 libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
+  // second JDBC engine for the dialect matrix (JdbcDocStoreSpec) — the
+  // matrix auto-widens to whatever drivers the classpath carries
+  "org.duckdb" % "duckdb_jdbc" % "1.0.0" % Test,
 )
 Test / fork := true
 run / fork := true

@@ -77,26 +77,24 @@ class JdbcDocStoreSpec extends SparkTestBase {
 
   /** Dialect matrix: every embedded engine whose JDBC driver is on the
     * classpath. Derby always (its jars ship with Spark for the Hive
-    * metastore); H2 and HSQLDB join automatically when present — this
-    * build's offline dependency cache carries neither, so the matrix is
-    * Derby-only here, but the assertions are engine-generic and the matrix
-    * widens with the classpath, no test changes needed.
-    *
-    * VERIFIED UNOBTAINABLE in this environment (not an omission): adding
-    * `"com.h2database" % "h2" % "2.2.224" % Test` to build.sbt fails
-    * `sbt update` with `ResolveException: Error downloading
-    * com.h2database:h2 ... Not found` — the pre-warmed offline coursier
-    * cache (COURSIER_MODE=offline, zero egress) carries only
-    * scalatest/scalacheck, and no H2/HSQLDB jar exists anywhere on the
-    * image (`find / -name '*h2*.jar'` comes back empty outside Spark's
-    * own jars). The one-line build.sbt change activates the other two
-    * legs wherever the jar CAN resolve.
+    * metastore); DuckDB from the test classpath — a genuinely foreign
+    * dialect (columnar engine, its own DDL type mapping, served by Spark's
+    * DEFAULT JdbcDialect rather than the built-in DerbyDialect, so the two
+    * legs exercise different quoting/DDL code paths in Spark too). H2 and
+    * HSQLDB join automatically when present; this build's offline
+    * dependency cache carries neither (`"com.h2database" % "h2"` fails
+    * `sbt update` with ResolveException — verified, not an omission), but
+    * the assertions are engine-generic and the matrix widens with the
+    * classpath, no test changes needed.
     */
   private val engines: Seq[(String, String => String)] = {
+    graft.sources.DuckDbDialect.ensureRegistered()
     def ifPresent(driver: String, entry: (String, String => String)) =
       try { Class.forName(driver); Seq(entry) }
       catch { case _: ClassNotFoundException => Seq.empty }
     Seq("derby" -> ((n: String) => derbyUrl(n))) ++
+      ifPresent("org.duckdb.DuckDBDriver", "duckdb" -> ((n: String) =>
+        s"jdbc:duckdb:${Files.createTempDirectory(s"graft-duckdb-$n")}/db")) ++
       ifPresent("org.h2.Driver", "h2" -> ((n: String) =>
         s"jdbc:h2:${Files.createTempDirectory(s"graft-h2-$n")}/db")) ++
       ifPresent("org.hsqldb.jdbc.JDBCDriver", "hsqldb" -> ((n: String) =>
