@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -16,6 +16,15 @@ object RelationalQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") Tables.events(s, dir)
     else s.read.parquet(s"$dir/$name.parquet")
+
+  /** Millisecond floor of a timestamp, as DuckDB's `epoch_ms` computes it
+    * for the post-1970 event range — pure integer arithmetic (no double
+    * division whose rounding could straddle a session-gap boundary).
+    */
+  private def msFloor(c: Column): Column = {
+    val us = Tables.epochMicros(c)
+    (us - pmod(us, lit(1000L))) / lit(1000L) cast "long"
+  }
 
   /** Exact, order-independent money sum. Each value is snapped to cents via
     * decimal(18,2) (HALF_UP — agrees with DuckDB's double→DECIMAL cast), but
@@ -620,8 +629,8 @@ object RelationalQueries {
       TimeSeries.asOfJoin(purchases, views, "user_id", "ts", "ts",
           Seq("view_value"))
         .select(col("event_id"), col("user_id"),
-          expr("unix_micros(ts)").as("purchase_us"),
-          expr("unix_micros(asof_ts)").as("asof_view_us"),
+          Tables.epochMicros(col("ts")).as("purchase_us"),
+          Tables.epochMicros(col("asof_ts")).as("asof_view_us"),
           col("asof_view_value").as("view_value"))
         .orderBy("user_id", "event_id")
     }),
@@ -636,7 +645,7 @@ object RelationalQueries {
         // millisecond precision, matching graft.streaming.EventStreams
         .withColumn("new_session",
           when(col("prev_ts").isNull ||
-            expr("unix_micros(ts) div 1000") - expr("unix_micros(prev_ts) div 1000") > 1800000L, 1L)
+            msFloor(col("ts")) - msFloor(col("prev_ts")) > 1800000L, 1L)
             .otherwise(0L))
         .groupBy("user_id")
         .agg(sum("new_session").as("n_sessions"), count(lit(1)).as("n_events"))
@@ -654,8 +663,8 @@ object RelationalQueries {
           ev.filter(col("event_type") === "view"),
           ev.filter(col("event_type") === "click"))
         .select(col("user_id"), col("view_id"), col("click_id"),
-          expr("unix_micros(view_ts)").as("view_us"),
-          expr("unix_micros(click_ts)").as("click_us"))
+          Tables.epochMicros(col("view_ts")).as("view_us"),
+          Tables.epochMicros(col("click_ts")).as("click_us"))
         .orderBy("user_id", "view_id", "click_id")
     }),
 

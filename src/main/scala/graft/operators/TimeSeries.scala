@@ -64,7 +64,8 @@ object TimeSeries {
     val bounded = toleranceUs match {
       case Some(tol) => matched.withColumn("_m",
         when(col("_m").isNotNull &&
-          unix_micros(col("_ats")) - unix_micros(col("_m._rts")) <= tol,
+          Tables.epochMicros(col("_ats")) -
+            Tables.epochMicros(col("_m._rts")) <= tol,
           col("_m")))
       case None => matched
     }
