@@ -60,6 +60,25 @@ object JoinQueries {
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy("block")),
 
+    // Bloom-pruned join: lineitem is pre-filtered through a bloom filter
+    // of the urgent-order keys BEFORE its shuffle — the explicit semi-join
+    // reduction (Spark's runtime-filter expressions, driven by hand). The
+    // oracle is the PLAIN join: any bloom false positive is removed by the
+    // exact equi-join, so the result must be bit-identical.
+    "q_j8_bloom_prune" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val urgent = s.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey", "o_orderpriority")
+      Joins.bloomPrunedJoin(
+          li.withColumnRenamed("l_orderkey", "o_orderkey"), urgent,
+          "o_orderkey", "o_orderkey", expectedItems = 1L << 18)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+        .orderBy("l_returnflag")
+    }),
+
     // String-function battery over part names.
     "q_str1_functions" -> ((s, dir) =>
       s.read.parquet(s"$dir/part.parquet")
@@ -119,6 +138,14 @@ object JoinQueries {
       """SELECT p_brand, count(*) AS n_lines,
         |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the bloom prune must be result-invariant: the oracle is the plain join
+    "q_j8_bloom_prune" ->
+      """SELECT l_returnflag, count(*) AS n_lines,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_str1_functions" ->

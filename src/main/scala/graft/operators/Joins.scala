@@ -107,6 +107,51 @@ object Joins {
     factS.join(dimS, Seq(key, "_salt"), joinType).drop("_salt")
   }
 
+  /** Bloom-pruned equi-join: before the fact side shuffles for the join,
+    * filter it through a bloom filter built from the (already-filtered)
+    * dimension keys — the explicit form of the semi-join reduction Spark's
+    * own `InjectRuntimeFilter` plants under AQE, using the SAME catalyst
+    * expressions (`BloomFilterAggregate` / `BloomFilterMightContain`,
+    * registered as `bloom_agg` / `bloom_might_contain` by GraftExtensions).
+    *
+    * Why it matters at 100 TB: when the dimension predicate is selective,
+    * most fact rows shuffle only to be dropped by the join. The bloom probe
+    * runs inside whole-stage codegen on the scan side of the exchange, so
+    * those rows never leave their input partition. False positives cost
+    * only wasted shuffle bytes — the equi-join re-applies the exact key
+    * equality, so the RESULT is bit-identical to the plain join at any
+    * false-positive rate (the spec forces a tiny, FP-heavy filter to pin
+    * this down).
+    *
+    * The bloom itself is a driver-side constant, like Spark's runtime
+    * filter (which ships it via a scalar subquery): one aggregated sketch
+    * of `expectedItems` keys (~1.2 MB at 1M keys / 3% fpp), collected once
+    * and inlined as a binary literal. `BloomFilterMightContain` requires a
+    * constant bloom side, so this is also the only plannable shape.
+    *
+    * Null fact keys never probe true (xxhash64(null) is null), which is
+    * correct for the inner equi-join this prunes for.
+    */
+  def bloomPrunedJoin(fact: DataFrame, dim: DataFrame, factKey: String,
+                      dimKey: String, expectedItems: Long,
+                      fpp: Double = 0.03): DataFrame = {
+    val spark = fact.sparkSession
+    graft.plans.GraftExtensions.register(spark)
+    // optimal bit count for the target fpp: m = -n ln(p) / (ln 2)^2
+    val numBits = math.max(64L,
+      math.ceil(-expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val bloom = dim
+      .select(expr(s"bloom_agg(xxhash64($dimKey), " +
+        s"${expectedItems}L, ${numBits}L)").as("bf"))
+      .head().getAs[Array[Byte]](0)
+    // an empty dimension aggregates to a null sketch: nothing can match,
+    // and the plain join against the empty side says so directly
+    if (bloom == null) return fact.join(dim, fact(factKey) === dim(dimKey))
+    val pruned = fact.filter(call_function("bloom_might_contain",
+      lit(bloom), xxhash64(col(factKey))))
+    pruned.join(dim, pruned(factKey) === dim(dimKey))
+  }
+
   /** Blocked fuzzy self-join (entity resolution): pairs whose `strCol`
     * values agree on the first `blockLen` characters AND are within
     * `maxDist` edit distance. Blocking turns the quadratic all-pairs

@@ -70,6 +70,32 @@ object GraftExtensions {
         require(args.length == 2,
           s"sorted_long_intersect expects 2 arguments, got ${args.length}")
         SortedLongIntersectCount(args.head, args.last)
+      }),
+    // Spark's own runtime-filter expressions (what InjectRuntimeFilter
+    // plants under AQE), surfaced as callable functions so an explicit
+    // bloom-pruned join can build/probe the same sketch the engine uses
+    // internally. bloom_agg(xxhash64(k), n_items, n_bits) aggregates a
+    // serialized bloom filter; bloom_might_contain(bloom, xxhash64(k))
+    // probes it (bloom must be a constant/literal — Spark's contract).
+    (FunctionIdentifier("bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "bloom_agg"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          s"bloom_agg expects (value, n_items, n_bits), got ${args.length} arguments")
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          args(0), args(1), args(2))
+      }),
+    (FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "bloom_might_contain"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          s"bloom_might_contain expects (bloom, value), got ${args.length} arguments")
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          args(0), args(1))
       }))
 
   /** Register on a live session (no-op if already present). */

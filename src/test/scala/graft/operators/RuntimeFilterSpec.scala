@@ -47,4 +47,59 @@ class RuntimeFilterSpec extends SparkTestBase {
       case (k, None) => conf.unset(k)
     }
   }
+
+  test("explicit bloomPrunedJoin equals the plain join even when the bloom is FP-heavy") {
+    import spark.implicits._
+    val fact = (1L to 2000L).map(k => (k % 97, k)).toDF("key", "payload")
+    val dim = Seq(3L, 11L, 42L).toDF("dkey").withColumn("tag", col("dkey") * 10)
+    // 64 bits for 3 keys under xxhash64 smearing → plenty of false
+    // positives; the equi-join must still make the result exact
+    val got = Joins.bloomPrunedJoin(fact, dim, "key", "dkey",
+        expectedItems = 3, fpp = 0.99)
+      .select("key", "payload", "tag")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = fact.join(dim, col("key") === col("dkey"))
+      .select("key", "payload", "tag")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want && want.nonEmpty)
+  }
+
+  test("bloomPrunedJoin: null fact keys drop, empty dim yields empty result") {
+    import spark.implicits._
+    val fact = Seq(Some(1L), None, Some(2L)).toDF("key")
+    val dim = Seq(1L).toDF("dkey")
+    val got = Joins.bloomPrunedJoin(fact, dim, "key", "dkey", expectedItems = 1)
+      .select("key").as[Long].collect().toSeq
+    assert(got == Seq(1L))
+    val empty = Joins.bloomPrunedJoin(fact, dim.filter(col("dkey") < 0),
+      "key", "dkey", expectedItems = 1)
+    assert(empty.count() == 0)
+  }
+
+  test("bloomPrunedJoin probes below the exchange (filter on the scan side)") {
+    val li = spark.read.parquet(sfDir("0.01") + "/lineitem.parquet")
+      .withColumnRenamed("l_orderkey", "o_orderkey")
+    val urgent = spark.read.parquet(sfDir("0.01") + "/orders.parquet")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey", "o_orderpriority")
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.enabled").map(k => k -> spark.conf.getOption(k))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = Joins.bloomPrunedJoin(li, urgent, "o_orderkey", "o_orderkey",
+        expectedItems = 1L << 18).queryExecution.executedPlan
+      // the might_contain predicate must sit INSIDE an exchange's subtree
+      // (fact rows are dropped before they shuffle), not above the join
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      val probeUnderShuffle = plan.collect {
+        case e: ShuffleExchangeExec => e
+      }.exists(_.child.toString.contains("might_contain"))
+      assert(probeUnderShuffle,
+        s"bloom probe not below an exchange:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
