@@ -57,6 +57,21 @@ object Pipeline {
   def shuffleKey(idCol: Column, seed: String): Column =
     md5(concat(lit(seed + ":"), idCol.cast("string")))
 
+  /** Deterministic per-group sample: the first `n` rows of each group in
+    * seed-keyed shuffle order — a fixed-size uniform sample per stratum
+    * (the bounded, replayable stand-in for reservoir sampling: same
+    * guarantee, but re-runs and engines agree row-for-row). One shuffle on
+    * the group key, a per-group sort, no global order, no RNG state.
+    */
+  def groupSample(df: DataFrame, groupCol: String, idCol: String, n: Int,
+                  seed: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("sample_rank", row_number().over(
+        Window.partitionBy(groupCol)
+          .orderBy(shuffleKey(col(idCol), seed), col(idCol))))
+      .filter(col("sample_rank") <= n)
+  }
+
   /** Deterministic corpus shuffle for training-order writes: range-partition
     * on the shuffle key, sort within partitions. File j then holds the j-th
     * contiguous slice of the global shuffled order — a total order across

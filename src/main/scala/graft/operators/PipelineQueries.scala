@@ -115,6 +115,30 @@ object PipelineQueries {
     // the operator under test, not an ingest-time artifact — and the
     // result is the post-merge table aggregated per partition, which the
     // oracle replays set-algebraically (survivors + updates + inserts).
+    // Deterministic per-language sample: 20 docs per lang in seed-keyed
+    // shuffle order (the replayable reservoir).
+    "q_sp5_group_sample" -> ((s, dir) =>
+      Pipeline.groupSample(docs(s, dir), "lang", "doc_id", n = 20,
+          seed = shuffleSeed)
+        .select("lang", "sample_rank", "doc_id")
+        .orderBy("lang", "sample_rank")),
+
+    // SCD type-2 dimension build from the orders change log: per-customer
+    // versioned rows with half-open validity intervals. lead()-windowed,
+    // one shuffle on the key.
+    "q_l2_scd2" -> ((s, dir) =>
+      graft.operators.TimeSeries.scd2(
+          s.read.parquet(s"$dir/orders.parquet")
+            .select("o_custkey", "o_orderdate", "o_orderkey",
+              "o_orderstatus", "o_totalprice"),
+          "o_custkey", "o_orderdate", tieBreakCols = Seq("o_orderkey"))
+        .select(col("o_custkey"), col("version"), col("o_orderkey"),
+          col("o_orderstatus"),
+          col("valid_from").cast("date").as("valid_from"),
+          col("valid_to").cast("date").as("valid_to"),
+          col("is_current"))
+        .orderBy("o_custkey", "version")),
+
     "q_l1_merge_upsert" -> ((s, dir) => {
       val base = s.read.parquet(s"$dir/orders.parquet")
         .withColumn("o_year", year(col("o_orderdate")))
@@ -223,6 +247,33 @@ object PipelineQueries {
       // Replays the merge set-algebraically: survivors (keys not in the
       // changeset) + re-priced updates (minus deletes) + shifted inserts,
       // aggregated per partition with the exact-decimal sum idiom.
+      "q_sp5_group_sample" ->
+        s"""WITH ranked AS (
+           |  SELECT lang, doc_id,
+           |         CAST(row_number() OVER (
+           |           PARTITION BY lang
+           |           ORDER BY md5('$shuffleSeed:' || CAST(doc_id AS VARCHAR)),
+           |                    doc_id) AS INTEGER) AS sample_rank
+           |  FROM documents)
+           |SELECT lang, sample_rank, doc_id
+           |FROM ranked WHERE sample_rank <= 20
+           |ORDER BY lang, sample_rank""".stripMargin,
+
+      "q_l2_scd2" ->
+        """WITH v AS (
+          |  SELECT o_custkey, o_orderkey, o_orderstatus,
+          |         CAST(o_orderdate AS DATE) AS valid_from,
+          |         CAST(lead(o_orderdate) OVER w AS DATE) AS valid_to,
+          |         CAST(row_number() OVER w AS INTEGER) AS version
+          |  FROM orders
+          |  WINDOW w AS (PARTITION BY o_custkey
+          |               ORDER BY o_orderdate, o_orderkey))
+          |SELECT o_custkey, version, o_orderkey, o_orderstatus,
+          |       valid_from, valid_to,
+          |       CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS INTEGER)
+          |         AS is_current
+          |FROM v ORDER BY o_custkey, version""".stripMargin,
+
       "q_l1_merge_upsert" ->
         """WITH base AS (
           |  SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS o_year,

@@ -681,6 +681,32 @@ object RelationalQueries {
         Quality.acceptedValues("l_returnflag", Seq("A", "N", "R")),
         Quality.Unique(Seq("l_orderkey", "l_linenumber")),
         Quality.RefIntegrity("l_orderkey", t(s, dir, "orders"), "o_orderkey")))
+    }),
+
+    // A15 — per-group z-score outliers: events whose value sits more than
+    // 3 sigma from its event_type mean. Moments come from the exact
+    // decimal-sum idiom (order-independent, replayable); per-group stats
+    // broadcast back — the fact side never shuffles. The anomaly-flagging
+    // step of a data-quality pipeline.
+    "q_a15_outliers" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val stats = ev.groupBy("event_type").agg(
+          count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).as("s1"),
+          sum((col("value") * col("value")).cast("decimal(28,10)")).as("s2"))
+        .filter(col("n") > 1)
+        .select(col("event_type"),
+          (col("s1").cast("double") / col("n")).as("mean"),
+          ((col("s2").cast("double") -
+            col("s1").cast("double") * col("s1").cast("double") / col("n"))
+            / (col("n") - 1)).as("variance"))
+        .filter(col("variance") > 0)
+      ev.join(broadcast(stats), "event_type")
+        .withColumn("z",
+          round((col("value") - col("mean")) / sqrt(col("variance")), 4))
+        .filter(abs(col("z")) > 3)
+        .select("event_id", "event_type", "value", "z")
+        .orderBy("event_id")
     })
   )
 
@@ -1071,6 +1097,27 @@ object RelationalQueries {
         | AND v.event_type = 'view' AND c.event_type = 'click'
         | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR
         |ORDER BY 1, 2, 3""".stripMargin,
+
+    "q_a15_outliers" ->
+      """WITH st AS (
+        |  SELECT event_type, count(*) AS n,
+        |         sum(CAST(value AS DECIMAL(18,6))) AS s1,
+        |         sum(CAST(value * value AS DECIMAL(28,10))) AS s2
+        |  FROM events GROUP BY 1 HAVING count(*) > 1),
+        |m AS (
+        |  SELECT event_type,
+        |         CAST(s1 AS DOUBLE) / n AS mean,
+        |         (CAST(s2 AS DOUBLE)
+        |            - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1)
+        |           AS variance
+        |  FROM st
+        |  WHERE (CAST(s2 AS DOUBLE)
+        |            - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1) > 0)
+        |SELECT e.event_id, e.event_type, e.value,
+        |       round((e.value - mean) / sqrt(variance), 4) AS z
+        |FROM events e JOIN m USING (event_type)
+        |WHERE abs(round((e.value - mean) / sqrt(variance), 4)) > 3
+        |ORDER BY e.event_id""".stripMargin,
 
     "q_q1_quality_audit" ->
       """SELECT rule, violations FROM (

@@ -277,4 +277,42 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_terms"),
         round(sum("c9") / 1e9, 6).as("bm25"))
   }
+
+  /** Per-document top-`k` TF-IDF terms: the classic term-weighting step of
+    * corpus curation (keyword extraction, topic labeling, boilerplate
+    * triage). Returns (idCol, rank, term, tf, score), rank 1..k per doc by
+    * (score DESC, term ASC) — a total order, so the cut is deterministic.
+    *
+    * Scale shape: one (doc, term) hash agg with map-side combine for tf —
+    * rows shrink to distinct pairs before the exchange — then a term-keyed
+    * agg (term-cardinality-sized, vocabulary not corpus) for df. The df
+    * join runs on the term key and is left to AQE: a trimmed vocabulary
+    * broadcasts, a web-scale one shuffle-joins — both correct, neither
+    * hand-forced. The top-k window partitions by doc — no global sort, no
+    * driver state.
+    *
+    * Determinism: idf = ln(n_docs / df) is rounded to 9 dp before the
+    * tf multiply, and the score again after it (the bm25Score idiom), so
+    * an external engine replays the arithmetic bit-for-bit.
+    */
+  def tfIdfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = docs
+      .select(col(idCol), explode(expr(w(textCol))).as("term"))
+      .groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+    val df = pairs.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"))
+    val byDoc = Window.partitionBy(idCol)
+      .orderBy(col("score").desc, col("term"))
+    pairs
+      .join(df, "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        round(log(col("n_docs").cast("double") / col("df")), 9))
+      .withColumn("score", round(col("idf") * col("tf"), 9))
+      .withColumn("rank", row_number().over(byDoc))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("term"), col("tf"), col("score"))
+  }
 }

@@ -121,6 +121,11 @@ object TextQueries {
           Seq("spark", "window", "query", "zzyzx"))
         .orderBy(col("bm25").desc, col("doc_id"))),
 
+    // Per-document top-3 TF-IDF terms (keyword extraction / topic labels).
+    "q_t12_tfidf" -> ((s, dir) =>
+      TextAnalysis.tfIdfTopTerms(docs(s, dir), "doc_id", "text", k = 3)
+        .orderBy("doc_id", "rank")),
+
     // Exact dedup by grouping key: keeper = min id, with group size.
     "q_d1_dedup_exact" -> ((s, dir) =>
       docs(s, dir)
@@ -297,6 +302,27 @@ object TextQueries {
         |  FROM m JOIN df USING (term), stats)
         |SELECT doc_id, count(*) AS n_terms, round(sum(c9) / 1e9, 6) AS bm25
         |FROM c GROUP BY 1 ORDER BY bm25 DESC, doc_id""".stripMargin,
+
+    // replays the 9-dp idf/score rounding exactly (the bm25 idiom)
+    "q_t12_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+        |  FROM documents),
+        |pairs AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM pairs GROUP BY 1),
+        |stats AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT p.doc_id, p.term, p.tf,
+        |         round(round(ln(CAST(n_docs AS DOUBLE) / df), 9) * tf, 9) AS score
+        |  FROM pairs p JOIN df USING (term), stats),
+        |ranked AS (
+        |  SELECT doc_id, term, tf, score,
+        |         CAST(row_number() OVER (PARTITION BY doc_id
+        |                                 ORDER BY score DESC, term) AS INTEGER) AS rank
+        |  FROM scored)
+        |SELECT doc_id, rank, term, tf, score
+        |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
     "q_d1_dedup_exact" ->
       """SELECT lang, source, min(doc_id) AS keeper_doc_id,

@@ -75,6 +75,30 @@ object TimeSeries {
     bounded.select(outCols: _*)
   }
 
+  /** Slowly-changing-dimension type-2 history build: turn a change log
+    * (one row per key per change event) into versioned dimension rows with
+    * `valid_from` / `valid_to` half-open intervals and an `is_current`
+    * flag — the standard temporal-table shape a lake-side dimension load
+    * produces.
+    *
+    * `valid_from` is the row's own change timestamp; `valid_to` is the
+    * NEXT change's timestamp for the same key (null on the current row),
+    * via one `lead` over a (key)-partitioned window — one shuffle on the
+    * key, O(1) window state, no self-join. `tieBreakCols` must make
+    * (key, ts, tieBreak...) unique, or version order at equal timestamps
+    * would be nondeterministic.
+    */
+  def scd2(changes: DataFrame, keyCol: String, tsCol: String,
+           tieBreakCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keyCol)
+      .orderBy((col(tsCol) +: tieBreakCols.map(col)): _*)
+    changes
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("version", row_number().over(w))
+      .withColumn("is_current", col("valid_to").isNull.cast("int"))
+  }
+
   /** Daily resample + forward fill. Output: (key, day, v_filled, was_gap)
     * for every day between each key's first and last observation; `v` is
     * the per-day max of `valueCol` (deterministic under reordering).

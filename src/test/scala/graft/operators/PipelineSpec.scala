@@ -101,4 +101,29 @@ class PipelineSpec extends SparkTestBase {
     assert(out(2).getInt(1) == 2 && out(2).getInt(2) == 1)
     assert(out(2).getString(3) == "two mails <EMAIL> <EMAIL> and v<NUM>")
   }
+
+  test("groupSample: per-group cap, contiguous ranks, partitioning-invariant") {
+    import spark.implicits._
+    val df = (1L to 200L).map(i => (if (i % 3 == 0) "a" else "b", i))
+      .toDF("grp", "id")
+    val sample = Pipeline.groupSample(df, "grp", "id", n = 10, seed = "s7")
+    val byGrp = sample.groupBy("grp").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byGrp == Map("a" -> 10L, "b" -> 10L))
+    val ranks = sample.filter(col("grp") === "a")
+      .select("sample_rank").collect().map(_.getInt(0)).sorted.toSeq
+    assert(ranks == (1 to 10))
+    // same rows whatever the physical layout: the sample is a pure
+    // function of (seed, id), never of partition arrival order
+    val a = sample.select("grp", "sample_rank", "id")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    val b = Pipeline.groupSample(df.repartition(7, col("id")), "grp", "id",
+        n = 10, seed = "s7")
+      .select("grp", "sample_rank", "id")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(a == b)
+    // a small group is returned whole
+    val tiny = Pipeline.groupSample(df.limit(3), "grp", "id", n = 10, seed = "s7")
+    assert(tiny.count() == 3)
+  }
 }

@@ -82,6 +82,32 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(got(2) == ((3L, 0L, 0L, 0.0)))
   }
 
+  test("tf-idf top terms: hand-computed scores, deterministic tie order, k cutoff") {
+    val docs = Seq(
+      (1L, "apple apple banana"),   // apple tf=2, banana tf=1
+      (2L, "banana cherry"),
+      (3L, "cherry cherry cherry"), // one term only
+      (4L, "")                      // no tokens -> no rows
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.tfIdfTopTerms(docs, "doc_id", "text", k = 2)
+      .orderBy("doc_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getLong(3), r.getDouble(4)))
+    def idf(df: Int) = BigDecimal(math.log(4.0 / df))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def score(tf: Int, df: Int) = BigDecimal(idf(df) * tf)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // doc 1: apple (df=1) tf=2 beats banana (df=2) tf=1
+    assert(got(0) == ((1L, 1, "apple", 2L, score(2, 1))), got.mkString(", "))
+    assert(got(1) == ((1L, 2, "banana", 1L, score(1, 2))))
+    // doc 2: equal tf; banana and cherry both df=2 -> alphabetical tie
+    assert(got(2) == ((2L, 1, "banana", 1L, score(1, 2))))
+    assert(got(3) == ((2L, 2, "cherry", 1L, score(1, 2))))
+    // doc 3: single term, rank stops at 1 (k=2 never pads)
+    assert(got(4) == ((3L, 1, "cherry", 3L, score(3, 2))))
+    assert(got.length == 5) // doc 4 contributes nothing
+  }
+
   test("contamination check flags exactly the docs sharing a benchmark n-gram") {
     val train = Seq(
       (10L, "alpha beta gamma delta"),     // shares "alpha beta gamma" with bench

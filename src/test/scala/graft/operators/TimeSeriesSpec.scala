@@ -78,4 +78,33 @@ class TimeSeriesSpec extends SparkTestBase {
     assert(out.count() == trades.count())
     assert(out.select("trade_id").distinct().count() == trades.count())
   }
+
+  test("scd2: half-open intervals chain per key, one current row, tie-broken versions") {
+    import spark.implicits._
+    val changes = Seq(
+      ("k1", 10L, 100L, "a"),
+      ("k1", 20L, 101L, "b"),
+      ("k1", 20L, 102L, "c"), // same ts: o_orderkey-style tiebreak orders it
+      ("k1", 30L, 103L, "d"),
+      ("k2", 5L, 200L, "x")
+    ).toDF("key", "ts", "change_id", "attr")
+    val got = TimeSeries.scd2(changes, "key", "ts", Seq("change_id"))
+      .orderBy("key", "version")
+      .select("key", "version", "ts", "valid_from", "valid_to", "is_current")
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        Option(r.get(4)).map(_.asInstanceOf[Long]), r.getInt(5)))
+    assert(got.toSeq == Seq(
+      ("k1", 1, 10L, 10L, Some(20L), 0),
+      ("k1", 2, 20L, 20L, Some(20L), 0), // tie: next version starts at same ts
+      ("k1", 3, 20L, 20L, Some(30L), 0),
+      ("k1", 4, 30L, 30L, None, 1),
+      ("k2", 1, 5L, 5L, None, 1)
+    ), got.mkString(", "))
+    // exactly one current row per key
+    val cur = TimeSeries.scd2(changes, "key", "ts", Seq("change_id"))
+      .filter(col("is_current") === 1).groupBy("key").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cur == Map("k1" -> 1L, "k2" -> 1L))
+  }
 }
