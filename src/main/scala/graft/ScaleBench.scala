@@ -140,7 +140,32 @@ object ScaleBench {
         operators.SimilaritySearch.nearDupPairsAuto(
           s.read.parquet(s"$d/embeddings.parquet"), "vec_id", "embedding",
           threshold = 0.9, bits = 0, targetRecall = 0.999, center = true,
-          multiprobe = false)))
+          multiprobe = false))) :+
+      // bloom-pruned vs plain join, both pinned to a SHUFFLE join (the
+      // 100 TB regime — at these local sizes the dim would broadcast and
+      // there'd be no exchange to prune). The pair's shuffle_write_mb is
+      // the receipt: the bloom leg shuffles only the ~matching slice of
+      // lineitem, the plain leg shuffles all of it.
+      ("q_j8_bloom_scale" -> ((s: SparkSession, d: String) =>
+        operators.Joins.bloomPrunedJoin(
+            s.read.parquet(s"$d/lineitem.parquet")
+              .withColumnRenamed("l_orderkey", "o_orderkey"),
+            s.read.parquet(s"$d/orders.parquet")
+              .filter(col("o_orderpriority") === "1-URGENT")
+              .select("o_orderkey", "o_orderpriority")
+              .hint("shuffle_hash"),
+            "o_orderkey", "o_orderkey", expectedItems = 1L << 20)
+          .groupBy("l_returnflag").agg(count(lit(1)).as("n")))) :+
+      ("q_j8_plain_scale" -> ((s: SparkSession, d: String) => {
+        val li = s.read.parquet(s"$d/lineitem.parquet")
+          .withColumnRenamed("l_orderkey", "o_orderkey")
+        val urgent = s.read.parquet(s"$d/orders.parquet")
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select("o_orderkey", "o_orderpriority")
+          .hint("shuffle_hash")
+        li.join(urgent, li("o_orderkey") === urgent("o_orderkey"))
+          .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+      }))
 
     val listener = new TaskMetricsListener
     spark.sparkContext.addSparkListener(listener)

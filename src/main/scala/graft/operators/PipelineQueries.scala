@@ -139,6 +139,41 @@ object PipelineQueries {
           col("is_current"))
         .orderBy("o_custkey", "version")),
 
+    // Incremental aggregate maintenance (materialized-view refresh): a
+    // per-(year, status) count/revenue table absorbs a CDC changeset as a
+    // DELTA — the orders fact is read once to build the pristine aggregate
+    // and once for the (synthetic, source-derived) changeset; maintenance
+    // itself never re-reads it. The aggregate table is tiny, so each
+    // invocation stages a fresh copy and applies the delta exactly once
+    // (the apply is additive, deliberately NOT idempotent — re-running it
+    // against a mutated table would double-count, so the table is
+    // run-scoped; LakeLayoutSpec pins the partition-rewrite receipts).
+    "q_l3_agg_maintain" -> ((s, dir) => {
+      val base = s.read.parquet(s"$dir/orders.parquet")
+        .withColumn("o_year", year(col("o_orderdate")))
+        .withColumn("rev", col("o_totalprice").cast("decimal(18,2)"))
+      val agg0 = base.groupBy("o_year", "o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"), sum("rev").as("revenue"))
+      val path = s"${System.getProperty("java.io.tmpdir", "/tmp")}" +
+        s"/graft_aggmaint/run-${System.nanoTime()}"
+      graft.sources.LakeLayout.writePartitioned(agg0, path,
+        partitionCols = Seq("o_year"))
+      val dels = base.filter(col("o_orderkey") % 13 === 0)
+        .select(col("o_year"), col("o_orderstatus"), col("rev"),
+          lit(true).as("_del"))
+      val ins = base.filter(col("o_orderkey") % 11 === 0)
+        .select(col("o_year"), col("o_orderstatus"), col("rev"),
+          lit(false).as("_del"))
+      graft.sources.LakeLayout.maintainAggregate(s, path,
+        dels.unionByName(ins), Seq("o_year", "o_orderstatus"),
+        countCol = "n_orders", sumCols = Map("revenue" -> col("rev")),
+        partitionCols = Seq("o_year"), deleteCol = Some("_del"))
+      s.read.parquet(path)
+        .select(col("o_year").cast("int").as("o_year"), col("o_orderstatus"),
+          col("n_orders"), col("revenue").cast("double").as("revenue"))
+        .orderBy("o_year", "o_orderstatus")
+    }),
+
     "q_l1_merge_upsert" -> ((s, dir) => {
       val base = s.read.parquet(s"$dir/orders.parquet")
         .withColumn("o_year", year(col("o_orderdate")))
@@ -258,6 +293,33 @@ object PipelineQueries {
            |SELECT lang, sample_rank, doc_id
            |FROM ranked WHERE sample_rank <= 20
            |ORDER BY lang, sample_rank""".stripMargin,
+
+      // replays the delta algebra: base aggregate ± changeset contributions
+      "q_l3_agg_maintain" ->
+        """WITH base AS (
+          |  SELECT CAST(year(o_orderdate) AS INT) AS o_year, o_orderstatus,
+          |         o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS rev
+          |  FROM orders),
+          |agg0 AS (
+          |  SELECT o_year, o_orderstatus, count(*) AS n, sum(rev) AS revenue
+          |  FROM base GROUP BY 1, 2),
+          |delta AS (
+          |  SELECT o_year, o_orderstatus,
+          |         sum(CASE WHEN del THEN -1 ELSE 1 END) AS dn,
+          |         sum(CASE WHEN del THEN -rev ELSE rev END) AS drev
+          |  FROM (
+          |    SELECT o_year, o_orderstatus, rev, TRUE AS del
+          |    FROM base WHERE o_orderkey % 13 = 0
+          |    UNION ALL
+          |    SELECT o_year, o_orderstatus, rev, FALSE AS del
+          |    FROM base WHERE o_orderkey % 11 = 0)
+          |  GROUP BY 1, 2)
+          |SELECT a.o_year, a.o_orderstatus,
+          |       a.n + coalesce(d.dn, 0) AS n_orders,
+          |       CAST(a.revenue + coalesce(d.drev, 0) AS DOUBLE) AS revenue
+          |FROM agg0 a LEFT JOIN delta d USING (o_year, o_orderstatus)
+          |WHERE a.n + coalesce(d.dn, 0) > 0
+          |ORDER BY 1, 2""".stripMargin,
 
       "q_l2_scd2" ->
         """WITH v AS (

@@ -683,6 +683,36 @@ object RelationalQueries {
         Quality.RefIntegrity("l_orderkey", t(s, dir, "orders"), "o_orderkey")))
     }),
 
+    // E4 — ordered funnel: per user, the earliest view, the earliest click
+    // AT-OR-AFTER that view, and the earliest purchase at-or-after that
+    // click; funnel depth = how far the user got. Three chained
+    // whole-partition conditional minima over ONE user-keyed window — the
+    // exchange is planned once and reused, so the whole funnel costs one
+    // shuffle of the events slice, no self-joins, no per-step passes.
+    // Timestamps export as epoch micros for the exact compare.
+    "q_e4_funnel" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          Tables.epochMicros(col("ts")).as("us"))
+        .withColumn("view_us",
+          min(when(col("event_type") === "view", col("us"))).over(w))
+        .withColumn("click_us",
+          min(when(col("event_type") === "click" &&
+            col("us") >= col("view_us"), col("us"))).over(w))
+        .withColumn("purchase_us",
+          min(when(col("event_type") === "purchase" &&
+            col("us") >= col("click_us"), col("us"))).over(w))
+        .groupBy("user_id")
+        .agg(min("view_us").as("view_us"), min("click_us").as("click_us"),
+          min("purchase_us").as("purchase_us"))
+        .withColumn("funnel_depth",
+          when(col("purchase_us").isNotNull, 3)
+            .when(col("click_us").isNotNull, 2)
+            .when(col("view_us").isNotNull, 1).otherwise(0))
+        .orderBy("user_id")
+    }),
+
     // A15 — per-group z-score outliers: events whose value sits more than
     // 3 sigma from its event_type mean. Moments come from the exact
     // decimal-sum idiom (order-independent, replayable); per-group stats
@@ -1097,6 +1127,31 @@ object RelationalQueries {
         | AND v.event_type = 'view' AND c.event_type = 'click'
         | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR
         |ORDER BY 1, 2, 3""".stripMargin,
+
+    "q_e4_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |w1 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'view' THEN us END)
+        |              OVER (PARTITION BY user_id) AS view_us
+        |  FROM e),
+        |w2 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'click' AND us >= view_us
+        |                     THEN us END)
+        |              OVER (PARTITION BY user_id) AS click_us
+        |  FROM w1),
+        |w3 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'purchase' AND us >= click_us
+        |                     THEN us END)
+        |              OVER (PARTITION BY user_id) AS purchase_us
+        |  FROM w2)
+        |SELECT user_id, min(view_us) AS view_us, min(click_us) AS click_us,
+        |       min(purchase_us) AS purchase_us,
+        |       CAST(CASE WHEN min(purchase_us) IS NOT NULL THEN 3
+        |                 WHEN min(click_us) IS NOT NULL THEN 2
+        |                 WHEN min(view_us) IS NOT NULL THEN 1
+        |                 ELSE 0 END AS INTEGER) AS funnel_depth
+        |FROM w3 GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_a15_outliers" ->
       """WITH st AS (

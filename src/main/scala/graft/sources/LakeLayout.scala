@@ -201,22 +201,34 @@ object LakeLayout {
       case Some(d) => changes.filter(!coalesce(col(d), lit(false))).drop(d)
       case None => changes
     }
-    // Shape BEFORE staging, exactly like writePartitioned: co-locate each
-    // rewritten directory's rows into `filesPerPartition` tasks so the
-    // merge output keeps the table's file discipline — an unshaped merge
-    // writes every-task x every-dir small files, and the table degrades a
-    // little with every CDC batch until a compaction bails it out.
-    // localCheckpoint = the stage step of stage-then-swap: materializes
-    // ONLY the affected partitions' merged rows (executor storage), and
-    // cuts lineage so the overwrite below no longer reads the path it is
-    // about to replace (Spark rejects a same-path read-overwrite plan).
     val raw = current
       .join(changeKeys, keyCols, "left_anti")
       .unionByName(upserts.select(dataCols.map(col): _*))
+    stageAndSwap(raw, tablePath, dataCols, partitionCols, affected.length,
+      filesPerPartition)
+    affected.length.toLong
+  }
+
+  /** Shape, stage, and dynamically overwrite the affected partitions.
+    *
+    * Shape BEFORE staging, exactly like writePartitioned: co-locate each
+    * rewritten directory's rows into `filesPerPartition` tasks so the
+    * merge output keeps the table's file discipline — an unshaped merge
+    * writes every-task x every-dir small files, and the table degrades a
+    * little with every CDC batch until a compaction bails it out.
+    * localCheckpoint = the stage step of stage-then-swap: materializes
+    * ONLY the affected partitions' merged rows (executor storage), and
+    * cuts lineage so the overwrite below no longer reads the path it is
+    * about to replace (Spark rejects a same-path read-overwrite plan).
+    */
+  private def stageAndSwap(raw: DataFrame, tablePath: String,
+                           dataCols: Seq[String], partitionCols: Seq[String],
+                           affectedCount: Int,
+                           filesPerPartition: Int): Unit = {
     val shapeKeys = partitionCols.map(col) :+
       pmod(hash(dataCols.map(col): _*), lit(filesPerPartition))
     val merged = raw
-      .repartition(math.max(affected.length * filesPerPartition,
+      .repartition(math.max(affectedCount * filesPerPartition,
         filesPerPartition), shapeKeys: _*)
       .sortWithinPartitions(partitionCols.map(col): _*)
       .localCheckpoint()
@@ -225,6 +237,71 @@ object LakeLayout {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionCols: _*)
       .parquet(tablePath)
+  }
+
+  /** Incremental maintenance of an ADDITIVE grouped-aggregate table (the
+    * materialized-view-refresh shape): apply a CDC changeset to a stored
+    * `group → (count, sums...)` table by aggregating only the DELTA and
+    * rewriting only the partitions whose groups the changeset touches. A
+    * 0.1% changeset against a 100 TB fact history costs one pass over the
+    * changeset plus a group-count-bounded merge — the fact table is never
+    * re-read.
+    *
+    * `sumCols` maps each stored sum column to the measure expression over
+    * a CHANGE row (use exact types — e.g. a DECIMAL cast — so delta
+    * addition is associative and replayable). Deletes (rows flagged true
+    * in `deleteCol`) must carry the measure values being removed, as CDC
+    * delete images do; they subtract. Groups whose maintained count
+    * reaches zero are dropped. Returns partitions rewritten.
+    *
+    * CONTRACT: only additive aggregates (count/sum and anything derivable
+    * from them — mean, variance via moments). min/max are not
+    * delta-maintainable without the full history; keep those in a
+    * recompute path.
+    */
+  def maintainAggregate(spark: SparkSession, tablePath: String,
+                        changes: DataFrame, groupCols: Seq[String],
+                        countCol: String, sumCols: Map[String, Column],
+                        partitionCols: Seq[String],
+                        deleteCol: Option[String] = None,
+                        filesPerPartition: Int = 1): Long = {
+    require(groupCols.nonEmpty && partitionCols.nonEmpty)
+    require(partitionCols.forall(groupCols.contains),
+      "partition columns must be group columns")
+    val sgn = deleteCol
+      .map(d => when(coalesce(col(d), lit(false)), lit(-1L)).otherwise(lit(1L)))
+      .getOrElse(lit(1L))
+    val sumNames = sumCols.keys.toSeq.sorted
+    val deltaAggs = sum(sgn).as(countCol) +:
+      sumNames.map(n => sum(sumCols(n) * sgn).as(n))
+    val delta = changes.groupBy(groupCols.map(col): _*)
+      .agg(deltaAggs.head, deltaAggs.tail: _*)
+    val affected = delta.select(partitionCols.map(col): _*).distinct().collect()
+    if (affected.isEmpty) return 0L
+    val prune = affected.map { row =>
+      partitionCols.zipWithIndex
+        .map { case (p, i) => col(p) === lit(row.get(i)) }
+        .reduce(_ && _)
+    }.reduce(_ || _)
+    val base = spark.read.parquet(tablePath)
+    val dataCols = base.columns.toSeq
+    val current = base.filter(prune)
+    // full-outer on the group key (using-columns → coalesced keys): a
+    // group present only in the base passes through, only in the delta
+    // inserts, in both sums component-wise
+    val combined = current.as("b").join(delta.as("d"), groupCols, "full_outer")
+      .select((groupCols.map(col) :+
+        (coalesce(col(s"b.$countCol"), lit(0L)) +
+          coalesce(col(s"d.$countCol"), lit(0L))).as(countCol)) ++
+        sumNames.map(n => (coalesce(col(s"b.$n"), lit(0)) +
+          coalesce(col(s"d.$n"), lit(0))).as(n)): _*)
+      .filter(col(countCol) > 0)
+    // pin the stored schema: decimal addition widens precision, and an
+    // unpinned write would drift the table's types a digit per batch
+    val typed = combined.select(dataCols.map(c =>
+      col(c).cast(base.schema(c).dataType).as(c)): _*)
+    stageAndSwap(typed, tablePath, dataCols,
+      partitionCols, affected.length, filesPerPartition)
     affected.length.toLong
   }
 }

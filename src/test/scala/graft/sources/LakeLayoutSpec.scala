@@ -226,4 +226,64 @@ class LakeLayoutSpec extends SparkTestBase {
     assert(LakeLayout.mergeUpsert(spark, path, empty, Seq("k"), Seq("p")) == 0L)
     assert(spark.read.parquet(path).count() == 1)
   }
+
+  test("maintainAggregate applies the delta exactly; untouched partitions stay byte-identical") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val path = Files.createTempDirectory("lake").toString + "/agg"
+    // facts across 3 partitions (p = year-like), grouped by (p, g)
+    val facts = Seq(
+      (1, "a", 10.0), (1, "a", 20.0), (1, "b", 5.0),
+      (2, "a", 7.0),
+      (3, "c", 50.0), (3, "c", 60.0))
+      .toDF("p", "g", "v")
+      .withColumn("rev", col("v").cast("decimal(18,2)"))
+    val agg0 = facts.groupBy("p", "g")
+      .agg(count(lit(1)).as("n"), sum("rev").as("revenue"))
+    LakeLayout.writePartitioned(agg0, path, partitionCols = Seq("p"))
+    def fileState(p: Int): Seq[(String, Long, Long)] =
+      new java.io.File(s"$path/p=$p").listFiles()
+        .filter(f => f.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.length, f.lastModified)).toSeq.sorted
+    val p3Before = fileState(3)
+
+    // changeset: insert into (1,a); delete ONE row of (1,b) -> group shrinks
+    // but survives? no — (1,b) had n=1, the delete zeroes it -> dropped;
+    // insert a brand-new group in a brand-new partition p=4; p=3 untouched
+    val changes = Seq(
+      (1, "a", 100.0, false),
+      (1, "b", 5.0, true),
+      (4, "z", 9.0, false), (4, "z", 1.0, false))
+      .toDF("p", "g", "v", "_del")
+      .withColumn("rev", col("v").cast("decimal(18,2)"))
+    val n = LakeLayout.maintainAggregate(spark, path, changes,
+      groupCols = Seq("p", "g"), countCol = "n",
+      sumCols = Map("revenue" -> col("rev")),
+      partitionCols = Seq("p"), deleteCol = Some("_del"))
+    assert(n == 2, s"expected 2 partitions rewritten, got $n")
+
+    val got = spark.read.parquet(path)
+      .select(col("p").cast("int"), col("g"), col("n"),
+        col("revenue").cast("double"))
+      .as[(Int, String, Long, Double)].collect().toSet
+    // the maintained state must equal a full recompute over facts ± changes
+    assert(got == Set(
+      (1, "a", 3L, 130.0),   // 2 rows + 1 insert
+      (2, "a", 1L, 7.0),     // untouched group, untouched partition
+      (3, "c", 2L, 110.0),   // untouched partition
+      (4, "z", 2L, 10.0)),   // new group in new partition
+      s"maintained state wrong: $got")
+    assert(!got.exists(r => r._1 == 1 && r._2 == "b"), "zeroed group must drop")
+    assert(fileState(3) == p3Before,
+      s"untouched partition rewritten: ${fileState(3)} vs $p3Before")
+    // schema must not drift (decimal widening pinned back to the stored type)
+    assert(spark.read.parquet(path).schema("revenue").dataType ==
+      agg0.schema("revenue").dataType)
+
+    // empty changeset: no-op
+    val empty = changes.filter(col("p") < 0)
+    assert(LakeLayout.maintainAggregate(spark, path, empty,
+      Seq("p", "g"), "n", Map("revenue" -> col("rev")), Seq("p"),
+      Some("_del")) == 0L)
+  }
 }
