@@ -72,6 +72,28 @@ object Pipeline {
       .filter(col("sample_rank") <= n)
   }
 
+  /** Domain-mix sampling: cap each group at its own target count, taking
+    * rows in seed-keyed shuffle order — the "data mixing" step that shapes
+    * a corpus to target per-source/per-language proportions. Groups
+    * absent from `caps` are dropped (mix weight zero). Deterministic and
+    * engine-replayable like [[groupSample]]; the caps table broadcasts
+    * (it is mixture-spec-sized, never data-sized).
+    */
+  def mixSample(df: DataFrame, groupCol: String, caps: Map[String, Int],
+                idCol: String, seed: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(caps.nonEmpty, "caps must be non-empty")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val capDf = caps.toSeq.toDF(groupCol, "_cap")
+    df.join(broadcast(capDf), groupCol)
+      .withColumn("sample_rank", row_number().over(
+        Window.partitionBy(groupCol)
+          .orderBy(shuffleKey(col(idCol), seed), col(idCol))))
+      .filter(col("sample_rank") <= col("_cap"))
+      .drop("_cap")
+  }
+
   /** Deterministic corpus shuffle for training-order writes: range-partition
     * on the shuffle key, sort within partitions. File j then holds the j-th
     * contiguous slice of the global shuffled order — a total order across

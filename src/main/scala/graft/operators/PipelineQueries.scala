@@ -123,6 +123,15 @@ object PipelineQueries {
         .select("lang", "sample_rank", "doc_id")
         .orderBy("lang", "sample_rank")),
 
+    // Domain-mix sampling: shape the corpus to target per-language counts
+    // (en-heavy mixture; es weight zero -> dropped).
+    "q_sp6_mix_sample" -> ((s, dir) =>
+      Pipeline.mixSample(docs(s, dir), "lang",
+          caps = Map("en" -> 50, "de" -> 30, "fr" -> 20),
+          idCol = "doc_id", seed = shuffleSeed)
+        .select("lang", "sample_rank", "doc_id")
+        .orderBy("lang", "sample_rank")),
+
     // SCD type-2 dimension build from the orders change log: per-customer
     // versioned rows with half-open validity intervals. lead()-windowed,
     // one shuffle on the key.
@@ -292,6 +301,19 @@ object PipelineQueries {
            |  FROM documents)
            |SELECT lang, sample_rank, doc_id
            |FROM ranked WHERE sample_rank <= 20
+           |ORDER BY lang, sample_rank""".stripMargin,
+
+      "q_sp6_mix_sample" ->
+        s"""WITH caps(lang, cap) AS (VALUES ('en', 50), ('de', 30), ('fr', 20)),
+           |ranked AS (
+           |  SELECT d.lang, d.doc_id, c.cap,
+           |         CAST(row_number() OVER (
+           |           PARTITION BY d.lang
+           |           ORDER BY md5('$shuffleSeed:' || CAST(d.doc_id AS VARCHAR)),
+           |                    d.doc_id) AS INTEGER) AS sample_rank
+           |  FROM documents d JOIN caps c ON d.lang = c.lang)
+           |SELECT lang, sample_rank, doc_id
+           |FROM ranked WHERE sample_rank <= cap
            |ORDER BY lang, sample_rank""".stripMargin,
 
       // replays the delta algebra: base aggregate ± changeset contributions

@@ -126,4 +126,24 @@ class PipelineSpec extends SparkTestBase {
     val tiny = Pipeline.groupSample(df.limit(3), "grp", "id", n = 10, seed = "s7")
     assert(tiny.count() == 3)
   }
+
+  test("mixSample: per-group caps hold, zero-weight groups drop, sample nests under groupSample") {
+    import spark.implicits._
+    val df = (1L to 300L).map(i => (Seq("en", "de", "es")(i.toInt % 3), i))
+      .toDF("lang", "id")
+    val mixed = Pipeline.mixSample(df, "lang",
+      caps = Map("en" -> 40, "de" -> 10), idCol = "id", seed = "s7")
+    val byLang = mixed.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang == Map("en" -> 40L, "de" -> 10L)) // es: weight zero
+    // the mix is a PREFIX of the seed-keyed group order: capping de at 10
+    // must select exactly the first 10 of groupSample(de, 40)
+    val gs = Pipeline.groupSample(df.filter(col("lang") === "de"), "lang",
+        "id", n = 40, seed = "s7")
+      .filter(col("sample_rank") <= 10)
+      .select("id").as[Long].collect().toSet
+    val mx = mixed.filter(col("lang") === "de")
+      .select("id").as[Long].collect().toSet
+    assert(mx == gs)
+  }
 }
