@@ -162,13 +162,20 @@ object Joins {
     */
   def fuzzyJoin(df: DataFrame, idCol: String, strCol: String,
                 blockLen: Int, maxDist: Int): DataFrame = {
+    // banded thresholded kernel (graft.functions.LevenshteinWithin):
+    // O(k*n) with row-min early exit instead of the full O(n^2) DP per
+    // candidate pair — within a block almost every pair mismatches, and
+    // the band bails on those after a couple of rows. The exact distance
+    // is then recomputed only for the survivors (block-pair-count-bounded,
+    // tiny next to the candidate count).
+    graft.plans.GraftExtensions.register(df.sparkSession)
     val b = df.select(col(idCol), col(strCol),
       substring(col(strCol), 1, blockLen).as("_blk"))
     b.as("a")
       .join(b.as("b"),
         col("a._blk") === col("b._blk") &&
           col(s"a.$idCol") < col(s"b.$idCol") &&
-          levenshtein(col(s"a.$strCol"), col(s"b.$strCol")) <= maxDist)
+          expr(s"lev_within(a.$strCol, b.$strCol, $maxDist)"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
         col("a._blk").as("block"),
         levenshtein(col(s"a.$strCol"), col(s"b.$strCol")).as("dist"))

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{CosineSimilarity, MinHashSignatureExpr, SimHash60Expr, SortedLongIntersectCount, SrpBucketKeysExpr}
+import graft.functions.{CosineSimilarity, LevenshteinWithin, MinHashSignatureExpr, SimHash60Expr, SortedLongIntersectCount, SrpBucketKeysExpr}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -70,6 +70,13 @@ object GraftExtensions {
         require(args.length == 2,
           s"sorted_long_intersect expects 2 arguments, got ${args.length}")
         SortedLongIntersectCount(args.head, args.last)
+      }),
+    (FunctionIdentifier("lev_within"),
+      new ExpressionInfo(classOf[LevenshteinWithin].getName, "lev_within"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          s"lev_within expects (a, b, k), got ${args.length} arguments")
+        LevenshteinWithin(args(0), args(1), intArg(args(2), "lev_within"))
       }),
     // Spark's own runtime-filter expressions (what InjectRuntimeFilter
     // plants under AQE), surfaced as callable functions so an explicit
