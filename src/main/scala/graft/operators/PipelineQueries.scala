@@ -123,6 +123,23 @@ object PipelineQueries {
         .select("lang", "sample_rank", "doc_id")
         .orderBy("lang", "sample_rank")),
 
+    // Bounded-memory per-group sampling as a custom TypedImperativeAggregate:
+    // the partial (map-side) aggregation keeps <= n candidates per group,
+    // so only groups x n rows reach the exchange — the 100 TB shape the
+    // window-ranked q_sp5 cannot have (it shuffles every row). Same
+    // selection function, so the output is q_sp5's rank <= 10 prefix.
+    "q_sp7_sample_agg" -> ((s, dir) => {
+      graft.plans.GraftExtensions.register(s)
+      docs(s, dir)
+        .groupBy("lang")
+        .agg(expr(s"sample_ids(md5(concat('$shuffleSeed:', " +
+          "CAST(doc_id AS STRING))), doc_id, 10)").as("ids"))
+        .select(col("lang"), posexplode(col("ids")).as(Seq("pos", "doc_id")))
+        .select(col("lang"), (col("pos") + 1).cast("int").as("sample_rank"),
+          col("doc_id"))
+        .orderBy("lang", "sample_rank")
+    }),
+
     // Domain-mix sampling: shape the corpus to target per-language counts
     // (en-heavy mixture; es weight zero -> dropped).
     "q_sp6_mix_sample" -> ((s, dir) =>
@@ -301,6 +318,19 @@ object PipelineQueries {
            |  FROM documents)
            |SELECT lang, sample_rank, doc_id
            |FROM ranked WHERE sample_rank <= 20
+           |ORDER BY lang, sample_rank""".stripMargin,
+
+      // same ranking as q_sp5, capped at the aggregate's bound
+      "q_sp7_sample_agg" ->
+        s"""WITH ranked AS (
+           |  SELECT lang, doc_id,
+           |         CAST(row_number() OVER (
+           |           PARTITION BY lang
+           |           ORDER BY md5('$shuffleSeed:' || CAST(doc_id AS VARCHAR)),
+           |                    doc_id) AS INTEGER) AS sample_rank
+           |  FROM documents)
+           |SELECT lang, sample_rank, doc_id
+           |FROM ranked WHERE sample_rank <= 10
            |ORDER BY lang, sample_rank""".stripMargin,
 
       "q_sp6_mix_sample" ->

@@ -71,6 +71,15 @@ object GraftExtensions {
           s"sorted_long_intersect expects 2 arguments, got ${args.length}")
         SortedLongIntersectCount(args.head, args.last)
       }),
+    (FunctionIdentifier("sample_ids"),
+      new ExpressionInfo(classOf[graft.functions.BoundedHashSampleAgg].getName,
+        "sample_ids"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          s"sample_ids expects (key, id, n), got ${args.length} arguments")
+        graft.functions.BoundedHashSampleAgg(args(0), args(1),
+          intArg(args(2), "sample_ids"))
+      }),
     (FunctionIdentifier("lev_within"),
       new ExpressionInfo(classOf[LevenshteinWithin].getName, "lev_within"),
       (args: Seq[Expression]) => {
