@@ -28,6 +28,14 @@ import java.sql.Timestamp
   */
 case class SessionBuffer(ts: Seq[Long], value: Seq[Double])
 
+/** Per-user funnel buffer: raw (event-time micros, event type) pairs
+  * awaiting the quiet-gap seal (same rationale as [[SessionBuffer]]: the
+  * funnel's chained minima are order-sensitive, and a late view can
+  * re-qualify earlier clicks, so no fold is final while admissible events
+  * remain possible).
+  */
+case class FunnelBuffer(us: Seq[Long], tpe: Seq[String])
+
 object EventStreams {
 
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
@@ -132,6 +140,74 @@ object EventStreams {
               state.setTimeoutTimestamp(math.max(earliestSeal, wm + 1))
             }
             finished.iterator.map(_._1)
+          }
+      }
+  }
+
+  case class FunnelRow(user_id: Long, view_us: Option[Long],
+                       click_us: Option[Long], purchase_us: Option[Long],
+                       funnel_depth: Int)
+
+  /** Streaming twin of the q_e4 ordered funnel: per user, the earliest
+    * view, the earliest click at-or-after it, and the earliest purchase
+    * at-or-after that — emitted once the user has been quiet for
+    * `quietSeconds` of event time AND the watermark has sealed that quiet
+    * gap, after which no admissible event can change the row (a late view
+    * could otherwise lower `view_us` and re-qualify earlier clicks, so the
+    * chain is only final behind the watermark).
+    *
+    * Raw (micros, type) pairs buffer in state and the batch fold runs at
+    * seal time — bit-identical chaining to the batch query, which is what
+    * the spec pins (stream under full disorder ≡ q_e4's window fold).
+    * State per user is the unsealed event tail, bounded by watermark
+    * delay × per-user rate, evicted on emit.
+    */
+  def funnel(events: Dataset[Event], quietSeconds: Long,
+             watermark: String = "2 hours"): Dataset[FunnelRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    def us(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+
+    def foldFunnel(uid: Long, evs: Array[(Long, String)]): FunnelRow = {
+      val view = evs.iterator.filter(_._2 == "view").map(_._1).minOption
+      val click = view.flatMap(v =>
+        evs.iterator.filter(e => e._2 == "click" && e._1 >= v).map(_._1).minOption)
+      val purchase = click.flatMap(c =>
+        evs.iterator.filter(e => e._2 == "purchase" && e._1 >= c).map(_._1).minOption)
+      val depth =
+        if (purchase.isDefined) 3
+        else if (click.isDefined) 2
+        else if (view.isDefined) 1
+        else 0
+      FunnelRow(uid, view, click, purchase, depth)
+    }
+
+    val quietMs = quietSeconds * 1000L
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelBuffer, FunnelRow](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[FunnelBuffer]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val prior = state.getOption
+            .map(b => b.us.iterator.zip(b.tpe.iterator).toArray)
+            .getOrElse(Array.empty[(Long, String)])
+          val all = (prior ++ batch.map(e => (us(e.ts), e.event_type)))
+            .sortBy(_._1)
+          if (all.isEmpty) {
+            if (state.hasTimedOut) state.remove()
+            Iterator.empty
+          } else {
+            val lastMs = all.last._1 / 1000L
+            if (wm >= lastMs + quietMs) {
+              state.remove()
+              Iterator.single(foldFunnel(uid, all))
+            } else {
+              state.update(FunnelBuffer(all.map(_._1).toSeq, all.map(_._2).toSeq))
+              state.setTimeoutTimestamp(math.max(lastMs + quietMs, wm + 1))
+              Iterator.empty
+            }
           }
       }
   }

@@ -226,6 +226,45 @@ class EventStreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming funnel under full disorder equals the batch chained-minima fold") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = funnel(input.toDS(), quietSeconds = 600, watermark = "30 minutes")
+      .writeStream.format("memory").queryName("funnels")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def usOf(m: Long): Long = ts(m).getTime * 1000L
+      // user 1 delivered OUT OF ORDER: purchase first, then click, then the
+      // view that qualifies both. user 2: click BEFORE its only view ->
+      // depth 1. user 3: view only.
+      input.addData(
+        Event(1, ts(20), 1, "purchase", 1.0),
+        Event(2, ts(10), 1, "click", 1.0),
+        Event(3, ts(15), 2, "click", 1.0))
+      q.processAllAvailable()
+      input.addData(
+        Event(4, ts(5), 1, "view", 1.0),   // late: admitted, lowers view_us
+        Event(5, ts(16), 2, "view", 1.0),
+        Event(6, ts(12), 3, "view", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("funnels").isEmpty,
+        "no funnel may emit before the quiet gap is sealed")
+      // sentinel user far ahead pushes the watermark past everyone's seal
+      input.addData(Event(99, ts(600), 9, "view", 0.0))
+      q.processAllAvailable()
+      input.addData(Event(100, ts(1300), 9, "view", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("funnels").as[FunnelRow].collect()
+        .filter(_.user_id < 9).map(r => r.user_id ->
+          ((r.view_us, r.click_us, r.purchase_us, r.funnel_depth))).toMap
+      assert(got == Map(
+        1L -> ((Some(usOf(5)), Some(usOf(10)), Some(usOf(20)), 3)),
+        2L -> ((Some(usOf(16)), None, None, 1)),
+        3L -> ((Some(usOf(12)), None, None, 1))), s"got $got")
+    } finally q.stop()
+  }
+
   test("stream-static broadcast enrichment joins the dim per micro-batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
