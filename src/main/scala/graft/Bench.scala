@@ -71,7 +71,9 @@ object Bench {
       "q_v9_embedding_dedup_clusters",
       "q_str2_fuzzy_block", "q_r1_range_join", "q_j7_salted_join",
       "q_a4_daily_revenue", "q_w1_topk_per_group", "q_q1_quality_audit",
-      "q_t1_token_stats", "q_m2_media_similarity")
+      "q_t1_token_stats", "q_m2_media_similarity",
+      "q_j8_bloom_prune", "q_t12_tfidf", "q_e4_funnel", "q_sp7_sample_agg",
+      "q_l3_agg_maintain", "q_a15_outliers")
 
     // Headline queries run 3 reps and report the MEDIAN: the single-shot
     // noise floor on this box is ±2x (calibrated rounds 5-6), which made
