@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis and deduplication battery over the `documents` table —
@@ -120,6 +121,44 @@ object TextQueries {
       TextAnalysis.bm25Score(docs(s, dir), "doc_id", "text",
           Seq("spark", "window", "query", "zzyzx"))
         .orderBy(col("bm25").desc, col("doc_id"))),
+
+    // Hybrid-retrieval fusion: reciprocal-rank fusion (RRF, k=60) of the
+    // BM25 ranking and the query-vector cosine ranking, both cut to their
+    // top-100 before fusing. Ranks come from the 6-dp-rounded scores with
+    // id tiebreaks, so both engines rank identically; the 1/(60+r) terms
+    // are 9-dp-rounded before the sum (two bit-identical doubles add
+    // bit-identically). At scale each ranker's top-K comes from its own
+    // index probe (q_t11's scan / q_v7's IVF) — the fusion itself touches
+    // only 2K rows, which is the point of RRF.
+    "q_t13_rrf_fusion" -> ((s, dir) => {
+      val w = Window.orderBy(col("bm25").desc, col("doc_id"))
+      val bm = TextAnalysis.bm25Score(docs(s, dir), "doc_id", "text",
+          Seq("spark", "window", "query", "zzyzx"))
+        .withColumn("r_bm", row_number().over(w))
+        .filter(col("r_bm") <= 100)
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val query = broadcast(e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_emb")))
+      val wv = Window.orderBy(col("cosine").desc, col("vec_id"))
+      import graft.functions.VectorExprs
+      val vec = e.filter(col("vec_id") =!= 0)
+        .crossJoin(query)
+        .select(col("vec_id"),
+          round(VectorExprs.dot("embedding", "q_emb") /
+            (VectorExprs.l2Norm("embedding") * VectorExprs.l2Norm("q_emb")), 6)
+            .as("cosine"))
+        .withColumn("r_vec", row_number().over(wv))
+        .filter(col("r_vec") <= 100)
+      bm.select(col("doc_id").as("id"), col("r_bm"))
+        .join(vec.select(col("vec_id").as("id"), col("r_vec")),
+          Seq("id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(round(lit(1.0) / (col("r_bm") + 60), 9), lit(0.0)) +
+            coalesce(round(lit(1.0) / (col("r_vec") + 60), 9), lit(0.0)))
+        .orderBy(col("rrf").desc, col("id"))
+        .limit(20)
+        .select("id", "r_bm", "r_vec", "rrf")
+    }),
 
     // Per-document top-3 TF-IDF terms (keyword extraction / topic labels).
     "q_t12_tfidf" -> ((s, dir) =>
@@ -302,6 +341,57 @@ object TextQueries {
         |  FROM m JOIN df USING (term), stats)
         |SELECT doc_id, count(*) AS n_terms, round(sum(c9) / 1e9, 6) AS bm25
         |FROM c GROUP BY 1 ORDER BY bm25 DESC, doc_id""".stripMargin,
+
+    // replays both rankers (the q_t11 and q_v1 oracles) and the 9-dp RRF
+    // arithmetic exactly
+    "q_t13_rrf_fusion" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+        |  FROM documents),
+        |stats AS (SELECT count(*) AS n_docs, sum(len(w)) AS sum_dl FROM toks),
+        |q(term) AS (VALUES ('spark'), ('window'), ('query'), ('zzyzx')),
+        |m AS (
+        |  SELECT doc_id, len(w) AS dl, term,
+        |         len(list_filter(w, x -> x = term)) AS tf
+        |  FROM toks CROSS JOIN q
+        |  WHERE len(list_filter(w, x -> x = term)) > 0),
+        |df AS (SELECT term, count(*) AS df FROM m GROUP BY 1),
+        |c AS (
+        |  SELECT m.doc_id,
+        |         CAST(round(round(
+        |           round(ln(1 + (n_docs - df + 0.5) / (df + 0.5)), 9)
+        |             * tf * 2.2
+        |             / (tf + 1.2 * (0.25 + (0.75 * dl)
+        |                 / (CAST(sum_dl AS DOUBLE) / n_docs))), 9) * 1e9)
+        |           AS BIGINT) AS c9
+        |  FROM m JOIN df USING (term), stats),
+        |bm AS (
+        |  SELECT doc_id, round(sum(c9) / 1e9, 6) AS bm25 FROM c GROUP BY 1),
+        |bmr AS (
+        |  SELECT doc_id AS id,
+        |         CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INTEGER)
+        |           AS r_bm
+        |  FROM bm QUALIFY r_bm <= 100),
+        |qv AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+        |cs AS (
+        |  SELECT vec_id,
+        |         round(
+        |           list_sum(list_transform(generate_series(1, len(embedding)),
+        |             i -> CAST(embedding[i] AS DOUBLE) * CAST(q_emb[i] AS DOUBLE)))
+        |           / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |              * sqrt(list_sum(list_transform(q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+        |           6) AS cosine
+        |  FROM embeddings, qv WHERE vec_id <> 0),
+        |vr AS (
+        |  SELECT vec_id AS id,
+        |         CAST(row_number() OVER (ORDER BY cosine DESC, vec_id) AS INTEGER)
+        |           AS r_vec
+        |  FROM cs QUALIFY r_vec <= 100)
+        |SELECT COALESCE(bmr.id, vr.id) AS id, bmr.r_bm, vr.r_vec,
+        |       COALESCE(round(1.0 / (bmr.r_bm + 60), 9), 0.0)
+        |         + COALESCE(round(1.0 / (vr.r_vec + 60), 9), 0.0) AS rrf
+        |FROM bmr FULL OUTER JOIN vr ON bmr.id = vr.id
+        |ORDER BY rrf DESC, id LIMIT 20""".stripMargin,
 
     // replays the 9-dp idf/score rounding exactly (the bm25 idiom)
     "q_t12_tfidf" ->
