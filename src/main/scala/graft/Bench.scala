@@ -50,7 +50,8 @@ object Bench {
     val builds = Seq(
       "ivf" -> timedBuild(graft.operators.DedupQueries.ivfCached(spark, sfDir, nlist = 32)),
       "d6_index" -> timedBuild(graft.operators.PipelineQueries.d6IndexCached(spark, sfDir)),
-      "v6_pairs" -> timedBuild(graft.operators.DedupQueries.nearDupPairsShared(spark, sfDir).count()))
+      "v6_pairs" -> timedBuild(graft.operators.DedupQueries.nearDupPairsShared(spark, sfDir).count()),
+      "d3_pairs" -> timedBuild(graft.operators.DedupQueries.textPairsShared(spark, sfDir).count()))
 
     def esc(s: String): String = s.flatMap {
       case '"'  => "\\\""
