@@ -26,6 +26,26 @@ object MultimodalQueries {
           ascii(substring(col("text"), 1, 1)).cast("int").as("first_code"))
         .orderBy("doc_id")),
 
+    // Content-addressable media dedup: exact duplicate blobs found by a
+    // sha-256 content key over the binary payload — the storage-side twin
+    // of text dedup (re-uploaded media dedupes regardless of filename/id).
+    // Re-uploads are planted in-query with shifted ids (the q_v10
+    // pattern) so both engines derive the same corpus. One hash-key
+    // shuffle of (key, id); payloads never co-locate.
+    "q_m4_media_dedup" -> ((s, dir) => {
+      val base = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      val reuploads = base.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("payload"))
+      base.unionByName(reuploads)
+        .withColumn("content_key", sha2(col("payload"), 256))
+        .groupBy("content_key")
+        .agg(count(lit(1)).as("n_copies"), min("doc_id").as("keeper"))
+        .filter(col("n_copies") > 1)
+        .select("keeper", "n_copies", "content_key")
+        .orderBy("keeper")
+    }),
+
     // Frame sampling for video payloads: n evenly-spaced byte windows per
     // video, checked by length AND content digest — the slicing arithmetic
     // is deterministic byte math, so the oracle reproduces it exactly
@@ -66,6 +86,19 @@ object MultimodalQueries {
         |       CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
         |       CAST(ascii(substr(text, 1, 1)) AS INTEGER) AS first_code
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_m4_media_dedup" ->
+      """WITH all_media AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 7 = 0),
+        |g AS (
+        |  -- sha256 of the VARCHAR hashes its UTF-8 bytes = the payload
+        |  SELECT sha256(text) AS content_key, count(*) AS n_copies,
+        |         min(doc_id) AS keeper
+        |  FROM all_media GROUP BY 1)
+        |SELECT keeper, n_copies, content_key FROM g
+        |WHERE n_copies > 1 ORDER BY keeper""".stripMargin,
 
     // Mirrors Multimodal.sampleFrames byte arithmetic: kind = video when
     // doc_id % 3 = 2; stride = max(1, max(0, len-32) // 3); 4 frames.
