@@ -165,6 +165,32 @@ object TextQueries {
       TextAnalysis.tfIdfTopTerms(docs(s, dir), "doc_id", "text", k = 3)
         .orderBy("doc_id", "rank")),
 
+    // Unicode-normalized dedup: accent/NFD variants of a document collapse
+    // onto one normalized key (strip_accents ∘ nfc_normalize ∘ lower —
+    // custom codegen expressions; Spark has neither builtin). Variants are
+    // planted in-query: every third doc re-enters with vowels swapped for
+    // precomposed accented ones, every seventh with a combining acute
+    // appended after each 'e' (an NFD-style form) — raw text dedup sees
+    // three distinct documents, the normalized key sees one.
+    "q_t14_normalized_dedup" -> ((s, dir) => {
+      graft.plans.GraftExtensions.register(s)
+      val base = docs(s, dir).select(col("doc_id"), col("text"))
+      val accented = base.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 300000L).as("doc_id"),
+          translate(col("text"), "aeiou", "áéíóú").as("text"))
+      val nfd = base.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 600000L).as("doc_id"),
+          regexp_replace(col("text"), "e", "é").as("text"))
+      base.unionByName(accented).unionByName(nfd)
+        .withColumn("norm_key",
+          expr("strip_accents(nfc_normalize(lower(text)))"))
+        .groupBy("norm_key")
+        .agg(count(lit(1)).as("n_copies"), min("doc_id").as("keeper"))
+        .filter(col("n_copies") > 1)
+        .select("keeper", "n_copies")
+        .orderBy("keeper")
+    }),
+
     // Exact dedup by grouping key: keeper = min id, with group size.
     "q_d1_dedup_exact" -> ((s, dir) =>
       docs(s, dir)
@@ -341,6 +367,27 @@ object TextQueries {
         |  FROM m JOIN df USING (term), stats)
         |SELECT doc_id, count(*) AS n_terms, round(sum(c9) / 1e9, 6) AS bm25
         |FROM c GROUP BY 1 ORDER BY bm25 DESC, doc_id""".stripMargin,
+
+    // replays the planting (precomposed accents via translate, an NFD
+    // combining acute via regexp_replace+chr(769)) and the normalization
+    // pipeline with DuckDB's NATIVE nfc_normalize/strip_accents — two
+    // independent Unicode implementations must agree on every key
+    "q_t14_normalized_dedup" -> (
+      "WITH planted AS (\n" +
+      "  SELECT doc_id, text FROM documents\n" +
+      "  UNION ALL\n" +
+      "  SELECT doc_id + 300000, " +
+      "translate(text, 'aeiou', 'áéíóú')\n" +
+      "  FROM documents WHERE doc_id % 3 = 0\n" +
+      "  UNION ALL\n" +
+      "  SELECT doc_id + 600000, " +
+      "regexp_replace(text, 'e', 'e' || chr(769), 'g')\n" +
+      "  FROM documents WHERE doc_id % 7 = 0),\n" +
+      "g AS (\n" +
+      "  SELECT strip_accents(nfc_normalize(lower(text))) AS norm_key,\n" +
+      "         count(*) AS n_copies, min(doc_id) AS keeper\n" +
+      "  FROM planted GROUP BY 1)\n" +
+      "SELECT keeper, n_copies FROM g WHERE n_copies > 1 ORDER BY keeper"),
 
     // replays both rankers (the q_t11 and q_v1 oracles) and the 9-dp RRF
     // arithmetic exactly

@@ -71,6 +71,22 @@ object GraftExtensions {
           s"sorted_long_intersect expects 2 arguments, got ${args.length}")
         SortedLongIntersectCount(args.head, args.last)
       }),
+    (FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[graft.functions.NfcNormalize].getName,
+        "nfc_normalize"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1,
+          s"nfc_normalize expects 1 argument, got ${args.length}")
+        graft.functions.NfcNormalize(args.head)
+      }),
+    (FunctionIdentifier("strip_accents"),
+      new ExpressionInfo(classOf[graft.functions.StripAccents].getName,
+        "strip_accents"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1,
+          s"strip_accents expects 1 argument, got ${args.length}")
+        graft.functions.StripAccents(args.head)
+      }),
     (FunctionIdentifier("sample_ids"),
       new ExpressionInfo(classOf[graft.functions.BoundedHashSampleAgg].getName,
         "sample_ids"),
