@@ -165,7 +165,25 @@ object ScaleBench {
           .hint("shuffle_hash")
         li.join(urgent, li("o_orderkey") === urgent("o_orderkey"))
           .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
-      }))
+      })) :+
+      // bounded sample AGGREGATE vs window-ranked sampler, same selection:
+      // the aggregate's partial keeps <= n candidates per group map-side
+      // (shuffle = groups x n buffers), the window shuffles every row to
+      // rank it. Both legs pre-project to (lang, doc_id) so the comparison
+      // is the mechanism, not the payload width.
+      ("q_sp7_agg_scale" -> ((s: SparkSession, d: String) => {
+        graft.plans.GraftExtensions.register(s)
+        s.read.parquet(s"$d/documents.parquet").select("lang", "doc_id")
+          .groupBy("lang")
+          .agg(expr("sample_ids(md5(concat('graft-shuffle-7:', " +
+            "CAST(doc_id AS STRING))), doc_id, 20)").as("ids"))
+          .select(col("lang"), explode(col("ids")).as("doc_id"))
+      })) :+
+      ("q_sp5_window_scale" -> ((s: SparkSession, d: String) =>
+        operators.Pipeline.groupSample(
+            s.read.parquet(s"$d/documents.parquet").select("lang", "doc_id"),
+            "lang", "doc_id", n = 20, seed = "graft-shuffle-7")
+          .select("lang", "doc_id")))
 
     val listener = new TaskMetricsListener
     spark.sparkContext.addSparkListener(listener)
