@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed graph analytics beyond connected components (which lives in
+  * [[Dedup.connectedComponents]]): fixed-iteration PageRank in EXACT
+  * scaled-integer arithmetic.
+  *
+  * Why integer: float PageRank sums contributions in shuffle arrival
+  * order, so ranks drift between runs, partitionings, and engines — fine
+  * for ranking, fatal for an oracle hash. Ranks here are longs in units
+  * of 1e-9 ("nano-rank"): contributions are `r div outdeg`, damping is
+  * `(17 * x) div 20` (= 0.85) over a `(3 * SCALE) div (20 * N)` base
+  * (= 0.15/N), and long sums are order-independent — every engine that
+  * replays the integer arithmetic gets the same bits. Truncation loses
+  * < outdeg nano-units per edge per iteration: irrelevant to ranking,
+  * priceless for replayability.
+  *
+  * Scale shape per iteration: one shuffle keyed by edge source (join
+  * ranks to edges) and one by destination (contribution sum) — the
+  * standard Pregel round as two hash exchanges; no driver-side state, no
+  * per-node loops. Fixed iteration count keeps the plan static (AQE can
+  * still re-plan each round's exchanges).
+  */
+object Graph {
+
+  val Scale: Long = 1000000000L
+
+  /** `iterations` rounds of damped PageRank over a directed edge list
+    * (columns `src`, `dst`, both long). Every node must appear as a
+    * source at least once (no dangling mass; symmetric edge lists satisfy
+    * this by construction). Returns (node, rank) with rank in nano-units.
+    */
+  def pageRankInt(edges: DataFrame, iterations: Int): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .distinct()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // localCheckpoint: the edge/degree frames feed every iteration; the
+    // node count is a scalar used in literals below
+    val n = nodes.count()
+    val ed = e.join(outdeg, "src").localCheckpoint()
+    val base = (3L * Scale) / (20L * n)
+    var ranks = nodes.withColumn("rank", lit(Scale / n))
+    for (_ <- 1 to iterations) {
+      val contrib = ed.join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"),
+          expr("rank div outdeg").as("c"))
+        .groupBy("node").agg(sum("c").as("contrib"))
+      // left join: a node with no in-edges keeps only the base mass
+      ranks = ranks.select("node")
+        .join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) +
+            expr("(17 * coalesce(contrib, 0L)) div 20")).as("rank"))
+    }
+    ranks
+  }
+}

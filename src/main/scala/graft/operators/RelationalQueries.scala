@@ -713,6 +713,24 @@ object RelationalQueries {
         .orderBy("user_id")
     }),
 
+    // G1 — PageRank (3 damped iterations, exact scaled-integer arithmetic)
+    // over the supplier↔part supply graph: suppliers encoded as 2k, parts
+    // as 2k+1, one symmetric edge per distinct (supplier, part) lineitem
+    // pairing; top-20 hubs. Integer ranks make the iteration bit-stable
+    // under any partitioning — a float PageRank could never hash-match an
+    // external replay.
+    "q_g1_pagerank" -> ((s, dir) => {
+      val pairs = t(s, dir, "lineitem")
+        .select((col("l_suppkey") * 2).as("sup"),
+          (col("l_partkey") * 2 + 1).as("prt"))
+        .distinct()
+      val edges = pairs.select(col("sup").as("src"), col("prt").as("dst"))
+        .union(pairs.select(col("prt").as("src"), col("sup").as("dst")))
+      Graph.pageRankInt(edges, iterations = 3)
+        .orderBy(col("rank").desc, col("node"))
+        .limit(20)
+    }),
+
     // A15 — per-group z-score outliers: events whose value sits more than
     // 3 sigma from its event_type mean. Moments come from the exact
     // decimal-sum idiom (order-independent, replayable); per-group stats
@@ -1152,6 +1170,45 @@ object RelationalQueries {
         |                 WHEN min(view_us) IS NOT NULL THEN 1
         |                 ELSE 0 END AS INTEGER) AS funnel_depth
         |FROM w3 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // unrolled 3-iteration replay of the integer PageRank; // is DuckDB's
+    // floor division = Spark's div on the positive longs used here
+    "q_g1_pagerank" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT l_suppkey * 2 AS s, l_partkey * 2 + 1 AS p
+        |  FROM lineitem),
+        |edges AS (
+        |  SELECT s AS src, p AS dst FROM pairs
+        |  UNION SELECT p, s FROM pairs),
+        |nodes AS (
+        |  SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+        |params AS (
+        |  SELECT count(*) AS n, CAST(1000000000 AS BIGINT) AS scale
+        |  FROM nodes),
+        |r0 AS (SELECT node, scale // n AS rank FROM nodes, params),
+        |c1 AS (SELECT e.dst AS node, sum(r.rank // d.outdeg) AS contrib
+        |       FROM edges e JOIN deg d ON e.src = d.src
+        |       JOIN r0 r ON r.node = e.src GROUP BY 1),
+        |r1 AS (SELECT n.node,
+        |              (3 * p.scale) // (20 * p.n)
+        |                + (17 * coalesce(c.contrib, 0)) // 20 AS rank
+        |       FROM nodes n LEFT JOIN c1 c ON n.node = c.node, params p),
+        |c2 AS (SELECT e.dst AS node, sum(r.rank // d.outdeg) AS contrib
+        |       FROM edges e JOIN deg d ON e.src = d.src
+        |       JOIN r1 r ON r.node = e.src GROUP BY 1),
+        |r2 AS (SELECT n.node,
+        |              (3 * p.scale) // (20 * p.n)
+        |                + (17 * coalesce(c.contrib, 0)) // 20 AS rank
+        |       FROM nodes n LEFT JOIN c2 c ON n.node = c.node, params p),
+        |c3 AS (SELECT e.dst AS node, sum(r.rank // d.outdeg) AS contrib
+        |       FROM edges e JOIN deg d ON e.src = d.src
+        |       JOIN r2 r ON r.node = e.src GROUP BY 1),
+        |r3 AS (SELECT n.node,
+        |              (3 * p.scale) // (20 * p.n)
+        |                + (17 * coalesce(c.contrib, 0)) // 20 AS rank
+        |       FROM nodes n LEFT JOIN c3 c ON n.node = c.node, params p)
+        |SELECT node, rank FROM r3 ORDER BY rank DESC, node LIMIT 20""".stripMargin,
 
     "q_a15_outliers" ->
       """WITH st AS (
