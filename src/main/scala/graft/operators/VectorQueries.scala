@@ -120,7 +120,20 @@ object VectorQueries {
         e.filter(col("vec_id") =!= 0),
         quantCached(s, dir).filter(col("vec_id") =!= 0),
         "vec_id", "embedding", queryVec, k = 10)
-    })
+    }),
+
+    // Topic clustering: 2 rounds of integer-exact Lloyd's k-means (k = 8,
+    // seeds = 8 smallest ids), summarized per cluster. Every number is a
+    // long (sizes, min ids, exact integer inertia), so the hash pins the
+    // full assignment — one flipped vector changes n_members AND inertia.
+    "q_v13_kmeans_topics" -> ((s, dir) =>
+      Clustering.kmeansInt(emb(s, dir), "vec_id", "embedding",
+          k = 8, iterations = 2)
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_members"),
+          min("vec_id").as("first_member"),
+          sum("dist").as("inertia"))
+        .orderBy("cluster_id"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -204,6 +217,46 @@ object VectorQueries {
         |            * sqrt(list_sum(list_transform(q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
         |         6) AS cosine
         |FROM embeddings, q WHERE vec_id <> 0
-        |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
+        |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+
+    // Replays the integer k-means bit-for-bit: quantize once to longs
+    // (round((x+1)*1e6) — nonnegative domain, so `//` == Spark's
+    // truncating `div`), three assignment passes (argmin = ORDER BY d,
+    // cid — the Spark side's array_min over (d, cid) structs), two
+    // integer-mean recomputes between them.
+    "q_v13_kmeans_topics" -> {
+      def assign(dn: String, an: String, cn: String): String =
+        s"""$dn AS (SELECT a.vec_id, a.q, c.cid,
+           |              CAST(list_sum(list_transform(generate_series(1, len(a.q)),
+           |                i -> (a.q[i] - c.q[i]) * (a.q[i] - c.q[i]))) AS BIGINT) AS d
+           |       FROM quant a CROSS JOIN $cn c),
+           |$an AS (SELECT vec_id, q, cid, d FROM
+           |        (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM $dn)
+           |       WHERE rn = 1)""".stripMargin
+      def recompute(cn: String, an: String): String =
+        s"""$cn AS (SELECT cid, list(m ORDER BY dim) AS q FROM
+           |        (SELECT cid, dim, CAST(sum(v) // count(*) AS BIGINT) AS m
+           |         FROM (SELECT cid,
+           |                      unnest(generate_series(1, len(q))) AS dim,
+           |                      unnest(q) AS v
+           |               FROM $an)
+           |         GROUP BY cid, dim)
+           |       GROUP BY cid)""".stripMargin
+      s"""WITH quant AS (
+         |  SELECT vec_id,
+         |         list_transform(embedding,
+         |           x -> CAST(round((CAST(x AS DOUBLE) + 1.0) * 1000000) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |c0 AS (SELECT vec_id AS cid, q FROM quant ORDER BY vec_id LIMIT 8),
+         |${assign("d0", "a0", "c0")},
+         |${recompute("c1", "a0")},
+         |${assign("d1", "a1", "c1")},
+         |${recompute("c2", "a1")},
+         |${assign("d2", "a2", "c2")}
+         |SELECT cid AS cluster_id, count(*) AS n_members,
+         |       min(vec_id) AS first_member,
+         |       CAST(sum(d) AS BIGINT) AS inertia
+         |FROM a2 GROUP BY 1 ORDER BY 1""".stripMargin
+    }
   )
 }
