@@ -315,4 +315,57 @@ object TextAnalysis {
       .filter(col("rank") <= k)
       .select(col(idCol), col("rank"), col("term"), col("tf"), col("score"))
   }
+
+  /** Token-distribution drift of each corpus slice against a base slice:
+    * KL(P_slice ‖ P_base) with add-one smoothing over the WHOLE corpus
+    * vocabulary (so zero-count terms still contribute their smoothed
+    * mass). The monitoring primitive behind "did this crawl snapshot /
+    * source mix shift against the reference distribution" — the per-slice
+    * number is comparable across snapshots because the smoothing and
+    * vocabulary are pinned to the corpus itself.
+    *
+    * Determinism: each term's contribution `p·ln(p/q)` is rounded to 9 dp
+    * and ACCUMULATED IN DECIMAL — decimal addition is exact, so the sum is
+    * independent of shuffle arrival order and replayable by any engine
+    * (the RRF/TF-IDF rounding idiom; a double sum over a vocab-sized term
+    * list would drift in the last ulps and break the oracle hash).
+    *
+    * Scale shape: one (slice, term) count shuffle over the token stream —
+    * everything downstream works on vocabulary-sized frames (slices ×
+    * vocab grid, map-side-combined back to one row per slice). The corpus
+    * is touched exactly once; only `V` (one long) reaches the driver.
+    */
+  def domainDrift(docs: DataFrame, textCol: String, sliceCol: String,
+                  baseValue: String): DataFrame = {
+    val counts = docs
+      .select(col(sliceCol).as("slice"), explode(expr(w(textCol))).as("term"))
+      .groupBy("slice", "term").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // feeds vocab, totals, base, and the grid
+    val vocab = counts.select("term").distinct()
+    val vocabSize = vocab.count()
+    val totals = counts.groupBy("slice")
+      .agg(sum("c").as("tot"), count(lit(1)).as("n_terms"))
+    val base = counts.filter(col("slice") === baseValue)
+      .select(col("term"), col("c").as("c_b"))
+    val baseTot = totals.filter(col("slice") === baseValue)
+      .select(col("tot").as("tot_b"))
+    val grid = counts.select("slice").distinct()
+      .filter(col("slice") =!= baseValue)
+      .crossJoin(vocab)
+      .join(counts, Seq("slice", "term"), "left")
+      .join(base, Seq("term"), "left")
+      .join(broadcast(totals), "slice")
+      .crossJoin(broadcast(baseTot))
+    val p = (coalesce(col("c"), lit(0L)) + 1).cast("double") /
+      (col("tot") + vocabSize)
+    val q = (coalesce(col("c_b"), lit(0L)) + 1).cast("double") /
+      (col("tot_b") + vocabSize)
+    grid
+      .withColumn("kl_term", round(p * log(p / q), 9))
+      .groupBy("slice", "tot", "n_terms")
+      .agg(round(sum(col("kl_term").cast("decimal(28,9)")).cast("double"), 6)
+        .as("kl_vs_base"))
+      .select(col("slice"), col("tot").as("n_tokens"),
+        col("n_terms").as("n_terms_seen"), col("kl_vs_base"))
+  }
 }

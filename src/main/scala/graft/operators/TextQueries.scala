@@ -206,7 +206,15 @@ object TextQueries {
         .groupBy("norm")
         .agg(min("doc_id").as("keeper_doc_id"), count(lit(1)).as("n_copies"))
         .select("keeper_doc_id", "n_copies")
-        .orderBy("keeper_doc_id"))
+        .orderBy("keeper_doc_id")),
+
+    // Corpus-mix monitoring: smoothed KL divergence of every language
+    // slice's token distribution against the English slice. The number a
+    // curation pipeline watches across crawl snapshots for drift.
+    "q_t15_domain_drift" -> ((s, dir) =>
+      TextAnalysis.domainDrift(docs(s, dir), "text", "lang", "en")
+        .withColumnRenamed("slice", "lang")
+        .orderBy("lang"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -471,6 +479,42 @@ object TextQueries {
         |FROM (SELECT doc_id,
         |             regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
         |      FROM documents)
-        |GROUP BY norm ORDER BY keeper_doc_id""".stripMargin
+        |GROUP BY norm ORDER BY keeper_doc_id""".stripMargin,
+
+    // Replays the smoothed-KL arithmetic term by term: identical p/q
+    // expression trees (integer add, one double division), ln in DOUBLE,
+    // 9-dp rounding per term, DECIMAL accumulation — the same
+    // order-independence contract as the Spark side.
+    "q_t15_domain_drift" ->
+      """WITH counts AS (
+        |  SELECT slice, term, count(*) AS c FROM (
+        |    SELECT lang AS slice,
+        |           unnest(list_filter(string_split(text, ' '), x -> x != '')) AS term
+        |    FROM documents)
+        |  GROUP BY 1, 2),
+        |vocab AS (SELECT DISTINCT term FROM counts),
+        |v AS (SELECT count(*) AS v FROM vocab),
+        |totals AS (SELECT slice, CAST(sum(c) AS BIGINT) AS tot,
+        |                  count(*) AS n_terms
+        |           FROM counts GROUP BY 1),
+        |base AS (SELECT term, c AS c_b FROM counts WHERE slice = 'en'),
+        |base_tot AS (SELECT tot AS tot_b FROM totals WHERE slice = 'en'),
+        |terms AS (
+        |  SELECT g.slice, t.tot, t.n_terms,
+        |         round((CAST(coalesce(c.c, 0) + 1 AS DOUBLE) / (t.tot + v.v))
+        |               * ln((CAST(coalesce(c.c, 0) + 1 AS DOUBLE) / (t.tot + v.v))
+        |                    / (CAST(coalesce(b.c_b, 0) + 1 AS DOUBLE) / (bt.tot_b + v.v))),
+        |               9) AS kl_term
+        |  FROM (SELECT s.slice, vo.term
+        |        FROM (SELECT DISTINCT slice FROM counts WHERE slice <> 'en') s
+        |        CROSS JOIN vocab vo) g
+        |  LEFT JOIN counts c ON c.slice = g.slice AND c.term = g.term
+        |  LEFT JOIN base b ON b.term = g.term
+        |  JOIN totals t ON t.slice = g.slice
+        |  CROSS JOIN v CROSS JOIN base_tot bt)
+        |SELECT slice AS lang, tot AS n_tokens, n_terms AS n_terms_seen,
+        |       round(CAST(sum(CAST(kl_term AS DECIMAL(28,9))) AS DOUBLE), 6) AS kl_vs_base
+        |FROM terms
+        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin
   )
 }

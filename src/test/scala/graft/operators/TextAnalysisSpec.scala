@@ -121,4 +121,31 @@ class TextAnalysisSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(got.toSeq == Seq((10L, 1L), (12L, 1L)), got.mkString(", "))
   }
+
+  test("domainDrift: zero for an identical distribution, hand-checked KL otherwise") {
+    val corpus = Seq(
+      ("en", "a a b"),  // base: P(a)=2/3, P(b)=1/3
+      ("de", "a a b"),  // identical distribution -> KL = 0
+      ("fr", "a b b")   // flipped -> hand-computed KL below
+    ).toDF("lang", "text")
+    val out = TextAnalysis.domainDrift(corpus, "text", "lang", "en")
+      .orderBy("slice")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // V = 2, smoothing +1: de = en exactly -> 0.0
+    assert(out(0) == (("de", 3L, 2L, 0.0)))
+    // fr: p_a=2/5 q_a=3/5, p_b=3/5 q_b=2/5
+    // KL = 0.4*ln(2/3) + 0.6*ln(3/2) = 0.2*ln(1.5) = 0.081093 at 6 dp
+    assert(out(1)._1 == "fr" && math.abs(out(1)._4 - 0.081093) < 1e-6)
+  }
+
+  test("domainDrift is nonnegative and repartition-invariant on real docs") {
+    val docs = spark.read.parquet(s"${sfDir("0.001")}/documents.parquet")
+    val a = TextAnalysis.domainDrift(docs, "text", "lang", "en")
+      .orderBy("slice").collect().toSeq
+    val b = TextAnalysis.domainDrift(docs.repartition(5), "text", "lang", "en")
+      .orderBy("slice").collect().toSeq
+    assert(a == b)
+    // KL >= 0 up to the 9-dp per-term rounding
+    assert(a.forall(_.getDouble(3) >= -1e-6))
+  }
 }
