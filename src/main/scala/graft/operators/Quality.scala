@@ -103,4 +103,29 @@ object Quality {
     val aggs = rules.map(r => sum(when(r.violated, 1L).otherwise(0L)).as(r.name))
     (df.observe(obs, aggs.head, aggs.tail: _*), obs)
   }
+
+  /** k-anonymity suppression over a quasi-identifier: rows whose
+    * quasi-identifier combination occurs fewer than `k` times get every
+    * quasi column replaced by `marker`, so no released group identifies
+    * fewer than k rows — the privacy gate a curation pipeline runs before
+    * sharing per-source/per-cohort statistics. Non-quasi columns pass
+    * through untouched.
+    *
+    * Scale shape: one window count partitioned by the quasi columns — a
+    * single hash exchange on the quasi key, no self-join, no driver state.
+    * (A groupBy+broadcast-join variant only wins when the quasi key space
+    * is small; the window form is skew-safe under AQE and one less scan.)
+    */
+  def kAnonymize(df: DataFrame, quasiCols: Seq[String], k: Int,
+                 marker: String = "__SUPPRESSED__"): DataFrame = {
+    require(quasiCols.nonEmpty && k >= 1, "need quasi columns and k >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(quasiCols.map(col): _*)
+    val suppressed = count(lit(1)).over(w) < k
+    df.select(df.columns.toSeq.map { c =>
+      if (quasiCols.contains(c))
+        when(suppressed, lit(marker)).otherwise(col(c).cast("string")).as(c)
+      else col(c)
+    }: _*)
+  }
 }

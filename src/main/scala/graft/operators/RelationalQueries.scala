@@ -683,6 +683,16 @@ object RelationalQueries {
         Quality.RefIntegrity("l_orderkey", t(s, dir, "orders"), "o_orderkey")))
     }),
 
+    // Q2 — k-anonymity release gate: (lang, source) combos identifying
+    // fewer than 12 documents are suppressed before the per-group stats
+    // are shared (graft.operators.Quality.kAnonymize — one window count
+    // on the quasi key). Suppressed rows collapse into one marker group.
+    "q_q2_k_anonymity" -> ((s, dir) =>
+      Quality.kAnonymize(t(s, dir, "documents"), Seq("lang", "source"), k = 12)
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
+        .orderBy("lang", "source")),
+
     // E4 — ordered funnel: per user, the earliest view, the earliest click
     // AT-OR-AFTER that view, and the earliest purchase at-or-after that
     // click; funnel depth = how far the user got. Three chained
@@ -1261,6 +1271,17 @@ object RelationalQueries {
         |           SELECT count(*) AS c FROM lineitem
         |           GROUP BY l_orderkey, l_linenumber
         |           HAVING count(*) > 1)), 0) AS BIGINT)
-        |) ORDER BY rule""".stripMargin
+        |) ORDER BY rule""".stripMargin,
+
+    "q_q2_k_anonymity" ->
+      """WITH anon AS (
+        |  SELECT CASE WHEN cnt < 12 THEN '__SUPPRESSED__' ELSE lang END AS lang,
+        |         CASE WHEN cnt < 12 THEN '__SUPPRESSED__' ELSE source END AS source,
+        |         doc_id
+        |  FROM (SELECT lang, source, doc_id,
+        |               count(*) OVER (PARTITION BY lang, source) AS cnt
+        |        FROM documents))
+        |SELECT lang, source, count(*) AS n_docs, min(doc_id) AS first_doc
+        |FROM anon GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

@@ -87,4 +87,26 @@ class QualitySpec extends SparkTestBase {
     val standalone = results(rules)
     rules.foreach(r => assert(metrics(r.name) == standalone(r.name)))
   }
+
+  test("kAnonymize suppresses quasi groups below k and only those") {
+    import spark.implicits._
+    val people = Seq(
+      // (zip, age_band) quasi; value passes through
+      ("94110", "30-40", 1L), ("94110", "30-40", 2L), ("94110", "30-40", 3L),
+      ("94110", "20-30", 4L),                      // singleton -> suppressed
+      ("10001", "30-40", 5L), ("10001", "30-40", 6L)) // pair, k=3 -> suppressed
+      .toDF("zip", "age_band", "id")
+    val out = Quality.kAnonymize(people, Seq("zip", "age_band"), k = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(out == Set(
+      ("94110", "30-40", 1L), ("94110", "30-40", 2L), ("94110", "30-40", 3L),
+      ("__SUPPRESSED__", "__SUPPRESSED__", 4L),
+      ("__SUPPRESSED__", "__SUPPRESSED__", 5L),
+      ("__SUPPRESSED__", "__SUPPRESSED__", 6L)))
+    // every released group has >= k members by construction
+    val released = Quality.kAnonymize(people, Seq("zip", "age_band"), k = 3)
+      .filter(col("zip") =!= "__SUPPRESSED__")
+      .groupBy("zip", "age_band").count().collect()
+    assert(released.forall(_.getLong(2) >= 3))
+  }
 }
