@@ -164,6 +164,28 @@ object Pipeline {
     * to behave identically under RE2-family engines so the scrub is
     * portable (and oracle-checkable).
     */
+  /** Diff two corpus snapshots by content fingerprint: full-outer join on
+    * the id with a row-local status — the "what changed between crawl
+    * snapshots" primitive behind incremental training-data refreshes
+    * (reprocess `added`+`changed`, retire `removed`, skip `unchanged`).
+    *
+    * Scale shape: ONE id-keyed shuffle (the full-outer join); status is a
+    * row-local case expression. Fingerprints travel instead of documents,
+    * so the exchange carries two hash columns per id no matter how large
+    * the payloads are. On bucketed snapshot tables the exchange vanishes
+    * entirely (storage-partitioned join, see LakeLayout).
+    */
+  def snapshotDiff(prev: DataFrame, cur: DataFrame, idCol: String,
+                   fpCol: String): DataFrame =
+    prev.select(col(idCol), col(fpCol).as("fp_prev"))
+      .join(cur.select(col(idCol), col(fpCol).as("fp_cur")),
+        Seq(idCol), "full_outer")
+      .withColumn("status",
+        when(col("fp_prev").isNull, "added")
+          .when(col("fp_cur").isNull, "removed")
+          .when(col("fp_prev") =!= col("fp_cur"), "changed")
+          .otherwise("unchanged"))
+
   def redact(textCol: Column): Column =
     regexp_replace(regexp_replace(textCol, EmailRe, "<EMAIL>"),
       NumberRe, "<NUM>")

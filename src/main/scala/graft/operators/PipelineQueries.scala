@@ -240,6 +240,29 @@ object PipelineQueries {
           (sum((col("o_totalprice").cast("decimal(18,2)") * 100)
             .cast("long")) / 100.0).as("revenue"))
         .orderBy("o_year")
+    }),
+
+    // L4 — snapshot diff: what changed between two corpus snapshots, by
+    // content fingerprint (Pipeline.snapshotDiff — one id-keyed full-outer
+    // join carrying hashes, not documents). The "current" snapshot derives
+    // deterministically from the source: every 17th doc dropped, every
+    // 13th edited, every 29th re-added under a shifted id — so DuckDB can
+    // replay the exact change set.
+    "q_l4_snapshot_diff" -> ((s, dir) => {
+      val prev = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), md5(col("text")).as("fp"))
+      val src = s.read.parquet(s"$dir/documents.parquet")
+      val cur = src.filter(col("doc_id") % 17 =!= 3)
+        .select(col("doc_id"),
+          md5(when(col("doc_id") % 13 === 1, concat(col("text"), lit(" v2")))
+            .otherwise(col("text"))).as("fp"))
+        .unionByName(src.filter(col("doc_id") % 29 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            md5(col("text")).as("fp")))
+      Pipeline.snapshotDiff(prev, cur, "doc_id", "fp")
+        .groupBy("status")
+        .agg(count(lit(1)).as("n"), min("doc_id").as("first_doc"))
+        .orderBy("status")
     })
   )
 
@@ -452,7 +475,27 @@ object PipelineQueries {
 
       // the indexed path must produce EXACTLY the brute-force pair set —
       // one oracle serves both the direct and the index-backed join
-      "q_d7_ngram_jaccard_indexed" -> ngramJaccardOracle
+      "q_d7_ngram_jaccard_indexed" -> ngramJaccardOracle,
+
+      "q_l4_snapshot_diff" ->
+        """WITH prev AS (SELECT doc_id, md5(text) AS fp FROM documents),
+          |cur AS (
+          |  SELECT doc_id,
+          |         md5(CASE WHEN doc_id % 13 = 1 THEN text || ' v2'
+          |                  ELSE text END) AS fp
+          |  FROM documents WHERE doc_id % 17 <> 3
+          |  UNION ALL
+          |  SELECT doc_id + 1000000, md5(text)
+          |  FROM documents WHERE doc_id % 29 = 0),
+          |d AS (
+          |  SELECT coalesce(p.doc_id, c.doc_id) AS doc_id,
+          |         CASE WHEN p.fp IS NULL THEN 'added'
+          |              WHEN c.fp IS NULL THEN 'removed'
+          |              WHEN p.fp <> c.fp THEN 'changed'
+          |              ELSE 'unchanged' END AS status
+          |  FROM prev p FULL OUTER JOIN cur c ON p.doc_id = c.doc_id)
+          |SELECT status, count(*) AS n, min(doc_id) AS first_doc
+          |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
     )
   }
 

@@ -146,4 +146,19 @@ class PipelineSpec extends SparkTestBase {
       .select("id").as[Long].collect().toSet
     assert(mx == gs)
   }
+
+  test("snapshotDiff classifies added / removed / changed / unchanged exactly") {
+    import spark.implicits._
+    val prev = Seq((1L, "h1"), (2L, "h2"), (3L, "h3")).toDF("id", "fp")
+    val cur = Seq((2L, "h2"), (3L, "h3x"), (4L, "h4")).toDF("id", "fp")
+    val got = Pipeline.snapshotDiff(prev, cur, "id", "fp")
+      .select("id", "status")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "removed"), (2L, "unchanged"),
+      (3L, "changed"), (4L, "added")))
+    // diff of a snapshot against itself is all-unchanged
+    val same = Pipeline.snapshotDiff(prev, prev, "id", "fp")
+      .filter(col("status") =!= "unchanged").count()
+    assert(same == 0)
+  }
 }
