@@ -116,6 +116,36 @@ object Quality {
     * (A groupBy+broadcast-join variant only wins when the quasi key space
     * is small; the window form is skew-safe under AQE and one less scan.)
     */
+  /** Differentially-private count release: per-group counts plus Laplace
+    * noise at scale 1/ε (sensitivity 1 for counting queries), with the
+    * noise drawn from a SEEDED hash instead of an RNG — the shape
+    * distributed DP releases actually use, because a resumable/retried job
+    * must add the SAME noise to the same group or the privacy accounting
+    * breaks (each retry would be a fresh release). u ∈ [0,1) comes from a
+    * 60-bit md5 prefix of (seed, group key); the inverse-CDF transform
+    * `-b·sign(u-½)·ln(1-2|u-½|)` is plain IEEE double math, so any engine
+    * replays the release bit-for-bit. One hash-agg shuffle; noise is
+    * row-local on the groups frame.
+    *
+    * This protects the RELEASE; pick ε per your privacy budget and never
+    * release the raw counts alongside (this method doesn't).
+    */
+  def dpNoisyCounts(df: DataFrame, groupCols: Seq[String], epsilon: Double,
+                    seed: String): DataFrame = {
+    require(groupCols.nonEmpty && epsilon > 0, "need group cols and ε > 0")
+    val keySql = (s"'$seed'" +: groupCols.map(c => s"CAST($c AS STRING)"))
+      .mkString("concat_ws('|', ", ", ", ")")
+    val b = 1.0 / epsilon
+    // u in [0,1): 60-bit prefix / 2^60 — same literal in the oracle
+    val u = s"CAST(${TextAnalysis.md5Hash60(keySql)} AS DOUBLE) / 1152921504606846976.0D"
+    val noise =
+      s"round(-${b}D * sign($u - 0.5D) * ln(1.0D - 2.0D * abs($u - 0.5D)), 6)"
+    df.groupBy(groupCols.map(col): _*).agg(count(lit(1)).as("n"))
+      .withColumn("noisy_n",
+        expr(s"round(CAST(n AS DOUBLE) + $noise, 4)"))
+      .drop("n")
+  }
+
   def kAnonymize(df: DataFrame, quasiCols: Seq[String], k: Int,
                  marker: String = "__SUPPRESSED__"): DataFrame = {
     require(quasiCols.nonEmpty && k >= 1, "need quasi columns and k >= 1")

@@ -693,6 +693,15 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
         .orderBy("lang", "source")),
 
+    // Q3 — DP count release: per-(lang, source) document counts with
+    // seeded-hash Laplace noise at ε = 1 (Quality.dpNoisyCounts). The
+    // noise is part of the contract — the oracle replays the release,
+    // so a wrong noise draw fails the hash just like a wrong count.
+    "q_q3_dp_counts" -> ((s, dir) =>
+      Quality.dpNoisyCounts(t(s, dir, "documents"), Seq("lang", "source"),
+          epsilon = 1.0, seed = "graft-dp-1")
+        .orderBy("lang", "source")),
+
     // E4 — ordered funnel: per user, the earliest view, the earliest click
     // AT-OR-AFTER that view, and the earliest purchase at-or-after that
     // click; funnel depth = how far the user got. Three chained
@@ -1282,6 +1291,24 @@ object RelationalQueries {
         |               count(*) OVER (PARTITION BY lang, source) AS cnt
         |        FROM documents))
         |SELECT lang, source, count(*) AS n_docs, min(doc_id) AS first_doc
-        |FROM anon GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM anon GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // replays the seeded Laplace mechanism: same 60-bit md5 uniform, same
+    // inverse-CDF expression tree, same 6-dp/4-dp rounding
+    "q_q3_dp_counts" ->
+      """WITH g AS (
+        |  SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2),
+        |w AS (
+        |  SELECT lang, source, n,
+        |         CAST(('0x' || substr(md5(
+        |           concat_ws('|', 'graft-dp-1', CAST(lang AS VARCHAR),
+        |                     CAST(source AS VARCHAR))), 1, 15))::BIGINT AS DOUBLE)
+        |           / 1152921504606846976.0 AS u
+        |  FROM g)
+        |SELECT lang, source,
+        |       round(CAST(n AS DOUBLE)
+        |             + round(-1.0 * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)), 6),
+        |             4) AS noisy_n
+        |FROM w ORDER BY 1, 2""".stripMargin
   )
 }

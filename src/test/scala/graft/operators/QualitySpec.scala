@@ -109,4 +109,27 @@ class QualitySpec extends SparkTestBase {
       .groupBy("zip", "age_band").count().collect()
     assert(released.forall(_.getLong(2) >= 3))
   }
+
+  test("dpNoisyCounts: seeded noise is deterministic, seed-sensitive, and bounded") {
+    val docs = spark.read.parquet(s"${sfDir("0.001")}/documents.parquet")
+    def release(seed: String) =
+      Quality.dpNoisyCounts(docs, Seq("lang"), epsilon = 1.0, seed = seed)
+        .orderBy("lang")
+        .collect().map(r => r.getString(0) -> r.getDouble(1))
+    val a = release("graft-dp-test")
+    // same seed -> bit-identical release (retries add the SAME noise)
+    assert(a.toSeq == release("graft-dp-test").toSeq)
+    // a different seed draws different noise on at least one group
+    assert(a.toSeq != release("graft-dp-other").toSeq)
+    // raw counts are not in the output schema
+    val cols = Quality.dpNoisyCounts(docs, Seq("lang"), 1.0, "s").columns.toSeq
+    assert(cols == Seq("lang", "noisy_n"))
+    // Laplace(b=1) noise beyond |30| has probability e^-30 — a draw there
+    // means the mechanism is broken, not unlucky
+    val exact = docs.groupBy("lang").count().orderBy("lang")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a.forall { case (lang, noisy) => math.abs(noisy - exact(lang)) < 30.0 })
+    // and noise is actually applied (some group is off the integer count)
+    assert(a.exists { case (lang, noisy) => noisy != exact(lang).toDouble })
+  }
 }
