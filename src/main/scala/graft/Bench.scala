@@ -34,6 +34,16 @@ object Bench {
       .join(broadcast(wl.select("l_orderkey").limit(10)), "l_orderkey")
       .count()
     wl.select(sum((col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long"))).count()
+    // the custom bloom aggregate + probe expressions JIT on first use
+    // (measured: a 12.7s -> 0.9s rep decay on q_j8 before this line)
+    graft.plans.GraftExtensions.register(spark)
+    val wbf = wl.limit(4096)
+      .select(org.apache.spark.sql.functions.expr(
+        "bloom_agg(xxhash64(l_orderkey), 4096L, 65536L)").as("bf"))
+      .head().getAs[Array[Byte]](0)
+    wl.limit(4096).filter(org.apache.spark.sql.functions.call_function(
+      "bloom_might_contain", org.apache.spark.sql.functions.lit(wbf),
+      org.apache.spark.sql.functions.xxhash64(col("l_orderkey")))).count()
     Option(new java.io.File(sfDir).listFiles()).getOrElse(Array.empty)
       .filter(_.getName.endsWith(".parquet"))
       .foreach(f => spark.read.parquet(f.getPath).limit(1).count())
@@ -74,7 +84,9 @@ object Bench {
       "q_a4_daily_revenue", "q_w1_topk_per_group", "q_q1_quality_audit",
       "q_t1_token_stats", "q_m2_media_similarity",
       "q_j8_bloom_prune", "q_t12_tfidf", "q_e4_funnel", "q_sp7_sample_agg",
-      "q_l3_agg_maintain", "q_a15_outliers")
+      "q_l3_agg_maintain", "q_a15_outliers",
+      "q_v13_kmeans_topics", "q_t15_domain_drift",
+      "q_l4_snapshot_diff", "q_q3_dp_counts")
 
     // Headline queries run 3 reps and report the MEDIAN: the single-shot
     // noise floor on this box is ±2x (calibrated rounds 5-6), which made
