@@ -133,7 +133,34 @@ object VectorQueries {
         .agg(count(lit(1)).as("n_members"),
           min("vec_id").as("first_member"),
           sum("dist").as("inertia"))
-        .orderBy("cluster_id"))
+        .orderBy("cluster_id")),
+
+    // Retrieval evaluation: score a dimension-truncated (first 16 of 64
+    // dims) approximate ranking against the full-precision cosine top-10,
+    // per query — recall@10 / MRR / nDCG@10 (RankingEval). The harness a
+    // pipeline runs before trusting any cheap scoring path; both rankings
+    // rank on 6-dp-rounded scores with id tiebreaks (the RRF idiom).
+    "q_v14_ranking_eval" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = emb(s, dir)
+      val qs = broadcast(e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("q_emb")))
+      val corpus = e.filter(col("vec_id") >= 5)
+      val wq = Window.partitionBy("qid")
+        .orderBy(col("score").desc, col("vec_id"))
+      val qrels = corpus.crossJoin(qs)
+        .selectExpr("qid", "vec_id",
+          s"round(${dotExpr("embedding", "q_emb")} / (${normExpr("embedding")} * ${normExpr("q_emb")}), 6) AS score")
+        .withColumn("r", row_number().over(wq))
+        .filter(col("r") <= 10)
+        .select("qid", "vec_id")
+      val run = corpus.crossJoin(qs)
+        .selectExpr("qid", "vec_id",
+          s"round(${dotExpr("slice(embedding, 1, 16)", "slice(q_emb, 1, 16)")}, 6) AS score")
+        .withColumn("r", row_number().over(wq))
+      RankingEval.evalRun(run, qrels, "qid", "vec_id", "r", k = 10)
+        .orderBy("qid")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -257,6 +284,55 @@ object VectorQueries {
          |       min(vec_id) AS first_member,
          |       CAST(sum(d) AS BIGINT) AS inertia
          |FROM a2 GROUP BY 1 ORDER BY 1""".stripMargin
-    }
+    },
+
+    // Replays both rankings (full cosine, truncated 16-dim dot — the v1
+    // arithmetic idiom) and the metric arithmetic: 9-dp-rounded
+    // 1/log2(rank+1) gains in DECIMAL, ordered ideal-DCG fold, 6-dp
+    // metric rounding.
+    "q_v14_ranking_eval" ->
+      """WITH qs AS (
+        |  SELECT vec_id AS qid, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
+        |corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5),
+        |qrels AS (
+        |  SELECT qid, vec_id FROM (
+        |    SELECT qid, vec_id,
+        |           row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS r
+        |    FROM (SELECT q.qid, c.vec_id,
+        |                 round(list_sum(list_transform(generate_series(1, len(c.embedding)),
+        |                         i -> CAST(c.embedding[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE)))
+        |                   / (sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |                      * sqrt(list_sum(list_transform(q.q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+        |                   6) AS score
+        |          FROM corpus c CROSS JOIN qs q))
+        |  WHERE r <= 10),
+        |run AS (
+        |  SELECT qid, vec_id,
+        |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS r
+        |  FROM (SELECT q.qid, c.vec_id,
+        |               round(list_sum(list_transform(generate_series(1, 16),
+        |                       i -> CAST(c.embedding[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE))),
+        |                 6) AS score
+        |        FROM corpus c CROSS JOIN qs q)),
+        |hits AS (
+        |  SELECT r.qid, count(*) AS n_hits, min(r.r) AS first_hit,
+        |         sum(CAST(round(CAST(1.0 AS DOUBLE) / log2(r.r + 1), 9) AS DECIMAL(28,9))) AS dcg
+        |  FROM run r JOIN qrels USING (qid, vec_id)
+        |  WHERE r.r <= 10 GROUP BY 1),
+        |nrel AS (SELECT qid, count(*) AS n_rel FROM qrels GROUP BY 1),
+        |idcg AS (
+        |  SELECT m.m, CAST(sum(CAST(round(CAST(1.0 AS DOUBLE) / log2(i.i + 1), 9)
+        |                            AS DECIMAL(28,9))) AS DOUBLE) AS v
+        |  FROM generate_series(1, 10) AS m(m)
+        |  JOIN generate_series(1, 10) AS i(i) ON i.i <= m.m
+        |  GROUP BY 1)
+        |SELECT n.qid,
+        |       round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / least(n.n_rel, 10), 6) AS recall_10,
+        |       round(CASE WHEN h.first_hit IS NULL THEN 0.0
+        |                  ELSE CAST(1.0 AS DOUBLE) / h.first_hit END, 6) AS mrr,
+        |       round(coalesce(CAST(h.dcg AS DOUBLE), 0.0) / idcg.v, 6) AS ndcg_10
+        |FROM nrel n LEFT JOIN hits h USING (qid)
+        |JOIN idcg ON idcg.m = least(n.n_rel, 10)
+        |ORDER BY n.qid""".stripMargin
   )
 }
