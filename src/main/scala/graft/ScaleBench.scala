@@ -111,7 +111,11 @@ object ScaleBench {
       "q_h10_returned_items", "q_h18_big_orders",
       "q_d3_minhash_neardup",
       "q_v1_knn_cosine", "q_v5_ann_lsh", "q_v7_ann_ivf",
-      "q_a4_daily_revenue", "q_w1_topk_per_group"
+      "q_a4_daily_revenue", "q_w1_topk_per_group",
+      // round-7 additions: iterative graph (Pregel-shaped exchanges),
+      // broadcast-literal k-means, vocabulary-sized drift, id-keyed diff
+      "q_g1_pagerank", "q_v13_kmeans_topics",
+      "q_t15_domain_drift", "q_l4_snapshot_diff"
     ).map(n => n -> SparkEntry.queries(n)) :+
       ("q_v6_neardup_scale" -> ((s: SparkSession, d: String) =>
         operators.SimilaritySearch.embeddingNearDupPairs(
