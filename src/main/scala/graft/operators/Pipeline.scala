@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-preparation operators a large-scale training-data pipeline needs
@@ -164,6 +165,82 @@ object Pipeline {
     * to behave identically under RE2-family engines so the scrub is
     * portable (and oracle-checkable).
     */
+  /** Deterministic negative sampling for contrastive training pairs: each
+    * anchor draws `k` pseudo-random negatives from a seeded md5 HASH RING
+    * — negative j of anchor a is the corpus row whose ring key is the
+    * first at-or-after md5(seed, a, j), wrapping past the end. No RNG: a
+    * resumed/retried job regenerates the SAME pairs (the [[hashSplit]] /
+    * dpNoisyCounts discipline), and any engine can replay the draw.
+    *
+    * Scale shape: the ring is GLOBAL but executed bucket-locally — ring
+    * keys and probe targets share their 2-hex-char prefix bucket, so the
+    * successor scan is a per-bucket merge (one shuffle of n + n·k rows on
+    * the bucket, O(1) window state). Probes that fall past their bucket's
+    * last node (or into an empty bucket) wrap via a successor table of
+    * one leader per nonempty bucket — ≤256 rows, built once and joined
+    * broadcast; together the two paths implement exactly "first ring key
+    * >= target, else ring start" because the bucket is a PREFIX of the
+    * key (bucket order refines key order).
+    *
+    * Self-pairs (an anchor drawing itself — probability ~1/n per draw)
+    * are filtered; callers needing exactly k negatives re-probe with a
+    * different seed for the rare short anchor.
+    */
+  def negativeSample(df: DataFrame, idCol: String, k: Int,
+                     seed: String): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val ring = df.select(col(idCol).as("_rid"),
+        md5(concat_ws(":", lit("ring"), lit(seed), col(idCol).cast("string")))
+          .as("_rkey"))
+      .withColumn("_bucket", substring(col("_rkey"), 1, 2))
+    val probes = df.select(col(idCol).as("anchor"),
+        explode(array((1 to k).map(lit): _*)).as("j"))
+      .withColumn("_tkey",
+        md5(concat_ws(":", lit("probe"), lit(seed),
+          col("anchor").cast("string"), col("j").cast("string"))))
+      .withColumn("_bucket", substring(col("_tkey"), 1, 2))
+    // per-bucket forward merge: probes (side 0) see the first ring node
+    // (side 1) at-or-after their target within the bucket
+    val ru = ring.select(col("_bucket"), col("_rkey").as("_key"),
+      lit(1).as("_side"), col("_rid"),
+      lit(null).cast(df.schema(idCol).dataType).as("anchor"),
+      lit(null).cast("int").as("j"))
+    val pu = probes.select(col("_bucket"), col("_tkey").as("_key"),
+      lit(0).as("_side"), lit(null).cast(df.schema(idCol).dataType).as("_rid"),
+      col("anchor"), col("j"))
+    val w = Window.partitionBy("_bucket").orderBy("_key", "_side")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val matched = ru.unionByName(pu)
+      .withColumn("_next", first(col("_rid"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 0)
+    // successor table: for every probe bucket, the leader of the first
+    // nonempty ring bucket strictly after it, wrapping to the global
+    // leader — <= 256 rows on the driver (the IVF-centroid collect shape)
+    val leaders = ring.groupBy("_bucket")
+      .agg(min(struct(col("_rkey"), col("_rid"))).as("_m"))
+      .select(col("_bucket"), col("_m._rid").as("_lid"))
+      .collect().map(r => r.getString(0) -> r.get(1)).sortBy(_._1)
+    val globalFirst = leaders.head._2
+    val wrapRows = (0 until 256).map { b =>
+      val bucket = f"$b%02x"
+      val next = leaders.find(_._1 > bucket).map(_._2).getOrElse(globalFirst)
+      (bucket, next)
+    }
+    val spark = df.sparkSession
+    import org.apache.spark.sql.Row
+    val wrapDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(wrapRows.map { case (b, id) => Row(b, id) }, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("_bucket",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("_wrap",
+          df.schema(idCol).dataType))))
+    matched.join(broadcast(wrapDf), Seq("_bucket"))
+      .select(col("anchor"), col("j"),
+        coalesce(col("_next"), col("_wrap")).as("neg_id"))
+      .filter(col("neg_id") =!= col("anchor"))
+  }
+
   /** Diff two corpus snapshots by content fingerprint: full-outer join on
     * the id with a row-local status — the "what changed between crawl
     * snapshots" primitive behind incremental training-data refreshes

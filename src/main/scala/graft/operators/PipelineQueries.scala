@@ -242,6 +242,17 @@ object PipelineQueries {
         .orderBy("o_year")
     }),
 
+    // SP8 — deterministic hash-ring negative sampling: 3 seeded negatives
+    // per anchor document for contrastive-pair construction
+    // (Pipeline.negativeSample — global md5 ring run as a bucket-local
+    // merge + broadcast successor table). No RNG: the full pair listing
+    // is the query result, so the oracle hash pins every single draw.
+    "q_sp8_negative_sample" -> ((s, dir) =>
+      Pipeline.negativeSample(
+          s.read.parquet(s"$dir/documents.parquet").select("doc_id"),
+          "doc_id", k = 3, seed = "graft-neg-7")
+        .orderBy("anchor", "j")),
+
     // L4 — snapshot diff: what changed between two corpus snapshots, by
     // content fingerprint (Pipeline.snapshotDiff — one id-keyed full-outer
     // join carrying hashes, not documents). The "current" snapshot derives
@@ -476,6 +487,28 @@ object PipelineQueries {
       // the indexed path must produce EXACTLY the brute-force pair set —
       // one oracle serves both the direct and the index-backed join
       "q_d7_ngram_jaccard_indexed" -> ngramJaccardOracle,
+
+      // replays the hash ring globally (bucket-local execution + wrap
+      // table is provably identical — the bucket is a key prefix)
+      "q_sp8_negative_sample" ->
+        """WITH ring AS (
+          |  SELECT doc_id AS rid,
+          |         md5('ring:graft-neg-7:' || CAST(doc_id AS VARCHAR)) AS rkey
+          |  FROM documents),
+          |probes AS (
+          |  SELECT doc_id AS anchor, CAST(j.j AS INTEGER) AS j,
+          |         md5('probe:graft-neg-7:' || CAST(doc_id AS VARCHAR)
+          |             || ':' || CAST(j.j AS VARCHAR)) AS tkey
+          |  FROM documents
+          |  CROSS JOIN (SELECT unnest(generate_series(1, 3)) AS j) j),
+          |sel AS (
+          |  SELECT p.anchor, p.j,
+          |         coalesce(
+          |           (SELECT min_by(r.rid, r.rkey) FROM ring r WHERE r.rkey >= p.tkey),
+          |           (SELECT min_by(r.rid, r.rkey) FROM ring r)) AS neg_id
+          |  FROM probes p)
+          |SELECT anchor, j, neg_id FROM sel
+          |WHERE neg_id <> anchor ORDER BY anchor, j""".stripMargin,
 
       "q_l4_snapshot_diff" ->
         """WITH prev AS (SELECT doc_id, md5(text) AS fp FROM documents),

@@ -147,6 +147,34 @@ class PipelineSpec extends SparkTestBase {
     assert(mx == gs)
   }
 
+  test("negativeSample: matches a driver-side global-ring replay, repartition-invariant") {
+    import spark.implicits._
+    val ids = (1L to 40L).toSeq
+    val df = ids.toDF("doc_id")
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // plain global hash ring in scala: first rkey >= tkey, else ring start
+    val ring = ids.map(i => md5hex(s"ring:s1:$i") -> i).sortBy(_._1)
+    val expected = (for {
+      a <- ids; j <- 1 to 3
+      t = md5hex(s"probe:s1:$a:$j")
+      neg = ring.find(_._1 >= t).getOrElse(ring.head)._2
+      if neg != a
+    } yield (a, j, neg)).toSet
+    val got = Pipeline.negativeSample(df, "doc_id", k = 3, seed = "s1")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got == expected)
+    // bucket-local execution is partitioning-independent
+    val got7 = Pipeline.negativeSample(df.repartition(7), "doc_id", k = 3, seed = "s1")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got7 == expected)
+    // a different seed draws a different pair set
+    val other = Pipeline.negativeSample(df, "doc_id", k = 3, seed = "s2")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(other != expected)
+  }
+
   test("snapshotDiff classifies added / removed / changed / unchanged exactly") {
     import spark.implicits._
     val prev = Seq((1L, "h1"), (2L, "h2"), (3L, "h3")).toDF("id", "fp")
