@@ -168,6 +168,31 @@ object RelationalQueries {
           count(lit(1)).as("n"))
         .orderBy("o_orderpriority")),
 
+    // A16 — bounded-memory approximate quantiles with an in-plan error
+    // gate (the q_a10 sketch discipline): the GK sketch's p25/p50/p90
+    // estimates are checked against their RANK-error contract (fraction of
+    // rows at-or-below each estimate within p ± 0.04 — 4x the 1/accuracy
+    // bound, so a CORRECT sketch can't flip the bit). The hashed output
+    // carries the exact twins + gate bits; a drifting sketch fails the
+    // driver hash even though the estimate itself is never hashed.
+    "q_a16_approx_quantiles" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+      val approx = ord.agg(expr(
+        "approx_percentile(o_totalprice, array(0.25D, 0.5D, 0.9D), 100)").as("ap"))
+      def okBit(idx: Int, lo: Double, hi: Double) =
+        (sum(when(col("o_totalprice") <= element_at(col("ap"), idx), 1L)
+          .otherwise(0L)) / count(lit(1))).between(lo, hi).cast("int")
+      ord.crossJoin(broadcast(approx))
+        .agg(
+          round(expr("percentile(o_totalprice, 0.25)"), 4).as("p25"),
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+          count(lit(1)).as("n"),
+          okBit(1, 0.21, 0.29).as("p25_ok"),
+          okBit(2, 0.46, 0.54).as("p50_ok"),
+          okBit(3, 0.86, 0.94).as("p90_ok"))
+    }),
+
     // A6 — ROLLUP: hierarchical subtotals (year -> grand total).
     "q_a6_rollup" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -876,6 +901,19 @@ object RelationalQueries {
         |       round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
         |       count(*) AS n
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // exact twins + expected-green gate bits: the oracle cannot replay
+    // the sketch, so it asserts the CONTRACT — a sketch outside its rank
+    // bound flips a bit and fails the hash (the q_a10 idiom)
+    "q_a16_approx_quantiles" ->
+      """SELECT round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+        |       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        |       round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+        |       count(*) AS n,
+        |       CAST(1 AS INTEGER) AS p25_ok,
+        |       CAST(1 AS INTEGER) AS p50_ok,
+        |       CAST(1 AS INTEGER) AS p90_ok
+        |FROM orders""".stripMargin,
 
     "q_a6_rollup" ->
       """SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,

@@ -58,4 +58,23 @@ class SketchSpec extends SparkTestBase {
     val rank = below.toDouble / n
     assert(math.abs(rank - 0.5) <= 0.02, s"approx median $approx sits at rank $rank")
   }
+
+  test("q_a16 gate bits survive adversarial repartitioning of the input") {
+    // the GK estimate may move with partition merge order; the RANK-error
+    // gate (p ± 0.04 at accuracy 100) must not — that is the contract the
+    // driver hash pins
+    val ord = spark.read.parquet(s"${sfDir("0.001")}/orders.parquet")
+    for (parts <- Seq(1, 7, 32)) {
+      val o = ord.repartition(parts)
+      val approx = o.agg(expr(
+        "approx_percentile(o_totalprice, array(0.25D, 0.5D, 0.9D), 100)"))
+        .head().getSeq[Double](0)
+      val n = o.count().toDouble
+      Seq(0.25, 0.5, 0.9).zip(approx).foreach { case (p, a) =>
+        val rank = o.filter(col("o_totalprice") <= a).count() / n
+        assert(math.abs(rank - p) <= 0.04,
+          s"parts=$parts p=$p approx=$a rank=$rank")
+      }
+    }
+  }
 }
