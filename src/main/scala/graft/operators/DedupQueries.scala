@@ -270,7 +270,7 @@ object DedupQueries {
       SimilaritySearch.ivfRead(s, path)
     }
 
-  private val shingleSql =
+  private[graft] val shingleSql =
     """list_distinct(CASE WHEN len(w) >= 2
       |  THEN list_transform(generate_series(1, len(w) - 1),
       |                      i -> w[i] || ' ' || w[i+1])

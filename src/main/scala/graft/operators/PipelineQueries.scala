@@ -242,6 +242,36 @@ object PipelineQueries {
         .orderBy("o_year")
     }),
 
+    // SP9 — leakage-safe (dedup-aware) train/valid/test split: near-dup
+    // CLUSTERS are the split unit, not documents — a pair of near-dups can
+    // never straddle train and test (the train/test-contamination failure
+    // a naive per-doc split bakes in). Reuses the memoized MinHash pair
+    // stage and the connected-components labels; the in-plan
+    // `leaked_pairs` column COUNTS straddling pairs, so the oracle hash
+    // asserts zero leakage structurally, not by trust.
+    "q_sp9_leakage_safe_split" -> ((s, dir) => {
+      val pairs = DedupQueries.textPairsShared(s, dir).select("id_a", "id_b")
+      val clusters = Dedup.connectedComponents(pairs)
+        .withColumnRenamed("id", "doc_id")
+      val labeled = docs(s, dir).select(col("doc_id"))
+        .join(clusters, Seq("doc_id"), "left")
+        .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+      val assigned = Pipeline.hashSplit(labeled, "cluster", "graft-leak-3",
+        Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+      val sp = assigned.select("doc_id", "split")
+      val leaked = pairs
+        .join(sp.toDF("id_a", "sa"), "id_a")
+        .join(sp.toDF("id_b", "sb"), "id_b")
+        .filter(col("sa") =!= col("sb"))
+        .agg(count(lit(1)).as("leaked_pairs"))
+      assigned.groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct("cluster").as("n_clusters"),
+          min("doc_id").as("first_doc"))
+        .crossJoin(broadcast(leaked))
+        .orderBy("split")
+    }),
+
     // SP8 — deterministic hash-ring negative sampling: 3 seeded negatives
     // per anchor document for contrastive-pair construction
     // (Pipeline.negativeSample — global md5 ring run as a bucket-local
@@ -487,6 +517,51 @@ object PipelineQueries {
       // the indexed path must produce EXACTLY the brute-force pair set —
       // one oracle serves both the direct and the index-backed join
       "q_d7_ngram_jaccard_indexed" -> ngramJaccardOracle,
+
+      // replays the whole chain: brute MinHash-contract pairs (the d5
+      // idiom), recursive-CTE components, per-CLUSTER hash split, and the
+      // cross-split pair count (must be 0 — structural no-leakage)
+      "q_sp9_leakage_safe_split" -> {
+        val Seq(t80, t90) = Pipeline.hexThresholds(Seq(0.8, 0.1, 0.1))
+        s"""WITH RECURSIVE d AS (
+           |  SELECT doc_id, ${DedupQueries.shingleSql} AS sh
+           |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS w
+           |        FROM documents)),
+           |nonempty AS (SELECT * FROM d WHERE len(sh) > 0),
+           |pairs AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM nonempty a JOIN nonempty b ON a.doc_id < b.doc_id
+           |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           |        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7),
+           |edges AS (
+           |  SELECT id_a AS src, id_b AS dst FROM pairs
+           |  UNION SELECT id_b, id_a FROM pairs),
+           |walk(id, label) AS (
+           |  SELECT DISTINCT src, src FROM edges
+           |  UNION
+           |  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.id),
+           |clusters AS (SELECT id AS doc_id, min(label) AS cluster FROM walk GROUP BY 1),
+           |labeled AS (
+           |  SELECT dd.doc_id, coalesce(c.cluster, dd.doc_id) AS cluster
+           |  FROM documents dd LEFT JOIN clusters c ON c.doc_id = dd.doc_id),
+           |assigned AS (
+           |  SELECT doc_id, cluster,
+           |         CASE WHEN substr(md5('graft-leak-3:' || CAST(cluster AS VARCHAR)), 1, 4) < '$t80' THEN 'train'
+           |              WHEN substr(md5('graft-leak-3:' || CAST(cluster AS VARCHAR)), 1, 4) < '$t90' THEN 'valid'
+           |              ELSE 'test' END AS split
+           |  FROM labeled),
+           |leaked AS (
+           |  SELECT count(*) AS leaked_pairs
+           |  FROM pairs p
+           |  JOIN assigned a ON a.doc_id = p.id_a
+           |  JOIN assigned b ON b.doc_id = p.id_b
+           |  WHERE a.split <> b.split)
+           |SELECT split, count(*) AS n_docs,
+           |       count(DISTINCT cluster) AS n_clusters,
+           |       min(doc_id) AS first_doc, leaked.leaked_pairs
+           |FROM assigned, leaked
+           |GROUP BY split, leaked.leaked_pairs ORDER BY split""".stripMargin
+      },
 
       // replays the hash ring globally (bucket-local execution + wrap
       // table is provably identical — the bucket is a key prefix)

@@ -147,6 +147,29 @@ class PipelineSpec extends SparkTestBase {
     assert(mx == gs)
   }
 
+  test("leakage-safe split: clusters never straddle splits, every doc lands somewhere") {
+    val out = graft.SparkEntry.queries("q_sp9_leakage_safe_split")(spark, sfDir("0.001"))
+      .collect()
+    val totalDocs = spark.read.parquet(s"${sfDir("0.001")}/documents.parquet").count()
+    assert(out.map(_.getLong(1)).sum == totalDocs) // partition of the corpus
+    assert(out.forall(_.getLong(4) == 0L))         // structural zero leakage
+    // independent leakage check: recompute pair straddling from scratch
+    val pairs = graft.operators.DedupQueries
+      .textPairsShared(spark, sfDir("0.001")).select("id_a", "id_b")
+    val clusters = Dedup.connectedComponents(pairs).withColumnRenamed("id", "doc_id")
+    val assigned = Pipeline.hashSplit(
+      spark.read.parquet(s"${sfDir("0.001")}/documents.parquet")
+        .select("doc_id").join(clusters, Seq("doc_id"), "left")
+        .withColumn("cluster", coalesce(col("cluster"), col("doc_id"))),
+      "cluster", "graft-leak-3", Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+      .select("doc_id", "split")
+    val straddle = pairs
+      .join(assigned.toDF("id_a", "sa"), "id_a")
+      .join(assigned.toDF("id_b", "sb"), "id_b")
+      .filter(col("sa") =!= col("sb")).count()
+    assert(straddle == 0L)
+  }
+
   test("negativeSample: matches a driver-side global-ring replay, repartition-invariant") {
     import spark.implicits._
     val ids = (1L to 40L).toSeq
