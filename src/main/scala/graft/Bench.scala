@@ -86,7 +86,8 @@ object Bench {
       "q_j8_bloom_prune", "q_t12_tfidf", "q_e4_funnel", "q_sp7_sample_agg",
       "q_l3_agg_maintain", "q_a15_outliers",
       "q_v13_kmeans_topics", "q_t15_domain_drift",
-      "q_l4_snapshot_diff", "q_q3_dp_counts")
+      "q_l4_snapshot_diff", "q_q3_dp_counts",
+      "q_t16_lm_perplexity", "q_t17_linear_classifier")
 
     // Headline queries run 3 reps and report the MEDIAN: the single-shot
     // noise floor on this box is ±2x (calibrated rounds 5-6), which made

@@ -308,6 +308,96 @@ object Dedup {
     } finally prepared.unpersist()
   }
 
+  /** EXACT directed CONTAINMENT join: pairs (a, b), a ≠ b, where at least
+    * `threshold` of A's distinct shingles also occur in B —
+    * |A∩B| / |A| >= t. The asymmetric twin of [[jaccardSimilarityJoin]]:
+    * Jaccard misses a short document quoted inside a much longer one
+    * (the union is dominated by B), containment is exactly that
+    * sub-document/quotation/version-inclusion dedup signal.
+    *
+    * Same AllPairs prefix idea, adapted to the one-sided bound: a
+    * qualifying pair needs overlap o = ceil(t·|A|), so A must share a
+    * token within the first |A| - o + 1 elements of its DF-ordered set
+    * (pigeonhole) — but that token can sit ANYWHERE in B, so the probe
+    * side explodes only prefixes while the candidate side indexes its
+    * full ranked token list. There is no upper length filter (B may be
+    * arbitrarily large); the lower bound |B| >= o and the positional cap
+    * overlap <= 1 + min(|A|-rk_a, |B|-rk_b) (valid at the pair's FIRST
+    * common token, which the prefix is guaranteed to contain) prune
+    * candidates before the exact merge-scan verification. Output equals
+    * the brute-force directed scan (modulo the same 64-bit shingle-hash
+    * collision bound as the Jaccard path).
+    *
+    * Scale shape: the candidate join is an equi-join keyed on RARE prefix
+    * tokens (global-DF order sends every common phrase to the unexploded
+    * suffix), so fan-out is bounded by prefix-token frequency, not corpus
+    * size; verification touches candidate pairs only. One DF shuffle, one
+    * rank window, one candidate equi-join — no corpus self-join.
+    */
+  def containmentSimilarityJoin(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, threshold: Double = 0.6): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
+    import org.apache.spark.sql.expressions.Window
+    graft.plans.GraftExtensions.register(docs.sparkSession)
+    val prepared = shingleSets(docs, idCol, textCol, shingleSize).persist()
+    try {
+      val nDocs = prepared.count()
+      val tokens = prepared.select(col(idCol), col("sz"),
+        explode(col("shh")).as("tok"))
+      val freq = tokens.groupBy("tok").agg(count(lit(1)).as("df"))
+      val ranked = tokens.join(freq, "tok")
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col(idCol)).orderBy(col("df"), col("tok"))))
+        .select(col(idCol), col("sz"), col("tok"), col("rk"))
+        .persist()
+      try {
+        val needA = ceil(col("a.sz") * lit(threshold))
+        val probe = ranked.filter(col("rk") <=
+          col("sz") - ceil(col("sz") * lit(threshold)).cast("int") + 1)
+        val pairs = probe.as("a")
+          .join(ranked.as("b"),
+            col("a.tok") === col("b.tok") &&
+              col(s"a.$idCol") =!= col(s"b.$idCol") &&
+              col("b.sz") >= needA &&
+              (least(col("a.sz") - col("a.rk"), col("b.sz") - col("b.rk")) + 1)
+                >= needA)
+          .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+          .distinct()
+        val sets =
+          if (nDocs <= SmallSetsDocs) prepared.hint("shuffle_hash") else prepared
+        pairs
+          .join(sets.select(col(idCol).as("id_a"), col("shh").as("shh_a"),
+            col("sz").as("sz_a")), "id_a")
+          .join(sets.select(col(idCol).as("id_b"), col("shh").as("shh_b")),
+            "id_b")
+          .withColumn("inter", expr("sorted_long_intersect(shh_a, shh_b)"))
+          .withColumn("containment", col("inter").cast("double") / col("sz_a"))
+          .filter(col("containment") >= threshold)
+          .select("id_a", "id_b", "containment")
+          .pipe(materialize)
+      } finally ranked.unpersist()
+    } finally prepared.unpersist()
+  }
+
+  /** Brute-force directed containment — the quadratic oracle twin of
+    * [[containmentSimilarityJoin]]; dimension-sized inputs only.
+    */
+  def bruteContainmentPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, threshold: Double = 0.6): DataFrame = {
+    val sets = docs.select(col(idCol), shingles(textCol, shingleSize).as("sh"))
+      .filter(size(col("sh")) > 0)
+    sets.select(col(idCol).as("id_a"), col("sh").as("sh_a"))
+      .crossJoin(sets.select(col(idCol).as("id_b"), col("sh").as("sh_b")))
+      .filter(col("id_a") =!= col("id_b"))
+      .withColumn("containment",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(col("sh_a")))
+      .filter(col("containment") >= threshold)
+      .select("id_a", "id_b", "containment")
+  }
+
   /** Ascending-sorted xxhash64 token set of a shingle-array column — the
     * form every verification join consumes (see [[hashedVerifyNote]]).
     */

@@ -105,6 +105,27 @@ object PipelineQueries {
         .withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy("id_a", "id_b")),
 
+    // Directed CONTAINMENT join — the sub-document/quotation dedup signal
+    // Jaccard structurally misses (a short doc quoted inside a long one
+    // drowns in the union). True inclusions are planted in-query: every
+    // 10th doc re-enters as its first-half word prefix, whose shingle set
+    // is contained in the original's by construction (containment 1.0).
+    // Probe side explodes DF-ordered prefixes only; candidate side indexes
+    // all ranked tokens; exact merge-scan verify. Oracle is the brute
+    // directed scan over the same planted frame.
+    "q_d9_containment_join" -> ((s, dir) => {
+      val d = docs(s, dir).select("doc_id", "text")
+      val w = "filter(split(text, ' '), x -> x != '')"
+      val frag = d.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 700000L).as("doc_id"),
+          expr(s"array_join(slice($w, 1, greatest(CAST(ceil(size($w) / 2) AS INT), 3)), ' ')")
+            .as("text"))
+      Dedup.containmentSimilarityJoin(d.unionByName(frag), "doc_id", "text",
+          shingleSize = 3, threshold = 0.6)
+        .withColumn("containment", round(col("containment"), 6))
+        .orderBy("id_a", "id_b")
+    }),
+
     // L1 — CDC merge/upsert into a year-partitioned lake table
     // (graft.sources.LakeLayout.mergeUpsert): base = orders partitioned by
     // order year; the changeset re-prices every 7th key (deleting those
@@ -517,6 +538,29 @@ object PipelineQueries {
       // the indexed path must produce EXACTLY the brute-force pair set —
       // one oracle serves both the direct and the index-backed join
       "q_d7_ngram_jaccard_indexed" -> ngramJaccardOracle,
+
+      // replays the fragment planting (first-half word prefix) and the
+      // brute directed containment scan |A∩B|/|A| over the planted frame
+      "q_d9_containment_join" ->
+        s"""WITH planted AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 700000,
+           |         array_to_string(list_slice(w, 1,
+           |           greatest(CAST(ceil(len(w) / 2) AS INTEGER), 3)), ' ')
+           |  FROM (SELECT doc_id, $duckTokens AS w FROM documents)
+           |  WHERE doc_id % 10 = 0),
+           |d AS (
+           |  SELECT doc_id, $duckShingles3 AS sh
+           |  FROM (SELECT doc_id, $duckTokens AS w FROM planted)),
+           |ne AS (SELECT * FROM d WHERE len(sh) > 0)
+           |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           |             / len(a.sh), 6) AS containment
+           |FROM ne a JOIN ne b ON a.doc_id <> b.doc_id
+           |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           |      / len(a.sh) >= 0.6
+           |ORDER BY id_a, id_b""".stripMargin,
 
       // replays the whole chain: brute MinHash-contract pairs (the d5
       // idiom), recursive-CTE components, per-CLUSTER hash split, and the

@@ -316,6 +316,113 @@ object TextAnalysis {
       .select(col(idCol), col("rank"), col("term"), col("tf"), col("score"))
   }
 
+  /** Statistical-LM quality filter (the CCNet/KenLM perplexity-filtering
+    * shape, re-expressed as an exactly-replayable bigram model): train
+    * add-one-smoothed bigram counts on the rows where `trainCol` holds,
+    * then score EVERY document by its mean negative log-likelihood
+    *
+    *   nll(d) = mean over bigram positions of
+    *     -ln( (c2(w1,w2) + 1) / (c1(w1) + V) )
+    *
+    * where c2 = train bigram count, c1 = count of w1 as a LEFT CONTEXT in
+    * the train slice (so probabilities over the vocabulary sum to exactly
+    * 1), and V = the model's right-context vocabulary size. High-nll docs
+    * are far from the training distribution — the corpus-curation signal
+    * pipelines threshold on (CCNet keeps the low-perplexity head/middle).
+    * Returns (idCol, n_bigrams, avg_nll); docs with < 2 tokens surface
+    * with zeros.
+    *
+    * Scale shape: the train slice aggregates to a VOCABULARY-sized bigram
+    * count table in one gram-key shuffle (map-side combined); c1 and V
+    * derive from that table, never re-touching the corpus. Scoring is one
+    * corpus scan exploded to bigrams joined against the two count tables —
+    * both model-sized, so AQE broadcasts them for any trimmed vocabulary
+    * and shuffle-joins only a web-scale one. No corpus self-join; only V
+    * (one long) reaches the driver.
+    *
+    * Determinism: per-bigram contributions are rounded to 9 dp and
+    * accumulated in DECIMAL (exact addition ⇒ shuffle-order-independent,
+    * the domainDrift idiom), final mean rounded to 6 dp.
+    */
+  def lmPerplexity(docs: DataFrame, idCol: String, textCol: String,
+                   trainCol: Column): DataFrame = {
+    val parts = Seq("w[i]", "w[i + 1]").mkString(", ' ', ")
+    // NON-distinct bigrams: the model counts occurrences, not types
+    val gramsExpr = Dedup.letBind(Dedup.tokensExpr(textCol), "w",
+      s"""CASE WHEN size(w) >= 2
+         |  THEN transform(sequence(0, size(w) - 2), i -> concat($parts))
+         |  ELSE array() END""".stripMargin)
+    val c2 = docs.filter(trainCol)
+      .select(explode(expr(gramsExpr)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("c2"))
+      .localCheckpoint() // feeds c1, V, and the scoring join
+    val c1 = c2.groupBy(substring_index(col("gram"), " ", 1).as("w1"))
+      .agg(sum("c2").as("c1"))
+    val vocabV = c2.select(substring_index(col("gram"), " ", -1))
+      .distinct().count()
+    val scored = docs
+      .select(col(idCol), explode(expr(gramsExpr)).as("gram"))
+      .join(c2, Seq("gram"), "left")
+      .withColumn("w1", substring_index(col("gram"), " ", 1))
+      .join(c1, Seq("w1"), "left")
+      .withColumn("nll9", round(-log(
+        (coalesce(col("c2"), lit(0L)) + 1).cast("double") /
+          (coalesce(col("c1"), lit(0L)) + vocabV)), 9))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("nll9").cast("decimal(28,9)")).as("nll_sum"))
+    docs.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        // decimal -> double BEFORE the division: both engines convert the
+        // exact same decimal to the same double, then divide identically —
+        // a decimal division would round at engine-specific result scales
+        round(coalesce(col("nll_sum").cast("double") / col("n_bigrams"),
+          lit(0d)), 6).as("avg_nll"))
+  }
+
+  /** Model-based quality scoring in the fasttext/linear-classifier shape,
+    * executed ENTIRELY row-locally: each token hashes into one of `dim`
+    * weight buckets, bucket weights are 9-dp fixed-point LONGS, and the
+    * document's margin is the mean bucket weight — computed inside one
+    * codegen'd fold, all-integer until the final division, so the score is
+    * exact, partitioning-independent, and externally replayable.
+    *
+    * The weight table here is DERIVED from a seed (md5-uniform in [-1, 1])
+    * — the stand-in for trained weights, which makes the whole inference
+    * path verifiable end-to-end; a real model plugs in by swapping
+    * `weightExpr` for a lookup against its exported bucket->weight9 array
+    * (dim-sized, shipped as a plan literal — the same shape, still
+    * shuffle-free). This is the 100 TB posture for classifier-based corpus
+    * filtering: the model rides the scan; the corpus never moves.
+    *
+    * Returns (idCol, n_tokens, margin, label): margin = sum(w9)/1e9/n
+    * rounded to 6 dp, label = 1 iff the raw integer weight sum is
+    * positive (decided on the EXACT sum, so it can never disagree with
+    * the margin's sign at higher precision).
+    */
+  def hashedLinearScore(docs: DataFrame, idCol: String, textCol: String,
+                        dim: Int = 1024, seed: String = "graft-qc-1",
+                        family: String = graft.functions.HashFamily.Md5): DataFrame = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    val bucket = s"${hash60("x", family)} % $dim"
+    val weight9 =
+      s"${hash60(s"concat('$seed:', CAST($bucket AS STRING))", family)} % 2000000001 - 1000000000"
+    docs.select(
+      col(idCol),
+      expr(Dedup.letBind(w(textCol), "wv",
+        s"""named_struct(
+           |  'n', size(wv),
+           |  's9', aggregate(wv, CAST(0 AS BIGINT), (acc, x) -> acc + ($weight9))
+           |)""".stripMargin)).as("r"))
+      .select(col(idCol),
+        col("r.n").cast("long").as("n_tokens"),
+        when(col("r.n") === 0, lit(0d))
+          .otherwise(round(col("r.s9") / 1e9 / col("r.n"), 6)).as("margin"),
+        (col("r.s9") > 0).cast("int").as("label"))
+  }
+
   /** Token-distribution drift of each corpus slice against a base slice:
     * KL(P_slice ‖ P_base) with add-one smoothing over the WHOLE corpus
     * vocabulary (so zero-count terms still contribute their smoothed

@@ -214,7 +214,27 @@ object TextQueries {
     "q_t15_domain_drift" -> ((s, dir) =>
       TextAnalysis.domainDrift(docs(s, dir), "text", "lang", "en")
         .withColumnRenamed("slice", "lang")
-        .orderBy("lang"))
+        .orderBy("lang")),
+
+    // Statistical-LM perplexity filter (the CCNet shape): a smoothed
+    // bigram model trained on a deterministic 25% slice scores every doc's
+    // mean negative log-likelihood. The model tables are vocabulary-sized
+    // (AQE broadcasts them); the corpus is scanned once for training
+    // counts and once for scoring — never self-joined.
+    "q_t16_lm_perplexity" -> ((s, dir) =>
+      TextAnalysis.lmPerplexity(docs(s, dir), "doc_id", "text",
+          col("doc_id") % 4 === 0)
+        .orderBy("doc_id")),
+
+    // Classifier-based quality filtering (the fasttext shape): hashed
+    // token buckets -> fixed-point weights -> per-doc mean margin, all
+    // inside one row-local codegen'd fold — the corpus never shuffles.
+    // md5 family so the oracle replays every weight bit-for-bit.
+    "q_t17_linear_classifier" -> ((s, dir) =>
+      TextAnalysis.hashedLinearScore(docs(s, dir), "doc_id", "text",
+          dim = 1024, seed = "graft-qc-1",
+          family = graft.functions.HashFamily.Md5)
+        .orderBy("doc_id"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -515,6 +535,64 @@ object TextQueries {
         |SELECT slice AS lang, tot AS n_tokens, n_terms AS n_terms_seen,
         |       round(CAST(sum(CAST(kl_term AS DECIMAL(28,9))) AS DOUBLE), 6) AS kl_vs_base
         |FROM terms
-        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin
+        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+
+    // Replays the smoothed-bigram arithmetic exactly: integer count adds,
+    // ONE double division per bigram, ln in DOUBLE, 9-dp rounding per
+    // contribution, DECIMAL accumulation, decimal -> double BEFORE the
+    // final mean division (engine decimal-division scales differ).
+    "q_t16_lm_perplexity" ->
+      """WITH base AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |         unnest(CASE WHEN len(w) >= 2
+        |           THEN list_transform(generate_series(1, len(w) - 1),
+        |                               i -> w[i] || ' ' || w[i+1])
+        |           ELSE [] END) AS gram
+        |  FROM base),
+        |c2 AS (SELECT gram, count(*) AS c2 FROM g WHERE doc_id % 4 = 0 GROUP BY 1),
+        |c1 AS (SELECT split_part(gram, ' ', 1) AS w1, sum(c2) AS c1
+        |       FROM c2 GROUP BY 1),
+        |v AS (SELECT count(DISTINCT split_part(gram, ' ', 2)) AS v FROM c2),
+        |scored AS (
+        |  SELECT g.doc_id, count(*) AS n_bigrams,
+        |         sum(CAST(round(-ln(CAST(coalesce(c2.c2, 0) + 1 AS DOUBLE)
+        |               / (coalesce(c1.c1, 0) + v.v)), 9) AS DECIMAL(28,9)))
+        |           AS nll_sum
+        |  FROM g
+        |  LEFT JOIN c2 USING (gram)
+        |  LEFT JOIN c1 ON c1.w1 = split_part(g.gram, ' ', 1)
+        |  CROSS JOIN v
+        |  GROUP BY 1)
+        |SELECT d.doc_id,
+        |       CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |       round(coalesce(CAST(nll_sum AS DOUBLE) / n_bigrams, 0.0), 6)
+        |         AS avg_nll
+        |FROM documents d LEFT JOIN scored USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // Replays every hashed weight bit-for-bit: md5-60 bucket, md5-60
+    // seeded weight in [-1e9, 1e9], BIGINT token fold — integer until the
+    // one final division, so a single weight off fails the hash.
+    "q_t17_linear_classifier" ->
+      """WITH base AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS w
+        |  FROM documents),
+        |scored AS (
+        |  SELECT doc_id, len(w) AS n,
+        |         coalesce(list_sum(list_transform(w, x ->
+        |           ('0x' || substr(md5('graft-qc-1:' || CAST(
+        |               ('0x' || substr(md5(x), 1, 15))::BIGINT % 1024
+        |             AS VARCHAR)), 1, 15))::BIGINT % 2000000001 - 1000000000)),
+        |           0) AS s9
+        |  FROM base)
+        |SELECT doc_id,
+        |       CAST(n AS BIGINT) AS n_tokens,
+        |       CASE WHEN n = 0 THEN 0.0
+        |            ELSE round(s9 / 1e9 / n, 6) END AS margin,
+        |       CAST(s9 > 0 AS INTEGER) AS label
+        |FROM scored ORDER BY doc_id""".stripMargin
   )
 }

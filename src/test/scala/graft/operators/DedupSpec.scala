@@ -82,6 +82,50 @@ class DedupSpec extends SparkTestBase {
     assert(fast.nonEmpty, "sf0.001 corpus should contain planted near-dups")
   }
 
+  test("containment join equals brute-force directed containment exactly") {
+    // corpus at two thresholds + sf0.001 docs: directed pairs AND
+    // containment values must match the cross-join ground truth.
+    for (t <- Seq(0.5, 0.8)) {
+      val fast = Dedup.containmentSimilarityJoin(df(corpus), "doc_id", "text",
+          shingleSize = 2, threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val brute = Dedup.bruteContainmentPairs(df(corpus), "doc_id", "text",
+          shingleSize = 2, threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(fast == brute, s"mismatch at threshold $t")
+    }
+    val docs = spark.read.parquet(sfDir("0.001") + "/documents.parquet")
+    val fast = Dedup.containmentSimilarityJoin(docs, "doc_id", "text",
+        shingleSize = 3, threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val brute = Dedup.bruteContainmentPairs(docs, "doc_id", "text",
+        shingleSize = 3, threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(fast == brute)
+    assert(fast.nonEmpty, "sf0.001 corpus should contain planted near-dups")
+  }
+
+  test("containment is asymmetric: a quoted fragment hits 1.0, the host doc does not") {
+    // doc 11 = a strict prefix fragment of doc 10: every shingle of 11 is
+    // in 10 (containment 11->10 = 1.0), but 10 has many shingles 11 lacks
+    val host = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val cases = Seq(
+      10L -> host,
+      11L -> "alpha beta gamma delta epsilon zeta",
+      12L -> "totally unrelated words about something else entirely")
+    val got = Dedup.containmentSimilarityJoin(df(cases), "doc_id", "text",
+        shingleSize = 3, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set((11L, 10L, 1.0)), got.toString)
+    // the symmetric Jaccard join misses this pair at any comparable bar:
+    // J = 4/18 — which is exactly why the containment operator exists
+    val jac = Dedup.ngramJaccardPairs(df(cases), "doc_id", "text",
+        shingleSize = 3, threshold = 0.9)
+      .collect()
+    assert(jac.isEmpty)
+  }
+
   test("simhash finds exact and near duplicates with small hamming distance") {
     val pairs = Dedup.simHashNearDuplicates(df(corpus), "doc_id", "text", maxDist = 8)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))

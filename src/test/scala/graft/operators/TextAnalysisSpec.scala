@@ -148,4 +148,59 @@ class TextAnalysisSpec extends SparkTestBase {
     // KL >= 0 up to the 9-dp per-term rounding
     assert(a.forall(_.getDouble(3) >= -1e-6))
   }
+
+  test("lmPerplexity: hand-computed smoothed-bigram nll; short docs get zeros") {
+    import org.apache.spark.sql.functions.col
+    // train doc "a b a b": c2("a b")=2, c2("b a")=1; c1(a)=2, c1(b)=1; V=2
+    val docs = Seq(
+      (1L, "a b a b", true),  // the train slice
+      (2L, "a b", false),     // in-distribution: -ln((2+1)/(2+2)) = ln(4/3)
+      (3L, "c c", false),     // fully OOV: -ln((0+1)/(0+2)) = ln 2
+      (4L, "x", false)        // < 2 tokens -> zeros
+    ).toDF("doc_id", "text", "is_train")
+    val out = TextAnalysis.lmPerplexity(docs, "doc_id", "text", col("is_train"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(out(1) == ((2L, 1L, math.rint(math.log(4.0 / 3) * 1e6) / 1e6)))
+    assert(out(2) == ((3L, 1L, math.rint(math.log(2.0) * 1e6) / 1e6)))
+    assert(out(3) == ((4L, 0L, 0.0)))
+    // in-distribution text must score better (lower nll) than OOV text
+    assert(out(1)._3 < out(2)._3)
+  }
+
+  test("lmPerplexity is repartition-invariant on real docs") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"${sfDir("0.001")}/documents.parquet")
+    val a = TextAnalysis.lmPerplexity(docs, "doc_id", "text",
+      col("doc_id") % 4 === 0).orderBy("doc_id").collect().toSeq
+    val b = TextAnalysis.lmPerplexity(docs.repartition(7), "doc_id", "text",
+      col("doc_id") % 4 === 0).orderBy("doc_id").collect().toSeq
+    assert(a == b)
+    assert(a.forall(_.getDouble(2) >= 0.0)) // -ln(p) of p <= 1
+  }
+
+  test("hashedLinearScore: bounds, sign agreement, determinism, seed sensitivity") {
+    val docs = spark.read.parquet(s"${sfDir("0.001")}/documents.parquet")
+    val a = TextAnalysis.hashedLinearScore(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    val b = TextAnalysis.hashedLinearScore(docs.repartition(5), "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b) // row-local scoring cannot depend on partitioning
+    a.foreach { r =>
+      val (margin, label) = (r.getDouble(2), r.getInt(3))
+      assert(math.abs(margin) <= 1.0) // mean of per-token weights in [-1,1]
+      // label decided on the exact integer sum must agree with the margin
+      if (margin > 0) assert(label == 1)
+      if (margin < 0) assert(label == 0)
+    }
+    val other = TextAnalysis.hashedLinearScore(docs, "doc_id", "text",
+      seed = "graft-qc-OTHER").orderBy("doc_id").collect().toSeq
+    assert(a.map(_.getDouble(2)) != other.map(_.getDouble(2)))
+  }
+
+  test("hashedLinearScore: empty text scores zero with label 0") {
+    val out = Seq((1L, "")).toDF("doc_id", "text")
+    val r = TextAnalysis.hashedLinearScore(out, "doc_id", "text").head()
+    assert((r.getLong(1), r.getDouble(2), r.getInt(3)) == ((0L, 0.0, 0)))
+  }
 }
