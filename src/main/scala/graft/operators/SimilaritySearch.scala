@@ -94,6 +94,73 @@ object SimilaritySearch {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** MARGIN-criterion alignment mining between two embedding corpora (the
+    * bitext-mining shape of Artetxe & Schwenk 2019 — LASER/CCMatrix-style
+    * parallel-pair extraction, also the hard-positive miner for
+    * contrastive training): for each left vector x, its best right-side
+    * partner scored by the RATIO margin
+    *
+    *   margin(x, y) = cos(x, y) / ((avg_k(x) + avg_k(y)) / 2)
+    *
+    * where avg_k(v) = mean cosine of v's k nearest cross-side neighbors.
+    * The margin normalizes away hubness — a y that is "close to
+    * everything" inflates avg_k(y) and stops winning every x — which is
+    * why raw-cosine thresholding over- and under-collects where margin
+    * does not. Returns one row per left vector: (x_id, y_id, cosine,
+    * margin, mutual) with `mutual` = 1 iff x and y are each other's
+    * cosine-best partner (the intersection criterion).
+    *
+    * Determinism: cosines are 6-dp-rounded then held as scaled LONGS; all
+    * ranking (per-side top-k, the final per-x argmax) orders by (value
+    * DESC, id) — total orders — and the margin is computed from integer
+    * sums in one fixed double expression, so the output is bit-stable
+    * under any partitioning and externally replayable.
+    *
+    * Scale shape: this entry computes the candidate pair frame with the
+    * exact cross product — the oracle twin, right at dimension-×-dimension
+    * test scale. At corpus scale the pair frame is swapped for ANN
+    * candidates (each side's top-k from the IVF/SRP index probe paths in
+    * this file, which bound candidates per vector); everything downstream
+    * — the two keyed windows, the two top-k sums, the margin join — is
+    * candidate-frame-sized (≤ n·k rows), shuffles on the id keys, and
+    * never touches the full corpus again.
+    */
+  def marginAlignment(left: DataFrame, right: DataFrame, idCol: String,
+                      embCol: String, k: Int = 4): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val spark = left.sparkSession
+    val x = left.select(col(idCol).as("x_id"), col(embCol).as("x_emb"))
+    val y = right.select(col(idCol).as("y_id"), col(embCol).as("y_emb"))
+    val pairs = x.crossJoin(y)
+      .withColumn("c6",
+        round(round(VectorExprs.cosineFast(spark, "x_emb", "y_emb"), 6) * 1e6)
+          .cast("long"))
+      .select("x_id", "y_id", "c6")
+    val wx = Window.partitionBy("x_id").orderBy(col("c6").desc, col("y_id"))
+    val wy = Window.partitionBy("y_id").orderBy(col("c6").desc, col("x_id"))
+    val ranked = Dedup.materialize(pairs
+      .withColumn("rn_x", row_number().over(wx))
+      .withColumn("rn_y", row_number().over(wy))
+      .filter(col("rn_x") <= k || col("rn_y") <= k))
+    val sx = ranked.filter(col("rn_x") <= k)
+      .groupBy("x_id").agg(sum("c6").as("sx6"), count(lit(1)).as("kx"))
+    val sy = ranked.filter(col("rn_y") <= k)
+      .groupBy("y_id").agg(sum("c6").as("sy6"), count(lit(1)).as("ky"))
+    val scored = ranked.filter(col("rn_x") <= k)
+      .join(sx, "x_id").join(sy, "y_id")
+      .withColumn("margin", round(lit(2) * col("c6") /
+        (col("sx6").cast("double") / col("kx") +
+          col("sy6").cast("double") / col("ky")), 6))
+    val best = Window.partitionBy("x_id").orderBy(col("margin").desc, col("y_id"))
+    scored
+      .withColumn("rb", row_number().over(best))
+      .filter(col("rb") === 1)
+      .select(col("x_id"), col("y_id"),
+        round(col("c6") / 1e6, 6).as("cosine"), col("margin"),
+        (col("rn_x") === 1 && col("rn_y") === 1).cast("int").as("mutual"))
+  }
+
   /** Table count needed for `targetRecall` at cosine `threshold` with
     * `bits`-bit keys. p = 1 - angle/pi is the per-bit agreement
     * probability; with `multiprobe` a pair collides in a table iff the

@@ -160,6 +160,21 @@ object VectorQueries {
         .withColumn("r", row_number().over(wq))
       RankingEval.evalRun(run, qrels, "qid", "vec_id", "r", k = 10)
         .orderBy("qid")
+    }),
+
+    // Margin-criterion alignment mining (the bitext-mining / hard-positive
+    // shape): even labels vs odd labels stand in for the two corpora; each
+    // left vector gets its best right partner by RATIO margin (cosine over
+    // the mean of both sides' top-4 neighborhoods — normalizes hubness
+    // away), with the mutual-best flag. Cross-product candidates here =
+    // the oracle twin; the scale path feeds ANN candidates into the same
+    // scoring (see SimilaritySearch.marginAlignment scaladoc).
+    "q_v15_margin_align" -> ((s, dir) => {
+      val e = emb(s, dir)
+      SimilaritySearch.marginAlignment(
+          e.filter(col("label") % 2 === 0), e.filter(col("label") % 2 === 1),
+          "vec_id", "embedding", k = 4)
+        .orderBy("x_id")
     })
   )
 
@@ -333,6 +348,46 @@ object VectorQueries {
         |       round(coalesce(CAST(h.dcg AS DOUBLE), 0.0) / idcg.v, 6) AS ndcg_10
         |FROM nrel n LEFT JOIN hits h USING (qid)
         |JOIN idcg ON idcg.m = least(n.n_rel, 10)
-        |ORDER BY n.qid""".stripMargin
+        |ORDER BY n.qid""".stripMargin,
+
+    // Replays the margin arithmetic from the same scaled-long cosines:
+    // 6-dp cosine -> c6 BIGINT, per-side top-4 ranks by (c6 DESC, id),
+    // margin = 2*c6 / (sx6/kx + sy6/ky) in ONE fixed double expression,
+    // argmax margin per left vector with the (margin DESC, y_id) order.
+    "q_v15_margin_align" ->
+      """WITH x AS (SELECT vec_id AS x_id, embedding AS x_emb
+        |           FROM embeddings WHERE label % 2 = 0),
+        |y AS (SELECT vec_id AS y_id, embedding AS y_emb
+        |      FROM embeddings WHERE label % 2 = 1),
+        |p AS (
+        |  SELECT x_id, y_id,
+        |         CAST(round(round(
+        |           list_sum(list_transform(generate_series(1, len(x_emb)),
+        |             i -> CAST(x_emb[i] AS DOUBLE) * CAST(y_emb[i] AS DOUBLE)))
+        |           / (sqrt(list_sum(list_transform(x_emb, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+        |              * sqrt(list_sum(list_transform(y_emb, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))),
+        |           6) * 1e6) AS BIGINT) AS c6
+        |  FROM x CROSS JOIN y),
+        |r AS (
+        |  SELECT *,
+        |         row_number() OVER (PARTITION BY x_id ORDER BY c6 DESC, y_id) AS rn_x,
+        |         row_number() OVER (PARTITION BY y_id ORDER BY c6 DESC, x_id) AS rn_y
+        |  FROM p),
+        |sx AS (SELECT x_id, sum(c6) AS sx6, count(*) AS kx
+        |       FROM r WHERE rn_x <= 4 GROUP BY 1),
+        |sy AS (SELECT y_id, sum(c6) AS sy6, count(*) AS ky
+        |       FROM r WHERE rn_y <= 4 GROUP BY 1),
+        |m AS (
+        |  SELECT r.x_id, r.y_id, c6, rn_x, rn_y,
+        |         round(2 * c6 / (CAST(sx6 AS DOUBLE) / kx
+        |                         + CAST(sy6 AS DOUBLE) / ky), 6) AS margin
+        |  FROM r JOIN sx USING (x_id) JOIN sy USING (y_id)
+        |  WHERE rn_x <= 4)
+        |SELECT x_id, y_id, round(c6 / 1e6, 6) AS cosine, margin,
+        |       CAST(rn_x = 1 AND rn_y = 1 AS INTEGER) AS mutual
+        |FROM (SELECT *, row_number() OVER (PARTITION BY x_id
+        |                                   ORDER BY margin DESC, y_id) AS rb
+        |      FROM m)
+        |WHERE rb = 1 ORDER BY x_id""".stripMargin
   )
 }

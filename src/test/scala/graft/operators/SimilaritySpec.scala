@@ -254,6 +254,43 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("marginAlignment: planted twins align mutually with margin > 1") {
+    import spark.implicits._
+    // left = corpus vectors, right = slightly perturbed twins (+ one decoy
+    // per side); every left vector must pick its own twin, mutually.
+    val base = emb.limit(20).select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val left = base.toSeq.map { case (id, v) => (id, v.toSeq) }
+      .toDF("vec_id", "embedding")
+    val right = base.toSeq.map { case (id, v) =>
+      (id + 1000L, v.zipWithIndex.map { case (x, i) =>
+        x + (if (i % 7 == 0) 0.001f else -0.001f) }.toSeq)
+    }.toDF("vec_id", "embedding")
+    val got = SimilaritySearch.marginAlignment(left, right, "vec_id",
+        "embedding", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3),
+        r.getInt(4)))
+    assert(got.length == 20)
+    got.foreach { case (x, y, margin, mutual) =>
+      assert(y == x + 1000L, s"x=$x aligned to $y, not its twin")
+      assert(mutual == 1, s"twin pair ($x,$y) not mutual")
+      // the twin's cosine ~1 sits far above the top-4 neighborhood mean
+      assert(margin > 1.0, s"twin margin $margin not > 1")
+    }
+  }
+
+  test("marginAlignment is repartition-invariant and one row per left vector") {
+    val left = emb.filter(col("label") % 2 === 0)
+    val right = emb.filter(col("label") % 2 === 1)
+    val a = SimilaritySearch.marginAlignment(left, right, "vec_id",
+      "embedding", k = 4).orderBy("x_id").collect().toSeq
+    val b = SimilaritySearch.marginAlignment(left.repartition(7), right.repartition(3),
+      "vec_id", "embedding", k = 4).orderBy("x_id").collect().toSeq
+    assert(a == b)
+    assert(a.map(_.getLong(0)).distinct.length == a.length)
+    assert(a.length == left.count())
+  }
+
   test("q_v10 registry query: exactly one planted-twin pair per vector") {
     // The driver-facing production-SRP query (centered, exact-key, auto
     // bits) must surface precisely the deterministic twins it plants — the
