@@ -95,6 +95,55 @@ object Pipeline {
       .drop("_cap")
   }
 
+  /** TEMPERATURE-based domain mixing: per-group caps computed from the
+    * group counts themselves as cap_g = totalTarget · c_g^alpha / Σ c^alpha
+    * — the pretraining mixture shape (alpha < 1 upsamples rare
+    * domains/languages relative to proportional sampling, alpha = 1 is
+    * proportional, alpha = 0 uniform), then rows taken in the seed-keyed
+    * shuffle order of [[groupSample]]. Unlike [[mixSample]], the mixture
+    * spec is DERIVED, not hand-declared.
+    *
+    * Exactness: weights are held as scaled longs w6 = round(c^alpha·1e6)
+    * and caps as the exact integer division (totalTarget · w6) div Σw6, so
+    * caps are bit-stable and engine-replayable. At alpha = 0.5 the weight
+    * is sqrt(c) — IEEE-correctly-rounded in every engine; other alphas go
+    * through pow, whose last-ulp behavior is libm-specific (a weight could
+    * in principle round differently across engines — pin alpha = 0.5 for
+    * oracle-checked paths).
+    *
+    * Scale shape: the count agg is group-cardinality-sized, the cap table
+    * broadcasts, and the selection is [[mixSample]]'s one group-key
+    * window — one shuffle of the data, nothing corpus-sized on the driver.
+    * Sum-of-caps <= totalTarget (each cap floors); groups whose cap
+    * rounds to 0 drop entirely.
+    */
+  def temperatureMix(df: DataFrame, groupCol: String, idCol: String,
+                     totalTarget: Long, alpha: Double, seed: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(totalTarget > 0, s"totalTarget must be positive, got $totalTarget")
+    require(alpha >= 0 && alpha <= 1, s"alpha in [0,1], got $alpha")
+    // alpha = 0.5 compiles to sqrt, which is IEEE-correctly-rounded in
+    // every engine (pow(x, 0.5) is only 1-ulp-accurate in libm and could
+    // round a weight differently than an oracle's sqrt)
+    val wExpr =
+      if (alpha == 0.5) sqrt(col("_c").cast("double"))
+      else if (alpha == 1.0) col("_c").cast("double")
+      else if (alpha == 0.0) lit(1d)
+      else pow(col("_c").cast("double"), alpha)
+    val weighted = df.groupBy(groupCol).agg(count(lit(1)).as("_c"))
+      .withColumn("_w6", round(wExpr * 1e6).cast("long"))
+    val caps = weighted
+      .crossJoin(broadcast(weighted.agg(sum("_w6").as("_tw6"))))
+      .withColumn("_cap", expr(s"($totalTarget * _w6) div _tw6"))
+      .select(col(groupCol), col("_cap"))
+    df.join(broadcast(caps), groupCol)
+      .withColumn("sample_rank", row_number().over(
+        Window.partitionBy(groupCol)
+          .orderBy(shuffleKey(col(idCol), seed), col(idCol))))
+      .filter(col("sample_rank") <= col("_cap"))
+      .drop("_cap")
+  }
+
   /** Deterministic corpus shuffle for training-order writes: range-partition
     * on the shuffle key, sort within partitions. File j then holds the j-th
     * contiguous slice of the global shuffled order — a total order across

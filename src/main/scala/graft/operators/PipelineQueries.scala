@@ -170,6 +170,15 @@ object PipelineQueries {
         .select("lang", "sample_rank", "doc_id")
         .orderBy("lang", "sample_rank")),
 
+    // Temperature mixing at alpha = 0.5: per-language caps DERIVED from
+    // the counts (∝ sqrt(c) — upsamples rare languages vs proportional),
+    // exact scaled-long cap arithmetic, rows in the q_sp5 shuffle order.
+    "q_sp10_temperature_mix" -> ((s, dir) =>
+      Pipeline.temperatureMix(docs(s, dir), "lang", "doc_id",
+          totalTarget = 300L, alpha = 0.5, seed = shuffleSeed)
+        .select("lang", "sample_rank", "doc_id")
+        .orderBy("lang", "sample_rank")),
+
     // SCD type-2 dimension build from the orders change log: per-customer
     // versioned rows with half-open validity intervals. lead()-windowed,
     // one shuffle on the key.
@@ -427,6 +436,24 @@ object PipelineQueries {
            |           ORDER BY md5('$shuffleSeed:' || CAST(d.doc_id AS VARCHAR)),
            |                    d.doc_id) AS INTEGER) AS sample_rank
            |  FROM documents d JOIN caps c ON d.lang = c.lang)
+           |SELECT lang, sample_rank, doc_id
+           |FROM ranked WHERE sample_rank <= cap
+           |ORDER BY lang, sample_rank""".stripMargin,
+
+      // replays the derived caps (sqrt weights as scaled longs, exact
+      // integer division) and the seed-keyed selection order
+      "q_sp10_temperature_mix" ->
+        s"""WITH c AS (SELECT lang, count(*) AS c FROM documents GROUP BY 1),
+           |w AS (SELECT lang, CAST(round(sqrt(CAST(c AS DOUBLE)) * 1e6) AS BIGINT) AS w6 FROM c),
+           |tot AS (SELECT sum(w6) AS tw6 FROM w),
+           |caps AS (SELECT lang, (300 * w6) // tw6 AS cap FROM w, tot),
+           |ranked AS (
+           |  SELECT d.lang, d.doc_id, caps.cap,
+           |         CAST(row_number() OVER (
+           |           PARTITION BY d.lang
+           |           ORDER BY md5('$shuffleSeed:' || CAST(d.doc_id AS VARCHAR)),
+           |                    d.doc_id) AS INTEGER) AS sample_rank
+           |  FROM documents d JOIN caps ON d.lang = caps.lang)
            |SELECT lang, sample_rank, doc_id
            |FROM ranked WHERE sample_rank <= cap
            |ORDER BY lang, sample_rank""".stripMargin,

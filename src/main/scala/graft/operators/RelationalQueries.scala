@@ -757,6 +757,16 @@ object RelationalQueries {
         .orderBy("user_id")
     }),
 
+    // E5 — behavioral training-sequence construction: per user, the
+    // chronological event-type sequence truncated to 32 tokens plus the
+    // untruncated count (the sequential-recommendation dataset shape).
+    // One user-key shuffle; truncation happens BEFORE the collect, so
+    // per-user aggregation state is bounded by maxLen even for hot users.
+    "q_e5_event_sequences" -> ((s, dir) =>
+      graft.operators.TimeSeries.eventSequences(Tables.events(s, dir),
+          "user_id", "ts", "event_id", "event_type", maxLen = 32)
+        .orderBy("user_id")),
+
     // G1 — PageRank (3 damped iterations, exact scaled-integer arithmetic)
     // over the supplier↔part supply graph: suppliers encoded as 2k, parts
     // as 2k+1, one symmetric edge per distinct (supplier, part) lineitem
@@ -1227,6 +1237,20 @@ object RelationalQueries {
         |                 WHEN min(view_us) IS NOT NULL THEN 1
         |                 ELSE 0 END AS INTEGER) AS funnel_depth
         |FROM w3 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // replays the (ts, event_id) total order, the 32-token truncation,
+    // and the separator join
+    "q_e5_event_sequences" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY ts, event_id) AS rn,
+        |         count(*) OVER (PARTITION BY user_id) AS n_events
+        |  FROM events)
+        |SELECT user_id, n_events,
+        |       string_agg(event_type, '>' ORDER BY rn) AS seq
+        |FROM r WHERE rn <= 32
+        |GROUP BY 1, 2 ORDER BY user_id""".stripMargin,
 
     // unrolled 3-iteration replay of the integer PageRank; // is DuckDB's
     // floor division = Spark's div on the positive longs used here

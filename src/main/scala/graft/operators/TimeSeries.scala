@@ -122,4 +122,39 @@ object TimeSeries {
       .withColumn("was_gap", col("_v").isNull.cast("int"))
       .select(col(keyCol), col("day"), col("v_filled"), col("was_gap"))
   }
+
+  /** Behavioral TRAINING-SEQUENCE construction: per key, the
+    * chronologically-ordered token sequence (first `maxLen` events, joined
+    * with `sep`) plus the untruncated event count — the event-stream →
+    * model-input step of sequential-recommendation / user-model training
+    * data builds.
+    *
+    * Determinism: order is (tsCol, tieCol) — tieCol must be unique per key
+    * (an event id), making the order total, the truncation exact, and the
+    * string replayable by any engine. The collected structs carry the rank,
+    * and `array_sort` restores the total order regardless of collect_list's
+    * arrival order.
+    *
+    * Scale shape: ONE shuffle on the key; the rank window, the count
+    * window, and the aggregation all reuse that exchange (same
+    * partitioning key). Rows beyond `maxLen` are dropped BEFORE the
+    * collect, so per-key aggregation state is bounded by maxLen — a
+    * pathological hot key costs a window scan, never an unbounded buffer.
+    */
+  def eventSequences(events: DataFrame, keyCol: String, tsCol: String,
+                     tieCol: String, tokenCol: String, maxLen: Int,
+                     sep: String = ">"): DataFrame = {
+    require(maxLen >= 1, s"maxLen must be >= 1, got $maxLen")
+    val byKey = Window.partitionBy(keyCol)
+    val ordered = byKey.orderBy(col(tsCol), col(tieCol))
+    events
+      .withColumn("_rn", row_number().over(ordered))
+      .withColumn("n_events", count(lit(1)).over(byKey))
+      .filter(col("_rn") <= maxLen)
+      .groupBy(col(keyCol), col("n_events"))
+      .agg(concat_ws(sep,
+        expr(s"transform(array_sort(collect_list(struct(_rn, $tokenCol))), x -> x.$tokenCol)"))
+        .as("seq"))
+      .select(col(keyCol), col("n_events"), col("seq"))
+  }
 }

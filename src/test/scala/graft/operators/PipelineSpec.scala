@@ -147,6 +147,36 @@ class PipelineSpec extends SparkTestBase {
     assert(mx == gs)
   }
 
+  test("temperatureMix: derived caps match exact arithmetic; alpha<1 flattens the mix") {
+    import spark.implicits._
+    // 160 a / 40 b / 10 c: sqrt weights 12.649110, 6.324555, 3.162278
+    val df = ((1L to 160L).map(i => ("a", i)) ++
+      (201L to 240L).map(i => ("b", i)) ++
+      (301L to 310L).map(i => ("c", i))).toDF("grp", "id")
+    val got = Pipeline.temperatureMix(df, "grp", "id", totalTarget = 100L,
+        alpha = 0.5, seed = "s7")
+      .groupBy("grp").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // exact caps: w6 = round(sqrt(c)*1e6) -> 12649111, 6324555, 3162278
+    // tw6 = 22135944; caps = (100*w6) div tw6 = 57, 28, 14 — group c holds
+    // only 10 rows, so its cap is availability-bounded to all 10
+    assert(got == Map("a" -> 57L, "b" -> 28L, "c" -> 10L), got.toString)
+    // proportional shares would be 76/19/5 — temperature lifts the rare
+    // group's share (5% -> 14%) and cuts the dominant one's (76% -> 57%)
+    // alpha = 1 reproduces proportional-floor caps
+    val prop = Pipeline.temperatureMix(df, "grp", "id", totalTarget = 100L,
+        alpha = 1.0, seed = "s7")
+      .groupBy("grp").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(prop == Map("a" -> 76L, "b" -> 19L, "c" -> 4L), prop.toString)
+    // selection nests as a prefix of the groupSample order
+    val gs = Pipeline.groupSample(df.filter(col("grp") === "c"), "grp",
+        "id", n = 14, seed = "s7").select("id").as[Long].collect().toSet
+    val tm = Pipeline.temperatureMix(df, "grp", "id", 100L, 0.5, "s7")
+      .filter(col("grp") === "c").select("id").as[Long].collect().toSet
+    assert(tm == gs)
+  }
+
   test("leakage-safe split: clusters never straddle splits, every doc lands somewhere") {
     val out = graft.SparkEntry.queries("q_sp9_leakage_safe_split")(spark, sfDir("0.001"))
       .collect()

@@ -107,4 +107,31 @@ class TimeSeriesSpec extends SparkTestBase {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(cur == Map("k1" -> 1L, "k2" -> 1L))
   }
+
+  test("eventSequences: chronological order, tie-break, truncation, partitioning invariance") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(s: Int) = new java.sql.Timestamp(t0.getTime + s * 1000L)
+    val events = Seq(
+      // user 1: out-of-arrival-order events; 20 is a same-ts tie with 21
+      (21L, ts(5), 1L, "b"),
+      (10L, ts(1), 1L, "a"),
+      (20L, ts(5), 1L, "c"),  // event_id 20 < 21 -> c before b
+      (30L, ts(9), 1L, "d"),
+      // user 2: 5 events, truncation to 3 must keep the earliest 3
+      (41L, ts(1), 2L, "v"), (42L, ts(2), 2L, "w"), (43L, ts(3), 2L, "x"),
+      (44L, ts(4), 2L, "y"), (45L, ts(5), 2L, "z")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val got = TimeSeries.eventSequences(events, "user_id", "ts", "event_id",
+        "event_type", maxLen = 3)
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(got == Seq((1L, 4L, "a>c>b"), (2L, 5L, "v>w>x")), got.toString)
+    // adversarial partitioning cannot change the sequences
+    val again = TimeSeries.eventSequences(events.repartition(7), "user_id",
+        "ts", "event_id", "event_type", maxLen = 3)
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(again == got)
+  }
 }
