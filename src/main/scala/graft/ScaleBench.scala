@@ -115,8 +115,39 @@ object ScaleBench {
       // round-7 additions: iterative graph (Pregel-shaped exchanges),
       // broadcast-literal k-means, vocabulary-sized drift, id-keyed diff
       "q_g1_pagerank", "q_v13_kmeans_topics",
-      "q_t15_domain_drift", "q_l4_snapshot_diff"
+      "q_t15_domain_drift", "q_l4_snapshot_diff",
+      // round-7 late additions: vocabulary-sized bigram model + scoring
+      // join, one-key-shuffle sequence build
+      "q_t16_lm_perplexity", "q_e5_event_sequences"
     ).map(n => n -> SparkEntry.queries(n)) :+
+      // row-local classifier scoring in the PRODUCTION hash family (the
+      // registry query pins md5 for the oracle; xx64 is the scan-speed
+      // configuration) — the curve must track raw scan throughput
+      ("q_t17_classifier_scale" -> ((s: SparkSession, d: String) =>
+        operators.TextAnalysis.hashedLinearScore(
+          s.read.parquet(s"$d/documents.parquet"), "doc_id", "text",
+          dim = 1024, seed = "graft-qc-1",
+          family = graft.functions.HashFamily.Xx64))) :+
+      // directed containment join: the B-side indexes ALL its ranked
+      // tokens (no upper length filter), so this curve is the receipt
+      // that prefix-rarity alone keeps candidate fan-out linear
+      ("q_d9_containment_scale" -> ((s: SparkSession, d: String) =>
+        operators.Dedup.containmentSimilarityJoin(
+          s.read.parquet(s"$d/documents.parquet"), "doc_id", "text",
+          shingleSize = 3, threshold = 0.6))) :+
+      // margin alignment through SRP candidates (centered exact-key, the
+      // q_v6 scale regime): base vectors vs their planted twins across
+      // the replica id-space split; output = aligned twins, linear by
+      // construction — a superlinear curve here means the candidate
+      // join, not the scoring, broke
+      ("q_v15_margin_scale" -> ((s: SparkSession, d: String) => {
+        val e = s.read.parquet(s"$d/embeddings.parquet")
+        operators.SimilaritySearch.marginAlignmentLsh(
+          e.filter(pmod(col("vec_id"), lit(10000000L)) < 5000000L),
+          e.filter(pmod(col("vec_id"), lit(10000000L)) >= 5000000L),
+          "vec_id", "embedding", k = 4, minCosine = 0.9,
+          targetRecall = 0.999, center = true)
+      })) :+
       ("q_v6_neardup_scale" -> ((s: SparkSession, d: String) =>
         operators.SimilaritySearch.embeddingNearDupPairs(
           s.read.parquet(s"$d/embeddings.parquet"), "vec_id", "embedding",

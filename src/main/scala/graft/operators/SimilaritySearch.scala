@@ -137,6 +137,18 @@ object SimilaritySearch {
         round(round(VectorExprs.cosineFast(spark, "x_emb", "y_emb"), 6) * 1e6)
           .cast("long"))
       .select("x_id", "y_id", "c6")
+    scoreMargins(pairs, k)
+  }
+
+  /** The margin-scoring stage shared by [[marginAlignment]] (exact cross
+    * product) and [[marginAlignmentLsh]] (SRP candidates): consumes a
+    * candidate frame (x_id, y_id, c6 = 6-dp scaled-long cosine), computes
+    * both sides' top-k neighborhood means and each x's argmax-margin
+    * partner. Everything downstream of the candidate frame is ≤ n·k rows
+    * after the two rank windows; shuffles only on the id keys.
+    */
+  private def scoreMargins(pairs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val wx = Window.partitionBy("x_id").orderBy(col("c6").desc, col("y_id"))
     val wy = Window.partitionBy("y_id").orderBy(col("c6").desc, col("x_id"))
     val ranked = Dedup.materialize(pairs
@@ -159,6 +171,65 @@ object SimilaritySearch {
       .select(col("x_id"), col("y_id"),
         round(col("c6") / 1e6, 6).as("cosine"), col("margin"),
         (col("rn_x") === 1 && col("rn_y") === 1).cast("int").as("mutual"))
+  }
+
+  /** The SCALE path of margin alignment: candidate pairs come from an
+    * exact-key SRP bucket join between the two sides (both hashed with the
+    * SAME hyperplanes, so cross-side neighbors collide), and the shared
+    * margin scoring runs on candidates only. Semantics are CANDIDATE-
+    * BOUNDED, as in production FAISS-style mining: each side's top-k
+    * neighborhood mean is over retrieved candidates (pairs with cosine >=
+    * `minCosine` are retrieved with probability >= `targetRecall`; pairs
+    * below the floor only opportunistically), and a left vector with no
+    * candidate produces no row. Key sizing, table tuning, and the optional
+    * centering transform reuse the [[embeddingNearDupPairs]] machinery —
+    * including its auto bit-width and centered-threshold estimate — so the
+    * candidate join stays linear as the corpus grows.
+    */
+  def marginAlignmentLsh(left: DataFrame, right: DataFrame, idCol: String,
+                         embCol: String, k: Int = 4,
+                         minCosine: Double = 0.8,
+                         targetRecall: Double = 0.95, bits: Int = 0,
+                         seed: Int = 42, center: Boolean = false,
+                         minCenteredThreshold: Double = 0.15): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = left.sparkSession
+    graft.plans.GraftExtensions.register(spark)
+    val x = left.select(col(idCol).as("x_id"), col(embCol).as("x_emb"))
+    val y = right.select(col(idCol).as("y_id"), col(embCol).as("y_emb"))
+    val (hx, hy, tune) =
+      if (!center) ("x_emb", "y_emb", minCosine)
+      else {
+        val all = x.select(col("x_emb").as(embCol))
+          .unionByName(y.select(col("y_emb").as(embCol)))
+        val st = dimStats(all, embCol)
+        val centered = centeredThresholdEstimate(minCosine, st)
+        require(centered > minCenteredThreshold,
+          f"center=true cannot hold recall for original cosine >= $minCosine%.3f " +
+            f"here: estimated centered-space similarity $centered%.3f is at or " +
+            "below the SRP background — use center=false")
+        val arr = st.means.map(v => s"${v}D").mkString("array(", ", ", ")")
+        def c(e: String) =
+          s"transform($e, (x, i) -> CAST(CAST(x AS DOUBLE) - element_at($arr, i + 1) AS FLOAT))"
+        (c("x_emb"), c("y_emb"), math.min(centered, minCosine))
+      }
+    val n = math.max(x.count(), y.count())
+    val useBits = if (bits > 0) bits else bitsForExactKey(n, tune, targetRecall)
+    val tables = tablesForRecall(tune, useBits, targetRecall, multiprobe = false)
+    val bx = x.select(col("x_id"),
+      posexplode(srpBucketKeys(hx, tables, useBits, seed)).as(Seq("tbl", "bucket")))
+    val by = y.select(col("y_id"),
+      posexplode(srpBucketKeys(hy, tables, useBits, seed)).as(Seq("tbl", "bucket")))
+    // candidate IDs only through the bucket join; vectors re-attach per
+    // unique pair (the embeddingNearDupPairs shuffle discipline)
+    val cands = bx.join(by, Seq("tbl", "bucket"))
+      .select("x_id", "y_id").distinct()
+    val pairs = cands.join(x, "x_id").join(y, "y_id")
+      .withColumn("c6",
+        round(round(VectorExprs.cosineFast(spark, "x_emb", "y_emb"), 6) * 1e6)
+          .cast("long"))
+      .select("x_id", "y_id", "c6")
+    scoreMargins(pairs, k)
   }
 
   /** Table count needed for `targetRecall` at cosine `threshold` with

@@ -279,6 +279,30 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("marginAlignmentLsh: SRP candidates recover every twin alignment") {
+    import spark.implicits._
+    val base = emb.limit(30).select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val left = base.toSeq.map { case (id, v) => (id, v.toSeq) }
+      .toDF("vec_id", "embedding")
+    val right = base.toSeq.map { case (id, v) =>
+      (id + 1000L, v.zipWithIndex.map { case (x, i) =>
+        x + (if (i % 7 == 0) 0.001f else -0.001f) }.toSeq)
+    }.toDF("vec_id", "embedding")
+    // centered exact-key config (the production SRP regime): candidates
+    // above cosine 0.9 are the planted twins; every left vector must
+    // still align to its twin through the candidate-bounded scoring
+    val got = SimilaritySearch.marginAlignmentLsh(left, right, "vec_id",
+        "embedding", k = 4, minCosine = 0.9, targetRecall = 0.999,
+        center = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(4)))
+    assert(got.length == 30, s"expected 30 aligned vectors, got ${got.length}")
+    got.foreach { case (x, y, mutual) =>
+      assert(y == x + 1000L, s"x=$x aligned to $y, not its twin")
+      assert(mutual == 1, s"twin pair ($x,$y) not mutual")
+    }
+  }
+
   test("marginAlignment is repartition-invariant and one row per left vector") {
     val left = emb.filter(col("label") % 2 === 0)
     val right = emb.filter(col("label") % 2 === 1)
