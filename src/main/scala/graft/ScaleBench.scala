@@ -117,8 +117,10 @@ object ScaleBench {
       "q_g1_pagerank", "q_v13_kmeans_topics",
       "q_t15_domain_drift", "q_l4_snapshot_diff",
       // round-7 late additions: vocabulary-sized bigram model + scoring
-      // join, one-key-shuffle sequence build
-      "q_t16_lm_perplexity", "q_e5_event_sequences"
+      // join, one-key-shuffle sequence build, BPE train (one corpus pass
+      // + vocab-sized iterations) and row-local encode
+      "q_t16_lm_perplexity", "q_e5_event_sequences",
+      "q_t18_bpe_train", "q_t19_bpe_encode"
     ).map(n => n -> SparkEntry.queries(n)) :+
       // row-local classifier scoring in the PRODUCTION hash family (the
       // registry query pins md5 for the oracle; xx64 is the scan-speed

@@ -234,8 +234,62 @@ object TextQueries {
       TextAnalysis.hashedLinearScore(docs(s, dir), "doc_id", "text",
           dim = 1024, seed = "graft-qc-1",
           family = graft.functions.HashFamily.Md5)
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // BPE tokenizer TRAINING on the corpus: 6 merges learned from the
+    // word-frequency table (one corpus pass; iterations vocabulary-sized;
+    // one argmax row per iteration reaches the driver). The oracle
+    // replays all 6 unrolled iterations including the string-level merge
+    // application — a single wrong count or tie-break fails the hash.
+    "q_t18_bpe_train" -> ((s, dir) =>
+      Tokenizer.bpeTrainFrame(docs(s, dir), "text", numMerges = 6)
+        .orderBy("step")),
+
+    // ENCODE under the learned tokenizer: per-doc real subword counts —
+    // the merge chain compiles into literal replaces riding the scan
+    // (row-local, zero shuffle). Training reruns in-query so the pair is
+    // self-contained; at ingest the merge table would be a persisted
+    // artifact.
+    "q_t19_bpe_encode" -> ((s, dir) => {
+      val merges = Tokenizer.bpeTrain(docs(s, dir), "text", numMerges = 6)
+      Tokenizer.bpeEncodeCounts(docs(s, dir), "doc_id", "text", merges)
+        .orderBy("doc_id")
+    })
   )
+
+  /** The 6-iteration unrolled BPE-training replay: w0 = word frequencies,
+    * s0 = char symbol-strings, then per iteration i: pair counts pI,
+    * argmax mI, merged symbol-strings sI. Shared by the train and encode
+    * oracles.
+    */
+  private def bpeOracleStages(numMerges: Int): String = {
+    val stages = (1 to numMerges).map { i =>
+      s"""p$i AS MATERIALIZED (
+         |  SELECT s.lhs, s.rhs, sum(s.freq) AS c FROM (
+         |    SELECT freq, syms[j] AS lhs, syms[j + 1] AS rhs
+         |    FROM (SELECT freq, list_filter(string_split(sym, '  '), x -> x != '') AS syms
+         |          FROM s${i - 1}),
+         |         unnest(generate_series(1, len(syms) - 1)) AS t(j)
+         |  ) s GROUP BY 1, 2),
+         |m$i AS MATERIALIZED (SELECT lhs, rhs, c FROM p$i ORDER BY c DESC, lhs, rhs LIMIT 1),
+         |s$i AS MATERIALIZED (
+         |  SELECT word, freq,
+         |         replace(sym, ' ' || (SELECT lhs FROM m$i) || '  ' || (SELECT rhs FROM m$i) || ' ',
+         |                 ' ' || (SELECT lhs || rhs FROM m$i) || ' ') AS sym
+         |  FROM s${i - 1})""".stripMargin
+    }.mkString(",\n")
+    s"""w0 AS MATERIALIZED (
+       |  SELECT word, count(*) AS freq FROM (
+       |    SELECT unnest(list_filter(string_split(text, ' '), x -> x != '')) AS word
+       |    FROM documents)
+       |  GROUP BY 1),
+       |s0 AS MATERIALIZED (
+       |  SELECT word, freq,
+       |         '  ' || array_to_string(list_transform(generate_series(1, length(word)),
+       |                                 i -> word[i]), '  ') || '  ' AS sym
+       |  FROM w0),
+       |$stages""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "q_t0_word_freq" ->
@@ -593,6 +647,35 @@ object TextQueries {
         |       CASE WHEN n = 0 THEN 0.0
         |            ELSE round(s9 / 1e9 / n, 6) END AS margin,
         |       CAST(s9 > 0 AS INTEGER) AS label
-        |FROM scored ORDER BY doc_id""".stripMargin
+        |FROM scored ORDER BY doc_id""".stripMargin,
+
+    "q_t18_bpe_train" -> {
+      val unions = (1 to 6).map(i =>
+        s"SELECT CAST($i AS INTEGER) AS step, lhs, rhs, CAST(c AS BIGINT) AS pair_freq FROM m$i")
+        .mkString("\n  UNION ALL ")
+      s"""WITH ${bpeOracleStages(6)}
+         |SELECT * FROM (
+         |  $unions)
+         |ORDER BY step""".stripMargin
+    },
+
+    "q_t19_bpe_encode" ->
+      s"""WITH ${bpeOracleStages(6)},
+         |wt AS (
+         |  SELECT word,
+         |         len(list_filter(string_split(sym, '  '), x -> x != '')) AS toks
+         |  FROM s6),
+         |dw AS (
+         |  SELECT doc_id,
+         |         unnest(list_filter(string_split(text, ' '), x -> x != '')) AS word
+         |  FROM documents),
+         |agg AS (
+         |  SELECT doc_id, count(*) AS n_words, sum(toks) AS n_tokens
+         |  FROM dw JOIN wt USING (word) GROUP BY 1)
+         |SELECT d.doc_id,
+         |       CAST(coalesce(n_words, 0) AS BIGINT) AS n_words,
+         |       CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens
+         |FROM documents d LEFT JOIN agg USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
   )
 }
