@@ -254,6 +254,38 @@ object TextQueries {
       val merges = Tokenizer.bpeTrain(docs(s, dir), "text", numMerges = 6)
       Tokenizer.bpeEncodeCounts(docs(s, dir), "doc_id", "text", merges)
         .orderBy("doc_id")
+    }),
+
+    // Vocabulary statistics per language slice — the corpus profile that
+    // drives tokenizer/dedup planning: token mass, distinct words and
+    // 3-gram shingles (exact twins + bounded-memory HLL++ estimates with
+    // the q_a10 in-plan 8%-gate discipline — a drifting sketch fails the
+    // driver hash), and type/token ratio (the Heaps-law vocabulary-growth
+    // signal, 6-dp from exact integers). At 100 TB the exact twins drop
+    // and the mergeable sketches ARE the product; the gates are the
+    // regression harness that keeps them honest at test scale.
+    "q_t20_vocab_growth" -> ((s, dir) => {
+      val words = docs(s, dir).select(col("lang"),
+        explode(expr(wordsExpr)).as("w"))
+      val tris = docs(s, dir).select(col("lang"),
+        explode(Dedup.shingles("text", 3)).as("g"))
+      val wAgg = words.groupBy("lang").agg(
+        count(lit(1)).as("n_tokens"),
+        countDistinct(col("w")).as("exact_words"),
+        approx_count_distinct(col("w"), 0.02).as("aw"))
+      val tAgg = tris.groupBy("lang").agg(
+        countDistinct(col("g")).as("exact_trigrams"),
+        approx_count_distinct(col("g"), 0.02).as("ag"))
+      wAgg.join(tAgg, "lang")
+        .select(col("lang"), col("n_tokens"), col("exact_words"),
+          col("exact_trigrams"),
+          round(col("exact_words").cast("double") / col("n_tokens"), 6)
+            .as("ttr"),
+          (abs(col("aw") - col("exact_words"))
+            <= col("exact_words") * 0.08).cast("int").as("words_ok"),
+          (abs(col("ag") - col("exact_trigrams"))
+            <= col("exact_trigrams") * 0.08).cast("int").as("trigrams_ok"))
+        .orderBy("lang")
     })
   )
 
@@ -657,6 +689,36 @@ object TextQueries {
          |SELECT * FROM (
          |  $unions)
          |ORDER BY step""".stripMargin
+    },
+
+    // exact twins externally recomputed; the sketch gates are asserted as
+    // literal 1s (the q_a10 oracle shape — Spark emitting 0 on sketch
+    // drift breaks the hash)
+    "q_t20_vocab_growth" -> {
+      val tri = """list_distinct(CASE WHEN len(w) >= 3
+                  |  THEN list_transform(generate_series(1, len(w) - 2),
+                  |                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                  |  ELSE [] END)""".stripMargin
+      s"""WITH words AS (
+         |  SELECT lang, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS w
+         |  FROM documents),
+         |tris AS (
+         |  SELECT lang, unnest($tri) AS g
+         |  FROM (SELECT lang, list_filter(string_split(text, ' '), x -> x != '') AS w
+         |        FROM documents)),
+         |wa AS (
+         |  SELECT lang, count(*) AS n_tokens, count(DISTINCT w) AS exact_words
+         |  FROM words GROUP BY 1),
+         |ta AS (
+         |  SELECT lang, count(DISTINCT g) AS exact_trigrams FROM tris GROUP BY 1)
+         |SELECT wa.lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |       CAST(exact_words AS BIGINT) AS exact_words,
+         |       CAST(exact_trigrams AS BIGINT) AS exact_trigrams,
+         |       round(CAST(exact_words AS DOUBLE) / n_tokens, 6) AS ttr,
+         |       CAST(1 AS INTEGER) AS words_ok,
+         |       CAST(1 AS INTEGER) AS trigrams_ok
+         |FROM wa JOIN ta USING (lang)
+         |ORDER BY lang""".stripMargin
     },
 
     "q_t19_bpe_encode" ->
