@@ -64,4 +64,67 @@ object Graph {
     }
     ranks
   }
+
+  /** EXACT triangle counting with per-node local clustering coefficients
+    * — the degeneracy-ordered wedge-join algorithm (the standard
+    * MapReduce/Spark formulation of node-iterator++): orient every
+    * undirected edge from its lower to its higher endpoint under the
+    * (degree, id) total order, enumerate wedges by self-joining the
+    * oriented adjacency on the wedge CENTER, and close each wedge with
+    * one directed hash lookup. Orientation caps out-degree at
+    * O(sqrt(edges)) on any graph (the arboricity bound), so the wedge
+    * frame — the algorithm's whole cost — is O(m^1.5) worst-case and
+    * near-linear on sparse graphs, instead of sum(degree^2) for the naive
+    * wedge join; a popular hub generates NO wedges because every edge
+    * points INTO it.
+    *
+    * Input: undirected edges as (src, dst) longs, one row per edge in
+    * either order (dedup + canonicalization happen inside). Returns
+    * (node, degree, triangles, clustering) for nodes in >= 1 triangle,
+    * clustering = round(2T / (d(d-1)), 6) — exact integers everywhere
+    * else, so the output hash-replays on any engine.
+    *
+    * Scale shape: two hash shuffles (adjacency on the wedge center, the
+    * wedge-closure equi-join) + one node-keyed count — no per-node
+    * loops, no driver state, AQE free to re-plan the closure join.
+    */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    val canon = edges
+      .select(least(col("src"), col("dst")).cast("long").as("a"),
+        greatest(col("src"), col("dst")).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val deg = canon.select(col("a").as("n")).unionAll(canon.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    // orient by (degree, id): u -> v iff (d_u, u) < (d_v, v)
+    val oriented = canon
+      .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
+      .select(
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("a"))
+          .otherwise(col("b")).as("u"),
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("b"))
+          .otherwise(col("a")).as("v"),
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("db"))
+          .otherwise(col("da")).as("dv"))
+    // wedges centered at u; order the two spokes by the SAME (deg, id)
+    // orientation so the closing edge is a directed lookup
+    val w = oriented.select(col("u"), col("v"), col("dv"))
+    val wedges = w.as("x").join(w.as("y"),
+        col("x.u") === col("y.u") &&
+          (col("x.dv") < col("y.dv") ||
+            (col("x.dv") === col("y.dv") && col("x.v") < col("y.v"))))
+      .select(col("x.u").as("u"), col("x.v").as("v"), col("y.v").as("w"))
+    val closed = wedges.join(
+      oriented.select(col("u").as("v"), col("v").as("w")), Seq("v", "w"))
+    val perNode = closed.select(explode(array(col("u"), col("v"), col("w"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("triangles"))
+    perNode.join(deg, "n")
+      .select(col("n").as("node"), col("d").as("degree"), col("triangles"),
+        round(lit(2) * col("triangles") / (col("d") * (col("d") - 1)), 6)
+          .as("clustering"))
+  }
 }

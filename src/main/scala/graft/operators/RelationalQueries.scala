@@ -757,6 +757,27 @@ object RelationalQueries {
         .orderBy("user_id")
     }),
 
+    // G2 — exact triangle counting + local clustering coefficients over
+    // the part-affinity graph (parts co-ordered >= 2 times — support
+    // filtering keeps the graph meaningful and sparse). Degeneracy-
+    // ordered wedge join: orientation by (degree, id) caps out-degree at
+    // O(sqrt(m)), so the wedge frame is near-linear on sparse graphs; the
+    // closure is one directed equi-join. All integers until the final
+    // coefficient division — hash-replayable.
+    "q_g2_triangles" -> ((s, dir) => {
+      val op = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val e = op.as("a")
+        .join(op.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("src"), col("b.p").as("dst"))
+        .agg(count(lit(1)).as("sup"))
+        .filter(col("sup") >= 2)
+        .select("src", "dst")
+      Graph.triangleStats(e)
+        .orderBy(col("triangles").desc, col("node"))
+        .limit(20)
+    }),
+
     // E5 — behavioral training-sequence construction: per user, the
     // chronological event-type sequence truncated to 32 tokens plus the
     // untruncated count (the sequential-recommendation dataset shape).
@@ -1237,6 +1258,42 @@ object RelationalQueries {
         |                 WHEN min(view_us) IS NOT NULL THEN 1
         |                 ELSE 0 END AS INTEGER) AS funnel_depth
         |FROM w3 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // replays the support-filtered affinity edges, the (degree, id)
+    // orientation, the ordered wedge join, the directed closure, and the
+    // coefficient arithmetic
+    "q_g2_triangles" ->
+      """WITH op AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (
+        |  SELECT a.p AS a, b.p AS b FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (
+        |  SELECT n, count(*) AS d FROM (
+        |    SELECT a AS n FROM e UNION ALL SELECT b FROM e) t GROUP BY 1),
+        |o AS (
+        |  SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
+        |              THEN e.a ELSE e.b END AS u,
+        |         CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
+        |              THEN e.b ELSE e.a END AS v,
+        |         CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
+        |              THEN db.d ELSE da.d END AS dv
+        |  FROM e JOIN deg da ON da.n = e.a JOIN deg db ON db.n = e.b),
+        |wedges AS (
+        |  SELECT x.u, x.v AS v, y.v AS w
+        |  FROM o x JOIN o y ON x.u = y.u
+        |   AND (x.dv < y.dv OR (x.dv = y.dv AND x.v < y.v))),
+        |closed AS (
+        |  SELECT wedges.u, wedges.v, wedges.w
+        |  FROM wedges JOIN o c ON c.u = wedges.v AND c.v = wedges.w),
+        |per AS (
+        |  SELECT n, count(*) AS triangles FROM (
+        |    SELECT u AS n FROM closed UNION ALL SELECT v FROM closed
+        |    UNION ALL SELECT w FROM closed) t GROUP BY 1)
+        |SELECT per.n AS node, deg.d AS degree, triangles,
+        |       round(2 * triangles / (deg.d * (deg.d - 1)), 6) AS clustering
+        |FROM per JOIN deg ON deg.n = per.n
+        |ORDER BY triangles DESC, node LIMIT 20""".stripMargin,
 
     // replays the (ts, event_id) total order, the 32-token truncation,
     // and the separator join

@@ -44,4 +44,45 @@ class GraphSpec extends SparkTestBase {
     assert(total > (Graph.Scale * 95) / 100 && total <= Graph.Scale,
       s"mass $total out of range")
   }
+
+  private def triRows(edges: Seq[(Long, Long)]) =
+    Graph.triangleStats(edges.toDF("src", "dst"))
+      .orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+
+  test("triangleStats: hand-folded triangle+pendant and K4") {
+    // triangle {1,2,3} with pendant 4 on node 3
+    val got = triRows(Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)))
+    assert(got == Seq(
+      (1L, 2L, 1L, 1.0), (2L, 2L, 1L, 1.0), (3L, 3L, 1L, 0.333333)),
+      got.toString)
+    // K4: every node in 3 triangles, coefficient 1.0
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val got4 = triRows(k4)
+    assert(got4 == (1L to 4L).map(n => (n, 3L, 3L, 1.0)), got4.toString)
+  }
+
+  test("triangleStats: duplicate and reversed input edges do not change counts") {
+    val base = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    val noisy = base ++ base.map(_.swap) ++ base // dups + reversals
+    assert(triRows(noisy) == triRows(base))
+  }
+
+  test("triangleStats matches a driver-side brute count on a random graph") {
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(200)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter { case (a, b) => a != b }
+    val canon = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    val adj = canon.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val nodes = canon.flatMap { case (a, b) => Seq(a, b) }
+    val brute = nodes.map { n =>
+      val nbrs = canon.collect { case (a, b) if a == n => b
+                                 case (a, b) if b == n => a }
+      val t = nbrs.toSeq.combinations(2).count { case Seq(x, y) =>
+        canon.contains((math.min(x, y), math.max(x, y))) }
+      n -> t.toLong
+    }.toMap.filter(_._2 > 0)
+    val got = triRows(edges).map(r => r._1 -> r._3).toMap
+    assert(got == brute, s"got $got want $brute")
+  }
 }
