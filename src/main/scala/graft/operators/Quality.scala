@@ -146,6 +146,42 @@ object Quality {
       .drop("n")
   }
 
+  /** Per-group WINSORIZATION flags by nearest-rank percentiles — the
+    * "drop length outliers per language" curation step, with EXACT
+    * percentile semantics: the p-th percentile of a group of n values is
+    * the value at 1-based sorted position ceil(p·n) (the classic
+    * nearest-rank definition — pure integer rank arithmetic, no
+    * interpolation, so any engine replays it bit-for-bit; interpolating
+    * percentile_cont implementations disagree in last-ulp ways that break
+    * hashes). Rows get `status` = 'low' (< pLo value), 'high' (> pHi
+    * value), or 'keep'.
+    *
+    * Scale shape: ONE shuffle on the group key; the sort rank, the two
+    * percentile lookups (max-over-window of rank-selected values), and
+    * the flagging all reuse that exchange. No driver state, no second
+    * scan.
+    */
+  def winsorizeFlags(df: DataFrame, groupCol: String, valueCol: String,
+                     pLo: Double, pHi: Double): DataFrame = {
+    require(pLo > 0 && pHi < 1 && pLo < pHi, s"need 0 < pLo < pHi < 1")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
+    val ordered = w.orderBy(col(valueCol))
+    df
+      .withColumn("_rk", row_number().over(ordered))
+      .withColumn("_n", count(lit(1)).over(w))
+      .withColumn("_lo", max(when(
+        col("_rk") === ceil(col("_n") * pLo).cast("int"), col(valueCol)))
+        .over(w))
+      .withColumn("_hi", max(when(
+        col("_rk") === ceil(col("_n") * pHi).cast("int"), col(valueCol)))
+        .over(w))
+      .withColumn("status",
+        when(col(valueCol) < col("_lo"), "low")
+          .when(col(valueCol) > col("_hi"), "high")
+          .otherwise("keep"))
+      .drop("_rk", "_n", "_lo", "_hi")
+  }
+
   def kAnonymize(df: DataFrame, quasiCols: Seq[String], k: Int,
                  marker: String = "__SUPPRESSED__"): DataFrame = {
     require(quasiCols.nonEmpty && k >= 1, "need quasi columns and k >= 1")

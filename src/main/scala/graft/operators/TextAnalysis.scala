@@ -382,6 +382,32 @@ object TextAnalysis {
           lit(0d)), 6).as("avg_nll"))
   }
 
+  /** Character-level Shannon entropy of the non-space text — the
+    * gibberish/compressibility quality signal (near-zero for repeated
+    * characters, high for diverse text; pipelines drop both extremes).
+    * Entirely row-local: per-char probabilities via array ops over the
+    * doc's own characters (O(distinct·len) per row, distinct bounded by
+    * the alphabet), each term -p·ln(p) scaled to a 1e-9 fixed-point LONG
+    * before summation — integer addition is order-independent, so the
+    * value doesn't depend on the engine's distinct-order and replays
+    * externally. Returns entropy in nats, 6 dp; empty/whitespace-only
+    * text scores 0.
+    */
+  def charEntropy(textCol: String): Column = {
+    val chars =
+      s"transform(sequence(1, length(s)), i -> substring(s, i, 1))"
+    expr(Dedup.letBind(s"regexp_replace($textCol, ' ', '')", "s",
+      s"""CASE WHEN length(s) = 0 THEN CAST(0.0 AS DOUBLE) ELSE
+         |  ${Dedup.letBind(chars, "cs",
+             s"""round(aggregate(
+                |  transform(array_distinct(cs), c ->
+                |    CAST(round(-(CAST(size(filter(cs, x -> x = c)) AS DOUBLE) / size(cs)
+                |         * ln(CAST(size(filter(cs, x -> x = c)) AS DOUBLE) / size(cs))) * 1e9)
+                |      AS BIGINT)),
+                |  CAST(0 AS BIGINT), (a, x) -> a + x) / 1e9, 6)""".stripMargin)}
+         |END""".stripMargin))
+  }
+
   /** Model-based quality scoring in the fasttext/linear-classifier shape,
     * executed ENTIRELY row-locally: each token hashes into one of `dim`
     * weight buckets, bucket weights are 9-dp fixed-point LONGS, and the

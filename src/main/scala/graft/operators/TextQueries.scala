@@ -286,7 +286,29 @@ object TextQueries {
           (abs(col("ag") - col("exact_trigrams"))
             <= col("exact_trigrams") * 0.08).cast("int").as("trigrams_ok"))
         .orderBy("lang")
-    })
+    }),
+
+    // Character-entropy quality signal (gibberish/compressibility): fully
+    // row-local, fixed-point term summation so the value is independent
+    // of distinct-char enumeration order and engine-replayable.
+    "q_t21_char_entropy" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        expr("CAST(length(regexp_replace(text, ' ', '')) AS INT)")
+          .as("n_chars_sig"),
+        TextAnalysis.charEntropy("text").as("entropy"))
+      .orderBy("doc_id")),
+
+    // Per-language length winsorization by EXACT nearest-rank
+    // percentiles (integer rank arithmetic, no interpolation): the
+    // outlier-doc triage step, summarized per (lang, status).
+    "q_q4_length_winsorize" -> ((s, dir) =>
+      Quality.winsorizeFlags(
+          docs(s, dir).select(col("lang"), col("doc_id"), col("n_chars")),
+          "lang", "n_chars", pLo = 0.05, pHi = 0.95)
+        .groupBy("lang", "status")
+        .agg(count(lit(1)).as("n"), min("n_chars").as("min_chars"),
+          max("n_chars").as("max_chars"))
+        .orderBy("lang", "status"))
   )
 
   /** The 6-iteration unrolled BPE-training replay: w0 = word frequencies,
@@ -690,6 +712,49 @@ object TextQueries {
          |  $unions)
          |ORDER BY step""".stripMargin
     },
+
+    // replays the per-char probability terms as 1e-9 fixed-point BIGINTs
+    // (order-independent sum — list_distinct enumeration order is free)
+    "q_t21_char_entropy" ->
+      """WITH base AS (
+        |  SELECT doc_id, regexp_replace(text, ' ', '', 'g') AS s FROM documents),
+        |c AS (
+        |  SELECT doc_id, s,
+        |         list_transform(generate_series(1, length(s)), i -> s[i]) AS cs
+        |  FROM base)
+        |SELECT doc_id, CAST(length(s) AS INTEGER) AS n_chars_sig,
+        |       CASE WHEN length(s) = 0 THEN 0.0 ELSE
+        |         round(list_sum(list_transform(list_distinct(cs), c ->
+        |           CAST(round(-(CAST(len(list_filter(cs, x -> x = c)) AS DOUBLE) / len(cs)
+        |                * ln(CAST(len(list_filter(cs, x -> x = c)) AS DOUBLE) / len(cs))) * 1e9)
+        |             AS BIGINT))) / 1e9, 6)
+        |       END AS entropy
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    // replays the nearest-rank percentile lookups (integer ranks, the
+    // value at sorted position ceil(p*n)) and the flagging
+    "q_q4_length_winsorize" ->
+      """WITH r AS (
+        |  SELECT lang, n_chars,
+        |         row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rk,
+        |         count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents),
+        |p AS (
+        |  SELECT lang,
+        |         max(CASE WHEN rk = CAST(ceil(n * 0.05) AS INTEGER)
+        |             THEN n_chars END) AS lo,
+        |         max(CASE WHEN rk = CAST(ceil(n * 0.95) AS INTEGER)
+        |             THEN n_chars END) AS hi
+        |  FROM r GROUP BY 1),
+        |f AS (
+        |  SELECT r.lang, n_chars,
+        |         CASE WHEN n_chars < lo THEN 'low'
+        |              WHEN n_chars > hi THEN 'high'
+        |              ELSE 'keep' END AS status
+        |  FROM r JOIN p USING (lang))
+        |SELECT lang, status, count(*) AS n, min(n_chars) AS min_chars,
+        |       max(n_chars) AS max_chars
+        |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // exact twins externally recomputed; the sketch gates are asserted as
     // literal 1s (the q_a10 oracle shape — Spark emitting 0 on sketch

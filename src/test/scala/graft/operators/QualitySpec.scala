@@ -132,4 +132,33 @@ class QualitySpec extends SparkTestBase {
     // and noise is actually applied (some group is off the integer count)
     assert(a.exists { case (lang, noisy) => noisy != exact(lang).toDouble })
   }
+
+  test("winsorizeFlags: nearest-rank percentiles and exact flag boundaries") {
+    // group g: values 1..20 -> p10 = value at ceil(0.1*20)=rank 2 = 2,
+    // p90 = value at rank 18 = 18; low = {1}, high = {19, 20}
+    val df = (1L to 20L).map(v => ("g", v)).toDF("grp", "v")
+    val got = Quality.winsorizeFlags(df, "grp", "v", pLo = 0.1, pHi = 0.9)
+      .groupBy("status").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("low" -> 1L, "keep" -> 17L, "high" -> 2L), got.toString)
+    // tied values at the cut stay "keep" (comparison is by VALUE, not rank)
+    val tied = (Seq.fill(5)(1L) ++ Seq.fill(10)(5L) ++ Seq.fill(5)(9L))
+      .map(v => ("g", v)).toDF("grp", "v")
+    // n=20: lo = value at rank 2 = 1 -> nothing < 1; hi = rank 18 = 9 ->
+    // nothing > 9: winsorization never flags members of a boundary tie
+    val t = Quality.winsorizeFlags(tied, "grp", "v", 0.1, 0.9)
+      .groupBy("status").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(t == Map("keep" -> 20L), t.toString)
+  }
+
+  test("winsorizeFlags is partitioning-invariant per group") {
+    val docs = spark.read.parquet(sfDir("0.001") + "/documents.parquet")
+      .select(col("lang"), col("doc_id"), col("n_chars"))
+    def agg(d: org.apache.spark.sql.DataFrame) =
+      Quality.winsorizeFlags(d, "lang", "n_chars", 0.05, 0.95)
+        .groupBy("lang", "status").count()
+        .orderBy("lang", "status").collect().toSeq
+    assert(agg(docs) == agg(docs.repartition(7)))
+  }
 }

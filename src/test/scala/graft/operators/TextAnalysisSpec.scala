@@ -203,4 +203,19 @@ class TextAnalysisSpec extends SparkTestBase {
     val r = TextAnalysis.hashedLinearScore(out, "doc_id", "text").head()
     assert((r.getLong(1), r.getDouble(2), r.getInt(3)) == ((0L, 0.0, 0)))
   }
+
+  test("charEntropy: uniform = ln(k), constant = 0, empty = 0") {
+    def h(t: String) =
+      one(t).select(TextAnalysis.charEntropy("text")).head().getDouble(0)
+    // 4 distinct chars, each p = 1/4 -> ln(4)
+    assert(math.abs(h("abcd") - math.log(4)) < 1e-5)
+    assert(h("aaaa aaaa") == 0.0) // single repeated char (spaces excluded)
+    assert(h("") == 0.0)
+    assert(h("   ") == 0.0)
+    // two chars at p = (3/4, 1/4)
+    val want = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
+    assert(math.abs(h("aaab") - want) < 1e-5)
+    // diverse text carries more entropy than repetitive text
+    assert(h("the quick brown fox") > h("ab ab ab ab ab ab"))
+  }
 }
