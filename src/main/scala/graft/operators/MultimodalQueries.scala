@@ -77,6 +77,44 @@ object MultimodalQueries {
           "media_id", "features", query, 10)
         .withColumn("cosine", round(col("cosine"), 6))
         .orderBy(col("cosine").desc, col("media_id"))
+    }),
+
+    // Perceptual-hash media dedup: aHash (average hash — bit i set iff
+    // stub-codec feature i sits above the payload's feature mean) groups
+    // media whose CONTENT profile matches even when the bytes differ —
+    // the perceptual twin of q_m4's content-addressed (sha) dedup.
+    // Byte-different perceptual duplicates are planted in-query: every
+    // 9th payload re-enters with the characters at positions 1 and 17
+    // swapped — SAME feature bucket (mod 16), so every bucket sum (and
+    // hence the aHash) is untouched while the exact content key changes.
+    // n_byte_variants counts the planted members per group. One
+    // hash-key shuffle; features and hashes ride the scan.
+    "q_m5_perceptual_dedup" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "text")
+      val variants = d
+        .filter(col("doc_id") % 9 === 0 && length(col("text")) >= 17 &&
+          expr("substring(text, 1, 1) != substring(text, 17, 1)"))
+        .select((col("doc_id") + 800000L).as("doc_id"),
+          expr("concat(substring(text, 17, 1), substring(text, 2, 15), " +
+            "substring(text, 1, 1), substring(text, 18))").as("text"))
+      val feats = Multimodal.decodeFeatures(
+        Multimodal.mediaFromDocuments(d.unionByName(variants)))
+        .toDF().select(col("media_id"), col("features"))
+      val ahash = Dedup.letBind(
+        "aggregate(features, CAST(0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE)) / 16",
+        "m",
+        """aggregate(zip_with(features, sequence(0, 15), (f, i) ->
+          |  IF(CAST(f AS DOUBLE) > m, shiftleft(CAST(1 AS BIGINT), i),
+          |     CAST(0 AS BIGINT))),
+          |  CAST(0 AS BIGINT), (a, x) -> a + x)""".stripMargin)
+      feats.withColumn("ahash", expr(ahash))
+        .groupBy("ahash")
+        .agg(min("media_id").as("keeper"), count(lit(1)).as("n_copies"),
+          sum((col("media_id") >= 800000L).cast("long")).as("n_byte_variants"))
+        .filter(col("n_copies") >= 2)
+        .select("keeper", "n_copies", "n_byte_variants")
+        .orderBy("keeper")
     })
   )
 
@@ -147,6 +185,43 @@ object MultimodalQueries {
         |              * sqrt(list_sum(list_transform(qf, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS c
         |  FROM fv, q WHERE media_id != 0)
         |SELECT media_id, round(c, 6) AS cosine
-        |FROM scored ORDER BY c DESC, media_id LIMIT 10""".stripMargin
+        |FROM scored ORDER BY c DESC, media_id LIMIT 10""".stripMargin,
+
+    // replays the char-swap planting, the stub-codec feature math (the
+    // q_m2 fv shape), the aHash bits, and the grouping
+    "q_m5_perceptual_dedup" ->
+      """WITH planted AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 800000,
+        |         substr(text, 17, 1) || substr(text, 2, 15)
+        |           || substr(text, 1, 1) || substr(text, 18)
+        |  FROM documents
+        |  WHERE doc_id % 9 = 0 AND length(text) >= 17
+        |    AND substr(text, 1, 1) != substr(text, 17, 1)),
+        |d AS (SELECT doc_id AS media_id, text, length(text) AS len FROM planted),
+        |pos AS (SELECT media_id, unnest(generate_series(1, len)) AS i, text FROM d WHERE len > 0),
+        |agg AS (SELECT media_id, (i - 1) % 16 AS bkt,
+        |               sum(ascii(substr(text, CAST(i AS INT), 1))) AS s, count(*) AS c
+        |        FROM pos GROUP BY 1, 2),
+        |grid AS (SELECT media_id, gb.b AS bkt FROM d, generate_series(0, 15) gb(b)),
+        |fv AS (SELECT g.media_id,
+        |              list(CAST(CAST(coalesce(a.s, 0) AS FLOAT) / CAST(coalesce(a.c, 1) AS FLOAT)
+        |                        / CAST(255 AS FLOAT) AS FLOAT) ORDER BY g.bkt) AS f
+        |       FROM grid g LEFT JOIN agg a ON a.media_id = g.media_id AND a.bkt = g.bkt
+        |       GROUP BY 1),
+        |h AS (
+        |  SELECT media_id,
+        |         list_sum(list_transform(generate_series(1, 16), i ->
+        |           CASE WHEN CAST(f[i] AS DOUBLE) >
+        |                     list_sum(list_transform(f, x -> CAST(x AS DOUBLE))) / 16
+        |                THEN CAST(1 AS BIGINT) << (i - 1) ELSE CAST(0 AS BIGINT) END))
+        |           AS ahash
+        |  FROM fv)
+        |SELECT min(media_id) AS keeper, count(*) AS n_copies,
+        |       CAST(sum(CASE WHEN media_id >= 800000 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_byte_variants
+        |FROM h GROUP BY ahash HAVING count(*) >= 2
+        |ORDER BY keeper""".stripMargin
   )
 }

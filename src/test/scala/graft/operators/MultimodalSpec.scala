@@ -69,4 +69,19 @@ class MultimodalSpec extends SparkTestBase {
     val resized = Multimodal.resizeFeatures(feats, 8).collect()
     assert(resized.forall(_.getAs[Seq[Float]]("features").length == 8))
   }
+
+  test("stub features are invariant under a same-bucket byte swap (the aHash dedup premise)") {
+    // positions 0 and 16 (0-based) land in byte bucket 0 of a dim-16
+    // feature vector: swapping them changes the bytes but not a single
+    // bucket sum — the planted case behind q_m5_perceptual_dedup
+    val t = "abcdefghijklmnopQ-rest-of-payload"
+    val swapped = "Qbcdefghijklmnopa-rest-of-payload"
+    val f1 = Multimodal.StubCodec.features(t.getBytes("UTF-8"), 16).toSeq
+    val f2 = Multimodal.StubCodec.features(swapped.getBytes("UTF-8"), 16).toSeq
+    assert(f1 == f2)
+    // a swap across DIFFERENT buckets does move the features
+    val crossSwap = "bacdefghijklmnopQ-rest-of-payload" // pos 0 <-> 1
+    val f3 = Multimodal.StubCodec.features(crossSwap.getBytes("UTF-8"), 16).toSeq
+    assert(f1 != f3)
+  }
 }
