@@ -58,6 +58,26 @@ object Pipeline {
   def shuffleKey(idCol: Column, seed: String): Column =
     md5(concat(lit(seed + ":"), idCol.cast("string")))
 
+  /** Deterministic GLOBAL uniform sample: the `n` rows whose seed-keyed
+    * md5 shuffle keys are globally smallest — the corpus-wide replayable
+    * reservoir (eval-set carving, spot-check extraction, down-sampling).
+    * Membership depends only on (seed, id), so the sample is stable under
+    * reruns and engine changes, and a grown corpus only evicts old
+    * members for hash-smaller new ones — it never reshuffles survivors.
+    *
+    * Scale shape: NO global sort and NO full shuffle — this plans as
+    * TakeOrderedAndProject: each partition keeps its local top-n by key,
+    * and only partitions × n candidate rows ever leave the executors.
+    */
+  def globalSample(df: DataFrame, idCol: String, n: Int,
+                   seed: String): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    df.withColumn("_sk", shuffleKey(col(idCol), seed))
+      .orderBy(col("_sk"), col(idCol))
+      .limit(n)
+      .drop("_sk")
+  }
+
   /** Deterministic per-group sample: the first `n` rows of each group in
     * seed-keyed shuffle order — a fixed-size uniform sample per stratum
     * (the bounded, replayable stand-in for reservoir sampling: same

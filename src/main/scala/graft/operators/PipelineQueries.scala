@@ -170,6 +170,15 @@ object PipelineQueries {
         .select("lang", "sample_rank", "doc_id")
         .orderBy("lang", "sample_rank")),
 
+    // Global deterministic sample: the 150 docs with the smallest
+    // seed-keyed hash keys corpus-wide — plans as TakeOrderedAndProject
+    // (per-partition top-n, no full shuffle, no global sort).
+    "q_sp11_global_sample" -> ((s, dir) =>
+      Pipeline.globalSample(docs(s, dir), "doc_id", n = 150,
+          seed = shuffleSeed)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")),
+
     // Temperature mixing at alpha = 0.5: per-language caps DERIVED from
     // the counts (∝ sqrt(c) — upsamples rare languages vs proportional),
     // exact scaled-long cap arithmetic, rows in the q_sp5 shuffle order.
@@ -439,6 +448,14 @@ object PipelineQueries {
            |SELECT lang, sample_rank, doc_id
            |FROM ranked WHERE sample_rank <= cap
            |ORDER BY lang, sample_rank""".stripMargin,
+
+      // replays the global hash order and the cut
+      "q_sp11_global_sample" ->
+        s"""SELECT doc_id, lang, source FROM (
+           |  SELECT doc_id, lang, source FROM documents
+           |  ORDER BY md5('$shuffleSeed:' || CAST(doc_id AS VARCHAR)), doc_id
+           |  LIMIT 150)
+           |ORDER BY doc_id""".stripMargin,
 
       // replays the derived caps (sqrt weights as scaled longs, exact
       // integer division) and the seed-keyed selection order

@@ -147,6 +147,28 @@ class PipelineSpec extends SparkTestBase {
     assert(mx == gs)
   }
 
+  test("globalSample: TakeOrdered plan, growth stability, partitioning invariance") {
+    import spark.implicits._
+    val df = (1L to 500L).map(i => (i, s"d$i")).toDF("id", "payload")
+    val sample = Pipeline.globalSample(df, "id", n = 50, seed = "s7")
+    // plans as TakeOrderedAndProject — per-partition top-n, no full sort
+    val plan = sample.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    val ids = sample.select("id").as[Long].collect().toSet
+    assert(ids.size == 50)
+    // partitioning cannot change membership
+    val ids2 = Pipeline.globalSample(df.repartition(13), "id", 50, "s7")
+      .select("id").as[Long].collect().toSet
+    assert(ids2 == ids)
+    // corpus growth only EVICTS members for hash-smaller new rows — the
+    // grown sample is not a reshuffle: old survivors stay
+    val grown = df.union((501L to 1000L).map(i => (i, s"d$i")).toDF("id", "payload"))
+    val ids3 = Pipeline.globalSample(grown, "id", 50, "s7")
+      .select("id").as[Long].collect().toSet
+    assert((ids3 -- ids).forall(_ > 500L)) // newcomers only from new rows
+    assert((ids & ids3).nonEmpty)
+  }
+
   test("temperatureMix: derived caps match exact arithmetic; alpha<1 flattens the mix") {
     import spark.implicits._
     // 160 a / 40 b / 10 c: sqrt weights 12.649110, 6.324555, 3.162278
