@@ -298,6 +298,45 @@ object TextQueries {
         TextAnalysis.charEntropy("text").as("entropy"))
       .orderBy("doc_id")),
 
+    // DATASET-CARD composition report: per language — doc/token mass,
+    // exact-duplicate rate (normalized-text groups of size >= 2), mean
+    // lexical quality (type/token ratio, DECIMAL-accumulated 6-dp terms
+    // so the mean is order-independent), and median tokens per doc by
+    // EXACT nearest-rank. The numbers a pipeline publishes with a corpus
+    // release; every input signal is an already-oracle-checked operator,
+    // composed here into one artifact. Three lang-keyed aggregates, one
+    // join — group-cardinality-sized frames after the first agg.
+    "q_c1_dataset_card" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = docs(s, dir).select(col("doc_id"), col("lang"),
+        expr(s"size($wordsExpr)").as("n_tok"),
+        expr(s"""CASE WHEN size($wordsExpr) = 0 THEN CAST(0.0 AS DOUBLE)
+                |ELSE round(CAST(size(array_distinct($wordsExpr)) AS DOUBLE) / size($wordsExpr), 6)
+                |END""".stripMargin).as("ttr6"),
+        regexp_replace(lower(trim(col("text"))), "\\s+", " ").as("norm"))
+      val mass = base.groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tok").as("n_tokens"),
+        round(sum(col("ttr6").cast("decimal(18,6)")).cast("double") /
+          count(lit(1)), 6).as("mean_ttr"))
+      val dups = base.groupBy("lang", "norm")
+        .agg(count(lit(1)).as("c"))
+        .groupBy("lang")
+        .agg(sum(when(col("c") >= 2, col("c")).otherwise(0L)).as("dup_docs"))
+      val w = Window.partitionBy("lang")
+      val med = base
+        .withColumn("rk", row_number().over(w.orderBy(col("n_tok"), col("doc_id"))))
+        .withColumn("n", count(lit(1)).over(w))
+        .filter(col("rk") === ceil(col("n") * 0.5).cast("int"))
+        .select(col("lang"), col("n_tok").as("median_tokens"))
+      mass.join(dups, "lang").join(med, "lang")
+        .select(col("lang"), col("n_docs"), col("n_tokens"),
+          round(col("dup_docs").cast("double") / col("n_docs"), 6)
+            .as("exact_dup_rate"),
+          col("mean_ttr"), col("median_tokens"))
+        .orderBy("lang")
+    }),
+
     // Per-language length winsorization by EXACT nearest-rank
     // percentiles (integer rank arithmetic, no interpolation): the
     // outlier-doc triage step, summarized per (lang, status).
@@ -730,6 +769,44 @@ object TextQueries {
         |             AS BIGINT))) / 1e9, 6)
         |       END AS entropy
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // replays every card number from the raw corpus: token masses, the
+    // normalized-dup group algebra, the DECIMAL-accumulated quality mean,
+    // and the nearest-rank median
+    "q_c1_dataset_card" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang,
+        |         len(w) AS n_tok,
+        |         CASE WHEN len(w) = 0 THEN 0.0
+        |              ELSE round(CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6)
+        |         END AS ttr6,
+        |         regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+        |  FROM (SELECT doc_id, lang, text,
+        |               list_filter(string_split(text, ' '), x -> x != '') AS w
+        |        FROM documents)),
+        |mass AS (
+        |  SELECT lang, count(*) AS n_docs, sum(n_tok) AS n_tokens,
+        |         round(CAST(sum(CAST(ttr6 AS DECIMAL(18,6))) AS DOUBLE)
+        |               / count(*), 6) AS mean_ttr
+        |  FROM base GROUP BY 1),
+        |dups AS (
+        |  SELECT lang, sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_docs
+        |  FROM (SELECT lang, norm, count(*) AS c FROM base GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |med AS (
+        |  SELECT lang, n_tok AS median_tokens FROM (
+        |    SELECT lang, n_tok,
+        |           row_number() OVER (PARTITION BY lang
+        |                              ORDER BY n_tok, doc_id) AS rk,
+        |           count(*) OVER (PARTITION BY lang) AS n
+        |    FROM base)
+        |  WHERE rk = CAST(ceil(n * 0.5) AS INTEGER))
+        |SELECT mass.lang, CAST(n_docs AS BIGINT) AS n_docs,
+        |       CAST(n_tokens AS BIGINT) AS n_tokens,
+        |       round(CAST(dup_docs AS DOUBLE) / n_docs, 6) AS exact_dup_rate,
+        |       mean_ttr, CAST(median_tokens AS INTEGER) AS median_tokens
+        |FROM mass JOIN dups USING (lang) JOIN med USING (lang)
+        |ORDER BY lang""".stripMargin,
 
     // replays the nearest-rank percentile lookups (integer ranks, the
     // value at sorted position ceil(p*n)) and the flagging

@@ -286,4 +286,27 @@ class LakeLayoutSpec extends SparkTestBase {
       Seq("p", "g"), "n", Map("revenue" -> col("rev")), Seq("p"),
       Some("_del")) == 0L)
   }
+
+  test("schema evolution: appended columns surface via mergeSchema with nulls backfilled") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-evolve").toString
+    // v1 writer: (id, a)
+    Seq((1L, "x"), (2L, "y")).toDF("id", "a")
+      .write.mode("append").parquet(dir)
+    // v2 writer adds a column: (id, a, b) — the schema-drift shape every
+    // long-lived ingestion hits
+    Seq((3L, "z", 9L)).toDF("id", "a", "b")
+      .write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted.toSeq == Seq("a", "b", "id"))
+    val rows = merged.orderBy("id").collect()
+      .map(r => (r.getLong(r.fieldIndex("id")), r.getString(r.fieldIndex("a")),
+        if (r.isNullAt(r.fieldIndex("b"))) None else Some(r.getLong(r.fieldIndex("b")))))
+    assert(rows.toSeq == Seq((1L, "x", None), (2L, "y", None), (3L, "z", Some(9L))))
+    // WITHOUT mergeSchema the footer race picks one schema — pin the
+    // contract that evolution REQUIRES the explicit option, so readers
+    // never silently depend on file enumeration order
+    val plain = spark.read.parquet(dir)
+    assert(plain.columns.length <= 3)
+  }
 }
