@@ -58,6 +58,25 @@ object Pipeline {
   def shuffleKey(idCol: Column, seed: String): Column =
     md5(concat(lit(seed + ":"), idCol.cast("string")))
 
+  /** Deterministic QUALITY-WEIGHTED sampling (the CCNet/RefinedWeb soft
+    * filter): keep a row with probability equal to its weight column (in
+    * [0, 1]), decided by comparing the seed-keyed md5 uniform
+    * u = hash60/2^60 against the weight — high-quality rows mostly
+    * survive, low-quality rows mostly drop, and nothing is a hard cutoff.
+    * NO RNG: the decision is a pure (seed, id, weight) function, so
+    * retries/reruns/engines reproduce the same sample and the operator
+    * composes with incremental ingestion (a re-processed batch keeps its
+    * previous decisions).
+    *
+    * Row-local (one codegen'd comparison per row, no shuffle); weights
+    * outside [0, 1] are clamped.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     seed: String): DataFrame = {
+    val u = s"CAST(${TextAnalysis.md5Hash60(s"concat('$seed:', CAST($idCol AS STRING))")} AS DOUBLE) / 1152921504606846976.0D"
+    df.filter(expr(s"$u < least(1.0D, greatest(0.0D, CAST($weightCol AS DOUBLE)))"))
+  }
+
   /** Deterministic GLOBAL uniform sample: the `n` rows whose seed-keyed
     * md5 shuffle keys are globally smallest — the corpus-wide replayable
     * reservoir (eval-set carving, spot-check extraction, down-sampling).

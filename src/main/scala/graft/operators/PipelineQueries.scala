@@ -170,6 +170,20 @@ object PipelineQueries {
         .select("lang", "sample_rank", "doc_id")
         .orderBy("lang", "sample_rank")),
 
+    // Quality-weighted soft sampling: each doc survives with probability
+    // equal to its lexical-quality score (ttr), decided by the seed-keyed
+    // md5 uniform — no RNG, rerun-stable, row-local.
+    "q_sp12_weighted_sample" -> ((s, dir) => {
+      val w = "filter(split(text, ' '), x -> x != '')"
+      val d = docs(s, dir).withColumn("w6", expr(
+        s"""CASE WHEN size($w) = 0 THEN CAST(0.0 AS DOUBLE)
+           |ELSE round(CAST(size(array_distinct($w)) AS DOUBLE) / size($w), 6)
+           |END""".stripMargin))
+      Pipeline.weightedSample(d, "doc_id", "w6", seed = shuffleSeed)
+        .select("doc_id", "lang", "w6")
+        .orderBy("doc_id")
+    }),
+
     // Global deterministic sample: the 150 docs with the smallest
     // seed-keyed hash keys corpus-wide — plans as TakeOrderedAndProject
     // (per-partition top-n, no full shuffle, no global sort).
@@ -448,6 +462,21 @@ object PipelineQueries {
            |SELECT lang, sample_rank, doc_id
            |FROM ranked WHERE sample_rank <= cap
            |ORDER BY lang, sample_rank""".stripMargin,
+
+      // replays the md5 uniform, the clamp, and the weight comparison
+      "q_sp12_weighted_sample" ->
+        s"""WITH d AS (
+           |  SELECT doc_id, lang,
+           |         CASE WHEN len(w) = 0 THEN 0.0
+           |              ELSE round(CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6)
+           |         END AS w6
+           |  FROM (SELECT doc_id, lang,
+           |               list_filter(string_split(text, ' '), x -> x != '') AS w
+           |        FROM documents))
+           |SELECT doc_id, lang, w6 FROM d
+           |WHERE CAST(('0x' || substr(md5('$shuffleSeed:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS DOUBLE)
+           |        / 1152921504606846976.0 < least(1.0, greatest(0.0, w6))
+           |ORDER BY doc_id""".stripMargin,
 
       // replays the global hash order and the cut
       "q_sp11_global_sample" ->

@@ -757,6 +757,19 @@ object RelationalQueries {
         .orderBy("user_id")
     }),
 
+    // E6 — interval islands: each event opens a [ts, ts + value minutes)
+    // busy window; per user, overlapping windows merge into islands and
+    // the covered span is summed — the utilization/coverage primitive.
+    // One user-key shuffle; integer micros end-to-end.
+    "q_e6_interval_islands" -> ((s, dir) => {
+      val iv = Tables.events(s, dir).select(col("user_id"),
+        Tables.epochMicros(col("ts")).as("s_us"),
+        (Tables.epochMicros(col("ts")) +
+          expr("CAST(round(value * 60000000) AS BIGINT)")).as("e_us"))
+      graft.operators.TimeSeries.intervalIslands(iv, "user_id", "s_us", "e_us")
+        .orderBy("user_id")
+    }),
+
     // G2 — exact triangle counting + local clustering coefficients over
     // the part-affinity graph (parts co-ordered >= 2 times — support
     // filtering keeps the graph meaningful and sparse). Degeneracy-
@@ -1258,6 +1271,36 @@ object RelationalQueries {
         |                 WHEN min(view_us) IS NOT NULL THEN 1
         |                 ELSE 0 END AS INTEGER) AS funnel_depth
         |FROM w3 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // replays the interval construction, the running-max island opening,
+    // the island numbering, and the span algebra
+    "q_e6_interval_islands" ->
+      """WITH iv AS (
+        |  SELECT user_id, epoch_us(ts) AS s_us,
+        |         epoch_us(ts) + CAST(round(value * 60000000) AS BIGINT) AS e_us
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, s_us, e_us,
+        |         CASE WHEN s_us > coalesce(max(e_us) OVER (
+        |                PARTITION BY user_id ORDER BY s_us, e_us
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |                -9223372036854775808)
+        |              THEN 1 ELSE 0 END AS opens
+        |  FROM iv),
+        |n AS (
+        |  SELECT user_id, s_us, e_us,
+        |         sum(opens) OVER (PARTITION BY user_id ORDER BY s_us, e_us
+        |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS island
+        |  FROM f),
+        |isl AS (
+        |  SELECT user_id, island, min(s_us) AS s, max(e_us) AS e,
+        |         count(*) AS c
+        |  FROM n GROUP BY 1, 2)
+        |SELECT user_id, CAST(sum(c) AS BIGINT) AS n_intervals,
+        |       CAST(count(*) AS BIGINT) AS n_islands,
+        |       CAST(sum(e - s) AS BIGINT) AS covered
+        |FROM isl GROUP BY 1 ORDER BY user_id""".stripMargin,
 
     // replays the support-filtered affinity edges, the (degree, id)
     // orientation, the ordered wedge join, the directed closure, and the

@@ -123,6 +123,44 @@ object TimeSeries {
       .select(col(keyCol), col("day"), col("v_filled"), col("was_gap"))
   }
 
+  /** Interval MERGE (the gaps-and-islands shape): per key, overlapping or
+    * touching [start, end] intervals coalesce into islands; returns one
+    * row per key with the island count, total interval count, and total
+    * covered span — the utilization/coverage primitive (user active time,
+    * machine busy windows, sensor uptime) that range joins and
+    * sessionization don't give you.
+    *
+    * Algorithm: one key-ordered window pass — an interval OPENS a new
+    * island iff its start exceeds the running max end of everything
+    * before it (ties in start order cannot flip the flag: an equal-start
+    * predecessor's end already covers the start); the island id is the
+    * running sum of open flags. All integer arithmetic on the interval
+    * bounds — hash-replayable.
+    *
+    * Scale shape: ONE shuffle on the key; the running max, the island
+    * numbering, and both aggregations reuse the exchange. O(1) window
+    * state per row.
+    */
+  def intervalIslands(df: DataFrame, keyCol: String, startCol: String,
+                      endCol: String): DataFrame = {
+    val ordered = Window.partitionBy(keyCol).orderBy(col(startCol), col(endCol))
+    val prevMax = max(col(endCol))
+      .over(ordered.rowsBetween(Window.unboundedPreceding, -1))
+    val islands = df
+      .withColumn("_open",
+        when(col(startCol) > coalesce(prevMax, lit(Long.MinValue)), 1L)
+          .otherwise(0L))
+      .withColumn("_island", sum("_open")
+        .over(ordered.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(keyCol), col("_island"))
+      .agg(min(col(startCol)).as("_s"), max(col(endCol)).as("_e"),
+        count(lit(1)).as("_n"))
+    islands.groupBy(keyCol)
+      .agg(sum("_n").as("n_intervals"),
+        count(lit(1)).as("n_islands"),
+        sum(col("_e") - col("_s")).as("covered"))
+  }
+
   /** Behavioral TRAINING-SEQUENCE construction: per key, the
     * chronologically-ordered token sequence (first `maxLen` events, joined
     * with `sep`) plus the untruncated event count — the event-stream →

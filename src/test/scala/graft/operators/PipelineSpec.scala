@@ -147,6 +147,26 @@ class PipelineSpec extends SparkTestBase {
     assert(mx == gs)
   }
 
+  test("weightedSample: boundary weights, clamping, determinism") {
+    import spark.implicits._
+    val df = (1L to 200L).map(i =>
+      (i, if (i <= 50) 1.0 else if (i <= 100) 0.0
+          else if (i <= 150) 0.5 else 7.0)) // 7.0 clamps to 1.0
+      .toDF("id", "w")
+    val kept = Pipeline.weightedSample(df, "id", "w", seed = "s7")
+      .select("id").as[Long].collect().toSet
+    // weight 1 (and clamped >1): always kept; weight 0: never
+    assert((1L to 50L).forall(kept), "weight-1 rows must all survive")
+    assert((151L to 200L).forall(kept), "clamped weights behave as 1.0")
+    assert((51L to 100L).forall(i => !kept(i)), "weight-0 rows must drop")
+    // mid weights: some in, some out, and EXACTLY reproducible
+    val mid = kept.count(i => i > 100 && i <= 150)
+    assert(mid > 0 && mid < 50)
+    val again = Pipeline.weightedSample(df.repartition(9), "id", "w", "s7")
+      .select("id").as[Long].collect().toSet
+    assert(again == kept)
+  }
+
   test("globalSample: TakeOrdered plan, growth stability, partitioning invariance") {
     import spark.implicits._
     val df = (1L to 500L).map(i => (i, s"d$i")).toDF("id", "payload")

@@ -108,6 +108,27 @@ class TimeSeriesSpec extends SparkTestBase {
     assert(cur == Map("k1" -> 1L, "k2" -> 1L))
   }
 
+  test("intervalIslands: overlap merge, touch semantics, per-key isolation") {
+    import spark.implicits._
+    val iv = Seq(
+      // user 1: [0,10) ∪ [5,20) merge; [20,30) touches end=20 -> SAME
+      // island (start 20 is NOT > running max 20); [40,50) separate
+      (1L, 0L, 10L), (1L, 5L, 20L), (1L, 20L, 30L), (1L, 40L, 50L),
+      // user 2: nested interval [2,3) inside [0,10)
+      (2L, 0L, 10L), (2L, 2L, 3L)
+    ).toDF("user_id", "s_us", "e_us")
+    val got = TimeSeries.intervalIslands(iv, "user_id", "s_us", "e_us")
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // user 1: 4 intervals, 2 islands ([0,30) + [40,50)) covering 30+10
+    // user 2: 2 intervals, 1 island [0,10) covering 10
+    assert(got == Seq((1L, 4L, 2L, 40L), (2L, 2L, 1L, 10L)), got.toString)
+    val again = TimeSeries.intervalIslands(iv.repartition(5), "user_id",
+      "s_us", "e_us").orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(again == got)
+  }
+
   test("eventSequences: chronological order, tie-break, truncation, partitioning invariance") {
     import spark.implicits._
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
