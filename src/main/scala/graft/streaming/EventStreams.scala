@@ -246,4 +246,36 @@ object EventStreams {
     */
   def enrichEvents(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
+
+  /** Windowed TOP-K over the stream (trending keys): per tumbling
+    * event-time window, the k most frequent values of `keyCol` with
+    * (count DESC, key) tie-break. Built as the watermarked windowed
+    * count (state = windows x distinct keys, evicted on watermark
+    * passage, same bound as [[hourlyRollup]]) in APPEND mode — a window's
+    * counts emit exactly once, when the watermark seals it — followed by
+    * a per-window rank in the foreachBatch sink, where the sealed
+    * window's frame is tiny (distinct keys of ONE window). Emitting
+    * top-k mid-window would be wrong under disorder: a late-but-admitted
+    * event can reorder ranks until the seal, which is why the rank runs
+    * on sealed windows only.
+    */
+  def windowedTopK(events: DataFrame, keyCol: String, k: Int,
+                   windowLength: String = "1 hour",
+                   watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLength), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col(keyCol), col("n"))
+
+  /** The per-sealed-window rank step of [[windowedTopK]] — runs inside
+    * foreachBatch (or as a batch query over the materialized counts).
+    */
+  def topKOfWindows(counts: DataFrame, keyCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("window_start")
+      .orderBy(col("n").desc, col(keyCol))
+    counts.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
 }

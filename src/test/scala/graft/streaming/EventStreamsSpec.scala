@@ -196,6 +196,38 @@ class EventStreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("windowed top-k emits sealed windows exactly once with deterministic ranks") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    // append mode: a window's counts appear only when the watermark seals
+    // it, so the top-k rank can never be reordered by an admitted
+    // straggler after emission
+    val q = windowedTopK(input.toDS().toDF(), "event_type", k = 2,
+        windowLength = "1 hour", watermark = "1 hour")
+      .writeStream.format("memory").queryName("topk")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        Event(1, ts(5), 1, "click", 1.0),
+        Event(2, ts(10), 2, "click", 1.0),
+        Event(3, ts(15), 3, "view", 1.0),
+        Event(4, ts(20), 4, "view", 1.0),
+        Event(5, ts(25), 5, "error", 1.0),
+        // a late-but-admitted event INSIDE hour 0 flips the tie: 3 clicks
+        Event(6, ts(7), 6, "click", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("topk").count() == 0, "unsealed window must not emit")
+      // watermark passage: events far ahead seal hour 0
+      input.addData(Event(9, ts(200), 9, "click", 1.0))
+      q.processAllAvailable()
+      val ranked = topKOfWindows(spark.table("topk"), "event_type", k = 2)
+        .collect().map(r => (r.getString(1), r.getLong(2), r.getInt(3))).toSeq
+      // hour 0 final counts: click 3, view 2, error 1 -> top-2
+      assert(ranked.toSet == Set(("click", 3L, 1), ("view", 2L, 2)), ranked.toString)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join attributes clicks to views within the window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
