@@ -1,0 +1,76 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** End-to-end curation composition: stage monotonicity, output
+  * dedup-freeness, packing bounds, and bit-level rerun determinism.
+  */
+class CurationSpec extends SparkTestBase {
+
+  private lazy val docs =
+    spark.read.parquet(sfDir("0.001") + "/documents.parquet")
+
+  test("curate: monotone survivors, leak-free dedup, bounded bins, deterministic rerun") {
+    val out1 = Files.createTempDirectory("graft-curate-1").toString
+    val r1 = Curation.curate(docs, out1, seed = "cur-7", budgetTokens = 256L)
+
+    // stage survivor counts are monotone and non-degenerate
+    assert(r1.nInput > 0)
+    assert(r1.nAfterQuality <= r1.nInput)
+    assert(r1.nAfterExactDedup <= r1.nAfterQuality)
+    assert(r1.nAfterNearDedup <= r1.nAfterExactDedup)
+    assert(r1.nAfterNearDedup > 0)
+    // sf0.001 plants near-dups: the near-dup stage must actually drop some
+    assert(r1.nAfterNearDedup < r1.nAfterQuality,
+      "dedup stages dropped nothing — planted duplicates missed")
+    assert(r1.splitCounts.values.sum == r1.nAfterNearDedup)
+    assert(r1.nTokens > 0 && r1.nBins > 0)
+
+    val written = spark.read.parquet(out1)
+    assert(written.count() == r1.nAfterNearDedup)
+
+    // the shipped corpus contains NO near-dup pair at the build threshold
+    val residual = Dedup.ngramJaccardPairs(written, "doc_id", "text",
+      shingleSize = 2, threshold = 0.7).count()
+    assert(residual == 0, s"shipped corpus still has $residual near-dup pairs")
+
+    // packing: every bin holds <= budget + one overflowing doc
+    val bins = written.groupBy("split", "shard", "bin")
+      .agg(sum("n_tokens").as("toks"), max("n_tokens").as("biggest"))
+      .collect()
+    bins.foreach { r =>
+      assert(r.getLong(3) <= 256L + r.getLong(4),
+        s"bin ${r.getString(0)}/${r.getString(1)}/${r.getLong(2)} overflows: ${r.getLong(3)}")
+    }
+
+    // rerun: identical report AND identical shipped rows (bit-level)
+    val out2 = Files.createTempDirectory("graft-curate-2").toString
+    val r2 = Curation.curate(docs, out2, seed = "cur-7", budgetTokens = 256L)
+    assert(r2 == r1)
+    val a = written.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val b = spark.read.parquet(out2).orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(a == b, "rerun must reproduce the corpus byte-for-byte")
+
+    // a different seed moves split membership (the seed actually flows)
+    val out3 = Files.createTempDirectory("graft-curate-3").toString
+    val r3 = Curation.curate(docs, out3, seed = "cur-OTHER", budgetTokens = 256L)
+    assert(r3.nAfterNearDedup == r1.nAfterNearDedup) // dedup is seed-free
+    assert(r3.splitCounts != r1.splitCounts ||
+      spark.read.parquet(out3).orderBy("doc_id").collect().map(_.toSeq).toSeq != a)
+  }
+
+  test("quality gate drops degenerate docs and only those kinds") {
+    import spark.implicits._
+    val crafted = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "tiny"),                                     // too few tokens
+      (3L, Seq.fill(30)("spam").mkString(" ")),         // no diversity
+      (4L, Seq.fill(15)("aa aa").mkString(" "))         // repetition + entropy
+    ).toDF("doc_id", "text")
+    val kept = Curation.qualityGate(crafted, "text", Curation.QualityConfig())
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L), s"kept $kept")
+  }
+}
