@@ -251,7 +251,16 @@ object ScaleBench {
         .map { case (k, v) => s""""$k":${fmt(v)}""" }.mkString(",")
       s""""$n":{"sec":${fmt(s)},"rows":$r,$extra}"""
     }.mkString("{", ",", "}")
-    val line = s"""{"label":"$label","dir":"$dir","ivf_build_sec":${fmt(ivfBuildSec)},"d6_index_build_sec":${fmt(d6BuildSec)},"queries":$qs}"""
+    // The COMPOSED curation build, timed end-to-end (quality gate + both
+    // dedup stages + split + pack + partitioned write): the pipeline a
+    // real corpus release runs — its curve is the sum-of-stages receipt.
+    val tCur = System.nanoTime()
+    val curOut = Files.createTempDirectory("graft-curate-scale").toString
+    val curReport = operators.Curation.curate(
+      spark.read.parquet(s"$dir/documents.parquet"), curOut, seed = "scale-7")
+    val curSec = (System.nanoTime() - tCur) / 1e9
+
+    val line = s"""{"label":"$label","dir":"$dir","ivf_build_sec":${fmt(ivfBuildSec)},"d6_index_build_sec":${fmt(d6BuildSec)},"curation_sec":${fmt(curSec)},"curation_survivors":${curReport.nAfterNearDedup},"queries":$qs}"""
     println(line)
     Files.writeString(Paths.get(outFile), line + "\n",
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
