@@ -795,4 +795,143 @@ object Dedup {
         .pipe(materialize)
     } finally sigs.unpersist()
   }
+
+  // -----------------------------------------------------------------------
+  // Substring-level exact dedup (duplicated n-gram spans)
+  // -----------------------------------------------------------------------
+
+  /** Whitespace word array with empties dropped — the tokenization every
+    * substring-dedup stage shares (and the one the DuckDB oracles replay
+    * with `list_filter(string_split(...))`).
+    */
+  private def wordsFrame(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.selectExpr(s"$idCol AS id",
+      s"filter(split($textCol, ' '), x -> x != '') AS ws")
+
+  /** Every length-`k` word-window site in the corpus: (id, pos, gkey) with
+    * `pos` the 1-based word index of the window start and `gkey` the window
+    * key under `family` — the exact window string ("exact": the
+    * oracle-replayable mode) or its xxhash64 fingerprint ("xx64": the
+    * production family, which shrinks every shuffled row to
+    * (long, id, int) regardless of k).
+    */
+  private def windowSites(w: DataFrame, k: Int, family: String): DataFrame = {
+    require(k >= 2, s"window length k must be >= 2, got $k")
+    val sites = w
+      .where(expr(s"size(ws) >= $k"))
+      .select(col("id"),
+        posexplode(expr(
+          s"transform(sequence(1, size(ws) - ${k - 1}), i -> array_join(slice(ws, i, $k), ' '))"))
+          .as(Seq("pos0", "gram")))
+      .select(col("id"), (col("pos0") + 1).cast("int").as("pos"), col("gram"))
+    family match {
+      case "exact" => sites.withColumn("gkey", col("gram")).drop("gram")
+      case "xx64"  => sites.withColumn("gkey", xxhash64(col("gram"))).drop("gram")
+      case other => throw new IllegalArgumentException(
+        s"unknown window-key family '$other' (expected 'exact' or 'xx64')")
+    }
+  }
+
+  /** Corpus-wide duplicated-SUBSTRING spans — the dedup modality document-
+    * level exact/MinHash/SimHash structurally miss: a boilerplate license
+    * block or quoted paragraph repeated across otherwise-distinct documents
+    * (Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better", arXiv:2107.06499; reference corpus behavior, candy pipeline
+    * `src/data_processor.py` has no analogue — this is engine-added
+    * surface).
+    *
+    * Semantics: a length-`k` word window is DUPLICATED when it occurs at
+    * >= `minSites` (doc, position) sites corpus-wide (within-doc repeats
+    * count). Every word position covered by a duplicated window is marked,
+    * and per document the marked positions merge into MAXIMAL spans
+    * (windows overlapping or exactly adjacent coalesce — the union is one
+    * contiguous duplicated region). Output: one row per (doc, span) with
+    * 1-based inclusive word bounds, the site count inside the span, and
+    * the span text.
+    *
+    * Scale shape — why this survives 100 TB where a suffix array does not
+    * fit the engine: the paper's suffix-array formulation finds arbitrary-
+    * length maximal repeats but needs a global order over the concatenated
+    * corpus; fixing the window length k turns the problem into ONE corpus
+    * scan (codegen'd slice/array_join — no UDF) plus ONE shuffle of
+    * (gkey, id, pos) sites. With the xx64 family a shuffled site is ~24
+    * bytes independent of k. The >= minSites filter is a map-side-combined
+    * count; surviving keys are a tiny fraction (duplication is the
+    * exception), so the site re-join is a semi-join whose build side AQE
+    * broadcasts. Island merging is one per-doc window (doc-hash
+    * partitioned — no global sort), and span text re-attaches words by
+    * joining span-bearing docs only, once.
+    *
+    * `family`: "xx64" (production — fingerprint keys; a 64-bit collision
+    * could merge two distinct windows with probability ~sites²/2⁶⁵) or
+    * "exact" (string keys — the mode the DuckDB oracle replays verbatim;
+    * SubstringDedupSpec asserts both families produce identical spans on
+    * the test corpus).
+    */
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                      k: Int, minSites: Int = 2,
+                      family: String = "xx64"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = wordsFrame(docs, idCol, textCol)
+    val sites = windowSites(w, k, family)
+    // Corpus-wide site count per window key; duplicated keys only. The
+    // aggregate is map-side combined, and the semi-join build side is the
+    // (small) duplicated-key set.
+    val dupKeys = sites.groupBy("gkey")
+      .agg(count(lit(1)).as("n_sites"))
+      .where(col("n_sites") >= minSites)
+    val dupSites = sites.join(dupKeys.select("gkey"), Seq("gkey"), "left_semi")
+      .select("id", "pos")
+    // Gaps-and-islands over window STARTS: [pos, pos+k-1] windows sorted by
+    // pos merge while the gap between consecutive starts is <= k
+    // (overlap-or-adjacent). lag = NULL on the first row -> brk 1.
+    val byDoc = Window.partitionBy("id").orderBy("pos")
+    val spans = dupSites
+      .withColumn("brk",
+        when(col("pos") - lag("pos", 1).over(byDoc) <= k, lit(0)).otherwise(lit(1)))
+      .withColumn("island", sum("brk").over(byDoc))
+      .groupBy("id", "island")
+      .agg(min("pos").as("start_word"),
+        (max("pos") + lit(k - 1)).cast("int").as("end_word"),
+        count(lit(1)).cast("int").as("n_sites_in_span"))
+      .withColumn("island", col("island").cast("int"))
+    spans.join(w, "id")
+      .select(col("id"), col("island"), col("start_word"), col("end_word"),
+        col("n_sites_in_span"),
+        expr("array_join(slice(ws, start_word, end_word - start_word + 1), ' ')")
+          .as("span_text"))
+  }
+
+  /** The corpus AFTER substring dedup: drop every word covered by a
+    * duplicated length-`k` window (see [[duplicatedSpans]]) and reassemble
+    * the remainder — the "cut the duplicated span out of every copy"
+    * variant of Lee et al. §4 (their tool cuts all-but-one copy; cutting
+    * every copy is the boilerplate-removal semantics CCNet-style pipelines
+    * use, and the one that needs no global copy-ordering decision, so it
+    * stays embarrassingly parallel).
+    *
+    * Output: (id, n_words, n_dropped_words, clean_text) for EVERY input
+    * document (docs with no duplicated span pass through unchanged;
+    * n_words counts the original words). Span coverage re-attaches to the
+    * word frame by ONE left join of the aggregated per-doc span list; the
+    * keep-filter is a codegen'd higher-order function over word positions.
+    */
+  def scrubDuplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                           k: Int, minSites: Int = 2,
+                           family: String = "xx64"): DataFrame = {
+    val w = wordsFrame(docs, idCol, textCol)
+    val perDoc = duplicatedSpans(docs, idCol, textCol, k, minSites, family)
+      .groupBy("id")
+      .agg(collect_list(struct(col("start_word").as("s"), col("end_word").as("e")))
+        .as("spans"))
+    w.join(perDoc, Seq("id"), "left")
+      .selectExpr("id", "ws",
+        """filter(sequence(1, size(ws)),
+          |       i -> spans IS NULL OR NOT exists(spans, sp -> i >= sp.s AND i <= sp.e))
+          |  AS keep""".stripMargin)
+      .selectExpr("id",
+        "CAST(size(ws) AS INT) AS n_words",
+        "CAST(size(ws) - size(keep) AS INT) AS n_dropped_words",
+        "array_join(transform(keep, i -> element_at(ws, i)), ' ') AS clean_text")
+  }
 }

@@ -196,7 +196,26 @@ object DedupQueries {
           minCosine = 0.25, targetRecall = 0.999)
         .withColumn("cosine", round(col("cosine"), 6))
         .orderBy(col("cosine").desc, col("vec_id"))
-    })
+    }),
+
+    // Substring-level exact dedup (Lee et al., arXiv:2107.06499): maximal
+    // per-doc spans covered by word 5-grams occurring >= 2 times corpus-
+    // wide. "exact" keys = the oracle-replayable mode (DuckDB groups the
+    // same window strings); production runs the xx64 fingerprint family —
+    // SubstringDedupSpec asserts identical spans.
+    "q_d10_substring_spans" -> ((s, dir) =>
+      Dedup.duplicatedSpans(docs(s, dir), "doc_id", "text",
+          k = 5, minSites = 2, family = "exact")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "island")),
+
+    // The corpus after cutting every duplicated span — boilerplate removal
+    // as one corpus transform; every input doc survives as a row.
+    "q_d11_substring_scrub" -> ((s, dir) =>
+      Dedup.scrubDuplicatedSpans(docs(s, dir), "doc_id", "text",
+          k = 5, minSites = 2, family = "exact")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id"))
   )
 
   /** Build-once IVF index per dataset dir. Training is an ingest-time step
@@ -473,7 +492,78 @@ object DedupQueries {
          |  UNION
          |  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.id)
          |SELECT id AS vec_id, min(label) AS cluster
-         |FROM walk GROUP BY 1 ORDER BY 1""".stripMargin
+         |FROM walk GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Duplicated 5-gram spans: DuckDB replays the whole pipeline — window
+    // enumeration (generate_series is 1-based like Spark's slice), corpus
+    // site count, gaps-and-islands merge (lag gap <= k), span text slice.
+    "q_d10_substring_spans" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 4)) AS pos
+         |  FROM w WHERE len(ws) >= 5),
+         |sites AS (
+         |  SELECT doc_id, pos, array_to_string(ws[pos:pos+4], ' ') AS gram FROM g),
+         |dup AS (
+         |  SELECT gram FROM sites GROUP BY gram HAVING count(*) >= 2),
+         |ds AS (
+         |  SELECT s.doc_id, s.pos FROM sites s JOIN dup USING (gram)),
+         |marked AS (
+         |  SELECT doc_id, pos,
+         |         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 5
+         |              THEN 0 ELSE 1 END AS brk
+         |  FROM ds),
+         |isl AS (
+         |  SELECT doc_id, pos,
+         |         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         |  FROM marked),
+         |spans AS (
+         |  SELECT doc_id, CAST(island AS INT) AS island,
+         |         CAST(min(pos) AS INT) AS start_word,
+         |         CAST(max(pos) + 4 AS INT) AS end_word,
+         |         CAST(count(*) AS INT) AS n_sites_in_span
+         |  FROM isl GROUP BY doc_id, island)
+         |SELECT s.doc_id, s.island, s.start_word, s.end_word, s.n_sites_in_span,
+         |       array_to_string(w.ws[s.start_word:s.end_word], ' ') AS span_text
+         |FROM spans s JOIN w USING (doc_id)
+         |ORDER BY doc_id, island""".stripMargin,
+
+    // Substring scrub: positions covered by any duplicated window drop;
+    // the remainder reassembles in word order. Every doc keeps a row
+    // (LEFT JOINs from the full corpus).
+    "q_d11_substring_scrub" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 4)) AS pos
+         |  FROM w WHERE len(ws) >= 5),
+         |sites AS (
+         |  SELECT doc_id, pos, array_to_string(ws[pos:pos+4], ' ') AS gram FROM g),
+         |dup AS (
+         |  SELECT gram FROM sites GROUP BY gram HAVING count(*) >= 2),
+         |ds AS (
+         |  SELECT s.doc_id, s.pos FROM sites s JOIN dup USING (gram)),
+         |covered AS (
+         |  SELECT DISTINCT doc_id, cp FROM (
+         |    SELECT doc_id, unnest(generate_series(pos, pos + 4)) AS cp FROM ds)),
+         |pt0 AS (
+         |  SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i FROM w),
+         |pt AS (
+         |  SELECT doc_id, ws[i] AS word, i FROM pt0),
+         |kept AS (
+         |  SELECT p.doc_id, count(*) AS n_kept,
+         |         string_agg(p.word, ' ' ORDER BY p.i) AS clean_text
+         |  FROM pt p LEFT JOIN covered c ON c.doc_id = p.doc_id AND c.cp = p.i
+         |  WHERE c.cp IS NULL
+         |  GROUP BY p.doc_id)
+         |SELECT w.doc_id, CAST(len(w.ws) AS INT) AS n_words,
+         |       CAST(len(w.ws) - coalesce(kept.n_kept, 0) AS INT) AS n_dropped_words,
+         |       coalesce(kept.clean_text, '') AS clean_text
+         |FROM w LEFT JOIN kept USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
   )
 
   private lazy val allPairsCosineSql: String =
