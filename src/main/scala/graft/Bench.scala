@@ -89,7 +89,9 @@ object Bench {
       "q_l4_snapshot_diff", "q_q3_dp_counts",
       "q_t16_lm_perplexity", "q_t17_linear_classifier",
       "q_d9_containment_join", "q_v15_margin_align",
-      "q_t18_bpe_train", "q_t19_bpe_encode")
+      "q_t18_bpe_train", "q_t19_bpe_encode",
+      "q_d10_substring_spans", "q_d11_substring_scrub",
+      "q_d12_decontamination")
 
     // Headline queries run 3 reps and report the MEDIAN: the single-shot
     // noise floor on this box is ±2x (calibrated rounds 5-6), which made

@@ -220,7 +220,15 @@ object ScaleBench {
         operators.Pipeline.groupSample(
             s.read.parquet(s"$d/documents.parquet").select("lang", "doc_id"),
             "lang", "doc_id", n = 20, seed = "graft-shuffle-7")
-          .select("lang", "doc_id")))
+          .select("lang", "doc_id"))) :+
+      // substring-level dedup in the PRODUCTION family (xx64 fingerprint
+      // keys): one scan + one ~24 B/row site shuffle + per-doc islands.
+      // The site count grows linearly with the corpus; the curve must not
+      // bend, and shuffle_write_mb is the site-row receipt.
+      ("q_d10_substring_scale" -> ((s: SparkSession, d: String) =>
+        operators.Dedup.duplicatedSpans(
+          s.read.parquet(s"$d/documents.parquet"), "doc_id", "text",
+          k = 5, minSites = 2, family = "xx64")))
 
     val listener = new TaskMetricsListener
     spark.sparkContext.addSparkListener(listener)

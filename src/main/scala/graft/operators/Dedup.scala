@@ -934,4 +934,52 @@ object Dedup {
         "CAST(size(ws) - size(keep) AS INT) AS n_dropped_words",
         "array_join(transform(keep, i -> element_at(ws, i)), ' ') AS clean_text")
   }
+
+  /** Cross-corpus window overlap — BENCHMARK DECONTAMINATION: for every
+    * (training doc, benchmark doc) pair sharing at least one length-`k`
+    * word window, the count of DISTINCT shared windows. The eval-set
+    * contamination check every serious LLM training run performs (the
+    * GPT-3 paper's 13-gram overlap filter, its successors' n-gram
+    * variants): a training doc that verbatim-contains benchmark text
+    * inflates downstream eval scores and must be flagged or dropped.
+    *
+    * Scale shape — the asymmetry IS the design: the benchmark side is
+    * inherently tiny (eval suites are MBs) while the corpus is 100 TB, so
+    * the benchmark's distinct (bench_id, window-key) set is BROADCAST and
+    * the corpus side is one scan + broadcast-hash-join probe — the corpus
+    * NEVER shuffles on window keys. Only matched sites (contamination is
+    * rare by volume) reach the per-pair countDistinct aggregation.
+    * Families as in [[duplicatedSpans]]: "xx64" production fingerprints /
+    * "exact" oracle-replayable string keys.
+    */
+  def crossCorpusWindowOverlap(corpus: DataFrame, idCol: String, textCol: String,
+                               benchmark: DataFrame, benchIdCol: String,
+                               benchTextCol: String, k: Int,
+                               family: String = "xx64"): DataFrame = {
+    val corpusSites = windowSites(wordsFrame(corpus, idCol, textCol), k, family)
+    val benchGrams = windowSites(
+        wordsFrame(benchmark, benchIdCol, benchTextCol), k, family)
+      .select(col("id").as("bench_id"), col("gkey"))
+      .distinct()
+    corpusSites
+      .join(broadcast(benchGrams), Seq("gkey"))
+      .groupBy("id", "bench_id")
+      .agg(countDistinct("gkey").cast("int").as("n_shared_windows"))
+  }
+
+  /** The corpus AFTER decontamination: drop every training doc sharing
+    * >= `minShared` distinct length-`k` windows with ANY benchmark doc.
+    * One broadcast probe + one left-anti join on the (small) flagged-id
+    * set — the corpus is scanned twice and shuffled never.
+    */
+  def decontaminate(corpus: DataFrame, idCol: String, textCol: String,
+                    benchmark: DataFrame, benchIdCol: String,
+                    benchTextCol: String, k: Int, minShared: Int = 1,
+                    family: String = "xx64"): DataFrame = {
+    val flagged = crossCorpusWindowOverlap(corpus, idCol, textCol,
+        benchmark, benchIdCol, benchTextCol, k, family)
+      .where(col("n_shared_windows") >= minShared)
+      .select(col("id").as(idCol)).distinct()
+    corpus.join(broadcast(flagged), Seq(idCol), "left_anti")
+  }
 }

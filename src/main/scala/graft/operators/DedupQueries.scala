@@ -215,8 +215,45 @@ object DedupQueries {
       Dedup.scrubDuplicatedSpans(docs(s, dir), "doc_id", "text",
           k = 5, minSites = 2, family = "exact")
         .withColumnRenamed("id", "doc_id")
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Benchmark decontamination: the eval set is derived IN-QUERY (every
+    // 13th doc's middle word slice — verbatim training-set text, so
+    // contamination is guaranteed and DuckDB replays the derivation);
+    // output is every (training doc, bench doc) pair with the count of
+    // distinct shared word 8-grams. Exact keys = oracle mode; the
+    // production xx64 broadcast path is spec-asserted identical.
+    "q_d12_decontamination" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.crossCorpusWindowOverlap(d, "doc_id", "text",
+          benchFrame(d), "bench_id", "text", k = 8, family = "exact")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "bench_id")
+    }),
+
+    // The corpus AFTER decontamination — training docs sharing any 8-gram
+    // with the benchmark are dropped (their sources among them).
+    "q_d13_decontaminated_corpus" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.decontaminate(d, "doc_id", "text",
+          benchFrame(d), "bench_id", "text", k = 8, minShared = 1,
+          family = "exact")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    })
   )
+
+  /** The in-query "benchmark" for the decontamination queries: every 13th
+    * doc's middle word slice (start = n/3 + 1, length = max(n/3, 5)) —
+    * integer arithmetic both engines replay exactly.
+    */
+  private def benchFrame(d: DataFrame): DataFrame = {
+    val w = "filter(split(text, ' '), x -> x != '')"
+    d.filter(col("doc_id") % 13 === 0)
+      .selectExpr("doc_id AS bench_id",
+        s"""array_join(slice($w, CAST(size($w) div 3 AS INT) + 1,
+           |  greatest(CAST(size($w) div 3 AS INT), 5)), ' ') AS text""".stripMargin)
+  }
 
   /** Build-once IVF index per dataset dir. Training is an ingest-time step
     * (ScaleSmoke times it as `ivf_build_s`); queries re-read the persisted
@@ -563,8 +600,45 @@ object DedupQueries {
          |       CAST(len(w.ws) - coalesce(kept.n_kept, 0) AS INT) AS n_dropped_words,
          |       coalesce(kept.clean_text, '') AS clean_text
          |FROM w LEFT JOIN kept USING (doc_id)
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+
+    // Decontamination pairs: DuckDB re-derives the benchmark slices
+    // (integer div + greatest, same clamping slice semantics) and counts
+    // distinct shared 8-grams per (training doc, bench doc).
+    "q_d12_decontamination" -> (decontaminationPairsSql +
+      "\nSELECT doc_id, bench_id, CAST(count(DISTINCT gram) AS INT) AS n_shared_windows" +
+      "\nFROM cg JOIN bg USING (gram) GROUP BY 1, 2 ORDER BY 1, 2"),
+
+    // Survivors: docs flagged by ANY shared 8-gram drop.
+    "q_d13_decontaminated_corpus" -> (decontaminationPairsSql +
+      """
+        |SELECT doc_id, lang, source FROM documents
+        |WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM cg JOIN bg USING (gram))
+        |ORDER BY doc_id""".stripMargin)
   )
+
+  /** Shared CTE prefix for the decontamination oracles: corpus windows
+    * (cg) and distinct benchmark windows (bg) at k = 8.
+    */
+  private lazy val decontaminationPairsSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      |  FROM documents),
+      |bench AS (
+      |  SELECT doc_id AS bench_id,
+      |         ws[(len(ws) // 3 + 1):(len(ws) // 3 + greatest(len(ws) // 3, 5))] AS bws
+      |  FROM w WHERE doc_id % 13 = 0),
+      |bg0 AS (
+      |  SELECT bench_id, bws, unnest(generate_series(1, len(bws) - 7)) AS pos
+      |  FROM bench WHERE len(bws) >= 8),
+      |bg AS (
+      |  SELECT DISTINCT bench_id, array_to_string(bws[pos:pos+7], ' ') AS gram
+      |  FROM bg0),
+      |cg0 AS (
+      |  SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 7)) AS pos
+      |  FROM w WHERE len(ws) >= 8),
+      |cg AS (
+      |  SELECT doc_id, array_to_string(ws[pos:pos+7], ' ') AS gram FROM cg0)""".stripMargin
 
   private lazy val allPairsCosineSql: String =
     """SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -104,4 +104,46 @@ class SubstringDedupSpec extends SparkTestBase {
     }
     assert(scrub.values.sum > 0)
   }
+
+  test("decontamination flags verbatim benchmark containment; survivors are the complement") {
+    import spark.implicits._
+    val corpus = df(Seq(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      2L -> "totally unrelated training text with nothing shared here at all",
+      3L -> "prefix words then alpha beta gamma delta epsilon zeta eta theta trailing"))
+    val bench = Seq(100L -> "alpha beta gamma delta epsilon zeta eta theta")
+      .toDF("bench_id", "btext")
+    val pairs = Dedup.crossCorpusWindowOverlap(corpus, "doc_id", "text",
+        bench, "bench_id", "btext", k = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // Docs 1 and 3 contain the 8-word benchmark verbatim (doc 1 shares
+    // the 8-gram at pos 1; doc 3 at pos 4); doc 2 is clean.
+    assert(pairs == Set((1L, 100L, 1), (3L, 100L, 1)))
+    val survivors = Dedup.decontaminate(corpus, "doc_id", "text",
+        bench, "bench_id", "btext", k = 8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(2L))
+  }
+
+  test("decontamination: xx64 equals exact family and the corpus side never shuffles") {
+    val docs = spark.read.parquet(sfDir("0.001") + "/documents.parquet")
+    val bench = docs.filter(col("doc_id") % 13 === 0)
+      .selectExpr("doc_id AS bench_id", "text AS btext")
+    def pairSet(family: String) =
+      Dedup.crossCorpusWindowOverlap(docs, "doc_id", "text",
+          bench, "bench_id", "btext", k = 8, family = family)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val exact = pairSet("exact")
+    assert(exact.nonEmpty)
+    assert(pairSet("xx64") == exact)
+    // Plan receipt for the 100 TB asymmetry: the benchmark gram set is
+    // broadcast, so the only exchanges are the broadcast itself and the
+    // (matched-sites-only) per-pair aggregation — the corpus scan feeds a
+    // BroadcastHashJoin, never a shuffled join on window keys.
+    val plan = Dedup.crossCorpusWindowOverlap(docs, "doc_id", "text",
+        bench, "bench_id", "btext", k = 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+  }
 }
