@@ -925,8 +925,11 @@ object Dedup {
       .agg(collect_list(struct(col("start_word").as("s"), col("end_word").as("e")))
         .as("spans"))
     w.join(perDoc, Seq("id"), "left")
+      // positions via transform's index, NOT sequence(1, size(ws)):
+      // sequence with start > stop DESCENDS, so an empty doc would yield
+      // [1, 0] and element_at would fault on position 0.
       .selectExpr("id", "ws",
-        """filter(sequence(1, size(ws)),
+        """filter(transform(ws, (x, i0) -> i0 + 1),
           |       i -> spans IS NULL OR NOT exists(spans, sp -> i >= sp.s AND i <= sp.e))
           |  AS keep""".stripMargin)
       .selectExpr("id",

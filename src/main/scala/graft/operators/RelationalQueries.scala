@@ -461,6 +461,34 @@ object RelationalQueries {
           col("o_orderstatus").asc_nulls_first)
     }),
 
+    // A16 — PIVOT reshaping with an EXPLICIT value list: groupBy + pivot
+    // compiles to ONE hash aggregate over one exchange (pivot-first
+    // aggregation); listing the values skips the extra distinct-values
+    // discovery job an open pivot would run over the full corpus — the
+    // form that matters when the corpus is 100 TB and the pivot column has
+    // known domain.
+    "q_a18_pivot" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_linestatus")
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(dsum("l_quantity"))
+        .withColumnRenamed("A", "qty_a")
+        .withColumnRenamed("N", "qty_n")
+        .withColumnRenamed("R", "qty_r")
+        .orderBy("l_linestatus")),
+
+    // A17 — UNPIVOT (melt): wide per-status metric columns back to tall
+    // (metric, value) rows; the expand is row-local (a Generate), so it
+    // adds zero exchanges on top of the aggregation it reads.
+    "q_a19_unpivot" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_linestatus")
+        .agg(dsum("l_quantity").as("sum_qty"),
+          dsum("l_extendedprice").as("sum_price"))
+        .unpivot(Array(col("l_linestatus")),
+          Array(col("sum_qty"), col("sum_price")), "metric", "value")
+        .orderBy("l_linestatus", "metric")),
+
     // INTERSECT ALL — multiset intersection (min of multiplicities).
     "q_set5_intersect_all" -> ((s, dir) => {
       val o = t(s, dir, "orders")
@@ -1097,6 +1125,29 @@ object RelationalQueries {
         |INTERSECT ALL
         |SELECT o_orderpriority FROM orders WHERE o_custkey > 750
         |ORDER BY o_orderpriority""".stripMargin,
+
+    // Pivot as conditional aggregation — the engine-neutral spelling; a
+    // cell with no rows is NULL in both engines.
+    "q_a18_pivot" ->
+      """SELECT l_linestatus,
+        |       CAST(sum(CASE WHEN l_returnflag = 'A'
+        |                     THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_a,
+        |       CAST(sum(CASE WHEN l_returnflag = 'N'
+        |                     THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_n,
+        |       CAST(sum(CASE WHEN l_returnflag = 'R'
+        |                     THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_r
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_a19_unpivot" ->
+      """WITH a AS (
+        |  SELECT l_linestatus,
+        |         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_linestatus, 'sum_qty' AS metric, sum_qty AS value FROM a
+        |UNION ALL
+        |SELECT l_linestatus, 'sum_price' AS metric, sum_price AS value FROM a
+        |ORDER BY l_linestatus, metric""".stripMargin,
 
     "q_w4_rank_family" ->
       """SELECT c_mktsegment, c_custkey,
