@@ -228,7 +228,21 @@ object ScaleBench {
       ("q_d10_substring_scale" -> ((s: SparkSession, d: String) =>
         operators.Dedup.duplicatedSpans(
           s.read.parquet(s"$d/documents.parquet"), "doc_id", "text",
-          k = 5, minSites = 2, family = "xx64")))
+          k = 5, minSites = 2, family = "xx64"))) :+
+      // benchmark decontamination: the bench set stays FIXED as the corpus
+      // grows (eval suites don't scale with training data), so the curve
+      // must be scan-bound — the benchmark gram set broadcasts and the
+      // corpus side never exchanges on window keys (shuffle_write_mb must
+      // stay matched-pairs-sized, not corpus-sized).
+      ("q_d12_decontam_scale" -> ((s: SparkSession, d: String) => {
+        val docs = s.read.parquet(s"$d/documents.parquet")
+        // fixed id range: SynthScale shifts replica keys upward, so this
+        // stays the SAME ~200-doc bench set at every scale factor
+        val bench = docs.filter(col("doc_id") < 200)
+          .selectExpr("doc_id AS bench_id", "text AS btext")
+        operators.Dedup.crossCorpusWindowOverlap(docs, "doc_id", "text",
+          bench, "bench_id", "btext", k = 8, family = "xx64")
+      }))
 
     val listener = new TaskMetricsListener
     spark.sparkContext.addSparkListener(listener)
