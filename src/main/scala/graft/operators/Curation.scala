@@ -10,6 +10,13 @@ import org.apache.spark.sql.functions._
   *   raw docs
   *     → quality gate        (row-local: token count, lexical diversity,
   *                            repetition, char entropy — one scan)
+  *     → decontamination     (optional: drop docs sharing k-grams with a
+  *                            broadcast benchmark set — corpus never
+  *                            shuffles here)
+  *     → substring scrub     (optional: cut corpus-duplicated spans, then
+  *                            re-apply the token floor to the rewrite —
+  *                            BEFORE near-dup so boilerplate doesn't
+  *                            inflate pairwise similarity)
   *     → exact dedup         (normalized-text keeper groups)
   *     → near-dup dedup      (MinHash-LSH clusters → canonical keepers)
   *     → leak-free split     (seeded hash buckets: train/valid/test)
@@ -33,11 +40,16 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
-  /** Per-stage survivor counts and the packed-corpus totals. */
+  /** Per-stage survivor counts and the packed-corpus totals. The two
+    * optional stages report -1 when disabled so a dataset card can tell
+    * "stage off" from "stage dropped nothing".
+    */
   final case class Report(nInput: Long, nAfterQuality: Long,
                           nAfterExactDedup: Long, nAfterNearDedup: Long,
                           splitCounts: Map[String, Long],
-                          nBins: Long, nTokens: Long)
+                          nBins: Long, nTokens: Long,
+                          nAfterDecontam: Long = -1L,
+                          nAfterScrub: Long = -1L)
 
   /** Quality thresholds for the row-local gate. Defaults are the
     * web-corpus heuristics (Gopher-family): enough tokens, some lexical
@@ -78,12 +90,44 @@ object Curation {
              nearDupThreshold: Double = 0.7,
              splits: Seq[(String, Double)] =
                Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05),
-             shards: Int = 8, budgetTokens: Long = 512L): Report = {
+             shards: Int = 8, budgetTokens: Long = 512L,
+             benchmark: Option[DataFrame] = None, decontamWindow: Int = 8,
+             scrubWindow: Int = 0): Report = {
     val nInput = docs.count()
 
-    val afterQuality = qualityGate(docs, "text", quality)
+    val afterQuality0 = qualityGate(docs, "text", quality)
       .persist()
-    val nQuality = afterQuality.count()
+    val nQuality = afterQuality0.count()
+
+    // Benchmark decontamination BEFORE any dedup work: flagged docs must
+    // not ship, so dropping them first also spares the wide stages. The
+    // benchmark gram set broadcasts; this stage never shuffles the corpus
+    // (the benchmark frame must expose bench_id/btext).
+    val afterDecontam = benchmark match {
+      case Some(b) =>
+        Dedup.decontaminate(afterQuality0, "doc_id", "text",
+          b, "bench_id", "btext", k = decontamWindow).persist()
+      case None => afterQuality0
+    }
+    val nDecontam = if (benchmark.isDefined) afterDecontam.count() else -1L
+
+    // Substring scrub (boilerplate removal) BEFORE near-dup dedup: shared
+    // boilerplate inflates pairwise similarity, so cutting it first makes
+    // the MinHash stage measure the prose, not the license header. Docs
+    // scrubbed below the quality floor drop (the gate re-applies to the
+    // rewritten text).
+    val afterScrub = if (scrubWindow > 0) {
+      val clean = Dedup.scrubDuplicatedSpans(afterDecontam, "doc_id", "text",
+          k = scrubWindow)
+        .select(col("id").as("doc_id"), col("clean_text"))
+      afterDecontam.drop("text")
+        .join(clean.withColumnRenamed("clean_text", "text"), "doc_id")
+        .filter(expr(
+          s"size(${Dedup.tokensExpr("text")}) >= ${quality.minTokens}"))
+        .persist()
+    } else afterDecontam
+    val nScrub = if (scrubWindow > 0) afterScrub.count() else -1L
+    val afterQuality = afterScrub
 
     // exact dedup first: byte-identical copies never reach the LSH stage
     val exactKeepers = afterQuality
@@ -130,8 +174,10 @@ object Curation {
       .write.mode("overwrite").partitionBy("split")
       .parquet(outDir)
 
-    Seq(afterQuality, exactKeepers, deduped, packed).foreach(_.unpersist())
+    (Seq(afterQuality0, exactKeepers, deduped, packed) ++
+      benchmark.map(_ => afterDecontam) ++
+      (if (scrubWindow > 0) Seq(afterScrub) else Nil)).foreach(_.unpersist())
     Report(nInput, nQuality, nExact, nNear, splitCounts,
-      totals.getLong(0), totals.getLong(1))
+      totals.getLong(0), totals.getLong(1), nDecontam, nScrub)
   }
 }

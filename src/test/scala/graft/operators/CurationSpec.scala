@@ -61,6 +61,40 @@ class CurationSpec extends SparkTestBase {
       spark.read.parquet(out3).orderBy("doc_id").collect().map(_.toSeq).toSeq != a)
   }
 
+  test("curate with decontamination + scrub: monotone stages, zero residual benchmark overlap") {
+    val bench = docs.filter(col("doc_id") % 13 === 0)
+      .selectExpr("doc_id AS bench_id", "text AS btext")
+    val out = Files.createTempDirectory("graft-curate-d").toString
+    val r = Curation.curate(docs, out, seed = "cur-7", budgetTokens = 256L,
+      benchmark = Some(bench), scrubWindow = 5)
+
+    // optional-stage counters populate and sit inside the monotone chain
+    assert(r.nAfterDecontam >= 0 && r.nAfterDecontam <= r.nAfterQuality)
+    assert(r.nAfterScrub >= 0 && r.nAfterScrub <= r.nAfterDecontam)
+    assert(r.nAfterExactDedup <= r.nAfterScrub)
+    // the benchmark is drawn FROM the corpus, so its source docs must drop
+    assert(r.nAfterDecontam < r.nAfterQuality,
+      "decontamination dropped nothing despite in-corpus benchmark sources")
+
+    val written = spark.read.parquet(out)
+    assert(written.count() == r.nAfterNearDedup && r.nAfterNearDedup > 0)
+
+    // hard guarantee: no survivor's ORIGINAL text shares an 8-gram with
+    // the benchmark (decontamination gates on the pre-scrub text)
+    val survivorsOrig = docs.join(written.select("doc_id"), "doc_id")
+    assert(Dedup.crossCorpusWindowOverlap(survivorsOrig, "doc_id", "text",
+      bench, "bench_id", "btext", k = 8).count() == 0)
+
+    // scrub can only shrink: packed token total <= the same docs' original
+    val origToks = survivorsOrig
+      .selectExpr("size(filter(split(text, ' '), x -> x != '')) AS n")
+      .agg(sum("n")).head().getLong(0)
+    assert(r.nTokens <= origToks)
+
+    // the default path leaves both stages off and reports -1
+    assert(Curation.Report(1, 1, 1, 1, Map.empty, 1, 1).nAfterDecontam == -1L)
+  }
+
   test("quality gate drops degenerate docs and only those kinds") {
     import spark.implicits._
     val crafted = Seq(
