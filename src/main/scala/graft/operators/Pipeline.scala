@@ -351,6 +351,47 @@ object Pipeline {
           .when(col("fp_prev") =!= col("fp_cur"), "changed")
           .otherwise("unchanged"))
 
+  /** Sliding-window CONTEXT CHUNKING: split each document into windows of
+    * `chunkTokens` words advancing by `strideTokens` (overlap = chunk −
+    * stride) — the context-window prep step for training samples and RAG
+    * indexing. Chunk starts are 0·S, 1·S, …, ending at the smallest
+    * multiple of S that reaches the document end, so coverage is complete,
+    * every chunk except possibly a short-document singleton has full
+    * overlap context, and no trailing chunk is a strict suffix of its
+    * predecessor. Output: (id, chunk_idx, start_word, end_word, n_tokens,
+    * chunk_text), 1-based inclusive word bounds. Empty documents produce
+    * no chunks.
+    *
+    * Scale shape: entirely row-local (codegen'd transform + posexplode —
+    * zero exchanges added); chunk count is tokens/stride, so output volume
+    * is a declared multiple (chunk/stride) of the input. The chunk index
+    * arithmetic is integer-exact (ceil via (a + b − 1) div b), replayable
+    * by any engine.
+    */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+                     chunkTokens: Int, strideTokens: Int): DataFrame = {
+    require(chunkTokens >= 1 && strideTokens >= 1 &&
+      strideTokens <= chunkTokens,
+      s"need 1 <= stride <= chunk, got chunk=$chunkTokens stride=$strideTokens")
+    val (c, s) = (chunkTokens, strideTokens)
+    df.selectExpr(s"$idCol AS id",
+        s"filter(split($textCol, ' '), x -> x != '') AS ws")
+      .where(expr("size(ws) >= 1"))
+      .selectExpr("id", "ws",
+        // 1 + ceil(max(n - c, 0) / s) chunks; sequence is safe because the
+        // count is >= 1 for every non-empty doc (sequence would DESCEND on
+        // an empty range — see scrubDuplicatedSpans).
+        s"""posexplode(transform(
+           |  sequence(0, (greatest(size(ws) - $c, 0) + ${s - 1}) div $s),
+           |  i -> struct(CAST(i * $s + 1 AS INT) AS sw,
+           |              CAST(least(i * $s + $c, size(ws)) AS INT) AS ew)))
+           |""".stripMargin)
+      .selectExpr("id", "CAST(pos AS INT) AS chunk_idx",
+        "col.sw AS start_word", "col.ew AS end_word",
+        "CAST(col.ew - col.sw + 1 AS INT) AS n_tokens",
+        "array_join(slice(ws, col.sw, col.ew - col.sw + 1), ' ') AS chunk_text")
+  }
+
   def redact(textCol: Column): Column =
     regexp_replace(regexp_replace(textCol, EmailRe, "<EMAIL>"),
       NumberRe, "<NUM>")

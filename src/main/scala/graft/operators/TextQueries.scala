@@ -348,6 +348,16 @@ object TextQueries {
         .agg(count(lit(1)).as("n"), min("n_chars").as("min_chars"),
           max("n_chars").as("max_chars"))
         .orderBy("lang", "status"))
+  ,
+
+    // Sliding-window context chunking (30-token windows, stride 20):
+    // row-local explode, integer-exact start arithmetic — the training-
+    // sample / RAG-index prep step.
+    "q_t22_chunking" -> ((s, dir) =>
+      Pipeline.chunkDocuments(docs(s, dir), "doc_id", "text",
+          chunkTokens = 30, strideTokens = 20)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "chunk_idx"))
   )
 
   /** The 6-iteration unrolled BPE-training replay: w0 = word frequencies,
@@ -880,6 +890,25 @@ object TextQueries {
          |       CAST(coalesce(n_words, 0) AS BIGINT) AS n_words,
          |       CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens
          |FROM documents d LEFT JOIN agg USING (doc_id)
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+
+    // Chunking: 1 + ceil(max(n-30,0)/20) windows per doc via exact integer
+    // ceil ((a + s - 1) // s); slice bounds replayed inclusively.
+    "q_t22_chunking" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id, ws,
+         |         unnest(generate_series(0,
+         |           (greatest(len(ws) - 30, 0) + 19) // 20)) AS i
+         |  FROM w WHERE len(ws) >= 1)
+         |SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+         |       CAST(i * 20 + 1 AS INT) AS start_word,
+         |       CAST(least(i * 20 + 30, len(ws)) AS INT) AS end_word,
+         |       CAST(least(i * 20 + 30, len(ws)) - i * 20 AS INT) AS n_tokens,
+         |       array_to_string(ws[(i * 20 + 1):least(i * 20 + 30, len(ws))], ' ')
+         |         AS chunk_text
+         |FROM g ORDER BY doc_id, chunk_idx""".stripMargin
   )
 }

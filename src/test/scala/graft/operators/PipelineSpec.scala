@@ -284,4 +284,42 @@ class PipelineSpec extends SparkTestBase {
       .filter(col("status") =!= "unchanged").count()
     assert(same == 0)
   }
+
+  test("chunkDocuments: bounds, overlap, full coverage, edge lengths") {
+    import spark.implicits._
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val df = Seq(
+      (1L, words(10)),  // n < chunk: one short chunk
+      (2L, words(30)),  // n == chunk: exactly one chunk
+      (3L, words(31)),  // one past: two chunks, second starts at 21
+      (4L, words(70)),  // general: starts 1, 21, 41 (41+30 >= 70)
+      (5L, ""))         // empty: no chunks
+      .toDF("doc_id", "text")
+    val got = Pipeline.chunkDocuments(df, "doc_id", "text",
+        chunkTokens = 30, strideTokens = 20)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getInt(4), r.getString(5)))
+      .sortBy(t => (t._1, t._2))
+    val byDoc = got.groupBy(_._1)
+    assert(byDoc(1L).map(t => (t._3, t._4)).toSeq == Seq((1, 10)))
+    assert(byDoc(2L).map(t => (t._3, t._4)).toSeq == Seq((1, 30)))
+    assert(byDoc(3L).map(t => (t._3, t._4)).toSeq == Seq((1, 30), (21, 31)))
+    assert(byDoc(4L).map(t => (t._3, t._4)).toSeq ==
+      Seq((1, 30), (21, 50), (41, 70)))
+    assert(!byDoc.contains(5L))
+    // chunk text matches its declared bounds; n_tokens consistent
+    got.foreach { case (id, _, sw, ew, n, text) =>
+      assert(n == ew - sw + 1)
+      val ws = text.split(" ")
+      assert(ws.length == n && ws.head == s"w$sw" && ws.last == s"w$ew")
+    }
+    // stride respected: consecutive chunk starts differ by exactly 20
+    byDoc.values.foreach { cs =>
+      cs.map(_._3).sliding(2).foreach {
+        case Array(a, b) => assert(b - a == 20)
+        case _ =>
+      }
+    }
+  }
 }
