@@ -489,6 +489,44 @@ object RelationalQueries {
           Array(col("sum_qty"), col("sum_price")), "metric", "value")
         .orderBy("l_linestatus", "metric")),
 
+    // A20 — Pearson correlation from EXACT decimal moments: the five sums
+    // accumulate as exact decimals (order-independent), and the only
+    // floating-point work is the final one-row formula — so the statistic
+    // is deterministic under any partitioning, unlike corr()'s running
+    // double accumulator. One aggregate, one exchange.
+    "q_a20_correlation" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).as("sq"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).as("sp"),
+          sum((col("l_quantity").cast("decimal(18,2)") *
+            col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,4)")).as("sqq"),
+          sum((col("l_extendedprice").cast("decimal(18,2)") *
+            col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(38,4)")).as("spp"),
+          sum((col("l_quantity").cast("decimal(18,2)") *
+            col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(38,4)")).as("sqp"))
+        .select(col("l_returnflag"), col("n"),
+          round(((col("n") * col("sqp").cast("double") -
+              col("sq").cast("double") * col("sp").cast("double")) /
+            (sqrt(col("n") * col("sqq").cast("double") -
+               col("sq").cast("double") * col("sq").cast("double")) *
+             sqrt(col("n") * col("spp").cast("double") -
+               col("sp").cast("double") * col("sp").cast("double")))), 6)
+            .as("r_qty_price"))
+        .orderBy("l_returnflag")),
+
+    // A21 — fixed-width histogram (distribution profiling for dataset
+    // cards): bucket = min(floor(price / 50k), 9); exact counts, integer
+    // bucket arithmetic, one map-side-combined aggregate.
+    "q_a21_histogram" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(least(floor(col("o_totalprice") / 50000.0), lit(9))
+          .cast("int").as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("bucket")),
+
     // INTERSECT ALL — multiset intersection (min of multiplicities).
     "q_set5_intersect_all" -> ((s, dir) => {
       val o = t(s, dir, "orders")
@@ -1125,6 +1163,32 @@ object RelationalQueries {
         |INTERSECT ALL
         |SELECT o_orderpriority FROM orders WHERE o_custkey > 750
         |ORDER BY o_orderpriority""".stripMargin,
+
+    // Exact decimal moments -> one final double formula; DuckDB's decimal
+    // sums are exact the same way, so r matches to the rounding digit.
+    "q_a20_correlation" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |         sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq,
+        |         sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sp,
+        |         sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) *
+        |                  CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sqq,
+        |         sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                  CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS spp,
+        |         sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) *
+        |                  CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sqp
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |       round((n * CAST(sqp AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE))
+        |         / (sqrt(n * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+        |            * sqrt(n * CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))), 6)
+        |         AS r_qty_price
+        |FROM m ORDER BY l_returnflag""".stripMargin,
+
+    "q_a21_histogram" ->
+      """SELECT CAST(least(floor(o_totalprice / 50000.0), 9) AS INTEGER) AS bucket,
+        |       count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Pivot as conditional aggregation — the engine-neutral spelling; a
     // cell with no rows is NULL in both engines.
