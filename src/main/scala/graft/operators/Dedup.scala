@@ -871,7 +871,6 @@ object Dedup {
   def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
                       k: Int, minSites: Int = 2,
                       family: String = "xx64"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val w = wordsFrame(docs, idCol, textCol)
     val sites = windowSites(w, k, family)
     // Corpus-wide site count per window key; duplicated keys only. The
@@ -882,9 +881,18 @@ object Dedup {
       .where(col("n_sites") >= minSites)
     val dupSites = sites.join(dupKeys.select("gkey"), Seq("gkey"), "left_semi")
       .select("id", "pos")
-    // Gaps-and-islands over window STARTS: [pos, pos+k-1] windows sorted by
-    // pos merge while the gap between consecutive starts is <= k
-    // (overlap-or-adjacent). lag = NULL on the first row -> brk 1.
+    spansFromDupSites(dupSites, w, k)
+  }
+
+  /** Shared island/assembly tail of the substring-dedup family: duplicated
+    * (id, pos) sites → maximal spans with text. Gaps-and-islands over
+    * window STARTS: [pos, pos+k-1] windows sorted by pos merge while the
+    * gap between consecutive starts is <= k (overlap-or-adjacent);
+    * lag = NULL on the first row -> brk 1.
+    */
+  private def spansFromDupSites(dupSites: DataFrame, w: DataFrame,
+                                k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy("id").orderBy("pos")
     val spans = dupSites
       .withColumn("brk",
@@ -900,6 +908,57 @@ object Dedup {
         col("n_sites_in_span"),
         expr("array_join(slice(ws, start_word, end_word - start_word + 1), ' ')")
           .as("span_text"))
+  }
+
+  /** The PERSISTABLE substring-dedup index state: corpus-wide window-key
+    * counts (gkey, n_sites) at a fixed k — write it once per corpus (at
+    * rest it is a two-column table a lake partitions by gkey range), and
+    * each incoming batch joins against it instead of re-scanning history.
+    * Merge a batch in with [[mergeWindowCountIndex]].
+    */
+  def windowCountIndex(docs: DataFrame, idCol: String, textCol: String,
+                       k: Int, family: String = "xx64"): DataFrame =
+    windowSites(wordsFrame(docs, idCol, textCol), k, family)
+      .groupBy("gkey").agg(count(lit(1)).as("n_sites"))
+
+  /** The refreshed index after a batch lands: per-key sum of stored and
+    * batch counts — one map-side-combined aggregate over index ∪ batch,
+    * O(index keys + batch), associative so arbitrary batch orderings
+    * converge to the same table.
+    */
+  def mergeWindowCountIndex(index: DataFrame, newDocs: DataFrame,
+                            idCol: String, textCol: String, k: Int,
+                            family: String = "xx64"): DataFrame =
+    index.unionByName(windowCountIndex(newDocs, idCol, textCol, k, family))
+      .groupBy("gkey").agg(sum("n_sites").as("n_sites"))
+
+  /** Incremental substring dedup: duplicated spans in a NEW batch, where a
+    * window counts as duplicated when its sites across the stored
+    * [[windowCountIndex]] PLUS the batch reach `minSites` — the
+    * continuous-ingestion shape that keeps span detection O(batch): the
+    * corpus participates only through one equi-join on its already-counted
+    * window keys. Same one-sided contract as [[incrementalNearDuplicates]]:
+    * spans the batch newly creates inside OLD documents are not re-emitted
+    * (re-scrub history on the next full build, or feed old docs back as a
+    * batch). For batch docs the output EQUALS the full-corpus
+    * [[duplicatedSpans]] restricted to batch ids (spec-asserted through a
+    * parquet round-trip of the index).
+    */
+  def incrementalDuplicatedSpans(newDocs: DataFrame, index: DataFrame,
+                                 idCol: String, textCol: String, k: Int,
+                                 minSites: Int = 2,
+                                 family: String = "xx64"): DataFrame = {
+    val w = wordsFrame(newDocs, idCol, textCol)
+    val sites = windowSites(w, k, family).persist()
+    try {
+      val dupKeys = sites.groupBy("gkey").agg(count(lit(1)).as("n_new"))
+        .join(index.withColumnRenamed("n_sites", "n_old"), Seq("gkey"), "left")
+        .where(col("n_new") + coalesce(col("n_old"), lit(0L)) >= minSites)
+        .select("gkey")
+      val dupSites = sites.join(dupKeys, Seq("gkey"), "left_semi")
+        .select("id", "pos")
+      spansFromDupSites(dupSites, w, k).pipe(materialize)
+    } finally sites.unpersist()
   }
 
   /** The corpus AFTER substring dedup: drop every word covered by a
