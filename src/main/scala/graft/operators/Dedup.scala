@@ -977,9 +977,34 @@ object Dedup {
     */
   def scrubDuplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
                            k: Int, minSites: Int = 2,
-                           family: String = "xx64"): DataFrame = {
+                           family: String = "xx64",
+                           keepFirst: Boolean = false): DataFrame = {
     val w = wordsFrame(docs, idCol, textCol)
-    val perDoc = duplicatedSpans(docs, idCol, textCol, k, minSites, family)
+    // keepFirst = Lee et al. §4's actual semantics: the FIRST site of each
+    // duplicated window (global (id, pos) order) survives, every later
+    // copy is cut — content is preserved exactly once in the corpus.
+    // Default (false) cuts every copy (boilerplate-removal semantics; no
+    // cross-copy ordering decision, stays embarrassingly parallel). The
+    // keepFirst ranking is one window over the SAME gkey shuffle the
+    // count filter already pays; "first" is deterministic because
+    // (id, pos) is a total order over sites.
+    val dupSites =
+      if (!keepFirst)
+        duplicatedSpans(docs, idCol, textCol, k, minSites, family)
+          .select("id", "island", "start_word", "end_word")
+      else {
+        import org.apache.spark.sql.expressions.Window
+        val sites = windowSites(w, k, family)
+        val byKey = Window.partitionBy("gkey")
+        val scrubSites = sites
+          .withColumn("rk", row_number().over(byKey.orderBy("id", "pos")))
+          .withColumn("n", count(lit(1)).over(byKey))
+          .where(col("n") >= minSites && col("rk") >= 2)
+          .select("id", "pos")
+        spansFromDupSites(scrubSites, w, k)
+          .select("id", "island", "start_word", "end_word")
+      }
+    val perDoc = dupSites
       .groupBy("id")
       .agg(collect_list(struct(col("start_word").as("s"), col("end_word").as("e")))
         .as("spans"))

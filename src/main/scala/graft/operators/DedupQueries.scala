@@ -217,6 +217,15 @@ object DedupQueries {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
 
+    // The keep-one-copy scrub (Lee et al. §4's actual semantics): the
+    // first (doc, pos) site of each duplicated window survives; later
+    // copies are cut. Content stays in the corpus exactly once.
+    "q_d14_scrub_keepfirst" -> ((s, dir) =>
+      Dedup.scrubDuplicatedSpans(docs(s, dir), "doc_id", "text",
+          k = 5, minSites = 2, family = "exact", keepFirst = true)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+
     // Benchmark decontamination: the eval set is derived IN-QUERY (every
     // 13th doc's middle word slice — verbatim training-set text, so
     // contamination is guaranteed and DuckDB replays the derivation);
@@ -583,6 +592,43 @@ object DedupQueries {
          |  SELECT gram FROM sites GROUP BY gram HAVING count(*) >= 2),
          |ds AS (
          |  SELECT s.doc_id, s.pos FROM sites s JOIN dup USING (gram)),
+         |covered AS (
+         |  SELECT DISTINCT doc_id, cp FROM (
+         |    SELECT doc_id, unnest(generate_series(pos, pos + 4)) AS cp FROM ds)),
+         |pt0 AS (
+         |  SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i FROM w),
+         |pt AS (
+         |  SELECT doc_id, ws[i] AS word, i FROM pt0),
+         |kept AS (
+         |  SELECT p.doc_id, count(*) AS n_kept,
+         |         string_agg(p.word, ' ' ORDER BY p.i) AS clean_text
+         |  FROM pt p LEFT JOIN covered c ON c.doc_id = p.doc_id AND c.cp = p.i
+         |  WHERE c.cp IS NULL
+         |  GROUP BY p.doc_id)
+         |SELECT w.doc_id, CAST(len(w.ws) AS INT) AS n_words,
+         |       CAST(len(w.ws) - coalesce(kept.n_kept, 0) AS INT) AS n_dropped_words,
+         |       coalesce(kept.clean_text, '') AS clean_text
+         |FROM w LEFT JOIN kept USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    // keepFirst scrub: row_number over (gram ORDER BY doc_id, pos) — the
+    // first site of each duplicated window is exempt from coverage.
+    "q_d14_scrub_keepfirst" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 4)) AS pos
+         |  FROM w WHERE len(ws) >= 5),
+         |sites AS (
+         |  SELECT doc_id, pos, array_to_string(ws[pos:pos+4], ' ') AS gram FROM g),
+         |ds AS (
+         |  SELECT doc_id, pos FROM (
+         |    SELECT doc_id, pos,
+         |           row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rk,
+         |           count(*) OVER (PARTITION BY gram) AS n
+         |    FROM sites)
+         |  WHERE n >= 2 AND rk >= 2),
          |covered AS (
          |  SELECT DISTINCT doc_id, cp FROM (
          |    SELECT doc_id, unnest(generate_series(pos, pos + 4)) AS cp FROM ds)),

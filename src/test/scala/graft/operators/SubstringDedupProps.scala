@@ -94,4 +94,35 @@ object SubstringDedupProps extends Properties("SubstringDedup") {
 
       spansOk && scrubOk
     }
+
+  property("keepFirst scrub cuts every site EXCEPT each window's first") =
+    forAllNoShrink(genCorpus, Gen.oneOf(2, 3)) { (corpus, k) =>
+      val s = spark
+      import s.implicits._
+      val docs = corpus.zipWithIndex.map { case (ws, i) => (i.toLong, ws) }
+      val df = docs.map { case (id, ws) => (id, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      // reference: per duplicated window, drop the (id, pos)-first site
+      // from coverage; everything else is covered
+      val sites = for {
+        (id, ws) <- docs
+        i <- 1 to ws.length - k + 1
+      } yield (ws.slice(i - 1, i - 1 + k).mkString(" "), id, i)
+      val scrubSites = sites.groupBy(_._1).toList.flatMap { case (_, ss) =>
+        if (ss.size >= 2) ss.sortBy(x => (x._2, x._3)).drop(1) else Nil
+      }
+      val covered = scrubSites.groupBy(_._2).view
+        .mapValues(_.flatMap(x => x._3 until x._3 + k).toSet).toMap
+      val expect = docs.map { case (id, ws) =>
+        val cov = covered.getOrElse(id, Set.empty)
+        id -> ((ws.length, cov.size,
+          ws.zipWithIndex.collect { case (w, i) if !cov(i + 1) => w }.mkString(" ")))
+      }.toMap
+      val got = Dedup.scrubDuplicatedSpans(df, "doc_id", "text", k = k,
+          keepFirst = true)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3))))
+        .toMap
+      got == expect
+    }
 }
