@@ -27,6 +27,45 @@ class EdgeCasesSpec extends SparkTestBase {
       "doc_id", "text").count() == 0)
   }
 
+  test("substring-dedup family on empty, single-doc, and null-free degenerate input") {
+    // empty corpus: no spans, no scrub rows, empty index, no overlap
+    assert(Dedup.duplicatedSpans(emptyDocs, "doc_id", "text", k = 5).count() == 0)
+    assert(Dedup.scrubDuplicatedSpans(emptyDocs, "doc_id", "text", k = 5).count() == 0)
+    assert(Dedup.windowCountIndex(emptyDocs, "doc_id", "text", k = 5).count() == 0)
+    assert(Dedup.crossCorpusWindowOverlap(emptyDocs, "doc_id", "text",
+      emptyDocs.selectExpr("doc_id AS bench_id", "text AS btext"),
+      "bench_id", "btext", k = 5).count() == 0)
+    // a single doc with no internal repeat: nothing duplicated, scrub is
+    // identity, chunking still emits its windows
+    val one = Seq((1L, "a b c d e f g")).toDF("doc_id", "text")
+    assert(Dedup.duplicatedSpans(one, "doc_id", "text", k = 5).count() == 0)
+    val scrubbed = Dedup.scrubDuplicatedSpans(one, "doc_id", "text", k = 5).head()
+    assert(scrubbed.getInt(2) == 0 && scrubbed.getString(3) == "a b c d e f g")
+    // empty-text doc flows through scrub (the sequence-descend regression)
+    val withEmpty = Seq((1L, ""), (2L, "x y z")).toDF("doc_id", "text")
+    assert(Dedup.scrubDuplicatedSpans(withEmpty, "doc_id", "text", k = 2).count() == 2)
+    // incremental against an empty index equals batch-only detection
+    val batch = Seq(
+      (10L, "p q r s t u p q r s t u"),
+      (11L, "unrelated words here entirely")).toDF("doc_id", "text")
+    val incr = Dedup.incrementalDuplicatedSpans(batch,
+      Dedup.windowCountIndex(emptyDocs, "doc_id", "text", k = 3),
+      "doc_id", "text", k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getInt(3))).toSet
+    val full = Dedup.duplicatedSpans(batch, "doc_id", "text", k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getInt(3))).toSet
+    assert(incr == full && incr.nonEmpty)
+    // invalid window length fails loudly
+    intercept[IllegalArgumentException] {
+      Dedup.duplicatedSpans(one, "doc_id", "text", k = 1)
+    }
+    // chunking: empty corpus and invalid stride
+    assert(Pipeline.chunkDocuments(emptyDocs, "doc_id", "text", 30, 20).count() == 0)
+    intercept[IllegalArgumentException] {
+      Pipeline.chunkDocuments(one, "doc_id", "text", chunkTokens = 10, strideTokens = 11)
+    }
+  }
+
   test("prefix-token index handles an empty corpus and rejects a missing table") {
     val wh = java.nio.file.Files.createTempDirectory("graft-d6idx-edge").toString
     Dedup.prefixTokenIndexWrite(emptyDocs, "doc_id", "text",
