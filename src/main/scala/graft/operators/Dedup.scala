@@ -1037,7 +1037,10 @@ object Dedup {
     * NEVER shuffles on window keys. Only matched sites (contamination is
     * rare by volume) reach the per-pair countDistinct aggregation.
     * Families as in [[duplicatedSpans]]: "xx64" production fingerprints /
-    * "exact" oracle-replayable string keys.
+    * "exact" oracle-replayable string keys. Companion:
+    * [[TextAnalysis.contaminationCheck]] is the per-train-doc audit
+    * summary (no benchmark attribution); this operator keeps WHICH eval
+    * doc leaked and feeds [[decontaminate]].
     */
   def crossCorpusWindowOverlap(corpus: DataFrame, idCol: String, textCol: String,
                                benchmark: DataFrame, benchIdCol: String,

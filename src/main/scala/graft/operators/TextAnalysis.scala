@@ -204,6 +204,11 @@ object TextAnalysis {
     * the corpus never shuffles on the gram key at all. Returns only
     * flagged docs (id, shared_grams); clean docs are the anti-join's
     * complement and never materialize.
+    *
+    * Companion: [[Dedup.crossCorpusWindowOverlap]] keeps per-BENCHMARK-doc
+    * attribution (which eval doc leaked, with distinct-window counts) and
+    * [[Dedup.decontaminate]] materializes the surviving corpus; this check
+    * is the cheaper per-train-doc audit summary.
     */
   def contaminationCheck(train: DataFrame, benchmark: DataFrame,
                          idCol: String, textCol: String, n: Int = 5): DataFrame = {
@@ -213,6 +218,71 @@ object TextAnalysis {
       .join(broadcast(benchGrams), "gram")
       .groupBy(idCol)
       .agg(count(lit(1)).as("shared_grams"))
+  }
+
+  /** Hashed bag-of-words dimension table: one (keys..., dim, wt) row per
+    * occupied dimension, where dim = hash60(token) mod `dims` and wt is
+    * the token count — the feature-hashing text vectorizer (Weinberger et
+    * al. 2009) as a plain relational frame. Integer weights keep every
+    * downstream dot product / norm exact and order-independent.
+    */
+  def hashedBowDims(df: DataFrame, keyCols: Seq[String], textCol: String,
+                    dims: Int,
+                    family: String = graft.functions.HashFamily.Xx64): DataFrame = {
+    require(dims >= 2, s"dims must be >= 2, got $dims")
+    df.select(keyCols.map(col) :+
+        explode(expr(s"filter(split($textCol, ' '), x -> x != '')")).as("w"): _*)
+      .withColumn("dim", pmod(expr(hash60("w", family)), lit(dims)).cast("int"))
+      .groupBy((keyCols :+ "dim").map(col): _*)
+      .agg(count(lit(1)).as("wt"))
+  }
+
+  /** RAG-shaped CHUNK RETRIEVAL — the composition a retrieval index build
+    * runs: [[Pipeline.chunkDocuments]] → [[hashedBowDims]] vectors →
+    * exact cosine top-k against one query chunk. This is the EXACT-scoring
+    * baseline (and the oracle-checkable twin, md5 family): integer dot
+    * products and norms make the score bit-deterministic under any
+    * partitioning. At corpus scale the same chunk frame feeds the ANN
+    * paths (SRP buckets / IVF over real embeddings) — exact scoring here
+    * is the recall referee, not the production prober.
+    *
+    * Scale shape: the query vector (≤ chunk-length dims) broadcasts; only
+    * dimension-colliding (chunk, dim) rows reach the per-chunk dot
+    * aggregation, and norms ride the same vector frame — an ingest-time
+    * artifact a real deployment persists once per corpus.
+    */
+  def chunkRetrieval(docs: DataFrame, idCol: String, textCol: String,
+                     chunkTokens: Int, strideTokens: Int, dims: Int,
+                     queryDocId: Long, queryChunkIdx: Int, k: Int,
+                     family: String = graft.functions.HashFamily.Xx64): DataFrame = {
+    val chunks = Pipeline.chunkDocuments(docs, idCol, textCol,
+      chunkTokens, strideTokens)
+    val vecs = hashedBowDims(chunks, Seq("id", "chunk_idx"), "chunk_text",
+      dims, family).persist()
+    try {
+      val qv = vecs
+        .filter(col("id") === queryDocId && col("chunk_idx") === queryChunkIdx)
+        .select(col("dim"), col("wt").as("qwt"))
+      // query-sized scalar (one chunk's norm) — not a corpus collect
+      val qnorm = qv.agg(sum(col("qwt") * col("qwt"))).head().getLong(0)
+      require(qnorm > 0,
+        s"query chunk ($queryDocId, $queryChunkIdx) is empty or absent")
+      val dot = vecs
+        .filter(!(col("id") === queryDocId && col("chunk_idx") === queryChunkIdx))
+        .join(broadcast(qv), "dim")
+        .groupBy("id", "chunk_idx")
+        .agg(sum(col("wt") * col("qwt")).as("dp"))
+      val norms = vecs.groupBy("id", "chunk_idx")
+        .agg(sum(col("wt") * col("wt")).as("n2"))
+      dot.join(norms, Seq("id", "chunk_idx"))
+        .select(col("id"), col("chunk_idx"),
+          (col("dp").cast("double") /
+            (sqrt(col("n2").cast("double")) * math.sqrt(qnorm.toDouble)))
+            .as("cosine"))
+        .orderBy(col("cosine").desc, col("id"), col("chunk_idx"))
+        .limit(k)
+        .localCheckpoint()
+    } finally vecs.unpersist()
   }
 
   /** BM25 relevance of every document against a fixed query-term set

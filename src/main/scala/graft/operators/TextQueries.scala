@@ -357,7 +357,18 @@ object TextQueries {
       Pipeline.chunkDocuments(docs(s, dir), "doc_id", "text",
           chunkTokens = 30, strideTokens = 20)
         .withColumnRenamed("id", "doc_id")
-        .orderBy("doc_id", "chunk_idx"))
+        .orderBy("doc_id", "chunk_idx")),
+
+    // Chunk retrieval over hashed bag-of-words vectors (md5 oracle
+    // family): exact cosine top-10 for doc 42's first chunk — the
+    // RAG-index composition's exact-scoring leg.
+    "q_t23_chunk_retrieval" -> ((s, dir) =>
+      TextAnalysis.chunkRetrieval(docs(s, dir), "doc_id", "text",
+          chunkTokens = 30, strideTokens = 20, dims = 64,
+          queryDocId = 42L, queryChunkIdx = 0, k = 10,
+          family = graft.functions.HashFamily.Md5)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn("cosine", round(col("cosine"), 6)))
   )
 
   /** The 6-iteration unrolled BPE-training replay: w0 = word frequencies,
@@ -909,6 +920,46 @@ object TextQueries {
          |       CAST(least(i * 20 + 30, len(ws)) - i * 20 AS INT) AS n_tokens,
          |       array_to_string(ws[(i * 20 + 1):least(i * 20 + 30, len(ws))], ' ')
          |         AS chunk_text
-         |FROM g ORDER BY doc_id, chunk_idx""".stripMargin
+         |FROM g ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // Chunk retrieval: DuckDB re-derives the chunks, hashes tokens into 64
+    // dims via the shared md5-60-bit idiom, and scores exact integer
+    // dot/norm cosine; selection by the unrounded double (identical IEEE
+    // arithmetic from identical integers), ties by (doc_id, chunk_idx).
+    "q_t23_chunk_retrieval" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id, ws,
+         |         unnest(generate_series(0,
+         |           (greatest(len(ws) - 30, 0) + 19) // 20)) AS i
+         |  FROM w WHERE len(ws) >= 1),
+         |tok AS (
+         |  SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+         |         unnest(ws[(i * 20 + 1):least(i * 20 + 30, len(ws))]) AS wd
+         |  FROM g),
+         |dimt AS (
+         |  SELECT doc_id, chunk_idx,
+         |         CAST(('0x' || substr(md5(wd), 1, 15))::BIGINT % 64 AS INT) AS dim,
+         |         count(*) AS wt
+         |  FROM tok GROUP BY 1, 2, 3),
+         |qv AS (
+         |  SELECT dim, wt AS qwt FROM dimt WHERE doc_id = 42 AND chunk_idx = 0),
+         |qn AS (SELECT sum(qwt * qwt) AS q2 FROM qv),
+         |nrm AS (
+         |  SELECT doc_id, chunk_idx, sum(wt * wt) AS n2 FROM dimt GROUP BY 1, 2),
+         |dot AS (
+         |  SELECT d.doc_id, d.chunk_idx, sum(d.wt * q.qwt) AS dp
+         |  FROM dimt d JOIN qv q USING (dim)
+         |  WHERE NOT (d.doc_id = 42 AND d.chunk_idx = 0)
+         |  GROUP BY 1, 2)
+         |SELECT d.doc_id, d.chunk_idx,
+         |       round(dp / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(q2 AS DOUBLE))), 6)
+         |         AS cosine
+         |FROM dot d JOIN nrm USING (doc_id, chunk_idx) CROSS JOIN qn
+         |ORDER BY dp / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(q2 AS DOUBLE))) DESC,
+         |         doc_id, chunk_idx
+         |LIMIT 10""".stripMargin
   )
 }

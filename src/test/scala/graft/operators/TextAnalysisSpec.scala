@@ -218,4 +218,39 @@ class TextAnalysisSpec extends SparkTestBase {
     // diverse text carries more entropy than repetitive text
     assert(h("the quick brown fox") > h("ab ab ab ab ab ab"))
   }
+
+  test("chunk retrieval: planted twin chunk scores 1.0, ranking is monotone, k bound holds") {
+    import spark.implicits._
+    val shared = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, shared + " tail words here"),               // query doc
+      (2L, shared),                                    // exact twin of chunk 0
+      (3L, (1 to 15).map(i => s"tok$i").mkString(" ") +
+        " " + (1 to 15).map(i => s"zzz$i").mkString(" ")), // half overlap
+      (4L, (1 to 30).map(i => s"other$i").mkString(" ")))  // disjoint
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.chunkRetrieval(docs, "doc_id", "text",
+        chunkTokens = 30, strideTokens = 20, dims = 64,
+        queryDocId = 1L, queryChunkIdx = 0, k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(got.length <= 3)
+    // descending, with the exact twin first at cosine ~1.0
+    assert(got.head._1 == 2L && math.abs(got.head._3 - 1.0) < 1e-9)
+    assert(got.map(_._3).toSeq.sliding(2).forall {
+      case Seq(a, b) => a >= b
+      case _ => true
+    })
+    // the half-overlap doc ranks above anything from the disjoint doc
+    val r3 = got.indexWhere(_._1 == 3L)
+    val r4 = got.indexWhere(_._1 == 4L)
+    assert(r3 >= 0 && (r4 == -1 || r3 < r4))
+    // both families produce a valid self-consistent ranking (vectors
+    // differ across hash families, so only STRUCTURE is compared)
+    val xx = TextAnalysis.chunkRetrieval(docs, "doc_id", "text",
+        chunkTokens = 30, strideTokens = 20, dims = 64,
+        queryDocId = 1L, queryChunkIdx = 0, k = 3,
+        family = graft.functions.HashFamily.Xx64)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(xx.head._1 == 2L && math.abs(xx.head._2 - 1.0) < 1e-9)
+  }
 }
