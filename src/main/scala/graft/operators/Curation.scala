@@ -114,8 +114,9 @@ object Curation {
     // Substring scrub (boilerplate removal) BEFORE near-dup dedup: shared
     // boilerplate inflates pairwise similarity, so cutting it first makes
     // the MinHash stage measure the prose, not the license header. Docs
-    // scrubbed below the quality floor drop (the gate re-applies to the
-    // rewritten text).
+    // scrubbed below the TOKEN floor drop (only minTokens re-applies to
+    // the rewritten text; the other gate signals keep their pre-scrub
+    // verdicts).
     val afterScrub = if (scrubWindow > 0) {
       val clean = Dedup.scrubDuplicatedSpans(afterDecontam, "doc_id", "text",
           k = scrubWindow)

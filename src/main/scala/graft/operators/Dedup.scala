@@ -805,8 +805,7 @@ object Dedup {
     * with `list_filter(string_split(...))`).
     */
   private def wordsFrame(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.selectExpr(s"$idCol AS id",
-      s"filter(split($textCol, ' '), x -> x != '') AS ws")
+    docs.selectExpr(s"$idCol AS id", s"${tokensExpr(textCol)} AS ws")
 
   /** Every length-`k` word-window site in the corpus: (id, pos, gkey) with
     * `pos` the 1-based word index of the window start and `gkey` the window
@@ -872,16 +871,28 @@ object Dedup {
                       k: Int, minSites: Int = 2,
                       family: String = "xx64"): DataFrame = {
     val w = wordsFrame(docs, idCol, textCol)
-    val sites = windowSites(w, k, family)
-    // Corpus-wide site count per window key; duplicated keys only. The
-    // aggregate is map-side combined, and the semi-join build side is the
-    // (small) duplicated-key set.
-    val dupKeys = sites.groupBy("gkey")
-      .agg(count(lit(1)).as("n_sites"))
-      .where(col("n_sites") >= minSites)
-    val dupSites = sites.join(dupKeys.select("gkey"), Seq("gkey"), "left_semi")
-      .select("id", "pos")
-    spansFromDupSites(dupSites, w, k)
+    spansFromDupSites(dupSitesAll(w, k, minSites, family), w, k)
+  }
+
+  /** Duplicated (id, pos) sites of `w` at corpus-wide count >= minSites.
+    * The site frame feeds both the key count and the semi-join probe, so
+    * it is persisted for the duration and released once the (small —
+    * duplication is the exception) duplicated-site set materializes;
+    * without the cache the corpus scan + window explosion would run twice
+    * here and again at text attach. The count aggregate is map-side
+    * combined, and the semi-join build side is the duplicated-key set.
+    */
+  private def dupSitesAll(w: DataFrame, k: Int, minSites: Int,
+                          family: String): DataFrame = {
+    val sites = windowSites(w, k, family).persist()
+    try {
+      val dupKeys = sites.groupBy("gkey")
+        .agg(count(lit(1)).as("n_sites"))
+        .where(col("n_sites") >= minSites)
+      sites.join(dupKeys.select("gkey"), Seq("gkey"), "left_semi")
+        .select("id", "pos")
+        .pipe(materialize)
+    } finally sites.unpersist()
   }
 
   /** Shared island/assembly tail of the substring-dedup family: duplicated
@@ -891,10 +902,20 @@ object Dedup {
     * lag = NULL on the first row -> brk 1.
     */
   private def spansFromDupSites(dupSites: DataFrame, w: DataFrame,
-                                k: Int): DataFrame = {
+                                k: Int): DataFrame =
+    spanBounds(dupSites, k).join(w, "id")
+      .select(col("id"), col("island"), col("start_word"), col("end_word"),
+        col("n_sites_in_span"),
+        expr("array_join(slice(ws, start_word, end_word - start_word + 1), ' ')")
+          .as("span_text"))
+
+  /** Island bounds only — the scrub path stops here (it never needs the
+    * span text, so it skips the text-attach join entirely).
+    */
+  private def spanBounds(dupSites: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy("id").orderBy("pos")
-    val spans = dupSites
+    dupSites
       .withColumn("brk",
         when(col("pos") - lag("pos", 1).over(byDoc) <= k, lit(0)).otherwise(lit(1)))
       .withColumn("island", sum("brk").over(byDoc))
@@ -903,11 +924,6 @@ object Dedup {
         (max("pos") + lit(k - 1)).cast("int").as("end_word"),
         count(lit(1)).cast("int").as("n_sites_in_span"))
       .withColumn("island", col("island").cast("int"))
-    spans.join(w, "id")
-      .select(col("id"), col("island"), col("start_word"), col("end_word"),
-        col("n_sites_in_span"),
-        expr("array_join(slice(ws, start_word, end_word - start_word + 1), ' ')")
-          .as("span_text"))
   }
 
   /** The PERSISTABLE substring-dedup index state: corpus-wide window-key
@@ -980,30 +996,30 @@ object Dedup {
                            family: String = "xx64",
                            keepFirst: Boolean = false): DataFrame = {
     val w = wordsFrame(docs, idCol, textCol)
-    // keepFirst = Lee et al. §4's actual semantics: the FIRST site of each
+    // keepFirst = Lee et al. §4's semantics: the FIRST site of each
     // duplicated window (global (id, pos) order) survives, every later
-    // copy is cut — content is preserved exactly once in the corpus.
+    // copy is cut — so no duplicated window's LATER copies ship (the
+    // first copy itself can still lose words to a DIFFERENT overlapping
+    // window's cut; per-window, not per-character, preservation).
     // Default (false) cuts every copy (boilerplate-removal semantics; no
     // cross-copy ordering decision, stays embarrassingly parallel). The
     // keepFirst ranking is one window over the SAME gkey shuffle the
     // count filter already pays; "first" is deterministic because
     // (id, pos) is a total order over sites.
-    val dupSites =
-      if (!keepFirst)
-        duplicatedSpans(docs, idCol, textCol, k, minSites, family)
-          .select("id", "island", "start_word", "end_word")
+    val scrubSites =
+      if (!keepFirst) dupSitesAll(w, k, minSites, family)
       else {
         import org.apache.spark.sql.expressions.Window
         val sites = windowSites(w, k, family)
         val byKey = Window.partitionBy("gkey")
-        val scrubSites = sites
+        sites
           .withColumn("rk", row_number().over(byKey.orderBy("id", "pos")))
           .withColumn("n", count(lit(1)).over(byKey))
           .where(col("n") >= minSites && col("rk") >= 2)
           .select("id", "pos")
-        spansFromDupSites(scrubSites, w, k)
-          .select("id", "island", "start_word", "end_word")
       }
+    val dupSites = spanBounds(scrubSites, k)
+      .select("id", "island", "start_word", "end_word")
     val perDoc = dupSites
       .groupBy("id")
       .agg(collect_list(struct(col("start_word").as("s"), col("end_word").as("e")))

@@ -219,7 +219,8 @@ object DedupQueries {
 
     // The keep-one-copy scrub (Lee et al. §4's actual semantics): the
     // first (doc, pos) site of each duplicated window survives; later
-    // copies are cut. Content stays in the corpus exactly once.
+    // copies are cut (per-window preservation: the first copy can still
+    // lose words to a different overlapping window's cut).
     "q_d14_scrub_keepfirst" -> ((s, dir) =>
       Dedup.scrubDuplicatedSpans(docs(s, dir), "doc_id", "text",
           k = 5, minSites = 2, family = "exact", keepFirst = true)

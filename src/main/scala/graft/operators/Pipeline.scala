@@ -374,8 +374,7 @@ object Pipeline {
       strideTokens <= chunkTokens,
       s"need 1 <= stride <= chunk, got chunk=$chunkTokens stride=$strideTokens")
     val (c, s) = (chunkTokens, strideTokens)
-    df.selectExpr(s"$idCol AS id",
-        s"filter(split($textCol, ' '), x -> x != '') AS ws")
+    df.selectExpr(s"$idCol AS id", s"${Dedup.tokensExpr(textCol)} AS ws")
       .where(expr("size(ws) >= 1"))
       .selectExpr("id", "ws",
         // 1 + ceil(max(n - c, 0) / s) chunks; sequence is safe because the

@@ -461,7 +461,7 @@ object RelationalQueries {
           col("o_orderstatus").asc_nulls_first)
     }),
 
-    // A16 — PIVOT reshaping with an EXPLICIT value list: groupBy + pivot
+    // A18 — PIVOT reshaping with an EXPLICIT value list: groupBy + pivot
     // compiles to ONE hash aggregate over one exchange (pivot-first
     // aggregation); listing the values skips the extra distinct-values
     // discovery job an open pivot would run over the full corpus — the
@@ -477,7 +477,7 @@ object RelationalQueries {
         .withColumnRenamed("R", "qty_r")
         .orderBy("l_linestatus")),
 
-    // A17 — UNPIVOT (melt): wide per-status metric columns back to tall
+    // A19 — UNPIVOT (melt): wide per-status metric columns back to tall
     // (metric, value) rows; the expand is row-local (a Generate), so it
     // adds zero exchanges on top of the aggregation it reads.
     "q_a19_unpivot" -> ((s, dir) =>

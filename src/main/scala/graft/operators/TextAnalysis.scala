@@ -231,7 +231,7 @@ object TextAnalysis {
                     family: String = graft.functions.HashFamily.Xx64): DataFrame = {
     require(dims >= 2, s"dims must be >= 2, got $dims")
     df.select(keyCols.map(col) :+
-        explode(expr(s"filter(split($textCol, ' '), x -> x != '')")).as("w"): _*)
+        explode(expr(Dedup.tokensExpr(textCol))).as("w"): _*)
       .withColumn("dim", pmod(expr(hash60("w", family)), lit(dims)).cast("int"))
       .groupBy((keyCols :+ "dim").map(col): _*)
       .agg(count(lit(1)).as("wt"))
@@ -263,8 +263,11 @@ object TextAnalysis {
       val qv = vecs
         .filter(col("id") === queryDocId && col("chunk_idx") === queryChunkIdx)
         .select(col("dim"), col("wt").as("qwt"))
-      // query-sized scalar (one chunk's norm) — not a corpus collect
-      val qnorm = qv.agg(sum(col("qwt") * col("qwt"))).head().getLong(0)
+      // query-sized scalar (one chunk's norm) — not a corpus collect. An
+      // absent query chunk sums to NULL; read it nullable so the require
+      // fires instead of an opaque NPE.
+      val qnormRow = qv.agg(sum(col("qwt") * col("qwt"))).head()
+      val qnorm = if (qnormRow.isNullAt(0)) 0L else qnormRow.getLong(0)
       require(qnorm > 0,
         s"query chunk ($queryDocId, $queryChunkIdx) is empty or absent")
       val dot = vecs
