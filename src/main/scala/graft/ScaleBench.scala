@@ -242,7 +242,17 @@ object ScaleBench {
           .selectExpr("doc_id AS bench_id", "text AS btext")
         operators.Dedup.crossCorpusWindowOverlap(docs, "doc_id", "text",
           bench, "bench_id", "btext", k = 8, family = "xx64")
-      }))
+      })) :+
+      // chunk retrieval in the production family: the chunk/vector build
+      // rides one scan; the query vector broadcasts; the top-k is a
+      // TakeOrdered. Must track raw scan throughput — the exact-scoring
+      // referee has to stay affordable enough to audit ANN recall on
+      // corpus slices.
+      ("q_t23_retrieval_scale" -> ((s: SparkSession, d: String) =>
+        operators.TextAnalysis.chunkRetrieval(
+          s.read.parquet(s"$d/documents.parquet"), "doc_id", "text",
+          chunkTokens = 30, strideTokens = 20, dims = 64,
+          queryDocId = 42L, queryChunkIdx = 0, k = 10)))
 
     val listener = new TaskMetricsListener
     spark.sparkContext.addSparkListener(listener)
