@@ -92,8 +92,27 @@ object JoinQueries {
           instr(col("p_name"), " ").cast("int").as("first_space"),
           concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
           translate(col("p_name"), "aeiou", "AEIOU").as("vowels_up"))
-        .orderBy("p_partkey"))
+        .orderBy("p_partkey")),
+
+    // Correlated LATERAL join — per-customer top-2 orders as a lateral
+    // subquery with ORDER BY + LIMIT. Catalyst decorrelates this into a
+    // ranked window over one hash exchange (no per-row re-execution), so
+    // the SQL reads like a loop but plans like q_w1; the identical text
+    // runs in DuckDB as the oracle.
+    "q_j9_lateral_topk" -> ((s, dir) => {
+      s.read.parquet(s"$dir/customer.parquet").createOrReplaceTempView("customer")
+      s.read.parquet(s"$dir/orders.parquet").createOrReplaceTempView("orders")
+      s.sql(lateralTopkSql)
+    })
   )
+
+  private val lateralTopkSql: String =
+    """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+      |FROM customer c,
+      |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+      |         WHERE o_custkey = c.c_custkey
+      |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+      |ORDER BY c.c_custkey, o.o_orderkey""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_str2_fuzzy_block" ->
@@ -158,6 +177,9 @@ object JoinQueries {
         |       CAST(strpos(p_name, ' ') AS INTEGER) AS first_space,
         |       concat_ws('|', p_brand, p_type) AS brand_type,
         |       translate(p_name, 'aeiou', 'AEIOU') AS vowels_up
-        |FROM part ORDER BY p_partkey""".stripMargin
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    // the SAME SQL text both engines run
+    "q_j9_lateral_topk" -> lateralTopkSql
   )
 }
