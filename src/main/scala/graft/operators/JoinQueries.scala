@@ -100,9 +100,17 @@ object JoinQueries {
     // the SQL reads like a loop but plans like q_w1; the identical text
     // runs in DuckDB as the oracle.
     "q_j9_lateral_topk" -> ((s, dir) => {
-      s.read.parquet(s"$dir/customer.parquet").createOrReplaceTempView("customer")
-      s.read.parquet(s"$dir/orders.parquet").createOrReplaceTempView("orders")
-      s.sql(lateralTopkSql)
+      // tag-namespaced views (house convention — never squat on plain
+      // table names in the shared session); the oracle text keeps the
+      // plain names DuckDB binds to the raw tables.
+      val tag = "j9"
+      s.read.parquet(s"$dir/customer.parquet")
+        .createOrReplaceTempView(s"v_customer_$tag")
+      s.read.parquet(s"$dir/orders.parquet")
+        .createOrReplaceTempView(s"v_orders_$tag")
+      s.sql(lateralTopkSql
+        .replace("FROM customer c", s"FROM v_customer_$tag c")
+        .replace("FROM orders", s"FROM v_orders_$tag"))
     })
   )
 
