@@ -1,0 +1,47 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import graft.operators.Pipeline
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Chunking is stateless (posexplode + filters — no window, no agg), so the
+  * SAME operator must run unchanged on a stream in append mode: ingestion-
+  * time chunking of arriving documents is how a production training/RAG
+  * pipeline actually calls it. Asserts streaming output == batch output
+  * across micro-batches, including a doc arriving in a later batch.
+  */
+class StreamingChunkSpec extends SparkTestBase {
+
+  test("chunkDocuments over a stream equals the batch result, append mode, no state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val batch1 = Seq((1L, words(45)), (2L, words(10)))
+    val batch2 = Seq((3L, words(70)), (4L, ""))
+
+    val input = MemoryStream[(Long, String)]
+    val chunks = Pipeline.chunkDocuments(
+      input.toDS().toDF("doc_id", "text"), "doc_id", "text",
+      chunkTokens = 30, strideTokens = 20)
+    val q = chunks.writeStream.format("memory").queryName("stream_chunks")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(batch1: _*); q.processAllAvailable()
+      val afterB1 = spark.table("stream_chunks").count()
+      assert(afterB1 > 0, "first micro-batch must emit chunks immediately (no buffering)")
+      input.addData(batch2: _*); q.processAllAvailable()
+
+      val streamed = spark.table("stream_chunks")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+          r.getString(5))).toSet
+      val batch = Pipeline.chunkDocuments(
+          (batch1 ++ batch2).toDF("doc_id", "text"), "doc_id", "text",
+          chunkTokens = 30, strideTokens = 20)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+          r.getString(5))).toSet
+      assert(streamed == batch)
+      assert(batch.exists(_._1 == 3L) && !batch.exists(_._1 == 4L))
+    } finally q.stop()
+  }
+}
