@@ -91,7 +91,10 @@ object Bench {
       "q_d9_containment_join", "q_v15_margin_align",
       "q_t18_bpe_train", "q_t19_bpe_encode",
       "q_d10_substring_spans", "q_d11_substring_scrub",
-      "q_d12_decontamination", "q_t22_chunking", "q_a20_correlation")
+      "q_d12_decontamination", "q_t22_chunking", "q_a20_correlation",
+      // the two most expensive queries in the suite: medians keep their
+      // iterative-job jitter from reading as round-over-round regressions
+      "q_g1_pagerank", "q_g2_triangles")
 
     // Headline queries run 3 reps and report the MEDIAN: the single-shot
     // noise floor on this box is ±2x (calibrated rounds 5-6), which made
