@@ -1,7 +1,9 @@
 #!/usr/bin/env python3
 """Local pre-check of the driver's t2 gate: compare Verify's parquet dumps
 against the DuckDB oracles in oracle_sql.json. Driver-side tooling only —
-not part of the engine. Usage: check_oracles.py <verify_out_dir> <sf_dir>
+not part of the engine. Usage: check_oracles.py <verify_out_dir> <sf_dir> [q1,q2]
+(the optional third arg restricts the check to a comma-separated subset,
+matching a subset `graft.Verify` run)
 """
 import json
 import math
@@ -18,6 +20,22 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
+def kind(dtype) -> str:
+    """Collapse pandas dtypes to the families the driver's hash is sensitive
+    to: int64 vs float64 vs everything-else. Width differences (int32/int64)
+    are harmless; int-vs-float is exactly the q_g1/q_l3 HUGEINT trap."""
+    k = dtype.kind
+    if k in "iu":
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "M":
+        return "datetime"
+    if k == "b":
+        return "bool"
+    return "object"
+
+
 def cmp_cell(a, b) -> bool:
     if pd.isna(a) and pd.isna(b):
         return True
@@ -32,18 +50,35 @@ def cmp_cell(a, b) -> bool:
     return str(a) == str(b)
 
 
-def main(out_dir: str, sf_dir: str) -> int:
+def main(out_dir: str, sf_dir: str, only: str = "") -> int:
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if only:
+        names = set(only.split(","))
+        missing = names - oracles.keys()
+        if missing:
+            print(f"FAIL: unknown query names {sorted(missing)}")
+            return 1
+        oracles = {k: v for k, v in oracles.items() if k in names}
     failed = []
     for name, sql in sorted(oracles.items()):
         try:
-            want = canon(con.execute(sql).fetchdf())
+            rel = con.sql(sql)
+            # DuckDB HUGEINT (sum(BIGINT) etc.) round-trips through pandas as
+            # float64, which the driver hashes differently from Spark's int64.
+            huge = [c for c, t in zip(rel.columns, rel.types)
+                    if str(t).upper() in ("HUGEINT", "INT128", "UHUGEINT")]
+            want = canon(rel.fetchdf())
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: oracle SQL error: {e}")
+            failed.append(name)
+            continue
+        if huge:
+            print(f"FAIL {name}: oracle emits HUGEINT column(s) {huge} — "
+                  f"add CAST(... AS BIGINT)")
             failed.append(name)
             continue
         try:
@@ -72,6 +107,14 @@ def main(out_dir: str, sf_dir: str) -> int:
         if bad:
             print(f"FAIL {name}: row {bad[0]} col {bad[1]}: got {bad[2]!r} want {bad[3]!r}")
             failed.append(name)
+            continue
+        # Values match — now assert dtype families match, since the driver
+        # hashes typed values (int64 vs float64 differ even when equal).
+        dk = [(c, kind(got[c].dtype), kind(want[c].dtype)) for c in want.columns
+              if kind(got[c].dtype) != kind(want[c].dtype)]
+        if dk:
+            print(f"FAIL {name}: dtype mismatch {dk} (spark vs oracle)")
+            failed.append(name)
         else:
             print(f"PASS {name} ({len(want)} rows)")
     print(f"\n{len(oracles) - len(failed)}/{len(oracles)} queries match")
@@ -79,4 +122,5 @@ def main(out_dir: str, sf_dir: str) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  sys.argv[3] if len(sys.argv) > 3 else ""))

@@ -525,7 +525,7 @@ object PipelineQueries {
           |    FROM base WHERE o_orderkey % 11 = 0)
           |  GROUP BY 1, 2)
           |SELECT a.o_year, a.o_orderstatus,
-          |       a.n + coalesce(d.dn, 0) AS n_orders,
+          |       CAST(a.n + coalesce(d.dn, 0) AS BIGINT) AS n_orders,
           |       CAST(a.revenue + coalesce(d.drev, 0) AS DOUBLE) AS revenue
           |FROM agg0 a LEFT JOIN delta d USING (o_year, o_orderstatus)
           |WHERE a.n + coalesce(d.dn, 0) > 0

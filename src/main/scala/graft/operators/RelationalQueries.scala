@@ -1504,7 +1504,8 @@ object RelationalQueries {
         |              (3 * p.scale) // (20 * p.n)
         |                + (17 * coalesce(c.contrib, 0)) // 20 AS rank
         |       FROM nodes n LEFT JOIN c3 c ON n.node = c.node, params p)
-        |SELECT node, rank FROM r3 ORDER BY rank DESC, node LIMIT 20""".stripMargin,
+        |SELECT node, CAST(rank AS BIGINT) AS rank
+        |FROM r3 ORDER BY rank DESC, node LIMIT 20""".stripMargin,
 
     "q_a15_outliers" ->
       """WITH st AS (
