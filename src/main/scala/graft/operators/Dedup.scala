@@ -802,10 +802,15 @@ object Dedup {
 
   /** Whitespace word array with empties dropped — the tokenization every
     * substring-dedup stage shares (and the one the DuckDB oracles replay
-    * with `list_filter(string_split(...))`).
+    * with `list_filter(string_split(...))`). NULL text coalesces to the
+    * EMPTY array: size(NULL) is NULL, so without this a null-text doc
+    * would emit NULL n_words/n_dropped_words/clean_text from
+    * [[scrubDuplicatedSpans]] (breaking its one-row-per-input contract)
+    * instead of the (0, 0, '') an empty-text doc gets.
     */
   private def wordsFrame(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.selectExpr(s"$idCol AS id", s"${tokensExpr(textCol)} AS ws")
+    docs.selectExpr(s"$idCol AS id",
+      s"coalesce(${tokensExpr(textCol)}, CAST(array() AS ARRAY<STRING>)) AS ws")
 
   /** Every length-`k` word-window site in the corpus: (id, pos, gkey) with
     * `pos` the 1-based word index of the window start and `gkey` the window
@@ -1075,8 +1080,14 @@ object Dedup {
 
   /** The corpus AFTER decontamination: drop every training doc sharing
     * >= `minShared` distinct length-`k` windows with ANY benchmark doc.
-    * One broadcast probe + one left-anti join on the (small) flagged-id
-    * set — the corpus is scanned twice and shuffled never.
+    * One broadcast probe + one left-anti join on the flagged-id set.
+    * The flagged set is usually tiny (contamination is rare by volume) but
+    * its size is data-dependent — a corpus full of benchmark boilerplate
+    * could flag millions of ids — so the anti-join carries NO broadcast
+    * hint: AQE broadcasts it when its runtime size is under the threshold
+    * and falls back to a shuffled anti-join instead of blowing the driver
+    * when it is not. The corpus side still never shuffles in the common
+    * (broadcast) regime.
     */
   def decontaminate(corpus: DataFrame, idCol: String, textCol: String,
                     benchmark: DataFrame, benchIdCol: String,
@@ -1086,6 +1097,6 @@ object Dedup {
         benchmark, benchIdCol, benchTextCol, k, family)
       .where(col("n_shared_windows") >= minShared)
       .select(col("id").as(idCol)).distinct()
-    corpus.join(broadcast(flagged), Seq(idCol), "left_anti")
+    corpus.join(flagged, Seq(idCol), "left_anti")
   }
 }

@@ -45,6 +45,20 @@ class SubstringDedupSpec extends SparkTestBase {
     assert(d4(1)._2 == 7 && d4(1)._3 == 11)
   }
 
+  test("scrubDuplicatedSpans gives a null-text doc (0, 0, '') like an empty-text doc") {
+    // size(NULL) is NULL, so without the coalesce in wordsFrame a null-text
+    // doc would emit NULL accounting columns and silently vanish from any
+    // downstream non-null filter instead of being a countable empty doc.
+    import spark.implicits._
+    val docs = Seq((1L, Option("a b a b")), (2L, None), (3L, Option("")))
+      .toDF("doc_id", "text")
+    val out = Dedup.scrubDuplicatedSpans(docs, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+      .sortBy(_._1).toSeq
+    assert(out.map(_._1) == Seq(1L, 2L, 3L))
+    assert(out(1) == ((2L, 0, 0, "")) && out(2) == ((3L, 0, 0, "")))
+  }
+
   test("scrubDuplicatedSpans keeps every doc and drops exactly the covered words") {
     val out = Dedup.scrubDuplicatedSpans(df(corpus), "doc_id", "text", k = 5)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
