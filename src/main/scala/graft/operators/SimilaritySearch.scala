@@ -185,13 +185,24 @@ object SimilaritySearch {
     * centering transform reuse the [[embeddingNearDupPairs]] machinery —
     * including its auto bit-width and centered-threshold estimate — so the
     * candidate join stays linear as the corpus grows.
+    *
+    * `thresholdBounded = true` additionally drops retrieved candidates whose
+    * exact cosine lands BELOW `minCosine` (integer compare on the 6-dp
+    * scaled-long, so the boundary is bit-stable): the neighborhood means
+    * and argmax then depend only on the pairs the recall contract covers,
+    * never on opportunistic sub-floor collisions — making the output a
+    * deterministic function of the >= `minCosine` pair set and therefore
+    * externally replayable (the q_v16 oracle contract). The default (false)
+    * keeps every retrieved candidate, the FAISS-style mining behavior where
+    * sub-floor neighbors still pad the top-k means.
     */
   def marginAlignmentLsh(left: DataFrame, right: DataFrame, idCol: String,
                          embCol: String, k: Int = 4,
                          minCosine: Double = 0.8,
                          targetRecall: Double = 0.95, bits: Int = 0,
                          seed: Int = 42, center: Boolean = false,
-                         minCenteredThreshold: Double = 0.15): DataFrame = {
+                         minCenteredThreshold: Double = 0.15,
+                         thresholdBounded: Boolean = false): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val spark = left.sparkSession
     graft.plans.GraftExtensions.register(spark)
@@ -229,7 +240,10 @@ object SimilaritySearch {
         round(round(VectorExprs.cosineFast(spark, "x_emb", "y_emb"), 6) * 1e6)
           .cast("long"))
       .select("x_id", "y_id", "c6")
-    scoreMargins(pairs, k)
+    val bounded =
+      if (thresholdBounded) pairs.filter(col("c6") >= lit(math.round(minCosine * 1e6)))
+      else pairs
+    scoreMargins(bounded, k)
   }
 
   /** Table count needed for `targetRecall` at cosine `threshold` with

@@ -175,6 +175,32 @@ object VectorQueries {
           e.filter(col("label") % 2 === 0), e.filter(col("label") % 2 === 1),
           "vec_id", "embedding", k = 4)
         .orderBy("x_id")
+    }),
+
+    // The SCALE path of margin alignment, oracle-checked (closes the q_v15
+    // gap the way q_v10 did for centered SRP): candidates come from the
+    // exact-key SRP bucket join, not a cross product. The graded corpus has
+    // no strong cross-side pairs (max cosine 0.51), so the right side is
+    // derived IN-QUERY as two planted twins per left vector with the q_v10
+    // deterministic perturbation at amplitudes 1x and 2x (original cosines
+    // ~0.97 and ~0.88 — both above the 0.85 floor, with cross pairs far
+    // below it). thresholdBounded pins the scoring to exactly the
+    // >= 0.85 pair set, so the oracle replays the twins, the brute pair
+    // set at the floor, and the same margin arithmetic — a recall miss in
+    // the SRP retrieval drops a row and fails the driver hash.
+    "q_v16_margin_align_lsh" -> ((s, dir) => {
+      val base = emb(s, dir).select("vec_id", "embedding")
+      def twin(tag: Long, amp: String) = base.select(
+        (col("vec_id") + lit(tag)).as("vec_id"),
+        expr("transform(embedding, (x, j) -> " +
+          s"CAST(CAST(x AS DOUBLE) + ((vec_id * 31 + j) % 7 - 3) * $amp AS FLOAT))")
+          .as("embedding"))
+      val right = twin(100000L, "0.015D").unionByName(twin(200000L, "0.030D"))
+        .localCheckpoint()
+      SimilaritySearch.marginAlignmentLsh(base, right, "vec_id", "embedding",
+          k = 4, minCosine = 0.85, targetRecall = 0.9999,
+          thresholdBounded = true)
+        .orderBy("x_id")
     })
   )
 
@@ -368,6 +394,57 @@ object VectorQueries {
         |              * sqrt(list_sum(list_transform(y_emb, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))),
         |           6) * 1e6) AS BIGINT) AS c6
         |  FROM x CROSS JOIN y),
+        |r AS (
+        |  SELECT *,
+        |         row_number() OVER (PARTITION BY x_id ORDER BY c6 DESC, y_id) AS rn_x,
+        |         row_number() OVER (PARTITION BY y_id ORDER BY c6 DESC, x_id) AS rn_y
+        |  FROM p),
+        |sx AS (SELECT x_id, sum(c6) AS sx6, count(*) AS kx
+        |       FROM r WHERE rn_x <= 4 GROUP BY 1),
+        |sy AS (SELECT y_id, sum(c6) AS sy6, count(*) AS ky
+        |       FROM r WHERE rn_y <= 4 GROUP BY 1),
+        |m AS (
+        |  SELECT r.x_id, r.y_id, c6, rn_x, rn_y,
+        |         round(2 * c6 / (CAST(sx6 AS DOUBLE) / kx
+        |                         + CAST(sy6 AS DOUBLE) / ky), 6) AS margin
+        |  FROM r JOIN sx USING (x_id) JOIN sy USING (y_id)
+        |  WHERE rn_x <= 4)
+        |SELECT x_id, y_id, round(c6 / 1e6, 6) AS cosine, margin,
+        |       CAST(rn_x = 1 AND rn_y = 1 AS INTEGER) AS mutual
+        |FROM (SELECT *, row_number() OVER (PARTITION BY x_id
+        |                                   ORDER BY margin DESC, y_id) AS rb
+        |      FROM m)
+        |WHERE rb = 1 ORDER BY x_id""".stripMargin,
+
+    // Replays the planted twins (q_v10's integer-noise derivation; DuckDB's
+    // generate_series is 1-based where Spark's transform index is 0-based,
+    // hence j - 1), the threshold-bounded candidate set as the brute-force
+    // >= 0.85 pair set (integer compare on the 6-dp scaled-long cosine —
+    // the thresholdBounded contract), and the q_v15 margin arithmetic.
+    "q_v16_margin_align_lsh" ->
+      """WITH x AS (SELECT vec_id AS x_id, embedding AS x_emb FROM embeddings),
+        |y AS (
+        |  SELECT vec_id + 100000 AS y_id,
+        |         list_transform(generate_series(1, len(embedding)),
+        |           j -> (embedding[j]::DOUBLE
+        |                 + ((vec_id * 31 + (j - 1)) % 7 - 3) * 0.015::DOUBLE)::FLOAT) AS y_emb
+        |  FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 200000,
+        |         list_transform(generate_series(1, len(embedding)),
+        |           j -> (embedding[j]::DOUBLE
+        |                 + ((vec_id * 31 + (j - 1)) % 7 - 3) * 0.030::DOUBLE)::FLOAT)
+        |  FROM embeddings),
+        |p0 AS (
+        |  SELECT x_id, y_id,
+        |         CAST(round(round(
+        |           list_sum(list_transform(generate_series(1, len(x_emb)),
+        |             i -> CAST(x_emb[i] AS DOUBLE) * CAST(y_emb[i] AS DOUBLE)))
+        |           / (sqrt(list_sum(list_transform(x_emb, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+        |              * sqrt(list_sum(list_transform(y_emb, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))),
+        |           6) * 1e6) AS BIGINT) AS c6
+        |  FROM x CROSS JOIN y),
+        |p AS (SELECT * FROM p0 WHERE c6 >= 850000),
         |r AS (
         |  SELECT *,
         |         row_number() OVER (PARTITION BY x_id ORDER BY c6 DESC, y_id) AS rn_x,

@@ -303,6 +303,23 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("q_v16 registry query: threshold-bounded LSH alignment picks every 1x twin") {
+    // The driver-facing scale-path query plants two twins per vector
+    // (amplitudes 1x ~0.97 and 2x ~0.88 original cosine, floor 0.85); the
+    // bounded scoring must retrieve BOTH (a miss drops or reshapes a row),
+    // rank the 1x twin as best, and flag it mutual. Margin > 1 because the
+    // winning cosine exceeds the two-candidate neighborhood mean.
+    val rows = VectorQueries.queries("q_v16_margin_align_lsh")(spark, sfDir("0.001"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getInt(4)))
+    assert(rows.length == emb.count(), "expected one row per left vector")
+    rows.foreach { case (x, y, cosine, margin, mutual) =>
+      assert(y == x + 100000L, s"x=$x aligned to $y, not its 1x twin")
+      assert(cosine >= 0.85 && mutual == 1 && margin > 1.0,
+        s"($x,$y) cosine=$cosine margin=$margin mutual=$mutual")
+    }
+  }
+
   test("marginAlignment is repartition-invariant and one row per left vector") {
     val left = emb.filter(col("label") % 2 === 0)
     val right = emb.filter(col("label") % 2 === 1)
