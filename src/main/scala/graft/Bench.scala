@@ -60,6 +60,7 @@ object Bench {
     val builds = Seq(
       "ivf" -> timedBuild(graft.operators.DedupQueries.ivfCached(spark, sfDir, nlist = 32)),
       "d6_index" -> timedBuild(graft.operators.PipelineQueries.d6IndexCached(spark, sfDir)),
+      "d9_index" -> timedBuild(graft.operators.PipelineQueries.d9IndexCached(spark, sfDir)),
       "v6_pairs" -> timedBuild(graft.operators.DedupQueries.nearDupPairsShared(spark, sfDir).count()),
       "d3_pairs" -> timedBuild(graft.operators.DedupQueries.textPairsShared(spark, sfDir).count()))
 
@@ -88,7 +89,7 @@ object Bench {
       "q_v13_kmeans_topics", "q_t15_domain_drift",
       "q_l4_snapshot_diff", "q_q3_dp_counts",
       "q_t16_lm_perplexity", "q_t17_linear_classifier",
-      "q_d9_containment_join", "q_v15_margin_align",
+      "q_d9_containment_join", "q_v15_margin_align", "q_v16_margin_align_lsh",
       "q_t18_bpe_train", "q_t19_bpe_encode",
       "q_d10_substring_spans", "q_d11_substring_scrub",
       "q_d12_decontamination", "q_t22_chunking", "q_a20_correlation",

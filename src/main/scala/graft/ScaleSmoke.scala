@@ -147,6 +147,37 @@ object ScaleSmoke {
     spark.sql("DROP TABLE IF EXISTS graft_smoke_d6idx_tokens")
     spark.sql("DROP TABLE IF EXISTS graft_smoke_d6idx_sets")
 
+    // Directed containment at ~50k docs, direct vs indexed: the sharded
+    // corpus gets a planted inclusion per 10th doc (the q_d9 shape), so the
+    // pair count is non-trivial and both paths must agree exactly. The
+    // index write pays the ranked-token shuffle once; the query path joins
+    // exchange-free on the bucketed token table.
+    val contDocs = shardedDocs.unionByName(
+      shardedDocs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 700000000L).as("doc_id"),
+          expr("array_join(slice(filter(split(text, ' '), x -> x != ''), 1, " +
+            "greatest(CAST(ceil(size(filter(split(text, ' '), x -> x != '')) / 2) AS INT), 3)), ' ')")
+            .as("text")))
+      .repartition(cores)
+    val t5 = System.nanoTime()
+    val contPairs = Dedup.containmentSimilarityJoin(contDocs, "doc_id", "text",
+      shingleSize = 2, threshold = 0.6).count()
+    val contSec = (System.nanoTime() - t5) / 1e9
+    val d9Path = java.nio.file.Files.createTempDirectory("graft-smoke-d9idx").toString
+    val t6 = System.nanoTime()
+    Dedup.containmentIndexWrite(contDocs, "doc_id", "text",
+      name = "graft_smoke_d9idx", shingleSize = 2, buckets = cores,
+      externalPath = Some(d9Path))
+    val contIndexBuildSec = (System.nanoTime() - t6) / 1e9
+    val t7 = System.nanoTime()
+    val contIdxPairs = Dedup.containmentSimilarityJoinIndexed(
+      spark, "graft_smoke_d9idx", 0.6).count()
+    val contIndexedSec = (System.nanoTime() - t7) / 1e9
+    require(contIdxPairs == contPairs,
+      s"indexed containment join diverged: $contIdxPairs vs $contPairs pairs")
+    spark.sql("DROP TABLE IF EXISTS graft_smoke_d9idx_tokens")
+    spark.sql("DROP TABLE IF EXISTS graft_smoke_d9idx_sets")
+
     // Skew stress: ~95% of fact rows share ONE key, and broadcast is
     // disabled so the join must shuffle — the shape where a hot key pins
     // a whole reducer. (The hot partition stays under AQE's 256 MB
@@ -230,6 +261,9 @@ object ScaleSmoke {
       s""""ssjoin_pairs":$ssjoinPairs,"ssjoin_sec":$ssjoinSec,""" +
       s""""ssjoin_index_build_sec":$ssjoinIndexBuildSec,""" +
       s""""ssjoin_indexed_sec":$ssjoinIndexedSec,""" +
+      s""""containment_pairs":$contPairs,"containment_sec":$contSec,""" +
+      s""""containment_index_build_sec":$contIndexBuildSec,""" +
+      s""""containment_indexed_sec":$contIndexedSec,""" +
       s""""skew_plain_sec":$plainSec,"skew_salted_sec":$saltedSec,""" +
       s""""skew_speedup":${plainSec / saltedSec},""" +
       s""""ann_vectors":$nVec,"ann_brute_sec":$bruteSec,""" +

@@ -338,46 +338,131 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, threshold: Double = 0.6): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
-    import org.apache.spark.sql.expressions.Window
     graft.plans.GraftExtensions.register(docs.sparkSession)
     val prepared = shingleSets(docs, idCol, textCol, shingleSize).persist()
     try {
       val nDocs = prepared.count()
-      val tokens = prepared.select(col(idCol), col("sz"),
-        explode(col("shh")).as("tok"))
-      val freq = tokens.groupBy("tok").agg(count(lit(1)).as("df"))
-      val ranked = tokens.join(freq, "tok")
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col(idCol)).orderBy(col("df"), col("tok"))))
-        .select(col(idCol), col("sz"), col("tok"), col("rk"))
-        .persist()
+      val ranked = rankedTokens(prepared, idCol).persist()
       try {
-        val needA = ceil(col("a.sz") * lit(threshold))
-        val probe = ranked.filter(col("rk") <=
-          col("sz") - ceil(col("sz") * lit(threshold)).cast("int") + 1)
-        val pairs = probe.as("a")
-          .join(ranked.as("b"),
-            col("a.tok") === col("b.tok") &&
-              col(s"a.$idCol") =!= col(s"b.$idCol") &&
-              col("b.sz") >= needA &&
-              (least(col("a.sz") - col("a.rk"), col("b.sz") - col("b.rk")) + 1)
-                >= needA)
-          .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
-          .distinct()
-        val sets =
-          if (nDocs <= SmallSetsDocs) prepared.hint("shuffle_hash") else prepared
-        pairs
-          .join(sets.select(col(idCol).as("id_a"), col("shh").as("shh_a"),
-            col("sz").as("sz_a")), "id_a")
-          .join(sets.select(col(idCol).as("id_b"), col("shh").as("shh_b")),
-            "id_b")
-          .withColumn("inter", expr("sorted_long_intersect(shh_a, shh_b)"))
-          .withColumn("containment", col("inter").cast("double") / col("sz_a"))
-          .filter(col("containment") >= threshold)
-          .select("id_a", "id_b", "containment")
+        val pairs = containmentCandidatesRaw(ranked, idCol, threshold).distinct()
+        verifyContainment(pairs, prepared, idCol, threshold, setsRows = nDocs)
           .pipe(materialize)
       } finally ranked.unpersist()
     } finally prepared.unpersist()
+  }
+
+  /** Containment candidate pairs from a full ranked-token frame — shared by
+    * the direct path and the bucketed-index path ([[containmentIndexWrite]]).
+    * The probe (A) side keeps only its pigeonhole prefix; the candidate (B)
+    * side is the WHOLE frame (a shared token may sit anywhere in B).
+    * Package-visible so BucketingSpec can assert the indexed plan joins
+    * with zero exchange.
+    */
+  private[graft] def containmentCandidatesRaw(ranked: DataFrame, idCol: String,
+                                              threshold: Double): DataFrame = {
+    val needA = ceil(col("a.sz") * lit(threshold))
+    val probe = ranked.filter(col("rk") <=
+      col("sz") - ceil(col("sz") * lit(threshold)).cast("int") + 1)
+    probe.as("a")
+      .join(ranked.as("b"),
+        col("a.tok") === col("b.tok") &&
+          col(s"a.$idCol") =!= col(s"b.$idCol") &&
+          col("b.sz") >= needA &&
+          (least(col("a.sz") - col("a.rk"), col("b.sz") - col("b.rk")) + 1)
+            >= needA)
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+  }
+
+  /** Exact-verify containment candidates: |A∩B| / |A| over the sorted
+    * hashed sets, same build-side crossover as [[verifyPairs]].
+    */
+  private def verifyContainment(pairs: DataFrame, sets0: DataFrame,
+                                idCol: String, threshold: Double,
+                                setsRows: Long): DataFrame = {
+    graft.plans.GraftExtensions.register(sets0.sparkSession)
+    val sets = if (setsRows <= SmallSetsDocs) sets0.hint("shuffle_hash") else sets0
+    pairs
+      .join(sets.select(col(idCol).as("id_a"), col("shh").as("shh_a"),
+        col("sz").as("sz_a")), "id_a")
+      .join(sets.select(col(idCol).as("id_b"), col("shh").as("shh_b")),
+        "id_b")
+      .withColumn("inter", expr("sorted_long_intersect(shh_a, shh_b)"))
+      .withColumn("containment", col("inter").cast("double") / col("sz_a"))
+      .filter(col("containment") >= threshold)
+      .select("id_a", "id_b", "containment")
+  }
+
+  /** Persist the CONTAINMENT-join working state as two bucketed catalog
+    * tables — the [[prefixTokenIndexWrite]] move for the directed join:
+    *
+    *  - `<name>_tokens` (id, sz, tok, rk): the FULL ranked token frame
+    *    (not just prefixes — the candidate side needs every token),
+    *    bucketed AND sorted by `tok`, so probe and candidate sides read
+    *    the same bucket files and the candidate join plans with ZERO
+    *    exchange. This is the dominant shuffle of the direct path (the
+    *    token frame is a multiple of the corpus), paid once at write time.
+    *  - `<name>_sets` (id, shh, sz) bucketed by id for the verify joins.
+    *
+    * Because the full ranked list is stored, the index serves ANY query
+    * threshold — the pigeonhole prefix filter and all candidate bounds
+    * re-derive from the stored (sz, rk) at query time.
+    */
+  def containmentIndexWrite(
+      docs: DataFrame, idCol: String, textCol: String,
+      name: String, shingleSize: Int = 3,
+      buckets: Int = 32, externalPath: Option[String] = None): Unit = {
+    val spark = docs.sparkSession
+    val prepared = shingleSets(docs, idCol, textCol, shingleSize).persist()
+    def writer(df: DataFrame, table: String) = externalPath
+      .map(p => df.write.mode("overwrite").option("path", s"$p/$table"))
+      .getOrElse(df.write.mode("overwrite"))
+    try {
+      spark.sql(s"DROP TABLE IF EXISTS ${name}_tokens")
+      spark.sql(s"DROP TABLE IF EXISTS ${name}_sets")
+      // pre-repartition on the bucket column: one sorted file per bucket
+      // (see prefixTokenIndexWrite for why)
+      writer(rankedTokens(prepared, idCol)
+          .repartition(buckets, col("tok")), s"${name}_tokens")
+        .bucketBy(buckets, "tok").sortBy("tok")
+        .saveAsTable(s"${name}_tokens")
+      writer(prepared.repartition(buckets, col(idCol)), s"${name}_sets")
+        .bucketBy(buckets, idCol).saveAsTable(s"${name}_sets")
+      spark.sql(s"ALTER TABLE ${name}_tokens SET TBLPROPERTIES (" +
+        s"'graft.containment.idcol' = '$idCol', " +
+        s"'graft.containment.shinglesize' = '$shingleSize', " +
+        s"'graft.containment.setformat' = '$SetFormat', " +
+        s"'graft.containment.ndocs' = '${prepared.count()}')")
+    } finally prepared.unpersist()
+  }
+
+  /** Exact directed containment join over a [[containmentIndexWrite]] index:
+    * same output as [[containmentSimilarityJoin]] on the indexed corpus,
+    * with the candidate join running exchange-free on the bucketed token
+    * table. Serves any `threshold` (the stored frame is threshold-free).
+    */
+  def containmentSimilarityJoinIndexed(spark: org.apache.spark.sql.SparkSession,
+                                       name: String, threshold: Double,
+                                       expectShingleSize: Option[Int] = None): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
+    val props = spark.sql(s"SHOW TBLPROPERTIES ${name}_tokens")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val idCol = props("graft.containment.idcol")
+    require(props.get("graft.containment.setformat").contains(SetFormat),
+      s"index $name stores sets in format " +
+        s"${props.getOrElse("graft.containment.setformat", "<unrecorded>")}; " +
+        s"this build reads $SetFormat — rebuild with containmentIndexWrite")
+    expectShingleSize.foreach { want =>
+      val got = props.get("graft.containment.shinglesize")
+      require(got.contains(want.toString),
+        s"index $name was built with shingleSize=${got.getOrElse("<unrecorded>")}, " +
+          s"caller expects $want")
+    }
+    val ranked = spark.table(s"${name}_tokens")
+    val pairs = containmentCandidatesRaw(ranked, idCol, threshold).distinct()
+    val nDocs = props.get("graft.containment.ndocs").map(_.toLong)
+      .getOrElse(spark.table(s"${name}_sets").count())
+    verifyContainment(pairs, spark.table(s"${name}_sets"), idCol, threshold,
+      setsRows = nDocs)
   }
 
   /** Brute-force directed containment — the quadratic oracle twin of
@@ -439,17 +524,26 @@ object Dedup {
     * token's 1-based position in the doc's sorted set (the PPJoin position).
     */
   private def prefixTokens(prepared: DataFrame, idCol: String,
-                           threshold: Double): DataFrame = {
+                           threshold: Double): DataFrame =
+    rankedTokens(prepared, idCol)
+      .filter(col("rk") <=
+        col("sz") - ceil(col("sz") * lit(threshold)).cast("int") + 1)
+
+  /** (id, sz, tok, rk): EVERY token of every doc's hashed shingle set,
+    * ranked by the AllPairs global DF order (rarest first, ties by token
+    * value). The full frame is what the containment candidate side and the
+    * persisted containment index need; the Jaccard paths keep only the
+    * pigeonhole prefix via [[prefixTokens]]. One DF shuffle + one rank
+    * window; the tokens ARE the stored hashed set — no re-hash.
+    */
+  private def rankedTokens(prepared: DataFrame, idCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // the tokens ARE the stored hashed set — no re-hash, just the explode
     val tokens = prepared.select(col(idCol), col("sz"),
       explode(col("shh")).as("tok"))
     val freq = tokens.groupBy("tok").agg(count(lit(1)).as("df"))
     tokens.join(freq, "tok")
       .withColumn("rk", row_number().over(
         Window.partitionBy(col(idCol)).orderBy(col("df"), col("tok"))))
-      .filter(col("rk") <=
-        col("sz") - ceil(col("sz") * lit(threshold)).cast("int") + 1)
       .select(col(idCol), col("sz"), col("tok"), col("rk"))
   }
 

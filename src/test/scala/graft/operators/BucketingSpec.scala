@@ -85,4 +85,45 @@ class BucketingSpec extends SparkTestBase {
       spark.sql("DROP TABLE IF EXISTS d6idx_sets")
     }
   }
+
+  test("containment index: exchange-free candidate join, equal to direct containment join") {
+    val wh = Files.createTempDirectory("graft-d9idx").toString
+    val docs = spark.read.parquet(sfDir("0.01") + "/documents.parquet")
+    Dedup.containmentIndexWrite(docs, "doc_id", "text", name = "d9idx",
+      shingleSize = 3, buckets = 8, externalPath = Some(wh))
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e6)))
+      .toSet
+    try {
+      val direct = pairSet(
+        Dedup.containmentSimilarityJoin(docs, "doc_id", "text", 3, 0.6))
+      val indexed = pairSet(
+        Dedup.containmentSimilarityJoinIndexed(spark, "d9idx", 0.6))
+      assert(direct.nonEmpty && indexed == direct,
+        s"indexed containment diverged: ${indexed.size} vs ${direct.size} pairs")
+
+      // the stored frame is threshold-free: ANY threshold reuses it —
+      // including one LOWER than the q_d9 default
+      val direct4 = pairSet(
+        Dedup.containmentSimilarityJoin(docs, "doc_id", "text", 3, 0.4))
+      assert(pairSet(Dedup.containmentSimilarityJoinIndexed(spark, "d9idx", 0.4)) == direct4)
+      assert(direct4.size >= direct.size)
+      intercept[IllegalArgumentException](
+        Dedup.containmentSimilarityJoinIndexed(spark, "d9idx", 0.6,
+          expectShingleSize = Some(2)))
+
+      // probe x candidate join on the bucketed token table: ZERO exchange
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val raw = Dedup.containmentCandidatesRaw(spark.table("d9idx_tokens"), "doc_id", 0.6)
+        assert(raw.count() > 0)
+        val plan = raw.queryExecution.executedPlan.toString
+        assert(!plan.contains("Exchange"),
+          s"bucketed containment candidate join must not shuffle:\n$plan")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS d9idx_tokens")
+      spark.sql("DROP TABLE IF EXISTS d9idx_sets")
+    }
+  }
 }

@@ -53,6 +53,19 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("Sort "), p)
   }
 
+  test("lateral top-k decorrelates to one ranked window, no per-row re-execution") {
+    // The q_j9 LATERAL subquery (ORDER BY + LIMIT per customer) must plan
+    // as a rank-limited window over ONE hash exchange — the q_w1 shape —
+    // not as a nested-loop re-execution of the subquery per outer row.
+    val p = plan("q_j9_lateral_topk")
+    assert(p.contains("WindowGroupLimit"),
+      s"expected rank-limited window (WindowGroupLimit):\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"lateral join re-executes per row:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 2, s"expected at most 2 exchanges (window + join), got $exchanges:\n$p")
+  }
+
   test("TPC-H Q1 aggregates with map-side combine and a single exchange") {
     val p = plan("q_h1_pricing_summary")
     assert("HashAggregate".r.findAllIn(p).length >= 2, s"expected partial+final agg:\n$p")
