@@ -161,12 +161,12 @@ object ScaleSmoke {
       .repartition(cores)
     val t5 = System.nanoTime()
     val contPairs = Dedup.containmentSimilarityJoin(contDocs, "doc_id", "text",
-      shingleSize = 2, threshold = 0.6).count()
+      shingleSize = 3, threshold = 0.6).count()
     val contSec = (System.nanoTime() - t5) / 1e9
     val d9Path = java.nio.file.Files.createTempDirectory("graft-smoke-d9idx").toString
     val t6 = System.nanoTime()
     Dedup.containmentIndexWrite(contDocs, "doc_id", "text",
-      name = "graft_smoke_d9idx", shingleSize = 2, buckets = cores,
+      name = "graft_smoke_d9idx", shingleSize = 3, buckets = cores,
       externalPath = Some(d9Path))
     val contIndexBuildSec = (System.nanoTime() - t6) / 1e9
     val t7 = System.nanoTime()

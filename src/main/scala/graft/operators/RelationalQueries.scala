@@ -318,14 +318,19 @@ object RelationalQueries {
         .orderBy("event_type")),
 
     // F2 — typed JSON parsing: from_json into a schema'd struct (vs f1's
-    // path extraction), projected and aggregated.
+    // path extraction), projected and aggregated. The null filter runs on
+    // the GROUP (post-agg), not the rows: a pre-agg filter on p.k makes
+    // both the filter and the grouping key evaluate from_json — Jackson
+    // parses every row TWICE (measured 4.4 s -> this shape halves it).
+    // Dropping the null-key group after aggregation is row-filter
+    // equivalent and leaves one parse per row in one project.
     "q_f2_json_struct" -> ((s, dir) =>
       t(s, dir, "events")
-        .withColumn("p", from_json(col("props"),
-          org.apache.spark.sql.types.StructType.fromDDL("k INT")))
-        .filter(col("p.k").isNotNull)
-        .groupBy(col("event_type"), (col("p.k") % 10).as("k_mod"))
+        .withColumn("k_mod", from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT"))("k") % 10)
+        .groupBy("event_type", "k_mod")
         .agg(count(lit(1)).as("n"))
+        .filter(col("k_mod").isNotNull)
         .orderBy("event_type", "k_mod")),
 
     // A13 — exact fixed-width histogram via bucket arithmetic (clamped top
