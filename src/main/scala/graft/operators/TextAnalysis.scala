@@ -73,6 +73,62 @@ object TextAnalysis {
          |END""".stripMargin))
   }
 
+  /** Gopher-style composite quality RULE CARD (Rae et al. 2021,
+    * arXiv:2112.11446 §A1.1, adapted to single-line documents): one row
+    * per document with the raw measurements and one integer flag per
+    * rule, plus the conjunctive verdict. Unlike [[qualityScore]]'s single
+    * scalar, the card keeps WHICH rule failed — the auditable form a
+    * filtering pipeline reviews and tunes per-rule.
+    *
+    * Rules: R1 word count in [minWords, maxWords]; R2 mean word length
+    * in [3, 10]; R3 hash/ellipsis symbol-to-word ratio <= 0.1; R4 >= 80%
+    * of words contain an alphabetic character; R5 >= 2 distinct English
+    * stopwords present (the [[stopwordProfiles]] "en" list).
+    *
+    * Every threshold compares as an integer cross-multiplication
+    * (3·n <= Σlen <= 10·n, 10·symbols <= n, 5·alpha >= 4·n) — no float
+    * boundary, so the flags are bit-stable and externally replayable.
+    * Entirely row-local (one scan, no shuffle); the intermediate projects
+    * keep the tokenization evaluated once per row.
+    */
+  def gopherRuleCard(docs: DataFrame, idCol: String, textCol: String,
+                     minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val stops = stopwordProfiles("en").map(s => s"'$s'").mkString(", ")
+    docs
+      .selectExpr(
+        idCol,
+        s"${w(textCol)} AS wv",
+        s"""CAST((length($textCol) - length(replace($textCol, '#', '')))
+           |  + (length($textCol) - length(replace($textCol, '...', ''))) div 3
+           |  AS INT) AS n_symbols""".stripMargin)
+      .selectExpr(
+        idCol,
+        "CAST(size(wv) AS INT) AS n_words",
+        "aggregate(wv, CAST(0 AS BIGINT), (a, x) -> a + length(x)) AS sum_word_len",
+        "n_symbols",
+        "CAST(size(filter(wv, x -> x RLIKE '[A-Za-z]')) AS INT) AS n_alpha_words",
+        s"""CAST(size(array_intersect(
+           |  array_distinct(transform(wv, x -> lower(x))),
+           |  array($stops))) AS INT) AS n_stopwords""".stripMargin)
+      .selectExpr(
+        idCol, "n_words",
+        """CAST(round(CASE WHEN n_words = 0 THEN 0.0
+          |  ELSE sum_word_len / CAST(n_words AS DOUBLE) END, 4) AS DOUBLE)
+          |  AS mean_word_len""".stripMargin,
+        "n_symbols", "n_alpha_words", "n_stopwords",
+        s"CAST(n_words >= $minWords AND n_words <= $maxWords AS INT) AS r1_word_count",
+        "CAST(3 * n_words <= sum_word_len AND sum_word_len <= 10 * n_words AS INT) AS r2_word_len",
+        "CAST(10 * n_symbols <= n_words AS INT) AS r3_symbols",
+        "CAST(5 * n_alpha_words >= 4 * n_words AS INT) AS r4_alpha",
+        "CAST(n_stopwords >= 2 AS INT) AS r5_stopwords")
+      .selectExpr(
+        idCol, "n_words", "mean_word_len", "n_symbols", "n_alpha_words",
+        "n_stopwords", "r1_word_count", "r2_word_len", "r3_symbols",
+        "r4_alpha", "r5_stopwords",
+        """CAST(r1_word_count = 1 AND r2_word_len = 1 AND r3_symbols = 1
+          |  AND r4_alpha = 1 AND r5_stopwords = 1 AS INT) AS pass""".stripMargin)
+  }
+
   /** 60-bit md5-derived hash of a string SQL expression: the first 15 hex
     * chars of md5 parsed as an integer (always non-negative, fits a signed
     * long). md5 is the one hash family every engine computes bit-for-bit
@@ -270,14 +326,18 @@ object TextAnalysis {
       val qnorm = if (qnormRow.isNullAt(0)) 0L else qnormRow.getLong(0)
       require(qnorm > 0,
         s"query chunk ($queryDocId, $queryChunkIdx) is empty or absent")
-      val dot = vecs
+      // One fused aggregation computes dot AND norm per chunk (was two
+      // (id, chunk_idx) hash-aggs + a join — 2x the wide work): LEFT join
+      // against the broadcast query vector keeps every chunk row for the
+      // norm sum, matched dims contribute to the dot, and a NULL dot
+      // (zero shared dims) reproduces the inner join's exclusion.
+      vecs
         .filter(!(col("id") === queryDocId && col("chunk_idx") === queryChunkIdx))
-        .join(broadcast(qv), "dim")
+        .join(broadcast(qv), Seq("dim"), "left")
         .groupBy("id", "chunk_idx")
-        .agg(sum(col("wt") * col("qwt")).as("dp"))
-      val norms = vecs.groupBy("id", "chunk_idx")
-        .agg(sum(col("wt") * col("wt")).as("n2"))
-      dot.join(norms, Seq("id", "chunk_idx"))
+        .agg(sum(col("wt") * col("qwt")).as("dp"),
+          sum(col("wt") * col("wt")).as("n2"))
+        .filter(col("dp").isNotNull)
         .select(col("id"), col("chunk_idx"),
           (col("dp").cast("double") /
             (sqrt(col("n2").cast("double")) * math.sqrt(qnorm.toDouble)))

@@ -99,6 +99,15 @@ object TextQueries {
       TextAnalysis.repetitionStats(docs(s, dir), "doc_id", "text", n = 2)
         .orderBy("doc_id")),
 
+    // Gopher-style quality RULE CARD (Rae et al. 2021 §A1.1): per-doc
+    // measurements + one integer flag per rule + conjunctive verdict —
+    // the auditable per-rule form, vs q_t2's single scalar. Integer
+    // cross-multiplied thresholds, one scan, no shuffle.
+    "q_t24_gopher_rules" -> ((s, dir) =>
+      TextAnalysis.gopherRuleCard(docs(s, dir), "doc_id", "text",
+          minWords = 50, maxWords = 100000)
+        .orderBy("doc_id")),
+
     // A14 — heavy hitters: vocabulary words covering >= 1% of all token
     // occurrences (tokenizer/stopword design input). Misra-Gries
     // candidate pass per partition (bounded memory, provably no false
@@ -521,6 +530,50 @@ object TextQueries {
         |       round(coalesce(CAST(dup_occ AS DOUBLE) / n_ngrams, 0.0), 6) AS dup_ngram_frac
         |FROM documents d LEFT JOIN per USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // Replays the rule card's integer cross-multiplied thresholds; the
+    // only float is the 4-dp-rounded mean word length. DuckDB's // is
+    // Spark's div (exact here: the '...' diff is a multiple of 3);
+    // list_sum on an empty list is NULL where Spark's aggregate returns
+    // its 0 seed, hence the coalesce.
+    "q_t24_gopher_rules" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split(text, ' '), x -> x != '') AS wv,
+        |         (length(text) - length(replace(text, '#', '')))
+        |           + (length(text) - length(replace(text, '...', ''))) // 3
+        |           AS n_symbols
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |         len(wv) AS n_words,
+        |         CAST(coalesce(list_sum(list_transform(wv, x -> length(x))), 0) AS BIGINT)
+        |           AS sum_word_len,
+        |         n_symbols,
+        |         len(list_filter(wv, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha_words,
+        |         len(list_intersect(list_distinct(list_transform(wv, x -> lower(x))),
+        |             ['the', 'a', 'of', 'and', 'to', 'in', 'is', 'that', 'it', 'for']))
+        |           AS n_stopwords
+        |  FROM m)
+        |SELECT doc_id,
+        |       CAST(n_words AS INT) AS n_words,
+        |       round(CASE WHEN n_words = 0 THEN 0.0
+        |             ELSE sum_word_len / CAST(n_words AS DOUBLE) END, 4) AS mean_word_len,
+        |       CAST(n_symbols AS INT) AS n_symbols,
+        |       CAST(n_alpha_words AS INT) AS n_alpha_words,
+        |       CAST(n_stopwords AS INT) AS n_stopwords,
+        |       CAST(n_words BETWEEN 50 AND 100000 AS INT) AS r1_word_count,
+        |       CAST(3 * n_words <= sum_word_len AND sum_word_len <= 10 * n_words AS INT)
+        |         AS r2_word_len,
+        |       CAST(10 * n_symbols <= n_words AS INT) AS r3_symbols,
+        |       CAST(5 * n_alpha_words >= 4 * n_words AS INT) AS r4_alpha,
+        |       CAST(n_stopwords >= 2 AS INT) AS r5_stopwords,
+        |       CAST(n_words BETWEEN 50 AND 100000
+        |            AND 3 * n_words <= sum_word_len AND sum_word_len <= 10 * n_words
+        |            AND 10 * n_symbols <= n_words
+        |            AND 5 * n_alpha_words >= 4 * n_words
+        |            AND n_stopwords >= 2 AS INT) AS pass
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     // The heavy-hitter output is exact by construction (the Misra-Gries
     // stage only prunes candidates), so the oracle needs no gate columns:

@@ -168,6 +168,38 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out(1)._3 < out(2)._3)
   }
 
+  test("gopherRuleCard: each rule trips on its own boundary case") {
+    // 60 words, mean word length 4.1, stopwords {the, that} — passes all
+    val sixty = ("the quick brown fox jumps over that lazy dog today " * 6).trim
+    val cases = Seq(
+      // (doc_id, text, failing rule column or "" for pass)
+      (1L, sixty, ""),
+      (2L, "the cat is on a mat", "r1_word_count"),             // 6 words < 50
+      (3L, ("a " * 60).trim, "r2_word_len"),                    // mean len 1 < 3
+      (4L, sixty + " " + ("# " * 10).trim, "r3_symbols"),       // 10 hashes / 70 words
+      (5L, sixty.replaceAll("fox|dog|lazy", "123"), "r4_alpha"), // 30% digit words
+      (6L, ("zz qq ww rr ss tt " * 10).trim, "r5_stopwords"))
+    val df = spark.createDataFrame(cases.map(c => (c._1, c._2))).toDF("doc_id", "text")
+    val rows = TextAnalysis.gopherRuleCard(df, "doc_id", "text", minWords = 50)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    cases.foreach { case (id, _, failing) =>
+      val row = rows(id)
+      val pass = row.getInt(row.fieldIndex("pass"))
+      if (failing.isEmpty) assert(pass == 1, s"doc $id should pass: $row")
+      else {
+        assert(pass == 0, s"doc $id should fail: $row")
+        assert(row.getInt(row.fieldIndex(failing)) == 0,
+          s"doc $id should trip $failing: $row")
+      }
+    }
+    // flag columns are exhaustive: pass == conjunction of the five flags
+    rows.values.foreach { r =>
+      val flags = Seq("r1_word_count", "r2_word_len", "r3_symbols",
+        "r4_alpha", "r5_stopwords").map(f => r.getInt(r.fieldIndex(f)))
+      assert(r.getInt(r.fieldIndex("pass")) == flags.min)
+    }
+  }
+
   test("lmPerplexity is repartition-invariant on real docs") {
     import org.apache.spark.sql.functions.col
     val docs = spark.read.parquet(s"${sfDir("0.001")}/documents.parquet")
