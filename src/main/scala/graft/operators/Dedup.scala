@@ -406,6 +406,19 @@ object Dedup {
     * Because the full ranked list is stored, the index serves ANY query
     * threshold — the pigeonhole prefix filter and all candidate bounds
     * re-derive from the stored (sz, rk) at query time.
+    *
+    * NOT incrementally appendable, by design: `rk` is each token's
+    * position under the GLOBAL document-frequency order, and appending a
+    * batch shifts DF — probe prefixes computed under the old order and
+    * candidate ranks under the new one would break the pigeonhole
+    * argument, silently missing pairs (correctness requires ONE
+    * consistent order across both join sides). The production maintenance
+    * move is therefore epochal: rebuild per ingest epoch (the build is
+    * one DF shuffle + one rank window — strongly sublinear in measured
+    * wall-clock, 2.7 s -> 5.5 s across a 30x corpus) and have queries
+    * probe the latest epoch, exactly like the LSH band index's
+    * re-snapshot discipline but without its O(batch) append (which that
+    * index affords only because band keys are position-free).
     */
   def containmentIndexWrite(
       docs: DataFrame, idCol: String, textCol: String,
@@ -1192,5 +1205,83 @@ object Dedup {
       .where(col("n_shared_windows") >= minShared)
       .select(col("id").as(idCol)).distinct()
     corpus.join(flagged, Seq(idCol), "left_anti")
+  }
+
+  // -----------------------------------------------------------------------
+  // Winnowing fingerprints (MOSS-style position-robust substring sketch)
+  // -----------------------------------------------------------------------
+
+  /** Winnowing fingerprint set (Schleimer/Wilkerson/Aiken, SIGMOD 2003 —
+    * the MOSS sketch): hash every POSITIONAL word k-gram (sequential, not
+    * the distinct shingle set), slide a window of `window` consecutive
+    * gram positions, keep each window's MINIMUM hash, and return the
+    * distinct selected values. The winnowing guarantee: any run of
+    * >= window + k - 1 words shared by two documents contributes at least
+    * one COMMON fingerprint to both sketches, while the sketch is ~2/(w+1)
+    * of the gram count — position-robust substring evidence (insertions
+    * elsewhere in the doc don't move local minima) at a fraction of a full
+    * substring index. Docs with at least one gram but fewer than `window`
+    * keep their single global-min hash so short docs still fingerprint;
+    * docs with < k words fingerprint empty. Tie order is irrelevant:
+    * fingerprints are the selected VALUES, and equal values coalesce in
+    * the distinct. Entirely row-local — one codegen'd expression, no
+    * shuffle. family: "md5" = oracle-replayable, "xx64" = production.
+    */
+  def winnowingFingerprintsCol(textCol: String, k: Int = 3, window: Int = 4,
+                               family: String = graft.functions.HashFamily.Xx64): Column = {
+    require(k >= 1 && window >= 1, s"k and window must be >= 1, got k=$k window=$window")
+    val parts = (0 until k).map(i => s"w[i + $i]").mkString(", ' ', ")
+    val gramHash = TextAnalysis.hash60(s"concat($parts)", family)
+    expr(letBind(tokensExpr(textCol), "w",
+      letBind(
+        s"""CASE WHEN size(w) >= $k
+           |  THEN transform(sequence(0, size(w) - $k), i -> $gramHash)
+           |  ELSE CAST(array() AS ARRAY<BIGINT>) END""".stripMargin,
+        "hs",
+        s"""CASE WHEN size(hs) = 0 THEN CAST(array() AS ARRAY<BIGINT>)
+           |  WHEN size(hs) < $window THEN array(array_min(hs))
+           |  ELSE array_distinct(transform(sequence(1, size(hs) - ${window - 1}),
+           |                                j -> array_min(slice(hs, j, $window)))) END""".stripMargin)))
+  }
+
+  /** Document pairs sharing >= `minShared` winnowing fingerprints — the
+    * near-dup modality that catches REARRANGED plagiarism/boilerplate:
+    * shared runs anywhere in either doc match regardless of position,
+    * which document-level MinHash dilutes and substring-span dedup pays a
+    * full site index for.
+    *
+    * Scale shape: sketches are ~2/(window+1) of the gram count; the
+    * candidate join is one equi-join on fingerprint values. `maxDf` drops
+    * fingerprints present in more than that many documents BEFORE the
+    * join (standard MOSS practice — an ultra-common fingerprint is
+    * boilerplate, not evidence, and it is also the quadratic hot key), so
+    * per-key fan-out is bounded by maxDf^2. One explode + one df hash-agg
+    * + one bounded self-join; no corpus cross product.
+    */
+  def winnowingPairs(docs: DataFrame, idCol: String, textCol: String,
+                     k: Int = 3, window: Int = 4, minShared: Int = 2,
+                     maxDf: Int = 50,
+                     family: String = graft.functions.HashFamily.Xx64): DataFrame = {
+    require(minShared >= 1 && maxDf >= 2,
+      s"minShared >= 1 and maxDf >= 2 required, got $minShared / $maxDf")
+    val fps = docs
+      .select(col(idCol).as("id"),
+        explode(winnowingFingerprintsCol(textCol, k, window, family)).as("fp"))
+      .persist()
+    try {
+      val kept = fps.join(
+        fps.groupBy("fp").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDf)
+          .select("fp"),
+        "fp")
+      kept.as("a")
+        .join(kept.as("b"),
+          col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(count(lit(1)).cast("int").as("n_shared"))
+        .filter(col("n_shared") >= minShared)
+        .pipe(materialize)
+    } finally fps.unpersist()
   }
 }

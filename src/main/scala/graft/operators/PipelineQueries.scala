@@ -122,6 +122,18 @@ object PipelineQueries {
         .withColumn("containment", round(col("containment"), 6))
         .orderBy("id_a", "id_b")),
 
+    // Winnowing (MOSS) fingerprint-overlap pairs over the same planted
+    // corpus: positional 3-gram hashes, min per 4-window, distinct
+    // selected values; pairs sharing >= 2 sketch fingerprints (df-capped
+    // at 50). The position-robust substring modality — the planted
+    // half-prefix shares runs with its host wherever they sit, and the
+    // sketch is ~2/5 of the gram count. md5 family = oracle-replayable.
+    "q_d15_winnowing_pairs" -> ((s, dir) =>
+      Dedup.winnowingPairs(containmentCorpus(s, dir), "doc_id", "text",
+          k = 3, window = 4, minShared = 2, maxDf = 50,
+          family = graft.functions.HashFamily.Md5)
+        .orderBy("id_a", "id_b")),
+
     // L1 — CDC merge/upsert into a year-partitioned lake table
     // (graft.sources.LakeLayout.mergeUpsert): base = orders partitioned by
     // order year; the changeset re-prices every 7th key (deleting those
@@ -669,6 +681,47 @@ object PipelineQueries {
            |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
            |      / len(a.sh) >= 0.6
            |ORDER BY id_a, id_b""".stripMargin,
+
+      // Replays winnowing exactly: positional 3-gram md5-60 hashes
+      // (('0x' || md5-prefix)::BIGINT ≡ Spark's conv(..., 16, 10)),
+      // list_min per 4-window (1-based inclusive slices match Spark's
+      // slice), short-doc global-min fallback, df-cap, and the >= 2
+      // shared-count HAVING.
+      "q_d15_winnowing_pairs" ->
+        s"""WITH planted AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 700000,
+           |         array_to_string(list_slice(w, 1,
+           |           greatest(CAST(ceil(len(w) / 2) AS INTEGER), 3)), ' ')
+           |  FROM (SELECT doc_id, $duckTokens AS w FROM documents)
+           |  WHERE doc_id % 10 = 0),
+           |t AS (SELECT doc_id, $duckTokens AS w FROM planted),
+           |g AS (
+           |  SELECT doc_id,
+           |         CASE WHEN len(w) >= 3
+           |           THEN list_transform(generate_series(1, len(w) - 2),
+           |                i -> ('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 15))::BIGINT)
+           |           ELSE [] END AS hs
+           |  FROM t),
+           |f AS (
+           |  SELECT DISTINCT doc_id, fp FROM (
+           |    SELECT doc_id,
+           |           unnest(CASE WHEN len(hs) = 0 THEN []
+           |                       WHEN len(hs) < 4 THEN [list_min(hs)]
+           |                       ELSE list_distinct(list_transform(
+           |                              generate_series(1, len(hs) - 3),
+           |                              j -> list_min(hs[j:j+3]))) END) AS fp
+           |    FROM g)),
+           |kept AS (
+           |  SELECT doc_id, fp FROM f
+           |  WHERE fp IN (SELECT fp FROM f GROUP BY fp HAVING count(*) <= 50))
+           |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |       CAST(count(*) AS INT) AS n_shared
+           |FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+           |GROUP BY 1, 2
+           |HAVING count(*) >= 2
+           |ORDER BY 1, 2""".stripMargin,
 
       // replays the whole chain: brute MinHash-contract pairs (the d5
       // idiom), recursive-CTE components, per-CLUSTER hash split, and the

@@ -261,4 +261,33 @@ class DedupSpec extends SparkTestBase {
       .select(Dedup.shingles("text", 2)).head().getSeq[String](0)
     assert(short.isEmpty)
   }
+
+  test("winnowing: shared run guarantees a shared fingerprint; families agree; short docs fall back") {
+    import spark.implicits._
+    // A run of window + k - 1 = 6 shared words yields 4 consecutive shared
+    // grams — one full 4-window whose min is the SAME value in both docs
+    // (the winnowing coverage guarantee), wherever the run sits.
+    val run = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      1L -> s"unique lead one two $run closing words here",
+      2L -> s"$run completely different tail text around",
+      3L -> "tiny doc", // < k words: fingerprints empty
+      4L -> "just four small words" // 2 grams < window: global-min fallback
+    ).toDF("doc_id", "text")
+    for (family <- Seq("md5", "xx64")) {
+      val pairs = Dedup.winnowingPairs(docs, "doc_id", "text",
+          k = 3, window = 4, minShared = 1, maxDf = 10, family = family)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // exactly the planted pair: no other docs share any gram, and a
+      // fingerprint can only match where grams match
+      assert(pairs == Set((1L, 2L)), s"family=$family got $pairs")
+    }
+    val fpCounts = docs
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.size(
+          Dedup.winnowingFingerprintsCol("text", 3, 4)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(fpCounts(3L) == 0, s"sub-k doc should fingerprint empty: $fpCounts")
+    assert(fpCounts(4L) == 1, s"short doc should keep its global min: $fpCounts")
+  }
 }
