@@ -153,6 +153,15 @@ object ScaleBench {
       // the ranked-token shuffle is an ingest-time artifact
       ("q_d9_containment_indexed_scale" -> ((s: SparkSession, d: String) =>
         operators.Dedup.containmentSimilarityJoinIndexed(s, d9table, 0.6))) :+
+      // winnowing sketch pairs in the production family: row-local sketch
+      // (~2/(w+1) of the gram count) + one df-capped fingerprint equi-join;
+      // the curve must track the scan, and the df cap is what keeps the
+      // join's per-key fan-out flat as replicas multiply shared boilerplate
+      ("q_d15_winnowing_scale" -> ((s: SparkSession, d: String) =>
+        operators.Dedup.winnowingPairs(
+          s.read.parquet(s"$d/documents.parquet"), "doc_id", "text",
+          k = 3, window = 4, minShared = 2, maxDf = 50,
+          family = graft.functions.HashFamily.Xx64))) :+
       // margin alignment through SRP candidates (centered exact-key, the
       // q_v6 scale regime): base vectors vs their planted twins across
       // the replica id-space split; output = aligned twins, linear by
