@@ -78,7 +78,7 @@ object Bench {
       "q1_agg", "q_k1_fulfillment",
       "q_h1_pricing_summary", "q_h5_local_supplier_volume", "q_h10_returned_items", "q_h18_big_orders",
       "q_d1_dedup_exact", "q_d3_minhash_neardup", "q_d5_neardup_clusters",
-      "q_d6_ngram_jaccard", "q_d7_ngram_jaccard_indexed",
+      "q_d6_ngram_jaccard", "q_d7_ngram_jaccard_indexed", "q_d15_winnowing_pairs",
       "q_v1_knn_cosine", "q_v5_ann_lsh", "q_v6_embedding_neardup_lsh", "q_v7_ann_ivf",
       "q_v9_embedding_dedup_clusters",
       "q_str2_fuzzy_block", "q_r1_range_join", "q_j7_salted_join",

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.SparkTestBase
 import java.nio.file.Files
+import org.apache.spark.sql.functions.col
 
 /** Co-located joins via bucketing: two tables bucketed on the join key must
   * join with NO shuffle exchange — the pre-partitioning lever that replaces
@@ -121,6 +122,22 @@ class BucketingSpec extends SparkTestBase {
         assert(!plan.contains("Exchange"),
           s"bucketed containment candidate join must not shuffle:\n$plan")
       } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+      // EPOCH REBUILD (the maintenance discipline the scaladoc declares —
+      // rk is a global-DF position, so growth means rebuild, not append):
+      // overwriting the same name/path with a grown corpus must serve the
+      // grown corpus's exact direct-join results.
+      val grown = docs.select("doc_id", "text").unionByName(
+        docs.filter(col("doc_id") % 25 === 0)
+          .select((col("doc_id") + 900000L).as("doc_id"), col("text")))
+      Dedup.containmentIndexWrite(grown, "doc_id", "text", name = "d9idx",
+        shingleSize = 3, buckets = 8, externalPath = Some(wh))
+      val directGrown = pairSet(
+        Dedup.containmentSimilarityJoin(grown, "doc_id", "text", 3, 0.6))
+      assert(pairSet(Dedup.containmentSimilarityJoinIndexed(spark, "d9idx", 0.6))
+        == directGrown)
+      assert(directGrown.size > direct.size,
+        "grown corpus should add planted full-duplicate pairs")
     } finally {
       spark.sql("DROP TABLE IF EXISTS d9idx_tokens")
       spark.sql("DROP TABLE IF EXISTS d9idx_sets")
