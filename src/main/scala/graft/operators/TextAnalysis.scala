@@ -94,12 +94,16 @@ object TextAnalysis {
   def gopherRuleCard(docs: DataFrame, idCol: String, textCol: String,
                      minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
     val stops = stopwordProfiles("en").map(s => s"'$s'").mkString(", ")
+    // NULL text coalesces to the empty doc (the scrubDuplicatedSpans
+    // convention): size(NULL)/length(NULL) are NULL, which would turn
+    // every measurement and flag NULL instead of a countable failing row.
+    val t = s"coalesce($textCol, '')"
     docs
       .selectExpr(
         idCol,
-        s"${w(textCol)} AS wv",
-        s"""CAST((length($textCol) - length(replace($textCol, '#', '')))
-           |  + (length($textCol) - length(replace($textCol, '...', ''))) div 3
+        s"${w(t)} AS wv",
+        s"""CAST((length($t) - length(replace($t, '#', '')))
+           |  + (length($t) - length(replace($t, '...', ''))) div 3
            |  AS INT) AS n_symbols""".stripMargin)
       .selectExpr(
         idCol,

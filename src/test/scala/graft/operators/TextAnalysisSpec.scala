@@ -198,6 +198,16 @@ class TextAnalysisSpec extends SparkTestBase {
         "r4_alpha", "r5_stopwords").map(f => r.getInt(r.fieldIndex(f)))
       assert(r.getInt(r.fieldIndex("pass")) == flags.min)
     }
+    // NULL text is a countable failing row (0 words, pass = 0), not a
+    // row of NULL measurements that downstream filters silently drop
+    import spark.implicits._
+    val nullRow = TextAnalysis.gopherRuleCard(
+        Seq((9L, None: Option[String])).toDF("doc_id", "text"),
+        "doc_id", "text", minWords = 50)
+      .head()
+    assert(!nullRow.anyNull, s"null-text row has NULL fields: $nullRow")
+    assert(nullRow.getInt(nullRow.fieldIndex("n_words")) == 0 &&
+      nullRow.getInt(nullRow.fieldIndex("pass")) == 0)
   }
 
   test("lmPerplexity is repartition-invariant on real docs") {
