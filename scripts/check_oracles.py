@@ -69,16 +69,18 @@ def main(out_dir: str, sf_dir: str, only: str = "") -> int:
             rel = con.sql(sql)
             # DuckDB HUGEINT (sum(BIGINT) etc.) round-trips through pandas as
             # float64, which the driver hashes differently from Spark's int64.
+            # rel.types comes from the plan, so this fails BEFORE paying the
+            # (possibly expensive) oracle execution.
             huge = [c for c, t in zip(rel.columns, rel.types)
                     if str(t).upper() in ("HUGEINT", "INT128", "UHUGEINT")]
+            if huge:
+                print(f"FAIL {name}: oracle emits HUGEINT column(s) {huge} — "
+                      f"add CAST(... AS BIGINT)")
+                failed.append(name)
+                continue
             want = canon(rel.fetchdf())
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: oracle SQL error: {e}")
-            failed.append(name)
-            continue
-        if huge:
-            print(f"FAIL {name}: oracle emits HUGEINT column(s) {huge} — "
-                  f"add CAST(... AS BIGINT)")
             failed.append(name)
             continue
         try:

@@ -153,11 +153,8 @@ object ScaleSmoke {
     // index write pays the ranked-token shuffle once; the query path joins
     // exchange-free on the bucketed token table.
     val contDocs = shardedDocs.unionByName(
-      shardedDocs.filter(col("doc_id") % 10 === 0)
-        .select((col("doc_id") + 700000000L).as("doc_id"),
-          expr("array_join(slice(filter(split(text, ' '), x -> x != ''), 1, " +
-            "greatest(CAST(ceil(size(filter(split(text, ' '), x -> x != '')) / 2) AS INT), 3)), ' ')")
-            .as("text")))
+        graft.operators.PipelineQueries.plantedFragments(shardedDocs,
+          offset = 700000000L))
       .repartition(cores)
     val t5 = System.nanoTime()
     val contPairs = Dedup.containmentSimilarityJoin(contDocs, "doc_id", "text",

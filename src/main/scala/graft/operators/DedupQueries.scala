@@ -546,7 +546,7 @@ object DedupQueries {
     // site count, gaps-and-islands merge (lag gap <= k), span text slice.
     "q_d10_substring_spans" ->
       s"""WITH w AS (
-         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+         |  SELECT doc_id, list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS ws
          |  FROM documents),
          |g AS (
          |  SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 4)) AS pos
@@ -582,7 +582,7 @@ object DedupQueries {
     // (LEFT JOINs from the full corpus).
     "q_d11_substring_scrub" ->
       s"""WITH w AS (
-         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+         |  SELECT doc_id, list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS ws
          |  FROM documents),
          |g AS (
          |  SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 4)) AS pos
@@ -616,7 +616,7 @@ object DedupQueries {
     // first site of each duplicated window is exempt from coverage.
     "q_d14_scrub_keepfirst" ->
       s"""WITH w AS (
-         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+         |  SELECT doc_id, list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS ws
          |  FROM documents),
          |g AS (
          |  SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 4)) AS pos

@@ -379,45 +379,67 @@ object PipelineQueries {
   // so a hit whose table the session can't see rebuilds instead of handing
   // back a dangling name. The external path is deterministic per dir (and
   // written mode=overwrite), so rebuilds reuse one directory rather than
-  // leaking a fresh temp dir per build.
-  private val d6Indexes = scala.collection.concurrent.TrieMap.empty[String, String]
-  private val d6Lock = new Object
-  private[graft] def d6IndexCached(s: SparkSession, dir: String): String =
-    d6Lock.synchronized {
-      d6Indexes.get(dir).filter(t => s.catalog.tableExists(s"${t}_tokens"))
+  // leaking a fresh temp dir per build. `version` bumps BOTH the table
+  // name and the path when the on-disk layout changes (the d6 v2 sorted-
+  // hashed-sets migration), so a live session or stale directory can never
+  // be read with a newer plan. One helper so the next such fix lands once.
+  private def indexCached(cache: scala.collection.concurrent.TrieMap[String, String],
+                          lock: Object, s: SparkSession, dir: String,
+                          prefix: String, version: String)
+                         (build: (String, String) => Unit): String =
+    lock.synchronized {
+      cache.get(dir).filter(t => s.catalog.tableExists(s"${t}_tokens"))
         .getOrElse {
           val key = java.security.MessageDigest.getInstance("MD5")
             .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-          // v2: the _sets table stores sorted hashed token sets (shh) —
-          // path AND table name bump so a live session or on-disk v1
-          // index can never be read with the new verify plan
-          val table = s"graft_d6idx_${key}_v2"
-          val path = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_d6idx/$key-v2"
-          val d = docs(s, dir)
-          // size the bucket count to the corpus: ~200 docs of prefix tokens per
-          // bucket file — 32 buckets over a 500-doc test corpus is pure
-          // per-task overhead, and a 50k-doc corpus wants the full width
-          val buckets = math.max(4, math.min(32, (d.count() / 200).toInt))
-          Dedup.prefixTokenIndexWrite(d, "doc_id", "text",
-            name = table, shingleSize = 3, threshold = 0.5, buckets = buckets,
-            externalPath = Some(path))
-          d6Indexes(dir) = table
+          val table = s"${prefix}_${key}_$version"
+          val path =
+            s"${System.getProperty("java.io.tmpdir", "/tmp")}/$prefix/$key-$version"
+          build(table, path)
+          cache(dir) = table
           table
         }
     }
 
-  /** The q_d9 planted-containment corpus: the documents table plus every
-    * 10th doc's first-half word prefix re-entering under doc_id + 700000 —
-    * a guaranteed containment-1.0 inclusion the oracle re-derives in SQL.
+  /** Bucket count sized to the corpus: ~200 docs of tokens per bucket
+    * file — 32 buckets over a 500-doc test corpus is pure per-task
+    * overhead, and a 50k-doc corpus wants the full width.
+    */
+  private def bucketsFor(nDocs: Long): Int =
+    math.max(4, math.min(32, (nDocs / 200).toInt))
+
+  private val d6Indexes = scala.collection.concurrent.TrieMap.empty[String, String]
+  private val d6Lock = new Object
+  private[graft] def d6IndexCached(s: SparkSession, dir: String): String =
+    // v2: the _sets table stores sorted hashed token sets (shh)
+    indexCached(d6Indexes, d6Lock, s, dir, "graft_d6idx", "v2") { (table, path) =>
+      val d = docs(s, dir)
+      Dedup.prefixTokenIndexWrite(d, "doc_id", "text",
+        name = table, shingleSize = 3, threshold = 0.5,
+        buckets = bucketsFor(d.count()), externalPath = Some(path))
+    }
+
+  /** Every 10th doc's first-half word prefix re-entering under
+    * doc_id + `offset` — a guaranteed containment-1.0 inclusion. ONE
+    * definition (q_d9/q_d15 registry corpus, their DuckDB oracles replay
+    * it, and ScaleSmoke's 55k-doc receipt reuses it with a larger offset)
+    * so the planted shape can't silently desynchronize across receipts.
+    */
+  private[graft] def plantedFragments(d: DataFrame,
+                                      offset: Long = 700000L): DataFrame = {
+    val w = "filter(split(text, ' '), x -> x != '')"
+    d.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + lit(offset)).as("doc_id"),
+        expr(s"array_join(slice($w, 1, greatest(CAST(ceil(size($w) / 2) AS INT), 3)), ' ')")
+          .as("text"))
+  }
+
+  /** The q_d9/q_d15 planted-containment corpus: the documents table plus
+    * its [[plantedFragments]].
     */
   private[graft] def containmentCorpus(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).select("doc_id", "text")
-    val w = "filter(split(text, ' '), x -> x != '')"
-    val frag = d.filter(col("doc_id") % 10 === 0)
-      .select((col("doc_id") + 700000L).as("doc_id"),
-        expr(s"array_join(slice($w, 1, greatest(CAST(ceil(size($w) / 2) AS INT), 3)), ' ')")
-          .as("text"))
-    d.unionByName(frag)
+    d.unionByName(plantedFragments(d))
   }
 
   /** Build-once containment index per (session, dataset dir) over the
@@ -428,21 +450,11 @@ object PipelineQueries {
   private val d9Indexes = scala.collection.concurrent.TrieMap.empty[String, String]
   private val d9Lock = new Object
   private[graft] def d9IndexCached(s: SparkSession, dir: String): String =
-    d9Lock.synchronized {
-      d9Indexes.get(dir).filter(t => s.catalog.tableExists(s"${t}_tokens"))
-        .getOrElse {
-          val key = java.security.MessageDigest.getInstance("MD5")
-            .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-          val table = s"graft_d9idx_${key}_v1"
-          val path = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_d9idx/$key-v1"
-          val d = containmentCorpus(s, dir)
-          val buckets = math.max(4, math.min(32, (d.count() / 200).toInt))
-          Dedup.containmentIndexWrite(d, "doc_id", "text",
-            name = table, shingleSize = 3, buckets = buckets,
-            externalPath = Some(path))
-          d9Indexes(dir) = table
-          table
-        }
+    indexCached(d9Indexes, d9Lock, s, dir, "graft_d9idx", "v1") { (table, path) =>
+      val d = containmentCorpus(s, dir)
+      Dedup.containmentIndexWrite(d, "doc_id", "text",
+        name = table, shingleSize = 3, buckets = bucketsFor(d.count()),
+        externalPath = Some(path))
     }
 
   private val duckShingles3 =

@@ -539,9 +539,10 @@ object TextQueries {
     "q_t24_gopher_rules" ->
       """WITH m AS (
         |  SELECT doc_id,
-        |         list_filter(string_split(text, ' '), x -> x != '') AS wv,
-        |         (length(text) - length(replace(text, '#', '')))
-        |           + (length(text) - length(replace(text, '...', ''))) // 3
+        |         list_filter(string_split(coalesce(text, ''), ' '), x -> x != '') AS wv,
+        |         (length(coalesce(text, '')) - length(replace(coalesce(text, ''), '#', '')))
+        |           + (length(coalesce(text, ''))
+        |              - length(replace(coalesce(text, ''), '...', ''))) // 3
         |           AS n_symbols
         |  FROM documents),
         |c AS (
