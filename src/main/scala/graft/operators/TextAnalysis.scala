@@ -586,6 +586,78 @@ object TextAnalysis {
         (col("r.s9") > 0).cast("int").as("label"))
   }
 
+  /** Distributed full-batch PERCEPTRON training over hashed bag-of-words
+    * counts — the data-parallel model-TRAINING shape a quality-classifier
+    * pipeline runs (the trained twin of [[hashedLinearScore]]'s inference
+    * path), kept ALL-INTEGER so the learned weights are bit-exact under
+    * any partitioning and externally replayable: no learning-rate float,
+    * no transcendental — the classic perceptron update IS integer
+    * arithmetic.
+    *
+    * `labelCol` must hold ±1 ints on `docs`. Per iteration: margins
+    * m_i = Σ_d w_d·x_{i,d} via a codegen'd lookup of the dim-sized weight
+    * array shipped as a PLAN LITERAL (the [[Clustering.kmeansInt]]
+    * centroids discipline) + one per-doc aggregation; docs with
+    * y_i·m_i <= 0 contribute Δw_d = Σ y_i·x_{i,d} through one dim-keyed
+    * aggregation whose output is DIMENSION-sized — the only thing that
+    * ever reaches the driver. The (doc, dim, count) feature frame is
+    * computed once and persisted; at 100 TB each iteration is one scan of
+    * that cached frame with map-side partial aggregation — exactly the
+    * data-parallel batch-gradient shape a parameter-server-free cluster
+    * runs for small models. Docs with no tokens have no feature rows and
+    * never vote. Returns one row per dimension: (dim, weight), zeros
+    * included.
+    */
+  def perceptronTrain(docs: DataFrame, idCol: String, textCol: String,
+                      labelCol: String, dim: Int = 64, iterations: Int = 3,
+                      family: String = graft.functions.HashFamily.Xx64): DataFrame = {
+    require(dim >= 2 && iterations >= 1,
+      s"dim >= 2 and iterations >= 1 required, got $dim / $iterations")
+    val spark = docs.sparkSession
+    val feats = hashedBowDims(docs.select(col(idCol), col(labelCol), col(textCol)),
+        Seq(idCol, labelCol), textCol, dim, family)
+      .select(col(idCol).as("id"), col(labelCol).cast("long").as("y"),
+        col("dim"), col("wt"))
+      .persist()
+    try {
+      feats.count()
+      val w = Array.fill[Long](dim)(0L)
+      for (_ <- 1 to iterations) {
+        val wLit = w.map(v => s"${v}L").mkString("array(", ", ", ")")
+        val mis = feats
+          .withColumn("wd", expr(s"element_at($wLit, dim + 1)"))
+          .groupBy("id", "y")
+          .agg(sum(col("wd") * col("wt")).as("m"))
+          .filter(col("y") * col("m") <= 0)
+          .select("id")
+        val deltas = feats.join(mis, "id")
+          .groupBy("dim")
+          .agg(sum(col("y") * col("wt")).as("dw"))
+          .collect() // dimension-sized, never corpus-sized
+        deltas.foreach(r => w(r.getInt(0)) += r.getLong(1))
+      }
+      import spark.implicits._
+      w.toSeq.zipWithIndex.map { case (v, d) => (d, v) }.toDF("dim", "weight")
+    } finally feats.unpersist()
+  }
+
+  /** Score documents with a trained (dim -> weight) perceptron model:
+    * margin = Σ_d w_d·x_d as an exact integer, pred = sign. The model
+    * joins as a dim-keyed frame (AQE broadcasts anything dim-sized), so
+    * the corpus pays one explode + one per-doc aggregation — the same
+    * shuffle-free-model posture as [[hashedLinearScore]].
+    */
+  def perceptronScore(docs: DataFrame, idCol: String, textCol: String,
+                      model: DataFrame, dim: Int = 64,
+                      family: String = graft.functions.HashFamily.Xx64): DataFrame =
+    hashedBowDims(docs.select(col(idCol), col(textCol)), Seq(idCol), textCol,
+        dim, family)
+      .join(model.select(col("dim"), col("weight")), Seq("dim"), "left")
+      .groupBy(idCol)
+      .agg(sum(coalesce(col("weight"), lit(0L)) * col("wt")).as("margin"))
+      .select(col(idCol), col("margin"),
+        when(col("margin") > 0, 1).otherwise(-1).as("pred"))
+
   /** Token-distribution drift of each corpus slice against a base slice:
     * KL(P_slice ‖ P_base) with add-one smoothing over the WHOLE corpus
     * vocabulary (so zero-count terms still contribute their smoothed

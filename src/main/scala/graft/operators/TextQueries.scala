@@ -99,6 +99,22 @@ object TextQueries {
       TextAnalysis.repetitionStats(docs(s, dir), "doc_id", "text", n = 2)
         .orderBy("doc_id")),
 
+    // Distributed full-batch perceptron TRAINING (3 iterations, 64 hashed
+    // dims, md5 family): the data-parallel model-training shape — margins
+    // via a plan-literal weight lookup, misclassified docs vote per-dim
+    // integer deltas, only the dim-sized delta frame reaches the driver.
+    // All-integer, so the learned weights are bit-exact and the oracle
+    // unrolls the three iterations CTE-by-CTE. Labels derive in-query
+    // (>= 40 words), replayed identically by DuckDB.
+    "q_t25_perceptron_train" -> ((s, dir) => {
+      val d = docs(s, dir).withColumn("y", expr(
+        "CASE WHEN size(filter(split(coalesce(text, ''), ' '), x -> x != '')) >= 40 " +
+          "THEN 1 ELSE -1 END"))
+      TextAnalysis.perceptronTrain(d, "doc_id", "text", "y",
+          dim = 64, iterations = 3, family = graft.functions.HashFamily.Md5)
+        .orderBy("dim")
+    }),
+
     // Gopher-style quality RULE CARD (Rae et al. 2021 §A1.1): per-doc
     // measurements + one integer flag per rule + conjunctive verdict —
     // the auditable per-rule form, vs q_t2's single scalar. Integer
@@ -530,6 +546,46 @@ object TextQueries {
         |       round(coalesce(CAST(dup_occ AS DOUBLE) / n_ngrams, 0.0), 6) AS dup_ngram_frac
         |FROM documents d LEFT JOIN per USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // Unrolls the three perceptron iterations: w0 = 0 makes every
+    // featured doc misclassified in round 1 (margin 0, y*0 <= 0), so
+    // w1 = per-dim sum of y*count; rounds 2-3 recompute margins against
+    // the previous weights, re-vote the misclassified set, and add the
+    // integer deltas. All arithmetic is BIGINT; the final select grids
+    // every dim 0..63 with zero-weight fill, exactly like the engine's
+    // zero-initialized array.
+    "q_t25_perceptron_train" ->
+      """WITH f AS (
+        |  SELECT id, y, CAST(h % 64 AS INT) AS dim, CAST(count(*) AS BIGINT) AS wt
+        |  FROM (
+        |    SELECT doc_id AS id,
+        |           CASE WHEN len(list_filter(string_split(coalesce(text, ''), ' '),
+        |                        x -> x != '')) >= 40 THEN 1 ELSE -1 END AS y,
+        |           ('0x' || substr(md5(w), 1, 15))::BIGINT AS h
+        |    FROM (SELECT doc_id, text,
+        |                 unnest(list_filter(string_split(coalesce(text, ''), ' '),
+        |                        x -> x != '')) AS w
+        |          FROM documents))
+        |  GROUP BY 1, 2, 3),
+        |w1 AS (SELECT dim, sum(y * wt) AS w FROM f GROUP BY 1),
+        |m2 AS (SELECT f.id, f.y, sum(coalesce(w1.w, 0) * f.wt) AS m
+        |       FROM f LEFT JOIN w1 USING (dim) GROUP BY 1, 2),
+        |d2 AS (SELECT dim, sum(y * wt) AS dw FROM f
+        |       WHERE id IN (SELECT id FROM m2 WHERE y * m <= 0) GROUP BY 1),
+        |w2 AS (SELECT coalesce(w1.dim, d2.dim) AS dim,
+        |              coalesce(w1.w, 0) + coalesce(d2.dw, 0) AS w
+        |       FROM w1 FULL JOIN d2 ON w1.dim = d2.dim),
+        |m3 AS (SELECT f.id, f.y, sum(coalesce(w2.w, 0) * f.wt) AS m
+        |       FROM f LEFT JOIN w2 USING (dim) GROUP BY 1, 2),
+        |d3 AS (SELECT dim, sum(y * wt) AS dw FROM f
+        |       WHERE id IN (SELECT id FROM m3 WHERE y * m <= 0) GROUP BY 1),
+        |w3 AS (SELECT coalesce(w2.dim, d3.dim) AS dim,
+        |              coalesce(w2.w, 0) + coalesce(d3.dw, 0) AS w
+        |       FROM w2 FULL JOIN d3 ON w2.dim = d3.dim)
+        |SELECT d.dim, CAST(coalesce(w3.w, 0) AS BIGINT) AS weight
+        |FROM (SELECT unnest(generate_series(0, 63)) AS dim) d
+        |LEFT JOIN w3 ON d.dim = w3.dim
+        |ORDER BY d.dim""".stripMargin,
 
     // Replays the rule card's integer cross-multiplied thresholds; the
     // only float is the 4-dp-rounded mean word length. DuckDB's // is

@@ -210,6 +210,45 @@ class TextAnalysisSpec extends SparkTestBase {
       nullRow.getInt(nullRow.fieldIndex("pass")) == 0)
   }
 
+  test("perceptron learns a separable concept to 100% training accuracy") {
+    import spark.implicits._
+    // Separable by construction: positive docs carry 'alphamark', negative
+    // docs 'betamark', over shared filler. Enough iterations to converge;
+    // dim large enough that a hash collision between the two markers is
+    // implausible (and deterministic if it ever happened).
+    val filler = "one two three four five six"
+    val docs = (1 to 30).map { i =>
+      if (i % 2 == 0) (i.toLong, s"$filler alphamark alphamark item$i", 1)
+      else (i.toLong, s"$filler betamark betamark item$i", -1)
+    }.toDF("doc_id", "text", "y")
+    val model = TextAnalysis.perceptronTrain(docs, "doc_id", "text", "y",
+      dim = 256, iterations = 10)
+    assert(model.count() == 256)
+    val scored = TextAnalysis.perceptronScore(docs, "doc_id", "text", model,
+        dim = 256)
+      .join(docs.select("doc_id", "y"), "doc_id")
+      .collect()
+    assert(scored.length == 30)
+    val wrong = scored.filter(r => r.getInt(r.fieldIndex("pred")) !=
+      r.getInt(r.fieldIndex("y")))
+    assert(wrong.isEmpty, s"misclassified after training: ${wrong.mkString(",")}")
+  }
+
+  test("perceptron training is repartition-invariant (bit-exact weights)") {
+    val d = spark.read.parquet(sfDir("0.001") + "/documents.parquet")
+      .withColumn("y", org.apache.spark.sql.functions.expr(
+        "CASE WHEN size(filter(split(coalesce(text, ''), ' '), x -> x != '')) >= 40 " +
+          "THEN 1 ELSE -1 END"))
+    def weights(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.perceptronTrain(df, "doc_id", "text", "y",
+          dim = 64, iterations = 3)
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val a = weights(d)
+    val b = weights(d.repartition(13))
+    assert(a == b)
+    assert(a.values.exists(_ != 0L), "training should move some weight")
+  }
+
   test("lmPerplexity is repartition-invariant on real docs") {
     import org.apache.spark.sql.functions.col
     val docs = spark.read.parquet(s"${sfDir("0.001")}/documents.parquet")
