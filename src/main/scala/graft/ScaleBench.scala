@@ -162,6 +162,19 @@ object ScaleBench {
           s.read.parquet(s"$d/documents.parquet"), "doc_id", "text",
           k = 3, window = 4, minShared = 2, maxDf = 50,
           family = graft.functions.HashFamily.Xx64))) :+
+      // full-batch perceptron training (production family): 3 iterations
+      // over the persisted feature frame — the curve must be ~3 cached
+      // scans with map-side combine, and the per-iteration driver traffic
+      // stays dim-sized no matter the corpus
+      ("q_t25_perceptron_scale" -> ((s: SparkSession, d: String) => {
+        val labeled = s.read.parquet(s"$d/documents.parquet")
+          .withColumn("y", expr(
+            "CASE WHEN size(filter(split(coalesce(text, ''), ' '), x -> x != '')) >= 40 " +
+              "THEN 1 ELSE -1 END"))
+        operators.TextAnalysis.perceptronTrain(labeled, "doc_id", "text", "y",
+          dim = 64, iterations = 3,
+          family = graft.functions.HashFamily.Xx64)
+      })) :+
       // margin alignment through SRP candidates (centered exact-key, the
       // q_v6 scale regime): base vectors vs their planted twins across
       // the replica id-space split; output = aligned twins, linear by
