@@ -645,7 +645,10 @@ object TextAnalysis {
     * margin = Σ_d w_d·x_d as an exact integer, pred = sign. The model
     * joins as a dim-keyed frame (AQE broadcasts anything dim-sized), so
     * the corpus pays one explode + one per-doc aggregation — the same
-    * shuffle-free-model posture as [[hashedLinearScore]].
+    * shuffle-free-model posture as [[hashedLinearScore]]. Docs with no
+    * tokens have no feature rows and produce NO output row (mirroring
+    * training, where they never vote); a pipeline that needs a verdict
+    * for them should left-join this result and default the prediction.
     */
   def perceptronScore(docs: DataFrame, idCol: String, textCol: String,
                       model: DataFrame, dim: Int = 64,

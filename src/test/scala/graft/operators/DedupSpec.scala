@@ -290,4 +290,15 @@ class DedupSpec extends SparkTestBase {
     assert(fpCounts(3L) == 0, s"sub-k doc should fingerprint empty: $fpCounts")
     assert(fpCounts(4L) == 1, s"short doc should keep its global min: $fpCounts")
   }
+
+  test("winnowing pairs are partition-invariant on real docs") {
+    val docs = spark.read.parquet(sfDir("0.001") + "/documents.parquet")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      Dedup.winnowingPairs(df, "doc_id", "text",
+          k = 3, window = 4, minShared = 1, maxDf = 50)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val a = pairs(docs)
+    val b = pairs(docs.repartition(17))
+    assert(a == b)
+  }
 }
