@@ -106,14 +106,13 @@ object ScaleBench {
     val d6BuildSec = (System.nanoTime() - tD6) / 1e9
     // Containment index over the synth documents table (threshold-free
     // stored frame; the indexed flagship below probes it at 0.6).
-    val d9key = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    val d9table = s"graft_sb_d9idx_$d9key"
+    val (d9table, d9path) =
+      operators.PipelineQueries.indexLocation("graft_sb_d9idx", dir, "v1")
     val tD9 = System.nanoTime()
     operators.Dedup.containmentIndexWrite(
       spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
       name = d9table, shingleSize = 3, buckets = 32,
-      externalPath = Some(s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_sb_d9idx/$d9key"))
+      externalPath = Some(d9path))
     val d9BuildSec = (System.nanoTime() - tD9) / 1e9
 
     val flagships: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(

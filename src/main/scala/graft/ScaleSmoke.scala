@@ -152,9 +152,20 @@ object ScaleSmoke {
     // pair count is non-trivial and both paths must agree exactly. The
     // index write pays the ranked-token shuffle once; the query path joins
     // exchange-free on the bucketed token table.
+    // Planted ids must clear the replica id space (doc_id + id * 1e7):
+    // a fixed offset collides once factor > offset/1e7, and a duplicated
+    // doc_id silently interleaves two documents' ranked tokens in BOTH
+    // paths — the direct-vs-indexed require would still pass on the
+    // identically-corrupted counts. Derive the offset from the corpus.
+    val plantedOffset = {
+      val maxId = shardedDocs.agg(max(col("doc_id"))).head.getLong(0)
+      // round up to the next 1e8 boundary so planted ids are visually
+      // distinct in any debug dump
+      ((maxId / 100000000L) + 1L) * 100000000L
+    }
     val contDocs = shardedDocs.unionByName(
         graft.operators.PipelineQueries.plantedFragments(shardedDocs,
-          offset = 700000000L))
+          offset = plantedOffset))
       .repartition(cores)
     val t5 = System.nanoTime()
     val contPairs = Dedup.containmentSimilarityJoin(contDocs, "doc_id", "text",

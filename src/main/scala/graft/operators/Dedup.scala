@@ -459,11 +459,14 @@ object Dedup {
     require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
     val props = spark.sql(s"SHOW TBLPROPERTIES ${name}_tokens")
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
-    val idCol = props("graft.containment.idcol")
+    // setformat check FIRST: on a non-containment table the idcol property
+    // is also absent, and a bare Map.apply there would throw an opaque
+    // NoSuchElementException before this diagnostic could fire.
     require(props.get("graft.containment.setformat").contains(SetFormat),
       s"index $name stores sets in format " +
         s"${props.getOrElse("graft.containment.setformat", "<unrecorded>")}; " +
         s"this build reads $SetFormat — rebuild with containmentIndexWrite")
+    val idCol = props("graft.containment.idcol")
     expectShingleSize.foreach { want =>
       val got = props.get("graft.containment.shinglesize")
       require(got.contains(want.toString),

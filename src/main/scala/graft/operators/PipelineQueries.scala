@@ -390,16 +390,25 @@ object PipelineQueries {
     lock.synchronized {
       cache.get(dir).filter(t => s.catalog.tableExists(s"${t}_tokens"))
         .getOrElse {
-          val key = java.security.MessageDigest.getInstance("MD5")
-            .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-          val table = s"${prefix}_${key}_$version"
-          val path =
-            s"${System.getProperty("java.io.tmpdir", "/tmp")}/$prefix/$key-$version"
+          val (table, path) = indexLocation(prefix, dir, version)
           build(table, path)
           cache(dir) = table
           table
         }
     }
+
+  /** THE (prefix, dataset dir, layout version) → (table name, external
+    * path) derivation — one definition shared by [[indexCached]] and the
+    * standalone mains (ScaleBench), so a layout bump that must move BOTH
+    * the table name and the on-disk path (the d6 v2 migration) lands once.
+    */
+  private[graft] def indexLocation(prefix: String, dir: String,
+                                   version: String): (String, String) = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    (s"${prefix}_${key}_$version",
+      s"${System.getProperty("java.io.tmpdir", "/tmp")}/$prefix/$key-$version")
+  }
 
   /** Bucket count sized to the corpus: ~200 docs of tokens per bucket
     * file — 32 buckets over a 500-doc test corpus is pure per-task

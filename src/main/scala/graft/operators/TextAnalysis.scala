@@ -81,9 +81,11 @@ object TextAnalysis {
     * filtering pipeline reviews and tunes per-rule.
     *
     * Rules: R1 word count in [minWords, maxWords]; R2 mean word length
-    * in [3, 10]; R3 hash/ellipsis symbol-to-word ratio <= 0.1; R4 >= 80%
-    * of words contain an alphabetic character; R5 >= 2 distinct English
-    * stopwords present (the [[stopwordProfiles]] "en" list).
+    * in [3, 10] (zero-word docs fail R2 — a vacuous cross-multiply would
+    * otherwise flag them 1 while mean_word_len reads 0.0); R3
+    * hash/ellipsis symbol-to-word ratio <= 0.1; R4 >= 80% of words
+    * contain an alphabetic character; R5 >= 2 distinct English stopwords
+    * present (the [[stopwordProfiles]] "en" list).
     *
     * Every threshold compares as an integer cross-multiplication
     * (3·n <= Σlen <= 10·n, 10·symbols <= n, 5·alpha >= 4·n) — no float
@@ -121,7 +123,10 @@ object TextAnalysis {
           |  AS mean_word_len""".stripMargin,
         "n_symbols", "n_alpha_words", "n_stopwords",
         s"CAST(n_words >= $minWords AND n_words <= $maxWords AS INT) AS r1_word_count",
-        "CAST(3 * n_words <= sum_word_len AND sum_word_len <= 10 * n_words AS INT) AS r2_word_len",
+        // n_words > 0 guard: 3*0 <= 0 <= 10*0 is vacuously true, which
+        // would stamp a zero-word doc r2 = 1 while its mean_word_len
+        // column reads 0.0 — outside the [3, 10] range the flag claims.
+        "CAST(n_words > 0 AND 3 * n_words <= sum_word_len AND sum_word_len <= 10 * n_words AS INT) AS r2_word_len",
         "CAST(10 * n_symbols <= n_words AS INT) AS r3_symbols",
         "CAST(5 * n_alpha_words >= 4 * n_words AS INT) AS r4_alpha",
         "CAST(n_stopwords >= 2 AS INT) AS r5_stopwords")

@@ -620,12 +620,14 @@ object TextQueries {
         |       CAST(n_alpha_words AS INT) AS n_alpha_words,
         |       CAST(n_stopwords AS INT) AS n_stopwords,
         |       CAST(n_words BETWEEN 50 AND 100000 AS INT) AS r1_word_count,
-        |       CAST(3 * n_words <= sum_word_len AND sum_word_len <= 10 * n_words AS INT)
+        |       CAST(n_words > 0
+        |            AND 3 * n_words <= sum_word_len AND sum_word_len <= 10 * n_words AS INT)
         |         AS r2_word_len,
         |       CAST(10 * n_symbols <= n_words AS INT) AS r3_symbols,
         |       CAST(5 * n_alpha_words >= 4 * n_words AS INT) AS r4_alpha,
         |       CAST(n_stopwords >= 2 AS INT) AS r5_stopwords,
         |       CAST(n_words BETWEEN 50 AND 100000
+        |            AND n_words > 0
         |            AND 3 * n_words <= sum_word_len AND sum_word_len <= 10 * n_words
         |            AND 10 * n_symbols <= n_words
         |            AND 5 * n_alpha_words >= 4 * n_words

@@ -208,6 +208,11 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(!nullRow.anyNull, s"null-text row has NULL fields: $nullRow")
     assert(nullRow.getInt(nullRow.fieldIndex("n_words")) == 0 &&
       nullRow.getInt(nullRow.fieldIndex("pass")) == 0)
+    // zero-word docs trip r2 explicitly (not just r1): the vacuous
+    // 3*0 <= 0 <= 10*0 cross-multiply must not stamp r2 = 1 on a row
+    // whose mean_word_len column reads 0.0
+    assert(nullRow.getInt(nullRow.fieldIndex("r2_word_len")) == 0,
+      s"zero-word doc should fail r2_word_len: $nullRow")
   }
 
   test("perceptron learns a separable concept to 100% training accuracy") {
