@@ -13,6 +13,18 @@ import org.apache.spark.sql.functions._
   * Usage: ScaleSmoke [sfDir] [replication]
   */
 object ScaleSmoke {
+
+  /** (count, order-independent checksum) of a pair frame: two paths that
+    * emit DIFFERENT pair sets of equal size must not pass the
+    * direct-vs-indexed receipt, so the require compares sum(xxhash64(id_a,
+    * id_b)) alongside the count (one agg, same pass as the count it
+    * replaces). Long overflow wraps identically on both sides.
+    */
+  private def pairSetReceipt(pairs: org.apache.spark.sql.DataFrame): (Long, Long) = {
+    val r = pairs.agg(count(lit(1)), sum(xxhash64(col("id_a"), col("id_b")))).head()
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factor = if (args.length > 1) args(1).toInt else 10
@@ -126,8 +138,9 @@ object ScaleSmoke {
           " ").as("text"))
       .repartition(cores)
     val t2 = System.nanoTime()
-    val ssjoinPairs = Dedup.jaccardSimilarityJoin(shardedDocs, "doc_id", "text",
-      shingleSize = 2, threshold = 0.7).count()
+    val ssjoinPairs = pairSetReceipt(
+      Dedup.jaccardSimilarityJoin(shardedDocs, "doc_id", "text",
+        shingleSize = 2, threshold = 0.7))
     val ssjoinSec = (System.nanoTime() - t2) / 1e9
 
     // Same join through the bucketed prefix-token index: the write pays the
@@ -139,11 +152,11 @@ object ScaleSmoke {
       buckets = cores, externalPath = Some(idxPath))
     val ssjoinIndexBuildSec = (System.nanoTime() - t3) / 1e9
     val t4 = System.nanoTime()
-    val idxPairs = Dedup.jaccardSimilarityJoinIndexed(spark, "graft_smoke_d6idx", 0.7)
-      .count()
+    val idxPairs = pairSetReceipt(
+      Dedup.jaccardSimilarityJoinIndexed(spark, "graft_smoke_d6idx", 0.7))
     val ssjoinIndexedSec = (System.nanoTime() - t4) / 1e9
     require(idxPairs == ssjoinPairs,
-      s"indexed similarity join diverged: $idxPairs vs $ssjoinPairs pairs")
+      s"indexed similarity join diverged: $idxPairs vs $ssjoinPairs (count, checksum)")
     spark.sql("DROP TABLE IF EXISTS graft_smoke_d6idx_tokens")
     spark.sql("DROP TABLE IF EXISTS graft_smoke_d6idx_sets")
 
@@ -168,8 +181,9 @@ object ScaleSmoke {
           offset = plantedOffset))
       .repartition(cores)
     val t5 = System.nanoTime()
-    val contPairs = Dedup.containmentSimilarityJoin(contDocs, "doc_id", "text",
-      shingleSize = 3, threshold = 0.6).count()
+    val contPairs = pairSetReceipt(
+      Dedup.containmentSimilarityJoin(contDocs, "doc_id", "text",
+        shingleSize = 3, threshold = 0.6))
     val contSec = (System.nanoTime() - t5) / 1e9
     val d9Path = java.nio.file.Files.createTempDirectory("graft-smoke-d9idx").toString
     val t6 = System.nanoTime()
@@ -178,11 +192,11 @@ object ScaleSmoke {
       externalPath = Some(d9Path))
     val contIndexBuildSec = (System.nanoTime() - t6) / 1e9
     val t7 = System.nanoTime()
-    val contIdxPairs = Dedup.containmentSimilarityJoinIndexed(
-      spark, "graft_smoke_d9idx", 0.6).count()
+    val contIdxPairs = pairSetReceipt(
+      Dedup.containmentSimilarityJoinIndexed(spark, "graft_smoke_d9idx", 0.6))
     val contIndexedSec = (System.nanoTime() - t7) / 1e9
     require(contIdxPairs == contPairs,
-      s"indexed containment join diverged: $contIdxPairs vs $contPairs pairs")
+      s"indexed containment join diverged: $contIdxPairs vs $contPairs (count, checksum)")
     spark.sql("DROP TABLE IF EXISTS graft_smoke_d9idx_tokens")
     spark.sql("DROP TABLE IF EXISTS graft_smoke_d9idx_sets")
 
@@ -266,10 +280,12 @@ object ScaleSmoke {
       s""""kernel_skew_plain_sec":$skewPlainSec,"kernel_skew_split_sec":$skewSplitSec,""" +
       s""""kernel_split_speedup":${skewPlainSec / skewSplitSec},""" +
       s""""dedup_docs":${docs.count() * factor},"dedup_pairs":$pairs,"dedup_sec":$dedupSec,""" +
-      s""""ssjoin_pairs":$ssjoinPairs,"ssjoin_sec":$ssjoinSec,""" +
+      s""""ssjoin_pairs":${ssjoinPairs._1},"ssjoin_checksum":${ssjoinPairs._2},""" +
+      s""""ssjoin_sec":$ssjoinSec,""" +
       s""""ssjoin_index_build_sec":$ssjoinIndexBuildSec,""" +
       s""""ssjoin_indexed_sec":$ssjoinIndexedSec,""" +
-      s""""containment_pairs":$contPairs,"containment_sec":$contSec,""" +
+      s""""containment_pairs":${contPairs._1},"containment_checksum":${contPairs._2},""" +
+      s""""containment_sec":$contSec,""" +
       s""""containment_index_build_sec":$contIndexBuildSec,""" +
       s""""containment_indexed_sec":$contIndexedSec,""" +
       s""""skew_plain_sec":$plainSec,"skew_salted_sec":$saltedSec,""" +

@@ -24,7 +24,8 @@ object SparkEntry {
       DedupQueries.queries ++
       JoinQueries.queries ++
       KernelQueries.queries ++
-      PipelineQueries.queries
+      PipelineQueries.queries ++
+      UrlQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -37,5 +38,6 @@ object SparkEntry {
       DedupQueries.oracles ++
       JoinQueries.oracles ++
       KernelQueries.oracles ++
-      PipelineQueries.oracles
+      PipelineQueries.oracles ++
+      UrlQueries.oracles
 }

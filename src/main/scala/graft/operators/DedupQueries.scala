@@ -325,7 +325,11 @@ object DedupQueries {
       val key = java.security.MessageDigest.getInstance("MD5")
         .digest((dir +: entries).mkString("|").getBytes("UTF-8"))
         .map("%02x".format(_)).mkString
-      val path = s"/tmp/graft_ivf/$key-nlist$nlist-v1"
+      // v2: centroids moved from an in-root `_centroids` sidecar to the
+      // sibling `<path>__centroids` dir (keeps "All paths were ignored"
+      // WARNs out of every read); v1 dirs have the old layout and must
+      // not be reused
+      val path = s"/tmp/graft_ivf/$key-nlist$nlist-v2"
       val marker = new java.io.File(s"$path/_graft_index_ready")
       if (!marker.exists()) {
         SimilaritySearch.ivfWrite(

@@ -388,7 +388,11 @@ object PipelineQueries {
                           prefix: String, version: String)
                          (build: (String, String) => Unit): String =
     lock.synchronized {
-      cache.get(dir).filter(t => s.catalog.tableExists(s"${t}_tokens"))
+      // a hit must have BOTH halves of the index: an interrupted build or
+      // external drop can leave `_tokens` without `_sets`, and handing that
+      // name back fails later with an opaque table-not-found
+      cache.get(dir).filter(t => s.catalog.tableExists(s"${t}_tokens") &&
+          s.catalog.tableExists(s"${t}_sets"))
         .getOrElse {
           val (table, path) = indexLocation(prefix, dir, version)
           build(table, path)

@@ -327,8 +327,11 @@ object SimilaritySearch {
     * index prunes to the nprobe probed lists AT THE SCAN — directories for
     * unprobed lists are never listed or opened. That directory-level prune
     * is the on-disk payoff of IVF at 100 TB (LSH keys, being per-row,
-    * cannot prune this way). Centroids ride along in a `_centroids`
-    * sidecar: underscore-prefixed paths are invisible to the table scan.
+    * cannot prune this way). Centroids live in a SIBLING `<path>__centroids`
+    * directory, OUTSIDE the data root: an underscore-prefixed sidecar
+    * inside the root is invisible to the table scan but still gets listed
+    * (and warned about — "All paths were ignored") on every read; a
+    * sibling never enters the data listing at all.
     */
   def ivfWrite(index: IvfIndex, path: String): Unit = {
     graft.sources.LakeLayout.writePartitioned(
@@ -337,11 +340,11 @@ object SimilaritySearch {
     import spark.implicits._
     index.centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("list_id", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/_centroids")
+      .coalesce(1).write.mode("overwrite").parquet(s"${path}__centroids")
   }
 
   def ivfRead(spark: SparkSession, path: String): IvfIndex = {
-    val centroids = spark.read.parquet(s"$path/_centroids")
+    val centroids = spark.read.parquet(s"${path}__centroids")
       .orderBy("list_id").collect()
       .map(_.getSeq[Double](1).toArray)
     IvfIndex(spark.read.parquet(path), centroids)

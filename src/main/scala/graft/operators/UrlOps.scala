@@ -1,0 +1,160 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL-layer curation: canonicalization, URL-exact dedup keys, and
+  * registered-domain extraction — the stage every web-scale corpus
+  * pipeline (CCNet / C4 / RefinedWeb shape) leads with, because raw crawl
+  * URLs for ONE page arrive in dozens of spellings (scheme/host case,
+  * default ports, userinfo, fragments, tracking params, param order,
+  * %-escape hex case) and domain-level stats/caps need a stable
+  * "who published this" key.
+  *
+  * Everything here is a ROW-LOCAL string-expression pipeline over Spark's
+  * built-in codegen'd functions (split / transform / filter / array_sort /
+  * regexp) — no UDFs, no shuffle, no driver round-trips — so
+  * canonicalization runs at scan speed on 100 TB and every step is
+  * replayable as plain SQL by any engine (the DuckDB oracles replay it
+  * verbatim). Normalizations applied, in order:
+  *
+  *   1. trim; strip the `#fragment` (never sent to servers);
+  *   2. lowercase the scheme; strip `user:pw@` userinfo;
+  *   3. lowercase the host; strip one leading `www.`; strip the port when
+  *      it is the scheme default (http:80 / https:443);
+  *   4. uppercase the hex of `%xx` escapes (RFC 3986 §6.2.2.1) in path and
+  *      query — non-hex chunks after `%` are left untouched;
+  *   5. strip one trailing `/` from the path (`/a/` ≡ `/a`; bare `/` → ``);
+  *   6. drop tracking params (explicit list + `utm_*`), drop empty params,
+  *      and SORT the survivors — param order never changes server routing,
+  *      and sorting makes `?a=1&b=2` ≡ `?b=2&a=1`.
+  *
+  * Deliberate non-goals, documented so the contract is explicit: no
+  * punycode (an IDN host must arrive already `xn--`-encoded — it is then
+  * lowercased and deduped correctly; real punycode needs a Unicode table,
+  * not a string expression), no %-DEcoding (decoding changes which
+  * characters are delimiters; hex-case folding alone is always safe), no
+  * path `.`/`..` resolution (crawlers emit resolved paths), and
+  * `http`/`https` stay distinct schemes (collapse them upstream if a
+  * pipeline wants scheme-blind dedup).
+  *
+  * Reference surface: the candy pipeline has no URL layer (its sources are
+  * JSON/CSV/JDBC, `reference/src/data_processor.py:1-120`) — this family
+  * is part of the training-data extensions the engine adds on top.
+  */
+object UrlOps {
+
+  /** Query parameters that never affect content: ad-click and social
+    * tracking ids. `utm_*` is matched as a prefix family separately.
+    */
+  val TrackingParams: Seq[String] =
+    Seq("gclid", "fbclid", "msclkid", "mc_eid", "igshid", "yclid", "ref", "ref_src")
+
+  /** Multi-label public suffixes under which the registered domain is the
+    * LAST THREE host labels, not two. An explicit list (the curated-subset
+    * approach C4/CCNet-style pipelines take), not the full Mozilla PSL —
+    * the list is data, extend it per corpus.
+    */
+  val MultiLevelSuffixes: Seq[String] =
+    Seq("co.uk", "org.uk", "ac.uk", "gov.uk", "co.jp", "co.in", "co.nz",
+      "co.kr", "com.au", "com.br", "com.cn", "com.mx", "github.io")
+
+  /** Uppercase the two hex chars of every `%xx` escape; chunks after `%`
+    * that do not start with two hex chars (malformed escapes) pass through
+    * unchanged. split keeps trailing empties in both Spark and DuckDB, so
+    * join(split(s)) round-trips exactly.
+    */
+  private[operators] def pctHexUpper(c: Column): Column =
+    array_join(
+      transform(split(c, "%", -1), (x, i) =>
+        when(i === 0, x)
+          .when(x.rlike("^[0-9a-fA-F]{2}"),
+            concat(upper(x.substr(lit(1), lit(2))),
+              x.substr(lit(3), greatest(length(x) - 2, lit(0)))))
+          .otherwise(x)),
+      "%")
+
+  /** Canonical form of an absolute `scheme://...` URL (see object doc for
+    * the normalization list). Input without `://` is returned trimmed and
+    * fragment-stripped only — a relative reference has no authority to
+    * normalize, and guessing one would corrupt non-URL strings.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val u = substring_index(trim(url), "#", 1)
+    val scheme = lower(substring_index(u, "://", 1))
+    val rest = u.substr(instr(u, "://") + 3, lit(Int.MaxValue))
+    val auth0 = regexp_extract(rest, "^[^/?]*", 0)
+    val pathq = rest.substr(length(auth0) + 1, lit(Int.MaxValue))
+    val auth = regexp_extract(auth0, "[^@]*$", 0) // strip userinfo
+    val host = regexp_replace(lower(substring_index(auth, ":", 1)), "^www\\.", "")
+    val port = when(instr(auth, ":") > 0, substring_index(auth, ":", -1)).otherwise(lit(""))
+    val portPart = when(
+      port === "" || (scheme === "http" && port === "80") ||
+        (scheme === "https" && port === "443"),
+      lit("")).otherwise(concat(lit(":"), port))
+    val path = regexp_replace(pctHexUpper(substring_index(pathq, "?", 1)), "/$", "")
+    val query = when(instr(pathq, "?") > 0,
+      pctHexUpper(pathq.substr(instr(pathq, "?") + 1, lit(Int.MaxValue)))).otherwise(lit(""))
+    val keptParams = array_sort(filter(split(query, "&", -1), p =>
+      p =!= "" && !substring_index(p, "=", 1).rlike("^utm_") &&
+        !substring_index(p, "=", 1).isin(TrackingParams: _*)))
+    val queryPart = when(size(keptParams) > 0,
+      concat(lit("?"), array_join(keptParams, "&"))).otherwise(lit(""))
+    when(instr(u, "://") > 0,
+      concat(scheme, lit("://"), host, portPart, path, queryPart))
+      .otherwise(u)
+  }
+
+  /** Host of a CANONICAL URL (apply [[canonicalizeUrl]] first — this does
+    * not re-strip userinfo/case).
+    */
+  def hostOf(canonicalUrl: Column): Column =
+    substring_index(substring_index(
+      substring_index(canonicalUrl, "://", -1), "/", 1), ":", 1)
+
+  /** Registered (pay-level) domain of a lowercase host: last two labels,
+    * or last three when the two-label suffix is in [[MultiLevelSuffixes]]
+    * (`news.bbc.co.uk` → `bbc.co.uk`, `a.b.example.com` → `example.com`).
+    * Hosts with fewer labels than that (bare TLDs, `localhost`) pass
+    * through whole. IP literals are returned whole as well — dots in an
+    * IPv4 are not label separators semantically, and slicing them would
+    * merge unrelated hosts (`10.0.0.1` and `20.0.0.1` both → `0.1`).
+    */
+  def registeredDomain(host: Column): Column = {
+    val labels = split(host, "\\.", -1)
+    val n = size(labels)
+    val suffix2 = concat_ws(".", slice(labels, -2, 2))
+    when(host.rlike("^[0-9.]+$"), host) // IPv4 literal
+      .when(n >= 3 && suffix2.isin(MultiLevelSuffixes: _*),
+        concat_ws(".", slice(labels, -3, 3)))
+      .when(n >= 2, suffix2)
+      .otherwise(host)
+  }
+
+  /** URL-exact dedup: group on the canonical key, keep the smallest id per
+    * page (first-crawled under monotone ids — any deterministic best-first
+    * rule slots in via a different agg). ONE shuffle on the canonical key;
+    * at 100 TB this is the cheapest dedup stage a pipeline has, which is
+    * why it runs first, before any content hashing.
+    */
+  def urlDedup(df: DataFrame, urlCol: String, idCol: String): DataFrame =
+    df.withColumn("canonical_url", canonicalizeUrl(col(urlCol)))
+      .groupBy("canonical_url")
+      .agg(count(lit(1)).as("n_variants"), min(col(idCol)).as("keeper_" + idCol))
+
+  /** Per-registered-domain mass profile of a corpus: doc count, token
+    * mass, and exact integer parts-per-million doc share. One group-key
+    * shuffle plus a broadcast of the 1-row total — the table a pipeline
+    * reads before deciding domain caps and mixing weights.
+    */
+  def domainStats(df: DataFrame, urlCol: String, tokensCol: String): DataFrame = {
+    val perDomain = df
+      .withColumn("domain", registeredDomain(hostOf(canonicalizeUrl(col(urlCol)))))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"), sum(col(tokensCol)).as("n_tokens"))
+    perDomain
+      .crossJoin(broadcast(perDomain.select(sum("n_docs").as("_total"))))
+      .withColumn("doc_share_ppm", expr("(n_docs * 1000000) div _total"))
+      .drop("_total")
+  }
+}

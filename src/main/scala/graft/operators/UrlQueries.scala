@@ -1,0 +1,166 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-facing queries for the URL/domain curation layer ([[UrlOps]]).
+  *
+  * The documents table has no URL column, so each query PLANTS one
+  * deterministically (the q_d9/q_v16 in-query planting discipline): page
+  * id `g = doc_id div 3` and variant `v = doc_id % 3` construct three
+  * messy spellings of the same page URL — scheme/host case, `www.`,
+  * default `:443` port, userinfo, a `#fragment`, `%2f` vs `%2F`, a
+  * trailing slash, shuffled param order, and `utm_`/`gclid` tracking
+  * params. Every messiness axis the canonicalizer claims to fold is
+  * exercised by construction.
+  *
+  * The oracles do NOT replay the canonicalizer: because the planting is
+  * synthetic, the canonical form is known ANALYTICALLY
+  * (`https://<host>/a/x%2Fy/item-g?a=1&b=2&id=g`), so DuckDB derives
+  * ground truth directly from `g` — a bug shared by the Spark
+  * canonicalizer and a replayed oracle copy cannot slip through, the
+  * Spark side must actually fold all three variants to byte-identical
+  * keys to match.
+  */
+object UrlQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  private val tokensSql = "filter(split(text, ' '), x -> x != '')"
+  private val duckTokens = "list_filter(string_split(text, ' '), x -> x != '')"
+  private val mixSeed = "graft-url-mix-11"
+  private val mixTarget = 300L
+
+  /** The five planted hosts (indexed by `g % 5`) and, aligned by index,
+    * their registered domains — `shop.example.com` collapses into
+    * `example.com`, and `news.example.co.uk` keeps three labels via the
+    * multi-level-suffix list.
+    */
+  private[graft] val hosts = Seq("example.com", "news.example.co.uk",
+    "blog.example.org", "shop.example.com", "docs.example.io")
+  private[graft] val hostDomains = Seq("example.com", "example.co.uk",
+    "example.org", "example.com", "example.io")
+
+  /** Messy planted URL per doc (see object doc). All variants share the
+    * canonical form; none is spelled canonically.
+    */
+  private[graft] def withMessyUrl(d: DataFrame): DataFrame = {
+    val g = expr("doc_id div 3")
+    val v = expr("doc_id % 3")
+    val domain = element_at(array(hosts.map(lit): _*), (pmod(g, lit(5)) + 1).cast("int"))
+    val gs = g.cast("string")
+    val path = concat(lit("/a/x%2"), when(v === 1, lit("F")).otherwise(lit("f")),
+      lit("y/item-"), gs)
+    val url = when(v === 0,
+        concat(lit("https://"), domain, path, lit("?id="), gs, lit("&utm_source=feed&b=2&a=1")))
+      .when(v === 1,
+        concat(lit("HTTPS://WWW."), upper(domain), lit(":443"), path,
+          lit("?a=1&b=2&id="), gs, lit("#frag")))
+      .otherwise(
+        concat(lit("https://user:pw@"), domain, path, lit("/?b=2&a=1&id="), gs,
+          lit("&gclid=abc123")))
+    d.withColumn("url", url)
+  }
+
+  /** DuckDB twin of [[withMessyUrl]]'s page-id/domain derivation. */
+  private def duckPages(domains: Seq[String]) = {
+    val arr = domains.map(h => s"'$h'").mkString("[", ", ", "]")
+    s"""SELECT doc_id, text, n_chars, doc_id // 3 AS g,
+       |       ($arr)[CAST((doc_id // 3) % 5 AS INTEGER) + 1] AS domain
+       |FROM documents""".stripMargin
+  }
+
+  private val duckCanonical =
+    "'https://' || domain || '/a/x%2Fy/item-' || g || '?a=1&b=2&id=' || g"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // URL canonicalization + URL-exact dedup: the three messy spellings of
+    // each page must fold to ONE canonical key (count 3), keeper = min id.
+    "q_u1_url_canonical_dedup" -> ((s, dir) =>
+      UrlOps.urlDedup(withMessyUrl(docs(s, dir)), "url", "doc_id")
+        .orderBy("canonical_url")),
+
+    // Registered-domain mass profile: canonical host -> pay-level domain
+    // (multi-level suffixes respected), per-domain doc count, token mass,
+    // and exact integer ppm doc share.
+    "q_u2_domain_stats" -> ((s, dir) =>
+      UrlOps.domainStats(
+          withMessyUrl(docs(s, dir))
+            .withColumn("n_tokens", expr(s"CAST(size($tokensSql) AS BIGINT)")),
+          "url", "n_tokens")
+        .orderBy("domain")),
+
+    // Domain capping: at most 100 docs per registered domain, longest
+    // first (the "no single site dominates" guard) — capPerGroup's
+    // one-shuffle window rank, grouped here on the derived domain.
+    "q_u3_domain_cap" -> ((s, dir) =>
+      Pipeline.capPerGroup(
+          withMessyUrl(docs(s, dir))
+            .withColumn("domain",
+              UrlOps.registeredDomain(UrlOps.hostOf(UrlOps.canonicalizeUrl(col("url"))))),
+          "domain", Seq(col("n_chars").desc, col("doc_id")), 100)
+        .select("domain", "doc_id", "n_chars")
+        .orderBy("domain", "doc_id")),
+
+    // Domain-aware mixing (DoReMi-lite / CCNet shape): temperature-mix at
+    // alpha = 0.5 over the REGISTERED DOMAIN — caps derived from per-domain
+    // counts (∝ sqrt(c): upsamples rare domains vs proportional), exact
+    // scaled-long cap arithmetic, seeded-md5 selection order. The
+    // composition receipt for UrlOps ∘ temperatureMix.
+    "q_sp13_domain_mix" -> ((s, dir) =>
+      Pipeline.temperatureMix(
+          withMessyUrl(docs(s, dir))
+            .withColumn("domain",
+              UrlOps.registeredDomain(UrlOps.hostOf(UrlOps.canonicalizeUrl(col("url"))))),
+          "domain", "doc_id", totalTarget = mixTarget, alpha = 0.5, seed = mixSeed)
+        .select("domain", "sample_rank", "doc_id")
+        .orderBy("domain", "sample_rank"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_u1_url_canonical_dedup" ->
+      s"""WITH pages AS (${duckPages(hosts)})
+         |SELECT $duckCanonical AS canonical_url,
+         |       count(*) AS n_variants,
+         |       min(doc_id) AS keeper_doc_id
+         |FROM pages GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_u2_domain_stats" ->
+      s"""WITH pages AS (${duckPages(hostDomains)}),
+         |per AS (
+         |  SELECT domain, count(*) AS n_docs,
+         |         CAST(sum(len($duckTokens)) AS BIGINT) AS n_tokens
+         |  FROM pages GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM per)
+         |SELECT domain, n_docs, n_tokens,
+         |       (n_docs * 1000000) // total AS doc_share_ppm
+         |FROM per, tot ORDER BY domain""".stripMargin,
+
+    "q_u3_domain_cap" ->
+      s"""WITH pages AS (${duckPages(hostDomains)})
+         |SELECT domain, doc_id, n_chars FROM (
+         |  SELECT domain, doc_id, n_chars,
+         |         row_number() OVER (PARTITION BY domain
+         |                            ORDER BY n_chars DESC, doc_id) AS rk
+         |  FROM pages)
+         |WHERE rk <= 100 ORDER BY domain, doc_id""".stripMargin,
+
+    "q_sp13_domain_mix" ->
+      s"""WITH pages AS (${duckPages(hostDomains)}),
+         |c AS (SELECT domain, count(*) AS c FROM pages GROUP BY 1),
+         |w AS (SELECT domain, CAST(round(sqrt(CAST(c AS DOUBLE)) * 1e6) AS BIGINT) AS w6 FROM c),
+         |tot AS (SELECT sum(w6) AS tw6 FROM w),
+         |caps AS (SELECT domain, ($mixTarget * w6) // tw6 AS cap FROM w, tot),
+         |ranked AS (
+         |  SELECT p.domain, p.doc_id, caps.cap,
+         |         CAST(row_number() OVER (
+         |           PARTITION BY p.domain
+         |           ORDER BY md5('$mixSeed:' || CAST(p.doc_id AS VARCHAR)),
+         |                    p.doc_id) AS INTEGER) AS sample_rank
+         |  FROM pages p JOIN caps ON p.domain = caps.domain)
+         |SELECT domain, sample_rank, doc_id
+         |FROM ranked WHERE sample_rank <= cap
+         |ORDER BY domain, sample_rank""".stripMargin
+  )
+}

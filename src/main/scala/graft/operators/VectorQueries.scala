@@ -187,7 +187,14 @@ object VectorQueries {
     // below it). thresholdBounded pins the scoring to exactly the
     // >= 0.85 pair set, so the oracle replays the twins, the brute pair
     // set at the floor, and the same margin arithmetic — a recall miss in
-    // the SRP retrieval drops a row and fails the driver hash.
+    // the SRP retrieval drops a row and fails the driver hash. The tables
+    // are therefore sized so a miss is effectively impossible, not merely
+    // rare: targetRecall=0.999999 AT THE 0.85 FLOOR puts the per-pair miss
+    // at the weakest PLANTED cosine (~0.88) near 2e-8 ((1-p^bits)^tables,
+    // p = 1 - acos(c)/pi), i.e. ~1e-5 per full run over the ~1000 planted
+    // pairs — one expected driver-hash flake in ~10^5 runs, vs ~3e-3/run
+    // at the former 0.9999 sizing. Cost is ~1.5x tables (60 -> 90 at
+    // bits=10), paid only by this query's candidate volume.
     "q_v16_margin_align_lsh" -> ((s, dir) => {
       val base = emb(s, dir).select("vec_id", "embedding")
       def twin(tag: Long, amp: String) = base.select(
@@ -198,7 +205,7 @@ object VectorQueries {
       val right = twin(100000L, "0.015D").unionByName(twin(200000L, "0.030D"))
         .localCheckpoint()
       SimilaritySearch.marginAlignmentLsh(base, right, "vec_id", "embedding",
-          k = 4, minCosine = 0.85, targetRecall = 0.9999,
+          k = 4, minCosine = 0.85, targetRecall = 0.999999,
           thresholdBounded = true)
         .orderBy("x_id")
     })
