@@ -718,4 +718,64 @@ object TextAnalysis {
       .select(col("slice"), col("tot").as("n_tokens"),
         col("n_terms").as("n_terms_seen"), col("kl_vs_base"))
   }
+
+  /** Tags that end one candidate text block and start the next. `br` is
+    * included: consecutive inline text separated by explicit breaks is
+    * scored per line, the way nav link lists actually render.
+    */
+  private val BlockTagRe =
+    "(?i)</?(?:p|div|li|h[1-6]|br|section|article|header|footer|nav|td|ul|ol|table|blockquote)[^>]*>"
+
+  /** Whitespace class spelled explicitly because Java's `\s` and RE2's
+    * `\s` disagree on vertical tab — the oracle replays this regex in
+    * DuckDB (RE2) and must collapse exactly the same characters.
+    */
+  private val WsRe = "[ \\t\\n\\r\\f]+"
+
+  private def stripMarkup(c: Column): Column =
+    trim(regexp_replace(regexp_replace(c, "<[^>]*>", " "), WsRe, " "))
+
+  /** Main-text extraction from raw HTML (the pre-tokenization stage of a
+    * web-corpus pipeline): drop script/style/comments, split on
+    * block-level tags, score each block by LINK DENSITY — the
+    * trafilatura/Arc90-family heuristic that separates prose from
+    * boilerplate, because nav bars and footers are mostly anchor text
+    * while article bodies are mostly not — and keep blocks with at least
+    * `minChars` of text whose anchor-text share is at most `maxLinkPct`.
+    *
+    * Entirely row-local codegen'd regexp/array expressions — no UDF, no
+    * shuffle, runs at scan speed — and every regex is RE2-compatible (no
+    * backreferences: script and style are stripped by separate patterns),
+    * so any engine replays it byte-for-byte. Integer-only scoring
+    * (`link_chars * 100 <= text_chars * maxLinkPct`): no float rounding
+    * to drift across engines. The `<`-inside-script hazard is handled by
+    * stripping script bodies BEFORE the generic tag strip — a naive
+    * one-pass tag strip would truncate `if (a < 2)` mid-expression.
+    *
+    * Returns one row per input doc: the candidate block count (nonempty
+    * text after markup strip), kept count, and the extracted text (kept
+    * blocks joined in document order).
+    */
+  def extractMainText(docs: DataFrame, idCol: String, htmlCol: String,
+                      minChars: Int = 25, maxLinkPct: Int = 30): DataFrame = {
+    val clean = regexp_replace(
+      regexp_replace(
+        regexp_replace(col(htmlCol), "(?is)<script[^>]*>.*?</script>", " "),
+        "(?is)<style[^>]*>.*?</style>", " "),
+      "(?s)<!--.*?-->", " ")
+    val blocks = filter(
+      transform(split(clean, BlockTagRe, -1), b => struct(
+        stripMarkup(b).as("txt"),
+        length(stripMarkup(
+          array_join(regexp_extract_all(b, lit("(?is)<a[^>]*>(.*?)</a>"), lit(1)),
+            " "))).as("llen"))),
+      s => s.getField("txt") =!= "")
+    val kept = filter(blocks, s =>
+      length(s.getField("txt")) >= minChars &&
+        s.getField("llen") * 100 <= length(s.getField("txt")) * maxLinkPct)
+    docs.select(col(idCol),
+      size(blocks).as("n_blocks"),
+      size(kept).as("n_kept"),
+      array_join(transform(kept, _.getField("txt")), " ").as("extracted"))
+  }
 }

@@ -18,6 +18,33 @@ object TextQueries {
   /** Whitespace tokens with empties dropped, as a SQL expression string. */
   private val wordsExpr = "filter(split(text, ' '), x -> x != '')"
 
+  // q_t26's page skeleton, shared verbatim by the Spark planting and the
+  // DuckDB oracle (the two halves of the head sandwich the doc_id)
+  private val htmlHeadA = "<html><head><title>Doc "
+  private val htmlHeadB = "</title><style>p{margin:0}</style>" +
+    "<script>var a=1;if(a<2){a=3;}</script></head><body>"
+  private val htmlNav = "<div class=\"nav\"><a href=\"/\">Home</a> " +
+    "<a href=\"/about\">About</a> <a href=\"/contact\">Contact</a></div>"
+  private val htmlAd = "<div class=\"ad\"><a href=\"/buy\">Buy now</a></div>"
+  private val htmlRel = "<div>Related reading: <a href=\"/more\">read more</a> " +
+    "about these topics in much greater depth</div>"
+  private val htmlFoot = "<footer><a href=\"/tos\">Terms</a> | " +
+    "<a href=\"/privacy\">Privacy</a></footer></body></html>"
+
+  /** Wrap each doc's text in the deterministic page skeleton (variant by
+    * doc_id % 3: plain / +ad block / +mixed prose-and-link block).
+    */
+  private[graft] def withPlantedHtml(d: DataFrame): DataFrame = {
+    val v = expr("doc_id % 3")
+    d.withColumn("html", concat(
+      lit(htmlHeadA), col("doc_id").cast("string"), lit(htmlHeadB),
+      lit(htmlNav),
+      when(v === 1, lit(htmlAd)).otherwise(lit("")),
+      lit("<p>"), coalesce(col("text"), lit("")), lit("</p>"),
+      when(v === 2, lit(htmlRel)).otherwise(lit("")),
+      lit(htmlFoot)))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // P1 analogue — explode tokens, global frequency top-100.
     "q_t0_word_freq" -> ((s, dir) =>
@@ -122,6 +149,22 @@ object TextQueries {
     "q_t24_gopher_rules" -> ((s, dir) =>
       TextAnalysis.gopherRuleCard(docs(s, dir), "doc_id", "text",
           minWords = 50, maxWords = 100000)
+        .orderBy("doc_id")),
+
+    // HTML boilerplate extraction (trafilatura/Arc90 shape): raw web text
+    // arrives as markup; each doc is wrapped IN-QUERY in a deterministic
+    // page skeleton — head/title, style + script (with a '<' inside the
+    // script body), link-only nav and footer, per-variant ad / mixed
+    // "related reading" blocks — and extractMainText must strip
+    // script/style, split on block tags, and keep exactly the blocks with
+    // >= 25 chars of text at <= 30% link density. The oracle replays the
+    // planting and the strip/density arithmetic in DuckDB byte-for-byte.
+    "q_t26_html_extract" -> ((s, dir) =>
+      TextAnalysis.extractMainText(withPlantedHtml(docs(s, dir)),
+          "doc_id", "html", minChars = 25, maxLinkPct = 30)
+        .select(col("doc_id"), col("n_blocks"), col("n_kept"),
+          length(col("extracted")).cast("long").as("extracted_chars"),
+          substring(col("extracted"), 1, 80).as("preview"))
         .orderBy("doc_id")),
 
     // A14 — heavy hitters: vocabulary words covering >= 1% of all token
@@ -590,6 +633,55 @@ object TextQueries {
     // Replays the rule card's integer cross-multiplied thresholds; the
     // only float is the 4-dp-rounded mean word length. DuckDB's // is
     // Spark's div (exact here: the '...' diff is a multiple of 3);
+    // Replays the q_t26 page planting and the whole extraction pipeline —
+    // script/style/comment strip, block-tag split, per-block tag strip +
+    // whitespace collapse (explicit char class: Java \s and RE2 \s
+    // disagree on \x0B), anchor-text length, and the integer link-density
+    // keep rule — so a drift in ANY regex or in the density arithmetic
+    // fails the hash.
+    "q_t26_html_extract" ->
+      s"""WITH planted AS (
+         |  SELECT doc_id,
+         |         '$htmlHeadA' || doc_id || '$htmlHeadB' || '$htmlNav'
+         |         || CASE WHEN doc_id % 3 = 1 THEN '$htmlAd' ELSE '' END
+         |         || '<p>' || coalesce(text, '') || '</p>'
+         |         || CASE WHEN doc_id % 3 = 2 THEN '$htmlRel' ELSE '' END
+         |         || '$htmlFoot' AS html
+         |  FROM documents),
+         |cleaned AS (
+         |  SELECT doc_id,
+         |         regexp_replace(regexp_replace(regexp_replace(html,
+         |           '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+         |           '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+         |           '(?s)<!--.*?-->', ' ', 'g') AS clean
+         |  FROM planted),
+         |blocks AS (
+         |  SELECT doc_id,
+         |         list_filter(list_transform(
+         |           string_split_regex(clean,
+         |             '(?i)</?(?:p|div|li|h[1-6]|br|section|article|header|footer|nav|td|ul|ol|table|blockquote)[^>]*>'),
+         |           b -> {'txt': trim(regexp_replace(regexp_replace(b,
+         |                    '<[^>]*>', ' ', 'g'), '[ \\t\\n\\r\\f]+', ' ', 'g')),
+         |                 'llen': len(trim(regexp_replace(regexp_replace(
+         |                    coalesce(array_to_string(regexp_extract_all(b,
+         |                      '(?is)<a[^>]*>(.*?)</a>', 1), ' '), ''),
+         |                    '<[^>]*>', ' ', 'g'), '[ \\t\\n\\r\\f]+', ' ', 'g')))}),
+         |           s -> s.txt != '') AS bl
+         |  FROM cleaned),
+         |scored AS (
+         |  SELECT doc_id, bl,
+         |         list_filter(bl, s -> len(s.txt) >= 25
+         |                              AND s.llen * 100 <= len(s.txt) * 30) AS kept
+         |  FROM blocks)
+         |SELECT doc_id,
+         |       CAST(len(bl) AS INTEGER) AS n_blocks,
+         |       CAST(len(kept) AS INTEGER) AS n_kept,
+         |       CAST(len(coalesce(array_to_string(list_transform(kept, s -> s.txt),
+         |         ' '), '')) AS BIGINT) AS extracted_chars,
+         |       substr(coalesce(array_to_string(list_transform(kept, s -> s.txt),
+         |         ' '), ''), 1, 80) AS preview
+         |FROM scored ORDER BY doc_id""".stripMargin,
+
     // list_sum on an empty list is NULL where Spark's aggregate returns
     // its 0 seed, hence the coalesce.
     "q_t24_gopher_rules" ->
