@@ -8,8 +8,13 @@ import org.apache.spark.sql.functions._
   * a per-stage survivor report:
   *
   *   raw docs
-  *     → quality gate        (row-local: token count, lexical diversity,
-  *                            repetition, char entropy — one scan)
+  *     → quality gate        (row-local, one scan; either the scalar
+  *                            heuristics or — with [[Curation.GopherConfig]] —
+  *                            the auditable Gopher rule card, which adds
+  *                            per-rule drop counts to the report)
+  *     → classifier gate     (optional: hashed-linear margin threshold,
+  *                            model-as-plan-literal inference riding the
+  *                            scan — [[Curation.ClassifierConfig]])
   *     → decontamination     (optional: drop docs sharing k-grams with a
   *                            broadcast benchmark set — corpus never
   *                            shuffles here)
@@ -40,16 +45,22 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
-  /** Per-stage survivor counts and the packed-corpus totals. The two
-    * optional stages report -1 when disabled so a dataset card can tell
-    * "stage off" from "stage dropped nothing".
+  /** Per-stage survivor counts and the packed-corpus totals. The optional
+    * stages report -1 when disabled so a dataset card can tell "stage
+    * off" from "stage dropped nothing". `ruleDrops` (Gopher-card gate
+    * only) counts input docs failing EACH rule independently — the
+    * per-rule audit a filtering pipeline reviews when tuning thresholds;
+    * the flags are not mutually exclusive, so the values need not sum to
+    * the gate's total drop.
     */
   final case class Report(nInput: Long, nAfterQuality: Long,
                           nAfterExactDedup: Long, nAfterNearDedup: Long,
                           splitCounts: Map[String, Long],
                           nBins: Long, nTokens: Long,
                           nAfterDecontam: Long = -1L,
-                          nAfterScrub: Long = -1L)
+                          nAfterScrub: Long = -1L,
+                          ruleDrops: Map[String, Long] = Map.empty,
+                          nAfterClassifier: Long = -1L)
 
   /** Quality thresholds for the row-local gate. Defaults are the
     * web-corpus heuristics (Gopher-family): enough tokens, some lexical
@@ -60,6 +71,23 @@ object Curation {
                                  minTtr: Double = 0.2,
                                  maxDupNgramFrac: Double = 0.6,
                                  minCharEntropy: Double = 1.0)
+
+  /** Thresholds for the Gopher rule-card gate (the AUDITABLE quality-gate
+    * form): passing this to [[curate]] replaces the scalar heuristics
+    * with [[TextAnalysis.gopherRuleCard]]'s five integer-flagged rules,
+    * and the report gains per-rule drop counts.
+    */
+  final case class GopherConfig(minWords: Int = 50, maxWords: Int = 100000)
+
+  /** Trained-classifier gate: docs whose hashed-linear margin falls below
+    * `minMargin` drop. The seeded weight table is the verifiable stand-in
+    * for exported trained weights (see [[TextAnalysis.hashedLinearScore]]
+    * — a real model swaps in its bucket->weight array and the stage shape
+    * is unchanged: the model rides the scan, the corpus never shuffles).
+    */
+  final case class ClassifierConfig(minMargin: Double = 0.0,
+                                    dim: Int = 1024,
+                                    seed: String = "graft-qc-1")
 
   /** The row-local quality gate as one filter expression — all signals
     * compute inside the same scan, no shuffle, no second pass.
@@ -92,12 +120,58 @@ object Curation {
                Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05),
              shards: Int = 8, budgetTokens: Long = 512L,
              benchmark: Option[DataFrame] = None, decontamWindow: Int = 8,
-             scrubWindow: Int = 0): Report = {
+             scrubWindow: Int = 0,
+             gopher: Option[GopherConfig] = None,
+             classifier: Option[ClassifierConfig] = None): Report = {
     val nInput = docs.count()
 
-    val afterQuality0 = qualityGate(docs, "text", quality)
-      .persist()
-    val nQuality = afterQuality0.count()
+    // Quality gate: either the scalar heuristics or (when `gopher` is
+    // set) the rule card — same row-local shape, but the card keeps WHICH
+    // rule failed, so the report can carry per-rule drop counts.
+    val (gated, ruleDrops) = gopher match {
+      case Some(g) =>
+        val card = TextAnalysis.gopherRuleCard(
+            docs.select(col("doc_id"), col("text")), "doc_id", "text",
+            minWords = g.minWords, maxWords = g.maxWords)
+          .persist()
+        val ruleCols = Seq("r1_word_count", "r2_word_len", "r3_symbols",
+          "r4_alpha", "r5_stopwords")
+        val drops = card
+          .agg(sum(expr(s"1 - ${ruleCols.head}")).as(ruleCols.head),
+            ruleCols.tail.map(c => sum(expr(s"1 - $c")).as(c)): _*)
+          .head()
+        val dropMap = ruleCols.map(c => c -> drops.getAs[Long](c)).toMap
+        val survivors = docs.join(
+          card.filter(col("pass") === 1).select("doc_id"),
+          Seq("doc_id"), "left_semi")
+        card.unpersist()
+        (survivors, dropMap)
+      case None =>
+        (qualityGate(docs, "text", quality), Map.empty[String, Long])
+    }
+
+    // Optional trained-classifier gate — row-local inference riding the
+    // scan; only surviving ids semi-join back. nAfterQuality counts the
+    // rule/heuristic gate alone so the two stages stay separable in the
+    // report.
+    val (afterQuality0, nQuality, nClassifier) = classifier match {
+      case Some(c) =>
+        val g = gated.persist()
+        val nGate = g.count()
+        val kept = g.join(
+            TextAnalysis.hashedLinearScore(g, "doc_id", "text",
+                dim = c.dim, seed = c.seed)
+              .filter(col("margin") >= c.minMargin)
+              .select("doc_id"),
+            Seq("doc_id"), "left_semi")
+          .persist()
+        val nK = kept.count()
+        g.unpersist()
+        (kept, nGate, nK)
+      case None =>
+        val g = gated.persist()
+        (g, g.count(), -1L)
+    }
 
     // Benchmark decontamination BEFORE any dedup work: flagged docs must
     // not ship, so dropping them first also spares the wide stages. The
@@ -179,6 +253,7 @@ object Curation {
       benchmark.map(_ => afterDecontam) ++
       (if (scrubWindow > 0) Seq(afterScrub) else Nil)).foreach(_.unpersist())
     Report(nInput, nQuality, nExact, nNear, splitCounts,
-      totals.getLong(0), totals.getLong(1), nDecontam, nScrub)
+      totals.getLong(0), totals.getLong(1), nDecontam, nScrub,
+      ruleDrops, nClassifier)
   }
 }

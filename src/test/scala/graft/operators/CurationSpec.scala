@@ -107,4 +107,69 @@ class CurationSpec extends SparkTestBase {
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(1L), s"kept $kept")
   }
+
+  test("gopher-card gate: per-rule drop accounting and deterministic rerun") {
+    val out1 = Files.createTempDirectory("graft-curate-g1").toString
+    val cfg = Curation.GopherConfig(minWords = 20, maxWords = 100000)
+    val r1 = Curation.curate(docs, out1, seed = "cur-7", budgetTokens = 256L,
+      gopher = Some(cfg))
+
+    // the report carries all five rules, each with a non-negative count
+    val ruleNames = Set("r1_word_count", "r2_word_len", "r3_symbols",
+      "r4_alpha", "r5_stopwords")
+    assert(r1.ruleDrops.keySet == ruleNames)
+    assert(r1.ruleDrops.values.forall(_ >= 0L))
+    // per-rule counts bound the gate's total drop: the conjunctive gate
+    // can never drop fewer docs than its strictest single rule
+    assert(r1.nInput - r1.nAfterQuality >= r1.ruleDrops.values.max)
+    assert(r1.nAfterQuality > 0 && r1.nAfterQuality <= r1.nInput)
+
+    // each drop count matches an independent replay of that rule's flag
+    val card = TextAnalysis.gopherRuleCard(docs, "doc_id", "text",
+      minWords = cfg.minWords, maxWords = cfg.maxWords)
+    ruleNames.foreach { rc =>
+      val expect = card.filter(col(rc) === 0).count()
+      assert(r1.ruleDrops(rc) == expect, s"$rc: ${r1.ruleDrops(rc)} != $expect")
+    }
+    // and the gate's survivors are exactly the pass=1 ids
+    assert(r1.nAfterQuality == card.filter(col("pass") === 1).count())
+
+    // bit-level rerun determinism is preserved with the audited gate on
+    val out2 = Files.createTempDirectory("graft-curate-g2").toString
+    val r2 = Curation.curate(docs, out2, seed = "cur-7", budgetTokens = 256L,
+      gopher = Some(cfg))
+    assert(r2 == r1)
+    val a = spark.read.parquet(out1).orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val b = spark.read.parquet(out2).orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(a == b, "gopher-gated rerun must reproduce the corpus byte-for-byte")
+  }
+
+  test("classifier gate composes after the rule gate and reports its survivors") {
+    val out = Files.createTempDirectory("graft-curate-c").toString
+    val r = Curation.curate(docs, out, seed = "cur-7", budgetTokens = 256L,
+      gopher = Some(Curation.GopherConfig(minWords = 20)),
+      classifier = Some(Curation.ClassifierConfig(minMargin = 0.0)))
+
+    // the gate chain stays monotone and the classifier count slots between
+    // the quality gate and exact dedup
+    assert(r.nAfterClassifier >= 0L)
+    assert(r.nAfterClassifier <= r.nAfterQuality)
+    assert(r.nAfterExactDedup <= r.nAfterClassifier)
+    // the seeded stand-in weights are ~symmetric: the margin>=0 gate must
+    // actually split the corpus, not pass or drop everything
+    assert(r.nAfterClassifier > 0 && r.nAfterClassifier < r.nAfterQuality)
+
+    // survivors match an independent inference pass at the same seed/dim
+    val gateIds = TextAnalysis.gopherRuleCard(docs, "doc_id", "text",
+        minWords = 20, maxWords = 100000)
+      .filter(col("pass") === 1).select("doc_id")
+    val expect = TextAnalysis.hashedLinearScore(
+        docs.join(gateIds, Seq("doc_id"), "left_semi"), "doc_id", "text")
+      .filter(col("margin") >= 0.0).count()
+    assert(r.nAfterClassifier == expect)
+
+    // classifier off -> sentinel, and ruleDrops empty without gopher
+    assert(Curation.Report(1, 1, 1, 1, Map.empty, 1, 1).nAfterClassifier == -1L)
+    assert(Curation.Report(1, 1, 1, 1, Map.empty, 1, 1).ruleDrops.isEmpty)
+  }
 }
