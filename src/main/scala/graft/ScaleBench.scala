@@ -187,6 +187,34 @@ object ScaleBench {
           "vec_id", "embedding", k = 4, minCosine = 0.9,
           targetRecall = 0.999, center = true)
       })) :+
+      // the q_v16 production shape: threshold-BOUNDED margin alignment —
+      // uncentered exact-key SRP candidates filtered to the exact >= 0.85
+      // pair set before scoring. Twins planted in-leg at 1x/2x amplitude
+      // (tags far above any synth vec_id, so no replica collision); output
+      // is twins-sized, so the curve isolates candidate generation +
+      // bounded verify at the oracle-green operating point
+      ("q_v16_margin_bounded_scale" -> ((s: SparkSession, d: String) => {
+        val base = s.read.parquet(s"$d/embeddings.parquet")
+          .select("vec_id", "embedding")
+        def twin(tag: Long, amp: String) = base.select(
+          (col("vec_id") + lit(tag)).as("vec_id"),
+          expr("transform(embedding, (x, j) -> " +
+            s"CAST(CAST(x AS DOUBLE) + ((vec_id * 31 + j) % 7 - 3) * $amp AS FLOAT))")
+            .as("embedding"))
+        val right = twin(100000000000L, "0.015D")
+          .unionByName(twin(200000000000L, "0.030D")).localCheckpoint()
+        operators.SimilaritySearch.marginAlignmentLsh(base, right,
+          "vec_id", "embedding", k = 4, minCosine = 0.85,
+          targetRecall = 0.999999, thresholdBounded = true)
+      })) :+
+      // URL canonicalize + exact dedup: row-local string pipeline + ONE
+      // canonical-key shuffle — the cheapest dedup stage a web corpus
+      // runs, and its curve must track the scan
+      ("q_u1_url_dedup_scale" -> ((s: SparkSession, d: String) =>
+        operators.UrlOps.urlDedup(
+          operators.UrlQueries.withMessyUrl(
+            s.read.parquet(s"$d/documents.parquet")),
+          "url", "doc_id"))) :+
       ("q_v6_neardup_scale" -> ((s: SparkSession, d: String) =>
         operators.SimilaritySearch.embeddingNearDupPairs(
           s.read.parquet(s"$d/embeddings.parquet"), "vec_id", "embedding",
