@@ -142,6 +142,27 @@ object UrlOps {
       .groupBy("canonical_url")
       .agg(count(lit(1)).as("n_variants"), min(col(idCol)).as("keeper_" + idCol))
 
+  /** Domain blocklist / allowlist filtering (the UT1-blocklist stage of a
+    * CCNet/RefinedWeb-shape pipeline): drop (or keep) docs whose
+    * REGISTERED domain appears in the list. Matching at the registered
+    * domain collapses subdomains for free — blocking `example.org` blocks
+    * `cdn.example.org` because both resolve to the same pay-level key.
+    *
+    * The list rides as a DataFrame because real blocklists are
+    * 10^5-10^6 domains — too large for an `isin` literal but far below
+    * the broadcast threshold, so the anti/semi join broadcasts and the
+    * corpus never shuffles. `allow = true` flips to allowlist (left-semi).
+    */
+  def domainListFilter(df: DataFrame, urlCol: String, domains: DataFrame,
+                       allow: Boolean = false): DataFrame = {
+    val listed = broadcast(domains.toDF("_blocked_domain").distinct())
+    val keyed = df.withColumn("_rd",
+      registeredDomain(hostOf(canonicalizeUrl(col(urlCol)))))
+    keyed.join(listed, keyed("_rd") === listed("_blocked_domain"),
+        if (allow) "left_semi" else "left_anti")
+      .drop("_rd")
+  }
+
   /** Per-registered-domain mass profile of a corpus: doc count, token
     * mass, and exact integer parts-per-million doc share. One group-key
     * shuffle plus a broadcast of the 1-row total — the table a pipeline

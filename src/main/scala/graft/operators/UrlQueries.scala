@@ -103,6 +103,20 @@ object UrlQueries {
         .select("domain", "doc_id", "n_chars")
         .orderBy("domain", "doc_id")),
 
+    // Domain blocklist filtering (the UT1-blocklist stage): a planted
+    // 2-domain blocklist broadcast-anti-joins on the REGISTERED domain,
+    // so subdomains of a blocked domain drop with it and the corpus never
+    // shuffles. Survivors keep their derived domain for inspection.
+    "q_u4_domain_blocklist" -> ((s, dir) => {
+      import s.implicits._
+      UrlOps.domainListFilter(withMessyUrl(docs(s, dir)), "url",
+          Seq("example.org", "example.io").toDF("domain"))
+        .withColumn("domain",
+          UrlOps.registeredDomain(UrlOps.hostOf(UrlOps.canonicalizeUrl(col("url")))))
+        .select("doc_id", "domain")
+        .orderBy("doc_id")
+    }),
+
     // Domain-aware mixing (DoReMi-lite / CCNet shape): temperature-mix at
     // alpha = 0.5 over the REGISTERED DOMAIN — caps derived from per-domain
     // counts (∝ sqrt(c): upsamples rare domains vs proportional), exact
@@ -145,6 +159,12 @@ object UrlQueries {
          |                            ORDER BY n_chars DESC, doc_id) AS rk
          |  FROM pages)
          |WHERE rk <= 100 ORDER BY domain, doc_id""".stripMargin,
+
+    "q_u4_domain_blocklist" ->
+      s"""WITH pages AS (${duckPages(hostDomains)})
+         |SELECT doc_id, domain FROM pages
+         |WHERE domain NOT IN ('example.org', 'example.io')
+         |ORDER BY doc_id""".stripMargin,
 
     "q_sp13_domain_mix" ->
       s"""WITH pages AS (${duckPages(hostDomains)}),

@@ -98,6 +98,32 @@ class UrlOpsSpec extends SparkTestBase {
     assert(com.getAs[Long]("doc_share_ppm") == 400000L)
   }
 
+  test("domain blocklist: registered-domain match collapses subdomains; allow flips") {
+    val docs = Seq(
+      (1L, "https://example.org/a"),
+      (2L, "https://cdn.news.example.org/b"), // subdomain of a blocked domain
+      (3L, "https://example.com/c"),
+      (4L, "https://EXAMPLE.ORG:443/d")       // case/port-mangled spelling
+    ).toDF("doc_id", "url")
+    val block = Seq("example.org").toDF("domain")
+    val kept = UrlOps.domainListFilter(docs, "url", block)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L))
+    val allowed = UrlOps.domainListFilter(docs, "url", block, allow = true)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(allowed == Set(1L, 2L, 4L))
+  }
+
+  test("domain blocklist joins broadcast: the corpus side never shuffles") {
+    val docs = Seq((1L, "https://example.org/a")).toDF("doc_id", "url")
+    val plan = UrlOps.domainListFilter(docs, "url",
+        Seq("example.org").toDF("domain"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop"),
+      s"expected broadcast join:\n$plan")
+    assert(!plan.contains("ShuffleExchange"), s"unexpected corpus shuffle:\n$plan")
+  }
+
   test("canonicalization is row-local: no exchange in the plan") {
     val df = Seq("https://example.com/a?b=1").toDF("url")
       .select(UrlOps.canonicalizeUrl(col("url")))
