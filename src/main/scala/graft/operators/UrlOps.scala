@@ -86,8 +86,16 @@ object UrlOps {
     val auth0 = regexp_extract(rest, "^[^/?]*", 0)
     val pathq = rest.substr(length(auth0) + 1, lit(Int.MaxValue))
     val auth = regexp_extract(auth0, "[^@]*$", 0) // strip userinfo
-    val host = regexp_replace(lower(substring_index(auth, ":", 1)), "^www\\.", "")
-    val port = when(instr(auth, ":") > 0, substring_index(auth, ":", -1)).otherwise(lit(""))
+    // bracketed IPv6 hosts carry ':' INSIDE the brackets, so the host/port
+    // split keys on the bracket when present ("[2001:db8::1]:8080")
+    val bracketed = auth.startsWith("[")
+    val host = regexp_replace(
+      lower(when(bracketed, regexp_extract(auth, "^\\[[^\\]]*\\]", 0))
+        .otherwise(substring_index(auth, ":", 1))),
+      "^www\\.", "")
+    val port = when(bracketed, regexp_extract(auth, "\\]:([0-9]+)$", 1))
+      .otherwise(when(instr(auth, ":") > 0, substring_index(auth, ":", -1))
+        .otherwise(lit("")))
     val portPart = when(
       port === "" || (scheme === "http" && port === "80") ||
         (scheme === "https" && port === "443"),
@@ -106,11 +114,15 @@ object UrlOps {
   }
 
   /** Host of a CANONICAL URL (apply [[canonicalizeUrl]] first — this does
-    * not re-strip userinfo/case).
+    * not re-strip userinfo/case). Handles path-less `?query` forms and
+    * bracketed IPv6 authorities.
     */
-  def hostOf(canonicalUrl: Column): Column =
-    substring_index(substring_index(
-      substring_index(canonicalUrl, "://", -1), "/", 1), ":", 1)
+  def hostOf(canonicalUrl: Column): Column = {
+    val auth = substring_index(substring_index(
+      substring_index(canonicalUrl, "://", -1), "/", 1), "?", 1)
+    when(auth.startsWith("["), regexp_extract(auth, "^\\[[^\\]]*\\]", 0))
+      .otherwise(substring_index(auth, ":", 1))
+  }
 
   /** Registered (pay-level) domain of a lowercase host: last two labels,
     * or last three when the two-label suffix is in [[MultiLevelSuffixes]]
@@ -124,7 +136,7 @@ object UrlOps {
     val labels = split(host, "\\.", -1)
     val n = size(labels)
     val suffix2 = concat_ws(".", slice(labels, -2, 2))
-    when(host.rlike("^[0-9.]+$"), host) // IPv4 literal
+    when(host.rlike("^[0-9.]+$") || host.startsWith("["), host) // IP literal (v4 / bracketed v6)
       .when(n >= 3 && suffix2.isin(MultiLevelSuffixes: _*),
         concat_ws(".", slice(labels, -3, 3)))
       .when(n >= 2, suffix2)

@@ -119,4 +119,26 @@ class PlanSpec extends SparkTestBase {
     val p = plan("q_s1_scan_filter_project")
     assert(p.contains("*(1)"), s"no codegen span:\n$p")
   }
+
+  test("URL canonical dedup: exactly the agg exchanges, canonicalization rides the scan") {
+    val p = plan("q_u1_url_canonical_dedup")
+    // partial+final agg on the canonical key plus the output sort — the
+    // whole string pipeline must stay inside the pre-exchange project
+    val exchanges = "Exchange (hash|range)partitioning".r.findAllIn(p).length
+    assert(exchanges <= 2, s"canonicalization should not add exchanges ($exchanges):\n$p")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"expected partial+final agg on the canonical key:\n$p")
+  }
+
+  test("domain stats: corpus aggregates before the 1-row total broadcasts back") {
+    val p = plan("q_u2_domain_stats")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"expected the 1-row total to broadcast:\n$p")
+  }
+
+  test("HTML extraction is one row-local pass: no exchange before the output sort") {
+    val p = plan("q_t26_html_extract")
+    val exchanges = "Exchange (hash|range)partitioning".r.findAllIn(p).length
+    assert(exchanges <= 1, s"extraction must not shuffle (only the sort may):\n$p")
+  }
 }

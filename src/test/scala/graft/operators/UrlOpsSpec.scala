@@ -64,6 +64,25 @@ class UrlOpsSpec extends SparkTestBase {
     assert(canon(" example.com/a#f ") == Seq("example.com/a"))
   }
 
+  test("bracketed IPv6 hosts: colon-in-host never parses as a port") {
+    assert(canon("https://[2001:DB8::1]/a?b=1") == Seq("https://[2001:db8::1]/a?b=1"))
+    assert(canon("https://[2001:db8::1]:443/a") == Seq("https://[2001:db8::1]/a"))
+    assert(canon("https://[2001:db8::1]:8443/a") == Seq("https://[2001:db8::1]:8443/a"))
+    assert(canon("https://user@[2001:db8::1]:8443/a") ==
+      Seq("https://[2001:db8::1]:8443/a"))
+    // hostOf + registeredDomain pass the literal through whole
+    val d = Seq("https://[2001:db8::1]:8443/a").toDF("u")
+      .select(UrlOps.registeredDomain(UrlOps.hostOf(UrlOps.canonicalizeUrl(col("u")))))
+      .head().getString(0)
+    assert(d == "[2001:db8::1]")
+  }
+
+  test("hostOf handles path-less query forms") {
+    val h = Seq("https://example.com?a=1").toDF("u")
+      .select(UrlOps.hostOf(col("u"))).head().getString(0)
+    assert(h == "example.com")
+  }
+
   test("registered domain: 2-label default, multi-level suffixes, short hosts, IPs") {
     assert(domain("news.bbc.co.uk", "a.b.example.com", "example.com",
         "pages.github.io", "localhost", "uk", "10.0.0.1", "20.0.0.1") ==
