@@ -16,12 +16,16 @@ object ScaleSmoke {
 
   /** (count, order-independent checksum) of a pair frame: two paths that
     * emit DIFFERENT pair sets of equal size must not pass the
-    * direct-vs-indexed receipt, so the require compares sum(xxhash64(id_a,
-    * id_b)) alongside the count (one agg, same pass as the count it
-    * replaces). Long overflow wraps identically on both sides.
+    * direct-vs-indexed receipt, so the require compares
+    * bit_xor(xxhash64(id_a, id_b)) alongside the count (one agg, same
+    * pass as the count it replaces). XOR is overflow-free under ANSI mode
+    * — a wrapping sum of full-range hashes throws there — and
+    * order-independent; pairs are distinct, so cancellation needs a
+    * genuine hash collision pair-for-pair.
     */
   private def pairSetReceipt(pairs: org.apache.spark.sql.DataFrame): (Long, Long) = {
-    val r = pairs.agg(count(lit(1)), sum(xxhash64(col("id_a"), col("id_b")))).head()
+    val r = pairs
+      .agg(count(lit(1)), expr("bit_xor(xxhash64(id_a, id_b))")).head()
     (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
   }
 

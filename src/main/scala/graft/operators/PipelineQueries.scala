@@ -84,6 +84,29 @@ object PipelineQueries {
         .select("lang", "doc_id")
         .orderBy("lang", "doc_id")),
 
+    // Split-leakage audit (the eval-contamination receipt a dataset card
+    // ships): near-dup pairs at the q_d6 operating point tagged with each
+    // side's hash-split membership, counted per unordered split pair —
+    // off-diagonal rows are train/eval LEAKS (which is why Curation
+    // dedups BEFORE splitting; this audit measures the raw corpus).
+    // Scale shape: the pair set comes from the AllPairs prefix join
+    // (never all-pairs), the split tag is a row-local md5 and joins back
+    // id-keyed; everything after the pair join is pairs-sized.
+    "q_sp14_split_leak_audit" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val split = Pipeline.hashSplit(d, "doc_id", splitSeed, splitFractions)
+        .select(col("doc_id"), col("split"))
+      Dedup.jaccardSimilarityJoin(d, "doc_id", "text",
+          shingleSize = 3, threshold = 0.5)
+        .select("id_a", "id_b")
+        .join(split.select(col("doc_id").as("id_a"), col("split").as("sa")), "id_a")
+        .join(split.select(col("doc_id").as("id_b"), col("split").as("sb")), "id_b")
+        .groupBy(least(col("sa"), col("sb")).as("split_lo"),
+          greatest(col("sa"), col("sb")).as("split_hi"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("split_lo", "split_hi")
+    }),
+
     // Exact n-gram Jaccard near-dup pairs (word 3-grams, J >= 0.5) via the
     // prefix-filtered similarity join — EXACT results (oracle = the brute
     // force) without the all-pairs cross join, so this one scales.
@@ -679,6 +702,31 @@ object PipelineQueries {
       },
 
       "q_d6_ngram_jaccard" -> ngramJaccardOracle,
+
+      // replays the d6 brute pair set + the q_sp1 split derivation, then
+      // counts pairs per unordered split combination
+      "q_sp14_split_leak_audit" ->
+        s"""WITH d AS (
+           |  SELECT doc_id, $duckShingles3 AS sh
+           |  FROM (SELECT doc_id, $duckTokens AS w FROM documents)),
+           |nonempty AS (SELECT * FROM d WHERE len(sh) > 0),
+           |p AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM nonempty a JOIN nonempty b ON a.doc_id < b.doc_id
+           |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           |        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+           |s AS (
+           |  SELECT doc_id,
+           |    CASE WHEN substr(md5('$splitSeed:' || CAST(doc_id AS VARCHAR)), 1, 4) < '$thTrain' THEN 'train'
+           |         WHEN substr(md5('$splitSeed:' || CAST(doc_id AS VARCHAR)), 1, 4) < '$thValid' THEN 'valid'
+           |         ELSE 'test' END AS split
+           |  FROM documents)
+           |SELECT least(sa.split, sb.split) AS split_lo,
+           |       greatest(sa.split, sb.split) AS split_hi,
+           |       count(*) AS n_pairs
+           |FROM p JOIN s sa ON p.id_a = sa.doc_id
+           |       JOIN s sb ON p.id_b = sb.doc_id
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
       // the indexed path must produce EXACTLY the brute-force pair set —
       // one oracle serves both the direct and the index-backed join

@@ -324,6 +324,32 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Tokenizer FERTILITY report (the tokenizer-eval artifact a corpus
+    // build reviews before committing to a vocab): per-language doc/word/
+    // token/char mass under the TRAINED BPE tokenizer, tokens-per-word
+    // (fertility — high = the vocab fragments that language) and
+    // chars-per-token (compression). Ratios are one double division of
+    // exact integer sums, 6-dp rounded — deterministic in both engines.
+    // Training reruns in-query (6 merges, the q_t18/q_t19 contract); at
+    // ingest the merge table is a persisted artifact and this is one scan.
+    "q_t27_tokenizer_fertility" -> ((s, dir) => {
+      val merges = Tokenizer.bpeTrain(docs(s, dir), "text", numMerges = 6)
+      val enc = Tokenizer.bpeEncodeCounts(docs(s, dir), "doc_id", "text", merges)
+      docs(s, dir).select(col("doc_id"), col("lang"),
+          length(coalesce(col("text"), lit(""))).cast("long").as("chars"))
+        .join(enc, "doc_id")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_words").as("n_words"),
+          sum("n_tokens").as("n_tokens"), sum("chars").as("n_chars"))
+        .withColumn("fertility",
+          when(col("n_words") > 0, round(col("n_tokens") / col("n_words"), 6))
+            .otherwise(lit(0d)))
+        .withColumn("chars_per_token",
+          when(col("n_tokens") > 0, round(col("n_chars") / col("n_tokens"), 6))
+            .otherwise(lit(0d)))
+        .orderBy("lang")
+    }),
+
     // Vocabulary statistics per language slice — the corpus profile that
     // drives tokenizer/dedup planning: token mass, distinct words and
     // 3-gram shingles (exact twins + bounded-memory HLL++ estimates with
@@ -1106,6 +1132,37 @@ object TextQueries {
          |       CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens
          |FROM documents d LEFT JOIN agg USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    // replays the trained tokenizer (bpeOracleStages), the per-word token
+    // counts, and the per-language integer sums + 6-dp ratio divisions
+    "q_t27_tokenizer_fertility" ->
+      s"""WITH ${bpeOracleStages(6)},
+         |wt AS (
+         |  SELECT word,
+         |         len(list_filter(string_split(sym, '  '), x -> x != '')) AS toks
+         |  FROM s6),
+         |dw AS (
+         |  SELECT doc_id,
+         |         unnest(list_filter(string_split(text, ' '), x -> x != '')) AS word
+         |  FROM documents),
+         |agg AS (
+         |  SELECT doc_id, count(*) AS n_words, sum(toks) AS n_tokens
+         |  FROM dw JOIN wt USING (word) GROUP BY 1),
+         |per AS (
+         |  SELECT lang, count(*) AS n_docs,
+         |         CAST(sum(coalesce(n_words, 0)) AS BIGINT) AS n_words,
+         |         CAST(sum(coalesce(n_tokens, 0)) AS BIGINT) AS n_tokens,
+         |         CAST(sum(length(coalesce(text, ''))) AS BIGINT) AS n_chars
+         |  FROM documents d LEFT JOIN agg USING (doc_id)
+         |  GROUP BY 1)
+         |SELECT lang, n_docs, n_words, n_tokens, n_chars,
+         |       CASE WHEN n_words > 0
+         |            THEN round(CAST(n_tokens AS DOUBLE) / n_words, 6)
+         |            ELSE 0.0 END AS fertility,
+         |       CASE WHEN n_tokens > 0
+         |            THEN round(CAST(n_chars AS DOUBLE) / n_tokens, 6)
+         |            ELSE 0.0 END AS chars_per_token
+         |FROM per ORDER BY lang""".stripMargin,
 
     // Chunking: 1 + ceil(max(n-30,0)/20) windows per doc via exact integer
     // ceil ((a + s - 1) // s); slice bounds replayed inclusively.
