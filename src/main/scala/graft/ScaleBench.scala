@@ -213,6 +213,15 @@ object ScaleBench {
           "vec_id", "embedding", k = 4, minCosine = 0.85,
           targetRecall = 0.999, thresholdBounded = true)
       })) :+
+      // HTML boilerplate extraction: pure row-local regexp/array pipeline
+      // (zero exchanges) — the curve must track raw scan throughput, and
+      // any superlinearity means a regex went catastrophic on longer docs
+      ("q_t26_html_extract_scale" -> ((s: SparkSession, d: String) =>
+        operators.TextAnalysis.extractMainText(
+          operators.TextQueries.withPlantedHtml(
+            s.read.parquet(s"$d/documents.parquet")),
+          "doc_id", "html", minChars = 25, maxLinkPct = 30)
+          .select(col("doc_id"), length(col("extracted")).as("n")))) :+
       // URL canonicalize + exact dedup: row-local string pipeline + ONE
       // canonical-key shuffle — the cheapest dedup stage a web corpus
       // runs, and its curve must track the scan

@@ -8,6 +8,9 @@ import org.apache.spark.sql.functions._
   * a per-stage survivor report:
   *
   *   raw docs
+  *     → URL layer           (optional, first — the cheapest work: canonical-
+  *                            URL dedup + registered-domain blocklist, both
+  *                            before anything touches the text)
   *     → quality gate        (row-local, one scan; either the scalar
   *                            heuristics or — with [[Curation.GopherConfig]] —
   *                            the auditable Gopher rule card, which adds
@@ -60,7 +63,9 @@ object Curation {
                           nAfterDecontam: Long = -1L,
                           nAfterScrub: Long = -1L,
                           ruleDrops: Map[String, Long] = Map.empty,
-                          nAfterClassifier: Long = -1L)
+                          nAfterClassifier: Long = -1L,
+                          nAfterUrlDedup: Long = -1L,
+                          nAfterBlocklist: Long = -1L)
 
   /** Quality thresholds for the row-local gate. Defaults are the
     * web-corpus heuristics (Gopher-family): enough tokens, some lexical
@@ -122,8 +127,40 @@ object Curation {
              benchmark: Option[DataFrame] = None, decontamWindow: Int = 8,
              scrubWindow: Int = 0,
              gopher: Option[GopherConfig] = None,
-             classifier: Option[ClassifierConfig] = None): Report = {
+             classifier: Option[ClassifierConfig] = None,
+             urlCol: Option[String] = None,
+             domainBlocklist: Option[DataFrame] = None): Report = {
     val nInput = docs.count()
+
+    // URL layer FIRST when the corpus carries URLs (the web-pipeline
+    // ordering: it is the cheapest dedup/filter work the build has, so it
+    // runs before anything touches the text). Canonical-URL dedup keeps
+    // the smallest id per page; the optional blocklist anti-joins on the
+    // registered domain (broadcast — the corpus never shuffles for it).
+    val (docsAfterUrl, nUrlDedup, nBlocklist) = urlCol match {
+      case Some(uc) =>
+        val keyed = docs.withColumn("_curl", UrlOps.canonicalizeUrl(col(uc)))
+        val keepers = keyed.withColumn("_keep", min("doc_id").over(
+            org.apache.spark.sql.expressions.Window.partitionBy("_curl")))
+          .filter(col("doc_id") === col("_keep"))
+          .drop("_curl", "_keep")
+          .persist()
+        val nDedup = keepers.count()
+        val (after, nBlock) = domainBlocklist match {
+          case Some(b) =>
+            val kept = UrlOps.domainListFilter(keepers, uc, b).persist()
+            val n = kept.count()
+            keepers.unpersist()
+            (kept, n)
+          case None => (keepers, -1L)
+        }
+        (after, nDedup, nBlock)
+      case None =>
+        require(domainBlocklist.isEmpty,
+          "domainBlocklist requires urlCol — there is no domain without a URL")
+        (docs, -1L, -1L)
+    }
+    val docs1 = docsAfterUrl
 
     // Quality gate: either the scalar heuristics or (when `gopher` is
     // set) the rule card — same row-local shape, but the card keeps WHICH
@@ -131,7 +168,7 @@ object Curation {
     val (gated, ruleDrops) = gopher match {
       case Some(g) =>
         val card = TextAnalysis.gopherRuleCard(
-            docs.select(col("doc_id"), col("text")), "doc_id", "text",
+            docs1.select(col("doc_id"), col("text")), "doc_id", "text",
             minWords = g.minWords, maxWords = g.maxWords)
           .persist()
         val ruleCols = Seq("r1_word_count", "r2_word_len", "r3_symbols",
@@ -141,13 +178,13 @@ object Curation {
             ruleCols.tail.map(c => sum(expr(s"1 - $c")).as(c)): _*)
           .head()
         val dropMap = ruleCols.map(c => c -> drops.getAs[Long](c)).toMap
-        val survivors = docs.join(
+        val survivors = docs1.join(
           card.filter(col("pass") === 1).select("doc_id"),
           Seq("doc_id"), "left_semi")
         card.unpersist()
         (survivors, dropMap)
       case None =>
-        (qualityGate(docs, "text", quality), Map.empty[String, Long])
+        (qualityGate(docs1, "text", quality), Map.empty[String, Long])
     }
 
     // Optional trained-classifier gate — row-local inference riding the
@@ -251,9 +288,10 @@ object Curation {
 
     (Seq(afterQuality0, exactKeepers, deduped, packed) ++
       benchmark.map(_ => afterDecontam) ++
-      (if (scrubWindow > 0) Seq(afterScrub) else Nil)).foreach(_.unpersist())
+      (if (scrubWindow > 0) Seq(afterScrub) else Nil) ++
+      (if (urlCol.isDefined) Seq(docs1) else Nil)).foreach(_.unpersist())
     Report(nInput, nQuality, nExact, nNear, splitCounts,
       totals.getLong(0), totals.getLong(1), nDecontam, nScrub,
-      ruleDrops, nClassifier)
+      ruleDrops, nClassifier, nUrlDedup, nBlocklist)
   }
 }

@@ -172,4 +172,38 @@ class CurationSpec extends SparkTestBase {
     assert(Curation.Report(1, 1, 1, 1, Map.empty, 1, 1).nAfterClassifier == -1L)
     assert(Curation.Report(1, 1, 1, 1, Map.empty, 1, 1).ruleDrops.isEmpty)
   }
+
+  test("URL layer leads the pipeline: canonical dedup + blocklist before any text work") {
+    import spark.implicits._
+    // messy planted URLs: 3 variants per page (UrlQueries construction),
+    // so canonical dedup must keep exactly one doc per page
+    val withUrls = UrlQueries.withMessyUrl(docs)
+    val block = Seq("example.org").toDF("domain")
+    val out = Files.createTempDirectory("graft-curate-u").toString
+    val r = Curation.curate(withUrls, out, seed = "cur-7", budgetTokens = 256L,
+      urlCol = Some("url"), domainBlocklist = Some(block))
+
+    val nPages = withUrls
+      .withColumn("c", UrlOps.canonicalizeUrl(col("url")))
+      .select("c").distinct().count()
+    assert(r.nAfterUrlDedup == nPages,
+      s"URL dedup kept ${r.nAfterUrlDedup}, expected one per page ($nPages)")
+    assert(r.nAfterBlocklist < r.nAfterUrlDedup,
+      "blocklist dropped nothing despite a planted blocked domain")
+    // monotone into the text stages
+    assert(r.nAfterQuality <= r.nAfterBlocklist)
+    assert(r.nAfterNearDedup > 0)
+    // no surviving doc resolves to the blocked domain
+    val shipped = spark.read.parquet(out)
+    val blocked = shipped
+      .withColumn("d",
+        UrlOps.registeredDomain(UrlOps.hostOf(UrlOps.canonicalizeUrl(col("url")))))
+      .filter(col("d") === "example.org").count()
+    assert(blocked == 0L)
+    // sentinel behavior when the layer is off
+    assert(Curation.Report(1, 1, 1, 1, Map.empty, 1, 1).nAfterUrlDedup == -1L)
+    intercept[IllegalArgumentException] {
+      Curation.curate(docs, out, seed = "x", domainBlocklist = Some(block))
+    }
+  }
 }
