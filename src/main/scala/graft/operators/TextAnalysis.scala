@@ -758,24 +758,35 @@ object TextAnalysis {
     */
   def extractMainText(docs: DataFrame, idCol: String, htmlCol: String,
                       minChars: Int = 25, maxLinkPct: Int = 30): DataFrame = {
+    // the block/kept frames are let-bound (single-element transform, the
+    // letBind idiom) so the whole strip/split/score pipeline evaluates
+    // ONCE per row — as Scala vals they would inline per reference
+    // (n_blocks, n_kept, extracted = three copies of everything)
+    def bind(bound: Column)(body: Column => Column): Column =
+      element_at(transform(array(bound), body), 1)
     val clean = regexp_replace(
       regexp_replace(
         regexp_replace(col(htmlCol), "(?is)<script[^>]*>.*?</script>", " "),
         "(?is)<style[^>]*>.*?</style>", " "),
       "(?s)<!--.*?-->", " ")
-    val blocks = filter(
-      transform(split(clean, BlockTagRe, -1), b => struct(
-        stripMarkup(b).as("txt"),
-        length(stripMarkup(
-          array_join(regexp_extract_all(b, lit("(?is)<a[^>]*>(.*?)</a>"), lit(1)),
-            " "))).as("llen"))),
-      s => s.getField("txt") =!= "")
-    val kept = filter(blocks, s =>
-      length(s.getField("txt")) >= minChars &&
-        s.getField("llen") * 100 <= length(s.getField("txt")) * maxLinkPct)
-    docs.select(col(idCol),
-      size(blocks).as("n_blocks"),
-      size(kept).as("n_kept"),
-      array_join(transform(kept, _.getField("txt")), " ").as("extracted"))
+    val result = bind(filter(
+        transform(split(clean, BlockTagRe, -1), b => struct(
+          stripMarkup(b).as("txt"),
+          length(stripMarkup(
+            array_join(regexp_extract_all(b, lit("(?is)<a[^>]*>(.*?)</a>"), lit(1)),
+              " "))).as("llen"))),
+        s => s.getField("txt") =!= "")) { blocks =>
+      bind(filter(blocks, s =>
+          length(s.getField("txt")) >= minChars &&
+            s.getField("llen") * 100 <= length(s.getField("txt")) * maxLinkPct)) { kept =>
+        struct(
+          size(blocks).as("n_blocks"),
+          size(kept).as("n_kept"),
+          array_join(transform(kept, _.getField("txt")), " ").as("extracted"))
+      }
+    }
+    docs.select(col(idCol), result.as("_r"))
+      .select(col(idCol), col("_r.n_blocks").as("n_blocks"),
+        col("_r.n_kept").as("n_kept"), col("_r.extracted").as("extracted"))
   }
 }

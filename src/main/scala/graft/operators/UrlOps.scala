@@ -59,6 +59,19 @@ object UrlOps {
     Seq("co.uk", "org.uk", "ac.uk", "gov.uk", "co.jp", "co.in", "co.nz",
       "co.kr", "com.au", "com.br", "com.cn", "com.mx", "github.io")
 
+  /** Column-level let-binding (the [[Dedup.letBind]] idiom): evaluate
+    * `bound` ONCE per row and reference it as a cheap lambda variable in
+    * `body`. Without this, every Scala `val` holding a Column is INLINED
+    * at each reference site — the canonicalizer's chained derivations
+    * (u → rest → authority → host/port/path/query) would otherwise
+    * duplicate multiplicatively into a megabyte expression tree that
+    * downstream operators then re-duplicate per reference (measured:
+    * 39.9 s for the 5000-doc q_sp13 before this structure; sub-second
+    * after).
+    */
+  private def bind(bound: Column)(body: Column => Column): Column =
+    element_at(transform(array(bound), body), 1)
+
   /** Uppercase the two hex chars of every `%xx` escape; chunks after `%`
     * that do not start with two hex chars (malformed escapes) pass through
     * unchanged. split keeps trailing empties in both Spark and DuckDB, so
@@ -79,50 +92,67 @@ object UrlOps {
     * fragment-stripped only — a relative reference has no authority to
     * normalize, and guessing one would corrupt non-URL strings.
     */
-  def canonicalizeUrl(url: Column): Column = {
-    val u = substring_index(trim(url), "#", 1)
-    val scheme = lower(substring_index(u, "://", 1))
-    val rest = u.substr(instr(u, "://") + 3, lit(Int.MaxValue))
-    val auth0 = regexp_extract(rest, "^[^/?]*", 0)
-    val pathq = rest.substr(length(auth0) + 1, lit(Int.MaxValue))
-    val auth = regexp_extract(auth0, "[^@]*$", 0) // strip userinfo
-    // bracketed IPv6 hosts carry ':' INSIDE the brackets, so the host/port
-    // split keys on the bracket when present ("[2001:db8::1]:8080")
-    val bracketed = auth.startsWith("[")
-    val host = regexp_replace(
-      lower(when(bracketed, regexp_extract(auth, "^\\[[^\\]]*\\]", 0))
-        .otherwise(substring_index(auth, ":", 1))),
-      "^www\\.", "")
-    val port = when(bracketed, regexp_extract(auth, "\\]:([0-9]+)$", 1))
-      .otherwise(when(instr(auth, ":") > 0, substring_index(auth, ":", -1))
-        .otherwise(lit("")))
-    val portPart = when(
-      port === "" || (scheme === "http" && port === "80") ||
-        (scheme === "https" && port === "443"),
-      lit("")).otherwise(concat(lit(":"), port))
-    val path = regexp_replace(pctHexUpper(substring_index(pathq, "?", 1)), "/$", "")
-    val query = when(instr(pathq, "?") > 0,
-      pctHexUpper(pathq.substr(instr(pathq, "?") + 1, lit(Int.MaxValue)))).otherwise(lit(""))
-    val keptParams = array_sort(filter(split(query, "&", -1), p =>
-      p =!= "" && !substring_index(p, "=", 1).rlike("^utm_") &&
-        !substring_index(p, "=", 1).isin(TrackingParams: _*)))
-    val queryPart = when(size(keptParams) > 0,
-      concat(lit("?"), array_join(keptParams, "&"))).otherwise(lit(""))
-    when(instr(u, "://") > 0,
-      concat(scheme, lit("://"), host, portPart, path, queryPart))
-      .otherwise(u)
-  }
+  def canonicalizeUrl(url: Column): Column =
+    // each derivation [[bind]]s before reuse: u → rest → authority →
+    // (scheme, userinfo-stripped auth, pathq) → (host, port) → assembly —
+    // every stage evaluates once per row regardless of fan-out below it
+    bind(substring_index(trim(url), "#", 1)) { u =>
+      bind(u.substr(instr(u, "://") + 3, lit(Int.MaxValue))) { rest =>
+        bind(regexp_extract(rest, "^[^/?]*", 0)) { auth0 =>
+          bind(struct(
+              lower(substring_index(u, "://", 1)).as("scheme"),
+              regexp_extract(auth0, "[^@]*$", 0).as("auth"), // strip userinfo
+              rest.substr(length(auth0) + 1, lit(Int.MaxValue)).as("pathq"))) { s1 =>
+            val scheme = s1.getField("scheme")
+            val auth = s1.getField("auth")
+            val pathq = s1.getField("pathq")
+            // bracketed IPv6 hosts carry ':' INSIDE the brackets, so the
+            // host/port split keys on the bracket ("[2001:db8::1]:8080")
+            val bracketed = auth.startsWith("[")
+            bind(struct(
+                regexp_replace(
+                  lower(when(bracketed, regexp_extract(auth, "^\\[[^\\]]*\\]", 0))
+                    .otherwise(substring_index(auth, ":", 1))),
+                  "^www\\.", "").as("host"),
+                when(bracketed, regexp_extract(auth, "\\]:([0-9]+)$", 1))
+                  .otherwise(when(instr(auth, ":") > 0, substring_index(auth, ":", -1))
+                    .otherwise(lit(""))).as("port"))) { s2 =>
+              val port = s2.getField("port")
+              val portPart = when(
+                port === "" || (scheme === "http" && port === "80") ||
+                  (scheme === "https" && port === "443"),
+                lit("")).otherwise(concat(lit(":"), port))
+              val path = regexp_replace(
+                pctHexUpper(substring_index(pathq, "?", 1)), "/$", "")
+              val query = when(instr(pathq, "?") > 0,
+                pctHexUpper(pathq.substr(instr(pathq, "?") + 1, lit(Int.MaxValue))))
+                .otherwise(lit(""))
+              val queryPart = bind(array_sort(filter(split(query, "&", -1), p =>
+                  p =!= "" && !substring_index(p, "=", 1).rlike("^utm_") &&
+                    !substring_index(p, "=", 1).isin(TrackingParams: _*)))) { kept =>
+                when(size(kept) > 0, concat(lit("?"), array_join(kept, "&")))
+                  .otherwise(lit(""))
+              }
+              when(instr(u, "://") > 0,
+                concat(scheme, lit("://"), s2.getField("host"), portPart,
+                  path, queryPart))
+                .otherwise(u)
+            }
+          }
+        }
+      }
+    }
 
   /** Host of a CANONICAL URL (apply [[canonicalizeUrl]] first — this does
     * not re-strip userinfo/case). Handles path-less `?query` forms and
     * bracketed IPv6 authorities.
     */
-  def hostOf(canonicalUrl: Column): Column = {
-    val auth = substring_index(substring_index(
-      substring_index(canonicalUrl, "://", -1), "/", 1), "?", 1)
-    when(auth.startsWith("["), regexp_extract(auth, "^\\[[^\\]]*\\]", 0))
-      .otherwise(substring_index(auth, ":", 1))
-  }
+  def hostOf(canonicalUrl: Column): Column =
+    bind(substring_index(substring_index(
+        substring_index(canonicalUrl, "://", -1), "/", 1), "?", 1)) { auth =>
+      when(auth.startsWith("["), regexp_extract(auth, "^\\[[^\\]]*\\]", 0))
+        .otherwise(substring_index(auth, ":", 1))
+    }
 
   /** Registered (pay-level) domain of a lowercase host: last two labels,
     * or last three when the two-label suffix is in [[MultiLevelSuffixes]]
@@ -132,16 +162,18 @@ object UrlOps {
     * IPv4 are not label separators semantically, and slicing them would
     * merge unrelated hosts (`10.0.0.1` and `20.0.0.1` both → `0.1`).
     */
-  def registeredDomain(host: Column): Column = {
-    val labels = split(host, "\\.", -1)
-    val n = size(labels)
-    val suffix2 = concat_ws(".", slice(labels, -2, 2))
-    when(host.rlike("^[0-9.]+$") || host.startsWith("["), host) // IP literal (v4 / bracketed v6)
-      .when(n >= 3 && suffix2.isin(MultiLevelSuffixes: _*),
-        concat_ws(".", slice(labels, -3, 3)))
-      .when(n >= 2, suffix2)
-      .otherwise(host)
-  }
+  def registeredDomain(host: Column): Column =
+    bind(host) { h =>
+      bind(split(h, "\\.", -1)) { labels =>
+        bind(concat_ws(".", slice(labels, -2, 2))) { suffix2 =>
+          when(h.rlike("^[0-9.]+$") || h.startsWith("["), h) // IP literal (v4 / bracketed v6)
+            .when(size(labels) >= 3 && suffix2.isin(MultiLevelSuffixes: _*),
+              concat_ws(".", slice(labels, -3, 3)))
+            .when(size(labels) >= 2, suffix2)
+            .otherwise(h)
+        }
+      }
+    }
 
   /** URL-exact dedup: group on the canonical key, keep the smallest id per
     * page (first-crawled under monotone ids — any deterministic best-first
