@@ -108,7 +108,7 @@ object Bench {
       val nReps = if (headline(name)) 3 else 1
       val runs = (1 to nReps).map { _ =>
         val t0 = System.nanoTime()
-        val err = try { fn(spark, sfDir).count(); None } catch {
+        val err = try { Force.rows(fn(spark, sfDir)); None } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: $e")
             Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")

@@ -76,6 +76,11 @@ object ScaleBench {
     val dir = args(0)
     val outFile = args(1)
     val label = if (args.length > 2) args(2) else dir
+    // Optional 4th arg: comma-separated leg-name subset — re-measure a few
+    // legs without paying a full sweep (index builds still run; they are
+    // inputs to the indexed legs).
+    val only: Option[Set[String]] =
+      if (args.length > 3) Some(args(3).split(",").map(_.trim).toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -337,10 +342,14 @@ object ScaleBench {
     val listener = new TaskMetricsListener
     spark.sparkContext.addSparkListener(listener)
 
-    val results = flagships.map { case (name, fn) =>
+    only.foreach { o =>
+      val unknown = o -- flagships.map(_._1).toSet
+      require(unknown.isEmpty, s"unknown legs: $unknown")
+    }
+    val results = flagships.filter(f => only.forall(_(f._1))).map { case (name, fn) =>
       listener.settle(); listener.reset()
       val t0 = System.nanoTime()
-      val rows = try fn(spark, dir).count()
+      val rows = try Force.rows(fn(spark, dir))
       catch { case e: Throwable =>
         System.err.println(s"[scalebench] $name FAILED: $e"); -1L
       }

@@ -22,7 +22,7 @@ object TimeQuery {
     val fn = SparkEntry.queries(name)
     val times = (1 to iters).map { i =>
       val t0 = System.nanoTime()
-      fn(spark, sfDir).count()
+      Force.rows(fn(spark, sfDir))
       val s = (System.nanoTime() - t0) / 1e9
       println(f"[time] $name iter $i: $s%.3f s")
       s
