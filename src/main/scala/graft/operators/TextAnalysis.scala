@@ -138,6 +138,156 @@ object TextAnalysis {
           |  AND r4_alpha = 1 AND r5_stopwords = 1 AS INT) AS pass""".stripMargin)
   }
 
+  /** Gopher REPETITION card (Rae et al. 2021, arXiv:2112.11446 Table A1,
+    * the "repetitious text" family): one row per document with the nine
+    * within-document repetition fractions and one integer flag per rule.
+    * This is the half of Gopher's quality battery [[gopherRuleCard]]
+    * doesn't cover — documents dominated by repeated lines, paragraphs,
+    * or n-grams (boilerplate, scraper loops, keyword stuffing).
+    *
+    * Measurements (all per document, hence all row-local — the operator
+    * rides the scan with zero exchanges, the shape a 100 TB filter pass
+    * must have):
+    *  - dup_line_frac / dup_para_frac: occurrences beyond the first of a
+    *    repeated line (paragraph) over total lines (paragraphs) =
+    *    (n - n_distinct) / n. Lines split on chr(10), paragraphs on
+    *    chr(10)chr(10); empties dropped.
+    *  - dup_line_char_frac / dup_para_char_frac: characters in those
+    *    beyond-first occurrences over total line (paragraph) characters =
+    *    (Σlen - Σlen_distinct) / Σlen.
+    *  - top{2,3,4}gram_char_frac: characters covered by occurrences of
+    *    the most frequent word n-gram over total word characters =
+    *    cnt_max · wordchars(g*) / Σ wordchars. Tie rule: among grams at
+    *    cnt_max, the one with the most characters — the fraction is then
+    *    a deterministic scalar even when the argmax gram is not unique.
+    *  - dup{5,10}gram_char_frac: characters of words covered by ANY
+    *    occurrence of a repeated (count >= 2) n-gram, over total word
+    *    characters. Overlapping occurrences count each word once — the
+    *    coverage definition, computed exactly: repeated-gram start
+    *    positions from one sort + run-length pass, then a positional
+    *    interval test per word.
+    *
+    * Thresholds are Table A1's (0.30/0.20 lines and paragraphs;
+    * 0.20/0.18/0.16 top 2/3/4-grams; 0.15/0.10 dup 5/10-grams), compared
+    * as integer cross-multiplications so the flags are bit-stable; the
+    * reported fractions are round(·, 6) doubles derived from the same
+    * exact integers. NULL text coalesces to the empty doc: zero
+    * denominators read as zero repetition, so the row passes every rule
+    * and stays countable ([[gopherRuleCard]]'s convention).
+    *
+    * Per-row cost is O(L log L) in the token count (array sorts dominate;
+    * the coverage test adds O(L·D) integer compares for D repeated-gram
+    * positions) — no quadratic gram-vs-gram scan, no UDF, nothing leaves
+    * the row.
+    */
+  def gopherRepetitionCard(docs: DataFrame, idCol: String,
+                           textCol: String): DataFrame = {
+    val t = s"coalesce($textCol, '')"
+    // Non-distinct positional n-grams over wv (0-based start i), joined
+    // with single spaces; L < n yields the empty list.
+    def grams(n: Int) =
+      s"""filter(transform(wv, (x, i) ->
+         |  IF(i + $n <= size(wv), concat_ws(' ', slice(wv, i + 1, $n)), NULL)),
+         |  g -> g IS NOT NULL)""".stripMargin
+    // (cnt_max · wordchars of the longest argmax gram) via one sorted
+    // run-length pass. State: p = previous gram, r = its run length so
+    // far, b = best run, bl = max gram chars among runs of length b. The
+    // inner letBind evaluates the incremented run once per step.
+    def topNum(n: Int, src: String) =
+      s"""aggregate(array_sort($src),
+         |  named_struct('p', '', 'r', CAST(0 AS BIGINT),
+         |               'b', CAST(0 AS BIGINT), 'bl', CAST(0 AS BIGINT)),
+         |  (s, x) -> element_at(transform(
+         |      array(IF(x = s.p, s.r + 1, CAST(1 AS BIGINT))), r2 ->
+         |    named_struct('p', x, 'r', r2,
+         |      'b', IF(r2 > s.b, r2, s.b),
+         |      'bl', CASE WHEN r2 > s.b THEN CAST(length(x) AS BIGINT)
+         |                 WHEN r2 = s.b THEN greatest(s.bl, CAST(length(x) AS BIGINT))
+         |                 ELSE s.bl END)), 1),
+         |  s -> s.b * (s.bl - ${n - 1}))""".stripMargin
+    // 0-based start positions of every occurrence of a repeated gram:
+    // sort (gram, pos) structs, then one pass collecting each value's
+    // positions and flushing them to the output when the run length is
+    // >= 2. Output order is by gram value — irrelevant, it only feeds an
+    // existential interval test.
+    def dupPos(src: String) =
+      s"""aggregate(array_sort(transform($src, (g, i) -> named_struct('g', g, 'i', i))),
+         |  named_struct('p', '', 'pend', CAST(array() AS ARRAY<INT>),
+         |               'buf', CAST(array() AS ARRAY<INT>)),
+         |  (s, x) -> IF(x.g = s.p,
+         |    named_struct('p', s.p, 'pend', concat(s.pend, array(x.i)), 'buf', s.buf),
+         |    named_struct('p', x.g, 'pend', array(x.i),
+         |      'buf', IF(size(s.pend) >= 2, concat(s.buf, s.pend), s.buf))),
+         |  s -> IF(size(s.pend) >= 2, concat(s.buf, s.pend), s.buf))""".stripMargin
+    // Characters of words covered by any repeated n-gram occurrence: word
+    // k (0-based) is covered iff some repeated-gram start p has
+    // p <= k <= p + n - 1.
+    def covChars(n: Int, posCol: String) =
+      s"""aggregate(transform(wv, (x, k) ->
+         |    IF(exists($posCol, p -> p <= k AND k <= p + ${n - 1}),
+         |       CAST(length(x) AS BIGINT), CAST(0 AS BIGINT))),
+         |  CAST(0 AS BIGINT), (a, c) -> a + c)""".stripMargin
+    def sumLen(src: String) =
+      s"aggregate($src, CAST(0 AS BIGINT), (a, x) -> a + length(x))"
+    def frac(num: String, den: String) =
+      s"CASE WHEN $den = 0 THEN 0.0D ELSE round($num / CAST($den AS DOUBLE), 6) END"
+
+    docs
+      .selectExpr(idCol,
+        s"filter(split($t, chr(10)), x -> x != '') AS lv",
+        s"filter(split($t, concat(chr(10), chr(10))), x -> x != '') AS pv",
+        s"filter(split(replace($t, chr(10), ' '), ' '), x -> x != '') AS wv")
+      .selectExpr(idCol, "wv",
+        "CAST(size(lv) AS INT) AS n_lines",
+        "CAST(size(array_distinct(lv)) AS INT) AS nd_lines",
+        s"${sumLen("lv")} AS lc",
+        s"${sumLen("array_distinct(lv)")} AS lcd",
+        "CAST(size(pv) AS INT) AS n_paras",
+        "CAST(size(array_distinct(pv)) AS INT) AS nd_paras",
+        s"${sumLen("pv")} AS pc",
+        s"${sumLen("array_distinct(pv)")} AS pcd",
+        s"${sumLen("wv")} AS wchars",
+        s"${grams(5)} AS g5",
+        s"${grams(10)} AS g10")
+      .selectExpr(idCol, "wv", "n_lines", "nd_lines", "lc", "lcd",
+        "n_paras", "nd_paras", "pc", "pcd", "wchars",
+        s"${topNum(2, grams(2))} AS top2",
+        s"${topNum(3, grams(3))} AS top3",
+        s"${topNum(4, grams(4))} AS top4",
+        s"${dupPos("g5")} AS dp5",
+        s"${dupPos("g10")} AS dp10")
+      .selectExpr(idCol, "n_lines", "nd_lines", "lc", "lcd",
+        "n_paras", "nd_paras", "pc", "pcd", "wchars",
+        "top2", "top3", "top4",
+        s"${covChars(5, "dp5")} AS cov5",
+        s"${covChars(10, "dp10")} AS cov10")
+      .selectExpr(idCol,
+        "n_lines", "n_paras",
+        s"CAST(${frac("(n_lines - nd_lines)", "n_lines")} AS DOUBLE) AS dup_line_frac",
+        s"CAST(${frac("(lc - lcd)", "lc")} AS DOUBLE) AS dup_line_char_frac",
+        s"CAST(${frac("(n_paras - nd_paras)", "n_paras")} AS DOUBLE) AS dup_para_frac",
+        s"CAST(${frac("(pc - pcd)", "pc")} AS DOUBLE) AS dup_para_char_frac",
+        s"CAST(${frac("top2", "wchars")} AS DOUBLE) AS top2gram_char_frac",
+        s"CAST(${frac("top3", "wchars")} AS DOUBLE) AS top3gram_char_frac",
+        s"CAST(${frac("top4", "wchars")} AS DOUBLE) AS top4gram_char_frac",
+        s"CAST(${frac("cov5", "wchars")} AS DOUBLE) AS dup5gram_char_frac",
+        s"CAST(${frac("cov10", "wchars")} AS DOUBLE) AS dup10gram_char_frac",
+        "CAST(10 * (n_lines - nd_lines) <= 3 * n_lines AS INT) AS r1_dup_lines",
+        "CAST(5 * (lc - lcd) <= lc AS INT) AS r2_dup_line_chars",
+        "CAST(10 * (n_paras - nd_paras) <= 3 * n_paras AS INT) AS r3_dup_paras",
+        "CAST(5 * (pc - pcd) <= pc AS INT) AS r4_dup_para_chars",
+        "CAST(5 * top2 <= wchars AS INT) AS r5_top2gram",
+        "CAST(100 * top3 <= 18 * wchars AS INT) AS r6_top3gram",
+        "CAST(100 * top4 <= 16 * wchars AS INT) AS r7_top4gram",
+        "CAST(100 * cov5 <= 15 * wchars AS INT) AS r8_dup5gram",
+        "CAST(10 * cov10 <= wchars AS INT) AS r9_dup10gram")
+      .selectExpr("*",
+        """CAST(r1_dup_lines = 1 AND r2_dup_line_chars = 1
+          |  AND r3_dup_paras = 1 AND r4_dup_para_chars = 1
+          |  AND r5_top2gram = 1 AND r6_top3gram = 1 AND r7_top4gram = 1
+          |  AND r8_dup5gram = 1 AND r9_dup10gram = 1 AS INT) AS pass""".stripMargin)
+  }
+
   /** 60-bit md5-derived hash of a string SQL expression: the first 15 hex
     * chars of md5 parsed as an integer (always non-negative, fits a signed
     * long). md5 is the one hash family every engine computes bit-for-bit

@@ -31,6 +31,31 @@ object TextQueries {
   private val htmlFoot = "<footer><a href=\"/tos\">Terms</a> | " +
     "<a href=\"/privacy\">Privacy</a></footer></body></html>"
 
+  /** q_t28's line/paragraph planting: synth docs are single-line, so the
+    * repetition card gets structure from a deterministic construction over
+    * substrings of the doc's own text — three paragraphs with
+    * doc_id-dependent duplicated lines and paragraphs (rates vary per doc
+    * so every fraction column takes many distinct values). Shared
+    * semantics with the DuckDB oracle, which rebuilds ptext with the same
+    * substr/concat arithmetic.
+    */
+  private[graft] def withPlantedParagraphs(d: DataFrame): DataFrame =
+    d.selectExpr("doc_id",
+      "coalesce(text, '') AS t0")
+      .selectExpr("doc_id",
+        "substring(t0, 1, 40) AS l1", "substring(t0, 41, 40) AS l2",
+        "substring(t0, 11, 30) AS l3", "substring(t0, 5, 25) AS l4")
+      .selectExpr("doc_id",
+        """concat(l1, chr(10), l2,
+          |  CASE WHEN doc_id % 3 = 0 THEN concat(chr(10), l1) ELSE '' END)
+          |  AS p1""".stripMargin,
+        """CASE WHEN doc_id % 4 < 2 THEN l3
+          |  ELSE concat(l3, chr(10), l3) END AS p2""".stripMargin,
+        "l4")
+      .selectExpr("doc_id",
+        """concat(p1, chr(10), chr(10), p2, chr(10), chr(10),
+          |  CASE WHEN doc_id % 5 = 0 THEN p2 ELSE l4 END) AS ptext""".stripMargin)
+
   /** Wrap each doc's text in the deterministic page skeleton (variant by
     * doc_id % 3: plain / +ad block / +mixed prose-and-link block).
     */
@@ -149,6 +174,21 @@ object TextQueries {
     "q_t24_gopher_rules" -> ((s, dir) =>
       TextAnalysis.gopherRuleCard(docs(s, dir), "doc_id", "text",
           minWords = 50, maxWords = 100000)
+        .orderBy("doc_id")),
+
+    // Gopher REPETITION card (Rae et al. Table A1's other half): synth
+    // documents are single-line, so each doc is given line/paragraph
+    // structure IN-QUERY by a deterministic construction that plants
+    // repeated lines (doc_id % 3 = 0), repeated intra-paragraph lines
+    // (doc_id % 4 >= 2) and repeated whole paragraphs (doc_id % 5 = 0) at
+    // doc-varying rates; the n-gram metrics additionally see the natural
+    // repetition of the synth vocabulary. The oracle replays the planting
+    // verbatim and recomputes all nine fractions relationally (gram
+    // counts via GROUP BY, coverage via an interval join) — a drift in
+    // the sort/run-length/coverage machinery fails the hash.
+    "q_t28_repetition_card" -> ((s, dir) =>
+      TextAnalysis.gopherRepetitionCard(
+          withPlantedParagraphs(docs(s, dir)), "doc_id", "ptext")
         .orderBy("doc_id")),
 
     // HTML boilerplate extraction (trafilatura/Arc90 shape): raw web text
@@ -751,6 +791,150 @@ object TextQueries {
         |            AND 5 * n_alpha_words >= 4 * n_words
         |            AND n_stopwords >= 2 AS INT) AS pass
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // Replays q_t28 end to end: the paragraph planting (same
+    // substr/concat arithmetic), the three splits, and all nine
+    // repetition fractions — gram counts recomputed relationally
+    // (GROUP BY instead of Spark's sorted run-length pass), coverage via
+    // an interval join on 1-based positions (Spark's are 0-based;
+    // the interval test is shift-invariant). Parallel unnests zip in
+    // DuckDB, which is what pairs each gram with its position.
+    // list_sum of an empty list is NULL -> coalesce; docs too short for
+    // an n-gram produce no rows -> LEFT JOIN + coalesce 0.
+    "q_t28_repetition_card" ->
+      """WITH p0 AS (
+        |  SELECT doc_id,
+        |         substr(coalesce(text, ''), 1, 40) AS l1,
+        |         substr(coalesce(text, ''), 41, 40) AS l2,
+        |         substr(coalesce(text, ''), 11, 30) AS l3,
+        |         substr(coalesce(text, ''), 5, 25) AS l4
+        |  FROM documents),
+        |planted AS (
+        |  SELECT doc_id,
+        |    (l1 || chr(10) || l2 ||
+        |     CASE WHEN doc_id % 3 = 0 THEN chr(10) || l1 ELSE '' END)
+        |    || chr(10) || chr(10)
+        |    || (CASE WHEN doc_id % 4 < 2 THEN l3 ELSE l3 || chr(10) || l3 END)
+        |    || chr(10) || chr(10)
+        |    || (CASE WHEN doc_id % 5 = 0
+        |          THEN (CASE WHEN doc_id % 4 < 2 THEN l3 ELSE l3 || chr(10) || l3 END)
+        |          ELSE l4 END) AS ptext
+        |  FROM p0),
+        |li AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(ptext, chr(10)), x -> x != '') AS lv,
+        |    list_filter(string_split(ptext, chr(10) || chr(10)), x -> x != '') AS pv,
+        |    list_filter(string_split(replace(ptext, chr(10), ' '), ' '), x -> x != '') AS wv
+        |  FROM planted),
+        |scal AS (
+        |  SELECT doc_id,
+        |    CAST(len(lv) AS INT) AS n_lines,
+        |    CAST(len(list_distinct(lv)) AS INT) AS nd_lines,
+        |    CAST(coalesce(list_sum(list_transform(lv, x -> length(x))), 0) AS BIGINT) AS lc,
+        |    CAST(coalesce(list_sum(list_transform(list_distinct(lv), x -> length(x))), 0) AS BIGINT) AS lcd,
+        |    CAST(len(pv) AS INT) AS n_paras,
+        |    CAST(len(list_distinct(pv)) AS INT) AS nd_paras,
+        |    CAST(coalesce(list_sum(list_transform(pv, x -> length(x))), 0) AS BIGINT) AS pc,
+        |    CAST(coalesce(list_sum(list_transform(list_distinct(pv), x -> length(x))), 0) AS BIGINT) AS pcd,
+        |    CAST(coalesce(list_sum(list_transform(wv, x -> length(x))), 0) AS BIGINT) AS wchars
+        |  FROM li),
+        |gr AS (
+        |  SELECT doc_id, n, unnest(gl) AS gram FROM (
+        |    SELECT doc_id, 2 AS n,
+        |           CASE WHEN len(wv) >= 2 THEN list_transform(
+        |             generate_series(1, len(wv) - 1), i -> array_to_string(wv[i:i+1], ' '))
+        |           ELSE [] END AS gl FROM li
+        |    UNION ALL SELECT doc_id, 3,
+        |           CASE WHEN len(wv) >= 3 THEN list_transform(
+        |             generate_series(1, len(wv) - 2), i -> array_to_string(wv[i:i+2], ' '))
+        |           ELSE [] END FROM li
+        |    UNION ALL SELECT doc_id, 4,
+        |           CASE WHEN len(wv) >= 4 THEN list_transform(
+        |             generate_series(1, len(wv) - 3), i -> array_to_string(wv[i:i+3], ' '))
+        |           ELSE [] END FROM li)),
+        |topn AS (
+        |  SELECT doc_id, n, CAST(c * (length(gram) - (n - 1)) AS BIGINT) AS num,
+        |         row_number() OVER (PARTITION BY doc_id, n
+        |                            ORDER BY c DESC, length(gram) DESC) AS rn
+        |  FROM (SELECT doc_id, n, gram, count(*) AS c FROM gr GROUP BY 1, 2, 3)),
+        |tops AS (
+        |  SELECT doc_id,
+        |    coalesce(max(CASE WHEN n = 2 THEN num END), 0) AS top2,
+        |    coalesce(max(CASE WHEN n = 3 THEN num END), 0) AS top3,
+        |    coalesce(max(CASE WHEN n = 4 THEN num END), 0) AS top4
+        |  FROM topn WHERE rn = 1 GROUP BY doc_id),
+        |gp AS (
+        |  SELECT doc_id, n, unnest(gl) AS gram, unnest(generate_series(1, len(gl))) AS i
+        |  FROM (
+        |    SELECT doc_id, 5 AS n,
+        |           CASE WHEN len(wv) >= 5 THEN list_transform(
+        |             generate_series(1, len(wv) - 4), i -> array_to_string(wv[i:i+4], ' '))
+        |           ELSE [] END AS gl FROM li
+        |    UNION ALL SELECT doc_id, 10,
+        |           CASE WHEN len(wv) >= 10 THEN list_transform(
+        |             generate_series(1, len(wv) - 9), i -> array_to_string(wv[i:i+9], ' '))
+        |           ELSE [] END FROM li)),
+        |gc AS (SELECT doc_id, n, gram, count(*) AS c FROM gp GROUP BY 1, 2, 3),
+        |flg AS (
+        |  SELECT g.doc_id, g.n, g.i FROM gp g
+        |  JOIN gc ON g.doc_id = gc.doc_id AND g.n = gc.n AND g.gram = gc.gram
+        |  WHERE gc.c >= 2),
+        |wp AS (
+        |  SELECT doc_id, unnest(generate_series(1, len(wv))) AS k,
+        |         unnest(list_transform(wv, x -> length(x))) AS wl
+        |  FROM li),
+        |cov AS (
+        |  SELECT doc_id, n, CAST(sum(wl) AS BIGINT) AS covch FROM (
+        |    SELECT DISTINCT w.doc_id, f.n, w.k, w.wl
+        |    FROM wp w JOIN flg f
+        |      ON w.doc_id = f.doc_id AND w.k BETWEEN f.i AND f.i + f.n - 1)
+        |  GROUP BY 1, 2),
+        |fin AS (
+        |  SELECT s.*, coalesce(t.top2, 0) AS top2, coalesce(t.top3, 0) AS top3,
+        |         coalesce(t.top4, 0) AS top4,
+        |         coalesce(c5.covch, 0) AS cov5, coalesce(c10.covch, 0) AS cov10
+        |  FROM scal s
+        |  LEFT JOIN tops t ON s.doc_id = t.doc_id
+        |  LEFT JOIN cov c5 ON s.doc_id = c5.doc_id AND c5.n = 5
+        |  LEFT JOIN cov c10 ON s.doc_id = c10.doc_id AND c10.n = 10)
+        |SELECT doc_id, n_lines, n_paras,
+        |  CASE WHEN n_lines = 0 THEN 0.0
+        |       ELSE round((n_lines - nd_lines) / CAST(n_lines AS DOUBLE), 6) END AS dup_line_frac,
+        |  CASE WHEN lc = 0 THEN 0.0
+        |       ELSE round((lc - lcd) / CAST(lc AS DOUBLE), 6) END AS dup_line_char_frac,
+        |  CASE WHEN n_paras = 0 THEN 0.0
+        |       ELSE round((n_paras - nd_paras) / CAST(n_paras AS DOUBLE), 6) END AS dup_para_frac,
+        |  CASE WHEN pc = 0 THEN 0.0
+        |       ELSE round((pc - pcd) / CAST(pc AS DOUBLE), 6) END AS dup_para_char_frac,
+        |  CASE WHEN wchars = 0 THEN 0.0
+        |       ELSE round(top2 / CAST(wchars AS DOUBLE), 6) END AS top2gram_char_frac,
+        |  CASE WHEN wchars = 0 THEN 0.0
+        |       ELSE round(top3 / CAST(wchars AS DOUBLE), 6) END AS top3gram_char_frac,
+        |  CASE WHEN wchars = 0 THEN 0.0
+        |       ELSE round(top4 / CAST(wchars AS DOUBLE), 6) END AS top4gram_char_frac,
+        |  CASE WHEN wchars = 0 THEN 0.0
+        |       ELSE round(cov5 / CAST(wchars AS DOUBLE), 6) END AS dup5gram_char_frac,
+        |  CASE WHEN wchars = 0 THEN 0.0
+        |       ELSE round(cov10 / CAST(wchars AS DOUBLE), 6) END AS dup10gram_char_frac,
+        |  CAST(10 * (n_lines - nd_lines) <= 3 * n_lines AS INT) AS r1_dup_lines,
+        |  CAST(5 * (lc - lcd) <= lc AS INT) AS r2_dup_line_chars,
+        |  CAST(10 * (n_paras - nd_paras) <= 3 * n_paras AS INT) AS r3_dup_paras,
+        |  CAST(5 * (pc - pcd) <= pc AS INT) AS r4_dup_para_chars,
+        |  CAST(5 * top2 <= wchars AS INT) AS r5_top2gram,
+        |  CAST(100 * top3 <= 18 * wchars AS INT) AS r6_top3gram,
+        |  CAST(100 * top4 <= 16 * wchars AS INT) AS r7_top4gram,
+        |  CAST(100 * cov5 <= 15 * wchars AS INT) AS r8_dup5gram,
+        |  CAST(10 * cov10 <= wchars AS INT) AS r9_dup10gram,
+        |  CAST(10 * (n_lines - nd_lines) <= 3 * n_lines
+        |       AND 5 * (lc - lcd) <= lc
+        |       AND 10 * (n_paras - nd_paras) <= 3 * n_paras
+        |       AND 5 * (pc - pcd) <= pc
+        |       AND 5 * top2 <= wchars
+        |       AND 100 * top3 <= 18 * wchars
+        |       AND 100 * top4 <= 16 * wchars
+        |       AND 100 * cov5 <= 15 * wchars
+        |       AND 10 * cov10 <= wchars AS INT) AS pass
+        |FROM fin ORDER BY doc_id""".stripMargin,
 
     // The heavy-hitter output is exact by construction (the Misra-Gries
     // stage only prunes candidates), so the oracle needs no gate columns:
