@@ -864,6 +864,59 @@ object Dedup {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Cross-document PARAGRAPH dedup — the CCNet-shape leading stage of a
+    * web-corpus pipeline (Wenzek et al. 2019, arXiv:1911.00359 §3.1):
+    * paragraphs repeated across the corpus (navigation, cookie banners,
+    * boilerplate footers) are kept only at their FIRST occurrence in
+    * (doc, position) order and removed everywhere else; documents are
+    * reassembled from their surviving paragraphs. Complements document
+    * dedup ([[dedupedCorpus]]) and word-window substring dedup
+    * ([[scrubDuplicatedSpans]]): the unit here is the markup-delimited
+    * paragraph, which is exactly the granularity at which web boilerplate
+    * repeats.
+    *
+    * Scale shape: explode to (doc, idx, paragraph) rows — row-local — then
+    * ONE exchange keyed by the paragraph's 60-bit hash for the keep-first
+    * window (per-key data is occurrence-count sized; AQE handles the
+    * mega-duplicated keys) and one exchange on the doc id to reassemble.
+    * The corpus text itself shuffles once per exchange; nothing is
+    * collected. Keying on the hash rather than the paragraph string keeps
+    * the window key fixed-width; both sides of the driver oracle use the
+    * same `family` hash, so a (cosmically unlikely) 60-bit collision would
+    * drop the same paragraph in both engines rather than diverge.
+    *
+    * One row per input doc, empty docs included (`(0, 0, '')` like
+    * [[scrubDuplicatedSpans]]): (id, n_paras, n_kept, clean_text), with
+    * paragraphs rejoined by `sep`.
+    */
+  def paragraphDedup(docs: DataFrame, idCol: String, textCol: String,
+                     sep: String = "\n\n",
+                     family: String = graft.functions.HashFamily.Xx64): DataFrame = {
+    val sepHex = sep.map(c => s"chr(${c.toInt})").mkString("concat(", ", ", ")")
+    val paras = docs
+      .selectExpr(s"$idCol AS id",
+        s"posexplode(filter(split(coalesce($textCol, ''), $sepHex), p -> p != '')) AS (idx, para)")
+      .withColumn("pkey", expr(TextAnalysis.hash60("para", family)))
+    // Keep-first flag from ONE hash-keyed window, then doc reassembly from
+    // ONE id-keyed aggregation over the same flagged frame (collect_list
+    // skips the CASE's nulls, so losers vanish without a second scan).
+    val flagged = paras.withColumn("rn", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy("pkey").orderBy(col("id"), col("idx"))))
+    val rebuilt = flagged.groupBy("id").agg(
+      count(lit(1)).cast("int").as("n_paras"),
+      count(when(col("rn") === 1, 1)).cast("int").as("n_kept"),
+      concat_ws(sep, expr(
+        "transform(array_sort(collect_list(CASE WHEN rn = 1 THEN struct(idx, para) END)), s -> s.para)"))
+        .as("clean_text"))
+    docs.selectExpr(s"$idCol AS id")
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_paras"), lit(0)).as("n_paras"),
+        coalesce(col("n_kept"), lit(0)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** SimHash near-duplicates with Hamming distance <= maxDist: the 60-bit
     * signature is banded into `maxDist + 1` chunks, so by pigeonhole any
     * pair within maxDist agrees exactly on at least one chunk — candidates

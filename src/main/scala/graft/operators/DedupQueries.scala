@@ -17,6 +17,22 @@ object DedupQueries {
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
+  /** q_d16's boilerplate planting: each doc keeps its own (unique) body
+    * paragraph and gains 0-3 corpus-shared footer paragraphs by doc_id
+    * residue — the repeated-across-documents shape paragraph dedup
+    * removes. Shared verbatim with the DuckDB oracle.
+    */
+  private[graft] def withPlantedBoilerplate(d: DataFrame): DataFrame =
+    d.selectExpr("doc_id",
+      """concat(coalesce(text, ''),
+        |  CASE WHEN doc_id % 2 = 0 THEN concat(chr(10), chr(10),
+        |    'Subscribe to our newsletter for daily updates') ELSE '' END,
+        |  CASE WHEN doc_id % 3 = 0 THEN concat(chr(10), chr(10),
+        |    'All rights reserved worldwide') ELSE '' END,
+        |  CASE WHEN doc_id % 7 = 0 THEN concat(chr(10), chr(10),
+        |    'Share this article with your friends') ELSE '' END)
+        |  AS btext""".stripMargin)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // MinHash-LSH near-duplicates, exact-verified: equals brute-force
     // shingle-Jaccard >= 0.7 (LSH recall at the planted J >= 0.9 pairs is
@@ -141,6 +157,22 @@ object DedupQueries {
         .select("doc_id", "lang", "n_chars")
         .orderBy("doc_id")
     }),
+
+    // Cross-document PARAGRAPH dedup (CCNet's leading stage): corpus-wide
+    // boilerplate paragraphs are planted IN-QUERY (newsletter / copyright
+    // / social footers on doc_id % 2 / % 3 / % 7 — the deterministic
+    // construction DuckDB replays) after each doc's own unique body
+    // paragraph; the keep-first rule must retain each boilerplate only in
+    // the lowest-id doc carrying it and reassemble every other doc
+    // without it. md5 keys so the oracle's window partitions identically.
+    "q_d16_paragraph_dedup" -> ((s, dir) =>
+      Dedup.paragraphDedup(withPlantedBoilerplate(docs(s, dir)),
+          "doc_id", "btext", family = "md5")
+        .withColumnRenamed("id", "doc_id")
+        .select(col("doc_id"), col("n_paras"), col("n_kept"),
+          length(col("clean_text")).cast("long").as("clean_chars"),
+          substring(col("clean_text"), 1, 60).as("preview"))
+        .orderBy("doc_id")),
 
     // Semantic dedup clusters: embedding near-dup pairs (via the same
     // cost-based planner as q_v6 — same recall contract, same exact
@@ -460,6 +492,52 @@ object DedupQueries {
     },
 
     // q_d5's reachability closure, resolved to the surviving rows: drop
+    // Replays q_d16 end to end: the boilerplate planting, the
+    // double-newline paragraph split, the md5-60-keyed keep-first window
+    // (same tie order: doc id then position — DuckDB's 1-based positions
+    // shift both sides of the comparison equally), and the ordered
+    // reassembly. list(... ORDER BY idx) FILTER gives the kept-paragraph
+    // sequence; array_to_string of an empty list is NULL -> coalesce.
+    "q_d16_paragraph_dedup" ->
+      s"""WITH planted AS (
+         |  SELECT doc_id,
+         |    coalesce(text, '')
+         |    || CASE WHEN doc_id % 2 = 0 THEN chr(10) || chr(10) ||
+         |         'Subscribe to our newsletter for daily updates' ELSE '' END
+         |    || CASE WHEN doc_id % 3 = 0 THEN chr(10) || chr(10) ||
+         |         'All rights reserved worldwide' ELSE '' END
+         |    || CASE WHEN doc_id % 7 = 0 THEN chr(10) || chr(10) ||
+         |         'Share this article with your friends' ELSE '' END AS btext
+         |  FROM documents),
+         |pl AS (
+         |  SELECT doc_id,
+         |         list_filter(string_split(btext, chr(10) || chr(10)), p -> p != '') AS ps
+         |  FROM planted),
+         |paras AS (
+         |  SELECT doc_id, unnest(generate_series(1, len(ps))) AS idx,
+         |         unnest(ps) AS para
+         |  FROM pl),
+         |flagged AS (
+         |  SELECT doc_id, idx, para,
+         |         row_number() OVER (PARTITION BY ${duckHash60("para")}
+         |                            ORDER BY doc_id, idx) AS rn
+         |  FROM paras),
+         |reb AS (
+         |  SELECT doc_id,
+         |         count(*) AS n_paras,
+         |         count(*) FILTER (WHERE rn = 1) AS n_kept,
+         |         coalesce(array_to_string(
+         |           list(para ORDER BY idx) FILTER (WHERE rn = 1),
+         |           chr(10) || chr(10)), '') AS clean
+         |  FROM flagged GROUP BY doc_id)
+         |SELECT p.doc_id,
+         |       CAST(coalesce(r.n_paras, 0) AS INT) AS n_paras,
+         |       CAST(coalesce(r.n_kept, 0) AS INT) AS n_kept,
+         |       CAST(length(coalesce(r.clean, '')) AS BIGINT) AS clean_chars,
+         |       substr(coalesce(r.clean, ''), 1, 60) AS preview
+         |FROM planted p LEFT JOIN reb r ON p.doc_id = r.doc_id
+         |ORDER BY p.doc_id""".stripMargin,
+
     // every id whose component label is smaller than itself
     "q_d8_dedup_corpus" ->
       s"""WITH RECURSIVE d AS (

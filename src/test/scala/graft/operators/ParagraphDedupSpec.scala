@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.Row
+
+/** [[Dedup.paragraphDedup]]: CCNet-shape cross-document paragraph dedup.
+  * Keep-first is by (doc id, position); reassembly preserves original
+  * paragraph order; every input doc survives as a row.
+  */
+class ParagraphDedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def run(docs: Seq[(Long, String)],
+                  family: String = "md5"): Map[Long, (Int, Int, String)] =
+    Dedup.paragraphDedup(docs.toDF("doc_id", "text"), "doc_id", "text",
+        family = family)
+      .collect()
+      .map { r: Row => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getString(3)) }
+      .toMap
+
+  test("a corpus-repeated paragraph survives only in the lowest (id, pos) doc") {
+    val out = run(Seq((2L, "body two\n\nshared footer"),
+                      (1L, "body one\n\nshared footer")))
+    assert(out(1L) === ((2, 2, "body one\n\nshared footer")))
+    assert(out(2L) === ((2, 1, "body two")))
+  }
+
+  test("within-doc repetition keeps the first position") {
+    val out = run(Seq((1L, "x\n\ny\n\nx")))
+    assert(out(1L) === ((3, 2, "x\n\ny")))
+  }
+
+  test("reassembly preserves original paragraph order") {
+    val out = run(Seq((1L, "c\n\na\n\nb")))
+    assert(out(1L) === ((3, 3, "c\n\na\n\nb")))
+  }
+
+  test("null and empty docs stay countable as (0, 0, '')") {
+    val out = run(Seq((1L, null.asInstanceOf[String]), (2L, ""), (3L, "a")))
+    assert(out(1L) === ((0, 0, "")))
+    assert(out(2L) === ((0, 0, "")))
+    assert(out(3L) === ((1, 1, "a")))
+  }
+
+  test("md5 and xx64 key families agree on the output") {
+    val docs = Seq((3L, "p\n\nq\n\nshared"), (7L, "shared\n\nr"),
+                   (5L, "q\n\nshared\n\np"))
+    assert(run(docs, "md5") === run(docs, "xx64"))
+  }
+
+  test("result is invariant to input partitioning") {
+    val docs = Seq((2L, "b\n\nz"), (9L, "z\n\nq\n\nz"), (4L, "z\n\nb"))
+    val base = run(docs)
+    val scrambled = Dedup.paragraphDedup(
+        docs.toDF("doc_id", "text").repartition(7, $"text"),
+        "doc_id", "text", family = "md5")
+      .collect()
+      .map { r: Row => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getString(3)) }
+      .toMap
+    assert(scrambled === base)
+  }
+}
