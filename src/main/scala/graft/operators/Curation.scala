@@ -11,10 +11,17 @@ import org.apache.spark.sql.functions._
   *     → URL layer           (optional, first — the cheapest work: canonical-
   *                            URL dedup + registered-domain blocklist, both
   *                            before anything touches the text)
+  *     → paragraph dedup     (optional, CCNet-shape: corpus-repeated
+  *                            boilerplate paragraphs removed at all but
+  *                            their first occurrence, docs rewritten —
+  *                            before any text measurement)
   *     → quality gate        (row-local, one scan; either the scalar
   *                            heuristics or — with [[Curation.GopherConfig]] —
   *                            the auditable Gopher rule card, which adds
   *                            per-rule drop counts to the report)
+  *     → repetition gate     (optional: the Gopher Table-A1 repetition
+  *                            card — nine per-rule drop counts join the
+  *                            report's rule audit)
   *     → classifier gate     (optional: hashed-linear margin threshold,
   *                            model-as-plan-literal inference riding the
   *                            scan — [[Curation.ClassifierConfig]])
@@ -65,7 +72,9 @@ object Curation {
                           ruleDrops: Map[String, Long] = Map.empty,
                           nAfterClassifier: Long = -1L,
                           nAfterUrlDedup: Long = -1L,
-                          nAfterBlocklist: Long = -1L)
+                          nAfterBlocklist: Long = -1L,
+                          nAfterParagraphDedup: Long = -1L,
+                          nAfterRepetition: Long = -1L)
 
   /** Quality thresholds for the row-local gate. Defaults are the
     * web-corpus heuristics (Gopher-family): enough tokens, some lexical
@@ -129,7 +138,9 @@ object Curation {
              gopher: Option[GopherConfig] = None,
              classifier: Option[ClassifierConfig] = None,
              urlCol: Option[String] = None,
-             domainBlocklist: Option[DataFrame] = None): Report = {
+             domainBlocklist: Option[DataFrame] = None,
+             paragraphDedupStage: Boolean = false,
+             repetitionGate: Boolean = false): Report = {
     val nInput = docs.count()
 
     // URL layer FIRST when the corpus carries URLs (the web-pipeline
@@ -160,7 +171,19 @@ object Curation {
           "domainBlocklist requires urlCol — there is no domain without a URL")
         (docs, -1L, -1L)
     }
-    val docs1 = docsAfterUrl
+    // CCNet-shape paragraph dedup right after the URL layer, BEFORE the
+    // quality gate: corpus-repeated boilerplate paragraphs are removed at
+    // all but their first occurrence and docs are rewritten from the
+    // survivors, so every later stage (quality card, classifier, MinHash)
+    // measures prose, not footers. Docs left with no paragraphs drop.
+    val (docs1, nParagraph) = if (paragraphDedupStage) {
+      val clean = Dedup.paragraphDedup(docsAfterUrl, "doc_id", "text")
+        .filter(col("n_kept") > 0)
+        .select(col("id").as("doc_id"), col("clean_text").as("text"))
+      val rewritten = docsAfterUrl.drop("text")
+        .join(clean, Seq("doc_id")).persist()
+      (rewritten, rewritten.count())
+    } else (docsAfterUrl, -1L)
 
     // Quality gate: either the scalar heuristics or (when `gopher` is
     // set) the rule card — same row-local shape, but the card keeps WHICH
@@ -187,13 +210,41 @@ object Curation {
         (qualityGate(docs1, "text", quality), Map.empty[String, Long])
     }
 
+    // Optional repetition gate (Gopher Table A1's repetitious-text half,
+    // [[TextAnalysis.gopherRepetitionCard]]) directly after the quality
+    // gate — the same row-local card shape, with its nine per-rule drop
+    // counts merged into the report's rule audit (names are disjoint from
+    // the rule card's).
+    val (afterGates, nQualityPre, nRepetition, ruleDropsAll) =
+      if (repetitionGate) {
+        val g = gated.persist()
+        val nG = g.count()
+        val card = TextAnalysis.gopherRepetitionCard(
+            g.select(col("doc_id"), col("text")), "doc_id", "text")
+          .persist()
+        val repCols = Seq("r1_dup_lines", "r2_dup_line_chars",
+          "r3_dup_paras", "r4_dup_para_chars", "r5_top2gram",
+          "r6_top3gram", "r7_top4gram", "r8_dup5gram", "r9_dup10gram")
+        val drops = card
+          .agg(sum(expr(s"1 - ${repCols.head}")).as(repCols.head),
+            repCols.tail.map(c => sum(expr(s"1 - $c")).as(c)): _*)
+          .head()
+        val dropMap = repCols.map(c => c -> drops.getAs[Long](c)).toMap
+        val kept = g.join(card.filter(col("pass") === 1).select("doc_id"),
+          Seq("doc_id"), "left_semi").persist()
+        val nKept = kept.count()
+        card.unpersist()
+        g.unpersist()
+        (kept, nG, nKept, ruleDrops ++ dropMap)
+      } else (gated, -1L, -1L, ruleDrops)
+
     // Optional trained-classifier gate — row-local inference riding the
     // scan; only surviving ids semi-join back. nAfterQuality counts the
     // rule/heuristic gate alone so the two stages stay separable in the
     // report.
-    val (afterQuality0, nQuality, nClassifier) = classifier match {
+    val (afterQuality0, nGateCount, nClassifier) = classifier match {
       case Some(c) =>
-        val g = gated.persist()
+        val g = afterGates.persist()
         val nGate = g.count()
         val kept = g.join(
             TextAnalysis.hashedLinearScore(g, "doc_id", "text",
@@ -206,9 +257,13 @@ object Curation {
         g.unpersist()
         (kept, nGate, nK)
       case None =>
-        val g = gated.persist()
+        val g = afterGates.persist()
         (g, g.count(), -1L)
     }
+    // nAfterQuality reports the quality gate ALONE: when the repetition
+    // gate ran, the classifier block's input count is post-repetition, so
+    // the pre-repetition count is the quality number.
+    val nQuality = if (repetitionGate) nQualityPre else nGateCount
 
     // Benchmark decontamination BEFORE any dedup work: flagged docs must
     // not ship, so dropping them first also spares the wide stages. The
@@ -289,9 +344,12 @@ object Curation {
     (Seq(afterQuality0, exactKeepers, deduped, packed) ++
       benchmark.map(_ => afterDecontam) ++
       (if (scrubWindow > 0) Seq(afterScrub) else Nil) ++
-      (if (urlCol.isDefined) Seq(docs1) else Nil)).foreach(_.unpersist())
+      (if (repetitionGate) Seq(afterGates) else Nil) ++
+      (if (paragraphDedupStage) Seq(docs1) else Nil) ++
+      (if (urlCol.isDefined) Seq(docsAfterUrl) else Nil)).foreach(_.unpersist())
     Report(nInput, nQuality, nExact, nNear, splitCounts,
       totals.getLong(0), totals.getLong(1), nDecontam, nScrub,
-      ruleDrops, nClassifier, nUrlDedup, nBlocklist)
+      ruleDropsAll, nClassifier, nUrlDedup, nBlocklist,
+      nParagraph, nRepetition)
   }
 }

@@ -144,6 +144,44 @@ class CurationSpec extends SparkTestBase {
     assert(a == b, "gopher-gated rerun must reproduce the corpus byte-for-byte")
   }
 
+  test("paragraph dedup + repetition gate: stage accounting and deterministic rerun") {
+    // Plant cross-doc boilerplate so the paragraph stage has work to do.
+    val planted = docs.withColumn("text",
+      concat(col("text"),
+        when(col("doc_id") % 2 === 0,
+          concat(lit("\n\n"), lit("subscribe to the newsletter")))
+          .otherwise(lit(""))))
+    val out1 = Files.createTempDirectory("graft-curate-p1").toString
+    val r1 = Curation.curate(planted, out1, seed = "cur-7",
+      budgetTokens = 256L, paragraphDedupStage = true, repetitionGate = true)
+
+    // paragraph stage: every doc keeps its unique body, so none drop;
+    // exactly one boilerplate copy survives corpus-wide
+    assert(r1.nAfterParagraphDedup == r1.nInput)
+    val cleaned = Dedup.paragraphDedup(planted, "doc_id", "text")
+    assert(cleaned.filter(col("clean_text")
+      .contains("subscribe to the newsletter")).count() == 1L)
+
+    // repetition gate: survivors match an independent card replay over the
+    // paragraph-deduped text, and its nine rules join the audit map
+    val repNames = Set("r1_dup_lines", "r2_dup_line_chars", "r3_dup_paras",
+      "r4_dup_para_chars", "r5_top2gram", "r6_top3gram", "r7_top4gram",
+      "r8_dup5gram", "r9_dup10gram")
+    assert(repNames.subsetOf(r1.ruleDrops.keySet))
+    assert(r1.nAfterRepetition >= 0 &&
+      r1.nAfterRepetition <= r1.nAfterQuality)
+    assert(r1.nAfterExactDedup <= r1.nAfterRepetition)
+
+    // rerun determinism with both stages on
+    val out2 = Files.createTempDirectory("graft-curate-p2").toString
+    val r2 = Curation.curate(planted, out2, seed = "cur-7",
+      budgetTokens = 256L, paragraphDedupStage = true, repetitionGate = true)
+    assert(r2 == r1)
+    val a = spark.read.parquet(out1).orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val b = spark.read.parquet(out2).orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(a == b, "paragraph+repetition rerun must reproduce the corpus byte-for-byte")
+  }
+
   test("classifier gate composes after the rule gate and reports its survivors") {
     val out = Files.createTempDirectory("graft-curate-c").toString
     val r = Curation.curate(docs, out, seed = "cur-7", budgetTokens = 256L,
