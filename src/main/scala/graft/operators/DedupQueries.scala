@@ -174,6 +174,24 @@ object DedupQueries {
           substring(col("clean_text"), 1, 60).as("preview"))
         .orderBy("doc_id")),
 
+    // SEMANTIC decontamination (the embedding twin of q_d12's n-gram
+    // overlap): the benchmark is derived IN-QUERY as perturbed copies of
+    // every 13th corpus vector — light perturbation (amp 0.02, cosine
+    // ~0.95) must flag, heavy (amp 0.5 on vec_id % 26, cosine ~0.12) must
+    // not — so both sides of the 0.9 floor are exercised and DuckDB
+    // replays the derivation (1-based j -> j-1) and the brute cosine scan.
+    "q_d17_semantic_decontam" -> ((s, dir) => {
+      val bench = emb(s, dir).filter(col("vec_id") % 13 === 0)
+        .selectExpr("vec_id + 900000000 AS bench_id",
+          """transform(embedding, (x, j) ->
+            |  CAST(CAST(x AS DOUBLE) + ((vec_id * 31 + j) % 7 - 3) *
+            |    (CASE WHEN vec_id % 26 = 0 THEN 0.5D ELSE 0.02D END)
+            |  AS FLOAT)) AS b_emb""".stripMargin)
+      SimilaritySearch.semanticFlaggedPairs(emb(s, dir), "vec_id",
+          "embedding", bench, "bench_id", "b_emb", minCosine = 0.9)
+        .orderBy("id", "bench_id")
+    }),
+
     // Semantic dedup clusters: embedding near-dup pairs (via the same
     // cost-based planner as q_v6 — same recall contract, same exact
     // output) → connected components → min-id canonical per cluster. The
@@ -537,6 +555,35 @@ object DedupQueries {
          |       substr(coalesce(r.clean, ''), 1, 60) AS preview
          |FROM planted p LEFT JOIN reb r ON p.doc_id = r.doc_id
          |ORDER BY p.doc_id""".stripMargin,
+
+    // Replays q_d17: the bench derivation (DuckDB's 1-based list lambda
+    // index -> j-1 matches Spark's 0-based transform), the sequential
+    // double dot/norm cosine, and the EXACT integer floor (cosine is
+    // 6-dp-rounded, scaled to a BIGINT, and compared to 900000 — the same
+    // arithmetic as the Spark side, so the boundary can't drift on a
+    // float compare).
+    "q_d17_semantic_decontam" ->
+      """WITH bench AS (
+        |  SELECT vec_id + 900000000 AS bench_id,
+        |         list_transform(embedding, (x, j) ->
+        |           CAST(CAST(x AS DOUBLE) + ((vec_id * 31 + (j - 1)) % 7 - 3) *
+        |             (CASE WHEN vec_id % 26 = 0 THEN 0.5 ELSE 0.02 END)
+        |           AS FLOAT)) AS b_emb
+        |  FROM embeddings WHERE vec_id % 13 = 0),
+        |p AS (
+        |  SELECT e.vec_id AS id, b.bench_id,
+        |         CAST(round(round(
+        |           list_sum(list_transform(generate_series(1, len(e.embedding)),
+        |             i -> CAST(e.embedding[i] AS DOUBLE) * CAST(b.b_emb[i] AS DOUBLE)))
+        |           / (sqrt(list_sum(list_transform(e.embedding,
+        |                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |              * sqrt(list_sum(list_transform(b.b_emb,
+        |                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) * 1e6)
+        |           AS BIGINT) AS c6
+        |  FROM embeddings e, bench b)
+        |SELECT id, bench_id, round(c6 / 1e6, 6) AS cosine
+        |FROM p WHERE c6 >= 900000
+        |ORDER BY id, bench_id""".stripMargin,
 
     // every id whose component label is smaller than itself
     "q_d8_dedup_corpus" ->

@@ -140,6 +140,52 @@ object SimilaritySearch {
     scoreMargins(pairs, k)
   }
 
+  /** SEMANTIC benchmark decontamination, the embedding-space twin of
+    * [[Dedup.decontaminate]]'s n-gram overlap: every (corpus, benchmark)
+    * pair whose exact cosine reaches `minCosine`, compared on the
+    * 6-dp scaled LONG so the boundary is bit-stable and externally
+    * replayable. Paraphrased or lightly-edited eval items — invisible to
+    * verbatim n-gram overlap — land here.
+    *
+    * Scale shape: the benchmark side is eval-set sized (10^4-10^5 rows) →
+    * BROADCAST; the corpus scans ONCE through a broadcast nested-loop
+    * with the codegen'd cosine, and never shuffles. Per-row cost is
+    * |bench| dot products — the brute/oracle leg; a corpus-scale build
+    * prunes candidates with the SRP machinery above
+    * ([[marginAlignmentLsh]] with `thresholdBounded`) and keeps this
+    * exact scorer as the recall referee.
+    */
+  def semanticFlaggedPairs(corpus: DataFrame, idCol: String, embCol: String,
+                           bench: DataFrame, benchIdCol: String,
+                           benchEmbCol: String,
+                           minCosine: Double): DataFrame = {
+    val spark = corpus.sparkSession
+    val floor6 = Math.round(minCosine * 1e6)
+    corpus.select(col(idCol).as("id"), col(embCol).as("x_emb"))
+      .crossJoin(broadcast(bench.select(col(benchIdCol).as("bench_id"),
+        col(benchEmbCol).as("b_emb"))))
+      .withColumn("c6",
+        round(round(VectorExprs.cosineFast(spark, "x_emb", "b_emb"), 6) * 1e6)
+          .cast("long"))
+      .filter(col("c6") >= floor6)
+      .select(col("id"), col("bench_id"),
+        round(col("c6") / 1e6, 6).as("cosine"))
+  }
+
+  /** The corpus with every semantically-contaminated doc removed: an
+    * anti-join against [[semanticFlaggedPairs]]'s flagged ids (flagged set
+    * is benchmark-neighborhood sized — AQE broadcasts it).
+    */
+  def semanticDecontaminate(corpus: DataFrame, idCol: String,
+                            embCol: String, bench: DataFrame,
+                            benchIdCol: String, benchEmbCol: String,
+                            minCosine: Double): DataFrame =
+    corpus.join(
+      semanticFlaggedPairs(corpus, idCol, embCol, bench, benchIdCol,
+          benchEmbCol, minCosine)
+        .select(col("id").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+
   /** The margin-scoring stage shared by [[marginAlignment]] (exact cross
     * product) and [[marginAlignmentLsh]] (SRP candidates): consumes a
     * candidate frame (x_id, y_id, c6 = 6-dp scaled-long cosine), computes
