@@ -235,6 +235,40 @@ object ScaleBench {
           operators.UrlQueries.withMessyUrl(
             s.read.parquet(s"$d/documents.parquet")),
           "url", "doc_id"))) :+
+      // Gopher repetition card over the planted-paragraph frame: all nine
+      // within-doc metrics are row-local sort+run-length array work, so
+      // like q_t26/q_t17 the curve must track the scan — superlinearity
+      // here means a per-row pass went quadratic in the token count
+      ("q_t28_repetition_scale" -> ((s: SparkSession, d: String) =>
+        operators.TextAnalysis.gopherRepetitionCard(
+          operators.TextQueries.withPlantedParagraphs(
+            s.read.parquet(s"$d/documents.parquet")),
+          "doc_id", "ptext"))) :+
+      // CCNet paragraph dedup over planted corpus-shared boilerplate: one
+      // hash-keyed keep-first window + one id-keyed reassembly — shuffle
+      // bytes must track the paragraph payload, wall must track the scan
+      ("q_d16_paragraph_dedup_scale" -> ((s: SparkSession, d: String) =>
+        operators.Dedup.paragraphDedup(
+          operators.DedupQueries.withPlantedBoilerplate(
+            s.read.parquet(s"$d/documents.parquet")),
+          "doc_id", "btext")
+          .select(col("id"), col("n_paras"), col("n_kept"),
+            length(col("clean_text")).as("n")))) :+
+      // semantic decontamination: eval-sized bench broadcast x corpus
+      // nested-loop with the codegen'd cosine — wall grows with corpus
+      // rows x bench rows, shuffle stays ~zero (broadcast only)
+      ("q_d17_semantic_decontam_scale" -> ((s: SparkSession, d: String) => {
+        val e = s.read.parquet(s"$d/embeddings.parquet")
+          .select("vec_id", "embedding")
+        val bench = e.filter(col("vec_id") % 131 === 0)
+          .selectExpr("vec_id + 900000000000L AS bench_id",
+            """transform(embedding, (x, j) ->
+              |  CAST(CAST(x AS DOUBLE) + ((vec_id * 31 + j) % 7 - 3) *
+              |    (CASE WHEN vec_id % 262 = 0 THEN 0.5D ELSE 0.02D END)
+              |  AS FLOAT)) AS b_emb""".stripMargin)
+        operators.SimilaritySearch.semanticFlaggedPairs(e, "vec_id",
+          "embedding", bench, "bench_id", "b_emb", minCosine = 0.9)
+      })) :+
       ("q_v6_neardup_scale" -> ((s: SparkSession, d: String) =>
         operators.SimilaritySearch.embeddingNearDupPairs(
           s.read.parquet(s"$d/embeddings.parquet"), "vec_id", "embedding",
