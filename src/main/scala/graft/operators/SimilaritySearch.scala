@@ -186,6 +186,55 @@ object SimilaritySearch {
         .select(col("id").as(idCol)).distinct(),
       Seq(idCol), "left_anti")
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication at corpus scale by CLUSTER-BOUNDING the pairwise cosine
+    * — k-means partitions the corpus into k cells, exact pairwise cosine
+    * runs only WITHIN a cell, pairs at/above `minCosine` form a dup graph,
+    * and each connected component keeps one canonical doc (the min id —
+    * deterministic where the paper samples). Per-doc output:
+    * `(id, cluster_id, rep_id, kept)` — `kept = 0` rows are the semantic
+    * duplicates a curation pass drops.
+    *
+    * Why this decomposition survives 100 TB: all-pairs cosine is O(n²) and
+    * dead on arrival; SemDeDup's insight is that semantic dups land in the
+    * same k-means cell, so the quadratic is paid per-cell — O(Σ n_c²),
+    * tuned by k (the paper uses k ≈ n/10⁴ on LAION). The clustering here is
+    * [[Clustering.kmeansInt]] — integer-exact, so the cell assignment (and
+    * therefore the whole output) is bit-replayable by an external engine,
+    * which float k-means can never be. The within-cell self-join shuffles
+    * both sides once on `cluster_id` (AQE splits skewed cells); the exact
+    * cosine is the codegen'd 6-dp-scaled-long compare (the q_v10/q_v16
+    * boundary idiom), and components resolve via
+    * [[Dedup.connectedComponents]]'s min-label + pointer-halving loop.
+    * Docs in no dup pair never enter the component loop — the graph frame
+    * is pair-set sized, not corpus sized.
+    */
+  def semDeDup(emb: DataFrame, idCol: String, embCol: String, k: Int,
+               iterations: Int, minCosine: Double): DataFrame = {
+    val spark = emb.sparkSession
+    val floor6 = Math.round(minCosine * 1e6)
+    // one k-means run, materialized: both sides of the cell self-join and
+    // the final per-doc frame read it
+    val assigned = Dedup.materialize(
+      Clustering.kmeansInt(emb, idCol, embCol, k, iterations)
+        .select(col(idCol).as("id"), col("cluster_id"))
+        .join(emb.select(col(idCol).as("id"), col(embCol).as("e")), "id"))
+    val pairs = assigned.select(col("id").as("id_a"), col("cluster_id"),
+        col("e").as("e_a"))
+      .join(assigned.select(col("id").as("id_b"), col("cluster_id"),
+        col("e").as("e_b")), Seq("cluster_id"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(round(VectorExprs.cosineFast(spark, "e_a", "e_b"), 6)
+        * 1e6).cast("long") >= floor6)
+      .select("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs)
+      .withColumnRenamed("cluster", "rep_id")
+    assigned.select("id", "cluster_id")
+      .join(comps, Seq("id"), "left")
+      .withColumn("rep_id", coalesce(col("rep_id"), col("id")))
+      .withColumn("kept", (col("rep_id") === col("id")).cast("int"))
+  }
+
   /** The margin-scoring stage shared by [[marginAlignment]] (exact cross
     * product) and [[marginAlignmentLsh]] (SRP candidates): consumes a
     * candidate frame (x_id, y_id, c6 = 6-dp scaled-long cosine), computes

@@ -45,6 +45,41 @@ object VectorQueries {
   private def dotExpr(a: String, b: String): String =
     s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
 
+  /** The integer-k-means replay CTE chain shared by the q_v13 and q_v17
+    * oracles: expects a `quant(vec_id, q)` CTE in scope (longs via
+    * round((x+1)*1e6)), emits seeds `c0` (k smallest ids), three
+    * assignment passes and two integer-mean recomputes ending at `a2` —
+    * the exact unroll of `Clustering.kmeansInt(iterations = 2)`. Argmin is
+    * ORDER BY (d, cid), the Spark side's array_min over (d, cid) structs;
+    * `//` on the shifted nonnegative domain equals Spark's truncating
+    * `div`.
+    */
+  private def kmeansStages(k: Int): String = {
+    def assign(dn: String, an: String, cn: String): String =
+      s"""$dn AS (SELECT a.vec_id, a.q, c.cid,
+         |              CAST(list_sum(list_transform(generate_series(1, len(a.q)),
+         |                i -> (a.q[i] - c.q[i]) * (a.q[i] - c.q[i]))) AS BIGINT) AS d
+         |       FROM quant a CROSS JOIN $cn c),
+         |$an AS (SELECT vec_id, q, cid, d FROM
+         |        (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM $dn)
+         |       WHERE rn = 1)""".stripMargin
+    def recompute(cn: String, an: String): String =
+      s"""$cn AS (SELECT cid, list(m ORDER BY dim) AS q FROM
+         |        (SELECT cid, dim, CAST(sum(v) // count(*) AS BIGINT) AS m
+         |         FROM (SELECT cid,
+         |                      unnest(generate_series(1, len(q))) AS dim,
+         |                      unnest(q) AS v
+         |               FROM $an)
+         |         GROUP BY cid, dim)
+         |       GROUP BY cid)""".stripMargin
+    s"""c0 AS (SELECT vec_id AS cid, q FROM quant ORDER BY vec_id LIMIT $k),
+       |${assign("d0", "a0", "c0")},
+       |${recompute("c1", "a0")},
+       |${assign("d1", "a1", "c1")},
+       |${recompute("c2", "a1")},
+       |${assign("d2", "a2", "c2")}""".stripMargin
+  }
+
   private def normExpr(a: String): String =
     s"sqrt(aggregate($a, CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
 
@@ -208,6 +243,29 @@ object VectorQueries {
           k = 4, minCosine = 0.85, targetRecall = 0.999999,
           thresholdBounded = true)
         .orderBy("x_id")
+    }),
+
+    // SemDeDup over a twin-planted corpus: every fifth vector gets a
+    // lightly-perturbed twin (+500000 tag, the q_v16 derivation — cosine
+    // ~0.97 to its original), then cluster-bounded semantic dedup at
+    // cosine >= 0.9 with the q_v13 k-means configuration (k = 8, 2
+    // iterations, integer-exact). The per-doc (cluster_id, rep_id, kept)
+    // output pins the cell assignment, the within-cell >= threshold pair
+    // set, AND the component resolution: a twin assigned to a different
+    // cell than its original (legal — SemDeDup's known recall boundary)
+    // must be KEPT by both engines identically, so the hash also fixes
+    // the operator's miss behavior, not just its hits.
+    "q_v17_semdedup" -> ((s, dir) => {
+      val base = emb(s, dir).select("vec_id", "embedding")
+      val twins = base.filter(col("vec_id") % 5 === 0).select(
+        (col("vec_id") + lit(500000L)).as("vec_id"),
+        expr("transform(embedding, (x, j) -> " +
+          "CAST(CAST(x AS DOUBLE) + ((vec_id * 31 + j) % 7 - 3) * 0.015D AS FLOAT))")
+          .as("embedding"))
+      SimilaritySearch.semDeDup(base.unionByName(twins).localCheckpoint(),
+          "vec_id", "embedding", k = 8, iterations = 2, minCosine = 0.9)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy("vec_id")
     })
   )
 
@@ -299,40 +357,62 @@ object VectorQueries {
     // truncating `div`), three assignment passes (argmin = ORDER BY d,
     // cid — the Spark side's array_min over (d, cid) structs), two
     // integer-mean recomputes between them.
-    "q_v13_kmeans_topics" -> {
-      def assign(dn: String, an: String, cn: String): String =
-        s"""$dn AS (SELECT a.vec_id, a.q, c.cid,
-           |              CAST(list_sum(list_transform(generate_series(1, len(a.q)),
-           |                i -> (a.q[i] - c.q[i]) * (a.q[i] - c.q[i]))) AS BIGINT) AS d
-           |       FROM quant a CROSS JOIN $cn c),
-           |$an AS (SELECT vec_id, q, cid, d FROM
-           |        (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM $dn)
-           |       WHERE rn = 1)""".stripMargin
-      def recompute(cn: String, an: String): String =
-        s"""$cn AS (SELECT cid, list(m ORDER BY dim) AS q FROM
-           |        (SELECT cid, dim, CAST(sum(v) // count(*) AS BIGINT) AS m
-           |         FROM (SELECT cid,
-           |                      unnest(generate_series(1, len(q))) AS dim,
-           |                      unnest(q) AS v
-           |               FROM $an)
-           |         GROUP BY cid, dim)
-           |       GROUP BY cid)""".stripMargin
+    "q_v13_kmeans_topics" ->
       s"""WITH quant AS (
          |  SELECT vec_id,
          |         list_transform(embedding,
          |           x -> CAST(round((CAST(x AS DOUBLE) + 1.0) * 1000000) AS BIGINT)) AS q
          |  FROM embeddings),
-         |c0 AS (SELECT vec_id AS cid, q FROM quant ORDER BY vec_id LIMIT 8),
-         |${assign("d0", "a0", "c0")},
-         |${recompute("c1", "a0")},
-         |${assign("d1", "a1", "c1")},
-         |${recompute("c2", "a1")},
-         |${assign("d2", "a2", "c2")}
+         |${kmeansStages(k = 8)}
          |SELECT cid AS cluster_id, count(*) AS n_members,
          |       min(vec_id) AS first_member,
          |       CAST(sum(d) AS BIGINT) AS inertia
-         |FROM a2 GROUP BY 1 ORDER BY 1""".stripMargin
-    },
+         |FROM a2 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // SemDeDup replay: twin-planted corpus (the q_v16 derivation, 1-based
+    // j), the shared k-means unroll over it, within-cell pairs at the same
+    // 6-dp-scaled-long boundary Spark compares, recursive-CTE reachability
+    // for components (the q_v9 pattern), min label = canonical, singletons
+    // kept via the LEFT JOIN coalesce.
+    "q_v17_semdedup" ->
+      s"""WITH RECURSIVE corpus AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 500000,
+         |         list_transform(generate_series(1, len(embedding)),
+         |           j -> (embedding[j]::DOUBLE
+         |                 + ((vec_id * 31 + (j - 1)) % 7 - 3) * 0.015::DOUBLE)::FLOAT)
+         |  FROM embeddings WHERE vec_id % 5 = 0),
+         |quant AS (
+         |  SELECT vec_id,
+         |         list_transform(embedding,
+         |           x -> CAST(round((CAST(x AS DOUBLE) + 1.0) * 1000000) AS BIGINT)) AS q
+         |  FROM corpus),
+         |${kmeansStages(k = 8)},
+         |prs AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM a2 a JOIN a2 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |  JOIN corpus ea ON ea.vec_id = a.vec_id
+         |  JOIN corpus eb ON eb.vec_id = b.vec_id
+         |  WHERE CAST(round(round(
+         |          list_sum(list_transform(generate_series(1, len(ea.embedding)),
+         |            i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)))
+         |          / (sqrt(list_sum(list_transform(ea.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         |             * sqrt(list_sum(list_transform(eb.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+         |          6) * 1000000) AS BIGINT) >= 900000),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM prs
+         |  UNION SELECT id_b, id_a FROM prs),
+         |walk(id, label) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.id),
+         |comps AS (SELECT id, min(label) AS rep FROM walk GROUP BY 1)
+         |SELECT a.vec_id, a.cid AS cluster_id,
+         |       coalesce(c.rep, a.vec_id) AS rep_id,
+         |       CAST(coalesce(c.rep, a.vec_id) = a.vec_id AS INT) AS kept
+         |FROM a2 a LEFT JOIN comps c ON c.id = a.vec_id
+         |ORDER BY a.vec_id""".stripMargin,
 
     // Replays both rankings (full cosine, truncated 16-dim dot — the v1
     // arithmetic idiom) and the metric arithmetic: 9-dp-rounded
