@@ -186,10 +186,24 @@ object TextQueries {
     // verbatim and recomputes all nine fractions relationally (gram
     // counts via GROUP BY, coverage via an interval join) — a drift in
     // the sort/run-length/coverage machinery fails the hash.
+    // Order by sorting the CHEAP planted frame and keeping the row-local
+    // card above it (1:1 projections preserve partition-local order and
+    // the range partitioning, so the output files are globally
+    // doc_id-ordered exactly as a post-card orderBy would be). Sorting
+    // AFTER the card would range-SAMPLE the card itself — executing the
+    // whole per-row sort/run-length battery twice — and the sf parquet is
+    // a single row group, so without the explicit repartition the entire
+    // CPU-dense card runs in ONE task (48 s -> ~2 s at sf0.1; the
+    // explicit partition count also keeps AQE from coalescing the tiny
+    // sorted shuffle back to one partition). At real scale the scan
+    // arrives pre-split and the card rides it with zero exchanges — that
+    // shape is what the q_t28 ScaleBench leg measures.
     "q_t28_repetition_card" -> ((s, dir) =>
       TextAnalysis.gopherRepetitionCard(
-          withPlantedParagraphs(docs(s, dir)), "doc_id", "ptext")
-        .orderBy("doc_id")),
+          withPlantedParagraphs(docs(s, dir))
+            .repartitionByRange(32, col("doc_id"))
+            .sortWithinPartitions("doc_id"),
+          "doc_id", "ptext")),
 
     // HTML boilerplate extraction (trafilatura/Arc90 shape): raw web text
     // arrives as markup; each doc is wrapped IN-QUERY in a deterministic
