@@ -939,4 +939,56 @@ object TextAnalysis {
       .select(col(idCol), col("_r.n_blocks").as("n_blocks"),
         col("_r.n_kept").as("n_kept"), col("_r.extracted").as("extracted"))
   }
+
+  // ---------------------------------------------------------------------
+  // Encoding repair (mojibake). UTF-8 text that was decoded as
+  // Windows-1252 somewhere upstream in a crawl pipeline shows up as 2-3
+  // character garbage runs ("Ã©" where é was meant, "â€™" for ’) — the
+  // single most common encoding defect in web corpora. The repair table
+  // is DERIVED, not transcribed: for each intended character, encode to
+  // UTF-8 and decode those bytes as cp1252 — exactly the corruption being
+  // inverted (the core of ftfy's fix; public knowledge). Targets whose
+  // corrupted form would contain a cp1252 C1-gap byte (0x81/8D/8F/90/9D,
+  // e.g. the ” quote) are excluded so every entry is printable and safe
+  // to splice into a SQL string literal. Sorted longest-corrupted-form
+  // first so a 3-char E2-80-xx punctuation run is never half-eaten by a
+  // 2-char accent rule sharing a byte.
+
+  /** (corrupted sequence, intended character), longest sequence first. */
+  val mojibakeTable: Seq[(String, String)] = {
+    val targets = "’“…–—éèáóñüöäç"
+    targets.map { ch =>
+      val bad = new String(
+        ch.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        "windows-1252")
+      bad -> ch.toString
+    }.filter { case (bad, _) =>
+      bad.forall(c => c >= ' ' && c != '\'' && !c.isControl)
+    }.sortBy { case (bad, _) => (-bad.length, bad) }
+  }
+
+  /** SQL text counting mojibake-sequence occurrences in `textExpr`
+    * (per-sequence length-difference arithmetic — replayable in any SQL
+    * engine, no regex). The bound var keeps the input evaluated once.
+    */
+  def mojibakeCountExpr(textExpr: String): String =
+    Dedup.letBind(textExpr, "mj",
+      mojibakeTable.map { case (bad, _) =>
+        s"(length(mj) - length(replace(mj, '$bad', ''))) DIV ${bad.length}"
+      }.mkString("(", ") + (", ")"))
+
+  /** SQL text of the repair chain: one `replace` per table entry applied
+    * longest-first. Row-local, codegen'd, one pass per sequence.
+    */
+  def mojibakeRepairExpr(textExpr: String): String =
+    mojibakeTable.foldLeft(textExpr) { case (acc, (bad, good)) =>
+      s"replace($acc, '$bad', '$good')"
+    }
+
+  /** The corrupted form of an intended character, for building test /
+    * planted-injection fixtures from the same table the repair uses.
+    */
+  def mojibakeOf(good: String): String =
+    mojibakeTable.collectFirst { case (b, g) if g == good => b }.getOrElse(
+      throw new IllegalArgumentException(s"no mojibake entry for '$good'"))
 }

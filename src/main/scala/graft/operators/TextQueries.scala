@@ -205,6 +205,45 @@ object TextQueries {
             .sortWithinPartitions("doc_id"),
           "doc_id", "ptext")),
 
+    // Encoding repair (ftfy-shape mojibake fix): per-variant injection of
+    // cp1252-mojibake IN-QUERY (doc_id % 4: clean / accents a,e / curly
+    // apostrophe on s / both — the corrupted forms come from the SAME
+    // derived table the repairer inverts), then detect + repair + residual
+    // re-detect. PLANTED-CONSTRUCTION oracle: DuckDB never replays the
+    // repair chain — it computes the EXPECTED outputs analytically from
+    // the construction (n_bad from original char counts, fixed_md5 from a
+    // direct a→á/e→é/s→’ substitution, fixed_chars = length(t) since
+    // every repair is 1-char↔1-char) so a shared table/ordering bug in
+    // the operator fails the hash instead of cancelling out. All
+    // row-local string expressions, one codegen span, zero exchanges
+    // before the output sort.
+    "q_t29_mojibake_repair" -> ((s, dir) => {
+      val injAcc = "replace(replace(t, 'a', '" +
+        TextAnalysis.mojibakeOf("á") + "'), 'e', '" +
+        TextAnalysis.mojibakeOf("é") + "')"
+      val injP = s"'${TextAnalysis.mojibakeOf("’")}'"
+      docs(s, dir)
+        .selectExpr("doc_id", "coalesce(text, '') AS t")
+        .selectExpr("doc_id",
+          s"""CASE CAST(doc_id % 4 AS INT)
+             |  WHEN 0 THEN t
+             |  WHEN 1 THEN $injAcc
+             |  WHEN 2 THEN replace(t, 's', $injP)
+             |  ELSE replace($injAcc, 's', $injP) END AS c""".stripMargin)
+        .selectExpr("doc_id",
+          s"CAST(${TextAnalysis.mojibakeCountExpr("c")} AS BIGINT) AS n_bad",
+          Dedup.letBind(TextAnalysis.mojibakeRepairExpr("c"), "r",
+            s"""struct(
+               |  CAST(${TextAnalysis.mojibakeCountExpr("r")} AS BIGINT)
+               |    AS n_resid,
+               |  md5(r) AS fixed_md5,
+               |  CAST(length(r) AS BIGINT) AS fixed_chars)""".stripMargin) +
+            " AS _r")
+        .selectExpr("doc_id", "n_bad", "_r.n_resid AS n_resid",
+          "_r.fixed_md5 AS fixed_md5", "_r.fixed_chars AS fixed_chars")
+        .orderBy("doc_id")
+    }),
+
     // HTML boilerplate extraction (trafilatura/Arc90 shape): raw web text
     // arrives as markup; each doc is wrapped IN-QUERY in a deterministic
     // page skeleton — head/title, style + script (with a '<' inside the
@@ -804,6 +843,37 @@ object TextQueries {
         |            AND 10 * n_symbols <= n_words
         |            AND 5 * n_alpha_words >= 4 * n_words
         |            AND n_stopwords >= 2 AS INT) AS pass
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    // q_t29's planted-construction oracle: the EXPECTED post-repair state
+    // computed analytically — n_bad from original a/e/s character counts
+    // (each injected occurrence is exactly one table sequence), n_resid 0
+    // by inversion, fixed_md5 from the direct intended-character
+    // substitution, fixed_chars = length(t) because every repair maps one
+    // corrupted run to one character. The corrupted forms never appear
+    // here, so an engine-side table or ordering bug cannot cancel out.
+    "q_t29_mojibake_repair" ->
+      """WITH b AS (
+        |  SELECT doc_id, coalesce(text, '') AS t,
+        |         CAST(doc_id % 4 AS INTEGER) AS v
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, v, t,
+        |         length(t) - length(replace(t, 'a', '')) AS na,
+        |         length(t) - length(replace(t, 'e', '')) AS ne,
+        |         length(t) - length(replace(t, 's', '')) AS ns
+        |  FROM b)
+        |SELECT doc_id,
+        |       CAST(CASE v WHEN 0 THEN 0 WHEN 1 THEN na + ne
+        |                   WHEN 2 THEN ns ELSE na + ne + ns END
+        |            AS BIGINT) AS n_bad,
+        |       CAST(0 AS BIGINT) AS n_resid,
+        |       md5(CASE v WHEN 0 THEN t
+        |                  WHEN 1 THEN replace(replace(t, 'a', 'á'), 'e', 'é')
+        |                  WHEN 2 THEN replace(t, 's', '’')
+        |                  ELSE replace(replace(replace(t, 'a', 'á'),
+        |                               'e', 'é'), 's', '’') END) AS fixed_md5,
+        |       CAST(length(t) AS BIGINT) AS fixed_chars
         |FROM c ORDER BY doc_id""".stripMargin,
 
     // Replays q_t28 end to end: the paragraph planting (same
