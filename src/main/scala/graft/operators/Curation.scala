@@ -11,6 +11,11 @@ import org.apache.spark.sql.functions._
   *     → URL layer           (optional, first — the cheapest work: canonical-
   *                            URL dedup + registered-domain blocklist, both
   *                            before anything touches the text)
+  *     → encoding repair     (optional: the cp1252-mojibake replace chain
+  *                            rides the first text scan — BEFORE any text
+  *                            measurement, since mojibake perturbs
+  *                            paragraph hashes, token stats and
+  *                            classifier features alike)
   *     → paragraph dedup     (optional, CCNet-shape: corpus-repeated
   *                            boilerplate paragraphs removed at all but
   *                            their first occurrence, docs rewritten —
@@ -74,7 +79,8 @@ object Curation {
                           nAfterUrlDedup: Long = -1L,
                           nAfterBlocklist: Long = -1L,
                           nAfterParagraphDedup: Long = -1L,
-                          nAfterRepetition: Long = -1L)
+                          nAfterRepetition: Long = -1L,
+                          nEncodingRepaired: Long = -1L)
 
   /** Quality thresholds for the row-local gate. Defaults are the
     * web-corpus heuristics (Gopher-family): enough tokens, some lexical
@@ -140,7 +146,8 @@ object Curation {
              urlCol: Option[String] = None,
              domainBlocklist: Option[DataFrame] = None,
              paragraphDedupStage: Boolean = false,
-             repetitionGate: Boolean = false): Report = {
+             repetitionGate: Boolean = false,
+             encodingRepair: Boolean = false): Report = {
     val nInput = docs.count()
 
     // URL layer FIRST when the corpus carries URLs (the web-pipeline
@@ -171,19 +178,33 @@ object Curation {
           "domainBlocklist requires urlCol — there is no domain without a URL")
         (docs, -1L, -1L)
     }
+    // Encoding repair leads the TEXT stages (right after the URL layer,
+    // which never reads text): cp1252 mojibake perturbs paragraph hashes,
+    // token statistics and classifier features alike, so the row-local
+    // repair chain must run before any of them measure. No docs drop
+    // here — the report counts docs that actually carried mojibake (0 is
+    // a meaningful "corpus was clean" reading, hence -1 when disabled).
+    val (docsRepaired, nRepaired) = if (encodingRepair) {
+      val bad = docsAfterUrl.filter(
+        expr(s"${TextAnalysis.mojibakeCountExpr("coalesce(text, '')")} > 0"))
+        .count()
+      (docsAfterUrl.withColumn("text",
+        expr(TextAnalysis.mojibakeRepairExpr("text"))), bad)
+    } else (docsAfterUrl, -1L)
+
     // CCNet-shape paragraph dedup right after the URL layer, BEFORE the
     // quality gate: corpus-repeated boilerplate paragraphs are removed at
     // all but their first occurrence and docs are rewritten from the
     // survivors, so every later stage (quality card, classifier, MinHash)
     // measures prose, not footers. Docs left with no paragraphs drop.
     val (docs1, nParagraph) = if (paragraphDedupStage) {
-      val clean = Dedup.paragraphDedup(docsAfterUrl, "doc_id", "text")
+      val clean = Dedup.paragraphDedup(docsRepaired, "doc_id", "text")
         .filter(col("n_kept") > 0)
         .select(col("id").as("doc_id"), col("clean_text").as("text"))
-      val rewritten = docsAfterUrl.drop("text")
+      val rewritten = docsRepaired.drop("text")
         .join(clean, Seq("doc_id")).persist()
       (rewritten, rewritten.count())
-    } else (docsAfterUrl, -1L)
+    } else (docsRepaired, -1L)
 
     // Quality gate: either the scalar heuristics or (when `gopher` is
     // set) the rule card — same row-local shape, but the card keeps WHICH
@@ -350,6 +371,6 @@ object Curation {
     Report(nInput, nQuality, nExact, nNear, splitCounts,
       totals.getLong(0), totals.getLong(1), nDecontam, nScrub,
       ruleDropsAll, nClassifier, nUrlDedup, nBlocklist,
-      nParagraph, nRepetition)
+      nParagraph, nRepetition, nRepaired)
   }
 }

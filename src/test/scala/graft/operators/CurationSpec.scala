@@ -244,4 +244,41 @@ class CurationSpec extends SparkTestBase {
       Curation.curate(docs, out, seed = "x", domainBlocklist = Some(block))
     }
   }
+
+  test("encoding repair leads the text stages: corrupted-input build equals clean-input build") {
+    // corrupt a residue class with REAL round-trip mojibake; the repaired
+    // pipeline must be indistinguishable from one fed the intended text
+    val dirtyPfx = s"caf${TextAnalysis.mojibakeOf("é")}" +
+      s"${TextAnalysis.mojibakeOf("’")} "
+    val cleanPfx = "café’ "
+    def prefixed(p: String) = docs.withColumn("text",
+      when(col("doc_id") % 5 === 0, concat(lit(p), col("text")))
+        .otherwise(col("text")))
+
+    val outA = Files.createTempDirectory("graft-curate-e1").toString
+    val rA = Curation.curate(prefixed(dirtyPfx), outA, seed = "cur-enc",
+      budgetTokens = 256L, encodingRepair = true)
+    val outB = Files.createTempDirectory("graft-curate-e2").toString
+    val rB = Curation.curate(prefixed(cleanPfx), outB, seed = "cur-enc",
+      budgetTokens = 256L)
+
+    val expected = docs
+      .filter(col("doc_id") % 5 === 0 && col("text").isNotNull).count()
+    assert(rA.nEncodingRepaired == expected)
+    assert(rA.copy(nEncodingRepaired = -1L) == rB,
+      "repaired corrupted build must report identically to the clean build")
+
+    val a = spark.read.parquet(outA).orderBy("doc_id")
+      .collect().map(_.toSeq).toSeq
+    val b = spark.read.parquet(outB).orderBy("doc_id")
+      .collect().map(_.toSeq).toSeq
+    assert(a == b, "repaired corpus must ship byte-identical to clean input")
+
+    // the shipped corpus carries zero residual mojibake
+    val resid = spark.read.parquet(outA).filter(expr(
+      s"${TextAnalysis.mojibakeCountExpr("coalesce(text, '')")} > 0")).count()
+    assert(resid == 0L)
+    // stage off → sentinel, text untouched
+    assert(rB.nEncodingRepaired == -1L)
+  }
 }
