@@ -244,6 +244,13 @@ object ScaleBench {
           operators.TextQueries.withPlantedParagraphs(
             s.read.parquet(s"$d/documents.parquet")),
           "doc_id", "ptext"))) :+
+      // Mojibake inject + detect + repair + residual re-detect: 14 replace
+      // passes and 2x14 length-difference counts per row, one codegen
+      // span, zero exchanges — the curve must track the scan like
+      // q_t26/q_t17, superlinearity means a replace chain went quadratic
+      ("q_t29_mojibake_scale" -> ((s: SparkSession, d: String) =>
+        operators.TextQueries.mojibakeRepairQuery(
+          s.read.parquet(s"$d/documents.parquet")))) :+
       // CCNet paragraph dedup over planted corpus-shared boilerplate: one
       // hash-keyed keep-first window + one id-keyed reassembly — shuffle
       // bytes must track the paragraph payload, wall must track the scan

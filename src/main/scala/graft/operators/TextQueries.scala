@@ -56,6 +56,37 @@ object TextQueries {
         """concat(p1, chr(10), chr(10), p2, chr(10), chr(10),
           |  CASE WHEN doc_id % 5 = 0 THEN p2 ELSE l4 END) AS ptext""".stripMargin)
 
+  /** q_t29's construction + detect/repair body (shared with the ScaleBench
+    * leg, which skips the registry's output sort): per-variant cp1252
+    * mojibake injected from the SAME derived table the repairer inverts,
+    * then detect, repair, and residual re-detect — all in one codegen'd
+    * row-local span.
+    */
+  private[graft] def mojibakeRepairQuery(d: DataFrame): DataFrame = {
+    val injAcc = "replace(replace(t, 'a', '" +
+      TextAnalysis.mojibakeOf("á") + "'), 'e', '" +
+      TextAnalysis.mojibakeOf("é") + "')"
+    val injP = s"'${TextAnalysis.mojibakeOf("’")}'"
+    d.selectExpr("doc_id", "coalesce(text, '') AS t")
+      .selectExpr("doc_id",
+        s"""CASE CAST(doc_id % 4 AS INT)
+           |  WHEN 0 THEN t
+           |  WHEN 1 THEN $injAcc
+           |  WHEN 2 THEN replace(t, 's', $injP)
+           |  ELSE replace($injAcc, 's', $injP) END AS c""".stripMargin)
+      .selectExpr("doc_id",
+        s"CAST(${TextAnalysis.mojibakeCountExpr("c")} AS BIGINT) AS n_bad",
+        Dedup.letBind(TextAnalysis.mojibakeRepairExpr("c"), "r",
+          s"""struct(
+             |  CAST(${TextAnalysis.mojibakeCountExpr("r")} AS BIGINT)
+             |    AS n_resid,
+             |  md5(r) AS fixed_md5,
+             |  CAST(length(r) AS BIGINT) AS fixed_chars)""".stripMargin) +
+          " AS _r")
+      .selectExpr("doc_id", "n_bad", "_r.n_resid AS n_resid",
+        "_r.fixed_md5 AS fixed_md5", "_r.fixed_chars AS fixed_chars")
+  }
+
   /** Wrap each doc's text in the deterministic page skeleton (variant by
     * doc_id % 3: plain / +ad block / +mixed prose-and-link block).
     */
@@ -217,32 +248,8 @@ object TextQueries {
     // the operator fails the hash instead of cancelling out. All
     // row-local string expressions, one codegen span, zero exchanges
     // before the output sort.
-    "q_t29_mojibake_repair" -> ((s, dir) => {
-      val injAcc = "replace(replace(t, 'a', '" +
-        TextAnalysis.mojibakeOf("á") + "'), 'e', '" +
-        TextAnalysis.mojibakeOf("é") + "')"
-      val injP = s"'${TextAnalysis.mojibakeOf("’")}'"
-      docs(s, dir)
-        .selectExpr("doc_id", "coalesce(text, '') AS t")
-        .selectExpr("doc_id",
-          s"""CASE CAST(doc_id % 4 AS INT)
-             |  WHEN 0 THEN t
-             |  WHEN 1 THEN $injAcc
-             |  WHEN 2 THEN replace(t, 's', $injP)
-             |  ELSE replace($injAcc, 's', $injP) END AS c""".stripMargin)
-        .selectExpr("doc_id",
-          s"CAST(${TextAnalysis.mojibakeCountExpr("c")} AS BIGINT) AS n_bad",
-          Dedup.letBind(TextAnalysis.mojibakeRepairExpr("c"), "r",
-            s"""struct(
-               |  CAST(${TextAnalysis.mojibakeCountExpr("r")} AS BIGINT)
-               |    AS n_resid,
-               |  md5(r) AS fixed_md5,
-               |  CAST(length(r) AS BIGINT) AS fixed_chars)""".stripMargin) +
-            " AS _r")
-        .selectExpr("doc_id", "n_bad", "_r.n_resid AS n_resid",
-          "_r.fixed_md5 AS fixed_md5", "_r.fixed_chars AS fixed_chars")
-        .orderBy("doc_id")
-    }),
+    "q_t29_mojibake_repair" -> ((s, dir) =>
+      mojibakeRepairQuery(docs(s, dir)).orderBy("doc_id")),
 
     // HTML boilerplate extraction (trafilatura/Arc90 shape): raw web text
     // arrives as markup; each doc is wrapped IN-QUERY in a deterministic
