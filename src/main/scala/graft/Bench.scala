@@ -95,7 +95,13 @@ object Bench {
       "q_d12_decontamination", "q_t22_chunking", "q_a20_correlation",
       // the two most expensive queries in the suite: medians keep their
       // iterative-job jitter from reading as round-over-round regressions
-      "q_g1_pagerank", "q_g2_triangles")
+      "q_g1_pagerank", "q_g2_triangles",
+      // round-9 heavyweights: the repetition card and char entropy carry
+      // multi-second one-time codegen compilation (giant row-local
+      // expression trees), so a single-shot reads as 2-3x the steady
+      // state; medians report what a second run of the same plan costs
+      "q_t28_repetition_card", "q_t21_char_entropy", "q_a10_sketches",
+      "q_sp14_split_leak_audit", "q_v17_semdedup")
 
     // Headline queries run 3 reps and report the MEDIAN: the single-shot
     // noise floor on this box is ±2x (calibrated rounds 5-6), which made
