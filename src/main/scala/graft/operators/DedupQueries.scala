@@ -80,15 +80,22 @@ object DedupQueries {
       // md5 family pinned: this is the oracle-check mode (DuckDB recomputes
       // the 60-bit hashes); production fingerprinting defaults to xx64.
       val md5Fam = graft.functions.HashFamily.Md5
-      docs(s, dir).select(
-        col("doc_id"),
-        TextAnalysis.fingerprint60("text", md5Fam).as("fingerprint"),
-        TextAnalysis.approxSubwordCount("text").as("n_subwords"),
-        size(TextAnalysis.shingleSketch("text", family = md5Fam)).as("sketch_size"),
-        md5(concat_ws(",",
-          TextAnalysis.shingleSketch("text", family = md5Fam).cast("array<string>")))
-          .as("sketch_digest"))
-        .orderBy("doc_id")
+      // q_t28/q_t21 plan reshape: sort the cheap scan, keep the md5
+      // shingle-sketch battery above it (1:1 projection preserves range
+      // partitioning + local order) — sorting after would range-SAMPLE
+      // the sketches and run them single-task on the one-row-group sf
+      // parquet
+      docs(s, dir)
+        .repartitionByRange(32, col("doc_id"))
+        .sortWithinPartitions("doc_id")
+        .select(
+          col("doc_id"),
+          TextAnalysis.fingerprint60("text", md5Fam).as("fingerprint"),
+          TextAnalysis.approxSubwordCount("text").as("n_subwords"),
+          size(TextAnalysis.shingleSketch("text", family = md5Fam)).as("sketch_size"),
+          md5(concat_ws(",",
+            TextAnalysis.shingleSketch("text", family = md5Fam).cast("array<string>")))
+            .as("sketch_digest"))
     }),
 
     // Embedding near-duplicate pairs, brute-force exact — the ORACLE TWIN
