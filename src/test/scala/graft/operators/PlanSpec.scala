@@ -141,4 +141,25 @@ class PlanSpec extends SparkTestBase {
     val exchanges = "Exchange (hash|range)partitioning".r.findAllIn(p).length
     assert(exchanges <= 1, s"extraction must not shuffle (only the sort may):\n$p")
   }
+
+  test("pre-sorted-scan reshape: heavy row-local cards ride ONE range exchange, no Sort above them") {
+    // q_t28/q_t21/q_t5/q_t29 contract: the only exchange is the cheap
+    // scan's range repartition (or the output sort for q_t29); the heavy
+    // projection sits ABOVE the sorted exchange so the range partitioner
+    // never samples (= double-executes) it, and a global Sort operator
+    // must not reappear downstream of the expensive work.
+    for (q <- Seq("q_t28_repetition_card", "q_t21_char_entropy",
+        "q_t5_fingerprint")) {
+      val p = plan(q)
+      val exchanges = "Exchange (hash|range)partitioning".r.findAllIn(p).length
+      assert(exchanges == 1, s"$q: expected exactly the range exchange ($exchanges):\n$p")
+      assert("Exchange rangepartitioning".r.findAllIn(p).nonEmpty,
+        s"$q: the single exchange must be the range repartition:\n$p")
+    }
+    // mojibake keeps the plain trailing sort (its projection is cheap
+    // enough that sampling it is fine) — still at most one exchange
+    val pm = plan("q_t29_mojibake_repair")
+    val em = "Exchange (hash|range)partitioning".r.findAllIn(pm).length
+    assert(em <= 1, s"q_t29 must not shuffle beyond the output sort:\n$pm")
+  }
 }
