@@ -25,7 +25,8 @@ object SparkEntry {
       JoinQueries.queries ++
       KernelQueries.queries ++
       PipelineQueries.queries ++
-      UrlQueries.queries
+      UrlQueries.queries ++
+      ConversationQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -39,5 +40,6 @@ object SparkEntry {
       JoinQueries.oracles ++
       KernelQueries.oracles ++
       PipelineQueries.oracles ++
-      UrlQueries.oracles
+      UrlQueries.oracles ++
+      ConversationQueries.oracles
 }
