@@ -244,6 +244,13 @@ object ScaleBench {
           operators.TextQueries.withPlantedParagraphs(
             s.read.parquet(s"$d/documents.parquet")),
           "doc_id", "ptext"))) :+
+      // SFT conversation prep: JSON construction + from_json parse +
+      // protocol validation + template flatten + mask accounting, all
+      // row-local — the curve must track the scan; superlinearity means
+      // the Jackson parse or a HOF went quadratic in turn count
+      ("q_f3_sft_scale" -> ((s: SparkSession, d: String) =>
+        operators.ConversationQueries.sftFlattenQuery(
+          s.read.parquet(s"$d/documents.parquet")))) :+
       // Mojibake inject + detect + repair + residual re-detect: 14 replace
       // passes and 2x14 length-difference counts per row, one codegen
       // span, zero exchanges — the curve must track the scan like
