@@ -186,6 +186,25 @@ object UrlOps {
       .groupBy("canonical_url")
       .agg(count(lit(1)).as("n_variants"), min(col(idCol)).as("keeper_" + idCol))
 
+  /** Recrawl (CDX-shape) dedup: keep the LATEST capture of each canonical
+    * page — max timestamp, smallest id on ties. Same single canonical-key
+    * shuffle as [[urlDedup]]; the keeper pair travels as one max_by struct
+    * so the agg needs no second pass or window. This is the freshness
+    * rule a crawl-archive ingest runs where [[urlDedup]]'s min-id rule is
+    * the stability rule.
+    */
+  def urlDedupLatest(df: DataFrame, urlCol: String, tsCol: String,
+                     idCol: String): DataFrame =
+    df.withColumn("canonical_url", canonicalizeUrl(col(urlCol)))
+      .groupBy("canonical_url")
+      .agg(count(lit(1)).as("n_captures"),
+        max_by(struct(col(tsCol).as("ts"), col(idCol).as("id")),
+          // max_by on (ts, -id): latest capture, smallest id on ts ties —
+          // negation keeps the tie rule inside ONE ordered struct key
+          struct(col(tsCol), (-col(idCol)).as("_negid"))).as("_k"))
+      .select(col("canonical_url"), col("n_captures"),
+        col("_k.ts").as("kept_ts"), col("_k.id").as("kept_" + idCol))
+
   /** Domain blocklist / allowlist filtering (the UT1-blocklist stage of a
     * CCNet/RefinedWeb-shape pipeline): drop (or keep) docs whose
     * REGISTERED domain appears in the list. Matching at the registered

@@ -117,6 +117,19 @@ object UrlQueries {
         .orderBy("doc_id")
     }),
 
+    // Recrawl keep-latest dedup (the CDX-archive freshness rule): each
+    // page's three messy variants carry a planted capture day
+    // (doc_id % 97 — consecutive ids give distinct days, so the winner is
+    // unique and the min-id tie rule is still exercised at the 97
+    // wrap-around where two of a page's ids can collide). Keeper = max
+    // day, min id on ties; ONE canonical-key shuffle via max_by.
+    "q_u5_url_dedup_latest" -> ((s, dir) =>
+      UrlOps.urlDedupLatest(
+          withMessyUrl(docs(s, dir))
+            .withColumn("fetch_day", expr("CAST(doc_id % 97 AS BIGINT)")),
+          "url", "fetch_day", "doc_id")
+        .orderBy("canonical_url")),
+
     // Domain-aware mixing (DoReMi-lite / CCNet shape): temperature-mix at
     // alpha = 0.5 over the REGISTERED DOMAIN — caps derived from per-domain
     // counts (∝ sqrt(c): upsamples rare domains vs proportional), exact
@@ -165,6 +178,21 @@ object UrlQueries {
          |SELECT doc_id, domain FROM pages
          |WHERE domain NOT IN ('example.org', 'example.io')
          |ORDER BY doc_id""".stripMargin,
+
+    // analytic canonical key per page; the winner replayed relationally
+    // over the trivially-planted capture-day arithmetic
+    "q_u5_url_dedup_latest" ->
+      s"""WITH pages AS (${duckPages(hosts)}),
+         |r AS (
+         |  SELECT $duckCanonical AS canonical_url,
+         |         doc_id % 97 AS fetch_day, doc_id,
+         |         count(*) OVER (PARTITION BY g) AS n_captures,
+         |         row_number() OVER (PARTITION BY g
+         |           ORDER BY doc_id % 97 DESC, doc_id) AS rk
+         |  FROM pages)
+         |SELECT canonical_url, n_captures, fetch_day AS kept_ts,
+         |       doc_id AS kept_doc_id
+         |FROM r WHERE rk = 1 ORDER BY canonical_url""".stripMargin,
 
     "q_sp13_domain_mix" ->
       s"""WITH pages AS (${duckPages(hostDomains)}),

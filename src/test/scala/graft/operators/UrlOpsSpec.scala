@@ -149,4 +149,25 @@ class UrlOpsSpec extends SparkTestBase {
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
+
+  test("keep-latest dedup: max ts wins across variants, min id on ts ties") {
+    // one page, four captures: two on the latest day (ids 7 and 3 — the
+    // tie must resolve to 3), messy spellings must still fold
+    val caps = Seq(
+      (1L, 5L, "https://example.com/p?a=1"),
+      (3L, 9L, "HTTPS://WWW.EXAMPLE.COM:443/p?a=1#f"),
+      (7L, 9L, "https://user:pw@example.com/p/?a=1&utm_source=x"),
+      (2L, 8L, "https://example.com/p?a=1")
+    ).toDF("doc_id", "fetch_day", "url")
+    val r = UrlOps.urlDedupLatest(caps, "url", "fetch_day", "doc_id").collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Long]("n_captures") == 4L)
+    assert(r(0).getAs[Long]("kept_ts") == 9L)
+    assert(r(0).getAs[Long]("kept_doc_id") == 3L)
+    // a later single capture beats an earlier pair — freshness, not count
+    val caps2 = Seq((10L, 1L, "https://a.io/x"), (11L, 2L, "https://a.io/x"))
+      .toDF("doc_id", "fetch_day", "url")
+    val r2 = UrlOps.urlDedupLatest(caps2, "url", "fetch_day", "doc_id").collect()
+    assert(r2(0).getAs[Long]("kept_doc_id") == 11L)
+  }
 }
