@@ -251,6 +251,11 @@ object ScaleBench {
       ("q_f3_sft_scale" -> ((s: SparkSession, d: String) =>
         operators.ConversationQueries.sftFlattenQuery(
           s.read.parquet(s"$d/documents.parquet")))) :+
+      // Code-filter card: construct + split + length/instr battery, all
+      // row-local — must track the scan like the other card legs
+      ("q_cc1_code_filters_scale" -> ((s: SparkSession, d: String) =>
+        operators.CodeQueries.codeCardQuery(
+          s.read.parquet(s"$d/documents.parquet")))) :+
       // Mojibake inject + detect + repair + residual re-detect: 14 replace
       // passes and 2x14 length-difference counts per row, one codegen
       // span, zero exchanges — the curve must track the scan like

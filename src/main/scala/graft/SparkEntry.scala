@@ -26,7 +26,8 @@ object SparkEntry {
       KernelQueries.queries ++
       PipelineQueries.queries ++
       UrlQueries.queries ++
-      ConversationQueries.queries
+      ConversationQueries.queries ++
+      CodeQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -41,5 +42,6 @@ object SparkEntry {
       KernelQueries.oracles ++
       PipelineQueries.oracles ++
       UrlQueries.oracles ++
-      ConversationQueries.oracles
+      ConversationQueries.oracles ++
+      CodeQueries.oracles
 }
