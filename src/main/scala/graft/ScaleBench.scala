@@ -251,6 +251,15 @@ object ScaleBench {
       ("q_f3_sft_scale" -> ((s: SparkSession, d: String) =>
         operators.ConversationQueries.sftFlattenQuery(
           s.read.parquet(s"$d/documents.parquet")))) :+
+      // Recrawl keep-latest dedup: canonicalization rides the scan, then
+      // ONE canonical-key exchange whose bytes must track the doc count
+      // (same envelope as q_u1's min-id rule — max_by adds no pass)
+      ("q_u5_url_latest_scale" -> ((s: SparkSession, d: String) =>
+        operators.UrlOps.urlDedupLatest(
+          operators.UrlQueries.withMessyUrl(
+            s.read.parquet(s"$d/documents.parquet"))
+            .withColumn("fetch_day", expr("CAST(doc_id % 97 AS BIGINT)")),
+          "url", "fetch_day", "doc_id"))) :+
       // Code-filter card: construct + split + length/instr battery, all
       // row-local — must track the scan like the other card legs
       ("q_cc1_code_filters_scale" -> ((s: SparkSession, d: String) =>
