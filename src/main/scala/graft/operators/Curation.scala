@@ -16,6 +16,10 @@ import org.apache.spark.sql.functions._
   *                            measurement, since mojibake perturbs
   *                            paragraph hashes, token stats and
   *                            classifier features alike)
+  *     → PII redaction       (optional: email/number → typed tags on the
+  *                            same early scan — before dedup/hashing, so
+  *                            docs differing only in PII collapse and no
+  *                            PII reaches a persisted signature)
   *     → paragraph dedup     (optional, CCNet-shape: corpus-repeated
   *                            boilerplate paragraphs removed at all but
   *                            their first occurrence, docs rewritten —
@@ -80,7 +84,8 @@ object Curation {
                           nAfterBlocklist: Long = -1L,
                           nAfterParagraphDedup: Long = -1L,
                           nAfterRepetition: Long = -1L,
-                          nEncodingRepaired: Long = -1L)
+                          nEncodingRepaired: Long = -1L,
+                          nPiiRedacted: Long = -1L)
 
   /** Quality thresholds for the row-local gate. Defaults are the
     * web-corpus heuristics (Gopher-family): enough tokens, some lexical
@@ -147,7 +152,8 @@ object Curation {
              domainBlocklist: Option[DataFrame] = None,
              paragraphDedupStage: Boolean = false,
              repetitionGate: Boolean = false,
-             encodingRepair: Boolean = false): Report = {
+             encodingRepair: Boolean = false,
+             piiRedact: Boolean = false): Report = {
     val nInput = docs.count()
 
     // URL layer FIRST when the corpus carries URLs (the web-pipeline
@@ -184,13 +190,27 @@ object Curation {
     // repair chain must run before any of them measure. No docs drop
     // here — the report counts docs that actually carried mojibake (0 is
     // a meaningful "corpus was clean" reading, hence -1 when disabled).
-    val (docsRepaired, nRepaired) = if (encodingRepair) {
+    val (docsRepaired0, nRepaired) = if (encodingRepair) {
       val bad = docsAfterUrl.filter(
         expr(s"${TextAnalysis.mojibakeCountExpr("coalesce(text, '')")} > 0"))
         .count()
       (docsAfterUrl.withColumn("text",
         expr(TextAnalysis.mojibakeRepairExpr("text"))), bad)
     } else (docsAfterUrl, -1L)
+
+    // PII redaction rides the same early scan (right after encoding
+    // repair, BEFORE dedup/hashing): redacting first makes docs that
+    // differ only in emails/numbers collapse in the dedup stages, and no
+    // PII ever reaches a persisted signature. Row-local regexp rewrite;
+    // the report counts docs that carried any match.
+    val (docsRepaired, nPii) = if (piiRedact) {
+      val hit = docsRepaired0.filter(
+        Pipeline.matchCount(coalesce(col("text"), lit("")),
+          Pipeline.EmailRe) +
+          Pipeline.matchCount(coalesce(col("text"), lit("")),
+            Pipeline.NumberRe) > 0).count()
+      (docsRepaired0.withColumn("text", Pipeline.redact(col("text"))), hit)
+    } else (docsRepaired0, -1L)
 
     // CCNet-shape paragraph dedup right after the URL layer, BEFORE the
     // quality gate: corpus-repeated boilerplate paragraphs are removed at
@@ -371,6 +391,6 @@ object Curation {
     Report(nInput, nQuality, nExact, nNear, splitCounts,
       totals.getLong(0), totals.getLong(1), nDecontam, nScrub,
       ruleDropsAll, nClassifier, nUrlDedup, nBlocklist,
-      nParagraph, nRepetition, nRepaired)
+      nParagraph, nRepetition, nRepaired, nPii)
   }
 }

@@ -281,4 +281,31 @@ class CurationSpec extends SparkTestBase {
     // stage off → sentinel, text untouched
     assert(rB.nEncodingRepaired == -1L)
   }
+
+  test("PII redaction stage: planted emails counted, none survive to the shipped corpus") {
+    // plant an email + a number into one residue class
+    val planted = docs.withColumn("text",
+      when(col("doc_id") % 7 === 0,
+        concat(lit("contact bob42@example.com code 123 "), col("text")))
+        .otherwise(col("text")))
+    val out = Files.createTempDirectory("graft-curate-p").toString
+    val r = Curation.curate(planted, out, seed = "cur-7",
+      budgetTokens = 256L, piiRedact = true)
+
+    val expected = docs
+      .filter(col("doc_id") % 7 === 0 && col("text").isNotNull).count()
+    // every planted doc carries PII; other docs are pure lowercase words
+    // (no digits, no '@'), so the count is exactly the planted class
+    assert(r.nPiiRedacted == expected)
+
+    val shipped = spark.read.parquet(out)
+    val residual = shipped.filter(
+      Pipeline.matchCount(coalesce(col("text"), lit("")),
+        Pipeline.EmailRe) > 0).count()
+    assert(residual == 0L, "an email survived redaction into the corpus")
+    // the typed tags DID land (the planted class is findable post-scrub)
+    assert(shipped.filter(col("text").contains("<EMAIL>")).count() > 0)
+    // stage off → sentinel
+    assert(Curation.Report(1, 1, 1, 1, Map.empty, 1, 1).nPiiRedacted == -1L)
+  }
 }
