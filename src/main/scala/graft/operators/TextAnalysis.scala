@@ -219,14 +219,32 @@ object TextAnalysis {
          |    named_struct('p', x.g, 'pend', array(x.i),
          |      'buf', IF(size(s.pend) >= 2, concat(s.buf, s.pend), s.buf))),
          |  s -> IF(size(s.pend) >= 2, concat(s.buf, s.pend), s.buf))""".stripMargin
-    // Characters of words covered by any repeated n-gram occurrence: word
-    // k (0-based) is covered iff some repeated-gram start p has
-    // p <= k <= p + n - 1.
-    def covChars(n: Int, posCol: String) =
-      s"""aggregate(transform(wv, (x, k) ->
-         |    IF(exists($posCol, p -> p <= k AND k <= p + ${n - 1}),
-         |       CAST(length(x) AS BIGINT), CAST(0 AS BIGINT))),
-         |  CAST(0 AS BIGINT), (a, c) -> a + c)""".stripMargin
+    // Characters of words covered by any repeated n-gram occurrence: the
+    // union of intervals [p, p + n - 1] over repeated starts p. The naive
+    // form (per-word exists() over every start) is an O(words × starts)
+    // interpreted-lambda product that dominated the whole card (measured
+    // 3.9 s of a 4.1 s warm run at sf0.1); instead merge the SORTED
+    // starts into coverage islands in one pass, then sum word lengths
+    // island by island — total lambda work proportional to the covered
+    // words only. The union is identical, so the relational interval-join
+    // oracle is unchanged.
+    def covChars(n: Int, posCol: String) = {
+      val islands =
+        s"""aggregate(array_sort($posCol),
+           |  named_struct('lo', -1, 'hi', -1,
+           |    'acc', CAST(array() AS ARRAY<STRUCT<lo: INT, hi: INT>>)),
+           |  (s, p) -> CASE
+           |    WHEN s.lo = -1 THEN named_struct('lo', p, 'hi', p + ${n - 1}, 'acc', s.acc)
+           |    WHEN p <= s.hi + 1 THEN named_struct('lo', s.lo,
+           |      'hi', greatest(s.hi, p + ${n - 1}), 'acc', s.acc)
+           |    ELSE named_struct('lo', p, 'hi', p + ${n - 1},
+           |      'acc', concat(s.acc, array(named_struct('lo', s.lo, 'hi', s.hi)))) END,
+           |  s -> IF(s.lo = -1, s.acc,
+           |    concat(s.acc, array(named_struct('lo', s.lo, 'hi', s.hi)))))""".stripMargin
+      s"""aggregate($islands, CAST(0 AS BIGINT), (a, iv) ->
+         |  a + aggregate(slice(wv, iv.lo + 1, iv.hi - iv.lo + 1),
+         |        CAST(0 AS BIGINT), (c, x) -> c + length(x)))""".stripMargin
+    }
     def sumLen(src: String) =
       s"aggregate($src, CAST(0 AS BIGINT), (a, x) -> a + length(x))"
     def frac(num: String, den: String) =
