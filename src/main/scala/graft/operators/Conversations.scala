@@ -30,14 +30,22 @@ object Conversations {
     */
   def parseTurns(jsonCol: Column): Column = from_json(jsonCol, turnSchema)
 
-  /** Protocol validity of a parsed turn list, as one boolean column. */
+  /** Protocol validity of a parsed turn list, as one boolean column —
+    * always true/false, never NULL. A turn with a missing/null `role`
+    * would null-propagate through `===` and then through `forall`
+    * (SQL three-valued logic), so the per-turn predicate is coalesced to
+    * false: a turn that cannot prove itself valid is invalid, and
+    * downstream `valid.cast("int")` sums stay exact on real records.
+    */
   def validTurns(turns: Column): Column =
     turns.isNotNull &&
       size(turns) >= 2 && size(turns) % 2 === 0 &&
       forall(transform(turns, (t, i) =>
-        t.getField("role") === when(i % 2 === 0, "user").otherwise("assistant") &&
-          t.getField("content").isNotNull &&
-          length(t.getField("content")) > 0), x => x)
+        coalesce(
+          t.getField("role") === when(i % 2 === 0, "user").otherwise("assistant") &&
+            t.getField("content").isNotNull &&
+            length(t.getField("content")) > 0,
+          lit(false))), x => x)
 
   /** Flatten with the minimal chat template `<|role|>content...` — the
     * deterministic serialization a trainer tokenizes. Empty string for

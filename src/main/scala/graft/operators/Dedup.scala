@@ -892,7 +892,12 @@ object Dedup {
   def paragraphDedup(docs: DataFrame, idCol: String, textCol: String,
                      sep: String = "\n\n",
                      family: String = graft.functions.HashFamily.Xx64): DataFrame = {
-    val sepHex = sep.map(c => s"chr(${c.toInt})").mkString("concat(", ", ", ")")
+    // split()'s pattern is a REGEX: backslash-escape metacharacters so a
+    // caller-supplied separator like "||" or "." splits literally and the
+    // split/concat_ws round-trip inverts. Control chars (\n) need no escape.
+    val sepHex = sep.flatMap { c =>
+      if ("\\^$.|?*+()[]{}".contains(c)) Seq(92, c.toInt) else Seq(c.toInt)
+    }.map(i => s"chr($i)").mkString("concat(", ", ", ")")
     val paras = docs
       .selectExpr(s"$idCol AS id",
         s"posexplode(filter(split(coalesce($textCol, ''), $sepHex), p -> p != '')) AS (idx, para)")

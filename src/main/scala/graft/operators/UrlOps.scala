@@ -46,9 +46,13 @@ object UrlOps {
 
   /** Query parameters that never affect content: ad-click and social
     * tracking ids. `utm_*` is matched as a prefix family separately.
+    * The bare `ref` is deliberately NOT listed: some real sites route
+    * content on it (`?ref=docs` vs `?ref=blog` can be different pages),
+    * so dropping it would collapse genuinely distinct pages into one
+    * dedup key. `ref_src` (a pure share-tracking tag) stays.
     */
   val TrackingParams: Seq[String] =
-    Seq("gclid", "fbclid", "msclkid", "mc_eid", "igshid", "yclid", "ref", "ref_src")
+    Seq("gclid", "fbclid", "msclkid", "mc_eid", "igshid", "yclid", "ref_src")
 
   /** Multi-label public suffixes under which the registered domain is the
     * LAST THREE host labels, not two. An explicit list (the curated-subset
@@ -110,10 +114,15 @@ object UrlOps {
             // host/port split keys on the bracket ("[2001:db8::1]:8080")
             val bracketed = auth.startsWith("[")
             bind(struct(
-                regexp_replace(
-                  lower(when(bracketed, regexp_extract(auth, "^\\[[^\\]]*\\]", 0))
-                    .otherwise(substring_index(auth, ":", 1))),
-                  "^www\\.", "").as("host"),
+                // `www.` strips only when >= 2 labels remain (the rlike
+                // guard needs a second dot): the registrable host www.com
+                // must NOT collapse to the bare TLD "com". Guard + replace
+                // instead of a lookahead so the regex stays RE2-safe.
+                bind(lower(when(bracketed, regexp_extract(auth, "^\\[[^\\]]*\\]", 0))
+                    .otherwise(substring_index(auth, ":", 1)))) { h0 =>
+                  when(h0.rlike("^www\\..*\\."), regexp_replace(h0, "^www\\.", ""))
+                    .otherwise(h0)
+                }.as("host"),
                 when(bracketed, regexp_extract(auth, "\\]:([0-9]+)$", 1))
                   .otherwise(when(instr(auth, ":") > 0, substring_index(auth, ":", -1))
                     .otherwise(lit(""))).as("port"))) { s2 =>
@@ -146,12 +155,25 @@ object UrlOps {
   /** Host of a CANONICAL URL (apply [[canonicalizeUrl]] first — this does
     * not re-strip userinfo/case). Handles path-less `?query` forms and
     * bracketed IPv6 authorities.
+    *
+    * Anchors on the FIRST `://`, exactly as [[canonicalizeUrl]] parses:
+    * a canonical URL can still carry an embedded absolute URL in a kept
+    * query value (redirect params like `?u=https://other.com/x` — the
+    * canonicalizer never percent-encodes), and splitting on the LAST
+    * `://` would attribute the doc to the EMBEDDED host — letting a
+    * blocked domain evade [[domainListFilter]] by appending
+    * `?x=https://allowed.com`. Scheme-less input (a relative reference
+    * passed through canonicalization untouched) is read from position 1.
     */
   def hostOf(canonicalUrl: Column): Column =
-    bind(substring_index(substring_index(
-        substring_index(canonicalUrl, "://", -1), "/", 1), "?", 1)) { auth =>
-      when(auth.startsWith("["), regexp_extract(auth, "^\\[[^\\]]*\\]", 0))
-        .otherwise(substring_index(auth, ":", 1))
+    bind(canonicalUrl) { u =>
+      bind(regexp_extract(
+          u.substr(when(instr(u, "://") > 0, instr(u, "://") + 3).otherwise(lit(1)),
+            lit(Int.MaxValue)),
+          "^[^/?]*", 0)) { auth =>
+        when(auth.startsWith("["), regexp_extract(auth, "^\\[[^\\]]*\\]", 0))
+          .otherwise(substring_index(auth, ":", 1))
+      }
     }
 
   /** Registered (pay-level) domain of a lowercase host: last two labels,

@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
   *
   * The oracles do NOT replay the canonicalizer: because the planting is
   * synthetic, the canonical form is known ANALYTICALLY
-  * (`https://<host>/a/x%2Fy/item-g?a=1&b=2&id=g`), so DuckDB derives
+  * (`https://<host>/a/x%2Fy/item-g?a=1&b=2&id=g&u=https://...`), so DuckDB derives
   * ground truth directly from `g` — a bug shared by the Spark
   * canonicalizer and a replayed oracle copy cannot slip through, the
   * Spark side must actually fold all three variants to byte-identical
@@ -44,7 +44,16 @@ object UrlQueries {
 
   /** Messy planted URL per doc (see object doc). All variants share the
     * canonical form; none is spelled canonically.
+    *
+    * Every variant also carries a KEPT redirect-style param whose value is
+    * an embedded absolute URL (`u=https://embedded.example.net/zz`) — the
+    * blocklist-evasion shape from real crawls. It survives
+    * canonicalization (kept params are never %-encoded), so any host
+    * extraction that keys on the LAST `://` would attribute every doc to
+    * `example.net` and fail the q_u2/q_u3/q_u4/q_sp13 analytic oracles.
     */
+  private[graft] val embeddedParam = "u=https://embedded.example.net/zz"
+
   private[graft] def withMessyUrl(d: DataFrame): DataFrame = {
     val g = expr("doc_id div 3")
     val v = expr("doc_id % 3")
@@ -53,13 +62,14 @@ object UrlQueries {
     val path = concat(lit("/a/x%2"), when(v === 1, lit("F")).otherwise(lit("f")),
       lit("y/item-"), gs)
     val url = when(v === 0,
-        concat(lit("https://"), domain, path, lit("?id="), gs, lit("&utm_source=feed&b=2&a=1")))
+        concat(lit("https://"), domain, path, lit("?id="), gs,
+          lit(s"&utm_source=feed&b=2&$embeddedParam&a=1")))
       .when(v === 1,
         concat(lit("HTTPS://WWW."), upper(domain), lit(":443"), path,
-          lit("?a=1&b=2&id="), gs, lit("#frag")))
+          lit("?a=1&b=2&id="), gs, lit(s"&$embeddedParam#frag")))
       .otherwise(
         concat(lit("https://user:pw@"), domain, path, lit("/?b=2&a=1&id="), gs,
-          lit("&gclid=abc123")))
+          lit(s"&gclid=abc123&$embeddedParam")))
     d.withColumn("url", url)
   }
 
@@ -72,7 +82,8 @@ object UrlQueries {
   }
 
   private val duckCanonical =
-    "'https://' || domain || '/a/x%2Fy/item-' || g || '?a=1&b=2&id=' || g"
+    "'https://' || domain || '/a/x%2Fy/item-' || g || " +
+      s"'?a=1&b=2&id=' || g || '&$embeddedParam'"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // URL canonicalization + URL-exact dedup: the three messy spellings of

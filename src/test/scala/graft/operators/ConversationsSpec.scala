@@ -59,6 +59,17 @@ class ConversationsSpec extends SparkTestBase {
     assert(n == 2 && u == 5L && a == 0L)
   }
 
+  test("missing/null role is INVALID (false), never NULL") {
+    // role === 'user' on a null role yields NULL; un-coalesced, forall
+    // would propagate it and valid.cast('int') sums would silently drop
+    val df = Seq(Tuple1("""[{"content":"x"},{"role":"assistant","content":"y"}]"""))
+      .toDF("j")
+      .select(Conversations.validTurns(Conversations.parseTurns(col("j"))).as("valid"))
+    val r = df.head()
+    assert(!r.isNullAt(0) && !r.getBoolean(0))
+    assert(df.select(col("valid").cast("int")).head().getInt(0) == 0)
+  }
+
   test("malformed JSON flows through as an invalid, empty record") {
     for (bad <- Seq("not json", "{\"role\":\"user\"}", "[{", "", "[1,2]")) {
       val (n, v, a, u, f) = run(bad)

@@ -48,6 +48,22 @@ class ParagraphDedupSpec extends SparkTestBase {
     assert(run(docs, "md5") === run(docs, "xx64"))
   }
 
+  test("regex-metachar separators split literally and round-trip") {
+    // "||" and "." are regex metachars: an unquoted split pattern would
+    // explode "a||b" into per-char fragments and break the round-trip
+    for (sep <- Seq("||", ".", "|", "\\n", "*~*")) {
+      val docs = Seq((1L, s"aa${sep}bb${sep}aa"), (2L, s"bb${sep}cc"))
+        .toDF("doc_id", "text")
+      val out = Dedup.paragraphDedup(docs, "doc_id", "text", sep = sep,
+          family = "md5")
+        .collect()
+        .map { r: Row => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getString(3)) }
+        .toMap
+      assert(out(1L) === ((3, 2, s"aa${sep}bb")), s"sep='$sep'")
+      assert(out(2L) === ((2, 1, "cc")), s"sep='$sep'")
+    }
+  }
+
   test("result is invariant to input partitioning") {
     val docs = Seq((2L, "b\n\nz"), (9L, "z\n\nq\n\nz"), (4L, "z\n\nb"))
     val base = run(docs)

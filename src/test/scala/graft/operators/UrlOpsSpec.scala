@@ -46,13 +46,35 @@ class UrlOpsSpec extends SparkTestBase {
   }
 
   test("tracking params drop, remaining params sort, empty query disappears") {
-    assert(canon("https://example.com/p?utm_source=x&utm_campaign=y&gclid=1&fbclid=2&ref=z") ==
+    assert(canon("https://example.com/p?utm_source=x&utm_campaign=y&gclid=1&fbclid=2&ref_src=z") ==
       Seq("https://example.com/p"))
     assert(canon("https://example.com/p?z=1&a=2&&m=3&") ==
       Seq("https://example.com/p?a=2&m=3&z=1"))
     // a NON-tracking param whose value merely looks tracking-ish survives
     assert(canon("https://example.com/p?q=utm_source") ==
       Seq("https://example.com/p?q=utm_source"))
+    // bare `ref` is content-routing on some sites — it must SURVIVE
+    assert(canon("https://example.com/p?ref=docs") ==
+      Seq("https://example.com/p?ref=docs"))
+  }
+
+  test("www. strips only when >= 2 labels remain: www.com is a registrable host") {
+    assert(canon("https://WWW.example.com/a") == Seq("https://example.com/a"))
+    assert(canon("https://www.com/a") == Seq("https://www.com/a"))
+    assert(canon("https://www.co.uk/a") == Seq("https://co.uk/a"))
+  }
+
+  test("hostOf anchors on the FIRST ://: embedded absolute URLs in kept params can't spoof the domain") {
+    val evasion = "https://blocked.example.org/x?u=https://allowed.example.com/zz"
+    val h = Seq(evasion).toDF("u")
+      .select(UrlOps.hostOf(UrlOps.canonicalizeUrl(col("u")))).head().getString(0)
+    assert(h == "blocked.example.org")
+    // and the blocklist therefore still catches it
+    val kept = UrlOps.domainListFilter(
+        Seq((1L, evasion)).toDF("doc_id", "url"), "url",
+        Seq("example.org").toDF("domain"))
+      .count()
+    assert(kept == 0L)
   }
 
   test("IDN arrives punycoded and is only case-folded, never re-encoded") {
@@ -100,7 +122,8 @@ class UrlOpsSpec extends SparkTestBase {
     assert(deduped.forall(r => r.getLong(2) % 3 == 0)) // keeper = v=0 row
     // canonical forms are the analytic ground truth the oracle derives
     val expect = (0L until 10L).map(g =>
-      s"https://${UrlQueries.hosts((g % 5).toInt)}/a/x%2Fy/item-$g?a=1&b=2&id=$g").toSet
+      s"https://${UrlQueries.hosts((g % 5).toInt)}/a/x%2Fy/item-$g" +
+        s"?a=1&b=2&id=$g&${UrlQueries.embeddedParam}").toSet
     assert(deduped.map(_.getString(0)).toSet == expect)
   }
 
