@@ -372,31 +372,61 @@ object RelationalQueries {
         .orderBy("o_custkey", "rn")
     }),
 
-    // W2 — running total over an ordered window.
+    // W2 — running total over an ordered window. Scale shape: the flat
+    // unpartitioned window would single-partition the whole daily frame
+    // (bounded here by date cardinality, but the WindowExec warning class
+    // is banned from the registry), so the cumulative sum decomposes
+    // year-locally — Window.partitionBy(year) runs ~365-row partitions in
+    // parallel and the cross-year prefix offsets come from a years-sized
+    // (decades of rows) broadcast self-join. Decimal addition is
+    // associative-exact, so the regrouped sum is bit-identical to the flat
+    // running sum and the oracle hash is unchanged.
     "q_w2_running_sum" -> ((s, dir) => {
       val daily = t(s, dir, "orders")
         .groupBy(to_date(col("o_orderdate")).as("order_date"))
         .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("revenue"))
+        .withColumn("yr", year(col("order_date")))
+      val yearly = daily.groupBy("yr").agg(sum("revenue").as("yr_sum"))
+      val offsets = yearly.select(col("yr"))
+        .join(broadcast(yearly.select(col("yr").as("pyr"), col("yr_sum"))),
+          col("pyr") < col("yr"))
+        .groupBy("yr").agg(sum("yr_sum").as("prefix"))
+      val w = Window.partitionBy("yr").orderBy("order_date")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       daily
-        .withColumn("cum_revenue",
-          sum("revenue").over(Window.orderBy("order_date")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-            .cast("double"))
+        .withColumn("cum_in_yr", sum("revenue").over(w))
+        .join(broadcast(offsets), Seq("yr"), "left")
         .select(col("order_date"), col("revenue").cast("double").as("revenue"),
-          col("cum_revenue"))
+          (col("cum_in_yr") + coalesce(col("prefix"), lit(0)))
+            .cast("double").as("cum_revenue"))
         .orderBy("order_date")
     }),
 
-    // W3 — lag: day-over-day revenue delta.
+    // W3 — lag: day-over-day revenue delta. Same year-decomposed shape as
+    // q_w2: per-year lag in parallel partitions; each year's first day
+    // takes its predecessor from a years-sized broadcast of (latest
+    // earlier year -> that year's last-day revenue), robust to gap years
+    // via max_by over pyr < yr rather than yr - 1 equality.
     "q_w3_lag_delta" -> ((s, dir) => {
       val daily = t(s, dir, "orders")
         .groupBy(to_date(col("o_orderdate")).as("order_date"))
         .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("revenue"))
+        .withColumn("yr", year(col("order_date")))
+      val lastPerYear = daily.groupBy("yr")
+        .agg(max_by(col("revenue"), col("order_date")).as("last_rev"))
+      val prevYearLast = lastPerYear.select(col("yr"))
+        .join(broadcast(lastPerYear.select(col("yr").as("pyr"), col("last_rev"))),
+          col("pyr") < col("yr"))
+        .groupBy("yr")
+        .agg(max_by(col("last_rev"), col("pyr")).as("prev_year_last"))
+      val w = Window.partitionBy("yr").orderBy("order_date")
       daily
-        .withColumn("prev_revenue", lag("revenue", 1).over(Window.orderBy("order_date")))
+        .withColumn("prev_in_yr", lag("revenue", 1).over(w))
+        .join(broadcast(prevYearLast), Seq("yr"), "left")
         .select(col("order_date"),
           col("revenue").cast("double").as("revenue"),
-          (col("revenue") - coalesce(col("prev_revenue"), lit(0)))
+          (col("revenue") -
+            coalesce(col("prev_in_yr"), col("prev_year_last"), lit(0)))
             .cast("double").as("delta"))
         .orderBy("order_date")
     }),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -299,24 +299,35 @@ object TextQueries {
     // index probe (q_t11's scan / q_v7's IVF) — the fusion itself touches
     // only 2K rows, which is the point of RRF.
     "q_t13_rrf_fusion" -> ((s, dir) => {
-      val w = Window.orderBy(col("bm25").desc, col("doc_id"))
+      // Each leg's top-100 comes from orderBy + limit — planned as
+      // TakeOrderedAndProject, so partitions x 100 candidate rows move,
+      // never the scored corpus (the old row_number-then-filter form
+      // single-partitioned the FULL score frame to rank it: a
+      // driver-killer task at 100x scale). Ranks are then assigned on the
+      // <= 100-row slice, where the single-group window is bounded by the
+      // limit by construction (a constant partitionBy would not help: the
+      // optimizer folds foldable partition keys away). PlanSpec asserts
+      // the TakeOrdered-below-Window shape.
+      def rankSlice(ord: Seq[Column]) = row_number().over(
+        Window.orderBy(ord: _*))
+      val bmOrd = Seq(col("bm25").desc, col("doc_id"))
       val bm = TextAnalysis.bm25Score(docs(s, dir), "doc_id", "text",
           Seq("spark", "window", "query", "zzyzx"))
-        .withColumn("r_bm", row_number().over(w))
-        .filter(col("r_bm") <= 100)
+        .orderBy(bmOrd: _*).limit(100)
+        .withColumn("r_bm", rankSlice(bmOrd))
       val e = s.read.parquet(s"$dir/embeddings.parquet")
       val query = broadcast(e.filter(col("vec_id") === 0)
         .select(col("embedding").as("q_emb")))
-      val wv = Window.orderBy(col("cosine").desc, col("vec_id"))
       import graft.functions.VectorExprs
+      val vecOrd = Seq(col("cosine").desc, col("vec_id"))
       val vec = e.filter(col("vec_id") =!= 0)
         .crossJoin(query)
         .select(col("vec_id"),
           round(VectorExprs.dot("embedding", "q_emb") /
             (VectorExprs.l2Norm("embedding") * VectorExprs.l2Norm("q_emb")), 6)
             .as("cosine"))
-        .withColumn("r_vec", row_number().over(wv))
-        .filter(col("r_vec") <= 100)
+        .orderBy(vecOrd: _*).limit(100)
+        .withColumn("r_vec", rankSlice(vecOrd))
       bm.select(col("doc_id").as("id"), col("r_bm"))
         .join(vec.select(col("vec_id").as("id"), col("r_vec")),
           Seq("id"), "full_outer")

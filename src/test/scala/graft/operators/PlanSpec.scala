@@ -120,6 +120,51 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("*(1)"), s"no codegen span:\n$p")
   }
 
+  test("no unpartitioned windows: rankings ride TakeOrdered slices, cumulative ops partition by year") {
+    // The WindowExec-over-unbounded-input class is banned from the
+    // registry: an empty partitionSpec moves the window's WHOLE input to
+    // one task (a driver-killer on a corpus-sized frame at 100x scale).
+    // Every registered window must either partition (q_w1/q_w2/q_w3) or
+    // rank a slice already bounded by a LIMIT below it (q_t13's
+    // post-TakeOrdered ranks — a constant partition key would just be
+    // optimizer-folded away). Source sweep: these four are the only
+    // window-over-global-order call sites in main.
+    import org.apache.spark.sql.execution.{SparkPlan, TakeOrderedAndProjectExec,
+      GlobalLimitExec, CollectLimitExec}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    def kids(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case o => o.children
+    }
+    def windows(p: SparkPlan): Seq[WindowExec] = {
+      val here = p match { case w: WindowExec => Seq(w); case _ => Seq.empty }
+      here ++ kids(p).flatMap(windows)
+    }
+    def limitBounded(p: SparkPlan): Boolean = p match {
+      case _: TakeOrderedAndProjectExec | _: GlobalLimitExec | _: CollectLimitExec => true
+      case o => kids(o).exists(limitBounded)
+    }
+    for (q <- Seq("q_t13_rrf_fusion", "q_w2_running_sum", "q_w3_lag_delta",
+        "q_w1_topk_per_group")) {
+      val df = SparkEntry.queries(q)(spark, sfDir("0.001"))
+      df.collect()
+      val ws = windows(df.queryExecution.executedPlan)
+      assert(ws.nonEmpty, s"$q: expected window operators in the plan")
+      for (w <- ws)
+        assert(w.partitionSpec.nonEmpty || limitBounded(w.child),
+          s"$q: unpartitioned Window over an unbounded input single-" +
+            s"partitions its whole frame:\n" +
+            df.queryExecution.executedPlan.toString)
+    }
+    // and the RRF legs cut with TakeOrdered BEFORE ranking — the scored
+    // corpus moves as partitions x 100 candidate rows, never one task
+    val p = plan("q_t13_rrf_fusion")
+    assert("TakeOrderedAndProject".r.findAllIn(p).length >= 2,
+      s"expected both ranker legs to plan as TakeOrderedAndProject:\n$p")
+  }
+
   test("URL canonical dedup: exactly the agg exchanges, canonicalization rides the scan") {
     val p = plan("q_u1_url_canonical_dedup")
     // partial+final agg on the canonical key plus the output sort — the
