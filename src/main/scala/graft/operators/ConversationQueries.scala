@@ -70,9 +70,85 @@ object ConversationQueries {
         md5(Conversations.flattenTurns(col("tv"))).as("flat_md5"))
   }
 
+  // ---- preference pairs (DPO) ------------------------------------------
+  // Planted construction, doc_id % 5 picks the record shape: valid pair /
+  // chosen==rejected / empty prompt / branch-length-ratio violation /
+  // malformed JSON. Orthogonally, doc_id % 7 == 0 records share ONE fixed
+  // prompt so prompt-level dedup fires across records. Validity is
+  // data-dependent through the non-empty and ratio rules (v0 records with
+  // 71 <= len(text) <= 79 fail ratio 40 : <10, longer ones pass) — the
+  // oracle derives all of it analytically from the substrings.
+
+  private val fixedPrompt = "please summarize this document"
+
+  private[graft] val prefJsonExpr: String = {
+    val Seq(t1, t2, t3, _) = pieces
+    val t5 = "substring(t, 71, 3)"
+    val p = s"CASE WHEN doc_id % 7 = 0 THEN '$fixedPrompt' ELSE $t1 END"
+    def rec(pe: String, c: String, r: String) =
+      s"""concat('{"prompt":"', $pe, '","chosen":"', $c, '","rejected":"', $r, '"}')"""
+    s"""CASE CAST(doc_id % 5 AS INT)
+       |  WHEN 0 THEN ${rec(p, t2, t3)}
+       |  WHEN 1 THEN ${rec(p, t2, t2)}
+       |  WHEN 2 THEN ${rec("''", t2, t3)}
+       |  WHEN 3 THEN ${rec(p, t2, t5)}
+       |  ELSE concat('not-json ', $p)
+       |END""".stripMargin
+  }
+
+  /** Shared construction + parse + validate + flatten + prompt-dedup body
+    * for the preference-pair queries (ScaleBench reuses it without the
+    * output sort). `family` pins the prompt-dedup hash ("md5" for the
+    * registered oracle-checked queries; xx64 production default — the
+    * spec asserts the families agree).
+    */
+  private[graft] def prefPairsQuery(d: DataFrame, family: String): DataFrame = {
+    val rec = PreferencePairs.parsePair(col("pair_json"))
+    val base = d.selectExpr("doc_id", "coalesce(text, '') AS t")
+      .selectExpr("doc_id", s"$prefJsonExpr AS pair_json")
+      .select(col("doc_id"), rec.as("rec"))
+      .select(col("doc_id"),
+        expr("CAST(doc_id % 5 AS INT)").as("variant"),
+        PreferencePairs.validPair(col("rec")).cast("int").as("valid"),
+        coalesce(col("rec.prompt"), lit("")).as("prompt"),
+        coalesce(length(col("rec.prompt")), lit(0)).cast("long").as("prompt_chars"),
+        coalesce(length(col("rec.chosen")), lit(0)).cast("long").as("chosen_chars"),
+        coalesce(length(col("rec.rejected")), lit(0)).cast("long").as("rejected_chars"),
+        md5(PreferencePairs.flattenBranch(col("rec"), "chosen")).as("chosen_md5"),
+        md5(PreferencePairs.flattenBranch(col("rec"), "rejected")).as("rejected_md5"))
+    PreferencePairs.withPromptDup(base, "doc_id", "valid", "prompt", family)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_f3_sft_flatten" -> ((s, dir) =>
       sftFlattenQuery(docs(s, dir)).orderBy("doc_id")),
+
+    // Per-record preference-pair card: validity, prompt-dup flag, kept
+    // flag, branch masses, and both flattened-branch digests.
+    "q_f5_pref_pairs" -> ((s, dir) =>
+      prefPairsQuery(docs(s, dir), graft.functions.HashFamily.Md5)
+        .select("doc_id", "variant", "valid", "prompt_dup", "kept",
+          "chosen_chars", "rejected_chars", "chosen_md5", "rejected_md5")
+        .orderBy("doc_id")),
+
+    // The corpus-level DPO accounting a dataset card publishes: per
+    // variant-shape — record/valid/dup/kept counts and the chosen /
+    // rejected / prompt character masses over the SHIPPED (kept) records.
+    // One row-local pass + the dedup exchange + one tiny group-by-5.
+    "q_f6_pref_accounting" -> ((s, dir) =>
+      prefPairsQuery(docs(s, dir), graft.functions.HashFamily.Md5)
+        .groupBy("variant")
+        .agg(count(lit(1)).as("n_records"),
+          sum(col("valid")).cast("long").as("n_valid"),
+          sum(col("prompt_dup")).cast("long").as("n_prompt_dups"),
+          sum(col("kept")).cast("long").as("n_kept"),
+          sum(when(col("kept") === 1, col("chosen_chars"))
+            .otherwise(lit(0L))).as("chosen_branch_chars"),
+          sum(when(col("kept") === 1, col("rejected_chars"))
+            .otherwise(lit(0L))).as("rejected_branch_chars"),
+          sum(when(col("kept") === 1, col("prompt_chars"))
+            .otherwise(lit(0L))).as("prompt_chars"))
+        .orderBy("variant")),
 
     // The corpus-level SFT accounting a dataset card publishes: per
     // variant-shape — record count, valid count, total turns, and the
@@ -125,7 +201,76 @@ object ConversationQueries {
        |           ELSE '<|user|>' || t1 || '<|assistant|>' END) AS flat_md5
        |  FROM b)""".stripMargin
 
+  /** 60-bit md5 hash, DuckDB side — mirror of [[TextAnalysis.md5Hash60]]. */
+  private def duckHash60(e: String): String =
+    s"('0x' || substr(md5($e), 1, 15))::BIGINT"
+
+  // Analytic preference-pair twin: prompt/chosen/rejected and validity are
+  // derived from the substrings + variant, never from the JSON; the
+  // keep-first dedup is replayed relationally over the SAME md5-60 prompt
+  // key the engine shuffles on.
+  private val duckPrefDerived =
+    s"""WITH b AS (
+       |  SELECT doc_id, CAST(doc_id % 5 AS INTEGER) AS v,
+       |         substr(t, 1, 30) AS t1, substr(t, 31, 40) AS t2,
+       |         substr(t, 71, 25) AS t3, substr(t, 71, 3) AS t5
+       |  FROM (SELECT doc_id, coalesce(text, '') AS t FROM documents)),
+       |c AS (
+       |  SELECT doc_id, v,
+       |         CASE WHEN v = 4 THEN NULL WHEN v = 2 THEN ''
+       |              WHEN doc_id % 7 = 0 THEN '$fixedPrompt'
+       |              ELSE t1 END AS prompt,
+       |         CASE WHEN v = 4 THEN NULL ELSE t2 END AS chosen,
+       |         CASE v WHEN 0 THEN t3 WHEN 1 THEN t2 WHEN 2 THEN t3
+       |                WHEN 3 THEN t5 ELSE NULL END AS rejected
+       |  FROM b),
+       |d AS (
+       |  SELECT doc_id, v, prompt, chosen, rejected,
+       |         CASE WHEN v = 4 THEN 0 ELSE CAST(
+       |           len(prompt) > 0 AND len(chosen) > 0 AND len(rejected) > 0
+       |           AND chosen <> rejected
+       |           AND greatest(len(chosen), len(rejected)) <=
+       |               4 * least(len(chosen), len(rejected))
+       |         AS INTEGER) END AS valid
+       |  FROM c),
+       |e AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY ${duckHash60("coalesce(prompt, '')")}, valid
+       |    ORDER BY doc_id) AS rn
+       |  FROM d)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_f5_pref_pairs" ->
+      s"""$duckPrefDerived
+         |SELECT doc_id, v AS variant, valid,
+         |       CAST(valid = 1 AND rn > 1 AS INTEGER) AS prompt_dup,
+         |       CAST(valid = 1 AND rn = 1 AS INTEGER) AS kept,
+         |       CAST(coalesce(len(chosen), 0) AS BIGINT) AS chosen_chars,
+         |       CAST(coalesce(len(rejected), 0) AS BIGINT) AS rejected_chars,
+         |       CASE WHEN prompt IS NULL OR chosen IS NULL THEN md5('')
+         |            ELSE md5('<|user|>' || prompt || '<|assistant|>' || chosen)
+         |       END AS chosen_md5,
+         |       CASE WHEN prompt IS NULL OR rejected IS NULL THEN md5('')
+         |            ELSE md5('<|user|>' || prompt || '<|assistant|>' || rejected)
+         |       END AS rejected_md5
+         |FROM e ORDER BY doc_id""".stripMargin,
+
+    "q_f6_pref_accounting" ->
+      s"""$duckPrefDerived
+         |SELECT v AS variant, count(*) AS n_records,
+         |       CAST(sum(valid) AS BIGINT) AS n_valid,
+         |       CAST(sum(CASE WHEN valid = 1 AND rn > 1 THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_prompt_dups,
+         |       CAST(sum(CASE WHEN valid = 1 AND rn = 1 THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_kept,
+         |       CAST(sum(CASE WHEN valid = 1 AND rn = 1 THEN len(chosen)
+         |                     ELSE 0 END) AS BIGINT) AS chosen_branch_chars,
+         |       CAST(sum(CASE WHEN valid = 1 AND rn = 1 THEN len(rejected)
+         |                     ELSE 0 END) AS BIGINT) AS rejected_branch_chars,
+         |       CAST(sum(CASE WHEN valid = 1 AND rn = 1 THEN len(prompt)
+         |                     ELSE 0 END) AS BIGINT) AS prompt_chars
+         |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_f3_sft_flatten" ->
       s"""$duckDerived
          |SELECT doc_id, n_turns, valid, n_assistant_chars, n_user_chars,

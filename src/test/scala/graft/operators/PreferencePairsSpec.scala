@@ -1,0 +1,97 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** [[PreferencePairs]] against hostile records: a violation planted in
+  * every rule position, malformed JSON, prompt-dedup keep-first order,
+  * invalid records never shielding valid ones, and hash-family agreement.
+  */
+class PreferencePairsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def judge(json: String): (Boolean, String, String) = {
+    val r = Seq(Tuple1(json)).toDF("j")
+      .select(PreferencePairs.parsePair(col("j")).as("rec"))
+      .select(PreferencePairs.validPair(col("rec")).as("valid"),
+        PreferencePairs.flattenBranch(col("rec"), "chosen").as("fc"),
+        PreferencePairs.flattenBranch(col("rec"), "rejected").as("fr"))
+      .head()
+    assert(!r.isNullAt(0), "valid must never be NULL")
+    (r.getBoolean(0), r.getString(1), r.getString(2))
+  }
+
+  private def pair(p: String, c: String, r: String): String =
+    s"""{"prompt":"$p","chosen":"$c","rejected":"$r"}"""
+
+  test("a well-formed pair is valid and flattens both branches") {
+    val (v, fc, fr) = judge(pair("sum this", "good answer", "weak answer"))
+    assert(v)
+    assert(fc == "<|user|>sum this<|assistant|>good answer")
+    assert(fr == "<|user|>sum this<|assistant|>weak answer")
+  }
+
+  test("violations in every position are invalid (false, never NULL)") {
+    assert(!judge(pair("", "c", "r"))._1)                    // empty prompt
+    assert(!judge(pair("p", "", "r"))._1)                    // empty chosen
+    assert(!judge(pair("p", "c", ""))._1)                    // empty rejected
+    assert(!judge(pair("p", "same", "same"))._1)             // chosen == rejected
+    assert(!judge(pair("p", "c" * 41, "r" * 10))._1)         // ratio 4.1 > 4
+    assert(judge(pair("p", "c" * 40, "r" * 10))._1)          // ratio 4.0 passes
+    assert(!judge("""{"prompt":"p","chosen":"c"}""")._1)     // missing field
+    assert(!judge("""not json at all""")._1)                 // malformed
+    assert(!judge("""{"prompt":"p","chosen":"c","rejec""")._1) // truncated
+  }
+
+  test("malformed records flatten to '' so digests are total") {
+    val (_, fc, fr) = judge("broken {")
+    assert(fc == "" && fr == "")
+  }
+
+  test("prompt dedup keeps the first VALID record; invalid ones never flag or shield") {
+    // ids 1,4,7 share a prompt: 1 is INVALID (equal branches), so the
+    // keeper must be 4 — an invalid record must not shield later valid
+    // ones — and 7 is the duplicate. id 9 is a lone valid record.
+    val df = Seq(
+      (1L, pair("shared", "x", "x"), 0),
+      (4L, pair("shared", "good", "bad"), 1),
+      (7L, pair("shared", "fine", "poor"), 1),
+      (9L, pair("lone", "aa", "bb"), 1)
+    ).toDF("id", "j", "expect_valid")
+      .select(col("id"), col("expect_valid"),
+        PreferencePairs.parsePair(col("j")).as("rec"))
+      .select(col("id"), col("expect_valid"),
+        PreferencePairs.validPair(col("rec")).cast("int").as("valid"),
+        coalesce(col("rec.prompt"), lit("")).as("prompt"))
+    val out = PreferencePairs.withPromptDup(df, "id", "valid", "prompt")
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Int]("valid"), r.getAs[Int]("prompt_dup"), r.getAs[Int]("kept"))))
+      .toMap
+    assert(out(1L) == ((0, 0, 0)))
+    assert(out(4L) == ((1, 0, 1)))
+    assert(out(7L) == ((1, 1, 0)))
+    assert(out(9L) == ((1, 0, 1)))
+  }
+
+  test("md5 and xx64 dedup key families agree on the shipped corpus") {
+    val docs = (0L until 200L).map(i => (i, ("w" + i + " ") * 30))
+      .toDF("doc_id", "text")
+    val a = ConversationQueries.prefPairsQuery(docs, "md5")
+      .select("doc_id", "valid", "prompt_dup", "kept").collect().toSet
+    val b = ConversationQueries.prefPairsQuery(docs, "xx64")
+      .select("doc_id", "valid", "prompt_dup", "kept").collect().toSet
+    assert(a == b)
+  }
+
+  test("the construction plants dups and data-dependent validity (not a degenerate battery)") {
+    val docs = (0L until 500L).map(i => (i, ("word word word " * 7).trim))
+      .toDF("doc_id", "text")
+    val card = ConversationQueries.prefPairsQuery(docs, "md5")
+      .agg(sum("valid").as("v"), sum("prompt_dup").as("d"), sum("kept").as("k"))
+      .head()
+    assert(card.getLong(0) > 0, "some records must be valid")
+    assert(card.getLong(1) > 0, "the fixed prompt must produce dup flags")
+    assert(card.getLong(0) == card.getLong(1) + card.getLong(2),
+      "valid = dups + kept partition")
+  }
+}
