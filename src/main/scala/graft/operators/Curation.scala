@@ -20,6 +20,12 @@ import org.apache.spark.sql.functions._
   *                            same early scan — before dedup/hashing, so
   *                            docs differing only in PII collapse and no
   *                            PII reaches a persisted signature)
+  *     → caption alignment   (optional, multimodal/LAION shape: drop pairs
+  *                            whose caption's centered-cosine score against
+  *                            the media payload falls below the floor —
+  *                            before any text measurement, since a
+  *                            misaligned pair is bad data however good
+  *                            its text looks)
   *     → paragraph dedup     (optional, CCNet-shape: corpus-repeated
   *                            boilerplate paragraphs removed at all but
   *                            their first occurrence, docs rewritten —
@@ -85,7 +91,8 @@ object Curation {
                           nAfterParagraphDedup: Long = -1L,
                           nAfterRepetition: Long = -1L,
                           nEncodingRepaired: Long = -1L,
-                          nPiiRedacted: Long = -1L)
+                          nPiiRedacted: Long = -1L,
+                          nAfterCaptionAlign: Long = -1L)
 
   /** Quality thresholds for the row-local gate. Defaults are the
     * web-corpus heuristics (Gopher-family): enough tokens, some lexical
@@ -113,6 +120,14 @@ object Curation {
   final case class ClassifierConfig(minMargin: Double = 0.0,
                                     dim: Int = 1024,
                                     seed: String = "graft-qc-1")
+
+  /** Image-text alignment gate (the multimodal curation stage, LAION
+    * shape): docs whose (payload, caption) centered-cosine score falls
+    * below `floor6` (6-dp scaled-long) drop. Both columns must exist on
+    * the input frame; see [[Multimodal.captionAlign]].
+    */
+  final case class CaptionAlignConfig(payloadCol: String, captionCol: String,
+                                      floor6: Long = 200000L, dim: Int = 16)
 
   /** The row-local quality gate as one filter expression — all signals
     * compute inside the same scan, no shuffle, no second pass.
@@ -153,7 +168,8 @@ object Curation {
              paragraphDedupStage: Boolean = false,
              repetitionGate: Boolean = false,
              encodingRepair: Boolean = false,
-             piiRedact: Boolean = false): Report = {
+             piiRedact: Boolean = false,
+             captionAlign: Option[CaptionAlignConfig] = None): Report = {
     val nInput = docs.count()
 
     // URL layer FIRST when the corpus carries URLs (the web-pipeline
@@ -212,19 +228,38 @@ object Curation {
       (docsRepaired0.withColumn("text", Pipeline.redact(col("text"))), hit)
     } else (docsRepaired0, -1L)
 
+    // Multimodal alignment gate (LAION shape) right after the row-local
+    // repairs, before any text-measurement stage: a misaligned caption
+    // means the PAIR is bad training data regardless of text quality, and
+    // dropping it here spares every later stage. Row-local scoring (one
+    // typed feature pass + a score expression) and a semi-join of ids —
+    // payloads never shuffle.
+    val (docsAligned, nCaptionAlign) = captionAlign match {
+      case Some(c) =>
+        val kept = docsRepaired.join(
+            Multimodal.captionAlign(docsRepaired, "doc_id", c.payloadCol,
+                c.captionCol, c.floor6, c.dim)
+              .filter(col("aligned") === 1)
+              .select(col("media_id").as("doc_id")),
+            Seq("doc_id"), "left_semi")
+          .persist()
+        (kept, kept.count())
+      case None => (docsRepaired, -1L)
+    }
+
     // CCNet-shape paragraph dedup right after the URL layer, BEFORE the
     // quality gate: corpus-repeated boilerplate paragraphs are removed at
     // all but their first occurrence and docs are rewritten from the
     // survivors, so every later stage (quality card, classifier, MinHash)
     // measures prose, not footers. Docs left with no paragraphs drop.
     val (docs1, nParagraph) = if (paragraphDedupStage) {
-      val clean = Dedup.paragraphDedup(docsRepaired, "doc_id", "text")
+      val clean = Dedup.paragraphDedup(docsAligned, "doc_id", "text")
         .filter(col("n_kept") > 0)
         .select(col("id").as("doc_id"), col("clean_text").as("text"))
-      val rewritten = docsRepaired.drop("text")
+      val rewritten = docsAligned.drop("text")
         .join(clean, Seq("doc_id")).persist()
       (rewritten, rewritten.count())
-    } else (docsRepaired, -1L)
+    } else (docsAligned, -1L)
 
     // Quality gate: either the scalar heuristics or (when `gopher` is
     // set) the rule card — same row-local shape, but the card keeps WHICH
@@ -387,10 +422,11 @@ object Curation {
       (if (scrubWindow > 0) Seq(afterScrub) else Nil) ++
       (if (repetitionGate) Seq(afterGates) else Nil) ++
       (if (paragraphDedupStage) Seq(docs1) else Nil) ++
+      (if (captionAlign.isDefined) Seq(docsAligned) else Nil) ++
       (if (urlCol.isDefined) Seq(docsAfterUrl) else Nil)).foreach(_.unpersist())
     Report(nInput, nQuality, nExact, nNear, splitCounts,
       totals.getLong(0), totals.getLong(1), nDecontam, nScrub,
       ruleDropsAll, nClassifier, nUrlDedup, nBlocklist,
-      nParagraph, nRepetition, nRepaired, nPii)
+      nParagraph, nRepetition, nRepaired, nPii, nCaptionAlign)
   }
 }

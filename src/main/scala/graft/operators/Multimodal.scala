@@ -152,6 +152,85 @@ object Multimodal {
     }
   }
 
+  case class CaptionedMedia(media_id: Long, payload: Array[Byte], caption: String)
+
+  case class AlignPair(media_id: Long, caption_chars: Int,
+                       media_feats: Array[Float], caption_feats: Array[Float])
+
+  /** Image-text alignment scoring (the LAION/CLIP-score curation shape):
+    * embed both sides of a (media payload, caption) pair and score their
+    * CENTERED cosine. The stub codec stands in for BOTH encoders — a real
+    * deployment swaps in a CLIP image tower for the payload side and its
+    * text tower for the caption side; the pairing, batch shape, scoring
+    * and thresholding below are the production plumbing either way.
+    *
+    * Centering matters with the stub features: bucket-mean vectors of any
+    * text are near-parallel uncentered (the shared-mean component — the
+    * same effect [[SimilaritySearch]] documents for SRP), so the raw
+    * cosine of everything is ~1. Subtracting each vector's own mean scores
+    * the bucket-profile FLUCTUATION, which does distinguish a caption
+    * drawn from the payload from one that wasn't.
+    *
+    * One partition-preserving typed pass (both feature vectors per row,
+    * payloads never co-locate or hit the driver) + a row-local score
+    * expression: rides the scan at 100 TB, zero shuffles.
+    */
+  def captionFeaturePairs(df: DataFrame, idCol: String, payloadCol: String,
+                          captionCol: String, dim: Int = 16): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("media_id"),
+        col(payloadCol).as("payload"),
+        coalesce(col(captionCol), lit("")).as("caption"))
+      .as[CaptionedMedia]
+      .mapPartitions { it =>
+        it.map { r =>
+          val cap = if (r.caption == null) "" else r.caption
+          val pay = if (r.payload == null) Array.emptyByteArray else r.payload
+          AlignPair(r.media_id, cap.length,
+            StubCodec.features(pay, dim),
+            StubCodec.features(cap.getBytes(StandardCharsets.UTF_8), dim))
+        }
+      }
+      .toDF()
+  }
+
+  /** Exact 6-dp scaled-long centered cosine of two float-array columns
+    * (the q_v15/q_v16 integer-compare idiom: round to 6 dp, scale, cast —
+    * so threshold comparisons are integer-exact and DuckDB-replayable).
+    * Zero-variance vectors (empty/constant payloads) score 0.
+    */
+  def alignmentScore6(a: String, b: String): String =
+    Dedup.letBind(
+      s"aggregate($a, CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE)) / size($a)", "ma",
+      Dedup.letBind(
+        s"aggregate($b, CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE)) / size($b)", "mb",
+        Dedup.letBind(
+          s"""aggregate(zip_with($a, $b,
+             |  (x, y) -> (CAST(x AS DOUBLE) - ma) * (CAST(y AS DOUBLE) - mb)),
+             |  CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin, "num",
+          Dedup.letBind(
+            s"""aggregate($a, CAST(0 AS DOUBLE),
+               |  (acc, x) -> acc + (CAST(x AS DOUBLE) - ma) * (CAST(x AS DOUBLE) - ma))""".stripMargin, "da2",
+            Dedup.letBind(
+              s"""aggregate($b, CAST(0 AS DOUBLE),
+                 |  (acc, x) -> acc + (CAST(x AS DOUBLE) - mb) * (CAST(x AS DOUBLE) - mb))""".stripMargin, "db2",
+              """CAST(round(round(IF(da2 = CAST(0 AS DOUBLE) OR db2 = CAST(0 AS DOUBLE),
+                |  CAST(0 AS DOUBLE), num / (sqrt(da2) * sqrt(db2))), 6) * 1000000)
+                |AS BIGINT)""".stripMargin)))))
+
+  /** Per-pair alignment card: score each (payload, caption) pair and flag
+    * the keepers at `floor6` (a 6-dp scaled-long floor — 200000 = 0.2).
+    * The card ships to the dataset audit; [[Curation]] uses the flag as
+    * its optional multimodal gate.
+    */
+  def captionAlign(df: DataFrame, idCol: String, payloadCol: String,
+                   captionCol: String, floor6: Long, dim: Int = 16): DataFrame =
+    captionFeaturePairs(df, idCol, payloadCol, captionCol, dim)
+      .withColumn("align6", expr(alignmentScore6("media_feats", "caption_feats")))
+      .withColumn("aligned", (col("align6") >= floor6).cast("int"))
+      .select("media_id", "caption_chars", "align6", "aligned")
+
   /** "Resize": renormalize a feature vector to a new width by linear
     * bucket re-averaging — the plumbing twin of image resizing.
     */

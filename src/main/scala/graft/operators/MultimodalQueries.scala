@@ -79,6 +79,27 @@ object MultimodalQueries {
         .orderBy(col("cosine").desc, col("media_id"))
     }),
 
+    // Image-text alignment filter (LAION/CLIP-score shape): stub-codec
+    // features of the media payload vs the caption's features, scored by
+    // CENTERED cosine (the shared-mean component makes raw cosines of
+    // bucket-mean vectors all ~1 — see Multimodal.captionAlign), kept at
+    // an exact 6-dp scaled-long floor. Misaligned pairs are planted
+    // in-query: every 6th doc's caption comes from the REVERSED text —
+    // same character distribution, different positional bucket profile —
+    // so its fluctuation decorrelates from the payload's. The oracle
+    // replays the feature math (q_m2 fv shape, twice), the centered
+    // cosine in DOUBLE, and the integer floor.
+    "q_m6_caption_align" -> ((s, dir) => {
+      val pairs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          encode(col("text"), "UTF-8").as("payload"),
+          when(col("doc_id") % 6 === 0, expr("substring(reverse(text), 1, 96)"))
+            .otherwise(expr("substring(text, 1, 96)")).as("caption"))
+      Multimodal.captionAlign(pairs, "doc_id", "payload", "caption",
+          floor6 = 200000L)
+        .orderBy("media_id")
+    }),
+
     // Perceptual-hash media dedup: aHash (average hash — bit i set iff
     // stub-codec feature i sits above the payload's feature mean) groups
     // media whose CONTENT profile matches even when the bytes differ —
@@ -186,6 +207,59 @@ object MultimodalQueries {
         |  FROM fv, q WHERE media_id != 0)
         |SELECT media_id, round(c, 6) AS cosine
         |FROM scored ORDER BY c DESC, media_id LIMIT 10""".stripMargin,
+
+    // replays the caption planting, the stub-codec feature math (the q_m2
+    // fv shape, once per side), the centered cosine in DOUBLE, and the
+    // 6-dp scaled-long floor
+    "q_m6_caption_align" ->
+      """WITH d AS (SELECT doc_id AS media_id, text,
+        |             CASE WHEN doc_id % 6 = 0 THEN substr(reverse(text), 1, 96)
+        |                  ELSE substr(text, 1, 96) END AS cap
+        |           FROM documents),
+        |tpos AS (SELECT media_id, unnest(generate_series(1, length(text))) AS i, text
+        |         FROM d WHERE length(text) > 0),
+        |tagg AS (SELECT media_id, (i - 1) % 16 AS bkt,
+        |                sum(ascii(substr(text, CAST(i AS INT), 1))) AS s, count(*) AS c
+        |         FROM tpos GROUP BY 1, 2),
+        |cpos AS (SELECT media_id, unnest(generate_series(1, length(cap))) AS i, cap
+        |         FROM d WHERE length(cap) > 0),
+        |cagg AS (SELECT media_id, (i - 1) % 16 AS bkt,
+        |                sum(ascii(substr(cap, CAST(i AS INT), 1))) AS s, count(*) AS c
+        |         FROM cpos GROUP BY 1, 2),
+        |grid AS (SELECT media_id, gb.b AS bkt FROM d, generate_series(0, 15) gb(b)),
+        |tf AS (SELECT g.media_id,
+        |              list(CAST(CAST(coalesce(a.s, 0) AS FLOAT) / CAST(coalesce(a.c, 1) AS FLOAT)
+        |                        / CAST(255 AS FLOAT) AS FLOAT) ORDER BY g.bkt) AS f
+        |       FROM grid g LEFT JOIN tagg a ON a.media_id = g.media_id AND a.bkt = g.bkt
+        |       GROUP BY 1),
+        |cf AS (SELECT g.media_id,
+        |              list(CAST(CAST(coalesce(a.s, 0) AS FLOAT) / CAST(coalesce(a.c, 1) AS FLOAT)
+        |                        / CAST(255 AS FLOAT) AS FLOAT) ORDER BY g.bkt) AS f
+        |       FROM grid g LEFT JOIN cagg a ON a.media_id = g.media_id AND a.bkt = g.bkt
+        |       GROUP BY 1),
+        |m AS (SELECT tf.media_id, tf.f AS a, cf.f AS b
+        |      FROM tf JOIN cf ON tf.media_id = cf.media_id),
+        |mu AS (SELECT media_id, a, b,
+        |              list_sum(list_transform(a, x -> CAST(x AS DOUBLE))) / 16 AS ma,
+        |              list_sum(list_transform(b, x -> CAST(x AS DOUBLE))) / 16 AS mb
+        |       FROM m),
+        |sc AS (SELECT media_id,
+        |              list_sum(list_transform(generate_series(1, 16),
+        |                i -> (CAST(a[i] AS DOUBLE) - ma) * (CAST(b[i] AS DOUBLE) - mb))) AS num,
+        |              list_sum(list_transform(a,
+        |                x -> (CAST(x AS DOUBLE) - ma) * (CAST(x AS DOUBLE) - ma))) AS da2,
+        |              list_sum(list_transform(b,
+        |                x -> (CAST(x AS DOUBLE) - mb) * (CAST(x AS DOUBLE) - mb))) AS db2
+        |       FROM mu),
+        |fin AS (SELECT media_id,
+        |               CAST(round(round(CASE WHEN da2 = 0 OR db2 = 0 THEN 0
+        |                                     ELSE num / (sqrt(da2) * sqrt(db2)) END,
+        |                          6) * 1000000) AS BIGINT) AS align6
+        |        FROM sc)
+        |SELECT d.media_id, CAST(length(d.cap) AS INTEGER) AS caption_chars,
+        |       f.align6, CAST(f.align6 >= 200000 AS INTEGER) AS aligned
+        |FROM d JOIN fin f ON d.media_id = f.media_id
+        |ORDER BY d.media_id""".stripMargin,
 
     // replays the char-swap planting, the stub-codec feature math (the
     // q_m2 fv shape), the aHash bits, and the grouping

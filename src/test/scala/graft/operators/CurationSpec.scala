@@ -282,6 +282,30 @@ class CurationSpec extends SparkTestBase {
     assert(rB.nEncodingRepaired == -1L)
   }
 
+  test("caption-alignment gate: misaligned pairs drop before any text stage") {
+    // payload = text bytes; every 5th doc gets a constant-byte caption
+    // (score exactly 0 — below any positive floor), the rest their own
+    // prefix. The gate must drop exactly from the planted class and the
+    // report must count the survivors.
+    val paired = docs.withColumn("payload", encode(col("text"), "UTF-8"))
+      .withColumn("caption",
+        when(col("doc_id") % 5 === 0, lit("z" * 40))
+          .otherwise(expr("substring(text, 1, 96)")))
+    val out = Files.createTempDirectory("graft-curate-m").toString
+    val r = Curation.curate(paired, out, seed = "cur-m6",
+      budgetTokens = 256L,
+      captionAlign = Some(Curation.CaptionAlignConfig("payload", "caption")))
+    val nInput = docs.count()
+    assert(r.nAfterCaptionAlign > 0 && r.nAfterCaptionAlign < nInput)
+    // every misaligned-class doc is gone (its score is exactly 0)
+    val shipped = spark.read.parquet(out)
+    assert(shipped.filter(col("doc_id") % 5 === 0).count() == 0L)
+    // downstream counts are monotone under the gate
+    assert(r.nAfterQuality <= r.nAfterCaptionAlign)
+    // stage off → sentinel
+    assert(Curation.Report(1, 1, 1, 1, Map.empty, 1, 1).nAfterCaptionAlign == -1L)
+  }
+
   test("PII redaction stage: planted emails counted, none survive to the shipped corpus") {
     // plant an email + a number into one residue class
     val planted = docs.withColumn("text",

@@ -70,6 +70,46 @@ class MultimodalSpec extends SparkTestBase {
     assert(resized.forall(_.getAs[Seq[Float]]("features").length == 8))
   }
 
+  test("caption alignment: matched captions keep, planted misaligned pairs drop") {
+    import org.apache.spark.sql.functions._
+    // payload = doc text; caption is either the doc's own prefix (aligned)
+    // or a CONSTANT-byte string (maximally misaligned: zero feature
+    // variance -> score exactly 0) — a violation with a known verdict
+    val pairs = docs.select(col("doc_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      when(col("doc_id") % 5 === 0, lit("z" * 40))
+        .otherwise(expr("substring(text, 1, 96)")).as("caption"))
+    val card = Multimodal.captionAlign(pairs, "doc_id", "payload", "caption",
+        floor6 = 200000L)
+      .collect().map(r => r.getAs[Long]("media_id") ->
+        ((r.getAs[Long]("align6"), r.getAs[Int]("aligned")))).toMap
+    // every constant-caption pair scores exactly 0 (zero caption variance)
+    card.filter(_._1 % 5 == 0).values.foreach { case (a6, al) =>
+      assert(a6 == 0L && al == 0)
+    }
+    // and real prefixes overwhelmingly pass: the filter discriminates
+    val own = card.filter(_._1 % 5 != 0).values
+    assert(own.count(_._2 == 1) > own.size / 2,
+      "own-prefix captions should mostly align")
+  }
+
+  test("alignment score is symmetric-exact and zero-variance-safe") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (1L, Array(0.1f, 0.9f, 0.1f, 0.9f), Array(0.2f, 0.8f, 0.2f, 0.8f)),
+      (2L, Array(0.5f, 0.5f, 0.5f, 0.5f), Array(0.1f, 0.9f, 0.1f, 0.9f)), // zero variance left
+      (3L, Array(0.1f, 0.9f, 0.1f, 0.9f), Array(0.9f, 0.1f, 0.9f, 0.1f))  // anti-aligned
+    )
+    val spark2 = spark
+    import spark2.implicits._
+    val scored = df.toDF("id", "a", "b")
+      .withColumn("s", expr(Multimodal.alignmentScore6("a", "b")))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(scored(1L) == 1000000L) // same fluctuation shape: centered cos = 1
+    assert(scored(2L) == 0L)       // zero variance guard
+    assert(scored(3L) == -1000000L)
+  }
+
   test("stub features are invariant under a same-bucket byte swap (the aHash dedup premise)") {
     // positions 0 and 16 (0-based) land in byte bucket 0 of a dim-16
     // feature vector: swapping them changes the bytes but not a single
