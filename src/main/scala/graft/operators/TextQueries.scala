@@ -461,6 +461,24 @@ object TextQueries {
         .orderBy("lang")
     }),
 
+    // Tokenizer-AWARE sequence packing: the q_t6 bin arithmetic driven by
+    // REAL subword counts from the trained BPE (not whitespace tokens) —
+    // the packing a trainer actually runs, since its context budget is in
+    // tokenizer tokens. Composition receipt for bpeEncodeCounts ∘
+    // packSequences: encode rides the scan (row-local literal-replace
+    // chain), packing is one window per language partition. Training
+    // reruns in-query (6 merges, the q_t18/q_t19 contract).
+    "q_t30_pack_bpe" -> ((s, dir) => {
+      val merges = Tokenizer.bpeTrain(docs(s, dir), "text", numMerges = 6)
+      val enc = Tokenizer.bpeEncodeCounts(docs(s, dir), "doc_id", "text", merges)
+      Pipeline.packSequences(
+          docs(s, dir).select(col("doc_id"), col("lang")).join(enc, "doc_id"),
+          "lang", "doc_id", "n_tokens", budgetTokens = 512L)
+        .groupBy("lang", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tokens_packed"))
+        .orderBy("lang", "bin")
+    }),
+
     // Vocabulary statistics per language slice — the corpus profile that
     // drives tokenizer/dedup planning: token mass, distinct words and
     // 3-gram shingles (exact twins + bounded-memory HLL++ estimates with
@@ -1428,8 +1446,38 @@ object TextQueries {
          |FROM documents d LEFT JOIN agg USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
 
-    // replays the trained tokenizer (bpeOracleStages), the per-word token
-    // counts, and the per-language integer sums + 6-dp ratio divisions
+    // replays the trained tokenizer (bpeOracleStages), the per-doc real
+    // token counts (the q_t19 agg), and the q_t6 running-sum bin replay
+    "q_t30_pack_bpe" ->
+      s"""WITH ${bpeOracleStages(6)},
+         |wt AS (
+         |  SELECT word,
+         |         len(list_filter(string_split(sym, '  '), x -> x != '')) AS toks
+         |  FROM s6),
+         |dw AS (
+         |  SELECT doc_id,
+         |         unnest(list_filter(string_split(text, ' '), x -> x != '')) AS word
+         |  FROM documents),
+         |agg AS (
+         |  SELECT doc_id, count(*) AS n_words, sum(toks) AS n_tokens
+         |  FROM dw JOIN wt USING (word) GROUP BY 1),
+         |base AS (
+         |  SELECT d.doc_id, d.lang,
+         |         CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens
+         |  FROM documents d LEFT JOIN agg USING (doc_id)),
+         |packed AS (
+         |  SELECT lang, doc_id, n_tokens,
+         |         CAST(floor(COALESCE(sum(n_tokens) OVER (
+         |             PARTITION BY lang ORDER BY doc_id
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |           / 512) AS BIGINT) AS bin
+         |  FROM base)
+         |SELECT lang, bin, count(*) AS n_docs,
+         |       CAST(sum(n_tokens) AS BIGINT) AS tokens_packed
+         |FROM packed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // replays the trained tokenizer (bpeOracleStages), the per-doc real
+    // token counts, and the per-language integer sums + 6-dp ratio divisions
     "q_t27_tokenizer_fertility" ->
       s"""WITH ${bpeOracleStages(6)},
          |wt AS (

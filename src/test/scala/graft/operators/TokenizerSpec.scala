@@ -48,6 +48,39 @@ class TokenizerSpec extends SparkTestBase {
     assert(got == Seq((1L, 3L, 7L), (2L, 0L, 0L)), got.toString)
   }
 
+  test("BPE-aware packing: bins are contiguous and bounded by budget + one doc (real counts)") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(sfDir("0.001") + "/documents.parquet")
+    val budget = 512L
+    val merges = Tokenizer.bpeTrain(docs, "text", numMerges = 6)
+    val enc = Tokenizer.bpeEncodeCounts(docs, "doc_id", "text", merges)
+    val packed = Pipeline.packSequences(
+      docs.select(col("doc_id"), col("lang")).join(enc, "doc_id"),
+      "lang", "doc_id", "n_tokens", budget)
+    val perBin = packed.groupBy("lang", "bin")
+      .agg(sum("n_tokens").as("packed"), max("n_tokens").as("biggest"))
+      .collect()
+    // greedy prefix packing invariant: a bin overflows by at most the doc
+    // that crossed the boundary — sum <= budget + that doc's tokens
+    perBin.foreach { r =>
+      assert(r.getAs[Long]("packed") <= budget + r.getAs[Long]("biggest"),
+        s"bin ${r.getAs[Long]("bin")} in ${r.getString(0)} overflows: $r")
+    }
+    // bins are contiguous from 0 within each language
+    val byLang = perBin.groupBy(_.getString(0))
+    byLang.foreach { case (lang, rows) =>
+      val bins = rows.map(_.getAs[Long]("bin")).sorted.toSeq
+      assert(bins == (0L until bins.length).toSeq, s"$lang bins not contiguous: $bins")
+    }
+    // and the real counts differ from whitespace counts (the composition
+    // is not vacuous: BPE fragments words)
+    val ws = docs.selectExpr("doc_id",
+      "CAST(size(filter(split(text, ' '), x -> x != '')) AS BIGINT) AS n_ws")
+    val diff = enc.join(ws, "doc_id")
+      .filter(col("n_tokens") =!= col("n_ws")).count()
+    assert(diff > 0L, "BPE token counts should not equal whitespace counts")
+  }
+
   test("training is partitioning-invariant on real docs") {
     val docs = spark.read.parquet(sfDir("0.001") + "/documents.parquet")
     val a = Tokenizer.bpeTrain(docs, "text", numMerges = 4)
