@@ -16,10 +16,11 @@ import org.apache.spark.sql.functions._
   *                            measurement, since mojibake perturbs
   *                            paragraph hashes, token stats and
   *                            classifier features alike)
-  *     → PII redaction       (optional: email/number → typed tags on the
-  *                            same early scan — before dedup/hashing, so
-  *                            docs differing only in PII collapse and no
-  *                            PII reaches a persisted signature)
+  *     → PII redaction       (optional: email/phone/IPv4/IPv6/number →
+  *                            typed tags on the same early scan — before
+  *                            dedup/hashing, so docs differing only in PII
+  *                            collapse and no PII reaches a persisted
+  *                            signature)
   *     → caption alignment   (optional, multimodal/LAION shape: drop pairs
   *                            whose caption's centered-cosine score against
   *                            the media payload falls below the floor —
@@ -220,12 +221,14 @@ object Curation {
     // PII ever reaches a persisted signature. Row-local regexp rewrite;
     // the report counts docs that carried any match.
     val (docsRepaired, nPii) = if (piiRedact) {
-      val hit = docsRepaired0.filter(
-        Pipeline.matchCount(coalesce(col("text"), lit("")),
-          Pipeline.EmailRe) +
-          Pipeline.matchCount(coalesce(col("text"), lit("")),
-            Pipeline.NumberRe) > 0).count()
-      (docsRepaired0.withColumn("text", Pipeline.redact(col("text"))), hit)
+      // full typed breadth (email/phone/IPv4/IPv6/number — see
+      // Pipeline.redactTyped); the report counts docs carrying ANY match
+      val tagged = docsRepaired0.withColumn("_pii",
+        Pipeline.redactTyped(col("text")))
+      val hit = tagged.filter(
+        col("_pii.n_emails") + col("_pii.n_phones") + col("_pii.n_ipv4") +
+          col("_pii.n_ipv6") + col("_pii.n_nums") > 0).count()
+      (tagged.withColumn("text", col("_pii.clean")).drop("_pii"), hit)
     } else (docsRepaired0, -1L)
 
     // Multimodal alignment gate (LAION shape) right after the row-local

@@ -247,6 +247,28 @@ object Pipeline {
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val NumberRe = "[0-9]+(\\.[0-9]+)?"
 
+  /** International (`+CC ...`, separators space or dash) and NANP
+    * (`(212) 555-0123`) phone shapes. Must be scrubbed BEFORE [[NumberRe]]
+    * or the generic number pass shreds the digit groups.
+    */
+  val PhoneRe: String =
+    "\\+[0-9]{1,3}[ -][0-9]{2,4}([ -][0-9]{2,4}){1,3}|\\([0-9]{3}\\) [0-9]{3}-[0-9]{4}"
+
+  /** Dotted-quad IPv4 (word-bounded so trailing prose doesn't extend it). */
+  val Ipv4Re: String = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+
+  /** IPv6: the full 8-group form plus the common `::`-compressed form with
+    * a non-empty tail, longest alternative first (both Java regex and RE2
+    * take the first matching alternative). Leading-`::` (loopback) and
+    * trailing-`::` spellings are out of scope — RE2 has no lookarounds, so
+    * a boundary-safe pattern for a match that ENDS in `:` cannot be
+    * written portably; extend per corpus. No lookaheads anywhere: the
+    * patterns behave identically under Java regex and RE2.
+    */
+  val Ipv6Re: String =
+    "\\b([0-9a-fA-F]{1,4}:){7}[0-9a-fA-F]{1,4}\\b|" +
+      "\\b([0-9a-fA-F]{1,4}:){1,6}:[0-9a-fA-F]{1,4}(:[0-9a-fA-F]{1,4}){0,5}\\b"
+
   /** PII-style redaction: replace emails then numeric literals with typed
     * placeholder tags, and count the matches that were scrubbed. Pure
     * codegen'd regexp expressions — the Java-regex patterns here are chosen
@@ -397,4 +419,43 @@ object Pipeline {
 
   def matchCount(textCol: Column, pattern: String): Column =
     size(regexp_extract_all(textCol, lit(pattern), lit(0))).cast("int")
+
+  /** Column-level let-binding (the [[UrlOps]] bind idiom): evaluate once,
+    * reference cheaply — the redaction chain below threads five
+    * progressively-scrubbed texts and would otherwise inline each stage
+    * multiplicatively into the expression tree.
+    */
+  private def bindC(bound: Column)(body: Column => Column): Column =
+    element_at(transform(array(bound), body), 1)
+
+  /** Full typed PII redaction — the breadth a production curation pass
+    * scrubs: emails, IPv6, IPv4, phones, then generic numbers, each to a
+    * typed tag, with per-type match counts. Order matters twice over:
+    * specific shapes go before [[NumberRe]] (or the number pass shreds
+    * their digit groups), and each count is taken on the text AFTER the
+    * previous stage's rewrite, so a digit never double-counts. Tags are
+    * deliberately DIGIT-FREE (`<IPFOUR>`, not `<IPV4>`) — the trailing
+    * number pass would otherwise eat the digits inside earlier tags.
+    * One chained codegen'd regexp pipeline riding the scan, zero shuffle.
+    *
+    * Returns a struct: (n_emails, n_ipv6, n_ipv4, n_phones, n_nums, clean).
+    */
+  def redactTyped(textCol: Column): Column =
+    bindC(coalesce(textCol, lit(""))) { t0 =>
+      bindC(regexp_replace(t0, EmailRe, "<EMAIL>")) { t1 =>
+        bindC(regexp_replace(t1, Ipv6Re, "<IPSIX>")) { t2 =>
+          bindC(regexp_replace(t2, Ipv4Re, "<IPFOUR>")) { t3 =>
+            bindC(regexp_replace(t3, PhoneRe, "<PHONE>")) { t4 =>
+              struct(
+                matchCount(t0, EmailRe).as("n_emails"),
+                matchCount(t1, Ipv6Re).as("n_ipv6"),
+                matchCount(t2, Ipv4Re).as("n_ipv4"),
+                matchCount(t3, PhoneRe).as("n_phones"),
+                matchCount(t4, NumberRe).as("n_nums"),
+                regexp_replace(t4, NumberRe, "<NUM>").as("clean"))
+            }
+          }
+        }
+      }
+    }
 }

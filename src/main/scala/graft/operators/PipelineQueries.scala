@@ -66,6 +66,39 @@ object PipelineQueries {
         substring(Pipeline.redact(col("text")), 1, 120).as("preview"))
         .orderBy("doc_id")),
 
+    // Typed PII redaction at production breadth: email / phone / IPv4 /
+    // IPv6 / number, each to a digit-free typed tag, counts taken stage-
+    // wise so nothing double-counts. PLANTED CONSTRUCTION: doc_id % 5
+    // prepends one PII class (the base text is lowercase words — zero
+    // natural matches), doc_id % 9 appends two bare numbers; the oracle
+    // never runs a regex — it builds the EXPECTED tagged text and counts
+    // analytically from the construction, so a shared pattern bug fails
+    // the hash (the q_u1/q_t29 discipline).
+    "q_t31_pii_typed" -> ((s, dir) => {
+      val planted = docs(s, dir).select(col("doc_id"),
+        concat(
+          when(col("doc_id") % 5 === 1,
+            lit("mail bob.smith+spam@mail.example.co.uk and "))
+            .when(col("doc_id") % 5 === 2,
+              lit("call +1-555-867-5309 or (212) 555-0123 now "))
+            .when(col("doc_id") % 5 === 3,
+              lit("host 10.0.0.1 and 192.168.100.255 up "))
+            .when(col("doc_id") % 5 === 4,
+              lit("node 2001:db8::7334 and fe80:1:2:3:4:5:6:7 on "))
+            .otherwise(lit("")),
+          coalesce(col("text"), lit("")),
+          when(col("doc_id") % 9 === 0, lit(" version 3.14 build 42"))
+            .otherwise(lit(""))).as("text"))
+      planted
+        .select(col("doc_id"), Pipeline.redactTyped(col("text")).as("p"))
+        .select(col("doc_id"),
+          col("p.n_emails").as("n_emails"), col("p.n_phones").as("n_phones"),
+          col("p.n_ipv4").as("n_ipv4"), col("p.n_ipv6").as("n_ipv6"),
+          col("p.n_nums").as("n_nums"),
+          md5(col("p.clean")).as("clean_md5"))
+        .orderBy("doc_id")
+    }),
+
     // Language-balanced corpus capping: keep at most 50 docs per language,
     // longest-first (deterministic tie-break on doc_id) — the rebalancing
     // step that stops one language from dominating a mixed corpus.
@@ -684,6 +717,26 @@ object PipelineQueries {
            |       substr(regexp_replace(regexp_replace(text, '${Pipeline.EmailRe}', '<EMAIL>', 'g'),
            |                             '${Pipeline.NumberRe}', '<NUM>', 'g'), 1, 120) AS preview
            |FROM documents ORDER BY doc_id""".stripMargin,
+
+      // analytic: expected counts and the expected TAGGED text from the
+      // planted construction — no regex runs on the oracle side
+      "q_t31_pii_typed" ->
+        """SELECT doc_id,
+          |  CAST(CASE WHEN doc_id % 5 = 1 THEN 1 ELSE 0 END AS INTEGER) AS n_emails,
+          |  CAST(CASE WHEN doc_id % 5 = 2 THEN 2 ELSE 0 END AS INTEGER) AS n_phones,
+          |  CAST(CASE WHEN doc_id % 5 = 3 THEN 2 ELSE 0 END AS INTEGER) AS n_ipv4,
+          |  CAST(CASE WHEN doc_id % 5 = 4 THEN 2 ELSE 0 END AS INTEGER) AS n_ipv6,
+          |  CAST(CASE WHEN doc_id % 9 = 0 THEN 2 ELSE 0 END AS INTEGER) AS n_nums,
+          |  md5(CASE CAST(doc_id % 5 AS INTEGER)
+          |        WHEN 1 THEN 'mail <EMAIL> and '
+          |        WHEN 2 THEN 'call <PHONE> or <PHONE> now '
+          |        WHEN 3 THEN 'host <IPFOUR> and <IPFOUR> up '
+          |        WHEN 4 THEN 'node <IPSIX> and <IPSIX> on '
+          |        ELSE '' END
+          |      || coalesce(text, '')
+          |      || CASE WHEN doc_id % 9 = 0 THEN ' version <NUM> build <NUM>'
+          |              ELSE '' END) AS clean_md5
+          |FROM documents ORDER BY doc_id""".stripMargin,
 
       "q_sp3_lang_cap" ->
         """SELECT lang, doc_id, n_chars FROM (

@@ -102,6 +102,45 @@ class PipelineSpec extends SparkTestBase {
     assert(out(2).getString(3) == "two mails <EMAIL> <EMAIL> and v<NUM>")
   }
 
+  test("redactTyped: every PII class tags, counts are stage-exact, zero residual") {
+    import spark.implicits._
+    val hostile = Seq(
+      (1L, "mail a.b+c@x.co.uk now"),                       // email
+      (2L, "call +44-20-7946-0958 or (212) 555-0123 ok"),   // phones x2
+      (3L, "peer 192.168.0.1 via 10.0.0.255 up"),           // ipv4 x2
+      (4L, "addr 2001:db8::1 and fe80:1:2:3:4:5:6:7 on"),   // ipv6 x2 (compressed + full)
+      (5L, "pi is 3.14159 and port 8080"),                  // numbers x2
+      (6L, "all a@b.io +1-555-867-5309 1.2.3.4 2001:db8::2 42"),
+      (7L, "clean words only"),
+      (8L, null.asInstanceOf[String])
+    ).toDF("id", "text")
+    val out = hostile.select(col("id"), Pipeline.redactTyped(col("text")).as("p"))
+      .select(col("id"), col("p.n_emails"), col("p.n_phones"), col("p.n_ipv4"),
+        col("p.n_ipv6"), col("p.n_nums"), col("p.clean"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5),
+          r.getString(6)))).toMap
+    assert(out(1L)._1 == 1 && out(1L)._6 == "mail <EMAIL> now")
+    assert(out(2L)._2 == 2 && out(2L)._6 == "call <PHONE> or <PHONE> ok")
+    assert(out(3L)._3 == 2 && out(3L)._6 == "peer <IPFOUR> via <IPFOUR> up")
+    assert(out(4L)._4 == 2 && out(4L)._6 == "addr <IPSIX> and <IPSIX> on")
+    assert(out(5L)._5 == 2 && out(5L)._6 == "pi is <NUM> and port <NUM>")
+    assert(out(6L) == ((1, 1, 1, 1, 1,
+      "all <EMAIL> <PHONE> <IPFOUR> <IPSIX> <NUM>")))
+    assert(out(7L) == ((0, 0, 0, 0, 0, "clean words only")))
+    assert(out(8L) == ((0, 0, 0, 0, 0, ""))) // null-safe
+    // zero residual: no pattern matches anything in any cleaned text
+    val residual = hostile.select(Pipeline.redactTyped(col("text")).as("p"))
+      .select(
+        (Pipeline.matchCount(col("p.clean"), Pipeline.EmailRe) +
+          Pipeline.matchCount(col("p.clean"), Pipeline.PhoneRe) +
+          Pipeline.matchCount(col("p.clean"), Pipeline.Ipv4Re) +
+          Pipeline.matchCount(col("p.clean"), Pipeline.Ipv6Re) +
+          Pipeline.matchCount(col("p.clean"), Pipeline.NumberRe)).as("r"))
+      .agg(sum("r")).head().getLong(0)
+    assert(residual == 0L, "PII survived the typed redaction chain")
+  }
+
   test("groupSample: per-group cap, contiguous ranks, partitioning-invariant") {
     import spark.implicits._
     val df = (1L to 200L).map(i => (if (i % 3 == 0) "a" else "b", i))
