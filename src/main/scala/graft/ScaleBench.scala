@@ -399,7 +399,108 @@ object ScaleBench {
         operators.TextAnalysis.chunkRetrieval(
           s.read.parquet(s"$d/documents.parquet"), "doc_id", "text",
           chunkTokens = 30, strideTokens = 20, dims = 64,
-          queryDocId = 42L, queryChunkIdx = 0, k = 10)))
+          queryDocId = 42L, queryChunkIdx = 0, k = 10))) :+
+      // split-leak audit: the pair set rides the AllPairs prefix join
+      // (never all-pairs), split tags are row-local md5 joined back
+      // id-keyed — the curve must track q_d6's pair-join shape, and
+      // everything after the join is pairs-sized
+      ("q_sp14_split_leak_scale" -> ((s: SparkSession, d: String) => {
+        val docs = s.read.parquet(s"$d/documents.parquet")
+        val split = operators.Pipeline.hashSplit(docs, "doc_id", "sb-split",
+            Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+          .select(col("doc_id"), col("split"))
+        operators.Dedup.jaccardSimilarityJoin(docs, "doc_id", "text",
+            shingleSize = 3, threshold = 0.5)
+          .select("id_a", "id_b")
+          .join(split.select(col("doc_id").as("id_a"), col("split").as("sa")), "id_a")
+          .join(split.select(col("doc_id").as("id_b"), col("split").as("sb")), "id_b")
+          .groupBy(least(col("sa"), col("sb")).as("split_lo"),
+            greatest(col("sa"), col("sb")).as("split_hi"))
+          .agg(count(lit(1)).as("n_pairs"))
+      })) :+
+      // tokenizer fertility: BPE train (vocab-sized iterations) + row-local
+      // encode + one lang-keyed agg — the encode scan dominates, so the
+      // curve must track q_t19's shape with a constant train prefix
+      ("q_t27_fertility_scale" -> ((s: SparkSession, d: String) => {
+        val docs = s.read.parquet(s"$d/documents.parquet")
+        val merges = operators.Tokenizer.bpeTrain(docs, "text", numMerges = 6)
+        val enc = operators.Tokenizer.bpeEncodeCounts(docs, "doc_id", "text", merges)
+        docs.select(col("doc_id"), col("lang"),
+            length(coalesce(col("text"), lit(""))).cast("long").as("chars"))
+          .join(enc, "doc_id")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), sum("n_words").as("n_words"),
+            sum("n_tokens").as("n_tokens"), sum("chars").as("n_chars"))
+      })) :+
+      // SemDeDup: k-means cells bound the pairwise cosine (O(sum n_c^2),
+      // never all-pairs) — wall must grow with cell-pair mass, shuffle
+      // with the assigned frame; twins tagged far above synth replica ids
+      ("q_v17_semdedup_scale" -> ((s: SparkSession, d: String) => {
+        val base = s.read.parquet(s"$d/embeddings.parquet")
+          .select("vec_id", "embedding")
+        val twins = base.filter(col("vec_id") % 5 === 0).select(
+          (col("vec_id") + lit(300000000000L)).as("vec_id"),
+          expr("transform(embedding, (x, j) -> " +
+            "CAST(CAST(x AS DOUBLE) + ((vec_id * 31 + j) % 7 - 3) * 0.015D AS FLOAT))")
+            .as("embedding"))
+        operators.SimilaritySearch.semDeDup(
+          base.unionByName(twins).localCheckpoint(),
+          "vec_id", "embedding", k = 8, iterations = 2, minCosine = 0.9)
+      })) :+
+      // preference-pair prep in the PRODUCTION hash family: row-local
+      // parse/validate/flatten + ONE 60-bit prompt-key exchange for the
+      // keep-first dedup — the curve must track the scan plus a doc-count-
+      // linear fixed-width shuffle
+      ("q_f5_pref_pairs_scale" -> ((s: SparkSession, d: String) =>
+        operators.ConversationQueries.prefPairsQuery(
+          s.read.parquet(s"$d/documents.parquet"),
+          graft.functions.HashFamily.Xx64))) :+
+      // image-text alignment: one typed feature pass (both towers) + a
+      // row-local centered-cosine score — zero exchanges, must track the
+      // scan like the other card legs
+      ("q_m6_caption_align_scale" -> ((s: SparkSession, d: String) => {
+        val pairs = s.read.parquet(s"$d/documents.parquet")
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"),
+            when(col("doc_id") % 6 === 0, expr("substring(reverse(text), 1, 96)"))
+              .otherwise(expr("substring(text, 1, 96)")).as("caption"))
+        operators.Multimodal.captionAlign(pairs, "doc_id", "payload",
+          "caption", floor6 = 200000L)
+      })) :+
+      // BPE-aware packing: the q_t19 encode scan + one per-lang window —
+      // shuffle bytes must track (doc_id, n_tokens) rows, wall the scan
+      ("q_t30_pack_bpe_scale" -> ((s: SparkSession, d: String) => {
+        val docs = s.read.parquet(s"$d/documents.parquet")
+        val merges = operators.Tokenizer.bpeTrain(docs, "text", numMerges = 6)
+        val enc = operators.Tokenizer.bpeEncodeCounts(docs, "doc_id", "text", merges)
+        operators.Pipeline.packSequences(
+            docs.select(col("doc_id"), col("lang")).join(enc, "doc_id"),
+            "lang", "doc_id", "n_tokens", budgetTokens = 512L)
+          .groupBy("lang", "bin")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tokens_packed"))
+      })) :+
+      // typed PII redaction: five chained regexp passes + stage-wise
+      // counts, one codegen span, zero exchanges — the q_t29 class; any
+      // superlinearity means a pattern went catastrophic on longer docs
+      ("q_t31_pii_typed_scale" -> ((s: SparkSession, d: String) => {
+        val planted = s.read.parquet(s"$d/documents.parquet")
+          .select(col("doc_id"),
+            concat(
+              when(col("doc_id") % 5 === 1,
+                lit("mail bob.smith+spam@mail.example.co.uk and "))
+                .when(col("doc_id") % 5 === 2,
+                  lit("call +1-555-867-5309 or (212) 555-0123 now "))
+                .when(col("doc_id") % 5 === 3,
+                  lit("host 10.0.0.1 and 192.168.100.255 up "))
+                .when(col("doc_id") % 5 === 4,
+                  lit("node 2001:db8::7334 and fe80:1:2:3:4:5:6:7 on "))
+                .otherwise(lit("")),
+              coalesce(col("text"), lit(""))).as("text"))
+        planted.select(col("doc_id"),
+            operators.Pipeline.redactTyped(col("text")).as("p"))
+          .select(col("doc_id"), col("p.n_emails"), col("p.n_phones"),
+            col("p.n_ipv4"), col("p.n_ipv6"), col("p.n_nums"),
+            length(col("p.clean")).as("n"))
+      }))
 
     val listener = new TaskMetricsListener
     spark.sparkContext.addSparkListener(listener)
