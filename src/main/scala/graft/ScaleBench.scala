@@ -447,6 +447,26 @@ object ScaleBench {
           base.unionByName(twins).localCheckpoint(),
           "vec_id", "embedding", k = 8, iterations = 2, minCosine = 0.9)
       })) :+
+      // SemDeDup at the PRODUCTION k dial: fixed k makes cell sizes (and
+      // the intra-cell pairwise pass) grow linearly with the corpus —
+      // Sum n_c^2 is then quadratic, which is what the fixed-k leg above
+      // measures. The balanced dial is k ∝ sqrt(n): exhaustive assignment
+      // costs n·k and the pairwise pass n^2/k, equalized at O(n^1.5) —
+      // the blocked-quadratic compromise; past that, IVF directory
+      // pruning replaces the exhaustive assignment (q_v7's path).
+      ("q_v17_semdedup_dialed_scale" -> ((s: SparkSession, d: String) => {
+        val base = s.read.parquet(s"$d/embeddings.parquet")
+          .select("vec_id", "embedding")
+        val twins = base.filter(col("vec_id") % 5 === 0).select(
+          (col("vec_id") + lit(300000000000L)).as("vec_id"),
+          expr("transform(embedding, (x, j) -> " +
+            "CAST(CAST(x AS DOUBLE) + ((vec_id * 31 + j) % 7 - 3) * 0.015D AS FLOAT))")
+            .as("embedding"))
+        val all = base.unionByName(twins).localCheckpoint()
+        val k = math.max(8, math.ceil(math.sqrt(all.count().toDouble)).toInt)
+        operators.SimilaritySearch.semDeDup(all, "vec_id", "embedding",
+          k = k, iterations = 2, minCosine = 0.9)
+      })) :+
       // preference-pair prep in the PRODUCTION hash family: row-local
       // parse/validate/flatten + ONE 60-bit prompt-key exchange for the
       // keep-first dedup — the curve must track the scan plus a doc-count-
