@@ -101,7 +101,11 @@ object Bench {
       // expression trees), so a single-shot reads as 2-3x the steady
       // state; medians report what a second run of the same plan costs
       "q_t28_repetition_card", "q_t21_char_entropy", "q_a10_sketches",
-      "q_sp14_split_leak_audit", "q_v17_semdedup")
+      "q_sp14_split_leak_audit", "q_v17_semdedup",
+      // round-10 additions: the BPE-chain packer re-trains in-query
+      // (q_t19-class JIT), the pref-pair card carries a from_json +
+      // window chain, the alignment scorer a typed pass + HOF tree
+      "q_t30_pack_bpe", "q_f5_pref_pairs", "q_m6_caption_align")
 
     // Headline queries run 3 reps and report the MEDIAN: the single-shot
     // noise floor on this box is ±2x (calibrated rounds 5-6), which made
