@@ -213,6 +213,26 @@ object Pipeline {
         .cast("long"))
   }
 
+  /** Packed-sample MANIFEST — the artifact a trainer's data loader
+    * actually consumes: for every document, its bin plus its position and
+    * starting token offset INSIDE the bin (where its tokens begin in the
+    * concatenated sample, e.g. for attention-mask resets at document
+    * boundaries). Builds on [[packSequences]] and adds one more window
+    * over the SAME (group) partitioning — Catalyst plans both windows in
+    * a single exchange, so the manifest costs no shuffle beyond packing.
+    */
+  def packManifest(df: DataFrame, groupCol: String, orderCol: String,
+                   tokensCol: String, budgetTokens: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val inBin = Window.partitionBy(col(groupCol), col("bin")).orderBy(orderCol)
+    packSequences(df, groupCol, orderCol, tokensCol, budgetTokens)
+      .withColumn("seq_in_bin", row_number().over(inBin).cast("int"))
+      .withColumn("start_offset",
+        coalesce(sum(col(tokensCol)).over(
+          inBin.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+          .cast("long"))
+  }
+
   /** Language/source-balanced corpus capping: keep at most `n` rows per
     * group, best-first by `orderCols` (ties must be broken by a unique
     * column for determinism). One shuffle on the group key; the per-group

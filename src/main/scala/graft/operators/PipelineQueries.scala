@@ -56,6 +56,19 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tokens_packed"))
         .orderBy("lang", "bin")),
 
+    // Packed-sample manifest — the loader-facing artifact on top of q_t6:
+    // per doc, its bin plus position and starting token OFFSET inside the
+    // bin (the attention-mask reset points at document boundaries). Same
+    // single per-group exchange as packing (the second window reuses the
+    // partitioning).
+    "q_t32_pack_manifest" -> ((s, dir) =>
+      Pipeline.packManifest(
+          docs(s, dir).selectExpr("doc_id", "lang",
+            s"CAST(size($tokensSql) AS BIGINT) AS n_tokens"),
+          "lang", "doc_id", "n_tokens", packBudget)
+        .select("lang", "bin", "seq_in_bin", "doc_id", "start_offset", "n_tokens")
+        .orderBy("lang", "bin", "seq_in_bin")),
+
     // PII-style scrubbing: emails then numbers to typed tags, with per-doc
     // scrub counts and a redacted preview.
     "q_t7_redact" -> ((s, dir) =>
@@ -709,6 +722,30 @@ object PipelineQueries {
            |               CAST(len($duckTokens) AS BIGINT) AS n_tokens
            |        FROM documents))
            |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      // replays the q_t6 bin assignment plus the in-bin rank and running
+      // token-offset windows
+      "q_t32_pack_manifest" ->
+        s"""WITH base AS (
+           |  SELECT lang, doc_id, CAST(len($duckTokens) AS BIGINT) AS n_tokens
+           |  FROM documents),
+           |packed AS (
+           |  SELECT lang, doc_id, n_tokens,
+           |         CAST(floor(COALESCE(sum(n_tokens) OVER (
+           |             PARTITION BY lang ORDER BY doc_id
+           |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |           / $packBudget) AS BIGINT) AS bin
+           |  FROM base)
+           |SELECT lang, bin,
+           |       CAST(row_number() OVER (PARTITION BY lang, bin ORDER BY doc_id)
+           |            AS INTEGER) AS seq_in_bin,
+           |       doc_id,
+           |       CAST(COALESCE(sum(n_tokens) OVER (
+           |           PARTITION BY lang, bin ORDER BY doc_id
+           |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |         AS BIGINT) AS start_offset,
+           |       n_tokens
+           |FROM packed ORDER BY lang, bin, seq_in_bin""".stripMargin,
 
       "q_t7_redact" ->
         s"""SELECT doc_id,

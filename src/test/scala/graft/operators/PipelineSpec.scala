@@ -102,6 +102,37 @@ class PipelineSpec extends SparkTestBase {
     assert(out(2).getString(3) == "two mails <EMAIL> <EMAIL> and v<NUM>")
   }
 
+  test("packManifest: in-bin offsets are exact prefix sums; both windows share ONE exchange") {
+    import spark.implicits._
+    val docs = (0L until 200L).map(i => (i, s"g${i % 3}", 1L + i % 37))
+      .toDF("doc_id", "grp", "n_tokens")
+    val manifest = Pipeline.packManifest(docs, "grp", "doc_id", "n_tokens", 64L)
+    val rows = manifest.collect()
+      .map(r => (r.getAs[String]("grp"), r.getAs[Long]("bin"),
+        r.getAs[Int]("seq_in_bin"), r.getAs[Long]("start_offset"),
+        r.getAs[Long]("n_tokens")))
+    rows.groupBy(r => (r._1, r._2)).foreach { case ((g, b), rs) =>
+      val sorted = rs.sortBy(_._3)
+      assert(sorted.map(_._3).toSeq == (1 to sorted.length).toSeq,
+        s"($g,$b): seq_in_bin not contiguous")
+      // offset r = sum of previous docs' tokens — the loader contract
+      sorted.foldLeft(0L) { case (expect, (_, _, _, off, toks)) =>
+        assert(off == expect, s"($g,$b): offset $off != $expect")
+        expect + toks
+      }
+    }
+    // the (grp, bin) window reuses the (grp) partitioning — hash
+    // partitioning on a subset of the clustering keys satisfies it, so
+    // the manifest costs NO exchange beyond packing's
+    manifest.collect()
+    val full = manifest.queryExecution.executedPlan.toString
+    val start = full.indexOf("== Final Plan ==")
+    val end = full.indexOf("== Initial Plan ==")
+    val p = if (start >= 0 && end > start) full.substring(start, end) else full
+    val exchanges = "Exchange (hash|range)partitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected one shared window exchange ($exchanges):\n$p")
+  }
+
   test("redactTyped: every PII class tags, counts are stage-exact, zero residual") {
     import spark.implicits._
     val hostile = Seq(

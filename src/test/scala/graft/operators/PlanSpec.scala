@@ -187,6 +187,19 @@ class PlanSpec extends SparkTestBase {
     assert(exchanges <= 1, s"extraction must not shuffle (only the sort may):\n$p")
   }
 
+  test("round-10 cards: caption alignment rides the scan; pref pairs pay exactly the dedup exchange") {
+    // q_m6: one typed feature pass + a row-local score — the only
+    // exchange allowed is the output sort's range partition
+    val pm = plan("q_m6_caption_align")
+    val em = "Exchange (hash|range)partitioning".r.findAllIn(pm).length
+    assert(em <= 1, s"caption alignment must not shuffle beyond the sort ($em):\n$pm")
+    // q_f5: row-local parse/validate/flatten + ONE fixed-width prompt-key
+    // exchange for the keep-first window + the output sort
+    val pf = plan("q_f5_pref_pairs")
+    val ef = "Exchange (hash|range)partitioning".r.findAllIn(pf).length
+    assert(ef <= 2, s"pref pairs must pay only dedup + sort exchanges ($ef):\n$pf")
+  }
+
   test("pre-sorted-scan reshape: heavy row-local cards ride ONE range exchange, no Sort above them") {
     // q_t28/q_t21/q_t5/q_t29 contract: the only exchange is the cheap
     // scan's range repartition (or the output sort for q_t29); the heavy
