@@ -93,4 +93,52 @@ object PreferencePairs {
         (col(validCol) === 1 && col("_rn") === 1).cast("int"))
       .drop("_pkey", "_rn")
   }
+
+  /** Corpus accounting + shipped-split sizes of one [[curate]] run. */
+  final case class PrefReport(nInput: Long, nValid: Long, nPromptDups: Long,
+                              nKept: Long, splitCounts: Map[String, Long],
+                              chosenChars: Long, rejectedChars: Long)
+
+  /** End-to-end preference-corpus build: parse → validate → keep-first
+    * prompt dedup → PROMPT-KEYED leak-safe split → both branches
+    * template-flattened for the trainer. Splitting on the prompt rather
+    * than the record id is load-bearing: even with dedup off or partial
+    * (near-dup prompts, a later incremental batch), records sharing a
+    * prompt can never straddle train/eval — the [[Pipeline.hashSplit]]
+    * bucket is a pure function of (seed, prompt), so the same prompt
+    * lands in the same split on any cluster, partitioning, or re-run.
+    * Same composition discipline as [[Curation.curate]]: deterministic —
+    * identical (records, seed) ⇒ byte-identical shipped frame and report.
+    */
+  def curate(records: DataFrame, idCol: String, jsonCol: String, seed: String,
+             splits: Seq[(String, Double)] =
+               Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05),
+             maxLenRatio: Int = 4,
+             family: String = graft.functions.HashFamily.Xx64): (DataFrame, PrefReport) = {
+    val rec = parsePair(col(jsonCol))
+    val base = records.select(col(idCol).as("id"), rec.as("rec"))
+      .select(col("id"),
+        validPair(col("rec"), maxLenRatio).cast("int").as("valid"),
+        coalesce(col("rec.prompt"), lit("")).as("prompt"),
+        flattenBranch(col("rec"), "chosen").as("chosen_text"),
+        flattenBranch(col("rec"), "rejected").as("rejected_text"),
+        coalesce(length(col("rec.chosen")), lit(0)).cast("long").as("chosen_chars"),
+        coalesce(length(col("rec.rejected")), lit(0)).cast("long").as("rejected_chars"))
+    val flagged = withPromptDup(base, "id", "valid", "prompt", family).persist()
+    val nInput = flagged.count()
+    val agg = flagged.agg(
+      sum("valid").as("v"), sum("prompt_dup").as("d"), sum("kept").as("k"),
+      sum(when(col("kept") === 1, col("chosen_chars")).otherwise(lit(0L))).as("cc"),
+      sum(when(col("kept") === 1, col("rejected_chars")).otherwise(lit(0L))).as("rc"))
+      .head()
+    val shipped = Pipeline.hashSplit(
+        flagged.filter(col("kept") === 1), "prompt", s"$seed-split", splits)
+      .select("id", "split", "prompt", "chosen_text", "rejected_text")
+    val splitCounts = shipped.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    flagged.unpersist()
+    (shipped, PrefReport(nInput, agg.getAs[Long]("v"), agg.getAs[Long]("d"),
+      agg.getAs[Long]("k"), splitCounts,
+      agg.getAs[Long]("cc"), agg.getAs[Long]("rc")))
+  }
 }

@@ -83,6 +83,37 @@ class PreferencePairsSpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("curate: accounting partitions exactly, prompts never straddle splits, rerun is identical") {
+    val records = (0L until 400L).map { i =>
+      val p = if (i % 7 == 0) "please summarize" else s"question $i about topic ${i % 13}"
+      val json = i % 5 match {
+        case 1 => pair(p, "same", "same")          // invalid: equal branches
+        case 4 => "broken {"                        // invalid: malformed
+        case _ => pair(p, s"good answer $i", s"weak answer ${i % 11}")
+      }
+      (i, json)
+    }.toDF("rid", "j")
+    val (shipped, r) = PreferencePairs.curate(records, "rid", "j", seed = "pp-1")
+    assert(r.nInput == 400L)
+    assert(r.nValid == r.nPromptDups + r.nKept, "valid = dups + kept partition")
+    assert(r.nPromptDups > 0, "the shared prompt must produce dups")
+    assert(r.splitCounts.values.sum == r.nKept)
+    val rows = shipped.collect()
+    assert(rows.length == r.nKept)
+    // leak-safety: a prompt appears in exactly one split
+    rows.groupBy(_.getAs[String]("prompt")).foreach { case (p, rs) =>
+      assert(rs.map(_.getAs[String]("split")).distinct.length == 1,
+        s"prompt '$p' straddles splits")
+    }
+    // shipped branches are fully flattened, never empty
+    assert(rows.forall(_.getAs[String]("chosen_text").startsWith("<|user|>")))
+    // determinism: rerun ships the identical corpus and report
+    val (shipped2, r2) = PreferencePairs.curate(records, "rid", "j", seed = "pp-1")
+    assert(r2 == r)
+    assert(shipped2.collect().map(_.toString).sorted.toSeq ==
+      rows.map(_.toString).sorted.toSeq)
+  }
+
   test("the construction plants dups and data-dependent validity (not a degenerate battery)") {
     val docs = (0L until 500L).map(i => (i, ("word word word " * 7).trim))
       .toDF("doc_id", "text")
