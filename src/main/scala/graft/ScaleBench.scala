@@ -463,9 +463,8 @@ object ScaleBench {
             "CAST(CAST(x AS DOUBLE) + ((vec_id * 31 + j) % 7 - 3) * 0.015D AS FLOAT))")
             .as("embedding"))
         val all = base.unionByName(twins).localCheckpoint()
-        val k = math.max(8, math.ceil(math.sqrt(all.count().toDouble)).toInt)
-        operators.SimilaritySearch.semDeDup(all, "vec_id", "embedding",
-          k = k, iterations = 2, minCosine = 0.9)
+        operators.SimilaritySearch.semDeDupAuto(all, "vec_id", "embedding",
+          iterations = 2, minCosine = 0.9)
       })) :+
       // preference-pair prep in the PRODUCTION hash family: row-local
       // parse/validate/flatten + ONE 60-bit prompt-key exchange for the

@@ -235,6 +235,27 @@ object SimilaritySearch {
       .withColumn("kept", (col("rep_id") === col("id")).cast("int"))
   }
 
+  /** [[semDeDup]] at the BALANCED k dial, k = max(kMin, ⌈√n⌉): with fixed
+    * k, cell sizes grow linearly with the corpus and the intra-cell
+    * pairwise pass (Σ n_c²) goes quadratic — measured 27× wall for 30×
+    * vectors (SCALING.md r10b). k ∝ √n equalizes the exhaustive
+    * assignment cost (n·k) and the pairwise cost (n²/k) at O(n^1.5) —
+    * the blocked-quadratic compromise, 1.5× faster at x30 with the gap
+    * widening (r10c). Past n^1.5, IVF directory pruning replaces the
+    * exhaustive assignment ([[DedupQueries]]'s q_v7 path). The one extra
+    * job is a metadata-cheap count; pass `n` when the caller already
+    * knows it. The k choice changes only PERFORMANCE, not the contract:
+    * any k yields a valid SemDeDup (cell boundaries are the paper's
+    * documented recall boundary either way).
+    */
+  def semDeDupAuto(emb: DataFrame, idCol: String, embCol: String,
+                   iterations: Int, minCosine: Double,
+                   kMin: Int = 8, n: Long = -1L): DataFrame = {
+    val rows = if (n >= 0) n else emb.count()
+    val k = math.max(kMin, math.ceil(math.sqrt(rows.toDouble)).toInt)
+    semDeDup(emb, idCol, embCol, k, iterations, minCosine)
+  }
+
   /** The margin-scoring stage shared by [[marginAlignment]] (exact cross
     * product) and [[marginAlignmentLsh]] (SRP candidates): consumes a
     * candidate frame (x_id, y_id, c6 = 6-dp scaled-long cosine), computes

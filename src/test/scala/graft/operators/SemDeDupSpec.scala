@@ -69,4 +69,29 @@ class SemDeDupSpec extends SparkTestBase {
   test("output is invariant to input partitioning") {
     assert(run(vecs.repartition(7)).toSeq === run(vecs).toSeq)
   }
+
+  test("semDeDupAuto: the sqrt(n) dial equals the same explicit k, and n can be pre-supplied") {
+    // 200 vectors -> k = ceil(sqrt(200)) = 15; the dial changes only
+    // performance, so the output must equal semDeDup at that explicit k
+    val many = (0L until 200L).map { i =>
+      val base = (i % 40).toFloat
+      (i, Array(base + 1f, (i % 7).toFloat, 1f, 0.5f))
+    }.toDF("vec_id", "embedding")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("id").collect().map(_.toString).toSeq
+    val auto = SimilaritySearch.semDeDupAuto(many, "vec_id", "embedding",
+      iterations = 2, minCosine = 0.98)
+    val explicit = SimilaritySearch.semDeDup(many, "vec_id", "embedding",
+      k = 15, iterations = 2, minCosine = 0.98)
+    assert(norm(auto) === norm(explicit))
+    // pre-supplied n skips the count and picks the same k
+    val supplied = SimilaritySearch.semDeDupAuto(many, "vec_id", "embedding",
+      iterations = 2, minCosine = 0.98, n = 200L)
+    assert(norm(supplied) === norm(explicit))
+    // tiny corpora stay at the kMin floor
+    val tiny = SimilaritySearch.semDeDupAuto(vecs, "vec_id", "embedding",
+      iterations = 2, minCosine = 0.95, kMin = 2)
+    assert(norm(tiny) === norm(SimilaritySearch.semDeDup(vecs, "vec_id",
+      "embedding", k = 3, iterations = 2, minCosine = 0.95)))
+  }
 }
