@@ -11,6 +11,19 @@ import org.apache.spark.sql.functions._
   */
 object MultimodalQueries {
 
+  /** The (payload, caption) pair construction shared by q_m6/q_m7: payload
+    * is the doc's UTF-8 bytes; the caption is the doc's own 96-char prefix,
+    * except every 6th doc takes it from the REVERSED text — same byte
+    * distribution, decorrelated positional bucket profile, so its centered
+    * cosine collapses (the planted misalignment).
+    */
+  private def withPlantedCaptions(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        encode(col("text"), "UTF-8").as("payload"),
+        when(col("doc_id") % 6 === 0, expr("substring(reverse(text), 1, 96)"))
+          .otherwise(expr("substring(text, 1, 96)")).as("caption"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Binary column metadata: byte length + first code point, computed from
     // an encoded binary payload (stand-in for image/audio blobs).
@@ -89,16 +102,27 @@ object MultimodalQueries {
     // so its fluctuation decorrelates from the payload's. The oracle
     // replays the feature math (q_m2 fv shape, twice), the centered
     // cosine in DOUBLE, and the integer floor.
-    "q_m6_caption_align" -> ((s, dir) => {
-      val pairs = s.read.parquet(s"$dir/documents.parquet")
-        .select(col("doc_id"),
-          encode(col("text"), "UTF-8").as("payload"),
-          when(col("doc_id") % 6 === 0, expr("substring(reverse(text), 1, 96)"))
-            .otherwise(expr("substring(text, 1, 96)")).as("caption"))
-      Multimodal.captionAlign(pairs, "doc_id", "payload", "caption",
-          floor6 = 200000L)
-        .orderBy("media_id")
-    }),
+    "q_m6_caption_align" -> ((s, dir) =>
+      Multimodal.captionAlign(withPlantedCaptions(s, dir), "doc_id",
+          "payload", "caption", floor6 = 200000L)
+        .orderBy("media_id")),
+
+    // Corpus-level alignment accounting (the drop-rate card a LAION-shape
+    // build reviews before committing a floor): per planted class —
+    // pair/keeper counts, kept caption mass, and the exact scaled-long
+    // score mass of the keepers. One row-local score pass + a group-by-2.
+    "q_m7_align_accounting" -> ((s, dir) =>
+      Multimodal.captionAlign(withPlantedCaptions(s, dir), "doc_id",
+          "payload", "caption", floor6 = 200000L)
+        .withColumn("plant", (col("media_id") % 6 === 0).cast("int"))
+        .groupBy("plant")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("aligned")).cast("long").as("n_aligned"),
+          sum(when(col("aligned") === 1, col("caption_chars").cast("long"))
+            .otherwise(lit(0L))).as("kept_caption_chars"),
+          sum(when(col("aligned") === 1, col("align6"))
+            .otherwise(lit(0L))).as("kept_align6_mass"))
+        .orderBy("plant")),
 
     // Perceptual-hash media dedup: aHash (average hash — bit i set iff
     // stub-codec feature i sits above the payload's feature mean) groups
@@ -138,6 +162,59 @@ object MultimodalQueries {
         .orderBy("keeper")
     })
   )
+
+  /** Per-pair alignment replay shared by the q_m6/q_m7 oracles: the
+    * caption planting, the stub-codec feature math (q_m2 fv shape, once
+    * per side), the centered cosine in DOUBLE, and the scaled-long floor.
+    */
+  private val duckCaptionScore: String =
+    """WITH d AS (SELECT doc_id AS media_id, text,
+        |             CASE WHEN doc_id % 6 = 0 THEN substr(reverse(text), 1, 96)
+        |                  ELSE substr(text, 1, 96) END AS cap
+        |           FROM documents),
+        |tpos AS (SELECT media_id, unnest(generate_series(1, length(text))) AS i, text
+        |         FROM d WHERE length(text) > 0),
+        |tagg AS (SELECT media_id, (i - 1) % 16 AS bkt,
+        |                sum(ascii(substr(text, CAST(i AS INT), 1))) AS s, count(*) AS c
+        |         FROM tpos GROUP BY 1, 2),
+        |cpos AS (SELECT media_id, unnest(generate_series(1, length(cap))) AS i, cap
+        |         FROM d WHERE length(cap) > 0),
+        |cagg AS (SELECT media_id, (i - 1) % 16 AS bkt,
+        |                sum(ascii(substr(cap, CAST(i AS INT), 1))) AS s, count(*) AS c
+        |         FROM cpos GROUP BY 1, 2),
+        |grid AS (SELECT media_id, gb.b AS bkt FROM d, generate_series(0, 15) gb(b)),
+        |tf AS (SELECT g.media_id,
+        |              list(CAST(CAST(coalesce(a.s, 0) AS FLOAT) / CAST(coalesce(a.c, 1) AS FLOAT)
+        |                        / CAST(255 AS FLOAT) AS FLOAT) ORDER BY g.bkt) AS f
+        |       FROM grid g LEFT JOIN tagg a ON a.media_id = g.media_id AND a.bkt = g.bkt
+        |       GROUP BY 1),
+        |cf AS (SELECT g.media_id,
+        |              list(CAST(CAST(coalesce(a.s, 0) AS FLOAT) / CAST(coalesce(a.c, 1) AS FLOAT)
+        |                        / CAST(255 AS FLOAT) AS FLOAT) ORDER BY g.bkt) AS f
+        |       FROM grid g LEFT JOIN cagg a ON a.media_id = g.media_id AND a.bkt = g.bkt
+        |       GROUP BY 1),
+        |m AS (SELECT tf.media_id, tf.f AS a, cf.f AS b
+        |      FROM tf JOIN cf ON tf.media_id = cf.media_id),
+        |mu AS (SELECT media_id, a, b,
+        |              list_sum(list_transform(a, x -> CAST(x AS DOUBLE))) / 16 AS ma,
+        |              list_sum(list_transform(b, x -> CAST(x AS DOUBLE))) / 16 AS mb
+        |       FROM m),
+        |sc AS (SELECT media_id,
+        |              list_sum(list_transform(generate_series(1, 16),
+        |                i -> (CAST(a[i] AS DOUBLE) - ma) * (CAST(b[i] AS DOUBLE) - mb))) AS num,
+        |              list_sum(list_transform(a,
+        |                x -> (CAST(x AS DOUBLE) - ma) * (CAST(x AS DOUBLE) - ma))) AS da2,
+        |              list_sum(list_transform(b,
+        |                x -> (CAST(x AS DOUBLE) - mb) * (CAST(x AS DOUBLE) - mb))) AS db2
+        |       FROM mu),
+        |fin AS (SELECT media_id,
+        |               CAST(round(round(CASE WHEN da2 = 0 OR db2 = 0 THEN 0
+        |                                     ELSE num / (sqrt(da2) * sqrt(db2)) END,
+        |                          6) * 1000000) AS BIGINT) AS align6
+        |        FROM sc)
+        |SELECT d.media_id, CAST(length(d.cap) AS INTEGER) AS caption_chars,
+        |       f.align6, CAST(f.align6 >= 200000 AS INTEGER) AS aligned
+        |FROM d JOIN fin f ON d.media_id = f.media_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_m1_binary_meta" ->
@@ -212,54 +289,19 @@ object MultimodalQueries {
     // fv shape, once per side), the centered cosine in DOUBLE, and the
     // 6-dp scaled-long floor
     "q_m6_caption_align" ->
-      """WITH d AS (SELECT doc_id AS media_id, text,
-        |             CASE WHEN doc_id % 6 = 0 THEN substr(reverse(text), 1, 96)
-        |                  ELSE substr(text, 1, 96) END AS cap
-        |           FROM documents),
-        |tpos AS (SELECT media_id, unnest(generate_series(1, length(text))) AS i, text
-        |         FROM d WHERE length(text) > 0),
-        |tagg AS (SELECT media_id, (i - 1) % 16 AS bkt,
-        |                sum(ascii(substr(text, CAST(i AS INT), 1))) AS s, count(*) AS c
-        |         FROM tpos GROUP BY 1, 2),
-        |cpos AS (SELECT media_id, unnest(generate_series(1, length(cap))) AS i, cap
-        |         FROM d WHERE length(cap) > 0),
-        |cagg AS (SELECT media_id, (i - 1) % 16 AS bkt,
-        |                sum(ascii(substr(cap, CAST(i AS INT), 1))) AS s, count(*) AS c
-        |         FROM cpos GROUP BY 1, 2),
-        |grid AS (SELECT media_id, gb.b AS bkt FROM d, generate_series(0, 15) gb(b)),
-        |tf AS (SELECT g.media_id,
-        |              list(CAST(CAST(coalesce(a.s, 0) AS FLOAT) / CAST(coalesce(a.c, 1) AS FLOAT)
-        |                        / CAST(255 AS FLOAT) AS FLOAT) ORDER BY g.bkt) AS f
-        |       FROM grid g LEFT JOIN tagg a ON a.media_id = g.media_id AND a.bkt = g.bkt
-        |       GROUP BY 1),
-        |cf AS (SELECT g.media_id,
-        |              list(CAST(CAST(coalesce(a.s, 0) AS FLOAT) / CAST(coalesce(a.c, 1) AS FLOAT)
-        |                        / CAST(255 AS FLOAT) AS FLOAT) ORDER BY g.bkt) AS f
-        |       FROM grid g LEFT JOIN cagg a ON a.media_id = g.media_id AND a.bkt = g.bkt
-        |       GROUP BY 1),
-        |m AS (SELECT tf.media_id, tf.f AS a, cf.f AS b
-        |      FROM tf JOIN cf ON tf.media_id = cf.media_id),
-        |mu AS (SELECT media_id, a, b,
-        |              list_sum(list_transform(a, x -> CAST(x AS DOUBLE))) / 16 AS ma,
-        |              list_sum(list_transform(b, x -> CAST(x AS DOUBLE))) / 16 AS mb
-        |       FROM m),
-        |sc AS (SELECT media_id,
-        |              list_sum(list_transform(generate_series(1, 16),
-        |                i -> (CAST(a[i] AS DOUBLE) - ma) * (CAST(b[i] AS DOUBLE) - mb))) AS num,
-        |              list_sum(list_transform(a,
-        |                x -> (CAST(x AS DOUBLE) - ma) * (CAST(x AS DOUBLE) - ma))) AS da2,
-        |              list_sum(list_transform(b,
-        |                x -> (CAST(x AS DOUBLE) - mb) * (CAST(x AS DOUBLE) - mb))) AS db2
-        |       FROM mu),
-        |fin AS (SELECT media_id,
-        |               CAST(round(round(CASE WHEN da2 = 0 OR db2 = 0 THEN 0
-        |                                     ELSE num / (sqrt(da2) * sqrt(db2)) END,
-        |                          6) * 1000000) AS BIGINT) AS align6
-        |        FROM sc)
-        |SELECT d.media_id, CAST(length(d.cap) AS INTEGER) AS caption_chars,
-        |       f.align6, CAST(f.align6 >= 200000 AS INTEGER) AS aligned
-        |FROM d JOIN fin f ON d.media_id = f.media_id
-        |ORDER BY d.media_id""".stripMargin,
+      s"$duckCaptionScore ORDER BY d.media_id",
+
+    // the q_m6 per-pair replay grouped per planted class
+    "q_m7_align_accounting" ->
+      s"""WITH pairs AS ($duckCaptionScore)
+         |SELECT CAST(media_id % 6 = 0 AS INTEGER) AS plant,
+         |       count(*) AS n_pairs,
+         |       CAST(sum(aligned) AS BIGINT) AS n_aligned,
+         |       CAST(sum(CASE WHEN aligned = 1 THEN caption_chars
+         |                     ELSE 0 END) AS BIGINT) AS kept_caption_chars,
+         |       CAST(sum(CASE WHEN aligned = 1 THEN align6
+         |                     ELSE 0 END) AS BIGINT) AS kept_align6_mass
+         |FROM pairs GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // replays the char-swap planting, the stub-codec feature math (the
     // q_m2 fv shape), the aHash bits, and the grouping
