@@ -415,6 +415,40 @@ object TextQueries {
           family = graft.functions.HashFamily.Md5)
         .orderBy("doc_id")),
 
+    // Classifier CALIBRATION card — the artifact that picks a quality-
+    // filter threshold: sweep a fixed grid of margin floors, count the
+    // confusion quadrant against a weak label (doc length >= 40 words,
+    // the q_t25 labeling rule) and report exact integer ppm precision/
+    // recall. Margins ride the scan (q_t17's scorer); the sweep is a
+    // 5-row explode + one group-by-5 — never a per-threshold rescan.
+    "q_t33_classifier_calibration" -> ((s, dir) => {
+      val grid = array(Seq(-20000L, -10000L, 0L, 10000L, 20000L).map(lit): _*)
+      TextAnalysis.hashedLinearScore(docs(s, dir), "doc_id", "text",
+          dim = 1024, seed = "graft-qc-1",
+          family = graft.functions.HashFamily.Md5)
+        .select(col("n_tokens"),
+          expr("CAST(round(margin * 1000000) AS BIGINT)").as("m6"))
+        .withColumn("y", (col("n_tokens") >= 40).cast("int"))
+        .select(col("m6"), col("y"), explode(grid).as("threshold6"))
+        .groupBy("threshold6")
+        .agg(
+          sum(when(col("y") === 1 && col("m6") >= col("threshold6"), 1L)
+            .otherwise(0L)).as("tp"),
+          sum(when(col("y") === 0 && col("m6") >= col("threshold6"), 1L)
+            .otherwise(0L)).as("fp"),
+          sum(when(col("y") === 1 && col("m6") < col("threshold6"), 1L)
+            .otherwise(0L)).as("fn"),
+          sum(when(col("y") === 0 && col("m6") < col("threshold6"), 1L)
+            .otherwise(0L)).as("tn"))
+        .withColumn("precision_ppm",
+          when(col("tp") + col("fp") > 0,
+            expr("(tp * 1000000) div (tp + fp)")).otherwise(lit(0L)))
+        .withColumn("recall_ppm",
+          when(col("tp") + col("fn") > 0,
+            expr("(tp * 1000000) div (tp + fn)")).otherwise(lit(0L)))
+        .orderBy("threshold6")
+    }),
+
     // BPE tokenizer TRAINING on the corpus: 6 merges learned from the
     // word-frequency table (one corpus pass; iterations vocabulary-sized;
     // one argmax row per iteration reaches the driver). The oracle
@@ -1305,6 +1339,46 @@ object TextQueries {
         |            ELSE round(s9 / 1e9 / n, 6) END AS margin,
         |       CAST(s9 > 0 AS INTEGER) AS label
         |FROM scored ORDER BY doc_id""".stripMargin,
+
+    // replays the q_t17 margin derivation, the scaled-long grid compare,
+    // and the exact integer ppm divisions
+    "q_t33_classifier_calibration" ->
+      """WITH base AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS w
+        |  FROM documents),
+        |scored AS (
+        |  SELECT doc_id, len(w) AS n,
+        |         coalesce(list_sum(list_transform(w, x ->
+        |           ('0x' || substr(md5('graft-qc-1:' || CAST(
+        |               ('0x' || substr(md5(x), 1, 15))::BIGINT % 1024
+        |             AS VARCHAR)), 1, 15))::BIGINT % 2000000001 - 1000000000)),
+        |           0) AS s9
+        |  FROM base),
+        |m AS (
+        |  SELECT CAST(n AS BIGINT) AS n_tokens,
+        |         CAST(round((CASE WHEN n = 0 THEN 0.0
+        |                          ELSE round(s9 / 1e9 / n, 6) END) * 1000000)
+        |              AS BIGINT) AS m6
+        |  FROM scored),
+        |g AS (SELECT CAST(unnest([-20000, -10000, 0, 10000, 20000]) AS BIGINT)
+        |             AS threshold6),
+        |c AS (
+        |  SELECT threshold6,
+        |         CAST(sum(CASE WHEN n_tokens >= 40 AND m6 >= threshold6
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |         CAST(sum(CASE WHEN n_tokens < 40 AND m6 >= threshold6
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |         CAST(sum(CASE WHEN n_tokens >= 40 AND m6 < threshold6
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        |         CAST(sum(CASE WHEN n_tokens < 40 AND m6 < threshold6
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        |  FROM m, g GROUP BY 1)
+        |SELECT threshold6, tp, fp, fn, tn,
+        |       CASE WHEN tp + fp > 0 THEN (tp * 1000000) // (tp + fp)
+        |            ELSE 0 END AS precision_ppm,
+        |       CASE WHEN tp + fn > 0 THEN (tp * 1000000) // (tp + fn)
+        |            ELSE 0 END AS recall_ppm
+        |FROM c ORDER BY threshold6""".stripMargin,
 
     "q_t18_bpe_train" -> {
       val unions = (1 to 6).map(i =>
