@@ -497,6 +497,33 @@ object ScaleBench {
           .groupBy("lang", "bin")
           .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tokens_packed"))
       })) :+
+      // packed-sample manifest: the q_t6-class per-lang window pair over
+      // (doc_id, n_tokens) rows — shuffle must track row count, wall the
+      // scan; the second window must not add an exchange at any scale
+      ("q_t32_pack_manifest_scale" -> ((s: SparkSession, d: String) =>
+        operators.Pipeline.packManifest(
+          s.read.parquet(s"$d/documents.parquet")
+            .selectExpr("doc_id", "lang",
+              "CAST(size(filter(split(coalesce(text, ''), ' '), x -> x != '')) AS BIGINT) AS n_tokens"),
+          "lang", "doc_id", "n_tokens", budgetTokens = 256L))) :+
+      // classifier calibration: the q_t17 scoring scan + a 5-row explode
+      // + one group-by-5 — wall must track the scoring scan, never 5x it
+      ("q_t33_calibration_scale" -> ((s: SparkSession, d: String) => {
+        val grid = array(Seq(-20000L, -10000L, 0L, 10000L, 20000L).map(lit): _*)
+        operators.TextAnalysis.hashedLinearScore(
+            s.read.parquet(s"$d/documents.parquet"), "doc_id", "text",
+            dim = 1024, seed = "graft-qc-1",
+            family = graft.functions.HashFamily.Xx64)
+          .select(col("n_tokens"),
+            expr("CAST(round(margin * 1000000) AS BIGINT)").as("m6"))
+          .withColumn("y", (col("n_tokens") >= 40).cast("int"))
+          .select(col("m6"), col("y"), explode(grid).as("threshold6"))
+          .groupBy("threshold6")
+          .agg(sum(when(col("y") === 1 && col("m6") >= col("threshold6"), 1L)
+              .otherwise(0L)).as("tp"),
+            sum(when(col("y") === 0 && col("m6") >= col("threshold6"), 1L)
+              .otherwise(0L)).as("fp"))
+      })) :+
       // typed PII redaction: five chained regexp passes + stage-wise
       // counts, one codegen span, zero exchanges — the q_t29 class; any
       // superlinearity means a pattern went catastrophic on longer docs

@@ -157,7 +157,9 @@ object Multimodal {
   case class AlignPair(media_id: Long, caption_chars: Int,
                        media_feats: Array[Float], caption_feats: Array[Float])
 
-  /** Image-text alignment scoring (the LAION/CLIP-score curation shape):
+  /** Image-text alignment scoring (the LAION/CLIP-score curation shape —
+    * Schuhmann et al. 2022, arXiv:2210.08402 filter at CLIP similarity;
+    * Radford et al. 2021, arXiv:2103.00020 for the two-tower scoring):
     * embed both sides of a (media payload, caption) pair and score their
     * CENTERED cosine. The stub codec stands in for BOTH encoders — a real
     * deployment swaps in a CLIP image tower for the payload side and its

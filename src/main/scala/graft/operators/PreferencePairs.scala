@@ -6,7 +6,9 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 /** Preference-pair (DPO / RLHF reward-model) data preparation — the stage
-  * between raw `(prompt, chosen, rejected)` records and the trainer. The
+  * between raw `(prompt, chosen, rejected)` records and the trainer
+  * (record shape per Rafailov et al. 2023, arXiv:2305.18290 (DPO) /
+  * Ouyang et al. 2022, arXiv:2203.02155 (RLHF reward modeling)). The
   * natural extension of [[Conversations]]: the same chat template, but a
   * two-branch record whose integrity rules are pairwise (chosen must
   * differ from rejected, branch lengths must stay comparable) rather than
