@@ -233,6 +233,31 @@ object Pipeline {
           .cast("long"))
   }
 
+  /** Data-mixing RECIPE card — the per-source table a pretraining run
+    * publishes (Gopher/Llama data-recipe shape): given the corpus's
+    * per-source token mass and a total token budget, allocate each source
+    * a target mass ∝ sqrt(its mass) (the α = 0.5 temperature rule —
+    * upsamples small high-quality sources vs proportional) and report the
+    * implied EPOCH count in exact milli-epochs (over 1000 = the source
+    * repeats — the "small sources multi-epoch" effect a recipe reviewer
+    * looks for). All integer arithmetic after one sqrt: scaled-long
+    * weights, integer div allocation, so the card is bit-replayable.
+    * One group-key shuffle + a 1-row broadcast total.
+    */
+  def mixRecipe(df: DataFrame, groupCol: String, tokensCol: String,
+                budgetTokens: Long): DataFrame = {
+    val per = df.groupBy(groupCol)
+      .agg(count(lit(1)).as("n_docs"), sum(col(tokensCol)).as("n_tokens"))
+      .withColumn("_w6",
+        expr("CAST(round(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6) AS BIGINT)"))
+    per
+      .crossJoin(broadcast(per.select(sum("_w6").as("_tw6"))))
+      .withColumn("target_tokens", expr(s"($budgetTokens * _w6) div _tw6"))
+      .withColumn("epochs_milli",
+        expr("CASE WHEN n_tokens > 0 THEN (target_tokens * 1000) div n_tokens ELSE 0 END"))
+      .drop("_w6", "_tw6")
+  }
+
   /** Language/source-balanced corpus capping: keep at most `n` rows per
     * group, best-first by `orderCols` (ties must be broken by a unique
     * column for determinism). One shuffle on the group key; the per-group

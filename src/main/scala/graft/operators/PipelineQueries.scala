@@ -56,6 +56,18 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tokens_packed"))
         .orderBy("lang", "bin")),
 
+    // Data-mixing recipe card (Gopher/Llama data-recipe shape): per
+    // source, token mass, sqrt-weighted target allocation from a 2M-token
+    // budget, and the implied exact milli-epoch count — small sources
+    // land above 1000 (multi-epoch repetition), big ones below. Integer-
+    // exact after one sqrt; one group shuffle + a 1-row broadcast total.
+    "q_sp15_mix_recipe" -> ((s, dir) =>
+      Pipeline.mixRecipe(
+          docs(s, dir).selectExpr("source",
+            s"CAST(size($tokensSql) AS BIGINT) AS n_tokens"),
+          "source", "n_tokens", budgetTokens = 2000000L)
+        .orderBy("source")),
+
     // Packed-sample manifest — the loader-facing artifact on top of q_t6:
     // per doc, its bin plus position and starting token OFFSET inside the
     // bin (the attention-mask reset points at document boundaries). Same
@@ -722,6 +734,23 @@ object PipelineQueries {
            |               CAST(len($duckTokens) AS BIGINT) AS n_tokens
            |        FROM documents))
            |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      // replays the sqrt weighting, the scaled-long allocation div, and
+      // the milli-epoch div
+      "q_sp15_mix_recipe" ->
+        s"""WITH per AS (
+           |  SELECT source, count(*) AS n_docs,
+           |         CAST(sum(len($duckTokens)) AS BIGINT) AS n_tokens
+           |  FROM documents GROUP BY 1),
+           |w AS (SELECT *, CAST(round(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6)
+           |                     AS BIGINT) AS w6 FROM per),
+           |tot AS (SELECT CAST(sum(w6) AS BIGINT) AS tw6 FROM w)
+           |SELECT source, n_docs, n_tokens,
+           |       (2000000 * w6) // tw6 AS target_tokens,
+           |       CASE WHEN n_tokens > 0
+           |            THEN (((2000000 * w6) // tw6) * 1000) // n_tokens
+           |            ELSE 0 END AS epochs_milli
+           |FROM w, tot ORDER BY source""".stripMargin,
 
       // replays the q_t6 bin assignment plus the in-bin rank and running
       // token-offset windows

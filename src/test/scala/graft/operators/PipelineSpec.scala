@@ -102,6 +102,27 @@ class PipelineSpec extends SparkTestBase {
     assert(out(2).getString(3) == "two mails <EMAIL> <EMAIL> and v<NUM>")
   }
 
+  test("mixRecipe: allocation stays within budget, sqrt-flattens, small sources multi-epoch") {
+    import spark.implicits._
+    val corpus = Seq(
+      ("big", 1000000L), ("mid", 10000L), ("small", 100L), ("empty", 0L))
+      .flatMap { case (s, t) => Seq((s, t)) }
+      .toDF("source", "n_tokens")
+    val r = Pipeline.mixRecipe(corpus, "source", "n_tokens", budgetTokens = 500000L)
+      .collect().map(row => row.getString(0) ->
+        ((row.getAs[Long]("n_tokens"), row.getAs[Long]("target_tokens"),
+          row.getAs[Long]("epochs_milli")))).toMap
+    // integer div allocation never exceeds the budget
+    assert(r.values.map(_._2).sum <= 500000L)
+    // sqrt weighting: 100x the tokens gets 10x the target (within div rounding)
+    assert(math.abs(r("big")._2 - 10 * r("mid")._2) <= 10)
+    // a small source repeats (multi-epoch); a big one is subsampled
+    assert(r("small")._3 > 1000L, s"small source should multi-epoch: ${r("small")}")
+    assert(r("big")._3 < 1000L, s"big source should subsample: ${r("big")}")
+    // zero-token sources get nothing and never divide by zero
+    assert(r("empty") == ((0L, 0L, 0L)))
+  }
+
   test("packManifest: in-bin offsets are exact prefix sums; both windows share ONE exchange") {
     import spark.implicits._
     val docs = (0L until 200L).map(i => (i, s"g${i % 3}", 1L + i % 37))
