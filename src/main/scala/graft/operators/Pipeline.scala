@@ -258,6 +258,39 @@ object Pipeline {
       .drop("_w6", "_tw6")
   }
 
+  /** Materialize a [[mixRecipe]]: emit every document once per FULL epoch
+    * of its source (epoch = 1..⌊epochs⌋) and include it in one final
+    * fractional epoch by a deterministic seeded Bernoulli draw at the
+    * fractional rate (the [[hashSplit]] md5-bucket machinery — no RNG, so
+    * a rerun/retry regenerates the SAME mixed corpus and growing one
+    * source never perturbs another's draws). This is the repetition/
+    * subsampling step a temperature-mixed pretraining corpus actually
+    * ships: small sources repeat whole (multi-epoch), big ones thin to
+    * their allocation. Row-local after one broadcast of the group-count-
+    * sized recipe; the explode multiplies rows by the per-source epoch
+    * count, never more.
+    */
+  def materializeMix(df: DataFrame, groupCol: String, idCol: String,
+                     tokensCol: String, budgetTokens: Long,
+                     seed: String): DataFrame = {
+    val rec = mixRecipe(df, groupCol, tokensCol, budgetTokens)
+      .select(col(groupCol), col("epochs_milli"))
+    df.join(broadcast(rec), groupCol)
+      .withColumn("_full", expr("CAST(epochs_milli div 1000 AS INT)"))
+      // fractional rate as a 4-hex md5-bucket threshold (the hexThresholds
+      // idiom): (milli % 1000) / 1000 of the 65536 bucket space
+      .withColumn("_th", lower(lpad(
+        expr("hex(((epochs_milli % 1000) * 65536) div 1000)"), 4, "0")))
+      .withColumn("epoch", explode(concat(
+        // sequence(1, 0) would DESCEND in Spark — guard the empty range
+        when(col("_full") > 0, sequence(lit(1), col("_full")))
+          .otherwise(expr("CAST(array() AS ARRAY<INT>)")),
+        when(hashBucket(col(idCol), seed) < col("_th"),
+          array(col("_full") + 1))
+          .otherwise(expr("CAST(array() AS ARRAY<INT>)")))))
+      .drop("_full", "_th", "epochs_milli")
+  }
+
   /** Language/source-balanced corpus capping: keep at most `n` rows per
     * group, best-first by `orderCols` (ties must be broken by a unique
     * column for determinism). One shuffle on the group key; the per-group

@@ -68,6 +68,20 @@ object PipelineQueries {
           "source", "n_tokens", budgetTokens = 2000000L)
         .orderBy("source")),
 
+    // Materialized mix on top of the q_sp15 recipe (100k-token budget so
+    // epochs land ~3-4): every doc repeats per full epoch, and joins one
+    // fractional epoch by a seeded md5-bucket draw at the exact milli
+    // rate. The oracle replays the recipe arithmetic, the epoch
+    // generate_series, and the threshold draw.
+    "q_sp16_mix_materialize" -> ((s, dir) =>
+      Pipeline.materializeMix(
+          docs(s, dir).selectExpr("source", "doc_id",
+            s"CAST(size($tokensSql) AS BIGINT) AS n_tokens"),
+          "source", "doc_id", "n_tokens", budgetTokens = 100000L,
+          seed = "graft-mix-16")
+        .select("source", "doc_id", "epoch")
+        .orderBy("source", "doc_id", "epoch")),
+
     // Packed-sample manifest — the loader-facing artifact on top of q_t6:
     // per doc, its bin plus position and starting token OFFSET inside the
     // bin (the attention-mask reset points at document boundaries). Same
@@ -751,6 +765,38 @@ object PipelineQueries {
            |            THEN (((2000000 * w6) // tw6) * 1000) // n_tokens
            |            ELSE 0 END AS epochs_milli
            |FROM w, tot ORDER BY source""".stripMargin,
+
+      // replays the recipe arithmetic, the full-epoch series, and the
+      // fractional md5-bucket draw at the exact 4-hex threshold
+      "q_sp16_mix_materialize" ->
+        s"""WITH per AS (
+           |  SELECT source, CAST(sum(len($duckTokens)) AS BIGINT) AS n_tokens
+           |  FROM documents GROUP BY 1),
+           |w AS (SELECT *, CAST(round(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6)
+           |                     AS BIGINT) AS w6 FROM per),
+           |tot AS (SELECT CAST(sum(w6) AS BIGINT) AS tw6 FROM w),
+           |rec AS (
+           |  SELECT source,
+           |         CASE WHEN n_tokens > 0
+           |              THEN (((100000 * w6) // tw6) * 1000) // n_tokens
+           |              ELSE 0 END AS em
+           |  FROM w, tot),
+           |d AS (
+           |  SELECT doc.source, doc.doc_id,
+           |         CAST(em // 1000 AS INTEGER) AS nf,
+           |         printf('%04x', (em % 1000) * 65536 // 1000) AS th
+           |  FROM documents doc JOIN rec ON doc.source = rec.source),
+           |fe AS (
+           |  SELECT source, doc_id,
+           |         CAST(unnest(generate_series(1, nf)) AS INTEGER) AS epoch
+           |  FROM d WHERE nf > 0),
+           |frac AS (
+           |  SELECT source, doc_id, nf + 1 AS epoch FROM d
+           |  WHERE substr(md5('graft-mix-16:' || CAST(doc_id AS VARCHAR)), 1, 4) < th)
+           |SELECT source, doc_id, CAST(epoch AS INTEGER) AS epoch FROM fe
+           |UNION ALL
+           |SELECT source, doc_id, CAST(epoch AS INTEGER) AS epoch FROM frac
+           |ORDER BY source, doc_id, epoch""".stripMargin,
 
       // replays the q_t6 bin assignment plus the in-bin rank and running
       // token-offset windows

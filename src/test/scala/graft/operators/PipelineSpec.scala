@@ -123,6 +123,49 @@ class PipelineSpec extends SparkTestBase {
     assert(r("empty") == ((0L, 0L, 0L)))
   }
 
+  test("materializeMix: full epochs exact, fractional draw deterministic, partitioning-invariant") {
+    import spark.implicits._
+    // two sources, one big one small, budget forcing multi-epoch on small
+    val corpus = ((0L until 300L).map(i => ("big", i, 10L)) ++
+      (300L until 320L).map(i => ("small", i, 10L)))
+      .toDF("source", "doc_id", "n_tokens")
+    val out = Pipeline.materializeMix(corpus, "source", "doc_id", "n_tokens",
+      budgetTokens = 2000L, seed = "mm-1")
+    val rows = out.select("source", "doc_id", "epoch").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    val recipe = Pipeline.mixRecipe(corpus, "source", "n_tokens", 2000L)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("epochs_milli")).toMap
+    rows.groupBy(r => (r._1, r._2)).foreach { case ((src, _), es) =>
+      val epochs = es.map(_._3).sorted.toSeq
+      val full = (recipe(src) / 1000L).toInt
+      // every doc carries exactly the full epochs, plus at most the one
+      // fractional epoch, contiguously from 1
+      assert(epochs.startsWith(1 to full) &&
+        (epochs.length == full || epochs == (1 to (full + 1)).toSeq),
+        s"$src: $epochs with ${recipe(src)} milli-epochs")
+    }
+    // the fractional draw hits a plausible share of the SOURCE'S CORPUS
+    // docs (a doc with zero full epochs and a failed draw emits nothing,
+    // so the denominator is the corpus, not the output)
+    val corpusBySource = Map("big" -> 300, "small" -> 20)
+    for ((src, em) <- recipe; frac = em % 1000L; if frac > 100 && frac < 900) {
+      val withFrac = rows.filter(_._1 == src).groupBy(_._2)
+        .values.count(_.exists(_._3 == (em / 1000L).toInt + 1))
+      val n = corpusBySource(src)
+      assert(withFrac > 0 && withFrac < n,
+        s"$src fractional draw degenerate: $withFrac of $n at $frac/1000")
+      // and it tracks the exact milli rate within a generous band
+      assert(math.abs(withFrac.toDouble / n - frac / 1000.0) < 0.2,
+        s"$src draw rate ${withFrac.toDouble / n} far from ${frac / 1000.0}")
+    }
+    // deterministic + partitioning-invariant
+    val again = Pipeline.materializeMix(corpus.repartition(7), "source",
+        "doc_id", "n_tokens", budgetTokens = 2000L, seed = "mm-1")
+      .select("source", "doc_id", "epoch").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(again.sorted.toSeq == rows.sorted.toSeq)
+  }
+
   test("packManifest: in-bin offsets are exact prefix sums; both windows share ONE exchange") {
     import spark.implicits._
     val docs = (0L until 200L).map(i => (i, s"g${i % 3}", 1L + i % 37))
