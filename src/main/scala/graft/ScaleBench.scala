@@ -524,6 +524,18 @@ object ScaleBench {
             sum(when(col("y") === 0 && col("m6") >= col("threshold6"), 1L)
               .otherwise(0L)).as("fp"))
       })) :+
+      // mix materialization: recipe broadcast + row-local epoch explode —
+      // wall must track the scan times the (held-constant) epoch factor;
+      // the budget scales with the corpus so epochs stay ~4 at every
+      // scale and the curve isolates the explode, not a shrinking recipe
+      ("q_sp16_mix_materialize_scale" -> ((s: SparkSession, d: String) => {
+        val docs = s.read.parquet(s"$d/documents.parquet")
+          .selectExpr("source", "doc_id",
+            "CAST(size(filter(split(coalesce(text, ''), ' '), x -> x != '')) AS BIGINT) AS n_tokens")
+        val budget = 20L * docs.count()
+        operators.Pipeline.materializeMix(docs, "source", "doc_id",
+          "n_tokens", budgetTokens = budget, seed = "graft-mix-16")
+      })) :+
       // typed PII redaction: five chained regexp passes + stage-wise
       // counts, one codegen span, zero exchanges — the q_t29 class; any
       // superlinearity means a pattern went catastrophic on longer docs
