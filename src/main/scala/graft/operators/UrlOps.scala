@@ -20,14 +20,23 @@ import org.apache.spark.sql.functions._
   *
   *   1. trim; strip the `#fragment` (never sent to servers);
   *   2. lowercase the scheme; strip `user:pw@` userinfo;
-  *   3. lowercase the host; strip one leading `www.`; strip the port when
-  *      it is the scheme default (http:80 / https:443);
+  *   3. lowercase the host; strip the leading `(www.)+` run while >= 2
+  *      labels remain (www.com keeps its dot); strip the port when it is
+  *      the scheme default (http:80 / https:443);
   *   4. uppercase the hex of `%xx` escapes (RFC 3986 §6.2.2.1) in path and
   *      query — non-hex chunks after `%` are left untouched;
-  *   5. strip one trailing `/` from the path (`/a/` ≡ `/a`; bare `/` → ``);
+  *   5. collapse all trailing `/` from the path (`/a//` ≡ `/a/` ≡ `/a`;
+  *      bare `/` → ``);
   *   6. drop tracking params (explicit list + `utm_*`), drop empty params,
   *      and SORT the survivors — param order never changes server routing,
   *      and sorting makes `?a=1&b=2` ≡ `?b=2&a=1`.
+  *
+  * The canonical form is a FIXED POINT: `canonicalizeUrl` is idempotent
+  * (canon ∘ canon = canon, property-fuzzed in UrlProps over messy inputs
+  * including repeated `www.`, stacked trailing slashes, embedded absolute
+  * URLs in kept params, and malformed escapes) — so re-canonicalizing an
+  * already-clean corpus is a safe no-op, which is what makes incremental
+  * ingest joins against stored canonical keys sound.
   *
   * Deliberate non-goals, documented so the contract is explicit: no
   * punycode (an IDN host must arrive already `xn--`-encoded — it is then
@@ -114,14 +123,22 @@ object UrlOps {
             // host/port split keys on the bracket ("[2001:db8::1]:8080")
             val bracketed = auth.startsWith("[")
             bind(struct(
-                // `www.` strips only when >= 2 labels remain (the rlike
-                // guard needs a second dot): the registrable host www.com
-                // must NOT collapse to the bare TLD "com". Guard + replace
-                // instead of a lookahead so the regex stays RE2-safe.
+                // `www.` strips only while >= 2 labels remain: the
+                // registrable host www.com must NOT collapse to the bare
+                // TLD "com". The FULL `(www.)+` run strips at once (so
+                // www.www.example.com canonicalizes in one pass — the
+                // canonical form must be a FIXED POINT of this function,
+                // UrlProps pins canon∘canon = canon); when stripping the
+                // whole run would leave a dotless label, exactly one
+                // `www.` is kept back (www.www.com → www.com, itself a
+                // fixed point). Guard + replace, no lookaheads: RE2-safe.
                 bind(lower(when(bracketed, regexp_extract(auth, "^\\[[^\\]]*\\]", 0))
                     .otherwise(substring_index(auth, ":", 1)))) { h0 =>
-                  when(h0.rlike("^www\\..*\\."), regexp_replace(h0, "^www\\.", ""))
-                    .otherwise(h0)
+                  bind(regexp_replace(h0, "^(www\\.)+", "")) { h1 =>
+                    when(h1.contains("."), h1)
+                      .when(h0.rlike("^www\\."), concat(lit("www."), h1))
+                      .otherwise(h0)
+                  }
                 }.as("host"),
                 when(bracketed, regexp_extract(auth, "\\]:([0-9]+)$", 1))
                   .otherwise(when(instr(auth, ":") > 0, substring_index(auth, ":", -1))
@@ -131,8 +148,10 @@ object UrlOps {
                 port === "" || (scheme === "http" && port === "80") ||
                   (scheme === "https" && port === "443"),
                 lit("")).otherwise(concat(lit(":"), port))
+              // ALL trailing slashes collapse (not just one): idempotence
+              // again — /a// must canonicalize to /a in one pass, not /a/
               val path = regexp_replace(
-                pctHexUpper(substring_index(pathq, "?", 1)), "/$", "")
+                pctHexUpper(substring_index(pathq, "?", 1)), "/+$", "")
               val query = when(instr(pathq, "?") > 0,
                 pctHexUpper(pathq.substr(instr(pathq, "?") + 1, lit(Int.MaxValue))))
                 .otherwise(lit(""))
