@@ -130,6 +130,23 @@ object Curation {
   final case class CaptionAlignConfig(payloadCol: String, captionCol: String,
                                       floor6: Long = 200000L, dim: Int = 16)
 
+  /** Lineage cut: rebuild a frame from its RDD so downstream plans start
+    * from a compact leaf. The early row-local rewrite stages (mojibake
+    * repair's 14-replace chain, the 5-pattern redaction chain, the
+    * alignment scorer's HOF trees) inline MEGABYTE expression trees into
+    * the plan; a stage that then joins such a frame against a derivative
+    * of itself (the caption gate's semi-join, paragraph reassembly)
+    * roughly squares the plan tree — and Spark renders the full plan
+    * STRING for cache names, which measurably OOMs the driver at full
+    * stage composition. The cut is lazy and O(1): no data materializes,
+    * the rewrites still execute exactly once per downstream action, only
+    * the SQL plan restarts. (Catalyst cannot push filters below the cut —
+    * placed only after row-local rewrite blocks, where there is nothing
+    * left to push into.)
+    */
+  private def planReset(df: DataFrame): DataFrame =
+    df.sparkSession.createDataFrame(df.rdd, df.schema)
+
   /** The row-local quality gate as one filter expression — all signals
     * compute inside the same scan, no shuffle, no second pass.
     */
@@ -195,7 +212,9 @@ object Curation {
             (kept, n)
           case None => (keepers, -1L)
         }
-        (after, nDedup, nBlock)
+        // lineage cut (see [[planReset]]): the canonicalization trees
+        // must not flow into every downstream stage's plan
+        (planReset(after), nDedup, nBlock)
       case None =>
         require(domainBlocklist.isEmpty,
           "domainBlocklist requires urlCol — there is no domain without a URL")
@@ -220,7 +239,7 @@ object Curation {
     // differ only in emails/numbers collapse in the dedup stages, and no
     // PII ever reaches a persisted signature. Row-local regexp rewrite;
     // the report counts docs that carried any match.
-    val (docsRepaired, nPii) = if (piiRedact) {
+    val (docsRepaired1, nPii) = if (piiRedact) {
       // full typed breadth (email/phone/IPv4/IPv6/number — see
       // Pipeline.redactTyped); the report counts docs carrying ANY match
       val tagged = docsRepaired0.withColumn("_pii",
@@ -230,6 +249,11 @@ object Curation {
           col("_pii.n_ipv6") + col("_pii.n_nums") > 0).count()
       (tagged.withColumn("text", col("_pii.clean")).drop("_pii"), hit)
     } else (docsRepaired0, -1L)
+    // lineage cut after the rewrite block (see [[planReset]]): without it,
+    // the caption gate's semi-join and the paragraph reassembly square the
+    // repair/redaction expression trees into a driver-OOM-sized plan
+    val docsRepaired =
+      if (encodingRepair || piiRedact) planReset(docsRepaired1) else docsRepaired1
 
     // Multimodal alignment gate (LAION shape) right after the row-local
     // repairs, before any text-measurement stage: a misaligned caption
@@ -246,7 +270,8 @@ object Curation {
               .select(col("media_id").as("doc_id")),
             Seq("doc_id"), "left_semi")
           .persist()
-        (kept, kept.count())
+        // lineage cut: the alignment-score trees sit on both join sides
+        (planReset(kept), kept.count())
       case None => (docsRepaired, -1L)
     }
 
@@ -261,7 +286,8 @@ object Curation {
         .select(col("id").as("doc_id"), col("clean_text").as("text"))
       val rewritten = docsAligned.drop("text")
         .join(clean, Seq("doc_id")).persist()
-      (rewritten, rewritten.count())
+      // lineage cut: reassembly joins the corpus against its own window
+      (planReset(rewritten), rewritten.count())
     } else (docsAligned, -1L)
 
     // Quality gate: either the scalar heuristics or (when `gopher` is

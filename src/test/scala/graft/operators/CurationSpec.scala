@@ -282,6 +282,73 @@ class CurationSpec extends SparkTestBase {
     assert(rB.nEncodingRepaired == -1L)
   }
 
+  test("EVERY optional stage on at once: all counts live, report coherent, rerun bit-identical") {
+    // the ultimate composition receipt: URL layer + blocklist + encoding
+    // repair + PII + caption alignment + paragraph dedup + gopher card +
+    // repetition gate + classifier + decontamination + substring scrub,
+    // all enabled in one build — no stage pair may interfere, and the
+    // whole thing must still be a pure function of (input, seed)
+    val g = expr("doc_id div 2")
+    val hostsArr = array(Seq("example.com", "blocked.org", "example.io").map(lit): _*)
+    val enriched = docs
+      .withColumn("url", concat(lit("https://WWW."),
+        element_at(hostsArr, (pmod(g, lit(3)) + 1).cast("int")),
+        lit("/p/"), g.cast("string"), lit("?utm_source=x&id="), g.cast("string")))
+      .withColumn("payload", encode(col("text"), "UTF-8"))
+      .withColumn("caption",
+        when(col("doc_id") % 11 === 0, lit("q" * 40))
+          .otherwise(expr("substring(text, 1, 96)")))
+      .withColumn("text",
+        when(col("doc_id") % 13 === 0,
+          concat(lit("ping 10.1.2.3 mail a@b.io "), col("text")))
+          .otherwise(col("text")))
+    val bench = docs.filter(col("doc_id") % 71 === 0)
+      .selectExpr("doc_id AS bench_id", "text AS btext")
+    def build(out: String) = Curation.curate(enriched, out, seed = "cur-all",
+      budgetTokens = 256L,
+      benchmark = Some(bench), decontamWindow = 8, scrubWindow = 12,
+      gopher = Some(Curation.GopherConfig(minWords = 10)),
+      classifier = Some(Curation.ClassifierConfig(minMargin = -1.0)),
+      urlCol = Some("url"),
+      domainBlocklist = Some {
+        val spark2 = spark; import spark2.implicits._
+        Seq("blocked.org").toDF("domain")
+      },
+      paragraphDedupStage = true, repetitionGate = true,
+      encodingRepair = true, piiRedact = true,
+      captionAlign = Some(Curation.CaptionAlignConfig("payload", "caption")))
+    val out1 = Files.createTempDirectory("graft-curate-all1").toString
+    val r1 = build(out1)
+    // every optional stage reported (nothing left at the -1 sentinel)
+    assert(r1.nAfterUrlDedup > 0 && r1.nAfterBlocklist > 0)
+    assert(r1.nEncodingRepaired >= 0 && r1.nPiiRedacted > 0)
+    assert(r1.nAfterCaptionAlign > 0 && r1.nAfterParagraphDedup > 0)
+    assert(r1.nAfterRepetition >= 0 && r1.nAfterClassifier >= 0)
+    assert(r1.nAfterDecontam >= 0 && r1.nAfterScrub >= 0)
+    assert(r1.ruleDrops.size == 14, s"expected 5 gopher + 9 repetition rules: ${r1.ruleDrops.keys}")
+    // the pipeline ordering holds: URL work bounds everything after it
+    assert(r1.nAfterBlocklist <= r1.nAfterUrlDedup)
+    assert(r1.nAfterCaptionAlign <= r1.nAfterBlocklist)
+    assert(r1.nAfterNearDedup <= r1.nAfterCaptionAlign)
+    // blocked domain really gone, PII really scrubbed, misaligned gone
+    val shipped = spark.read.parquet(out1)
+    assert(shipped.count() == r1.nAfterNearDedup)
+    assert(shipped.filter(col("doc_id") % 11 === 0).count() == 0,
+      "a misaligned caption survived the full pipeline")
+    assert(shipped.filter(col("text").contains("10.1.2.3")).count() == 0,
+      "a planted IPv4 survived the full pipeline")
+    // bit-identical rerun with all stages on (binary payload compared by
+    // digest — Array[Byte] equality in a Row is referential)
+    val out2 = Files.createTempDirectory("graft-curate-all2").toString
+    val r2 = build(out2)
+    assert(r2 == r1)
+    def snapshot(dir: String) = spark.read.parquet(dir)
+      .withColumn("payload", md5(col("payload")))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(snapshot(out1) == snapshot(out2),
+      "all-stages rerun must reproduce the corpus byte-for-byte")
+  }
+
   test("caption-alignment gate: misaligned pairs drop before any text stage") {
     // payload = text bytes; every 5th doc gets a constant-byte caption
     // (score exactly 0 — below any positive floor), the rest their own

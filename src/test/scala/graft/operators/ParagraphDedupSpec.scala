@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.SparkTestBase
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.col
 
 /** [[Dedup.paragraphDedup]]: CCNet-shape cross-document paragraph dedup.
   * Keep-first is by (doc id, position); reassembly preserves original
@@ -61,6 +62,29 @@ class ParagraphDedupSpec extends SparkTestBase {
         .toMap
       assert(out(1L) === ((3, 2, s"aa${sep}bb")), s"sep='$sep'")
       assert(out(2L) === ((2, 1, "cc")), s"sep='$sep'")
+    }
+  }
+
+  test("the deduped corpus is a fixed point: re-running keeps every paragraph") {
+    // after keep-first, every surviving paragraph is globally unique, so a
+    // second pass must be the identity (n_kept == n_paras, text unchanged)
+    // — the property that makes re-running a partially-curated corpus safe
+    val docs = Seq(
+      (1L, "alpha\n\nshared\n\nbeta"), (2L, "shared\n\ngamma"),
+      (3L, "gamma\n\ngamma\n\ndelta"), (4L, ""), (5L, "alpha"))
+      .toDF("doc_id", "text")
+    val once = Dedup.paragraphDedup(docs, "doc_id", "text", family = "md5")
+      .select(col("id").as("doc_id"), col("clean_text").as("text"))
+    val twice = Dedup.paragraphDedup(once, "doc_id", "text", family = "md5")
+      .collect()
+    twice.foreach { r =>
+      assert(r.getInt(1) == r.getInt(2),
+        s"doc ${r.getLong(0)}: second pass dropped paragraphs ($r)")
+    }
+    val onceMap = once.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    twice.foreach { r =>
+      assert(r.getString(3) == onceMap(r.getLong(0)),
+        s"doc ${r.getLong(0)}: second pass rewrote text")
     }
   }
 
