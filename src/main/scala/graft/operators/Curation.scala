@@ -195,7 +195,7 @@ object Curation {
     // runs before anything touches the text). Canonical-URL dedup keeps
     // the smallest id per page; the optional blocklist anti-joins on the
     // registered domain (broadcast — the corpus never shuffles for it).
-    val (docsAfterUrl, nUrlDedup, nBlocklist) = urlCol match {
+    val (docsAfterUrl, urlPersisted, nUrlDedup, nBlocklist) = urlCol match {
       case Some(uc) =>
         val keyed = docs.withColumn("_curl", UrlOps.canonicalizeUrl(col(uc)))
         val keepers = keyed.withColumn("_keep", min("doc_id").over(
@@ -213,12 +213,14 @@ object Curation {
           case None => (keepers, -1L)
         }
         // lineage cut (see [[planReset]]): the canonicalization trees
-        // must not flow into every downstream stage's plan
-        (planReset(after), nDedup, nBlock)
+        // must not flow into every downstream stage's plan. The PERSISTED
+        // original travels separately to the cleanup list — unpersisting
+        // the reset frame would be a no-op on the wrong plan.
+        (planReset(after), Seq(after), nDedup, nBlock)
       case None =>
         require(domainBlocklist.isEmpty,
           "domainBlocklist requires urlCol — there is no domain without a URL")
-        (docs, -1L, -1L)
+        (docs, Seq.empty[DataFrame], -1L, -1L)
     }
     // Encoding repair leads the TEXT stages (right after the URL layer,
     // which never reads text): cp1252 mojibake perturbs paragraph hashes,
@@ -261,7 +263,7 @@ object Curation {
     // dropping it here spares every later stage. Row-local scoring (one
     // typed feature pass + a score expression) and a semi-join of ids —
     // payloads never shuffle.
-    val (docsAligned, nCaptionAlign) = captionAlign match {
+    val (docsAligned, capPersisted, nCaptionAlign) = captionAlign match {
       case Some(c) =>
         val kept = docsRepaired.join(
             Multimodal.captionAlign(docsRepaired, "doc_id", c.payloadCol,
@@ -271,8 +273,8 @@ object Curation {
             Seq("doc_id"), "left_semi")
           .persist()
         // lineage cut: the alignment-score trees sit on both join sides
-        (planReset(kept), kept.count())
-      case None => (docsRepaired, -1L)
+        (planReset(kept), Seq(kept), kept.count())
+      case None => (docsRepaired, Seq.empty[DataFrame], -1L)
     }
 
     // CCNet-shape paragraph dedup right after the URL layer, BEFORE the
@@ -280,15 +282,15 @@ object Curation {
     // all but their first occurrence and docs are rewritten from the
     // survivors, so every later stage (quality card, classifier, MinHash)
     // measures prose, not footers. Docs left with no paragraphs drop.
-    val (docs1, nParagraph) = if (paragraphDedupStage) {
+    val (docs1, paraPersisted, nParagraph) = if (paragraphDedupStage) {
       val clean = Dedup.paragraphDedup(docsAligned, "doc_id", "text")
         .filter(col("n_kept") > 0)
         .select(col("id").as("doc_id"), col("clean_text").as("text"))
       val rewritten = docsAligned.drop("text")
         .join(clean, Seq("doc_id")).persist()
       // lineage cut: reassembly joins the corpus against its own window
-      (planReset(rewritten), rewritten.count())
-    } else (docsAligned, -1L)
+      (planReset(rewritten), Seq(rewritten), rewritten.count())
+    } else (docsAligned, Seq.empty[DataFrame], -1L)
 
     // Quality gate: either the scalar heuristics or (when `gopher` is
     // set) the rule card — same row-local shape, but the card keeps WHICH
@@ -450,9 +452,7 @@ object Curation {
       benchmark.map(_ => afterDecontam) ++
       (if (scrubWindow > 0) Seq(afterScrub) else Nil) ++
       (if (repetitionGate) Seq(afterGates) else Nil) ++
-      (if (paragraphDedupStage) Seq(docs1) else Nil) ++
-      (if (captionAlign.isDefined) Seq(docsAligned) else Nil) ++
-      (if (urlCol.isDefined) Seq(docsAfterUrl) else Nil)).foreach(_.unpersist())
+      paraPersisted ++ capPersisted ++ urlPersisted).foreach(_.unpersist())
     Report(nInput, nQuality, nExact, nNear, splitCounts,
       totals.getLong(0), totals.getLong(1), nDecontam, nScrub,
       ruleDropsAll, nClassifier, nUrlDedup, nBlocklist,
