@@ -200,7 +200,9 @@ object Multimodal {
   /** Exact 6-dp scaled-long centered cosine of two float-array columns
     * (the q_v15/q_v16 integer-compare idiom: round to 6 dp, scale, cast —
     * so threshold comparisons are integer-exact and DuckDB-replayable).
-    * Zero-variance vectors (empty/constant payloads) score 0.
+    * Zero-variance vectors (empty/constant payloads) score 0. The two
+    * arrays must share one width ([[captionFeaturePairs]] guarantees it;
+    * zip_with on mismatched widths would null-pad and null the score).
     */
   def alignmentScore6(a: String, b: String): String =
     Dedup.letBind(
