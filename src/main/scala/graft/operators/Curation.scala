@@ -197,7 +197,7 @@ object Curation {
     // registered domain (broadcast — the corpus never shuffles for it).
     val (docsAfterUrl, urlPersisted, nUrlDedup, nBlocklist) = urlCol match {
       case Some(uc) =>
-        val keyed = docs.withColumn("_curl", UrlOps.canonicalizeUrl(col(uc)))
+        val keyed = UrlOps.withUrlParts(docs, uc, canonicalCol = "_curl")
         val keepers = keyed.withColumn("_keep", min("doc_id").over(
             org.apache.spark.sql.expressions.Window.partitionBy("_curl")))
           .filter(col("doc_id") === col("_keep"))

@@ -12,11 +12,11 @@ import org.apache.spark.sql.functions._
   * "who published this" key.
   *
   * Everything here is a ROW-LOCAL string-expression pipeline over Spark's
-  * built-in codegen'd functions (split / transform / filter / array_sort /
-  * regexp) — no UDFs, no shuffle, no driver round-trips — so
-  * canonicalization runs at scan speed on 100 TB and every step is
-  * replayable as plain SQL by any engine (the DuckDB oracles replay it
-  * verbatim). Normalizations applied, in order:
+  * built-in functions (split / transform / filter / array_sort / regexp) —
+  * no UDFs, no shuffle, no driver round-trips — so canonicalization runs
+  * at scan speed on 100 TB and every step is replayable as plain SQL by
+  * any engine (the DuckDB oracles replay it verbatim). Normalizations
+  * applied, in order:
   *
   *   1. trim; strip the `#fragment` (never sent to servers);
   *   2. lowercase the scheme; strip `user:pw@` userinfo;
@@ -31,12 +31,43 @@ import org.apache.spark.sql.functions._
   *      and SORT the survivors — param order never changes server routing,
   *      and sorting makes `?a=1&b=2` ≡ `?b=2&a=1`.
   *
+  * An input is parsed as ABSOLUTE only when the text before its first
+  * `://` is a valid RFC 3986 scheme token (`ALPHA (ALPHA/DIGIT/+/-/.)*`).
+  * Anything else — including a scheme-less string that merely CONTAINS an
+  * absolute URL in its query, like `evil.com/?u=https://allowed.com/x` —
+  * takes the relative-reference passthrough branch (trim + fragment strip
+  * only). Without the scheme-token guard that spelling would parse with
+  * host `allowed.com` and evade [[domainListFilter]] blocklists — the
+  * embedded-redirect evasion shape from real crawls (UrlOpsSpec pins it).
+  *
   * The canonical form is a FIXED POINT: `canonicalizeUrl` is idempotent
   * (canon ∘ canon = canon, property-fuzzed in UrlProps over messy inputs
   * including repeated `www.`, stacked trailing slashes, embedded absolute
   * URLs in kept params, and malformed escapes) — so re-canonicalizing an
   * already-clean corpus is a safe no-op, which is what makes incremental
   * ingest joins against stored canonical keys sound.
+  *
+  * == Spec path and hot path ==
+  *
+  *  - [[canonicalizeUrl]] / [[hostOf]] / [[registeredDomain]] are the
+  *    EXECUTABLE SPEC: each stage is one small Column expression in
+  *    [[steps]], let-bound with [[bind]] so every derivation evaluates
+  *    once per row. Self-contained Columns — usable inside any
+  *    expression and replayable as plain SQL — but `bind` is a
+  *    higher-order function and HOF lambda bodies run INTERPRETED
+  *    (~0.1 ms/row warm plus a multi-second one-time plan cost that
+  *    q_sp13 paid twice: 15.5 s for 5000 docs, SCALING.md r11a).
+  *  - [[withUrlParts]] is the HOT PATH every DataFrame operator here
+  *    routes through: the native codegen'd kernels of
+  *    [[graft.functions.UrlCanon]], one expression node and one static
+  *    Java call per URL part per row. (The middle road — composing the
+  *    steps through `withColumn` Project seams — was measured r11 and
+  *    rejected: optimizer alias inlining through a self-join + window
+  *    exploded the 14-seam chain into a 793 KB physical plan, 60 s/rep.)
+  *
+  * UrlProps pins kernel ≡ spec output-identical over hostile fuzz input,
+  * and the q_u1–u5 and q_sp13 oracles are analytic (planted
+  * construction), so a shared bug cannot hide in a replayed copy.
   *
   * Deliberate non-goals, documented so the contract is explicit: no
   * punycode (an IDN host must arrive already `xn--`-encoded — it is then
@@ -76,11 +107,10 @@ object UrlOps {
     * `bound` ONCE per row and reference it as a cheap lambda variable in
     * `body`. Without this, every Scala `val` holding a Column is INLINED
     * at each reference site — the canonicalizer's chained derivations
-    * (u → rest → authority → host/port/path/query) would otherwise
-    * duplicate multiplicatively into a megabyte expression tree that
-    * downstream operators then re-duplicate per reference (measured:
-    * 39.9 s for the 5000-doc q_sp13 before this structure; sub-second
-    * after).
+    * would duplicate multiplicatively into a megabyte expression tree
+    * (measured: 39.9 s for the 5000-doc q_sp13 before this structure).
+    * The price: a HOF lambda body runs interpreted — which is why the
+    * hot path is [[withUrlParts]]'s Project seams, not this.
     */
   private def bind(bound: Column)(body: Column => Column): Column =
     element_at(transform(array(bound), body), 1)
@@ -100,71 +130,158 @@ object UrlOps {
           .otherwise(x)),
       "%")
 
-  /** Canonical form of an absolute `scheme://...` URL (see object doc for
-    * the normalization list). Input without `://` is returned trimmed and
-    * fragment-stripped only — a relative reference has no authority to
-    * normalize, and guessing one would corrupt non-URL strings.
+  /** The per-stage parse/normalize expressions, each a SMALL pure function
+    * of already-derived columns — the single source of truth both the
+    * bind-composed Column API and the seam-composed [[withUrlParts]] build
+    * from (see the object doc). Stage order and the derivation DAG:
+    * u → (isAbs, rest) → auth0 → (scheme, auth, pathq) → (host0 → host1
+    * → host, port) → (path, query → queryPart) → assembled.
+    */
+  private object steps {
+    /** trim + fragment strip — the only normalization a relative
+      * reference gets. */
+    def u(url: Column): Column = substring_index(trim(url), "#", 1)
+
+    /** Parse as absolute ONLY when the text before the FIRST `://` is a
+      * valid RFC 3986 scheme token — see the object doc for the
+      * blocklist-evasion shape this guard closes. RE2-safe (no
+      * lookaheads); when no `://` exists substring_index returns the
+      * whole string, so the `instr > 0` conjunct keeps plain words
+      * ("localhost") on the relative branch too.
+      */
+    def isAbs(u: Column): Column =
+      instr(u, "://") > 0 &&
+        substring_index(u, "://", 1).rlike("^[A-Za-z][A-Za-z0-9+.\\-]*$")
+
+    /** Everything after `scheme://`. Meaningful only under [[isAbs]]. */
+    def rest(u: Column): Column =
+      u.substr(instr(u, "://") + 3, lit(Int.MaxValue))
+
+    /** Raw authority: rest up to the first `/` or `?`. */
+    def auth0(rest: Column): Column = regexp_extract(rest, "^[^/?]*", 0)
+
+    def scheme(u: Column): Column = lower(substring_index(u, "://", 1))
+
+    /** Authority with `user:pw@` userinfo stripped. */
+    def auth(auth0: Column): Column = regexp_extract(auth0, "[^@]*$", 0)
+
+    /** Path+query: rest after the authority. */
+    def pathq(rest: Column, auth0: Column): Column =
+      rest.substr(length(auth0) + 1, lit(Int.MaxValue))
+
+    /** Lowercased host before `www.` handling. Bracketed IPv6 hosts carry
+      * `:` INSIDE the brackets, so the host/port split keys on the
+      * bracket ("[2001:db8::1]:8080"). */
+    def host0(auth: Column): Column =
+      lower(when(auth.startsWith("["), regexp_extract(auth, "^\\[[^\\]]*\\]", 0))
+        .otherwise(substring_index(auth, ":", 1)))
+
+    /** host0 with the FULL leading `(www.)+` run stripped at once (so
+      * www.www.example.com canonicalizes in one pass — the canonical form
+      * must be a FIXED POINT, UrlProps pins canon∘canon = canon). */
+    def host1(host0: Column): Column =
+      regexp_replace(host0, "^(www\\.)+", "")
+
+    /** Final host: `www.` strips only while >= 2 labels remain — the
+      * registrable host www.com must NOT collapse to the bare TLD "com";
+      * when stripping the whole run would leave a dotless label, exactly
+      * one `www.` is kept back (www.www.com → www.com, itself a fixed
+      * point). Guard + replace, no lookaheads: RE2-safe. */
+    def host(host0: Column, host1: Column): Column =
+      when(host1.contains("."), host1)
+        .when(host0.rlike("^www\\."), concat(lit("www."), host1))
+        .otherwise(host0)
+
+    def port(auth: Column): Column =
+      when(auth.startsWith("["), regexp_extract(auth, "\\]:([0-9]+)$", 1))
+        .otherwise(when(instr(auth, ":") > 0, substring_index(auth, ":", -1))
+          .otherwise(lit("")))
+
+    /** `:port` suffix, empty when absent or the scheme default
+      * (http:80 / https:443). */
+    def portPart(scheme: Column, port: Column): Column =
+      when(port === "" || (scheme === "http" && port === "80") ||
+        (scheme === "https" && port === "443"), lit(""))
+        .otherwise(concat(lit(":"), port))
+
+    /** Path with %-hex folded and ALL trailing slashes collapsed (not
+      * just one): idempotence again — /a// must canonicalize to /a in one
+      * pass, not /a/. */
+    def path(pathq: Column): Column =
+      regexp_replace(pctHexUpper(substring_index(pathq, "?", 1)), "/+$", "")
+
+    def query(pathq: Column): Column =
+      when(instr(pathq, "?") > 0,
+        pctHexUpper(pathq.substr(instr(pathq, "?") + 1, lit(Int.MaxValue))))
+        .otherwise(lit(""))
+
+    /** `?`-prefixed surviving params, sorted; empty string when none
+      * survive. The filter+sort lambda is a genuine array op over the
+      * per-row param list — it stays a HOF in both composition paths. */
+    def queryPart(query: Column): Column =
+      bind(array_sort(filter(split(query, "&", -1), p =>
+        p =!= "" && !substring_index(p, "=", 1).rlike("^utm_") &&
+          !substring_index(p, "=", 1).isin(TrackingParams: _*)))) { kept =>
+        when(size(kept) > 0, concat(lit("?"), array_join(kept, "&")))
+          .otherwise(lit(""))
+      }
+
+    def assemble(u: Column, isAbs: Column, scheme: Column, host: Column,
+                 portPart: Column, path: Column, queryPart: Column): Column =
+      when(isAbs, concat(scheme, lit("://"), host, portPart, path, queryPart))
+        .otherwise(u)
+
+    /** Host of a CANONICAL url (no re-lowering / userinfo strip): the
+      * authority read after the scheme when absolute, from position 1
+      * when relative. */
+    def hostOfCanonical(u: Column, isAbs: Column): Column =
+      bind(regexp_extract(
+          u.substr(when(isAbs, instr(u, "://") + 3).otherwise(lit(1)),
+            lit(Int.MaxValue)),
+          "^[^/?]*", 0)) { a =>
+        when(a.startsWith("["), regexp_extract(a, "^\\[[^\\]]*\\]", 0))
+          .otherwise(substring_index(a, ":", 1))
+      }
+
+    /** Registered domain of a lowercase host given its label array and
+      * the last-two-label suffix — see [[registeredDomain]]. */
+    def domainOf(h: Column, labels: Column, suffix2: Column): Column =
+      when(h.rlike("^[0-9.]+$") || h.startsWith("["), h) // IP literal (v4 / bracketed v6)
+        .when(size(labels) >= 3 && suffix2.isin(MultiLevelSuffixes: _*),
+          concat_ws(".", slice(labels, -3, 3)))
+        .when(size(labels) >= 2, suffix2)
+        .otherwise(h)
+  }
+
+  /** Canonical form of an absolute `scheme://...` URL as ONE Column (see
+    * object doc for the normalization list and the two-path design).
+    * Input whose `://` prefix is not a scheme token — or with no `://` at
+    * all — is returned trimmed and fragment-stripped only: a relative
+    * reference has no authority to normalize, and guessing one would
+    * corrupt non-URL strings (and open the embedded-URL blocklist
+    * evasion). Prefer [[withUrlParts]] on any hot DataFrame path.
     */
   def canonicalizeUrl(url: Column): Column =
-    // each derivation [[bind]]s before reuse: u → rest → authority →
-    // (scheme, userinfo-stripped auth, pathq) → (host, port) → assembly —
-    // every stage evaluates once per row regardless of fan-out below it
-    bind(substring_index(trim(url), "#", 1)) { u =>
-      bind(u.substr(instr(u, "://") + 3, lit(Int.MaxValue))) { rest =>
-        bind(regexp_extract(rest, "^[^/?]*", 0)) { auth0 =>
+    // each derivation [[bind]]s before reuse: every stage evaluates once
+    // per row regardless of fan-out below it
+    bind(steps.u(url)) { u =>
+      bind(steps.rest(u)) { rest =>
+        bind(steps.auth0(rest)) { auth0 =>
           bind(struct(
-              lower(substring_index(u, "://", 1)).as("scheme"),
-              regexp_extract(auth0, "[^@]*$", 0).as("auth"), // strip userinfo
-              rest.substr(length(auth0) + 1, lit(Int.MaxValue)).as("pathq"))) { s1 =>
+              steps.scheme(u).as("scheme"),
+              steps.auth(auth0).as("auth"),
+              steps.pathq(rest, auth0).as("pathq"))) { s1 =>
             val scheme = s1.getField("scheme")
             val auth = s1.getField("auth")
             val pathq = s1.getField("pathq")
-            // bracketed IPv6 hosts carry ':' INSIDE the brackets, so the
-            // host/port split keys on the bracket ("[2001:db8::1]:8080")
-            val bracketed = auth.startsWith("[")
             bind(struct(
-                // `www.` strips only while >= 2 labels remain: the
-                // registrable host www.com must NOT collapse to the bare
-                // TLD "com". The FULL `(www.)+` run strips at once (so
-                // www.www.example.com canonicalizes in one pass — the
-                // canonical form must be a FIXED POINT of this function,
-                // UrlProps pins canon∘canon = canon); when stripping the
-                // whole run would leave a dotless label, exactly one
-                // `www.` is kept back (www.www.com → www.com, itself a
-                // fixed point). Guard + replace, no lookaheads: RE2-safe.
-                bind(lower(when(bracketed, regexp_extract(auth, "^\\[[^\\]]*\\]", 0))
-                    .otherwise(substring_index(auth, ":", 1)))) { h0 =>
-                  bind(regexp_replace(h0, "^(www\\.)+", "")) { h1 =>
-                    when(h1.contains("."), h1)
-                      .when(h0.rlike("^www\\."), concat(lit("www."), h1))
-                      .otherwise(h0)
-                  }
+                bind(steps.host0(auth)) { h0 =>
+                  bind(steps.host1(h0))(h1 => steps.host(h0, h1))
                 }.as("host"),
-                when(bracketed, regexp_extract(auth, "\\]:([0-9]+)$", 1))
-                  .otherwise(when(instr(auth, ":") > 0, substring_index(auth, ":", -1))
-                    .otherwise(lit(""))).as("port"))) { s2 =>
-              val port = s2.getField("port")
-              val portPart = when(
-                port === "" || (scheme === "http" && port === "80") ||
-                  (scheme === "https" && port === "443"),
-                lit("")).otherwise(concat(lit(":"), port))
-              // ALL trailing slashes collapse (not just one): idempotence
-              // again — /a// must canonicalize to /a in one pass, not /a/
-              val path = regexp_replace(
-                pctHexUpper(substring_index(pathq, "?", 1)), "/+$", "")
-              val query = when(instr(pathq, "?") > 0,
-                pctHexUpper(pathq.substr(instr(pathq, "?") + 1, lit(Int.MaxValue))))
-                .otherwise(lit(""))
-              val queryPart = bind(array_sort(filter(split(query, "&", -1), p =>
-                  p =!= "" && !substring_index(p, "=", 1).rlike("^utm_") &&
-                    !substring_index(p, "=", 1).isin(TrackingParams: _*)))) { kept =>
-                when(size(kept) > 0, concat(lit("?"), array_join(kept, "&")))
-                  .otherwise(lit(""))
-              }
-              when(instr(u, "://") > 0,
-                concat(scheme, lit("://"), s2.getField("host"), portPart,
-                  path, queryPart))
-                .otherwise(u)
+                steps.port(auth).as("port"))) { s2 =>
+              steps.assemble(u, steps.isAbs(u), scheme, s2.getField("host"),
+                steps.portPart(scheme, s2.getField("port")),
+                steps.path(pathq), steps.queryPart(steps.query(pathq)))
             }
           }
         }
@@ -175,25 +292,15 @@ object UrlOps {
     * not re-strip userinfo/case). Handles path-less `?query` forms and
     * bracketed IPv6 authorities.
     *
-    * Anchors on the FIRST `://`, exactly as [[canonicalizeUrl]] parses:
-    * a canonical URL can still carry an embedded absolute URL in a kept
-    * query value (redirect params like `?u=https://other.com/x` — the
-    * canonicalizer never percent-encodes), and splitting on the LAST
-    * `://` would attribute the doc to the EMBEDDED host — letting a
-    * blocked domain evade [[domainListFilter]] by appending
-    * `?x=https://allowed.com`. Scheme-less input (a relative reference
-    * passed through canonicalization untouched) is read from position 1.
+    * Reads the authority after the FIRST `://` only when the prefix is a
+    * scheme token, exactly as [[canonicalizeUrl]] parses; any other input
+    * (a relative reference passed through canonicalization untouched —
+    * including one carrying an embedded `?u=https://...` absolute URL in
+    * a kept param, the [[domainListFilter]] evasion shape) reads from
+    * position 1, so the EMBEDDED host is never attributed.
     */
   def hostOf(canonicalUrl: Column): Column =
-    bind(canonicalUrl) { u =>
-      bind(regexp_extract(
-          u.substr(when(instr(u, "://") > 0, instr(u, "://") + 3).otherwise(lit(1)),
-            lit(Int.MaxValue)),
-          "^[^/?]*", 0)) { auth =>
-        when(auth.startsWith("["), regexp_extract(auth, "^\\[[^\\]]*\\]", 0))
-          .otherwise(substring_index(auth, ":", 1))
-      }
-    }
+    bind(canonicalUrl)(u => steps.hostOfCanonical(u, steps.isAbs(u)))
 
   /** Registered (pay-level) domain of a lowercase host: last two labels,
     * or last three when the two-label suffix is in [[MultiLevelSuffixes]]
@@ -207,14 +314,51 @@ object UrlOps {
     bind(host) { h =>
       bind(split(h, "\\.", -1)) { labels =>
         bind(concat_ws(".", slice(labels, -2, 2))) { suffix2 =>
-          when(h.rlike("^[0-9.]+$") || h.startsWith("["), h) // IP literal (v4 / bracketed v6)
-            .when(size(labels) >= 3 && suffix2.isin(MultiLevelSuffixes: _*),
-              concat_ws(".", slice(labels, -3, 3)))
-            .when(size(labels) >= 2, suffix2)
-            .otherwise(h)
+          steps.domainOf(h, labels, suffix2)
         }
       }
     }
+
+  /** The HOT-PATH URL parser: adds `canonical_url` (and optionally the
+    * canonical host and registered domain) to `df` through the NATIVE
+    * codegen'd kernels ([[graft.functions.UrlCanon]] — `url_canonical` /
+    * `url_host` / `url_domain`, registered idempotently on the session).
+    * Each part is ONE expression node evaluating a single static Java
+    * call per row, so optimizer rules that duplicate expressions across
+    * self-joins/windows copy one node instead of a derivation forest —
+    * both alternatives failed at that exact seam (bind-HOF chains run
+    * interpreted with a multi-second one-time plan cost; withColumn
+    * Project seams inlined into a 793 KB physical plan / 60 s q_sp13
+    * under temperatureMix's self-join — measured r11, SCALING.md r11a).
+    * [[canonicalizeUrl]]/[[hostOf]]/[[registeredDomain]] remain the
+    * expression-composed executable SPEC; UrlProps pins kernel ≡ spec
+    * over hostile fuzz input.
+    */
+  def withUrlParts(df: DataFrame, urlCol: String,
+                   canonicalCol: String = "canonical_url",
+                   hostCol: Option[String] = None,
+                   domainCol: Option[String] = None): DataFrame = {
+    graft.plans.GraftExtensions.register(df.sparkSession)
+    var out = df.withColumn(canonicalCol,
+      call_function("url_canonical", col(urlCol)))
+    hostCol.foreach { hc =>
+      out = out.withColumn(hc, call_function("url_host", col(canonicalCol)))
+    }
+    domainCol.foreach { dc =>
+      val hc = hostCol.getOrElse(sys.error("domainCol requires hostCol"))
+      out = out.withColumn(dc, call_function("url_domain", col(hc)))
+    }
+    out
+  }
+
+  /** [[withUrlParts]] with host+domain on, keeping only the domain — the
+    * one-liner for "tag every doc with its registered domain" (domain
+    * caps, blocklists, domain mixing). */
+  def withRegisteredDomain(df: DataFrame, urlCol: String,
+                           domainCol: String = "domain"): DataFrame =
+    withUrlParts(df, urlCol, canonicalCol = "_gu_canon",
+      hostCol = Some("_gu_host"), domainCol = Some(domainCol))
+      .drop("_gu_canon", "_gu_host")
 
   /** URL-exact dedup: group on the canonical key, keep the smallest id per
     * page (first-crawled under monotone ids — any deterministic best-first
@@ -223,7 +367,7 @@ object UrlOps {
     * why it runs first, before any content hashing.
     */
   def urlDedup(df: DataFrame, urlCol: String, idCol: String): DataFrame =
-    df.withColumn("canonical_url", canonicalizeUrl(col(urlCol)))
+    withUrlParts(df, urlCol)
       .groupBy("canonical_url")
       .agg(count(lit(1)).as("n_variants"), min(col(idCol)).as("keeper_" + idCol))
 
@@ -236,11 +380,11 @@ object UrlOps {
     */
   def urlDedupLatest(df: DataFrame, urlCol: String, tsCol: String,
                      idCol: String): DataFrame =
-    df.withColumn("canonical_url", canonicalizeUrl(col(urlCol)))
+    withUrlParts(df, urlCol)
       .groupBy("canonical_url")
       .agg(count(lit(1)).as("n_captures"),
         max_by(struct(col(tsCol).as("ts"), col(idCol).as("id")),
-          // max_by on (ts, -id): latest capture, smallest id on ts ties —
+          // max_by on (ts, -id): latest capture, smallest id on ties —
           // negation keeps the tie rule inside ONE ordered struct key
           struct(col(tsCol), (-col(idCol)).as("_negid"))).as("_k"))
       .select(col("canonical_url"), col("n_captures"),
@@ -260,8 +404,7 @@ object UrlOps {
   def domainListFilter(df: DataFrame, urlCol: String, domains: DataFrame,
                        allow: Boolean = false): DataFrame = {
     val listed = broadcast(domains.toDF("_blocked_domain").distinct())
-    val keyed = df.withColumn("_rd",
-      registeredDomain(hostOf(canonicalizeUrl(col(urlCol)))))
+    val keyed = withRegisteredDomain(df, urlCol, "_rd")
     keyed.join(listed, keyed("_rd") === listed("_blocked_domain"),
         if (allow) "left_semi" else "left_anti")
       .drop("_rd")
@@ -273,8 +416,7 @@ object UrlOps {
     * reads before deciding domain caps and mixing weights.
     */
   def domainStats(df: DataFrame, urlCol: String, tokensCol: String): DataFrame = {
-    val perDomain = df
-      .withColumn("domain", registeredDomain(hostOf(canonicalizeUrl(col(urlCol)))))
+    val perDomain = withRegisteredDomain(df, urlCol, "domain")
       .groupBy("domain")
       .agg(count(lit(1)).as("n_docs"), sum(col(tokensCol)).as("n_tokens"))
     perDomain

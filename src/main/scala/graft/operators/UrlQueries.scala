@@ -107,9 +107,7 @@ object UrlQueries {
     // one-shuffle window rank, grouped here on the derived domain.
     "q_u3_domain_cap" -> ((s, dir) =>
       Pipeline.capPerGroup(
-          withMessyUrl(docs(s, dir))
-            .withColumn("domain",
-              UrlOps.registeredDomain(UrlOps.hostOf(UrlOps.canonicalizeUrl(col("url"))))),
+          UrlOps.withRegisteredDomain(withMessyUrl(docs(s, dir)), "url"),
           "domain", Seq(col("n_chars").desc, col("doc_id")), 100)
         .select("domain", "doc_id", "n_chars")
         .orderBy("domain", "doc_id")),
@@ -120,10 +118,10 @@ object UrlQueries {
     // shuffles. Survivors keep their derived domain for inspection.
     "q_u4_domain_blocklist" -> ((s, dir) => {
       import s.implicits._
-      UrlOps.domainListFilter(withMessyUrl(docs(s, dir)), "url",
-          Seq("example.org", "example.io").toDF("domain"))
-        .withColumn("domain",
-          UrlOps.registeredDomain(UrlOps.hostOf(UrlOps.canonicalizeUrl(col("url")))))
+      UrlOps.withRegisteredDomain(
+          UrlOps.domainListFilter(withMessyUrl(docs(s, dir)), "url",
+            Seq("example.org", "example.io").toDF("domain")),
+          "url")
         .select("doc_id", "domain")
         .orderBy("doc_id")
     }),
@@ -148,9 +146,7 @@ object UrlQueries {
     // composition receipt for UrlOps ∘ temperatureMix.
     "q_sp13_domain_mix" -> ((s, dir) =>
       Pipeline.temperatureMix(
-          withMessyUrl(docs(s, dir))
-            .withColumn("domain",
-              UrlOps.registeredDomain(UrlOps.hostOf(UrlOps.canonicalizeUrl(col("url"))))),
+          UrlOps.withRegisteredDomain(withMessyUrl(docs(s, dir)), "url"),
           "domain", "doc_id", totalTarget = mixTarget, alpha = 0.5, seed = mixSeed)
         .select("domain", "sample_rank", "doc_id")
         .orderBy("domain", "sample_rank"))

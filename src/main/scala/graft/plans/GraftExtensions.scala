@@ -87,6 +87,30 @@ object GraftExtensions {
           s"strip_accents expects 1 argument, got ${args.length}")
         graft.functions.StripAccents(args.head)
       }),
+    (FunctionIdentifier("url_canonical"),
+      new ExpressionInfo(classOf[graft.functions.CanonicalizeUrlExpr].getName,
+        "url_canonical"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1,
+          s"url_canonical expects 1 argument, got ${args.length}")
+        graft.functions.CanonicalizeUrlExpr(args.head)
+      }),
+    (FunctionIdentifier("url_host"),
+      new ExpressionInfo(classOf[graft.functions.UrlHostExpr].getName,
+        "url_host"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1,
+          s"url_host expects 1 argument, got ${args.length}")
+        graft.functions.UrlHostExpr(args.head)
+      }),
+    (FunctionIdentifier("url_domain"),
+      new ExpressionInfo(classOf[graft.functions.RegisteredDomainExpr].getName,
+        "url_domain"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1,
+          s"url_domain expects 1 argument, got ${args.length}")
+        graft.functions.RegisteredDomainExpr(args.head)
+      }),
     (FunctionIdentifier("sample_ids"),
       new ExpressionInfo(classOf[graft.functions.BoundedHashSampleAgg].getName,
         "sample_ids"),

@@ -34,8 +34,7 @@ object ContinuousUrlDedup {
   def firstSeen(captures: Dataset[Capture])
                (implicit spark: SparkSession): Dataset[FirstSeen] = {
     import spark.implicits._
-    captures
-      .withColumn("canonical_url", UrlOps.canonicalizeUrl(col("url")))
+    UrlOps.withUrlParts(captures.toDF(), "url")
       .select(col("canonical_url"), col("doc_id"))
       .as[(String, Long)]
       .groupByKey(_._1)

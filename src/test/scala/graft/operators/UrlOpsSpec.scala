@@ -11,13 +11,28 @@ import org.apache.spark.sql.functions._
 class UrlOpsSpec extends SparkTestBase {
   import spark.implicits._
 
-  private def canon(urls: String*): Seq[String] =
-    urls.toDF("url").select(UrlOps.canonicalizeUrl(col("url")).as("c"))
+  /** Runs BOTH the expression-composed spec and the native kernel and
+    * asserts they agree before returning — every case in this suite
+    * therefore pins the two paths equivalent. */
+  private def canon(urls: String*): Seq[String] = {
+    val specResult = urls.toDF("url")
+      .select(UrlOps.canonicalizeUrl(col("url")).as("c"))
       .collect().map(_.getString(0)).toSeq
+    val nativeResult = urls.map(graft.functions.UrlCanon.canonicalize)
+    assert(specResult == nativeResult,
+      s"spec vs native kernel divergence on $urls:\n  spec=$specResult\n  native=$nativeResult")
+    specResult
+  }
 
-  private def domain(hosts: String*): Seq[String] =
-    hosts.toDF("h").select(UrlOps.registeredDomain(col("h")).as("d"))
+  private def domain(hosts: String*): Seq[String] = {
+    val specResult = hosts.toDF("h")
+      .select(UrlOps.registeredDomain(col("h")).as("d"))
       .collect().map(_.getString(0)).toSeq
+    val nativeResult = hosts.map(graft.functions.UrlCanon.registeredDomain)
+    assert(specResult == nativeResult,
+      s"spec vs native kernel divergence on $hosts:\n  spec=$specResult\n  native=$nativeResult")
+    specResult
+  }
 
   test("scheme/host case, www, default port, fragment, userinfo all fold") {
     assert(canon(
@@ -75,6 +90,48 @@ class UrlOpsSpec extends SparkTestBase {
         Seq("example.org").toDF("domain"))
       .count()
     assert(kept == 0L)
+  }
+
+  test("scheme-less input with an EMBEDDED absolute URL is never parsed as absolute") {
+    // the blocklist-evasion shape for SCHEME-LESS spellings: without the
+    // scheme-token guard, the first '://' (inside the query value) would
+    // parse this with host=allowed.example.com and evade a block on
+    // evil.example.net
+    val evasion = "evil.example.net/?u=https://allowed.example.com/x"
+    assert(canon(evasion) == Seq(evasion)) // relative passthrough, untouched
+    val h = Seq(evasion).toDF("u")
+      .select(UrlOps.hostOf(UrlOps.canonicalizeUrl(col("u")))).head().getString(0)
+    assert(h == "evil.example.net")
+    assert(graft.functions.UrlCanon.host(
+      graft.functions.UrlCanon.canonicalize(evasion)) == "evil.example.net")
+    // blocklisting the REAL domain catches it; the embedded domain never
+    // attributes
+    val kept = UrlOps.domainListFilter(
+        Seq((1L, evasion)).toDF("doc_id", "url"), "url",
+        Seq("example.net").toDF("domain"))
+      .count()
+    assert(kept == 0L)
+    // a scheme token with +/-/. before :// still parses as absolute
+    assert(canon("web+s3://Example.com/a") == Seq("web+s3://example.com/a"))
+    // '://' at position 0 has no scheme: relative passthrough
+    assert(canon("://x/y") == Seq("://x/y"))
+  }
+
+  test("withUrlParts (native kernel) matches the spec composition on the planted corpus") {
+    val docs = (0L until 60L).map(i => (i, s"w$i", 10L))
+      .toDF("doc_id", "text", "n_chars")
+    val messy = UrlQueries.withMessyUrl(docs)
+    val native = UrlOps.withUrlParts(messy, "url",
+        hostCol = Some("h"), domainCol = Some("d"))
+      .select("doc_id", "canonical_url", "h", "d")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    val spec = messy
+      .withColumn("canonical_url", UrlOps.canonicalizeUrl(col("url")))
+      .withColumn("h", UrlOps.hostOf(col("canonical_url")))
+      .withColumn("d", UrlOps.registeredDomain(col("h")))
+      .select("doc_id", "canonical_url", "h", "d")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    assert(native.sortBy(_._1).toSeq == spec.sortBy(_._1).toSeq)
   }
 
   test("IDN arrives punycoded and is only case-folded, never re-encoded") {

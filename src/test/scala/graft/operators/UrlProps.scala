@@ -47,7 +47,13 @@ object UrlProps extends Properties("CanonicalizeUrl") {
     genLabel.map(v => s"utm_source=$v"),             // dropped
     genLabel.map(v => s"gclid=$v"),                  // dropped
     Gen.const(""),                                   // empty: dropped
-    genLabel.map(v => s"u=https://embedded.$v.net/zz")) // kept, embedded URL
+    genLabel.map(v => s"u=https://embedded.$v.net/zz"), // kept, embedded URL
+    // HOSTILE kept values: raw '?', '=', '%'-escapes (valid + malformed),
+    // a second '://' — param splitting must stay stable under all of them
+    genLabel.map(v => s"q=$v?x=1"),
+    genLabel.map(v => s"q=$v=w=z"),
+    genLabel.map(v => s"q=$v%2f%ZQ%"),
+    genLabel.map(v => s"q"))                         // no '=': key is whole param
 
   private val genUrl: Gen[String] = for {
     scheme <- Gen.oneOf("http", "https", "HTTP", "HTTPS")
@@ -64,6 +70,96 @@ object UrlProps extends Properties("CanonicalizeUrl") {
     val query = if (params.isEmpty) "" else params.mkString("?", "&", "")
     s"$pad$scheme://$user$host$port$path$query$frag$pad"
   }
+
+  /** Scheme-less / junk inputs (the relative-reference passthrough branch),
+    * including the embedded-absolute-URL blocklist-evasion spelling. */
+  private val genRelative: Gen[String] = Gen.oneOf(
+    genHost.map(h => s"$h/a/b?x=1"),
+    genHost.flatMap(h => genLabel.map(v => s"$h/?u=https://embedded.$v.net/zz")),
+    genLabel,
+    Gen.const("://x/y"),
+    genLabel.map(w => s"  $w words, not a url #frag "))
+
+  private val genAny: Gen[String] = Gen.frequency(3 -> genUrl, 1 -> genRelative)
+
+  property("native kernel ≡ expression spec (canon, host, domain)") =
+    forAllNoShrink(Gen.choose(1, 10).flatMap(n => Gen.listOfN(n, genAny))) { urls =>
+      val s = spark
+      import s.implicits._
+      val specRows = urls.toDF("url")
+        .select(UrlOps.canonicalizeUrl(col("url")).as("c"))
+        .select(col("c"), UrlOps.hostOf(col("c")).as("h"))
+        .select(col("c"), col("h"), UrlOps.registeredDomain(col("h")).as("d"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      val nativeRows = urls.map { u =>
+        val c = graft.functions.UrlCanon.canonicalize(u)
+        val h = graft.functions.UrlCanon.host(c)
+        (c, h, graft.functions.UrlCanon.registeredDomain(h))
+      }
+      specRows.zip(nativeRows).zip(urls).forall { case ((sp, nt), u) =>
+        if (sp != nt) println(s"KERNEL-DIVERGE url='$u'\n  spec  =$sp\n  native=$nt")
+        sp == nt
+      }
+    }
+
+  /** VERDICT r10 #6: param-split STABILITY under hostile kept values —
+    * the kept-param multiset of the canonical output must equal the
+    * multiset derived analytically from the raw input (filter + hex-fold
+    * + sort applied to the input's own '&'-split), and re-parsing the
+    * canonical output must read back exactly that multiset. A raw '?',
+    * '=', '%' or '://' inside a kept value may not shift the boundary. */
+  property("kept-param multiset: analytic expectation and reparse stability") =
+    forAllNoShrink(Gen.choose(1, 8).flatMap(n => Gen.listOfN(n, genUrl))) { urls =>
+      val s = spark
+      import s.implicits._
+      def hexFold(v: String): String = {
+        val sb = new StringBuilder
+        var i = 0
+        def isHex(c: Char) = (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
+        while (i < v.length) {
+          val c = v.charAt(i); sb.append(c)
+          if (c == '%' && i + 2 < v.length && isHex(v.charAt(i + 1)) && isHex(v.charAt(i + 2))) {
+            sb.append(Character.toUpperCase(v.charAt(i + 1)))
+            sb.append(Character.toUpperCase(v.charAt(i + 2)))
+            i += 2
+          }
+          i += 1
+        }
+        sb.toString
+      }
+      // analytic expectation from the INPUT (a third, test-local
+      // implementation of the filter semantics)
+      def expectedParams(u: String): Seq[String] = {
+        val noFrag = u.trim.split("#", 2)(0)
+        val qIdx = noFrag.indexOf('?')
+        if (qIdx < 0) Seq.empty
+        else noFrag.substring(qIdx + 1).split("&", -1).toSeq
+          .filter(_.nonEmpty)
+          .filterNot { p =>
+            val k = p.split("=", 2)(0)
+            k.startsWith("utm_") || UrlOps.TrackingParams.contains(k)
+          }
+          .map(hexFold).sorted
+      }
+      def parsedParams(c: String): Seq[String] = {
+        val qIdx = c.indexOf('?')
+        if (qIdx < 0) Seq.empty else c.substring(qIdx + 1).split("&", -1).toSeq
+      }
+      val canons = urls.toDF("url")
+        .select(UrlOps.canonicalizeUrl(col("url")).as("c"))
+        .select(col("c"), UrlOps.canonicalizeUrl(col("c")).as("c2"))
+        .collect().map(r => (r.getString(0), r.getString(1)))
+      canons.zip(urls).forall { case ((c, c2), u) =>
+        // genUrl paths never contain a raw '?', so the input's first '?'
+        // is the query boundary the analytic expectation assumes
+        val exp = expectedParams(u)
+        val got = parsedParams(c)
+        val reparsed = parsedParams(c2)
+        val ok = got == exp && reparsed == exp
+        if (!ok) println(s"PARAM-FAIL url='$u'\n  c='$c'\n  expect=$exp\n  got=$got\n  reparse=$reparsed")
+        ok
+      }
+    }
 
   property("canon is idempotent and host attribution is stable") =
     forAllNoShrink(Gen.choose(1, 10).flatMap(n => Gen.listOfN(n, genUrl))) { urls =>
