@@ -173,7 +173,10 @@ object Pipeline {
       .withColumn("_w6", round(wExpr * 1e6).cast("long"))
     val caps = weighted
       .crossJoin(broadcast(weighted.agg(sum("_w6").as("_tw6"))))
-      .withColumn("_cap", expr(s"($totalTarget * _w6) div _tw6"))
+      // DECIMAL(38,0) widening: target × scaled-weight overflows BIGINT at
+      // 100 TB-class group counts (see [[mixRecipe]]'s arithmetic note)
+      .withColumn("_cap",
+        expr(s"(CAST($totalTarget AS DECIMAL(38,0)) * _w6) div _tw6"))
       .select(col(groupCol), col("_cap"))
     df.join(broadcast(caps), groupCol)
       .withColumn("sample_rank", row_number().over(
@@ -243,6 +246,18 @@ object Pipeline {
     * looks for). All integer arithmetic after one sqrt: scaled-long
     * weights, integer div allocation, so the card is bit-replayable.
     * One group-key shuffle + a 1-row broadcast total.
+    *
+    * The budget×weight product runs in DECIMAL(38,0): `_w6` is
+    * sqrt(n_tokens)·1e6 (≈3e15 at LONG-max token mass), so a plain BIGINT
+    * multiply overflows once budget·sqrt(mass) passes 2^63 — a 1e9-token
+    * source would cap the usable budget at ~2.9e8 tokens, and under ANSI
+    * mode (this engine's default) the job dies with ARITHMETIC_OVERFLOW
+    * instead. DECIMAL(38,0) holds the worst case (≤ ~2.8e34); `div`
+    * (IntegralDivide) returns BIGINT, and the QUOTIENTS are ≤ budget by
+    * construction, so only the intermediates widen. Same widening on the
+    * epochs multiply (target·1000). DuckDB's `//` auto-widens to HUGEINT,
+    * so the oracles agree bit-for-bit without changes. (ADVICE r10 #1;
+    * PipelineSpec pins a 1e9-token source against the closed form.)
     */
   def mixRecipe(df: DataFrame, groupCol: String, tokensCol: String,
                 budgetTokens: Long): DataFrame = {
@@ -252,9 +267,11 @@ object Pipeline {
         expr("CAST(round(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6) AS BIGINT)"))
     per
       .crossJoin(broadcast(per.select(sum("_w6").as("_tw6"))))
-      .withColumn("target_tokens", expr(s"($budgetTokens * _w6) div _tw6"))
+      .withColumn("target_tokens",
+        expr(s"(CAST($budgetTokens AS DECIMAL(38,0)) * _w6) div _tw6"))
       .withColumn("epochs_milli",
-        expr("CASE WHEN n_tokens > 0 THEN (target_tokens * 1000) div n_tokens ELSE 0 END"))
+        expr("CASE WHEN n_tokens > 0 THEN " +
+          "(CAST(target_tokens AS DECIMAL(38,0)) * 1000) div n_tokens ELSE 0 END"))
       .drop("_w6", "_tw6")
   }
 

@@ -22,10 +22,14 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   * on the duplicates overweights that prompt, so the pipeline keeps the
   * FIRST valid record per prompt. That is ONE exchange keyed by the
   * prompt's fixed-width 60-bit hash (never the prompt string itself —
-  * prompts can be documents); per-key partitions are occurrence-count
-  * sized, and the mega-shared template prompts ("summarize this") are
-  * exactly the skewed-key class AQE splits, same as paragraph dedup's
-  * banner keys.
+  * prompts can be documents). Window skew is handled STRUCTURALLY, not
+  * by AQE (AQE skew handling splits join partitions, never WindowExec):
+  * invalid records — whose ranks are unused — are salted to their own
+  * per-record key so the malformed/empty-prompt mass (which all
+  * coalesces to prompt `''`) can never pile into one window task, and a
+  * genuinely mega-shared VALID prompt costs one occurrence-count-sized
+  * partition, the same exposure as paragraph dedup's banner keys
+  * (ADVICE r10 #2; PreferencePairsSpec pins salted ≡ unsalted output).
   *
   * Reference surface: the candy pipeline has no preference-data layer —
   * this family is part of the training-data extensions the engine adds.
@@ -79,15 +83,22 @@ object PreferencePairs {
     * (1 on a valid record whose prompt already appeared on a lower id)
     * and `kept` (1 on the surviving valid records — the shipped corpus).
     * Invalid records are never flagged and never shield a later valid
-    * one: the window partitions on (prompt hash, valid flag), so ranks
-    * among invalid rows are inert. ONE fixed-width-key exchange; see the
-    * object doc for the skew posture.
+    * one — AND they never skew: ranks among invalid rows are unused, so
+    * their window key is salted with the record id (each invalid row its
+    * own singleton partition) instead of sharing the one
+    * `(hash(''), valid=0)` key every malformed/empty-prompt record
+    * coalesces to — at corpus scale that shared key was an unbounded
+    * single-task WindowExec, the exact class the repo banned structurally
+    * (f5ee021), and AQE would NOT have split it (its skew handling covers
+    * joins, not windows). ONE fixed-width-key exchange either way.
     */
   def withPromptDup(df: DataFrame, idCol: String, validCol: String,
                     promptCol: String,
                     family: String = graft.functions.HashFamily.Xx64): DataFrame = {
     val w = Window.partitionBy(col("_pkey"), col(validCol)).orderBy(col(idCol))
-    df.withColumn("_pkey", expr(TextAnalysis.hash60(promptCol, family)))
+    df.withColumn("_pkey",
+        when(col(validCol) === 1, expr(TextAnalysis.hash60(promptCol, family)))
+          .otherwise(col(idCol)))
       .withColumn("_rn", row_number().over(w))
       .withColumn("prompt_dup",
         (col(validCol) === 1 && col("_rn") > 1).cast("int"))

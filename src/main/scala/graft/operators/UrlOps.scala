@@ -421,7 +421,10 @@ object UrlOps {
       .agg(count(lit(1)).as("n_docs"), sum(col(tokensCol)).as("n_tokens"))
     perDomain
       .crossJoin(broadcast(perDomain.select(sum("n_docs").as("_total"))))
-      .withColumn("doc_share_ppm", expr("(n_docs * 1000000) div _total"))
+      // DECIMAL widening: n_docs·1e6 would overflow BIGINT past ~9.2e12
+      // docs in one domain (see Pipeline.mixRecipe's arithmetic note)
+      .withColumn("doc_share_ppm",
+        expr("(CAST(n_docs AS DECIMAL(38,0)) * 1000000) div _total"))
       .drop("_total")
   }
 }

@@ -123,6 +123,37 @@ class PipelineSpec extends SparkTestBase {
     assert(r("empty") == ((0L, 0L, 0L)))
   }
 
+  test("mixRecipe: 100TB-class budgets don't overflow BIGINT (DECIMAL widening)") {
+    import spark.implicits._
+    // budget 1e12 × w6≈3.16e10 ≈ 3.2e22 — past 2^63, the pre-fix BIGINT
+    // multiply died with ARITHMETIC_OVERFLOW under ANSI mode (ADVICE r10
+    // #1); the DECIMAL(38,0) path must return the exact BigInt closed form
+    val corpus = Seq(("giant", 1000000000L), ("mid", 1000000L))
+      .toDF("source", "n_tokens")
+    val budget = 1000000000000L
+    val r = Pipeline.mixRecipe(corpus, "source", "n_tokens", budget)
+      .collect().map(row => row.getString(0) ->
+        ((row.getAs[Long]("target_tokens"), row.getAs[Long]("epochs_milli")))).toMap
+    val w6g = BigInt(math.round(math.sqrt(1000000000L.toDouble) * 1e6))
+    val w6m = BigInt(math.round(math.sqrt(1000000L.toDouble) * 1e6))
+    val tw6 = w6g + w6m
+    val expGiant = (BigInt(budget) * w6g / tw6).toLong
+    val expMid = (BigInt(budget) * w6m / tw6).toLong
+    assert(r("giant")._1 == expGiant, s"giant: ${r("giant")} vs $expGiant")
+    assert(r("mid")._1 == expMid, s"mid: ${r("mid")} vs $expMid")
+    assert(r("giant")._2 == (BigInt(expGiant) * 1000 / 1000000000L).toLong)
+    assert(r("mid")._2 == (BigInt(expMid) * 1000 / 1000000L).toLong)
+    // same widening in temperatureMix's cap arithmetic: a huge totalTarget
+    // over sqrt-weights must not overflow either (2 groups, tiny rows)
+    val df = (0L until 40L).map(i => (if (i < 30) "a" else "b", i))
+      .toDF("grp", "id")
+    val caps = Pipeline.temperatureMix(df, "grp", "id",
+        totalTarget = 4000000000000000000L, alpha = 0.5, seed = "ovf")
+      .groupBy("grp").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // caps exceed group sizes at that target: everything is kept
+    assert(caps == Map("a" -> 30L, "b" -> 10L))
+  }
+
   test("materializeMix: full epochs exact, fractional draw deterministic, partitioning-invariant") {
     import spark.implicits._
     // two sources, one big one small, budget forcing multi-epoch on small

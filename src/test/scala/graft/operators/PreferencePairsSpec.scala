@@ -73,6 +73,31 @@ class PreferencePairsSpec extends SparkTestBase {
     assert(out(9L) == ((1, 0, 1)))
   }
 
+  test("invalid-row salting: a malformed-record flood never changes flags (ADVICE r10 #2)") {
+    // 200 malformed records (all coalescing to prompt '') + valid dups:
+    // pre-fix they all shared ONE (hash(''), valid=0) window partition;
+    // the salted key must leave every flag identical to first principles —
+    // invalid rows (0,0), first valid per prompt (0,1), later dups (1,0)
+    val rows =
+      (0L until 200L).map(i => (i, "{not json", 0)) ++
+        (200L until 260L).map(i => (i, pair(s"p${i % 20}", "g", "b"), 1))
+    val df = rows.toDF("id", "j", "expect_valid")
+      .select(col("id"),
+        PreferencePairs.parsePair(col("j")).as("rec"))
+      .select(col("id"),
+        PreferencePairs.validPair(col("rec")).cast("int").as("valid"),
+        coalesce(col("rec.prompt"), lit("")).as("prompt"))
+    val out = PreferencePairs.withPromptDup(df, "id", "valid", "prompt")
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Int]("valid"),
+        r.getAs[Int]("prompt_dup"), r.getAs[Int]("kept")))
+    assert(out.length == 260)
+    out.foreach { case (id, valid, dup, kept) =>
+      if (id < 200) assert((valid, dup, kept) == ((0, 0, 0)), s"invalid id=$id")
+      else if (id < 220) assert((valid, dup, kept) == ((1, 0, 1)), s"first id=$id")
+      else assert((valid, dup, kept) == ((1, 1, 0)), s"dup id=$id")
+    }
+  }
+
   test("md5 and xx64 dedup key families agree on the shipped corpus") {
     val docs = (0L until 200L).map(i => (i, ("w" + i + " ") * 30))
       .toDF("doc_id", "text")
