@@ -27,7 +27,8 @@ object SparkEntry {
       PipelineQueries.queries ++
       UrlQueries.queries ++
       ConversationQueries.queries ++
-      CodeQueries.queries
+      CodeQueries.queries ++
+      WarcQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -43,5 +44,6 @@ object SparkEntry {
       PipelineQueries.oracles ++
       UrlQueries.oracles ++
       ConversationQueries.oracles ++
-      CodeQueries.oracles
+      CodeQueries.oracles ++
+      WarcQueries.oracles
 }

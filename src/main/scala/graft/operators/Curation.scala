@@ -7,7 +7,12 @@ import org.apache.spark.sql.functions._
   * composed into the sequence a production training-data build runs, with
   * a per-stage survivor report:
   *
-  *   raw docs
+  *   raw docs              (for a web corpus: `WarcIngest.readWarcFiles`
+  *                            splits raw crawl segments into (url,
+  *                            fetch_ts, payload) rows file-parallel —
+  *                            quarantined records dropped or audited —
+  *                            then `TextAnalysis.extractMainText` yields
+  *                            the doc text this pipeline consumes)
   *     → URL layer           (optional, first — the cheapest work: canonical-
   *                            URL dedup + registered-domain blocklist, both
   *                            before anything touches the text)

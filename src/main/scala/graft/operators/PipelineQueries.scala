@@ -162,14 +162,14 @@ object PipelineQueries {
     // off-diagonal rows are train/eval LEAKS (which is why Curation
     // dedups BEFORE splitting; this audit measures the raw corpus).
     // Scale shape: the pair set comes from the AllPairs prefix join
-    // (never all-pairs), the split tag is a row-local md5 and joins back
-    // id-keyed; everything after the pair join is pairs-sized.
+    // (never all-pairs; session-shared with q_d6 via
+    // [[jaccardPairsShared]]), the split tag is a row-local md5 and joins
+    // back id-keyed; everything after the pair join is pairs-sized.
     "q_sp14_split_leak_audit" -> ((s, dir) => {
       val d = docs(s, dir)
       val split = Pipeline.hashSplit(d, "doc_id", splitSeed, splitFractions)
         .select(col("doc_id"), col("split"))
-      Dedup.jaccardSimilarityJoin(d, "doc_id", "text",
-          shingleSize = 3, threshold = 0.5)
+      jaccardPairsShared(s, dir)
         .select("id_a", "id_b")
         .join(split.select(col("doc_id").as("id_a"), col("split").as("sa")), "id_a")
         .join(split.select(col("doc_id").as("id_b"), col("split").as("sb")), "id_b")
@@ -181,10 +181,11 @@ object PipelineQueries {
 
     // Exact n-gram Jaccard near-dup pairs (word 3-grams, J >= 0.5) via the
     // prefix-filtered similarity join — EXACT results (oracle = the brute
-    // force) without the all-pairs cross join, so this one scales.
+    // force) without the all-pairs cross join, so this one scales. The
+    // pair set is the session-shared artifact ([[jaccardPairsShared]],
+    // build reported as `d6_pairs`); q_sp14 reuses it.
     "q_d6_ngram_jaccard" -> ((s, dir) =>
-      Dedup.jaccardSimilarityJoin(docs(s, dir), "doc_id", "text",
-          shingleSize = 3, threshold = 0.5)
+      jaccardPairsShared(s, dir)
         .withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy("id_a", "id_b")),
 
@@ -515,6 +516,31 @@ object PipelineQueries {
     */
   private def bucketsFor(nDocs: Long): Int =
     math.max(4, math.min(32, (nDocs / 200).toInt))
+
+  /** The exact n-gram Jaccard pair set at the q_d6 contract (word
+    * 3-grams, J >= 0.5), computed ONCE per (SparkContext, dataset dir) —
+    * the DedupQueries.textPairsShared one-stage-many-outputs shape:
+    * q_d6 lists the pairs, q_sp14 cross-tabulates them against split
+    * membership. Bench reports the build as `d6_pairs` so the shared cost
+    * is never hidden. Sharing is also the r11 variance fix: q_sp14's
+    * same-boot bench reps spanned 2.25–18.03 s in round 10 because each
+    * rep re-ran the AllPairs verify's giant codegen'd expression inside a
+    * 179-query JVM (isolated 7-rep runs converge smoothly to ~2 s, so the
+    * spread is JVM churn — Spark's bounded generated-class cache evicting
+    * under 179 queries' worth of code — not AQE plan instability; see
+    * SCALING.md r11b). Against the localCheckpointed artifact the reps do
+    * pairs-sized work only.
+    */
+  private val jaccardPairsMemo =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+  private val jaccardPairsLock = new Object
+  private[graft] def jaccardPairsShared(s: SparkSession, dir: String): DataFrame =
+    jaccardPairsLock.synchronized {
+      jaccardPairsMemo.getOrElseUpdate(
+        (System.identityHashCode(s.sparkContext), dir),
+        Dedup.jaccardSimilarityJoin(docs(s, dir), "doc_id", "text",
+          shingleSize = 3, threshold = 0.5).localCheckpoint())
+    }
 
   private val d6Indexes = scala.collection.concurrent.TrieMap.empty[String, String]
   private val d6Lock = new Object

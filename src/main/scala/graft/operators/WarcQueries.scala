@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-facing query for the WARC ingestion layer
+  * ([[graft.sources.WarcIngest]]), using the planted-construction oracle
+  * discipline: WARC segment BYTES are constructed in-query from the
+  * documents table — one `WARC/1.0` response record per doc (URL, date,
+  * Content-Length framing), 50 records per gzip segment, records
+  * concatenated in doc_id order — and every segment whose id ≡ 3 (mod 7)
+  * is TRUNCATED 10 bytes short (a cut-off upload). Because the
+  * construction is analytic, DuckDB derives every expected output field
+  * — record indexes, byte offsets (running sums of exact record
+  * lengths), truncation arithmetic (got = declared − 6: the 4-byte
+  * trailer plus 6 payload bytes are gone), payload digests — WITHOUT
+  * replaying the parser, so a parser bug cannot be masked.
+  *
+  * The WARC-Date is built from fixed epoch arithmetic
+  * (2024-01-01T00:00:00Z + doc_id % 86400 seconds) with zero-padded
+  * string math rather than `date_format`, so the construction is
+  * timezone-independent; the parser's `Instant.parse` must invert it
+  * exactly (`fetch_ts = 1704067200 + doc_id % 86400`).
+  */
+object WarcQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  private[graft] val SegDocs = 50
+  private[graft] val BaseEpoch = 1704067200L // 2024-01-01T00:00:00Z
+
+  /** One record's WARC text per doc (see object doc). Byte-exact twin of
+    * the oracle's length arithmetic: 107 constant bytes + url + the
+    * Content-Length digits + the payload. */
+  private def recordText = {
+    val date = concat(lit("2024-01-01T"),
+      lpad(expr("CAST(doc_id % 86400 div 3600 AS STRING)"), 2, "0"), lit(":"),
+      lpad(expr("CAST((doc_id % 86400) % 3600 div 60 AS STRING)"), 2, "0"), lit(":"),
+      lpad(expr("CAST(doc_id % 60 AS STRING)"), 2, "0"), lit("Z"))
+    val url = concat(lit("https://warc.example.org/doc/"), col("doc_id"))
+    val payload = coalesce(col("text"), lit(""))
+    concat(
+      lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "), url,
+      lit("\r\nWARC-Date: "), date,
+      lit("\r\nContent-Length: "), octet_length(payload).cast("string"),
+      lit("\r\n\r\n"), payload, lit("\r\n\r\n"))
+  }
+
+  /** The constructed segment byte frame `(file, content)`: records
+    * concatenated in doc_id order, gzipped per segment (the Common Crawl
+    * file layout the reader magic-sniffs), seg ≡ 3 (mod 7) truncated 10
+    * BYTES short (byte-level, after UTF-8 encoding — a char-level cut
+    * would shift under multibyte payloads). */
+  private[graft] def plantedSegments(s: SparkSession, dir: String) = {
+    import s.implicits._
+    docs(s, dir)
+      .select(expr("doc_id div 50").as("seg"), col("doc_id"),
+        recordText.as("rec"))
+      .groupBy("seg")
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("rec")))).as("rs"))
+      .select(col("seg"), array_join(expr("transform(rs, x -> x.rec)"), "").as("segtext"))
+      .as[(Long, String)]
+      .map { case (seg, text) =>
+        val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val cut =
+          if (seg % 7 == 3) java.util.Arrays.copyOf(bytes, math.max(bytes.length - 10, 0))
+          else bytes
+        val bos = new java.io.ByteArrayOutputStream(cut.length / 2 + 64)
+        val gz = new java.util.zip.GZIPOutputStream(bos)
+        gz.write(cut)
+        gz.close()
+        (f"seg-$seg%05d", bos.toByteArray)
+      }
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // WARC record split: constructed gzip segments -> records with exact
+    // decompressed-stream offsets; the planted truncations quarantine
+    // with declared/got accounting (malformed=1, no payload digest) and
+    // never kill the parse.
+    "q_warc1_record_split" -> ((s, dir) =>
+      graft.sources.WarcIngest.readWarc(plantedSegments(s, dir))
+        .toDF()
+        .select(col("file"), col("record_index"), col("offset"), col("url"),
+          col("fetch_ts"), col("declared_len"), col("got_len"),
+          col("n_headers"),
+          when(col("malformed") === 0, md5(col("payload")))
+            .otherwise(lit(null)).as("payload_md5"),
+          col("malformed"))
+        .orderBy("file", "record_index"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    // every field derived analytically from the construction: record
+    // lengths are 107 constant bytes + url + Content-Length digits +
+    // payload octets; offsets are per-segment running sums; the last
+    // record of seg%7==3 segments lost its 4-byte trailer + 6 payload
+    // bytes to the 10-byte truncation
+    "q_warc1_record_split" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, coalesce(text, '') AS text, doc_id // $SegDocs AS seg
+         |  FROM documents),
+         |r AS (
+         |  SELECT seg, doc_id, text,
+         |         'https://warc.example.org/doc/' || doc_id AS url,
+         |         CAST(strlen(text) AS BIGINT) AS n
+         |  FROM d),
+         |le AS (
+         |  SELECT *, 107 + len(url) + len(CAST(n AS VARCHAR)) + n AS rec_len
+         |  FROM r),
+         |idx AS (
+         |  SELECT *,
+         |         CAST(row_number() OVER w - 1 AS INTEGER) AS record_index,
+         |         CAST(coalesce(sum(rec_len) OVER (
+         |           PARTITION BY seg ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |           AS BIGINT) AS "offset",
+         |         (doc_id = max(doc_id) OVER (PARTITION BY seg)
+         |          AND seg % 7 = 3) AS trunc
+         |  FROM le
+         |  WINDOW w AS (PARTITION BY seg ORDER BY doc_id))
+         |SELECT 'seg-' || lpad(CAST(seg AS VARCHAR), 5, '0') AS file,
+         |       record_index, "offset", url,
+         |       $BaseEpoch + doc_id % 86400 AS fetch_ts,
+         |       n AS declared_len,
+         |       CASE WHEN trunc THEN n - 6 ELSE n END AS got_len,
+         |       CAST(4 AS INTEGER) AS n_headers,
+         |       CASE WHEN trunc THEN NULL ELSE md5(text) END AS payload_md5,
+         |       CASE WHEN trunc THEN 1 ELSE 0 END AS malformed
+         |FROM idx ORDER BY file, record_index""".stripMargin
+  )
+}
