@@ -72,6 +72,113 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.9, s"clustered IVF recall $recall: ivf=$probed brute=$brute")
   }
 
+  test("ivfAssign matches the MLlib model's list assignment on the corpus") {
+    val idx = SimilaritySearch.ivfIndex(emb, "vec_id", "embedding", nlist = 8)
+    val fromModel = idx.assigned.select("vec_id", "list_id").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val fromAssign = SimilaritySearch.ivfAssign(emb, "vec_id", "embedding",
+        idx.centroids)
+      .select("vec_id", "list_id").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(fromAssign == fromModel)
+  }
+
+  test("ivfAppend: O(batch) append ≡ rebuild-with-same-centroids; idempotent; untouched files byte-identical") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf-append").toString
+    val path = s"$dir/index"
+    def fileMap(): Map[String, Vector[Byte]] = {
+      val root = new java.io.File(path)
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      walk(root).map(f => f.getPath.stripPrefix(path) ->
+        java.nio.file.Files.readAllBytes(f.toPath).toVector).toMap
+    }
+    val evens = emb.filter(col("vec_id") % 2 === 0)
+    val odds = emb.filter(col("vec_id") % 2 === 1)
+    val built = SimilaritySearch.ivfIndex(evens, "vec_id", "embedding", nlist = 8)
+    SimilaritySearch.ivfWrite(built, path)
+    val before = fileMap()
+
+    val report = SimilaritySearch.ivfAppend(spark, path, odds, "vec_id", "embedding")
+    assert(report.nAppended == odds.count() && report.nDuplicate == 0)
+    val after = fileMap()
+    // every pre-existing file is byte-identical (append never rewrites),
+    // and lists the batch didn't touch gained no files
+    before.foreach { case (p, bytes) =>
+      assert(after.get(p).contains(bytes), s"pre-existing file changed: $p")
+    }
+    val newFiles = after.keySet -- before.keySet
+    val touchedDirs = report.listsTouched.map(l => s"/list_id=$l/").toSet
+    assert(newFiles.nonEmpty &&
+      newFiles.forall(f => touchedDirs.exists(f.contains)),
+      s"appended files outside touched lists: $newFiles")
+
+    // append ∘ read ≡ rebuild with the SAME centroids over the union:
+    // identical (id, list) contents and identical probed search results
+    val reread = SimilaritySearch.ivfRead(spark, path)
+    val gotRows = reread.assigned.select("vec_id", "list_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val expRows = SimilaritySearch.ivfAssign(emb, "vec_id", "embedding",
+        built.centroids)
+      .select("vec_id", "list_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(gotRows == expRows)
+    val rebuilt = SimilaritySearch.IvfIndex(
+      SimilaritySearch.ivfAssign(emb, "vec_id", "embedding", built.centroids),
+      built.centroids)
+    val sGot = SimilaritySearch.ivfTopK(reread, "vec_id", "embedding", query,
+      k = 10, nprobe = 3).collect().map(_.getLong(0)).toSeq
+    val sExp = SimilaritySearch.ivfTopK(rebuilt, "vec_id", "embedding", query,
+      k = 10, nprobe = 3).collect().map(_.getLong(0)).toSeq
+    assert(sGot == sExp)
+
+    // replay-idempotence: re-appending the same batch converges — zero
+    // rows, zero new files, stats sidecar untouched
+    val statsBefore = spark.read.parquet(s"${path}__stats").head()
+    val again = SimilaritySearch.ivfAppend(spark, path, odds, "vec_id", "embedding")
+    assert(again.nAppended == 0 && again.nDuplicate == odds.count())
+    assert(fileMap() == after)
+    val statsAfter = spark.read.parquet(s"${path}__stats").head()
+    assert(statsBefore == statsAfter)
+  }
+
+  test("ivfAppend drift gate: a shifted batch recommends re-train, an in-distribution one doesn't") {
+    // the gate needs a base whose quantization error is SMALL (clustered
+    // data — the case IVF exists for; on a near-random cloud every unit
+    // vector already sits at ~max distance and no batch can look worse):
+    // same deterministic 8-center construction as the recall test
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ivf-drift").toString
+    val path = s"$dir/index"
+    val rnd = new scala.util.Random(7)
+    val centers = Array.fill(8)(Array.fill(16)(rnd.nextGaussian()))
+    def around(id: Long, c: Int): (Long, Seq[Float]) =
+      (id, centers(c).map(x => (x + 0.1 * rnd.nextGaussian()).toFloat).toSeq)
+    val base = (for (c <- centers.indices; i <- 0 until 25)
+      yield around(c.toLong * 25 + i, c)).toDF("vec_id", "embedding")
+    val built = SimilaritySearch.ivfIndex(base, "vec_id", "embedding", nlist = 8)
+    SimilaritySearch.ivfWrite(built, path)
+    // in-distribution: more points around the same centers — no flag
+    val inDist = (for (c <- centers.indices; i <- 0 until 5)
+      yield around(100000L + c * 5 + i, c)).toDF("vec_id", "embedding")
+    val okReport = SimilaritySearch.ivfAppend(spark, path, inDist,
+      "vec_id", "embedding")
+    assert(!okReport.retrainRecommended,
+      s"in-distribution batch flagged: $okReport")
+    // distribution shift: alternating-sign unit vectors nowhere near the
+    // trained centers
+    val shifted = (0 until 50).map { i =>
+      (1000000L + i, Array.tabulate(16)(j =>
+        if ((i + j) % 2 == 0) 1.0f else -1.0f).toSeq)
+    }.toDF("vec_id", "embedding")
+    val driftReport = SimilaritySearch.ivfAppend(spark, path, shifted,
+      "vec_id", "embedding")
+    assert(driftReport.retrainRecommended,
+      s"shifted batch not flagged: $driftReport")
+    assert(driftReport.batchMse > driftReport.buildMse * 2)
+  }
+
   test("embeddingNearDupPairs is a subset of brute-force pairs with exact cosines") {
     val brute = SimilaritySearch.allPairsCosine(emb, "vec_id", "embedding", 0.3)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
