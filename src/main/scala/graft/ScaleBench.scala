@@ -120,6 +120,25 @@ object ScaleBench {
       externalPath = Some(d9path))
     val d9BuildSec = (System.nanoTime() - tD9) / 1e9
 
+    // O(batch) INDEX MAINTENANCE receipt (round 11): append a FIXED
+    // 500-vector batch to a copy of the IVF index. The receipt is the
+    // curve SHAPE: corpus grows x1→x30 while the batch stays 500, so
+    // append seconds must stay ~flat — assignment is batch-sized, the id
+    // anti-join scans only the touched (partition-pruned) lists, and the
+    // write adds only the batch's own files. Appends go to a COPY: the
+    // shared /tmp index cache must never absorb synthetic batch rows.
+    val ivfAppendBase = Files.createTempDirectory("graft-sb-ivfappend")
+      .toString + "/idx"
+    operators.SimilaritySearch.ivfWrite(
+      operators.DedupQueries.ivfCached(spark, dir, nlist = 32), ivfAppendBase)
+    val appendBatch = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") < 500)
+      .select((col("vec_id") + lit(900000000000L)).as("vec_id"), col("embedding"))
+    val tApp = System.nanoTime()
+    val appendReport = operators.SimilaritySearch.ivfAppend(
+      spark, ivfAppendBase, appendBatch, "vec_id", "embedding")
+    val ivfAppendSec = (System.nanoTime() - tApp) / 1e9
+
     val flagships: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "q_k1_fulfillment", "q_d6_ngram_jaccard", "q_d7_ngram_jaccard_indexed",
       "q_h1_pricing_summary", "q_h5_local_supplier_volume",
@@ -558,7 +577,41 @@ object ScaleBench {
           .select(col("doc_id"), col("p.n_emails"), col("p.n_phones"),
             col("p.n_ipv4"), col("p.n_ipv6"), col("p.n_nums"),
             length(col("p.clean")).as("n"))
-      }))
+      })) :+
+      // URL kernel scan throughput (round 11): canonical + host + domain
+      // via the native codegen'd kernels over messy planted urls — one
+      // static call per part per row, so the curve must track raw scan
+      // speed with a group-count-sized agg on top
+      ("q_url_kernel_scale" -> ((s: SparkSession, d: String) =>
+        operators.UrlOps.withUrlParts(
+            operators.UrlQueries.withMessyUrl(
+              s.read.parquet(s"$d/documents.parquet")),
+            "url", hostCol = Some("h"), domainCol = Some("domain"))
+          .groupBy("domain")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct("canonical_url").as("n_pages")))) :+
+      // the composed q_sp13 shape (kernel URL layer ∘ temperatureMix) with
+      // a corpus-scaled target so the window keeps proportional work —
+      // the r11a regression receipt: wall must track the scan + one
+      // group-key window, never a per-row canonicalization tax
+      ("q_sp13_domain_mix_scale" -> ((s: SparkSession, d: String) => {
+        val docs = s.read.parquet(s"$d/documents.parquet")
+        operators.Pipeline.temperatureMix(
+          operators.UrlOps.withRegisteredDomain(
+            operators.UrlQueries.withMessyUrl(docs), "url"),
+          "domain", "doc_id",
+          totalTarget = math.max(300L, docs.count() / 20),
+          alpha = 0.5, seed = "sb-13")
+      })) :+
+      // WARC record split (round 11): construct gzip segments in-query,
+      // stream-split them file-parallel — wall must be linear in corpus
+      // bytes (one pass per segment, O(largest record) memory), and the
+      // planted truncations must quarantine, never fail the leg
+      ("q_warc1_split_scale" -> ((s: SparkSession, d: String) =>
+        graft.sources.WarcIngest.readWarc(
+            operators.WarcQueries.plantedSegments(s, d))
+          .groupBy("malformed")
+          .agg(count(lit(1)).as("n_records"), sum("got_len").as("payload_bytes"))))
 
     val listener = new TaskMetricsListener
     spark.sparkContext.addSparkListener(listener)
@@ -602,7 +655,7 @@ object ScaleBench {
       spark.read.parquet(s"$dir/documents.parquet"), curOut, seed = "scale-7")
     val curSec = (System.nanoTime() - tCur) / 1e9
 
-    val line = s"""{"label":"$label","dir":"$dir","ivf_build_sec":${fmt(ivfBuildSec)},"d6_index_build_sec":${fmt(d6BuildSec)},"d9_index_build_sec":${fmt(d9BuildSec)},"curation_sec":${fmt(curSec)},"curation_survivors":${curReport.nAfterNearDedup},"queries":$qs}"""
+    val line = s"""{"label":"$label","dir":"$dir","ivf_build_sec":${fmt(ivfBuildSec)},"ivf_append_sec":${fmt(ivfAppendSec)},"ivf_append_rows":${appendReport.nAppended},"d6_index_build_sec":${fmt(d6BuildSec)},"d9_index_build_sec":${fmt(d9BuildSec)},"curation_sec":${fmt(curSec)},"curation_survivors":${curReport.nAfterNearDedup},"queries":$qs}"""
     println(line)
     Files.writeString(Paths.get(outFile), line + "\n",
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
