@@ -123,7 +123,10 @@ object Bench {
       "q_sp13_domain_mix", "q_sp10_temperature_mix", "q_sp12_weighted_sample",
       "q_t20_vocab_growth", "q_t23_chunk_retrieval", "q_t25_perceptron_train",
       "q_t27_tokenizer_fertility", "q_a16_approx_quantiles",
-      "q_c1_dataset_card", "q_l1_merge_upsert")
+      "q_c1_dataset_card", "q_l1_merge_upsert",
+      // round-11 addition: new query, typed gzip construct + parse carries
+      // one-time codegen (8.5s cold vs 1.1s warm in TimeQuery)
+      "q_warc1_record_split")
 
     // Headline queries run 3 reps and report the MEDIAN: the single-shot
     // noise floor on this box is ±2x (calibrated rounds 5-6), which made

@@ -46,4 +46,50 @@ object IncrementalIngest {
       .start()
     q.awaitTermination()
   }
+
+  /** The crawl front door: drain newly-arrived WARC segment files into a
+    * parquet RECORD table, exactly-once — the incremental twin of
+    * [[graft.sources.WarcIngest.readWarcFiles]] and the stage that feeds
+    * `UrlOps.withUrlParts` / `TextAnalysis.extractMainText` /
+    * `ContinuousUrlDedup` downstream. Each invocation splits only the
+    * segments that arrived since the last run (binaryFile stream source +
+    * seen-files checkpoint; gzip members aren't splittable, so per-FILE
+    * parallelism is already the right grain — see WarcIngest's scale
+    * note), quarantined records land in the same table with their
+    * `malformed`/`error` accounting, and a crashed run resumes to
+    * exactly-once output through the sink's commit log.
+    * `maxFilesPerTrigger` bounds per-micro-batch memory by segment count.
+    */
+  def warcAvailableNow(spark: SparkSession, srcDir: String, dstDir: String,
+                       checkpointDir: String,
+                       pathGlobFilter: String = "*",
+                       maxFilesPerTrigger: Int = 100): Unit = {
+    import spark.implicits._
+    // binaryFile's schema is FIXED by the format, but the streaming source
+    // still requires it stated (no inference on streams)
+    import org.apache.spark.sql.types.{BinaryType, LongType, StringType, StructField, TimestampType}
+    val binarySchema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("modificationTime", TimestampType),
+      StructField("length", LongType),
+      StructField("content", BinaryType)))
+    val segments = spark.readStream
+      .format("binaryFile")
+      .schema(binarySchema)
+      .option("pathGlobFilter", pathGlobFilter)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .load(srcDir)
+      .select(org.apache.spark.sql.functions.col("path"),
+        org.apache.spark.sql.functions.col("content"))
+      .as[(String, Array[Byte])]
+    val q = graft.sources.WarcIngest.readWarc(segments).toDF()
+      .writeStream
+      .format("parquet")
+      .option("path", dstDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .outputMode("append")
+      .start()
+    q.awaitTermination()
+  }
 }
