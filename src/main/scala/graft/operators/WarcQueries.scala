@@ -74,6 +74,36 @@ object WarcQueries {
       }
   }
 
+  /** The per-record-gzip-member layout (one member per record — what
+    * crawlers actually write, and what makes CDX random access work):
+    * each doc's record is its own gzip member, members concatenated per
+    * segment; every seg ≡ 2 (mod 5) gets trailing garbage bytes planted
+    * after its last member (the scanner must quarantine the tail, never
+    * silently drop it). `ByteArrayOutputStream.close()` is a no-op, so
+    * closing each `GZIPOutputStream` member flushes its trailer while the
+    * segment buffer keeps accepting the next member. */
+  private[graft] def plantedMemberSegments(s: SparkSession, dir: String) = {
+    import s.implicits._
+    docs(s, dir)
+      .select(expr("doc_id div 50").as("seg"), col("doc_id"),
+        recordText.as("rec"))
+      .groupBy("seg")
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("rec")))).as("rs"))
+      .select(col("seg"), expr("transform(rs, x -> x.rec)").as("recs"))
+      .as[(Long, Seq[String])]
+      .map { case (seg, recs) =>
+        val bos = new java.io.ByteArrayOutputStream()
+        recs.foreach { r =>
+          val gz = new java.util.zip.GZIPOutputStream(bos)
+          gz.write(r.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          gz.close()
+        }
+        if (seg % 5 == 2)
+          bos.write("GARBAGEGARBAGE".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        (f"seg-$seg%05d", bos.toByteArray)
+      }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // WARC record split: constructed gzip segments -> records with exact
     // decompressed-stream offsets; the planted truncations quarantine
@@ -88,7 +118,20 @@ object WarcQueries {
           when(col("malformed") === 0, md5(col("payload")))
             .otherwise(lit(null)).as("payload_md5"),
           col("malformed"))
-        .orderBy("file", "record_index"))
+        .orderBy("file", "record_index")),
+
+    // CDX-style random-access index over the per-record-member layout:
+    // one gzip member per record, member offsets/lengths recorded (the
+    // spec proves slice+gunzip random access on them; offsets depend on
+    // deflate output so the ORACLE checks the analytic columns — member
+    // index, url, timestamp, payload digest — plus the planted
+    // trailing-garbage quarantine row per seg%5==2).
+    "q_warc2_cdx_index" -> ((s, dir) =>
+      graft.sources.WarcIngest.cdxIndex(plantedMemberSegments(s, dir))
+        .toDF()
+        .select(col("file"), col("member_index"), col("url"), col("fetch_ts"),
+          col("digest_md5"), col("malformed"), col("error"))
+        .orderBy("file", "member_index"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -128,6 +171,36 @@ object WarcQueries {
          |       CAST(4 AS INTEGER) AS n_headers,
          |       CASE WHEN trunc THEN NULL ELSE md5(text) END AS payload_md5,
          |       CASE WHEN trunc THEN 1 ELSE 0 END AS malformed
-         |FROM idx ORDER BY file, record_index""".stripMargin
+         |FROM idx ORDER BY file, record_index""".stripMargin,
+
+    // member_index is analytic under the one-record-per-member layout
+    // (the record's rank in its segment); the garbage tail is one extra
+    // member_index = n_records quarantine row per planted segment
+    "q_warc2_cdx_index" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, coalesce(text, '') AS text, doc_id // $SegDocs AS seg
+         |  FROM documents),
+         |idx AS (
+         |  SELECT seg, doc_id, text,
+         |         'https://warc.example.org/doc/' || doc_id AS url,
+         |         CAST(row_number() OVER (PARTITION BY seg ORDER BY doc_id) - 1
+         |              AS INTEGER) AS member_index
+         |  FROM d),
+         |good AS (
+         |  SELECT 'seg-' || lpad(CAST(seg AS VARCHAR), 5, '0') AS file,
+         |         member_index, url,
+         |         $BaseEpoch + doc_id % 86400 AS fetch_ts,
+         |         md5(text) AS digest_md5,
+         |         0 AS malformed, '' AS "error"
+         |  FROM idx),
+         |bad AS (
+         |  SELECT 'seg-' || lpad(CAST(seg AS VARCHAR), 5, '0') AS file,
+         |         CAST(count(*) AS INTEGER) AS member_index,
+         |         '' AS url, CAST(-1 AS BIGINT) AS fetch_ts,
+         |         '' AS digest_md5, 1 AS malformed,
+         |         'corrupt-gzip-member' AS "error"
+         |  FROM d WHERE seg % 5 = 2 GROUP BY seg)
+         |SELECT * FROM good UNION ALL SELECT * FROM bad
+         |ORDER BY file, member_index""".stripMargin
   )
 }

@@ -227,6 +227,125 @@ object WarcIngest {
     }
   }
 
+  /** One gzip member of a concatenated-member file: its COMPRESSED byte
+    * offset + length (what a CDX-style random-access index stores — a
+    * reader can fetch exactly `[offset, offset+length)` and gunzip one
+    * record without touching the rest of the segment) and the
+    * decompressed payload. */
+  final case class GzipMember(offset: Long, compressedLength: Long,
+                              data: Array[Byte])
+
+  /** Walk the gzip members of a segment byte array, reporting each
+    * member's compressed offset/length — the bookkeeping
+    * `GZIPInputStream` hides (it reads straight through member
+    * boundaries). RFC 1952 headers parsed manually (FEXTRA/FNAME/
+    * FCOMMENT/FHCRC skipped per flags), deflate body measured via
+    * `Inflater.getBytesRead`, 8-byte CRC/ISIZE trailer accounted.
+    *
+    * Corruption discipline, matching the record splitter: a member that
+    * fails to parse (bad magic mid-stream, truncated deflate body or
+    * trailer) ends the walk with ONE `GzipMember` whose `data` is null —
+    * the caller quarantines it; bytes after the last valid member are
+    * never silently dropped.
+    */
+  def gzipMembers(bytes: Array[Byte]): Iterator[GzipMember] =
+    new Iterator[GzipMember] {
+      private var pos = 0
+      private var dead = false
+      override def hasNext: Boolean = !dead && pos < bytes.length
+      override def next(): GzipMember = {
+        if (!hasNext) throw new NoSuchElementException
+        val start = pos
+        try {
+          require(pos + 10 <= bytes.length, "truncated gzip header")
+          require((bytes(pos) & 0xff) == 0x1f && (bytes(pos + 1) & 0xff) == 0x8b,
+            "bad gzip magic")
+          require(bytes(pos + 2) == 8, "unsupported gzip compression method")
+          val flg = bytes(pos + 3) & 0xff
+          var p = pos + 10
+          if ((flg & 4) != 0) { // FEXTRA
+            val xlen = (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8)
+            p += 2 + xlen
+          }
+          if ((flg & 8) != 0) { while (bytes(p) != 0) p += 1; p += 1 }  // FNAME
+          if ((flg & 16) != 0) { while (bytes(p) != 0) p += 1; p += 1 } // FCOMMENT
+          if ((flg & 2) != 0) p += 2                                    // FHCRC
+          val inf = new java.util.zip.Inflater(true)
+          try {
+            inf.setInput(bytes, p, bytes.length - p)
+            val out = new java.io.ByteArrayOutputStream(math.max(64, bytes.length - p))
+            val buf = new Array[Byte](8192)
+            while (!inf.finished()) {
+              val n = inf.inflate(buf)
+              if (n > 0) out.write(buf, 0, n)
+              else if (inf.needsInput() || inf.needsDictionary())
+                throw new java.util.zip.ZipException("truncated deflate body")
+            }
+            p += inf.getBytesRead.toInt
+            require(p + 8 <= bytes.length, "truncated gzip trailer")
+            p += 8 // CRC32 + ISIZE
+            pos = p
+            GzipMember(start.toLong, (p - start).toLong, out.toByteArray)
+          } finally inf.end()
+        } catch {
+          case _: Exception =>
+            // quarantine marker: the unparseable tail, then stop
+            dead = true
+            GzipMember(start.toLong, (bytes.length - start).toLong, null)
+        }
+      }
+    }
+
+  /** One row of the CDX-style random-access index [[cdxIndex]] emits.
+    * `member_offset`/`member_length` locate the record's gzip member in
+    * the COMPRESSED segment (fetch + gunzip exactly that slice);
+    * `record_offset` is the record's byte offset inside the member's
+    * decompressed stream (0 for the per-record-member layout crawlers
+    * write; disambiguates when one member holds many records).
+    * `digest_md5` is the payload digest (md5 hex — the engine's
+    * oracle-replayable digest family; production CDX uses sha1-b32, a
+    * constant swap). */
+  final case class CdxEntry(file: String, member_index: Int,
+                            member_offset: Long, member_length: Long,
+                            record_offset: Long, url: String, fetch_ts: Long,
+                            digest_md5: String, malformed: Int, error: String)
+
+  private def md5hex(b: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5").digest(b)
+      .map("%02x".format(_)).mkString
+
+  /** CDX-style index build over `(file, content)` segment bytes: every
+    * record located by (compressed member offset/length, in-member record
+    * offset) — the artifact that makes a crawl archive randomly
+    * accessible. Gzip segments walk [[gzipMembers]]; a plain segment is
+    * one pseudo-member at offset 0. Quarantine rows (truncated/corrupt
+    * members, malformed records) land in the index with their accounting
+    * — never silently dropped. File-parallel like [[readWarc]].
+    */
+  def cdxIndex(segments: Dataset[(String, Array[Byte])]): Dataset[CdxEntry] = {
+    val spark = segments.sparkSession
+    import spark.implicits._
+    segments.flatMap { case (file, bytes) =>
+      val isGzip = bytes.length >= 2 &&
+        (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b
+      val members: Iterator[GzipMember] =
+        if (isGzip) gzipMembers(bytes)
+        else Iterator.single(GzipMember(0L, bytes.length.toLong, bytes))
+      members.zipWithIndex.flatMap { case (m, mi) =>
+        if (m.data == null)
+          Iterator.single(CdxEntry(file, mi, m.offset, m.compressedLength,
+            -1L, "", -1L, "", 1, "corrupt-gzip-member"))
+        else
+          parseStream(new ByteArrayInputStream(m.data), file).map { r =>
+            CdxEntry(file, mi, m.offset, m.compressedLength, r.offset,
+              r.url, r.fetch_ts,
+              if (r.malformed == 0) md5hex(r.payload) else "",
+              r.malformed, r.error)
+          }
+      }
+    }
+  }
+
   /** Split a `(file, content)` frame of raw segment bytes into records —
     * the shape `spark.read.format("binaryFile")` produces (`path`,
     * `content`). One streaming parse per segment row; file-parallel. */
