@@ -181,6 +181,24 @@ class PlanSpec extends SparkTestBase {
       s"expected the 1-row total to broadcast:\n$p")
   }
 
+  test("URL hot paths stay on the native kernels and plans stay small under self-joins") {
+    // the r11a regression guard, both directions: (a) the hot path calls
+    // the codegen'd kernels (url_canonical/url_host/url_domain nodes in
+    // the plan), not a bind-HOF or seam chain; (b) plan SIZE is a
+    // resource — the rejected withColumn-seam design passed every
+    // structural assert here and still exploded to a 793 KB physical plan
+    // through temperatureMix's self-join (60 s/rep), so the byte bound is
+    // the assert that actually catches the failure mode
+    for (q <- Seq("q_sp13_domain_mix", "q_u3_domain_cap", "q_u2_domain_stats")) {
+      val p = plan(q)
+      assert(p.contains("url_domain") && p.contains("url_canonical"),
+        s"$q must derive domains through the native kernels:\n${p.take(2000)}")
+      assert(p.length < 100000,
+        s"$q physical plan blew up to ${p.length} chars — the r11a seam-" +
+          s"inlining class is back")
+    }
+  }
+
   test("HTML extraction is one row-local pass: no exchange before the output sort") {
     val p = plan("q_t26_html_extract")
     val exchanges = "Exchange (hash|range)partitioning".r.findAllIn(p).length

@@ -139,6 +139,23 @@ class UrlOpsSpec extends SparkTestBase {
       Seq("https://xn--bcher-kva.example/b"))
   }
 
+  test("non-ASCII exactness: kernel ≡ spec on multibyte hosts, paths, and param sort order") {
+    // `canon` asserts kernel ≡ spec on every case — these pin the two
+    // subtle unicode contracts:
+    // 1. host lowercasing routes through UTF8String.toLowerCase in BOTH
+    //    paths (Cyrillic case folds identically)
+    canon("https://ПРИМЕР.example/x")
+    // 2. param sort is UTF-8 BYTE order: a supplementary code point
+    //    (U+1D54F, 4 bytes F0 9D 95 8F) sorts AFTER U+FFFF (3 bytes EF BF
+    //    BF) — Java's UTF-16 String.compareTo would order them the other
+    //    way, so a kernel sorting by Java strings would diverge here
+    val supp = new String(Character.toChars(0x1D54F)) // U+1D54F, surrogate pair
+    val c = canon(s"https://example.com/p?a=$supp&a=￿&b=é")
+    assert(c == Seq(s"https://example.com/p?a=￿&a=$supp&b=é"))
+    // multibyte path + malformed escape after multibyte chars
+    canon("https://example.com/päth%2fé%zq?x=%2fü")
+  }
+
   test("scheme-less input passes through (trim + fragment strip only)") {
     assert(canon(" example.com/a#f ") == Seq("example.com/a"))
   }
