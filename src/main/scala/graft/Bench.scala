@@ -126,7 +126,10 @@ object Bench {
       "q_c1_dataset_card", "q_l1_merge_upsert",
       // round-11 addition: new query, typed gzip construct + parse carries
       // one-time codegen (8.5s cold vs 1.1s warm in TimeQuery)
-      "q_warc1_record_split")
+      "q_warc1_record_split",
+      // r11 final sweep of the remaining ~2s single-shots (same rule)
+      "q_a12_sketch_merge", "q_d14_scrub_keepfirst", "q_v10_centered_neardup",
+      "q_v4_embedding_neardup", "q_t8_boilerplate")
 
     // Headline queries run 3 reps and report the MEDIAN: the single-shot
     // noise floor on this box is ±2x (calibrated rounds 5-6), which made

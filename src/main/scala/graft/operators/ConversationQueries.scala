@@ -150,6 +150,40 @@ object ConversationQueries {
             .otherwise(lit(0L))).as("prompt_chars"))
         .orderBy("variant")),
 
+    // K-way RANKING records -> derived DPO pairs (the InstructGPT
+    // labeling shape: pairs are DERIVED from one ranked list, never
+    // labeled directly). Each doc plants a 3-response ranking JSON:
+    // length-staggered text prefixes (response 1 EMPTIED on doc_id%6==0),
+    // ranks (d+0)%3 / (d+1)%3 / (d+3)%3 — responses 0 and 2 always TIE
+    // (their pair must derive nothing) while the 0-1 / 1-2 preference
+    // directions flip with doc_id%3. Pair derivation is row-local
+    // (pairsFromRanking — no join, no shuffle); pair-level validity
+    // (non-empty, chosen != rejected — short docs make prefixes collide)
+    // filters after the explode. margin = rank gap.
+    "q_f7_ranking_pairs" -> ((s, dir) => {
+      val t = coalesce(col("text"), lit(""))
+      val json = to_json(struct(
+        concat(lit("p-"), expr("doc_id div 7")).as("prompt"),
+        array(
+          struct(substring(t, 1, 20).as("text"),
+            expr("CAST(doc_id % 3 AS INT)").as("rank")),
+          struct(when(expr("doc_id % 6 = 0"), lit(""))
+              .otherwise(substring(t, 1, 24)).as("text"),
+            expr("CAST((doc_id + 1) % 3 AS INT)").as("rank")),
+          struct(substring(t, 1, 28).as("text"),
+            expr("CAST((doc_id + 3) % 3 AS INT)").as("rank"))
+        ).as("responses")))
+      docs(s, dir)
+        .select(col("doc_id"), PreferencePairs.parseRanking(json).as("rec"))
+        .select(col("doc_id"), col("rec.prompt").as("prompt"),
+          explode(PreferencePairs.pairsFromRanking(col("rec.responses"))).as("p"))
+        .select(col("doc_id"), col("prompt"), col("p.chosen").as("chosen"),
+          col("p.rejected").as("rejected"), col("p.margin").as("margin"))
+        .filter(col("chosen") =!= "" && col("rejected") =!= "" &&
+          col("chosen") =!= col("rejected"))
+        .orderBy("doc_id", "margin", "chosen", "rejected")
+    }),
+
     // The corpus-level SFT accounting a dataset card publishes: per
     // variant-shape — record count, valid count, total turns, and the
     // trained (assistant) vs masked (user) character mass over VALID
@@ -270,6 +304,35 @@ object ConversationQueries {
          |       CAST(sum(CASE WHEN valid = 1 AND rn = 1 THEN len(prompt)
          |                     ELSE 0 END) AS BIGINT) AS prompt_chars
          |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the pair set replayed analytically: enumerate the three (i, j)
+    // response combos per doc from the same prefix/rank arithmetic —
+    // never parsing JSON — direct by rank, drop ties/empties/collisions
+    "q_f7_ranking_pairs" ->
+      """WITH d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+        |r AS (
+        |  SELECT doc_id, 'p-' || (doc_id // 7) AS prompt,
+        |         substr(t, 1, 20) AS t0,
+        |         CASE WHEN doc_id % 6 = 0 THEN '' ELSE substr(t, 1, 24) END AS t1,
+        |         substr(t, 1, 28) AS t2,
+        |         CAST(doc_id % 3 AS INTEGER) AS r0,
+        |         CAST((doc_id + 1) % 3 AS INTEGER) AS r1,
+        |         CAST((doc_id + 3) % 3 AS INTEGER) AS r2
+        |  FROM d),
+        |combos AS (
+        |  SELECT doc_id, prompt, t0 AS a, r0 AS ra, t1 AS b, r1 AS rb FROM r
+        |  UNION ALL SELECT doc_id, prompt, t0, r0, t2, r2 FROM r
+        |  UNION ALL SELECT doc_id, prompt, t1, r1, t2, r2 FROM r),
+        |directed AS (
+        |  SELECT doc_id, prompt,
+        |         CASE WHEN ra < rb THEN a ELSE b END AS chosen,
+        |         CASE WHEN ra < rb THEN b ELSE a END AS rejected,
+        |         CAST(abs(ra - rb) AS INTEGER) AS margin
+        |  FROM combos WHERE ra <> rb)
+        |SELECT doc_id, prompt, chosen, rejected, margin
+        |FROM directed
+        |WHERE chosen <> '' AND rejected <> '' AND chosen <> rejected
+        |ORDER BY doc_id, margin, chosen, rejected""".stripMargin,
 
     "q_f3_sft_flatten" ->
       s"""$duckDerived

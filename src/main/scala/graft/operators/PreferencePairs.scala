@@ -107,6 +107,39 @@ object PreferencePairs {
       .drop("_pkey", "_rn")
   }
 
+  /** Schema of a K-way RANKING record — how preference data is usually
+    * COLLECTED (InstructGPT-style: one prompt, K responses, each with a
+    * rank from the labeler; pairs are DERIVED, not labeled directly):
+    * `{"prompt": …, "responses": [{"text": …, "rank": r}, …]}`. */
+  val rankingSchema: StructType = StructType(Seq(
+    StructField("prompt", StringType),
+    StructField("responses", org.apache.spark.sql.types.ArrayType(
+      StructType(Seq(StructField("text", StringType),
+        StructField("rank", org.apache.spark.sql.types.IntegerType)))))))
+
+  def parseRanking(jsonCol: Column): Column = from_json(jsonCol, rankingSchema)
+
+  /** All DPO pairs derivable from one ranking record's responses, as an
+    * array of `(chosen, rejected, margin)` structs — ROW-LOCAL (a nested
+    * transform over the K-sized responses array, K² ≤ ~100 work per row;
+    * no join, no shuffle — deriving C(K,2) pairs from rankings is
+    * embarrassingly local, so it must ride the scan at 100 TB). Lower
+    * rank = preferred; `margin` = rank gap (the confidence weight a
+    * margin-weighted DPO/reward loss consumes). TIES derive nothing — an
+    * equal rank carries zero preference signal — and null texts/ranks
+    * derive nothing (the filter's null comparison is never true).
+    * Pair-level validity (non-empty, chosen ≠ rejected) is left to the
+    * caller's filter so the accounting can count what was dropped.
+    */
+  def pairsFromRanking(responses: Column): Column =
+    flatten(transform(responses, a =>
+      transform(
+        filter(responses, b => b.getField("rank") > a.getField("rank")),
+        b => struct(
+          a.getField("text").as("chosen"),
+          b.getField("text").as("rejected"),
+          (b.getField("rank") - a.getField("rank")).as("margin")))))
+
   /** Corpus accounting + shipped-split sizes of one [[curate]] run. */
   final case class PrefReport(nInput: Long, nValid: Long, nPromptDups: Long,
                               nKept: Long, splitCounts: Map[String, Long],

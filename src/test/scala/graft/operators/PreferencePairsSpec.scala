@@ -98,6 +98,30 @@ class PreferencePairsSpec extends SparkTestBase {
     }
   }
 
+  test("pairsFromRanking: C(K,2) minus ties, lower rank chosen, margins exact, row-local") {
+    val json = """{"prompt":"p","responses":[
+      {"text":"gold","rank":0},{"text":"ok","rank":1},
+      {"text":"meh","rank":1},{"text":"bad","rank":3}]}""".replace("\n", "")
+    val df = Seq((1L, json)).toDF("id", "j")
+      .select(col("id"), PreferencePairs.parseRanking(col("j")).as("rec"))
+      .select(explode(PreferencePairs.pairsFromRanking(col("rec.responses"))).as("p"))
+      .select("p.chosen", "p.rejected", "p.margin")
+    val pairs = df.collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    // 4 responses -> 6 combos, minus the ok/meh TIE -> 5 pairs; gold beats
+    // everything, ok and meh each beat only bad; margins are rank gaps
+    assert(pairs == Set(
+      ("gold", "ok", 1), ("gold", "meh", 1), ("gold", "bad", 3),
+      ("ok", "bad", 2), ("meh", "bad", 2)))
+    // derivation is row-local: no exchange in the plan
+    assert(!df.queryExecution.executedPlan.toString.contains("Exchange"))
+    // malformed record derives nothing (null responses -> no rows)
+    val none = Seq((2L, "{not json")).toDF("id", "j")
+      .select(PreferencePairs.parseRanking(col("j")).as("rec"))
+      .select(explode(PreferencePairs.pairsFromRanking(col("rec.responses"))))
+      .count()
+    assert(none == 0L)
+  }
+
   test("md5 and xx64 dedup key families agree on the shipped corpus") {
     val docs = (0L until 200L).map(i => (i, ("w" + i + " ") * 30))
       .toDF("doc_id", "text")
