@@ -186,6 +186,54 @@ object SimilaritySearch {
         .select(col("id").as(idCol)).distinct(),
       Seq(idCol), "left_anti")
 
+  /** HARD-NEGATIVE MINING for retrieval/contrastive training (the
+    * DPR/Contriever data-prep step, Karpukhin et al. 2020,
+    * arXiv:2004.04906): for each (query, positive) training pair, the k
+    * corpus vectors most similar to the QUERY that are not its positive —
+    * the negatives that actually move a contrastive loss (random
+    * negatives are trivially separable). `maxCosine` is the classic
+    * FALSE-NEGATIVE guard: the query's very top neighbors are often
+    * unlabeled positives (near-duplicates of the labeled one), and mining
+    * them as negatives poisons the loss — anything scoring above the
+    * ceiling is excluded.
+    *
+    * Scale shape: the query set is training-set sized → BROADCAST; the
+    * corpus scans ONCE through a broadcast nested loop with the codegen'd
+    * cosine ([[semanticFlaggedPairs]]'s shape); the floor keeps the
+    * ranked frame candidate-sized and the per-query top-k is one window
+    * on query_id. At corpus scale candidate generation swaps for the
+    * SRP/IVF probe paths in this file; this exact scorer stays the recall
+    * referee. Determinism: 6-dp scaled-long cosine, rank by
+    * (c6 DESC, neg_id) — a total order, bit-stable under partitioning
+    * and externally replayable.
+    */
+  def hardNegatives(queries: DataFrame, queryIdCol: String, queryEmbCol: String,
+                    positiveIdCol: String,
+                    corpus: DataFrame, idCol: String, embCol: String,
+                    k: Int, minCosine: Double = 0.0,
+                    maxCosine: Double = 1.0): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val spark = corpus.sparkSession
+    val floor6 = Math.round(minCosine * 1e6)
+    val ceil6 = Math.round(maxCosine * 1e6)
+    corpus.select(col(idCol).as("neg_id"), col(embCol).as("c_emb"))
+      .crossJoin(broadcast(queries.select(
+        col(queryIdCol).as("query_id"),
+        col(positiveIdCol).as("positive_id"),
+        col(queryEmbCol).as("q_emb"))))
+      .filter(col("neg_id") =!= col("positive_id"))
+      .withColumn("c6",
+        round(round(VectorExprs.cosineFast(spark, "c_emb", "q_emb"), 6) * 1e6)
+          .cast("long"))
+      .filter(col("c6") >= floor6 && col("c6") <= ceil6)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("c6").desc, col("neg_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("positive_id"), col("neg_id"),
+        col("rank"), round(col("c6") / 1e6, 6).as("cosine"))
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     * deduplication at corpus scale by CLUSTER-BOUNDING the pairwise cosine
     * — k-means partitions the corpus into k cells, exact pairwise cosine

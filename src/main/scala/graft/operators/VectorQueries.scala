@@ -245,6 +245,34 @@ object VectorQueries {
         .orderBy("x_id")
     }),
 
+    // Hard-negative mining (DPR shape): every 10th vector spawns a QUERY
+    // (its 1x-perturbed twin, positive = the source) and an UNLABELED
+    // NEAR-POSITIVE planted INTO the corpus (the 2x twin at +800000) —
+    // the false-negative class the ceiling exists for. The query's
+    // cosine to its corpus twin (~0.85+) sits above the 0.8 ceiling, so
+    // mining must skip it and return genuinely-unrelated top-k instead;
+    // the positive itself is id-excluded. Exact brute scorer = the
+    // oracle twin; at corpus scale candidates come from the SRP/IVF
+    // probe paths feeding the same scorer.
+    "q_v18_hard_negatives" -> ((s, dir) => {
+      val base = emb(s, dir).select("vec_id", "embedding")
+      def twin(tag: Long, amp: String) = base
+        .filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + lit(tag)).as("vec_id"),
+          expr("transform(embedding, (x, j) -> " +
+            s"CAST(CAST(x AS DOUBLE) + ((vec_id * 31 + j) % 7 - 3) * $amp AS FLOAT))")
+            .as("embedding"))
+      val queries = twin(500000L, "0.015D")
+        .select(col("vec_id").as("query_id"),
+          (col("vec_id") - lit(500000L)).as("positive_id"),
+          col("embedding").as("q_emb"))
+      val corpus = base.unionByName(twin(800000L, "0.030D"))
+      SimilaritySearch.hardNegatives(queries, "query_id", "q_emb",
+          "positive_id", corpus, "vec_id", "embedding",
+          k = 3, minCosine = 0.0, maxCosine = 0.8)
+        .orderBy("query_id", "rank")
+    }),
+
     // SemDeDup over a twin-planted corpus: every fifth vector gets a
     // lightly-perturbed twin (+500000 tag, the q_v16 derivation — cosine
     // ~0.97 to its original), then cluster-bounded semantic dedup at
@@ -508,6 +536,42 @@ object VectorQueries {
     // hence j - 1), the threshold-bounded candidate set as the brute-force
     // >= 0.85 pair set (integer compare on the 6-dp scaled-long cosine —
     // the thresholdBounded contract), and the q_v15 margin arithmetic.
+    // queries/corpus-twins replayed from the same perturbation arithmetic
+    // (ORIGINAL vec_id drives the perturbation — Spark resolves the
+    // transform against the child's column, not the +tag alias), exact
+    // 6-dp scaled-long cosine, ceiling + id-exclusion + per-query rank
+    "q_v18_hard_negatives" ->
+      """WITH q AS (
+        |  SELECT vec_id + 500000 AS query_id, vec_id AS positive_id,
+        |         list_transform(generate_series(1, len(embedding)),
+        |           j -> (embedding[j]::DOUBLE
+        |                 + ((vec_id * 31 + (j - 1)) % 7 - 3) * 0.015::DOUBLE)::FLOAT) AS q_emb
+        |  FROM embeddings WHERE vec_id % 10 = 0),
+        |c AS (
+        |  SELECT vec_id AS neg_id, embedding AS c_emb FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 800000,
+        |         list_transform(generate_series(1, len(embedding)),
+        |           j -> (embedding[j]::DOUBLE
+        |                 + ((vec_id * 31 + (j - 1)) % 7 - 3) * 0.030::DOUBLE)::FLOAT)
+        |  FROM embeddings WHERE vec_id % 10 = 0),
+        |p AS (
+        |  SELECT query_id, positive_id, neg_id,
+        |         CAST(round(round(
+        |           list_sum(list_transform(generate_series(1, len(c_emb)),
+        |             i -> CAST(c_emb[i] AS DOUBLE) * CAST(q_emb[i] AS DOUBLE)))
+        |           / (sqrt(list_sum(list_transform(c_emb, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+        |              * sqrt(list_sum(list_transform(q_emb, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))),
+        |           6) * 1e6) AS BIGINT) AS c6
+        |  FROM c CROSS JOIN q WHERE neg_id <> positive_id),
+        |r AS (
+        |  SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY query_id ORDER BY c6 DESC, neg_id) AS INTEGER) AS "rank"
+        |  FROM p WHERE c6 >= 0 AND c6 <= 800000)
+        |SELECT query_id, positive_id, neg_id, "rank",
+        |       round(c6 / 1e6, 6) AS cosine
+        |FROM r WHERE "rank" <= 3 ORDER BY query_id, "rank"""".stripMargin,
+
     "q_v16_margin_align_lsh" ->
       """WITH x AS (SELECT vec_id AS x_id, embedding AS x_emb FROM embeddings),
         |y AS (

@@ -179,6 +179,43 @@ class SimilaritySpec extends SparkTestBase {
     assert(driftReport.batchMse > driftReport.buildMse * 2)
   }
 
+  test("hardNegatives: positive id-excluded, ceiling excludes unlabeled near-positives, queries broadcast") {
+    import spark.implicits._
+    val base = emb.select("vec_id", "embedding")
+    def twin(tag: Long, amp: String) = base.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + lit(tag)).as("vec_id"),
+        expr("transform(embedding, (x, j) -> " +
+          s"CAST(CAST(x AS DOUBLE) + ((vec_id * 31 + j) % 7 - 3) * $amp AS FLOAT))")
+          .as("embedding"))
+    val queries = twin(500000L, "0.015D")
+      .select(col("vec_id").as("query_id"),
+        (col("vec_id") - lit(500000L)).as("positive_id"),
+        col("embedding").as("q_emb"))
+    val corpus = base.unionByName(twin(800000L, "0.030D"))
+    val noCeil = SimilaritySearch.hardNegatives(queries, "query_id", "q_emb",
+      "positive_id", corpus, "vec_id", "embedding", k = 3)
+    val ceiled = SimilaritySearch.hardNegatives(queries, "query_id", "q_emb",
+      "positive_id", corpus, "vec_id", "embedding", k = 3, maxCosine = 0.8)
+    // WITHOUT the ceiling, the unlabeled near-positive (the +800000 twin
+    // of the query's own source) wins rank 1 for every query — exactly
+    // the false-negative poisoning the guard exists for; WITH it, no
+    // mined negative is a twin of the query's source
+    val poisoned = noCeil.filter(col("neg_id") === col("positive_id") + 800000L).count()
+    assert(poisoned > 0, "construction should plant winning near-positives")
+    assert(ceiled.filter(col("neg_id") === col("positive_id") + 800000L).count() == 0)
+    // the labeled positive never appears even without a ceiling
+    assert(noCeil.filter(col("neg_id") === col("positive_id")).count() == 0)
+    // exactly k per query, ranks contiguous from 1
+    val perQ = ceiled.groupBy("query_id")
+      .agg(count(lit(1)).as("n"), min("rank").as("lo"), max("rank").as("hi"))
+      .collect()
+    assert(perQ.forall(r => r.getLong(1) == 3L && r.getInt(2) == 1 && r.getInt(3) == 3))
+    // scale shape: the query side broadcasts; the corpus never shuffles
+    // before the rank window's query_id exchange
+    val plan = ceiled.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), s"queries must broadcast:\n${plan.take(1500)}")
+  }
+
   test("embeddingNearDupPairs is a subset of brute-force pairs with exact cosines") {
     val brute = SimilaritySearch.allPairsCosine(emb, "vec_id", "embedding", 0.3)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
