@@ -249,4 +249,72 @@ object Multimodal {
   }
 
   private def utf8(s: String): Array[Byte] = s.getBytes(StandardCharsets.UTF_8)
+
+  /** One voice-activity segment of [[pcmVad]]: consecutive speech frames
+    * merged, with the EXACT integer energy mass (sum over the segment's
+    * frames of Σ sample² — LONG arithmetic throughout, no float, so the
+    * card is bit-replayable by any engine). Frame indexes are inclusive. */
+  case class VadSegment(id: Long, seg_idx: Int, start_frame: Int,
+                        end_frame: Int, n_frames: Int, energy_sum: Long)
+
+  /** Voice-activity detection over RAW PCM (signed 16-bit little-endian
+    * mono) binary columns — real DSP with no codec dependency, unlike the
+    * stubbed image/video decode paths: frame the samples
+    * (`samplesPerFrame` each; a trailing partial frame is dropped),
+    * compute each frame's exact integer energy Σ sample² in LONG
+    * (max 2^31·spf per frame — overflow-free for any real frame size),
+    * mark frames with energy ≥ `energyFloor` as speech, and merge
+    * consecutive speech frames into segments.
+    *
+    * Scale shape: one typed partition-preserving pass, per-row work
+    * linear in audio length, output segments-sized — the same posture as
+    * [[decodeFeatures]]/[[sampleFrames]]; at 100 TB this rides the scan
+    * of the audio lake. Integer energies make the speech/silence boundary
+    * exact, so the q_m8 oracle derives expected segments analytically
+    * from its planted loud/quiet frame pattern.
+    */
+  def pcmVad(df: DataFrame, idCol: String, pcmCol: String,
+             samplesPerFrame: Int, energyFloor: Long): Dataset[VadSegment] = {
+    require(samplesPerFrame >= 1, s"samplesPerFrame >= 1, got $samplesPerFrame")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(pcmCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, pcm) =>
+        val bytes = if (pcm == null) Array.emptyByteArray else pcm
+        val spf = samplesPerFrame
+        val nFrames = bytes.length / (2 * spf)
+        val energies = new Array[Long](nFrames)
+        var f = 0
+        while (f < nFrames) {
+          var e = 0L
+          var i = f * 2 * spf
+          val end = i + 2 * spf
+          while (i < end) {
+            // s16le: low byte unsigned, high byte sign-carrying
+            val s = ((bytes(i) & 0xff) | (bytes(i + 1) << 8)).toShort.toLong
+            e += s * s
+            i += 2
+          }
+          energies(f) = e
+          f += 1
+        }
+        val segs = scala.collection.mutable.ArrayBuffer.empty[VadSegment]
+        var segStart = -1
+        var segEnergy = 0L
+        f = 0
+        while (f <= nFrames) { // one past the end flushes a trailing segment
+          if (f < nFrames && energies(f) >= energyFloor) {
+            if (segStart < 0) { segStart = f; segEnergy = 0L }
+            segEnergy += energies(f)
+          } else if (segStart >= 0) {
+            segs += VadSegment(id, segs.length, segStart, f - 1,
+              f - segStart, segEnergy)
+            segStart = -1
+          }
+          f += 1
+        }
+        segs
+      }
+  }
 }

@@ -24,7 +24,38 @@ object MultimodalQueries {
         when(col("doc_id") % 6 === 0, expr("substring(reverse(text), 1, 96)"))
           .otherwise(expr("substring(text, 1, 96)")).as("caption"))
 
+  /** Planted raw-PCM audio for q_m8: 8 frames of 4 s16le samples per doc,
+    * frame f LOUD (alternating ±1000 — energy 4·10⁶ exactly) iff bit f of
+    * doc_id is set, else quiet (±10 — energy 400). Expected VAD segments
+    * are therefore the RUNS OF SET BITS in doc_id's low byte — fully
+    * analytic for the oracle, and every boundary is an exact integer
+    * compare. */
+  private def plantedPcm(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.read.parquet(s"$dir/documents.parquet").select("doc_id").as[Long]
+      .map { id =>
+        val buf = java.nio.ByteBuffer.allocate(8 * 4 * 2)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        for (f <- 0 until 8; i <- 0 until 4) {
+          val amp: Int = if (((id >> f) & 1L) == 1L) 1000 else 10
+          buf.putShort((if (i % 2 == 0) amp else -amp).toShort)
+        }
+        (id, buf.array())
+      }
+      .toDF("doc_id", "pcm")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Voice-activity detection on RAW PCM — real decode-free audio DSP
+    // (s16le framing + exact integer energies), not a stub: segments =
+    // runs of loud frames, energies exact LONGs. One typed scan pass.
+    "q_m8_pcm_vad" -> ((s, dir) =>
+      Multimodal.pcmVad(plantedPcm(s, dir), "doc_id", "pcm",
+          samplesPerFrame = 4, energyFloor = 1000000L)
+        .toDF()
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "seg_idx")),
+
     // Binary column metadata: byte length + first code point, computed from
     // an encoded binary payload (stand-in for image/audio blobs).
     "q_m1_binary_meta" -> ((s, dir) =>
@@ -217,6 +248,29 @@ object MultimodalQueries {
         |FROM d JOIN fin f ON d.media_id = f.media_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // expected segments = islands of set bits in doc_id's low byte
+    // (gaps-and-islands over the 8 planted frames); loud-frame energy is
+    // exactly 4e6 so segment mass is n_frames * 4e6
+    "q_m8_pcm_vad" ->
+      """WITH f AS (
+        |  SELECT doc_id, CAST(unnest(generate_series(0, 7)) AS INTEGER) AS fr
+        |  FROM documents),
+        |s AS (SELECT doc_id, fr FROM f WHERE ((doc_id >> fr) & 1) = 1),
+        |i AS (
+        |  SELECT doc_id, fr,
+        |         fr - CAST(row_number() OVER (PARTITION BY doc_id ORDER BY fr)
+        |                   AS INTEGER) AS g
+        |  FROM s),
+        |seg AS (
+        |  SELECT doc_id, min(fr) AS start_frame, max(fr) AS end_frame,
+        |         CAST(count(*) AS INTEGER) AS n_frames
+        |  FROM i GROUP BY doc_id, g)
+        |SELECT doc_id,
+        |       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_frame)
+        |            - 1 AS INTEGER) AS seg_idx,
+        |       start_frame, end_frame, n_frames,
+        |       CAST(n_frames AS BIGINT) * 4000000 AS energy_sum
+        |FROM seg ORDER BY doc_id, seg_idx""".stripMargin,
     "q_m1_binary_meta" ->
       """SELECT doc_id,
         |       CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,

@@ -124,4 +124,34 @@ class MultimodalSpec extends SparkTestBase {
     val f3 = Multimodal.StubCodec.features(crossSwap.getBytes("UTF-8"), 16).toSeq
     assert(f1 != f3)
   }
+
+  test("pcmVad: exact energies, island merging, trailing frames, empty/partial input") {
+    import spark.implicits._
+    def pcm(samples: Seq[Int]): Array[Byte] = {
+      val buf = java.nio.ByteBuffer.allocate(samples.length * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      samples.foreach(s => buf.putShort(s.toShort))
+      buf.array()
+    }
+    val loud = Seq(1000, -1000)          // frame energy 2,000,000
+    val quiet = Seq(10, -10)             // frame energy 200
+    val rows = Seq(
+      // loud loud quiet loud  -> segments [0,1] and [3,3] (trailing flush)
+      (1L, pcm(loud ++ loud ++ quiet ++ loud)),
+      (2L, pcm(quiet ++ quiet)),                  // all quiet -> nothing
+      (3L, pcm(Seq.empty)),                       // empty -> nothing
+      // trailing PARTIAL frame (1 sample) is dropped, not misread
+      (4L, pcm(loud ++ Seq(1000))),
+      // s16le sign handling: -32768 must square exactly, not wrap
+      (5L, pcm(Seq(-32768, 0)))
+    ).toDF("doc_id", "pcm")
+    val out = Multimodal.pcmVad(rows, "doc_id", "pcm",
+        samplesPerFrame = 2, energyFloor = 1000000L)
+      .collect().map(v => (v.id, v.seg_idx, v.start_frame, v.end_frame,
+        v.n_frames, v.energy_sum)).toSet
+    assert(out == Set(
+      (1L, 0, 0, 1, 2, 4000000L), (1L, 1, 3, 3, 1, 2000000L),
+      (4L, 0, 0, 0, 1, 2000000L),
+      (5L, 0, 0, 0, 1, 32768L * 32768L)))
+  }
 }
