@@ -129,7 +129,10 @@ object Bench {
       "q_warc1_record_split",
       // r11 final sweep of the remaining ~2s single-shots (same rule)
       "q_a12_sketch_merge", "q_d14_scrub_keepfirst", "q_v10_centered_neardup",
-      "q_v4_embedding_neardup", "q_t8_boilerplate")
+      "q_v4_embedding_neardup", "q_t8_boilerplate",
+      // r11 new queries (one-time typed-pipeline codegen on first run)
+      "q_v18_hard_negatives", "q_f7_ranking_pairs", "q_m8_pcm_vad",
+      "q_warc2_cdx_index")
 
     // Headline queries run 3 reps and report the MEDIAN: the single-shot
     // noise floor on this box is ±2x (calibrated rounds 5-6), which made
