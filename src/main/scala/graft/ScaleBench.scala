@@ -603,6 +603,24 @@ object ScaleBench {
           totalTarget = math.max(300L, docs.count() / 20),
           alpha = 0.5, seed = "sb-13")
       })) :+
+      // hard-negative mining (round 11): the query set is FIXED (a 50-
+      // vector training batch — eval/training pair sets don't scale with
+      // the corpus) while the corpus grows, so the brute referee's curve
+      // must be corpus-LINEAR: broadcast queries, one corpus scan, floor-
+      // bounded candidates, one query-keyed window
+      ("q_v18_hard_negatives_scale" -> ((s: SparkSession, d: String) => {
+        val base = s.read.parquet(s"$d/embeddings.parquet")
+          .select("vec_id", "embedding")
+        val queries = base.filter(col("vec_id") < 500 && col("vec_id") % 10 === 0)
+          .select((col("vec_id") + lit(500000L)).as("query_id"),
+            col("vec_id").as("positive_id"),
+            expr("transform(embedding, (x, j) -> " +
+              "CAST(CAST(x AS DOUBLE) + ((vec_id * 31 + j) % 7 - 3) * 0.015D AS FLOAT))")
+              .as("q_emb"))
+        operators.SimilaritySearch.hardNegatives(queries, "query_id", "q_emb",
+          "positive_id", base, "vec_id", "embedding",
+          k = 5, minCosine = 0.0, maxCosine = 0.8)
+      })) :+
       // WARC record split (round 11): construct gzip segments in-query,
       // stream-split them file-parallel — wall must be linear in corpus
       // bytes (one pass per segment, O(largest record) memory), and the
