@@ -184,6 +184,25 @@ object ConversationQueries {
         .orderBy("doc_id", "margin", "chosen", "rejected")
     }),
 
+    // Inter-annotator agreement (Cohen's kappa) over double-labeled
+    // preference records — labeler-noise QA before reward training.
+    // Planted labels: annotator A = (doc_id%3==0); annotator B = A XOR
+    // (doc_id%7==2) — ~14% controlled disagreement; variant 3 is the
+    // DEGENERATE group (both annotators constant) that must take the
+    // kappa=0 branch. Exact integer confusion counts, one fixed 6-dp
+    // double formula, one group-key exchange.
+    "q_f8_annotator_agreement" -> ((s, dir) =>
+      PreferencePairs.annotatorAgreement(
+          docs(s, dir).select(
+            expr("CAST(doc_id % 4 AS INT)").as("variant"),
+            expr("CASE WHEN doc_id % 4 = 3 THEN 1 " +
+              "ELSE CAST(doc_id % 3 = 0 AS INT) END").as("label_a"),
+            expr("CASE WHEN doc_id % 4 = 3 THEN 1 " +
+              "ELSE CAST((doc_id % 3 = 0) != (doc_id % 7 = 2) AS INT) END")
+              .as("label_b")),
+          "variant", "label_a", "label_b")
+        .orderBy("variant")),
+
     // The corpus-level SFT accounting a dataset card publishes: per
     // variant-shape — record count, valid count, total turns, and the
     // trained (assistant) vs masked (user) character mass over VALID
@@ -333,6 +352,36 @@ object ConversationQueries {
         |FROM directed
         |WHERE chosen <> '' AND rejected <> '' AND chosen <> rejected
         |ORDER BY doc_id, margin, chosen, rejected""".stripMargin,
+
+    // exact confusion counts + the SAME fixed double formula (operand
+    // order mirrored so the 6-dp rounding agrees bit-for-bit)
+    "q_f8_annotator_agreement" ->
+      """WITH l AS (
+        |  SELECT CAST(doc_id % 4 AS INTEGER) AS variant,
+        |         CASE WHEN doc_id % 4 = 3 THEN 1
+        |              ELSE CAST(doc_id % 3 = 0 AS INTEGER) END AS a,
+        |         CASE WHEN doc_id % 4 = 3 THEN 1
+        |              ELSE CAST((doc_id % 3 = 0) <> (doc_id % 7 = 2) AS INTEGER) END AS b
+        |  FROM documents),
+        |c AS (
+        |  SELECT variant, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n00,
+        |         CAST(sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+        |         CAST(sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+        |         CAST(sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n11
+        |  FROM l GROUP BY 1)
+        |SELECT variant, n, n00, n01, n10, n11,
+        |       round((n00 + n11) / CAST(n AS DOUBLE), 6) AS p_o,
+        |       round(CASE WHEN (n10 + n11) * (n01 + n11)
+        |                      + (n00 + n01) * (n00 + n10) = n * n THEN 0.0
+        |             ELSE ((n00 + n11) / CAST(n AS DOUBLE)
+        |                   - (CAST(n10 + n11 AS DOUBLE) * (n01 + n11)
+        |                      + CAST(n00 + n01 AS DOUBLE) * (n00 + n10))
+        |                     / (CAST(n AS DOUBLE) * n))
+        |                  / (1.0 - (CAST(n10 + n11 AS DOUBLE) * (n01 + n11)
+        |                            + CAST(n00 + n01 AS DOUBLE) * (n00 + n10))
+        |                           / (CAST(n AS DOUBLE) * n)) END, 6) AS kappa
+        |FROM c ORDER BY variant""".stripMargin,
 
     "q_f3_sft_flatten" ->
       s"""$duckDerived

@@ -140,6 +140,49 @@ object PreferencePairs {
           b.getField("text").as("rejected"),
           (b.getField("rank") - a.getField("rank")).as("margin")))))
 
+  /** Inter-annotator agreement card over double-labeled preference
+    * records — the labeler-noise QA a reward-model corpus runs before
+    * training (a κ near chance means the "preferences" are noise and the
+    * loss will fit labeler idiosyncrasy): per group, the 2×2 confusion
+    * counts of two annotators' binary choices plus Cohen's κ,
+    *
+    *   κ = (p_o − p_e) / (1 − p_e),   p_o = (n00 + n11) / n,
+    *   p_e = (a1·b1 + a0·b0) / n²
+    *
+    * Counts accumulate as exact LONGs in ONE group-by pass; κ and p_o are
+    * computed from those integers in one fixed double formula rounded to
+    * 6 dp (the engine's deterministic-float convention — replayable by
+    * any engine bit-for-bit). Degenerate groups where p_e = 1 (both
+    * annotators constant) define κ = 0. One exchange on the group key.
+    */
+  def annotatorAgreement(df: DataFrame, groupCol: String,
+                         labelACol: String, labelBCol: String): DataFrame = {
+    val a = col(labelACol).cast("long")
+    val b = col(labelBCol).cast("long")
+    df.groupBy(groupCol)
+      .agg(count(lit(1)).as("n"),
+        sum(when(a === 0 && b === 0, 1L).otherwise(0L)).as("n00"),
+        sum(when(a === 0 && b === 1, 1L).otherwise(0L)).as("n01"),
+        sum(when(a === 1 && b === 0, 1L).otherwise(0L)).as("n10"),
+        sum(when(a === 1 && b === 1, 1L).otherwise(0L)).as("n11"))
+      .withColumn("p_o", round(expr("(n00 + n11) / CAST(n AS DOUBLE)"), 6))
+      // the p_e = 1 degeneracy check runs in DECIMAL(38,0) (marginal
+      // products clear 2^63 at corpus-scale n — the mixRecipe rule); the
+      // κ value itself is ONE fixed double formula, 6-dp rounded
+      .withColumn("kappa", round(expr(
+        """CASE WHEN CAST(n10 + n11 AS DECIMAL(38,0)) * (n01 + n11)
+          |        + CAST(n00 + n01 AS DECIMAL(38,0)) * (n00 + n10)
+          |        = CAST(n AS DECIMAL(38,0)) * n THEN 0.0D
+          |ELSE ((n00 + n11) / CAST(n AS DOUBLE)
+          |      - (CAST(n10 + n11 AS DOUBLE) * (n01 + n11)
+          |         + CAST(n00 + n01 AS DOUBLE) * (n00 + n10))
+          |        / (CAST(n AS DOUBLE) * n))
+          |     / (1.0D - (CAST(n10 + n11 AS DOUBLE) * (n01 + n11)
+          |                + CAST(n00 + n01 AS DOUBLE) * (n00 + n10))
+          |               / (CAST(n AS DOUBLE) * n))
+          |END""".stripMargin), 6))
+  }
+
   /** Corpus accounting + shipped-split sizes of one [[curate]] run. */
   final case class PrefReport(nInput: Long, nValid: Long, nPromptDups: Long,
                               nKept: Long, splitCounts: Map[String, Long],

@@ -122,6 +122,24 @@ class PreferencePairsSpec extends SparkTestBase {
     assert(none == 0L)
   }
 
+  test("annotatorAgreement: hand-computed kappa, degenerate group takes the zero branch") {
+    // 10 records: 4 agree-on-1, 3 agree-on-0, 3 disagree
+    //   n=10, n11=4, n00=3, n01=2, n10=1
+    //   p_o = 0.7; p_e = (5*6 + 5*4)/100 = 0.5; kappa = 0.4 exactly
+    val rows =
+      (1 to 4).map(i => ("g", 1, 1)) ++ (1 to 3).map(i => ("g", 0, 0)) ++
+        Seq(("g", 0, 1), ("g", 0, 1), ("g", 1, 0)) ++
+        (1 to 5).map(i => ("const", 1, 1)) // degenerate: p_e = 1
+    val out = PreferencePairs.annotatorAgreement(
+        rows.toDF("grp", "a", "b"), "grp", "a", "b")
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("n00"), r.getAs[Long]("n01"),
+          r.getAs[Long]("n10"), r.getAs[Long]("n11"),
+          r.getAs[Double]("p_o"), r.getAs[Double]("kappa")))).toMap
+    assert(out("g") == ((10L, 3L, 2L, 1L, 4L, 0.7, 0.4)))
+    assert(out("const") == ((5L, 0L, 0L, 0L, 5L, 1.0, 0.0)))
+  }
+
   test("md5 and xx64 dedup key families agree on the shipped corpus") {
     val docs = (0L until 200L).map(i => (i, ("w" + i + " ") * 30))
       .toDF("doc_id", "text")
