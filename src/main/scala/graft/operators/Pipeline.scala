@@ -308,6 +308,41 @@ object Pipeline {
       .drop("_full", "_th", "epochs_milli")
   }
 
+  /** Per-doc count of DISTINCT blocklisted words — the flag frame behind
+    * [[wordBlocklistFilter]] (the C4 "bad words" gate, Raffel et al.
+    * 2020 §2.2: drop any document containing a listed word). Matching is
+    * at the lowercased WORD level, never substring — substring matching
+    * is the classic false-positive class (a list entry contained inside
+    * a longer innocent word must NOT flag). The list rides as a
+    * DataFrame: real lists are 10^3–10^4 entries per language —
+    * broadcast territory, far too large for an `isin` literal.
+    *
+    * Scale shape: docs explode to DISTINCT lowercased tokens (the only
+    * corpus-sized frame — ≤ tokens rows, two thin columns), LEFT SEMI
+    * against the broadcast list keeps only listed hits
+    * (flagged-vocabulary sized), then one id-keyed count. The document
+    * TEXT never shuffles anywhere in the pipeline.
+    */
+  def wordBlocklistFlagged(df: DataFrame, idCol: String, textCol: String,
+                           words: DataFrame): DataFrame = {
+    val listed = broadcast(
+      words.toDF("_listed").select(lower(col("_listed")).as("_listed")).distinct())
+    df.select(col(idCol),
+        explode(array_distinct(expr(
+          s"filter(split(lower($textCol), ' '), x -> x != '')"))).as("_tok"))
+      .join(listed, col("_tok") === col("_listed"), "left_semi")
+      .groupBy(idCol)
+      .agg(countDistinct(col("_tok")).as("n_listed_words"))
+  }
+
+  /** The corpus with every word-blocklisted document removed: anti-join
+    * on [[wordBlocklistFlagged]]'s ids (flagged set is violation-sized —
+    * AQE broadcasts it). */
+  def wordBlocklistFilter(df: DataFrame, idCol: String, textCol: String,
+                          words: DataFrame): DataFrame =
+    df.join(wordBlocklistFlagged(df, idCol, textCol, words).select(col(idCol)),
+      Seq(idCol), "left_anti")
+
   /** Language/source-balanced corpus capping: keep at most `n` rows per
     * group, best-first by `orderCols` (ties must be broken by a unique
     * column for determinism). One shuffle on the group key; the per-group

@@ -105,6 +105,27 @@ object PipelineQueries {
         substring(Pipeline.redact(col("text")), 1, 120).as("preview"))
         .orderBy("doc_id")),
 
+    // Word-blocklist flag card (the C4 "bad words" gate): sentinel words
+    // planted by doc_id%5 — one listed word (1), two distinct listed
+    // words with a repeat and a case-mangled spelling (2), and a LONGER
+    // word CONTAINING a listed word as a substring (3) which must NOT
+    // flag (word-level matching, the classic false-positive guard). The
+    // list itself carries a case-mangled entry too, so both sides'
+    // lowercasing is load-bearing. Corpus text never shuffles: distinct
+    // lowercased tokens broadcast-semi-join the list, one id-keyed count.
+    "q_t34_word_blocklist" -> ((s, dir) => {
+      import s.implicits._
+      val planted = docs(s, dir).select(col("doc_id"),
+        concat(coalesce(col("text"), lit("")),
+          when(col("doc_id") % 5 === 1, lit(" zzqx1 tail"))
+            .when(col("doc_id") % 5 === 2, lit(" zzqx1 ZZQX2 zzqx1 end"))
+            .when(col("doc_id") % 5 === 3, lit(" xzzqx1x mid"))
+            .otherwise(lit(""))).as("text"))
+      Pipeline.wordBlocklistFlagged(planted, "doc_id", "text",
+          Seq("zzqx1", "zzqx2", "ZZQX3").toDF("word"))
+        .orderBy("doc_id")
+    }),
+
     // Typed PII redaction at production breadth: email / phone / IPv4 /
     // IPv6 / number, each to a digit-free typed tag, counts taken stage-
     // wise so nothing double-counts. PLANTED CONSTRUCTION: doc_id % 5
@@ -858,6 +879,16 @@ object PipelineQueries {
 
       // analytic: expected counts and the expected TAGGED text from the
       // planted construction — no regex runs on the oracle side
+      // flagged docs and their distinct-listed counts are pure doc_id
+      // arithmetic; the %5==3 substring plant is proven NOT flagged by
+      // its absence from the expected rows
+      "q_t34_word_blocklist" ->
+        """SELECT doc_id,
+          |       CAST(CASE WHEN doc_id % 5 = 1 THEN 1 ELSE 2 END AS BIGINT)
+          |         AS n_listed_words
+          |FROM documents WHERE doc_id % 5 IN (1, 2)
+          |ORDER BY doc_id""".stripMargin,
+
       "q_t31_pii_typed" ->
         """SELECT doc_id,
           |  CAST(CASE WHEN doc_id % 5 = 1 THEN 1 ELSE 0 END AS INTEGER) AS n_emails,

@@ -123,6 +123,28 @@ class PipelineSpec extends SparkTestBase {
     assert(r("empty") == ((0L, 0L, 0L)))
   }
 
+  test("wordBlocklistFilter: word-level not substring, case-folded both sides, distinct counts") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "clean words only here"),
+      (2L, "contains BadWord in the middle"),            // case-mangled doc side
+      (3L, "grassy badwording superbadword"),            // substrings only: KEPT
+      (4L, "badword twice badword and OTHERBAD too"),    // 2 distinct, repeat once
+      (5L, "")
+    ).toDF("id", "text")
+    val list = Seq("badword", "OtherBad").toDF("w")      // case-mangled list side
+    val flagged = Pipeline.wordBlocklistFlagged(docs, "id", "text", list)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flagged == Map(2L -> 1L, 4L -> 2L))
+    val kept = Pipeline.wordBlocklistFilter(docs, "id", "text", list)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 5L))
+    // the list side broadcasts — the corpus tokens never shuffle for it
+    val plan = Pipeline.wordBlocklistFlagged(docs, "id", "text", list)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast semi:\n$plan")
+  }
+
   test("mixRecipe: 100TB-class budgets don't overflow BIGINT (DECIMAL widening)") {
     import spark.implicits._
     // budget 1e12 × w6≈3.16e10 ≈ 3.2e22 — past 2^63, the pre-fix BIGINT
