@@ -36,6 +36,11 @@ import org.apache.spark.sql.functions._
   *                            boilerplate paragraphs removed at all but
   *                            their first occurrence, docs rewritten —
   *                            before any text measurement)
+  *     → word blocklist      (optional, the C4 badwords gate: docs
+  *                            containing a listed word drop whole —
+  *                            word-level, case-folded, list broadcast;
+  *                            before quality so later stages never pay
+  *                            for dropped docs)
   *     → quality gate        (row-local, one scan; either the scalar
   *                            heuristics or — with [[Curation.GopherConfig]] —
   *                            the auditable Gopher rule card, which adds
@@ -98,7 +103,8 @@ object Curation {
                           nAfterRepetition: Long = -1L,
                           nEncodingRepaired: Long = -1L,
                           nPiiRedacted: Long = -1L,
-                          nAfterCaptionAlign: Long = -1L)
+                          nAfterCaptionAlign: Long = -1L,
+                          nAfterWordBlocklist: Long = -1L)
 
   /** Quality thresholds for the row-local gate. Defaults are the
     * web-corpus heuristics (Gopher-family): enough tokens, some lexical
@@ -192,7 +198,8 @@ object Curation {
              repetitionGate: Boolean = false,
              encodingRepair: Boolean = false,
              piiRedact: Boolean = false,
-             captionAlign: Option[CaptionAlignConfig] = None): Report = {
+             captionAlign: Option[CaptionAlignConfig] = None,
+             wordBlocklist: Option[DataFrame] = None): Report = {
     val nInput = docs.count()
 
     // URL layer FIRST when the corpus carries URLs (the web-pipeline
@@ -297,13 +304,25 @@ object Curation {
       (planReset(rewritten), Seq(rewritten), rewritten.count())
     } else (docsAligned, Seq.empty[DataFrame], -1L)
 
+    // C4 badwords gate (word-level, case-folded — Pipeline
+    // .wordBlocklistFilter) right before the quality measurements: a doc
+    // containing a listed word drops whole regardless of its stats, so
+    // the later stages never pay for it. The list broadcasts; the corpus
+    // text never shuffles (distinct-token semi-join + id anti-join).
+    val (docs2, nWordBlock) = wordBlocklist match {
+      case Some(w) =>
+        val kept = Pipeline.wordBlocklistFilter(docs1, "doc_id", "text", w)
+        (kept, kept.count())
+      case None => (docs1, -1L)
+    }
+
     // Quality gate: either the scalar heuristics or (when `gopher` is
     // set) the rule card — same row-local shape, but the card keeps WHICH
     // rule failed, so the report can carry per-rule drop counts.
     val (gated, ruleDrops) = gopher match {
       case Some(g) =>
         val card = TextAnalysis.gopherRuleCard(
-            docs1.select(col("doc_id"), col("text")), "doc_id", "text",
+            docs2.select(col("doc_id"), col("text")), "doc_id", "text",
             minWords = g.minWords, maxWords = g.maxWords)
           .persist()
         val ruleCols = Seq("r1_word_count", "r2_word_len", "r3_symbols",
@@ -313,13 +332,13 @@ object Curation {
             ruleCols.tail.map(c => sum(expr(s"1 - $c")).as(c)): _*)
           .head()
         val dropMap = ruleCols.map(c => c -> drops.getAs[Long](c)).toMap
-        val survivors = docs1.join(
+        val survivors = docs2.join(
           card.filter(col("pass") === 1).select("doc_id"),
           Seq("doc_id"), "left_semi")
         card.unpersist()
         (survivors, dropMap)
       case None =>
-        (qualityGate(docs1, "text", quality), Map.empty[String, Long])
+        (qualityGate(docs2, "text", quality), Map.empty[String, Long])
     }
 
     // Optional repetition gate (Gopher Table A1's repetitious-text half,
@@ -461,6 +480,6 @@ object Curation {
     Report(nInput, nQuality, nExact, nNear, splitCounts,
       totals.getLong(0), totals.getLong(1), nDecontam, nScrub,
       ruleDropsAll, nClassifier, nUrlDedup, nBlocklist,
-      nParagraph, nRepetition, nRepaired, nPii, nCaptionAlign)
+      nParagraph, nRepetition, nRepaired, nPii, nCaptionAlign, nWordBlock)
   }
 }

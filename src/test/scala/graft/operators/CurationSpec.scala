@@ -302,6 +302,10 @@ class CurationSpec extends SparkTestBase {
         when(col("doc_id") % 13 === 0,
           concat(lit("ping 10.1.2.3 mail a@b.io "), col("text")))
           .otherwise(col("text")))
+      .withColumn("text",
+        when(col("doc_id") % 17 === 0,
+          concat(col("text"), lit(" zzqxbad trailer")))
+          .otherwise(col("text")))
     val bench = docs.filter(col("doc_id") % 71 === 0)
       .selectExpr("doc_id AS bench_id", "text AS btext")
     def build(out: String) = Curation.curate(enriched, out, seed = "cur-all",
@@ -316,7 +320,11 @@ class CurationSpec extends SparkTestBase {
       },
       paragraphDedupStage = true, repetitionGate = true,
       encodingRepair = true, piiRedact = true,
-      captionAlign = Some(Curation.CaptionAlignConfig("payload", "caption")))
+      captionAlign = Some(Curation.CaptionAlignConfig("payload", "caption")),
+      wordBlocklist = Some {
+        val spark2 = spark; import spark2.implicits._
+        Seq("ZZQXBAD").toDF("word") // case-mangled: folding is load-bearing
+      })
     val out1 = Files.createTempDirectory("graft-curate-all1").toString
     val r1 = build(out1)
     // every optional stage reported (nothing left at the -1 sentinel)
@@ -325,6 +333,8 @@ class CurationSpec extends SparkTestBase {
     assert(r1.nAfterCaptionAlign > 0 && r1.nAfterParagraphDedup > 0)
     assert(r1.nAfterRepetition >= 0 && r1.nAfterClassifier >= 0)
     assert(r1.nAfterDecontam >= 0 && r1.nAfterScrub >= 0)
+    assert(r1.nAfterWordBlocklist > 0 &&
+      r1.nAfterWordBlocklist <= r1.nAfterParagraphDedup)
     assert(r1.ruleDrops.size == 14, s"expected 5 gopher + 9 repetition rules: ${r1.ruleDrops.keys}")
     // the pipeline ordering holds: URL work bounds everything after it
     assert(r1.nAfterBlocklist <= r1.nAfterUrlDedup)
@@ -337,6 +347,8 @@ class CurationSpec extends SparkTestBase {
       "a misaligned caption survived the full pipeline")
     assert(shipped.filter(col("text").contains("10.1.2.3")).count() == 0,
       "a planted IPv4 survived the full pipeline")
+    assert(shipped.filter(lower(col("text")).contains("zzqxbad")).count() == 0,
+      "a word-blocklisted doc survived the full pipeline")
     // bit-identical rerun with all stages on (binary payload compared by
     // digest — Array[Byte] equality in a Row is referential)
     val out2 = Files.createTempDirectory("graft-curate-all2").toString
