@@ -621,6 +621,26 @@ object ScaleBench {
           "positive_id", base, "vec_id", "embedding",
           k = 5, minCosine = 0.0, maxCosine = 0.8)
       })) :+
+      // word-blocklist flagging (round 11): the corpus-sized piece is the
+      // distinct-token explode (two thin columns); the list broadcasts.
+      // Wall must track the token scan; shuffle only the id-keyed count
+      ("q_t34_word_blocklist_scale" -> ((s: SparkSession, d: String) => {
+        val spark2 = s; import spark2.implicits._
+        val planted = s.read.parquet(s"$d/documents.parquet")
+          .select(col("doc_id"), concat(coalesce(col("text"), lit("")),
+            when(col("doc_id") % 5 === 1, lit(" zzqx1 tail"))
+              .when(col("doc_id") % 5 === 2, lit(" zzqx1 ZZQX2 zzqx1 end"))
+              .otherwise(lit(""))).as("text"))
+        operators.Pipeline.wordBlocklistFlagged(planted, "doc_id", "text",
+          Seq("zzqx1", "zzqx2").toDF("word"))
+      })) :+
+      // ranking→pairs derivation (round 11): row-local nested transform
+      // over K-sized response arrays — must track the scan exactly
+      ("q_f7_ranking_pairs_scale" -> ((s: SparkSession, d: String) =>
+        SparkEntry.queries("q_f7_ranking_pairs")(s, d))) :+
+      // PCM VAD (round 11): one typed pass, integer energies — scan-bound
+      ("q_m8_pcm_vad_scale" -> ((s: SparkSession, d: String) =>
+        SparkEntry.queries("q_m8_pcm_vad")(s, d))) :+
       // WARC record split (round 11): construct gzip segments in-query,
       // stream-split them file-parallel — wall must be linear in corpus
       // bytes (one pass per segment, O(largest record) memory), and the

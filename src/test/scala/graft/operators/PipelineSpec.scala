@@ -123,6 +123,30 @@ class PipelineSpec extends SparkTestBase {
     assert(r("empty") == ((0L, 0L, 0L)))
   }
 
+  test("wordBlocklistFlagged: fuzz vs a plain-Scala reference over random docs and lists") {
+    import spark.implicits._
+    // deterministic pseudo-random corpus: words drawn from a small shared
+    // vocabulary so list hits, case collisions, repeats, and superstring
+    // near-misses all occur naturally
+    val vocab = Vector("alpha", "beta", "GAMMA", "delta", "Alphabet",
+      "betamax", "gamma", "x", "", "ALPHA")
+    val rnd = new scala.util.Random(1109)
+    val docsSeq = (0L until 300L).map { i =>
+      (i, Seq.fill(rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val listSeq = Seq("alpha", "Gamma", "nomatch")
+    val expected = docsSeq.flatMap { case (id, text) =>
+      val toks = text.toLowerCase.split(" ", -1).filter(_.nonEmpty).toSet
+      val hits = toks.intersect(listSeq.map(_.toLowerCase).toSet)
+      if (hits.nonEmpty) Some(id -> hits.size.toLong) else None
+    }.toMap
+    val got = Pipeline.wordBlocklistFlagged(
+        docsSeq.toDF("id", "text"), "id", "text", listSeq.toDF("w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected, s"diff: ${(got.toSet diff expected.toSet) ++ (expected.toSet diff got.toSet)}")
+    assert(expected.nonEmpty && expected.size < 300, "construction must be non-degenerate")
+  }
+
   test("wordBlocklistFilter: word-level not substring, case-folded both sides, distinct counts") {
     import spark.implicits._
     val docs = Seq(
