@@ -57,6 +57,32 @@ object UrlCanon {
   private def isAlpha(c: Char): Boolean =
     (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
 
+  /** WHATWG URL pre-parse: remove ALL ASCII tab/CR/LF from the input —
+    * what browsers do before parsing, so `http\n://blocked.com/x`
+    * (fetched by every browser as `http://blocked.com/x`) canonicalizes
+    * to the blocked spelling instead of taking the relative branch and
+    * evading [[graft.operators.UrlOps.domainListFilter]]. Mirrored in
+    * the expression spec's `steps.u` (`translate(url, "\t\r\n", "")`). */
+  private def whatwgStrip(s: String): String = {
+    var i = 0
+    val n = s.length
+    var clean = true
+    while (clean && i < n) {
+      val c = s.charAt(i)
+      if (c == '\t' || c == '\r' || c == '\n') clean = false
+      i += 1
+    }
+    if (clean) return s
+    val sb = new java.lang.StringBuilder(n - 1)
+    i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c != '\t' && c != '\r' && c != '\n') sb.append(c)
+      i += 1
+    }
+    sb.toString
+  }
+
   /** trim(col) semantics: strip leading/trailing SPACE (0x20) only. */
   private def trimSpaces(s: String): String = {
     var b = 0
@@ -122,9 +148,9 @@ object UrlCanon {
   /** Canonical form — the native twin of `UrlOps.canonicalizeUrl`. See
     * the UrlOps object doc for the normalization list. */
   def canonicalize(url: String): String = {
-    // 1. trim + fragment strip (the only normalization a relative
-    //    reference gets)
-    val t = trimSpaces(url)
+    // 1. WHATWG tab/newline strip + trim + fragment strip (the only
+    //    normalization a relative reference gets)
+    val t = trimSpaces(whatwgStrip(url))
     val hash = t.indexOf('#')
     val u = if (hash < 0) t else t.substring(0, hash)
 

@@ -18,7 +18,10 @@ import org.apache.spark.sql.functions._
   * any engine (the DuckDB oracles replay it verbatim). Normalizations
   * applied, in order:
   *
-  *   1. trim; strip the `#fragment` (never sent to servers);
+  *   1. remove ALL ASCII tab/CR/LF (the WHATWG URL pre-parse step —
+  *      browsers fetch `http\n://x` as `http://x`, so the canonicalizer
+  *      must see what the browser saw or blocklists are evadable);
+  *      trim; strip the `#fragment` (never sent to servers);
   *   2. lowercase the scheme; strip `user:pw@` userinfo;
   *   3. lowercase the host; strip the leading `(www.)+` run while >= 2
   *      labels remain (www.com keeps its dot); strip the port when it is
@@ -138,20 +141,29 @@ object UrlOps {
     * → host, port) → (path, query → queryPart) → assembled.
     */
   private object steps {
-    /** trim + fragment strip — the only normalization a relative
-      * reference gets. */
-    def u(url: Column): Column = substring_index(trim(url), "#", 1)
+    /** WHATWG tab/newline strip + trim + fragment strip — the only
+      * normalization a relative reference gets. The `\t\r\n` removal is
+      * the WHATWG URL pre-parse step browsers apply: without it,
+      * `http\n://blocked.com/x` (which every browser fetches as
+      * `http://blocked.com/x`) would take the relative branch and sail
+      * past [[domainListFilter]] — the r11 ADVICE evasion shape. */
+    def u(url: Column): Column =
+      substring_index(trim(translate(url, "\t\r\n", "")), "#", 1)
 
     /** Parse as absolute ONLY when the text before the FIRST `://` is a
       * valid RFC 3986 scheme token — see the object doc for the
       * blocklist-evasion shape this guard closes. RE2-safe (no
       * lookaheads); when no `://` exists substring_index returns the
       * whole string, so the `instr > 0` conjunct keeps plain words
-      * ("localhost") on the relative branch too.
-      */
+      * ("localhost") on the relative branch too. Anchored `\A...\z`, NOT
+      * `^...$`: Java's find()-mode `$` also matches before a trailing
+      * line terminator (`\u0085\u2028\u2029` survive the `\t\r\n`
+      * strip), which would call a terminator-bearing scheme valid while
+      * the native kernel (charwise, no terminator exception) rejects it
+      * — breaking the kernel ≡ spec byte contract. */
     def isAbs(u: Column): Column =
       instr(u, "://") > 0 &&
-        substring_index(u, "://", 1).rlike("^[A-Za-z][A-Za-z0-9+.\\-]*$")
+        substring_index(u, "://", 1).rlike("\\A[A-Za-z][A-Za-z0-9+.\\-]*\\z")
 
     /** Everything after `scheme://`. Meaningful only under [[isAbs]]. */
     def rest(u: Column): Column =
@@ -162,8 +174,11 @@ object UrlOps {
 
     def scheme(u: Column): Column = lower(substring_index(u, "://", 1))
 
-    /** Authority with `user:pw@` userinfo stripped. */
-    def auth(auth0: Column): Column = regexp_extract(auth0, "[^@]*$", 0)
+    /** Authority with `user:pw@` userinfo stripped: the suffix after the
+      * LAST `@`. `\z` not `$` — under `$` a trailing ` `-class
+      * terminator would be dropped from the match while the kernel's
+      * `lastIndexOf('@')` substring keeps it. */
+    def auth(auth0: Column): Column = regexp_extract(auth0, "[^@]*\\z", 0)
 
     /** Path+query: rest after the authority. */
     def pathq(rest: Column, auth0: Column): Column =
@@ -192,8 +207,14 @@ object UrlOps {
         .when(host0.rlike("^www\\."), concat(lit("www."), host1))
         .otherwise(host0)
 
+    /** Bracketed port anchors on the FIRST closing bracket (`[^\]]*`
+      * cannot cross one), matching the kernel's `indexOf(']')` — the
+      * old `\]:([0-9]+)$` keyed on the LAST `]:digits`, so a stray `]`
+      * (`http://[::1]]:80/`) gave the spec a port the kernel refused.
+      * `\z` not `$` for the same terminator reason as [[isAbs]]. */
     def port(auth: Column): Column =
-      when(auth.startsWith("["), regexp_extract(auth, "\\]:([0-9]+)$", 1))
+      when(auth.startsWith("["),
+        regexp_extract(auth, "\\A\\[[^\\]]*\\]:([0-9]+)\\z", 1))
         .otherwise(when(instr(auth, ":") > 0, substring_index(auth, ":", -1))
           .otherwise(lit("")))
 
@@ -208,7 +229,7 @@ object UrlOps {
       * just one): idempotence again — /a// must canonicalize to /a in one
       * pass, not /a/. */
     def path(pathq: Column): Column =
-      regexp_replace(pctHexUpper(substring_index(pathq, "?", 1)), "/+$", "")
+      regexp_replace(pctHexUpper(substring_index(pathq, "?", 1)), "/+\\z", "")
 
     def query(pathq: Column): Column =
       when(instr(pathq, "?") > 0,
@@ -246,7 +267,7 @@ object UrlOps {
     /** Registered domain of a lowercase host given its label array and
       * the last-two-label suffix — see [[registeredDomain]]. */
     def domainOf(h: Column, labels: Column, suffix2: Column): Column =
-      when(h.rlike("^[0-9.]+$") || h.startsWith("["), h) // IP literal (v4 / bracketed v6)
+      when(h.rlike("\\A[0-9.]+\\z") || h.startsWith("["), h) // IP literal (v4 / bracketed v6)
         .when(size(labels) >= 3 && suffix2.isin(MultiLevelSuffixes: _*),
           concat_ws(".", slice(labels, -3, 3)))
         .when(size(labels) >= 2, suffix2)

@@ -117,6 +117,38 @@ class UrlOpsSpec extends SparkTestBase {
     assert(canon("://x/y") == Seq("://x/y"))
   }
 
+  test("WHATWG tab/newline strip: scheme-splitting terminators cannot evade the blocklist") {
+    // browsers strip ASCII tab/CR/LF before parsing, so http\n://x IS
+    // http://x on the wire — both the spec and the kernel must agree
+    // (r11 ADVICE: the find()-mode '$' let the spec call this absolute
+    // while the kernel called it relative)
+    assert(canon("http\n://blocked.example.com/x", "ht\ttp://blocked.example.com/x",
+      "http://blocked.exam\rple.com/x") ==
+      Seq.fill(3)("http://blocked.example.com/x"))
+    val kept = UrlOps.domainListFilter(
+        Seq((1L, "http\n://blocked.example.com/x")).toDF("doc_id", "url"), "url",
+        Seq("example.com").toDF("domain"))
+      .count()
+    assert(kept == 0L)
+    // non-strippable Unicode terminators: the \A/\z anchors keep spec ≡
+    // kernel (the '$'-anchored spec used to drop them from auth/path)
+    assert(canon("http://example.com/a/\u2028", "http://example.com/a\u0085/") ==
+      Seq("http://example.com/a/\u2028", "http://example.com/a\u0085"))
+  }
+
+  test("bracketed authority port keys on the FIRST closing bracket in both paths") {
+    // stray ']' after the host: the kernel sees ']' then ']' (no ':'), so
+    // no port — the spec's old \]:(digits)$ matched the LAST ']:80'
+    assert(canon("http://[::1]]:80/a") == Seq("http://[::1]/a"))
+    assert(canon("http://[a]x]:8080/a") == Seq("http://[a]/a"))
+    // well-formed bracket ports still parse (default stripped, other kept)
+    assert(canon("http://[::1]:80/a", "http://[::1]:8080/a") ==
+      Seq("http://[::1]/a", "http://[::1]:8080/a"))
+    // non-digit / dangling ports drop in both paths
+    assert(canon("http://[::1]:8z0/a", "http://[::1]:/a") ==
+      Seq("http://[::1]/a", "http://[::1]/a"))
+  }
+
   test("withUrlParts (native kernel) matches the spec composition on the planted corpus") {
     val docs = (0L until 60L).map(i => (i, s"w$i", 10L))
       .toDF("doc_id", "text", "n_chars")

@@ -55,20 +55,48 @@ object UrlProps extends Properties("CanonicalizeUrl") {
     genLabel.map(v => s"q=$v%2f%ZQ%"),
     genLabel.map(v => s"q"))                         // no '=': key is whole param
 
+  /** Bracketed-IPv6 authorities, including hostile shapes: a stray `]`
+    * after the host (the spec-vs-kernel first-vs-last `]:digits`
+    * divergence from the r11 ADVICE), non-digit ports, a dangling colon,
+    * and an unclosed bracket. */
+  private val genBracketAuth: Gen[String] = Gen.oneOf(
+    "[::1]", "[2001:db8::1]", "[2001:DB8::1]:8080", "[::1]:80", "[::1]:443",
+    "[::1]]:80", "[a]x]:8080", "[::1]:8z0", "[::1]:", "[nobracketend:80")
+
+  /** WHATWG-strippable line-terminator injections (tab/CR/LF must vanish
+    * in BOTH the kernel and the spec) — applied inside the scheme, the
+    * classic blocklist-evasion spelling. */
+  private val genSchemeMut: Gen[String => String] = Gen.frequency(
+    5 -> Gen.const(identity[String] _),
+    1 -> Gen.const((s: String) => s.take(2) + "\n" + s.drop(2)),
+    1 -> Gen.const((s: String) => s.take(1) + "\t" + s.drop(1)),
+    1 -> Gen.const((s: String) => s + "\r"))
+
   private val genUrl: Gen[String] = for {
-    scheme <- Gen.oneOf("http", "https", "HTTP", "HTTPS")
+    scheme0 <- Gen.oneOf("http", "https", "HTTP", "HTTPS")
+    mut <- genSchemeMut
     user <- Gen.oneOf("", "alice:pw@")
-    host <- genHost
-    port <- Gen.oneOf("", ":80", ":443", ":8080")
+    auth <- Gen.frequency(
+      6 -> (for {
+        h <- genHost
+        p <- Gen.oneOf("", ":80", ":443", ":8080")
+      } yield h + p),
+      1 -> genBracketAuth)
     segs <- Gen.choose(0, 3).flatMap(n => Gen.listOfN(n, genSeg))
     slashes <- Gen.oneOf("", "/", "//", "///")
+    // NON-strippable Unicode line terminators at the path tail: `$`-anchored
+    // spec regexes matched before these while the kernel kept them — the
+    // \A/\z anchors must hold the two paths byte-identical
+    term <- Gen.frequency(8 -> Gen.const(""), 1 -> Gen.const("\u2028"),
+      1 -> Gen.const("\u0085"))
     params <- Gen.choose(0, 4).flatMap(n => Gen.listOfN(n, genParam))
     frag <- Gen.oneOf("", "#frag", "#a/b?c")
     pad <- Gen.oneOf("", " ", "  ")
   } yield {
-    val path = if (segs.isEmpty) slashes else segs.mkString("/", "/", slashes)
+    val scheme = mut(scheme0)
+    val path = (if (segs.isEmpty) slashes else segs.mkString("/", "/", slashes)) + term
     val query = if (params.isEmpty) "" else params.mkString("?", "&", "")
-    s"$pad$scheme://$user$host$port$path$query$frag$pad"
+    s"$pad$scheme://$user$auth$path$query$frag$pad"
   }
 
   /** Scheme-less / junk inputs (the relative-reference passthrough branch),
