@@ -39,7 +39,17 @@ object WarcQueries {
       lpad(expr("CAST((doc_id % 86400) % 3600 div 60 AS STRING)"), 2, "0"), lit(":"),
       lpad(expr("CAST(doc_id % 60 AS STRING)"), 2, "0"), lit("Z"))
     val url = concat(lit("https://warc.example.org/doc/"), col("doc_id"))
-    val payload = coalesce(col("text"), lit(""))
+    // pad payloads to >= 6 BYTES so the 10-byte segment truncation always
+    // lands inside the last record's payload (4-byte trailer + 6 payload
+    // bytes): without the floor, a shorter last doc would push the cut
+    // into the record FRAMING and silently invalidate the oracle's
+    // got_len = declared - 6 arithmetic (r11 ADVICE). A <6-byte octet
+    // length implies <6 characters, so the 6-char rpad guarantees the
+    // byte floor.
+    val payload = expr(
+      """CASE WHEN octet_length(coalesce(text, '')) >= 6
+        |     THEN coalesce(text, '')
+        |     ELSE rpad(coalesce(text, ''), 6, '.') END""".stripMargin)
     concat(
       lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "), url,
       lit("\r\nWARC-Date: "), date,
@@ -142,7 +152,11 @@ object WarcQueries {
     // bytes to the 10-byte truncation
     "q_warc1_record_split" ->
       s"""WITH d AS (
-         |  SELECT doc_id, coalesce(text, '') AS text, doc_id // $SegDocs AS seg
+         |  SELECT doc_id,
+         |         CASE WHEN strlen(coalesce(text, '')) >= 6
+         |              THEN coalesce(text, '')
+         |              ELSE rpad(coalesce(text, ''), 6, '.') END AS text,
+         |         doc_id // $SegDocs AS seg
          |  FROM documents),
          |r AS (
          |  SELECT seg, doc_id, text,
@@ -178,7 +192,11 @@ object WarcQueries {
     // member_index = n_records quarantine row per planted segment
     "q_warc2_cdx_index" ->
       s"""WITH d AS (
-         |  SELECT doc_id, coalesce(text, '') AS text, doc_id // $SegDocs AS seg
+         |  SELECT doc_id,
+         |         CASE WHEN strlen(coalesce(text, '')) >= 6
+         |              THEN coalesce(text, '')
+         |              ELSE rpad(coalesce(text, ''), 6, '.') END AS text,
+         |         doc_id // $SegDocs AS seg
          |  FROM documents),
          |idx AS (
          |  SELECT seg, doc_id, text,

@@ -35,10 +35,12 @@ import org.apache.spark.sql.functions.col
   *  - a TRUNCATED payload (declared length > bytes available — a cut-off
   *    upload) emits a `malformed = 1` row carrying the parsed headers
   *    plus declared/got byte counts, then ends the file;
-  *  - a header-level failure (bad version line, missing/unparseable
-  *    Content-Length) emits one `malformed = 1` row for the broken
-  *    region, then RESYNCS by scanning for the next `WARC/1.` line start
-  *    and continues — one bad record costs itself, not its segment;
+  *  - a header-level failure (bad version line, missing/unparseable/
+  *    negative Content-Length, or a declaration above [[MaxPayloadBytes]]
+  *    — an untrusted multi-GiB length is never read OR allocated) emits
+  *    one `malformed = 1` row for the broken region, then RESYNCS by
+  *    scanning for the next `WARC/1.` line start and continues — one bad
+  *    record costs itself, not its segment;
   *  - gzip segments (magic-sniffed) are decompressed inline; multi-member
   *    concatenations (the per-record-gzip layout crawlers emit) read
   *    straight through.
@@ -96,16 +98,30 @@ object WarcIngest {
     sb.toString
   }
 
+  /** Declared Content-Length values above this quarantine instead of
+    * being read: an `Array[Byte]` payload cannot exceed ~2 GiB anyway,
+    * and a real response record is orders of magnitude smaller — a
+    * larger declaration is corrupt or hostile framing. */
+  private[sources] val MaxPayloadBytes: Long = Int.MaxValue.toLong - 16
+
+  /** Read exactly `n` payload bytes (caller guarantees
+    * `n <= MaxPayloadBytes`), growing the buffer in bounded doublings
+    * from 64 KiB — allocation tracks bytes ACTUALLY read, so a corrupt
+    * header declaring gigabytes that EOF after a few KB costs a few KB,
+    * not a pre-allocated giant array (the r11 ADVICE OOM shape). */
   private def readFully(in: InputStream, n: Long): (Array[Byte], Long) = {
-    require(n <= Int.MaxValue, s"record payload over 2 GiB: $n")
-    val buf = new Array[Byte](n.toInt)
+    var buf = new Array[Byte](math.min(n, 64L * 1024).toInt)
     var got = 0
     var r = 0
     while (got < n && r >= 0) {
-      r = in.read(buf, got, n.toInt - got)
+      if (got == buf.length)
+        buf = java.util.Arrays.copyOf(buf,
+          math.min(n, math.max(buf.length.toLong * 2, 64L * 1024)).toInt)
+      r = in.read(buf, got, math.min(n, buf.length.toLong).toInt - got)
       if (r > 0) got += r
     }
-    (if (got == n) buf else java.util.Arrays.copyOf(buf, got), got.toLong)
+    (if (got.toLong == n && got == buf.length) buf
+     else java.util.Arrays.copyOf(buf, got), got.toLong)
   }
 
   private def parseTs(headers: collection.Map[String, String]): Long =
@@ -199,6 +215,14 @@ object WarcIngest {
             case Some(n) if n < 0 =>
               nextRec = quarantine(offset, headers, headers.size, n, -1,
                 "negative-content-length")
+              resyncing = true
+            case Some(n) if n > MaxPayloadBytes =>
+              // an untrusted multi-GiB declaration is never read (or
+              // allocated): quarantine like a negative one and resync on
+              // the next WARC/ line — 'never kill the job' holds even
+              // when the framing itself is hostile
+              nextRec = quarantine(offset, headers, headers.size, n, -1,
+                "oversized-content-length")
               resyncing = true
             case Some(n) =>
               val (payload, got) = readFully(in, n)
