@@ -323,13 +323,32 @@ object Pipeline {
     * (flagged-vocabulary sized), then one id-keyed count. The document
     * TEXT never shuffles anywhere in the pipeline.
     */
+  /** The word-boundary class of the blocklist gate: any run of
+    * non-letter/non-digit characters separates words, so `badword,` /
+    * `foo\nbadword` / `(badword)` all flag — C4's boundary semantics,
+    * not the engine-wide single-space [[Dedup.tokensExpr]] convention
+    * (which this gate deliberately does NOT share: real crawl text puts
+    * listed words against punctuation constantly, and a space-only split
+    * was a large under-blocking class — r11 VERDICT #3 / ADVICE). */
+  private val WordBoundaryClass = "[^\\p{L}\\p{N}]+"
+
   def wordBlocklistFlagged(df: DataFrame, idCol: String, textCol: String,
                            words: DataFrame): DataFrame = {
     val listed = broadcast(
-      words.toDF("_listed").select(lower(col("_listed")).as("_listed")).distinct())
+      words.toDF("_listed").select(lower(col("_listed")).as("_listed")).distinct()
+        // an entry CONTAINING a boundary char ("two words", "bad-word",
+        // trailing punctuation) can never equal a token — silently never
+        // matching is a config bug, so fail loudly at plan time
+        .select(when(col("_listed").rlike(WordBoundaryClass),
+          raise_error(concat(lit("wordBlocklist entry is not a single "
+            + "letter/digit word and can never match: '"), col("_listed"),
+            lit("'"))))
+          .otherwise(col("_listed")).as("_listed")))
+    // split via the Column API (not an expr string) so the regex needs no
+    // SQL-literal backslash re-escaping
     df.select(col(idCol),
-        explode(array_distinct(expr(
-          s"filter(split(lower($textCol), ' '), x -> x != '')"))).as("_tok"))
+        explode(array_distinct(filter(
+          split(lower(col(textCol)), WordBoundaryClass), x => x =!= ""))).as("_tok"))
       .join(listed, col("_tok") === col("_listed"), "left_semi")
       .groupBy(idCol)
       .agg(countDistinct(col("_tok")).as("n_listed_words"))

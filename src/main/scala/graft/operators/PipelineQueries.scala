@@ -106,20 +106,26 @@ object PipelineQueries {
         .orderBy("doc_id")),
 
     // Word-blocklist flag card (the C4 "bad words" gate): sentinel words
-    // planted by doc_id%5 — one listed word (1), two distinct listed
-    // words with a repeat and a case-mangled spelling (2), and a LONGER
-    // word CONTAINING a listed word as a substring (3) which must NOT
-    // flag (word-level matching, the classic false-positive guard). The
-    // list itself carries a case-mangled entry too, so both sides'
-    // lowercasing is load-bearing. Corpus text never shuffles: distinct
-    // lowercased tokens broadcast-semi-join the list, one id-keyed count.
+    // planted by doc_id%5 at WORD BOUNDARIES, not just spaces — one
+    // listed word against a comma (1); two distinct listed words with a
+    // period, a NEWLINE boundary, a repeat, and a case-mangled spelling
+    // (2); LONGER words CONTAINING a listed word as a substring,
+    // including a parenthesized one, (3) which must NOT flag (word-level
+    // matching, the classic false-positive guard); and a tab+multi-punct
+    // boundary (4) — the r11 ADVICE under-blocking class (space-only
+    // split missed 'badword,' / 'foo\nbadword'). The list itself carries
+    // a case-mangled entry too, so both sides' lowercasing is
+    // load-bearing. Corpus text never shuffles: distinct lowercased
+    // boundary-split tokens broadcast-semi-join the list, one id-keyed
+    // count.
     "q_t34_word_blocklist" -> ((s, dir) => {
       import s.implicits._
       val planted = docs(s, dir).select(col("doc_id"),
         concat(coalesce(col("text"), lit("")),
-          when(col("doc_id") % 5 === 1, lit(" zzqx1 tail"))
-            .when(col("doc_id") % 5 === 2, lit(" zzqx1 ZZQX2 zzqx1 end"))
-            .when(col("doc_id") % 5 === 3, lit(" xzzqx1x mid"))
+          when(col("doc_id") % 5 === 1, lit(" zzqx1, tail"))
+            .when(col("doc_id") % 5 === 2, lit(" zzqx1 ZZQX2.\nzzqx1 end"))
+            .when(col("doc_id") % 5 === 3, lit(" xzzqx1x (zzqx1z) mid"))
+            .when(col("doc_id") % 5 === 4, lit("\tzzqx3!? tail"))
             .otherwise(lit(""))).as("text"))
       Pipeline.wordBlocklistFlagged(planted, "doc_id", "text",
           Seq("zzqx1", "zzqx2", "ZZQX3").toDF("word"))
@@ -877,16 +883,19 @@ object PipelineQueries {
            |                             '${Pipeline.NumberRe}', '<NUM>', 'g'), 1, 120) AS preview
            |FROM documents ORDER BY doc_id""".stripMargin,
 
-      // analytic: expected counts and the expected TAGGED text from the
-      // planted construction — no regex runs on the oracle side
-      // flagged docs and their distinct-listed counts are pure doc_id
-      // arithmetic; the %5==3 substring plant is proven NOT flagged by
-      // its absence from the expected rows
+      // analytic: expected counts from the planted construction — no
+      // tokenizer runs on the oracle side. Flagged docs and their
+      // distinct-listed counts are pure doc_id arithmetic; the %5==3
+      // substring plants are proven NOT flagged by their absence from
+      // the expected rows, and the %5∈{1,2,4} punctuation/newline/tab-
+      // adjacent plants are proven FLAGGED by their presence (a
+      // space-only tokenizer fails this hash on every %5==1 and %5==4
+      // row)
       "q_t34_word_blocklist" ->
         """SELECT doc_id,
-          |       CAST(CASE WHEN doc_id % 5 = 1 THEN 1 ELSE 2 END AS BIGINT)
+          |       CAST(CASE doc_id % 5 WHEN 2 THEN 2 ELSE 1 END AS BIGINT)
           |         AS n_listed_words
-          |FROM documents WHERE doc_id % 5 IN (1, 2)
+          |FROM documents WHERE doc_id % 5 IN (1, 2, 4)
           |ORDER BY doc_id""".stripMargin,
 
       "q_t31_pii_typed" ->

@@ -126,17 +126,20 @@ class PipelineSpec extends SparkTestBase {
   test("wordBlocklistFlagged: fuzz vs a plain-Scala reference over random docs and lists") {
     import spark.implicits._
     // deterministic pseudo-random corpus: words drawn from a small shared
-    // vocabulary so list hits, case collisions, repeats, and superstring
-    // near-misses all occur naturally
+    // vocabulary so list hits, case collisions, repeats, superstring
+    // near-misses, AND punctuation/newline/tab-adjacent spellings (the
+    // r11 ADVICE under-blocking class) all occur naturally
     val vocab = Vector("alpha", "beta", "GAMMA", "delta", "Alphabet",
-      "betamax", "gamma", "x", "", "ALPHA")
+      "betamax", "gamma", "x", "", "ALPHA",
+      "alpha,", "(gamma)", "beta.", "ALPHA!?", "delta\nalpha", "\tgamma")
     val rnd = new scala.util.Random(1109)
     val docsSeq = (0L until 300L).map { i =>
       (i, Seq.fill(rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
     }
     val listSeq = Seq("alpha", "Gamma", "nomatch")
     val expected = docsSeq.flatMap { case (id, text) =>
-      val toks = text.toLowerCase.split(" ", -1).filter(_.nonEmpty).toSet
+      val toks = text.toLowerCase.split("[^\\p{L}\\p{N}]+", -1)
+        .filter(_.nonEmpty).toSet
       val hits = toks.intersect(listSeq.map(_.toLowerCase).toSet)
       if (hits.nonEmpty) Some(id -> hits.size.toLong) else None
     }.toMap
@@ -145,6 +148,27 @@ class PipelineSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == expected, s"diff: ${(got.toSet diff expected.toSet) ++ (expected.toSet diff got.toSet)}")
     assert(expected.nonEmpty && expected.size < 300, "construction must be non-degenerate")
+    // punctuation-adjacent plants must actually flag somewhere (guards
+    // against the fuzz degenerating into space-only coverage)
+    val punctFlagged = docsSeq.filter { case (id, text) =>
+      got.contains(id) &&
+        !text.toLowerCase.split(" ", -1).filter(_.nonEmpty).toSet
+          .exists(listSeq.map(_.toLowerCase).toSet)
+    }
+    assert(punctFlagged.nonEmpty,
+      "no doc was flagged SOLELY via a punctuation-adjacent listed word")
+  }
+
+  test("wordBlocklistFlagged: multi-word or punctuated list entries fail loudly") {
+    import spark.implicits._
+    val docs = Seq((1L, "some text")).toDF("id", "text")
+    val bad = Seq("two words").toDF("w")
+    val e = intercept[Exception] {
+      Pipeline.wordBlocklistFlagged(docs, "id", "text", bad).collect()
+    }
+    assert(e.getMessage.contains("can never match")
+      || Option(e.getCause).exists(_.getMessage.contains("can never match")),
+      s"unexpected error: $e")
   }
 
   test("wordBlocklistFilter: word-level not substring, case-folded both sides, distinct counts") {
