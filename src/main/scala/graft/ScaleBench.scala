@@ -442,7 +442,7 @@ object ScaleBench {
       // curve must track q_t19's shape with a constant train prefix
       ("q_t27_fertility_scale" -> ((s: SparkSession, d: String) => {
         val docs = s.read.parquet(s"$d/documents.parquet")
-        val merges = operators.Tokenizer.bpeTrain(docs, "text", numMerges = 6)
+        val merges = operators.Tokenizer.bpeTrainLocal(docs, "text", numMerges = 6)
         val enc = operators.Tokenizer.bpeEncodeCounts(docs, "doc_id", "text", merges)
         docs.select(col("doc_id"), col("lang"),
             length(coalesce(col("text"), lit(""))).cast("long").as("chars"))
@@ -508,7 +508,7 @@ object ScaleBench {
       // shuffle bytes must track (doc_id, n_tokens) rows, wall the scan
       ("q_t30_pack_bpe_scale" -> ((s: SparkSession, d: String) => {
         val docs = s.read.parquet(s"$d/documents.parquet")
-        val merges = operators.Tokenizer.bpeTrain(docs, "text", numMerges = 6)
+        val merges = operators.Tokenizer.bpeTrainLocal(docs, "text", numMerges = 6)
         val enc = operators.Tokenizer.bpeEncodeCounts(docs, "doc_id", "text", merges)
         operators.Pipeline.packSequences(
             docs.select(col("doc_id"), col("lang")).join(enc, "doc_id"),
@@ -649,7 +649,46 @@ object ScaleBench {
         graft.sources.WarcIngest.readWarc(
             operators.WarcQueries.plantedSegments(s, d))
           .groupBy("malformed")
-          .agg(count(lit(1)).as("n_records"), sum("got_len").as("payload_bytes"))))
+          .agg(count(lit(1)).as("n_records"), sum("got_len").as("payload_bytes")))) :+
+      // BPE kernel encode at a 1k+-merge vocabulary (round 12): the merge
+      // table rides as DATA in one codegen'd expression, so the wall must
+      // (a) track the corpus scan linearly and (b) be vocab-independent —
+      // the r11 interpreted replace-chain was neither. Table constructed
+      // like q_t35 (char-pair ranking + top-32 chain compositions), then
+      // the full corpus encodes row-locally; one id-free global agg keeps
+      // the measured frame output-tiny
+      ("q_t35_bpe1k_encode_scale" -> ((s: SparkSession, d: String) => {
+        val docs = s.read.parquet(s"$d/documents.parquet")
+        val wf = operators.Tokenizer.wordFreq(docs, "text")
+        val base = wf.where(expr("length(word) >= 2"))
+          .select(col("freq"), explode(expr(
+            """transform(sequence(1, length(word) - 1),
+              |  i -> struct(substring(word, i, 1) AS l,
+              |              substring(word, i + 1, 1) AS r))""".stripMargin)).as("p"))
+          .groupBy(col("p.l").as("lhs"), col("p.r").as("rhs"))
+          .agg(sum("freq").as("c"))
+          .orderBy(col("c").desc, col("lhs"), col("rhs"))
+          .limit(256).collect()
+          .map(r => (r.getString(0), r.getString(1)))
+        val syms = base.take(32).map { case (l, r) => l + r }
+        val chain = for { i <- syms.indices; j <- syms.indices }
+          yield (syms(i), syms(j))
+        val all = (base ++ chain).zipWithIndex
+          .map { case ((l, r), k) => operators.Tokenizer.Merge(k + 1, l, r, 1L) }
+        operators.Tokenizer.bpeEncodeCounts(docs, "doc_id", "text", all)
+          .agg(sum("n_words").as("n_words"), sum("n_tokens").as("n_tokens"))
+      })) :+
+      // driver-side BPE training to vocabulary exhaustion (round 12): ONE
+      // corpus pass builds the word-freq table; merge folds are
+      // driver-side over the vocabulary-sized table — wall must track the
+      // scan, not the merge count
+      ("bpe_train_local_scale" -> ((s: SparkSession, d: String) => {
+        val docs = s.read.parquet(s"$d/documents.parquet")
+        val spark2 = s; import spark2.implicits._
+        val merges = operators.Tokenizer.bpeTrainLocal(docs, "text", numMerges = 5000)
+        merges.map(m => (m.step, m.lhs, m.rhs, m.pairFreq))
+          .toDF("step", "lhs", "rhs", "pair_freq")
+      }))
 
     val listener = new TaskMetricsListener
     spark.sparkContext.addSparkListener(listener)

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** BPE tokenizer TRAINING and ENCODING as engine operators — the
   * "train the tokenizer on the corpus you just curated" step of an LLM
@@ -111,9 +112,144 @@ object Tokenizer {
   def bpeTrainFrame(docs: DataFrame, textCol: String, numMerges: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    bpeTrain(docs, textCol, numMerges)
+    bpeTrainLocal(docs, textCol, numMerges)
       .map(m => (m.step, m.lhs, m.rhs, m.pairFreq))
       .toDF("step", "lhs", "rhs", "pair_freq")
+  }
+
+  // ---- production training path: one corpus pass, driver-side folds ----
+
+  private def utf8Lt(a: String, b: String): Boolean =
+    UTF8String.fromString(a).compareTo(UTF8String.fromString(b)) < 0
+
+  /** PRODUCTION trainer: identical merges to [[bpeTrain]] (spec-pinned in
+    * TokenizerSpec), but the corpus is touched EXACTLY ONCE — the
+    * word-frequency table (vocabulary-sized, the training artifact scale:
+    * the same bounded-collect class as k-means centroids) is collected
+    * and the merge iterations fold DRIVER-SIDE with incremental pair
+    * accounting, so 1 merge or 32k merges is still ONE Spark job.
+    * [[bpeTrain]] launches a job per merge (localCheckpoint per
+    * iteration), which at production merge counts is thousands of
+    * scheduler round-trips over a frame that fits in driver memory — it
+    * stays as the distributed executable spec.
+    *
+    * Incremental accounting (Sennrich et al. 2016, the subword-nmt
+    * update): per merge, only words CONTAINING the merged pair are
+    * touched — their old adjacent-pair counts are subtracted, the merge
+    * pass applied, new counts added — and the argmax scans the pair-count
+    * map (distinct ADJACENT pairs: alphabet²-ish plus one entry per
+    * applied merge, thousands not millions). Tie-break matches
+    * [[bpeTrain]]'s `orderBy(c desc, lhs, rhs)` exactly: UTF-8 byte order
+    * (Spark's string comparator), not Java's UTF-16 order.
+    */
+  def bpeTrainLocal(docs: DataFrame, textCol: String, numMerges: Int): Seq[Merge] = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    val wf = wordFreq(docs, textCol).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    trainFromWordFreq(wf, numMerges)
+  }
+
+  /** Driver-side BPE training over a (word, freq) table — the in-memory
+    * twin of [[bpeTrain]]'s per-iteration argmax + literal-replace
+    * application (see [[graft.functions.BpeCodec]] for why the array
+    * merge pass is byte-equivalent to the double-space string replace).
+    */
+  def trainFromWordFreq(wordFreq: Seq[(String, Long)], numMerges: Int): Seq[Merge] = {
+    import scala.collection.mutable
+    // code-point symbols, matching symExpr's substring(word, i, 1)
+    val words = new Array[Array[String]](wordFreq.size)
+    val freqs = new Array[Long](wordFreq.size)
+    var w = 0
+    wordFreq.foreach { case (word, f) =>
+      val cps = word.codePoints().toArray
+      val arr = new Array[String](cps.length)
+      var i = 0
+      while (i < cps.length) { arr(i) = new String(Character.toChars(cps(i))); i += 1 }
+      words(w) = arr
+      freqs(w) = f
+      w += 1
+    }
+    val pairCount = mutable.HashMap.empty[(String, String), Long]
+    // pair → word indices that (at some point) contained it; entries can
+    // go stale after later merges — the apply loop re-checks adjacency
+    val pairWords = mutable.HashMap.empty[(String, String), mutable.HashSet[Int]]
+    def addWord(idx: Int, sign: Long): Unit = {
+      val arr = words(idx)
+      var i = 0
+      while (i < arr.length - 1) {
+        val k = (arr(i), arr(i + 1))
+        val c = pairCount.getOrElse(k, 0L) + sign * freqs(idx)
+        if (c == 0L) pairCount.remove(k) else pairCount.update(k, c)
+        if (sign > 0) pairWords.getOrElseUpdate(k, mutable.HashSet.empty) += idx
+        i += 1
+      }
+    }
+    var i = 0
+    while (i < words.length) { addWord(i, 1L); i += 1 }
+
+    def mergePass(arr: Array[String], l: String, r: String): Array[String] = {
+      val out = new Array[String](arr.length)
+      var j = 0
+      var n = 0
+      while (j < arr.length) {
+        if (j + 1 < arr.length && arr(j) == l && arr(j + 1) == r) {
+          out(n) = l + r; n += 1; j += 2
+        } else { out(n) = arr(j); n += 1; j += 1 }
+      }
+      if (n == arr.length) out else java.util.Arrays.copyOf(out, n)
+    }
+
+    val merges = Seq.newBuilder[Merge]
+    var step = 1
+    var exhausted = false
+    while (step <= numMerges && !exhausted) {
+      // argmax by (count desc, lhs, rhs asc in UTF-8 byte order): a strict
+      // total order, so HashMap iteration order is irrelevant
+      var bestK: (String, String) = null
+      var bestC = 0L
+      pairCount.foreach { case (k, c) =>
+        if (bestK == null || c > bestC ||
+            (c == bestC && (utf8Lt(k._1, bestK._1) ||
+              (k._1 == bestK._1 && utf8Lt(k._2, bestK._2))))) {
+          bestK = k; bestC = c
+        }
+      }
+      if (bestK == null) exhausted = true
+      else {
+        val (l, r) = bestK
+        merges += Merge(step, l, r, bestC)
+        val touched = pairWords.getOrElse(bestK, mutable.HashSet.empty).toArray
+        var t = 0
+        while (t < touched.length) {
+          val idx = touched(t)
+          val arr = words(idx)
+          // stale-entry check: does the pair still occur adjacently?
+          var has = false
+          var j = 0
+          while (!has && j < arr.length - 1) {
+            if (arr(j) == l && arr(j + 1) == r) has = true
+            j += 1
+          }
+          if (has) {
+            addWord(idx, -1L)
+            words(idx) = mergePass(arr, l, r)
+            addWord(idx, 1L)
+          }
+          t += 1
+        }
+        pairWords.remove(bestK)
+        step += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** The encode kernel for a learned merge list — merges applied in step
+    * order. */
+  def codecOf(merges: Seq[Merge]): graft.functions.BpeCodec = {
+    val ordered = merges.sortBy(_.step)
+    new graft.functions.BpeCodec(ordered.map(_.lhs).toArray,
+      ordered.map(_.rhs).toArray)
   }
 
   /** Token count of one word-symbol-string after applying `merges` in
@@ -125,12 +261,32 @@ object Tokenizer {
     }
 
   /** ENCODE: per-document token counts under the learned tokenizer —
-    * (idCol, n_words, n_tokens). Entirely row-local (the merge chain rides
-    * the scan as literal replaces inside codegen); the REAL subword count
-    * that [[TextAnalysis.approxSubwordCount]] only approximates.
+    * (idCol, n_words, n_tokens). Entirely row-local and zero-shuffle: the
+    * merge table rides as DATA inside ONE codegen'd kernel expression
+    * ([[graft.functions.BpeCodec]]), so a 32k-merge production vocabulary
+    * costs the same plan as a 6-merge test one — the r11 finding that the
+    * literal-replace chain both ran interpreted (aggregate-HOF) and grew
+    * the plan linearly with the vocab is closed here. The REAL subword
+    * count that [[TextAnalysis.approxSubwordCount]] only approximates.
     */
   def bpeEncodeCounts(docs: DataFrame, idCol: String, textCol: String,
                       merges: Seq[Merge]): DataFrame = {
+    val ws = expr(Dedup.tokensExpr(textCol))
+    docs.select(
+      col(idCol),
+      size(ws).cast("long").as("n_words"),
+      graft.functions.BpeExprs.docTokenCount(ws, codecOf(merges)).as("n_tokens"))
+  }
+
+  /** The EXECUTABLE SPEC of [[bpeEncodeCounts]]: the merge list compiled
+    * into a chain of literal `replace` calls over the double-space symbol
+    * string, folded per word through an aggregate HOF. Interpreted and
+    * plan-sized-in-the-vocab — usable only at test vocabularies, kept
+    * because it is engine-replayable as plain SQL (the DuckDB oracles
+    * replay exactly this) and TokenizerKernelProps pins kernel ≡ spec.
+    */
+  def bpeEncodeCountsSpec(docs: DataFrame, idCol: String, textCol: String,
+                          merges: Seq[Merge]): DataFrame = {
     val perWord = encodedSyms(symExpr("w"), merges)
     docs.select(
       col(idCol),
@@ -143,5 +299,20 @@ object Tokenizer {
       .select(col(idCol),
         col("r.n_words").cast("long").as("n_words"),
         col("r.n_tokens").cast("long").as("n_tokens"))
+  }
+
+  /** Plain-Scala spec of encoding ONE word under `merges` applied in step
+    * order: the literal-replace chain over the double-space symbol string
+    * — the reference TokenizerKernelProps fuzzes [[graft.functions.BpeCodec]]
+    * against (same semantics as [[encodedSyms]], evaluated without Spark).
+    */
+  def encodeWordSpec(word: String, merges: Seq[Merge]): Seq[String] = {
+    val cps = word.codePoints().toArray
+    var sym = cps.map(cp => new String(Character.toChars(cp)))
+      .mkString("  ", "  ", "  ")
+    merges.sortBy(_.step).foreach { m =>
+      sym = sym.replace(s" ${m.lhs}  ${m.rhs} ", s" ${m.lhs + m.rhs} ")
+    }
+    sym.split("  ", -1).filter(_.nonEmpty).toSeq
   }
 }

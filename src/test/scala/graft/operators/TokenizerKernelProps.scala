@@ -1,0 +1,88 @@
+package graft.operators
+
+import graft.functions.BpeCodec
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAllNoShrink
+
+/** Property fuzz of the native BPE encode kernel against the
+  * literal-replace-chain executable spec ([[Tokenizer.encodeWordSpec]]):
+  * for ANY merge table — not just trained ones — and any word, the
+  * kernel's `minAllowed` rank loop must reproduce the sequential
+  * source-scan replace semantics byte-for-byte. The generators
+  * deliberately produce the hostile shapes the sequential argument hinges
+  * on: multi-symbol lhs/rhs (chained merges), DUPLICATE pairs at
+  * different steps (a pair can re-form when a later merge rebuilds an
+  * identical symbol by a different split), overlapping occurrences
+  * ("aaa" under (a,a)), merges whose pair never occurs, and merges that
+  * only apply because an EARLIER merge created their symbols.
+  *
+  * A second property pins the kernel on TRAINED tables: driver-side
+  * training ([[Tokenizer.trainFromWordFreq]]) over a random word-freq
+  * table, then kernel ≡ spec on exactly the trained-on words.
+  */
+object TokenizerKernelProps extends Properties("BpeKernel") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(200)
+
+  private val genSym: Gen[String] =
+    Gen.choose(1, 3).flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+
+  private val genWord: Gen[String] =
+    Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+
+  private val genMerges: Gen[Seq[Tokenizer.Merge]] =
+    Gen.choose(0, 20).flatMap { n =>
+      Gen.listOfN(n, genSym.flatMap(l => genSym.map(r => (l, r))))
+        .map(_.zipWithIndex.map { case ((l, r), i) =>
+          Tokenizer.Merge(i + 1, l, r, 1L)
+        })
+    }
+
+  property("kernel ≡ literal-replace spec for ARBITRARY merge tables") =
+    forAllNoShrink(genMerges, Gen.listOfN(8, genWord)) { (merges, words) =>
+      val codec = Tokenizer.codecOf(merges)
+      words.forall { w =>
+        val kernel = codec.tokens(w).toSeq
+        val spec = Tokenizer.encodeWordSpec(w, merges)
+        if (kernel != spec)
+          println(s"BPE-DIVERGE word='$w' merges=$merges\n  kernel=$kernel\n  spec  =$spec")
+        kernel == spec
+      }
+    }
+
+  property("kernel ≡ spec under TRAINED tables (driver-side trainer)") =
+    forAllNoShrink(
+      Gen.choose(1, 8),
+      Gen.choose(2, 12).flatMap(n =>
+        Gen.listOfN(n, genWord.suchThat(_.nonEmpty)
+          .flatMap(w => Gen.choose(1L, 9L).map(f => (w, f)))))) { (nMerges, wf) =>
+      val dedup = wf.groupBy(_._1).map { case (w, fs) => (w, fs.map(_._2).sum) }.toSeq
+      val merges = Tokenizer.trainFromWordFreq(dedup, nMerges)
+      val codec = Tokenizer.codecOf(merges)
+      dedup.forall { case (w, _) =>
+        val kernel = codec.tokens(w).toSeq
+        val spec = Tokenizer.encodeWordSpec(w, merges)
+        if (kernel != spec)
+          println(s"BPE-TRAINED-DIVERGE word='$w' merges=$merges\n  kernel=$kernel\n  spec=$spec")
+        kernel == spec
+      }
+    }
+
+  property("re-forming pair at a duplicate later step merges again (sequential fidelity)") =
+    forAllNoShrink(Gen.const(())) { _ =>
+      // hand construction: step1 (ab,c), step2 (a,b), step3 (ab,c) again.
+      // In "aabc": step1 is a no-op (no "ab" symbol exists yet), step2
+      // creates "ab" ADJACENT to "c" — only the DUPLICATE step3 entry can
+      // merge that occurrence. A first-rank-wins kernel (rank 0 <
+      // minAllowed after step2) would skip it and emit [a, ab, c]; the
+      // sequential spec — and the multi-rank kernel — emit [a, abc].
+      val merges = Seq(Tokenizer.Merge(1, "ab", "c", 1L),
+        Tokenizer.Merge(2, "a", "b", 1L), Tokenizer.Merge(3, "ab", "c", 1L))
+      val codec = Tokenizer.codecOf(merges)
+      val allAgree = Seq("aabc", "abc", "aabcabc", "ababc").forall { w =>
+        codec.tokens(w).toSeq == Tokenizer.encodeWordSpec(w, merges)
+      }
+      allAgree && codec.tokens("aabc").toSeq == Seq("a", "abc")
+    }
+}

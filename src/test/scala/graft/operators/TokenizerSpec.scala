@@ -93,4 +93,83 @@ class TokenizerSpec extends SparkTestBase {
     // positivity, not monotonicity
     assert(a.forall(_.pairFreq > 0))
   }
+
+  test("bpeTrainLocal ≡ bpeTrain (production trainer pinned to the distributed spec)") {
+    // the toy corpus (hand-verified above), a tie-heavy corpus, an
+    // exhaustion corpus, and real docs — identical merges INCLUDING
+    // pair_freq accounting and tie-breaks at every step
+    val tieHeavy = Seq((1L, "abab baba aabb"), (2L, "bbaa abba ab")).toDF("doc_id", "text")
+    val exhaust = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    val docs = spark.read.parquet(sfDir("0.001") + "/documents.parquet")
+    for ((df, n) <- Seq((corpus, 5), (tieHeavy, 8), (exhaust, 10), (docs, 6))) {
+      val dist = Tokenizer.bpeTrain(df, "text", numMerges = n)
+      val local = Tokenizer.bpeTrainLocal(df, "text", numMerges = n)
+      assert(local == dist, s"trainer divergence at numMerges=$n:\n  local=$local\n  dist =$dist")
+    }
+  }
+
+  test("kernel encode ≡ literal-replace spec encode on real docs (and multibyte text)") {
+    val docs = spark.read.parquet(sfDir("0.001") + "/documents.parquet")
+    val merges = Tokenizer.bpeTrainLocal(docs, "text", numMerges = 6)
+    val kernel = Tokenizer.bpeEncodeCounts(docs, "doc_id", "text", merges)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val spec = Tokenizer.bpeEncodeCountsSpec(docs, "doc_id", "text", merges)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(kernel == spec)
+    // multibyte: symbols are CODE POINTS on both paths (é and 漢 are one
+    // symbol each, not two/three UTF-8 bytes)
+    val mb = Seq((1L, "héé héé 漢漢字 ascii"), (2L, "ééé")).toDF("doc_id", "text")
+    val mbMerges = Tokenizer.bpeTrainLocal(mb, "text", numMerges = 3)
+    val mk = Tokenizer.bpeEncodeCounts(mb, "doc_id", "text", mbMerges)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val ms = Tokenizer.bpeEncodeCountsSpec(mb, "doc_id", "text", mbMerges)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(mk == ms, s"multibyte divergence:\n  kernel=$mk\n  spec=$ms")
+    assert(Tokenizer.bpeTrainLocal(mb, "text", 3) == Tokenizer.bpeTrain(mb, "text", 3))
+  }
+
+  test("kernel encode at a 1k+-merge vocabulary: plan stays flat, counts are consistent") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(sfDir("0.001") + "/documents.parquet")
+    // the synthetic corpus draws from a ~90-word vocabulary, so TRAINING
+    // exhausts well before 1k merges (a real 100 TB corpus would not) —
+    // extend trained merges with the deterministic chain construction
+    // q_t35 uses (all pairwise compositions of the top-32 merged symbols)
+    // to reach a 1k+ table; sequential-faithfulness must hold regardless
+    // of whether a table is trained or constructed
+    val trained = Tokenizer.bpeTrainLocal(docs, "text", numMerges = 5000)
+    val syms = trained.take(32).map(m => m.lhs + m.rhs)
+    val chains = for { i <- syms.indices; j <- syms.indices } yield (syms(i), syms(j))
+    val all = (trained.map(m => (m.lhs, m.rhs)) ++ chains).zipWithIndex
+      .map { case ((l, r), k) => Tokenizer.Merge(k + 1, l, r, 1L) }
+    assert(all.length >= 1000, s"constructed table too small: ${all.length}")
+    val enc = Tokenizer.bpeEncodeCounts(docs, "doc_id", "text", all)
+    // the merge table rides as data: the PHYSICAL plan must not grow with
+    // the vocabulary (the r11 finding this kernel closes) — compare
+    // against the 6-merge plan
+    val planBig = enc.queryExecution.executedPlan.toString
+    val plan6 = Tokenizer.bpeEncodeCounts(docs, "doc_id", "text", all.take(6))
+      .queryExecution.executedPlan.toString
+    assert(math.abs(planBig.length - plan6.length) < 200,
+      s"plan grows with vocab: ${plan6.length} -> ${planBig.length} chars")
+    // a prefix-consistent larger table only fuses further: counts are <=
+    // the 6-merge counts, and at least one doc actually got shorter
+    val both = enc.withColumnRenamed("n_tokens", "tbig")
+      .join(Tokenizer.bpeEncodeCounts(docs, "doc_id", "text", all.take(6))
+        .select(col("doc_id"), col("n_tokens").as("t6")), "doc_id")
+      .select(sum(when(col("tbig") > col("t6"), 1L).otherwise(0L)).as("worse"),
+        sum(when(col("tbig") < col("t6"), 1L).otherwise(0L)).as("better"))
+      .head()
+    assert(both.getLong(0) == 0L, "a larger prefix-consistent vocab must never fragment more")
+    assert(both.getLong(1) > 0L, "the 1k+ table should compress at least one doc vs 6 merges")
+    // and the kernel stays spec-faithful at this table size: every
+    // distinct word, kernel ≡ plain-Scala literal-replace chain
+    val words = docs.select(explode(expr(Dedup.tokensExpr("text"))).as("w"))
+      .distinct().collect().map(_.getString(0))
+    val codec = Tokenizer.codecOf(all)
+    words.foreach { w =>
+      assert(codec.tokens(w).toSeq == Tokenizer.encodeWordSpec(w, all),
+        s"kernel/spec divergence at 1k+ merges on '$w'")
+    }
+  }
 }
