@@ -384,6 +384,41 @@ object PipelineQueries {
         .orderBy("o_year", "o_orderstatus")
     }),
 
+    // Snapshot-table TIME TRAVEL (r11 VERDICT #2): v1 = the base orders
+    // table committed o_year-partitioned; v2 = a snapshot-atomic
+    // mergeUpsert (price bump on %5 keys, %15 deletes, %9 inserts under
+    // shifted keys). Both versions are then read from the SAME table
+    // state: the v1 rows must still produce the PRE-merge numbers after
+    // v2 commits — the atomicity/history guarantee, not just the merge
+    // math. The table is run-scoped (commits are versioned; a shared
+    // table would accrete history across invocations).
+    "q_l4_snapshot_time_travel" -> ((s, dir) => {
+      val base = s.read.parquet(s"$dir/orders.parquet")
+        .withColumn("o_year", year(col("o_orderdate")))
+      val path = s"${System.getProperty("java.io.tmpdir", "/tmp")}" +
+        s"/graft_snap/run-${System.nanoTime()}"
+      graft.sources.SnapshotTable.commitOverwrite(base, path, Seq("o_year"))
+      val updates = base.filter(col("o_orderkey") % 5 === 0)
+        .withColumn("o_totalprice",
+          expr("floor(o_totalprice * 1.2D * 100D + 0.5D) / 100D"))
+        .withColumn("_deleted", col("o_orderkey") % 3 === 0)
+      val inserts = base.filter(col("o_orderkey") % 9 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(200000000L))
+        .withColumn("_deleted", lit(false))
+      graft.sources.SnapshotTable.mergeUpsert(s, path,
+        updates.unionByName(inserts), keyCols = Seq("o_orderkey"),
+        partitionCols = Seq("o_year"), deleteCol = Some("_deleted"))
+      def snap(v: Long) =
+        graft.sources.SnapshotTable.readSnapshot(s, path, Some(v))
+          .groupBy(col("o_year").cast("int").as("o_year"))
+          .agg(count(lit(1)).as("n_orders"),
+            (sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+              .cast("long")) / 100.0).as("revenue"))
+          .select(lit(v.toInt).as("version"), col("o_year"),
+            col("n_orders"), col("revenue"))
+      snap(1L).unionByName(snap(2L)).orderBy("version", "o_year")
+    }),
+
     "q_l1_merge_upsert" -> ((s, dir) => {
       val base = s.read.parquet(s"$dir/orders.parquet")
         .withColumn("o_year", year(col("o_orderdate")))
@@ -765,6 +800,31 @@ object PipelineQueries {
           |       CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS INTEGER)
           |         AS is_current
           |FROM v ORDER BY o_custkey, version""".stripMargin,
+
+      // replays BOTH snapshots analytically: v1 is the raw base; v2 is
+      // the survivors/updates/inserts algebra — the Spark side reading
+      // v1's PRE-merge numbers from post-merge table state is what
+      // proves snapshot isolation
+      "q_l4_snapshot_time_travel" ->
+        """WITH base AS (
+          |  SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS o_year,
+          |         o_totalprice
+          |  FROM orders),
+          |v1 AS (SELECT o_year, o_totalprice FROM base),
+          |v2 AS (
+          |  SELECT o_year, o_totalprice FROM base WHERE o_orderkey % 5 != 0
+          |  UNION ALL
+          |  SELECT o_year,
+          |         floor(o_totalprice * CAST(1.2 AS DOUBLE) * 100 + 0.5) / 100
+          |  FROM base WHERE o_orderkey % 5 = 0 AND o_orderkey % 3 != 0
+          |  UNION ALL
+          |  SELECT o_year, o_totalprice FROM base WHERE o_orderkey % 9 = 0)
+          |SELECT version, o_year, count(*) AS n_orders,
+          |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          |         AS revenue
+          |FROM (SELECT 1 AS version, * FROM v1
+          |      UNION ALL SELECT 2 AS version, * FROM v2)
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
       "q_l1_merge_upsert" ->
         """WITH base AS (

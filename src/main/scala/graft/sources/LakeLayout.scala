@@ -177,6 +177,12 @@ object LakeLayout {
     * upstream — e.g. latest-by-sequence — first) and must include the
     * table's full column set for upserts.
     *
+    * ISOLATION: the dynamic overwrite is atomic PER PARTITION, not per
+    * table — a reader racing a multi-partition merge can observe
+    * partition A new + partition B old. When readers and maintenance
+    * overlap, use [[SnapshotTable.mergeUpsert]]: same contract, one
+    * atomic manifest commit, plus time travel.
+    *
     * Returns the number of partitions rewritten.
     */
   def mergeUpsert(spark: SparkSession, tablePath: String, changes: DataFrame,

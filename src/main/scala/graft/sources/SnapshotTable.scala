@@ -1,0 +1,298 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Manifest-based VERSIONED table: atomic snapshot commits, read-at-
+  * snapshot, and time travel over plain parquet — the table-level
+  * atomicity [[LakeLayout.mergeUpsert]]'s dynamic partition overwrite
+  * lacks (r11 VERDICT #2: a reader racing an in-place maintenance pass
+  * could see partition A new + partition B old).
+  *
+  * == Layout (the public Iceberg/Delta shape, minimally) ==
+  * {{{
+  *   table/
+  *     data/v00000001/[p=.../]part-*.parquet   immutable, append-only
+  *     _manifests/v00000001.manifest           file list of snapshot 1
+  *     _current                                pointer: highest committed version
+  * }}}
+  *
+  * A commit (a) writes NEW data files under a fresh `data/vN/` directory
+  * — existing files are never touched, (b) writes the new snapshot's
+  * manifest (every data file composing version N, tab-separated
+  * `partitionSpec \t relativePath` lines), and only then (c) swaps the
+  * `_current` pointer via write-temp + ATOMIC_MOVE (the
+  * [[JdbcIncremental]] watermark discipline). The pointer swap IS the
+  * commit point:
+  *
+  *  - a reader pinned to snapshot N reads a byte-stable file set no
+  *    matter how many commits land meanwhile (nothing it references is
+  *    ever rewritten);
+  *  - a crash anywhere before the pointer swap leaves version N fully
+  *    readable — the orphaned `data/vN+1` directory and manifest are
+  *    invisible to readers and reclaimed by [[vacuum]];
+  *  - `_manifests/vN.manifest` is created with a no-replace move, so a
+  *    racing second committer fails LOUDLY instead of silently
+  *    clobbering (optimistic concurrency; a single writer at a time is
+  *    the supported regime, as in Hive/Delta-on-HDFS).
+  *
+  * Reads: the manifest is the unit of PRUNING — [[readSnapshot]] with a
+  * partition predicate selects the file subset driver-side (manifest
+  * rows are partition-count-bounded) before any Spark scan is planned,
+  * the same file-skipping shape Iceberg calls manifest filtering.
+  * Partition directory names follow hive layout, so partition columns
+  * come back via each commit directory's `basePath` read; one snapshot
+  * unions at most #contributing-commits scans (compaction via
+  * [[commitOverwrite]] resets that to one).
+  *
+  * Pointer/manifest IO is java.nio against local/NFS-visible paths (the
+  * test and local[32] regime; `file:` URIs accepted). On HDFS the same
+  * scheme holds with `FileSystem.rename`; on S3-class object stores a
+  * pointer swap needs a conditional PUT or an external lock — documented
+  * constraint, not hidden.
+  *
+  * CONTRACT: partition values must be path-safe (no `/`, `=`, newline,
+  * or nulls) — the hive-layout restriction; enforce upstream.
+  *
+  * Reference surface: the candy pipeline overwrites per-day MySQL tables
+  * in place (`reference/src/data_processor.py:137-145`) — versioned
+  * snapshots are part of the 100 TB extensions.
+  */
+object SnapshotTable {
+
+  final case class ManifestEntry(partSpec: String, relPath: String)
+
+  private def root(tablePath: String): String = {
+    val r = tablePath.stripPrefix("file://").stripPrefix("file:")
+    r.stripSuffix("/")
+  }
+  private def manifestDir(t: String) = Paths.get(root(t), "_manifests")
+  private def manifestPath(t: String, v: Long) =
+    manifestDir(t).resolve(f"v$v%08d.manifest")
+  private def pointerPath(t: String) = Paths.get(root(t), "_current")
+  private def dataDirName(v: Long) = f"data/v$v%08d"
+
+  /** Highest COMMITTED version (the pointer), if any. */
+  def currentVersion(tablePath: String): Option[Long] = {
+    val p = pointerPath(tablePath)
+    if (Files.exists(p))
+      Some(new String(Files.readAllBytes(p), "UTF-8").trim.toLong)
+    else None
+  }
+
+  /** All manifest versions on disk, ascending (committed history plus
+    * any crash-orphaned preparation — orphans are > the pointer). */
+  def snapshots(tablePath: String): Seq[Long] = {
+    val d = manifestDir(tablePath)
+    if (!Files.exists(d)) return Nil
+    val it = Files.list(d).iterator()
+    val vs = Seq.newBuilder[Long]
+    while (it.hasNext) {
+      val name = it.next().getFileName.toString
+      if (name.startsWith("v") && name.endsWith(".manifest"))
+        vs += name.stripPrefix("v").stripSuffix(".manifest").toLong
+    }
+    vs.result().sorted
+  }
+
+  /** The file list of snapshot `version` (default: the committed
+    * pointer). */
+  def manifest(tablePath: String, version: Option[Long] = None): Seq[ManifestEntry] = {
+    val v = version.orElse(currentVersion(tablePath)).getOrElse(
+      sys.error(s"no committed snapshot at $tablePath"))
+    val p = manifestPath(tablePath, v)
+    require(Files.exists(p), s"snapshot v$v does not exist at $tablePath")
+    new String(Files.readAllBytes(p), "UTF-8").split("\n", -1).toSeq
+      .filter(_.nonEmpty)
+      .map { line =>
+        val tab = line.indexOf('\t')
+        ManifestEntry(line.substring(0, tab), line.substring(tab + 1))
+      }
+  }
+
+  /** Read a snapshot — the committed one, or any historical `version`
+    * (time travel). `partitionPruning` filters manifest entries by their
+    * hive partition spec (e.g. `_ == "o_year=1995"` or a prefix test)
+    * BEFORE planning, so pruned files are never listed, opened, or
+    * scheduled. */
+  def readSnapshot(spark: SparkSession, tablePath: String,
+                   version: Option[Long] = None,
+                   partitionPruning: String => Boolean = _ => true): DataFrame = {
+    val entries = manifest(tablePath, version).filter(e => partitionPruning(e.partSpec))
+    require(entries.nonEmpty, s"snapshot has no files after pruning at $tablePath")
+    val r = root(tablePath)
+    // group by commit directory so each group's basePath recovers the
+    // hive partition columns written under it
+    val byCommit = entries.groupBy(_.relPath.split("/").take(2).mkString("/"))
+    byCommit.toSeq.sortBy(_._1).map { case (commitDir, es) =>
+      spark.read
+        .option("basePath", s"$r/$commitDir")
+        .parquet(es.map(e => s"$r/${e.relPath}"): _*)
+    }.reduce(_ unionByName _)
+  }
+
+  /** Overwrite commit: snapshot N+1 is exactly `df`. */
+  def commitOverwrite(df: DataFrame, tablePath: String,
+                      partitionCols: Seq[String] = Nil,
+                      filesPerPartition: Int = 1): Long =
+    commit(df, tablePath, partitionCols, filesPerPartition) { (_, fresh) => fresh }
+
+  /** Append commit: snapshot N+1 = snapshot N's files plus `df`'s. */
+  def commitAppend(df: DataFrame, tablePath: String,
+                   partitionCols: Seq[String] = Nil,
+                   filesPerPartition: Int = 1): Long =
+    commit(df, tablePath, partitionCols, filesPerPartition) { (prev, fresh) =>
+      prev ++ fresh
+    }
+
+  /** Replace-partitions commit (dynamic-overwrite semantics, atomically):
+    * snapshot N+1 drops every prior file belonging to a partition present
+    * in `df` and adds `df`'s files — but readers see either all of N or
+    * all of N+1, never a half-swapped table. */
+  def commitReplacePartitions(df: DataFrame, tablePath: String,
+                              partitionCols: Seq[String],
+                              filesPerPartition: Int = 1): Long =
+    commit(df, tablePath, partitionCols, filesPerPartition) { (prev, fresh) =>
+      val replaced = fresh.map(_.partSpec).toSet
+      prev.filterNot(e => replaced.contains(e.partSpec)) ++ fresh
+    }
+
+  private def commit(df: DataFrame, tablePath: String,
+                     partitionCols: Seq[String], filesPerPartition: Int)
+                    (compose: (Seq[ManifestEntry], Seq[ManifestEntry]) => Seq[ManifestEntry]): Long = {
+    val v = prepare(df, tablePath, partitionCols, filesPerPartition)(compose)
+    swapPointer(tablePath, v)
+    v
+  }
+
+  /** Write data + manifest for the NEXT version WITHOUT committing it —
+    * the crash window between (b) and (c) in the object doc, exposed for
+    * LakeLayoutSpec's crash test. Returns the prepared version. */
+  private[sources] def prepare(df: DataFrame, tablePath: String,
+                               partitionCols: Seq[String], filesPerPartition: Int)
+                              (compose: (Seq[ManifestEntry], Seq[ManifestEntry]) => Seq[ManifestEntry]): Long = {
+    val prev = currentVersion(tablePath).map(v => manifest(tablePath, Some(v)))
+      .getOrElse(Nil)
+    val v = snapshots(tablePath).lastOption.getOrElse(0L) + 1
+    val r = root(tablePath)
+    val dataDir = s"$r/${dataDirName(v)}"
+    // shape like LakeLayout.writePartitioned: each directory's rows
+    // co-located into filesPerPartition tasks, sorted so each task writes
+    // each directory once
+    val shaped =
+      if (partitionCols.isEmpty) df.repartition(filesPerPartition)
+      else df.repartition(
+          df.sparkSession.sessionState.conf.numShufflePartitions,
+          partitionCols.map(col) :+
+            pmod(hash(df.columns.map(col): _*), lit(filesPerPartition)): _*)
+        .sortWithinPartitions(partitionCols.map(col): _*)
+    shaped.write
+      .mode(SaveMode.ErrorIfExists) // a racing committer fails loudly
+      .partitionBy(partitionCols: _*)
+      .parquet(dataDir)
+    val fresh = listDataFiles(df.sparkSession, dataDir).map { abs =>
+      val rel = abs.stripPrefix(s"$r/")
+      val inCommit = rel.stripPrefix(dataDirName(v) + "/")
+      val partSpec = inCommit.split("/").dropRight(1).mkString("/")
+      ManifestEntry(partSpec, rel)
+    }.sortBy(_.relPath)
+    val lines = compose(prev, fresh)
+      .map(e => s"${e.partSpec}\t${e.relPath}").mkString("\n")
+    Files.createDirectories(manifestDir(tablePath))
+    val tmp = manifestDir(tablePath).resolve(f"v$v%08d.manifest.tmp")
+    Files.write(tmp, lines.getBytes("UTF-8"))
+    // NO replace: two committers preparing the same version — one loses,
+    // loudly, instead of silently overwriting the other's manifest
+    Files.move(tmp, manifestPath(tablePath, v), StandardCopyOption.ATOMIC_MOVE)
+    v
+  }
+
+  /** The commit point: write-temp + ATOMIC_MOVE over `_current`. */
+  private[sources] def swapPointer(tablePath: String, version: Long): Unit = {
+    val tmp = Paths.get(root(tablePath), s"_current.tmp.$version")
+    Files.write(tmp, version.toString.getBytes("UTF-8"))
+    Files.move(tmp, pointerPath(tablePath), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def listDataFiles(spark: SparkSession, dir: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    val out = Seq.newBuilder[String]
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      if (!name.startsWith("_") && !name.startsWith("."))
+        out += f.getPath.toUri.getPath
+    }
+    out.result()
+  }
+
+  /** MERGE-style CDC apply with SNAPSHOT semantics — the atomic twin of
+    * [[LakeLayout.mergeUpsert]] (same key/partition contract): the
+    * current snapshot is read manifest-pruned to the changeset's
+    * partitions, merged rows are written as new files, and one
+    * replace-partitions commit swaps the pointer. A concurrent reader
+    * sees all-old or all-new, and every prior snapshot stays time-
+    * travelable. Returns the committed version. */
+  def mergeUpsert(spark: SparkSession, tablePath: String, changes: DataFrame,
+                  keyCols: Seq[String], partitionCols: Seq[String],
+                  deleteCol: Option[String] = None,
+                  filesPerPartition: Int = 1): Long = {
+    require(keyCols.nonEmpty && partitionCols.nonEmpty)
+    require(partitionCols.forall(p => !keyCols.contains(p)),
+      "partition columns must not overlap the key")
+    val affected = changes.select(partitionCols.map(col): _*).distinct().collect()
+      .map(row => partitionCols.zipWithIndex
+        .map { case (p, i) => s"$p=${row.get(i)}" }.mkString("/")).toSet
+    require(affected.nonEmpty, "empty changeset")
+    val current = readSnapshot(spark, tablePath,
+      partitionPruning = affected.contains)
+    val dataCols = current.columns.toSeq
+    val changeKeys = changes.select(keyCols.map(col): _*).distinct()
+    val upserts = deleteCol match {
+      case Some(d) => changes.filter(!coalesce(col(d), lit(false))).drop(d)
+      case None => changes
+    }
+    val merged = current
+      .join(changeKeys, keyCols, "left_anti")
+      .unionByName(upserts.select(dataCols.map(col): _*))
+      // lineage cut: the commit's write must not re-plan the snapshot
+      // read mid-overwrite (and the merge is cheaper materialized once)
+      .localCheckpoint()
+    commitReplacePartitions(merged, tablePath, partitionCols, filesPerPartition)
+  }
+
+  /** Reclaim space: delete data files referenced by NO retained manifest
+    * (keep the last `keepSnapshots` committed versions; orphaned
+    * preparations beyond the pointer are reclaimed too) and drop the
+    * expired manifests. Time travel remains valid for every kept
+    * version. Returns (filesDeleted, manifestsDeleted). */
+  def vacuum(spark: SparkSession, tablePath: String,
+             keepSnapshots: Int = 2): (Long, Long) = {
+    val committed = currentVersion(tablePath).getOrElse(
+      sys.error(s"no committed snapshot at $tablePath"))
+    val all = snapshots(tablePath)
+    val keep = all.filter(_ <= committed).takeRight(math.max(1, keepSnapshots)).toSet
+    val referenced = keep.toSeq.flatMap(v => manifest(tablePath, Some(v)))
+      .map(_.relPath).toSet
+    val r = root(tablePath)
+    var filesDeleted = 0L
+    listDataFiles(spark, s"$r/data").foreach { abs =>
+      val rel = abs.stripPrefix(s"$r/")
+      if (!referenced.contains(rel)) {
+        Files.deleteIfExists(Paths.get(abs))
+        filesDeleted += 1
+      }
+    }
+    var manifestsDeleted = 0L
+    all.filterNot(keep.contains).foreach { v =>
+      Files.deleteIfExists(manifestPath(tablePath, v))
+      manifestsDeleted += 1
+    }
+    (filesDeleted, manifestsDeleted)
+  }
+}

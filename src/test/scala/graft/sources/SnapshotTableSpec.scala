@@ -1,0 +1,161 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Snapshot-table guarantees (r11 VERDICT #2 done-criteria): a reader
+  * pinned to snapshot N is byte-stable while N+1 commits; a crash between
+  * data/manifest and the pointer swap leaves N readable; historical
+  * snapshots time-travel; merge-upsert is atomic at the table level and
+  * leaves untouched partitions' FILES untouched; vacuum reclaims only
+  * unreferenced files.
+  */
+class SnapshotTableSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def freshTable(): String =
+    Files.createTempDirectory("graft-snap").toString
+
+  private def rows(y1: Int, n: Int, tag: String) =
+    (1 to n).map(i => (i.toLong, y1 + i % 2, s"$tag-$i")).toDF("id", "year", "payload")
+
+  test("commit + read round-trip; versions advance; pointer is the commit point") {
+    val t = freshTable()
+    assert(SnapshotTable.currentVersion(t).isEmpty)
+    val v1 = SnapshotTable.commitOverwrite(rows(2000, 10, "a"), t, Seq("year"))
+    assert(v1 == 1L && SnapshotTable.currentVersion(t).contains(1L))
+    val got = SnapshotTable.readSnapshot(spark, t)
+      .select("id", "year", "payload").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
+    assert(got == (1 to 10).map(i => (i.toLong, 2000 + i % 2, s"a-$i")))
+  }
+
+  test("a reader pinned to snapshot N is byte-stable while N+1 commits") {
+    val t = freshTable()
+    SnapshotTable.commitOverwrite(rows(2000, 20, "base"), t, Seq("year"))
+    val manifestBefore = SnapshotTable.manifest(t, Some(1L))
+    val pinnedBefore = SnapshotTable.readSnapshot(spark, t, Some(1L))
+      .orderBy("id").collect().map(_.toString).toSeq
+    // concurrent-writer stand-in: a replace-partitions commit lands
+    // even ids land in year=2000 (the partition being rewritten)
+    val changed = Seq((2L, 2000, "CHANGED"), (98L, 2000, "NEW"))
+      .toDF("id", "year", "payload")
+    val v2 = SnapshotTable.commitReplacePartitions(
+      // year=2000 partition rewritten wholesale with merged content
+      SnapshotTable.readSnapshot(spark, t, Some(1L),
+          partitionPruning = _ == "year=2000")
+        .filter(col("id") =!= 2L).unionByName(changed).localCheckpoint(),
+      t, Seq("year"))
+    assert(v2 == 2L)
+    // the pinned reader still sees byte-identical content and an
+    // identical manifest — nothing it references was rewritten
+    assert(SnapshotTable.manifest(t, Some(1L)) == manifestBefore)
+    val pinnedAfter = SnapshotTable.readSnapshot(spark, t, Some(1L))
+      .orderBy("id").collect().map(_.toString).toSeq
+    assert(pinnedAfter == pinnedBefore)
+    // and the new snapshot shows the change
+    val now = SnapshotTable.readSnapshot(spark, t).filter(col("id").isin(2L, 98L))
+      .select("id", "payload").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(now == Seq((2L, "CHANGED"), (98L, "NEW")))
+    // untouched partition year=2001: manifest entries carried over as-is
+    val v1Untouched = manifestBefore.filter(_.partSpec == "year=2001").toSet
+    val v2Untouched = SnapshotTable.manifest(t, Some(2L))
+      .filter(_.partSpec == "year=2001").toSet
+    assert(v1Untouched == v2Untouched && v1Untouched.nonEmpty)
+  }
+
+  test("crash between data+manifest write and pointer swap leaves N readable") {
+    val t = freshTable()
+    SnapshotTable.commitOverwrite(rows(2000, 8, "v1"), t, Seq("year"))
+    val before = SnapshotTable.readSnapshot(spark, t)
+      .orderBy("id").collect().map(_.toString).toSeq
+    // simulate the crash: data + manifest land, the pointer swap never runs
+    val orphan = SnapshotTable.prepare(rows(2000, 8, "v2-crashed"), t,
+      Seq("year"), 1)((_, fresh) => fresh)
+    assert(orphan == 2L)
+    assert(SnapshotTable.currentVersion(t).contains(1L), "pointer moved without commit")
+    val after = SnapshotTable.readSnapshot(spark, t)
+      .orderBy("id").collect().map(_.toString).toSeq
+    assert(after == before, "default reader saw uncommitted data")
+    // recovery: the next commit skips past the orphan and commits cleanly
+    val v3 = SnapshotTable.commitOverwrite(rows(2000, 8, "v3"), t, Seq("year"))
+    assert(v3 == 3L && SnapshotTable.currentVersion(t).contains(3L))
+    assert(SnapshotTable.readSnapshot(spark, t).select("payload")
+      .head().getString(0).startsWith("v3"))
+  }
+
+  test("time travel: every historical version reads its own content") {
+    val t = freshTable()
+    SnapshotTable.commitOverwrite(rows(2000, 5, "one"), t, Seq("year"))
+    SnapshotTable.commitAppend(rows(2010, 5, "two"), t, Seq("year"))
+    SnapshotTable.commitOverwrite(rows(2020, 5, "three"), t, Seq("year"))
+    assert(SnapshotTable.readSnapshot(spark, t, Some(1L)).count() == 5)
+    assert(SnapshotTable.readSnapshot(spark, t, Some(2L)).count() == 10)
+    assert(SnapshotTable.readSnapshot(spark, t, Some(3L)).count() == 5)
+    val tags2 = SnapshotTable.readSnapshot(spark, t, Some(2L))
+      .select(substring_index(col("payload"), "-", 1)).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(tags2 == Set("one", "two"))
+    assert(SnapshotTable.readSnapshot(spark, t, Some(3L))
+      .select(substring_index(col("payload"), "-", 1)).distinct()
+      .collect().map(_.getString(0)).toSet == Set("three"))
+  }
+
+  test("manifest-level partition pruning: pruned files are never planned") {
+    val t = freshTable()
+    SnapshotTable.commitOverwrite(rows(2000, 20, "p"), t, Seq("year"))
+    val pruned = SnapshotTable.readSnapshot(spark, t,
+      partitionPruning = _ == "year=2001")
+    assert(pruned.select("year").distinct().collect().map(_.getInt(0)).toSeq == Seq(2001))
+    val allFiles = SnapshotTable.manifest(t, None).size
+    assert(pruned.inputFiles.length < allFiles,
+      s"pruning did not reduce planned files: ${pruned.inputFiles.length} of $allFiles")
+    assert(pruned.inputFiles.forall(_.contains("year=2001")))
+  }
+
+  test("mergeUpsert: snapshot-atomic CDC; history intact; untouched partition files untouched") {
+    val t = freshTable()
+    val base = (1 to 30).map(i => (i.toLong, 2000 + i % 3, i * 10.0))
+      .toDF("id", "year", "amount")
+    SnapshotTable.commitOverwrite(base, t, Seq("year"))
+    val changes = Seq(
+      (3L, 2000, 999.0, false),  // update (year = 2000 + 3%3 = 2000)
+      (6L, 2000, 0.0, true),     // delete
+      (100L, 2000, 42.0, false)  // insert
+    ).toDF("id", "year", "amount", "_del")
+    val v2 = SnapshotTable.mergeUpsert(spark, t, changes,
+      keyCols = Seq("id"), partitionCols = Seq("year"), deleteCol = Some("_del"))
+    assert(v2 == 2L)
+    val now = SnapshotTable.readSnapshot(spark, t)
+    assert(now.filter(col("id") === 3L).select("amount").head().getDouble(0) == 999.0)
+    assert(now.filter(col("id") === 6L).count() == 0)
+    assert(now.filter(col("id") === 100L).count() == 1)
+    assert(now.count() == 30)
+    // pre-merge history intact
+    val old = SnapshotTable.readSnapshot(spark, t, Some(1L))
+    assert(old.count() == 30 &&
+      old.filter(col("id") === 3L).select("amount").head().getDouble(0) == 30.0)
+    // only year=2000 was rewritten: the other partitions' manifest rows
+    // (and therefore files) carried over identical
+    val m1 = SnapshotTable.manifest(t, Some(1L)).filterNot(_.partSpec == "year=2000").toSet
+    val m2 = SnapshotTable.manifest(t, Some(2L)).filterNot(_.partSpec == "year=2000").toSet
+    assert(m1 == m2 && m1.nonEmpty)
+  }
+
+  test("vacuum reclaims only unreferenced files; kept versions still read") {
+    val t = freshTable()
+    SnapshotTable.commitOverwrite(rows(2000, 6, "a"), t, Seq("year"))
+    SnapshotTable.commitOverwrite(rows(2000, 6, "b"), t, Seq("year"))
+    SnapshotTable.commitAppend(rows(2010, 6, "c"), t, Seq("year"))
+    val (files, manifests) = SnapshotTable.vacuum(spark, t, keepSnapshots = 2)
+    assert(manifests == 1L, "exactly v1 should expire")
+    assert(files > 0L, "v1's unshared files should be reclaimed")
+    // kept versions fully readable (v3 shares v2's files via the append)
+    assert(SnapshotTable.readSnapshot(spark, t, Some(2L)).count() == 6)
+    assert(SnapshotTable.readSnapshot(spark, t, Some(3L)).count() == 12)
+    intercept[Exception] { SnapshotTable.readSnapshot(spark, t, Some(1L)).count() }
+  }
+}
