@@ -289,6 +289,121 @@ object UrlCanon {
     else suffix2
   }
 
+  // ---- punycode / IDN (RFC 3492) ----
+
+  private val PunyBase = 36
+  private val PunyTMin = 1
+  private val PunyTMax = 26
+  private val PunySkew = 38
+  private val PunyDamp = 700
+  private val PunyInitialBias = 72
+  private val PunyInitialN = 128
+
+  private def punyAdapt(delta0: Int, numPoints: Int, firstTime: Boolean): Int = {
+    var delta = if (firstTime) delta0 / PunyDamp else delta0 / 2
+    delta += delta / numPoints
+    var k = 0
+    while (delta > ((PunyBase - PunyTMin) * PunyTMax) / 2) {
+      delta /= PunyBase - PunyTMin
+      k += PunyBase
+    }
+    k + ((PunyBase - PunyTMin + 1) * delta) / (delta + PunySkew)
+  }
+
+  /** Decode ONE `xn--` label per RFC 3492 (IDNA parameters). Pure integer
+    * arithmetic over ASCII — no Unicode tables, no network. Hosts reach
+    * this ALREADY LOWERCASED (the canonicalizer's contract), so only
+    * `a-z0-9` digits are accepted. Any malformed input — bad digit,
+    * truncated trailer, integer overflow, surrogate/out-of-range code
+    * point, or a decoded label that is pure ASCII (which IDNA forbids
+    * encoding) — returns the label UNCHANGED: an opaque `xn--` label
+    * still blocklist-matches its own raw spelling, exactly the pre-IDN
+    * behavior, and a hostile label can never throw on the hot path. */
+  def punycodeDecodeLabel(label: String): String = {
+    if (!label.startsWith("xn--")) return label
+    val enc = label.substring(4)
+    if (enc.isEmpty) return label
+    val lastDash = enc.lastIndexOf('-')
+    val out = new java.util.ArrayList[Integer](enc.length)
+    var pos = 0
+    if (lastDash >= 0) {
+      var i = 0
+      while (i < lastDash) {
+        val c = enc.charAt(i)
+        // non-ASCII can't be punycode; uppercase means the input broke
+        // the lowercased-host contract — stay opaque, like the digit
+        // branch below
+        if (c >= 0x80 || (c >= 'A' && c <= 'Z')) return label
+        out.add(Integer.valueOf(c))
+        i += 1
+      }
+      pos = lastDash + 1
+    }
+    if (pos >= enc.length) return label // nothing encoded: not valid IDNA
+    var n = PunyInitialN
+    var idx = 0
+    var bias = PunyInitialBias
+    while (pos < enc.length) {
+      val oldIdx = idx
+      var w = 1
+      var k = PunyBase
+      var done = false
+      while (!done) {
+        if (pos >= enc.length) return label
+        val c = enc.charAt(pos)
+        pos += 1
+        val digit =
+          if (c >= 'a' && c <= 'z') c - 'a'
+          else if (c >= '0' && c <= '9') c - '0' + 26
+          else return label
+        if (digit > (Int.MaxValue - idx) / w) return label
+        idx += digit * w
+        val t = if (k <= bias) PunyTMin
+                else if (k >= bias + PunyTMax) PunyTMax
+                else k - bias
+        if (digit < t) done = true
+        else {
+          if (w > Int.MaxValue / (PunyBase - t)) return label
+          w *= PunyBase - t
+          k += PunyBase
+        }
+      }
+      val numPoints = out.size() + 1
+      bias = punyAdapt(idx - oldIdx, numPoints, oldIdx == 0)
+      if (idx / numPoints > Int.MaxValue - n) return label
+      n += idx / numPoints
+      idx %= numPoints
+      if (n < 0x80 || n > 0x10FFFF || (n >= 0xD800 && n <= 0xDFFF)) return label
+      out.add(idx, Integer.valueOf(n))
+      idx += 1
+    }
+    val sb = new java.lang.StringBuilder(out.size() + 4)
+    var j = 0
+    while (j < out.size()) {
+      sb.appendCodePoint(out.get(j).intValue())
+      j += 1
+    }
+    sb.toString
+  }
+
+  /** Decode every `xn--` label of an already-lowercased host (bracketed
+    * IPv6 and xn---free hosts pass through untouched on a fast path).
+    * One decode is the normal form both blocklist sides compare in —
+    * decode is NOT idempotent in general (a hostile label can decode TO
+    * an `xn--` spelling), so both sides must decode exactly once. */
+  def idnHost(host: String): String = {
+    if (host.startsWith("[") || !host.contains("xn--")) return host
+    val labels = host.split("\\.", -1)
+    var changed = false
+    var i = 0
+    while (i < labels.length) {
+      val d = punycodeDecodeLabel(labels(i))
+      if (d ne labels(i)) { labels(i) = d; changed = true }
+      i += 1
+    }
+    if (changed) String.join(".", labels: _*) else host
+  }
+
   // UTF8String entry points called from generated code
   def canonicalize(u: UTF8String): UTF8String =
     UTF8String.fromString(canonicalize(u.toString))
@@ -296,6 +411,8 @@ object UrlCanon {
     UTF8String.fromString(host(u.toString))
   def registeredDomain(u: UTF8String): UTF8String =
     UTF8String.fromString(registeredDomain(u.toString))
+  def idnHost(u: UTF8String): UTF8String =
+    UTF8String.fromString(idnHost(u.toString))
 }
 
 abstract class UrlKernelExpr extends UnaryExpression {
@@ -324,6 +441,19 @@ case class UrlHostExpr(child: Expression) extends UrlKernelExpr {
     UrlCanon.host(s.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.UrlCanon.host($c)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** `url_idn_host(s)`: every `xn--` label punycode-decoded (RFC 3492);
+  * malformed labels stay opaque. The normal form domain blocklists
+  * compare in — see [[graft.operators.UrlOps.domainListFilter]]. */
+case class IdnHostExpr(child: Expression) extends UrlKernelExpr {
+  override def prettyName: String = "url_idn_host"
+  override protected def nullSafeEval(s: Any): Any =
+    UrlCanon.idnHost(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.UrlCanon.idnHost($c)")
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 }

@@ -72,14 +72,21 @@ import org.apache.spark.sql.functions._
   * and the q_u1–u5 and q_sp13 oracles are analytic (planted
   * construction), so a shared bug cannot hide in a replayed copy.
   *
+  * Punycode/IDN: canonical URLs keep hosts in their wire (`xn--`) form —
+  * re-encoding is not canonicalization's job — but [[domainListFilter]]
+  * compares registered domains AFTER one RFC 3492 decode on both sides
+  * (`url_idn_host`, `graft.functions.UrlCanon.punycodeDecodeLabel`:
+  * deterministic ASCII arithmetic, no Unicode tables, malformed labels
+  * stay opaque), so an IDN spelling of a listed domain cannot evade the
+  * list (r11 VERDICT #4; UrlProps pins decode ≡ `java.net.IDN` round
+  * trips).
+  *
   * Deliberate non-goals, documented so the contract is explicit: no
-  * punycode (an IDN host must arrive already `xn--`-encoded — it is then
-  * lowercased and deduped correctly; real punycode needs a Unicode table,
-  * not a string expression), no %-DEcoding (decoding changes which
-  * characters are delimiters; hex-case folding alone is always safe), no
-  * path `.`/`..` resolution (crawlers emit resolved paths), and
-  * `http`/`https` stay distinct schemes (collapse them upstream if a
-  * pipeline wants scheme-blind dedup).
+  * %-DEcoding (decoding changes which characters are delimiters;
+  * hex-case folding alone is always safe), no path `.`/`..` resolution
+  * (crawlers emit resolved paths), and `http`/`https` stay distinct
+  * schemes (collapse them upstream if a pipeline wants scheme-blind
+  * dedup).
   *
   * Reference surface: the candy pipeline has no URL layer (its sources are
   * JSON/CSV/JDBC, `reference/src/data_processor.py:1-120`) — this family
@@ -424,9 +431,19 @@ object UrlOps {
     */
   def domainListFilter(df: DataFrame, urlCol: String, domains: DataFrame,
                        allow: Boolean = false): DataFrame = {
-    val listed = broadcast(domains.toDF("_blocked_domain").distinct())
+    graft.plans.GraftExtensions.register(df.sparkSession)
+    // IDN normalization (r11 VERDICT #4): BOTH sides compare after ONE
+    // punycode decode (url_idn_host, RFC 3492 kernel) — an `xn--`
+    // spelling of a listed unicode domain (or vice versa) can no longer
+    // evade the list, while pure-ASCII domains and opaque/malformed
+    // xn-- labels match exactly as before (decode is identity for them).
+    val listed = broadcast(domains.toDF("_blocked_domain")
+      .select(call_function("url_idn_host", col("_blocked_domain"))
+        .as("_blocked_domain"))
+      .distinct())
     val keyed = withRegisteredDomain(df, urlCol, "_rd")
-    keyed.join(listed, keyed("_rd") === listed("_blocked_domain"),
+    keyed.join(listed,
+        call_function("url_idn_host", keyed("_rd")) === listed("_blocked_domain"),
         if (allow) "left_semi" else "left_anti")
       .drop("_rd")
   }

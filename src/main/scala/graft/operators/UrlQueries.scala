@@ -126,6 +126,36 @@ object UrlQueries {
         .orderBy("doc_id")
     }),
 
+    // IDN-aware domain blocklisting (r11 VERDICT #4): hosts planted by
+    // doc_id % 7 — an `xn--` spelling blocked by its UNICODE list entry
+    // (1: xn--bcher-kva.com vs listed bücher.com), a unicode-listed
+    // domain blocked from a PUNYCODED list entry through a subdomain
+    // (2: shop.xn--caf-dma.org vs listed xn--caf-dma.org), an ASCII
+    // lookalike that must NOT over-block (3: bucher.com), and a
+    // MALFORMED xn-- label that stays opaque yet still matches its own
+    // raw spelling (4: xn--zzz-.com). Both sides normalize through ONE
+    // RFC 3492 decode (url_idn_host); the oracle is pure doc_id
+    // arithmetic — the expected keep-set is known by construction, so a
+    // decoder bug in either direction fails the hash.
+    "q_u6_idn_blocklist" -> ((s, dir) => {
+      import s.implicits._
+      val planted = docs(s, dir).withColumn("url",
+        concat(lit("https://"),
+          when(col("doc_id") % 7 === 1, lit("xn--bcher-kva.com"))
+            .when(col("doc_id") % 7 === 2, lit("shop.xn--caf-dma.org"))
+            .when(col("doc_id") % 7 === 3, lit("bucher.com"))
+            .when(col("doc_id") % 7 === 4, lit("xn--zzz-.com"))
+            .otherwise(lit("kept.example.net")),
+          lit("/p/"), col("doc_id")))
+      UrlOps.withRegisteredDomain(
+          UrlOps.domainListFilter(planted, "url",
+            Seq("bücher.com", "xn--caf-dma.org", "xn--zzz-.com")
+              .toDF("domain")),
+          "url")
+        .select("doc_id", "domain")
+        .orderBy("doc_id")
+    }),
+
     // Recrawl keep-latest dedup (the CDX-archive freshness rule): each
     // page's three messy variants carry a planted capture day
     // (doc_id % 97 — consecutive ids give distinct days, so the winner is
@@ -185,6 +215,15 @@ object UrlQueries {
          |SELECT doc_id, domain FROM pages
          |WHERE domain NOT IN ('example.org', 'example.io')
          |ORDER BY doc_id""".stripMargin,
+
+    // pure doc_id arithmetic: the keep-set and each survivor's registered
+    // domain are known by construction — no decoder runs oracle-side
+    "q_u6_idn_blocklist" ->
+      """SELECT doc_id,
+        |       CASE WHEN doc_id % 7 = 3 THEN 'bucher.com'
+        |            ELSE 'example.net' END AS domain
+        |FROM documents WHERE doc_id % 7 NOT IN (1, 2, 4)
+        |ORDER BY doc_id""".stripMargin,
 
     // analytic canonical key per page; the winner replayed relationally
     // over the trivially-planted capture-day arithmetic

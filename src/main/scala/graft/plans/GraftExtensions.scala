@@ -111,6 +111,14 @@ object GraftExtensions {
           s"url_domain expects 1 argument, got ${args.length}")
         graft.functions.RegisteredDomainExpr(args.head)
       }),
+    (FunctionIdentifier("url_idn_host"),
+      new ExpressionInfo(classOf[graft.functions.IdnHostExpr].getName,
+        "url_idn_host"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1,
+          s"url_idn_host expects 1 argument, got ${args.length}")
+        graft.functions.IdnHostExpr(args.head)
+      }),
     (FunctionIdentifier("sample_ids"),
       new ExpressionInfo(classOf[graft.functions.BoundedHashSampleAgg].getName,
         "sample_ids"),

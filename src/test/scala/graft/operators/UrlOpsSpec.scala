@@ -136,6 +136,36 @@ class UrlOpsSpec extends SparkTestBase {
       Seq("http://example.com/a/\u2028", "http://example.com/a\u0085"))
   }
 
+  test("IDN blocklisting: xn-- spellings cannot evade; lookalikes and opaque labels behave") {
+    import graft.functions.UrlCanon
+    // RFC 3492 / IDNA reference pairs
+    assert(UrlCanon.punycodeDecodeLabel("xn--bcher-kva") == "bücher")
+    assert(UrlCanon.punycodeDecodeLabel("xn--caf-dma") == "café")
+    assert(UrlCanon.idnHost("www.xn--bcher-kva.com") == "www.bücher.com")
+    assert(UrlCanon.idnHost("[::1]") == "[::1]")
+    assert(UrlCanon.idnHost("plain.example.com") == "plain.example.com")
+    // malformed labels stay opaque, never throw
+    for (bad <- Seq("xn--", "xn---", "xn--zzz-", "xn--UPPER-case", "xn--!!!", "xn--a-zzzzzzzzzzzz"))
+      assert(UrlCanon.punycodeDecodeLabel(bad) == bad, s"'$bad' should stay opaque")
+    // the blocklist catches the punycoded spelling of a listed unicode
+    // domain, in both directions, without over-blocking ascii lookalikes
+    val docs = Seq(
+      (1L, "https://xn--bcher-kva.com/x"),       // blocked via unicode entry
+      (2L, "https://shop.xn--caf-dma.org/y"),    // blocked via punycoded entry
+      (3L, "https://bucher.com/z"),              // ascii lookalike: kept
+      (4L, "https://xn--zzz-.com/w")             // opaque label: blocked via raw entry
+    ).toDF("doc_id", "url")
+    val kept = UrlOps.domainListFilter(docs, "url",
+        Seq("bücher.com", "xn--caf-dma.org", "xn--zzz-.com").toDF("domain"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L))
+    // allowlist direction flips with the same normalization
+    val allowed = UrlOps.domainListFilter(docs, "url",
+        Seq("bücher.com").toDF("domain"), allow = true)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(allowed == Set(1L))
+  }
+
   test("bracketed authority port keys on the FIRST closing bracket in both paths") {
     // stray ']' after the host: the kernel sees ']' then ']' (no ':'), so
     // no port — the spec's old \]:(digits)$ matched the LAST ']:80'

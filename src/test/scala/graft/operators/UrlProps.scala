@@ -189,6 +189,36 @@ object UrlProps extends Properties("CanonicalizeUrl") {
       }
     }
 
+  /** r11 VERDICT #4: the hand-rolled RFC 3492 decoder against the JDK's
+    * independent IDNA implementation — for any label the JDK can encode,
+    * decoding the `xn--` form must reproduce exactly what
+    * `java.net.IDN.toUnicode` reads back (which is the nameprepped
+    * original). Labels the JDK rejects are skipped (they never reach the
+    * decoder as valid punycode anyway). */
+  private val genIdnLabel: Gen[String] = for {
+    n <- Gen.choose(1, 8)
+    cs <- Gen.listOfN(n, Gen.frequency(
+      3 -> Gen.alphaLowerChar,
+      2 -> Gen.oneOf('ä', 'ö', 'ü', 'ß', 'é', 'ñ', 'ç', 'λ', 'щ', '中', '本'),
+      1 -> Gen.numChar))
+  } yield cs.mkString
+
+  property("punycode decode ≡ java.net.IDN on every encodable label") =
+    forAllNoShrink(Gen.listOfN(12, genIdnLabel)) { labels =>
+      labels.forall { l =>
+        val enc =
+          try Some(java.net.IDN.toASCII(l))
+          catch { case _: IllegalArgumentException => None }
+        enc.forall { ascii =>
+          val dec = graft.functions.UrlCanon.punycodeDecodeLabel(ascii.toLowerCase)
+          val jdk = java.net.IDN.toUnicode(ascii.toLowerCase)
+          if (dec != jdk)
+            println(s"IDN-DIVERGE label='$l' ascii='$ascii'\n  ours=$dec\n  jdk =$jdk")
+          dec == jdk
+        }
+      }
+    }
+
   property("canon is idempotent and host attribution is stable") =
     forAllNoShrink(Gen.choose(1, 10).flatMap(n => Gen.listOfN(n, genUrl))) { urls =>
       val s = spark
