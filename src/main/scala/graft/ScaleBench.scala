@@ -732,7 +732,30 @@ object ScaleBench {
       spark.read.parquet(s"$dir/documents.parquet"), curOut, seed = "scale-7")
     val curSec = (System.nanoTime() - tCur) / 1e9
 
-    val line = s"""{"label":"$label","dir":"$dir","ivf_build_sec":${fmt(ivfBuildSec)},"ivf_append_sec":${fmt(ivfAppendSec)},"ivf_append_rows":${appendReport.nAppended},"d6_index_build_sec":${fmt(d6BuildSec)},"d9_index_build_sec":${fmt(d9BuildSec)},"curation_sec":${fmt(curSec)},"curation_survivors":${curReport.nAfterNearDedup},"queries":$qs}"""
+    // CONTINUOUS curation (round 12): the same corpus in TWO waves through
+    // ContinuousCuration.curateWave. Wave 2 runs against wave 1's persisted
+    // url/norm/LSH indexes — its wall must track the WAVE (plus one
+    // band-key equi-join into the index), never the history; the pair of
+    // timings is that receipt.
+    val ccWork = Files.createTempDirectory("graft-cc-scale").toString
+    val ccDocs = spark.read.parquet(s"$dir/documents.parquet")
+      .withColumn("url", expr(
+        "concat('https://h.ex', (doc_id div 3) % 7, '.net/page/', doc_id div 3)"))
+      .select("doc_id", "url", "text").localCheckpoint()
+    val ccMid = ccDocs.agg(expr("percentile_approx(doc_id, 0.5)")).head().getLong(0)
+    val ccSplits = Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05)
+    val tCc1 = System.nanoTime()
+    streaming.ContinuousCuration.curateWave(
+      ccDocs.filter(col("doc_id") <= ccMid), 0L, ccWork, "url", None, None,
+      operators.Curation.QualityConfig(), 0.7, ccSplits, "cc-scale")
+    val ccW1Sec = (System.nanoTime() - tCc1) / 1e9
+    val tCc2 = System.nanoTime()
+    val ccR2 = streaming.ContinuousCuration.curateWave(
+      ccDocs.filter(col("doc_id") > ccMid), 1L, ccWork, "url", None, None,
+      operators.Curation.QualityConfig(), 0.7, ccSplits, "cc-scale")
+    val ccW2Sec = (System.nanoTime() - tCc2) / 1e9
+
+    val line = s"""{"label":"$label","dir":"$dir","ivf_build_sec":${fmt(ivfBuildSec)},"ivf_append_sec":${fmt(ivfAppendSec)},"ivf_append_rows":${appendReport.nAppended},"d6_index_build_sec":${fmt(d6BuildSec)},"d9_index_build_sec":${fmt(d9BuildSec)},"curation_sec":${fmt(curSec)},"curation_survivors":${curReport.nAfterNearDedup},"cc_wave1_sec":${fmt(ccW1Sec)},"cc_wave2_sec":${fmt(ccW2Sec)},"cc_wave2_survivors":${ccR2.nAfterNearDedup},"queries":$qs}"""
     println(line)
     Files.writeString(Paths.get(outFile), line + "\n",
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)

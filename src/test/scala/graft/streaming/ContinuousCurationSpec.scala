@@ -1,0 +1,152 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.SparkTestBase
+import graft.operators.Curation
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** r11 VERDICT #5 done-criteria: two streamed waves produce EXACTLY the
+  * batch [[Curation.curate]] survivor set (ids AND split labels) on the
+  * same corpus; a crash-replayed wave converges bit-identically instead of
+  * doubling; and the one documented semantic divergence (chain-shaped
+  * near-dup components, which an append-only stream cannot retract) is
+  * pinned by construction rather than hidden.
+  */
+class ContinuousCurationSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** sf0.001 docs with a planted URL layer: every 3 consecutive ids share
+    * one page URL (URL-dup groups crossing the wave boundary), page hosts
+    * rotate over 7 registered domains (one blocked), and doc_id % 11 == 5
+    * docs carry a punctuation-adjacent blocklisted word. */
+  private def planted: DataFrame =
+    spark.read.parquet(sfDir("0.001") + "/documents.parquet")
+      .withColumn("url", expr(
+        "concat('https://h.ex', (doc_id div 3) % 7, '.net/page/', doc_id div 3)"))
+      .withColumn("text",
+        when(col("doc_id") % 11 === 5, concat(col("text"), lit(" zzqx1,")))
+          .otherwise(col("text")))
+      .select("doc_id", "url", "text")
+
+  private def blockedDomains = Seq("ex3.net").toDF("domain")
+  private def blockedWords = Seq("zzqx1").toDF("word")
+  private val seed = "cc-spec-12"
+
+  private def batchSurvivors(docs: DataFrame): Set[(Long, String)] = {
+    val out = Files.createTempDirectory("graft-cc-batch").toString
+    Curation.curate(docs, out, seed = seed,
+      urlCol = Some("url"), domainBlocklist = Some(blockedDomains),
+      wordBlocklist = Some(blockedWords))
+    spark.read.parquet(out).select("doc_id", "split").distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+  }
+
+  private def streamedSurvivors(work: String): Set[(Long, String)] =
+    spark.read.parquet(s"$work/out").select("doc_id", "split").distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+  private def wave(docs: DataFrame, batchId: Long, work: String): ContinuousCuration.WaveReport =
+    ContinuousCuration.curateWave(docs, batchId, work, "url",
+      Some(blockedDomains), Some(blockedWords), Curation.QualityConfig(),
+      nearDupThreshold = 0.7,
+      splits = Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05),
+      seed = seed)
+
+  test("two id-ordered waves ≡ one batch Curation.curate (ids and splits)") {
+    val docs = planted.localCheckpoint()
+    val mid = docs.agg(expr("percentile_approx(doc_id, 0.5)")).head().getLong(0)
+    val work = Files.createTempDirectory("graft-cc-stream").toString
+    val r1 = wave(docs.filter(col("doc_id") <= mid), 0L, work)
+    val r2 = wave(docs.filter(col("doc_id") > mid), 1L, work)
+    assert(r1.nInput + r2.nInput == docs.count())
+    // every stateful stage actually dropped something ACROSS the wave
+    // boundary (otherwise the test degenerates to two independent runs):
+    // wave-2 URL dups of wave-1 pages exist by construction (3-id groups
+    // straddle any median cut)
+    assert(r2.nAfterUrl < r2.nInput, "wave 2 dropped no URL dups")
+    val streamed = streamedSurvivors(work)
+    val batch = batchSurvivors(docs)
+    val onlyS = streamed -- batch
+    val onlyB = batch -- streamed
+    assert(streamed == batch,
+      s"survivor sets diverge: stream-only=$onlyS batch-only=$onlyB")
+    // audit rows landed per wave
+    val audits = spark.read.parquet(s"$work/audit")
+    assert(audits.count() == 2)
+  }
+
+  test("crash-replay converges: re-running a wave is bit-identical, never doubled") {
+    val docs = planted.localCheckpoint()
+    val mid = docs.agg(expr("percentile_approx(doc_id, 0.5)")).head().getLong(0)
+    val w1 = docs.filter(col("doc_id") <= mid)
+    val w2 = docs.filter(col("doc_id") > mid)
+
+    val clean = Files.createTempDirectory("graft-cc-clean").toString
+    wave(w1, 0L, clean); wave(w2, 1L, clean)
+
+    val crashy = Files.createTempDirectory("graft-cc-crash").toString
+    wave(w1, 0L, crashy)
+    wave(w1, 0L, crashy) // replay after a simulated post-write crash
+    wave(w2, 1L, crashy)
+    wave(w2, 1L, crashy) // and replay the second wave too
+
+    assert(streamedSurvivors(crashy) == streamedSurvivors(clean))
+    // row-level (not just set-level): replay overwrote its own partitions
+    assert(spark.read.parquet(s"$crashy/out").count() ==
+      spark.read.parquet(s"$clean/out").count())
+    for (idx <- Seq("url_index", "norm_index", "lsh_index", "audit"))
+      assert(spark.read.parquet(s"$crashy/$idx").count() ==
+        spark.read.parquet(s"$clean/$idx").count(), s"$idx diverged on replay")
+  }
+
+  test("exactly-once through the real stream front door (AvailableNow, two arrivals)") {
+    val docs = planted.localCheckpoint()
+    val mid = docs.agg(expr("percentile_approx(doc_id, 0.5)")).head().getLong(0)
+    val src = Files.createTempDirectory("graft-cc-src").toString
+    val work = Files.createTempDirectory("graft-cc-work").toString
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("url", StringType), StructField("text", StringType)))
+    def run(): Unit = ContinuousCuration.runAvailableNow(spark, src, schema,
+      work, "url", Some(blockedDomains), Some(blockedWords), seed = seed)
+    docs.filter(col("doc_id") <= mid).write.mode("append").json(src)
+    run()
+    docs.filter(col("doc_id") > mid).write.mode("append").json(src)
+    run()
+    run() // third run with nothing new: must be a no-op, not a reprocess
+    assert(streamedSurvivors(work) == batchSurvivors(docs))
+  }
+
+  test("documented divergence class: chain-shaped near-dup components (no retraction in append mode)") {
+    // shingle-set construction: J(1,3)=99/129≈0.767 and J(2,3)=98/130≈0.754
+    // are pairs at threshold 0.7; J(1,2)=69/129≈0.535 is NOT. Component
+    // {1,2,3} is a CHAIN through 3: batch connected-components keeps the
+    // min {1}; the stream (same rule within one wave) cannot retract doc 2
+    // — it pairs only with the LARGER doc 3 — and keeps {1, 2}. This is
+    // the precise, documented limit of the batch-equivalence claim.
+    val w = (1 to 100).map(i => s"w$i")
+    val x = (1 to 30).map(i => s"x$i")
+    val docs = Seq(
+      (1L, "https://h.chain.org/p/1", w.mkString(" ")),
+      (2L, "https://h.chain.org/p/2", (w.take(70) ++ x).mkString(" ")),
+      (3L, "https://h.chain.org/p/3", (w ++ x).mkString(" "))
+    ).toDF("doc_id", "url", "text")
+    val work = Files.createTempDirectory("graft-cc-chain").toString
+    val r = ContinuousCuration.curateWave(docs, 0L, work, "url", None, None,
+      Curation.QualityConfig(minTokens = 5, minTtr = 0.0, minCharEntropy = 0.0,
+        maxDupNgramFrac = 1.0),
+      nearDupThreshold = 0.7,
+      splits = Seq("train" -> 1.0), seed = seed)
+    assert(r.nAfterNearDedup == 2, s"stream should keep {1,2}: $r")
+    val kept = spark.read.parquet(s"$work/out").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L))
+    // the batch rule on the same three docs keeps only the component min
+    val batchKept = graft.operators.Dedup.dedupedCorpus(docs, "doc_id", "text",
+      shingleSize = 2, threshold = 0.7).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(batchKept == Set(1L))
+  }
+}
