@@ -31,6 +31,14 @@ object Bench {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.window",
       org.apache.logging.log4j.Level.ERROR)
+    // localCheckpoint re-registration emits a benign "Block rdd_N_i
+    // already exists on this machine; not re-adding it" WARN (storing a
+    // block that a prior action already stored — by design in
+    // BlockManager). It carried the one stray WARN in the r11 bench tail;
+    // same treatment as the window logger above.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.storage.BlockManager",
+      org.apache.logging.log4j.Level.ERROR)
     // Untimed warmup: JVM/codegen/shuffle/Hadoop-FS init otherwise lands on
     // whichever query happens to iterate first (q1_agg, alphabetically — it
     // measured 2-3x its steady state before this was broadened). Exercise a
@@ -132,7 +140,13 @@ object Bench {
       "q_v4_embedding_neardup", "q_t8_boilerplate",
       // r11 new queries (one-time typed-pipeline codegen on first run)
       "q_v18_hard_negatives", "q_f7_ranking_pairs", "q_m8_pcm_vad",
-      "q_warc2_cdx_index")
+      "q_warc2_cdx_index",
+      // r12: q_d13 was the one remaining ~2s single-shot (VERDICT r11
+      // nit); the new r12 queries carry one-time codegen (the BPE-kernel
+      // table build + recursive-construction collect in q_t35; two full
+      // snapshot commits + a merge in q_l4)
+      "q_d13_decontaminated_corpus", "q_t35_bpe_kernel_1k",
+      "q_l5_snapshot_time_travel", "q_u6_idn_blocklist")
 
     // Headline queries run 3 reps and report the MEDIAN: the single-shot
     // noise floor on this box is ±2x (calibrated rounds 5-6), which made

@@ -392,7 +392,7 @@ object PipelineQueries {
     // v2 commits — the atomicity/history guarantee, not just the merge
     // math. The table is run-scoped (commits are versioned; a shared
     // table would accrete history across invocations).
-    "q_l4_snapshot_time_travel" -> ((s, dir) => {
+    "q_l5_snapshot_time_travel" -> ((s, dir) => {
       val base = s.read.parquet(s"$dir/orders.parquet")
         .withColumn("o_year", year(col("o_orderdate")))
       val path = s"${System.getProperty("java.io.tmpdir", "/tmp")}" +
@@ -805,7 +805,7 @@ object PipelineQueries {
       // the survivors/updates/inserts algebra — the Spark side reading
       // v1's PRE-merge numbers from post-merge table state is what
       // proves snapshot isolation
-      "q_l4_snapshot_time_travel" ->
+      "q_l5_snapshot_time_travel" ->
         """WITH base AS (
           |  SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS o_year,
           |         o_totalprice
