@@ -528,31 +528,32 @@ object TextQueries {
     // skips a re-formed pair, or breaks the non-overlapping scan
     // semantics fails the hash on tokens_str, not just counts.
     "q_t35_bpe_kernel_1k" -> ((s, dir) => {
-      val wf = Tokenizer.wordFreq(docs(s, dir), "text")
-      val base = wf.where(expr("length(word) >= 2"))
-        .select(col("freq"), explode(expr(
-          """transform(sequence(1, length(word) - 1),
-            |  i -> struct(substring(word, i, 1) AS l,
-            |              substring(word, i + 1, 1) AS r))""".stripMargin)).as("p"))
-        .groupBy(col("p.l").as("lhs"), col("p.r").as("rhs"))
-        .agg(sum("freq").as("c"))
-        .orderBy(col("c").desc, col("lhs"), col("rhs"))
-        .limit(256)
-        .collect()
-        .map(r => (r.getString(0), r.getString(1)))
-      val syms = base.take(32).map { case (l, r) => l + r }
-      val chain = for { i <- syms.indices; j <- syms.indices }
-        yield (syms(i), syms(j))
-      val all = (base ++ chain).zipWithIndex
-        .map { case ((l, r), k) => Tokenizer.Merge(k + 1, l, r, 1L) }
-      require(all.length >= 1000,
-        s"constructed merge table too small: ${all.length}")
+      val all = constructed1kMerges(s, dir)
       val codec = Tokenizer.codecOf(all)
-      wf.select(col("word"),
+      Tokenizer.wordFreq(docs(s, dir), "text")
+        .select(col("word"),
           graft.functions.BpeExprs.encodeTokens(col("word"), codec).as("toks"))
         .select(col("word"), size(col("toks")).cast("long").as("n_tokens"),
           array_join(col("toks"), " ").as("tokens_str"))
         .orderBy("word")
+    }),
+
+    // Tokenizer-aware packing UNDER THE 1k+-MERGE VOCABULARY — the q_t30
+    // artifact with the toy-vocab cap removed (the r11 finding was that
+    // fertility/packing/manifest only held at 6 merges): same constructed
+    // 1106-merge table as q_t35, per-doc REAL token counts from the
+    // native kernel (plan vocab-independent), then the q_t6 running-sum
+    // bin replay. The oracle re-derives the table AND re-encodes every
+    // word through the 1280-step recursive replay before packing.
+    "q_t36_pack_bpe1k" -> ((s, dir) => {
+      val all = constructed1kMerges(s, dir)
+      val enc = Tokenizer.bpeEncodeCounts(docs(s, dir), "doc_id", "text", all)
+      Pipeline.packSequences(
+          docs(s, dir).select(col("doc_id"), col("lang")).join(enc, "doc_id"),
+          "lang", "doc_id", "n_tokens", budgetTokens = 512L)
+        .groupBy("lang", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tokens_packed"))
+        .orderBy("lang", "bin")
     }),
 
     // Vocabulary statistics per language slice — the corpus profile that
@@ -678,6 +679,84 @@ object TextQueries {
         .withColumnRenamed("id", "doc_id")
         .withColumn("cosine", round(col("cosine"), 6)))
   )
+
+  /** The deterministic 1k+-merge table q_t35/q_t36 run the kernel under:
+    * every distinct char pair ranked by (weighted freq desc, lhs, rhs) —
+    * capped at 256 — plus all 32×32 pairwise compositions of the top-32
+    * merged symbols (chained multi-char merges). 82 + 1024 = 1106 merges
+    * on the synthetic corpus, whose ~31-word vocabulary exhausts REAL
+    * training at ~90 merges. [[bpe1kOracleStages]] re-derives the same
+    * table in DuckDB, step for step. */
+  private def constructed1kMerges(s: SparkSession, dir: String): Seq[Tokenizer.Merge] = {
+    val wf = Tokenizer.wordFreq(docs(s, dir), "text")
+    val base = wf.where(expr("length(word) >= 2"))
+      .select(col("freq"), explode(expr(
+        """transform(sequence(1, length(word) - 1),
+          |  i -> struct(substring(word, i, 1) AS l,
+          |              substring(word, i + 1, 1) AS r))""".stripMargin)).as("p"))
+      .groupBy(col("p.l").as("lhs"), col("p.r").as("rhs"))
+      .agg(sum("freq").as("c"))
+      .orderBy(col("c").desc, col("lhs"), col("rhs"))
+      .limit(256)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val syms = base.take(32).map { case (l, r) => l + r }
+    val chain = for { i <- syms.indices; j <- syms.indices }
+      yield (syms(i), syms(j))
+    val all = (base.toSeq ++ chain).zipWithIndex
+      .map { case ((l, r), k) => Tokenizer.Merge(k + 1, l, r, 1L) }
+    require(all.length >= 1000,
+      s"constructed merge table too small: ${all.length}")
+    all
+  }
+
+  /** DuckDB twin of [[constructed1kMerges]] + the full sequential encode
+    * replay: `merges` (the table), `syms` (per distinct word, the
+    * double-space symbol string), and recursive `enc` applying every step
+    * as a literal replace; 1280 iterations bounds the max step (256 base
+    * + 1024 chain; steps past the actual table are LEFT-JOIN identity).
+    * End state: `wt1k` = (word, toks array). */
+  private val bpe1kOracleStages: String =
+    """wf AS MATERIALIZED (
+      |  SELECT word, count(*) AS freq FROM (
+      |    SELECT unnest(list_filter(string_split(text, ' '), x -> x != '')) AS word
+      |    FROM documents)
+      |  GROUP BY 1),
+      |pairs AS (
+      |  SELECT substr(word, i, 1) AS lhs, substr(word, i + 1, 1) AS rhs,
+      |         sum(freq) AS c
+      |  FROM (SELECT word, freq, unnest(generate_series(1, length(word) - 1)) AS i
+      |        FROM wf WHERE length(word) >= 2)
+      |  GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT lhs, rhs, row_number() OVER (ORDER BY c DESC, lhs, rhs) AS step
+      |  FROM pairs),
+      |base AS MATERIALIZED (SELECT lhs, rhs, step FROM ranked WHERE step <= 256),
+      |chain AS (
+      |  SELECT a.lhs || a.rhs AS lhs, b.lhs || b.rhs AS rhs,
+      |         (SELECT count(*) FROM base) + (a.step - 1) * 32 + b.step AS step
+      |  FROM base a JOIN base b ON a.step <= 32 AND b.step <= 32),
+      |merges AS MATERIALIZED (
+      |  SELECT lhs, rhs, step FROM base
+      |  UNION ALL SELECT lhs, rhs, step FROM chain),
+      |syms AS (
+      |  SELECT word,
+      |         '  ' || array_to_string(list_transform(generate_series(1, length(word)),
+      |                                 i -> word[i]), '  ') || '  ' AS sym
+      |  FROM wf),
+      |enc AS (
+      |  SELECT word, sym, 0 AS step FROM syms
+      |  UNION ALL
+      |  SELECT e.word,
+      |         CASE WHEN m.lhs IS NULL THEN e.sym
+      |              ELSE replace(e.sym, ' ' || m.lhs || '  ' || m.rhs || ' ',
+      |                           ' ' || m.lhs || m.rhs || ' ') END,
+      |         e.step + 1
+      |  FROM enc e LEFT JOIN merges m ON m.step = e.step + 1
+      |  WHERE e.step < 1280),
+      |wt1k AS MATERIALIZED (
+      |  SELECT word, list_filter(string_split(sym, '  '), x -> x != '') AS toks
+      |  FROM enc WHERE step = 1280)""".stripMargin
 
   /** The 6-iteration unrolled BPE-training replay: w0 = word frequencies,
     * s0 = char symbol-strings, then per iteration i: pair counts pI,
@@ -1549,49 +1628,40 @@ object TextQueries {
     // the max possible step (256 base + 1024 chain); steps past the
     // actual table are identity via the LEFT JOIN
     "q_t35_bpe_kernel_1k" ->
-      """WITH RECURSIVE
-        |wf AS MATERIALIZED (
-        |  SELECT word, count(*) AS freq FROM (
-        |    SELECT unnest(list_filter(string_split(text, ' '), x -> x != '')) AS word
-        |    FROM documents)
-        |  GROUP BY 1),
-        |pairs AS (
-        |  SELECT substr(word, i, 1) AS lhs, substr(word, i + 1, 1) AS rhs,
-        |         sum(freq) AS c
-        |  FROM (SELECT word, freq, unnest(generate_series(1, length(word) - 1)) AS i
-        |        FROM wf WHERE length(word) >= 2)
-        |  GROUP BY 1, 2),
-        |ranked AS (
-        |  SELECT lhs, rhs, row_number() OVER (ORDER BY c DESC, lhs, rhs) AS step
-        |  FROM pairs),
-        |base AS MATERIALIZED (SELECT lhs, rhs, step FROM ranked WHERE step <= 256),
-        |chain AS (
-        |  SELECT a.lhs || a.rhs AS lhs, b.lhs || b.rhs AS rhs,
-        |         (SELECT count(*) FROM base) + (a.step - 1) * 32 + b.step AS step
-        |  FROM base a JOIN base b ON a.step <= 32 AND b.step <= 32),
-        |merges AS MATERIALIZED (
-        |  SELECT lhs, rhs, step FROM base
-        |  UNION ALL SELECT lhs, rhs, step FROM chain),
-        |syms AS (
-        |  SELECT word,
-        |         '  ' || array_to_string(list_transform(generate_series(1, length(word)),
-        |                                 i -> word[i]), '  ') || '  ' AS sym
-        |  FROM wf),
-        |enc AS (
-        |  SELECT word, sym, 0 AS step FROM syms
-        |  UNION ALL
-        |  SELECT e.word,
-        |         CASE WHEN m.lhs IS NULL THEN e.sym
-        |              ELSE replace(e.sym, ' ' || m.lhs || '  ' || m.rhs || ' ',
-        |                           ' ' || m.lhs || m.rhs || ' ') END,
-        |         e.step + 1
-        |  FROM enc e LEFT JOIN merges m ON m.step = e.step + 1
-        |  WHERE e.step < 1280)
-        |SELECT word, CAST(len(toks) AS BIGINT) AS n_tokens,
-        |       array_to_string(toks, ' ') AS tokens_str
-        |FROM (SELECT word, list_filter(string_split(sym, '  '), x -> x != '') AS toks
-        |      FROM enc WHERE step = 1280)
-        |ORDER BY word""".stripMargin,
+      s"""WITH RECURSIVE
+         |$bpe1kOracleStages
+         |SELECT word, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |       array_to_string(toks, ' ') AS tokens_str
+         |FROM wt1k
+         |ORDER BY word""".stripMargin,
+
+    // re-derives the 1k+ table, re-encodes every word through the full
+    // recursive replay, then replays the q_t6 running-sum bin packing
+    "q_t36_pack_bpe1k" ->
+      s"""WITH RECURSIVE
+         |$bpe1kOracleStages,
+         |wt AS (SELECT word, len(toks) AS toks FROM wt1k),
+         |dw AS (
+         |  SELECT doc_id,
+         |         unnest(list_filter(string_split(text, ' '), x -> x != '')) AS word
+         |  FROM documents),
+         |agg AS (
+         |  SELECT doc_id, sum(toks) AS n_tokens
+         |  FROM dw JOIN wt USING (word) GROUP BY 1),
+         |b2 AS (
+         |  SELECT d.doc_id, d.lang,
+         |         CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens
+         |  FROM documents d LEFT JOIN agg USING (doc_id)),
+         |packed AS (
+         |  SELECT lang, doc_id, n_tokens,
+         |         CAST(floor(COALESCE(sum(n_tokens) OVER (
+         |             PARTITION BY lang ORDER BY doc_id
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |           / 512) AS BIGINT) AS bin
+         |  FROM b2)
+         |SELECT lang, bin, count(*) AS n_docs,
+         |       CAST(sum(n_tokens) AS BIGINT) AS tokens_packed
+         |FROM packed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_t19_bpe_encode" ->
       s"""WITH ${bpeOracleStages(6)},

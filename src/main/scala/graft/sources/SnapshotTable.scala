@@ -98,18 +98,27 @@ object SnapshotTable {
   }
 
   /** The file list of snapshot `version` (default: the committed
-    * pointer). */
+    * pointer). Header lines (`#key=value`) are metadata, not files. */
   def manifest(tablePath: String, version: Option[Long] = None): Seq[ManifestEntry] = {
     val v = version.orElse(currentVersion(tablePath)).getOrElse(
       sys.error(s"no committed snapshot at $tablePath"))
     val p = manifestPath(tablePath, v)
     require(Files.exists(p), s"snapshot v$v does not exist at $tablePath")
     new String(Files.readAllBytes(p), "UTF-8").split("\n", -1).toSeq
-      .filter(_.nonEmpty)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
       .map { line =>
         val tab = line.indexOf('\t')
         ManifestEntry(line.substring(0, tab), line.substring(tab + 1))
       }
+  }
+
+  /** The transaction id snapshot `version` was committed under, if any —
+    * the exactly-once key of [[commitAppendTxn]]. */
+  def txnOf(tablePath: String, version: Long): Option[String] = {
+    val p = manifestPath(tablePath, version)
+    require(Files.exists(p), s"snapshot v$version does not exist at $tablePath")
+    new String(Files.readAllBytes(p), "UTF-8").split("\n", -1)
+      .find(_.startsWith("#txn=")).map(_.stripPrefix("#txn="))
   }
 
   /** Read a snapshot — the committed one, or any historical `version`
@@ -167,11 +176,45 @@ object SnapshotTable {
     v
   }
 
+  /** IDEMPOTENT append commit keyed by a caller transaction id — the
+    * exactly-once sink primitive for streaming `foreachBatch` (txnId =
+    * the stable micro-batch id). The protocol (the Delta-style
+    * txn-version idea over this layout):
+    *
+    *  - a manifest carrying `#txn=<id>` already exists at a version ≤
+    *    the pointer → the commit already happened: NO-OP, return it;
+    *  - it exists ABOVE the pointer → the previous attempt crashed
+    *    between manifest and pointer swap; data + manifest are complete
+    *    (the manifest move is atomic and happens after the data write),
+    *    so ROLL FORWARD by swapping the pointer — no data is rewritten;
+    *  - otherwise prepare a fresh version with the txn header and commit.
+    *
+    * Replaying a crashed or completed batch therefore lands EXACTLY ONE
+    * snapshot per txn id, whatever the crash point. Single writer per
+    * table, as elsewhere in this layer.
+    */
+  def commitAppendTxn(df: DataFrame, tablePath: String,
+                      partitionCols: Seq[String], txnId: String,
+                      filesPerPartition: Int = 1): Long = {
+    val existing = snapshots(tablePath)
+      .find(v => txnOf(tablePath, v).contains(txnId))
+    existing match {
+      case Some(v) if currentVersion(tablePath).exists(_ >= v) => v
+      case Some(v) => swapPointer(tablePath, v); v
+      case None =>
+        val v = prepare(df, tablePath, partitionCols, filesPerPartition,
+          txn = Some(txnId))((prev, fresh) => prev ++ fresh)
+        swapPointer(tablePath, v)
+        v
+    }
+  }
+
   /** Write data + manifest for the NEXT version WITHOUT committing it —
     * the crash window between (b) and (c) in the object doc, exposed for
     * LakeLayoutSpec's crash test. Returns the prepared version. */
   private[sources] def prepare(df: DataFrame, tablePath: String,
-                               partitionCols: Seq[String], filesPerPartition: Int)
+                               partitionCols: Seq[String], filesPerPartition: Int,
+                               txn: Option[String] = None)
                               (compose: (Seq[ManifestEntry], Seq[ManifestEntry]) => Seq[ManifestEntry]): Long = {
     val prev = currentVersion(tablePath).map(v => manifest(tablePath, Some(v)))
       .getOrElse(Nil)
@@ -198,7 +241,8 @@ object SnapshotTable {
       val partSpec = inCommit.split("/").dropRight(1).mkString("/")
       ManifestEntry(partSpec, rel)
     }.sortBy(_.relPath)
-    val lines = compose(prev, fresh)
+    val header = txn.map(id => s"#txn=$id\n").getOrElse("")
+    val lines = header + compose(prev, fresh)
       .map(e => s"${e.partSpec}\t${e.relPath}").mkString("\n")
     Files.createDirectories(manifestDir(tablePath))
     val tmp = manifestDir(tablePath).resolve(f"v$v%08d.manifest.tmp")

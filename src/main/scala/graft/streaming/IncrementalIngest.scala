@@ -47,6 +47,45 @@ object IncrementalIngest {
     q.awaitTermination()
   }
 
+  /** Drain newly-arrived files into a VERSIONED snapshot table
+    * ([[graft.sources.SnapshotTable]]) — each micro-batch becomes exactly
+    * one atomic snapshot commit, keyed idempotent by the stream's stable
+    * batch id ([[graft.sources.SnapshotTable.commitAppendTxn]]): a
+    * crash-replayed batch rolls forward or no-ops, never double-appends,
+    * and every concurrent reader sees a committed version, never a
+    * half-written directory (the gap plain `parquet`-sink appends leave:
+    * their commit log dedupes FILES but readers outside the sink's log
+    * can see in-progress output). One snapshot per batch also gives the
+    * ingest FREE time travel: "the corpus as of batch N" is a version
+    * read. `transform` must be batch-deterministic (pure of batch
+    * content) for replay to be byte-stable.
+    */
+  def snapshotAvailableNow(spark: SparkSession, srcDir: String,
+                           schema: StructType, tablePath: String,
+                           checkpointDir: String,
+                           partitionCols: Seq[String] = Nil,
+                           format: String = "json",
+                           maxFilesPerTrigger: Int = 1000,
+                           transform: DataFrame => DataFrame = identity): Unit = {
+    val src = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .format(format)
+      .load(srcDir)
+    val q = src.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.sources.SnapshotTable.commitAppendTxn(
+          transform(batch.toDF()).localCheckpoint(), tablePath,
+          partitionCols, txnId = s"ingest-$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .outputMode("append")
+      .start()
+    q.awaitTermination()
+  }
+
   /** The crawl front door: drain newly-arrived WARC segment files into a
     * parquet RECORD table, exactly-once — the incremental twin of
     * [[graft.sources.WarcIngest.readWarcFiles]] and the stage that feeds

@@ -145,6 +145,56 @@ class SnapshotTableSpec extends SparkTestBase {
     assert(m1 == m2 && m1.nonEmpty)
   }
 
+  test("txn commits are exactly-once: replay no-ops, crash rolls forward, distinct txns append") {
+    val t = freshTable()
+    val v1 = SnapshotTable.commitAppendTxn(rows(2000, 4, "b0"), t, Seq("year"), "batch-0")
+    assert(v1 == 1L)
+    // full replay of a COMPLETED txn: same version back, nothing written
+    val filesBefore = SnapshotTable.manifest(t, Some(1L))
+    assert(SnapshotTable.commitAppendTxn(rows(2000, 4, "b0"), t, Seq("year"), "batch-0") == 1L)
+    assert(SnapshotTable.manifest(t, Some(1L)) == filesBefore)
+    assert(SnapshotTable.currentVersion(t).contains(1L))
+    assert(SnapshotTable.readSnapshot(spark, t).count() == 4)
+    // crash between manifest and pointer: data + txn manifest land,
+    // pointer does not — the replay ROLLS FORWARD instead of re-appending
+    val orphan = SnapshotTable.prepare(rows(2010, 4, "b1"), t, Seq("year"), 1,
+      txn = Some("batch-1"))((prev, fresh) => prev ++ fresh)
+    assert(orphan == 2L && SnapshotTable.currentVersion(t).contains(1L))
+    val v2 = SnapshotTable.commitAppendTxn(rows(2010, 4, "b1"), t, Seq("year"), "batch-1")
+    assert(v2 == 2L && SnapshotTable.currentVersion(t).contains(2L))
+    assert(SnapshotTable.readSnapshot(spark, t).count() == 8,
+      "roll-forward must not re-append the batch")
+    // a genuinely new txn appends a new version
+    val v3 = SnapshotTable.commitAppendTxn(rows(2020, 4, "b2"), t, Seq("year"), "batch-2")
+    assert(v3 == 3L && SnapshotTable.readSnapshot(spark, t).count() == 12)
+    assert(SnapshotTable.txnOf(t, 3L).contains("batch-2"))
+  }
+
+  test("snapshotAvailableNow: streamed arrivals become atomic versioned commits, exactly-once") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val src = Files.createTempDirectory("graft-snap-src").toString
+    val t = freshTable()
+    val ckpt = Files.createTempDirectory("graft-snap-ckpt").toString
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("year", org.apache.spark.sql.types.IntegerType),
+      StructField("payload", StringType)))
+    def run(): Unit = graft.streaming.IncrementalIngest.snapshotAvailableNow(
+      spark, src, schema, t, ckpt, partitionCols = Seq("year"))
+    rows(2000, 5, "w1").write.mode("append").json(src)
+    run()
+    assert(SnapshotTable.currentVersion(t).contains(1L))
+    assert(SnapshotTable.readSnapshot(spark, t).count() == 5)
+    rows(2010, 5, "w2").write.mode("append").json(src)
+    run()
+    assert(SnapshotTable.currentVersion(t).contains(2L))
+    assert(SnapshotTable.readSnapshot(spark, t).count() == 10)
+    // the batch-1 snapshot is still the 5-row corpus (ingest time travel)
+    assert(SnapshotTable.readSnapshot(spark, t, Some(1L)).count() == 5)
+    run() // nothing new: no version, no rows
+    assert(SnapshotTable.currentVersion(t).contains(2L))
+    assert(SnapshotTable.readSnapshot(spark, t).count() == 10)
+  }
+
   test("vacuum reclaims only unreferenced files; kept versions still read") {
     val t = freshTable()
     SnapshotTable.commitOverwrite(rows(2000, 6, "a"), t, Seq("year"))
