@@ -146,6 +146,7 @@ object Bench {
       // table build + recursive-construction collect in q_t35; two full
       // snapshot commits + a merge in q_l4)
       "q_d13_decontaminated_corpus", "q_t35_bpe_kernel_1k", "q_t36_pack_bpe1k",
+      "q_t37_bpe_token_ids",
       "q_l5_snapshot_time_travel", "q_u6_idn_blocklist")
 
     // Headline queries run 3 reps and report the MEDIAN: the single-shot

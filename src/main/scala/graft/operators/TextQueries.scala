@@ -556,6 +556,27 @@ object TextQueries {
         .orderBy("lang", "bin")
     }),
 
+    // TOKEN IDS under the 1k+-merge vocabulary — the artifact a trainer
+    // actually consumes: vocab = base code points (UTF-8 byte order) then
+    // merge outputs in step order, first occurrence keeping the id when
+    // two merges build the same symbol by different splits; every word's
+    // kernel tokens join the broadcast vocab to (word, pos, token_id).
+    // An id gap, a mis-ordered vocab, or a token the vocab cannot cover
+    // drops rows and fails the hash.
+    "q_t37_bpe_token_ids" -> ((s, dir) => {
+      val all = constructed1kMerges(s, dir)
+      val codec = Tokenizer.codecOf(all)
+      val vf = broadcast(Tokenizer.vocabFrame(docs(s, dir), "text", all))
+      Tokenizer.wordFreq(docs(s, dir), "text")
+        .select(col("word"),
+          posexplode(graft.functions.BpeExprs.encodeTokens(col("word"), codec))
+            .as(Seq("pos", "token")))
+        .join(vf, col("token") === col("symbol"))
+        .select(col("word"), col("pos"),
+          col("token_id").cast("long").as("token_id"), col("token"))
+        .orderBy("word", "pos")
+    }),
+
     // Vocabulary statistics per language slice — the corpus profile that
     // drives tokenizer/dedup planning: token mass, distinct words and
     // 3-gram shingles (exact twins + bounded-memory HLL++ estimates with
@@ -1634,6 +1655,36 @@ object TextQueries {
          |       array_to_string(toks, ' ') AS tokens_str
          |FROM wt1k
          |ORDER BY word""".stripMargin,
+
+    // re-derives the vocab (ranked base chars, then merge outputs in
+    // step order, min-ord dedupe = first-occurrence-keeps-id) and joins
+    // the replayed tokens against it
+    "q_t37_bpe_token_ids" ->
+      s"""WITH RECURSIVE
+         |$bpe1kOracleStages,
+         |chars AS (
+         |  SELECT DISTINCT unnest(list_transform(generate_series(1, length(word)),
+         |                         i -> word[i])) AS sym
+         |  FROM wf),
+         |ordered AS (
+         |  SELECT sym, CAST(row_number() OVER (ORDER BY sym) AS BIGINT) AS ord
+         |  FROM chars
+         |  UNION ALL
+         |  SELECT lhs || rhs AS sym, (SELECT count(*) FROM chars) + step AS ord
+         |  FROM merges),
+         |vocab AS (
+         |  SELECT sym, CAST(row_number() OVER (ORDER BY ord) - 1 AS BIGINT)
+         |           AS token_id
+         |  FROM (SELECT sym, min(ord) AS ord FROM ordered GROUP BY 1)),
+         |tk AS (
+         |  SELECT word, x['pos'] AS pos, x['tok'] AS tok FROM (
+         |    SELECT word,
+         |           unnest(list_transform(toks, (t, i) -> {'pos': i - 1, 'tok': t})) AS x
+         |    FROM wt1k))
+         |SELECT tk.word, CAST(tk.pos AS INTEGER) AS pos, v.token_id,
+         |       tk.tok AS token
+         |FROM tk JOIN vocab v ON tk.tok = v.sym
+         |ORDER BY word, pos""".stripMargin,
 
     // re-derives the 1k+ table, re-encodes every word through the full
     // recursive replay, then replays the q_t6 running-sum bin packing

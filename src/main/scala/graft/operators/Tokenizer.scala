@@ -252,6 +252,36 @@ object Tokenizer {
       ordered.map(_.rhs).toArray)
   }
 
+  /** The VOCABULARY a trainer actually consumes — (symbol, token_id):
+    * base symbols first (UTF-8 byte order, the engine's string order),
+    * then one entry per merge in step order (GPT-2's vocab construction).
+    * Two merges can produce the SAME symbol string by different splits
+    * ((a,bc) and (ab,c) both yield "abc"); the FIRST occurrence keeps the
+    * id — ids are positions in the deduplicated ordered list, so the
+    * table is dense. Driver-side: the vocab is the training artifact
+    * scale by definition. */
+  def vocab(merges: Seq[Merge], baseSymbols: Seq[String]): Seq[(String, Int)] = {
+    val ordered = baseSymbols.distinct.sortWith(utf8Lt) ++
+      merges.sortBy(_.step).map(m => m.lhs + m.rhs)
+    ordered.distinct.zipWithIndex
+  }
+
+  /** [[vocab]] with the base alphabet read from the corpus (every
+    * distinct code point of every word — exactly the symbols encode can
+    * emit besides merge outputs), returned as a DataFrame
+    * (token_id, symbol). ONE corpus pass; the distinct-char agg is
+    * alphabet-sized. */
+  def vocabFrame(docs: DataFrame, textCol: String, merges: Seq[Merge]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val chars = docs
+      .select(explode(expr(Dedup.tokensExpr(textCol))).as("w"))
+      .select(explode(expr(
+        "transform(sequence(1, length(w)), i -> substring(w, i, 1))")).as("c"))
+      .distinct().collect().map(_.getString(0)).toSeq
+    vocab(merges, chars).map { case (s, i) => (i, s) }.toDF("token_id", "symbol")
+  }
+
   /** Token count of one word-symbol-string after applying `merges` in
     * order — the merge list compiles into a chain of literal replaces.
     */

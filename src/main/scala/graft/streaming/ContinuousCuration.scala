@@ -98,7 +98,8 @@ object ContinuousCuration {
                  quality: Curation.QualityConfig,
                  nearDupThreshold: Double,
                  splits: Seq[(String, Double)],
-                 seed: String): WaveReport = {
+                 seed: String,
+                 snapshotOut: Boolean = false): WaveReport = {
     val s = docs.sparkSession
     val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -181,13 +182,21 @@ object ContinuousCuration {
       writePartitioned(Dedup.lshIndex(afterExact, "doc_id", "text"),
         s"$workDir/lsh_index", batchId)
 
-      // 5. split assignment (pure function of id) + split-partitioned append
+      // 5. split assignment (pure function of id) + split-partitioned append.
+      // snapshotOut = true routes survivors through a versioned
+      // SnapshotTable txn commit instead (one atomic snapshot per wave,
+      // idempotent on replay by the wave id, "the corpus as of wave N" a
+      // version read) — the crawl→curation→versioned-corpus composition.
       val out = Pipeline.hashSplit(survivors, "doc_id", s"$seed-split", splits)
         .withColumn("n_tokens",
           expr(s"CAST(size(${Dedup.tokensExpr("text")}) AS BIGINT)"))
-      out.withColumn("batch_id", lit(batchId))
-        .write.mode("overwrite").partitionBy("batch_id", "split")
-        .parquet(s"$workDir/out")
+      if (snapshotOut)
+        graft.sources.SnapshotTable.commitAppendTxn(out, s"$workDir/out",
+          partitionCols = Seq("split"), txnId = s"curate-$batchId")
+      else
+        out.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite").partitionBy("batch_id", "split")
+          .parquet(s"$workDir/out")
 
       val report = WaveReport(batchId, nInput, nUrl, nBlock, nWord,
         nQuality, nExact, nNear)

@@ -69,6 +69,31 @@ object TokenizerKernelProps extends Properties("BpeKernel") {
       }
     }
 
+  property("encode is LOSSLESS: tokens concatenate back to the word (any table, any word)") =
+    forAllNoShrink(genMerges, Gen.listOfN(8, genWord)) { (merges, words) =>
+      val codec = Tokenizer.codecOf(merges)
+      words.forall(w => codec.tokens(w).mkString("") == w)
+    }
+
+  property("vocab covers every token a trained encode emits; ids dense and first-wins") =
+    forAllNoShrink(
+      Gen.choose(1, 8),
+      Gen.choose(2, 10).flatMap(n =>
+        Gen.listOfN(n, genWord.suchThat(_.nonEmpty)
+          .flatMap(w => Gen.choose(1L, 9L).map(f => (w, f)))))) { (nMerges, wf) =>
+      val dedup = wf.groupBy(_._1).map { case (w, fs) => (w, fs.map(_._2).sum) }.toSeq
+      val merges = Tokenizer.trainFromWordFreq(dedup, nMerges)
+      val chars = dedup.flatMap(_._1.map(_.toString)).distinct
+      val v = Tokenizer.vocab(merges, chars)
+      val ids = v.map(_._2)
+      val bySym = v.toMap
+      val codec = Tokenizer.codecOf(merges)
+      // dense 0..n-1 ids, unique symbols, and total coverage of encode output
+      ids == ids.indices.toList.map(identity) &&
+        v.map(_._1).distinct.size == v.size &&
+        dedup.forall { case (w, _) => codec.tokens(w).forall(bySym.contains) }
+    }
+
   property("re-forming pair at a duplicate later step merges again (sequential fidelity)") =
     forAllNoShrink(Gen.const(())) { _ =>
       // hand construction: step1 (ab,c), step2 (a,b), step3 (ab,c) again.

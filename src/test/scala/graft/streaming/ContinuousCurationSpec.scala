@@ -4,6 +4,7 @@ import java.nio.file.Files
 
 import graft.SparkTestBase
 import graft.operators.Curation
+import graft.sources.SnapshotTable
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
@@ -117,6 +118,30 @@ class ContinuousCurationSpec extends SparkTestBase {
     run()
     run() // third run with nothing new: must be a no-op, not a reprocess
     assert(streamedSurvivors(work) == batchSurvivors(docs))
+  }
+
+  test("snapshotOut: each wave is one atomic versioned commit; replay rolls forward, history time-travels") {
+    val docs = planted.localCheckpoint()
+    val mid = docs.agg(expr("percentile_approx(doc_id, 0.5)")).head().getLong(0)
+    val work = Files.createTempDirectory("graft-cc-snap").toString
+    def waveSnap(d: DataFrame, b: Long) =
+      ContinuousCuration.curateWave(d, b, work, "url", Some(blockedDomains),
+        Some(blockedWords), Curation.QualityConfig(), 0.7,
+        Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05), seed,
+        snapshotOut = true)
+    val r1 = waveSnap(docs.filter(col("doc_id") <= mid), 0L)
+    waveSnap(docs.filter(col("doc_id") <= mid), 0L) // crash-replay: no double-append
+    val r2 = waveSnap(docs.filter(col("doc_id") > mid), 1L)
+    val table = s"$work/out"
+    assert(SnapshotTable.currentVersion(table).contains(2L))
+    val v1 = SnapshotTable.readSnapshot(spark, table, Some(1L))
+    val v2 = SnapshotTable.readSnapshot(spark, table, Some(2L))
+    assert(v1.count() == r1.nAfterNearDedup, "wave-1 snapshot ≠ wave-1 survivors")
+    assert(v2.count() == r1.nAfterNearDedup + r2.nAfterNearDedup)
+    // the versioned corpus equals the batch build (same survivors/splits)
+    val snapped = v2.select("doc_id", "split").distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(snapped == batchSurvivors(docs))
   }
 
   test("documented divergence class: chain-shaped near-dup components (no retraction in append mode)") {
