@@ -232,6 +232,31 @@ object Dedup {
     * already-computed band keys. Returns exact-verified pairs touching at
     * least one new doc (id_a < id_b; ids must be disjoint from the index's).
     */
+  /** ALL exact-verified near-dup pairs derivable from a stored
+    * [[lshIndex]] ALONE — the periodic batch/reconciliation pass over an
+    * incrementally-built index: candidates from one band-key self-join,
+    * verification from the stored hashed shingle sets — the corpus is
+    * never re-read and nothing is re-hashed. Same pair set as
+    * [[minHashNearDuplicates]] over the indexed documents (same banding,
+    * same exact verify), at the cost of the band self-join — which is
+    * exactly the batch near-dup exchange, paid on the reconciliation
+    * SCHEDULE (e.g. daily) instead of per wave
+    * ([[graft.streaming.ContinuousCuration.reconcile]]). */
+  def indexNearDuplicates(index: DataFrame, idCol: String,
+                          threshold: Double = 0.7): DataFrame = {
+    val nb = index.select(col(idCol), col("band_idx"), col("band_key"))
+    val cands = nb.as("x")
+      .join(nb.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_key") === col("y.band_key") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
+      .distinct()
+    val sets = index.select(col(idCol), col("shh"), col("sz")).dropDuplicates(idCol)
+    verifyPairs(cands, sets, idCol, threshold, setsRows = Long.MaxValue)
+      .pipe(materialize)
+  }
+
   def incrementalNearDuplicates(
       newDocs: DataFrame, index: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 2, numHashes: Int = 128, bands: Int = 32,

@@ -310,6 +310,16 @@ object SnapshotTable {
     commitReplacePartitions(merged, tablePath, partitionCols, filesPerPartition)
   }
 
+  /** Compaction as a COMMIT: rewrite the current snapshot into one fresh
+    * commit directory (resetting the per-snapshot scan-union count that
+    * grows with contributing commits) — readers switch atomically, prior
+    * versions stay time-travelable until [[vacuum]] reclaims them. */
+  def compact(spark: SparkSession, tablePath: String,
+              partitionCols: Seq[String] = Nil,
+              filesPerPartition: Int = 1): Long =
+    commitOverwrite(readSnapshot(spark, tablePath).localCheckpoint(),
+      tablePath, partitionCols, filesPerPartition)
+
   /** Reclaim space: delete data files referenced by NO retained manifest
     * (keep the last `keepSnapshots` committed versions; orphaned
     * preparations beyond the pointer are reclaimed too) and drop the

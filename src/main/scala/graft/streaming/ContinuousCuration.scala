@@ -216,6 +216,44 @@ object ContinuousCuration {
     }
   }
 
+  /** The RECONCILIATION pass that closes the documented append-mode
+    * divergence (see the object doc and the chain test in
+    * ContinuousCurationSpec): recompute the FULL batch near-dup rule —
+    * connected-components cluster-min — over the persisted LSH index
+    * (no corpus re-read, no re-hashing:
+    * [[Dedup.indexNearDuplicates]]), and if any streamed survivor turns
+    * out to be a non-minimal cluster member (possible only via
+    * chain-shaped components whose middle the stream could not retract),
+    * commit the RETRACTED corpus as one new atomic snapshot (requires
+    * `snapshotOut = true` waves). Readers switch atomically; the
+    * pre-reconcile corpus stays time-travelable.
+    *
+    * This is the lambda-architecture split made explicit: waves give
+    * O(wave ⋈ index) availability with first-seen semantics;
+    * reconciliation pays the batch band self-join on ITS schedule (e.g.
+    * daily) and restores exact batch semantics. Returns
+    * (snapshotVersion, nRetracted) — no commit when nothing retracts.
+    */
+  def reconcile(spark: SparkSession, workDir: String,
+                nearDupThreshold: Double = 0.7): (Long, Long) = {
+    val table = s"$workDir/out"
+    val idx = spark.read.parquet(s"$workDir/lsh_index").drop("batch_id")
+    val pairs = Dedup.indexNearDuplicates(idx, "doc_id", nearDupThreshold)
+    val losers = Dedup.connectedComponents(pairs.select("id_a", "id_b"))
+      .filter(col("id") =!= col("cluster"))
+      .select(col("id").as("doc_id"))
+    val current = graft.sources.SnapshotTable.readSnapshot(spark, table)
+      .localCheckpoint()
+    val retractable = current.join(losers, Seq("doc_id"), "left_semi").count()
+    if (retractable == 0L)
+      return (graft.sources.SnapshotTable.currentVersion(table).get, 0L)
+    val reconciled = current.join(losers, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    val v = graft.sources.SnapshotTable.commitOverwrite(reconciled, table,
+      partitionCols = Seq("split"))
+    (v, retractable)
+  }
+
   /** Drain all currently-available new document files from `srcDir`
     * through the curation chain into `workDir` (out/ + indexes + audit),
     * exactly-once. Safe to call repeatedly and after crashes — the

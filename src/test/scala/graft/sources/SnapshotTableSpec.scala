@@ -195,6 +195,27 @@ class SnapshotTableSpec extends SparkTestBase {
     assert(SnapshotTable.readSnapshot(spark, t).count() == 10)
   }
 
+  test("compact rewrites the snapshot into one commit dir; content identical; history intact") {
+    val t = freshTable()
+    SnapshotTable.commitOverwrite(rows(2000, 6, "a"), t, Seq("year"))
+    SnapshotTable.commitAppend(rows(2010, 6, "b"), t, Seq("year"))
+    SnapshotTable.commitAppend(rows(2020, 6, "c"), t, Seq("year"))
+    val commitDirs = SnapshotTable.manifest(t, None)
+      .map(_.relPath.split("/").take(2).mkString("/")).distinct
+    assert(commitDirs.size == 3, "append history should span 3 commit dirs")
+    val before = SnapshotTable.readSnapshot(spark, t)
+      .orderBy("id", "year").collect().map(_.toString).toSeq
+    val v = SnapshotTable.compact(spark, t, Seq("year"))
+    assert(v == 4L)
+    val after = SnapshotTable.readSnapshot(spark, t)
+      .orderBy("id", "year").collect().map(_.toString).toSeq
+    assert(after == before)
+    assert(SnapshotTable.manifest(t, None)
+      .map(_.relPath.split("/").take(2).mkString("/")).distinct.size == 1,
+      "compacted snapshot should read from ONE commit dir")
+    assert(SnapshotTable.readSnapshot(spark, t, Some(3L)).count() == 18)
+  }
+
   test("vacuum reclaims only unreferenced files; kept versions still read") {
     val t = freshTable()
     SnapshotTable.commitOverwrite(rows(2000, 6, "a"), t, Seq("year"))

@@ -163,9 +163,10 @@ class ContinuousCurationSpec extends SparkTestBase {
       Curation.QualityConfig(minTokens = 5, minTtr = 0.0, minCharEntropy = 0.0,
         maxDupNgramFrac = 1.0),
       nearDupThreshold = 0.7,
-      splits = Seq("train" -> 1.0), seed = seed)
+      splits = Seq("train" -> 1.0), seed = seed, snapshotOut = true)
     assert(r.nAfterNearDedup == 2, s"stream should keep {1,2}: $r")
-    val kept = spark.read.parquet(s"$work/out").select("doc_id")
+    val table = s"$work/out"
+    val kept = SnapshotTable.readSnapshot(spark, table).select("doc_id")
       .collect().map(_.getLong(0)).toSet
     assert(kept == Set(1L, 2L))
     // the batch rule on the same three docs keeps only the component min
@@ -173,5 +174,34 @@ class ContinuousCurationSpec extends SparkTestBase {
       shingleSize = 2, threshold = 0.7).select("doc_id")
       .collect().map(_.getLong(0)).toSet
     assert(batchKept == Set(1L))
+    // RECONCILIATION closes the divergence: the batch CC-min rule is
+    // recomputed over the persisted LSH index alone and the retraction
+    // commits as one new atomic snapshot — exact batch semantics restored
+    // on the reconcile schedule, with the pre-reconcile corpus still
+    // time-travelable
+    val (v, retracted) = ContinuousCuration.reconcile(spark, work, 0.7)
+    assert(retracted == 1L && v == 2L, s"expected doc 2 retracted at v2: ($v, $retracted)")
+    assert(SnapshotTable.readSnapshot(spark, table).select("doc_id")
+      .collect().map(_.getLong(0)).toSet == Set(1L))
+    assert(SnapshotTable.readSnapshot(spark, table, Some(1L)).count() == 2)
+    // a second reconcile finds nothing to retract and commits nothing
+    assert(ContinuousCuration.reconcile(spark, work, 0.7) == ((2L, 0L)))
+  }
+
+  test("reconcile is a NO-OP when streamed semantics already equal batch (real corpus)") {
+    val docs = planted.localCheckpoint()
+    val mid = docs.agg(expr("percentile_approx(doc_id, 0.5)")).head().getLong(0)
+    val work = Files.createTempDirectory("graft-cc-noop").toString
+    def waveSnap(d: DataFrame, b: Long) =
+      ContinuousCuration.curateWave(d, b, work, "url", Some(blockedDomains),
+        Some(blockedWords), Curation.QualityConfig(), 0.7,
+        Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05), seed,
+        snapshotOut = true)
+    waveSnap(docs.filter(col("doc_id") <= mid), 0L)
+    waveSnap(docs.filter(col("doc_id") > mid), 1L)
+    val before = SnapshotTable.currentVersion(s"$work/out")
+    val (v, retracted) = ContinuousCuration.reconcile(spark, work, 0.7)
+    assert(retracted == 0L && before.contains(v),
+      s"real-corpus waves already match batch; reconcile must not commit: ($v, $retracted)")
   }
 }
