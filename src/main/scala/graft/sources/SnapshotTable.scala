@@ -128,7 +128,8 @@ object SnapshotTable {
     * scheduled. */
   def readSnapshot(spark: SparkSession, tablePath: String,
                    version: Option[Long] = None,
-                   partitionPruning: String => Boolean = _ => true): DataFrame = {
+                   partitionPruning: String => Boolean = _ => true,
+                   allowSchemaEvolution: Boolean = false): DataFrame = {
     val entries = manifest(tablePath, version).filter(e => partitionPruning(e.partSpec))
     require(entries.nonEmpty, s"snapshot has no files after pruning at $tablePath")
     val r = root(tablePath)
@@ -139,7 +140,11 @@ object SnapshotTable {
       spark.read
         .option("basePath", s"$r/$commitDir")
         .parquet(es.map(e => s"$r/${e.relPath}"): _*)
-    }.reduce(_ unionByName _)
+    // strict by default: a column appearing/vanishing between commits is
+    // an error unless the reader opts into evolution, in which case rows
+    // from commits without the column read NULL (Delta's mergeSchema
+    // read semantics)
+    }.reduce(_.unionByName(_, allowMissingColumns = allowSchemaEvolution))
   }
 
   /** Overwrite commit: snapshot N+1 is exactly `df`. */

@@ -195,6 +195,21 @@ class SnapshotTableSpec extends SparkTestBase {
     assert(SnapshotTable.readSnapshot(spark, t).count() == 10)
   }
 
+  test("schema evolution: strict read fails loudly; opt-in reads NULLs for pre-evolution commits") {
+    val t = freshTable()
+    SnapshotTable.commitOverwrite(rows(2000, 4, "old"), t, Seq("year"))
+    val widened = rows(2010, 4, "new").withColumn("lang", lit("en"))
+    SnapshotTable.commitAppend(widened, t, Seq("year"))
+    intercept[Exception] { SnapshotTable.readSnapshot(spark, t).collect() }
+    val evolved = SnapshotTable.readSnapshot(spark, t, allowSchemaEvolution = true)
+    assert(evolved.count() == 8)
+    assert(evolved.filter(col("lang").isNull).count() == 4, "old rows read NULL lang")
+    assert(evolved.filter(col("lang") === "en").count() == 4)
+    // the pre-evolution snapshot still reads strict (one schema inside it)
+    assert(SnapshotTable.readSnapshot(spark, t, Some(1L)).columns.toSet ==
+      Set("id", "payload", "year"))
+  }
+
   test("compact rewrites the snapshot into one commit dir; content identical; history intact") {
     val t = freshTable()
     SnapshotTable.commitOverwrite(rows(2000, 6, "a"), t, Seq("year"))

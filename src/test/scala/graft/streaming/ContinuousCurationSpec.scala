@@ -188,6 +188,48 @@ class ContinuousCurationSpec extends SparkTestBase {
     assert(ContinuousCuration.reconcile(spark, work, 0.7) == ((2L, 0L)))
   }
 
+  test("end-to-end: raw WARC bytes → exactly-once record split → curation wave → versioned corpus") {
+    // the full crawl-to-corpus composition: constructed gzip WARC
+    // segments (with the planted seg%7==3 truncations) drain through
+    // warcAvailableNow into a record table, records adapt to documents
+    // (id recovered from the planted URL, payload decoded), and ONE
+    // curation wave commits the survivors as an atomic snapshot — then
+    // the same adapted documents through the BATCH build must agree.
+    val segs = graft.operators.WarcQueries
+      .plantedSegments(spark, sfDir("0.001")).collect()
+    val srcDir = Files.createTempDirectory("graft-e2e-warc").toString
+    segs.foreach { case (name, bytes) =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(srcDir, s"$name.warc.gz"), bytes)
+    }
+    val recDir = Files.createTempDirectory("graft-e2e-rec").toString
+    val ckpt = Files.createTempDirectory("graft-e2e-ckpt").toString
+    IncrementalIngest.warcAvailableNow(spark, srcDir, recDir, ckpt)
+    val records = spark.read.parquet(recDir)
+    assert(records.filter(col("malformed") === 1).count() > 0,
+      "planted truncations should quarantine")
+    val docs = records.filter(col("malformed") === 0)
+      .select(
+        expr("CAST(regexp_extract(url, '([0-9]+)$', 1) AS BIGINT)").as("doc_id"),
+        col("url"), expr("decode(payload, 'UTF-8')").as("text"))
+      .localCheckpoint()
+    assert(docs.count() > 0)
+    val work = Files.createTempDirectory("graft-e2e-work").toString
+    // same stage config as batchSurvivors (the lists are no-ops on crawl
+    // hosts/text, but both sides must run the same chain)
+    val r = ContinuousCuration.curateWave(docs, 0L, work, "url",
+      Some(blockedDomains), Some(blockedWords),
+      Curation.QualityConfig(), 0.7,
+      Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05), seed,
+      snapshotOut = true)
+    assert(r.nAfterNearDedup > 0)
+    val streamed = SnapshotTable.readSnapshot(spark, s"$work/out")
+      .select("doc_id", "split").distinct()
+      .collect().map(x => (x.getLong(0), x.getString(1))).toSet
+    assert(streamed == batchSurvivors(docs),
+      "crawl-fed wave must equal the batch build on the same records")
+  }
+
   test("reconcile is a NO-OP when streamed semantics already equal batch (real corpus)") {
     val docs = planted.localCheckpoint()
     val mid = docs.agg(expr("percentile_approx(doc_id, 0.5)")).head().getLong(0)
