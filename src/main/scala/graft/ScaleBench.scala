@@ -747,15 +747,23 @@ object ScaleBench {
     val tCc1 = System.nanoTime()
     streaming.ContinuousCuration.curateWave(
       ccDocs.filter(col("doc_id") <= ccMid), 0L, ccWork, "url", None, None,
-      operators.Curation.QualityConfig(), 0.7, ccSplits, "cc-scale")
+      operators.Curation.QualityConfig(), 0.7, ccSplits, "cc-scale",
+      snapshotOut = true)
     val ccW1Sec = (System.nanoTime() - tCc1) / 1e9
     val tCc2 = System.nanoTime()
     val ccR2 = streaming.ContinuousCuration.curateWave(
       ccDocs.filter(col("doc_id") > ccMid), 1L, ccWork, "url", None, None,
-      operators.Curation.QualityConfig(), 0.7, ccSplits, "cc-scale")
+      operators.Curation.QualityConfig(), 0.7, ccSplits, "cc-scale",
+      snapshotOut = true)
     val ccW2Sec = (System.nanoTime() - tCc2) / 1e9
+    // the reconcile pass = the batch band self-join over the persisted
+    // index, paid on ITS schedule — its wall vs the waves' is the
+    // lambda-split receipt
+    val tCc3 = System.nanoTime()
+    val (_, ccRetracted) = streaming.ContinuousCuration.reconcile(spark, ccWork, 0.7)
+    val ccReconcileSec = (System.nanoTime() - tCc3) / 1e9
 
-    val line = s"""{"label":"$label","dir":"$dir","ivf_build_sec":${fmt(ivfBuildSec)},"ivf_append_sec":${fmt(ivfAppendSec)},"ivf_append_rows":${appendReport.nAppended},"d6_index_build_sec":${fmt(d6BuildSec)},"d9_index_build_sec":${fmt(d9BuildSec)},"curation_sec":${fmt(curSec)},"curation_survivors":${curReport.nAfterNearDedup},"cc_wave1_sec":${fmt(ccW1Sec)},"cc_wave2_sec":${fmt(ccW2Sec)},"cc_wave2_survivors":${ccR2.nAfterNearDedup},"queries":$qs}"""
+    val line = s"""{"label":"$label","dir":"$dir","ivf_build_sec":${fmt(ivfBuildSec)},"ivf_append_sec":${fmt(ivfAppendSec)},"ivf_append_rows":${appendReport.nAppended},"d6_index_build_sec":${fmt(d6BuildSec)},"d9_index_build_sec":${fmt(d9BuildSec)},"curation_sec":${fmt(curSec)},"curation_survivors":${curReport.nAfterNearDedup},"cc_wave1_sec":${fmt(ccW1Sec)},"cc_wave2_sec":${fmt(ccW2Sec)},"cc_wave2_survivors":${ccR2.nAfterNearDedup},"cc_reconcile_sec":${fmt(ccReconcileSec)},"cc_retracted":$ccRetracted,"queries":$qs}"""
     println(line)
     Files.writeString(Paths.get(outFile), line + "\n",
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
