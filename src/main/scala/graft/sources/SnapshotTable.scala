@@ -298,8 +298,15 @@ object SnapshotTable {
       .map(row => partitionCols.zipWithIndex
         .map { case (p, i) => s"$p=${row.get(i)}" }.mkString("/")).toSet
     require(affected.nonEmpty, "empty changeset")
-    val current = readSnapshot(spark, tablePath,
-      partitionPruning = affected.contains)
+    // a changeset can target a BRAND-NEW partition (pure insert): the
+    // pruned read then selects zero files — current is the empty frame
+    // with the table's schema, and the merge reduces to the inserts
+    val hasAffectedFiles = manifest(tablePath, None)
+      .exists(e => affected.contains(e.partSpec))
+    val current =
+      if (hasAffectedFiles)
+        readSnapshot(spark, tablePath, partitionPruning = affected.contains)
+      else readSnapshot(spark, tablePath).limit(0)
     val dataCols = current.columns.toSeq
     val changeKeys = changes.select(keyCols.map(col): _*).distinct()
     val upserts = deleteCol match {
@@ -351,6 +358,32 @@ object SnapshotTable {
     all.filterNot(keep.contains).foreach { v =>
       Files.deleteIfExists(manifestPath(tablePath, v))
       manifestsDeleted += 1
+    }
+    // remove commit DIRECTORIES that no retained manifest references at
+    // all (a vacuumed crash-orphan, or a fully-superseded commit): only
+    // hidden markers (_SUCCESS, .crc) remain in them after the file pass
+    // above, and a leftover data/vN shell would wedge the table — the
+    // next prepare of that version number writes with ErrorIfExists and
+    // an existing directory fails the commit. Partially-referenced dirs
+    // (replace-partitions keeps some of an old commit's files) are left
+    // alone: their versions are committed history, never re-prepared.
+    val referencedDirs = referenced.map(_.split("/").take(2).mkString("/"))
+    val dataRoot = Paths.get(r, "data")
+    if (Files.exists(dataRoot)) {
+      val ls = Files.list(dataRoot)
+      val children = try {
+        val b = Seq.newBuilder[java.nio.file.Path]
+        ls.forEach(p => b += p)
+        b.result()
+      } finally ls.close()
+      children.filter(p => Files.isDirectory(p) &&
+          !referencedDirs.contains(s"data/${p.getFileName}"))
+        .foreach { p =>
+          val walk = Files.walk(p)
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .forEach(q => Files.deleteIfExists(q))
+          finally walk.close()
+        }
     }
     (filesDeleted, manifestsDeleted)
   }

@@ -195,6 +195,45 @@ class SnapshotTableSpec extends SparkTestBase {
     assert(SnapshotTable.readSnapshot(spark, t).count() == 10)
   }
 
+  test("mergeUpsert inserts into a BRAND-NEW partition (pruned read selects zero files)") {
+    val t = freshTable()
+    val base = (1 to 10).map(i => (i.toLong, 2000, i * 1.0)).toDF("id", "year", "amount")
+    SnapshotTable.commitOverwrite(base, t, Seq("year"))
+    // pure insert into year=2030 — no existing files match the pruning;
+    // the pre-fix code required a nonempty pruned read and threw
+    val changes = Seq((100L, 2030, 5.0, false), (101L, 2030, 6.0, false))
+      .toDF("id", "year", "amount", "_del")
+    val v = SnapshotTable.mergeUpsert(spark, t, changes,
+      keyCols = Seq("id"), partitionCols = Seq("year"), deleteCol = Some("_del"))
+    assert(v == 2L)
+    val now = SnapshotTable.readSnapshot(spark, t)
+    assert(now.count() == 12)
+    assert(now.filter(col("year") === 2030).count() == 2)
+    // mixed new+existing partitions in one changeset also works
+    val mixed = Seq((1L, 2000, 99.0, false), (200L, 2040, 7.0, false))
+      .toDF("id", "year", "amount", "_del")
+    SnapshotTable.mergeUpsert(spark, t, mixed,
+      keyCols = Seq("id"), partitionCols = Seq("year"), deleteCol = Some("_del"))
+    val after = SnapshotTable.readSnapshot(spark, t)
+    assert(after.count() == 13)
+    assert(after.filter(col("id") === 1L).select("amount").head().getDouble(0) == 99.0)
+  }
+
+  test("vacuum after a crash-orphan does not wedge the version number (txn replay recovers)") {
+    val t = freshTable()
+    SnapshotTable.commitOverwrite(rows(2000, 4, "v1"), t, Seq("year"))
+    // crash: data + txn manifest for v2 land, pointer never swaps
+    SnapshotTable.prepare(rows(2010, 4, "b1"), t, Seq("year"), 1,
+      txn = Some("batch-1"))((prev, fresh) => prev ++ fresh)
+    // maintenance runs vacuum BEFORE the replay: the orphan's manifest and
+    // files are reclaimed — and its data/v2 directory must go too, or the
+    // replay's prepare (ErrorIfExists at the same version) wedges forever
+    SnapshotTable.vacuum(spark, t, keepSnapshots = 2)
+    val v = SnapshotTable.commitAppendTxn(rows(2010, 4, "b1"), t, Seq("year"), "batch-1")
+    assert(v == 2L && SnapshotTable.currentVersion(t).contains(2L))
+    assert(SnapshotTable.readSnapshot(spark, t).count() == 8)
+  }
+
   test("schema evolution: strict read fails loudly; opt-in reads NULLs for pre-evolution commits") {
     val t = freshTable()
     SnapshotTable.commitOverwrite(rows(2000, 4, "old"), t, Seq("year"))
