@@ -329,8 +329,11 @@ object SnapshotTable {
   def compact(spark: SparkSession, tablePath: String,
               partitionCols: Seq[String] = Nil,
               filesPerPartition: Int = 1): Long =
-    commitOverwrite(readSnapshot(spark, tablePath).localCheckpoint(),
-      tablePath, partitionCols, filesPerPartition)
+    // no caching: the rewrite reads the old commit dirs while writing a
+    // fresh one — conflict-free by the layout, and a 100 TB table must
+    // stream through, not materialize
+    commitOverwrite(readSnapshot(spark, tablePath), tablePath,
+      partitionCols, filesPerPartition)
 
   /** Reclaim space: delete data files referenced by NO retained manifest
     * (keep the last `keepSnapshots` committed versions; orphaned

@@ -242,13 +242,16 @@ object ContinuousCuration {
     val losers = Dedup.connectedComponents(pairs.select("id_a", "id_b"))
       .filter(col("id") =!= col("cluster"))
       .select(col("id").as("doc_id"))
+    // the corpus is deliberately NOT cached: snapshot commits write to a
+    // FRESH data/vN directory, so reading the current snapshot's files
+    // while writing the reconciled one is conflict-free — two scans beat
+    // materializing a 100 TB frame. losers is violation-sized (broadcast
+    // side of both joins).
     val current = graft.sources.SnapshotTable.readSnapshot(spark, table)
-      .localCheckpoint()
     val retractable = current.join(losers, Seq("doc_id"), "left_semi").count()
     if (retractable == 0L)
       return (graft.sources.SnapshotTable.currentVersion(table).get, 0L)
     val reconciled = current.join(losers, Seq("doc_id"), "left_anti")
-      .localCheckpoint()
     val v = graft.sources.SnapshotTable.commitOverwrite(reconciled, table,
       partitionCols = Seq("split"))
     (v, retractable)
