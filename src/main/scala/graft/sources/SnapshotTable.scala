@@ -322,6 +322,20 @@ object SnapshotTable {
     commitReplacePartitions(merged, tablePath, partitionCols, filesPerPartition)
   }
 
+  /** Table history as a DataFrame — (version, committed, txn, n_files,
+    * n_partitions): the DESCRIBE-HISTORY introspection a maintenance job
+    * reads before choosing what to vacuum or which version to pin.
+    * Driver-side over the manifests (version-count-bounded). */
+  def history(spark: SparkSession, tablePath: String): DataFrame = {
+    import spark.implicits._
+    val committed = currentVersion(tablePath).getOrElse(-1L)
+    snapshots(tablePath).map { v =>
+      val es = manifest(tablePath, Some(v))
+      (v, v <= committed, txnOf(tablePath, v).getOrElse(""),
+        es.size.toLong, es.map(_.partSpec).distinct.size.toLong)
+    }.toDF("version", "committed", "txn", "n_files", "n_partitions")
+  }
+
   /** Compaction as a COMMIT: rewrite the current snapshot into one fresh
     * commit directory (resetting the per-snapshot scan-union count that
     * grows with contributing commits) — readers switch atomically, prior

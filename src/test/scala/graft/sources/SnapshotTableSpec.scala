@@ -270,6 +270,17 @@ class SnapshotTableSpec extends SparkTestBase {
     assert(SnapshotTable.readSnapshot(spark, t, Some(3L)).count() == 18)
   }
 
+  test("history lists every version with commit status, txn, and file/partition counts") {
+    val t = freshTable()
+    SnapshotTable.commitOverwrite(rows(2000, 4, "a"), t, Seq("year"))
+    SnapshotTable.commitAppendTxn(rows(2010, 4, "b"), t, Seq("year"), "batch-7")
+    SnapshotTable.prepare(rows(2020, 4, "c"), t, Seq("year"), 1)((_, f) => f) // orphan
+    val h = SnapshotTable.history(spark, t)
+      .orderBy("version").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getString(2))).toSeq
+    assert(h == Seq((1L, true, ""), (2L, true, "batch-7"), (3L, false, "")))
+  }
+
   test("vacuum reclaims only unreferenced files; kept versions still read") {
     val t = freshTable()
     SnapshotTable.commitOverwrite(rows(2000, 6, "a"), t, Seq("year"))
