@@ -52,9 +52,11 @@ import org.apache.spark.sql.types.StructType
   *    pairwise similar). The divergence class is the chain-shaped
   *    component whose later members pair only with larger ids — batch
   *    CC-min retracts the middle of the chain, append-mode streaming
-  *    cannot. ContinuousCurationSpec checks the precondition explicitly
-  *    and then asserts two waves ≡ one batch run, so the equivalence
-  *    claim is verified, not assumed.
+  *    cannot. ContinuousCurationSpec pins the divergence by J-exact
+  *    construction AND asserts two waves ≡ one batch run on the real
+  *    corpus — and [[reconcile]] CLOSES it: the batch CC-min rule is
+  *    recomputed from the persisted index on a maintenance schedule and
+  *    any retraction commits as one atomic snapshot.
   *
   * The packing stage is deliberately NOT streamed: bin boundaries are
   * running sums over the final ordered corpus, so packing is the batch
