@@ -179,9 +179,15 @@ object LakeLayout {
     *
     * ISOLATION: the dynamic overwrite is atomic PER PARTITION, not per
     * table — a reader racing a multi-partition merge can observe
-    * partition A new + partition B old. When readers and maintenance
-    * overlap, use [[SnapshotTable.mergeUpsert]]: same contract, one
-    * atomic manifest commit, plus time travel.
+    * partition A new + partition B old. Dynamic overwrite also only
+    * swaps partitions PRESENT in the output: a partition whose keys are
+    * ALL deleted writes nothing and its old files silently survive (same
+    * for an all-groups-zeroed partition in [[maintainAggregate]]). When
+    * readers and maintenance overlap — or emptied partitions must truly
+    * drop — use [[SnapshotTable.mergeUpsert]]/
+    * [[SnapshotTable.maintainAggregate]]: same contracts, one atomic
+    * manifest commit with an EXPLICIT replaced-partition set, plus time
+    * travel.
     *
     * Returns the number of partitions rewritten.
     */
@@ -274,14 +280,7 @@ object LakeLayout {
     require(groupCols.nonEmpty && partitionCols.nonEmpty)
     require(partitionCols.forall(groupCols.contains),
       "partition columns must be group columns")
-    val sgn = deleteCol
-      .map(d => when(coalesce(col(d), lit(false)), lit(-1L)).otherwise(lit(1L)))
-      .getOrElse(lit(1L))
-    val sumNames = sumCols.keys.toSeq.sorted
-    val deltaAggs = sum(sgn).as(countCol) +:
-      sumNames.map(n => sum(sumCols(n) * sgn).as(n))
-    val delta = changes.groupBy(groupCols.map(col): _*)
-      .agg(deltaAggs.head, deltaAggs.tail: _*)
+    val delta = aggregateDelta(changes, groupCols, countCol, sumCols, deleteCol)
     val affected = delta.select(partitionCols.map(col): _*).distinct().collect()
     if (affected.isEmpty) return 0L
     val prune = affected.map { row =>
@@ -290,11 +289,40 @@ object LakeLayout {
         .reduce(_ && _)
     }.reduce(_ || _)
     val base = spark.read.parquet(tablePath)
-    val dataCols = base.columns.toSeq
     val current = base.filter(prune)
-    // full-outer on the group key (using-columns → coalesced keys): a
-    // group present only in the base passes through, only in the delta
-    // inserts, in both sums component-wise
+    val typed = combineAggregate(current, delta, base.schema, groupCols,
+      countCol, sumCols.keys.toSeq.sorted)
+    stageAndSwap(typed, tablePath, base.columns.toSeq,
+      partitionCols, affected.length, filesPerPartition)
+    affected.length.toLong
+  }
+
+  /** The per-change delta aggregation shared by the in-place and
+    * snapshot maintenance paths: signed counts/sums per group. */
+  private[sources] def aggregateDelta(changes: DataFrame, groupCols: Seq[String],
+                                      countCol: String, sumCols: Map[String, Column],
+                                      deleteCol: Option[String]): DataFrame = {
+    val sgn = deleteCol
+      .map(d => when(coalesce(col(d), lit(false)), lit(-1L)).otherwise(lit(1L)))
+      .getOrElse(lit(1L))
+    val sumNames = sumCols.keys.toSeq.sorted
+    val deltaAggs = sum(sgn).as(countCol) +:
+      sumNames.map(n => sum(sumCols(n) * sgn).as(n))
+    changes.groupBy(groupCols.map(col): _*)
+      .agg(deltaAggs.head, deltaAggs.tail: _*)
+  }
+
+  /** Base ⋈ delta combine shared by both maintenance paths: full-outer on
+    * the group key (using-columns → coalesced keys — a group present only
+    * in the base passes through, only in the delta inserts, in both sums
+    * component-wise), zero-count groups dropped, and the stored schema
+    * PINNED (decimal addition widens precision; an unpinned write would
+    * drift the table's types a digit per batch). */
+  private[sources] def combineAggregate(current: DataFrame, delta: DataFrame,
+                                        schema: org.apache.spark.sql.types.StructType,
+                                        groupCols: Seq[String], countCol: String,
+                                        sumNames: Seq[String]): DataFrame = {
+    val dataCols = schema.fieldNames.toSeq
     val combined = current.as("b").join(delta.as("d"), groupCols, "full_outer")
       .select((groupCols.map(col) :+
         (coalesce(col(s"b.$countCol"), lit(0L)) +
@@ -302,12 +330,7 @@ object LakeLayout {
         sumNames.map(n => (coalesce(col(s"b.$n"), lit(0)) +
           coalesce(col(s"d.$n"), lit(0))).as(n)): _*)
       .filter(col(countCol) > 0)
-    // pin the stored schema: decimal addition widens precision, and an
-    // unpinned write would drift the table's types a digit per batch
-    val typed = combined.select(dataCols.map(c =>
-      col(c).cast(base.schema(c).dataType).as(c)): _*)
-    stageAndSwap(typed, tablePath, dataCols,
-      partitionCols, affected.length, filesPerPartition)
-    affected.length.toLong
+    combined.select(dataCols.map(c =>
+      col(c).cast(schema(c).dataType).as(c)): _*)
   }
 }

@@ -162,14 +162,21 @@ object SnapshotTable {
     }
 
   /** Replace-partitions commit (dynamic-overwrite semantics, atomically):
-    * snapshot N+1 drops every prior file belonging to a partition present
-    * in `df` and adds `df`'s files — but readers see either all of N or
-    * all of N+1, never a half-swapped table. */
+    * snapshot N+1 drops every prior file belonging to a replaced
+    * partition and adds `df`'s files — but readers see either all of N
+    * or all of N+1, never a half-swapped table. The replaced set
+    * defaults to the partitions PRESENT in `df`; pass
+    * `replacedPartitions` explicitly when a replaced partition's new
+    * content can be EMPTY (all rows deleted / all groups zeroed) — an
+    * empty partition writes no files, so it cannot be inferred from the
+    * output, and inferring would silently keep its old files (the
+    * limitation dynamic partition overwrite itself has). */
   def commitReplacePartitions(df: DataFrame, tablePath: String,
                               partitionCols: Seq[String],
-                              filesPerPartition: Int = 1): Long =
+                              filesPerPartition: Int = 1,
+                              replacedPartitions: Option[Set[String]] = None): Long =
     commit(df, tablePath, partitionCols, filesPerPartition) { (prev, fresh) =>
-      val replaced = fresh.map(_.partSpec).toSet
+      val replaced = replacedPartitions.getOrElse(fresh.map(_.partSpec).toSet)
       prev.filterNot(e => replaced.contains(e.partSpec)) ++ fresh
     }
 
@@ -269,6 +276,7 @@ object SnapshotTable {
   private def listDataFiles(spark: SparkSession, dir: String): Seq[String] = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Nil // an all-empty commit writes no dir
     val it = fs.listFiles(p, true)
     val out = Seq.newBuilder[String]
     while (it.hasNext) {
@@ -319,7 +327,55 @@ object SnapshotTable {
       // lineage cut: the commit's write must not re-plan the snapshot
       // read mid-overwrite (and the merge is cheaper materialized once)
       .localCheckpoint()
-    commitReplacePartitions(merged, tablePath, partitionCols, filesPerPartition)
+    // replaced set passed EXPLICITLY: a partition whose keys were all
+    // deleted writes no files but must still drop from the manifest
+    commitReplacePartitions(merged, tablePath, partitionCols,
+      filesPerPartition, replacedPartitions = Some(affected))
+  }
+
+  /** Incremental maintenance of an ADDITIVE grouped-aggregate table with
+    * SNAPSHOT semantics — the atomic twin of
+    * [[LakeLayout.maintainAggregate]] (same additive-only contract, same
+    * delta algebra via the shared helpers): the delta aggregates only the
+    * changeset, the current snapshot is read manifest-pruned to the
+    * touched partitions (a delta introducing a BRAND-NEW partition merges
+    * against the empty frame), and one replace-partitions commit swaps
+    * the pointer — a reader never sees partition A maintained and
+    * partition B not, and every prior aggregate state stays
+    * time-travelable. Returns the committed version.
+    */
+  def maintainAggregate(spark: SparkSession, tablePath: String,
+                        changes: DataFrame, groupCols: Seq[String],
+                        countCol: String,
+                        sumCols: Map[String, org.apache.spark.sql.Column],
+                        partitionCols: Seq[String],
+                        deleteCol: Option[String] = None,
+                        filesPerPartition: Int = 1): Long = {
+    require(groupCols.nonEmpty && partitionCols.nonEmpty)
+    require(partitionCols.forall(groupCols.contains),
+      "partition columns must be group columns")
+    val delta = LakeLayout.aggregateDelta(changes, groupCols, countCol,
+      sumCols, deleteCol)
+    val affected = delta.select(partitionCols.map(col): _*).distinct().collect()
+      .map(row => partitionCols.zipWithIndex
+        .map { case (p, i) => s"$p=${row.get(i)}" }.mkString("/")).toSet
+    require(affected.nonEmpty, "empty changeset")
+    val base = readSnapshot(spark, tablePath)
+    val hasAffectedFiles = manifest(tablePath, None)
+      .exists(e => affected.contains(e.partSpec))
+    val current =
+      if (hasAffectedFiles)
+        readSnapshot(spark, tablePath, partitionPruning = affected.contains)
+      else base.limit(0)
+    val typed = LakeLayout.combineAggregate(current, delta,
+      // schema from the snapshot read (partition cols included, in the
+      // basePath-read order)
+      base.schema, groupCols, countCol, sumCols.keys.toSeq.sorted)
+      .localCheckpoint() // maintained table is group-count-sized
+    // explicit replaced set: an all-groups-zeroed partition writes no
+    // files but must still drop from the manifest
+    commitReplacePartitions(typed, tablePath, partitionCols,
+      filesPerPartition, replacedPartitions = Some(affected))
   }
 
   /** Table history as a DataFrame — (version, committed, txn, n_files,

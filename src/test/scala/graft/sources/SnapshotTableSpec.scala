@@ -217,6 +217,16 @@ class SnapshotTableSpec extends SparkTestBase {
     val after = SnapshotTable.readSnapshot(spark, t)
     assert(after.count() == 13)
     assert(after.filter(col("id") === 1L).select("amount").head().getDouble(0) == 99.0)
+    // deleting EVERY key of a partition removes the partition from the
+    // snapshot (empty output writes no files; the explicit replaced set
+    // still drops the old ones — the inferred-set bug class)
+    val killAll = Seq((100L, 2030, 0.0, true), (101L, 2030, 0.0, true))
+      .toDF("id", "year", "amount", "_del")
+    SnapshotTable.mergeUpsert(spark, t, killAll,
+      keyCols = Seq("id"), partitionCols = Seq("year"), deleteCol = Some("_del"))
+    val fin = SnapshotTable.readSnapshot(spark, t)
+    assert(fin.filter(col("year") === 2030).count() == 0, "emptied partition must drop")
+    assert(fin.count() == 11)
   }
 
   test("vacuum after a crash-orphan does not wedge the version number (txn replay recovers)") {
@@ -268,6 +278,41 @@ class SnapshotTableSpec extends SparkTestBase {
       .map(_.relPath.split("/").take(2).mkString("/")).distinct.size == 1,
       "compacted snapshot should read from ONE commit dir")
     assert(SnapshotTable.readSnapshot(spark, t, Some(3L)).count() == 18)
+  }
+
+  test("maintainAggregate: snapshot-atomic delta apply; new partitions; history intact") {
+    val t = freshTable()
+    val base = Seq(
+      (2000, "A", 10L, 100.0), (2000, "B", 5L, 50.0), (2001, "A", 7L, 70.0)
+    ).toDF("year", "grp", "n", "revenue")
+    SnapshotTable.commitOverwrite(base, t, Seq("year"))
+    val changes = Seq(
+      (2000, "A", 2.0, false),  // +1 count, +2 revenue
+      (2000, "A", 3.0, true),   // -1 count, -3 revenue (delete image)
+      (2000, "B", 1.0, false),
+      (2002, "C", 9.0, false)   // BRAND-NEW partition
+    ).toDF("year", "grp", "rev", "_del")
+    val v = SnapshotTable.maintainAggregate(spark, t, changes,
+      groupCols = Seq("year", "grp"), countCol = "n",
+      sumCols = Map("revenue" -> col("rev")), partitionCols = Seq("year"),
+      deleteCol = Some("_del"))
+    assert(v == 2L)
+    val now = SnapshotTable.readSnapshot(spark, t)
+      .select("year", "grp", "n", "revenue").orderBy("year", "grp")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(now == Seq(
+      (2000, "A", 10L, 99.0), (2000, "B", 6L, 51.0),
+      (2001, "A", 7L, 70.0), (2002, "C", 1L, 9.0)), now.toString)
+    // pre-maintenance state time-travels; untouched 2001 files carried over
+    assert(SnapshotTable.readSnapshot(spark, t, Some(1L)).count() == 3)
+    val m1 = SnapshotTable.manifest(t, Some(1L)).filter(_.partSpec == "year=2001").toSet
+    val m2 = SnapshotTable.manifest(t, Some(2L)).filter(_.partSpec == "year=2001").toSet
+    assert(m1 == m2 && m1.nonEmpty)
+    // a group maintained to zero count drops
+    val kill = Seq((2002, "C", 9.0, true)).toDF("year", "grp", "rev", "_del")
+    SnapshotTable.maintainAggregate(spark, t, kill, Seq("year", "grp"), "n",
+      Map("revenue" -> col("rev")), Seq("year"), Some("_del"))
+    assert(SnapshotTable.readSnapshot(spark, t).filter(col("grp") === "C").count() == 0)
   }
 
   test("history lists every version with commit status, txn, and file/partition counts") {
