@@ -147,7 +147,8 @@ object Bench {
       // snapshot commits + a merge in q_l4)
       "q_d13_decontaminated_corpus", "q_t35_bpe_kernel_1k", "q_t36_pack_bpe1k",
       "q_t37_bpe_token_ids",
-      "q_l5_snapshot_time_travel", "q_u6_idn_blocklist")
+      "q_l5_snapshot_time_travel", "q_u6_idn_blocklist",
+      "q_l6_snapshot_agg_maintain")
 
     // Headline queries run 3 reps and report the MEDIAN: the single-shot
     // noise floor on this box is ±2x (calibrated rounds 5-6), which made

@@ -419,6 +419,41 @@ object PipelineQueries {
       snap(1L).unionByName(snap(2L)).orderBy("version", "o_year")
     }),
 
+    // Snapshot-atomic AGGREGATE maintenance (the q_l3 delta algebra with
+    // q_l5's isolation proof): v1 = the initial per-(year, status)
+    // aggregate committed o_year-partitioned; v2 = one
+    // SnapshotTable.maintainAggregate of the %17-delete / %19-insert
+    // changeset. BOTH versions read from the same table state — v1 must
+    // still show the PRE-maintenance numbers after v2 commits. Different
+    // mods than q_l3 so the two queries can't mask each other.
+    "q_l6_snapshot_agg_maintain" -> ((s, dir) => {
+      val base = s.read.parquet(s"$dir/orders.parquet")
+        .withColumn("o_year", year(col("o_orderdate")))
+        .withColumn("rev", col("o_totalprice").cast("decimal(18,2)"))
+      val agg0 = base.groupBy("o_year", "o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"), sum("rev").as("revenue"))
+      val path = s"${System.getProperty("java.io.tmpdir", "/tmp")}" +
+        s"/graft_snapagg/run-${System.nanoTime()}"
+      graft.sources.SnapshotTable.commitOverwrite(agg0, path, Seq("o_year"))
+      val dels = base.filter(col("o_orderkey") % 17 === 0)
+        .select(col("o_year"), col("o_orderstatus"), col("rev"),
+          lit(true).as("_del"))
+      val ins = base.filter(col("o_orderkey") % 19 === 0)
+        .select(col("o_year"), col("o_orderstatus"), col("rev"),
+          lit(false).as("_del"))
+      graft.sources.SnapshotTable.maintainAggregate(s, path,
+        dels.unionByName(ins), Seq("o_year", "o_orderstatus"),
+        countCol = "n_orders", sumCols = Map("revenue" -> col("rev")),
+        partitionCols = Seq("o_year"), deleteCol = Some("_del"))
+      def snap(v: Long) =
+        graft.sources.SnapshotTable.readSnapshot(s, path, Some(v))
+          .select(lit(v.toInt).as("version"),
+            col("o_year").cast("int").as("o_year"), col("o_orderstatus"),
+            col("n_orders"), col("revenue").cast("double").as("revenue"))
+      snap(1L).unionByName(snap(2L))
+        .orderBy("version", "o_year", "o_orderstatus")
+    }),
+
     "q_l1_merge_upsert" -> ((s, dir) => {
       val base = s.read.parquet(s"$dir/orders.parquet")
         .withColumn("o_year", year(col("o_orderdate")))
@@ -760,6 +795,42 @@ object PipelineQueries {
            |ORDER BY lang, sample_rank""".stripMargin,
 
       // replays the delta algebra: base aggregate ± changeset contributions
+      // both versions analytic: v1 the plain agg, v2 the delta algebra —
+      // the Spark side reading v1's pre-maintenance numbers from
+      // post-maintenance table state is the isolation proof
+      "q_l6_snapshot_agg_maintain" ->
+        """WITH base AS (
+          |  SELECT CAST(year(o_orderdate) AS INT) AS o_year, o_orderstatus,
+          |         o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS rev
+          |  FROM orders),
+          |agg0 AS (
+          |  SELECT o_year, o_orderstatus, count(*) AS n, sum(rev) AS revenue
+          |  FROM base GROUP BY 1, 2),
+          |delta AS (
+          |  SELECT o_year, o_orderstatus,
+          |         sum(CASE WHEN del THEN -1 ELSE 1 END) AS dn,
+          |         sum(CASE WHEN del THEN -rev ELSE rev END) AS drev
+          |  FROM (
+          |    SELECT o_year, o_orderstatus, rev, TRUE AS del
+          |    FROM base WHERE o_orderkey % 17 = 0
+          |    UNION ALL
+          |    SELECT o_year, o_orderstatus, rev, FALSE AS del
+          |    FROM base WHERE o_orderkey % 19 = 0)
+          |  GROUP BY 1, 2),
+          |v1 AS (
+          |  SELECT 1 AS version, o_year, o_orderstatus,
+          |         CAST(n AS BIGINT) AS n_orders,
+          |         CAST(revenue AS DOUBLE) AS revenue
+          |  FROM agg0),
+          |v2 AS (
+          |  SELECT 2 AS version, a.o_year, a.o_orderstatus,
+          |         CAST(a.n + coalesce(d.dn, 0) AS BIGINT) AS n_orders,
+          |         CAST(a.revenue + coalesce(d.drev, 0) AS DOUBLE) AS revenue
+          |  FROM agg0 a LEFT JOIN delta d USING (o_year, o_orderstatus)
+          |  WHERE a.n + coalesce(d.dn, 0) > 0)
+          |SELECT * FROM v1 UNION ALL SELECT * FROM v2
+          |ORDER BY version, o_year, o_orderstatus""".stripMargin,
+
       "q_l3_agg_maintain" ->
         """WITH base AS (
           |  SELECT CAST(year(o_orderdate) AS INT) AS o_year, o_orderstatus,
