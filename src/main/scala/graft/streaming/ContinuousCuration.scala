@@ -273,14 +273,15 @@ object ContinuousCuration {
                       splits: Seq[(String, Double)] =
                         Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05),
                       seed: String = "graft-cc",
-                      maxFilesPerTrigger: Int = 1000): Unit = {
+                      maxFilesPerTrigger: Int = 1000,
+                      snapshotOut: Boolean = false): Unit = {
     val src = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .format("json").load(srcDir)
     val q = src.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         curateWave(batch.toDF(), batchId, workDir, urlCol, domainBlocklist,
-          wordBlocklist, quality, nearDupThreshold, splits, seed)
+          wordBlocklist, quality, nearDupThreshold, splits, seed, snapshotOut)
         ()
       }
       .option("checkpointLocation", s"$workDir/checkpoint")

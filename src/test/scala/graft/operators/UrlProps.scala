@@ -219,6 +219,26 @@ object UrlProps extends Properties("CanonicalizeUrl") {
       }
     }
 
+  /** Hostile-input totality: ARBITRARY `xn--` garbage (not just
+    * JDK-encodable labels) must never throw and must be a pure function —
+    * the opaque-fallback contract the blocklist hot path relies on. */
+  private val genHostileXn: Gen[String] = for {
+    n <- Gen.choose(0, 12)
+    cs <- Gen.listOfN(n, Gen.frequency(
+      6 -> Gen.oneOf(('a' to 'z') ++ ('0' to '9')),
+      1 -> Gen.const('-'),
+      1 -> Gen.oneOf('!', '.', 'ü', 'Z', ' ')))
+  } yield "xn--" + cs.mkString
+
+  property("punycode decode never throws and is pure on arbitrary xn-- garbage") =
+    forAllNoShrink(Gen.listOfN(25, genHostileXn)) { labels =>
+      labels.forall { l =>
+        val once = graft.functions.UrlCanon.punycodeDecodeLabel(l)
+        val twice = graft.functions.UrlCanon.punycodeDecodeLabel(l)
+        once == twice && (once == l || once.nonEmpty)
+      }
+    }
+
   property("canon is idempotent and host attribution is stable") =
     forAllNoShrink(Gen.choose(1, 10).flatMap(n => Gen.listOfN(n, genUrl))) { urls =>
       val s = spark
