@@ -332,26 +332,65 @@ object Pipeline {
     * was a large under-blocking class — r11 VERDICT #3 / ADVICE). */
   private val WordBoundaryClass = "[^\\p{L}\\p{N}]+"
 
+  /** An entry is normalized by the SAME boundary split as the text:
+    * single-token entries match tokens; multi-token entries ("two words",
+    * "bad-word" — real lists such as C4's LDNOOBW carry both) match as
+    * PHRASES, i.e. their tokens must appear consecutively in the
+    * document's token stream, so `bad-word` flags `bad word`, `bad-word`
+    * and `bad.word` alike (r12 ADVICE: the previous raise_error on such
+    * entries hard-failed realistic configs). An entry with NO token at
+    * all (pure punctuation) can never match anything and is dropped.
+    * `n_listed_words` counts DISTINCT matched entries.
+    *
+    * Scale shape: singles ride the existing distinct-token semi-join.
+    * Phrases add (a) a candidate join on the phrase's FIRST token over
+    * that same token frame and (b) one adjacency verify joining the
+    * candidate (doc, phrase) pairs — usually violation-sized, AQE
+    * broadcasts them — back to the doc token arrays; with no phrase
+    * entries neither extra frame is built. */
   def wordBlocklistFlagged(df: DataFrame, idCol: String, textCol: String,
                            words: DataFrame): DataFrame = {
-    val listed = broadcast(
-      words.toDF("_listed").select(lower(col("_listed")).as("_listed")).distinct()
-        // an entry CONTAINING a boundary char ("two words", "bad-word",
-        // trailing punctuation) can never equal a token — silently never
-        // matching is a config bug, so fail loudly at plan time
-        .select(when(col("_listed").rlike(WordBoundaryClass),
-          raise_error(concat(lit("wordBlocklist entry is not a single "
-            + "letter/digit word and can never match: '"), col("_listed"),
-            lit("'"))))
-          .otherwise(col("_listed")).as("_listed")))
     // split via the Column API (not an expr string) so the regex needs no
     // SQL-literal backslash re-escaping
-    df.select(col(idCol),
-        explode(array_distinct(filter(
-          split(lower(col(textCol)), WordBoundaryClass), x => x =!= ""))).as("_tok"))
-      .join(listed, col("_tok") === col("_listed"), "left_semi")
-      .groupBy(idCol)
-      .agg(countDistinct(col("_tok")).as("n_listed_words"))
+    val entries = words.toDF("_listed")
+      .select(lower(col("_listed")).as("_listed")).distinct()
+      .withColumn("_etoks",
+        filter(split(col("_listed"), WordBoundaryClass), x => x =!= ""))
+      .filter(size(col("_etoks")) >= 1)
+    val singles = broadcast(entries.filter(size(col("_etoks")) === 1)
+      .select(element_at(col("_etoks"), 1).as("_listed")))
+    val phrases = broadcast(entries.filter(size(col("_etoks")) >= 2)
+      .select(array_join(col("_etoks"), " ").as("_entry"),
+        element_at(col("_etoks"), 1).as("_p1"),
+        size(col("_etoks")).as("_n")))
+    val tokRows = df.select(col(idCol),
+      explode(array_distinct(filter(
+        split(lower(col(textCol)), WordBoundaryClass), x => x =!= ""))).as("_tok"))
+    val singleHits = tokRows
+      .join(singles, col("_tok") === col("_listed"), "left_semi")
+      .select(col(idCol), col("_tok").as("_entry"))
+    // the phrase list is config-sized: probing it driver-side is a tiny
+    // local job, and it spares a second full text scan when (as in most
+    // configs) every entry is a single word
+    val hits =
+      if (phrases.isEmpty) singleHits
+      else {
+        val toks = df.select(col(idCol),
+          filter(split(lower(col(textCol)), WordBoundaryClass),
+            x => x =!= "").as("_toks"))
+        val cands = tokRows.join(phrases, col("_tok") === col("_p1"))
+          .select(col(idCol), col("_entry"), col("_n")).distinct()
+        // And short-circuits row-wise, so the size guard keeps
+        // sequence(1, 0) (which DESCENDS in Spark) out of exists()
+        val phraseHits = cands.join(toks, Seq(idCol))
+          .filter(expr("size(_toks) >= _n AND exists(" +
+            "sequence(1, size(_toks) - _n + 1), " +
+            "i -> array_join(slice(_toks, i, _n), ' ') = _entry)"))
+          .select(col(idCol), col("_entry"))
+        singleHits.unionByName(phraseHits)
+      }
+    hits.groupBy(idCol)
+      .agg(countDistinct(col("_entry")).as("n_listed_words"))
   }
 
   /** The corpus with every word-blocklisted document removed: anti-join

@@ -118,17 +118,24 @@ object PipelineQueries {
     // load-bearing. Corpus text never shuffles: distinct lowercased
     // boundary-split tokens broadcast-semi-join the list, one id-keyed
     // count.
+    // ... plus the PHRASE class (r12 ADVICE: real lists carry multi-word
+    // and hyphenated entries): the list's "ZZQX4-zzqx5" normalizes to the
+    // phrase [zzqx4 zzqx5]; %5==0 plants it space-adjacent, %5==4 plants
+    // it DOT-adjacent ("zzqx4.zzqx5" — boundary class, not spaces), and
+    // %5==3 plants both words NON-adjacent, which must NOT flag
+    // (adjacency is the phrase semantics). The "?!" entry has no token
+    // at all and is dropped, not an error.
     "q_t34_word_blocklist" -> ((s, dir) => {
       import s.implicits._
       val planted = docs(s, dir).select(col("doc_id"),
         concat(coalesce(col("text"), lit("")),
           when(col("doc_id") % 5 === 1, lit(" zzqx1, tail"))
             .when(col("doc_id") % 5 === 2, lit(" zzqx1 ZZQX2.\nzzqx1 end"))
-            .when(col("doc_id") % 5 === 3, lit(" xzzqx1x (zzqx1z) mid"))
-            .when(col("doc_id") % 5 === 4, lit("\tzzqx3!? tail"))
-            .otherwise(lit(""))).as("text"))
+            .when(col("doc_id") % 5 === 3, lit(" xzzqx1x (zzqx1z) zzqx4 far zzqx5"))
+            .when(col("doc_id") % 5 === 4, lit("\tzzqx3!? zzqx4.zzqx5 tail"))
+            .otherwise(lit(" zzqx4 zzqx5, end"))).as("text"))
       Pipeline.wordBlocklistFlagged(planted, "doc_id", "text",
-          Seq("zzqx1", "zzqx2", "ZZQX3").toDF("word"))
+          Seq("zzqx1", "zzqx2", "ZZQX3", "ZZQX4-zzqx5", "?!").toDF("word"))
         .orderBy("doc_id")
     }),
 
@@ -1022,11 +1029,15 @@ object PipelineQueries {
       // adjacent plants are proven FLAGGED by their presence (a
       // space-only tokenizer fails this hash on every %5==1 and %5==4
       // row)
+      // phrase class added (r12 ADVICE): %5==0 flags via the space-
+      // adjacent phrase, %5==4 gains the dot-adjacent phrase (2 entries),
+      // %5==3 stays ABSENT — its words are present but non-adjacent, so a
+      // bag-of-words phrase matcher fails this hash on every %5==3 row
       "q_t34_word_blocklist" ->
         """SELECT doc_id,
-          |       CAST(CASE doc_id % 5 WHEN 2 THEN 2 ELSE 1 END AS BIGINT)
-          |         AS n_listed_words
-          |FROM documents WHERE doc_id % 5 IN (1, 2, 4)
+          |       CAST(CASE doc_id % 5 WHEN 2 THEN 2 WHEN 4 THEN 2 ELSE 1 END
+          |            AS BIGINT) AS n_listed_words
+          |FROM documents WHERE doc_id % 5 IN (0, 1, 2, 4)
           |ORDER BY doc_id""".stripMargin,
 
       "q_t31_pii_typed" ->

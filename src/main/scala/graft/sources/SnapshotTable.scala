@@ -97,6 +97,27 @@ object SnapshotTable {
     vs.result().sorted
   }
 
+  /** Version numbers claimed by `data/vN` DIRECTORIES, manifested or not.
+    * A crash between the parquet write and the manifest move leaves a
+    * data-dir shell with NO manifest; deriving the next version from
+    * manifests alone would retry the same v forever (every retry fails on
+    * SaveMode.ErrorIfExists against the shell — r12 ADVICE). The next
+    * version must clear BOTH namespaces. */
+  private def dataDirVersions(tablePath: String): Seq[Long] = {
+    val d = Paths.get(root(tablePath), "data")
+    if (!Files.exists(d)) return Nil
+    val ls = Files.list(d)
+    try {
+      val vs = Seq.newBuilder[Long]
+      ls.forEach { p =>
+        val name = p.getFileName.toString
+        if (name.startsWith("v") && name.drop(1).forall(_.isDigit))
+          vs += name.stripPrefix("v").toLong
+      }
+      vs.result().sorted
+    } finally ls.close()
+  }
+
   /** The file list of snapshot `version` (default: the committed
     * pointer). Header lines (`#key=value`) are metadata, not files. */
   def manifest(tablePath: String, version: Option[Long] = None): Seq[ManifestEntry] = {
@@ -113,12 +134,24 @@ object SnapshotTable {
   }
 
   /** The transaction id snapshot `version` was committed under, if any —
-    * the exactly-once key of [[commitAppendTxn]]. */
+    * the exactly-once key of [[commitAppendTxn]]. The `#txn=` header is
+    * always the FIRST manifest line when present ([[prepare]] writes it
+    * so), and the probe reads ONE bounded chunk, never the whole manifest
+    * — [[commitAppendTxn]] probes every version per commit, and a full
+    * parse per probe made a long-running ingest quadratic in manifest
+    * bytes (r12 ADVICE). */
   def txnOf(tablePath: String, version: Long): Option[String] = {
     val p = manifestPath(tablePath, version)
     require(Files.exists(p), s"snapshot v$version does not exist at $tablePath")
-    new String(Files.readAllBytes(p), "UTF-8").split("\n", -1)
-      .find(_.startsWith("#txn=")).map(_.stripPrefix("#txn="))
+    val ch = Files.newByteChannel(p)
+    val head = try {
+      val buf = java.nio.ByteBuffer.allocate(512) // txn ids are short
+      val n = ch.read(buf)
+      if (n <= 0) "" else new String(buf.array(), 0, n, "UTF-8")
+    } finally ch.close()
+    val firstLine = head.takeWhile(_ != '\n')
+    if (firstLine.startsWith("#txn=")) Some(firstLine.stripPrefix("#txn="))
+    else None
   }
 
   /** Read a snapshot — the committed one, or any historical `version`
@@ -208,7 +241,9 @@ object SnapshotTable {
   def commitAppendTxn(df: DataFrame, tablePath: String,
                       partitionCols: Seq[String], txnId: String,
                       filesPerPartition: Int = 1): Long = {
-    val existing = snapshots(tablePath)
+    // newest-first: the replay case (txn already committed) almost always
+    // matches the latest versions; each probe is one bounded header read
+    val existing = snapshots(tablePath).reverseIterator
       .find(v => txnOf(tablePath, v).contains(txnId))
     existing match {
       case Some(v) if currentVersion(tablePath).exists(_ >= v) => v
@@ -230,7 +265,12 @@ object SnapshotTable {
                               (compose: (Seq[ManifestEntry], Seq[ManifestEntry]) => Seq[ManifestEntry]): Long = {
     val prev = currentVersion(tablePath).map(v => manifest(tablePath, Some(v)))
       .getOrElse(Nil)
-    val v = snapshots(tablePath).lastOption.getOrElse(0L) + 1
+    // next version clears manifests AND data-dir shells: a crash between
+    // the data write and the manifest move leaves an unmanifested data/vN
+    // that would otherwise wedge every subsequent commit of version N
+    // (vacuum() reclaims the shell later; it is unreachable by readers)
+    val v = (snapshots(tablePath) ++ dataDirVersions(tablePath))
+      .maxOption.getOrElse(0L) + 1
     val r = root(tablePath)
     val dataDir = s"$r/${dataDirName(v)}"
     // shape like LakeLayout.writePartitioned: each directory's rows

@@ -78,13 +78,16 @@ object ContinuousCuration {
                               nAfterNearDedup: Long)
 
   private def readIndex(spark: SparkSession, dir: String, batchId: Long,
-                        schemaOf: => DataFrame): DataFrame = {
-    val exists = new java.io.File(dir).exists() &&
-      scala.util.Try(spark.read.parquet(dir).isEmpty).isSuccess
-    if (exists)
-      spark.read.parquet(dir).filter(col("batch_id") < batchId).drop("batch_id")
-    else schemaOf.limit(0)
-  }
+                        schemaOf: => DataFrame): DataFrame =
+    // existence probe must not launch a job (r12 ADVICE: the old
+    // Try(...isEmpty) ran schema inference PLUS a first-partition scan,
+    // three times per wave): spark.read.parquet resolves its schema from
+    // footers driver-side; a missing or empty directory throws
+    // AnalysisException at read() time with zero tasks launched
+    try spark.read.parquet(dir).filter(col("batch_id") < batchId).drop("batch_id")
+    catch {
+      case _: org.apache.spark.sql.AnalysisException => schemaOf.limit(0)
+    }
 
   private def writePartitioned(df: DataFrame, dir: String, batchId: Long): Unit =
     df.withColumn("batch_id", lit(batchId))
@@ -241,15 +244,28 @@ object ContinuousCuration {
     val table = s"$workDir/out"
     val idx = spark.read.parquet(s"$workDir/lsh_index").drop("batch_id")
     val pairs = Dedup.indexNearDuplicates(idx, "doc_id", nearDupThreshold)
-    val losers = Dedup.connectedComponents(pairs.select("id_a", "id_b"))
-      .filter(col("id") =!= col("cluster"))
-      .select(col("id").as("doc_id"))
+    val cc = Dedup.connectedComponents(pairs.select("id_a", "id_b"))
     // the corpus is deliberately NOT cached: snapshot commits write to a
     // FRESH data/vN directory, so reading the current snapshot's files
     // while writing the reconciled one is conflict-free — two scans beat
-    // materializing a 100 TB frame. losers is violation-sized (broadcast
+    // materializing a 100 TB frame. cc is violation-sized (broadcast
     // side of both joins).
     val current = graft.sources.SnapshotTable.readSnapshot(spark, table)
+    // keeper per cluster = the minimal member PRESENT IN THE SNAPSHOT,
+    // not the global cluster min: with out-of-order doc_id arrival (the
+    // documented divergence regime) the min-id member may have been
+    // first-seen-dropped in its wave and never emitted — retracting every
+    // non-global-min would then delete ALL of a cluster's emitted
+    // representatives (r12 ADVICE). Batch semantics keep exactly one; so
+    // does this rule, and it equals batch CC-min whenever the min was
+    // emitted. The inner join is corpus ⋈ violation-sized cc (broadcast);
+    // the window runs over the clustered-members frame only.
+    val losers = current.select("doc_id")
+      .join(cc.withColumnRenamed("id", "doc_id"), Seq("doc_id"))
+      .withColumn("_min", min("doc_id").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("cluster")))
+      .filter(col("doc_id") =!= col("_min"))
+      .select("doc_id")
     val retractable = current.join(losers, Seq("doc_id"), "left_semi").count()
     if (retractable == 0L)
       return (graft.sources.SnapshotTable.currentVersion(table).get, 0L)

@@ -159,16 +159,44 @@ class PipelineSpec extends SparkTestBase {
       "no doc was flagged SOLELY via a punctuation-adjacent listed word")
   }
 
-  test("wordBlocklistFlagged: multi-word or punctuated list entries fail loudly") {
+  test("wordBlocklistFlagged: phrase entries match adjacent tokens across any boundary") {
     import spark.implicits._
-    val docs = Seq((1L, "some text")).toDF("id", "text")
-    val bad = Seq("two words").toDF("w")
-    val e = intercept[Exception] {
-      Pipeline.wordBlocklistFlagged(docs, "id", "text", bad).collect()
-    }
-    assert(e.getMessage.contains("can never match")
-      || Option(e.getCause).exists(_.getMessage.contains("can never match")),
-      s"unexpected error: $e")
+    val docs = Seq(
+      (1L, "prefix two words suffix"),          // space-adjacent: flags
+      (2L, "prefix two-words suffix"),          // hyphen boundary: flags
+      (3L, "prefix two.words! suffix"),         // punct boundary: flags
+      (4L, "two then other words here"),        // both words, NOT adjacent: kept
+      (5L, "words two reversed order"),         // wrong order: kept
+      (6L, "TWO Words case mangled"),           // case-folded: flags
+      (7L, "two words and badsingle too"),      // phrase + single: 2 entries
+      (8L, "twowords fused is a different token"), // no boundary at all: kept
+      (9L, "")
+    ).toDF("id", "text")
+    // hyphenated list spelling normalizes to the same phrase (real lists
+    // carry hyphenated entries); "?!" has no token and is dropped, not an
+    // error (the r12 ADVICE regression: realistic configs must not fail)
+    val list = Seq("Two-Words", "badsingle", "?!").toDF("w")
+    val flagged = Pipeline.wordBlocklistFlagged(docs, "id", "text", list)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flagged == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 6L -> 1L, 7L -> 2L),
+      s"got $flagged")
+    val kept = Pipeline.wordBlocklistFilter(docs, "id", "text", list)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(4L, 5L, 8L, 9L))
+  }
+
+  test("wordBlocklistFlagged: three-word phrase needs the full run adjacent") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c end"),        // full run: flags
+      (2L, "a b x c end"),      // broken run: kept
+      (3L, "x a b, c"),         // punct inside the run still adjacent: flags
+      (4L, "b c a")             // rotation: kept
+    ).toDF("id", "text")
+    val flagged = Pipeline.wordBlocklistFlagged(docs, "id", "text",
+        Seq("a b c").toDF("w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flagged == Map(1L -> 1L, 3L -> 1L), s"got $flagged")
   }
 
   test("wordBlocklistFilter: word-level not substring, case-folded both sides, distinct counts") {

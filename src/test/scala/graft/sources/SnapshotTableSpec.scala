@@ -87,6 +87,36 @@ class SnapshotTableSpec extends SparkTestBase {
       .head().getString(0).startsWith("v3"))
   }
 
+  test("crash BETWEEN data write and manifest move leaves no wedge (r12 ADVICE)") {
+    val t = freshTable()
+    SnapshotTable.commitOverwrite(rows(2000, 8, "v1"), t, Seq("year"))
+    // simulate the earlier crash point: the parquet write finished but the
+    // manifest ATOMIC_MOVE never ran — a data/v2 shell with NO manifest.
+    // Deriving the next version from manifests alone would retry v2
+    // forever, dying on SaveMode.ErrorIfExists against the shell.
+    val shell = Paths.get(t, "data", "v00000002", "year=2000")
+    Files.createDirectories(shell)
+    Files.write(shell.resolve("part-00000-crashed.parquet"), Array[Byte](1, 2, 3))
+    // every commit flavor must skip past the shell and land cleanly
+    val v3 = SnapshotTable.commitAppend(rows(2000, 4, "v3"), t, Seq("year"))
+    assert(v3 == 3L && SnapshotTable.currentVersion(t).contains(3L))
+    assert(SnapshotTable.readSnapshot(spark, t).count() == 12)
+    // txn replay after the same crash shape (the commitAppendTxn
+    // exactly-once claim): one snapshot, not a wedge
+    Files.createDirectories(Paths.get(t, "data", "v00000004"))
+    val v5 = SnapshotTable.commitAppendTxn(rows(2000, 2, "t"), t,
+      Seq("year"), txnId = "wave-9")
+    assert(v5 == 5L)
+    assert(SnapshotTable.commitAppendTxn(rows(2000, 2, "t"), t,
+      Seq("year"), txnId = "wave-9") == 5L, "replay must no-op")
+    assert(SnapshotTable.readSnapshot(spark, t).count() == 14)
+    // vacuum reclaims the shells; history stays readable
+    SnapshotTable.vacuum(spark, t, keepSnapshots = 3)
+    assert(!Files.exists(Paths.get(t, "data", "v00000002")))
+    assert(!Files.exists(Paths.get(t, "data", "v00000004")))
+    assert(SnapshotTable.readSnapshot(spark, t).count() == 14)
+  }
+
   test("time travel: every historical version reads its own content") {
     val t = freshTable()
     SnapshotTable.commitOverwrite(rows(2000, 5, "one"), t, Seq("year"))

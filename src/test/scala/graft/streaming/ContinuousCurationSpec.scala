@@ -230,6 +230,36 @@ class ContinuousCurationSpec extends SparkTestBase {
       "crawl-fed wave must equal the batch build on the same records")
   }
 
+  test("reconcile with out-of-order arrival keeps the smallest PRESENT member (r12 ADVICE: no data loss)") {
+    // doc 5 arrives FIRST; its near-dup doc 3 — the GLOBAL cluster min —
+    // arrives in a later wave and is first-seen-dropped, so the min-id
+    // member was never emitted. The pre-fix rule retracted every
+    // non-global-min member, deleting doc 5 too — ALL of the cluster's
+    // emitted representatives — where batch semantics keep exactly one.
+    val w = (1 to 100).map(i => s"w$i")
+    val x = (1 to 30).map(i => s"x$i")
+    val work = Files.createTempDirectory("graft-cc-ooo").toString
+    val cfg = Curation.QualityConfig(minTokens = 5, minTtr = 0.0,
+      minCharEntropy = 0.0, maxDupNgramFrac = 1.0)
+    def wave(d: DataFrame, b: Long) =
+      ContinuousCuration.curateWave(d, b, work, "url", None, None, cfg,
+        nearDupThreshold = 0.7, splits = Seq("train" -> 1.0), seed = seed,
+        snapshotOut = true)
+    wave(Seq((5L, "https://h.ooo.org/p/5", w.mkString(" ")))
+      .toDF("doc_id", "url", "text"), 0L)
+    wave(Seq((3L, "https://h.ooo.org/p/3", (w ++ x).mkString(" ")))
+      .toDF("doc_id", "url", "text"), 1L) // J(3,5)≈0.767 ≥ 0.7: dropped
+    val table = s"$work/out"
+    def corpus() = SnapshotTable.readSnapshot(spark, table).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(corpus() == Set(5L), "first-seen keeps the earlier arrival")
+    val before = SnapshotTable.currentVersion(table)
+    val (v, retracted) = ContinuousCuration.reconcile(spark, work, 0.7)
+    assert(retracted == 0L && before.contains(v),
+      s"nothing to retract — exactly one representative is present: ($v, $retracted)")
+    assert(corpus() == Set(5L), "reconcile must never empty a cluster")
+  }
+
   test("reconcile is a NO-OP when streamed semantics already equal batch (real corpus)") {
     val docs = planted.localCheckpoint()
     val mid = docs.agg(expr("percentile_approx(doc_id, 0.5)")).head().getLong(0)
