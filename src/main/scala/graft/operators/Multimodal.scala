@@ -8,13 +8,17 @@ import java.nio.charset.StandardCharsets
   * with a typed metadata struct, plus decode / feature-extract / resize /
   * frame-sample stages.
   *
-  * The container ships no media codecs, so the DECODE step is a
-  * deterministic STUB (clearly marked below): it derives fake pixels /
-  * samples from the payload bytes. Everything around it — the media schema,
-  * the partition-preserving typed `mapPartitions` batch shape, feature
-  * vector layout, and the frame-sampling slicing — is the real Spark-side
-  * plumbing a production decoder would drop into (the stub body is the only
-  * thing to replace; swap `StubCodec` for a JNI/FFI codec).
+  * REAL decode lives per modality: [[ImageCodec]] decodes PNG/JPEG/BMP via
+  * `javax.imageio` (luma grids, aHash/dHash, gray bucket features —
+  * q_m9/q_m10), and [[pcmVad]] below does integer DSP over raw PCM audio
+  * (q_m8). The remaining STUB below (clearly marked) derives fake features
+  * from payload bytes; it stays as the EXECUTABLE SPEC behind the
+  * q_m2/m5/m6/m7 oracle replays (its arithmetic is SQL-expressible, so
+  * DuckDB can replay it exactly) and as the swap point for codecs the JDK
+  * lacks (video frames, CLIP-class learned towers). The media schema, the
+  * partition-preserving typed `mapPartitions` batch shape, feature vector
+  * layout, and the frame-sampling slicing are the same production plumbing
+  * under both the stub and the real codecs.
   *
   * Scale notes: decode runs per-partition with zero shuffles; feature
   * vectors are fixed-width `array<float>` ready for the SimilaritySearch

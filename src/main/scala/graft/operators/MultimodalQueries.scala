@@ -1,5 +1,7 @@
 package graft.operators
 
+import java.nio.charset.StandardCharsets
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -45,7 +47,94 @@ object MultimodalQueries {
       .toDF("doc_id", "pcm")
   }
 
+  /** q_m9's planted pixel formula, shared by Spark construction and
+    * scaladoc: gray value of pixel (x, y) of doc `id`'s 16×16 image.
+    * The %9 VARIANT renders the SAME function at x XOR 1 — horizontal
+    * neighbours swapped inside every 2×2 block, so every 8×8-grid cell
+    * sum (cells are exactly the 2×2 blocks) is untouched while the bytes
+    * always differ (adjacent-x values differ by 7 mod 256 ≠ 0). */
+  private def m9Pixel(id: Long, x: Int, y: Int): Int =
+    ((id * 31 + x * 7 + y * 13) % 256).toInt
+
+  private def m9Images(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.read.parquet(s"$dir/documents.parquet").select("doc_id").as[Long]
+      .flatMap { id =>
+        def bmp(variant: Boolean): Array[Byte] = {
+          val px = new Array[Int](256)
+          var p = 0
+          while (p < 256) {
+            val x0 = p % 16
+            px(p) = m9Pixel(id, if (variant) x0 ^ 1 else x0, p / 16)
+            p += 1
+          }
+          ImageCodec.grayBmp(16, 16, px)
+        }
+        if (id % 9 == 0) Iterator((id, bmp(false)), (id + 800000L, bmp(true)))
+        else Iterator((id, bmp(false)))
+      }
+      .toDF("media_id", "payload")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // REAL image decode (r12 VERDICT #1): perceptual dedup over ImageIO-
+    // decoded pixels — the real-pixel twin of q_m5's stub-codec aHash.
+    // Payloads are genuine 24-bit BMP files built in-query from doc_id
+    // arithmetic and round-tripped through javax.imageio: the decoder
+    // must get row order (BMP is bottom-up), channel order (BGR) and the
+    // BT.601 luma right or the grid sums — and hence both hash columns —
+    // diverge from the oracle's analytic replay of the pixel formula.
+    // Byte-different perceptual duplicates are planted by the 2×2-block
+    // neighbour swap (see m9Pixel). One typed decode pass riding the
+    // scan; the only exchange is the (hash, id) groupBy.
+    "q_m9_image_ahash_dedup" -> ((s, dir) =>
+      ImageCodec.decodeImages(m9Images(s, dir), "media_id", "payload")
+        .toDF()
+        .filter(col("decoded"))
+        .groupBy("ahash", "dhash")
+        .agg(min("media_id").as("keeper"), count(lit(1)).as("n_copies"),
+          sum((col("media_id") >= 800000L).cast("long")).as("n_byte_variants"))
+        .filter(col("n_copies") >= 2)
+        .select("keeper", "n_copies", "n_byte_variants", "ahash", "dhash")
+        .orderBy("keeper")),
+
+    // REAL-pixel caption alignment (the q_m6 shape with the media tower
+    // decoded, not stubbed): each doc's payload is a genuine 16×6 BMP
+    // whose 96 pixels are the doc's 96-char prefix CYCLED (pixel p =
+    // byte (p mod plen) of the prefix); the caption is that same prefix,
+    // except every 6th doc takes the REVERSED prefix (the planted
+    // misalignment). Decoded-gray bucket profiles of a byte-stream image
+    // equal the stub text profile of the stream (ImageCodec.grayFeatures
+    // contract), so an aligned pair with plen = 96 scores centered
+    // cosine EXACTLY 1 — and any decode defect (row order, BGR, luma)
+    // breaks that equality against the oracle's analytic replay.
+    "q_m10_image_caption_align" -> ((s, dir) => {
+      import s.implicits._
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          expr("substring(coalesce(text, ''), 1, 96)").as("prefix"),
+          when(col("doc_id") % 6 === 0,
+            expr("substring(reverse(coalesce(text, '')), 1, 96)"))
+            .otherwise(expr("substring(coalesce(text, ''), 1, 96)"))
+            .as("caption"))
+      val media = d.as[(Long, String, String)].map { case (id, prefix, caption) =>
+        val bytes = (if (prefix == null) "" else prefix)
+          .getBytes(StandardCharsets.UTF_8)
+        val px = new Array[Int](96)
+        if (bytes.nonEmpty) {
+          var p = 0
+          while (p < 96) { px(p) = bytes(p % bytes.length) & 0xff; p += 1 }
+        }
+        (id, ImageCodec.grayBmp(16, 6, px), caption)
+      }.toDF("doc_id", "payload", "caption")
+      ImageCodec.imageCaptionPairs(media, "doc_id", "payload", "caption")
+        .withColumn("align6",
+          expr(Multimodal.alignmentScore6("media_feats", "caption_feats")))
+        .withColumn("aligned", (col("align6") >= 200000L).cast("int"))
+        .select("media_id", "caption_chars", "align6", "aligned")
+        .orderBy("media_id")
+    }),
+
     // Voice-activity detection on RAW PCM — real decode-free audio DSP
     // (s16le framing + exact integer energies), not a stub: segments =
     // runs of loud frames, energies exact LONGs. One typed scan pass.
@@ -248,6 +337,113 @@ object MultimodalQueries {
         |FROM d JOIN fin f ON d.media_id = f.media_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // analytic replay of the m9Pixel formula: pixel values → 2×2-block
+    // (= 8×8-grid cell) sums → aHash (cell·64 > total, the equal-count
+    // cross-multiplication) and dHash (right-neighbour compare) → groups.
+    // The oracle never parses a BMP — the Spark side must DECODE its way
+    // back to these numbers, so any row-order/BGR/luma defect mismatches.
+    "q_m9_image_ahash_dedup" ->
+      """WITH m AS (
+        |  SELECT doc_id, doc_id AS media_id, FALSE AS var FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, doc_id + 800000, TRUE FROM documents WHERE doc_id % 9 = 0),
+        |px AS (
+        |  SELECT media_id,
+        |         ((p // 16) // 2) * 8 + (p % 16) // 2 AS cell,
+        |         (doc_id * 31
+        |          + (CASE WHEN var THEN (CASE WHEN p % 2 = 0 THEN p % 16 + 1
+        |                                      ELSE p % 16 - 1 END)
+        |                  ELSE p % 16 END) * 7
+        |          + (p // 16) * 13) % 256 AS v
+        |  FROM m, generate_series(0, 255) AS g(p)),
+        |cells AS (SELECT media_id, cell, sum(v) AS s FROM px GROUP BY 1, 2),
+        |tot AS (SELECT media_id, sum(s) AS t FROM cells GROUP BY 1),
+        |-- bit 63 is the SIGN bit of the two's-complement LONG Spark
+        |-- emits; DuckDB's checked 1<<63 overflows, so it contributes
+        |-- -2^63 to the sum instead (at most once per media_id)
+        |ah AS (SELECT c.media_id,
+        |              CAST(sum(CASE WHEN c.s * 64 <= t.t THEN 0
+        |                            WHEN c.cell = 63
+        |                            THEN CAST(-9223372036854775807 AS BIGINT) - 1
+        |                            ELSE (CAST(1 AS BIGINT) << CAST(c.cell AS INT))
+        |                            END) AS BIGINT) AS ahash
+        |       FROM cells c JOIN tot t USING (media_id) GROUP BY 1),
+        |dh AS (SELECT a.media_id,
+        |              CAST(sum(CASE WHEN a.s > b.s
+        |                            THEN (CAST(1 AS BIGINT)
+        |                                  << CAST((a.cell // 8) * 7 + a.cell % 8 AS INT))
+        |                            ELSE 0 END) AS BIGINT) AS dhash
+        |       FROM cells a
+        |       JOIN cells b ON a.media_id = b.media_id AND b.cell = a.cell + 1
+        |                   AND a.cell % 8 < 7
+        |       GROUP BY 1),
+        |h AS (SELECT ah.media_id, ah.ahash, dh.dhash
+        |      FROM ah JOIN dh USING (media_id))
+        |SELECT min(media_id) AS keeper, CAST(count(*) AS BIGINT) AS n_copies,
+        |       CAST(sum(CASE WHEN media_id >= 800000 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_byte_variants,
+        |       ahash, dhash
+        |FROM h GROUP BY ahash, dhash HAVING count(*) >= 2
+        |ORDER BY keeper""".stripMargin,
+
+    // replays the prefix-cycled 96-pixel image profile (6 pixels per
+    // bucket, the grayFeatures float32 divisions), the stub caption
+    // profile, and the q_m6 centered-cosine/floor machinery
+    "q_m10_image_caption_align" ->
+      """WITH d AS (
+        |  SELECT doc_id AS media_id,
+        |         substr(coalesce(text, ''), 1, 96) AS prefix,
+        |         CASE WHEN doc_id % 6 = 0
+        |              THEN substr(reverse(coalesce(text, '')), 1, 96)
+        |              ELSE substr(coalesce(text, ''), 1, 96) END AS cap
+        |  FROM documents),
+        |ipos AS (SELECT media_id, g.p AS p, prefix
+        |         FROM d, generate_series(0, 95) AS g(p)
+        |         WHERE length(prefix) > 0),
+        |iagg AS (SELECT media_id, p % 16 AS bkt,
+        |                sum(ascii(substr(prefix,
+        |                    CAST((p % length(prefix)) + 1 AS INT), 1))) AS s
+        |         FROM ipos GROUP BY 1, 2),
+        |grid AS (SELECT media_id, gb.b AS bkt FROM d, generate_series(0, 15) gb(b)),
+        |mf AS (SELECT g.media_id,
+        |              list(CAST(CAST(coalesce(a.s, 0) AS FLOAT) / CAST(6 AS FLOAT)
+        |                        / CAST(255 AS FLOAT) AS FLOAT) ORDER BY g.bkt) AS f
+        |       FROM grid g LEFT JOIN iagg a ON a.media_id = g.media_id AND a.bkt = g.bkt
+        |       GROUP BY 1),
+        |cpos AS (SELECT media_id, unnest(generate_series(1, length(cap))) AS i, cap
+        |         FROM d WHERE length(cap) > 0),
+        |cagg AS (SELECT media_id, (i - 1) % 16 AS bkt,
+        |                sum(ascii(substr(cap, CAST(i AS INT), 1))) AS s, count(*) AS c
+        |         FROM cpos GROUP BY 1, 2),
+        |cf AS (SELECT g.media_id,
+        |              list(CAST(CAST(coalesce(a.s, 0) AS FLOAT) / CAST(coalesce(a.c, 1) AS FLOAT)
+        |                        / CAST(255 AS FLOAT) AS FLOAT) ORDER BY g.bkt) AS f
+        |       FROM grid g LEFT JOIN cagg a ON a.media_id = g.media_id AND a.bkt = g.bkt
+        |       GROUP BY 1),
+        |m AS (SELECT mf.media_id, mf.f AS a, cf.f AS b
+        |      FROM mf JOIN cf ON mf.media_id = cf.media_id),
+        |mu AS (SELECT media_id, a, b,
+        |              list_sum(list_transform(a, x -> CAST(x AS DOUBLE))) / 16 AS ma,
+        |              list_sum(list_transform(b, x -> CAST(x AS DOUBLE))) / 16 AS mb
+        |       FROM m),
+        |sc AS (SELECT media_id,
+        |              list_sum(list_transform(generate_series(1, 16),
+        |                i -> (CAST(a[i] AS DOUBLE) - ma) * (CAST(b[i] AS DOUBLE) - mb))) AS num,
+        |              list_sum(list_transform(a,
+        |                x -> (CAST(x AS DOUBLE) - ma) * (CAST(x AS DOUBLE) - ma))) AS da2,
+        |              list_sum(list_transform(b,
+        |                x -> (CAST(x AS DOUBLE) - mb) * (CAST(x AS DOUBLE) - mb))) AS db2
+        |       FROM mu),
+        |fin AS (SELECT media_id,
+        |               CAST(round(round(CASE WHEN da2 = 0 OR db2 = 0 THEN 0
+        |                                     ELSE num / (sqrt(da2) * sqrt(db2)) END,
+        |                          6) * 1000000) AS BIGINT) AS align6
+        |        FROM sc)
+        |SELECT d.media_id, CAST(length(d.cap) AS INTEGER) AS caption_chars,
+        |       f.align6, CAST(f.align6 >= 200000 AS INTEGER) AS aligned
+        |FROM d JOIN fin f ON d.media_id = f.media_id
+        |ORDER BY d.media_id""".stripMargin,
+
     // expected segments = islands of set bits in doc_id's low byte
     // (gaps-and-islands over the 8 planted frames); loud-frame energy is
     // exactly 4e6 so segment mass is n_frames * 4e6
