@@ -146,9 +146,10 @@ object Bench {
       // table build + recursive-construction collect in q_t35; two full
       // snapshot commits + a merge in q_l4)
       "q_d13_decontaminated_corpus", "q_t35_bpe_kernel_1k", "q_t36_pack_bpe1k",
-      "q_t37_bpe_token_ids",
+      "q_t37_bpe_token_ids", "q_t38_bpe_byte_level",
       "q_l5_snapshot_time_travel", "q_u6_idn_blocklist",
-      "q_l6_snapshot_agg_maintain",
+      "q_l6_snapshot_agg_maintain", "q_l7_snapshot_stats_skipping",
+      "q_l8_snapshot_mor_delete", "q_l9_snapshot_changes",
       // r13 new queries (typed decode/commit pipelines, one-time codegen)
       "q_m9_image_ahash_dedup", "q_m10_image_caption_align")
 

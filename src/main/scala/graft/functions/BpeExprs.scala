@@ -41,7 +41,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * Symbols are Unicode CODE POINTS, matching the spec's
   * `substring(word, i, 1)` over `length(word)` (both count code points
   * on UTF8String), so multibyte text tokenizes identically on both
-  * paths.
+  * paths. With `byteLevel = true` the initial symbols are instead the
+  * [[ByteSymbols]] remap of the word's UTF-8 bytes — the production
+  * GPT-style mode where no text is OOV; merge semantics are unchanged
+  * (the merge pass never looks inside a symbol).
   *
   * Reference surface: the candy pipeline has no tokenizer
   * (`reference/src/data_processor.py` is relational) — this is part of
@@ -49,7 +52,38 @@ import org.apache.spark.unsafe.types.UTF8String
   * al. 2016 (ACL, subword-nmt) for training and the GPT-2 public
   * encoder for the rank-loop encode.
   */
-final class BpeCodec(val lhs: Array[String], val rhs: Array[String])
+/** The GPT-2 byte→unicode remap (Radford et al. 2019, `encoder.py`
+  * `bytes_to_unicode`): printable bytes — `!`..`~`, `¡`..`¬`, `®`..`ÿ` —
+  * map to themselves as one-char symbols; the remaining 68 bytes map to
+  * `chr(256 + n)` in ascending byte order. Every UTF-8 byte gets a
+  * PRINTABLE single-char symbol, so byte-level merge tables are plain
+  * strings any engine can store and replay, and no text is ever OOV. */
+object ByteSymbols {
+  val syms: Array[String] = {
+    val keep = ((33 to 126) ++ (161 to 172) ++ (174 to 255)).toSet
+    val out = new Array[String](256)
+    var shift = 0
+    var b = 0
+    while (b < 256) {
+      if (keep(b)) out(b) = new String(Character.toChars(b))
+      else { out(b) = new String(Character.toChars(256 + shift)); shift += 1 }
+      b += 1
+    }
+    out
+  }
+
+  /** A word's initial byte-level symbol array. */
+  def of(word: String): Array[String] = {
+    val bytes = word.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val a = new Array[String](bytes.length)
+    var i = 0
+    while (i < bytes.length) { a(i) = syms(bytes(i) & 0xff); i += 1 }
+    a
+  }
+}
+
+final class BpeCodec(val lhs: Array[String], val rhs: Array[String],
+                     val byteLevel: Boolean = false)
     extends Serializable {
   require(lhs.length == rhs.length,
     s"merge table sides differ: ${lhs.length} vs ${rhs.length}")
@@ -129,13 +163,18 @@ final class BpeCodec(val lhs: Array[String], val rhs: Array[String])
     * argument). */
   def tokens(word: String): Array[String] = {
     if (word.isEmpty) return Array.empty[String]
-    val cps = word.codePoints().toArray
-    var arr = new Array[String](cps.length)
-    var i = 0
-    while (i < cps.length) {
-      arr(i) = new String(Character.toChars(cps(i)))
-      i += 1
-    }
+    var arr =
+      if (byteLevel) ByteSymbols.of(word)
+      else {
+        val cps = word.codePoints().toArray
+        val a = new Array[String](cps.length)
+        var i = 0
+        while (i < cps.length) {
+          a(i) = new String(Character.toChars(cps(i)))
+          i += 1
+        }
+        a
+      }
     var minAllowed = 0
     var done = arr.length < 2
     while (!done) {
@@ -194,13 +233,15 @@ final class BpeCodec(val lhs: Array[String], val rhs: Array[String])
   // deduplicate repeated references to the same tokenizer)
   override def equals(other: Any): Boolean = other match {
     case o: BpeCodec =>
-      java.util.Arrays.equals(lhs.asInstanceOf[Array[AnyRef]], o.lhs.asInstanceOf[Array[AnyRef]]) &&
+      byteLevel == o.byteLevel &&
+        java.util.Arrays.equals(lhs.asInstanceOf[Array[AnyRef]], o.lhs.asInstanceOf[Array[AnyRef]]) &&
         java.util.Arrays.equals(rhs.asInstanceOf[Array[AnyRef]], o.rhs.asInstanceOf[Array[AnyRef]])
     case _ => false
   }
   override def hashCode(): Int =
-    31 * java.util.Arrays.hashCode(lhs.asInstanceOf[Array[AnyRef]]) +
-      java.util.Arrays.hashCode(rhs.asInstanceOf[Array[AnyRef]])
+    (31 * java.util.Arrays.hashCode(lhs.asInstanceOf[Array[AnyRef]]) +
+      java.util.Arrays.hashCode(rhs.asInstanceOf[Array[AnyRef]])) * 31 +
+      byteLevel.hashCode()
 }
 
 object BpeExprs {

@@ -577,6 +577,32 @@ object TextQueries {
         .orderBy("word", "pos")
     }),
 
+    // BYTE-LEVEL BPE (r12 VERDICT #7): the production GPT-style mode —
+    // initial symbols are the GPT-2 byte→unicode remap of the word's
+    // UTF-8 bytes, so NO text is ever OOV. The corpus is ASCII at test
+    // scale, so multibyte words are PLANTED identically in both engines;
+    // on them byte mode and code-point mode provably differ (n_tokens >
+    // n_chars is impossible in code-point mode — merges only shrink).
+    // The merge table (64 ranked byte-symbol pairs + 8×8 chained
+    // compositions) is derived deterministically in both engines; the
+    // oracle rebuilds the remap FROM BYTE ARITHMETIC (hex decomposition
+    // of encode(word)) and replays all 128 steps sequentially.
+    "q_t38_bpe_byte_level" -> ((s, dir) => {
+      import s.implicits._
+      val wf = Tokenizer.wordFreq(docs(s, dir), "text")
+        .unionByName(byteLevelPlants.toDF("word", "freq"))
+      val merges = constructedByteMerges(
+        wf.collect().map(r => (r.getString(0), r.getLong(1))))
+      val codec = Tokenizer.codecOf(merges, byteLevel = true)
+      wf.select(col("word"),
+          graft.functions.BpeExprs.encodeTokens(col("word"), codec).as("toks"))
+        .select(col("word"),
+          length(col("word")).cast("long").as("n_chars"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          array_join(col("toks"), " ").as("tokens_str"))
+        .orderBy("word")
+    }),
+
     // Vocabulary statistics per language slice — the corpus profile that
     // drives tokenizer/dedup planning: token mass, distinct words and
     // 3-gram shingles (exact twins + bounded-memory HLL++ estimates with
@@ -730,6 +756,116 @@ object TextQueries {
       s"constructed merge table too small: ${all.length}")
     all
   }
+
+  /** Multibyte words planted into q_t38's word-frequency table (the
+    * synthetic corpus is pure ASCII, so byte-vs-code-point divergence
+    * needs them): accented Latin (2-byte UTF-8, printable-remap bytes),
+    * an em-dash and CJK (3-byte, exercising the chr(256+n) shifted-remap
+    * branch). Values replayed verbatim in the oracle's VALUES list. */
+  private val byteLevelPlants: Seq[(String, Long)] = Seq(
+    ("héllo", 50L), ("naïve", 40L), ("wörld—x", 30L),
+    ("日本語", 20L), ("résumé", 10L))
+
+  /** q_t38's deterministic byte-level merge table: every adjacent pair of
+    * BYTE symbols ([[graft.functions.ByteSymbols]] remap) ranked by
+    * (weighted freq desc, lhs, rhs in UTF-8 byte order) capped at 64,
+    * plus all 8×8 pairwise compositions of the top-8 merged symbols.
+    * Driver-side over the collected word-freq table (vocabulary-sized,
+    * the training-artifact scale — the bpeTrainLocal discipline). */
+  private def constructedByteMerges(wf: Array[(String, Long)]): Seq[Tokenizer.Merge] = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val pc = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    wf.foreach { case (w, f) =>
+      val a = graft.functions.ByteSymbols.of(w)
+      var i = 0
+      while (i < a.length - 1) {
+        val k = (a(i), a(i + 1))
+        pc.update(k, pc.getOrElse(k, 0L) + f)
+        i += 1
+      }
+    }
+    def u8lt(a: String, b: String) =
+      UTF8String.fromString(a).compareTo(UTF8String.fromString(b)) < 0
+    val base = pc.toSeq.sortWith { case (((la, ra), ca), ((lb, rb), cb)) =>
+      if (ca != cb) ca > cb
+      else if (la != lb) u8lt(la, lb)
+      else u8lt(ra, rb)
+    }.take(64).map(_._1)
+    val syms = base.take(8).map { case (l, r) => l + r }
+    val chain = for { i <- syms.indices; j <- syms.indices }
+      yield (syms(i), syms(j))
+    (base ++ chain).zipWithIndex
+      .map { case ((l, r), k) => Tokenizer.Merge(k + 1, l, r, 1L) }
+  }
+
+  /** DuckDB twin of [[constructedByteMerges]] + the byte-level encode
+    * replay: the remap table from pure byte arithmetic, per-word byte
+    * decomposition via hex(encode(word)), the ranked merge table, and
+    * the recursive sequential replay (128 iterations bounds 64 base + 64
+    * chain). End state: `bwt` = (word, toks array). */
+  private val bpeByteOracleStages: String =
+    """wf AS MATERIALIZED (
+      |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+      |    SELECT unnest(list_filter(string_split(text, ' '), x -> x != '')) AS word
+      |    FROM documents)
+      |  GROUP BY 1
+      |  UNION ALL
+      |  SELECT word, CAST(freq AS BIGINT) FROM (VALUES
+      |    ('héllo', 50), ('naïve', 40), ('wörld—x', 30),
+      |    ('日本語', 20), ('résumé', 10)) t(word, freq)),
+      |remap AS MATERIALIZED (
+      |  SELECT b, CASE WHEN keep THEN chr(CAST(b AS INT))
+      |                 ELSE chr(CAST(256 + row_number() OVER
+      |                        (PARTITION BY keep ORDER BY b) - 1 AS INT))
+      |            END AS sym
+      |  FROM (SELECT unnest(range(256)) AS b,
+      |               (b BETWEEN 33 AND 126 OR b BETWEEN 161 AND 172
+      |                OR b BETWEEN 174 AND 255) AS keep)),
+      |wbytes AS (
+      |  SELECT word, i,
+      |         (strpos('0123456789ABCDEF', substr(h, 2 * i + 1, 1)) - 1) * 16 +
+      |         (strpos('0123456789ABCDEF', substr(h, 2 * i + 2, 1)) - 1) AS b
+      |  FROM (SELECT word, hex(encode(word)) AS h,
+      |               octet_length(encode(word)) AS nb
+      |        FROM wf),
+      |       unnest(generate_series(0, nb - 1)) AS t(i)),
+      |bsyms AS MATERIALIZED (
+      |  SELECT w.word,
+      |         '  ' || string_agg(r.sym, '  ' ORDER BY w.i) || '  ' AS sym
+      |  FROM wbytes w JOIN remap r ON r.b = w.b
+      |  GROUP BY w.word),
+      |bpairs AS (
+      |  SELECT s.syms[j] AS lhs, s.syms[j + 1] AS rhs,
+      |         CAST(sum(s.freq) AS BIGINT) AS c
+      |  FROM (SELECT f.freq,
+      |               list_filter(string_split(b.sym, '  '), x -> x != '') AS syms
+      |        FROM bsyms b JOIN wf f ON f.word = b.word) s,
+      |       unnest(generate_series(1, len(s.syms) - 1)) AS t(j)
+      |  GROUP BY 1, 2),
+      |branked AS (
+      |  SELECT lhs, rhs, row_number() OVER (ORDER BY c DESC, lhs, rhs) AS step
+      |  FROM bpairs),
+      |bbase AS MATERIALIZED (SELECT lhs, rhs, step FROM branked WHERE step <= 64),
+      |bchain AS (
+      |  SELECT a.lhs || a.rhs AS lhs, b.lhs || b.rhs AS rhs,
+      |         (SELECT count(*) FROM bbase) + (a.step - 1) * 8 + b.step AS step
+      |  FROM bbase a JOIN bbase b ON a.step <= 8 AND b.step <= 8),
+      |bmerges AS MATERIALIZED (
+      |  SELECT lhs, rhs, step FROM bbase
+      |  UNION ALL SELECT lhs, rhs, step FROM bchain),
+      |benc AS (
+      |  SELECT word, sym, 0 AS step FROM bsyms
+      |  UNION ALL
+      |  SELECT e.word,
+      |         CASE WHEN m.lhs IS NULL THEN e.sym
+      |              ELSE replace(e.sym, ' ' || m.lhs || '  ' || m.rhs || ' ',
+      |                           ' ' || m.lhs || m.rhs || ' ') END,
+      |         e.step + 1
+      |  FROM benc e LEFT JOIN bmerges m ON m.step = e.step + 1
+      |  WHERE e.step < 128),
+      |bwt AS MATERIALIZED (
+      |  SELECT word, list_filter(string_split(sym, '  '), x -> x != '') AS toks
+      |  FROM benc WHERE step = 128)""".stripMargin
 
   /** DuckDB twin of [[constructed1kMerges]] + the full sequential encode
     * replay: `merges` (the table), `syms` (per distinct word, the
@@ -1654,6 +1790,18 @@ object TextQueries {
          |SELECT word, CAST(len(toks) AS BIGINT) AS n_tokens,
          |       array_to_string(toks, ' ') AS tokens_str
          |FROM wt1k
+         |ORDER BY word""".stripMargin,
+
+    // byte-level: the remap and byte decomposition are re-derived from
+    // pure arithmetic (no shared code with the engine), the table
+    // re-ranked, and all 128 steps replayed sequentially
+    "q_t38_bpe_byte_level" ->
+      s"""WITH RECURSIVE
+         |$bpeByteOracleStages
+         |SELECT b.word, CAST(length(b.word) AS BIGINT) AS n_chars,
+         |       CAST(len(b.toks) AS BIGINT) AS n_tokens,
+         |       array_to_string(b.toks, ' ') AS tokens_str
+         |FROM bwt b
          |ORDER BY word""".stripMargin,
 
     // re-derives the vocab (ranked base chars, then merge outputs in

@@ -142,11 +142,12 @@ object Tokenizer {
     * [[bpeTrain]]'s `orderBy(c desc, lhs, rhs)` exactly: UTF-8 byte order
     * (Spark's string comparator), not Java's UTF-16 order.
     */
-  def bpeTrainLocal(docs: DataFrame, textCol: String, numMerges: Int): Seq[Merge] = {
+  def bpeTrainLocal(docs: DataFrame, textCol: String, numMerges: Int,
+                    byteLevel: Boolean = false): Seq[Merge] = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
     val wf = wordFreq(docs, textCol).collect()
       .map(r => (r.getString(0), r.getLong(1))).toSeq
-    trainFromWordFreq(wf, numMerges)
+    trainFromWordFreq(wf, numMerges, byteLevel)
   }
 
   /** Driver-side BPE training over a (word, freq) table — the in-memory
@@ -154,17 +155,24 @@ object Tokenizer {
     * application (see [[graft.functions.BpeCodec]] for why the array
     * merge pass is byte-equivalent to the double-space string replace).
     */
-  def trainFromWordFreq(wordFreq: Seq[(String, Long)], numMerges: Int): Seq[Merge] = {
+  def trainFromWordFreq(wordFreq: Seq[(String, Long)], numMerges: Int,
+                        byteLevel: Boolean = false): Seq[Merge] = {
     import scala.collection.mutable
-    // code-point symbols, matching symExpr's substring(word, i, 1)
+    // code-point symbols, matching symExpr's substring(word, i, 1) — or
+    // the GPT-2 byte remap in byte-level mode (ByteSymbols doc)
     val words = new Array[Array[String]](wordFreq.size)
     val freqs = new Array[Long](wordFreq.size)
     var w = 0
     wordFreq.foreach { case (word, f) =>
-      val cps = word.codePoints().toArray
-      val arr = new Array[String](cps.length)
-      var i = 0
-      while (i < cps.length) { arr(i) = new String(Character.toChars(cps(i))); i += 1 }
+      val arr =
+        if (byteLevel) graft.functions.ByteSymbols.of(word)
+        else {
+          val cps = word.codePoints().toArray
+          val a = new Array[String](cps.length)
+          var i = 0
+          while (i < cps.length) { a(i) = new String(Character.toChars(cps(i))); i += 1 }
+          a
+        }
       words(w) = arr
       freqs(w) = f
       w += 1
@@ -246,10 +254,11 @@ object Tokenizer {
 
   /** The encode kernel for a learned merge list — merges applied in step
     * order. */
-  def codecOf(merges: Seq[Merge]): graft.functions.BpeCodec = {
+  def codecOf(merges: Seq[Merge],
+              byteLevel: Boolean = false): graft.functions.BpeCodec = {
     val ordered = merges.sortBy(_.step)
     new graft.functions.BpeCodec(ordered.map(_.lhs).toArray,
-      ordered.map(_.rhs).toArray)
+      ordered.map(_.rhs).toArray, byteLevel)
   }
 
   /** The VOCABULARY a trainer actually consumes — (symbol, token_id):
@@ -336,10 +345,14 @@ object Tokenizer {
     * — the reference TokenizerKernelProps fuzzes [[graft.functions.BpeCodec]]
     * against (same semantics as [[encodedSyms]], evaluated without Spark).
     */
-  def encodeWordSpec(word: String, merges: Seq[Merge]): Seq[String] = {
-    val cps = word.codePoints().toArray
-    var sym = cps.map(cp => new String(Character.toChars(cp)))
-      .mkString("  ", "  ", "  ")
+  def encodeWordSpec(word: String, merges: Seq[Merge],
+                     byteLevel: Boolean = false): Seq[String] = {
+    val syms0 =
+      if (byteLevel) graft.functions.ByteSymbols.of(word).toSeq
+      else word.codePoints().toArray.toSeq
+        .map(cp => new String(Character.toChars(cp)))
+    if (syms0.isEmpty) return Nil
+    var sym = syms0.mkString("  ", "  ", "  ")
     merges.sortBy(_.step).foreach { m =>
       sym = sym.replace(s" ${m.lhs}  ${m.rhs} ", s" ${m.lhs + m.rhs} ")
     }

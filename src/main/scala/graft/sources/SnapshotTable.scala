@@ -1,9 +1,43 @@
 package graft.sources
 
 import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.util.Base64
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+
+/** A concurrent commit lost the optimistic race and could NOT be rebased:
+  * an interleaved commit touched the same partitions (or was an
+  * overwrite/global delete). The caller's data files are orphans —
+  * unreachable by readers, reclaimed by [[SnapshotTable.vacuum]] — so
+  * retrying the whole operation from a fresh snapshot read is safe. */
+final class ConcurrentCommitException(msg: String) extends RuntimeException(msg)
+
+/** Per-file column statistics carried in the manifest: the Iceberg-style
+  * min/max bounds that let a non-partition predicate skip files BEFORE
+  * planning. `dataType` is the Catalyst catalogString at write time;
+  * min/max are the `CAST(... AS STRING)` renderings, compared numerically
+  * for numeric types and lexically otherwise (ISO dates/timestamps are
+  * lexical-ordered by construction). */
+final case class ColStats(dataType: String, min: String, max: String)
+
+object ColStats {
+  private def isNumeric(t: String): Boolean =
+    t == "tinyint" || t == "smallint" || t == "int" || t == "bigint" ||
+      t == "float" || t == "double" || t.startsWith("decimal")
+
+  def cmp(dataType: String, a: String, b: String): Int =
+    if (isNumeric(dataType)) BigDecimal(a).compare(BigDecimal(b))
+    else a.compareTo(b)
+
+  /** May a file with these stats contain a value of `colName` in
+    * `[lo, hi]`? Files lacking stats for the column always MAY — skipping
+    * is only ever proven safe, never guessed. */
+  def overlaps(stats: Map[String, ColStats], colName: String,
+               lo: String, hi: String): Boolean =
+    stats.get(colName).forall(s =>
+      cmp(s.dataType, s.max, lo) >= 0 && cmp(s.dataType, s.min, hi) <= 0)
+}
 
 /** Manifest-based VERSIONED table: atomic snapshot commits, read-at-
   * snapshot, and time travel over plain parquet — the table-level
@@ -14,16 +48,17 @@ import org.apache.spark.sql.functions._
   * == Layout (the public Iceberg/Delta shape, minimally) ==
   * {{{
   *   table/
-  *     data/v00000001/[p=.../]part-*.parquet   immutable, append-only
-  *     _manifests/v00000001.manifest           file list of snapshot 1
-  *     _current                                pointer: highest committed version
+  *     data/u<nano>-<seq>/[p=.../]part-*.parquet  immutable, append-only
+  *     _manifests/v00000001.manifest              file list of snapshot 1
+  *     _current                                   pointer: highest committed version
   * }}}
   *
-  * A commit (a) writes NEW data files under a fresh `data/vN/` directory
-  * — existing files are never touched, (b) writes the new snapshot's
-  * manifest (every data file composing version N, tab-separated
-  * `partitionSpec \t relativePath` lines), and only then (c) swaps the
-  * `_current` pointer via write-temp + ATOMIC_MOVE (the
+  * A commit (a) writes NEW data files under a fresh uniquely-named
+  * `data/u...` directory — existing files are never touched and two
+  * writers can never collide on a directory, (b) composes and writes the
+  * new snapshot's manifest (every file of version N, tab-separated
+  * `partitionSpec \t relativePath [\t attrs]` lines), and only then (c)
+  * swaps the `_current` pointer via write-temp + ATOMIC_MOVE (the
   * [[JdbcIncremental]] watermark discipline). The pointer swap IS the
   * commit point:
   *
@@ -31,30 +66,52 @@ import org.apache.spark.sql.functions._
   *    matter how many commits land meanwhile (nothing it references is
   *    ever rewritten);
   *  - a crash anywhere before the pointer swap leaves version N fully
-  *    readable — the orphaned `data/vN+1` directory and manifest are
-  *    invisible to readers and reclaimed by [[vacuum]];
+  *    readable — the orphaned data directory and manifest are invisible
+  *    to readers and reclaimed by [[vacuum]];
   *  - `_manifests/vN.manifest` is created with a no-replace move, so a
-  *    racing second committer fails LOUDLY instead of silently
-  *    clobbering (optimistic concurrency; a single writer at a time is
-  *    the supported regime, as in Hive/Delta-on-HDFS).
+  *    racing committer from ANOTHER process fails LOUDLY instead of
+  *    silently clobbering.
   *
-  * Reads: the manifest is the unit of PRUNING — [[readSnapshot]] with a
-  * partition predicate selects the file subset driver-side (manifest
-  * rows are partition-count-bounded) before any Spark scan is planned,
-  * the same file-skipping shape Iceberg calls manifest filtering.
-  * Partition directory names follow hive layout, so partition columns
-  * come back via each commit directory's `basePath` read; one snapshot
-  * unions at most #contributing-commits scans (compaction via
-  * [[commitOverwrite]] resets that to one).
+  * == Optimistic concurrency (same-process writers) ==
+  * Commits within one JVM serialize their manifest-compose + pointer-swap
+  * critical section on a per-table lock; the expensive data writes still
+  * run fully in parallel. A committer whose base snapshot was advanced by
+  * an interleaved commit REBASES when that is provably safe — appends and
+  * delete-key commits always; replace-partitions/mergeUpsert/
+  * maintainAggregate only when the interleaved commits touched DISJOINT
+  * partitions — and otherwise aborts with [[ConcurrentCommitException]]
+  * (overwrites abort on any interleave: rebasing one would silently drop
+  * the other's rows). Cross-process racing stays the loud-failure regime
+  * via the no-replace manifest move; on S3-class object stores the
+  * pointer swap additionally needs a conditional PUT or external lock —
+  * documented constraint, not hidden.
   *
-  * Pointer/manifest IO is java.nio against local/NFS-visible paths (the
-  * test and local[32] regime; `file:` URIs accepted). On HDFS the same
-  * scheme holds with `FileSystem.rename`; on S3-class object stores a
-  * pointer swap needs a conditional PUT or an external lock — documented
-  * constraint, not hidden.
+  * == Manifest entry attributes (3rd tab field, `k=v;k=v`) ==
+  *  - `v=N` — the commit version that ADDED the file (carried over
+  *    verbatim when later manifests re-reference it);
+  *  - `kind=d`, `keys=c1,c2` — a merge-on-read DELETE-KEY file (see
+  *    [[commitDeleteByKeys]]): its rows are keys to anti-join away from
+  *    every data file with a SMALLER commit version, the Iceberg
+  *    equality-delete / sequence-number rule. [[compact]] absorbs
+  *    deletes back into data files;
+  *  - `stats=...` — per-file column min/max ([[ColStats]]), written when
+  *    the committer passes `statsCols`; [[readSnapshot]]'s `statsPruning`
+  *    skips files whose bounds provably exclude the predicate BEFORE any
+  *    Spark scan is planned. Pair with `clusterBy` (range-clustered file
+  *    layout, composable with [[LakeLayout.zorderValue]]) so bounds are
+  *    tight enough to skip.
+  *
+  * Reads: the manifest is the unit of PRUNING — partition pruning and
+  * stats pruning both select the file subset driver-side (manifest rows
+  * are file-count-bounded) before planning. Partition directory names
+  * follow hive layout, so partition columns come back via each commit
+  * directory's `basePath` read; one snapshot unions at most
+  * #contributing-commits scans (compaction resets that to one).
   *
   * CONTRACT: partition values must be path-safe (no `/`, `=`, newline,
-  * or nulls) — the hive-layout restriction; enforce upstream.
+  * or nulls) — the hive-layout restriction; enforce upstream. Stats and
+  * delete-key column names must be plain identifiers (no `,;=~|` or
+  * whitespace).
   *
   * Reference surface: the candy pipeline overwrites per-day MySQL tables
   * in place (`reference/src/data_processor.py:137-145`) — versioned
@@ -62,7 +119,29 @@ import org.apache.spark.sql.functions._
   */
 object SnapshotTable {
 
-  final case class ManifestEntry(partSpec: String, relPath: String)
+  final case class ManifestEntry(partSpec: String, relPath: String,
+                                 attrs: Map[String, String] = Map.empty) {
+    /** Merge-on-read delete-key file? */
+    def isDelete: Boolean = attrs.get("kind").contains("d")
+
+    /** The commit version that added this file. Legacy entries (pre-attrs
+      * manifests) encoded it in the `data/vNNNNNNNN` directory name. */
+    def commitVersion: Long = attrs.get("v").map(_.toLong).getOrElse {
+      val dir = relPath.split("/")(1)
+      val digits = dir.dropWhile(!_.isDigit).takeWhile(_.isDigit)
+      if (digits.isEmpty) 0L else digits.toLong
+    }
+
+    /** Key columns of a delete-key file. */
+    def deleteKeyCols: Seq[String] =
+      attrs.get("keys").map(_.split(",").toSeq).getOrElse(Nil)
+
+    /** Per-file column stats, if recorded at commit time. */
+    def stats: Map[String, ColStats] =
+      attrs.get("stats").map(decodeStats).getOrElse(Map.empty)
+  }
+
+  // ---------------------------------------------------------------- paths
 
   private def root(tablePath: String): String = {
     val r = tablePath.stripPrefix("file://").stripPrefix("file:")
@@ -72,7 +151,15 @@ object SnapshotTable {
   private def manifestPath(t: String, v: Long) =
     manifestDir(t).resolve(f"v$v%08d.manifest")
   private def pointerPath(t: String) = Paths.get(root(t), "_current")
-  private def dataDirName(v: Long) = f"data/v$v%08d"
+
+  /** Commit sections (manifest compose + pointer swap) serialize on this
+    * per-table lock within the JVM — the optimistic-concurrency regime.
+    * Data writes happen OUTSIDE the lock. */
+  private val tableLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(tablePath: String): Object =
+    tableLocks.computeIfAbsent(root(tablePath), _ => new Object)
+
+  private val dirSeq = new java.util.concurrent.atomic.AtomicLong()
 
   /** Highest COMMITTED version (the pointer), if any. */
   def currentVersion(tablePath: String): Option[Long] = {
@@ -97,12 +184,12 @@ object SnapshotTable {
     vs.result().sorted
   }
 
-  /** Version numbers claimed by `data/vN` DIRECTORIES, manifested or not.
-    * A crash between the parquet write and the manifest move leaves a
-    * data-dir shell with NO manifest; deriving the next version from
-    * manifests alone would retry the same v forever (every retry fails on
-    * SaveMode.ErrorIfExists against the shell — r12 ADVICE). The next
-    * version must clear BOTH namespaces. */
+  /** Version numbers claimed by LEGACY `data/vN` directories, manifested
+    * or not. A crash between the parquet write and the manifest move in
+    * the old layout leaves a data-dir shell with NO manifest; the next
+    * manifest version must clear that namespace too or the table wedges
+    * (r12 ADVICE). New-layout data dirs (`data/u...`) are uniquely named
+    * and claim no version number. */
   private def dataDirVersions(tablePath: String): Seq[Long] = {
     val d = Paths.get(root(tablePath), "data")
     if (!Files.exists(d)) return Nil
@@ -118,6 +205,45 @@ object SnapshotTable {
     } finally ls.close()
   }
 
+  // ------------------------------------------------- manifest (de)serde
+
+  private def b64e(s: String): String =
+    Base64.getUrlEncoder.withoutPadding.encodeToString(s.getBytes("UTF-8"))
+  private def b64d(s: String): String =
+    new String(Base64.getUrlDecoder.decode(s), "UTF-8")
+
+  /** `col~type~b64(min)~b64(max)` joined by `|` — separators chosen
+    * outside the base64url alphabet and outside catalogString syntax. */
+  private[sources] def encodeStats(m: Map[String, ColStats]): String =
+    m.toSeq.sortBy(_._1).map { case (c, s) =>
+      s"$c~${s.dataType}~${b64e(s.min)}~${b64e(s.max)}"
+    }.mkString("|")
+
+  private[sources] def decodeStats(s: String): Map[String, ColStats] =
+    s.split("\\|").iterator.filter(_.nonEmpty).map { f =>
+      val p = f.split("~")
+      p(0) -> ColStats(p(1), b64d(p(2)), b64d(p(3)))
+    }.toMap
+
+  private def renderEntry(e: ManifestEntry): String = {
+    val attrs =
+      if (e.attrs.isEmpty) ""
+      else "\t" + e.attrs.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"$k=$v" }.mkString(";")
+    s"${e.partSpec}\t${e.relPath}$attrs"
+  }
+
+  private def parseEntry(line: String): ManifestEntry = {
+    val parts = line.split("\t", -1)
+    val attrs =
+      if (parts.length < 3 || parts(2).isEmpty) Map.empty[String, String]
+      else parts(2).split(";").iterator.map { kv =>
+        val eq = kv.indexOf('=')
+        kv.substring(0, eq) -> kv.substring(eq + 1)
+      }.toMap
+    ManifestEntry(parts(0), parts(1), attrs)
+  }
+
   /** The file list of snapshot `version` (default: the committed
     * pointer). Header lines (`#key=value`) are metadata, not files. */
   def manifest(tablePath: String, version: Option[Long] = None): Seq[ManifestEntry] = {
@@ -127,19 +253,14 @@ object SnapshotTable {
     require(Files.exists(p), s"snapshot v$v does not exist at $tablePath")
     new String(Files.readAllBytes(p), "UTF-8").split("\n", -1).toSeq
       .filter(l => l.nonEmpty && !l.startsWith("#"))
-      .map { line =>
-        val tab = line.indexOf('\t')
-        ManifestEntry(line.substring(0, tab), line.substring(tab + 1))
-      }
+      .map(parseEntry)
   }
 
   /** The transaction id snapshot `version` was committed under, if any —
     * the exactly-once key of [[commitAppendTxn]]. The `#txn=` header is
-    * always the FIRST manifest line when present ([[prepare]] writes it
-    * so), and the probe reads ONE bounded chunk, never the whole manifest
-    * — [[commitAppendTxn]] probes every version per commit, and a full
-    * parse per probe made a long-running ingest quadratic in manifest
-    * bytes (r12 ADVICE). */
+    * always the FIRST manifest line when present, and the probe reads ONE
+    * bounded chunk, never the whole manifest (r12 ADVICE: a full parse
+    * per probe made a long-running ingest quadratic in manifest bytes). */
   def txnOf(tablePath: String, version: Long): Option[String] = {
     val p = manifestPath(tablePath, version)
     require(Files.exists(p), s"snapshot v$version does not exist at $tablePath")
@@ -154,25 +275,63 @@ object SnapshotTable {
     else None
   }
 
+  // ---------------------------------------------------------------- read
+
   /** Read a snapshot — the committed one, or any historical `version`
-    * (time travel). `partitionPruning` filters manifest entries by their
-    * hive partition spec (e.g. `_ == "o_year=1995"` or a prefix test)
-    * BEFORE planning, so pruned files are never listed, opened, or
-    * scheduled. */
+    * (time travel). `partitionPruning` filters data entries by their hive
+    * partition spec and `statsPruning` by their per-file column bounds
+    * (see [[ColStats.overlaps]]) BEFORE planning, so pruned files are
+    * never listed, opened, or scheduled. Merge-on-read delete-key files
+    * are applied as anti-joins against every data file OLDER than the
+    * delete (they are never partition/stats pruned — a delete is global
+    * until [[compact]] absorbs it). */
   def readSnapshot(spark: SparkSession, tablePath: String,
                    version: Option[Long] = None,
                    partitionPruning: String => Boolean = _ => true,
-                   allowSchemaEvolution: Boolean = false): DataFrame = {
-    val entries = manifest(tablePath, version).filter(e => partitionPruning(e.partSpec))
-    require(entries.nonEmpty, s"snapshot has no files after pruning at $tablePath")
+                   allowSchemaEvolution: Boolean = false,
+                   statsPruning: Map[String, ColStats] => Boolean = _ => true): DataFrame = {
+    val all = manifest(tablePath, version)
+    val (delEntries, dataEntries) = all.partition(_.isDelete)
+    val kept = dataEntries
+      .filter(e => partitionPruning(e.partSpec))
+      .filter(e => statsPruning(e.stats))
+    require(kept.nonEmpty, s"snapshot has no files after pruning at $tablePath")
+    readEntries(spark, tablePath, kept, deleteGroups(spark, tablePath, delEntries),
+      allowSchemaEvolution)
+  }
+
+  /** One delete COMMIT = one group: (commit version, key columns, keys
+    * frame). Grouped by commit directory — all entries of a dir share
+    * both. */
+  private def deleteGroups(spark: SparkSession, tablePath: String,
+                           delEntries: Seq[ManifestEntry]): Seq[(Long, Seq[String], DataFrame)] = {
     val r = root(tablePath)
-    // group by commit directory so each group's basePath recovers the
-    // hive partition columns written under it
-    val byCommit = entries.groupBy(_.relPath.split("/").take(2).mkString("/"))
+    delEntries.groupBy(_.relPath.split("/").take(2).mkString("/"))
+      .toSeq.sortBy(_._1).map { case (_, es) =>
+        (es.head.commitVersion, es.head.deleteKeyCols,
+          spark.read.parquet(es.map(e => s"$r/${e.relPath}"): _*))
+      }
+  }
+
+  /** Union the given data entries grouped by commit directory (each
+    * group's `basePath` read recovers its hive partition columns), with
+    * every delete group NEWER than a group's commit version anti-joined
+    * away — the Iceberg sequence-number rule at commit granularity. */
+  private def readEntries(spark: SparkSession, tablePath: String,
+                          dataEntries: Seq[ManifestEntry],
+                          deletes: Seq[(Long, Seq[String], DataFrame)],
+                          allowSchemaEvolution: Boolean): DataFrame = {
+    val r = root(tablePath)
+    val byCommit = dataEntries.groupBy(_.relPath.split("/").take(2).mkString("/"))
     byCommit.toSeq.sortBy(_._1).map { case (commitDir, es) =>
-      spark.read
+      val raw = spark.read
         .option("basePath", s"$r/$commitDir")
         .parquet(es.map(e => s"$r/${e.relPath}"): _*)
+      val fileV = es.head.commitVersion
+      deletes.filter(_._1 > fileV).foldLeft(raw) {
+        case (acc, (_, keys, delDf)) =>
+          acc.join(delDf.select(keys.map(col): _*), keys, "left_anti")
+      }
     // strict by default: a column appearing/vanishing between commits is
     // an error unless the reader opts into evolution, in which case rows
     // from commits without the column read NULL (Delta's mergeSchema
@@ -180,19 +339,34 @@ object SnapshotTable {
     }.reduce(_.unionByName(_, allowMissingColumns = allowSchemaEvolution))
   }
 
-  /** Overwrite commit: snapshot N+1 is exactly `df`. */
+  // ------------------------------------------------------------- commits
+
+  private sealed trait ConflictPolicy
+  private case object AppendPolicy extends ConflictPolicy
+  private case object OverwritePolicy extends ConflictPolicy
+  private final case class ReplacePolicy(replaced: Set[String]) extends ConflictPolicy
+
+  /** Overwrite commit: snapshot N+1 is exactly `df`. Aborts if ANY commit
+    * interleaved since `df`'s writer read the table — rebasing an
+    * overwrite would silently drop the interleaved rows. */
   def commitOverwrite(df: DataFrame, tablePath: String,
                       partitionCols: Seq[String] = Nil,
-                      filesPerPartition: Int = 1): Long =
-    commit(df, tablePath, partitionCols, filesPerPartition) { (_, fresh) => fresh }
+                      filesPerPartition: Int = 1,
+                      clusterBy: Seq[Column] = Nil,
+                      statsCols: Seq[String] = Nil,
+                      baseVersion: Option[Long] = None): Long =
+    commit(df, tablePath, partitionCols, filesPerPartition, clusterBy,
+      statsCols, baseVersion)(_ => OverwritePolicy) { (_, fresh) => fresh }
 
-  /** Append commit: snapshot N+1 = snapshot N's files plus `df`'s. */
+  /** Append commit: snapshot N+1 = snapshot N's files plus `df`'s.
+    * Rebases over any interleaved commit (appends are commutative). */
   def commitAppend(df: DataFrame, tablePath: String,
                    partitionCols: Seq[String] = Nil,
-                   filesPerPartition: Int = 1): Long =
-    commit(df, tablePath, partitionCols, filesPerPartition) { (prev, fresh) =>
-      prev ++ fresh
-    }
+                   filesPerPartition: Int = 1,
+                   clusterBy: Seq[Column] = Nil,
+                   statsCols: Seq[String] = Nil): Long =
+    commit(df, tablePath, partitionCols, filesPerPartition, clusterBy,
+      statsCols, None)(_ => AppendPolicy) { (prev, fresh) => prev ++ fresh }
 
   /** Replace-partitions commit (dynamic-overwrite semantics, atomically):
     * snapshot N+1 drops every prior file belonging to a replaced
@@ -203,22 +377,98 @@ object SnapshotTable {
     * content can be EMPTY (all rows deleted / all groups zeroed) — an
     * empty partition writes no files, so it cannot be inferred from the
     * output, and inferring would silently keep its old files (the
-    * limitation dynamic partition overwrite itself has). */
+    * limitation dynamic partition overwrite itself has). Rebases over
+    * interleaved commits touching only OTHER partitions; aborts
+    * ([[ConcurrentCommitException]]) on overlap. */
   def commitReplacePartitions(df: DataFrame, tablePath: String,
                               partitionCols: Seq[String],
                               filesPerPartition: Int = 1,
-                              replacedPartitions: Option[Set[String]] = None): Long =
-    commit(df, tablePath, partitionCols, filesPerPartition) { (prev, fresh) =>
+                              replacedPartitions: Option[Set[String]] = None,
+                              baseVersion: Option[Long] = None): Long =
+    commit(df, tablePath, partitionCols, filesPerPartition, Nil, Nil,
+        baseVersion) { fresh =>
+      ReplacePolicy(replacedPartitions.getOrElse(fresh.map(_.partSpec).toSet))
+    } { (prev, fresh) =>
       val replaced = replacedPartitions.getOrElse(fresh.map(_.partSpec).toSet)
-      prev.filterNot(e => replaced.contains(e.partSpec)) ++ fresh
+      prev.filterNot(e => !e.isDelete && replaced.contains(e.partSpec)) ++ fresh
     }
 
+  /** Merge-on-read DELETE commit: `keys` rows (projected to `keyCols`,
+    * deduplicated) are written as a delete-key file set; reads anti-join
+    * them away from every OLDER data file. No data file is rewritten — a
+    * scattered 100-key delete on a 100 TB table writes kilobytes, the
+    * Iceberg/Delta merge-on-read pattern. [[compact]] absorbs deletes
+    * back into data files; until then the keys frame should stay small
+    * relative to the table (it is scanned per read). Appends commute, so
+    * this rebases over interleaved commits; serialization order decides
+    * whether a concurrently-merged row is deleted (the delete applies to
+    * everything committed before it). */
+  def commitDeleteByKeys(spark: SparkSession, tablePath: String,
+                         keys: DataFrame, keyCols: Seq[String],
+                         filesPerPartition: Int = 1): Long = {
+    require(keyCols.nonEmpty, "delete needs at least one key column")
+    keyCols.foreach(c => require(c.forall(ch =>
+      ch.isLetterOrDigit || ch == '_'), s"unsafe delete key column name: $c"))
+    val fresh0 = writeData(keys.select(keyCols.map(col): _*).distinct(),
+      tablePath, Nil, filesPerPartition, Nil, Nil)
+    val fresh = fresh0.map(e => e.copy(attrs =
+      e.attrs + ("kind" -> "d", "keys" -> keyCols.mkString(","))))
+    lockFor(tablePath).synchronized {
+      val v = commitManifest(tablePath, fresh, None)((prev, f) => prev ++ f)
+      swapPointer(tablePath, v)
+      v
+    }
+  }
+
+  /** Shared commit driver: data write OUTSIDE the table lock (parallel
+    * across writers), then conflict-check + manifest compose + pointer
+    * swap inside it. `mkPolicy` sees the fresh entries (the inferred
+    * replaced set needs them). */
   private def commit(df: DataFrame, tablePath: String,
-                     partitionCols: Seq[String], filesPerPartition: Int)
+                     partitionCols: Seq[String], filesPerPartition: Int,
+                     clusterBy: Seq[Column], statsCols: Seq[String],
+                     baseVersion: Option[Long])
+                    (mkPolicy: Seq[ManifestEntry] => ConflictPolicy)
                     (compose: (Seq[ManifestEntry], Seq[ManifestEntry]) => Seq[ManifestEntry]): Long = {
-    val v = prepare(df, tablePath, partitionCols, filesPerPartition)(compose)
-    swapPointer(tablePath, v)
-    v
+    val base = baseVersion.getOrElse(currentVersion(tablePath).getOrElse(0L))
+    val fresh = writeData(df, tablePath, partitionCols, filesPerPartition,
+      clusterBy, statsCols)
+    lockFor(tablePath).synchronized {
+      val cur = currentVersion(tablePath).getOrElse(0L)
+      if (cur != base) checkRebase(tablePath, base, cur, mkPolicy(fresh))
+      val v = commitManifest(tablePath, fresh, None)(compose)
+      swapPointer(tablePath, v)
+      v
+    }
+  }
+
+  /** Is rebasing onto `cur` safe for a commit prepared against `base`?
+    * The interleaved net change is ONE manifest diff (files present in
+    * exactly one of the two snapshots); a replace conflicts iff that
+    * diff touches its replaced partitions or contains a delete-key file
+    * (deletes are global — conservatively a conflict). */
+  private def checkRebase(tablePath: String, base: Long, cur: Long,
+                          policy: ConflictPolicy): Unit = policy match {
+    case AppendPolicy => ()
+    case OverwritePolicy =>
+      throw new ConcurrentCommitException(
+        s"overwrite prepared against v$base but v$cur committed meanwhile at $tablePath")
+    case ReplacePolicy(replaced) =>
+      val baseEntries = scala.util.Try(
+        if (base == 0L) Nil else manifest(tablePath, Some(base))).getOrElse(
+        throw new ConcurrentCommitException(
+          s"base snapshot v$base no longer readable (vacuumed?) at $tablePath"))
+      val curEntries = manifest(tablePath, Some(cur))
+      val bSet = baseEntries.map(e => (e.partSpec, e.relPath)).toSet
+      val cSet = curEntries.map(e => (e.partSpec, e.relPath)).toSet
+      val changed = baseEntries.filterNot(e => cSet((e.partSpec, e.relPath))) ++
+        curEntries.filterNot(e => bSet((e.partSpec, e.relPath)))
+      val touched = changed.map(_.partSpec).toSet
+      if (changed.exists(_.isDelete) || touched.exists(replaced.contains))
+        throw new ConcurrentCommitException(
+          s"concurrent commit between v$base and v$cur touched " +
+            s"${touched.intersect(replaced)} (delete commits conflict globally); " +
+            s"aborting replace of $replaced at $tablePath")
   }
 
   /** IDEMPOTENT append commit keyed by a caller transaction id — the
@@ -232,70 +482,153 @@ object SnapshotTable {
     *    between manifest and pointer swap; data + manifest are complete
     *    (the manifest move is atomic and happens after the data write),
     *    so ROLL FORWARD by swapping the pointer — no data is rewritten;
-    *  - otherwise prepare a fresh version with the txn header and commit.
-    *
-    * Replaying a crashed or completed batch therefore lands EXACTLY ONE
-    * snapshot per txn id, whatever the crash point. Single writer per
-    * table, as elsewhere in this layer.
+    *  - otherwise prepare a fresh version with the txn header and commit
+    *    (the probe repeats under the table lock so a same-JVM concurrent
+    *    replay of the SAME txn still lands exactly one snapshot).
     */
   def commitAppendTxn(df: DataFrame, tablePath: String,
                       partitionCols: Seq[String], txnId: String,
                       filesPerPartition: Int = 1): Long = {
     // newest-first: the replay case (txn already committed) almost always
     // matches the latest versions; each probe is one bounded header read
-    val existing = snapshots(tablePath).reverseIterator
+    def probe(): Option[Long] = snapshots(tablePath).reverseIterator
       .find(v => txnOf(tablePath, v).contains(txnId))
-    existing match {
-      case Some(v) if currentVersion(tablePath).exists(_ >= v) => v
-      case Some(v) => swapPointer(tablePath, v); v
+    def landed(v: Long): Long = {
+      if (!currentVersion(tablePath).exists(_ >= v))
+        lockFor(tablePath).synchronized(swapPointer(tablePath, v))
+      v
+    }
+    probe() match {
+      case Some(v) => landed(v)
       case None =>
-        val v = prepare(df, tablePath, partitionCols, filesPerPartition,
-          txn = Some(txnId))((prev, fresh) => prev ++ fresh)
-        swapPointer(tablePath, v)
-        v
+        val fresh = writeData(df, tablePath, partitionCols,
+          filesPerPartition, Nil, Nil)
+        lockFor(tablePath).synchronized {
+          probe() match {
+            case Some(v) => landed(v) // a concurrent replay won; our files orphan
+            case None =>
+              val v = commitManifest(tablePath, fresh,
+                Some(txnId))((prev, f) => prev ++ f)
+              swapPointer(tablePath, v)
+              v
+          }
+        }
     }
   }
 
   /** Write data + manifest for the NEXT version WITHOUT committing it —
     * the crash window between (b) and (c) in the object doc, exposed for
-    * LakeLayoutSpec's crash test. Returns the prepared version. */
+    * the crash tests. Returns the prepared version. */
   private[sources] def prepare(df: DataFrame, tablePath: String,
                                partitionCols: Seq[String], filesPerPartition: Int,
-                               txn: Option[String] = None)
+                               txn: Option[String] = None,
+                               clusterBy: Seq[Column] = Nil,
+                               statsCols: Seq[String] = Nil)
                               (compose: (Seq[ManifestEntry], Seq[ManifestEntry]) => Seq[ManifestEntry]): Long = {
-    val prev = currentVersion(tablePath).map(v => manifest(tablePath, Some(v)))
-      .getOrElse(Nil)
-    // next version clears manifests AND data-dir shells: a crash between
-    // the data write and the manifest move leaves an unmanifested data/vN
-    // that would otherwise wedge every subsequent commit of version N
-    // (vacuum() reclaims the shell later; it is unreachable by readers)
-    val v = (snapshots(tablePath) ++ dataDirVersions(tablePath))
-      .maxOption.getOrElse(0L) + 1
+    val fresh = writeData(df, tablePath, partitionCols, filesPerPartition,
+      clusterBy, statsCols)
+    commitManifest(tablePath, fresh, txn)(compose)
+  }
+
+  /** Write `df` into a fresh uniquely-named data directory; return its
+    * manifest entries (version attr attached later, at manifest compose
+    * time). When `statsCols` is nonempty, one read-back pass over the
+    * just-written files records per-file min/max bounds; pass `clusterBy`
+    * (e.g. the predicate column, or [[LakeLayout.zorderValue]]) to
+    * range-cluster rows across files so those bounds are tight enough to
+    * skip. */
+  private def writeData(df: DataFrame, tablePath: String,
+                        partitionCols: Seq[String], filesPerPartition: Int,
+                        clusterBy: Seq[Column],
+                        statsCols: Seq[String]): Seq[ManifestEntry] = {
+    statsCols.foreach(c => require(c.forall(ch =>
+      ch.isLetterOrDigit || ch == '_'), s"unsafe stats column name: $c"))
     val r = root(tablePath)
-    val dataDir = s"$r/${dataDirName(v)}"
+    // unique name: no version claim, no collision between racing writers
+    // (createDirectory is atomic); nanoTime prefix keeps lexicographic
+    // order = commit order, preserving arrival-ordered snapshot unions
+    val dirName = f"data/u${System.nanoTime()}%016x-${dirSeq.incrementAndGet()}%04d"
+    val dataDir = s"$r/$dirName"
+    Files.createDirectories(Paths.get(r, "data"))
+    Files.createDirectory(Paths.get(dataDir))
     // shape like LakeLayout.writePartitioned: each directory's rows
     // co-located into filesPerPartition tasks, sorted so each task writes
-    // each directory once
+    // each directory once; clusterBy switches to range partitioning so
+    // per-file bounds are disjoint
     val shaped =
-      if (partitionCols.isEmpty) df.repartition(filesPerPartition)
+      if (clusterBy.nonEmpty) {
+        val keys = partitionCols.map(col) ++ clusterBy
+        val n =
+          if (partitionCols.isEmpty) filesPerPartition
+          else df.sparkSession.sessionState.conf.numShufflePartitions
+        df.repartitionByRange(n, keys: _*).sortWithinPartitions(keys: _*)
+      } else if (partitionCols.isEmpty) df.repartition(filesPerPartition)
       else df.repartition(
           df.sparkSession.sessionState.conf.numShufflePartitions,
           partitionCols.map(col) :+
             pmod(hash(df.columns.map(col): _*), lit(filesPerPartition)): _*)
         .sortWithinPartitions(partitionCols.map(col): _*)
+    // Append into the reserved (empty) directory — the reservation above
+    // is the atomic claim; ErrorIfExists would trip over it
     shaped.write
-      .mode(SaveMode.ErrorIfExists) // a racing committer fails loudly
+      .mode(SaveMode.Append)
       .partitionBy(partitionCols: _*)
       .parquet(dataDir)
-    val fresh = listDataFiles(df.sparkSession, dataDir).map { abs =>
+    val spark = df.sparkSession
+    val files = listDataFiles(spark, dataDir)
+    val statsByFile: Map[String, Map[String, ColStats]] =
+      if (statsCols.isEmpty || files.isEmpty) Map.empty
+      else {
+        val back = spark.read.parquet(dataDir)
+        val typeOf = back.schema.fields.map(f => f.name -> f.dataType.catalogString).toMap
+        statsCols.foreach(c => require(typeOf.contains(c),
+          s"stats column $c not in written schema ${typeOf.keys.toSeq.sorted}"))
+        val aggs = statsCols.flatMap(c => Seq(
+          min(col(c)).cast("string").as(s"__min_$c"),
+          max(col(c)).cast("string").as(s"__max_$c")))
+        back.groupBy(input_file_name().as("__file"))
+          .agg(aggs.head, aggs.tail: _*)
+          .collect() // file-count-bounded
+          .map { row =>
+            val f = new java.net.URI(row.getString(0)).getPath
+            val st = statsCols.flatMap { c =>
+              val mn = row.getAs[String](s"__min_$c")
+              val mx = row.getAs[String](s"__max_$c")
+              // an all-null file has no bounds: leave the column out
+              // (readers treat missing stats as may-contain)
+              if (mn == null || mx == null) None
+              else Some(c -> ColStats(typeOf(c), mn, mx))
+            }.toMap
+            f -> st
+          }.toMap
+      }
+    files.map { abs =>
       val rel = abs.stripPrefix(s"$r/")
-      val inCommit = rel.stripPrefix(dataDirName(v) + "/")
+      val inCommit = rel.stripPrefix(dirName + "/")
       val partSpec = inCommit.split("/").dropRight(1).mkString("/")
-      ManifestEntry(partSpec, rel)
+      val attrs = statsByFile.get(abs).filter(_.nonEmpty)
+        .map(m => Map("stats" -> encodeStats(m)))
+        .getOrElse(Map.empty[String, String])
+      ManifestEntry(partSpec, rel, attrs)
     }.sortBy(_.relPath)
+  }
+
+  /** Compose the next manifest against the CURRENT committed snapshot and
+    * write it with a no-replace ATOMIC_MOVE (a cross-process racing
+    * committer of the same version fails loudly). Fresh entries get their
+    * commit version stamped here — the version is only known now. */
+  private def commitManifest(tablePath: String, fresh: Seq[ManifestEntry],
+                             txn: Option[String])
+                            (compose: (Seq[ManifestEntry], Seq[ManifestEntry]) => Seq[ManifestEntry]): Long = {
+    val prev = currentVersion(tablePath).map(v => manifest(tablePath, Some(v)))
+      .getOrElse(Nil)
+    // next version clears committed manifests, crash-orphaned manifests,
+    // AND legacy data-dir shells
+    val v = (snapshots(tablePath) ++ dataDirVersions(tablePath))
+      .maxOption.getOrElse(0L) + 1
+    val stamped = fresh.map(e => e.copy(attrs = e.attrs + ("v" -> v.toString)))
     val header = txn.map(id => s"#txn=$id\n").getOrElse("")
-    val lines = header + compose(prev, fresh)
-      .map(e => s"${e.partSpec}\t${e.relPath}").mkString("\n")
+    val lines = header + compose(prev, stamped).map(renderEntry).mkString("\n")
     Files.createDirectories(manifestDir(tablePath))
     val tmp = manifestDir(tablePath).resolve(f"v$v%08d.manifest.tmp")
     Files.write(tmp, lines.getBytes("UTF-8"))
@@ -305,8 +638,12 @@ object SnapshotTable {
     v
   }
 
-  /** The commit point: write-temp + ATOMIC_MOVE over `_current`. */
+  /** The commit point: write-temp + ATOMIC_MOVE over `_current`.
+    * MONOTONIC — never regresses the pointer (a slow committer must not
+    * un-commit a faster one's later version; its own changes are already
+    * composed into that later manifest or it aborted). */
   private[sources] def swapPointer(tablePath: String, version: Long): Unit = {
+    if (currentVersion(tablePath).exists(_ >= version)) return
     val tmp = Paths.get(root(tablePath), s"_current.tmp.$version")
     Files.write(tmp, version.toString.getBytes("UTF-8"))
     Files.move(tmp, pointerPath(tablePath), StandardCopyOption.ATOMIC_MOVE,
@@ -330,11 +667,13 @@ object SnapshotTable {
 
   /** MERGE-style CDC apply with SNAPSHOT semantics — the atomic twin of
     * [[LakeLayout.mergeUpsert]] (same key/partition contract): the
-    * current snapshot is read manifest-pruned to the changeset's
+    * base snapshot is read manifest-pruned to the changeset's
     * partitions, merged rows are written as new files, and one
     * replace-partitions commit swaps the pointer. A concurrent reader
-    * sees all-old or all-new, and every prior snapshot stays time-
-    * travelable. Returns the committed version. */
+    * sees all-old or all-new, every prior snapshot stays time-
+    * travelable, and a concurrent writer on DISJOINT partitions rebases
+    * cleanly (overlap aborts with [[ConcurrentCommitException]]).
+    * Returns the committed version. */
   def mergeUpsert(spark: SparkSession, tablePath: String, changes: DataFrame,
                   keyCols: Seq[String], partitionCols: Seq[String],
                   deleteCol: Option[String] = None,
@@ -342,6 +681,10 @@ object SnapshotTable {
     require(keyCols.nonEmpty && partitionCols.nonEmpty)
     require(partitionCols.forall(p => !keyCols.contains(p)),
       "partition columns must not overlap the key")
+    // pin the ENTIRE operation to one base version: the pruned read, the
+    // merge, and the conflict check all speak about the same snapshot
+    val base = currentVersion(tablePath).getOrElse(
+      sys.error(s"no committed snapshot at $tablePath"))
     val affected = changes.select(partitionCols.map(col): _*).distinct().collect()
       .map(row => partitionCols.zipWithIndex
         .map { case (p, i) => s"$p=${row.get(i)}" }.mkString("/")).toSet
@@ -349,12 +692,12 @@ object SnapshotTable {
     // a changeset can target a BRAND-NEW partition (pure insert): the
     // pruned read then selects zero files — current is the empty frame
     // with the table's schema, and the merge reduces to the inserts
-    val hasAffectedFiles = manifest(tablePath, None)
-      .exists(e => affected.contains(e.partSpec))
+    val hasAffectedFiles = manifest(tablePath, Some(base))
+      .exists(e => !e.isDelete && affected.contains(e.partSpec))
     val current =
       if (hasAffectedFiles)
-        readSnapshot(spark, tablePath, partitionPruning = affected.contains)
-      else readSnapshot(spark, tablePath).limit(0)
+        readSnapshot(spark, tablePath, Some(base), partitionPruning = affected.contains)
+      else readSnapshot(spark, tablePath, Some(base)).limit(0)
     val dataCols = current.columns.toSeq
     val changeKeys = changes.select(keyCols.map(col): _*).distinct()
     val upserts = deleteCol match {
@@ -370,14 +713,15 @@ object SnapshotTable {
     // replaced set passed EXPLICITLY: a partition whose keys were all
     // deleted writes no files but must still drop from the manifest
     commitReplacePartitions(merged, tablePath, partitionCols,
-      filesPerPartition, replacedPartitions = Some(affected))
+      filesPerPartition, replacedPartitions = Some(affected),
+      baseVersion = Some(base))
   }
 
   /** Incremental maintenance of an ADDITIVE grouped-aggregate table with
     * SNAPSHOT semantics — the atomic twin of
     * [[LakeLayout.maintainAggregate]] (same additive-only contract, same
     * delta algebra via the shared helpers): the delta aggregates only the
-    * changeset, the current snapshot is read manifest-pruned to the
+    * changeset, the base snapshot is read manifest-pruned to the
     * touched partitions (a delta introducing a BRAND-NEW partition merges
     * against the empty frame), and one replace-partitions commit swaps
     * the pointer — a reader never sees partition A maintained and
@@ -394,56 +738,117 @@ object SnapshotTable {
     require(groupCols.nonEmpty && partitionCols.nonEmpty)
     require(partitionCols.forall(groupCols.contains),
       "partition columns must be group columns")
+    val base = currentVersion(tablePath).getOrElse(
+      sys.error(s"no committed snapshot at $tablePath"))
     val delta = LakeLayout.aggregateDelta(changes, groupCols, countCol,
       sumCols, deleteCol)
     val affected = delta.select(partitionCols.map(col): _*).distinct().collect()
       .map(row => partitionCols.zipWithIndex
         .map { case (p, i) => s"$p=${row.get(i)}" }.mkString("/")).toSet
     require(affected.nonEmpty, "empty changeset")
-    val base = readSnapshot(spark, tablePath)
-    val hasAffectedFiles = manifest(tablePath, None)
-      .exists(e => affected.contains(e.partSpec))
+    val baseDf = readSnapshot(spark, tablePath, Some(base))
+    val hasAffectedFiles = manifest(tablePath, Some(base))
+      .exists(e => !e.isDelete && affected.contains(e.partSpec))
     val current =
       if (hasAffectedFiles)
-        readSnapshot(spark, tablePath, partitionPruning = affected.contains)
-      else base.limit(0)
+        readSnapshot(spark, tablePath, Some(base), partitionPruning = affected.contains)
+      else baseDf.limit(0)
     val typed = LakeLayout.combineAggregate(current, delta,
       // schema from the snapshot read (partition cols included, in the
       // basePath-read order)
-      base.schema, groupCols, countCol, sumCols.keys.toSeq.sorted)
+      baseDf.schema, groupCols, countCol, sumCols.keys.toSeq.sorted)
       .localCheckpoint() // maintained table is group-count-sized
     // explicit replaced set: an all-groups-zeroed partition writes no
     // files but must still drop from the manifest
     commitReplacePartitions(typed, tablePath, partitionCols,
-      filesPerPartition, replacedPartitions = Some(affected))
+      filesPerPartition, replacedPartitions = Some(affected),
+      baseVersion = Some(base))
+  }
+
+  /** Row-level CHANGES between two committed versions — the CDC read that
+    * lets downstream incremental consumers ([[maintainAggregate]], the
+    * LSH/containment/IVF index appends) feed from the table's own history
+    * instead of an external changeset. Cost is bounded by the CHANGED
+    * file volume (manifest diff first; unchanged files are scanned only
+    * when a new delete-key commit may have killed their rows).
+    *
+    * Returns the `vTo` schema plus `_change_type` (`insert` | `delete`);
+    * an update appears as its delete+insert pair. File rewrites that
+    * preserve rows (compaction) cancel out via multiset difference. */
+  def changes(spark: SparkSession, tablePath: String,
+              vFrom: Long, vTo: Long): DataFrame = {
+    require(vFrom <= vTo, s"vFrom=$vFrom must be <= vTo=$vTo")
+    val from = manifest(tablePath, Some(vFrom))
+    val to = manifest(tablePath, Some(vTo))
+    def key(e: ManifestEntry) = (e.partSpec, e.relPath)
+    val fromSet = from.map(key).toSet
+    val toSet = to.map(key).toSet
+    val addedData = to.filter(e => !e.isDelete && !fromSet(key(e)))
+    val removedData = from.filter(e => !e.isDelete && !toSet(key(e)))
+    val keptData = to.filter(e => !e.isDelete && fromSet(key(e)))
+    val delFrom = deleteGroups(spark, tablePath, from.filter(_.isDelete))
+    val delTo = deleteGroups(spark, tablePath, to.filter(_.isDelete))
+    val newDeletes = delTo.filterNot(g => delFrom.exists(_._1 == g._1))
+    val schema = readSnapshot(spark, tablePath, Some(vTo)).limit(0)
+    def readOr(entries: Seq[ManifestEntry],
+               dels: Seq[(Long, Seq[String], DataFrame)]): DataFrame =
+      if (entries.isEmpty) schema
+      else readEntries(spark, tablePath, entries, dels, allowSchemaEvolution = false)
+    // rows visible among the added files at vTo / the removed files at vFrom
+    val inserted = readOr(addedData, delTo)
+    val removed = readOr(removedData, delFrom)
+    // rows of files present in BOTH versions that a NEW delete-key commit
+    // killed: resolved-at-vFrom rows minus resolved-at-vTo survivors
+    val killedKept =
+      if (newDeletes.isEmpty || keptData.isEmpty) schema
+      else {
+        val atFrom = readOr(keptData, delFrom)
+        val atTo = readOr(keptData, delTo)
+        atFrom.exceptAll(atTo)
+      }
+    inserted.exceptAll(removed).withColumn("_change_type", lit("insert"))
+      .unionByName(removed.exceptAll(inserted)
+        .unionByName(killedKept).withColumn("_change_type", lit("delete")))
   }
 
   /** Table history as a DataFrame — (version, committed, txn, n_files,
-    * n_partitions): the DESCRIBE-HISTORY introspection a maintenance job
-    * reads before choosing what to vacuum or which version to pin.
-    * Driver-side over the manifests (version-count-bounded). */
+    * n_partitions, n_delete_files): the DESCRIBE-HISTORY introspection a
+    * maintenance job reads before choosing what to vacuum or which
+    * version to pin. Driver-side over the manifests (version-count-
+    * bounded). */
   def history(spark: SparkSession, tablePath: String): DataFrame = {
     import spark.implicits._
     val committed = currentVersion(tablePath).getOrElse(-1L)
     snapshots(tablePath).map { v =>
       val es = manifest(tablePath, Some(v))
+      val (dels, datas) = es.partition(_.isDelete)
       (v, v <= committed, txnOf(tablePath, v).getOrElse(""),
-        es.size.toLong, es.map(_.partSpec).distinct.size.toLong)
-    }.toDF("version", "committed", "txn", "n_files", "n_partitions")
+        datas.size.toLong, datas.map(_.partSpec).distinct.size.toLong,
+        dels.size.toLong)
+    }.toDF("version", "committed", "txn", "n_files", "n_partitions",
+      "n_delete_files")
   }
 
   /** Compaction as a COMMIT: rewrite the current snapshot into one fresh
     * commit directory (resetting the per-snapshot scan-union count that
-    * grows with contributing commits) — readers switch atomically, prior
-    * versions stay time-travelable until [[vacuum]] reclaims them. */
+    * grows with contributing commits) and ABSORB merge-on-read delete
+    * files (the overwrite reads resolved rows and composes a manifest
+    * with no delete entries) — readers switch atomically, prior versions
+    * stay time-travelable until [[vacuum]] reclaims them. */
   def compact(spark: SparkSession, tablePath: String,
               partitionCols: Seq[String] = Nil,
-              filesPerPartition: Int = 1): Long =
+              filesPerPartition: Int = 1,
+              clusterBy: Seq[Column] = Nil,
+              statsCols: Seq[String] = Nil): Long = {
     // no caching: the rewrite reads the old commit dirs while writing a
     // fresh one — conflict-free by the layout, and a 100 TB table must
-    // stream through, not materialize
-    commitOverwrite(readSnapshot(spark, tablePath), tablePath,
-      partitionCols, filesPerPartition)
+    // stream through, not materialize. Base pinned: a commit landing
+    // mid-compaction aborts the compaction instead of being dropped.
+    val base = currentVersion(tablePath).getOrElse(
+      sys.error(s"no committed snapshot at $tablePath"))
+    commitOverwrite(readSnapshot(spark, tablePath, Some(base)), tablePath,
+      partitionCols, filesPerPartition, clusterBy, statsCols, Some(base))
+  }
 
   /** Reclaim space: delete data files referenced by NO retained manifest
     * (keep the last `keepSnapshots` committed versions; orphaned
@@ -475,11 +880,10 @@ object SnapshotTable {
     // remove commit DIRECTORIES that no retained manifest references at
     // all (a vacuumed crash-orphan, or a fully-superseded commit): only
     // hidden markers (_SUCCESS, .crc) remain in them after the file pass
-    // above, and a leftover data/vN shell would wedge the table — the
-    // next prepare of that version number writes with ErrorIfExists and
-    // an existing directory fails the commit. Partially-referenced dirs
-    // (replace-partitions keeps some of an old commit's files) are left
-    // alone: their versions are committed history, never re-prepared.
+    // above, and a leftover LEGACY data/vN shell would wedge the version
+    // counter forever. Partially-referenced dirs (replace-partitions
+    // keeps some of an old commit's files) are left alone: their files
+    // are still live.
     val referencedDirs = referenced.map(_.split("/").take(2).mkString("/"))
     val dataRoot = Paths.get(r, "data")
     if (Files.exists(dataRoot)) {

@@ -94,6 +94,64 @@ object TokenizerKernelProps extends Properties("BpeKernel") {
         dedup.forall { case (w, _) => codec.tokens(w).forall(bySym.contains) }
     }
 
+  // ---- byte-level mode (q_t38): initial symbols are the GPT-2 remap of
+  // the word's UTF-8 bytes; merge semantics unchanged ----
+
+  private val genMbWord: Gen[String] =
+    Gen.choose(0, 10).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'é', 'ß', '日')).map(_.mkString))
+
+  // symbols drawn from the REMAPPED alphabet (what byte-level merge
+  // tables are actually made of): printable-remap chars plus shifted ones
+  private val genByteSym: Gen[String] =
+    Gen.choose(1, 3).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'Ã', '©', 'æ', 'Ĺ')).map(_.mkString))
+
+  private val genByteMerges: Gen[Seq[Tokenizer.Merge]] =
+    Gen.choose(0, 20).flatMap { n =>
+      Gen.listOfN(n, genByteSym.flatMap(l => genByteSym.map(r => (l, r))))
+        .map(_.zipWithIndex.map { case ((l, r), i) =>
+          Tokenizer.Merge(i + 1, l, r, 1L)
+        })
+    }
+
+  // every remap symbol is one UTF-16 char (max code point 256+67), so the
+  // inverse is a char→byte map
+  private val unmapChar: Map[Char, Int] =
+    graft.functions.ByteSymbols.syms.zipWithIndex
+      .map { case (s, b) => (s.charAt(0), b) }.toMap
+  private def unremap(s: String): String =
+    new String(s.map(c => unmapChar(c).toByte).toArray,
+      java.nio.charset.StandardCharsets.UTF_8)
+
+  property("BYTE mode: kernel ≡ spec for ARBITRARY tables on multibyte words") =
+    forAllNoShrink(genByteMerges, Gen.listOfN(8, genMbWord)) { (merges, words) =>
+      val codec = Tokenizer.codecOf(merges, byteLevel = true)
+      words.forall { w =>
+        val kernel = codec.tokens(w).toSeq
+        val spec = Tokenizer.encodeWordSpec(w, merges, byteLevel = true)
+        if (kernel != spec)
+          println(s"BPE-BYTE-DIVERGE word='$w' merges=$merges\n  kernel=$kernel\n  spec  =$spec")
+        kernel == spec
+      }
+    }
+
+  property("BYTE mode: trained tables agree and are LOSSLESS through the remap inverse") =
+    forAllNoShrink(
+      Gen.choose(1, 8),
+      Gen.choose(2, 10).flatMap(n =>
+        Gen.listOfN(n, genMbWord.suchThat(_.nonEmpty)
+          .flatMap(w => Gen.choose(1L, 9L).map(f => (w, f)))))) { (nMerges, wf) =>
+      val dedup = wf.groupBy(_._1).map { case (w, fs) => (w, fs.map(_._2).sum) }.toSeq
+      val merges = Tokenizer.trainFromWordFreq(dedup, nMerges, byteLevel = true)
+      val codec = Tokenizer.codecOf(merges, byteLevel = true)
+      dedup.forall { case (w, _) =>
+        val toks = codec.tokens(w)
+        toks.toSeq == Tokenizer.encodeWordSpec(w, merges, byteLevel = true) &&
+          unremap(toks.mkString("")) == w
+      }
+    }
+
   property("re-forming pair at a duplicate later step merges again (sequential fidelity)") =
     forAllNoShrink(Gen.const(())) { _ =>
       // hand construction: step1 (ab,c), step2 (a,b), step3 (ab,c) again.

@@ -356,6 +356,165 @@ class SnapshotTableSpec extends SparkTestBase {
     assert(h == Seq((1L, true, ""), (2L, true, "batch-7"), (3L, false, "")))
   }
 
+  test("stats pruning: range-clustered commit records bounds; predicate skips >half the files") {
+    val t = freshTable()
+    val df = (1 to 4000).map(i => (i.toLong, s"payload-$i")).toDF("id", "payload")
+    SnapshotTable.commitOverwrite(df, t, Nil, filesPerPartition = 8,
+      clusterBy = Seq(col("id")), statsCols = Seq("id"))
+    val entries = SnapshotTable.manifest(t, None)
+    assert(entries.size == 8, s"expected 8 range-clustered files, got ${entries.size}")
+    assert(entries.forall(_.stats.contains("id")), "every file must carry id bounds")
+    // bounds must be disjoint-ish (range clustering): total rows covered
+    val full = SnapshotTable.readSnapshot(spark, t)
+    val pruned = SnapshotTable.readSnapshot(spark, t,
+      statsPruning = st => ColStats.overlaps(st, "id", "100", "400"))
+      .filter(col("id").between(100L, 400L))
+    assert(pruned.count() == 301)
+    assert(pruned.inputFiles.length.toDouble / entries.size < 0.5,
+      s"stats pruning touched ${pruned.inputFiles.length} of ${entries.size} files")
+    // pruning is only ever a superset cut: result equals full-scan filter
+    assert(pruned.orderBy("id").collect().map(_.getLong(0)).toSeq ==
+      full.filter(col("id").between(100L, 400L)).orderBy("id")
+        .collect().map(_.getLong(0)).toSeq)
+    // a file with NO stats is never skipped (may-contain default)
+    SnapshotTable.commitAppend(Seq((150L, "nostats")).toDF("id", "payload"), t)
+    val after = SnapshotTable.readSnapshot(spark, t,
+      statsPruning = st => ColStats.overlaps(st, "id", "150", "150"))
+      .filter(col("id") === 150L)
+    assert(after.count() == 2, "stats-less file must survive pruning")
+  }
+
+  test("merge-on-read deletes: scattered delete rewrites nothing; reads resolve; compact absorbs") {
+    val t = freshTable()
+    SnapshotTable.commitOverwrite(rows(2000, 40, "a"), t, Seq("year"), filesPerPartition = 2)
+    // snapshot the byte state of every data file before the delete
+    def dataFileState(): Map[String, Long] = {
+      val walk = Files.walk(Paths.get(t, "data"))
+      try {
+        val b = Map.newBuilder[String, Long]
+        walk.forEach(p =>
+          if (Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+            b += p.toString -> Files.size(p))
+        b.result()
+      } finally walk.close()
+    }
+    val filesBeforeDelete = dataFileState()
+    val before = SnapshotTable.readSnapshot(spark, t)
+    assert(before.count() == 40)
+    val delKeys = Seq(3L, 17L, 29L).toDF("id")
+    val v2 = SnapshotTable.commitDeleteByKeys(spark, t, delKeys, Seq("id"))
+    assert(v2 == 2L)
+    val now = SnapshotTable.readSnapshot(spark, t)
+    assert(now.count() == 37)
+    assert(now.filter(col("id").isin(3L, 17L, 29L)).count() == 0)
+    // v1 time-travels to the pre-delete corpus
+    assert(SnapshotTable.readSnapshot(spark, t, Some(1L)).count() == 40)
+    // the delete rewrote NO data file: v1's entries carried over verbatim
+    // and every pre-existing parquet file is byte-untouched on disk
+    val m1 = SnapshotTable.manifest(t, Some(1L)).toSet
+    val m2data = SnapshotTable.manifest(t, Some(2L)).filterNot(_.isDelete).toSet
+    assert(m1 == m2data, "delete commit must not touch data entries")
+    val filesAfterDelete = dataFileState()
+    assert(filesBeforeDelete.forall { case (p, sz) =>
+      filesAfterDelete.get(p).contains(sz) },
+      "a merge-on-read delete must leave existing data files untouched")
+    // a row re-inserted AFTER the delete survives (sequence-number rule:
+    // deletes only mask OLDER files)
+    SnapshotTable.commitAppend(Seq((3L, 2001, "reborn")).toDF("id", "year", "payload"),
+      t, Seq("year"))
+    val reborn = SnapshotTable.readSnapshot(spark, t).filter(col("id") === 3L)
+    assert(reborn.count() == 1 &&
+      reborn.select("payload").head().getString(0) == "reborn")
+    // compact absorbs the delete files: content identical, no delete entries
+    val contentBefore = SnapshotTable.readSnapshot(spark, t)
+      .orderBy("id", "year").collect().map(_.toString).toSeq
+    SnapshotTable.compact(spark, t, Seq("year"))
+    assert(SnapshotTable.manifest(t, None).forall(!_.isDelete))
+    assert(SnapshotTable.readSnapshot(spark, t)
+      .orderBy("id", "year").collect().map(_.toString).toSeq == contentBefore)
+  }
+
+  test("OCC: concurrent disjoint-partition mergeUpserts both land; overlap aborts") {
+    val t = freshTable()
+    val base = (1 to 30).map(i => (i.toLong, 2000 + i % 3, i * 10.0))
+      .toDF("id", "year", "amount")
+    SnapshotTable.commitOverwrite(base, t, Seq("year"))
+    // two writers prepared against v1, racing: year=2000 vs year=2001
+    val chA = Seq((3L, 2000, 111.0, false)).toDF("id", "year", "amount", "_del")
+    val chB = Seq((4L, 2001, 222.0, false)).toDF("id", "year", "amount", "_del")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fa = Future(SnapshotTable.mergeUpsert(spark, t, chA,
+      keyCols = Seq("id"), partitionCols = Seq("year"), deleteCol = Some("_del")))
+    val fb = Future(SnapshotTable.mergeUpsert(spark, t, chB,
+      keyCols = Seq("id"), partitionCols = Seq("year"), deleteCol = Some("_del")))
+    val (va, vb) = (Await.result(fa, 120.seconds), Await.result(fb, 120.seconds))
+    assert(Set(va, vb).size == 2, s"both must land at distinct versions: $va, $vb")
+    val now = SnapshotTable.readSnapshot(spark, t)
+    assert(now.filter(col("id") === 3L).select("amount").head().getDouble(0) == 111.0)
+    assert(now.filter(col("id") === 4L).select("amount").head().getDouble(0) == 222.0)
+    assert(now.count() == 30)
+    // OVERLAP: a commit prepared against a stale base targeting a since-
+    // replaced partition must abort deterministically
+    val cur = SnapshotTable.currentVersion(t).get
+    val stale = Seq((5L, 2000, 999.0)).toDF("id", "year", "amount")
+    intercept[ConcurrentCommitException] {
+      SnapshotTable.commitReplacePartitions(stale, t, Seq("year"),
+        baseVersion = Some(1L))
+    }
+    // nothing moved: pointer and content unchanged by the abort
+    assert(SnapshotTable.currentVersion(t).contains(cur))
+    assert(SnapshotTable.readSnapshot(spark, t).count() == 30)
+    // overwrite aborts on ANY interleave (rebasing would drop rows)
+    intercept[ConcurrentCommitException] {
+      SnapshotTable.commitOverwrite(base, t, Seq("year"),
+        baseVersion = Some(1L))
+    }
+  }
+
+  test("changes(vFrom, vTo): manifest-diff CDC replays merge + MoR delete; drives maintainAggregate") {
+    val t = freshTable()
+    val base = (1 to 30).map(i => (i.toLong, 2000 + i % 3, i * 10.0))
+      .toDF("id", "year", "amount")
+    SnapshotTable.commitOverwrite(base, t, Seq("year"))
+    // v2: merge (update id=3, delete id=6, insert id=100)
+    val ch = Seq((3L, 2000, 999.0, false), (6L, 2000, 0.0, true),
+      (100L, 2000, 42.0, false)).toDF("id", "year", "amount", "_del")
+    SnapshotTable.mergeUpsert(spark, t, ch, Seq("id"), Seq("year"), Some("_del"))
+    // v3: merge-on-read delete of id in {9, 10}
+    SnapshotTable.commitDeleteByKeys(spark, t, Seq(9L, 10L).toDF("id"), Seq("id"))
+    val cdc = SnapshotTable.changes(spark, t, 1L, 3L)
+      .select("_change_type", "id", "amount").orderBy("_change_type", "id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(cdc == Seq(
+      ("delete", 3L, 30.0), ("delete", 6L, 60.0), ("delete", 9L, 90.0),
+      ("delete", 10L, 100.0),
+      ("insert", 3L, 999.0), ("insert", 100L, 42.0)), cdc.toString)
+    // identical versions diff to nothing; compaction-only diffs cancel
+    assert(SnapshotTable.changes(spark, t, 3L, 3L).count() == 0)
+    SnapshotTable.compact(spark, t, Seq("year"))
+    assert(SnapshotTable.changes(spark, t, 3L, 4L).count() == 0,
+      "row-preserving compaction must produce an empty CDC")
+    // end-to-end: an aggregate table maintained FROM the CDC equals recompute
+    val aggT = freshTable()
+    val agg1 = SnapshotTable.readSnapshot(spark, t, Some(1L))
+      .groupBy("year").agg(count(lit(1)).as("n"), sum("amount").as("total"))
+    SnapshotTable.commitOverwrite(agg1, aggT, Seq("year"))
+    val feed = SnapshotTable.changes(spark, t, 1L, 3L)
+      .withColumn("_del", col("_change_type") === "delete")
+    SnapshotTable.maintainAggregate(spark, aggT, feed, Seq("year"), "n",
+      Map("total" -> col("amount")), Seq("year"), Some("_del"))
+    val maintained = SnapshotTable.readSnapshot(spark, aggT)
+      .select("year", "n", "total").orderBy("year")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    val recomputed = SnapshotTable.readSnapshot(spark, t)
+      .groupBy("year").agg(count(lit(1)).as("n"), sum("amount").as("total"))
+      .select("year", "n", "total").orderBy("year")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(maintained == recomputed, s"$maintained vs $recomputed")
+  }
+
   test("vacuum reclaims only unreferenced files; kept versions still read") {
     val t = freshTable()
     SnapshotTable.commitOverwrite(rows(2000, 6, "a"), t, Seq("year"))
