@@ -504,6 +504,38 @@ object ScaleBench {
         operators.Multimodal.captionAlign(pairs, "doc_id", "payload",
           "caption", floor6 = 200000L)
       })) :+
+      // REAL image decode (round 13): one 16×16 BMP per doc (the q_m9
+      // pixel formula; every 9th doc gets a byte-different perceptual
+      // twin), javax.imageio decode + integer luma grid + aHash/dHash in
+      // one typed partition-preserving pass, then the (hash, id) groupBy.
+      // The curve must track the scan (decode is row-local CPU); the only
+      // exchange is the duplicate-group agg, linear in images
+      ("q_m9_image_decode_scale" -> ((s: SparkSession, d: String) => {
+        import s.implicits._
+        val imgs = s.read.parquet(s"$d/documents.parquet")
+          .select("doc_id").as[Long]
+          .flatMap { id =>
+            def bmp(variant: Boolean): Array[Byte] = {
+              val px = new Array[Int](256)
+              var p = 0
+              while (p < 256) {
+                val x0 = p % 16
+                val x = if (variant) x0 ^ 1 else x0
+                px(p) = ((id * 31 + x * 7 + (p / 16) * 13) % 256).toInt
+                p += 1
+              }
+              operators.ImageCodec.grayBmp(16, 16, px)
+            }
+            // twin ids far above any replica doc_id
+            if (id % 9 == 0) Iterator((id, bmp(false)), (id + 900000000000L, bmp(true)))
+            else Iterator((id, bmp(false)))
+          }.toDF("media_id", "payload")
+        operators.ImageCodec.decodeImages(imgs, "media_id", "payload").toDF()
+          .filter(col("decoded"))
+          .groupBy("ahash", "dhash")
+          .agg(min("media_id").as("keeper"), count(lit(1)).as("n_copies"))
+          .filter(col("n_copies") >= 2)
+      })) :+
       // BPE-aware packing: the q_t19 encode scan + one per-lang window —
       // shuffle bytes must track (doc_id, n_tokens) rows, wall the scan
       ("q_t30_pack_bpe_scale" -> ((s: SparkSession, d: String) => {
@@ -763,7 +795,56 @@ object ScaleBench {
     val (_, ccRetracted) = streaming.ContinuousCuration.reconcile(spark, ccWork, 0.7)
     val ccReconcileSec = (System.nanoTime() - tCc3) / 1e9
 
-    val line = s"""{"label":"$label","dir":"$dir","ivf_build_sec":${fmt(ivfBuildSec)},"ivf_append_sec":${fmt(ivfAppendSec)},"ivf_append_rows":${appendReport.nAppended},"d6_index_build_sec":${fmt(d6BuildSec)},"d9_index_build_sec":${fmt(d9BuildSec)},"curation_sec":${fmt(curSec)},"curation_survivors":${curReport.nAfterNearDedup},"cc_wave1_sec":${fmt(ccW1Sec)},"cc_wave2_sec":${fmt(ccW2Sec)},"cc_wave2_survivors":${ccR2.nAfterNearDedup},"cc_reconcile_sec":${fmt(ccReconcileSec)},"cc_retracted":$ccRetracted,"queries":$qs}"""
+    // SNAPSHOT TABLE receipts (round 13): orders committed range-clustered
+    // on o_custkey with per-file bounds, then (a) a stats-pruned read of
+    // a 5% key range whose cost and FILE COUNT must track the selected
+    // range, not the table; (b) a scattered merge-on-read delete whose
+    // commit cost tracks the KEYS (zero data files rewritten); (c) a
+    // changes() CDC read of the delete range — cost bounded by the kept
+    // scan + the broadcast key semi-join, with the full-read leg as the
+    // denominator.
+    val snapDir = Files.createTempDirectory("graft-snap-scale").toString + "/t"
+    val snOrders = spark.read.parquet(s"$dir/orders.parquet")
+    val tSn0 = System.nanoTime()
+    sources.SnapshotTable.commitOverwrite(snOrders, snapDir, Nil,
+      filesPerPartition = 32, clusterBy = Seq(col("o_custkey")),
+      statsCols = Seq("o_custkey"))
+    val snapCommitSec = (System.nanoTime() - tSn0) / 1e9
+    val snB = snOrders.agg(min("o_custkey"), max("o_custkey")).head()
+    val snLo = snB.getAs[Number](0).longValue
+    val snHi = snLo + (snB.getAs[Number](1).longValue - snLo) / 20
+    val tSn1 = System.nanoTime()
+    val snPruned = sources.SnapshotTable.readSnapshot(spark, snapDir,
+        statsPruning = st =>
+          sources.ColStats.overlaps(st, "o_custkey", snLo.toString, snHi.toString))
+      .filter(col("o_custkey").between(snLo, snHi))
+    val snPrunedFiles = snPruned.inputFiles.length
+    Force.rows(snPruned.groupBy("o_orderstatus").agg(count(lit(1))))
+    val snapPrunedSec = (System.nanoTime() - tSn1) / 1e9
+    val tSn2 = System.nanoTime()
+    Force.rows(sources.SnapshotTable.readSnapshot(spark, snapDir)
+      .filter(col("o_custkey").between(snLo, snHi))
+      .groupBy("o_orderstatus").agg(count(lit(1))))
+    val snapFullSec = (System.nanoTime() - tSn2) / 1e9
+    val snTotalFiles = sources.SnapshotTable.manifest(snapDir, None).size
+    val tSn3 = System.nanoTime()
+    sources.SnapshotTable.commitDeleteByKeys(spark, snapDir,
+      snOrders.filter(col("o_orderkey") % 1009 === 0).select("o_orderkey"),
+      Seq("o_orderkey"))
+    val snapMorDeleteSec = (System.nanoTime() - tSn3) / 1e9
+    val tSn4 = System.nanoTime()
+    Force.rows(sources.SnapshotTable.readSnapshot(spark, snapDir)
+      .groupBy("o_orderstatus").agg(count(lit(1))))
+    val snapMorReadSec = (System.nanoTime() - tSn4) / 1e9
+    val tSn5 = System.nanoTime()
+    val snCdcRows = sources.SnapshotTable.changes(spark, snapDir, 1L, 2L).count()
+    val snapChangesSec = (System.nanoTime() - tSn5) / 1e9
+    System.err.println(f"[scalebench] snapshot: commit $snapCommitSec%.2f s, " +
+      f"pruned read $snapPrunedSec%.2f s ($snPrunedFiles/$snTotalFiles files) vs " +
+      f"full $snapFullSec%.2f s, MoR delete $snapMorDeleteSec%.2f s, " +
+      f"resolved read $snapMorReadSec%.2f s, changes $snapChangesSec%.2f s ($snCdcRows rows)")
+
+    val line = s"""{"label":"$label","dir":"$dir","snap_commit_sec":${fmt(snapCommitSec)},"snap_pruned_read_sec":${fmt(snapPrunedSec)},"snap_pruned_files":$snPrunedFiles,"snap_total_files":$snTotalFiles,"snap_full_read_sec":${fmt(snapFullSec)},"snap_mor_delete_sec":${fmt(snapMorDeleteSec)},"snap_mor_read_sec":${fmt(snapMorReadSec)},"snap_changes_sec":${fmt(snapChangesSec)},"snap_changes_rows":$snCdcRows,"ivf_build_sec":${fmt(ivfBuildSec)},"ivf_append_sec":${fmt(ivfAppendSec)},"ivf_append_rows":${appendReport.nAppended},"d6_index_build_sec":${fmt(d6BuildSec)},"d9_index_build_sec":${fmt(d9BuildSec)},"curation_sec":${fmt(curSec)},"curation_survivors":${curReport.nAfterNearDedup},"cc_wave1_sec":${fmt(ccW1Sec)},"cc_wave2_sec":${fmt(ccW2Sec)},"cc_wave2_survivors":${ccR2.nAfterNearDedup},"cc_reconcile_sec":${fmt(ccReconcileSec)},"cc_retracted":$ccRetracted,"queries":$qs}"""
     println(line)
     Files.writeString(Paths.get(outFile), line + "\n",
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)

@@ -798,13 +798,25 @@ object SnapshotTable {
     val inserted = readOr(addedData, delTo)
     val removed = readOr(removedData, delFrom)
     // rows of files present in BOTH versions that a NEW delete-key commit
-    // killed: resolved-at-vFrom rows minus resolved-at-vTo survivors
+    // killed. Common case (all new deletes share key columns): ONE scan of
+    // the kept files semi-joined against the broadcast-sized key union —
+    // never a full-width multiset diff. Heterogeneous key sets fall back
+    // to resolved-at-vFrom exceptAll resolved-at-vTo (two kept scans).
     val killedKept =
       if (newDeletes.isEmpty || keptData.isEmpty) schema
       else {
         val atFrom = readOr(keptData, delFrom)
-        val atTo = readOr(keptData, delTo)
-        atFrom.exceptAll(atTo)
+        val keySets = newDeletes.map(_._2).distinct
+        if (keySets.size == 1) {
+          val keys = keySets.head
+          val allKeys = newDeletes.map(_._3.select(keys.map(col): _*))
+            .reduce(_.unionByName(_)).distinct()
+          // a delete only applies to files OLDER than it; new deletes are
+          // newer than every kept file by construction (kept files exist
+          // at vFrom, the delete commits landed after), so no version
+          // filter is needed here
+          atFrom.join(allKeys, keys, "left_semi")
+        } else atFrom.exceptAll(readOr(keptData, delTo))
       }
     inserted.exceptAll(removed).withColumn("_change_type", lit("insert"))
       .unionByName(removed.exceptAll(inserted)

@@ -384,6 +384,45 @@ class SnapshotTableSpec extends SparkTestBase {
     assert(after.count() == 2, "stats-less file must survive pruning")
   }
 
+  test("z-order clusterBy composes with stats: a 2-D range predicate skips files on BOTH columns") {
+    val t = freshTable()
+    // two independent dimensions: interleaved-bit clustering gives every
+    // file a tight box in (x, y) space, so a box predicate prunes in both
+    val df = (0 until 4096).map { i =>
+      val x = (i * 2654435761L % 4096).toInt
+      val y = (i * 40503 % 4096).toInt
+      (i.toLong, x, y)
+    }.toDF("id", "x", "y")
+    val z = LakeLayout.zorderValue(df, Seq("x", "y"), bitsPerCol = 4)
+    SnapshotTable.commitOverwrite(df, t, Nil, filesPerPartition = 16,
+      clusterBy = Seq(z), statsCols = Seq("x", "y"))
+    val entries = SnapshotTable.manifest(t, None)
+    assert(entries.size == 16)
+    assert(entries.forall(e => e.stats.contains("x") && e.stats.contains("y")))
+    val boxed = SnapshotTable.readSnapshot(spark, t,
+        statsPruning = st => ColStats.overlaps(st, "x", "0", "1000") &&
+          ColStats.overlaps(st, "y", "0", "1000"))
+      .filter(col("x").between(0, 1000) && col("y").between(0, 1000))
+    val frac = boxed.inputFiles.length.toDouble / entries.size
+    assert(frac < 0.5, s"z-order + 2-D stats pruning touched $frac of files")
+    // identical to the full-scan filter (pruning is only a superset cut)
+    val full = SnapshotTable.readSnapshot(spark, t)
+      .filter(col("x").between(0, 1000) && col("y").between(0, 1000))
+    assert(boxed.orderBy("id").collect().map(_.getLong(0)).toSeq ==
+      full.orderBy("id").collect().map(_.getLong(0)).toSeq)
+    // single-column clustering would NOT prune the second dimension this
+    // well: x-only clustering leaves y bounds ~full-range per file
+    val tx = freshTable()
+    SnapshotTable.commitOverwrite(df, tx, Nil, filesPerPartition = 16,
+      clusterBy = Seq(col("x")), statsCols = Seq("x", "y"))
+    val xOnly = SnapshotTable.readSnapshot(spark, tx,
+        statsPruning = st => ColStats.overlaps(st, "x", "0", "1000") &&
+          ColStats.overlaps(st, "y", "0", "1000"))
+      .filter(col("x").between(0, 1000) && col("y").between(0, 1000))
+    assert(boxed.inputFiles.length <= xOnly.inputFiles.length,
+      "z-order must prune at least as well as single-column clustering on a 2-D box")
+  }
+
   test("merge-on-read deletes: scattered delete rewrites nothing; reads resolve; compact absorbs") {
     val t = freshTable()
     SnapshotTable.commitOverwrite(rows(2000, 40, "a"), t, Seq("year"), filesPerPartition = 2)
