@@ -83,6 +83,42 @@ class SimilaritySpec extends SparkTestBase {
     assert(fromAssign == fromModel)
   }
 
+  test("snapshot CDC drives IVF maintenance: changes(v1, v2) feeds ivfAppend end-to-end") {
+    // the r12 VERDICT #6 composition: incremental index consumers feed
+    // from the TABLE'S OWN manifest diff instead of an external changeset
+    import graft.sources.SnapshotTable
+    val t = java.nio.file.Files.createTempDirectory("graft-cdc-ivf").toString
+    val path = t + "/index"
+    val evens = emb.filter(col("vec_id") % 2 === 0)
+    val odds = emb.filter(col("vec_id") % 2 === 1)
+    SnapshotTable.commitOverwrite(evens, t + "/tbl") // v1
+    val built = SimilaritySearch.ivfIndex(
+      SnapshotTable.readSnapshot(spark, t + "/tbl", Some(1L)),
+      "vec_id", "embedding", nlist = 8)
+    SimilaritySearch.ivfWrite(built, path)
+    SnapshotTable.commitAppend(odds, t + "/tbl") // v2
+    // the CDC read IS the batch: pure-append range → inserts only
+    val cdc = SnapshotTable.changes(spark, t + "/tbl", 1L, 2L)
+    assert(cdc.filter(col("_change_type") === "delete").count() == 0)
+    val batch = cdc.filter(col("_change_type") === "insert").drop("_change_type")
+    val report = SimilaritySearch.ivfAppend(spark, path, batch,
+      "vec_id", "embedding")
+    assert(report.nAppended == odds.count() && report.nDuplicate == 0)
+    // index contents ≡ assignment over the CURRENT snapshot
+    val gotIds = SimilaritySearch.ivfRead(spark, path).assigned
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val snapIds = SnapshotTable.readSnapshot(spark, t + "/tbl")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(gotIds == snapIds)
+    // replaying the SAME version range is idempotent end-to-end (the
+    // exactly-once story composes: CDC is deterministic, append dedupes)
+    val again = SimilaritySearch.ivfAppend(spark, path,
+      SnapshotTable.changes(spark, t + "/tbl", 1L, 2L)
+        .filter(col("_change_type") === "insert").drop("_change_type"),
+      "vec_id", "embedding")
+    assert(again.nAppended == 0 && again.nDuplicate == odds.count())
+  }
+
   test("ivfAppend: O(batch) append ≡ rebuild-with-same-centroids; idempotent; untouched files byte-identical") {
     val dir = java.nio.file.Files.createTempDirectory("ivf-append").toString
     val path = s"$dir/index"
