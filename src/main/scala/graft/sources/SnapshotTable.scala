@@ -823,6 +823,49 @@ object SnapshotTable {
         .unionByName(killedKept).withColumn("_change_type", lit("delete")))
   }
 
+  /** Incremental CONSUMER front door over [[changes]]: process everything
+    * committed since the last call, tracked by a version watermark file
+    * (the [[JdbcIncremental]] watermark discipline — write-temp +
+    * ATOMIC_MOVE, advanced only AFTER `process` returns).
+    *
+    *  - no watermark yet → the INITIAL LOAD: the full current snapshot is
+    *    delivered as `_change_type = insert` rows;
+    *  - watermark `w` < current `c` → `changes(w, c)` is delivered;
+    *  - watermark current → NO-OP, `process` never runs.
+    *
+    * Delivery is at-least-once per version RANGE: a crash inside
+    * `process` leaves the watermark untouched and the next call redelivers
+    * — possibly a WIDER range if more commits landed meanwhile. Exactly-
+    * once therefore needs an idempotent consumer: row-deduping sinks
+    * (e.g. `SimilaritySearch.ivfAppend`) are safe as-is; snapshot-table
+    * sinks should key [[commitAppendTxn]] by the FROM version
+    * (`s"follow-$vFrom"` — stable across retries even when the TO version
+    * drifts). Returns the processed (vFrom, vTo), or None on no-op. */
+  def followChanges(spark: SparkSession, tablePath: String,
+                    watermarkFile: String)
+                   (process: (DataFrame, Long, Long) => Unit): Option[(Long, Long)] = {
+    val wmPath = Paths.get(root(watermarkFile))
+    val wm =
+      if (Files.exists(wmPath))
+        new String(Files.readAllBytes(wmPath), "UTF-8").trim.toLong
+      else 0L
+    val cur = currentVersion(tablePath).getOrElse(
+      sys.error(s"no committed snapshot at $tablePath"))
+    if (cur <= wm) return None
+    val frame =
+      if (wm == 0L)
+        readSnapshot(spark, tablePath, Some(cur))
+          .withColumn("_change_type", lit("insert"))
+      else changes(spark, tablePath, wm, cur)
+    process(frame, wm, cur)
+    if (wmPath.getParent != null) Files.createDirectories(wmPath.getParent)
+    val tmp = wmPath.resolveSibling(s"${wmPath.getFileName}.tmp.$cur")
+    Files.write(tmp, cur.toString.getBytes("UTF-8"))
+    Files.move(tmp, wmPath, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    Some((wm, cur))
+  }
+
   /** Table history as a DataFrame — (version, committed, txn, n_files,
     * n_partitions, n_delete_files): the DESCRIBE-HISTORY introspection a
     * maintenance job reads before choosing what to vacuum or which

@@ -554,6 +554,36 @@ class SnapshotTableSpec extends SparkTestBase {
     assert(maintained == recomputed, s"$maintained vs $recomputed")
   }
 
+  test("followChanges: initial load, per-range CDC, no-op when current, crash redelivers") {
+    val t = freshTable()
+    val wm = s"$t/_consumer_wm"
+    val base = (1 to 20).map(i => (i.toLong, 2000 + i % 2, i * 10.0))
+      .toDF("id", "year", "amount")
+    SnapshotTable.commitOverwrite(base, t, Seq("year"))
+    var seen = Vector.empty[(String, Long, Long, Long)] // tag, rows, vFrom, vTo
+    def run(tag: String, fail: Boolean = false) =
+      SnapshotTable.followChanges(spark, t, wm) { (df, vf, vt) =>
+        if (fail) sys.error("consumer crash")
+        seen :+= ((tag, df.count(), vf, vt))
+      }
+    // initial load: the whole snapshot as inserts, watermark lands at v1
+    assert(run("init").contains((0L, 1L)))
+    assert(seen == Vector(("init", 20L, 0L, 1L)))
+    // current watermark: no-op, process never runs
+    assert(run("noop").isEmpty && seen.size == 1)
+    // v2 merge + v3 MoR delete, then ONE follow call sees the fused range
+    val ch = Seq((3L, 2001, 999.0, false), (100L, 2000, 5.0, false))
+      .toDF("id", "year", "amount", "_del")
+    SnapshotTable.mergeUpsert(spark, t, ch, Seq("id"), Seq("year"), Some("_del"))
+    SnapshotTable.commitDeleteByKeys(spark, t, Seq(4L).toDF("id"), Seq("id"))
+    // crash inside process: watermark untouched, next call REDELIVERS
+    intercept[RuntimeException] { run("crash", fail = true) }
+    assert(run("retry").contains((1L, 3L)))
+    // delete id=3 (update) + delete id=4 (MoR) + insert id=3' + insert id=100
+    assert(seen.last == ("retry", 4L, 1L, 3L), seen.toString)
+    assert(run("noop2").isEmpty)
+  }
+
   test("vacuum reclaims only unreferenced files; kept versions still read") {
     val t = freshTable()
     SnapshotTable.commitOverwrite(rows(2000, 6, "a"), t, Seq("year"))
