@@ -244,6 +244,67 @@ final class BpeCodec(val lhs: Array[String], val rhs: Array[String],
       byteLevel.hashCode()
 }
 
+/** A token vocabulary riding the plan as DATA (the [[BpeCodec]]
+  * discipline): `symbols(id)` is the symbol with that token id — the
+  * dense first-occurrence-keeps-id order of `Tokenizer.vocab`. Value
+  * equality over the symbol array lets Catalyst CSE repeated
+  * references. */
+final class BpeVocab(val symbols: Array[String]) extends Serializable {
+  require(symbols.nonEmpty, "empty vocabulary")
+
+  @transient private lazy val idOf: java.util.HashMap[String, java.lang.Long] = {
+    val m = new java.util.HashMap[String, java.lang.Long](symbols.length * 2)
+    var i = 0
+    while (i < symbols.length) {
+      // first occurrence keeps the id (ids are dense positions already,
+      // but guard against a caller passing duplicates)
+      m.putIfAbsent(symbols(i), java.lang.Long.valueOf(i.toLong))
+      i += 1
+    }
+    m
+  }
+
+  /** Whole-document token-id encode: split on single spaces with empties
+    * dropped (the `filter(split(text, ' '), x -> x != '')` contract every
+    * word-level operator in the engine uses), BPE-encode each word under
+    * `codec`, map token symbols to ids. A symbol outside the vocabulary
+    * is a CONTRACT violation (the vocab was built from this corpus +
+    * table) and fails loudly rather than emitting a wrong id. */
+  def idsOf(doc: UTF8String, codec: BpeCodec): ArrayData = {
+    val s = doc.toString
+    val out = new java.util.ArrayList[Any]()
+    var i = 0
+    val n = s.length
+    while (i <= n) {
+      val j = s.indexOf(' ', i)
+      val end = if (j < 0) n else j
+      if (end > i) {
+        val toks = codec.tokens(s.substring(i, end))
+        var k = 0
+        while (k < toks.length) {
+          val id = idOf.get(toks(k))
+          if (id == null) throw new IllegalStateException(
+            s"token '${toks(k)}' not in the ${symbols.length}-symbol vocabulary")
+          out.add(id.longValue())
+          k += 1
+        }
+      }
+      i = end + 1
+      if (j < 0) i = n + 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override def equals(other: Any): Boolean = other match {
+    case o: BpeVocab =>
+      java.util.Arrays.equals(symbols.asInstanceOf[Array[AnyRef]],
+        o.symbols.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Arrays.hashCode(symbols.asInstanceOf[Array[AnyRef]])
+}
+
 object BpeExprs {
   import org.apache.spark.sql.graft.{GraftDatasetBridge => Bridge}
 
@@ -255,6 +316,35 @@ object BpeExprs {
   /** Token array of a single-word string column under `codec`. */
   def encodeTokens(word: Column, codec: BpeCodec): Column =
     Bridge.column(BpeEncodeTokens(Bridge.expression(word), codec))
+
+  /** Whole-DOCUMENT token-id sequence of a text column — the pretraining
+    * artifact (array<bigint> per doc) built row-locally with ZERO
+    * exchanges: split → per-word BPE → vocab id lookup all inside one
+    * codegen'd node. The explode → vocab-join → sort_array-regroup shape
+    * this replaces pays a corpus-token-sized shuffle. */
+  def encodeDocIds(text: Column, codec: BpeCodec, vocab: BpeVocab): Column =
+    Bridge.column(BpeDocTokenIds(Bridge.expression(text), codec, vocab))
+}
+
+/** `ids(text)` of a string column → array<bigint> (see
+  * [[BpeVocab.idsOf]]). */
+case class BpeDocTokenIds(child: Expression, codec: BpeCodec, vocab: BpeVocab)
+    extends UnaryExpression {
+  override def prettyName: String = "bpe_doc_token_ids"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string, got ${child.dataType.simpleString}")
+  override protected def nullSafeEval(text: Any): Any =
+    vocab.idsOf(text.asInstanceOf[UTF8String], codec)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val vRef = ctx.addReferenceObj("bpeVocab", vocab, classOf[BpeVocab].getName)
+    val cRef = ctx.addReferenceObj("bpeCodec", codec, classOf[BpeCodec].getName)
+    defineCodeGen(ctx, ev, c => s"$vRef.idsOf($c, $cRef)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
 }
 
 /** `SUM(tokens(word))` over an `array<string>` of words → long. */

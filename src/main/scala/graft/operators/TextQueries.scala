@@ -603,6 +603,31 @@ object TextQueries {
         .orderBy("word")
     }),
 
+    // The PRETRAINING ARTIFACT: whole-document token-ID sequences under
+    // the 1k+-merge vocabulary — what a training run actually reads. One
+    // codegen'd expression node does split → per-word BPE → vocab id
+    // lookup row-locally (BpeVocab rides the plan as data next to the
+    // codec), so the build pays ZERO exchanges; the explode → vocab-join
+    // → regroup alternative shuffles every token in the corpus. The
+    // oracle re-derives table AND vocab, replays the recursive encode,
+    // and reassembles each document's ids in (word, token) order — an id
+    // off by one position anywhere in any document fails the hash.
+    "q_t39_bpe_doc_token_ids" -> ((s, dir) => {
+      val all = constructed1kMerges(s, dir)
+      val codec = Tokenizer.codecOf(all)
+      val vocabSyms = Tokenizer.vocabFrame(docs(s, dir), "text", all)
+        .orderBy("token_id").collect().map(_.getString(1))
+      val vocab = new graft.functions.BpeVocab(vocabSyms)
+      docs(s, dir)
+        .select(col("doc_id"), graft.functions.BpeExprs.encodeDocIds(
+          coalesce(col("text"), lit("")), codec, vocab).as("ids"))
+        .select(col("doc_id"), size(col("ids")).cast("long").as("n_tokens"),
+          expr("array_join(transform(ids, x -> CAST(x AS STRING)), ' ')")
+            .as("ids_str"))
+        .filter(col("n_tokens") > 0)
+        .orderBy("doc_id")
+    }),
+
     // Vocabulary statistics per language slice — the corpus profile that
     // drives tokenizer/dedup planning: token mass, distinct words and
     // 3-gram shingles (exact twins + bounded-memory HLL++ estimates with
@@ -1833,6 +1858,46 @@ object TextQueries {
          |       tk.tok AS token
          |FROM tk JOIN vocab v ON tk.tok = v.sym
          |ORDER BY word, pos""".stripMargin,
+
+    // re-derives table + vocab (the q_t37 stages), then reassembles
+    // every document's id sequence in (word position, token position)
+    // order via the ordinality-struct trick
+    "q_t39_bpe_doc_token_ids" ->
+      s"""WITH RECURSIVE
+         |$bpe1kOracleStages,
+         |chars AS (
+         |  SELECT DISTINCT unnest(list_transform(generate_series(1, length(word)),
+         |                         i -> word[i])) AS sym
+         |  FROM wf),
+         |ordered AS (
+         |  SELECT sym, CAST(row_number() OVER (ORDER BY sym) AS BIGINT) AS ord
+         |  FROM chars
+         |  UNION ALL
+         |  SELECT lhs || rhs AS sym, (SELECT count(*) FROM chars) + step AS ord
+         |  FROM merges),
+         |vocab AS (
+         |  SELECT sym, CAST(row_number() OVER (ORDER BY ord) - 1 AS BIGINT)
+         |           AS token_id
+         |  FROM (SELECT sym, min(ord) AS ord FROM ordered GROUP BY 1)),
+         |dw AS (
+         |  SELECT doc_id, x['w'] AS word, x['wpos'] AS wpos FROM (
+         |    SELECT doc_id,
+         |           unnest(list_transform(
+         |             list_filter(string_split(text, ' '), t -> t != ''),
+         |             (t, i) -> {'w': t, 'wpos': i})) AS x
+         |    FROM documents)),
+         |dt AS (
+         |  SELECT dw.doc_id, dw.wpos,
+         |         unnest(list_transform(k.toks,
+         |           (t, i) -> {'tpos': i, 'tok': t})) AS y
+         |  FROM dw JOIN wt1k k ON k.word = dw.word),
+         |ids AS (
+         |  SELECT dt.doc_id, dt.wpos, dt.y['tpos'] AS tpos, v.token_id
+         |  FROM dt JOIN vocab v ON v.sym = dt.y['tok'])
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |       string_agg(CAST(token_id AS VARCHAR), ' '
+         |                  ORDER BY wpos, tpos) AS ids_str
+         |FROM ids GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // re-derives the 1k+ table, re-encodes every word through the full
     // recursive replay, then replays the q_t6 running-sum bin packing

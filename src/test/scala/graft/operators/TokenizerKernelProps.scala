@@ -94,6 +94,28 @@ object TokenizerKernelProps extends Properties("BpeKernel") {
         dedup.forall { case (w, _) => codec.tokens(w).forall(bySym.contains) }
     }
 
+  property("doc token-ids ≡ per-word spec ∘ vocab lookup (any table; docs with runs of spaces)") =
+    forAllNoShrink(
+      genMerges,
+      Gen.listOfN(6, Gen.choose(0, 4)
+        .flatMap(k => Gen.listOfN(k, genWord).map(_.mkString(" "))))) { (merges, docsL) =>
+      val words = docsL.flatMap(_.split(" ").filter(_.nonEmpty))
+      val chars = words.flatMap(_.map(_.toString)).distinct
+      val vocabSeq = Tokenizer.vocab(merges, if (chars.isEmpty) Seq("a") else chars)
+      val vocab = new graft.functions.BpeVocab(vocabSeq.map(_._1).toArray)
+      val codec = Tokenizer.codecOf(merges)
+      val idOf = vocabSeq.toMap
+      docsL.forall { doc =>
+        val got = vocab.idsOf(
+          org.apache.spark.unsafe.types.UTF8String.fromString(doc), codec)
+          .toLongArray().toSeq
+        val exp = doc.split(" ").filter(_.nonEmpty).toSeq
+          .flatMap(w => Tokenizer.encodeWordSpec(w, merges))
+          .map(idOf(_).toLong)
+        got == exp
+      }
+    }
+
   // ---- byte-level mode (q_t38): initial symbols are the GPT-2 remap of
   // the word's UTF-8 bytes; merge semantics unchanged ----
 
