@@ -628,6 +628,43 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Token-STREAM packing: the GPT-style contiguous sample layout —
+    // per language, documents concatenate into one id stream chunked at
+    // 512 ids, docs SPLITTING across chunk boundaries (q_t36 packs
+    // doc-atomic budget bins; this is the other production layout). Per-
+    // doc counts ride the scan (the q_t39 kernel), the stream offset is
+    // one per-lang window, and the chunk fan-out is a row-local explode
+    // over each doc's chunk range — so the only exchange is the per-lang
+    // window, id-count-independent. Output: per chunk, the id count
+    // (512 except each stream's tail), docs touching it, docs STARTING
+    // in it — the manifest a dataloader needs.
+    "q_t40_pack_token_stream" -> ((s, dir) => {
+      val all = constructed1kMerges(s, dir)
+      val codec = Tokenizer.codecOf(all)
+      val vocabSyms = Tokenizer.vocabFrame(docs(s, dir), "text", all)
+        .orderBy("token_id").collect().map(_.getString(1))
+      val vocab = new graft.functions.BpeVocab(vocabSyms)
+      val b = 512L
+      val counted = docs(s, dir)
+        .select(col("lang"), col("doc_id"),
+          size(graft.functions.BpeExprs.encodeDocIds(
+            coalesce(col("text"), lit("")), codec, vocab))
+            .cast("long").as("n"))
+        .filter(col("n") > 0)
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+      counted
+        .withColumn("off", sum(col("n")).over(w) - col("n"))
+        .withColumn("chunk", explode(expr(
+          s"sequence(off div $b, (off + n - 1) div $b)")))
+        .withColumn("ids_here",
+          least(lit(b) * (col("chunk") + 1), col("off") + col("n")) -
+            greatest(lit(b) * col("chunk"), col("off")))
+        .groupBy("lang", "chunk")
+        .agg(sum("ids_here").as("n_ids"), count(lit(1)).as("n_docs"),
+          sum((col("off") >= col("chunk") * b).cast("long")).as("n_doc_starts"))
+        .orderBy("lang", "chunk")
+    }),
+
     // Vocabulary statistics per language slice — the corpus profile that
     // drives tokenizer/dedup planning: token mass, distinct words and
     // 3-gram shingles (exact twins + bounded-memory HLL++ estimates with
@@ -1898,6 +1935,38 @@ object TextQueries {
          |       string_agg(CAST(token_id AS VARCHAR), ' '
          |                  ORDER BY wpos, tpos) AS ids_str
          |FROM ids GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // replays per-doc counts from wt1k, the per-lang stream offsets, and
+    // the chunk-range fan-out with the same floor-division boundary math
+    "q_t40_pack_token_stream" ->
+      s"""WITH RECURSIVE
+         |$bpe1kOracleStages,
+         |wt AS (SELECT word, len(toks) AS t FROM wt1k),
+         |dw AS (
+         |  SELECT doc_id, lang,
+         |         unnest(list_filter(string_split(text, ' '), x -> x != '')) AS word
+         |  FROM documents),
+         |agg AS (
+         |  SELECT d.doc_id, any_value(d.lang) AS lang,
+         |         CAST(sum(wt.t) AS BIGINT) AS n
+         |  FROM dw d JOIN wt ON wt.word = d.word
+         |  GROUP BY d.doc_id),
+         |offs AS (
+         |  SELECT lang, doc_id, n,
+         |         CAST(sum(n) OVER (PARTITION BY lang ORDER BY doc_id) - n
+         |              AS BIGINT) AS off
+         |  FROM agg WHERE n > 0),
+         |ex AS (
+         |  SELECT lang, doc_id, n, off,
+         |         unnest(generate_series(off // 512, (off + n - 1) // 512)) AS chunk
+         |  FROM offs)
+         |SELECT lang, chunk,
+         |       CAST(sum(least(512 * (chunk + 1), off + n) -
+         |                greatest(512 * chunk, off)) AS BIGINT) AS n_ids,
+         |       count(*) AS n_docs,
+         |       CAST(sum(CASE WHEN off >= chunk * 512 THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_doc_starts
+         |FROM ex GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // re-derives the 1k+ table, re-encodes every word through the full
     // recursive replay, then replays the q_t6 running-sum bin packing
