@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Driver-facing queries for the SFT / conversation-prep layer
@@ -120,6 +121,52 @@ object ConversationQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TOKEN-LEVEL LOSS MASKS for SFT (round 13): the per-sample artifact
+    // an instruction-tuning run needs next to the flattened text — which
+    // token positions train (assistant turns) and which are masked
+    // (user turns), under the REAL 1k+-merge tokenizer. Valid
+    // conversations only; per-turn counts ride the turn explode via the
+    // BPE kernel (turn contents are substring CUTS, so fragment words
+    // outside the corpus vocabulary must tokenize too — the kernel does,
+    // and the oracle extends its encode replay to the fragment words
+    // while deriving MERGES from the corpus alone, exactly like the
+    // engine). One per-doc window computes the stream offsets; the mask
+    // is the assistant spans in token space.
+    "q_f9_sft_loss_mask" -> ((s, dir) => {
+      val merges = TextQueries.constructed1kMerges(s, dir)
+      val codec = Tokenizer.codecOf(merges)
+      val parsed = Conversations.parseTurns(col("conv_json"))
+      val turns = docs(s, dir)
+        .selectExpr("doc_id", "coalesce(text, '') AS t")
+        .selectExpr("doc_id", s"$convJsonExpr AS conv_json")
+        .select(col("doc_id"), parsed.as("tv"))
+        .filter(Conversations.validTurns(col("tv")))
+        .select(col("doc_id"), posexplode(col("tv")).as(Seq("turn", "tr")))
+        .select(col("doc_id"), col("turn"), col("tr.role").as("role"),
+          graft.functions.BpeExprs.docTokenCount(
+            filter(split(col("tr.content"), " "), x => x =!= ""), codec)
+            .as("n"))
+      val w = Window.partitionBy("doc_id").orderBy("turn")
+      turns
+        .withColumn("end_off", sum(col("n")).over(w))
+        .withColumn("start_off", col("end_off") - col("n"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_turns"),
+          sum("n").as("total_tokens"),
+          sum(when(col("role") === "assistant", col("n")).otherwise(0L))
+            .as("trained_tokens"),
+          sort_array(collect_list(struct(col("turn"), col("role"),
+            col("start_off"), col("end_off")))).as("ts"))
+        .select(col("doc_id"), col("n_turns"), col("total_tokens"),
+          col("trained_tokens"),
+          expr("""array_join(transform(
+                 |  filter(ts, x -> x.role = 'assistant'),
+                 |  x -> concat(CAST(x.start_off AS STRING), '-',
+                 |              CAST(x.end_off AS STRING))), ',')""".stripMargin)
+            .as("mask_str"))
+        .orderBy("doc_id")
+    }),
+
     "q_f3_sft_flatten" -> ((s, dir) =>
       sftFlattenQuery(docs(s, dir)).orderBy("doc_id")),
 
@@ -388,6 +435,103 @@ object ConversationQueries {
          |SELECT doc_id, n_turns, valid, n_assistant_chars, n_user_chars,
          |       flat_md5
          |FROM c ORDER BY doc_id""".stripMargin,
+
+    // analytic twin: valid conversations' turn sequences from the
+    // substrings + variant; the merge table derived from the CORPUS
+    // vocabulary exactly like the engine, but the encode replay runs
+    // over corpus words PLUS the turn-fragment words (substr cuts split
+    // words — the kernel tokenizes any word, so the oracle must too);
+    // offsets/masks are one window over turn order
+    "q_f9_sft_loss_mask" ->
+      s"""WITH RECURSIVE
+         |b AS ($duckBase),
+         |cv AS (
+         |  SELECT doc_id, v, t1, t2, t3, t4 FROM b
+         |  WHERE (v = 0 AND len(t1) > 0 AND len(t2) > 0)
+         |     OR (v = 1 AND len(t1) > 0 AND len(t2) > 0
+         |         AND len(t3) > 0 AND len(t4) > 0)),
+         |turns AS (
+         |  SELECT doc_id, 1 AS turn, 'user' AS role, t1 AS content FROM cv
+         |  UNION ALL SELECT doc_id, 2, 'assistant', t2 FROM cv
+         |  UNION ALL SELECT doc_id, 3, 'user', t3 FROM cv WHERE v = 1
+         |  UNION ALL SELECT doc_id, 4, 'assistant', t4 FROM cv WHERE v = 1),
+         |wf AS MATERIALIZED (
+         |  SELECT word, count(*) AS freq FROM (
+         |    SELECT unnest(list_filter(string_split(text, ' '), x -> x != ''))
+         |             AS word
+         |    FROM documents)
+         |  GROUP BY 1),
+         |pairs AS (
+         |  SELECT substr(word, i, 1) AS lhs, substr(word, i + 1, 1) AS rhs,
+         |         sum(freq) AS c
+         |  FROM (SELECT word, freq,
+         |               unnest(generate_series(1, length(word) - 1)) AS i
+         |        FROM wf WHERE length(word) >= 2)
+         |  GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT lhs, rhs, row_number() OVER (ORDER BY c DESC, lhs, rhs) AS step
+         |  FROM pairs),
+         |base AS MATERIALIZED (SELECT lhs, rhs, step FROM ranked WHERE step <= 256),
+         |chain AS (
+         |  SELECT a.lhs || a.rhs AS lhs, b.lhs || b.rhs AS rhs,
+         |         (SELECT count(*) FROM base) + (a.step - 1) * 32 + b.step AS step
+         |  FROM base a JOIN base b ON a.step <= 32 AND b.step <= 32),
+         |merges AS MATERIALIZED (
+         |  SELECT lhs, rhs, step FROM base
+         |  UNION ALL SELECT lhs, rhs, step FROM chain),
+         |allw AS MATERIALIZED (
+         |  SELECT DISTINCT word FROM (
+         |    SELECT word FROM wf
+         |    UNION ALL
+         |    SELECT unnest(list_filter(string_split(content, ' '), x -> x != ''))
+         |             AS word
+         |    FROM turns)),
+         |syms AS (
+         |  SELECT word,
+         |         '  ' || array_to_string(list_transform(generate_series(1, length(word)),
+         |                                 i -> word[i]), '  ') || '  ' AS sym
+         |  FROM allw),
+         |enc AS (
+         |  SELECT word, sym, 0 AS step FROM syms
+         |  UNION ALL
+         |  SELECT e.word,
+         |         CASE WHEN m.lhs IS NULL THEN e.sym
+         |              ELSE replace(e.sym, ' ' || m.lhs || '  ' || m.rhs || ' ',
+         |                           ' ' || m.lhs || m.rhs || ' ') END,
+         |         e.step + 1
+         |  FROM enc e LEFT JOIN merges m ON m.step = e.step + 1
+         |  WHERE e.step < 1280),
+         |wtf AS MATERIALIZED (
+         |  SELECT word,
+         |         CAST(len(list_filter(string_split(sym, '  '), x -> x != ''))
+         |              AS BIGINT) AS t
+         |  FROM enc WHERE step = 1280),
+         |tw AS (
+         |  SELECT doc_id, turn,
+         |         unnest(list_filter(string_split(content, ' '), x -> x != ''))
+         |           AS word
+         |  FROM turns),
+         |twc AS (
+         |  SELECT tw.doc_id, tw.turn, CAST(sum(wtf.t) AS BIGINT) AS n
+         |  FROM tw JOIN wtf ON wtf.word = tw.word GROUP BY 1, 2),
+         |tc AS (
+         |  SELECT t.doc_id, t.turn, t.role, coalesce(w.n, 0) AS n
+         |  FROM turns t LEFT JOIN twc w
+         |    ON w.doc_id = t.doc_id AND w.turn = t.turn),
+         |offs AS (
+         |  SELECT doc_id, turn, role, n,
+         |         CAST(sum(n) OVER (PARTITION BY doc_id ORDER BY turn)
+         |              AS BIGINT) AS end_off
+         |  FROM tc)
+         |SELECT doc_id, count(*) AS n_turns,
+         |       CAST(sum(n) AS BIGINT) AS total_tokens,
+         |       CAST(sum(CASE WHEN role = 'assistant' THEN n ELSE 0 END)
+         |            AS BIGINT) AS trained_tokens,
+         |       string_agg(CASE WHEN role = 'assistant'
+         |                       THEN CAST(end_off - n AS VARCHAR) || '-' ||
+         |                            CAST(end_off AS VARCHAR) END,
+         |                  ',' ORDER BY turn) AS mask_str
+         |FROM offs GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_f4_sft_accounting" ->
       s"""$duckDerived

@@ -796,7 +796,7 @@ object TextQueries {
     * on the synthetic corpus, whose ~31-word vocabulary exhausts REAL
     * training at ~90 merges. [[bpe1kOracleStages]] re-derives the same
     * table in DuckDB, step for step. */
-  private def constructed1kMerges(s: SparkSession, dir: String): Seq[Tokenizer.Merge] = {
+  private[operators] def constructed1kMerges(s: SparkSession, dir: String): Seq[Tokenizer.Merge] = {
     val wf = Tokenizer.wordFreq(docs(s, dir), "text")
     val base = wf.where(expr("length(word) >= 2"))
       .select(col("freq"), explode(expr(
