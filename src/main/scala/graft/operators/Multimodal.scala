@@ -277,6 +277,114 @@ object Multimodal {
     * exact, so the q_m8 oracle derives expected segments analytically
     * from its planted loud/quiet frame pattern.
     */
+  /** One parsed WAV container: header fields + the raw PCM payload, or a
+    * `valid = false` row naming the defect — malformed audio surfaces as
+    * DATA, never a task failure (the [[ImageCodec.decodeImages]]
+    * totality contract). */
+  case class WavRecord(id: Long, valid: Boolean, reason: String,
+                       sample_rate: Int, channels: Int, bits: Int,
+                       n_samples: Long, pcm: Array[Byte])
+
+  /** Parse RIFF/WAVE containers to typed header fields + PCM bytes — the
+    * real audio container format on top of [[pcmVad]]'s raw-PCM DSP (the
+    * image branch's BMP/PNG/JPEG decode has [[ImageCodec]]; this is the
+    * audio twin; both are pure JDK byte arithmetic, offline). Walks the
+    * chunk list (fmt before data; unknown chunks skipped; RIFF's
+    * even-byte padding honored), requires PCM format 1 at 16 bits for
+    * extraction, and surfaces every defect class as a `valid = false`
+    * row with a stable reason. One typed partition-preserving pass;
+    * payloads never visit the driver.
+    *
+    * WAV layout (public, Microsoft/IBM RIFF spec): `"RIFF" size "WAVE"`
+    * then chunks of `id(4) size(4 LE) payload(size, padded to even)`;
+    * `"fmt "` carries (format, channels, sampleRate, byteRate,
+    * blockAlign, bitsPerSample) little-endian; `"data"` carries PCM. */
+  def parseWav(df: DataFrame, idCol: String, payloadCol: String): Dataset[WavRecord] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .map { case (id, payload) =>
+        def invalid(reason: String) =
+          WavRecord(id, valid = false, reason, 0, 0, 0, 0L, Array.emptyByteArray)
+        val b = if (payload == null) Array.emptyByteArray else payload
+        def u16(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+        def u32(o: Int): Long = (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+          ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+        def tag(o: Int): String =
+          new String(b, o, 4, StandardCharsets.US_ASCII)
+        if (b.length < 12) invalid("truncated-preamble")
+        else if (tag(0) != "RIFF") invalid("bad-magic")
+        else if (tag(8) != "WAVE") invalid("not-wave")
+        else {
+          var off = 12
+          var fmtSeen = false
+          var format = 0
+          var channels = 0
+          var rate = 0
+          var bits = 0
+          var pcm: Array[Byte] = null
+          var defect: String = null
+          while (defect == null && pcm == null && off + 8 <= b.length) {
+            val id4 = tag(off)
+            val size = u32(off + 4)
+            val body = off + 8
+            if (size < 0 || body + size > b.length) defect = "chunk-overruns-file"
+            else id4 match {
+              case "fmt " =>
+                if (size < 16) defect = "fmt-too-short"
+                else {
+                  format = u16(body)
+                  channels = u16(body + 2)
+                  rate = u32(body + 4).toInt
+                  bits = u16(body + 14)
+                  fmtSeen = true
+                }
+              case "data" =>
+                if (!fmtSeen) defect = "data-before-fmt"
+                else pcm = java.util.Arrays.copyOfRange(b, body, (body + size).toInt)
+              case _ => () // LIST/INFO/junk: skipped
+            }
+            // RIFF rule: chunk payloads pad to even length
+            off = body + size.toInt + (size.toInt & 1)
+          }
+          if (defect != null) invalid(defect)
+          else if (pcm == null) invalid(if (fmtSeen) "no-data-chunk" else "no-fmt-chunk")
+          else if (format != 1) invalid("not-pcm")
+          else if (bits != 16) invalid("unsupported-bits")
+          else if (channels < 1) invalid("bad-channels")
+          else WavRecord(id, valid = true, "", rate, channels, bits,
+            pcm.length / 2L / channels, pcm)
+        }
+      }
+  }
+
+  /** Build canonical 16-bit PCM WAV bytes — the fixture/oracle writer
+    * ([[ImageCodec.grayBmp]]'s audio twin). `extraChunks` are inserted
+    * between `fmt ` and `data` (odd-sized payloads get the RIFF pad). */
+  def pcmWav(sampleRate: Int, channels: Int, pcm: Array[Byte],
+             extraChunks: Seq[(String, Array[Byte])] = Nil): Array[Byte] = {
+    require(channels >= 1 && sampleRate >= 1)
+    val extraLen = extraChunks.map { case (_, d) => 8 + d.length + (d.length & 1) }.sum
+    val riffSize = 4 + 24 + extraLen + 8 + pcm.length + (pcm.length & 1)
+    val out = java.nio.ByteBuffer.allocate(8 + riffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes(StandardCharsets.US_ASCII)).putInt(riffSize)
+      .put("WAVE".getBytes(StandardCharsets.US_ASCII))
+    out.put("fmt ".getBytes(StandardCharsets.US_ASCII)).putInt(16)
+      .putShort(1.toShort).putShort(channels.toShort)
+      .putInt(sampleRate).putInt(sampleRate * channels * 2)
+      .putShort((channels * 2).toShort).putShort(16.toShort)
+    extraChunks.foreach { case (id4, d) =>
+      require(id4.length == 4, s"chunk id must be 4 chars: $id4")
+      out.put(id4.getBytes(StandardCharsets.US_ASCII)).putInt(d.length).put(d)
+      if ((d.length & 1) == 1) out.put(0.toByte)
+    }
+    out.put("data".getBytes(StandardCharsets.US_ASCII)).putInt(pcm.length).put(pcm)
+    if ((pcm.length & 1) == 1) out.put(0.toByte)
+    out.array()
+  }
+
   def pcmVad(df: DataFrame, idCol: String, pcmCol: String,
              samplesPerFrame: Int, energyFloor: Long): Dataset[VadSegment] = {
     require(samplesPerFrame >= 1, s"samplesPerFrame >= 1, got $samplesPerFrame")

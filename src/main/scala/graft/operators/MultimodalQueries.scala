@@ -135,6 +135,40 @@ object MultimodalQueries {
         .orderBy("media_id")
     }),
 
+    // REAL WAV container parsing feeding the VAD (round 13): each doc's
+    // q_m8 PCM pattern wrapped in a genuine RIFF/WAVE file built by byte
+    // arithmetic — with a LIST chunk AND an odd-sized junk chunk between
+    // fmt and data, so chunk walking and the RIFF even-byte padding rule
+    // are load-bearing — at a per-doc sample rate; every 17th doc gets a
+    // corrupted magic and must surface as a valid=0 ROW (totality), not
+    // a task failure. The oracle replays header fields, the set-bit-run
+    // segment count, and popcount energies analytically.
+    "q_m11_wav_vad" -> ((s, dir) => {
+      import s.implicits._
+      val waved = plantedPcm(s, dir).as[(Long, Array[Byte])].map { case (id, pcm) =>
+        val rate = 8000 + (id % 3).toInt * 4000
+        val bytes = Multimodal.pcmWav(rate, 1, pcm, extraChunks = Seq(
+          "LIST" -> "INFOgraft".getBytes("US-ASCII"),   // 9 bytes: odd, padded
+          "junk" -> Array[Byte](1, 2, 3)))              // odd again
+        if (id % 17 == 0) bytes(3) = 'X'.toByte // "RIFX": bad magic
+        (id, bytes)
+      }.toDF("doc_id", "wav")
+      val parsed = Multimodal.parseWav(waved, "doc_id", "wav").toDF()
+      val segs = Multimodal.pcmVad(
+          parsed.filter(col("valid")), "id", "pcm",
+          samplesPerFrame = 4, energyFloor = 1000000L)
+        .toDF()
+        .groupBy("id")
+        .agg(count(lit(1)).as("n_segments"), sum("energy_sum").as("energy"))
+      parsed.join(segs, Seq("id"), "left")
+        .select(col("id").as("doc_id"), col("valid").cast("int").as("valid"),
+          col("reason"), col("sample_rate"), col("channels"),
+          col("n_samples"),
+          coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+          coalesce(col("energy"), lit(0L)).as("energy"))
+        .orderBy("doc_id")
+    }),
+
     // Voice-activity detection on RAW PCM — real decode-free audio DSP
     // (s16le framing + exact integer energies), not a stub: segments =
     // runs of loud frames, energies exact LONGs. One typed scan pass.
@@ -447,6 +481,43 @@ object MultimodalQueries {
     // expected segments = islands of set bits in doc_id's low byte
     // (gaps-and-islands over the 8 planted frames); loud-frame energy is
     // exactly 4e6 so segment mass is n_frames * 4e6
+    // header fields and corruption class are pure doc_id arithmetic;
+    // segment count = runs of set bits (the q_m8 CTE), energy = popcount
+    // of the low byte × the exact loud-frame energy
+    "q_m11_wav_vad" ->
+      """WITH f AS (
+        |  SELECT doc_id, CAST(unnest(generate_series(0, 7)) AS INTEGER) AS fr
+        |  FROM documents),
+        |s AS (SELECT doc_id, fr FROM f WHERE ((doc_id >> fr) & 1) = 1),
+        |i AS (
+        |  SELECT doc_id, fr,
+        |         fr - CAST(row_number() OVER (PARTITION BY doc_id ORDER BY fr)
+        |                   AS INTEGER) AS g
+        |  FROM s),
+        |seg AS (SELECT doc_id, count(DISTINCT g) AS n_segments,
+        |               count(*) AS n_loud
+        |        FROM i GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |       CAST(CASE WHEN d.doc_id % 17 = 0 THEN 0 ELSE 1 END AS INTEGER)
+        |         AS valid,
+        |       CASE WHEN d.doc_id % 17 = 0 THEN 'bad-magic' ELSE '' END
+        |         AS reason,
+        |       CAST(CASE WHEN d.doc_id % 17 = 0 THEN 0
+        |                 ELSE 8000 + (d.doc_id % 3) * 4000 END AS INTEGER)
+        |         AS sample_rate,
+        |       CAST(CASE WHEN d.doc_id % 17 = 0 THEN 0 ELSE 1 END AS INTEGER)
+        |         AS channels,
+        |       CAST(CASE WHEN d.doc_id % 17 = 0 THEN 0 ELSE 32 END AS BIGINT)
+        |         AS n_samples,
+        |       CAST(CASE WHEN d.doc_id % 17 = 0 THEN 0
+        |                 ELSE coalesce(seg.n_segments, 0) END AS BIGINT)
+        |         AS n_segments,
+        |       CAST(CASE WHEN d.doc_id % 17 = 0 THEN 0
+        |                 ELSE coalesce(seg.n_loud, 0) * 4000000 END AS BIGINT)
+        |         AS energy
+        |FROM documents d LEFT JOIN seg ON seg.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
     "q_m8_pcm_vad" ->
       """WITH f AS (
         |  SELECT doc_id, CAST(unnest(generate_series(0, 7)) AS INTEGER) AS fr

@@ -125,6 +125,44 @@ class MultimodalSpec extends SparkTestBase {
     assert(f1 != f3)
   }
 
+  test("parseWav: round-trip, chunk walking + RIFF padding, every defect class is a row") {
+    import spark.implicits._
+    val pcm = java.nio.ByteBuffer.allocate(12)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putShort(1000).putShort(-1000).putShort(10).putShort(-10)
+      .putShort(7).putShort(-7).array()
+    def parse(bytes: Array[Byte]): Multimodal.WavRecord =
+      Multimodal.parseWav(Seq((1L, bytes)).toDF("id", "wav"), "id", "wav")
+        .collect().head
+    // canonical round-trip: header fields + byte-identical PCM
+    val ok = parse(Multimodal.pcmWav(44100, 1, pcm))
+    assert(ok.valid && ok.sample_rate == 44100 && ok.channels == 1 &&
+      ok.bits == 16 && ok.n_samples == 6 && ok.pcm.toSeq == pcm.toSeq)
+    // stereo sample accounting
+    assert(parse(Multimodal.pcmWav(8000, 2, pcm)).n_samples == 3)
+    // odd-sized extra chunks exercise the even-padding rule: data must
+    // still be found and byte-identical
+    val padded = parse(Multimodal.pcmWav(8000, 1, pcm,
+      extraChunks = Seq("LIST" -> Array[Byte](1, 2, 3), "junk" -> Array[Byte](9))))
+    assert(padded.valid && padded.pcm.toSeq == pcm.toSeq)
+    // defect classes: rows, never exceptions
+    val good = Multimodal.pcmWav(8000, 1, pcm)
+    def corrupt(mutate: Array[Byte] => Unit): Multimodal.WavRecord = {
+      val c = good.clone(); mutate(c); parse(c)
+    }
+    assert(parse(Array[Byte](1, 2)).reason == "truncated-preamble")
+    assert(corrupt(_(0) = 'X').reason == "bad-magic")
+    assert(corrupt(_(8) = 'X').reason == "not-wave")
+    assert(corrupt(_(20) = 3).reason == "not-pcm") // format field
+    assert(corrupt(_(34) = 8).reason == "unsupported-bits")
+    // data chunk size overrunning the file must be caught, not crash
+    assert(corrupt { c => c(40) = -1; c(41) = -1 }.reason == "chunk-overruns-file")
+    assert(parse(good.take(20)).reason == "chunk-overruns-file")
+    // a WAV with fmt but no data, and one with data before fmt
+    val noData = good.take(36)
+    assert(parse(noData).reason == "no-data-chunk")
+  }
+
   test("pcmVad: exact energies, island merging, trailing frames, empty/partial input") {
     import spark.implicits._
     def pcm(samples: Seq[Int]): Array[Byte] = {
