@@ -154,7 +154,13 @@ object ScaleBench {
       // join, one-key-shuffle sequence build, BPE train (one corpus pass
       // + vocab-sized iterations) and row-local encode
       "q_t16_lm_perplexity", "q_e5_event_sequences",
-      "q_t18_bpe_train", "q_t19_bpe_encode"
+      "q_t18_bpe_train", "q_t19_bpe_encode",
+      // round-13 additions: whole-doc token ids (zero-exchange kernel),
+      // contiguous stream packing (one per-lang window), token-level SFT
+      // masks (turn explode + per-doc window), WAV parse ∘ VAD (typed
+      // scan) — all must track the scan, none may grow an exchange
+      "q_t39_bpe_doc_token_ids", "q_t40_pack_token_stream",
+      "q_f9_sft_loss_mask", "q_m11_wav_vad"
     ).map(n => n -> SparkEntry.queries(n)) :+
       // row-local classifier scoring in the PRODUCTION hash family (the
       // registry query pins md5 for the oracle; xx64 is the scan-speed
