@@ -384,6 +384,32 @@ class SnapshotTableSpec extends SparkTestBase {
     assert(after.count() == 2, "stats-less file must survive pruning")
   }
 
+  test("stats pruning is typed: DATE bounds compare as ISO strings, STRING bounds lexically") {
+    val t = freshTable()
+    val df = (0 until 730).map { i =>
+      (i.toLong, java.sql.Date.valueOf(java.time.LocalDate.of(2020, 1, 1).plusDays(i)),
+        f"k$i%04d")
+    }.toDF("id", "d", "k")
+    SnapshotTable.commitOverwrite(df, t, Nil, filesPerPartition = 8,
+      clusterBy = Seq(col("d")), statsCols = Seq("d", "k"))
+    val entries = SnapshotTable.manifest(t, None)
+    assert(entries.forall(e => e.stats.get("d").exists(_.dataType == "date")))
+    // a one-month date range touches ~1 of 8 range-clustered files
+    val feb = SnapshotTable.readSnapshot(spark, t,
+        statsPruning = st => ColStats.overlaps(st, "d", "2020-02-01", "2020-02-29"))
+      .filter(col("d").between("2020-02-01", "2020-02-29"))
+    assert(feb.count() == 29)
+    assert(feb.inputFiles.length < entries.size / 2,
+      s"date stats pruned nothing: ${feb.inputFiles.length}/${entries.size}")
+    // string bounds: k is zero-padded so lexical == numeric order here;
+    // the clusterBy on d makes k ranges track d ranges
+    val ks = SnapshotTable.readSnapshot(spark, t,
+        statsPruning = st => ColStats.overlaps(st, "k", "k0100", "k0150"))
+      .filter(col("k").between("k0100", "k0150"))
+    assert(ks.count() == 51)
+    assert(ks.inputFiles.length < entries.size)
+  }
+
   test("z-order clusterBy composes with stats: a 2-D range predicate skips files on BOTH columns") {
     val t = freshTable()
     // two independent dimensions: interleaved-bit clustering gives every
