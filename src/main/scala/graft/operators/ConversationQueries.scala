@@ -167,6 +167,28 @@ object ConversationQueries {
         .orderBy("doc_id")
     }),
 
+    // INTEGER-EXACT Bradley–Terry ratings (round 13): matchups are
+    // planted from doc_id arithmetic with a SKILL-BIASED deterministic
+    // winner rule (higher model index wins more often), so the fitted
+    // ordering is known; the MM iterations run in fixed-point integer
+    // arithmetic (floor at every division, ascending-opponent summation,
+    // Σ-normalized per iteration) so DuckDB replays all 12 iterations
+    // bit-for-bit through a list-state recursive CTE — a floating-point
+    // fit could not be hash-checked.
+    "q_f10_bradley_terry" -> ((s, dir) => {
+      val g = docs(s, dir)
+        .selectExpr("doc_id", "doc_id % 8 AS m", "(doc_id div 8) % 8 AS o")
+        .filter(col("m") =!= col("o"))
+        .withColumn("m_wins",
+          expr("(doc_id div 64) % (m + o + 2) < m + 1"))
+        .selectExpr(
+          "concat('model_', CASE WHEN m_wins THEN m ELSE o END) AS winner",
+          "concat('model_', CASE WHEN m_wins THEN o ELSE m END) AS loser")
+      PreferencePairs.bradleyTerryIntegerRatings(g, "winner", "loser",
+          iterations = 12)
+        .orderBy("model")
+    }),
+
     "q_f3_sft_flatten" -> ((s, dir) =>
       sftFlattenQuery(docs(s, dir)).orderBy("doc_id")),
 
@@ -435,6 +457,74 @@ object ConversationQueries {
          |SELECT doc_id, n_turns, valid, n_assistant_chars, n_user_chars,
          |       flat_md5
          |FROM c ORDER BY doc_id""".stripMargin,
+
+    // replays the planted matchups, the count matrix as nested lists,
+    // and all 12 fixed-point MM iterations through a list-state
+    // recursive CTE (the recursive member references bt once; the
+    // matrix rides a single-row cross join)
+    "q_f10_bradley_terry" ->
+      """WITH RECURSIVE
+        |g AS (
+        |  SELECT doc_id % 8 AS m, (doc_id // 8) % 8 AS o, doc_id // 64 AS k
+        |  FROM documents WHERE doc_id % 8 != (doc_id // 8) % 8),
+        |gg AS (
+        |  SELECT CASE WHEN k % (m + o + 2) < m + 1 THEN m ELSE o END AS w,
+        |         CASE WHEN k % (m + o + 2) < m + 1 THEN o ELSE m END AS l
+        |  FROM g),
+        |cnt AS (SELECT w, l, CAST(count(*) AS BIGINT) AS n FROM gg GROUP BY 1, 2),
+        |rows8 AS (SELECT CAST(i AS BIGINT) AS i FROM range(8) t(i)),
+        |matc AS (
+        |  SELECT a.i, b.i AS j, coalesce(c.n, 0) AS n
+        |  FROM rows8 a CROSS JOIN rows8 b
+        |  LEFT JOIN cnt c ON c.w = a.i AND c.l = b.i),
+        |matr AS (
+        |  SELECT i, list(n ORDER BY j) AS row, CAST(sum(n) AS BIGINT) AS wi
+        |  FROM matc GROUP BY i),
+        |lossr AS (SELECT j AS i, CAST(sum(n) AS BIGINT) AS li FROM matc GROUP BY j),
+        |agg AS (
+        |  SELECT list(m.row ORDER BY m.i) AS nm,
+        |         list(m.wi ORDER BY m.i) AS wv,
+        |         list(m.wi + l.li ORDER BY m.i) AS gv,
+        |         CAST(count(*) FILTER (m.wi + l.li > 0) AS HUGEINT) AS np
+        |  FROM matr m JOIN lossr l ON l.i = m.i),
+        |bt AS (
+        |  SELECT 0 AS it,
+        |         list_transform(generate_series(0, 7), i ->
+        |           CASE WHEN a.gv[i + 1] > 0 THEN CAST(1000000 AS HUGEINT)
+        |                ELSE CAST(0 AS HUGEINT) END) AS r
+        |  FROM agg a
+        |  UNION ALL
+        |  SELECT q.it,
+        |         list_transform(generate_series(0, 7), i ->
+        |           CASE WHEN q.gv[i + 1] = 0 OR q.tot = 0
+        |                THEN CAST(0 AS HUGEINT)
+        |                ELSE q.nx[i + 1] * 1000000 * q.np // q.tot END) AS r
+        |  FROM (
+        |    SELECT p.it, p.gv, p.np, p.nx, list_sum(p.nx) AS tot
+        |    FROM (
+        |      SELECT b.it + 1 AS it, a.gv, a.np,
+        |             list_transform(generate_series(0, 7), i ->
+        |               CASE WHEN a.gv[i + 1] = 0 THEN CAST(0 AS HUGEINT)
+        |                    WHEN list_sum(list_transform(generate_series(0, 7), j ->
+        |                           CASE WHEN j = i THEN CAST(0 AS HUGEINT)
+        |                                ELSE CAST(a.nm[i + 1][j + 1] + a.nm[j + 1][i + 1]
+        |                                          AS HUGEINT) * 1000000000000
+        |                                     // (b.r[i + 1] + b.r[j + 1]) END)) = 0
+        |                    THEN CAST(0 AS HUGEINT)
+        |                    ELSE CAST(a.wv[i + 1] AS HUGEINT) * 1000000000000 //
+        |                         list_sum(list_transform(generate_series(0, 7), j ->
+        |                           CASE WHEN j = i THEN CAST(0 AS HUGEINT)
+        |                                ELSE CAST(a.nm[i + 1][j + 1] + a.nm[j + 1][i + 1]
+        |                                          AS HUGEINT) * 1000000000000
+        |                                     // (b.r[i + 1] + b.r[j + 1]) END))
+        |               END) AS nx
+        |      FROM bt b, agg a WHERE b.it < 12) p) q)
+        |SELECT 'model_' || CAST(t.i AS VARCHAR) AS model,
+        |       CAST(a.wv[t.i + 1] AS BIGINT) AS n_wins,
+        |       CAST(a.gv[t.i + 1] AS BIGINT) AS n_games,
+        |       CAST(f.r[t.i + 1] AS BIGINT) AS rating
+        |FROM (SELECT r FROM bt WHERE it = 12) f, agg a, rows8 t
+        |ORDER BY model""".stripMargin,
 
     // analytic twin: valid conversations' turn sequences from the
     // substrings + variant; the merge table derived from the CORPUS

@@ -155,6 +155,78 @@ object PreferencePairs {
     * any engine bit-for-bit). Degenerate groups where p_e = 1 (both
     * annotators constant) define κ = 0. One exchange on the group key.
     */
+  /** INTEGER-EXACT Bradley–Terry ratings from pairwise outcomes — the
+    * arena/reward-model analysis stage: which model does preference data
+    * actually rank, with what strength. The corpus pays ONE exchange
+    * (the (winner, loser) count groupBy); the count matrix is
+    * models²-bounded (the k-means-centroid collect class) and the
+    * minorize-maximize iterations fold DRIVER-side in fixed-point
+    * integer arithmetic (BigInt intermediates, floor at every division,
+    * opponents summed in ascending-id order), so the result is
+    * bit-deterministic on any engine and any partitioning — an external
+    * SQL engine can replay every iteration exactly (the q_v13
+    * integer-k-means discipline; floating-point MM would hash-diverge).
+    *
+    * Update (Hunter 2004 MM for BT, fixed-point form): with ratings
+    * r_i at SCALE, wins W_i, and pair totals n_ij + n_ji,
+    * {{{
+    *   T_i  = Σ_j floor((n_ij + n_ji) · SCALE² / (r_i + r_j))
+    *   r_i' = floor(W_i · SCALE² / T_i)            (then Σ-normalized)
+    * }}}
+    * A model with zero comparisons keeps rating 0 (reported, never
+    * dividing). Returns (model, n_wins, n_games, rating) with rating at
+    * `scale`. */
+  def bradleyTerryIntegerRatings(df: DataFrame, winnerCol: String,
+                                 loserCol: String, iterations: Int = 20,
+                                 scale: Long = 1000000L): DataFrame = {
+    require(iterations >= 1 && scale >= 1)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df.groupBy(col(winnerCol).as("w"), col(loserCol).as("l"))
+      .agg(count(lit(1)).as("n"))
+      .collect() // models²-bounded: the training-artifact scale
+      .map(r => ((r.get(0).toString, r.get(1).toString), r.getLong(2)))
+    val models = counts.flatMap { case ((w, l), _) => Seq(w, l) }
+      .distinct.sorted
+    val idx = models.zipWithIndex.toMap
+    val m = models.length
+    val n = Array.ofDim[Long](m, m) // n(i)(j) = i beat j
+    counts.foreach { case ((w, l), c) => n(idx(w))(idx(l)) += c }
+    val wins = Array.tabulate(m)(i => n(i).sum)
+    val games = Array.tabulate(m)(i =>
+      wins(i) + (0 until m).map(j => n(j)(i)).sum)
+    val S = BigInt(scale)
+    val S2 = S * S
+    var r = Array.fill(m)(S) // everyone starts equal
+    for (_ <- 1 to iterations) {
+      val next = new Array[BigInt](m)
+      for (i <- 0 until m) {
+        if (games(i) == 0L) next(i) = BigInt(0)
+        else {
+          var t = BigInt(0)
+          var j = 0
+          while (j < m) { // ascending-j: the pinned summation order
+            if (j != i) {
+              val pair = n(i)(j) + n(j)(i)
+              if (pair > 0L) t += BigInt(pair) * S2 / (r(i) + r(j))
+            }
+            j += 1
+          }
+          next(i) = if (t == 0) BigInt(0) else BigInt(wins(i)) * S2 / t
+        }
+      }
+      // Σ-normalize over PLAYING models so ratings stay at SCALE and the
+      // fixed point is unique (BT is scale-invariant)
+      val playing = (0 until m).filter(games(_) > 0L)
+      val total = playing.map(next(_)).sum
+      r = Array.tabulate(m)(i =>
+        if (games(i) == 0L || total == 0) BigInt(0)
+        else next(i) * S * playing.size / total)
+    }
+    (0 until m).map(i => (models(i), wins(i), games(i), r(i).toLong))
+      .toDF("model", "n_wins", "n_games", "rating")
+  }
+
   def annotatorAgreement(df: DataFrame, groupCol: String,
                          labelACol: String, labelBCol: String): DataFrame = {
     val a = col(labelACol).cast("long")

@@ -150,6 +150,38 @@ class PreferencePairsSpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("bradleyTerry: 2-model ratio recovers odds; zero-game models report 0; partition-invariant") {
+    import spark.implicits._
+    // A beats B 30:10 → BT fixed point p_A/p_B = 3 exactly; with the
+    // 2-model Σ-normalization to 2e6 that is (1.5e6, 0.5e6)
+    val ab = (Seq.fill(30)(("A", "B")) ++ Seq.fill(10)(("B", "A")))
+      .toDF("winner", "loser")
+    val r = PreferencePairs.bradleyTerryIntegerRatings(ab, "winner", "loser",
+        iterations = 30)
+      .collect().map(x => x.getString(0) -> x.getLong(3)).toMap
+    assert(math.abs(r("A") - 1500000L) <= 2 && math.abs(r("B") - 500000L) <= 2,
+      s"2-model fixed point off: $r")
+    // a model with zero games reports rating 0, never divides
+    val withGhost = ab.unionByName(Seq(("A", "B")).toDF("winner", "loser").limit(0))
+    assert(!PreferencePairs.bradleyTerryIntegerRatings(withGhost, "winner", "loser")
+      .collect().exists(_.getString(0) == "C"))
+    // bit-identical under adversarial partitioning (the count groupBy is
+    // the only distributed step; iterations are driver-side integers)
+    val skew = ab.repartition(13, col("loser"))
+    val a = PreferencePairs.bradleyTerryIntegerRatings(ab, "winner", "loser")
+      .orderBy("model").collect().toSeq
+    val b = PreferencePairs.bradleyTerryIntegerRatings(skew, "winner", "loser")
+      .orderBy("model").collect().toSeq
+    assert(a == b)
+    // transitive 3-model chain fits monotone ratings
+    val chain = (Seq.fill(20)(("C", "B")) ++ Seq.fill(5)(("B", "C")) ++
+      Seq.fill(20)(("B", "A")) ++ Seq.fill(5)(("A", "B")))
+      .toDF("winner", "loser")
+    val c = PreferencePairs.bradleyTerryIntegerRatings(chain, "winner", "loser")
+      .collect().map(x => x.getString(0) -> x.getLong(3)).toMap
+    assert(c("C") > c("B") && c("B") > c("A"), c.toString)
+  }
+
   test("curate: accounting partitions exactly, prompts never straddle splits, rerun is identical") {
     val records = (0L until 400L).map { i =>
       val p = if (i % 7 == 0) "please summarize" else s"question $i about topic ${i % 13}"
