@@ -149,7 +149,7 @@ object Bench {
       "q_t37_bpe_token_ids", "q_t38_bpe_byte_level",
       "q_t39_bpe_doc_token_ids", "q_t40_pack_token_stream",
       "q_f9_sft_loss_mask", "q_f10_bradley_terry",
-      "q_l5_snapshot_time_travel", "q_u6_idn_blocklist",
+      "q_l5_snapshot_time_travel", "q_u6_idn_blocklist", "q_u7_robots_filter",
       "q_l6_snapshot_agg_maintain", "q_l7_snapshot_stats_skipping",
       "q_l8_snapshot_mor_delete", "q_l9_snapshot_changes",
       // r13 new queries (typed decode/commit pipelines, one-time codegen)

@@ -453,6 +453,97 @@ object UrlOps {
     * shuffle plus a broadcast of the 1-row total — the table a pipeline
     * reads before deciding domain caps and mixing weights.
     */
+  /** Parse robots.txt bodies to (host, agent, kind, prefix) rule rows —
+    * the RFC 9309 grammar, row-locally: comments stripped (`#` to EOL),
+    * `\r` and surrounding whitespace trimmed, directive names
+    * case-insensitive, groups = consecutive `User-agent` lines followed
+    * by their rules (an agent line AFTER rules starts a NEW group, per
+    * the RFC), unknown directives (Crawl-delay, Sitemap, ...) ignored
+    * without ending the group, and an empty `Disallow:` value means
+    * allow-all (no rule emitted). Typed flatMap pass (the
+    * [[Multimodal.parseWav]] container-parsing shape); a 100 TB crawl
+    * has one robots body per HOST — host-count-sized, not corpus-sized. */
+  def parseRobots(df: DataFrame, hostCol: String, bodyCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(hostCol).cast("string"), col(bodyCol).cast("string"))
+      .as[(String, String)]
+      .flatMap { case (host, body) =>
+        val out = Seq.newBuilder[(String, String, String, String)]
+        var agents = List.empty[String]
+        var inRules = false
+        (if (body == null) "" else body).split("\n", -1).foreach { raw =>
+          val hash = raw.indexOf('#')
+          val line = (if (hash >= 0) raw.substring(0, hash) else raw).trim
+          if (line.nonEmpty) {
+            val colon = line.indexOf(':')
+            if (colon > 0) {
+              val key = line.substring(0, colon).trim.toLowerCase
+              val value = line.substring(colon + 1).trim
+              key match {
+                case "user-agent" =>
+                  if (inRules) { agents = Nil; inRules = false }
+                  if (value.nonEmpty) {
+                    agents ::= value.toLowerCase
+                    // GROUP-PRESENCE row: an agent with a group whose
+                    // only content is an empty Disallow (allow-all) emits
+                    // no rules, but must still be seen as HAVING a group
+                    // — otherwise it would wrongly fall back to `*`
+                    out += ((host, value.toLowerCase, "group", ""))
+                  }
+                case "allow" | "disallow" =>
+                  inRules = true
+                  // empty value = no rule (empty Disallow is allow-all)
+                  if (value.nonEmpty)
+                    agents.foreach(a => out += ((host, a, key, value)))
+                case _ => () // unknown directive: ignored, group continues
+              }
+            }
+          }
+        }
+        out.result()
+      }
+      .toDF("host", "agent", "kind", "prefix")
+  }
+
+  /** Per-URL robots verdicts for one crawler `agent` — RFC 9309 matching:
+    * a host's EFFECTIVE group is the agent's own (when any rule names it)
+    * else `*`; within it the LONGEST path-prefix match decides, Allow
+    * winning length ties; no match (or no rules for the host) = allowed.
+    * One broadcast-shaped join (rules are host-count-bounded) + one
+    * per-URL window. Returns `urls` plus (allowed, match_len). */
+  def robotsVerdicts(urls: DataFrame, rules: DataFrame, agent: String,
+                     idCol: String, hostCol: String,
+                     pathCol: String): DataFrame = {
+    val a = agent.toLowerCase
+    // presence = ANY row naming the agent (including the bare `group`
+    // marker), so an allow-all agent group never falls back to `*`
+    val hostsWithAgent = rules.filter(col("agent") === a)
+      .select(col("host").as(hostCol)).distinct()
+      .withColumn("_has_agent", lit(true))
+    val eff = rules.withColumnRenamed("host", hostCol)
+      .filter(col("kind").isin("allow", "disallow"))
+      .join(hostsWithAgent, Seq(hostCol), "left")
+      .filter((coalesce(col("_has_agent"), lit(false)) && col("agent") === a) ||
+        (!coalesce(col("_has_agent"), lit(false)) && col("agent") === "*"))
+      .select(col(hostCol), col("kind"), col("prefix"))
+    val matches = urls.select(col(idCol), col(hostCol), col(pathCol))
+      .join(broadcast(eff), Seq(hostCol))
+      .filter(col(pathCol).startsWith(col("prefix")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(idCol)
+      .orderBy(length(col("prefix")).desc,
+        (col("kind") === "allow").cast("int").desc)
+    val best = matches
+      .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      .select(col(idCol), col("kind").as("_kind"),
+        length(col("prefix")).as("match_len"))
+    urls.join(best, Seq(idCol), "left")
+      .withColumn("allowed",
+        coalesce(col("_kind") =!= "disallow", lit(true)))
+      .withColumn("match_len", coalesce(col("match_len"), lit(0)))
+      .drop("_kind")
+  }
+
   def domainStats(df: DataFrame, urlCol: String, tokensCol: String): DataFrame = {
     val perDomain = withRegisteredDomain(df, urlCol, "domain")
       .groupBy("domain")

@@ -156,6 +156,46 @@ object UrlQueries {
         .orderBy("doc_id")
     }),
 
+    // ROBOTS.TXT governance (round 13): one hostile-formatted robots body
+    // per host — comments, mixed-case directives, \r line ends, unknown
+    // directives, and a second agent group after rules — parsed by the
+    // RFC 9309 grammar, then longest-prefix-match verdicts for agent
+    // GraftBot. The PARSER is load-bearing: the oracle derives rules
+    // from the construction arithmetic, never parsing — a trim/case/
+    // comment/group-reset bug diverges. Planted path classes exercise
+    // Allow-beats-shorter-Disallow, the tie rule, group exclusivity
+    // (graftbot hosts ignore the * /private rule), and the no-match
+    // default-allow.
+    "q_u7_robots_filter" -> ((s, dir) => {
+      val bodyExpr =
+        "concat('# robots for graft\n', 'User-AGENT: *'," +
+          " CASE WHEN k % 3 = 0 THEN '\r\n' ELSE '\n' END," +
+          " CASE WHEN k % 2 = 0 AND k < 4 THEN 'Disallow: /page/1  # hot\n'" +
+          " ELSE '' END," +
+          " 'disallow: /private\n', 'Allow: /private/ok\n'," +
+          " 'Crawl-delay: 5\n'," +
+          " CASE WHEN k >= 4 THEN" +
+          " 'User-agent: GraftBot\nDisallow: /page/2\nAllow: /page/2/\n'" +
+          " ELSE '' END)"
+      val robots = s.range(7).toDF("k")
+        .selectExpr("concat('h.ex', k, '.net') AS host", s"$bodyExpr AS body")
+      val urls = docs(s, dir).selectExpr("doc_id",
+        "concat('h.ex', doc_id % 7, '.net') AS host",
+        """CASE CAST(doc_id % 5 AS INT)
+          |  WHEN 0 THEN '/page/1'
+          |  WHEN 1 THEN '/page/2'
+          |  WHEN 2 THEN '/page/2/sub'
+          |  WHEN 3 THEN concat('/private/doc', doc_id)
+          |  ELSE '/private/ok/x' END AS path""".stripMargin)
+      UrlOps.robotsVerdicts(urls,
+          UrlOps.parseRobots(robots, "host", "body"),
+          agent = "GraftBot", idCol = "doc_id", hostCol = "host",
+          pathCol = "path")
+        .select(col("doc_id"), col("host"), col("path"),
+          col("allowed").cast("int").as("allowed"), col("match_len"))
+        .orderBy("doc_id")
+    }),
+
     // Recrawl keep-latest dedup (the CDX-archive freshness rule): each
     // page's three messy variants carry a planted capture day
     // (doc_id % 97 — consecutive ids give distinct days, so the winner is
@@ -215,6 +255,33 @@ object UrlQueries {
          |SELECT doc_id, domain FROM pages
          |WHERE domain NOT IN ('example.org', 'example.io')
          |ORDER BY doc_id""".stripMargin,
+
+    // pure doc_id arithmetic: k = host index, v = path class; the
+    // expected verdict and matched-prefix length per (k-regime, v) cell
+    // are known by construction — no robots parsing runs oracle-side
+    "q_u7_robots_filter" ->
+      """WITH u AS (
+        |  SELECT doc_id, doc_id % 7 AS k, CAST(doc_id % 5 AS INT) AS v,
+        |         'h.ex' || CAST(doc_id % 7 AS VARCHAR) || '.net' AS host,
+        |         CASE CAST(doc_id % 5 AS INT)
+        |           WHEN 0 THEN '/page/1'
+        |           WHEN 1 THEN '/page/2'
+        |           WHEN 2 THEN '/page/2/sub'
+        |           WHEN 3 THEN '/private/doc' || CAST(doc_id AS VARCHAR)
+        |           ELSE '/private/ok/x' END AS path
+        |  FROM documents)
+        |SELECT doc_id, host, path,
+        |       CAST(CASE WHEN k < 4 THEN
+        |              CASE v WHEN 0 THEN CASE WHEN k % 2 = 0 THEN 0 ELSE 1 END
+        |                     WHEN 3 THEN 0 ELSE 1 END
+        |            ELSE CASE v WHEN 1 THEN 0 ELSE 1 END END AS INTEGER)
+        |         AS allowed,
+        |       CAST(CASE WHEN k < 4 THEN
+        |              CASE v WHEN 0 THEN CASE WHEN k % 2 = 0 THEN 7 ELSE 0 END
+        |                     WHEN 3 THEN 8 WHEN 4 THEN 11 ELSE 0 END
+        |            ELSE CASE v WHEN 1 THEN 7 WHEN 2 THEN 8 ELSE 0 END END
+        |            AS INTEGER) AS match_len
+        |FROM u ORDER BY doc_id""".stripMargin,
 
     // pure doc_id arithmetic: the keep-set and each survivor's registered
     // domain are known by construction — no decoder runs oracle-side

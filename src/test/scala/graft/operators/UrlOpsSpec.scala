@@ -34,6 +34,52 @@ class UrlOpsSpec extends SparkTestBase {
     specResult
   }
 
+  test("parseRobots grammar: shared agent lines, group reset, empty Disallow, unknown directives") {
+    // two agents SHARING one rule block; a new group after rules; an
+    // empty Disallow (allow-all: no rule); Sitemap/Crawl-delay ignored
+    // WITHOUT ending the group; comments and \r\n endings stripped
+    val body =
+      "# header comment\r\n" +
+      "User-agent: alpha\r\n" +
+      "User-Agent: beta\n" +
+      "Crawl-delay: 10\n" +           // unknown: group must survive this
+      "Disallow: /a # trailing\n" +
+      "Allow: /a/ok\n" +
+      "\n" +
+      "User-agent: gamma\n" +
+      "Disallow:\n" +                 // empty: allow-all, NO rule row
+      "Sitemap: https://x/s.xml\n" +
+      "User-agent: delta\n" +         // new group (previous had its rule line)
+      "Disallow: /d\n" +
+      "User-agent: *\n" +
+      "Disallow: /\n"                 // default group blocks EVERYTHING
+    val rules = UrlOps.parseRobots(Seq(("h", body)).toDF("host", "body"),
+        "host", "body")
+      .filter(col("kind") =!= "group")
+      .collect().map(r => (r.getString(1), r.getString(2), r.getString(3))).toSet
+    assert(rules == Set(
+      ("alpha", "disallow", "/a"), ("alpha", "allow", "/a/ok"),
+      ("beta", "disallow", "/a"), ("beta", "allow", "/a/ok"),
+      ("delta", "disallow", "/d"), ("*", "disallow", "/")), rules.toString)
+    // verdicts: agent-specific group is EXCLUSIVE; longest match wins;
+    // allow wins length ties; no-rules host defaults to allowed
+    val urls = Seq(
+      (1L, "h", "/a/x"), (2L, "h", "/a/ok/x"), (3L, "h", "/d/z"),
+      (4L, "nowhere", "/a/x")).toDF("id", "host", "path")
+    def verdicts(agent: String) =
+      UrlOps.robotsVerdicts(urls, UrlOps.parseRobots(
+          Seq(("h", body)).toDF("host", "body"), "host", "body"),
+          agent, "id", "host", "path")
+        .collect().map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("allowed")).toMap
+    assert(verdicts("ALPHA") == Map(1L -> false, 2L -> true, 3L -> true, 4L -> true))
+    assert(verdicts("delta") == Map(1L -> true, 2L -> true, 3L -> false, 4L -> true))
+    // gamma's group is allow-all (empty Disallow): it must NOT fall back
+    // to the '*' group, which blocks everything on this host
+    assert(verdicts("gamma") == Map(1L -> true, 2L -> true, 3L -> true, 4L -> true))
+    // an agent with NO group anywhere takes '*': all h paths blocked
+    assert(verdicts("stranger") == Map(1L -> false, 2L -> false, 3L -> false, 4L -> true))
+  }
+
   test("scheme/host case, www, default port, fragment, userinfo all fold") {
     assert(canon(
       "HTTPS://WWW.Example.COM:443/Path/a?b=2&a=1#frag",
