@@ -180,7 +180,10 @@ object Bench {
     val timed = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       if (jitWarm(name)) {
         val t0 = System.nanoTime()
-        try Force.rows(fn(spark, sfDir)) catch { case _: Throwable => () }
+        // NonFatal only: an OOM/linkage error must kill the bench, not
+        // leave the timed reps running on a broken JVM
+        try Force.rows(fn(spark, sfDir))
+        catch { case scala.util.control.NonFatal(_) => () }
         warmups(name) = (System.nanoTime() - t0) / 1e9
       }
       val nReps = if (headline(name)) 3 else 1

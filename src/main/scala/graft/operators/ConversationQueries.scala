@@ -498,7 +498,9 @@ object ConversationQueries {
         |         list_transform(generate_series(0, 7), i ->
         |           CASE WHEN q.gv[i + 1] = 0 OR q.tot = 0
         |                THEN CAST(0 AS HUGEINT)
-        |                ELSE q.nx[i + 1] * 1000000 * q.np // q.tot END) AS r
+        |                ELSE greatest(CAST(1 AS HUGEINT),
+        |                              q.nx[i + 1] * 1000000 * q.np // q.tot)
+        |           END) AS r
         |  FROM (
         |    SELECT p.it, p.gv, p.np, p.nx, list_sum(p.nx) AS tot
         |    FROM (
@@ -506,14 +508,16 @@ object ConversationQueries {
         |             list_transform(generate_series(0, 7), i ->
         |               CASE WHEN a.gv[i + 1] = 0 THEN CAST(0 AS HUGEINT)
         |                    WHEN list_sum(list_transform(generate_series(0, 7), j ->
-        |                           CASE WHEN j = i THEN CAST(0 AS HUGEINT)
+        |                           CASE WHEN j = i OR b.r[i + 1] + b.r[j + 1] = 0
+        |                                THEN CAST(0 AS HUGEINT)
         |                                ELSE CAST(a.nm[i + 1][j + 1] + a.nm[j + 1][i + 1]
         |                                          AS HUGEINT) * 1000000000000
         |                                     // (b.r[i + 1] + b.r[j + 1]) END)) = 0
         |                    THEN CAST(0 AS HUGEINT)
         |                    ELSE CAST(a.wv[i + 1] AS HUGEINT) * 1000000000000 //
         |                         list_sum(list_transform(generate_series(0, 7), j ->
-        |                           CASE WHEN j = i THEN CAST(0 AS HUGEINT)
+        |                           CASE WHEN j = i OR b.r[i + 1] + b.r[j + 1] = 0
+        |                                THEN CAST(0 AS HUGEINT)
         |                                ELSE CAST(a.nm[i + 1][j + 1] + a.nm[j + 1][i + 1]
         |                                          AS HUGEINT) * 1000000000000
         |                                     // (b.r[i + 1] + b.r[j + 1]) END))

@@ -62,9 +62,10 @@ object ImageCodec {
     * grid + aHash/dHash. `gridW * gridH ≤ 64` so aHash fits one LONG. */
   def decodeImages(df: DataFrame, idCol: String, payloadCol: String,
                    gridW: Int = 8, gridH: Int = 8): Dataset[DecodedImage] = {
+    // (gridW * gridH <= 64 with gridH >= 1 also bounds gridW <= 64, which
+    // keeps dHash's gridW-1 bits inside one LONG)
     require(gridW >= 1 && gridH >= 1 && gridW * gridH <= 64,
       s"grid must have 1..64 cells for a LONG aHash, got ${gridW}x$gridH")
-    require(gridW <= 65, "dHash needs gridW-1 ≤ 64 bits")
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(payloadCol))
@@ -76,13 +77,53 @@ object ImageCodec {
       }
   }
 
+  /** ImageIO decode with the totality guard: null on ANY failure (empty,
+    * truncated, or hostile payloads must become `decoded = false` rows,
+    * never task failures). The ONE decode entry point — every operator
+    * in this file goes through it. */
+  private def decode(payload: Array[Byte]): java.awt.image.BufferedImage =
+    try {
+      if (payload == null || payload.isEmpty) null
+      else ImageIO.read(new ByteArrayInputStream(payload))
+    } catch { case scala.util.control.NonFatal(_) => null }
+
+  /** The stub-contract gray feature vector of a decoded image: BT.601
+    * integer luma per pixel, position-mod-dim bucket means, /255 at the
+    * edge — the ONE copy of the math `grayFeatures` and
+    * `imageCaptionPairs` share (the q_m10 oracle leans on the two paths
+    * staying bit-identical). */
+  private def grayVector(img: java.awt.image.BufferedImage, dim: Int): Array[Float] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val out = new Array[Float](dim)
+    val counts = new Array[Int](dim)
+    val row = new Array[Int](w)
+    var y = 0
+    while (y < h) {
+      img.getRGB(0, y, w, 1, row, 0, w)
+      var x = 0
+      while (x < w) {
+        val p = row(x)
+        val gray = (299 * ((p >> 16) & 0xff) + 587 * ((p >> 8) & 0xff) +
+          114 * (p & 0xff)) / 1000
+        val b = (y * w + x) % dim
+        out(b) += gray
+        counts(b) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var j = 0
+    while (j < dim) {
+      if (counts(j) > 0) out(j) = out(j) / counts(j) / 255.0f
+      j += 1
+    }
+    out
+  }
+
   private[operators] def decodeOne(id: Long, payload: Array[Byte],
                                    gridW: Int, gridH: Int): DecodedImage = {
-    val img =
-      try {
-        if (payload == null || payload.isEmpty) null
-        else ImageIO.read(new ByteArrayInputStream(payload))
-      } catch { case scala.util.control.NonFatal(_) => null }
+    val img = decode(payload)
     if (img == null)
       return DecodedImage(id, decoded = false, 0, 0,
         Array.empty[Long], Array.empty[Int], 0L, 0L)
@@ -168,40 +209,9 @@ object ImageCodec {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, payload) =>
-          val img =
-            try {
-              if (payload == null || payload.isEmpty) null
-              else ImageIO.read(new ByteArrayInputStream(payload))
-            } catch { case scala.util.control.NonFatal(_) => null }
+          val img = decode(payload)
           if (img == null) (id, false, new Array[Float](dim))
-          else {
-            val w = img.getWidth
-            val h = img.getHeight
-            val out = new Array[Float](dim)
-            val counts = new Array[Int](dim)
-            val row = new Array[Int](w)
-            var y = 0
-            while (y < h) {
-              img.getRGB(0, y, w, 1, row, 0, w)
-              var x = 0
-              while (x < w) {
-                val p = row(x)
-                val gray = (299 * ((p >> 16) & 0xff) + 587 * ((p >> 8) & 0xff) +
-                  114 * (p & 0xff)) / 1000
-                val b = (y * w + x) % dim
-                out(b) += gray
-                counts(b) += 1
-                x += 1
-              }
-              y += 1
-            }
-            var j = 0
-            while (j < dim) {
-              if (counts(j) > 0) out(j) = out(j) / counts(j) / 255.0f
-              j += 1
-            }
-            (id, true, out)
-          }
+          else (id, true, grayVector(img, dim))
         }
       }
       .toDF("media_id", "decoded", "media_feats")
@@ -225,41 +235,10 @@ object ImageCodec {
       .as[(Long, Array[Byte], String)]
       .mapPartitions { it =>
         it.map { case (id, payload, caption) =>
-          val img =
-            try {
-              if (payload == null || payload.isEmpty) null
-              else ImageIO.read(new ByteArrayInputStream(payload))
-            } catch { case scala.util.control.NonFatal(_) => null }
+          val img = decode(payload)
           val mf =
             if (img == null) new Array[Float](dim)
-            else {
-              val w = img.getWidth
-              val h = img.getHeight
-              val out = new Array[Float](dim)
-              val counts = new Array[Int](dim)
-              val row = new Array[Int](w)
-              var y = 0
-              while (y < h) {
-                img.getRGB(0, y, w, 1, row, 0, w)
-                var x = 0
-                while (x < w) {
-                  val p = row(x)
-                  val gray = (299 * ((p >> 16) & 0xff) +
-                    587 * ((p >> 8) & 0xff) + 114 * (p & 0xff)) / 1000
-                  val b = (y * w + x) % dim
-                  out(b) += gray
-                  counts(b) += 1
-                  x += 1
-                }
-                y += 1
-              }
-              var j = 0
-              while (j < dim) {
-                if (counts(j) > 0) out(j) = out(j) / counts(j) / 255.0f
-                j += 1
-              }
-              out
-            }
+            else grayVector(img, dim)
           val cap = if (caption == null) "" else caption
           (id, cap.length, mf,
             Multimodal.StubCodec.features(

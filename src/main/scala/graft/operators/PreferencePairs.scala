@@ -182,7 +182,11 @@ object PreferencePairs {
     require(iterations >= 1 && scale >= 1)
     val spark = df.sparkSession
     import spark.implicits._
-    val counts = df.groupBy(col(winnerCol).as("w"), col(loserCol).as("l"))
+    // null outcomes (unjudged/tied rows in arena exports) carry no BT
+    // information: dropped here, documented — they never NPE the driver
+    val counts = df
+      .filter(col(winnerCol).isNotNull && col(loserCol).isNotNull)
+      .groupBy(col(winnerCol).as("w"), col(loserCol).as("l"))
       .agg(count(lit(1)).as("n"))
       .collect() // models²-bounded: the training-artifact scale
       .map(r => ((r.get(0).toString, r.get(1).toString), r.getLong(2)))
@@ -208,7 +212,10 @@ object PreferencePairs {
           while (j < m) { // ascending-j: the pinned summation order
             if (j != i) {
               val pair = n(i)(j) + n(j)(i)
-              if (pair > 0L) t += BigInt(pair) * S2 / (r(i) + r(j))
+              // r sums can floor to 0 at tiny scales / extreme skews:
+              // a zero-rated pair carries no term this iteration (the
+              // floor guard below keeps playing models >= 1 afterwards)
+              if (pair > 0L && (r(i) + r(j)) > 0) t += BigInt(pair) * S2 / (r(i) + r(j))
             }
             j += 1
           }
@@ -221,7 +228,9 @@ object PreferencePairs {
       val total = playing.map(next(_)).sum
       r = Array.tabulate(m)(i =>
         if (games(i) == 0L || total == 0) BigInt(0)
-        else next(i) * S * playing.size / total)
+        // floor at 1: a playing model whose normalized share floors to 0
+        // must stay divisible next iteration (the MM term guards above)
+        else (next(i) * S * playing.size / total).max(BigInt(1)))
     }
     (0 until m).map(i => (models(i), wins(i), games(i), r(i).toLong))
       .toDF("model", "n_wins", "n_games", "rating")

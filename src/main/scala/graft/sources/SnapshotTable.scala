@@ -32,11 +32,16 @@ object ColStats {
 
   /** May a file with these stats contain a value of `colName` in
     * `[lo, hi]`? Files lacking stats for the column always MAY — skipping
-    * is only ever proven safe, never guessed. */
+    * is only ever proven safe, never guessed. Non-finite numeric bounds
+    * (a file whose max is NaN/Infinity — Spark's max() ranks NaN
+    * greatest) are unorderable: the file is KEPT, never skipped on a
+    * comparison that would throw. */
   def overlaps(stats: Map[String, ColStats], colName: String,
                lo: String, hi: String): Boolean =
-    stats.get(colName).forall(s =>
-      cmp(s.dataType, s.max, lo) >= 0 && cmp(s.dataType, s.min, hi) <= 0)
+    stats.get(colName).forall { s =>
+      try cmp(s.dataType, s.max, lo) >= 0 && cmp(s.dataType, s.min, hi) <= 0
+      catch { case _: NumberFormatException => true }
+    }
 }
 
 /** Manifest-based VERSIONED table: atomic snapshot commits, read-at-
@@ -292,12 +297,19 @@ object SnapshotTable {
                    statsPruning: Map[String, ColStats] => Boolean = _ => true): DataFrame = {
     val all = manifest(tablePath, version)
     val (delEntries, dataEntries) = all.partition(_.isDelete)
+    require(dataEntries.nonEmpty, s"snapshot has no data files at $tablePath")
     val kept = dataEntries
       .filter(e => partitionPruning(e.partSpec))
       .filter(e => statsPruning(e.stats))
-    require(kept.nonEmpty, s"snapshot has no files after pruning at $tablePath")
-    readEntries(spark, tablePath, kept, deleteGroups(spark, tablePath, delEntries),
-      allowSchemaEvolution)
+    // a predicate that legitimately excludes EVERY file ("query misses
+    // the table") returns the empty frame, not an error — schema from
+    // one un-pruned file, zero rows planned
+    if (kept.isEmpty)
+      readEntries(spark, tablePath, Seq(dataEntries.head), Nil,
+        allowSchemaEvolution).limit(0)
+    else
+      readEntries(spark, tablePath, kept, deleteGroups(spark, tablePath, delEntries),
+        allowSchemaEvolution)
   }
 
   /** One delete COMMIT = one group: (commit version, key columns, keys
@@ -785,7 +797,12 @@ object SnapshotTable {
     *
     * Returns the `vTo` schema plus `_change_type` (`insert` | `delete`);
     * an update appears as its delete+insert pair. File rewrites that
-    * preserve rows (compaction) cancel out via multiset difference. */
+    * preserve rows (compaction) cancel out via multiset difference.
+    *
+    * CONTRACT: the table schema must be stable across `[vFrom, vTo]` —
+    * the row diffs union by name strictly, so a range spanning a
+    * schema-evolution commit fails loudly (diff the sub-ranges on
+    * either side of the evolution instead). */
   def changes(spark: SparkSession, tablePath: String,
               vFrom: Long, vTo: Long): DataFrame = {
     require(vFrom <= vTo, s"vFrom=$vFrom must be <= vTo=$vTo")
@@ -800,7 +817,10 @@ object SnapshotTable {
     val delFrom = deleteGroups(spark, tablePath, from.filter(_.isDelete))
     val delTo = deleteGroups(spark, tablePath, to.filter(_.isDelete))
     val newDeletes = delTo.filterNot(g => delFrom.exists(_._1 == g._1))
-    val schema = readSnapshot(spark, tablePath, Some(vTo)).limit(0)
+    // schema probe from whichever endpoint still HAS data files (vTo can
+    // be all-deletes when a delete commit follows a full replace-away)
+    val schemaV = if (to.exists(!_.isDelete)) vTo else vFrom
+    val schema = readSnapshot(spark, tablePath, Some(schemaV)).limit(0)
     def readOr(entries: Seq[ManifestEntry],
                dels: Seq[(Long, Seq[String], DataFrame)]): DataFrame =
       if (entries.isEmpty) schema

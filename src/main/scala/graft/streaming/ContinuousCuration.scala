@@ -83,10 +83,18 @@ object ContinuousCuration {
     // Try(...isEmpty) ran schema inference PLUS a first-partition scan,
     // three times per wave): spark.read.parquet resolves its schema from
     // footers driver-side; a missing or empty directory throws
-    // AnalysisException at read() time with zero tasks launched
-    try spark.read.parquet(dir).filter(col("batch_id") < batchId).drop("batch_id")
-    catch {
-      case _: org.apache.spark.sql.AnalysisException => schemaOf.limit(0)
+    // AnalysisException at read() time with zero tasks launched. The
+    // catch covers ONLY the read — a directory that EXISTS but lacks the
+    // batch_id column (corrupted/foreign parquet in the work dir) must
+    // fail loudly at the filter below, never read as empty history
+    {
+      val loaded =
+        try Some(spark.read.parquet(dir))
+        catch { case _: org.apache.spark.sql.AnalysisException => None }
+      loaded match {
+        case Some(df) => df.filter(col("batch_id") < batchId).drop("batch_id")
+        case None => schemaOf.limit(0)
+      }
     }
 
   private def writePartitioned(df: DataFrame, dir: String, batchId: Long): Unit =

@@ -173,6 +173,18 @@ class PreferencePairsSpec extends SparkTestBase {
     val b = PreferencePairs.bradleyTerryIntegerRatings(skew, "winner", "loser")
       .orderBy("model").collect().toSeq
     assert(a == b)
+    // null outcomes (unjudged rows) are dropped, never NPE the driver;
+    // and the degenerate scale=1 fixed point terminates (floor guards)
+    val withNulls = ab.unionByName(
+      Seq((null.asInstanceOf[String], "B"), ("A", null.asInstanceOf[String]))
+        .toDF("winner", "loser"))
+    val rn = PreferencePairs.bradleyTerryIntegerRatings(withNulls,
+      "winner", "loser").collect().map(x => x.getString(0) -> x.getLong(3)).toMap
+    assert(math.abs(rn("A") - 1500000L) <= 2 && rn.size == 2)
+    val tiny = PreferencePairs.bradleyTerryIntegerRatings(
+      Seq(("A", "B")).toDF("winner", "loser"), "winner", "loser",
+      iterations = 5, scale = 1L)
+    assert(tiny.count() == 2) // must not divide by zero
     // transitive 3-model chain fits monotone ratings
     val chain = (Seq.fill(20)(("C", "B")) ++ Seq.fill(5)(("B", "C")) ++
       Seq.fill(20)(("B", "A")) ++ Seq.fill(5)(("A", "B")))

@@ -408,6 +408,20 @@ class SnapshotTableSpec extends SparkTestBase {
       .filter(col("k").between("k0100", "k0150"))
     assert(ks.count() == 51)
     assert(ks.inputFiles.length < entries.size)
+    // a predicate outside EVERY file's bounds returns the empty frame
+    // (the "query misses the table" case), schema intact, zero files
+    val miss = SnapshotTable.readSnapshot(spark, t,
+      statsPruning = st => ColStats.overlaps(st, "d", "2031-01-01", "2031-12-31"))
+    assert(miss.count() == 0 && miss.columns.toSet == Set("id", "d", "k"))
+    // non-finite numeric bounds are unorderable: the file is KEPT
+    assert(ColStats.overlaps(
+      Map("x" -> ColStats("double", "1.0", "NaN")), "x", "5.0", "6.0"))
+    assert(ColStats.overlaps(
+      Map("x" -> ColStats("double", "1.0", "Infinity")), "x", "5.0", "6.0"))
+    // ...but an ORDERABLE bound still prunes even next to a non-finite
+    // one: max = 2.0 proves the file cannot contain [5, 6]
+    assert(!ColStats.overlaps(
+      Map("x" -> ColStats("double", "-Infinity", "2.0")), "x", "5.0", "6.0"))
   }
 
   test("z-order clusterBy composes with stats: a 2-D range predicate skips files on BOTH columns") {
