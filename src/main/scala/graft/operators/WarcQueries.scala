@@ -115,6 +115,43 @@ object WarcQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TFRecord ROUND-TRIP (round 13): payloads written through the real
+    // framing (uint64-LE length + masked CRC32C twice), read back
+    // CRC-verified — then ONE payload byte of file 3's first record is
+    // flipped, so that file's quarantine row (and the ABSENCE of its
+    // records) is part of the hash. The oracle never touches the
+    // container: it hashes the payload strings directly and plants the
+    // quarantine row analytically, so a framing/CRC/order bug anywhere
+    // in write OR read diverges.
+    "q_tf1_tfrecord_roundtrip" -> ((s, dir) => {
+      val out = s"${System.getProperty("java.io.tmpdir", "/tmp")}" +
+        s"/graft_tfrec/run-${System.nanoTime()}"
+      val payloads = s.read.parquet(s"$dir/documents.parquet")
+        .selectExpr("doc_id % 8 AS fkey", "doc_id",
+          "encode(concat(CAST(doc_id AS STRING), '|', " +
+            "substring(coalesce(text, ''), 1, 40)), 'UTF-8') AS payload")
+      graft.sources.TfRecordIO.write(payloads, "fkey", "doc_id", "payload",
+        out, numFiles = 8)
+      // flip one payload byte: record 0 of file 3 (offset 12 = first
+      // payload byte) — its CRC must now mismatch and the file quarantine
+      val p = java.nio.file.Paths.get(s"$out/part-00003.tfrecord")
+      val bytes = java.nio.file.Files.readAllBytes(p)
+      bytes(12) = (bytes(12) ^ 1).toByte
+      java.nio.file.Files.write(p, bytes)
+      // drop Hadoop's local-FS checksum sidecar for the file we just
+      // corrupted — OUR CRC must be the one that catches the flip
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(s"$out/.part-00003.tfrecord.crc"))
+      graft.sources.TfRecordIO.read(s, out).toDF()
+        .selectExpr(
+          """CASE WHEN valid
+            |     THEN CAST(split(decode(payload, 'UTF-8'), '\\|')[0] AS BIGINT)
+            |     ELSE -CAST(regexp_extract(file, 'part-0*([0-9]+)', 1) AS BIGINT) - 1
+            |END AS key""".stripMargin,
+          "CASE WHEN valid THEN md5(payload) ELSE reason END AS val")
+        .orderBy("key")
+    }),
+
     // WARC record split: constructed gzip segments -> records with exact
     // decompressed-stream offsets; the planted truncations quarantine
     // with declared/got accounting (malformed=1, no payload digest) and
@@ -145,6 +182,19 @@ object WarcQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the oracle hashes payload CONTENT directly — the container round
+    // trip must be byte-lossless for the md5s to land, and the planted
+    // corruption must surface as exactly one quarantine row while its
+    // file's records vanish
+    "q_tf1_tfrecord_roundtrip" ->
+      """SELECT CAST(doc_id AS BIGINT) AS key,
+        |       md5(CAST(doc_id AS VARCHAR) || '|' ||
+        |           substr(coalesce(text, ''), 1, 40)) AS val
+        |FROM documents WHERE doc_id % 8 != 3
+        |UNION ALL
+        |SELECT CAST(-4 AS BIGINT), 'payload-crc-mismatch'
+        |ORDER BY key""".stripMargin,
+
     // every field derived analytically from the construction: record
     // lengths are 107 constant bytes + url + Content-Length digits +
     // payload octets; offsets are per-segment running sums; the last

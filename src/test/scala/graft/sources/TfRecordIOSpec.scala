@@ -1,0 +1,87 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** TFRecord framing invariants: byte-lossless round trip in deterministic
+  * (key, sort) order, CRC32C masking per the public spec, and every
+  * defect class surfacing as ONE quarantine row for the file tail (the
+  * format has no sync marker to resync on). */
+class TfRecordIOSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def freshDir(): String =
+    Files.createTempDirectory("graft-tfrec").toString
+
+  test("round trip is byte-lossless and (file, sort)-deterministic; empty payloads survive") {
+    val dir = freshDir()
+    val rows = (0 until 40).map { i =>
+      (i.toLong % 4, i.toLong,
+        if (i == 7) Array.emptyByteArray
+        else s"payload-$i".getBytes("UTF-8"))
+    }.toDF("fkey", "ord", "payload")
+    assert(TfRecordIO.write(rows, "fkey", "ord", "payload", dir, 4) == 40L)
+    val back = TfRecordIO.read(spark, dir).collect()
+    assert(back.forall(_.valid) && back.length == 40)
+    // per-file record order == ord order; payloads byte-identical
+    val byFile = back.groupBy(_.file).values
+    byFile.foreach { recs =>
+      val sorted = recs.sortBy(_.rec_idx)
+      assert(sorted.map(_.rec_idx).toSeq == sorted.indices.toSeq)
+    }
+    val got = back.map(r => new String(r.payload, "UTF-8")).toSet
+    assert(got == (0 until 40).map(i => if (i == 7) "" else s"payload-$i").toSet)
+    // masked CRC reference value: the mask formula itself (public spec)
+    val crc = TfRecordIO.maskedCrc32c("hello".getBytes("UTF-8"), 0, 5)
+    assert(crc >= 0L && crc <= 0xffffffffL)
+  }
+
+  test("every defect class quarantines the file TAIL as one loud row") {
+    def oneFile(mutate: Array[Byte] => Array[Byte]): Seq[TfRecordIO.TfRecord] = {
+      val dir = freshDir()
+      val good = TfRecordIO.frame("abc".getBytes("UTF-8")) ++
+        TfRecordIO.frame("defgh".getBytes("UTF-8"))
+      Files.write(Paths.get(dir, "part-00000.tfrecord"), mutate(good))
+      TfRecordIO.read(spark, dir).collect().toSeq
+    }
+    // payload CRC flip in record 0: zero valid rows, one quarantine
+    val r1 = oneFile { b => b(12) = (b(12) ^ 1).toByte; b }
+    assert(r1.count(_.valid) == 0 &&
+      r1.exists(r => !r.valid && r.reason == "payload-crc-mismatch"))
+    // length CRC flip: caught before any allocation
+    val r2 = oneFile { b => b(8) = (b(8) ^ 1).toByte; b }
+    assert(r2.head.reason == "length-crc-mismatch")
+    // corrupt SECOND record only: record 0 survives, tail quarantined
+    val r3 = oneFile { b => b(b.length - 1) = (b(b.length - 1) ^ 1).toByte; b }
+    assert(r3.count(_.valid) == 1 && r3.exists(_.reason == "payload-crc-mismatch"))
+    // truncated mid-payload
+    val r4 = oneFile(b => b.take(b.length - 2))
+    assert(r4.count(_.valid) == 1 && r4.exists(_.reason == "truncated-payload"))
+    // trailing garbage shorter than a header
+    val r5 = oneFile(b => b ++ Array[Byte](1, 2, 3))
+    assert(r5.count(_.valid) == 2 && r5.exists(_.reason == "truncated-header"))
+    // an absurd length with a VALID length-crc (hand-framed): oversized
+    val dir = freshDir()
+    val evil = new Array[Byte](12)
+    var v = Long.MaxValue / 2
+    var i = 0
+    while (i < 8) { evil(i) = v.toByte; v >>>= 8; i += 1 }
+    val crc = TfRecordIO.maskedCrc32c(evil, 0, 8)
+    evil(8) = crc.toByte; evil(9) = (crc >>> 8).toByte
+    evil(10) = (crc >>> 16).toByte; evil(11) = (crc >>> 24).toByte
+    Files.write(Paths.get(dir, "part-00000.tfrecord"),
+      evil ++ Array[Byte](0, 0, 0, 0))
+    val r6 = TfRecordIO.read(spark, dir).collect()
+    assert(r6.length == 1 && r6.head.reason == "oversized-length")
+  }
+
+  test("write rejects file keys outside [0, numFiles)") {
+    val dir = freshDir()
+    val bad = Seq((9L, 1L, "x".getBytes("UTF-8"))).toDF("fkey", "ord", "payload")
+    intercept[org.apache.spark.SparkException] {
+      TfRecordIO.write(bad, "fkey", "ord", "payload", dir, 4)
+    }
+  }
+}
