@@ -385,6 +385,131 @@ object Multimodal {
     out.array()
   }
 
+  /** Parsed MP4 (ISO-BMFF) container metadata, or a `valid = false` row
+    * naming the defect — the [[parseWav]] totality contract for the
+    * VIDEO branch. Decode stays honestly out of scope (no codec ships
+    * offline); the container walk is what a 100 TB video lake needs for
+    * inventory/dedup/sampling decisions (brand, timescale, duration,
+    * box census) and it is pure byte arithmetic. */
+  case class Mp4Meta(id: Long, valid: Boolean, reason: String,
+                     major_brand: String, timescale: Long, duration: Long,
+                     n_top_boxes: Int)
+
+  /** Walk an MP4's top-level box list (ISO 14496-12: `size(4 BE)
+    * type(4)`, size 1 → 64-bit largesize, size 0 → to-EOF) and `moov`'s
+    * children for `mvhd` (v0 and v1 layouts); overruns, truncations and
+    * malformed mvhd surface as rows, never task failures. One typed
+    * partition-preserving pass. */
+  def parseMp4Meta(df: DataFrame, idCol: String,
+                   payloadCol: String): Dataset[Mp4Meta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .map { case (id, payload) =>
+        def invalid(reason: String) = Mp4Meta(id, valid = false, reason, "", 0L, 0L, 0)
+        val b = if (payload == null) Array.emptyByteArray else payload
+        def u32(o: Long): Long = ((b(o.toInt) & 0xffL) << 24) |
+          ((b(o.toInt + 1) & 0xffL) << 16) | ((b(o.toInt + 2) & 0xffL) << 8) |
+          (b(o.toInt + 3) & 0xffL)
+        def u64(o: Long): Long = (u32(o) << 32) | u32(o + 4)
+        def tag(o: Long): String =
+          new String(b, o.toInt, 4, StandardCharsets.US_ASCII)
+        var off = 0L
+        var nTop = 0
+        var brand = ""
+        var ts = 0L
+        var dur = -1L
+        var defect: String = null
+        while (defect == null && off < b.length) {
+          if (b.length - off < 8) defect = "truncated-box-header"
+          else {
+            val size0 = u32(off)
+            var hdr = 8L
+            var size = size0
+            if (size0 == 1L) {
+              if (b.length - off < 16) { defect = "truncated-box-header" }
+              else { size = u64(off + 8); hdr = 16L }
+            } else if (size0 == 0L) size = b.length - off
+            if (defect == null) {
+              if (size < hdr || off + size > b.length) defect = "box-overruns-file"
+              else {
+                nTop += 1
+                tag(off + 4) match {
+                  case "ftyp" =>
+                    if (size >= hdr + 4) brand = tag(off + hdr)
+                    else defect = "ftyp-too-short"
+                  case "moov" =>
+                    var c = off + hdr
+                    val end = off + size
+                    while (defect == null && dur < 0 && c < end) {
+                      if (end - c < 8) defect = "truncated-box-header"
+                      else {
+                        val cs0 = u32(c)
+                        var chdr = 8L
+                        var cs = cs0
+                        if (cs0 == 1L) {
+                          if (end - c < 16) defect = "truncated-box-header"
+                          else { cs = u64(c + 8); chdr = 16L }
+                        } else if (cs0 == 0L) cs = end - c
+                        if (defect == null) {
+                          if (cs < chdr || c + cs > end) defect = "box-overruns-file"
+                          else {
+                            if (tag(c + 4) == "mvhd") {
+                              val v = b((c + chdr).toInt) & 0xff
+                              if (v == 0 && cs >= chdr + 4 + 16) {
+                                ts = u32(c + chdr + 4 + 8)
+                                dur = u32(c + chdr + 4 + 12)
+                              } else if (v == 1 && cs >= chdr + 4 + 28) {
+                                ts = u32(c + chdr + 4 + 16)
+                                dur = u64(c + chdr + 4 + 20)
+                              } else defect = "mvhd-malformed"
+                            }
+                            c += cs
+                          }
+                        }
+                      }
+                    }
+                  case _ => () // free/mdat/skip: censused, not descended
+                }
+                off += size
+              }
+            }
+          }
+        }
+        if (defect != null) invalid(defect)
+        else if (brand.isEmpty) invalid("no-ftyp")
+        else if (dur < 0) invalid("no-mvhd")
+        else Mp4Meta(id, valid = true, "", brand, ts, dur, nTop)
+      }
+  }
+
+  /** Build canonical MP4 metadata bytes (ftyp + free + moov(free, mvhd) +
+    * mdat) — the fixture/oracle writer completing the [[pcmWav]] /
+    * [[ImageCodec.grayBmp]] container-builder trio. `mvhdV1` writes the
+    * 64-bit-duration layout. */
+  def mp4Meta(brand: String, timescale: Long, duration: Long,
+              mvhdV1: Boolean = false, mdatBytes: Int = 16): Array[Byte] = {
+    require(brand.length == 4, s"brand must be 4 chars: $brand")
+    def be32(v: Long) = Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte,
+      (v >>> 8).toByte, v.toByte)
+    def be64(v: Long) = be32(v >>> 32) ++ be32(v & 0xffffffffL)
+    def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      be32(8L + payload.length) ++
+        typ.getBytes(StandardCharsets.US_ASCII) ++ payload
+    val ftyp = box("ftyp",
+      brand.getBytes(StandardCharsets.US_ASCII) ++ be32(0L) ++
+        "iso2".getBytes(StandardCharsets.US_ASCII))
+    val mvhd =
+      if (mvhdV1) box("mvhd", Array[Byte](1, 0, 0, 0) ++ be64(0L) ++
+        be64(0L) ++ be32(timescale) ++ be64(duration) ++ new Array[Byte](80))
+      else box("mvhd", Array[Byte](0, 0, 0, 0) ++ be32(0L) ++ be32(0L) ++
+        be32(timescale) ++ be32(duration) ++ new Array[Byte](80))
+    val moov = box("moov", box("free", new Array[Byte](2)) ++ mvhd)
+    ftyp ++ box("free", new Array[Byte](3)) ++ moov ++
+      box("mdat", new Array[Byte](mdatBytes))
+  }
+
   def pcmVad(df: DataFrame, idCol: String, pcmCol: String,
              samplesPerFrame: Int, energyFloor: Long): Dataset[VadSegment] = {
     require(samplesPerFrame >= 1, s"samplesPerFrame >= 1, got $samplesPerFrame")

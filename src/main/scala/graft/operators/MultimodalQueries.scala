@@ -169,6 +169,31 @@ object MultimodalQueries {
         .orderBy("doc_id")
     }),
 
+    // MP4 CONTAINER METADATA (round 13): the video branch's real
+    // container walk — genuine ISO-BMFF boxes built by byte arithmetic
+    // (ftyp + free + moov(free, mvhd) + mdat; v0 AND v1 mvhd layouts;
+    // odd-size free boxes so box advancing is load-bearing), with a %19
+    // truncation class that must surface as a valid=0 ROW whose moov
+    // declared size overruns the cut. Codec decode is honestly out of
+    // scope; brand/timescale/duration/box-census is what video-lake
+    // inventory needs. Oracle: pure doc_id arithmetic.
+    "q_m12_mp4_meta" -> ((s, dir) => {
+      import s.implicits._
+      val media = s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id").as[Long].map { id =>
+          val brand = if (id % 2 == 0) "isom" else "mp42"
+          val ts = 600L * (1L + id % 4)
+          val dur = id % 100000L + 1L
+          val bytes = Multimodal.mp4Meta(brand, ts, dur, mvhdV1 = id % 3 == 0)
+          (id, if (id % 19 == 0) bytes.take(40) else bytes)
+        }.toDF("doc_id", "payload")
+      Multimodal.parseMp4Meta(media, "doc_id", "payload").toDF()
+        .select(col("id").as("doc_id"), col("valid").cast("int").as("valid"),
+          col("reason"), col("major_brand"), col("timescale"),
+          col("duration"), col("n_top_boxes"))
+        .orderBy("doc_id")
+    }),
+
     // Voice-activity detection on RAW PCM — real decode-free audio DSP
     // (s16le framing + exact integer energies), not a stub: segments =
     // runs of loud frames, energies exact LONGs. One typed scan pass.
@@ -481,6 +506,27 @@ object MultimodalQueries {
     // expected segments = islands of set bits in doc_id's low byte
     // (gaps-and-islands over the 8 planted frames); loud-frame energy is
     // exactly 4e6 so segment mass is n_frames * 4e6
+    // construction arithmetic only: brand/timescale/duration per doc_id,
+    // the %19 truncation's deterministic defect (moov's declared size
+    // always overruns the 40-byte cut), and the fixed 4-box census
+    "q_m12_mp4_meta" ->
+      """SELECT doc_id,
+        |       CAST(CASE WHEN doc_id % 19 = 0 THEN 0 ELSE 1 END AS INTEGER)
+        |         AS valid,
+        |       CASE WHEN doc_id % 19 = 0 THEN 'box-overruns-file' ELSE '' END
+        |         AS reason,
+        |       CASE WHEN doc_id % 19 = 0 THEN ''
+        |            WHEN doc_id % 2 = 0 THEN 'isom' ELSE 'mp42' END
+        |         AS major_brand,
+        |       CAST(CASE WHEN doc_id % 19 = 0 THEN 0
+        |                 ELSE 600 * (1 + doc_id % 4) END AS BIGINT)
+        |         AS timescale,
+        |       CAST(CASE WHEN doc_id % 19 = 0 THEN 0
+        |                 ELSE doc_id % 100000 + 1 END AS BIGINT) AS duration,
+        |       CAST(CASE WHEN doc_id % 19 = 0 THEN 0 ELSE 4 END AS INTEGER)
+        |         AS n_top_boxes
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     // header fields and corruption class are pure doc_id arithmetic;
     // segment count = runs of set bits (the q_m8 CTE), energy = popcount
     // of the low byte × the exact loud-frame energy

@@ -125,6 +125,41 @@ class MultimodalSpec extends SparkTestBase {
     assert(f1 != f3)
   }
 
+  test("parseMp4Meta: v0/v1 mvhd, 64-bit largesize, size-0 box, defect rows") {
+    import spark.implicits._
+    def parse(bytes: Array[Byte]): Multimodal.Mp4Meta =
+      Multimodal.parseMp4Meta(Seq((1L, bytes)).toDF("id", "mp4"), "id", "mp4")
+        .collect().head
+    val v0 = parse(Multimodal.mp4Meta("isom", 600L, 12345L))
+    assert(v0.valid && v0.major_brand == "isom" && v0.timescale == 600L &&
+      v0.duration == 12345L && v0.n_top_boxes == 4)
+    // v1 carries a duration that does NOT fit 32 bits
+    val big = 0x1_2345_6789L
+    val v1 = parse(Multimodal.mp4Meta("mp42", 90000L, big, mvhdV1 = true))
+    assert(v1.valid && v1.duration == big && v1.timescale == 90000L)
+    // hand-build a top-level box with a 64-bit largesize header and a
+    // trailing size-0 (to-EOF) box: both must advance correctly
+    def be32(v: Long) = Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte,
+      (v >>> 8).toByte, v.toByte)
+    val base = Multimodal.mp4Meta("isom", 600L, 7L)
+    val largesize = be32(1L) ++ "free".getBytes("US-ASCII") ++
+      be32(0L) ++ be32(21L) ++ new Array[Byte](5) // 16 hdr + 5 payload
+    val toEof = be32(0L) ++ "skip".getBytes("US-ASCII") ++ new Array[Byte](9)
+    val fancy = parse(base ++ largesize ++ toEof)
+    assert(fancy.valid && fancy.n_top_boxes == 6, fancy.toString)
+    // defects: rows, never exceptions
+    assert(parse(base.take(40)).reason == "box-overruns-file")
+    assert(parse(base.take(5)).reason == "truncated-box-header")
+    assert(parse(Array[Byte]()).reason == "no-ftyp")
+    val noMoov = parse(Multimodal.mp4Meta("isom", 600L, 7L).take(31)) // ftyp+free only
+    assert(noMoov.reason == "no-mvhd")
+    // corrupt mvhd version byte
+    val badV = base.clone()
+    // mvhd version byte: ftyp(20) + free(11) + moov hdr(8) + free(10) + mvhd hdr(8)
+    badV(20 + 11 + 8 + 10 + 8) = 7
+    assert(parse(badV).reason == "mvhd-malformed")
+  }
+
   test("parseWav: round-trip, chunk walking + RIFF padding, every defect class is a row") {
     import spark.implicits._
     val pcm = java.nio.ByteBuffer.allocate(12)
