@@ -104,7 +104,8 @@ object Curation {
                           nEncodingRepaired: Long = -1L,
                           nPiiRedacted: Long = -1L,
                           nAfterCaptionAlign: Long = -1L,
-                          nAfterWordBlocklist: Long = -1L)
+                          nAfterWordBlocklist: Long = -1L,
+                          nAfterRobots: Long = -1L)
 
   /** Quality thresholds for the row-local gate. Defaults are the
     * web-corpus heuristics (Gopher-family): enough tokens, some lexical
@@ -199,7 +200,9 @@ object Curation {
              encodingRepair: Boolean = false,
              piiRedact: Boolean = false,
              captionAlign: Option[CaptionAlignConfig] = None,
-             wordBlocklist: Option[DataFrame] = None): Report = {
+             wordBlocklist: Option[DataFrame] = None,
+             robotsRules: Option[DataFrame] = None,
+             robotsAgent: String = "*"): Report = {
     val nInput = docs.count()
 
     // URL layer FIRST when the corpus carries URLs (the web-pipeline
@@ -207,7 +210,7 @@ object Curation {
     // runs before anything touches the text). Canonical-URL dedup keeps
     // the smallest id per page; the optional blocklist anti-joins on the
     // registered domain (broadcast — the corpus never shuffles for it).
-    val (docsAfterUrl, urlPersisted, nUrlDedup, nBlocklist) = urlCol match {
+    val (docsAfterUrl, urlPersisted, nUrlDedup, nBlocklist, nRobotsKept) = urlCol match {
       case Some(uc) =>
         val keyed = UrlOps.withUrlParts(docs, uc, canonicalCol = "_curl")
         val keepers = keyed.withColumn("_keep", min("doc_id").over(
@@ -224,15 +227,38 @@ object Curation {
             (kept, n)
           case None => (keepers, -1L)
         }
+        // robots.txt compliance rides the SAME layer (it is URL-only
+        // work): verdicts against the canonical host + request path for
+        // the build's crawler identity, disallowed pages dropped before
+        // any text is touched. Rules are host-count-bounded (one
+        // robots body per host) — a broadcast join, the corpus never
+        // shuffles for it.
+        val (afterRobots, nRobots) = robotsRules match {
+          case Some(rules) =>
+            val withHp = after
+              .withColumn("_rh", UrlOps.hostOf(UrlOps.canonicalizeUrl(col(uc))))
+              .withColumn("_rp", coalesce(expr(s"parse_url($uc, 'PATH')"), lit("/")))
+            val kept = UrlOps.robotsVerdicts(withHp, rules, robotsAgent,
+                "doc_id", "_rh", "_rp")
+              .filter(col("allowed"))
+              .drop("_rh", "_rp", "allowed", "match_len")
+              .persist()
+            val n = kept.count()
+            after.unpersist()
+            (kept, n)
+          case None => (after, -1L)
+        }
         // lineage cut (see [[planReset]]): the canonicalization trees
         // must not flow into every downstream stage's plan. The PERSISTED
         // original travels separately to the cleanup list — unpersisting
         // the reset frame would be a no-op on the wrong plan.
-        (planReset(after), Seq(after), nDedup, nBlock)
+        (planReset(afterRobots), Seq(afterRobots), nDedup, nBlock, nRobots)
       case None =>
         require(domainBlocklist.isEmpty,
           "domainBlocklist requires urlCol — there is no domain without a URL")
-        (docs, Seq.empty[DataFrame], -1L, -1L)
+        require(robotsRules.isEmpty,
+          "robotsRules requires urlCol — there is no path without a URL")
+        (docs, Seq.empty[DataFrame], -1L, -1L, -1L)
     }
     // Encoding repair leads the TEXT stages (right after the URL layer,
     // which never reads text): cp1252 mojibake perturbs paragraph hashes,
@@ -480,6 +506,7 @@ object Curation {
     Report(nInput, nQuality, nExact, nNear, splitCounts,
       totals.getLong(0), totals.getLong(1), nDecontam, nScrub,
       ruleDropsAll, nClassifier, nUrlDedup, nBlocklist,
-      nParagraph, nRepetition, nRepaired, nPii, nCaptionAlign, nWordBlock)
+      nParagraph, nRepetition, nRepaired, nPii, nCaptionAlign, nWordBlock,
+      nRobotsKept)
   }
 }

@@ -238,8 +238,29 @@ class CurationSpec extends SparkTestBase {
         UrlOps.registeredDomain(UrlOps.hostOf(UrlOps.canonicalizeUrl(col("url")))))
       .filter(col("d") === "example.org").count()
     assert(blocked == 0L)
+    // ROBOTS stage composed into the same build: ONE host's robots
+    // disallows the corpus's /a prefix — its pages drop, every other
+    // host's survive, and the report carries the count
+    val robotsBodies = Seq(("docs.example.io",
+      "User-agent: *\nDisallow: /a\n")).toDF("host", "body")
+    val rules = UrlOps.parseRobots(robotsBodies, "host", "body")
+    val outR = java.nio.file.Files.createTempDirectory("graft-cur-robots").toString
+    val rr = Curation.curate(withUrls, outR, seed = "cur-robots",
+      urlCol = Some("url"), robotsRules = Some(rules))
+    assert(rr.nAfterRobots >= 0 && rr.nAfterRobots < rr.nAfterUrlDedup,
+      s"robots dropped nothing: ${rr.nAfterRobots} of ${rr.nAfterUrlDedup}")
+    val shippedR = spark.read.parquet(outR)
+    assert(shippedR.filter(
+        UrlOps.hostOf(UrlOps.canonicalizeUrl(col("url"))) === "docs.example.io")
+      .count() == 0L, "a robots-disallowed page shipped")
+    assert(shippedR.count() > 0, "robots must not drop the other hosts")
     // sentinel behavior when the layer is off
     assert(Curation.Report(1, 1, 1, 1, Map.empty, 1, 1).nAfterUrlDedup == -1L)
+    assert(Curation.Report(1, 1, 1, 1, Map.empty, 1, 1).nAfterRobots == -1L)
+    intercept[IllegalArgumentException] {
+      Curation.curate(docs, out, seed = "x",
+        robotsRules = Some(rules))
+    }
     intercept[IllegalArgumentException] {
       Curation.curate(docs, out, seed = "x", domainBlocklist = Some(block))
     }
