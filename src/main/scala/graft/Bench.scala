@@ -152,6 +152,7 @@ object Bench {
       "q_l5_snapshot_time_travel", "q_u6_idn_blocklist", "q_u7_robots_filter",
       "q_l6_snapshot_agg_maintain", "q_l7_snapshot_stats_skipping",
       "q_l8_snapshot_mor_delete", "q_l9_snapshot_changes",
+      "q_l10_follow_changes",
       // r13 new queries (typed decode/commit pipelines, one-time codegen)
       "q_m9_image_ahash_dedup", "q_m10_image_caption_align",
       "q_m11_wav_vad", "q_m12_mp4_meta", "q_tf1_tfrecord_roundtrip")

@@ -547,6 +547,50 @@ object PipelineQueries {
         .orderBy("change_type", "o_year")
     }),
 
+    // followChanges E2E under the hash gate (round 13): the incremental
+    // consumer front door driven through its real lifecycle — initial
+    // load as inserts, then one fused range spanning a merge AND a
+    // merge-on-read delete, then a caught-up no-op (asserted by absence:
+    // only two rounds emit rows). Counts per round and per change type
+    // are the oracle's multiset algebra (the q_l9 construction, shifted
+    // mods so the two queries cannot mask each other).
+    "q_l10_follow_changes" -> ((s, dir) => {
+      import s.implicits._
+      val base = s.read.parquet(s"$dir/orders.parquet")
+        .withColumn("o_year", year(col("o_orderdate")))
+        .select("o_orderkey", "o_year", "o_totalprice")
+      val root = s"${System.getProperty("java.io.tmpdir", "/tmp")}" +
+        s"/graft_follow/run-${System.nanoTime()}"
+      val path = s"$root/tbl"
+      val wm = s"$root/wm"
+      graft.sources.SnapshotTable.commitOverwrite(base, path, Seq("o_year"))
+      val rounds = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long, Long)]
+      def follow(round: Int): Unit =
+        graft.sources.SnapshotTable.followChanges(s, path, wm) { (df, vf, vt) =>
+          val ins = df.filter(col("_change_type") === "insert").count()
+          val del = df.filter(col("_change_type") === "delete").count()
+          rounds += ((round, vf, vt, ins, del))
+        }
+      follow(1) // initial load
+      val updates = base.filter(col("o_orderkey") % 4 === 0)
+        .withColumn("o_totalprice",
+          expr("floor(o_totalprice * 1.3D * 100D + 0.5D) / 100D"))
+        .withColumn("_deleted", col("o_orderkey") % 3 === 0)
+      val inserts = base.filter(col("o_orderkey") % 11 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(400000000L))
+        .withColumn("_deleted", lit(false))
+      graft.sources.SnapshotTable.mergeUpsert(s, path,
+        updates.unionByName(inserts), keyCols = Seq("o_orderkey"),
+        partitionCols = Seq("o_year"), deleteCol = Some("_deleted"))
+      graft.sources.SnapshotTable.commitDeleteByKeys(s, path,
+        base.filter(col("o_orderkey") % 17 === 0).select("o_orderkey"),
+        Seq("o_orderkey"))
+      follow(2) // fused (1, 3] range
+      follow(3) // caught up: must emit NO row
+      rounds.toSeq.toDF("round", "v_from", "v_to", "n_inserts", "n_deletes")
+        .orderBy("round")
+    }),
+
     "q_l1_merge_upsert" -> ((s, dir) => {
       val base = s.read.parquet(s"$dir/orders.parquet")
         .withColumn("o_year", year(col("o_orderdate")))
@@ -1043,6 +1087,39 @@ object PipelineQueries {
           |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
           |         AS revenue
           |FROM cdc GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      // round 1 = the full corpus as inserts at range (0, 1]; round 2 =
+      // the (1, 3] multiset diff (EXCEPT ALL both ways) over the merge +
+      // key-delete algebra; round 3 never lands a row
+      "q_l10_follow_changes" ->
+        """WITH base AS (
+          |  SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS o_year,
+          |         o_totalprice
+          |  FROM orders),
+          |merged AS (
+          |  SELECT o_orderkey, o_year, o_totalprice FROM base
+          |  WHERE o_orderkey % 4 != 0
+          |  UNION ALL
+          |  SELECT o_orderkey, o_year,
+          |         floor(o_totalprice * CAST(1.3 AS DOUBLE) * 100 + 0.5) / 100
+          |  FROM base WHERE o_orderkey % 4 = 0 AND o_orderkey % 3 != 0
+          |  UNION ALL
+          |  SELECT o_orderkey + 400000000, o_year, o_totalprice
+          |  FROM base WHERE o_orderkey % 11 = 0),
+          |v3 AS (SELECT * FROM merged WHERE o_orderkey NOT IN
+          |        (SELECT o_orderkey FROM base WHERE o_orderkey % 17 = 0)),
+          |ins AS (SELECT count(*) AS n FROM
+          |        (SELECT * FROM v3 EXCEPT ALL SELECT * FROM base)),
+          |del AS (SELECT count(*) AS n FROM
+          |        (SELECT * FROM base EXCEPT ALL SELECT * FROM v3))
+          |SELECT 1 AS round, CAST(0 AS BIGINT) AS v_from,
+          |       CAST(1 AS BIGINT) AS v_to,
+          |       (SELECT CAST(count(*) AS BIGINT) FROM base) AS n_inserts,
+          |       CAST(0 AS BIGINT) AS n_deletes
+          |UNION ALL
+          |SELECT 2, 1, 3, (SELECT CAST(n AS BIGINT) FROM ins),
+          |       (SELECT CAST(n AS BIGINT) FROM del)
+          |ORDER BY round""".stripMargin,
 
       "q_l1_merge_upsert" ->
         """WITH base AS (
