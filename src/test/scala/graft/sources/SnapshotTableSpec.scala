@@ -111,7 +111,7 @@ class SnapshotTableSpec extends SparkTestBase {
       Seq("year"), txnId = "wave-9") == 5L, "replay must no-op")
     assert(SnapshotTable.readSnapshot(spark, t).count() == 14)
     // vacuum reclaims the shells; history stays readable
-    SnapshotTable.vacuum(spark, t, keepSnapshots = 3)
+    SnapshotTable.vacuum(spark, t, keepSnapshots = 3, minAgeMs = 0)
     assert(!Files.exists(Paths.get(t, "data", "v00000002")))
     assert(!Files.exists(Paths.get(t, "data", "v00000004")))
     assert(SnapshotTable.readSnapshot(spark, t).count() == 14)
@@ -268,10 +268,64 @@ class SnapshotTableSpec extends SparkTestBase {
     // maintenance runs vacuum BEFORE the replay: the orphan's manifest and
     // files are reclaimed — and its data/v2 directory must go too, or the
     // replay's prepare (ErrorIfExists at the same version) wedges forever
-    SnapshotTable.vacuum(spark, t, keepSnapshots = 2)
+    SnapshotTable.vacuum(spark, t, keepSnapshots = 2, minAgeMs = 0)
     val v = SnapshotTable.commitAppendTxn(rows(2010, 4, "b1"), t, Seq("year"), "batch-1")
     assert(v == 2L && SnapshotTable.currentVersion(t).contains(2L))
     assert(SnapshotTable.readSnapshot(spark, t).count() == 8)
+  }
+
+  test("txn orphan SUPERSEDED by an unrelated commit replays as a fresh commit (r13 ADVICE high)") {
+    val t = freshTable()
+    SnapshotTable.commitOverwrite(rows(2000, 4, "v1"), t, Seq("year"))
+    // crash: data + txn manifest for v2 land, pointer never swaps
+    SnapshotTable.prepare(rows(2010, 4, "b1"), t, Seq("year"), 1,
+      txn = Some("batch-1"))((prev, fresh) => prev ++ fresh)
+    assert(SnapshotTable.currentVersion(t).contains(1L))
+    // an UNRELATED commit lands before any replay: it composes from the
+    // committed pointer (v1), skipping the orphan, and moves the pointer
+    // PAST it — the orphan's rows are now in no live snapshot
+    val v3 = SnapshotTable.commitAppend(rows(2020, 4, "other"), t, Seq("year"))
+    assert(v3 == 3L && SnapshotTable.currentVersion(t).contains(3L))
+    assert(SnapshotTable.readSnapshot(spark, t).count() == 8,
+      "orphan rows must not be visible")
+    // exactly-once replay: the old probe found the txn manifest at
+    // v2 <= pointer and no-op'd "success", silently losing the batch.
+    // The committed-chain check sees v2 off-chain and commits fresh.
+    val v4 = SnapshotTable.commitAppendTxn(rows(2010, 4, "b1"), t,
+      Seq("year"), "batch-1")
+    assert(v4 == 4L && SnapshotTable.currentVersion(t).contains(4L))
+    assert(SnapshotTable.readSnapshot(spark, t).count() == 12,
+      "replayed batch rows must land exactly once")
+    // and a SECOND replay is a true no-op: v4 is on the committed chain
+    assert(SnapshotTable.commitAppendTxn(rows(2010, 4, "b1"), t,
+      Seq("year"), "batch-1") == 4L)
+    assert(SnapshotTable.readSnapshot(spark, t).count() == 12)
+    // chain introspection: v1→v3→v4 committed, v2 off-chain
+    assert(SnapshotTable.prevOf(t, 4L).contains(3L))
+    assert(SnapshotTable.prevOf(t, 3L).contains(1L))
+    assert(SnapshotTable.onCommittedChain(t, 1L))
+    assert(!SnapshotTable.onCommittedChain(t, 2L))
+  }
+
+  test("vacuum retention window spares young unreferenced artifacts (r13 ADVICE medium)") {
+    val t = freshTable()
+    SnapshotTable.commitOverwrite(rows(2000, 4, "v1"), t, Seq("year"))
+    SnapshotTable.commitAppend(rows(2010, 4, "v2"), t, Seq("year"))
+    SnapshotTable.commitAppend(rows(2020, 4, "v3"), t, Seq("year"))
+    // a just-prepared orphan stands in for an in-flight commit's files
+    // (writeData runs before the table lock is taken)
+    SnapshotTable.prepare(rows(2030, 4, "inflight"), t, Seq("year"), 1)(
+      (prev, fresh) => prev ++ fresh)
+    val manifestsBefore = SnapshotTable.snapshots(t).size
+    // default retention: everything here is seconds old — nothing deleted
+    val (f0, m0) = SnapshotTable.vacuum(spark, t, keepSnapshots = 1)
+    assert(f0 == 0 && m0 == 0, "young files must survive the default window")
+    assert(SnapshotTable.snapshots(t).size == manifestsBefore)
+    assert(SnapshotTable.readSnapshot(spark, t).count() == 12)
+    // explicit zero window: expired versions + the orphan reclaimed
+    val (f1, m1) = SnapshotTable.vacuum(spark, t, keepSnapshots = 1, minAgeMs = 0)
+    assert(f1 > 0 && m1 == 3, s"expected 3 manifests reclaimed, got $m1")
+    assert(SnapshotTable.readSnapshot(spark, t).count() == 12)
   }
 
   test("schema evolution: strict read fails loudly; opt-in reads NULLs for pre-evolution commits") {
@@ -629,7 +683,7 @@ class SnapshotTableSpec extends SparkTestBase {
     SnapshotTable.commitOverwrite(rows(2000, 6, "a"), t, Seq("year"))
     SnapshotTable.commitOverwrite(rows(2000, 6, "b"), t, Seq("year"))
     SnapshotTable.commitAppend(rows(2010, 6, "c"), t, Seq("year"))
-    val (files, manifests) = SnapshotTable.vacuum(spark, t, keepSnapshots = 2)
+    val (files, manifests) = SnapshotTable.vacuum(spark, t, keepSnapshots = 2, minAgeMs = 0)
     assert(manifests == 1L, "exactly v1 should expire")
     assert(files > 0L, "v1's unshared files should be reclaimed")
     // kept versions fully readable (v3 shares v2's files via the append)
