@@ -235,9 +235,21 @@ object Curation {
         // shuffles for it.
         val (afterRobots, nRobots) = robotsRules match {
           case Some(rules) =>
+            // host AND path from the SAME canonical form, via Column APIs
+            // (r13 ADVICE: interpolating the caller's column name into
+            // SQL text broke non-identifier names, and a raw-URL path
+            // beside a canonical host made verdicts inconsistent); rules
+            // match the full local part — path + query — per RFC 9309
+            val canon = UrlOps.canonicalizeUrl(col(uc))
+            val rawPath = parse_url(canon, lit("PATH"))
+            val rawQuery = parse_url(canon, lit("QUERY"))
             val withHp = after
-              .withColumn("_rh", UrlOps.hostOf(UrlOps.canonicalizeUrl(col(uc))))
-              .withColumn("_rp", coalesce(expr(s"parse_url($uc, 'PATH')"), lit("/")))
+              .withColumn("_rh", UrlOps.hostOf(canon))
+              .withColumn("_rp", concat(
+                when(rawPath.isNull || rawPath === "", lit("/"))
+                  .otherwise(rawPath),
+                when(rawQuery.isNull || rawQuery === "", lit(""))
+                  .otherwise(concat(lit("?"), rawQuery))))
             val kept = UrlOps.robotsVerdicts(withHp, rules, robotsAgent,
                 "doc_id", "_rh", "_rp")
               .filter(col("allowed"))

@@ -506,30 +506,76 @@ object UrlOps {
       .toDF("host", "agent", "kind", "prefix")
   }
 
+  /** Compile one robots.txt rule value to an anchored regex implementing
+    * RFC 9309 §2.2.3 special characters: `*` matches any char sequence,
+    * a TRAILING `$` anchors at end-of-path; everything else (including a
+    * mid-rule `$`, which the RFC grammar gives no meaning and deployed
+    * matchers treat literally) matches literally. Without the end
+    * anchor the regex is `^...` — a prefix match, the RFC default. */
+  private[operators] def robotsRuleRegex(rule: String): String = {
+    val endAnchor = rule.endsWith("$")
+    val body = if (endAnchor) rule.dropRight(1) else rule
+    val sb = new StringBuilder("^")
+    body.foreach {
+      case '*' => sb.append(".*")
+      case c if "\\.[]{}()+-?^$|".indexOf(c.toInt) >= 0 =>
+        sb.append('\\').append(c)
+      case c => sb.append(c)
+    }
+    if (endAnchor) sb.append('$')
+    sb.toString
+  }
+
+  /** The RFC 9309 §2.2.1 product token of a crawler identity — the
+    * leading run of `[A-Za-z0-9_-]`, lowercased: group matching compares
+    * TOKENS, so a `User-agent: GraftBot/1.0` group line governs a
+    * crawler configured as plain `GraftBot` (and vice versa). */
+  private[operators] def agentToken(agent: String): String =
+    agent.toLowerCase.takeWhile(c =>
+      (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == '-' || c == '_')
+
   /** Per-URL robots verdicts for one crawler `agent` — RFC 9309 matching:
-    * a host's EFFECTIVE group is the agent's own (when any rule names it)
-    * else `*`; within it the LONGEST path-prefix match decides, Allow
-    * winning length ties; no match (or no rules for the host) = allowed.
+    * a host's EFFECTIVE group is the agent's own (when any group line's
+    * PRODUCT TOKEN matches the agent's, case-insensitively — RFC §2.2.1)
+    * else `*`; within it the MOST SPECIFIC (longest-rule-text) match
+    * decides, Allow winning length ties; no match (or no rules for the
+    * host) = allowed. Rule values honor the RFC §2.2.3 special chars:
+    * `*` (any sequence) and a trailing `$` (end anchor) — compiled to
+    * anchored regexes rule-side (host-count-bounded); literal rules (the
+    * overwhelming majority of real robots lines) keep the codegen'd
+    * `startsWith` fast path, so the per-row regex engine only runs for
+    * rules that actually contain a wildcard. Pass path+query as
+    * `pathCol` — RFC rules match the full local part.
     * One broadcast-shaped join (rules are host-count-bounded) + one
     * per-URL window. Returns `urls` plus (allowed, match_len). */
   def robotsVerdicts(urls: DataFrame, rules: DataFrame, agent: String,
                      idCol: String, hostCol: String,
                      pathCol: String): DataFrame = {
-    val a = agent.toLowerCase
+    val spark = urls.sparkSession
+    import spark.implicits._
+    val aTok = agentToken(agent)
+    val ruleTok = regexp_extract(lower(col("agent")), "^[a-z0-9_-]+", 0)
     // presence = ANY row naming the agent (including the bare `group`
     // marker), so an allow-all agent group never falls back to `*`
-    val hostsWithAgent = rules.filter(col("agent") === a)
+    val hostsWithAgent = rules.filter(ruleTok === aTok)
       .select(col("host").as(hostCol)).distinct()
       .withColumn("_has_agent", lit(true))
     val eff = rules.withColumnRenamed("host", hostCol)
       .filter(col("kind").isin("allow", "disallow"))
       .join(hostsWithAgent, Seq(hostCol), "left")
-      .filter((coalesce(col("_has_agent"), lit(false)) && col("agent") === a) ||
+      .filter((coalesce(col("_has_agent"), lit(false)) && ruleTok === aTok) ||
         (!coalesce(col("_has_agent"), lit(false)) && col("agent") === "*"))
       .select(col(hostCol), col("kind"), col("prefix"))
+      .as[(String, String, String)]
+      .map { case (h, k, p) =>
+        val wild = p.contains('*') || p.endsWith("$")
+        (h, k, p, if (wild) robotsRuleRegex(p) else "", wild)
+      }
+      .toDF(hostCol, "kind", "prefix", "_rx", "_wild")
     val matches = urls.select(col(idCol), col(hostCol), col(pathCol))
       .join(broadcast(eff), Seq(hostCol))
-      .filter(col(pathCol).startsWith(col("prefix")))
+      .filter(when(col("_wild"), regexp_like(col(pathCol), col("_rx")))
+        .otherwise(col(pathCol).startsWith(col("prefix"))))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(idCol)
       .orderBy(length(col("prefix")).desc,
         (col("kind") === "allow").cast("int").desc)

@@ -196,6 +196,42 @@ object UrlQueries {
         .orderBy("doc_id")
     }),
 
+    // ROBOTS.TXT wildcards (round 14, r13 ADVICE): RFC 9309 §2.2.3
+    // special characters — `*` (any sequence) and trailing `$` (end
+    // anchor) — plus §2.2.1 product-token agent matching: the group line
+    // says `GraftBot/2.1`, the crawler is configured as plain `graftbot`.
+    // Every host also carries a `User-agent: *` Disallow-all group, so
+    // group exclusivity failing (or wildcard rules matching literally,
+    // the pre-fix behavior) flips verdicts corpus-wide. Path classes:
+    // mid-`*` with a query (`/*?sessionid=`), end-anchored suffix match
+    // (`/tmp/*.html$`), a longer Allow beating it, an anchor REJECT
+    // (`.htmlx` must not match `.html$`), and the no-match default.
+    "q_u8_robots_wildcards" -> ((s, dir) => {
+      val bodyExpr =
+        "concat('User-agent: GraftBot/2.1\n'," +
+          " 'Disallow: /*?sessionid=\n'," +
+          " 'Disallow: /tmp/*.html$\n'," +
+          " 'Allow: /tmp/keep*.html$\n'," +
+          " 'User-agent: *\nDisallow: /\n')"
+      val robots = s.range(4).toDF("k")
+        .selectExpr("concat('w.ex', k, '.net') AS host", s"$bodyExpr AS body")
+      val urls = docs(s, dir).selectExpr("doc_id",
+        "concat('w.ex', doc_id % 4, '.net') AS host",
+        """CASE CAST(doc_id % 5 AS INT)
+          |  WHEN 0 THEN '/page?sessionid=abc'
+          |  WHEN 1 THEN '/tmp/a.html'
+          |  WHEN 2 THEN '/tmp/keep1.html'
+          |  WHEN 3 THEN '/tmp/a.htmlx'
+          |  ELSE '/page?other=1' END AS path""".stripMargin)
+      UrlOps.robotsVerdicts(urls,
+          UrlOps.parseRobots(robots, "host", "body"),
+          agent = "graftbot", idCol = "doc_id", hostCol = "host",
+          pathCol = "path")
+        .select(col("doc_id"), col("host"), col("path"),
+          col("allowed").cast("int").as("allowed"), col("match_len"))
+        .orderBy("doc_id")
+    }),
+
     // Recrawl keep-latest dedup (the CDX-archive freshness rule): each
     // page's three messy variants carry a planted capture day
     // (doc_id % 97 — consecutive ids give distinct days, so the winner is
@@ -281,6 +317,28 @@ object UrlQueries {
         |                     WHEN 3 THEN 8 WHEN 4 THEN 11 ELSE 0 END
         |            ELSE CASE v WHEN 1 THEN 7 WHEN 2 THEN 8 ELSE 0 END END
         |            AS INTEGER) AS match_len
+        |FROM u ORDER BY doc_id""".stripMargin,
+
+    // pure doc_id arithmetic: every (path-class) cell's verdict and
+    // matched-rule length are known by construction — no robots parsing
+    // or wildcard matching runs oracle-side, so a regex-compile or
+    // token-match bug cannot be shared
+    "q_u8_robots_wildcards" ->
+      """WITH u AS (
+        |  SELECT doc_id, CAST(doc_id % 5 AS INT) AS v,
+        |         'w.ex' || CAST(doc_id % 4 AS VARCHAR) || '.net' AS host,
+        |         CASE CAST(doc_id % 5 AS INT)
+        |           WHEN 0 THEN '/page?sessionid=abc'
+        |           WHEN 1 THEN '/tmp/a.html'
+        |           WHEN 2 THEN '/tmp/keep1.html'
+        |           WHEN 3 THEN '/tmp/a.htmlx'
+        |           ELSE '/page?other=1' END AS path
+        |  FROM documents)
+        |SELECT doc_id, host, path,
+        |       CAST(CASE v WHEN 0 THEN 0 WHEN 1 THEN 0 ELSE 1 END
+        |            AS INTEGER) AS allowed,
+        |       CAST(CASE v WHEN 0 THEN 13 WHEN 1 THEN 12 WHEN 2 THEN 16
+        |                   ELSE 0 END AS INTEGER) AS match_len
         |FROM u ORDER BY doc_id""".stripMargin,
 
     // pure doc_id arithmetic: the keep-set and each survivor's registered

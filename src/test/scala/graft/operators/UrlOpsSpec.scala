@@ -80,6 +80,42 @@ class UrlOpsSpec extends SparkTestBase {
     assert(verdicts("stranger") == Map(1L -> false, 2L -> false, 3L -> false, 4L -> true))
   }
 
+  test("robots RFC 9309 wildcards, end anchor, and product-token agents (r13 ADVICE)") {
+    // rule compiler: '*' → any sequence, trailing '$' → end anchor,
+    // regex metachars escaped, mid-rule '$' literal
+    assert(UrlOps.robotsRuleRegex("/a/*.html$") == "^/a/.*\\.html$")
+    assert(UrlOps.robotsRuleRegex("/*?sessionid=") == "^/.*\\?sessionid=")
+    assert(UrlOps.robotsRuleRegex("/plain") == "^/plain")
+    assert(UrlOps.robotsRuleRegex("/a$b") == "^/a\\$b")
+    // product tokens: leading [a-z0-9_-] run, lowercased
+    assert(UrlOps.agentToken("GraftBot/1.0") == "graftbot")
+    assert(UrlOps.agentToken("Graft-Bot_2 (+https://x)") == "graft-bot_2")
+    val body =
+      "User-agent: GraftBot/2.1\n" +
+      "Disallow: /*?sessionid=\n" +
+      "Disallow: /tmp/*.html$\n" +
+      "Allow: /tmp/keep*.html$\n" +
+      "User-agent: *\n" +
+      "Disallow: /\n"
+    val urls = Seq(
+      (1L, "h", "/page?sessionid=abc"), // mid-wildcard hits the query part
+      (2L, "h", "/tmp/a.html"),         // end-anchored suffix match
+      (3L, "h", "/tmp/keep1.html"),     // longer Allow beats the Disallow
+      (4L, "h", "/tmp/a.htmlx"),        // anchor REJECT: .htmlx ≠ .html$
+      (5L, "h", "/free")).toDF("id", "host", "path")
+    // configured agent 'graftbot' must match the 'GraftBot/2.1' group
+    // line by product token — and that group is EXCLUSIVE (the '*'
+    // Disallow-all group must not apply)
+    val got = UrlOps.robotsVerdicts(urls, UrlOps.parseRobots(
+        Seq(("h", body)).toDF("host", "body"), "host", "body"),
+        agent = "graftbot", idCol = "id", hostCol = "host", pathCol = "path")
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Boolean]("allowed"), r.getAs[Int]("match_len")))).toMap
+    assert(got == Map(
+      1L -> ((false, 13)), 2L -> ((false, 12)),
+      3L -> ((true, 16)), 4L -> ((true, 0)), 5L -> ((true, 0))), got.toString)
+  }
+
   test("scheme/host case, www, default port, fragment, userinfo all fold") {
     assert(canon(
       "HTTPS://WWW.Example.COM:443/Path/a?b=2&a=1#frag",
