@@ -111,7 +111,13 @@ object TfRecordIO {
     * plus, per corrupt file, ONE `valid = false` row naming the defect
     * and the bytes quarantined (everything from the bad frame to EOF —
     * no sync marker exists to resync on). File-parallel like
-    * [[WarcIngest]]: the unit of parallelism is the file. */
+    * [[WarcIngest]]: the unit of parallelism is the file.
+    *
+    * STREAMING (r13 VERDICT #5): records are parsed lazily, one frame at
+    * a time — memory is O(largest record), never O(file), so a 10 GB
+    * shard flows through a task the same as a 10 MB one. The stream
+    * closes at EOF, at the first defect (the quarantine row is the last
+    * emitted), and on task completion (downstream `limit`/failure). */
   def read(spark: SparkSession, dir: String): Dataset[TfRecord] = {
     import spark.implicits._
     val conf = new org.apache.spark.util.SerializableConfiguration(
@@ -120,53 +126,74 @@ object TfRecordIO {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val files = fs.listStatus(root).toSeq
       .map(_.getPath.toString).filter(_.endsWith(".tfrecord")).sorted
-    spark.createDataset(files).flatMap { f =>
-      val p = new org.apache.hadoop.fs.Path(f)
-      val cfs = p.getFileSystem(conf.value)
-      val size = cfs.getFileStatus(p).getLen
-      val in = cfs.open(p)
-      val out = Seq.newBuilder[TfRecord]
-      try {
-        var pos = 0L
-        var rec = 0
-        var dead = false
-        def quarantine(reason: String): Unit = {
-          out += TfRecord(f, rec, valid = false, reason,
-            Array.emptyByteArray, size - pos)
-          dead = true
-        }
-        val head = new Array[Byte](12)
-        while (!dead && pos < size) {
-          if (size - pos < 12) quarantine("truncated-header")
+    spark.createDataset(files).flatMap(f => streamFile(f, conf))
+  }
+
+  /** Lazy single-file record iterator — one frame in memory at a time. */
+  private[sources] def streamFile(
+      f: String,
+      conf: org.apache.spark.util.SerializableConfiguration): Iterator[TfRecord] =
+    new Iterator[TfRecord] {
+      private val p = new org.apache.hadoop.fs.Path(f)
+      private val cfs = p.getFileSystem(conf.value)
+      private val fileSize = cfs.getFileStatus(p).getLen
+      private val in = cfs.open(p)
+      private val head = new Array[Byte](12)
+      private var pos = 0L
+      private var rec = 0
+      private var done = false
+      private var pending: TfRecord = _
+      locally {
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null) tc.addTaskCompletionListener[Unit](_ => close())
+      }
+      private def close(): Unit = if (!done) { done = true; in.close() }
+      private def quarantine(reason: String): TfRecord = {
+        val row = TfRecord(f, rec, valid = false, reason,
+          Array.emptyByteArray, fileSize - pos)
+        close()
+        row
+      }
+      /** Parse ONE frame; null = clean EOF (closes the stream). */
+      private def fetch(): TfRecord = {
+        if (done) return null
+        if (pos >= fileSize) { close(); return null }
+        if (fileSize - pos < 12) return quarantine("truncated-header")
+        in.readFully(pos, head, 0, 12)
+        var len = 0L
+        var i = 7
+        while (i >= 0) { len = (len << 8) | (head(i) & 0xffL); i -= 1 }
+        val lenCrc = (head(8) & 0xffL) | ((head(9) & 0xffL) << 8) |
+          ((head(10) & 0xffL) << 16) | ((head(11) & 0xffL) << 24)
+        if (lenCrc != maskedCrc32c(head, 0, 8)) quarantine("length-crc-mismatch")
+        else if (len < 0 || len > MaxRecordBytes) quarantine("oversized-length")
+        else if (fileSize - pos - 12 < len + 4) quarantine("truncated-payload")
+        else {
+          val payload = new Array[Byte](len.toInt)
+          in.readFully(pos + 12, payload, 0, len.toInt)
+          val tail = new Array[Byte](4)
+          in.readFully(pos + 12 + len, tail, 0, 4)
+          val pCrc = (tail(0) & 0xffL) | ((tail(1) & 0xffL) << 8) |
+            ((tail(2) & 0xffL) << 16) | ((tail(3) & 0xffL) << 24)
+          if (pCrc != maskedCrc32c(payload, 0, payload.length))
+            quarantine("payload-crc-mismatch")
           else {
-            in.readFully(pos, head, 0, 12)
-            var len = 0L
-            var i = 7
-            while (i >= 0) { len = (len << 8) | (head(i) & 0xffL); i -= 1 }
-            val lenCrc = (head(8) & 0xffL) | ((head(9) & 0xffL) << 8) |
-              ((head(10) & 0xffL) << 16) | ((head(11) & 0xffL) << 24)
-            if (lenCrc != maskedCrc32c(head, 0, 8)) quarantine("length-crc-mismatch")
-            else if (len < 0 || len > MaxRecordBytes) quarantine("oversized-length")
-            else if (size - pos - 12 < len + 4) quarantine("truncated-payload")
-            else {
-              val payload = new Array[Byte](len.toInt)
-              in.readFully(pos + 12, payload, 0, len.toInt)
-              val tail = new Array[Byte](4)
-              in.readFully(pos + 12 + len, tail, 0, 4)
-              val pCrc = (tail(0) & 0xffL) | ((tail(1) & 0xffL) << 8) |
-                ((tail(2) & 0xffL) << 16) | ((tail(3) & 0xffL) << 24)
-              if (pCrc != maskedCrc32c(payload, 0, payload.length))
-                quarantine("payload-crc-mismatch")
-              else {
-                out += TfRecord(f, rec, valid = true, "", payload, 0L)
-                pos += 12 + len + 4
-                rec += 1
-              }
-            }
+            val row = TfRecord(f, rec, valid = true, "", payload, 0L)
+            pos += 12 + len + 4
+            rec += 1
+            row
           }
         }
-      } finally in.close()
-      out.result()
+      }
+      override def hasNext: Boolean = {
+        if (pending == null) pending = fetch()
+        pending != null
+      }
+      override def next(): TfRecord = {
+        if (!hasNext) throw new NoSuchElementException(f)
+        val r = pending
+        pending = null
+        r
+      }
     }
-  }
 }
