@@ -293,6 +293,11 @@ object SnapshotTable {
   def prevOf(tablePath: String, version: Long): Option[Long] =
     headersOf(tablePath, version).get("prev").map(_.toLong)
 
+  /** Was snapshot `version` committed by [[compact]] (row-preserving —
+    * every file replaced, no row added, removed, or changed)? */
+  def isCompaction(tablePath: String, version: Long): Boolean =
+    headersOf(tablePath, version).get("compaction").contains("true")
+
   /** Is `v` on the COMMITTED chain — reachable from the pointer via
     * `#prev` links? A crash-orphaned manifest that later commits
     * SUPERSEDED (they composed from the committed pointer, skipping it)
@@ -473,7 +478,8 @@ object SnapshotTable {
   private def commit(df: DataFrame, tablePath: String,
                      partitionCols: Seq[String], filesPerPartition: Int,
                      clusterBy: Seq[Column], statsCols: Seq[String],
-                     baseVersion: Option[Long])
+                     baseVersion: Option[Long],
+                     headers: Map[String, String] = Map.empty)
                     (mkPolicy: Seq[ManifestEntry] => ConflictPolicy)
                     (compose: (Seq[ManifestEntry], Seq[ManifestEntry]) => Seq[ManifestEntry]): Long = {
     val base = baseVersion.getOrElse(currentVersion(tablePath).getOrElse(0L))
@@ -482,7 +488,7 @@ object SnapshotTable {
     lockFor(tablePath).synchronized {
       val cur = currentVersion(tablePath).getOrElse(0L)
       if (cur != base) checkRebase(tablePath, base, cur, mkPolicy(fresh))
-      val v = commitManifest(tablePath, fresh, None)(compose)
+      val v = commitManifest(tablePath, fresh, None, headers)(compose)
       swapPointer(tablePath, v)
       v
     }
@@ -691,7 +697,8 @@ object SnapshotTable {
     * committer of the same version fails loudly). Fresh entries get their
     * commit version stamped here — the version is only known now. */
   private def commitManifest(tablePath: String, fresh: Seq[ManifestEntry],
-                             txn: Option[String])
+                             txn: Option[String],
+                             headers: Map[String, String] = Map.empty)
                             (compose: (Seq[ManifestEntry], Seq[ManifestEntry]) => Seq[ManifestEntry]): Long = {
     val prevV = currentVersion(tablePath)
     val prev = prevV.map(v => manifest(tablePath, Some(v))).getOrElse(Nil)
@@ -704,7 +711,8 @@ object SnapshotTable {
     // committed version this manifest composed against, making the
     // committed chain walkable for onCommittedChain (r13 ADVICE, high)
     val header = txn.map(id => s"#txn=$id\n").getOrElse("") +
-      s"#prev=${prevV.getOrElse(0L)}\n"
+      s"#prev=${prevV.getOrElse(0L)}\n" +
+      headers.toSeq.sorted.map { case (k, hv) => s"#$k=$hv\n" }.mkString
     val lines = header + compose(prev, stamped).map(renderEntry).mkString("\n")
     Files.createDirectories(manifestDir(tablePath))
     val tmp = manifestDir(tablePath).resolve(f"v$v%08d.manifest.tmp")
@@ -860,6 +868,29 @@ object SnapshotTable {
   def changes(spark: SparkSession, tablePath: String,
               vFrom: Long, vTo: Long): DataFrame = {
     require(vFrom <= vTo, s"vFrom=$vFrom must be <= vTo=$vTo")
+    def noChanges(): DataFrame =
+      readSnapshot(spark, tablePath, Some(vTo)).limit(0)
+        .withColumn("_change_type", lit(""))
+    if (vFrom == vTo) return noChanges()
+    // Compaction fast path (r13 VERDICT #6): a compaction replaces every
+    // file, so a naive manifest diff reads BOTH endpoints in full only
+    // for the multiset difference to cancel to empty. If every commit in
+    // (vFrom, vTo] carries #compaction=true AND the #prev chain from vTo
+    // lands exactly on vFrom, the range is row-preserving by construction
+    // — answer at the manifest level, zero Spark scan jobs.
+    val allCompaction = {
+      var v = vTo
+      var ok = true
+      while (ok && v > vFrom) {
+        if (!isCompaction(tablePath, v)) ok = false
+        else prevOf(tablePath, v) match {
+          case Some(p) if p >= vFrom && p < v => v = p
+          case _ => ok = false // legacy manifest, or chain skips vFrom
+        }
+      }
+      ok && v == vFrom
+    }
+    if (allCompaction) return noChanges()
     val from = manifest(tablePath, Some(vFrom))
     val to = manifest(tablePath, Some(vTo))
     def key(e: ManifestEntry) = (e.partSpec, e.relPath)
@@ -986,8 +1017,13 @@ object SnapshotTable {
     // mid-compaction aborts the compaction instead of being dropped.
     val base = currentVersion(tablePath).getOrElse(
       sys.error(s"no committed snapshot at $tablePath"))
-    commitOverwrite(readSnapshot(spark, tablePath, Some(base)), tablePath,
-      partitionCols, filesPerPartition, clusterBy, statsCols, Some(base))
+    // the #compaction=true header lets changes() cancel a row-preserving
+    // range at the manifest level instead of two full-table scans
+    commit(readSnapshot(spark, tablePath, Some(base)), tablePath,
+      partitionCols, filesPerPartition, clusterBy, statsCols, Some(base),
+      headers = Map("compaction" -> "true"))(_ => OverwritePolicy) {
+      (_, fresh) => fresh
+    }
   }
 
   /** Reclaim space: delete data files referenced by NO retained manifest

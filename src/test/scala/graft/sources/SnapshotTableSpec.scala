@@ -274,6 +274,34 @@ class SnapshotTableSpec extends SparkTestBase {
     assert(SnapshotTable.readSnapshot(spark, t).count() == 8)
   }
 
+  test("changes() cancels a pure-compaction range at the manifest level — zero scans (r13 VERDICT #6)") {
+    val t = freshTable()
+    SnapshotTable.commitOverwrite(rows(2000, 8, "v1"), t, Seq("year"))
+    SnapshotTable.commitAppend(rows(2010, 8, "v2"), t, Seq("year"))
+    val vPre = SnapshotTable.currentVersion(t).get
+    val vC1 = SnapshotTable.compact(spark, t, Seq("year"))
+    val vC2 = SnapshotTable.compact(spark, t, Seq("year"))
+    assert(SnapshotTable.isCompaction(t, vC1) && SnapshotTable.isCompaction(t, vC2))
+    assert(!SnapshotTable.isCompaction(t, vPre))
+    // the pure-compaction diff: empty, and the PLAN proves no file was
+    // scheduled for scanning (limit-0 collapses to an empty relation)
+    val diff = SnapshotTable.changes(spark, t, vPre, vC2)
+    assert(diff.collect().isEmpty)
+    val scans = diff.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.isEmpty, s"compaction-only diff planned ${scans.size} file scans")
+    // same-version range: also zero-scan empty
+    assert(SnapshotTable.changes(spark, t, vC2, vC2).collect().isEmpty)
+    // a MIXED range (compaction + append) takes the real diff path and
+    // reports exactly the appended rows
+    SnapshotTable.commitAppend(rows(2020, 4, "v5"), t, Seq("year"))
+    val vNow = SnapshotTable.currentVersion(t).get
+    val mixed = SnapshotTable.changes(spark, t, vPre, vNow)
+    assert(mixed.filter(col("_change_type") === "insert").count() == 4)
+    assert(mixed.filter(col("_change_type") === "delete").count() == 0)
+  }
+
   test("txn orphan SUPERSEDED by an unrelated commit replays as a fresh commit (r13 ADVICE high)") {
     val t = freshTable()
     SnapshotTable.commitOverwrite(rows(2000, 4, "v1"), t, Seq("year"))
