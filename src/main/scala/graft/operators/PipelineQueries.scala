@@ -591,6 +591,43 @@ object PipelineQueries {
         .orderBy("round")
     }),
 
+    // NAMED REFS lifecycle (round 14): branch/tag pointers driven through
+    // create → append → pin → compact → CAS-advance → vacuum, then BOTH
+    // refs read back BY NAME from post-maintenance table state. The
+    // vacuum is load-bearing: keepSnapshots = 1 would reclaim v1 if the
+    // 'rel' pin did not protect it, so the rel branch's numbers failing
+    // to match the pristine base is exactly the retention bug. The 'exp'
+    // advance rides a compaction commit, proving refs survive full file
+    // rewrites (content, not files, is what a ref pins).
+    "q_l11_snapshot_refs" -> ((s, dir) => {
+      val base = s.read.parquet(s"$dir/orders.parquet")
+        .withColumn("o_year", year(col("o_orderdate")))
+        .select("o_orderkey", "o_year", "o_totalprice")
+      val path = s"${System.getProperty("java.io.tmpdir", "/tmp")}" +
+        s"/graft_snapref/run-${System.nanoTime()}"
+      val st = graft.sources.SnapshotTable
+      st.commitOverwrite(base, path, Seq("o_year"))
+      st.createRef(path, "rel") // pins v1
+      st.commitAppend(
+        base.filter(col("o_orderkey") % 7 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(500000000L)),
+        path, Seq("o_year"))
+      st.createRef(path, "exp", Some(2L))
+      st.compact(s, path, Seq("o_year")) // v3: every file rewritten
+      st.advanceRef(path, "exp", 3L, expected = Some(2L))
+      st.vacuum(s, path, keepSnapshots = 1, minAgeMs = 0)
+      def agg(ref: String) =
+        st.readRef(s, path, ref)
+          .groupBy(col("o_year").cast("int").as("o_year"))
+          .agg(count(lit(1)).as("n_orders"),
+            (sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+              .cast("long")) / 100.0).as("revenue"))
+          .select(lit(ref).as("ref"),
+            lit(st.refVersion(path, ref).get.toInt).as("ref_version"),
+            col("o_year"), col("n_orders"), col("revenue"))
+      agg("rel").unionByName(agg("exp")).orderBy("ref", "o_year")
+    }),
+
     "q_l1_merge_upsert" -> ((s, dir) => {
       val base = s.read.parquet(s"$dir/orders.parquet")
         .withColumn("o_year", year(col("o_orderdate")))
@@ -1120,6 +1157,30 @@ object PipelineQueries {
           |SELECT 2, 1, 3, (SELECT CAST(n AS BIGINT) FROM ins),
           |       (SELECT CAST(n AS BIGINT) FROM del)
           |ORDER BY round""".stripMargin,
+
+      // 'rel' pins v1 = the pristine base; 'exp' rides the compaction to
+      // v3 = base plus the %7-shifted appends (compaction preserves
+      // rows). Both replayed analytically — no snapshot machinery runs
+      // oracle-side, so a vacuum-reclaimed pin or a ref reading the
+      // wrong version cannot be masked.
+      "q_l11_snapshot_refs" ->
+        """WITH base AS (
+          |  SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS o_year,
+          |         o_totalprice
+          |  FROM orders),
+          |v3 AS (SELECT o_year, o_totalprice FROM base
+          |       UNION ALL
+          |       SELECT o_year, o_totalprice FROM base
+          |       WHERE o_orderkey % 7 = 0),
+          |lab AS (
+          |  SELECT 'rel' AS ref, 1 AS ref_version, o_year, o_totalprice
+          |  FROM base
+          |  UNION ALL
+          |  SELECT 'exp', 3, o_year, o_totalprice FROM v3)
+          |SELECT ref, ref_version, o_year, count(*) AS n_orders,
+          |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          |         AS revenue
+          |FROM lab GROUP BY 1, 2, 3 ORDER BY ref, o_year""".stripMargin,
 
       "q_l1_merge_upsert" ->
         """WITH base AS (

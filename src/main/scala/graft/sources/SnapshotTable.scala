@@ -958,15 +958,23 @@ object SnapshotTable {
     * (`s"follow-$vFrom"` — stable across retries even when the TO version
     * drifts). Returns the processed (vFrom, vTo), or None on no-op. */
   def followChanges(spark: SparkSession, tablePath: String,
-                    watermarkFile: String)
+                    watermarkFile: String, ref: Option[String] = None)
                    (process: (DataFrame, Long, Long) => Unit): Option[(Long, Long)] = {
     val wmPath = Paths.get(root(watermarkFile))
     val wm =
       if (Files.exists(wmPath))
         new String(Files.readAllBytes(wmPath), "UTF-8").trim.toLong
       else 0L
-    val cur = currentVersion(tablePath).getOrElse(
-      sys.error(s"no committed snapshot at $tablePath"))
+    // track a named BRANCH instead of _current when `ref` is given — the
+    // consumer advances only as far as the branch head, whatever the
+    // main pointer does (a branch rewind below the watermark is a no-op
+    // until the branch passes it again: ranges never run backwards)
+    val cur = ref match {
+      case Some(n) => refVersion(tablePath, n).getOrElse(
+        sys.error(s"no ref '$n' at $tablePath"))
+      case None => currentVersion(tablePath).getOrElse(
+        sys.error(s"no committed snapshot at $tablePath"))
+    }
     if (cur <= wm) return None
     val frame =
       if (wm == 0L)
@@ -980,6 +988,110 @@ object SnapshotTable {
     Files.move(tmp, wmPath, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
     Some((wm, cur))
+  }
+
+  // ---------------------------------------------------------------- refs
+
+  private def refsDir(t: String) = Paths.get(root(t), "_refs")
+  private val RefName = "[A-Za-z0-9][A-Za-z0-9._-]{0,63}"
+  private def refPath(t: String, name: String) = {
+    require(name.matches(RefName) && name != "_current",
+      s"invalid ref name '$name' (allowed: $RefName)")
+    refsDir(t).resolve(name)
+  }
+
+  /** Create a NAMED REF (branch/tag — the Iceberg ref surface,
+    * minimally): a version pointer beside `_current`, maintained with
+    * the same write-temp + ATOMIC_MOVE discipline. Experiments pin a
+    * corpus version by name ([[readRef]]), [[vacuum]] retains every
+    * ref'd version, and an incremental consumer can track a branch
+    * ([[followChanges]]' `ref`). Creation is exclusive — an existing
+    * ref of the same name fails LOUDLY (the no-replace move); move an
+    * existing ref with [[advanceRef]]. Defaults to the current
+    * committed version; returns the pinned version. */
+  def createRef(tablePath: String, name: String,
+                version: Option[Long] = None): Long =
+    lockFor(tablePath).synchronized {
+      val v = version.orElse(currentVersion(tablePath)).getOrElse(
+        sys.error(s"no committed snapshot at $tablePath"))
+      require(Files.exists(manifestPath(tablePath, v)),
+        s"cannot ref nonexistent snapshot v$v at $tablePath")
+      val p = refPath(tablePath, name)
+      // exclusive create enforced under the lock: POSIX rename(2) — the
+      // ATOMIC_MOVE implementation — replaces silently, so a bare
+      // no-REPLACE move does NOT fail on an existing ref
+      if (Files.exists(p))
+        throw new java.nio.file.FileAlreadyExistsException(
+          s"ref '$name' already exists at $tablePath (advanceRef moves it)")
+      Files.createDirectories(refsDir(tablePath))
+      val tmp = p.resolveSibling(s".${p.getFileName}.tmp.$v")
+      Files.write(tmp, v.toString.getBytes("UTF-8"))
+      Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE)
+      v
+    }
+
+  /** The version ref `name` pins, if the ref exists. */
+  def refVersion(tablePath: String, name: String): Option[Long] = {
+    val p = refPath(tablePath, name)
+    if (Files.exists(p))
+      Some(new String(Files.readAllBytes(p), "UTF-8").trim.toLong)
+    else None
+  }
+
+  /** Move ref `name` to `to` — per-ref OCC: when `expected` is given the
+    * move only lands if the ref still pins that version, else
+    * [[ConcurrentCommitException]] (two experiments advancing the same
+    * branch: one rebases or aborts, never a silent clobber). Unlike
+    * `_current` a ref MAY move backward — rewinding an experiment
+    * branch is legitimate. */
+  def advanceRef(tablePath: String, name: String, to: Long,
+                 expected: Option[Long] = None): Long =
+    lockFor(tablePath).synchronized {
+      val cur = refVersion(tablePath, name).getOrElse(
+        sys.error(s"no ref '$name' at $tablePath"))
+      expected.filter(_ != cur).foreach { e =>
+        throw new ConcurrentCommitException(
+          s"ref '$name' moved: expected v$e but found v$cur at $tablePath")
+      }
+      require(Files.exists(manifestPath(tablePath, to)),
+        s"cannot ref nonexistent snapshot v$to at $tablePath")
+      val p = refPath(tablePath, name)
+      val tmp = p.resolveSibling(s".${p.getFileName}.tmp.$to")
+      Files.write(tmp, to.toString.getBytes("UTF-8"))
+      Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+      to
+    }
+
+  /** Drop ref `name`; returns whether it existed. The pinned snapshot
+    * becomes reclaimable by the NEXT [[vacuum]] (if outside its
+    * retention set). */
+  def dropRef(tablePath: String, name: String): Boolean =
+    lockFor(tablePath).synchronized(Files.deleteIfExists(refPath(tablePath, name)))
+
+  /** All refs as name → pinned version. */
+  def listRefs(tablePath: String): Map[String, Long] = {
+    val d = refsDir(tablePath)
+    if (!Files.exists(d)) return Map.empty
+    val ls = Files.list(d)
+    val out = Map.newBuilder[String, Long]
+    try ls.forEach { p =>
+      val n = p.getFileName.toString
+      if (!n.startsWith(".")) // skip in-flight temps
+        out += n -> new String(Files.readAllBytes(p), "UTF-8").trim.toLong
+    } finally ls.close()
+    out.result()
+  }
+
+  /** Read the snapshot a named ref pins — `readSnapshot` by name. */
+  def readRef(spark: SparkSession, tablePath: String, name: String,
+              partitionPruning: String => Boolean = _ => true,
+              allowSchemaEvolution: Boolean = false,
+              statsPruning: Map[String, ColStats] => Boolean = _ => true): DataFrame = {
+    val v = refVersion(tablePath, name).getOrElse(
+      sys.error(s"no ref '$name' at $tablePath"))
+    readSnapshot(spark, tablePath, Some(v), partitionPruning,
+      allowSchemaEvolution, statsPruning)
   }
 
   /** Table history as a DataFrame — (version, committed, txn, n_files,
@@ -1051,7 +1163,12 @@ object SnapshotTable {
     val committed = currentVersion(tablePath).getOrElse(
       sys.error(s"no committed snapshot at $tablePath"))
     val all = snapshots(tablePath)
-    val keep = all.filter(_ <= committed).takeRight(math.max(1, keepSnapshots)).toSet
+    // named refs PIN their versions: an experiment reading a branch by
+    // name must survive maintenance, whatever the retention count says
+    val refPins = listRefs(tablePath).values.toSet
+      .filter(v => Files.exists(manifestPath(tablePath, v)))
+    val keep = all.filter(_ <= committed)
+      .takeRight(math.max(1, keepSnapshots)).toSet ++ refPins
     val referenced = keep.toSeq.flatMap(v => manifest(tablePath, Some(v)))
       .map(_.relPath).toSet
     val r = root(tablePath)

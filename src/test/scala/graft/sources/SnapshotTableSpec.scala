@@ -274,6 +274,62 @@ class SnapshotTableSpec extends SparkTestBase {
     assert(SnapshotTable.readSnapshot(spark, t).count() == 8)
   }
 
+  test("named refs: create/advance/drop, pinned reads, per-ref OCC, vacuum retention (r13 VERDICT #7)") {
+    val t = freshTable()
+    SnapshotTable.commitOverwrite(rows(2000, 6, "v1"), t, Seq("year"))
+    SnapshotTable.commitAppend(rows(2010, 6, "v2"), t, Seq("year"))
+    // create: default pins current; explicit pins any snapshot;
+    // duplicate name / reserved name / nonexistent snapshot all loud
+    assert(SnapshotTable.createRef(t, "main-exp") == 2L)
+    assert(SnapshotTable.createRef(t, "baseline", Some(1L)) == 1L)
+    intercept[Exception] { SnapshotTable.createRef(t, "baseline") }
+    intercept[Exception] { SnapshotTable.createRef(t, "_current") }
+    intercept[Exception] { SnapshotTable.createRef(t, "nope", Some(9L)) }
+    assert(SnapshotTable.listRefs(t) == Map("main-exp" -> 2L, "baseline" -> 1L))
+    // readers pin by NAME
+    assert(SnapshotTable.readRef(spark, t, "baseline").count() == 6)
+    assert(SnapshotTable.readRef(spark, t, "main-exp").count() == 12)
+    // advance with CAS; a stale expectation aborts; rewind is allowed
+    SnapshotTable.commitAppend(rows(2020, 6, "v3"), t, Seq("year"))
+    assert(SnapshotTable.advanceRef(t, "main-exp", 3L, expected = Some(2L)) == 3L)
+    intercept[ConcurrentCommitException] {
+      SnapshotTable.advanceRef(t, "main-exp", 1L, expected = Some(2L))
+    }
+    assert(SnapshotTable.advanceRef(t, "main-exp", 1L) == 1L)
+    assert(SnapshotTable.advanceRef(t, "main-exp", 3L, Some(1L)) == 3L)
+    // vacuum keeps the ref'd v1 alive even at keepSnapshots = 1 …
+    SnapshotTable.vacuum(spark, t, keepSnapshots = 1, minAgeMs = 0)
+    assert(SnapshotTable.readRef(spark, t, "baseline").count() == 6)
+    // … while unreferenced v2 is reclaimed
+    assert(!Files.exists(Paths.get(t, "_manifests", "v00000002.manifest")))
+    // drop, then the next vacuum reclaims the pin too
+    assert(SnapshotTable.dropRef(t, "baseline"))
+    assert(!SnapshotTable.dropRef(t, "baseline"))
+    SnapshotTable.vacuum(spark, t, keepSnapshots = 1, minAgeMs = 0)
+    assert(SnapshotTable.refVersion(t, "baseline").isEmpty)
+    assert(!Files.exists(Paths.get(t, "_manifests", "v00000001.manifest")))
+    assert(SnapshotTable.readSnapshot(spark, t).count() == 18)
+  }
+
+  test("followChanges tracks a branch ref, not the main pointer") {
+    val t = freshTable()
+    val wm = s"$t/_wm/exp-consumer"
+    SnapshotTable.commitOverwrite(rows(2000, 4, "v1"), t, Seq("year"))
+    SnapshotTable.createRef(t, "exp") // pins v1
+    SnapshotTable.commitAppend(rows(2010, 4, "v2"), t, Seq("year"))
+    var seen = List.empty[(Long, Long, Long)]
+    def follow() = SnapshotTable.followChanges(spark, t, wm,
+        ref = Some("exp")) { (df, vf, vt) =>
+      seen ::= ((vf, vt, df.count()))
+    }
+    // initial load goes to the BRANCH head (v1), though main is at v2
+    assert(follow().contains((0L, 1L)) && seen.head == ((0L, 1L, 4L)))
+    // branch unchanged → no-op, whatever main does
+    assert(follow().isEmpty)
+    SnapshotTable.advanceRef(t, "exp", 2L)
+    assert(follow().contains((1L, 2L)) && seen.head == ((1L, 2L, 4L)))
+  }
+
   test("changes() cancels a pure-compaction range at the manifest level — zero scans (r13 VERDICT #6)") {
     val t = freshTable()
     SnapshotTable.commitOverwrite(rows(2000, 8, "v1"), t, Seq("year"))
