@@ -152,6 +152,49 @@ object WarcQueries {
         .orderBy("key")
     }),
 
+    // TAR/WEBDATASET shards (round 14): per-doc .txt + .cls members
+    // written into 8 ustar shards, read back entry-streamed, grouped
+    // into WebDataset samples (ext → payload map). A planted first-
+    // header corruption in shard 3 must surface as ONE bad-checksum
+    // quarantine row while the shard's samples vanish — the TfRecordIO
+    // corruption discipline on the tar container. Content digests are
+    // analytic ('doc-<id>' / 'cls-<id%7>'): the oracle never parses tar.
+    "q_tar1_webdataset_shards" -> ((s, dir) => {
+      val out = s"${System.getProperty("java.io.tmpdir", "/tmp")}" +
+        s"/graft_tar/run-${System.nanoTime()}"
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val members = docs.selectExpr(
+        "doc_id % 8 AS fkey", "doc_id * 2 AS ord",
+        "concat(lpad(CAST(doc_id AS STRING), 8, '0'), '.txt') AS name",
+        "encode(concat('doc-', CAST(doc_id AS STRING)), 'UTF-8') AS payload")
+        .unionAll(docs.selectExpr(
+          "doc_id % 8 AS fkey", "doc_id * 2 + 1 AS ord",
+          "concat(lpad(CAST(doc_id AS STRING), 8, '0'), '.cls') AS name",
+          "encode(concat('cls-', CAST(doc_id % 7 AS STRING)), 'UTF-8') AS payload"))
+      graft.sources.TarShardIO.write(members, "fkey", "ord", "name",
+        "payload", out, numFiles = 8)
+      // flip shard 3's first name byte: the stored checksum goes stale
+      val p = java.nio.file.Paths.get(s"$out/shard-00003.tar")
+      val bytes = java.nio.file.Files.readAllBytes(p)
+      bytes(0) = (bytes(0) ^ 1).toByte
+      java.nio.file.Files.write(p, bytes)
+      // drop Hadoop's local-FS checksum sidecar — OUR header checksum
+      // must be the one that catches the flip
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(s"$out/.shard-00003.tar.crc"))
+      val entries = graft.sources.TarShardIO.read(s, out)
+      val good = graft.sources.TarShardIO.samples(entries)
+        .select(col("key"), col("n_members"),
+          md5(element_at(col("members"), "txt")).as("txt_md5"),
+          md5(element_at(col("members"), "cls")).as("cls_md5"))
+      val bad = entries.toDF().filter(!col("valid"))
+        .select(concat(lit("!"), col("reason")).as("key"),
+          lit(-1L).as("n_members"),
+          lit(null).cast("string").as("txt_md5"),
+          lit(null).cast("string").as("cls_md5"))
+      good.unionByName(bad).orderBy("key")
+    }),
+
     // WARC record split: constructed gzip segments -> records with exact
     // decompressed-stream offsets; the planted truncations quarantine
     // with declared/got accounting (malformed=1, no payload digest) and
@@ -193,6 +236,18 @@ object WarcQueries {
         |FROM documents WHERE doc_id % 8 != 3
         |UNION ALL
         |SELECT CAST(-4 AS BIGINT), 'payload-crc-mismatch'
+        |ORDER BY key""".stripMargin,
+
+    // samples and digests replayed from the construction arithmetic —
+    // shard 3 (doc_id % 8 = 3) vanishes behind its one quarantine row
+    "q_tar1_webdataset_shards" ->
+      """SELECT lpad(CAST(doc_id AS VARCHAR), 8, '0') AS key,
+        |       CAST(2 AS BIGINT) AS n_members,
+        |       md5('doc-' || CAST(doc_id AS VARCHAR)) AS txt_md5,
+        |       md5('cls-' || CAST(doc_id % 7 AS VARCHAR)) AS cls_md5
+        |FROM documents WHERE doc_id % 8 != 3
+        |UNION ALL
+        |SELECT '!bad-checksum', CAST(-1 AS BIGINT), NULL, NULL
         |ORDER BY key""".stripMargin,
 
     // every field derived analytically from the construction: record

@@ -1,0 +1,282 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** POSIX tar ("ustar") shard container — the WebDataset loader format: a
+  * multimodal SAMPLE is the set of member files sharing one key stem
+  * (`000123.jpg` + `000123.txt` + `000123.json`), shards are plain tar
+  * files a training job streams sequentially. Hand-rolled from the
+  * PUBLIC ustar layout (POSIX.1-1988 / pax interchange format):
+  * {{{
+  *   512-byte header: name[100] mode[8] uid[8] gid[8] size[12-octal]
+  *     mtime[12-octal] chksum[8] typeflag[1] linkname[100]
+  *     magic[6]="ustar\0" version[2]="00" uname[32] gname[32]
+  *     devmajor[8] devminor[8] prefix[155]
+  *   payload, zero-padded to 512-byte blocks
+  *   end-of-archive: two all-zero 512-byte blocks
+  *   chksum = unsigned byte sum of the header with the chksum field
+  *     read as 8 spaces, stored "%06o\0 "
+  * }}}
+  *
+  * Same container discipline as [[TfRecordIO]]: write side is
+  * deterministic (one shard per caller-chosen file key, member order by
+  * `sortCol`, mtime pinned to 0 — shard BYTES are a pure function of the
+  * data); read side streams entry-by-entry in O(largest member) memory
+  * and quarantines a defective file's TAIL as ONE loud row (tar headers
+  * are checksummed but carry no payload CRC and no reliable resync
+  * marker, so a bad block poisons everything after it — keep shards
+  * partition-sized). Non-regular entries (directories, symlinks,
+  * pax/GNU extension records) are structurally SKIPPED, not quarantined:
+  * their payloads are well-framed, they just carry no sample data —
+  * long names beyond the 100-byte ustar field are therefore unsupported
+  * and rejected at WRITE time, loudly.
+  */
+object TarShardIO {
+
+  private val Block = 512
+  /** Members above this are corruption, not allocation targets (the
+    * [[TfRecordIO.MaxRecordBytes]] discipline). */
+  private val MaxEntryBytes: Long = 1L * 1024 * 1024 * 1024
+
+  // --------------------------------------------------------------- write
+
+  private def putOctal(b: Array[Byte], off: Int, width: Int, v: Long): Unit = {
+    val s = java.lang.Long.toOctalString(v)
+    require(s.length < width, s"octal field overflow: $v in $width bytes")
+    val pad = width - 1 - s.length
+    var i = 0
+    while (i < pad) { b(off + i) = '0'; i += 1 }
+    s.foreach { c => b(off + i) = c.toByte; i += 1 }
+    b(off + width - 1) = 0
+  }
+
+  /** One ustar header block for a regular file (mode 0644, uid/gid 0,
+    * mtime 0 — fixed so shard bytes are content-determined). */
+  def header(name: String, size: Long): Array[Byte] = {
+    val b = new Array[Byte](Block)
+    val nameBytes = name.getBytes("UTF-8")
+    require(nameBytes.nonEmpty && nameBytes.length <= 100,
+      s"ustar name field is 100 bytes; got ${nameBytes.length} for '$name'" +
+        " (GNU/pax long-name records are out of scope — shorten the key)")
+    require(size >= 0 && size <= MaxEntryBytes, s"entry size $size out of range")
+    System.arraycopy(nameBytes, 0, b, 0, nameBytes.length)
+    putOctal(b, 100, 8, 0x1a4) // mode 0644
+    putOctal(b, 108, 8, 0)     // uid
+    putOctal(b, 116, 8, 0)     // gid
+    putOctal(b, 124, 12, size)
+    putOctal(b, 136, 12, 0)    // mtime: pinned for deterministic bytes
+    b(156) = '0'               // typeflag: regular file
+    "ustar".getBytes("US-ASCII").copyToArray(b, 257) // magic, NUL-terminated
+    b(263) = '0'; b(264) = '0' // version "00"
+    java.util.Arrays.fill(b, 148, 156, ' '.toByte)   // chksum as spaces
+    var sum = 0L
+    var i = 0
+    while (i < Block) { sum += b(i) & 0xff; i += 1 }
+    "%06o".format(sum).getBytes("US-ASCII").copyToArray(b, 148)
+    b(154) = 0; b(155) = ' '
+    b
+  }
+
+  private def padLen(n: Long): Int = ((Block - n % Block) % Block).toInt
+
+  /** Write `(nameCol, payloadCol)` members into `numFiles` tar shards
+    * under `dir`: row → shard `shard-<fileKeyCol>.tar`, member order by
+    * `sortCol` within the shard. WebDataset contract is the CALLER's:
+    * emit one row per member file, `<key stem>.<ext>` names, members of
+    * one sample adjacent in `sortCol` order and in the same shard.
+    * Returns members written. */
+  def write(df: DataFrame, fileKeyCol: String, sortCol: String,
+            nameCol: String, payloadCol: String, dir: String,
+            numFiles: Int): Long = {
+    require(numFiles >= 1)
+    val spark = df.sparkSession
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val pairs = df
+      .select(col(fileKeyCol).cast("long"), col(sortCol).cast("long"),
+        col(nameCol).cast("string"), col(payloadCol))
+      .rdd.map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getString(2), r.getAs[Array[Byte]](3))))
+    val partitioner = new org.apache.spark.Partitioner {
+      override def numPartitions: Int = numFiles
+      override def getPartition(key: Any): Int = {
+        val k = key.asInstanceOf[(Long, Long)]._1
+        require(k >= 0 && k < numFiles, s"file key $k outside [0, $numFiles)")
+        k.toInt
+      }
+    }
+    pairs
+      .repartitionAndSortWithinPartitions(partitioner)
+      .mapPartitionsWithIndex { (idx, it) =>
+        val path = new org.apache.hadoop.fs.Path(f"$dir/shard-$idx%05d.tar")
+        val fs = path.getFileSystem(conf.value)
+        val out = fs.create(path, true)
+        var n = 0L
+        try {
+          it.foreach { case (_, (name, payloadOrNull)) =>
+            val payload =
+              if (payloadOrNull == null) Array.emptyByteArray else payloadOrNull
+            out.write(header(name, payload.length.toLong))
+            out.write(payload)
+            out.write(new Array[Byte](padLen(payload.length.toLong)))
+            n += 1
+          }
+          out.write(new Array[Byte](2 * Block)) // end-of-archive
+        } finally out.close()
+        Iterator.single(n)
+      }
+      .sum().toLong
+  }
+
+  // ---------------------------------------------------------------- read
+
+  /** One tar member (or the single quarantine row of a defective shard).
+    * `key`/`ext` are the WebDataset split of the basename at its FIRST
+    * dot (`dir/000123.seg.png` → key `dir/000123`, ext `seg.png`). */
+  final case class TarEntry(file: String, entry_idx: Int, valid: Boolean,
+                            reason: String, name: String, key: String,
+                            ext: String, payload: Array[Byte],
+                            bytes_skipped: Long)
+
+  private[sources] def splitName(name: String): (String, String) = {
+    val slash = name.lastIndexOf('/')
+    val dot = name.indexOf('.', slash + 1)
+    if (dot < 0) (name, "") else (name.substring(0, dot), name.substring(dot + 1))
+  }
+
+  /** Read every `*.tar` under `dir`: one row per regular member plus,
+    * per defective shard, ONE `valid = false` row naming the defect and
+    * the bytes quarantined (bad block to EOF). File-parallel,
+    * entry-streamed — O(largest member) memory ([[TfRecordIO.read]]'s
+    * regime). Non-regular entries are skipped structurally. */
+  def read(spark: SparkSession, dir: String): Dataset[TarEntry] = {
+    import spark.implicits._
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(root).toSeq
+      .map(_.getPath.toString).filter(_.endsWith(".tar")).sorted
+    spark.createDataset(files).flatMap(f => streamFile(f, conf))
+  }
+
+  /** Lazy single-shard member iterator — one member in memory at a time. */
+  private[sources] def streamFile(
+      f: String,
+      conf: org.apache.spark.util.SerializableConfiguration): Iterator[TarEntry] =
+    new Iterator[TarEntry] {
+      private val p = new org.apache.hadoop.fs.Path(f)
+      private val cfs = p.getFileSystem(conf.value)
+      private val fileSize = cfs.getFileStatus(p).getLen
+      private val in = cfs.open(p)
+      private val hdr = new Array[Byte](Block)
+      private var pos = 0L
+      private var idx = 0
+      private var done = false
+      private var pending: TarEntry = _
+      locally {
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null) tc.addTaskCompletionListener[Unit](_ => close())
+      }
+      private def close(): Unit = if (!done) { done = true; in.close() }
+      private def quarantine(reason: String): TarEntry = {
+        val row = TarEntry(f, idx, valid = false, reason, "", "", "",
+          Array.emptyByteArray, fileSize - pos)
+        close()
+        row
+      }
+      /** Octal field: leading spaces/zeros, digits, NUL/space terminator.
+        * -1 = malformed. */
+      private def octal(off: Int, width: Int): Long = {
+        var i = off
+        val end = off + width
+        while (i < end && hdr(i) == ' ') i += 1
+        var v = 0L
+        var any = false
+        while (i < end && hdr(i) >= '0' && hdr(i) <= '7') {
+          v = (v << 3) | (hdr(i) - '0').toLong
+          any = true
+          i += 1
+        }
+        while (i < end && (hdr(i) == 0 || hdr(i) == ' ')) i += 1
+        if (any && i == end) v else -1L
+      }
+      private def cstr(off: Int, width: Int): String = {
+        var n = 0
+        while (n < width && hdr(off + n) != 0) n += 1
+        new String(hdr, off, n, "UTF-8")
+      }
+      /** Parse ONE member; null = clean end-of-archive / EOF. */
+      @scala.annotation.tailrec
+      private def fetch(): TarEntry = {
+        if (done) return null
+        if (pos >= fileSize) { close(); return null }
+        if (fileSize - pos < Block) return quarantine("truncated-header")
+        in.readFully(pos, hdr, 0, Block)
+        if (hdr.forall(_ == 0)) { close(); return null } // terminator block
+        // checksum first: it vouches for every other field
+        val stored = octal(148, 8)
+        var sum = 0L
+        var i = 0
+        while (i < Block) {
+          sum += (if (i >= 148 && i < 156) ' '.toInt else hdr(i) & 0xff)
+          i += 1
+        }
+        if (stored < 0 || stored != sum) return quarantine("bad-checksum")
+        if (!(hdr(257) == 'u' && hdr(258) == 's' && hdr(259) == 't' &&
+            hdr(260) == 'a' && hdr(261) == 'r'))
+          return quarantine("bad-magic")
+        val size = octal(124, 12)
+        if (size < 0) return quarantine("malformed-size")
+        if (size > MaxEntryBytes) return quarantine("oversized-entry")
+        val span = Block + size + padLen(size)
+        if (fileSize - pos < span) return quarantine("truncated-payload")
+        val typeflag = hdr(156)
+        if (typeflag != '0' && typeflag != 0) {
+          pos += span // dir/symlink/pax/GNU record: framed, but no sample
+          fetch()
+        } else {
+          val name = cstr(0, 100)
+          val payload = new Array[Byte](size.toInt)
+          in.readFully(pos + Block, payload, 0, size.toInt)
+          val (key, ext) = splitName(name)
+          val row = TarEntry(f, idx, valid = true, "", name, key, ext,
+            payload, 0L)
+          pos += span
+          idx += 1
+          row
+        }
+      }
+      override def hasNext: Boolean = {
+        if (pending == null) pending = fetch()
+        pending != null
+      }
+      override def next(): TarEntry = {
+        if (!hasNext) throw new NoSuchElementException(f)
+        val r = pending
+        pending = null
+        r
+      }
+    }
+
+  /** WebDataset SAMPLE view: valid members grouped by key stem into an
+    * `ext → payload` map (deterministic: one payload per ext — the first
+    * by (shard, entry) order when an ext repeats, so map_from_entries
+    * never sees duplicate keys — entries sorted by ext). Key-grouped
+    * shuffles only — at 100 TB the members of a sample are adjacent in
+    * one shard, so with shard-sized partitions the groups are local in
+    * practice; the shuffle keys stay sample-count-bounded. */
+  def samples(entries: Dataset[TarEntry]): DataFrame = {
+    val df = entries.toDF()
+    df.filter(col("valid"))
+      .groupBy(col("key"), col("ext"))
+      .agg(min_by(col("payload"),
+        struct(col("file"), col("entry_idx"))).as("payload"))
+      .groupBy(col("key"))
+      .agg(map_from_entries(array_sort(
+        collect_list(struct(col("ext"), col("payload")))))
+        .as("members"),
+        count(lit(1)).as("n_members"))
+  }
+}

@@ -1,0 +1,148 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkTestBase
+import graft.operators.{ImageCodec, Multimodal}
+import org.apache.spark.sql.functions._
+
+/** Tar/WebDataset shard invariants: ustar byte layout a stock `tar`
+  * binary reads back, deterministic shard bytes, defect-class
+  * quarantine, WebDataset key/ext grouping, and composition with the
+  * real image/audio decoders over tar member payloads. */
+class TarShardIOSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def freshDir(): String =
+    Files.createTempDirectory("graft-tar").toString
+
+  private def members(n: Int, shards: Int = 3) = (0 until n).flatMap { i =>
+    Seq(
+      (i.toLong % shards, i.toLong * 2, f"$i%06d.txt",
+        s"text-$i".getBytes("UTF-8")),
+      (i.toLong % shards, i.toLong * 2 + 1, f"$i%06d.cls",
+        s"c${i % 5}".getBytes("UTF-8")))
+  }.toDF("fkey", "ord", "name", "payload")
+
+  test("round trip is byte-lossless; a stock tar binary lists our shards") {
+    val dir = freshDir()
+    assert(TarShardIO.write(members(12), "fkey", "ord", "name", "payload",
+      dir, 3) == 24L)
+    val back = TarShardIO.read(spark, dir).collect()
+    assert(back.length == 24 && back.forall(_.valid))
+    val byName = back.map(r => r.name -> new String(r.payload, "UTF-8")).toMap
+    assert(byName("000007.txt") == "text-7" && byName("000007.cls") == "c2")
+    // entry order within a shard follows ord
+    val shard0 = back.filter(_.file.endsWith("shard-00000.tar")).sortBy(_.entry_idx)
+    assert(shard0.map(_.name).toSeq ==
+      (0 until 12).filter(_ % 3 == 0).flatMap(i => Seq(f"$i%06d.txt", f"$i%06d.cls")))
+    // shard bytes are content-determined: a rewrite is byte-identical
+    val before = Files.readAllBytes(Paths.get(dir, "shard-00001.tar"))
+    TarShardIO.write(members(12), "fkey", "ord", "name", "payload", dir, 3)
+    assert(java.util.Arrays.equals(before,
+      Files.readAllBytes(Paths.get(dir, "shard-00001.tar"))))
+    // cross-tool receipt: the system tar (when present) reads our ustar
+    // layout and lists exactly our member names, in order
+    if (Files.exists(Paths.get("/usr/bin/tar")) || Files.exists(Paths.get("/bin/tar"))) {
+      val p = new ProcessBuilder("tar", "-tf", s"$dir/shard-00000.tar")
+        .redirectErrorStream(true).start()
+      val listed = scala.io.Source.fromInputStream(p.getInputStream)
+        .getLines().toList
+      assert(p.waitFor() == 0, s"tar -tf failed: $listed")
+      assert(listed == shard0.map(_.name).toList)
+    }
+  }
+
+  test("every defect class quarantines the shard TAIL as one loud row") {
+    def oneShard(mutate: Array[Byte] => Unit): Seq[TarShardIO.TarEntry] = {
+      val dir = freshDir()
+      val good = TarShardIO.header("a.txt", 3) ++ "abc".getBytes ++
+        new Array[Byte](509) ++
+        TarShardIO.header("b.txt", 5) ++ "defgh".getBytes ++
+        new Array[Byte](507) ++ new Array[Byte](1024)
+      mutate(good)
+      Files.write(Paths.get(dir, "shard-00000.tar"), good)
+      TarShardIO.read(spark, dir).collect().toSeq.sortBy(_.entry_idx)
+    }
+    // clean file: both entries valid
+    val clean = oneShard(_ => ())
+    assert(clean.map(r => (r.valid, r.name)) ==
+      Seq((true, "a.txt"), (true, "b.txt")))
+    // flipped payload byte: tar has NO payload CRC — reads back changed
+    // (documented container property, the honest contrast to TFRecord)
+    val flipped = oneShard(b => b(512) = 'X')
+    assert(flipped.forall(_.valid) &&
+      new String(flipped.head.payload, "UTF-8") == "Xbc")
+    // defects in the SECOND header: first entry survives, tail quarantined
+    def second(reason: String)(mutate: Array[Byte] => Unit) = {
+      val got = oneShard(mutate)
+      assert(got.map(_.valid) == Seq(true, false), s"$reason: $got")
+      assert(got(1).reason == reason, s"got ${got(1).reason}, want $reason")
+      assert(got(1).bytes_skipped > 0)
+    }
+    second("bad-checksum") { b => b(1024) = 'Z' } // name edit breaks sum
+    second("bad-magic") { b =>
+      // recompute a valid checksum over a wrong magic, isolating the check
+      val h = TarShardIO.header("b.txt", 5)
+      h(257) = 'X'
+      java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+      var sum = 0L; var i = 0
+      while (i < 512) { sum += h(i) & 0xff; i += 1 }
+      "%06o".format(sum).getBytes("US-ASCII").copyToArray(h, 148)
+      h(154) = 0; h(155) = ' '
+      System.arraycopy(h, 0, b, 1024, 512)
+    }
+    second("truncated-payload") { b =>
+      // size says 5000 (needs 10 blocks) but file ends after 2
+      val h = TarShardIO.header("b.txt", 5000)
+      System.arraycopy(h, 0, b, 1024, 512)
+    }
+    // truncated header: file ends mid-block
+    val dir2 = freshDir()
+    val bytes = TarShardIO.header("a.txt", 3) ++ "abc".getBytes ++
+      new Array[Byte](509) ++ TarShardIO.header("b.txt", 5).take(100)
+    Files.write(Paths.get(dir2, "shard-00000.tar"), bytes)
+    val trunc = TarShardIO.read(spark, dir2).collect().toSeq.sortBy(_.entry_idx)
+    assert(trunc.map(_.valid) == Seq(true, false) &&
+      trunc(1).reason == "truncated-header")
+  }
+
+  test("WebDataset grouping: key/ext split at first dot; samples() builds ext→payload maps") {
+    assert(TarShardIO.splitName("000123.jpg") == ("000123", "jpg"))
+    assert(TarShardIO.splitName("a/b/000123.seg.png") == ("a/b/000123", "seg.png"))
+    assert(TarShardIO.splitName("noext") == ("noext", ""))
+    val dir = freshDir()
+    TarShardIO.write(members(6, shards = 2), "fkey", "ord", "name", "payload", dir, 2)
+    val s = TarShardIO.samples(TarShardIO.read(spark, dir))
+    assert(s.count() == 6)
+    val row = s.filter(col("key") === "000004").head()
+    assert(row.getAs[Long]("n_members") == 2)
+    val m = row.getAs[Map[String, Array[Byte]]]("members")
+    assert(new String(m("txt"), "UTF-8") == "text-4")
+    assert(new String(m("cls"), "UTF-8") == "c4")
+  }
+
+  test("compose: WAV and BMP members decode through the real parsers") {
+    val dir = freshDir()
+    val wav = Multimodal.pcmWav(16000, 1,
+      Array.tabulate[Byte](3200)(i => (i % 127).toByte))
+    val bmp = ImageCodec.grayBmp(4, 2,
+      Array(0, 32, 64, 96, 128, 160, 192, 255))
+    val rows = Seq(
+      (0L, 0L, "s0.wav", wav), (0L, 1L, "s0.bmp", bmp),
+      (0L, 2L, "s0.txt", "a tiny caption".getBytes("UTF-8")))
+      .toDF("fkey", "ord", "name", "payload")
+    TarShardIO.write(rows, "fkey", "ord", "name", "payload", dir, 1)
+    val entries = TarShardIO.read(spark, dir)
+    val audio = Multimodal.parseWav(
+      entries.filter(col("ext") === "wav").toDF()
+        .withColumn("id", lit(1L)), "id", "payload").head()
+    assert(audio.valid && audio.sample_rate == 16000 &&
+      audio.channels == 1 && audio.n_samples == 1600)
+    val img = ImageCodec.decodeImages(
+      entries.filter(col("ext") === "bmp").toDF()
+        .withColumn("id", lit(1L)), "id", "payload", gridW = 4, gridH = 2)
+      .head()
+    assert(img.decoded && img.width == 4 && img.height == 2)
+  }
+}
