@@ -105,7 +105,8 @@ object Curation {
                           nPiiRedacted: Long = -1L,
                           nAfterCaptionAlign: Long = -1L,
                           nAfterWordBlocklist: Long = -1L,
-                          nAfterRobots: Long = -1L)
+                          nAfterRobots: Long = -1L,
+                          nGpsStripped: Long = -1L)
 
   /** Quality thresholds for the row-local gate. Defaults are the
     * web-corpus heuristics (Gopher-family): enough tokens, some lexical
@@ -202,7 +203,8 @@ object Curation {
              captionAlign: Option[CaptionAlignConfig] = None,
              wordBlocklist: Option[DataFrame] = None,
              robotsRules: Option[DataFrame] = None,
-             robotsAgent: String = "*"): Report = {
+             robotsAgent: String = "*",
+             exifGpsStrip: Option[String] = None): Report = {
     val nInput = docs.count()
 
     // URL layer FIRST when the corpus carries URLs (the web-pipeline
@@ -301,11 +303,34 @@ object Curation {
           col("_pii.n_ipv6") + col("_pii.n_nums") > 0).count()
       (tagged.withColumn("text", col("_pii.clean")).drop("_pii"), hit)
     } else (docsRepaired0, -1L)
+
+    // GPS EXIF strip rides the SAME early PII scan (the image branch's
+    // PII class, beside the text redaction above): the payload column is
+    // rewritten with the GPS IFD surgically zeroed BEFORE any signature
+    // or artifact is built from it, so coordinates never persist. Docs
+    // whose containers will not parse pass through untouched (the
+    // quarantine-don't-guess rule); the report counts actual strips.
+    val (docsRepaired2, nGps) = exifGpsStrip match {
+      case Some(pc) =>
+        val others = docsRepaired1.columns.filterNot(_ == pc).map(col)
+        val stripped = Multimodal.stripExifGps(
+            docsRepaired1.withColumnRenamed(pc, "_gps_payload")
+              .withColumn("_gps_id", col("doc_id")),
+            "_gps_id", "_gps_payload").toDF()
+        val joined = docsRepaired1.drop(pc)
+          .join(stripped.select(col("id").as("doc_id"),
+            col("gps_stripped"), col("payload").as(pc)), Seq("doc_id"))
+        val n = joined.filter(col("gps_stripped")).count()
+        (joined.drop("gps_stripped"), n)
+      case None => (docsRepaired1, -1L)
+    }
     // lineage cut after the rewrite block (see [[planReset]]): without it,
     // the caption gate's semi-join and the paragraph reassembly square the
     // repair/redaction expression trees into a driver-OOM-sized plan
     val docsRepaired =
-      if (encodingRepair || piiRedact) planReset(docsRepaired1) else docsRepaired1
+      if (encodingRepair || piiRedact || exifGpsStrip.isDefined)
+        planReset(docsRepaired2)
+      else docsRepaired2
 
     // Multimodal alignment gate (LAION shape) right after the row-local
     // repairs, before any text-measurement stage: a misaligned caption
@@ -519,6 +544,6 @@ object Curation {
       totals.getLong(0), totals.getLong(1), nDecontam, nScrub,
       ruleDropsAll, nClassifier, nUrlDedup, nBlocklist,
       nParagraph, nRepetition, nRepaired, nPii, nCaptionAlign, nWordBlock,
-      nRobotsKept)
+      nRobotsKept, nGps)
   }
 }

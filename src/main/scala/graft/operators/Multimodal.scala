@@ -554,4 +554,254 @@ object Multimodal {
         segs
       }
   }
+  /** One image's EXIF/TIFF metadata census — or the defect row naming
+    * why the container would not parse. `byte_order` is "II"/"MM";
+    * `orientation` is -1 when the tag is absent, `datetime` "" likewise;
+    * `has_gps`/`n_gps_entries` report the GPS IFD (the image lake's PII
+    * class — see [[stripExifGps]]). */
+  case class ExifMeta(id: Long, valid: Boolean, reason: String,
+                      byte_order: String, orientation: Int,
+                      datetime: String, has_gps: Boolean,
+                      n_ifd0_entries: Int, n_gps_entries: Int)
+
+  /** Walk the EXIF container row-locally — the [[parseMp4Meta]] pattern
+    * for APP1/TIFF (public specs: TIFF 6.0, JEITA CP-3451): accepts a
+    * bare TIFF stream (`II*\0` / `MM\0*`) or a JPEG whose APP1 segment
+    * carries `Exif\0\0`, walks IFD0 for Orientation (0x0112), DateTime
+    * (0x0132) and the GPS IFD pointer (0x8825), then counts the GPS
+    * IFD's entries. Both endiannesses; every malformation (bad magic,
+    * IFD overruns, unaligned counts, out-of-range value offsets) is a
+    * defect ROW, never a task failure. Payloads never shuffle — the
+    * census rides the scan. */
+  def parseExif(df: DataFrame, idCol: String,
+                payloadCol: String): Dataset[ExifMeta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .map { case (id, payload) =>
+        val b = if (payload == null) Array.emptyByteArray else payload
+        exifOne(id, b) match {
+          case Left(reason) =>
+            ExifMeta(id, valid = false, reason, "", -1, "", has_gps = false, 0, 0)
+          case Right(m) => m
+        }
+      }
+  }
+
+  /** Locate the TIFF stream inside `b`: offset of the byte-order mark,
+    * or the defect. Bare TIFF → 0; JPEG → inside the first APP1 segment
+    * carrying the `Exif\0\0` identifier. */
+  private def tiffStart(b: Array[Byte]): Either[String, Int] = {
+    def u8(i: Int) = b(i) & 0xff
+    if (b.length >= 4 &&
+        ((b(0) == 'I' && b(1) == 'I') || (b(0) == 'M' && b(1) == 'M')))
+      Right(0)
+    else if (b.length >= 2 && u8(0) == 0xff && u8(1) == 0xd8) { // JPEG SOI
+      var off = 2
+      while (off + 4 <= b.length && u8(off) == 0xff) {
+        val marker = u8(off + 1)
+        if (marker == 0xd9 || marker == 0xda) return Left("no-exif-segment")
+        val len = (u8(off + 2) << 8) | u8(off + 3) // includes the 2 len bytes
+        if (len < 2 || off + 2 + len > b.length) return Left("truncated-segment")
+        if (marker == 0xe1 && len >= 8 &&
+            b(off + 4) == 'E' && b(off + 5) == 'x' && b(off + 6) == 'i' &&
+            b(off + 7) == 'f' && b(off + 8) == 0 && b(off + 9) == 0)
+          return Right(off + 10)
+        off += 2 + len
+      }
+      Left("no-exif-segment")
+    } else Left("not-tiff-or-jpeg")
+  }
+
+  /** Parse one payload's EXIF; shared by [[parseExif]] and
+    * [[stripExifGps]] (the stripper re-walks to FIND the bytes it
+    * zeroes). Returns the census or the defect reason. */
+  private def exifOne(id: Long, b: Array[Byte]): Either[String, ExifMeta] =
+    exifWalk(b).map { w =>
+      ExifMeta(id, valid = true, "", w.order,
+        w.orientation, w.datetime, w.gpsCount > 0, w.ifd0Count, w.gpsCount)
+    }
+
+  private final case class ExifWalk(order: String, tiff: Int,
+                                    ifd0Count: Int, orientation: Int,
+                                    datetime: String,
+                                    gpsPtrEntryOff: Int, // abs offset of the 0x8825 IFD0 entry, -1 if none
+                                    gpsIfdOff: Int,      // abs offset of the GPS IFD, -1
+                                    gpsCount: Int,
+                                    gpsSpans: Seq[(Int, Int)]) // abs (off, len) of GPS value bytes
+
+  private def exifWalk(b: Array[Byte]): Either[String, ExifWalk] = {
+    tiffStart(b).flatMap { t =>
+      if (b.length - t < 8) return Left("truncated-tiff-header")
+      val little = b(t) == 'I' && b(t + 1) == 'I'
+      val big = b(t) == 'M' && b(t + 1) == 'M'
+      if (!little && !big) return Left("bad-byte-order-mark")
+      def u16(o: Int): Int =
+        if (little) (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+        else ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+      def u32(o: Int): Long =
+        if (little) (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+          ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+        else ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+          ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+      if (u16(t + 2) != 42) return Left("bad-tiff-magic")
+      val typeSize = Array(0, 1, 1, 2, 4, 8, 1, 1, 2, 4, 8, 4, 8)
+      /** Walk one IFD at TIFF-relative `rel`; returns (count, entries as
+        * (tag, absEntryOff, valueAbsOff, byteLen)) or a defect. */
+      def ifd(rel: Long): Either[String, (Int, Seq[(Int, Int, Int, Int)])] = {
+        val o = t + rel
+        if (rel < 8 || o + 2 > b.length) return Left("ifd-out-of-range")
+        val n = u16(o.toInt)
+        if (o + 2 + n * 12 + 4 > b.length) return Left("ifd-overruns-file")
+        val entries = (0 until n).map { i =>
+          val e = (o + 2 + i * 12).toInt
+          val tag = u16(e)
+          val typ = u16(e + 2)
+          val cnt = u32(e + 4)
+          val sz = if (typ >= 1 && typ <= 12) typeSize(typ) else 0
+          val byteLen = (sz * cnt).toInt
+          val vOff =
+            if (byteLen <= 4) e + 8
+            else (t + u32(e + 8)).toInt
+          (tag, e, vOff, byteLen)
+        }
+        // any out-of-line value overrunning the buffer is a defect
+        entries.find { case (_, _, v, l) =>
+          l > 4 && (v < t || v.toLong + l > b.length)
+        } match {
+          case Some(_) => Left("value-overruns-file")
+          case None => Right((n, entries))
+        }
+      }
+      val ifd0Rel = u32(t + 4)
+      ifd(ifd0Rel).flatMap { case (n0, entries0) =>
+        var orientation = -1
+        var datetime = ""
+        var gpsPtrEntry = -1
+        var gpsIfdRel = -1L
+        entries0.foreach { case (tag, e, v, l) =>
+          tag match {
+            case 0x0112 if l >= 2 => orientation = u16(v)
+            case 0x0132 if l >= 1 =>
+              val len = math.min(l, 64)
+              datetime = new String(b, v, len, java.nio.charset.StandardCharsets.US_ASCII)
+                .takeWhile(_ != 0).trim
+            case 0x8825 if l >= 4 =>
+              gpsPtrEntry = e
+              gpsIfdRel = u32(v)
+            case _ => ()
+          }
+        }
+        val order = if (little) "II" else "MM"
+        if (gpsPtrEntry < 0)
+          Right(ExifWalk(order, t, n0, orientation, datetime, -1, -1, 0, Nil))
+        else ifd(gpsIfdRel).map { case (ng, entriesG) =>
+          val spans = entriesG.map { case (_, e, v, l) =>
+            if (l > 4) (v, l) else (e + 8, 4) // inline values live in the entry
+          }
+          ExifWalk(order, t, n0, orientation, datetime, gpsPtrEntry,
+            (t + gpsIfdRel).toInt, ng, spans)
+        }
+      }
+    }
+  }
+
+  /** One image after GPS stripping: the (possibly rewritten) payload plus
+    * the governance verdict. `gps_stripped` = a GPS IFD was found and
+    * surgically zeroed; invalid containers pass through UNTOUCHED with
+    * `valid = false` (quarantine-don't-guess: rewriting bytes we cannot
+    * parse could corrupt them further). */
+  case class GpsStripped(id: Long, valid: Boolean, reason: String,
+                         gps_stripped: Boolean, payload: Array[Byte])
+
+  /** Strip GPS EXIF in place — the image lake's PII scrub, beside
+    * [[Curation]]'s text redaction: the IFD0 entry pointing at the GPS
+    * IFD is retagged to 0xFFFE (readers skip unknown tags) with a zeroed
+    * value, and every byte of the GPS IFD itself — entry table, next-IFD
+    * link, and out-of-line coordinate rationals — is OVERWRITTEN with
+    * zeros, not merely unreferenced. Offsets of all other data are
+    * untouched, so the image decodes identically. Row-local typed pass;
+    * payloads never shuffle. */
+  def stripExifGps(df: DataFrame, idCol: String,
+                   payloadCol: String): Dataset[GpsStripped] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .map { case (id, payload) =>
+        val b = if (payload == null) Array.emptyByteArray else payload
+        exifWalk(b) match {
+          case Left(reason) =>
+            GpsStripped(id, valid = false, reason, gps_stripped = false, b)
+          case Right(w) if w.gpsPtrEntryOff < 0 =>
+            GpsStripped(id, valid = true, "", gps_stripped = false, b)
+          case Right(w) =>
+            val out = b.clone()
+            // retag the pointer entry (tag+type+count+value = 12 bytes)
+            val e = w.gpsPtrEntryOff
+            if (w.order == "II") { out(e) = 0xfe.toByte; out(e + 1) = 0xff.toByte }
+            else { out(e) = 0xff.toByte; out(e + 1) = 0xfe.toByte }
+            java.util.Arrays.fill(out, e + 2, e + 12, 0.toByte)
+            // zero the GPS IFD block: count + entries + next-link
+            val g = w.gpsIfdOff
+            java.util.Arrays.fill(out, g, g + 2 + w.gpsCount * 12 + 4, 0.toByte)
+            // and every out-of-line GPS value (coordinate rationals)
+            w.gpsSpans.foreach { case (o, l) =>
+              java.util.Arrays.fill(out, o, o + l, 0.toByte)
+            }
+            GpsStripped(id, valid = true, "", gps_stripped = true, out)
+        }
+      }
+  }
+
+  /** Build a minimal EXIF/TIFF payload for tests and planted oracles:
+    * IFD0 with Orientation, DateTime, and (optionally) a GPS IFD with
+    * latitude/longitude rationals — both endiannesses. Public TIFF 6.0
+    * layout, values out-of-line where the spec puts them. */
+  def tiffExif(little: Boolean, orientation: Int, datetime: String,
+               gps: Option[(Double, Double)]): Array[Byte] = {
+    require(datetime.length == 19, "EXIF DateTime is 'YYYY:MM:DD HH:MM:SS'")
+    val buf = java.nio.ByteBuffer.allocate(512).order(
+      if (little) java.nio.ByteOrder.LITTLE_ENDIAN
+      else java.nio.ByteOrder.BIG_ENDIAN)
+    buf.put((if (little) "II" else "MM").getBytes("US-ASCII"))
+    buf.putShort(42.toShort)
+    buf.putInt(8) // IFD0 right after the header
+    val n0 = if (gps.isDefined) 3 else 2
+    buf.putShort(n0.toShort)
+    val dtOff = 8 + 2 + n0 * 12 + 4
+    // Orientation: SHORT(3) x1, inline
+    buf.putShort(0x0112.toShort).putShort(3.toShort).putInt(1)
+      .putShort(orientation.toShort).putShort(0.toShort)
+    // DateTime: ASCII(2) x20, out-of-line at dtOff
+    buf.putShort(0x0132.toShort).putShort(2.toShort).putInt(20).putInt(dtOff)
+    val gpsIfdOff = dtOff + 20
+    if (gps.isDefined) // GPS IFD pointer: LONG(4) x1
+      buf.putShort(0x8825.toShort).putShort(4.toShort).putInt(1).putInt(gpsIfdOff)
+    buf.putInt(0) // next IFD
+    buf.put(datetime.getBytes("US-ASCII")).put(0.toByte)
+    gps.foreach { case (lat, lon) =>
+      def rat(v: Double): (Int, Int) = (math.round(v * 1000000).toInt, 1000000)
+      val latRatOff = gpsIfdOff + 2 + 4 * 12 + 4
+      val lonRatOff = latRatOff + 8
+      buf.putShort(4.toShort) // 4 GPS entries
+      // GPSLatitudeRef: ASCII x2 inline
+      buf.putShort(1.toShort).putShort(2.toShort).putInt(2)
+        .put((if (lat >= 0) "N" else "S").getBytes("US-ASCII")).put(0.toByte)
+        .putShort(0.toShort)
+      // GPSLatitude: RATIONAL(5) x1 out-of-line
+      buf.putShort(2.toShort).putShort(5.toShort).putInt(1).putInt(latRatOff)
+      // GPSLongitudeRef
+      buf.putShort(3.toShort).putShort(2.toShort).putInt(2)
+        .put((if (lon >= 0) "E" else "W").getBytes("US-ASCII")).put(0.toByte)
+        .putShort(0.toShort)
+      // GPSLongitude
+      buf.putShort(4.toShort).putShort(5.toShort).putInt(1).putInt(lonRatOff)
+      buf.putInt(0) // next IFD
+      val (ln, ld) = rat(math.abs(lat)); buf.putInt(ln).putInt(ld)
+      val (on, od) = rat(math.abs(lon)); buf.putInt(on).putInt(od)
+    }
+    java.util.Arrays.copyOf(buf.array(), buf.position())
+  }
 }

@@ -194,6 +194,41 @@ object MultimodalQueries {
         .orderBy("doc_id")
     }),
 
+    // EXIF/TIFF metadata + GPS strip (round 14): per-doc TIFF payloads
+    // planted with both endiannesses, orientation/datetime tags, a GPS
+    // IFD on the %3 class and a truncation on the %19 class. The WALK is
+    // load-bearing (the oracle replays only the construction arithmetic,
+    // never parsing), and the strip is verified THROUGH the parser: the
+    // same census re-run on stripped payloads must show zero GPS
+    // everywhere while orientation/datetime survive.
+    "q_m13_exif_gps" -> ((s, dir) => {
+      import s.implicits._
+      val media = s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id").as[Long].map { id =>
+          val dtp = f"2024:01:${id % 28 + 1}%02d ${id % 24}%02d:00:00"
+          val gps =
+            if (id % 3 == 0)
+              Some(((id % 90).toDouble + 0.5, (id % 180).toDouble - 90.0 + 0.25))
+            else None
+          val bytes = Multimodal.tiffExif(little = id % 2 == 0,
+            (id % 8 + 1).toInt, dtp, gps)
+          (id, if (id % 19 == 0) bytes.take(6) else bytes)
+        }.toDF("doc_id", "payload")
+      val meta = Multimodal.parseExif(media, "doc_id", "payload").toDF()
+      val afterStrip = Multimodal.parseExif(
+          Multimodal.stripExifGps(media, "doc_id", "payload").toDF()
+            .select(col("id").as("doc_id"), col("payload")),
+          "doc_id", "payload").toDF()
+        .select(col("id").as("doc_id"),
+          col("has_gps").cast("int").as("gps_after_strip"))
+      meta.select(col("id").as("doc_id"),
+          col("valid").cast("int").as("valid"), col("reason"),
+          col("byte_order"), col("orientation"), col("datetime"),
+          col("has_gps").cast("int").as("has_gps"), col("n_gps_entries"))
+        .join(afterStrip, "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // Voice-activity detection on RAW PCM — real decode-free audio DSP
     // (s16le framing + exact integer energies), not a stub: segments =
     // runs of loud frames, energies exact LONGs. One typed scan pass.
@@ -525,6 +560,31 @@ object MultimodalQueries {
         |                 ELSE doc_id % 100000 + 1 END AS BIGINT) AS duration,
         |       CAST(CASE WHEN doc_id % 19 = 0 THEN 0 ELSE 4 END AS INTEGER)
         |         AS n_top_boxes
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // every field is pure doc_id arithmetic — and gps_after_strip is a
+    // constant 0: the strip must remove the GPS IFD from every parseable
+    // payload or the reparse surfaces it
+    "q_m13_exif_gps" ->
+      """SELECT doc_id,
+        |       CAST(CASE WHEN doc_id % 19 = 0 THEN 0 ELSE 1 END AS INTEGER)
+        |         AS valid,
+        |       CASE WHEN doc_id % 19 = 0 THEN 'truncated-tiff-header'
+        |            ELSE '' END AS reason,
+        |       CASE WHEN doc_id % 19 = 0 THEN ''
+        |            WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+        |       CAST(CASE WHEN doc_id % 19 = 0 THEN -1
+        |                 ELSE doc_id % 8 + 1 END AS INTEGER) AS orientation,
+        |       CASE WHEN doc_id % 19 = 0 THEN ''
+        |            ELSE '2024:01:' ||
+        |                 lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') ||
+        |                 ' ' || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0') ||
+        |                 ':00:00' END AS datetime,
+        |       CAST(CASE WHEN doc_id % 19 != 0 AND doc_id % 3 = 0
+        |                 THEN 1 ELSE 0 END AS INTEGER) AS has_gps,
+        |       CAST(CASE WHEN doc_id % 19 != 0 AND doc_id % 3 = 0
+        |                 THEN 4 ELSE 0 END AS INTEGER) AS n_gps_entries,
+        |       CAST(0 AS INTEGER) AS gps_after_strip
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // header fields and corruption class are pure doc_id arithmetic;
