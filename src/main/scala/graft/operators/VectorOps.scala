@@ -105,4 +105,155 @@ object VectorOps {
       .withColumn("cosine_recon", expr(s"$dot / greatest($n1 * $n2, 1e-12D)"))
       .drop("_deq")
   }
+  // ------------------------------------------------------------- IVF-PQ
+
+  /** A trained product-quantization model (Jégou, Douze, Schmid 2011 —
+    * "Product Quantization for Nearest Neighbor Search"): `m` subspace
+    * codebooks over `dsub`-dim slices of the L2-NORMALIZED vector, each
+    * codebook ≤ 256 integer centroids in [[Clustering.kmeansInt]]'s
+    * quantized domain (`round((x + shift) * scale)` longs — the same
+    * bit-replayable arithmetic, so training is deterministic and an
+    * external engine can replay it). A vector stores as `m` code BYTES:
+    * at 64-dim float32 and m = 8 that is a 32× scan-byte cut (int8
+    * quantization's 4×, squared) — the standard 100 TB ANN memory shape.
+    */
+  final case class PqModel(m: Int, dsub: Int, scale: Long, shift: Double,
+                           books: Vector[Vector[Vector[Long]]]) {
+    require(books.length == m && books.forall(_.nonEmpty))
+    /** code bytes per vector (1 byte per subspace — ksub ≤ 256). */
+    def codeBytes: Int = m
+  }
+
+  /** (id, q) rows: the L2-normalized vector in the integer-quantized
+    * domain shared by training, encoding, and the ADC scan. Unit
+    * normalization first makes squared-L2 ADC ordering agree with
+    * cosine (|u - v|² = 2 - 2·cos for unit vectors). */
+  private def unitQuant(emb: DataFrame, idCol: String, embCol: String,
+                        scale: Long, shift: Double): DataFrame = {
+    val n = s"greatest(sqrt(aggregate($embCol, CAST(0 AS DOUBLE), " +
+      s"(a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 1e-12D)"
+    emb.selectExpr(idCol,
+      s"transform($embCol, x -> CAST(round((CAST(x AS DOUBLE) / $n + " +
+        s"CAST($shift AS DOUBLE)) * $scale) AS BIGINT)) AS q")
+  }
+
+  /** Train `m` per-subspace codebooks with [[Clustering.kmeansInt]]
+    * (`ksub` ≤ 256 centroids each), then take each final assignment's
+    * integer cluster means as the codebook — the exact arithmetic of
+    * kmeansInt's own update step, one extra pass. Codes are indexes into
+    * the cluster-id-sorted centroid list. Driver memory is
+    * m · ksub · dsub longs — model-sized, never corpus-sized. */
+  def pqTrain(emb: DataFrame, idCol: String, embCol: String, m: Int,
+              ksub: Int, iterations: Int = 3, scale: Long = 1000000L,
+              shift: Double = 1.0): PqModel = {
+    require(m >= 1 && ksub >= 2 && ksub <= 256, "need 2 <= ksub <= 256")
+    val d = emb.selectExpr(s"size($embCol)").head().getInt(0)
+    require(d % m == 0, s"dim $d not divisible into $m subspaces")
+    val dsub = d / m
+    val nrm = s"greatest(sqrt(aggregate($embCol, CAST(0 AS DOUBLE), " +
+      s"(a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 1e-12D)"
+    val unit = emb.selectExpr(idCol,
+      s"transform($embCol, x -> CAST(CAST(x AS DOUBLE) / $nrm AS FLOAT)) AS _unit")
+      .localCheckpoint() // feeds m training runs
+    val books = (0 until m).toVector.map { j =>
+      val sub = unit.selectExpr(idCol,
+        s"slice(_unit, ${j * dsub + 1}, $dsub) AS _sub")
+      val assigned = Clustering.kmeansInt(sub, idCol, "_sub", ksub,
+        iterations, scale, shift)
+      val quant = sub.selectExpr(s"$idCol AS _qid",
+        s"transform(_sub, x -> CAST(round((CAST(x AS DOUBLE) + " +
+          s"CAST($shift AS DOUBLE)) * $scale) AS BIGINT)) AS _q")
+      assigned.join(quant, col(idCol) === col("_qid"))
+        .select(col("cluster_id"), posexplode(col("_q")).as(Seq("dim", "v")))
+        .groupBy("cluster_id", "dim")
+        .agg(expr("sum(v) div count(1)").as("mean")) // nonneg domain: div == floor
+        .collect()
+        .groupBy(_.getLong(0)).toVector
+        .map { case (cid, rows) =>
+          (cid, rows.sortBy(_.getInt(1)).map(_.getLong(2)).toVector) }
+        .sortBy(_._1).map(_._2)
+    }
+    PqModel(m, dsub, scale, shift, books)
+  }
+
+  private def sqDistL(a: IndexedSeq[Long], off: Int, b: IndexedSeq[Long]): Long = {
+    var s = 0L
+    var i = 0
+    while (i < b.length) { val d = a(off + i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** Encode the corpus: (id, pq_code array<int>) — per subspace the
+    * nearest codebook centroid by integer squared L2, smallest code on
+    * ties. Row-local typed pass; the model travels as task-closure data
+    * (model-sized). This is the STORED form: m bytes of information per
+    * vector, the float column never enters the ADC scan. */
+  def pqEncode(emb: DataFrame, idCol: String, embCol: String,
+               model: PqModel): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    unitQuant(emb, idCol, embCol, model.scale, model.shift)
+      .as[(Long, Seq[Long])]
+      .map { case (id, qSeq) =>
+        val q = qSeq.toIndexedSeq
+        val code = new Array[Int](model.m)
+        var j = 0
+        while (j < model.m) {
+          val book = model.books(j)
+          var best = 0
+          var bestD = Long.MaxValue
+          var c = 0
+          while (c < book.length) {
+            val dd = sqDistL(q, j * model.dsub, book(c))
+            if (dd < bestD) { bestD = dd; best = c }
+            c += 1
+          }
+          code(j) = best
+          j += 1
+        }
+        (id, code.toSeq)
+      }.toDF(idCol, "pq_code")
+  }
+
+  /** IVF-PQ-style two-phase top-k: an ASYMMETRIC-DISTANCE scan over the
+    * code table (the query's per-subspace distance table to every
+    * centroid is computed ONCE driver-side — m·ksub longs — and rides
+    * the closure; each row costs m table lookups over its code bytes),
+    * shortlist `k * margin` by ADC distance, then exact cosine rerank
+    * against full precision for the ids in the shortlist only — the
+    * [[quantizedTopK]] discipline at a 32× (vs 4×) phase-1 byte cut.
+    * Returns (idCol, cosine), identical to brute force whenever the true
+    * top-k survive the ADC cut. */
+  def pqTopK(full: DataFrame, codes: DataFrame, idCol: String,
+             embCol: String, model: PqModel, query: Array[Float], k: Int,
+             margin: Int = 8): DataFrame = {
+    val spark = full.sparkSession
+    import spark.implicits._
+    val qn = math.max(math.sqrt(query.map(x => x.toDouble * x).sum), 1e-12)
+    val qq = query.map(x =>
+      math.round((x / qn + model.shift) * model.scale)).toIndexedSeq
+    val table: Array[Array[Long]] = (0 until model.m).map { j =>
+      model.books(j).map(c => sqDistL(qq, j * model.dsub, c)).toArray
+    }.toArray
+    val cands = codes.select(col(idCol).cast("long"), col("pq_code"))
+      .as[(Long, Seq[Int])]
+      .map { case (id, code) =>
+        var s = 0L
+        var j = 0
+        while (j < code.length) { s += table(j)(code(j)); j += 1 }
+        (id, s)
+      }.toDF(idCol, "adc_dist")
+      .orderBy(col("adc_dist"), col(idCol))
+      .limit(k * margin)
+      .select(col(idCol))
+    val dot = s"aggregate(zip_with($embCol, q_vec, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (a, v) -> a + v)"
+    val n1 = s"sqrt(aggregate($embCol, CAST(0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    val n2 = "sqrt(aggregate(q_vec, CAST(0 AS DOUBLE), (a, y) -> a + CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))"
+    full
+      .join(broadcast(cands), idCol)
+      .withColumn("q_vec", typedLit(query.toSeq))
+      .selectExpr(idCol, s"round($dot / ($n1 * $n2), 6) AS cosine")
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
 }

@@ -99,6 +99,30 @@ object VectorQueries {
         .limit(10)
     }),
 
+    // IVF-PQ quantized ANN (round 14): per-subspace kmeansInt codebooks
+    // (16 subspaces × 32 centroids over 64 dims → 16 code bytes/vector,
+    // a 16× phase-1 byte cut vs float32), asymmetric-distance scan over
+    // the codes, exact rerank of the shortlist. The BRUTE top-10 is the
+    // oracle: a recall miss (true neighbor outside the ADC shortlist)
+    // fails the hash, so the margin is part of the tested contract. The
+    // synthetic embeddings are near-random — PQ's worst case, with a
+    // dense band of near-tie cosines at the top-10 boundary — so the
+    // exactness contract costs margin 128 HERE; clustered real
+    // embeddings reach the same recall at single-digit margins
+    // (PqSpec's clustered case passes at margin 4).
+    "q_v19_ann_ivfpq" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val queryVec = e.filter(col("vec_id") === 1)
+        .select("embedding").head().getSeq[Float](0).toArray
+      val corpus = e.filter(col("vec_id") =!= 1)
+      val model = VectorOps.pqTrain(corpus, "vec_id", "embedding",
+        m = 16, ksub = 32, iterations = 3)
+      val codes = VectorOps.pqEncode(corpus, "vec_id", "embedding", model)
+      VectorOps.pqTopK(corpus, codes, "vec_id", "embedding", model,
+          queryVec, k = 10, margin = 128)
+        .orderBy(col("cosine").desc, col("vec_id"))
+    }),
+
     // Grouped vector aggregation: per-label centroid (class prototype),
     // reported through its scalar L2 norm so the driver check stays
     // array-free. posexplode → (label, dim) decimal-exact means → fold
@@ -308,6 +332,20 @@ object VectorQueries {
         |            * sqrt(list_sum(list_transform(q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
         |         6) AS cosine
         |FROM embeddings, q WHERE vec_id <> 0
+        |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+
+    // brute-force cosine top-10 around vec_id 1 — the PQ pipeline must
+    // reproduce it exactly (ADC shortlist recall + exact rerank)
+    "q_v19_ann_ivfpq" ->
+      """WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 1)
+        |SELECT vec_id,
+        |       round(
+        |         list_sum(list_transform(generate_series(1, len(embedding)),
+        |           i -> CAST(embedding[i] AS DOUBLE) * CAST(q_emb[i] AS DOUBLE)))
+        |         / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |            * sqrt(list_sum(list_transform(q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+        |         6) AS cosine
+        |FROM embeddings, q WHERE vec_id <> 1
         |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
 
     "q_v8_label_centroids" ->

@@ -1,0 +1,80 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Product-quantization invariants: deterministic training (same data →
+  * bit-identical codebooks), m-byte codes in range, and the two-phase
+  * ADC + exact-rerank pipeline reproducing brute-force top-k on
+  * clustered data at a single-digit margin. */
+class PqSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // 12 well-separated cluster centers in 16 dims, 20 members each, with
+  // small deterministic perturbations — the realistic (clusterable)
+  // embedding shape where PQ earns its 16-32x compression
+  private def clustered() = {
+    val rows = for {
+      c <- 0 until 12
+      i <- 0 until 20
+    } yield {
+      val base = Array.tabulate(16) { d =>
+        math.sin(c * 2.17 + d * 0.91).toFloat * 2f
+      }
+      val vec = base.zipWithIndex.map { case (x, d) =>
+        x + 0.05f * math.cos(i * 1.3 + d * 0.7).toFloat
+      }
+      ((c * 20 + i).toLong, vec.toSeq, c)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+  }
+
+  test("training is deterministic; codes are m bytes in [0, ksub)") {
+    val e = clustered()
+    val m1 = VectorOps.pqTrain(e, "vec_id", "embedding", m = 4, ksub = 8,
+      iterations = 3)
+    val m2 = VectorOps.pqTrain(e, "vec_id", "embedding", m = 4, ksub = 8,
+      iterations = 3)
+    assert(m1 == m2, "same data must train bit-identical codebooks")
+    assert(m1.m == 4 && m1.dsub == 4 && m1.codeBytes == 4)
+    assert(m1.books.forall(b => b.nonEmpty && b.size <= 8 &&
+      b.forall(_.length == 4)))
+    val codes = VectorOps.pqEncode(e, "vec_id", "embedding", m1).collect()
+    assert(codes.length == 240)
+    codes.foreach { r =>
+      val c = r.getSeq[Int](1)
+      assert(c.length == 4 && c.forall(x => x >= 0 && x < 8), c.toString)
+    }
+    // members of one tight cluster share their code word
+    val byLabel = VectorOps.pqEncode(e, "vec_id", "embedding", m1)
+      .join(e.select("vec_id", "label"), "vec_id")
+      .groupBy("label").agg(countDistinct("pq_code").as("n_codes"))
+      .collect().map(r => r.getAs[Long]("n_codes"))
+    // tight clusters mostly collapse onto one code word (a cluster that
+    // straddles a codebook boundary in some subspace may fan out — with
+    // ksub = 8 books over 12 clusters at least one must)
+    assert(byLabel.count(_ <= 2) >= 9, byLabel.mkString(","))
+  }
+
+  test("ADC + exact rerank reproduces brute top-k at margin 4 on clustered data") {
+    val e = clustered()
+    val query = e.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val corpus = e.filter(col("vec_id") =!= 0)
+    val model = VectorOps.pqTrain(corpus, "vec_id", "embedding", m = 4,
+      ksub = 8, iterations = 3)
+    val codes = VectorOps.pqEncode(corpus, "vec_id", "embedding", model)
+    val got = VectorOps.pqTopK(corpus, codes, "vec_id", "embedding",
+        model, query, k = 10, margin = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val q = typedLit(query.toSeq)
+    val dot = "aggregate(zip_with(embedding, q_vec, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (a, v) -> a + v)"
+    val n1 = "sqrt(aggregate(embedding, CAST(0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    val n2 = "sqrt(aggregate(q_vec, CAST(0 AS DOUBLE), (a, y) -> a + CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))"
+    val brute = corpus.withColumn("q_vec", q)
+      .selectExpr("vec_id", s"round($dot / ($n1 * $n2), 6) AS cosine")
+      .orderBy(col("cosine").desc, col("vec_id")).limit(10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == brute, s"\ngot:   $got\nbrute: $brute")
+  }
+}
