@@ -158,7 +158,8 @@ object Bench {
       "q_m11_wav_vad", "q_m12_mp4_meta", "q_tf1_tfrecord_roundtrip",
       // r14 new queries (lifecycle/commit pipelines + decode kernels)
       "q_l11_snapshot_refs", "q_u8_robots_wildcards",
-      "q_tar1_webdataset_shards", "q_m13_exif_gps", "q_v19_ann_ivfpq")
+      "q_tar1_webdataset_shards", "q_m13_exif_gps", "q_v19_ann_ivfpq",
+      "q_m14_flac_meta", "q_m15_mp3_census")
 
     // Giant-codegen queries (adjudicated r11b for q_sp14, r12 VERDICT #1
     // artifact for q_t28): their generated classes are churned OUT of

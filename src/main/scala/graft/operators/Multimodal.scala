@@ -804,4 +804,205 @@ object Multimodal {
     }
     java.util.Arrays.copyOf(buf.array(), buf.position())
   }
+  /** One FLAC stream's STREAMINFO census, or the defect row. The
+    * [[parseMp4Meta]] honest-scope contract: container metadata only —
+    * no codec decode ships offline, so frame audio stays out of reach,
+    * but rate/channels/depth/length inventory over a mixed audio lake is
+    * real and total. */
+  case class FlacInfo(id: Long, valid: Boolean, reason: String,
+                      sample_rate: Int, channels: Int, bits: Int,
+                      total_samples: Long, n_meta_blocks: Int)
+
+  /** Walk a FLAC container (public spec, RFC 9639 / xiph.org): `fLaC`
+    * magic, then metadata blocks — 1-byte header (bit 7 = last, bits
+    * 0-6 = type), 24-bit big-endian length — with STREAMINFO (type 0,
+    * 34 bytes, REQUIRED FIRST by the spec) carrying the 20-bit sample
+    * rate, 3-bit channels-1, 5-bit bits-1 and 36-bit total samples.
+    * Row-local typed pass; every malformation is a defect row. */
+  def parseFlac(df: DataFrame, idCol: String,
+                payloadCol: String): Dataset[FlacInfo] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .map { case (id, payload) =>
+        val b = if (payload == null) Array.emptyByteArray else payload
+        def invalid(reason: String) =
+          FlacInfo(id, valid = false, reason, 0, 0, 0, 0L, 0)
+        def u8(i: Int) = b(i) & 0xff
+        if (b.length < 4 || b(0) != 'f' || b(1) != 'L' || b(2) != 'a' ||
+            b(3) != 'C') invalid("bad-magic")
+        else {
+          var off = 4
+          var n = 0
+          var last = false
+          var info: FlacInfo = null
+          var defect: String = null
+          while (defect == null && !last) {
+            if (b.length - off < 4) defect = "truncated-block-header"
+            else {
+              last = (u8(off) & 0x80) != 0
+              val typ = u8(off) & 0x7f
+              val len = (u8(off + 1) << 16) | (u8(off + 2) << 8) | u8(off + 3)
+              if (b.length - off - 4 < len) defect = "truncated-block"
+              else {
+                if (n == 0) {
+                  if (typ != 0) defect = "streaminfo-not-first"
+                  else if (len != 34) defect = "bad-streaminfo-length"
+                  else {
+                    val o = off + 4
+                    val rate = (u8(o + 10) << 12) | (u8(o + 11) << 4) |
+                      (u8(o + 12) >> 4)
+                    val channels = ((u8(o + 12) >> 1) & 0x7) + 1
+                    val bits = (((u8(o + 12) & 1) << 4) | (u8(o + 13) >> 4)) + 1
+                    val total = ((u8(o + 13) & 0xfL) << 32) |
+                      ((u8(o + 14) & 0xffL) << 24) | ((u8(o + 15) & 0xffL) << 16) |
+                      ((u8(o + 16) & 0xffL) << 8) | (u8(o + 17) & 0xffL)
+                    if (rate == 0) defect = "zero-sample-rate"
+                    else info = FlacInfo(id, valid = true, "", rate,
+                      channels, bits, total, 0)
+                  }
+                }
+                off += 4 + len
+                n += 1
+              }
+            }
+          }
+          if (defect != null) invalid(defect)
+          else info.copy(n_meta_blocks = n)
+        }
+      }
+  }
+
+  /** Build a FLAC metadata prefix for tests and planted oracles:
+    * STREAMINFO (+ optional PADDING block). */
+  def flacMeta(sampleRate: Int, channels: Int, bits: Int,
+               totalSamples: Long, padding: Boolean = false): Array[Byte] = {
+    require(sampleRate > 0 && sampleRate < (1 << 20))
+    require(channels >= 1 && channels <= 8 && bits >= 4 && bits <= 32)
+    require(totalSamples >= 0 && totalSamples < (1L << 36))
+    val buf = java.nio.ByteBuffer.allocate(4 + 4 + 34 + (if (padding) 4 + 6 else 0))
+    buf.put("fLaC".getBytes("US-ASCII"))
+    buf.put((if (padding) 0x00 else 0x80).toByte) // type 0, last unless padding follows
+    buf.put(0.toByte).put(0.toByte).put(34.toByte)
+    buf.putShort(4096.toShort).putShort(4096.toShort) // min/max blocksize
+    buf.put(0.toByte).put(0.toByte).put(0.toByte)     // min framesize
+    buf.put(0.toByte).put(0.toByte).put(0.toByte)     // max framesize
+    buf.put((sampleRate >> 12).toByte)
+    buf.put(((sampleRate >> 4) & 0xff).toByte)
+    buf.put((((sampleRate & 0xf) << 4) | ((channels - 1) << 1) |
+      ((bits - 1) >> 4)).toByte)
+    buf.put(((((bits - 1) & 0xf) << 4) | ((totalSamples >> 32) & 0xf).toInt).toByte)
+    buf.putInt((totalSamples & 0xffffffffL).toInt)
+    buf.put(new Array[Byte](16)) // MD5 of the (absent) audio data
+    if (padding) {
+      buf.put(0x81.toByte) // type 1, last
+      buf.put(0.toByte).put(0.toByte).put(6.toByte)
+      buf.put(new Array[Byte](6))
+    }
+    buf.array()
+  }
+
+  /** One MP3 stream's frame-header census, or the defect row.
+    * `n_samples` = frames × 1152 (MPEG-1 Layer III); `cbr` = every
+    * frame declares the first frame's bitrate. */
+  case class Mp3Census(id: Long, valid: Boolean, reason: String,
+                       sample_rate: Int, n_frames: Int, n_samples: Long,
+                       cbr: Boolean)
+
+  private val Mp3Bitrates = // MPEG-1 Layer III kbps by index 1..14
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  private val Mp3Rates = Array(44100, 48000, 32000)
+
+  /** Walk MPEG-1 Layer III frame headers (public ISO/IEC 11172-3
+    * layout): skip a leading ID3v2 tag (synchsafe size), then hop frame
+    * to frame by the declared length `144·bitrate/sampleRate + padding`.
+    * A wrong hop loses sync and surfaces as a defect — the length
+    * arithmetic is therefore load-bearing, not decorative. Accepts a
+    * trailing 128-byte ID3v1 `TAG`. Census only (no codec decode ships
+    * offline): rate, frame/sample counts, CBR flag. */
+  def parseMp3(df: DataFrame, idCol: String,
+               payloadCol: String): Dataset[Mp3Census] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .map { case (id, payload) =>
+        val b = if (payload == null) Array.emptyByteArray else payload
+        def invalid(reason: String) =
+          Mp3Census(id, valid = false, reason, 0, 0, 0L, cbr = false)
+        def u8(i: Int) = b(i) & 0xff
+        var off = 0
+        // ID3v2: "ID3" + version(2) + flags(1) + synchsafe size(4)
+        if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+          val size = (u8(6) << 21) | (u8(7) << 14) | (u8(8) << 7) | u8(9)
+          off = 10 + size
+        }
+        if (off >= b.length || b.length - off < 4) invalid("no-frames")
+        else {
+          var nFrames = 0
+          var rate = -1
+          var firstBitrate = -1
+          var cbr = true
+          var defect: String = null
+          var done = false
+          while (defect == null && !done) {
+            if (off == b.length) done = true
+            else if (b.length - off == 128 && b(off) == 'T' &&
+                b(off + 1) == 'A' && b(off + 2) == 'G') done = true
+            else if (b.length - off < 4) defect = "truncated-frame-header"
+            else if (!(u8(off) == 0xff && (u8(off + 1) & 0xe0) == 0xe0))
+              defect = if (nFrames == 0) "no-sync" else "lost-sync"
+            else if ((u8(off + 1) & 0x1e) != 0x1a) // MPEG-1 (11), Layer III (01)
+              defect = "unsupported-version-or-layer"
+            else {
+              val brIdx = u8(off + 2) >> 4
+              val srIdx = (u8(off + 2) >> 2) & 0x3
+              val pad = (u8(off + 2) >> 1) & 0x1
+              if (brIdx == 0 || brIdx == 15) defect = "bad-bitrate-index"
+              else if (srIdx == 3) defect = "bad-samplerate-index"
+              else {
+                val sr = Mp3Rates(srIdx)
+                if (rate < 0) rate = sr
+                else if (rate != sr) defect = "samplerate-change"
+                if (defect == null) {
+                  val kbps = Mp3Bitrates(brIdx)
+                  if (firstBitrate < 0) firstBitrate = kbps
+                  else if (kbps != firstBitrate) cbr = false
+                  val frameLen = 144 * kbps * 1000 / sr + pad
+                  if (b.length - off < frameLen) defect = "truncated-frame"
+                  else { off += frameLen; nFrames += 1 }
+                }
+              }
+            }
+          }
+          if (defect != null) invalid(defect)
+          else if (nFrames == 0) invalid("no-frames")
+          else Mp3Census(id, valid = true, "", rate, nFrames,
+            nFrames * 1152L, cbr)
+        }
+      }
+  }
+
+  /** Build an MPEG-1 Layer III frame sequence (headers + zero payload)
+    * for tests and planted oracles: one frame per bitrate index, padding
+    * bits as given. */
+  def mp3Frames(srIdx: Int, bitrateIdxs: Seq[Int],
+                paddings: Seq[Boolean]): Array[Byte] = {
+    require(srIdx >= 0 && srIdx <= 2 && bitrateIdxs.nonEmpty &&
+      bitrateIdxs.length == paddings.length)
+    require(bitrateIdxs.forall(i => i >= 1 && i <= 14))
+    val sr = Mp3Rates(srIdx)
+    val out = new java.io.ByteArrayOutputStream()
+    bitrateIdxs.zip(paddings).foreach { case (brIdx, pad) =>
+      val frameLen = 144 * Mp3Bitrates(brIdx) * 1000 / sr + (if (pad) 1 else 0)
+      val f = new Array[Byte](frameLen)
+      f(0) = 0xff.toByte
+      f(1) = 0xfa.toByte // MPEG-1, Layer III, no CRC
+      f(2) = ((brIdx << 4) | (srIdx << 2) | (if (pad) 2 else 0)).toByte
+      f(3) = 0.toByte
+      out.write(f)
+    }
+    out.toByteArray
+  }
 }

@@ -229,6 +229,52 @@ object MultimodalQueries {
         .orderBy("doc_id")
     }),
 
+    // FLAC STREAMINFO census (round 14): planted containers spanning
+    // four sample rates, both channel counts, three bit depths, an
+    // optional PADDING block, and a %17 truncation class. The oracle is
+    // the construction arithmetic — the bit-packed 20/3/5/36 STREAMINFO
+    // walk is load-bearing.
+    "q_m14_flac_meta" -> ((s, dir) => {
+      import s.implicits._
+      val rates = Array(8000, 16000, 44100, 48000)
+      val media = s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id").as[Long].map { id =>
+          val bytes = Multimodal.flacMeta(rates((id % 4).toInt),
+            (id % 2 + 1).toInt, 16 + (id % 3).toInt, id * 131 % 1000000,
+            padding = id % 5 == 0)
+          (id, if (id % 17 == 0) bytes.take(20) else bytes)
+        }.toDF("doc_id", "payload")
+      Multimodal.parseFlac(media, "doc_id", "payload").toDF()
+        .select(col("id").as("doc_id"), col("valid").cast("int").as("valid"),
+          col("reason"), col("sample_rate"), col("channels"), col("bits"),
+          col("total_samples"), col("n_meta_blocks"))
+        .orderBy("doc_id")
+    }),
+
+    // MP3 frame-header census (round 14): planted MPEG-1 Layer III frame
+    // chains — three sample rates, 1-7 frames, CBR and per-frame-varying
+    // VBR bitrates, padding bits on a %3 pattern (the declared-length
+    // hop arithmetic is what keeps sync, so a length bug surfaces as
+    // lost-sync corpus-wide), and a %13 sync-corruption class.
+    "q_m15_mp3_census" -> ((s, dir) => {
+      import s.implicits._
+      val media = s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id").as[Long].map { id =>
+          val n = (id % 7 + 1).toInt
+          val brs = (0 until n).map(f =>
+            if (id % 2 == 0) 9 else ((f + id) % 5 + 5).toInt)
+          val pads = (0 until n).map(f => (f + id) % 3 == 0)
+          val bytes = Multimodal.mp3Frames((id % 3).toInt, brs, pads)
+          if (id % 13 == 0) bytes(0) = 0x00.toByte
+          (id, bytes)
+        }.toDF("doc_id", "payload")
+      Multimodal.parseMp3(media, "doc_id", "payload").toDF()
+        .select(col("id").as("doc_id"), col("valid").cast("int").as("valid"),
+          col("reason"), col("sample_rate"), col("n_frames"),
+          col("n_samples"), col("cbr").cast("int").as("cbr"))
+        .orderBy("doc_id")
+    }),
+
     // Voice-activity detection on RAW PCM — real decode-free audio DSP
     // (s16le framing + exact integer energies), not a stub: segments =
     // runs of loud frames, energies exact LONGs. One typed scan pass.
@@ -560,6 +606,49 @@ object MultimodalQueries {
         |                 ELSE doc_id % 100000 + 1 END AS BIGINT) AS duration,
         |       CAST(CASE WHEN doc_id % 19 = 0 THEN 0 ELSE 4 END AS INTEGER)
         |         AS n_top_boxes
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // every field is the construction arithmetic; invalid rows zero out
+    "q_m14_flac_meta" ->
+      """SELECT doc_id,
+        |       CAST(CASE WHEN doc_id % 17 = 0 THEN 0 ELSE 1 END AS INTEGER)
+        |         AS valid,
+        |       CASE WHEN doc_id % 17 = 0 THEN 'truncated-block' ELSE '' END
+        |         AS reason,
+        |       CAST(CASE WHEN doc_id % 17 = 0 THEN 0
+        |            ELSE CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |                 WHEN 2 THEN 44100 ELSE 48000 END END AS INTEGER)
+        |         AS sample_rate,
+        |       CAST(CASE WHEN doc_id % 17 = 0 THEN 0
+        |                 ELSE doc_id % 2 + 1 END AS INTEGER) AS channels,
+        |       CAST(CASE WHEN doc_id % 17 = 0 THEN 0
+        |                 ELSE 16 + doc_id % 3 END AS INTEGER) AS bits,
+        |       CAST(CASE WHEN doc_id % 17 = 0 THEN 0
+        |                 ELSE (doc_id * 131) % 1000000 END AS BIGINT)
+        |         AS total_samples,
+        |       CAST(CASE WHEN doc_id % 17 = 0 THEN 0
+        |                 WHEN doc_id % 5 = 0 THEN 2 ELSE 1 END AS INTEGER)
+        |         AS n_meta_blocks
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // frames/samples replay the construction; cbr = fixed-bitrate class
+    // OR a single-frame stream (nothing to vary)
+    "q_m15_mp3_census" ->
+      """SELECT doc_id,
+        |       CAST(CASE WHEN doc_id % 13 = 0 THEN 0 ELSE 1 END AS INTEGER)
+        |         AS valid,
+        |       CASE WHEN doc_id % 13 = 0 THEN 'no-sync' ELSE '' END AS reason,
+        |       CAST(CASE WHEN doc_id % 13 = 0 THEN 0
+        |            ELSE CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+        |                 ELSE 32000 END END AS INTEGER) AS sample_rate,
+        |       CAST(CASE WHEN doc_id % 13 = 0 THEN 0
+        |                 ELSE doc_id % 7 + 1 END AS INTEGER) AS n_frames,
+        |       CAST(CASE WHEN doc_id % 13 = 0 THEN 0
+        |                 ELSE (doc_id % 7 + 1) * 1152 END AS BIGINT)
+        |         AS n_samples,
+        |       CAST(CASE WHEN doc_id % 13 = 0 THEN 0
+        |                 WHEN doc_id % 2 = 0 OR doc_id % 7 = 0 THEN 1
+        |                 ELSE 0 END AS INTEGER) AS cbr
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // every field is pure doc_id arithmetic — and gps_after_strip is a
