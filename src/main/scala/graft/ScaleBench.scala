@@ -726,6 +726,57 @@ object ScaleBench {
         val merges = operators.Tokenizer.bpeTrainLocal(docs, "text", numMerges = 5000)
         merges.map(m => (m.step, m.lhs, m.rhs, m.pairFreq))
           .toDF("step", "lhs", "rhs", "pair_freq")
+      })) :+
+      // tar/WebDataset round trip (round 14): two members per doc through
+      // write → read → sample grouping. The receipt is linear wall with
+      // shard-parallel tasks — the container adds framing, never a
+      // corpus-sized shuffle (the one group-by-key is sample-bounded).
+      ("tar_shard_scale" -> ((s: SparkSession, d: String) => {
+        val out = Files.createTempDirectory("graft-sb-tar").toString
+        val docs = s.read.parquet(s"$d/documents.parquet")
+        val members = docs.selectExpr(
+          "doc_id % 32 AS fkey", "doc_id * 2 AS ord",
+          "concat(lpad(CAST(doc_id AS STRING), 14, '0'), '.txt') AS name",
+          "encode(substring(coalesce(text, ''), 1, 512), 'UTF-8') AS payload")
+          .unionAll(docs.selectExpr(
+            "doc_id % 32 AS fkey", "doc_id * 2 + 1 AS ord",
+            "concat(lpad(CAST(doc_id AS STRING), 14, '0'), '.cls') AS name",
+            "encode(CAST(doc_id % 7 AS STRING), 'UTF-8') AS payload"))
+        sources.TarShardIO.write(members, "fkey", "ord", "name", "payload",
+          out, numFiles = 32)
+        sources.TarShardIO.samples(sources.TarShardIO.read(s, out))
+          .agg(count(lit(1)).as("n_samples"), sum("n_members").as("n_total"))
+      })) :+
+      // EXIF GPS strip (round 14): plant + strip + verdict count. Pure
+      // row-local byte surgery — wall must track the scan, zero shuffle
+      // beyond the final count.
+      ("exif_gps_strip_scale" -> ((s: SparkSession, d: String) => {
+        val spark2 = s; import spark2.implicits._
+        val media = s.read.parquet(s"$d/documents.parquet")
+          .select("doc_id").as[Long].map { id =>
+            (id, operators.Multimodal.tiffExif(id % 2 == 0, (id % 8 + 1).toInt,
+              f"2024:01:${id % 28 + 1}%02d ${id % 24}%02d:00:00",
+              if (id % 3 == 0)
+                Some(((id % 90).toDouble + 0.5, (id % 180).toDouble - 90.0))
+              else None))
+          }.toDF("doc_id", "payload")
+        operators.Multimodal.stripExifGps(media, "doc_id", "payload").toDF()
+          .agg(sum(col("gps_stripped").cast("long")).as("n_stripped"),
+            count(lit(1)).as("n"))
+      })) :+
+      // IVF-PQ two-phase ANN (round 14): train + encode + ADC scan +
+      // exact rerank. The receipt is the PHASE-1 byte shape: the ADC
+      // scan reads 16 code bytes/vector (16x under float32); training
+      // cost is codebook-sized driver folds over m kmeansInt runs.
+      ("pq_adc_scale" -> ((s: SparkSession, d: String) => {
+        val e = s.read.parquet(s"$d/embeddings.parquet")
+        val queryVec = e.orderBy("vec_id").select("embedding")
+          .head().getSeq[Float](0).toArray
+        val model = operators.VectorOps.pqTrain(e, "vec_id", "embedding",
+          m = 16, ksub = 32, iterations = 2)
+        val codes = operators.VectorOps.pqEncode(e, "vec_id", "embedding", model)
+        operators.VectorOps.pqTopK(e, codes, "vec_id", "embedding", model,
+          queryVec, k = 10, margin = 32)
       }))
 
     val listener = new TaskMetricsListener
