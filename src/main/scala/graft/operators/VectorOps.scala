@@ -137,41 +137,73 @@ object VectorOps {
         s"CAST($shift AS DOUBLE)) * $scale) AS BIGINT)) AS q")
   }
 
-  /** Train `m` per-subspace codebooks with [[Clustering.kmeansInt]]
-    * (`ksub` ≤ 256 centroids each), then take each final assignment's
-    * integer cluster means as the codebook — the exact arithmetic of
-    * kmeansInt's own update step, one extra pass. Codes are indexes into
-    * the cluster-id-sorted centroid list. Driver memory is
-    * m · ksub · dsub longs — model-sized, never corpus-sized. */
+  /** Train `m` per-subspace codebooks on a BOUNDED DETERMINISTIC SAMPLE
+    * (the `trainSample` smallest ids — the FAISS discipline: PQ
+    * codebooks train on ~10⁴-10⁵ sampled vectors however big the
+    * corpus, so training cost and driver memory are sample-sized,
+    * never corpus-sized). The kmeans itself replicates
+    * [[Clustering.kmeansInt]]'s integer arithmetic exactly — seeds =
+    * the `ksub` smallest-id vectors, argmin by (distance, seed order),
+    * integer means via floor division on the shifted nonnegative
+    * domain — folded in memory over the sample (a corpus-sized Spark
+    * job per iteration per subspace would be ~100 scheduling rounds
+    * for nothing: the sample decides the same codebook). Deterministic:
+    * same data → bit-identical model. Codes are indexes into each
+    * book's centroid list; empty clusters drop. */
   def pqTrain(emb: DataFrame, idCol: String, embCol: String, m: Int,
               ksub: Int, iterations: Int = 3, scale: Long = 1000000L,
-              shift: Double = 1.0): PqModel = {
+              shift: Double = 1.0, trainSample: Int = 4096): PqModel = {
     require(m >= 1 && ksub >= 2 && ksub <= 256, "need 2 <= ksub <= 256")
+    require(trainSample >= ksub, "sample must cover the seed count")
     val d = emb.selectExpr(s"size($embCol)").head().getInt(0)
     require(d % m == 0, s"dim $d not divisible into $m subspaces")
     val dsub = d / m
-    val nrm = s"greatest(sqrt(aggregate($embCol, CAST(0 AS DOUBLE), " +
-      s"(a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 1e-12D)"
-    val unit = emb.selectExpr(idCol,
-      s"transform($embCol, x -> CAST(CAST(x AS DOUBLE) / $nrm AS FLOAT)) AS _unit")
-      .localCheckpoint() // feeds m training runs
+    val sample: Array[Array[Long]] =
+      unitQuant(emb, idCol, embCol, scale, shift)
+        .orderBy(col(idCol)).limit(trainSample)
+        .collect().map(_.getSeq[Long](1).toArray)
+    require(sample.nonEmpty, "cannot train on an empty corpus")
     val books = (0 until m).toVector.map { j =>
-      val sub = unit.selectExpr(idCol,
-        s"slice(_unit, ${j * dsub + 1}, $dsub) AS _sub")
-      val assigned = Clustering.kmeansInt(sub, idCol, "_sub", ksub,
-        iterations, scale, shift)
-      val quant = sub.selectExpr(s"$idCol AS _qid",
-        s"transform(_sub, x -> CAST(round((CAST(x AS DOUBLE) + " +
-          s"CAST($shift AS DOUBLE)) * $scale) AS BIGINT)) AS _q")
-      assigned.join(quant, col(idCol) === col("_qid"))
-        .select(col("cluster_id"), posexplode(col("_q")).as(Seq("dim", "v")))
-        .groupBy("cluster_id", "dim")
-        .agg(expr("sum(v) div count(1)").as("mean")) // nonneg domain: div == floor
-        .collect()
-        .groupBy(_.getLong(0)).toVector
-        .map { case (cid, rows) =>
-          (cid, rows.sortBy(_.getInt(1)).map(_.getLong(2)).toVector) }
-        .sortBy(_._1).map(_._2)
+      val off = j * dsub
+      var cents: Vector[Array[Long]] =
+        sample.take(ksub).map(v => java.util.Arrays.copyOfRange(v, off, off + dsub)).toVector
+      def assign(): Array[Int] = sample.map { v =>
+        var best = 0
+        var bd = Long.MaxValue
+        var c = 0
+        while (c < cents.length) {
+          var s2 = 0L
+          var i = 0
+          while (i < dsub) { val dd = v(off + i) - cents(c)(i); s2 += dd * dd; i += 1 }
+          if (s2 < bd) { bd = s2; best = c } // strict <: first (smallest-id seed) wins ties
+          c += 1
+        }
+        best
+      }
+      def means(asg: Array[Int]): Vector[Array[Long]] = {
+        val sums = Array.fill(cents.length)(new Array[Long](dsub))
+        val counts = new Array[Long](cents.length)
+        var r = 0
+        while (r < sample.length) {
+          val c = asg(r)
+          counts(c) += 1
+          var i = 0
+          while (i < dsub) { sums(c)(i) += sample(r)(off + i); i += 1 }
+          r += 1
+        }
+        (0 until cents.length).iterator.filter(counts(_) > 0).map { c =>
+          val mvec = new Array[Long](dsub)
+          var i = 0
+          // nonnegative domain (shift): truncating div == floor div,
+          // matching kmeansInt's `sum(v) div count(1)`
+          while (i < dsub) { mvec(i) = sums(c)(i) / counts(c); i += 1 }
+          mvec
+        }.toVector
+      }
+      // kmeansInt's loop shape: `iterations` means-updates, then the
+      // codebook = the means of one FINAL assignment
+      for (_ <- 1 to iterations) cents = means(assign())
+      means(assign()).map(_.toVector)
     }
     PqModel(m, dsub, scale, shift, books)
   }
