@@ -312,7 +312,6 @@ object Curation {
     // quarantine-don't-guess rule); the report counts actual strips.
     val (docsRepaired2, nGps) = exifGpsStrip match {
       case Some(pc) =>
-        val others = docsRepaired1.columns.filterNot(_ == pc).map(col)
         val stripped = Multimodal.stripExifGps(
             docsRepaired1.withColumnRenamed(pc, "_gps_payload")
               .withColumn("_gps_id", col("doc_id")),

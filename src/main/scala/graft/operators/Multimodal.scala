@@ -933,10 +933,13 @@ object Multimodal {
           Mp3Census(id, valid = false, reason, 0, 0, 0L, cbr = false)
         def u8(i: Int) = b(i) & 0xff
         var off = 0
-        // ID3v2: "ID3" + version(2) + flags(1) + synchsafe size(4)
+        // ID3v2: "ID3" + version(2) + flags(1) + synchsafe size(4); the
+        // v2.4 footer flag (0x10) appends a 10-byte footer NOT counted
+        // in size (r14 review: skipping only 10+size landed on the
+        // footer's '3DI' bytes and quarantined every footered file)
         if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
           val size = (u8(6) << 21) | (u8(7) << 14) | (u8(8) << 7) | u8(9)
-          off = 10 + size
+          off = 10 + size + (if ((u8(5) & 0x10) != 0) 10 else 0)
         }
         if (off >= b.length || b.length - off < 4) invalid("no-frames")
         else {

@@ -264,39 +264,51 @@ object SnapshotTable {
   /** One bounded read of a manifest's `#key=value` header lines (they
     * are always the leading lines, before any file entry), never the
     * whole manifest (r12 ADVICE: a full parse per probe made a
-    * long-running ingest quadratic in manifest bytes). */
-  private def headersOf(tablePath: String, version: Long): Map[String, String] = {
+    * long-running ingest quadratic in manifest bytes). Only COMPLETE
+    * lines (newline-terminated inside the window) are parsed — a header
+    * cut mid-line by the window must never yield a silently-truncated
+    * value (the window comfortably covers the 256-char txn-id cap
+    * enforced at commit time). `None` when the manifest does not exist
+    * (vacuum legitimately reclaims expired versions — probes must
+    * degrade, not throw). */
+  private def headersOf(tablePath: String, version: Long): Option[Map[String, String]] = {
     val p = manifestPath(tablePath, version)
-    require(Files.exists(p), s"snapshot v$version does not exist at $tablePath")
+    if (!Files.exists(p)) return None
     val ch = Files.newByteChannel(p)
     val head = try {
-      val buf = java.nio.ByteBuffer.allocate(512) // headers are short
+      val buf = java.nio.ByteBuffer.allocate(4096)
       val n = ch.read(buf)
       if (n <= 0) "" else new String(buf.array(), 0, n, "UTF-8")
     } finally ch.close()
-    head.split("\n", -1).iterator.takeWhile(_.startsWith("#")).map { l =>
+    val cut = head.lastIndexOf('\n')
+    val complete = if (cut < 0) "" else head.substring(0, cut)
+    Some(complete.split("\n", -1).iterator.takeWhile(_.startsWith("#")).map { l =>
       val eq = l.indexOf('=')
       if (eq < 0) l.drop(1) -> "" else l.substring(1, eq) -> l.substring(eq + 1)
-    }.toMap
+    }.toMap)
   }
 
   /** The transaction id snapshot `version` was committed under, if any —
     * the exactly-once key of [[commitAppendTxn]]. The `#txn=` header is
-    * always the FIRST manifest line when present. */
+    * always the FIRST manifest line when present. Requires the manifest
+    * to exist (introspection API over live snapshots). */
   def txnOf(tablePath: String, version: Long): Option[String] =
-    headersOf(tablePath, version).get("txn")
+    headersOf(tablePath, version).getOrElse(
+      sys.error(s"snapshot v$version does not exist at $tablePath")).get("txn")
 
   /** The committed version snapshot `version` was COMPOSED against
     * (`#prev=` header) — the link that makes the committed chain
     * walkable. `None` on legacy manifests written before the header
-    * existed. */
+    * existed, or when the manifest was vacuumed away. */
   def prevOf(tablePath: String, version: Long): Option[Long] =
-    headersOf(tablePath, version).get("prev").map(_.toLong)
+    headersOf(tablePath, version).flatMap(_.get("prev")).map(_.toLong)
 
   /** Was snapshot `version` committed by [[compact]] (row-preserving —
-    * every file replaced, no row added, removed, or changed)? */
+    * every file replaced, no row added, removed, or changed)? A
+    * vacuumed/unknown version answers false — callers fall back to the
+    * general path, they never throw. */
   def isCompaction(tablePath: String, version: Long): Boolean =
-    headersOf(tablePath, version).get("compaction").contains("true")
+    headersOf(tablePath, version).exists(_.get("compaction").contains("true"))
 
   /** Is `v` on the COMMITTED chain — reachable from the pointer via
     * `#prev` links? A crash-orphaned manifest that later commits
@@ -305,16 +317,20 @@ object SnapshotTable {
     * snapshot, so an exactly-once replay must treat it as NOT committed
     * (r13 ADVICE, high). The walk is bounded by the commits between `v`
     * and the pointer — in the replay common case, a handful of header
-    * reads. A legacy manifest without `#prev` breaks the walk; we then
-    * fall back to the old `v ≤ pointer ⇒ committed` reading (a double
-    * apply on legacy data would be worse than the orphan edge). */
+    * reads. The walk can break two ways, both resolved to the old
+    * `v ≤ pointer ⇒ committed` reading: a legacy manifest without
+    * `#prev`, and a VACUUMED gap (r14 review) — vacuum deletes
+    * non-retained manifests INCLUDING superseded orphans, so a txn
+    * manifest that survived vacuum below the pointer is retained
+    * committed history (or an explicitly pinned ref); preferring no-op
+    * over double-apply is the right failure direction there. */
   private[sources] def onCommittedChain(tablePath: String, v: Long): Boolean = {
     var cur = currentVersion(tablePath).getOrElse(0L)
     while (cur > v) prevOf(tablePath, cur) match {
       case Some(p) =>
         require(p < cur, s"manifest chain corrupt at $tablePath: v$cur → v$p")
         cur = p
-      case None => return v <= cur // legacy: chain unknowable past here
+      case None => return v <= cur // legacy or vacuumed: chain unknowable past here
     }
     cur == v
   }
@@ -709,7 +725,12 @@ object SnapshotTable {
     val stamped = fresh.map(e => e.copy(attrs = e.attrs + ("v" -> v.toString)))
     // #txn stays the FIRST line (txnOf contract); #prev records the
     // committed version this manifest composed against, making the
-    // committed chain walkable for onCommittedChain (r13 ADVICE, high)
+    // committed chain walkable for onCommittedChain (r13 ADVICE, high).
+    // txn ids are capped so headersOf's bounded window always holds
+    // every header LINE complete (r14 review: a truncated #prev would
+    // silently corrupt the chain)
+    txn.foreach(id => require(id.length <= 256 && !id.contains('\n'),
+      s"txn id must be <= 256 chars without newlines, got ${id.length}"))
     val header = txn.map(id => s"#txn=$id\n").getOrElse("") +
       s"#prev=${prevV.getOrElse(0L)}\n" +
       headers.toSeq.sorted.map { case (k, hv) => s"#$k=$hv\n" }.mkString

@@ -161,29 +161,18 @@ object TarShardIO {
     spark.createDataset(files).flatMap(f => streamFile(f, conf))
   }
 
-  /** Lazy single-shard member iterator — one member in memory at a time. */
+  /** Lazy single-shard member iterator — one member in memory at a time
+    * (the [[FrameStream]] scaffold). */
   private[sources] def streamFile(
       f: String,
       conf: org.apache.spark.util.SerializableConfiguration): Iterator[TarEntry] =
-    new Iterator[TarEntry] {
-      private val p = new org.apache.hadoop.fs.Path(f)
-      private val cfs = p.getFileSystem(conf.value)
-      private val fileSize = cfs.getFileStatus(p).getLen
-      private val in = cfs.open(p)
+    new FrameStream[TarEntry](f, conf) {
       private val hdr = new Array[Byte](Block)
-      private var pos = 0L
       private var idx = 0
-      private var done = false
-      private var pending: TarEntry = _
-      locally {
-        val tc = org.apache.spark.TaskContext.get()
-        if (tc != null) tc.addTaskCompletionListener[Unit](_ => close())
-      }
-      private def close(): Unit = if (!done) { done = true; in.close() }
       private def quarantine(reason: String): TarEntry = {
-        val row = TarEntry(f, idx, valid = false, reason, "", "", "",
+        val row = TarEntry(file, idx, valid = false, reason, "", "", "",
           Array.emptyByteArray, fileSize - pos)
-        close()
+        closeStream()
         row
       }
       /** Octal field: leading spaces/zeros, digits, NUL/space terminator.
@@ -207,56 +196,48 @@ object TarShardIO {
         while (n < width && hdr(off + n) != 0) n += 1
         new String(hdr, off, n, "UTF-8")
       }
-      /** Parse ONE member; null = clean end-of-archive / EOF. */
-      @scala.annotation.tailrec
-      private def fetch(): TarEntry = {
-        if (done) return null
-        if (pos >= fileSize) { close(); return null }
-        if (fileSize - pos < Block) return quarantine("truncated-header")
-        in.readFully(pos, hdr, 0, Block)
-        if (hdr.forall(_ == 0)) { close(); return null } // terminator block
-        // checksum first: it vouches for every other field
-        val stored = octal(148, 8)
-        var sum = 0L
-        var i = 0
-        while (i < Block) {
-          sum += (if (i >= 148 && i < 156) ' '.toInt else hdr(i) & 0xff)
-          i += 1
+      /** Parse members until a SAMPLE row or stream end: non-regular
+        * entries (dir/symlink/pax/GNU) are well-framed but carry no
+        * sample data, so the loop hops them. */
+      override protected def parseFrame(): TarEntry = {
+        while (true) {
+          if (pos >= fileSize) { closeStream(); return null }
+          if (fileSize - pos < Block) return quarantine("truncated-header")
+          in.readFully(pos, hdr, 0, Block)
+          if (hdr.forall(_ == 0)) { closeStream(); return null } // terminator
+          // checksum first: it vouches for every other field
+          val stored = octal(148, 8)
+          var sum = 0L
+          var i = 0
+          while (i < Block) {
+            sum += (if (i >= 148 && i < 156) ' '.toInt else hdr(i) & 0xff)
+            i += 1
+          }
+          if (stored < 0 || stored != sum) return quarantine("bad-checksum")
+          if (!(hdr(257) == 'u' && hdr(258) == 's' && hdr(259) == 't' &&
+              hdr(260) == 'a' && hdr(261) == 'r'))
+            return quarantine("bad-magic")
+          val size = octal(124, 12)
+          if (size < 0) return quarantine("malformed-size")
+          if (size > MaxEntryBytes) return quarantine("oversized-entry")
+          val span = Block + size + padLen(size)
+          if (fileSize - pos < span) return quarantine("truncated-payload")
+          val typeflag = hdr(156)
+          if (typeflag != '0' && typeflag != 0) {
+            pos += span // structural entry: hop, keep scanning
+          } else {
+            val name = cstr(0, 100)
+            val payload = new Array[Byte](size.toInt)
+            in.readFully(pos + Block, payload, 0, size.toInt)
+            val (key, ext) = splitName(name)
+            val row = TarEntry(file, idx, valid = true, "", name, key, ext,
+              payload, 0L)
+            pos += span
+            idx += 1
+            return row
+          }
         }
-        if (stored < 0 || stored != sum) return quarantine("bad-checksum")
-        if (!(hdr(257) == 'u' && hdr(258) == 's' && hdr(259) == 't' &&
-            hdr(260) == 'a' && hdr(261) == 'r'))
-          return quarantine("bad-magic")
-        val size = octal(124, 12)
-        if (size < 0) return quarantine("malformed-size")
-        if (size > MaxEntryBytes) return quarantine("oversized-entry")
-        val span = Block + size + padLen(size)
-        if (fileSize - pos < span) return quarantine("truncated-payload")
-        val typeflag = hdr(156)
-        if (typeflag != '0' && typeflag != 0) {
-          pos += span // dir/symlink/pax/GNU record: framed, but no sample
-          fetch()
-        } else {
-          val name = cstr(0, 100)
-          val payload = new Array[Byte](size.toInt)
-          in.readFully(pos + Block, payload, 0, size.toInt)
-          val (key, ext) = splitName(name)
-          val row = TarEntry(f, idx, valid = true, "", name, key, ext,
-            payload, 0L)
-          pos += span
-          idx += 1
-          row
-        }
-      }
-      override def hasNext: Boolean = {
-        if (pending == null) pending = fetch()
-        pending != null
-      }
-      override def next(): TarEntry = {
-        if (!hasNext) throw new NoSuchElementException(f)
-        val r = pending
-        pending = null
-        r
+        null // unreachable
       }
     }
 

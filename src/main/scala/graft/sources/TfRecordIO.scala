@@ -129,35 +129,22 @@ object TfRecordIO {
     spark.createDataset(files).flatMap(f => streamFile(f, conf))
   }
 
-  /** Lazy single-file record iterator — one frame in memory at a time. */
+  /** Lazy single-file record iterator — one frame in memory at a time
+    * (the [[FrameStream]] scaffold). */
   private[sources] def streamFile(
       f: String,
       conf: org.apache.spark.util.SerializableConfiguration): Iterator[TfRecord] =
-    new Iterator[TfRecord] {
-      private val p = new org.apache.hadoop.fs.Path(f)
-      private val cfs = p.getFileSystem(conf.value)
-      private val fileSize = cfs.getFileStatus(p).getLen
-      private val in = cfs.open(p)
+    new FrameStream[TfRecord](f, conf) {
       private val head = new Array[Byte](12)
-      private var pos = 0L
       private var rec = 0
-      private var done = false
-      private var pending: TfRecord = _
-      locally {
-        val tc = org.apache.spark.TaskContext.get()
-        if (tc != null) tc.addTaskCompletionListener[Unit](_ => close())
-      }
-      private def close(): Unit = if (!done) { done = true; in.close() }
       private def quarantine(reason: String): TfRecord = {
-        val row = TfRecord(f, rec, valid = false, reason,
+        val row = TfRecord(file, rec, valid = false, reason,
           Array.emptyByteArray, fileSize - pos)
-        close()
+        closeStream()
         row
       }
-      /** Parse ONE frame; null = clean EOF (closes the stream). */
-      private def fetch(): TfRecord = {
-        if (done) return null
-        if (pos >= fileSize) { close(); return null }
+      override protected def parseFrame(): TfRecord = {
+        if (pos >= fileSize) { closeStream(); return null }
         if (fileSize - pos < 12) return quarantine("truncated-header")
         in.readFully(pos, head, 0, 12)
         var len = 0L
@@ -178,22 +165,12 @@ object TfRecordIO {
           if (pCrc != maskedCrc32c(payload, 0, payload.length))
             quarantine("payload-crc-mismatch")
           else {
-            val row = TfRecord(f, rec, valid = true, "", payload, 0L)
+            val row = TfRecord(file, rec, valid = true, "", payload, 0L)
             pos += 12 + len + 4
             rec += 1
             row
           }
         }
-      }
-      override def hasNext: Boolean = {
-        if (pending == null) pending = fetch()
-        pending != null
-      }
-      override def next(): TfRecord = {
-        if (!hasNext) throw new NoSuchElementException(f)
-        val r = pending
-        pending = null
-        r
       }
     }
 }

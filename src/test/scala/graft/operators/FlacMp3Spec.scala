@@ -51,8 +51,15 @@ class FlacMp3Spec extends SparkTestBase {
       new Array[Byte](300)
     val id3v1 = Array[Byte]('T', 'A', 'G') ++ new Array[Byte](125)
     val vbr = Multimodal.mp3Frames(1, Seq(5, 9, 14), Seq(false, false, false))
+    // ID3v2.4 FOOTER flag (0x10): tag = 10 header + size + 10 footer
+    val id3v2Footer = Array[Byte]('I', 'D', '3', 4, 0, 0x10, 0, 0, 2, 0x2c) ++
+      new Array[Byte](300) ++
+      Array[Byte]('3', 'D', 'I', 4, 0, 0x10, 0, 0, 2, 0x2c)
     val got = mp3(
-      (1L, frames), (2L, id3v2 ++ frames ++ id3v1), (3L, vbr))
+      (1L, frames), (2L, id3v2 ++ frames ++ id3v1), (3L, vbr),
+      (4L, id3v2Footer ++ frames))
+    assert(got(4L).valid && got(4L).n_frames == 3,
+      s"footered ID3v2 tag must skip its extra 10 bytes: ${got(4L)}")
     assert(got(1L).valid && got(1L).sample_rate == 44100 &&
       got(1L).n_frames == 3 && got(1L).n_samples == 3456 && got(1L).cbr)
     assert(got(2L).valid && got(2L).n_frames == 3 && got(2L).cbr,

@@ -330,6 +330,41 @@ class SnapshotTableSpec extends SparkTestBase {
     assert(follow().contains((1L, 2L)) && seen.head == ((1L, 2L, 4L)))
   }
 
+  test("probes degrade across VACUUMED manifest gaps instead of throwing (r14 review)") {
+    val t = freshTable()
+    // txn batch at v1, pinned; later commits; vacuum opens a chain gap
+    val v1 = SnapshotTable.commitAppendTxn(rows(2000, 4, "b0"), t, Seq("year"), "batch-0")
+    assert(v1 == 1L)
+    SnapshotTable.createRef(t, "pin", Some(1L))
+    SnapshotTable.commitAppend(rows(2010, 4, "v2"), t, Seq("year"))
+    SnapshotTable.commitAppend(rows(2020, 4, "v3"), t, Seq("year"))
+    val v4 = SnapshotTable.compact(spark, t, Seq("year"))
+    SnapshotTable.vacuum(spark, t, keepSnapshots = 1, minAgeMs = 0)
+    // v2/v3 manifests are gone; v1 survives via the pin
+    assert(!Files.exists(Paths.get(t, "_manifests", "v00000002.manifest")))
+    assert(Files.exists(Paths.get(t, "_manifests", "v00000001.manifest")))
+    // txn replay walks the chain THROUGH the gap: must settle as a
+    // no-op (retained history ⇒ committed), not crash or double-apply
+    assert(SnapshotTable.commitAppendTxn(rows(2000, 4, "b0"), t,
+      Seq("year"), "batch-0") == 1L)
+    assert(SnapshotTable.readSnapshot(spark, t).count() == 12)
+    // changes() across the gap: the compaction probe falls back to the
+    // endpoint diff (both endpoints exist) instead of throwing
+    val diff = SnapshotTable.changes(spark, t, 1L, v4)
+    assert(diff.filter(col("_change_type") === "insert").count() == 8)
+    assert(diff.filter(col("_change_type") === "delete").count() == 0)
+    // long txn ids are rejected LOUDLY at commit time (the headersOf
+    // window contract), not silently truncated
+    intercept[Exception] {
+      SnapshotTable.commitAppendTxn(rows(2030, 2, "x"), t, Seq("year"), "x" * 300)
+    }
+    // ...while a 256-char id commits and replays exactly-once
+    val longId = "y" * 256
+    val vL = SnapshotTable.commitAppendTxn(rows(2030, 2, "y"), t, Seq("year"), longId)
+    assert(SnapshotTable.commitAppendTxn(rows(2030, 2, "y"), t, Seq("year"), longId) == vL)
+    assert(SnapshotTable.readSnapshot(spark, t).count() == 14)
+  }
+
   test("changes() cancels a pure-compaction range at the manifest level — zero scans (r13 VERDICT #6)") {
     val t = freshTable()
     SnapshotTable.commitOverwrite(rows(2000, 8, "v1"), t, Seq("year"))
