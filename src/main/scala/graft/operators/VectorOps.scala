@@ -288,4 +288,222 @@ object VectorOps {
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
   }
+  /** IVF-PQ composition (the FAISS IVFADC shape — Jégou et al. 2011
+    * §IV): a COARSE quantizer of `nlist` centroids routes every vector
+    * to an inverted list, and PQ encodes the RESIDUAL (vector − its
+    * coarse centroid) — residuals are tighter than raw vectors, so the
+    * same code budget buys more recall. Query time probes only the
+    * `nprobe` nearest lists: at 10^10 vectors with nlist = 65536 and
+    * nprobe = 64, the ADC scan touches ~0.1% of the code table — the
+    * coarse router is what turns PQ's byte cut into a ROW cut. */
+  final case class IvfPqModel(coarse: Vector[Vector[Long]], pq: PqModel) {
+    def nlist: Int = coarse.length
+  }
+
+  /** In-memory integer kmeans over sample rows (the [[pqTrain]]
+    * arithmetic: smallest-id seeds, (distance, seed-order) argmin,
+    * FLOOR-division means — `Math.floorDiv`, since residual domains go
+    * negative where kmeansInt's shifted domain could truncate-divide).
+    * Deterministic; empty clusters drop. */
+  private def kmeansLocal(rows: Array[Array[Long]], k: Int,
+                          iterations: Int): Vector[Array[Long]] = {
+    require(rows.nonEmpty)
+    val dim = rows(0).length
+    var cents: Vector[Array[Long]] = rows.take(k).map(_.clone()).toVector
+    def assign(): Array[Int] = rows.map { v =>
+      var best = 0
+      var bd = Long.MaxValue
+      var c = 0
+      while (c < cents.length) {
+        var s2 = 0L
+        var i = 0
+        while (i < dim) { val d = v(i) - cents(c)(i); s2 += d * d; i += 1 }
+        if (s2 < bd) { bd = s2; best = c }
+        c += 1
+      }
+      best
+    }
+    def means(asg: Array[Int]): Vector[Array[Long]] = {
+      val sums = Array.fill(cents.length)(new Array[Long](dim))
+      val counts = new Array[Long](cents.length)
+      var r = 0
+      while (r < rows.length) {
+        val c = asg(r)
+        counts(c) += 1
+        var i = 0
+        while (i < dim) { sums(c)(i) += rows(r)(i); i += 1 }
+        r += 1
+      }
+      (0 until cents.length).iterator.filter(counts(_) > 0).map { c =>
+        val m = new Array[Long](dim)
+        var i = 0
+        while (i < dim) { m(i) = Math.floorDiv(sums(c)(i), counts(c)); i += 1 }
+        m
+      }.toVector
+    }
+    for (_ <- 1 to iterations) cents = means(assign())
+    means(assign())
+  }
+
+  /** Train the coarse quantizer AND the per-subspace residual codebooks
+    * on one bounded deterministic sample ([[pqTrain]]'s discipline). */
+  def ivfPqTrain(emb: DataFrame, idCol: String, embCol: String,
+                 nlist: Int, m: Int, ksub: Int, iterations: Int = 3,
+                 scale: Long = 1000000L, shift: Double = 1.0,
+                 trainSample: Int = 4096): IvfPqModel = {
+    require(nlist >= 1 && m >= 1 && ksub >= 2 && ksub <= 256)
+    val d = emb.selectExpr(s"size($embCol)").head().getInt(0)
+    require(d % m == 0, s"dim $d not divisible into $m subspaces")
+    val dsub = d / m
+    val sample: Array[Array[Long]] =
+      unitQuant(emb, idCol, embCol, scale, shift)
+        .orderBy(col(idCol)).limit(trainSample)
+        .collect().map(_.getSeq[Long](1).toArray)
+    val coarse = kmeansLocal(sample, nlist, iterations)
+    def nearestCoarse(v: Array[Long]): Int = {
+      var best = 0
+      var bd = Long.MaxValue
+      var c = 0
+      while (c < coarse.length) {
+        var s2 = 0L
+        var i = 0
+        while (i < d) { val dd = v(i) - coarse(c)(i); s2 += dd * dd; i += 1 }
+        if (s2 < bd) { bd = s2; best = c }
+        c += 1
+      }
+      best
+    }
+    // residual sample trains the PQ books, subspace by subspace
+    val residuals = sample.map { v =>
+      val c = coarse(nearestCoarse(v))
+      Array.tabulate(d)(i => v(i) - c(i))
+    }
+    val books = (0 until m).toVector.map { j =>
+      val sub = residuals.map(r =>
+        java.util.Arrays.copyOfRange(r, j * dsub, (j + 1) * dsub))
+      kmeansLocal(sub, ksub, iterations).map(_.toVector)
+    }
+    IvfPqModel(coarse.map(_.toVector),
+      PqModel(m, dsub, scale, shift, books))
+  }
+
+  /** Encode: (id, list_id, pq_code) — each vector routed to its nearest
+    * coarse list, its RESIDUAL PQ-coded against that list's frame. The
+    * stored search table is (1 small int + m bytes) per vector; at scale
+    * it is written partitioned by `list_id`, so a probe reads only the
+    * probed lists' files (the [[SimilaritySearch.ivfTopK]] layout). */
+  def ivfPqEncode(emb: DataFrame, idCol: String, embCol: String,
+                  model: IvfPqModel): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val pq = model.pq
+    unitQuant(emb, idCol, embCol, pq.scale, pq.shift)
+      .as[(Long, Seq[Long])]
+      .map { case (id, qSeq) =>
+        val q = qSeq.toArray
+        val d = q.length
+        var bestL = 0
+        var bd = Long.MaxValue
+        var c = 0
+        while (c < model.coarse.length) {
+          val cent = model.coarse(c)
+          var s2 = 0L
+          var i = 0
+          while (i < d) { val dd = q(i) - cent(i); s2 += dd * dd; i += 1 }
+          if (s2 < bd) { bd = s2; bestL = c }
+          c += 1
+        }
+        val cent = model.coarse(bestL)
+        val code = new Array[Int](pq.m)
+        var j = 0
+        while (j < pq.m) {
+          val book = pq.books(j)
+          var best = 0
+          var bD = Long.MaxValue
+          var k = 0
+          while (k < book.length) {
+            val bk = book(k)
+            var s2 = 0L
+            var i = 0
+            while (i < pq.dsub) {
+              val dd = (q(j * pq.dsub + i) - cent(j * pq.dsub + i)) - bk(i)
+              s2 += dd * dd
+              i += 1
+            }
+            if (s2 < bD) { bD = s2; best = k }
+            k += 1
+          }
+          code(j) = best
+          j += 1
+        }
+        (id, bestL, code.toSeq)
+      }.toDF(idCol, "list_id", "pq_code")
+  }
+
+  /** Probe-and-rerank search: rank coarse lists by distance to the
+    * query (driver-side, nlist-bounded), keep `nprobe`, build ONE ADC
+    * table per probed list over the query's residual against that
+    * list's centroid (nprobe · m · ksub longs — model-sized), scan only
+    * rows whose `list_id` is probed (a partition-prunable filter at
+    * scale), shortlist by ADC distance, exact-cosine rerank. Identical
+    * to brute force whenever the true top-k live in probed lists AND
+    * survive the ADC cut — nprobe and margin are the two recall dials,
+    * both part of q_v20's hashed contract. */
+  def ivfPqTopK(full: DataFrame, codes: DataFrame, idCol: String,
+                embCol: String, model: IvfPqModel, query: Array[Float],
+                k: Int, nprobe: Int, margin: Int = 8): DataFrame = {
+    val spark = full.sparkSession
+    import spark.implicits._
+    val pq = model.pq
+    val d = model.coarse(0).length
+    val qn = math.max(math.sqrt(query.map(x => x.toDouble * x).sum), 1e-12)
+    val qq = Array.tabulate(d)(i =>
+      math.round((query(i) / qn + pq.shift) * pq.scale))
+    val listDist = model.coarse.zipWithIndex.map { case (cent, li) =>
+      var s2 = 0L
+      var i = 0
+      while (i < d) { val dd = qq(i) - cent(i); s2 += dd * dd; i += 1 }
+      (s2, li)
+    }.sorted.take(math.min(nprobe, model.nlist))
+    val probed: Map[Int, Array[Array[Long]]] = listDist.map { case (_, li) =>
+      val cent = model.coarse(li)
+      val table = (0 until pq.m).map { j =>
+        pq.books(j).map { bk =>
+          var s2 = 0L
+          var i = 0
+          while (i < pq.dsub) {
+            val dd = (qq(j * pq.dsub + i) - cent(j * pq.dsub + i)) - bk(i)
+            s2 += dd * dd
+            i += 1
+          }
+          s2
+        }.toArray
+      }.toArray
+      li -> table
+    }.toMap
+    val probedIds = probed.keySet
+    val cands = codes
+      .filter(col("list_id").isin(probedIds.toSeq: _*)) // list-pruned scan
+      .select(col(idCol).cast("long"), col("list_id"), col("pq_code"))
+      .as[(Long, Int, Seq[Int])]
+      .map { case (id, li, code) =>
+        val table = probed(li)
+        var s = 0L
+        var j = 0
+        while (j < code.length) { s += table(j)(code(j)); j += 1 }
+        (id, s)
+      }.toDF(idCol, "adc_dist")
+      .orderBy(col("adc_dist"), col(idCol))
+      .limit(k * margin)
+      .select(col(idCol))
+    val dot = s"aggregate(zip_with($embCol, q_vec, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (a, v) -> a + v)"
+    val n1 = s"sqrt(aggregate($embCol, CAST(0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    val n2 = "sqrt(aggregate(q_vec, CAST(0 AS DOUBLE), (a, y) -> a + CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))"
+    full
+      .join(broadcast(cands), idCol)
+      .withColumn("q_vec", typedLit(query.toSeq))
+      .selectExpr(idCol, s"round($dot / ($n1 * $n2), 6) AS cosine")
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
 }

@@ -123,6 +123,30 @@ object VectorQueries {
         .orderBy(col("cosine").desc, col("vec_id"))
     }),
 
+    // IVFADC composition (round 14): coarse router + RESIDUAL PQ codes —
+    // probed lists prune the ADC scan by ROWS, not just bytes (the
+    // FAISS IVF-PQ shape; at 65k lists / nprobe 64 the scan touches
+    // ~0.1% of the code table). Brute top-10 is the oracle again. The
+    // test embeddings are near-random, where coarse-list membership
+    // carries no neighbor signal AT ALL (measured: the true top-1 sits
+    // outside the 6 nearest of 8 lists), so the hashed contract here
+    // probes ALL lists — it pins the residual encode, per-list ADC
+    // tables, list-filtered scan, and rerank end to end; the ROUTING
+    // selectivity receipt is PqSpec's clustered case, exact at
+    // nprobe 3 of 8.
+    "q_v20_ann_ivfadc" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val queryVec = e.filter(col("vec_id") === 2)
+        .select("embedding").head().getSeq[Float](0).toArray
+      val corpus = e.filter(col("vec_id") =!= 2)
+      val model = VectorOps.ivfPqTrain(corpus, "vec_id", "embedding",
+        nlist = 8, m = 16, ksub = 32, iterations = 3)
+      val codes = VectorOps.ivfPqEncode(corpus, "vec_id", "embedding", model)
+      VectorOps.ivfPqTopK(corpus, codes, "vec_id", "embedding", model,
+          queryVec, k = 10, nprobe = 8, margin = 128)
+        .orderBy(col("cosine").desc, col("vec_id"))
+    }),
+
     // Grouped vector aggregation: per-label centroid (class prototype),
     // reported through its scalar L2 norm so the driver check stays
     // array-free. posexplode → (label, dim) decimal-exact means → fold
@@ -346,6 +370,20 @@ object VectorQueries {
         |            * sqrt(list_sum(list_transform(q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
         |         6) AS cosine
         |FROM embeddings, q WHERE vec_id <> 1
+        |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+
+    // brute-force cosine top-10 around vec_id 2 — the IVFADC pipeline
+    // (coarse probe + residual ADC + rerank) must reproduce it exactly
+    "q_v20_ann_ivfadc" ->
+      """WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 2)
+        |SELECT vec_id,
+        |       round(
+        |         list_sum(list_transform(generate_series(1, len(embedding)),
+        |           i -> CAST(embedding[i] AS DOUBLE) * CAST(q_emb[i] AS DOUBLE)))
+        |         / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |            * sqrt(list_sum(list_transform(q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+        |         6) AS cosine
+        |FROM embeddings, q WHERE vec_id <> 2
         |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
 
     "q_v8_label_centroids" ->

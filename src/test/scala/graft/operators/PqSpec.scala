@@ -56,6 +56,42 @@ class PqSpec extends SparkTestBase {
     assert(byLabel.count(_ <= 2) >= 9, byLabel.mkString(","))
   }
 
+  test("IVFADC: clustered data routes at nprobe 3 of 8 — exact top-k through the list cut") {
+    val e = clustered()
+    val query = e.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val corpus = e.filter(col("vec_id") =!= 0)
+    val model = VectorOps.ivfPqTrain(corpus, "vec_id", "embedding",
+      nlist = 8, m = 4, ksub = 8, iterations = 3)
+    assert(model.nlist <= 8 && model.pq.m == 4)
+    val codes = VectorOps.ivfPqEncode(corpus, "vec_id", "embedding", model)
+    // encode sanity: list ids in range, members of a tight cluster share
+    // their list (the router is what makes nprobe selective)
+    val listsPerLabel = codes.join(e.select("vec_id", "label"), "vec_id")
+      .groupBy("label").agg(countDistinct("list_id").as("n"))
+      .collect().map(_.getAs[Long]("n"))
+    // 12 clusters share 8 lists, so coarse centroids merge some and may
+    // split one that straddles a boundary — most must still route whole
+    assert(listsPerLabel.count(_ == 1) >= 9, listsPerLabel.mkString(","))
+    val got = VectorOps.ivfPqTopK(corpus, codes, "vec_id", "embedding",
+        model, query, k = 10, nprobe = 3, margin = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val brute = bruteTopK(corpus, query, 10)
+    assert(got == brute, s"\ngot:   $got\nbrute: $brute")
+  }
+
+  private def bruteTopK(corpus: org.apache.spark.sql.DataFrame,
+                        query: Array[Float], k: Int): Seq[(Long, Double)] = {
+    val q = typedLit(query.toSeq)
+    val dot = "aggregate(zip_with(embedding, q_vec, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (a, v) -> a + v)"
+    val n1 = "sqrt(aggregate(embedding, CAST(0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    val n2 = "sqrt(aggregate(q_vec, CAST(0 AS DOUBLE), (a, y) -> a + CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))"
+    corpus.withColumn("q_vec", q)
+      .selectExpr("vec_id", s"round($dot / ($n1 * $n2), 6) AS cosine")
+      .orderBy(col("cosine").desc, col("vec_id")).limit(k)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+  }
+
   test("ADC + exact rerank reproduces brute top-k at margin 4 on clustered data") {
     val e = clustered()
     val query = e.filter(col("vec_id") === 0)
