@@ -452,8 +452,17 @@ object VectorOps {
   def ivfPqTopK(full: DataFrame, codes: DataFrame, idCol: String,
                 embCol: String, model: IvfPqModel, query: Array[Float],
                 k: Int, nprobe: Int, margin: Int = 8): DataFrame = {
-    val spark = full.sparkSession
-    import spark.implicits._
+    val probed = probeTables(model, query, nprobe)
+    val scoped = codes.filter(col("list_id").isin(probed.keySet.toSeq: _*))
+    adcScanRerank(full, scoped, probed, idCol, embCol, query, k, margin)
+  }
+
+  /** The query's per-probed-list ADC tables: rank coarse lists by
+    * distance (nlist-bounded, driver-side), keep `nprobe`, precompute
+    * each kept list's residual distance table — nprobe · m · ksub longs
+    * of closure data. */
+  private def probeTables(model: IvfPqModel, query: Array[Float],
+                          nprobe: Int): Map[Int, Array[Array[Long]]] = {
     val pq = model.pq
     val d = model.coarse(0).length
     val qn = math.max(math.sqrt(query.map(x => x.toDouble * x).sum), 1e-12)
@@ -465,7 +474,7 @@ object VectorOps {
       while (i < d) { val dd = qq(i) - cent(i); s2 += dd * dd; i += 1 }
       (s2, li)
     }.sorted.take(math.min(nprobe, model.nlist))
-    val probed: Map[Int, Array[Array[Long]]] = listDist.map { case (_, li) =>
+    listDist.map { case (_, li) =>
       val cent = model.coarse(li)
       val table = (0 until pq.m).map { j =>
         pq.books(j).map { bk =>
@@ -481,10 +490,20 @@ object VectorOps {
       }.toArray
       li -> table
     }.toMap
-    val probedIds = probed.keySet
-    val cands = codes
-      .filter(col("list_id").isin(probedIds.toSeq: _*)) // list-pruned scan
-      .select(col(idCol).cast("long"), col("list_id"), col("pq_code"))
+  }
+
+  /** ADC-score `codesScoped` (already restricted to probed lists),
+    * shortlist `k * margin`, exact-cosine rerank against full
+    * precision. */
+  private def adcScanRerank(full: DataFrame, codesScoped: DataFrame,
+                            probed: Map[Int, Array[Array[Long]]],
+                            idCol: String, embCol: String,
+                            query: Array[Float], k: Int,
+                            margin: Int): DataFrame = {
+    val spark = full.sparkSession
+    import spark.implicits._
+    val cands = codesScoped
+      .select(col(idCol).cast("long"), col("list_id").cast("int"), col("pq_code"))
       .as[(Long, Int, Seq[Int])]
       .map { case (id, li, code) =>
         val table = probed(li)
@@ -505,5 +524,35 @@ object VectorOps {
       .selectExpr(idCol, s"round($dot / ($n1 * $n2), 6) AS cosine")
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
+  }
+
+  /** Persist the code table PARTITIONED BY LIST (hive layout
+    * `list_id=N/`): the stored 100 TB shape — a probe then lists, opens,
+    * and plans ONLY the probed directories ([[ivfPqTopKIndexed]]), so
+    * the ADC row cut becomes a FILE cut before any Spark scan exists. */
+  def ivfPqWriteIndex(codes: DataFrame, path: String): Unit =
+    codes.write.mode("overwrite").partitionBy("list_id").parquet(path)
+
+  /** Probe-only read of a written index: the probed lists' directories,
+    * selected DRIVER-SIDE (directories that do not exist — empty lists —
+    * are skipped; `basePath` keeps `list_id` as a column). */
+  def ivfPqReadLists(spark: org.apache.spark.sql.SparkSession, path: String,
+                     lists: Seq[Int]): DataFrame = {
+    val dirs = lists.map(l => s"$path/list_id=$l")
+      .filter(d => new java.io.File(d.stripPrefix("file:")).exists())
+    require(dirs.nonEmpty, s"no probed list exists under $path")
+    spark.read.option("basePath", path).parquet(dirs: _*)
+  }
+
+  /** [[ivfPqTopK]] against a written index: only probed-list FILES are
+    * planned (the `.inputFiles` receipt in PqSpec). */
+  def ivfPqTopKIndexed(full: DataFrame, indexPath: String, idCol: String,
+                       embCol: String, model: IvfPqModel,
+                       query: Array[Float], k: Int, nprobe: Int,
+                       margin: Int = 8): DataFrame = {
+    val probed = probeTables(model, query, nprobe)
+    val scoped = ivfPqReadLists(full.sparkSession, indexPath,
+      probed.keySet.toSeq.sorted)
+    adcScanRerank(full, scoped, probed, idCol, embCol, query, k, margin)
   }
 }

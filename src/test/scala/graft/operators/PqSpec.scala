@@ -80,6 +80,35 @@ class PqSpec extends SparkTestBase {
     assert(got == brute, s"\ngot:   $got\nbrute: $brute")
   }
 
+  test("IVFADC written index: a probe plans ONLY probed-list files (the 100TB layout)") {
+    val e = clustered()
+    val query = e.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val corpus = e.filter(col("vec_id") =!= 0)
+    val model = VectorOps.ivfPqTrain(corpus, "vec_id", "embedding",
+      nlist = 8, m = 4, ksub = 8, iterations = 3)
+    val codes = VectorOps.ivfPqEncode(corpus, "vec_id", "embedding", model)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+    VectorOps.ivfPqWriteIndex(codes, path)
+    val nLists = codes.select("list_id").distinct().count()
+    // probe-only read: the planned file set lives entirely under probed
+    // directories — the driver never lists the others
+    val probedRead = VectorOps.ivfPqReadLists(spark, path, Seq(0, 1, 2, 3, 4, 5, 6, 7).take(3))
+    val probedDirs = Set("list_id=0", "list_id=1", "list_id=2")
+    assert(probedRead.inputFiles.nonEmpty &&
+      probedRead.inputFiles.forall(f => probedDirs.exists(f.contains)),
+      probedRead.inputFiles.take(3).mkString(","))
+    val fullRead = spark.read.parquet(path)
+    assert(probedRead.inputFiles.length < fullRead.inputFiles.length,
+      s"probe must plan fewer files: ${probedRead.inputFiles.length} vs ${fullRead.inputFiles.length}")
+    assert(nLists >= 4, s"router degenerate: $nLists lists")
+    // and the indexed search still reproduces brute top-k
+    val got = VectorOps.ivfPqTopKIndexed(corpus, path, "vec_id", "embedding",
+        model, query, k = 10, nprobe = 3, margin = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == bruteTopK(corpus, query, 10))
+  }
+
   private def bruteTopK(corpus: org.apache.spark.sql.DataFrame,
                         query: Array[Float], k: Int): Seq[(Long, Double)] = {
     val q = typedLit(query.toSeq)
