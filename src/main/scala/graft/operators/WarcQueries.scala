@@ -195,6 +195,45 @@ object WarcQueries {
       good.unionByName(bad).orderBy("key")
     }),
 
+    // WEBDATASET EXPORT (round 14): the training-data DELIVERY shape —
+    // the corpus packed into loader-ready tar shards, two members per
+    // sample (payload .txt + metadata .json), sample members adjacent,
+    // shards routed by (split, doc_id) arithmetic. Read back through
+    // samples(): every digest, member count, and the SHARD each sample
+    // landed in are analytic — a routing or adjacency bug moves a
+    // sample to the wrong shard and fails the hash.
+    "q_tar2_webdataset_export" -> ((s, dir) => {
+      val out = s"${System.getProperty("java.io.tmpdir", "/tmp")}" +
+        s"/graft_tarx/run-${System.nanoTime()}"
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .selectExpr("doc_id", "coalesce(text, '') AS text",
+          """CASE WHEN doc_id % 10 < 8 THEN 'train'
+            |     WHEN doc_id % 10 = 8 THEN 'valid'
+            |     ELSE 'test' END AS split""".stripMargin,
+          """CAST(CASE WHEN doc_id % 10 < 8 THEN 0
+            |          WHEN doc_id % 10 = 8 THEN 1
+            |          ELSE 2 END * 4 + doc_id % 4 AS BIGINT) AS fkey""".stripMargin)
+      val members = docs.selectExpr("fkey", "doc_id * 2 AS ord",
+        "concat(split, '/', lpad(CAST(doc_id AS STRING), 8, '0'), '.txt') AS name",
+        "encode(text, 'UTF-8') AS payload")
+        .unionAll(docs.selectExpr("fkey", "doc_id * 2 + 1 AS ord",
+          "concat(split, '/', lpad(CAST(doc_id AS STRING), 8, '0'), '.json') AS name",
+          "encode(concat('{\"doc_id\":', CAST(doc_id AS STRING), '}'), 'UTF-8') AS payload"))
+      graft.sources.TarShardIO.write(members, "fkey", "ord", "name",
+        "payload", out, numFiles = 12)
+      val entries = graft.sources.TarShardIO.read(s, out)
+      val shards = entries.toDF().filter(col("ext") === "txt")
+        .select(col("key"),
+          regexp_extract(col("file"), "shard-0*([0-9]+)", 1).cast("int")
+            .as("shard"))
+      graft.sources.TarShardIO.samples(entries)
+        .join(shards, Seq("key"))
+        .select(col("key"), col("shard"), col("n_members"),
+          md5(element_at(col("members"), "txt")).as("txt_md5"),
+          md5(element_at(col("members"), "json")).as("json_md5"))
+        .orderBy("key")
+    }),
+
     // WARC record split: constructed gzip segments -> records with exact
     // decompressed-stream offsets; the planted truncations quarantine
     // with declared/got accounting (malformed=1, no payload digest) and
@@ -237,6 +276,20 @@ object WarcQueries {
         |UNION ALL
         |SELECT CAST(-4 AS BIGINT), 'payload-crc-mismatch'
         |ORDER BY key""".stripMargin,
+
+    // split/shard routing, member digests, and adjacency all replay from
+    // doc_id arithmetic — the oracle never touches tar bytes
+    "q_tar2_webdataset_export" ->
+      """SELECT CASE WHEN doc_id % 10 < 8 THEN 'train'
+        |            WHEN doc_id % 10 = 8 THEN 'valid' ELSE 'test' END ||
+        |       '/' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS key,
+        |       CAST(CASE WHEN doc_id % 10 < 8 THEN 0
+        |                 WHEN doc_id % 10 = 8 THEN 1 ELSE 2 END * 4
+        |            + doc_id % 4 AS INTEGER) AS shard,
+        |       CAST(2 AS BIGINT) AS n_members,
+        |       md5(coalesce(text, '')) AS txt_md5,
+        |       md5('{"doc_id":' || CAST(doc_id AS VARCHAR) || '}') AS json_md5
+        |FROM documents ORDER BY key""".stripMargin,
 
     // samples and digests replayed from the construction arithmetic —
     // shard 3 (doc_id % 8 = 3) vanishes behind its one quarantine row
