@@ -154,6 +154,76 @@ object ImageCodec {
       ahash(grid, gridN), dhash(grid, gridN, gridW))
   }
 
+  /** [[decodeImages]] composed with the EXIF orientation tag
+    * ([[Multimodal.exifOrientation]]): pixels are binned into the grid
+    * in DISPLAY orientation (the 8 JEITA CP-3451 cases — rotations,
+    * mirrors, and transposes), so two captures of the same scene that
+    * differ only in stored orientation hash TOGETHER — without this, a
+    * rotated duplicate never collides on aHash/dHash. width/height
+    * report display dims; payloads without EXIF (BMP/PNG) or with an
+    * unparseable container decode identity, never fail. */
+  def decodeImagesOriented(df: DataFrame, idCol: String, payloadCol: String,
+                           gridW: Int = 8, gridH: Int = 8): Dataset[DecodedImage] = {
+    require(gridW >= 1 && gridH >= 1 && gridW * gridH <= 64,
+      s"grid must have 1..64 cells for a LONG aHash, got ${gridW}x$gridH")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        decodeOneOriented(id, payload, gridW, gridH)
+      })
+  }
+
+  private[operators] def decodeOneOriented(id: Long, payload: Array[Byte],
+                                           gridW: Int, gridH: Int): DecodedImage = {
+    val img = decode(payload)
+    if (img == null)
+      return DecodedImage(id, decoded = false, 0, 0,
+        Array.empty[Long], Array.empty[Int], 0L, 0L)
+    val o = Multimodal.exifOrientation(payload) match {
+      case t if t >= 1 && t <= 8 => t
+      case _ => 1 // absent/unparseable: identity, never a failure
+    }
+    val w = img.getWidth
+    val h = img.getHeight
+    val swap = o >= 5
+    val dw = if (swap) h else w
+    val dh = if (swap) w else h
+    val grid = new Array[Long](gridW * gridH)
+    val gridN = new Array[Int](gridW * gridH)
+    val row = new Array[Int](w)
+    var y = 0
+    while (y < h) {
+      img.getRGB(0, y, w, 1, row, 0, w)
+      var x = 0
+      while (x < w) {
+        val p = row(x)
+        val luma1000 = 299 * ((p >> 16) & 0xff) + 587 * ((p >> 8) & 0xff) +
+          114 * (p & 0xff)
+        var dx = x
+        var dy = y
+        o match {
+          case 2 => dx = w - 1 - x
+          case 3 => dx = w - 1 - x; dy = h - 1 - y
+          case 4 => dy = h - 1 - y
+          case 5 => dx = y; dy = x
+          case 6 => dx = h - 1 - y; dy = x
+          case 7 => dx = h - 1 - y; dy = w - 1 - x
+          case 8 => dx = y; dy = w - 1 - x
+          case _ => ()
+        }
+        val cell = (dy * gridH / dh) * gridW + dx * gridW / dw
+        grid(cell) += luma1000
+        gridN(cell) += 1
+        x += 1
+      }
+      y += 1
+    }
+    DecodedImage(id, decoded = true, dw, dh, grid, gridN,
+      ahash(grid, gridN), dhash(grid, gridN, gridW))
+  }
+
   /** aHash over an already-computed luma grid: bit i set iff cell i's mean
     * exceeds the whole-image mean. Cross-multiplied in BigInt — exact for
     * any image size. */
