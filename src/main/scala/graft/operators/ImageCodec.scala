@@ -122,13 +122,26 @@ object ImageCodec {
   }
 
   private[operators] def decodeOne(id: Long, payload: Array[Byte],
-                                   gridW: Int, gridH: Int): DecodedImage = {
+                                   gridW: Int, gridH: Int): DecodedImage =
+    decodeWithOrientation(id, payload, gridW, gridH, orientation = 1)
+
+  /** The ONE luma-grid kernel (r14 review: two copies of the BT.601 /
+    * binning arithmetic would have to stay bit-identical for hashes to
+    * compare across decode paths). `orientation` 1 keeps the hoisted
+    * fast row loop; 2-8 remap each pixel into display coordinates. */
+  private def decodeWithOrientation(id: Long, payload: Array[Byte],
+                                    gridW: Int, gridH: Int,
+                                    orientation: Int): DecodedImage = {
     val img = decode(payload)
     if (img == null)
       return DecodedImage(id, decoded = false, 0, 0,
         Array.empty[Long], Array.empty[Int], 0L, 0L)
+    val o = if (orientation >= 1 && orientation <= 8) orientation else 1
     val w = img.getWidth
     val h = img.getHeight
+    val swap = o >= 5
+    val dw = if (swap) h else w
+    val dh = if (swap) w else h
     val grid = new Array[Long](gridW * gridH)
     val gridN = new Array[Int](gridW * gridH)
     // bulk ARGB fetch: one row at a time keeps the buffer row-sized for
@@ -137,20 +150,35 @@ object ImageCodec {
     var y = 0
     while (y < h) {
       img.getRGB(0, y, w, 1, row, 0, w)
-      val gy = y * gridH / h
+      val gy = y * gridH / h // hoisted for the dominant o = 1 case
       var x = 0
       while (x < w) {
         val p = row(x)
         val luma1000 = 299 * ((p >> 16) & 0xff) + 587 * ((p >> 8) & 0xff) +
           114 * (p & 0xff)
-        val cell = gy * gridW + x * gridW / w
+        val cell =
+          if (o == 1) gy * gridW + x * gridW / w
+          else {
+            var dx = x
+            var dy = y
+            o match {
+              case 2 => dx = w - 1 - x
+              case 3 => dx = w - 1 - x; dy = h - 1 - y
+              case 4 => dy = h - 1 - y
+              case 5 => dx = y; dy = x
+              case 6 => dx = h - 1 - y; dy = x
+              case 7 => dx = h - 1 - y; dy = w - 1 - x
+              case _ => dx = y; dy = w - 1 - x // 8
+            }
+            (dy * gridH / dh) * gridW + dx * gridW / dw
+          }
         grid(cell) += luma1000
         gridN(cell) += 1
         x += 1
       }
       y += 1
     }
-    DecodedImage(id, decoded = true, w, h, grid, gridN,
+    DecodedImage(id, decoded = true, dw, dh, grid, gridN,
       ahash(grid, gridN), dhash(grid, gridN, gridW))
   }
 
@@ -177,51 +205,11 @@ object ImageCodec {
 
   private[operators] def decodeOneOriented(id: Long, payload: Array[Byte],
                                            gridW: Int, gridH: Int): DecodedImage = {
-    val img = decode(payload)
-    if (img == null)
-      return DecodedImage(id, decoded = false, 0, 0,
-        Array.empty[Long], Array.empty[Int], 0L, 0L)
-    val o = Multimodal.exifOrientation(payload) match {
-      case t if t >= 1 && t <= 8 => t
-      case _ => 1 // absent/unparseable: identity, never a failure
-    }
-    val w = img.getWidth
-    val h = img.getHeight
-    val swap = o >= 5
-    val dw = if (swap) h else w
-    val dh = if (swap) w else h
-    val grid = new Array[Long](gridW * gridH)
-    val gridN = new Array[Int](gridW * gridH)
-    val row = new Array[Int](w)
-    var y = 0
-    while (y < h) {
-      img.getRGB(0, y, w, 1, row, 0, w)
-      var x = 0
-      while (x < w) {
-        val p = row(x)
-        val luma1000 = 299 * ((p >> 16) & 0xff) + 587 * ((p >> 8) & 0xff) +
-          114 * (p & 0xff)
-        var dx = x
-        var dy = y
-        o match {
-          case 2 => dx = w - 1 - x
-          case 3 => dx = w - 1 - x; dy = h - 1 - y
-          case 4 => dy = h - 1 - y
-          case 5 => dx = y; dy = x
-          case 6 => dx = h - 1 - y; dy = x
-          case 7 => dx = h - 1 - y; dy = w - 1 - x
-          case 8 => dx = y; dy = w - 1 - x
-          case _ => ()
-        }
-        val cell = (dy * gridH / dh) * gridW + dx * gridW / dw
-        grid(cell) += luma1000
-        gridN(cell) += 1
-        x += 1
-      }
-      y += 1
-    }
-    DecodedImage(id, decoded = true, dw, dh, grid, gridN,
-      ahash(grid, gridN), dhash(grid, gridN, gridW))
+    // the EXIF walk is payload-local and cheap next to the image decode;
+    // absent/unparseable orientation decodes identity, never fails
+    val o = Multimodal.exifOrientation(payload)
+    decodeWithOrientation(id, payload, gridW, gridH,
+      if (o >= 1 && o <= 8) o else 1)
   }
 
   /** aHash over an already-computed luma grid: bit i set iff cell i's mean

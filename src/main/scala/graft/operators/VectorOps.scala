@@ -164,46 +164,11 @@ object VectorOps {
         .collect().map(_.getSeq[Long](1).toArray)
     require(sample.nonEmpty, "cannot train on an empty corpus")
     val books = (0 until m).toVector.map { j =>
-      val off = j * dsub
-      var cents: Vector[Array[Long]] =
-        sample.take(ksub).map(v => java.util.Arrays.copyOfRange(v, off, off + dsub)).toVector
-      def assign(): Array[Int] = sample.map { v =>
-        var best = 0
-        var bd = Long.MaxValue
-        var c = 0
-        while (c < cents.length) {
-          var s2 = 0L
-          var i = 0
-          while (i < dsub) { val dd = v(off + i) - cents(c)(i); s2 += dd * dd; i += 1 }
-          if (s2 < bd) { bd = s2; best = c } // strict <: first (smallest-id seed) wins ties
-          c += 1
-        }
-        best
-      }
-      def means(asg: Array[Int]): Vector[Array[Long]] = {
-        val sums = Array.fill(cents.length)(new Array[Long](dsub))
-        val counts = new Array[Long](cents.length)
-        var r = 0
-        while (r < sample.length) {
-          val c = asg(r)
-          counts(c) += 1
-          var i = 0
-          while (i < dsub) { sums(c)(i) += sample(r)(off + i); i += 1 }
-          r += 1
-        }
-        (0 until cents.length).iterator.filter(counts(_) > 0).map { c =>
-          val mvec = new Array[Long](dsub)
-          var i = 0
-          // nonnegative domain (shift): truncating div == floor div,
-          // matching kmeansInt's `sum(v) div count(1)`
-          while (i < dsub) { mvec(i) = sums(c)(i) / counts(c); i += 1 }
-          mvec
-        }.toVector
-      }
-      // kmeansInt's loop shape: `iterations` means-updates, then the
-      // codebook = the means of one FINAL assignment
-      for (_ <- 1 to iterations) cents = means(assign())
-      means(assign()).map(_.toVector)
+      val sub = sample.map(v =>
+        java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub))
+      // floorDiv ≡ truncating div on this shifted nonnegative domain, so
+      // delegating to the shared in-memory kmeans is bit-identical
+      kmeansLocal(sub, ksub, iterations).map(_.toVector)
     }
     PqModel(m, dsub, scale, shift, books)
   }
@@ -259,34 +224,17 @@ object VectorOps {
   def pqTopK(full: DataFrame, codes: DataFrame, idCol: String,
              embCol: String, model: PqModel, query: Array[Float], k: Int,
              margin: Int = 8): DataFrame = {
-    val spark = full.sparkSession
-    import spark.implicits._
+    // flat PQ = IVFADC with ONE list: delegate to the shared ADC + rerank
+    // core (r14 review — the shortlist/rerank arithmetic is hash-contract-
+    // bearing for q_v19 AND q_v20 and must live once)
     val qn = math.max(math.sqrt(query.map(x => x.toDouble * x).sum), 1e-12)
     val qq = query.map(x =>
       math.round((x / qn + model.shift) * model.scale)).toIndexedSeq
     val table: Array[Array[Long]] = (0 until model.m).map { j =>
       model.books(j).map(c => sqDistL(qq, j * model.dsub, c)).toArray
     }.toArray
-    val cands = codes.select(col(idCol).cast("long"), col("pq_code"))
-      .as[(Long, Seq[Int])]
-      .map { case (id, code) =>
-        var s = 0L
-        var j = 0
-        while (j < code.length) { s += table(j)(code(j)); j += 1 }
-        (id, s)
-      }.toDF(idCol, "adc_dist")
-      .orderBy(col("adc_dist"), col(idCol))
-      .limit(k * margin)
-      .select(col(idCol))
-    val dot = s"aggregate(zip_with($embCol, q_vec, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (a, v) -> a + v)"
-    val n1 = s"sqrt(aggregate($embCol, CAST(0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
-    val n2 = "sqrt(aggregate(q_vec, CAST(0 AS DOUBLE), (a, y) -> a + CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))"
-    full
-      .join(broadcast(cands), idCol)
-      .withColumn("q_vec", typedLit(query.toSeq))
-      .selectExpr(idCol, s"round($dot / ($n1 * $n2), 6) AS cosine")
-      .orderBy(col("cosine").desc, col(idCol))
-      .limit(k)
+    adcScanRerank(full, codes.withColumn("list_id", lit(0)),
+      Map(0 -> table), idCol, embCol, query, k, margin)
   }
   /** IVF-PQ composition (the FAISS IVFADC shape — Jégou et al. 2011
     * §IV): a COARSE quantizer of `nlist` centroids routes every vector
@@ -300,6 +248,25 @@ object VectorOps {
     def nlist: Int = coarse.length
   }
 
+  /** Index of the nearest centroid to `v(off until off+len)` by integer
+    * squared L2, first (smallest-index) centroid winning ties — the ONE
+    * argmin every trainer/encoder in this file shares. */
+  private def nearestIndex(v: Array[Long], off: Int, len: Int,
+                           cents: IndexedSeq[Array[Long]]): Int = {
+    var best = 0
+    var bd = Long.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      var s2 = 0L
+      var i = 0
+      while (i < len) { val dd = v(off + i) - cent(i); s2 += dd * dd; i += 1 }
+      if (s2 < bd) { bd = s2; best = c }
+      c += 1
+    }
+    best
+  }
+
   /** In-memory integer kmeans over sample rows (the [[pqTrain]]
     * arithmetic: smallest-id seeds, (distance, seed-order) argmin,
     * FLOOR-division means — `Math.floorDiv`, since residual domains go
@@ -310,19 +277,7 @@ object VectorOps {
     require(rows.nonEmpty)
     val dim = rows(0).length
     var cents: Vector[Array[Long]] = rows.take(k).map(_.clone()).toVector
-    def assign(): Array[Int] = rows.map { v =>
-      var best = 0
-      var bd = Long.MaxValue
-      var c = 0
-      while (c < cents.length) {
-        var s2 = 0L
-        var i = 0
-        while (i < dim) { val d = v(i) - cents(c)(i); s2 += d * d; i += 1 }
-        if (s2 < bd) { bd = s2; best = c }
-        c += 1
-      }
-      best
-    }
+    def assign(): Array[Int] = rows.map(v => nearestIndex(v, 0, dim, cents))
     def means(asg: Array[Int]): Vector[Array[Long]] = {
       val sums = Array.fill(cents.length)(new Array[Long](dim))
       val counts = new Array[Long](cents.length)
@@ -352,6 +307,10 @@ object VectorOps {
                  scale: Long = 1000000L, shift: Double = 1.0,
                  trainSample: Int = 4096): IvfPqModel = {
     require(nlist >= 1 && m >= 1 && ksub >= 2 && ksub <= 256)
+    require(trainSample >= math.max(ksub, nlist),
+      s"trainSample=$trainSample must cover the seed counts " +
+        s"(nlist=$nlist, ksub=$ksub) — fewer sample rows than seeds would " +
+        "silently train a smaller quantizer than requested")
     val d = emb.selectExpr(s"size($embCol)").head().getInt(0)
     require(d % m == 0, s"dim $d not divisible into $m subspaces")
     val dsub = d / m
@@ -359,23 +318,11 @@ object VectorOps {
       unitQuant(emb, idCol, embCol, scale, shift)
         .orderBy(col(idCol)).limit(trainSample)
         .collect().map(_.getSeq[Long](1).toArray)
+    require(sample.nonEmpty, "cannot train on an empty corpus")
     val coarse = kmeansLocal(sample, nlist, iterations)
-    def nearestCoarse(v: Array[Long]): Int = {
-      var best = 0
-      var bd = Long.MaxValue
-      var c = 0
-      while (c < coarse.length) {
-        var s2 = 0L
-        var i = 0
-        while (i < d) { val dd = v(i) - coarse(c)(i); s2 += dd * dd; i += 1 }
-        if (s2 < bd) { bd = s2; best = c }
-        c += 1
-      }
-      best
-    }
     // residual sample trains the PQ books, subspace by subspace
     val residuals = sample.map { v =>
-      val c = coarse(nearestCoarse(v))
+      val c = coarse(nearestIndex(v, 0, d, coarse))
       Array.tabulate(d)(i => v(i) - c(i))
     }
     val books = (0 until m).toVector.map { j =>
@@ -397,23 +344,14 @@ object VectorOps {
     val spark = emb.sparkSession
     import spark.implicits._
     val pq = model.pq
+    val coarseArr: IndexedSeq[Array[Long]] = model.coarse.map(_.toArray)
     unitQuant(emb, idCol, embCol, pq.scale, pq.shift)
       .as[(Long, Seq[Long])]
       .map { case (id, qSeq) =>
         val q = qSeq.toArray
         val d = q.length
-        var bestL = 0
-        var bd = Long.MaxValue
-        var c = 0
-        while (c < model.coarse.length) {
-          val cent = model.coarse(c)
-          var s2 = 0L
-          var i = 0
-          while (i < d) { val dd = q(i) - cent(i); s2 += dd * dd; i += 1 }
-          if (s2 < bd) { bd = s2; bestL = c }
-          c += 1
-        }
-        val cent = model.coarse(bestL)
+        val bestL = nearestIndex(q, 0, d, coarseArr)
+        val cent = coarseArr(bestL)
         val code = new Array[Int](pq.m)
         var j = 0
         while (j < pq.m) {
@@ -534,25 +472,35 @@ object VectorOps {
     codes.write.mode("overwrite").partitionBy("list_id").parquet(path)
 
   /** Probe-only read of a written index: the probed lists' directories,
-    * selected DRIVER-SIDE (directories that do not exist — empty lists —
-    * are skipped; `basePath` keeps `list_id` as a column). */
+    * selected DRIVER-SIDE through the Hadoop filesystem of `path` (so
+    * hdfs:///s3a:// indexes probe exactly like local ones — r14 review);
+    * directories that do not exist (empty lists) are skipped; `basePath`
+    * keeps `list_id` as a column. `None` when NO probed list exists —
+    * a legal state (all probed centroids drew zero vectors), the
+    * caller's empty result, never an error. */
   def ivfPqReadLists(spark: org.apache.spark.sql.SparkSession, path: String,
-                     lists: Seq[Int]): DataFrame = {
-    val dirs = lists.map(l => s"$path/list_id=$l")
-      .filter(d => new java.io.File(d.stripPrefix("file:")).exists())
-    require(dirs.nonEmpty, s"no probed list exists under $path")
-    spark.read.option("basePath", path).parquet(dirs: _*)
+                     lists: Seq[Int]): Option[DataFrame] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = lists.map(l => new org.apache.hadoop.fs.Path(path, s"list_id=$l"))
+      .filter(fs.exists).map(_.toString)
+    if (dirs.isEmpty) None
+    else Some(spark.read.option("basePath", path).parquet(dirs: _*))
   }
 
   /** [[ivfPqTopK]] against a written index: only probed-list FILES are
-    * planned (the `.inputFiles` receipt in PqSpec). */
+    * planned (the `.inputFiles` receipt in PqSpec). An all-empty probe
+    * returns the empty result, matching the in-memory path's behavior. */
   def ivfPqTopKIndexed(full: DataFrame, indexPath: String, idCol: String,
                        embCol: String, model: IvfPqModel,
                        query: Array[Float], k: Int, nprobe: Int,
                        margin: Int = 8): DataFrame = {
     val probed = probeTables(model, query, nprobe)
-    val scoped = ivfPqReadLists(full.sparkSession, indexPath,
-      probed.keySet.toSeq.sorted)
-    adcScanRerank(full, scoped, probed, idCol, embCol, query, k, margin)
+    ivfPqReadLists(full.sparkSession, indexPath, probed.keySet.toSeq.sorted) match {
+      case Some(scoped) =>
+        adcScanRerank(full, scoped, probed, idCol, embCol, query, k, margin)
+      case None =>
+        full.limit(0).selectExpr(idCol, "CAST(0.0 AS DOUBLE) AS cosine")
+    }
   }
 }

@@ -93,7 +93,8 @@ class PqSpec extends SparkTestBase {
     val nLists = codes.select("list_id").distinct().count()
     // probe-only read: the planned file set lives entirely under probed
     // directories — the driver never lists the others
-    val probedRead = VectorOps.ivfPqReadLists(spark, path, Seq(0, 1, 2, 3, 4, 5, 6, 7).take(3))
+    val probedRead = VectorOps.ivfPqReadLists(spark, path,
+      Seq(0, 1, 2, 3, 4, 5, 6, 7).take(3)).get
     val probedDirs = Set("list_id=0", "list_id=1", "list_id=2")
     assert(probedRead.inputFiles.nonEmpty &&
       probedRead.inputFiles.forall(f => probedDirs.exists(f.contains)),
