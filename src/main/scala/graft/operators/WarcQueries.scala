@@ -219,8 +219,12 @@ object WarcQueries {
         .unionAll(docs.selectExpr("fkey", "doc_id * 2 + 1 AS ord",
           "concat(split, '/', lpad(CAST(doc_id AS STRING), 8, '0'), '.json') AS name",
           "encode(concat('{\"doc_id\":', CAST(doc_id AS STRING), '}'), 'UTF-8') AS payload"))
+      // COMPRESSED transport (.tar.gz — the common WebDataset shipping
+      // form): the oracle is transport-independent, so the gz write +
+      // sequential-inflate read sit fully under the same hash gate
+      // (q_tar1 keeps the plain-.tar path covered)
       graft.sources.TarShardIO.write(members, "fkey", "ord", "name",
-        "payload", out, numFiles = 12)
+        "payload", out, numFiles = 12, compress = true)
       val entries = graft.sources.TarShardIO.read(s, out)
       val shards = entries.toDF().filter(col("ext") === "txt")
         .select(col("key"),

@@ -88,7 +88,7 @@ object TarShardIO {
     * Returns members written. */
   def write(df: DataFrame, fileKeyCol: String, sortCol: String,
             nameCol: String, payloadCol: String, dir: String,
-            numFiles: Int): Long = {
+            numFiles: Int, compress: Boolean = false): Long = {
     require(numFiles >= 1)
     val spark = df.sparkSession
     val conf = new org.apache.spark.util.SerializableConfiguration(
@@ -109,9 +109,16 @@ object TarShardIO {
     pairs
       .repartitionAndSortWithinPartitions(partitioner)
       .mapPartitionsWithIndex { (idx, it) =>
-        val path = new org.apache.hadoop.fs.Path(f"$dir/shard-$idx%05d.tar")
+        val ext = if (compress) "tar.gz" else "tar"
+        val path = new org.apache.hadoop.fs.Path(f"$dir/shard-$idx%05d.$ext")
         val fs = path.getFileSystem(conf.value)
-        val out = fs.create(path, true)
+        val raw = fs.create(path, true)
+        // GZIPOutputStream writes MTIME = 0 and fixed flags, and the
+        // default Deflater is deterministic — compressed shard bytes
+        // stay a pure function of the data, like the plain form
+        val out: java.io.OutputStream =
+          if (compress) new java.util.zip.GZIPOutputStream(raw, 64 * 1024)
+          else raw
         var n = 0L
         try {
           it.foreach { case (_, (name, payloadOrNull)) =>
@@ -157,8 +164,13 @@ object TarShardIO {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val files = fs.listStatus(root).toSeq
-      .map(_.getPath.toString).filter(_.endsWith(".tar")).sorted
-    spark.createDataset(files).flatMap(f => streamFile(f, conf))
+      .map(_.getPath.toString)
+      .filter(f => f.endsWith(".tar") || f.endsWith(".tar.gz") ||
+        f.endsWith(".tgz"))
+      .sorted
+    spark.createDataset(files).flatMap { f =>
+      if (f.endsWith(".tar")) streamFile(f, conf) else streamGzFile(f, conf)
+    }
   }
 
   /** Lazy single-shard member iterator — one member in memory at a time
@@ -175,27 +187,6 @@ object TarShardIO {
         closeStream()
         row
       }
-      /** Octal field: leading spaces/zeros, digits, NUL/space terminator.
-        * -1 = malformed. */
-      private def octal(off: Int, width: Int): Long = {
-        var i = off
-        val end = off + width
-        while (i < end && hdr(i) == ' ') i += 1
-        var v = 0L
-        var any = false
-        while (i < end && hdr(i) >= '0' && hdr(i) <= '7') {
-          v = (v << 3) | (hdr(i) - '0').toLong
-          any = true
-          i += 1
-        }
-        while (i < end && (hdr(i) == 0 || hdr(i) == ' ')) i += 1
-        if (any && i == end) v else -1L
-      }
-      private def cstr(off: Int, width: Int): String = {
-        var n = 0
-        while (n < width && hdr(off + n) != 0) n += 1
-        new String(hdr, off, n, "UTF-8")
-      }
       /** Parse members until a SAMPLE row or stream end: non-regular
         * entries (dir/symlink/pax/GNU) are well-framed but carry no
         * sample data, so the loop hops them. */
@@ -205,39 +196,157 @@ object TarShardIO {
           if (fileSize - pos < Block) return quarantine("truncated-header")
           in.readFully(pos, hdr, 0, Block)
           if (hdr.forall(_ == 0)) { closeStream(); return null } // terminator
-          // checksum first: it vouches for every other field
-          val stored = octal(148, 8)
-          var sum = 0L
-          var i = 0
-          while (i < Block) {
-            sum += (if (i >= 148 && i < 156) ' '.toInt else hdr(i) & 0xff)
-            i += 1
-          }
-          if (stored < 0 || stored != sum) return quarantine("bad-checksum")
-          if (!(hdr(257) == 'u' && hdr(258) == 's' && hdr(259) == 't' &&
-              hdr(260) == 'a' && hdr(261) == 'r'))
-            return quarantine("bad-magic")
-          val size = octal(124, 12)
-          if (size < 0) return quarantine("malformed-size")
-          if (size > MaxEntryBytes) return quarantine("oversized-entry")
-          val span = Block + size + padLen(size)
-          if (fileSize - pos < span) return quarantine("truncated-payload")
-          val typeflag = hdr(156)
-          if (typeflag != '0' && typeflag != 0) {
-            pos += span // structural entry: hop, keep scanning
-          } else {
-            val name = cstr(0, 100)
-            val payload = new Array[Byte](size.toInt)
-            in.readFully(pos + Block, payload, 0, size.toInt)
-            val (key, ext) = splitName(name)
-            val row = TarEntry(file, idx, valid = true, "", name, key, ext,
-              payload, 0L)
-            pos += span
-            idx += 1
-            return row
+          parseHeader(hdr) match {
+            case Left(reason) => return quarantine(reason)
+            case Right((name, size, typeflag)) =>
+              val span = Block + size + padLen(size)
+              if (fileSize - pos < span) return quarantine("truncated-payload")
+              if (typeflag != '0' && typeflag != 0) {
+                pos += span // structural entry: hop, keep scanning
+              } else {
+                val payload = new Array[Byte](size.toInt)
+                in.readFully(pos + Block, payload, 0, size.toInt)
+                val (key, ext) = splitName(name)
+                val row = TarEntry(file, idx, valid = true, "", name, key,
+                  ext, payload, 0L)
+                pos += span
+                idx += 1
+                return row
+              }
           }
         }
         null // unreachable
+      }
+    }
+
+  /** Octal field of a header block: leading spaces/zeros, digits,
+    * NUL/space terminator. -1 = malformed. */
+  private def octal(hdr: Array[Byte], off: Int, width: Int): Long = {
+    var i = off
+    val end = off + width
+    while (i < end && hdr(i) == ' ') i += 1
+    var v = 0L
+    var any = false
+    while (i < end && hdr(i) >= '0' && hdr(i) <= '7') {
+      v = (v << 3) | (hdr(i) - '0').toLong
+      any = true
+      i += 1
+    }
+    while (i < end && (hdr(i) == 0 || hdr(i) == ' ')) i += 1
+    if (any && i == end) v else -1L
+  }
+
+  /** Verify + parse one 512-byte header: checksum first (it vouches for
+    * every other field), then magic, then size. The ONE copy both the
+    * positional and the gzip-sequential iterators share. */
+  private def parseHeader(hdr: Array[Byte]): Either[String, (String, Long, Byte)] = {
+    val stored = octal(hdr, 148, 8)
+    var sum = 0L
+    var i = 0
+    while (i < Block) {
+      sum += (if (i >= 148 && i < 156) ' '.toInt else hdr(i) & 0xff)
+      i += 1
+    }
+    if (stored < 0 || stored != sum) return Left("bad-checksum")
+    if (!(hdr(257) == 'u' && hdr(258) == 's' && hdr(259) == 't' &&
+        hdr(260) == 'a' && hdr(261) == 'r'))
+      return Left("bad-magic")
+    val size = octal(hdr, 124, 12)
+    if (size < 0) return Left("malformed-size")
+    if (size > MaxEntryBytes) return Left("oversized-entry")
+    var n = 0
+    while (n < 100 && hdr(n) != 0) n += 1
+    Right((new String(hdr, 0, n, "UTF-8"), size, hdr(156)))
+  }
+
+  /** Lazy gzip-compressed shard iterator (`.tar.gz`/`.tgz` — the common
+    * WebDataset transport): the SEQUENTIAL twin of [[streamFile]] — a
+    * gzip stream has no random access, so frames are read in order
+    * through one 64 KiB-buffered inflater, still one member in memory
+    * at a time. `bytes_skipped` on a quarantine row is -1: the
+    * remaining UNCOMPRESSED length is unknowable without inflating the
+    * tail being abandoned. */
+  private[sources] def streamGzFile(
+      f: String,
+      conf: org.apache.spark.util.SerializableConfiguration): Iterator[TarEntry] =
+    new Iterator[TarEntry] {
+      private val p = new org.apache.hadoop.fs.Path(f)
+      private val cfs = p.getFileSystem(conf.value)
+      private val in = new java.io.DataInputStream(
+        new java.util.zip.GZIPInputStream(cfs.open(p), 64 * 1024))
+      private val hdr = new Array[Byte](Block)
+      private var idx = 0
+      private var done = false
+      private var pending: TarEntry = _
+      locally {
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null) tc.addTaskCompletionListener[Unit](_ => close())
+      }
+      private def close(): Unit = if (!done) { done = true; in.close() }
+      private def quarantine(reason: String): TarEntry = {
+        val row = TarEntry(f, idx, valid = false, reason, "", "", "",
+          Array.emptyByteArray, -1L)
+        close()
+        row
+      }
+      /** Read exactly n bytes; 0 = clean EOF at a frame boundary,
+        * -1 = truncated mid-buffer. */
+      private def readBlock(buf: Array[Byte], n: Int): Int = {
+        var got = 0
+        while (got < n) {
+          val r = in.read(buf, got, n - got)
+          if (r < 0) return if (got == 0) 0 else -1
+          got += r
+        }
+        n
+      }
+      private def fetchGz(): TarEntry = {
+        if (done) return null
+        // totality: corrupt DEFLATE data makes the inflater throw from
+        // read() — that is this container's checksum event, not a task
+        // failure (the TfRecordIO quarantine discipline)
+        try fetchGzUnsafe()
+        catch {
+          case _: java.io.IOException => quarantine("gzip-corrupt")
+        }
+      }
+      private def fetchGzUnsafe(): TarEntry = {
+        while (true) {
+          readBlock(hdr, Block) match {
+            case 0 => close(); return null // EOF at boundary: clean end
+            case -1 => return quarantine("truncated-header")
+            case _ =>
+              if (hdr.forall(_ == 0)) { close(); return null } // terminator
+              parseHeader(hdr) match {
+                case Left(reason) => return quarantine(reason)
+                case Right((name, size, typeflag)) =>
+                  val body = new Array[Byte](size.toInt)
+                  if (readBlock(body, size.toInt) != size.toInt && size > 0)
+                    return quarantine("truncated-payload")
+                  val pad = new Array[Byte](padLen(size))
+                  if (pad.nonEmpty && readBlock(pad, pad.length) != pad.length)
+                    return quarantine("truncated-payload")
+                  if (typeflag == '0' || typeflag == 0) {
+                    val (key, ext) = splitName(name)
+                    val row = TarEntry(f, idx, valid = true, "", name, key,
+                      ext, body, 0L)
+                    idx += 1
+                    return row
+                  } // else: structural entry, keep scanning
+              }
+          }
+        }
+        null // unreachable
+      }
+      override def hasNext: Boolean = {
+        if (pending == null && !done) pending = fetchGz()
+        pending != null
+      }
+      override def next(): TarEntry = {
+        if (!hasNext) throw new NoSuchElementException(f)
+        val r = pending
+        pending = null
+        r
       }
     }
 

@@ -122,6 +122,52 @@ class TarShardIOSpec extends SparkTestBase {
     assert(new String(m("cls"), "UTF-8") == "c4")
   }
 
+  test("gzip shards: byte-deterministic write, mixed-dir read, stock tar -tzf, corrupt-deflate quarantine") {
+    val dir = freshDir()
+    assert(TarShardIO.write(members(12), "fkey", "ord", "name", "payload",
+      dir, 3, compress = true) == 24L)
+    val back = TarShardIO.read(spark, dir).collect()
+    assert(back.length == 24 && back.forall(_.valid))
+    assert(back.forall(_.file.endsWith(".tar.gz")))
+    val byName = back.map(r => r.name -> new String(r.payload, "UTF-8")).toMap
+    assert(byName("000007.txt") == "text-7" && byName("000007.cls") == "c2")
+    // compressed shard bytes are content-determined too
+    val before = Files.readAllBytes(Paths.get(dir, "shard-00001.tar.gz"))
+    TarShardIO.write(members(12), "fkey", "ord", "name", "payload", dir, 3,
+      compress = true)
+    assert(java.util.Arrays.equals(before,
+      Files.readAllBytes(Paths.get(dir, "shard-00001.tar.gz"))))
+    // cross-tool receipt: stock tar lists the gz shard
+    if (Files.exists(Paths.get("/usr/bin/tar")) || Files.exists(Paths.get("/bin/tar"))) {
+      val p = new ProcessBuilder("tar", "-tzf", s"$dir/shard-00000.tar.gz")
+        .redirectErrorStream(true).start()
+      val listed = scala.io.Source.fromInputStream(p.getInputStream)
+        .getLines().toList
+      assert(p.waitFor() == 0 && listed.size == 8, s"tar -tzf: $listed")
+    }
+    // a MIXED directory reads both transports
+    TarShardIO.write(members(6, shards = 2), "fkey", "ord", "name",
+      "payload", dir, 2) // plain .tar beside the .tar.gz shards
+    assert(TarShardIO.read(spark, dir).count() == 24 + 12)
+    // corrupt DEFLATE bytes quarantine (bytes_skipped = -1: unknowable
+    // under compression), never kill the task
+    val dir2 = freshDir()
+    TarShardIO.write(members(6, shards = 1), "fkey", "ord", "name",
+      "payload", dir2, 1, compress = true)
+    val gz = Paths.get(dir2, "shard-00000.tar.gz")
+    val bytes = Files.readAllBytes(gz)
+    bytes(bytes.length / 2) = (bytes(bytes.length / 2) ^ 0x5a).toByte
+    Files.write(gz, bytes)
+    Files.deleteIfExists(Paths.get(dir2, ".shard-00000.tar.gz.crc"))
+    val got = TarShardIO.read(spark, dir2).collect().toSeq.sortBy(_.entry_idx)
+    val bad = got.filterNot(_.valid)
+    assert(bad.size == 1 && bad.head.bytes_skipped == -1L &&
+      (bad.head.reason == "gzip-corrupt" || bad.head.reason == "bad-checksum" ||
+        bad.head.reason == "truncated-payload" || bad.head.reason == "truncated-header"),
+      s"got $bad")
+    assert(got.takeWhile(_.valid).nonEmpty, "members before the flip still stream")
+  }
+
   test("compose: WAV and BMP members decode through the real parsers") {
     val dir = freshDir()
     val wav = Multimodal.pcmWav(16000, 1,
