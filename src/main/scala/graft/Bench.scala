@@ -160,7 +160,7 @@ object Bench {
       "q_l11_snapshot_refs", "q_u8_robots_wildcards",
       "q_tar1_webdataset_shards", "q_m13_exif_gps", "q_v19_ann_ivfpq",
       "q_m14_flac_meta", "q_m15_mp3_census", "q_v20_ann_ivfadc",
-      "q_tar2_webdataset_export")
+      "q_tar2_webdataset_export", "q_u9_crawl_delay")
 
     // Giant-codegen queries (adjudicated r11b for q_sp14, r12 VERDICT #1
     // artifact for q_t28): their generated classes are churned OUT of

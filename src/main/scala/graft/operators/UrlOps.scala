@@ -496,6 +496,17 @@ object UrlOps {
                   // empty value = no rule (empty Disallow is allow-all)
                   if (value.nonEmpty)
                     agents.foreach(a => out += ((host, a, key, value)))
+                case "crawl-delay" =>
+                  // group-scoped politeness rule (the de-facto extension
+                  // every large crawler honors): a rule line like
+                  // allow/disallow — it closes the group's agent list
+                  inRules = true
+                  if (value.nonEmpty)
+                    agents.foreach(a => out += ((host, a, key, value)))
+                case "sitemap" =>
+                  // SITE-WIDE per the sitemaps.org protocol: not group-
+                  // scoped (agent ""), and it does NOT end the group
+                  if (value.nonEmpty) out += ((host, "", key, value))
                 case _ => () // unknown directive: ignored, group continues
               }
             }
@@ -589,6 +600,41 @@ object UrlOps {
       .withColumn("match_len", coalesce(col("match_len"), lit(0)))
       .drop("_kind")
   }
+
+  /** Effective crawl-delay per host for one crawler `agent`, with the
+    * [[robotsVerdicts]] group-exclusivity rule: a host where ANY rule
+    * names the agent's product token uses ONLY its own group's delay
+    * (null when that group declares none — the `*` delay must not leak
+    * through an explicit group), else the `*` group's. The politeness
+    * input a fetch scheduler joins against its per-host queue —
+    * host-count-bounded, like every robots frame. Returns
+    * (host, crawl_delay_s: double — null = unthrottled). */
+  def crawlDelays(rules: DataFrame, agent: String): DataFrame = {
+    val aTok = agentToken(agent)
+    val ruleTok = regexp_extract(lower(col("agent")), "^[a-z0-9_-]+", 0)
+    val delays = rules.filter(col("kind") === "crawl-delay")
+    // min() collapses a malformed double declaration deterministically
+    val own = delays.filter(ruleTok === lit(aTok))
+      .groupBy("host").agg(min(col("prefix").cast("double")).as("_own"))
+    val star = delays.filter(col("agent") === "*")
+      .groupBy("host").agg(min(col("prefix").cast("double")).as("_star"))
+    val hasAgent = rules.filter(ruleTok === lit(aTok))
+      .select("host").distinct().withColumn("_has", lit(true))
+    rules.select("host").distinct()
+      .join(own, Seq("host"), "left")
+      .join(star, Seq("host"), "left")
+      .join(hasAgent, Seq("host"), "left")
+      .select(col("host"),
+        when(coalesce(col("_has"), lit(false)), col("_own"))
+          .otherwise(col("_star")).as("crawl_delay_s"))
+  }
+
+  /** The declared sitemaps per host (site-wide rows from
+    * [[parseRobots]]) — the seed list a discovery crawler feeds its
+    * frontier. */
+  def sitemaps(rules: DataFrame): DataFrame =
+    rules.filter(col("kind") === "sitemap")
+      .select(col("host"), col("prefix").as("sitemap_url"))
 
   def domainStats(df: DataFrame, urlCol: String, tokensCol: String): DataFrame = {
     val perDomain = withRegisteredDomain(df, urlCol, "domain")

@@ -232,6 +232,37 @@ object UrlQueries {
         .orderBy("doc_id")
     }),
 
+    // ROBOTS POLITENESS surface (round 14): crawl-delay with the group-
+    // exclusivity rule and sitemap extraction — the fetch scheduler's
+    // inputs beside q_u7's allow/deny verdicts. Host classes: k%5=0
+    // declares a GraftBot group WITHOUT a delay (the `*` delay must NOT
+    // leak through the explicit group → null), k even adds a GraftBot
+    // delay, everything else falls back to `*`; k%3=0 hosts declare two
+    // sitemaps. Pure k arithmetic oracle — no parsing oracle-side.
+    "q_u9_crawl_delay" -> ((s, dir) => {
+      val bodyExpr =
+        "concat('User-agent: *\nCrawl-delay: ', CAST(k % 7 + 1 AS STRING)," +
+          " '\nDisallow: /private\n'," +
+          " CASE WHEN k % 5 = 0 THEN 'User-agent: GraftBot\nDisallow: /x\n'" +
+          " WHEN k % 2 = 0 THEN concat('User-agent: GraftBot/3.1\n'," +
+          "   'Crawl-delay: ', CAST(k % 3 + 10 AS STRING), '\nDisallow: /y\n')" +
+          " ELSE '' END," +
+          " CASE WHEN k % 3 = 0 THEN" +
+          " concat('Sitemap: https://d.ex', CAST(k AS STRING), '.net/a.xml\n'," +
+          "        'Sitemap: https://d.ex', CAST(k AS STRING), '.net/b.xml\n')" +
+          " ELSE '' END)"
+      val robots = s.range(40).toDF("k")
+        .selectExpr("concat('d.ex', k, '.net') AS host", s"$bodyExpr AS body")
+      val rules = UrlOps.parseRobots(robots, "host", "body")
+      UrlOps.crawlDelays(rules, "graftbot")
+        .join(UrlOps.sitemaps(rules).groupBy("host")
+            .agg(count(lit(1)).as("n_sitemaps")),
+          Seq("host"), "left")
+        .select(col("host"), col("crawl_delay_s"),
+          coalesce(col("n_sitemaps"), lit(0L)).as("n_sitemaps"))
+        .orderBy("host")
+    }),
+
     // Recrawl keep-latest dedup (the CDX-archive freshness rule): each
     // page's three messy variants carry a planted capture day
     // (doc_id % 97 — consecutive ids give distinct days, so the winner is
@@ -340,6 +371,18 @@ object UrlQueries {
         |       CAST(CASE v WHEN 0 THEN 13 WHEN 1 THEN 12 WHEN 2 THEN 16
         |                   ELSE 0 END AS INTEGER) AS match_len
         |FROM u ORDER BY doc_id""".stripMargin,
+
+    // pure k arithmetic: the exclusivity rule (k%5=0 → NULL despite the
+    // declared `*` delay), the agent delay, the star fallback, and the
+    // sitemap counts all replay without parsing
+    "q_u9_crawl_delay" ->
+      """SELECT 'd.ex' || CAST(k AS VARCHAR) || '.net' AS host,
+        |       CASE WHEN k % 5 = 0 THEN NULL
+        |            WHEN k % 2 = 0 THEN CAST(k % 3 + 10 AS DOUBLE)
+        |            ELSE CAST(k % 7 + 1 AS DOUBLE) END AS crawl_delay_s,
+        |       CAST(CASE WHEN k % 3 = 0 THEN 2 ELSE 0 END AS BIGINT)
+        |         AS n_sitemaps
+        |FROM generate_series(0, 39) t(k) ORDER BY host""".stripMargin,
 
     // pure doc_id arithmetic: the keep-set and each survivor's registered
     // domain are known by construction — no decoder runs oracle-side

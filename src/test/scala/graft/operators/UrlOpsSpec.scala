@@ -60,6 +60,10 @@ class UrlOpsSpec extends SparkTestBase {
     assert(rules == Set(
       ("alpha", "disallow", "/a"), ("alpha", "allow", "/a/ok"),
       ("beta", "disallow", "/a"), ("beta", "allow", "/a/ok"),
+      // Crawl-delay is a group-scoped rule row (round 14); Sitemap is a
+      // site-wide row with agent ""
+      ("alpha", "crawl-delay", "10"), ("beta", "crawl-delay", "10"),
+      ("", "sitemap", "https://x/s.xml"),
       ("delta", "disallow", "/d"), ("*", "disallow", "/")), rules.toString)
     // verdicts: agent-specific group is EXCLUSIVE; longest match wins;
     // allow wins length ties; no-rules host defaults to allowed
@@ -114,6 +118,27 @@ class UrlOpsSpec extends SparkTestBase {
     assert(got == Map(
       1L -> ((false, 13)), 2L -> ((false, 12)),
       3L -> ((true, 16)), 4L -> ((true, 0)), 5L -> ((true, 0))), got.toString)
+  }
+
+  test("crawlDelays: group exclusivity, star fallback, null under an explicit group; sitemaps site-wide") {
+    val bodyA = // star delay + a GraftBot group WITH a delay
+      "User-agent: *\nCrawl-delay: 4\nDisallow: /x\n" +
+      "User-agent: GraftBot/2.0\nCrawl-delay: 11\nDisallow: /y\n" +
+      "Sitemap: https://a/s1.xml\nSitemap: https://a/s2.xml\n"
+    val bodyB = // star delay + a GraftBot group WITHOUT one (exclusivity → null)
+      "User-agent: *\nCrawl-delay: 6\n" +
+      "User-agent: GraftBot\nDisallow: /z\n"
+    val bodyC = "User-agent: *\nCrawl-delay: 9\n" // no GraftBot group → star
+    val rules = UrlOps.parseRobots(
+      Seq(("a", bodyA), ("b", bodyB), ("c", bodyC)).toDF("host", "body"),
+      "host", "body")
+    val got = UrlOps.crawlDelays(rules, "graftbot")
+      .collect().map(r => r.getString(0) ->
+        Option(r.get(1)).map(_.asInstanceOf[Double])).toMap
+    assert(got == Map("a" -> Some(11.0), "b" -> None, "c" -> Some(9.0)), got.toString)
+    val sm = UrlOps.sitemaps(rules).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(sm == Set(("a", "https://a/s1.xml"), ("a", "https://a/s2.xml")))
   }
 
   test("scheme/host case, www, default port, fragment, userinfo all fold") {
