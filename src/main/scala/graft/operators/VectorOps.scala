@@ -80,7 +80,9 @@ object VectorOps {
     full
       .join(broadcast(cands), idCol)
       .withColumn("q_vec", q)
-      .selectExpr(idCol, s"round($dot / ($n1 * $n2), 6) AS cosine")
+      // greatest(..., 1e-12): an all-zero vector in the shortlist must
+      // score 0, not NaN (the quantizedTopK discipline — r14 ADVICE)
+      .selectExpr(idCol, s"round($dot / greatest($n1 * $n2, 1e-12D), 6) AS cosine")
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
   }
@@ -163,6 +165,10 @@ object VectorOps {
         .orderBy(col(idCol)).limit(trainSample)
         .collect().map(_.getSeq[Long](1).toArray)
     require(sample.nonEmpty, "cannot train on an empty corpus")
+    // validate the ACTUAL sample, not just the requested cap — a corpus
+    // smaller than ksub would silently train fewer centroids (r14 ADVICE)
+    require(sample.length >= ksub,
+      s"corpus has only ${sample.length} rows — cannot seed ksub=$ksub centroids")
     val books = (0 until m).toVector.map { j =>
       val sub = sample.map(v =>
         java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub))
@@ -319,6 +325,12 @@ object VectorOps {
         .orderBy(col(idCol)).limit(trainSample)
         .collect().map(_.getSeq[Long](1).toArray)
     require(sample.nonEmpty, "cannot train on an empty corpus")
+    // validate the ACTUAL sample, not just the requested cap — a corpus
+    // smaller than the seed counts would silently train a smaller
+    // quantizer than requested (r14 ADVICE)
+    require(sample.length >= math.max(ksub, nlist),
+      s"corpus has only ${sample.length} rows — cannot seed " +
+        s"nlist=$nlist coarse centroids and ksub=$ksub codewords")
     val coarse = kmeansLocal(sample, nlist, iterations)
     // residual sample trains the PQ books, subspace by subspace
     val residuals = sample.map { v =>
@@ -459,7 +471,9 @@ object VectorOps {
     full
       .join(broadcast(cands), idCol)
       .withColumn("q_vec", typedLit(query.toSeq))
-      .selectExpr(idCol, s"round($dot / ($n1 * $n2), 6) AS cosine")
+      // greatest(..., 1e-12): an all-zero vector in the shortlist must
+      // score 0, not NaN (the quantizedTopK discipline — r14 ADVICE)
+      .selectExpr(idCol, s"round($dot / greatest($n1 * $n2, 1e-12D), 6) AS cosine")
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
   }

@@ -276,8 +276,13 @@ object SnapshotTable {
     if (!Files.exists(p)) return None
     val ch = Files.newByteChannel(p)
     val head = try {
+      // loop to fill: a single read() may legally return short of the
+      // 4096-byte window (r14 ADVICE — a short read that cut before the
+      // #prev line could misclassify a superseded orphan as committed)
       val buf = java.nio.ByteBuffer.allocate(4096)
-      val n = ch.read(buf)
+      var r = 0
+      while (buf.hasRemaining && r >= 0) r = ch.read(buf)
+      val n = buf.position()
       if (n <= 0) "" else new String(buf.array(), 0, n, "UTF-8")
     } finally ch.close()
     val cut = head.lastIndexOf('\n')

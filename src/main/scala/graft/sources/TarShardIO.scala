@@ -256,7 +256,20 @@ object TarShardIO {
     if (size > MaxEntryBytes) return Left("oversized-entry")
     var n = 0
     while (n < 100 && hdr(n) != 0) n += 1
-    Right((new String(hdr, 0, n, "UTF-8"), size, hdr(156)))
+    val name = new String(hdr, 0, n, "UTF-8")
+    // POSIX ustar splits long paths across the 155-byte prefix field at
+    // offset 345 (magic "ustar\0"); dropping it silently would corrupt
+    // keys and sample grouping on externally-produced shards (r14
+    // ADVICE). Old-GNU shards (magic "ustar  ") reuse those bytes for
+    // atime/ctime, so the prefix is honored only under the POSIX magic.
+    val full =
+      if (hdr(262) == 0) {
+        var pn = 345
+        while (pn < 500 && hdr(pn) != 0) pn += 1
+        if (pn > 345) new String(hdr, 345, pn - 345, "UTF-8") + "/" + name
+        else name
+      } else name
+    Right((full, size, hdr(156)))
   }
 
   /** Lazy gzip-compressed shard iterator (`.tar.gz`/`.tgz` — the common
@@ -272,8 +285,17 @@ object TarShardIO {
     new Iterator[TarEntry] {
       private val p = new org.apache.hadoop.fs.Path(f)
       private val cfs = p.getFileSystem(conf.value)
-      private val in = new java.io.DataInputStream(
-        new java.util.zip.GZIPInputStream(cfs.open(p), 64 * 1024))
+      // constructed LAZILY inside the guarded fetch: GZIPInputStream
+      // reads the gzip header eagerly, so an empty or header-corrupt
+      // .tar.gz must quarantine like any other corruption, not fail the
+      // task from a field initializer (r14 ADVICE)
+      private var in: java.io.DataInputStream = null
+      private def stream(): java.io.DataInputStream = {
+        if (in == null)
+          in = new java.io.DataInputStream(
+            new java.util.zip.GZIPInputStream(cfs.open(p), 64 * 1024))
+        in
+      }
       private val hdr = new Array[Byte](Block)
       private var idx = 0
       private var done = false
@@ -282,7 +304,8 @@ object TarShardIO {
         val tc = org.apache.spark.TaskContext.get()
         if (tc != null) tc.addTaskCompletionListener[Unit](_ => close())
       }
-      private def close(): Unit = if (!done) { done = true; in.close() }
+      private def close(): Unit =
+        if (!done) { done = true; if (in != null) in.close() }
       private def quarantine(reason: String): TarEntry = {
         val row = TarEntry(f, idx, valid = false, reason, "", "", "",
           Array.emptyByteArray, -1L)
@@ -292,9 +315,10 @@ object TarShardIO {
       /** Read exactly n bytes; 0 = clean EOF at a frame boundary,
         * -1 = truncated mid-buffer. */
       private def readBlock(buf: Array[Byte], n: Int): Int = {
+        val s = stream()
         var got = 0
         while (got < n) {
-          val r = in.read(buf, got, n - got)
+          val r = s.read(buf, got, n - got)
           if (r < 0) return if (got == 0) 0 else -1
           got += r
         }

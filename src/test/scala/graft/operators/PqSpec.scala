@@ -143,4 +143,38 @@ class PqSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(got == brute, s"\ngot:   $got\nbrute: $brute")
   }
+
+  test("training refuses a corpus smaller than the seed counts — loudly, not silently") {
+    // r14 ADVICE: the requires validated only the trainSample PARAMETER;
+    // a small corpus silently trained fewer centroids than requested
+    val tiny = clustered().filter(col("vec_id") < 4)
+    val e1 = intercept[IllegalArgumentException] {
+      VectorOps.pqTrain(tiny, "vec_id", "embedding", m = 4, ksub = 8)
+    }
+    assert(e1.getMessage.contains("corpus has only 4 rows"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      VectorOps.ivfPqTrain(tiny, "vec_id", "embedding", nlist = 8, m = 4,
+        ksub = 4)
+    }
+    assert(e2.getMessage.contains("corpus has only 4 rows"), e2.getMessage)
+  }
+
+  test("an all-zero vector in the rerank shortlist scores cosine 0, never NaN") {
+    val e = clustered()
+    val query = e.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val corpus = e.filter(col("vec_id") =!= 0)
+      .union(Seq((999L, Seq.fill(16)(0f), 99)).toDF("vec_id", "embedding", "label"))
+    val model = VectorOps.pqTrain(corpus, "vec_id", "embedding", m = 4,
+      ksub = 8, iterations = 3)
+    val codes = VectorOps.pqEncode(corpus, "vec_id", "embedding", model)
+    // margin 240 puts EVERY row (the zero vector included) in the
+    // exact-rerank shortlist
+    val got = VectorOps.pqTopK(corpus, codes, "vec_id", "embedding",
+        model, query, k = 240, margin = 240)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.forall(!_._2.isNaN), s"NaN cosine in ${got.toSeq}")
+    assert(got.find(_._1 == 999L).exists(_._2 == 0.0d),
+      s"zero vector must score 0: ${got.find(_._1 == 999L)}")
+  }
 }

@@ -191,4 +191,69 @@ class TarShardIOSpec extends SparkTestBase {
       .head()
     assert(img.decoded && img.width == 4 && img.height == 2)
   }
+
+  test("empty and gzip-header-corrupt .tar.gz quarantine, never kill the read job") {
+    // r14 ADVICE: GZIPInputStream reads the gzip header in its
+    // CONSTRUCTOR, so these defects used to escape the fetch guard
+    val dir = freshDir()
+    Files.write(Paths.get(dir, "empty.tar.gz"), Array.emptyByteArray)
+    Files.write(Paths.get(dir, "notgzip.tar.gz"),
+      Array.tabulate[Byte](64)(i => i.toByte)) // wrong magic from byte 0
+    TarShardIO.write(members(3, shards = 1), "fkey", "ord", "name",
+      "payload", dir, 1, compress = true)
+    val hdrFlip = Paths.get(dir, "shard-00000.tar.gz")
+    val moved = Paths.get(dir, "hdrflip.tar.gz")
+    val b = Files.readAllBytes(hdrFlip)
+    b(1) = (b(1) ^ 0x7f).toByte // break the gzip magic itself
+    Files.write(moved, b)
+    Files.delete(hdrFlip)
+    Files.deleteIfExists(Paths.get(dir, ".shard-00000.tar.gz.crc"))
+    val got = TarShardIO.read(spark, dir).collect()
+    assert(got.length == 3 && got.forall(!_.valid), s"got ${got.toSeq}")
+    assert(got.forall(e => e.reason == "gzip-corrupt" && e.bytes_skipped == -1L),
+      s"got ${got.toSeq}")
+  }
+
+  private def rechecksum(hdr: Array[Byte]): Unit = {
+    java.util.Arrays.fill(hdr, 148, 156, ' '.toByte)
+    var sum = 0L
+    var i = 0
+    while (i < 512) { sum += hdr(i) & 0xff; i += 1 }
+    "%06o".format(sum).getBytes("US-ASCII").copyToArray(hdr, 148)
+    hdr(154) = 0; hdr(155) = ' '
+  }
+
+  test("ustar prefix field: POSIX long names reassemble; old-GNU prefix bytes are ignored") {
+    val dir = freshDir()
+    // POSIX shard: prefix="deep/dir/tree", name="sample.txt"
+    val posix = TarShardIO.header("sample.txt", 3)
+    "deep/dir/tree".getBytes("US-ASCII").copyToArray(posix, 345)
+    rechecksum(posix)
+    Files.write(Paths.get(dir, "posix.tar"),
+      posix ++ "abc".getBytes ++ new Array[Byte](509) ++ new Array[Byte](1024))
+    // old-GNU shard: magic "ustar  \0", junk where POSIX keeps the prefix
+    val gnu = TarShardIO.header("plain.txt", 3)
+    gnu(262) = ' '; gnu(263) = ' '; gnu(264) = 0
+    "1234567890".getBytes("US-ASCII").copyToArray(gnu, 345) // atime bytes
+    rechecksum(gnu)
+    Files.write(Paths.get(dir, "gnu.tar"),
+      gnu ++ "xyz".getBytes ++ new Array[Byte](509) ++ new Array[Byte](1024))
+    val got = TarShardIO.read(spark, dir).collect()
+    assert(got.length == 2 && got.forall(_.valid), s"got ${got.toSeq}")
+    val byFile = got.map(e => e.file.split('/').last -> e).toMap
+    assert(byFile("posix.tar").name == "deep/dir/tree/sample.txt")
+    assert(byFile("posix.tar").key == "deep/dir/tree/sample" &&
+      byFile("posix.tar").ext == "txt")
+    assert(byFile("gnu.tar").name == "plain.txt")
+    // the gz transport shares parseHeader — prefix works through it too
+    val gzDir = freshDir()
+    val baos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(baos)
+    gz.write(posix ++ "abc".getBytes ++ new Array[Byte](509) ++ new Array[Byte](1024))
+    gz.close()
+    Files.write(Paths.get(gzDir, "posix.tar.gz"), baos.toByteArray)
+    val gzGot = TarShardIO.read(spark, gzDir).collect()
+    assert(gzGot.length == 1 && gzGot.head.valid &&
+      gzGot.head.name == "deep/dir/tree/sample.txt")
+  }
 }
