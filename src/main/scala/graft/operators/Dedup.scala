@@ -989,6 +989,59 @@ object Dedup {
     } finally sigs.unpersist()
   }
 
+  /** Hamming near-duplicate pairs over a PRECOMPUTED 64-bit signature
+    * column (perceptual image hashes — aHash/dHash from
+    * [[ImageCodec]] — or any other 64-bit fingerprint): the
+    * [[simHashNearDuplicates]] pigeonhole, generalized. The signature is
+    * banded into `maxDist + 1` chunks, so any pair within `maxDist`
+    * agrees exactly on at least one chunk — candidates come from ONE
+    * equi-join on (chunk index, chunk value), then exact `bit_count`
+    * verification. Recall is 100% for every maxDist in [0, 64); a
+    * 1-bit re-encode of an image can never escape the way it escapes
+    * exact-equality grouping. `carry` columns ride along as
+    * `<col>_a`/`<col>_b` (e.g. a SECOND hash for a multi-index AND
+    * filter) so callers need no re-join against the corpus. At 100 TB
+    * the only exchange is the chunk-keyed candidate join; candidate
+    * count is governed by chunk width 64/(maxDist+1), not corpus pairs.
+    */
+  def hammingNearDuplicates64(
+      sigs: DataFrame, idCol: String, hashCol: String,
+      maxDist: Int, carry: Seq[String] = Nil): DataFrame = {
+    require(maxDist >= 0 && maxDist < 64,
+      "pigeonhole banding needs maxDist + 1 chunks of >= 1 bit over a 64-bit signature")
+    val n = maxDist + 1
+    val chunkArray = (0 until n).map { c =>
+      val lo = c * 64 / n
+      val hi = (c + 1) * 64 / n
+      // Java shifts are mod 64, so the single full-width chunk (n = 1)
+      // must bypass the mask; arithmetic shiftright is safe under the
+      // mask for every narrower chunk
+      if (hi - lo == 64) "h64"
+      else s"shiftright(h64, $lo) & ${(1L << (hi - lo)) - 1}L"
+    }.mkString("array(", ", ", ")")
+    val base = sigs.select(
+      (col(idCol) +: col(hashCol).as("h64") +: carry.map(col)): _*)
+      .persist()
+    try {
+      val chunks = base.select(col("*"),
+        posexplode(expr(chunkArray)).as(Seq("chunk_idx", "chunk_val")))
+      val pairCols =
+        Seq(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+          hamming64(col("a.h64"), col("b.h64")).as("hamming")) ++
+          carry.flatMap(c => Seq(col(s"a.$c").as(s"${c}_a"),
+            col(s"b.$c").as(s"${c}_b")))
+      chunks.as("a")
+        .join(chunks.as("b"),
+          col("a.chunk_idx") === col("b.chunk_idx") &&
+            col("a.chunk_val") === col("b.chunk_val") &&
+            col(s"a.$idCol") < col(s"b.$idCol"))
+        .select(pairCols: _*)
+        .distinct()
+        .filter(col("hamming") <= maxDist)
+        .pipe(materialize)
+    } finally base.unpersist()
+  }
+
   // -----------------------------------------------------------------------
   // Substring-level exact dedup (duplicated n-gram spans)
   // -----------------------------------------------------------------------

@@ -56,6 +56,43 @@ object MultimodalQueries {
   private def m9Pixel(id: Long, x: Int, y: Int): Int =
     ((id * 31 + x * 7 + y * 13) % 256).toInt
 
+  /** q_m16's pixel formula: a cubic mix of a 16-bit seed, chosen (and
+    * empirically verified at 500 and 5000 docs) so UNRELATED images
+    * land far apart in Hamming space — every pair the query reports is
+    * a planted twin, graded purely by the perturbation's hash damage.
+    * `s < 2^16` keeps `s³` far inside a LONG at any scale factor. */
+  private def m16Pixel(id: Long, p: Int): Int = {
+    val s = (id * 541 + p * 2897 + 1) % 65536
+    ((s * s * s >> 8) % 256).toInt
+  }
+
+  /** q_m16 corpus: every doc renders one 16×16 image of [[m16Pixel]];
+    * every 7th doc additionally plants a NEAR-duplicate twin whose
+    * top-left 6×2 pixel patch (grid cells 0-2) is brightness-shifted
+    * +160 mod 256 — a re-encode-style perturbation that flips a few
+    * aHash/dHash bits (0-9 across the corpus, straddling the query's
+    * maxDist = 4) while never colliding exactly. */
+  private def m16Images(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.read.parquet(s"$dir/documents.parquet").select("doc_id").as[Long]
+      .flatMap { id =>
+        def bmp(variant: Boolean): Array[Byte] = {
+          val px = new Array[Int](256)
+          var p = 0
+          while (p < 256) {
+            val v = m16Pixel(id, p)
+            px(p) =
+              if (variant && p / 16 < 2 && p % 16 < 6) (v + 160) % 256 else v
+            p += 1
+          }
+          ImageCodec.grayBmp(16, 16, px)
+        }
+        if (id % 7 == 0) Iterator((id, bmp(false)), (id + 900000L, bmp(true)))
+        else Iterator((id, bmp(false)))
+      }
+      .toDF("media_id", "payload")
+  }
+
   private def m9Images(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     s.read.parquet(s"$dir/documents.parquet").select("doc_id").as[Long]
@@ -273,6 +310,29 @@ object MultimodalQueries {
           col("reason"), col("sample_rate"), col("n_frames"),
           col("n_samples"), col("cbr").cast("int").as("cbr"))
         .orderBy("doc_id")
+    }),
+
+    // Perceptual-hash HAMMING near-dup (r14 VERDICT #1): q_m9 groups on
+    // EXACT hash equality, so a 1-bit re-encode escapes — the classic
+    // image-dedup miss. Here decoded aHash goes through the banded
+    // pigeonhole join (Dedup.hammingNearDuplicates64: maxDist+1 chunks
+    // ⇒ recall 1 at <= maxDist, no all-pairs anywhere), dHash rides
+    // along as a carry column for the multi-index AND filter. The
+    // oracle replays the pixel formula analytically and brute-forces
+    // Hamming <= 4 over ALL pairs — so both the decode and the banding
+    // are under the driver hash.
+    "q_m16_image_hamming_dedup" -> ((s, dir) => {
+      val hashes = ImageCodec.decodeImages(m16Images(s, dir), "media_id", "payload")
+        .toDF()
+        .filter(col("decoded"))
+        .select("media_id", "ahash", "dhash")
+      Dedup.hammingNearDuplicates64(hashes, "media_id", "ahash",
+          maxDist = 4, carry = Seq("dhash"))
+        .withColumn("ham_d", Dedup.hamming64(col("dhash_a"), col("dhash_b")))
+        .filter(col("ham_d") <= 4)
+        .select(col("id_a"), col("id_b"), col("hamming").as("ham_a"),
+          col("ham_d"))
+        .orderBy("id_a", "id_b")
     }),
 
     // Voice-activity detection on RAW PCM — real decode-free audio DSP
@@ -650,6 +710,52 @@ object MultimodalQueries {
         |                 WHEN doc_id % 2 = 0 OR doc_id % 7 = 0 THEN 1
         |                 ELSE 0 END AS INTEGER) AS cbr
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // analytic replay of m16Pixel (cells → aHash/dHash, the q_m9 CTE
+    // discipline incl. the cell-63 sign-bit dance) followed by BRUTE
+    // all-pairs Hamming <= 4 on both hashes — the exact semantics the
+    // Spark side must reproduce through decode + banded pigeonhole join
+    "q_m16_image_hamming_dedup" ->
+      """WITH m AS (
+        |  SELECT doc_id, doc_id AS media_id, FALSE AS var FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, doc_id + 900000, TRUE FROM documents WHERE doc_id % 7 = 0),
+        |px AS (
+        |  SELECT media_id,
+        |         ((p // 16) // 2) * 8 + (p % 16) // 2 AS cell,
+        |         CASE WHEN var AND p // 16 < 2 AND p % 16 < 6
+        |              THEN ((s * s * s >> 8) % 256 + 160) % 256
+        |              ELSE (s * s * s >> 8) % 256 END AS v
+        |  FROM (SELECT media_id, var, g.p AS p,
+        |               (doc_id * 541 + g.p * 2897 + 1) % 65536 AS s
+        |        FROM m, generate_series(0, 255) AS g(p))),
+        |cells AS (SELECT media_id, cell, sum(v) AS s FROM px GROUP BY 1, 2),
+        |tot AS (SELECT media_id, sum(s) AS t FROM cells GROUP BY 1),
+        |ah AS (SELECT c.media_id,
+        |              CAST(sum(CASE WHEN c.s * 64 <= t.t THEN 0
+        |                            WHEN c.cell = 63
+        |                            THEN CAST(-9223372036854775807 AS BIGINT) - 1
+        |                            ELSE (CAST(1 AS BIGINT) << CAST(c.cell AS INT))
+        |                            END) AS BIGINT) AS ahash
+        |       FROM cells c JOIN tot t USING (media_id) GROUP BY 1),
+        |dh AS (SELECT a.media_id,
+        |              CAST(sum(CASE WHEN a.s > b.s
+        |                            THEN (CAST(1 AS BIGINT)
+        |                                  << CAST((a.cell // 8) * 7 + a.cell % 8 AS INT))
+        |                            ELSE 0 END) AS BIGINT) AS dhash
+        |       FROM cells a
+        |       JOIN cells b ON a.media_id = b.media_id AND b.cell = a.cell + 1
+        |                   AND a.cell % 8 < 7
+        |       GROUP BY 1),
+        |h AS (SELECT ah.media_id, ah.ahash, dh.dhash
+        |      FROM ah JOIN dh USING (media_id))
+        |SELECT a.media_id AS id_a, b.media_id AS id_b,
+        |       CAST(bit_count(xor(a.ahash, b.ahash)) AS INT) AS ham_a,
+        |       CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS ham_d
+        |FROM h a JOIN h b ON a.media_id < b.media_id
+        |WHERE bit_count(xor(a.ahash, b.ahash)) <= 4
+        |  AND bit_count(xor(a.dhash, b.dhash)) <= 4
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // every field is pure doc_id arithmetic — and gps_after_strip is a
     // constant 0: the strip must remove the GPS IFD from every parseable

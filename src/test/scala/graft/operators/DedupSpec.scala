@@ -301,4 +301,36 @@ class DedupSpec extends SparkTestBase {
     val b = pairs(docs.repartition(17))
     assert(a == b)
   }
+
+  test("hammingNearDuplicates64: banded recall is exactly brute force at every maxDist") {
+    import spark.implicits._
+    // deterministic 64-bit signatures: well-spread bases plus planted
+    // j-bit flips for j in 0..maxDist+2 — straddling every threshold
+    def flip(v: Long, bits: Seq[Int]): Long = bits.foldLeft(v)((a, b) => a ^ (1L << b))
+    val bases = (0 until 12).map(i => i.toLong * 0x9E3779B97F4A7C15L + 0xDEADBEEFL)
+    val rows = bases.zipWithIndex.flatMap { case (v, i) =>
+      val j = i % 8 // planted distance: 0 (exact dup) .. 7
+      Seq((i.toLong * 2, v),
+        (i.toLong * 2 + 1, flip(v, (0 until j).map(b => (b * 11 + i * 7) % 64).distinct)))
+    }
+    val sigs = rows.toDF("id", "h")
+    for (maxDist <- Seq(0, 1, 3, 5, 63)) {
+      val got = Dedup.hammingNearDuplicates64(sigs, "id", "h", maxDist)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val brute = (for {
+        a <- rows; b <- rows if a._1 < b._1
+        d = java.lang.Long.bitCount(a._2 ^ b._2) if d <= maxDist
+      } yield (a._1, b._1, d)).toSet
+      assert(got == brute, s"maxDist=$maxDist\ngot:   $got\nbrute: $brute")
+    }
+    // carry columns ride through as <col>_a / <col>_b
+    val withCarry = Dedup.hammingNearDuplicates64(
+      rows.map { case (id, h) => (id, h, s"tag$id") }.toDF("id", "h", "tag"),
+      "id", "h", maxDist = 1, carry = Seq("tag"))
+      .collect()
+    assert(withCarry.nonEmpty && withCarry.forall { r =>
+      r.getAs[String]("tag_a") == s"tag${r.getAs[Long]("id_a")}" &&
+        r.getAs[String]("tag_b") == s"tag${r.getAs[Long]("id_b")}"
+    })
+  }
 }
