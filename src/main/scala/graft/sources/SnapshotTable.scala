@@ -144,6 +144,11 @@ object SnapshotTable {
     /** Per-file column stats, if recorded at commit time. */
     def stats: Map[String, ColStats] =
       attrs.get("stats").map(decodeStats).getOrElse(Map.empty)
+
+    /** Exact row count of this data file, if recorded at commit time
+      * (commits with `statsCols` record it from the same read-back pass
+      * that bounds the columns). */
+    def rowCount: Option[Long] = attrs.get("rows").map(_.toLong)
   }
 
   // ---------------------------------------------------------------- paths
@@ -370,6 +375,63 @@ object SnapshotTable {
     else
       readEntries(spark, tablePath, kept, deleteGroups(spark, tablePath, delEntries),
         allowSchemaEvolution)
+  }
+
+  /** The Iceberg `files` metadata-table surface: one row per LIVE data
+    * file of the snapshot, entirely from the manifest — no data file is
+    * listed, opened, or planned (the result is a LocalRelation). Stats
+    * ride as string-rendered `(min, max)` maps exactly as committed. */
+  def metadataFiles(spark: SparkSession, tablePath: String,
+                    version: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    manifest(tablePath, version).filterNot(_.isDelete)
+      .map { e =>
+        (e.partSpec, e.relPath, e.commitVersion, e.rowCount,
+          e.stats.map { case (c, s) => c -> s.min },
+          e.stats.map { case (c, s) => c -> s.max })
+      }
+      .toDF("part_spec", "rel_path", "commit_version", "rows", "mins", "maxs")
+  }
+
+  /** Metadata-ONLY aggregates: per-partition file count, EXACT row
+    * count, and per-`statsCols` min/max, computed from manifest rows +
+    * per-file stats alone — `count(*)`-class queries answered without
+    * listing, opening, or planning any data file (at 100 TB: microseconds
+    * against kilobytes of manifest vs a full-table scan). Exactness is a
+    * CONTRACT, so it refuses loudly instead of guessing: every live
+    * entry must carry a recorded row count (commit with `statsCols`),
+    * bounds for every requested column, and the snapshot must have no
+    * pending merge-on-read deletes (a delete-key file subtracts an
+    * unknowable count until [[compact]] absorbs it). Bounds fold with
+    * [[ColStats.cmp]] — numerically for numeric types, so `"9" < "10"`
+    * folds right — and come back as the committed string renderings. */
+  def metadataAggregate(spark: SparkSession, tablePath: String,
+                        statsCols: Seq[String] = Nil,
+                        version: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    val (del, data) = manifest(tablePath, version).partition(_.isDelete)
+    require(del.isEmpty,
+      s"snapshot has ${del.size} pending merge-on-read delete files — " +
+        "metadata row counts would overcount; compact() first")
+    require(data.nonEmpty, s"snapshot has no data files at $tablePath")
+    data.foreach { e =>
+      require(e.rowCount.isDefined,
+        s"${e.relPath} has no recorded row count — commit with statsCols " +
+          "to record per-file counts")
+      statsCols.foreach(c => require(e.stats.contains(c),
+        s"${e.relPath} has no bounds for column $c"))
+    }
+    data.groupBy(_.partSpec).toSeq.sortBy(_._1).map { case (spec, es) =>
+      val folded = statsCols.map { c =>
+        val ss = es.map(_.stats(c))
+        val t = ss.head.dataType
+        c -> (ss.map(_.min).reduce((a, b) => if (ColStats.cmp(t, a, b) <= 0) a else b),
+          ss.map(_.max).reduce((a, b) => if (ColStats.cmp(t, a, b) >= 0) a else b))
+      }
+      (spec, es.size.toLong, es.map(_.rowCount.get).sum,
+        folded.map { case (c, (mn, _)) => c -> mn }.toMap,
+        folded.map { case (c, (_, mx)) => c -> mx }.toMap)
+    }.toDF("part_spec", "n_files", "n_rows", "mins", "maxs")
   }
 
   /** One delete COMMIT = one group: (commit version, key columns, keys
@@ -676,14 +738,18 @@ object SnapshotTable {
       .parquet(dataDir)
     val spark = df.sparkSession
     val files = listDataFiles(spark, dataDir)
-    val statsByFile: Map[String, Map[String, ColStats]] =
+    val statsByFile: Map[String, (Long, Map[String, ColStats])] =
       if (statsCols.isEmpty || files.isEmpty) Map.empty
       else {
         val back = spark.read.parquet(dataDir)
         val typeOf = back.schema.fields.map(f => f.name -> f.dataType.catalogString).toMap
         statsCols.foreach(c => require(typeOf.contains(c),
           s"stats column $c not in written schema ${typeOf.keys.toSeq.sorted}"))
-        val aggs = statsCols.flatMap(c => Seq(
+        // the same pass also records the EXACT per-file row count (the
+        // Iceberg record_count), making metadata-only count(*) /
+        // per-partition counts answerable without planning a data file
+        // ([[metadataAggregate]])
+        val aggs = count(lit(1)).as("__rows") +: statsCols.flatMap(c => Seq(
           min(col(c)).cast("string").as(s"__min_$c"),
           max(col(c)).cast("string").as(s"__max_$c")))
         back.groupBy(input_file_name().as("__file"))
@@ -699,16 +765,19 @@ object SnapshotTable {
               if (mn == null || mx == null) None
               else Some(c -> ColStats(typeOf(c), mn, mx))
             }.toMap
-            f -> st
+            f -> (row.getAs[Long]("__rows"), st)
           }.toMap
       }
     files.map { abs =>
       val rel = abs.stripPrefix(s"$r/")
       val inCommit = rel.stripPrefix(dirName + "/")
       val partSpec = inCommit.split("/").dropRight(1).mkString("/")
-      val attrs = statsByFile.get(abs).filter(_.nonEmpty)
-        .map(m => Map("stats" -> encodeStats(m)))
-        .getOrElse(Map.empty[String, String])
+      val attrs = statsByFile.get(abs) match {
+        case Some((rows, st)) =>
+          Map("rows" -> rows.toString) ++
+            (if (st.nonEmpty) Map("stats" -> encodeStats(st)) else Map.empty)
+        case None => Map.empty[String, String]
+      }
       ManifestEntry(partSpec, rel, attrs)
     }.sortBy(_.relPath)
   }
