@@ -621,41 +621,54 @@ object SnapshotTable {
     *    (the probe repeats under the table lock so a same-JVM concurrent
     *    replay of the SAME txn still lands exactly one snapshot).
     */
+  /** Probe-and-settle a transaction WITHOUT writing any data:
+    * `Some(version)` when `txnId` is already durable — genuinely
+    * committed (no-op replay) or prepared-but-unswapped (rolled forward
+    * here by pointer swap); `None` when a fresh commit is needed. The
+    * first step of every exactly-once publisher ([[commitAppendTxn]],
+    * [[TarShardIO.writeTxn]]) — a positive probe lets the caller skip
+    * re-staging bytes entirely.
+    *
+    * A probed txn manifest counts as COMMITTED only if it is on the
+    * committed chain (r13 ADVICE, high): a txn manifest the pointer
+    * moved PAST without including (crash between manifest move and
+    * pointer swap, then an unrelated commit composed from the pointer)
+    * is an orphan whose rows are in no live snapshot — replay must
+    * fall through to a fresh commit, not no-op "success".
+    *   v > pointer  ⇒ prepared-but-unswapped and NOTHING committed
+    *                  after it (version allocation takes max over all
+    *                  manifests incl. orphans, so any later commit
+    *                  lands above v): ROLL FORWARD by pointer swap;
+    *   on chain     ⇒ genuinely committed: NO-OP;
+    *   off chain    ⇒ superseded orphan: fresh commit.
+    * Settles under the table lock: an unrelated commit interleaving
+    * between the pointer check and the swap would supersede v and
+    * recreate the very orphan this protects against. Probes
+    * newest-first: the replay case almost always matches the latest
+    * versions; each probe is one bounded header read. */
+  def settleTxn(tablePath: String, txnId: String): Option[Long] = {
+    val probed = snapshots(tablePath).reverseIterator
+      .find(v => txnOf(tablePath, v).contains(txnId))
+    probed.flatMap { v =>
+      lockFor(tablePath).synchronized {
+        if (v > currentVersion(tablePath).getOrElse(0L)) {
+          swapPointer(tablePath, v); Some(v)
+        } else if (onCommittedChain(tablePath, v)) Some(v)
+        else None
+      }
+    }
+  }
+
   def commitAppendTxn(df: DataFrame, tablePath: String,
                       partitionCols: Seq[String], txnId: String,
-                      filesPerPartition: Int = 1): Long = {
-    // newest-first: the replay case (txn already committed) almost always
-    // matches the latest versions; each probe is one bounded header read
-    def probe(): Option[Long] = snapshots(tablePath).reverseIterator
-      .find(v => txnOf(tablePath, v).contains(txnId))
-    // A probed txn manifest counts as COMMITTED only if it is on the
-    // committed chain (r13 ADVICE, high): a txn manifest the pointer
-    // moved PAST without including (crash between manifest move and
-    // pointer swap, then an unrelated commit composed from the pointer)
-    // is an orphan whose rows are in no live snapshot — replay must
-    // fall through to a fresh commit, not no-op "success".
-    //   v > pointer  ⇒ prepared-but-unswapped and NOTHING committed
-    //                  after it (version allocation takes max over all
-    //                  manifests incl. orphans, so any later commit
-    //                  lands above v): ROLL FORWARD by pointer swap;
-    //   on chain     ⇒ genuinely committed: NO-OP;
-    //   off chain    ⇒ superseded orphan: fresh commit.
-    // under the table lock: an unrelated commit interleaving between the
-    // pointer check and the swap would supersede v and recreate the
-    // very orphan this protects against
-    def settle(v: Long): Option[Long] = lockFor(tablePath).synchronized {
-      if (v > currentVersion(tablePath).getOrElse(0L)) {
-        swapPointer(tablePath, v); Some(v)
-      } else if (onCommittedChain(tablePath, v)) Some(v)
-      else None
-    }
-    probe().flatMap(settle) match {
+                      filesPerPartition: Int = 1): Long =
+    settleTxn(tablePath, txnId) match {
       case Some(v) => v
       case None =>
         val fresh = writeData(df, tablePath, partitionCols,
           filesPerPartition, Nil, Nil)
         lockFor(tablePath).synchronized {
-          probe().flatMap(settle) match {
+          settleTxn(tablePath, txnId) match {
             case Some(v) => v // a concurrent replay won; our files orphan
             case None =>
               val v = commitManifest(tablePath, fresh,
@@ -665,7 +678,6 @@ object SnapshotTable {
           }
         }
     }
-  }
 
   /** Write data + manifest for the NEXT version WITHOUT committing it —
     * the crash window between (b) and (c) in the object doc, exposed for

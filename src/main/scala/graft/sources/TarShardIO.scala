@@ -88,7 +88,15 @@ object TarShardIO {
     * Returns members written. */
   def write(df: DataFrame, fileKeyCol: String, sortCol: String,
             nameCol: String, payloadCol: String, dir: String,
-            numFiles: Int, compress: Boolean = false): Long = {
+            numFiles: Int, compress: Boolean = false): Long =
+    writeShards(df, fileKeyCol, sortCol, nameCol, payloadCol, dir,
+      numFiles, compress).map(_._2).sum
+
+  /** [[write]] with the per-shard member counts kept: `(shard index,
+    * members)` in index order — the metadata [[writeTxn]] commits. */
+  private def writeShards(df: DataFrame, fileKeyCol: String, sortCol: String,
+                          nameCol: String, payloadCol: String, dir: String,
+                          numFiles: Int, compress: Boolean): Seq[(Int, Long)] = {
     require(numFiles >= 1)
     val spark = df.sparkSession
     val conf = new org.apache.spark.util.SerializableConfiguration(
@@ -131,9 +139,63 @@ object TarShardIO {
           }
           out.write(new Array[Byte](2 * Block)) // end-of-archive
         } finally out.close()
-        Iterator.single(n)
+        Iterator.single((idx, n))
       }
-      .sum().toLong
+      .collect().toSeq.sortBy(_._1)
+  }
+
+  /** EXACTLY-ONCE shard publishing (r14 VERDICT #3): stage the shards
+    * into a uniquely named directory under `tableDir/shards/`, then
+    * commit one metadata row per shard — `(shard, n_members, bytes)` —
+    * through [[SnapshotTable.commitAppendTxn]] under `txnId`. A replay
+    * after ANY crash converges: already committed → no-op without
+    * re-staging a byte ([[SnapshotTable.settleTxn]] fast path);
+    * prepared-but-unswapped → rolled forward; otherwise a fresh staging
+    * (byte-identical — shard bytes are content-determined) commits and
+    * the crashed attempt's directory is unreferenced garbage. Consumers
+    * read the COMMITTED shard set only ([[readPublished]]), never a
+    * half-published staging dir. Returns the committed snapshot
+    * version. */
+  def writeTxn(df: DataFrame, fileKeyCol: String, sortCol: String,
+               nameCol: String, payloadCol: String, tableDir: String,
+               numFiles: Int, txnId: String,
+               compress: Boolean = false): Long =
+    SnapshotTable.settleTxn(tableDir, txnId) match {
+      case Some(v) => v
+      case None =>
+        val spark = df.sparkSession
+        import spark.implicits._
+        val stageRel = f"shards/u${System.nanoTime()}%016x"
+        val counts = writeShards(df, fileKeyCol, sortCol, nameCol,
+          payloadCol, s"$tableDir/$stageRel", numFiles, compress)
+        val ext = if (compress) "tar.gz" else "tar"
+        val fs = new org.apache.hadoop.fs.Path(tableDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val meta = counts.map { case (idx, n) =>
+          val rel = f"$stageRel/shard-$idx%05d.$ext"
+          val len = fs.getFileStatus(
+            new org.apache.hadoop.fs.Path(s"$tableDir/$rel")).getLen
+          (rel, n, len)
+        }.toDF("shard", "n_members", "bytes")
+        SnapshotTable.commitAppendTxn(meta, tableDir, Nil, txnId)
+    }
+
+  /** The COMMITTED shard catalog of a [[writeTxn]] table: one row per
+    * published shard across all committed transactions. */
+  def publishedShards(spark: SparkSession, tableDir: String): DataFrame =
+    SnapshotTable.readSnapshot(spark, tableDir)
+      .select("shard", "n_members", "bytes")
+
+  /** Stream the members of every COMMITTED shard of a [[writeTxn]]
+    * table — staged-but-uncommitted directories from crashed attempts
+    * are invisible here, exactly like uncommitted data files are to a
+    * snapshot read. */
+  def readPublished(spark: SparkSession, tableDir: String): Dataset[TarEntry] = {
+    import spark.implicits._
+    val shards = publishedShards(spark, tableDir)
+      .select("shard").as[String].collect().sorted
+      .map(rel => s"$tableDir/$rel")
+    readFiles(spark, shards.toSeq)
   }
 
   // ---------------------------------------------------------------- read
@@ -158,17 +220,23 @@ object TarShardIO {
     * entry-streamed — O(largest member) memory ([[TfRecordIO.read]]'s
     * regime). Non-regular entries are skipped structurally. */
   def read(spark: SparkSession, dir: String): Dataset[TarEntry] = {
-    import spark.implicits._
-    val conf = new org.apache.spark.util.SerializableConfiguration(
-      spark.sparkContext.hadoopConfiguration)
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val files = fs.listStatus(root).toSeq
       .map(_.getPath.toString)
       .filter(f => f.endsWith(".tar") || f.endsWith(".tar.gz") ||
         f.endsWith(".tgz"))
-      .sorted
-    spark.createDataset(files).flatMap { f =>
+    readFiles(spark, files)
+  }
+
+  /** Stream an explicit shard-file list — the shared scan both the
+    * directory listing ([[read]]) and the committed-catalog path
+    * ([[readPublished]]) drive. */
+  private def readFiles(spark: SparkSession, files: Seq[String]): Dataset[TarEntry] = {
+    import spark.implicits._
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    spark.createDataset(files.sorted).flatMap { f =>
       if (f.endsWith(".tar")) streamFile(f, conf) else streamGzFile(f, conf)
     }
   }

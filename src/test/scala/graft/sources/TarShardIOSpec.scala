@@ -192,6 +192,67 @@ class TarShardIOSpec extends SparkTestBase {
     assert(img.decoded && img.width == 4 && img.height == 2)
   }
 
+  test("writeTxn: exactly-once publishing — replay no-ops, crashes converge, orphans invisible") {
+    import spark.implicits._
+    val table = freshDir() + "/pub"
+    def stagingDirs() = {
+      val d = new java.io.File(s"$table/shards")
+      if (d.exists()) d.list().sorted.toSeq else Seq.empty
+    }
+    // first publish commits the catalog
+    val data = members(12)
+    val v1 = TarShardIO.writeTxn(data, "fkey", "ord", "name", "payload",
+      table, 3, "txn-A")
+    val cat1 = TarShardIO.publishedShards(spark, table).collect()
+    assert(cat1.length == 3 && cat1.map(_.getAs[Long]("n_members")).sum == 24)
+    assert(cat1.forall(_.getAs[Long]("bytes") > 0))
+    // replay of the SAME txn: same version, not one byte re-staged
+    val staged1 = stagingDirs()
+    assert(TarShardIO.writeTxn(data, "fkey", "ord", "name", "payload",
+      table, 3, "txn-A") == v1)
+    assert(stagingDirs() == staged1, "replay must not re-stage shards")
+    // crash BETWEEN staging and commit: a half-published attempt sits on
+    // disk uncommitted; the replay stages fresh and commits exactly once
+    val data2 = members(8, shards = 2)
+    TarShardIO.write(data2, "fkey", "ord", "name", "payload",
+      s"$table/shards/u0000crashedattempt", 2) // the crashed attempt
+    val v2 = TarShardIO.writeTxn(data2, "fkey", "ord", "name", "payload",
+      table, 2, "txn-B")
+    assert(v2 > v1)
+    val cat2 = TarShardIO.publishedShards(spark, table).collect()
+    assert(cat2.length == 5 && cat2.map(_.getAs[Long]("n_members")).sum == 40)
+    // committed members stream exactly once; the orphaned attempt is
+    // invisible to the catalog read (its dir still exists on disk)
+    val got = TarShardIO.readPublished(spark, table).collect()
+    assert(got.length == 40 && got.forall(_.valid))
+    assert(new java.io.File(s"$table/shards/u0000crashedattempt").exists())
+    // byte-determinism receipt: the replayed staging is byte-identical
+    // to the crashed attempt — converging content, not just counts
+    val committedB = cat2.map(_.getAs[String]("shard"))
+      .filterNot(s => cat1.map(_.getAs[String]("shard")).contains(s)).sorted
+    committedB.zipWithIndex.foreach { case (rel, i) =>
+      val a = Files.readAllBytes(Paths.get(s"$table/$rel"))
+      val b = Files.readAllBytes(Paths.get(
+        f"$table/shards/u0000crashedattempt/shard-$i%05d.tar"))
+      assert(java.util.Arrays.equals(a, b), s"shard $i bytes diverge")
+    }
+    // crash BETWEEN manifest prepare and pointer swap: replay rolls the
+    // prepared commit forward without staging anything new
+    TarShardIO.write(members(4, shards = 1), "fkey", "ord", "name",
+      "payload", s"$table/shards/u0001prepared", 1)
+    val metaC = Seq(("shards/u0001prepared/shard-00000.tar", 8L,
+      Files.size(Paths.get(s"$table/shards/u0001prepared/shard-00000.tar"))))
+      .toDF("shard", "n_members", "bytes")
+    val prepared = SnapshotTable.prepare(metaC, table, Nil, 1,
+      Some("txn-C"))((prev, f) => prev ++ f) // pointer NOT swapped: the crash
+    val staged3 = stagingDirs()
+    val v3 = TarShardIO.writeTxn(members(4, shards = 1), "fkey", "ord",
+      "name", "payload", table, 1, "txn-C")
+    assert(v3 == prepared, "replay must roll the prepared commit forward")
+    assert(stagingDirs() == staged3, "roll-forward must not re-stage")
+    assert(TarShardIO.readPublished(spark, table).count() == 48)
+  }
+
   test("empty and gzip-header-corrupt .tar.gz quarantine, never kill the read job") {
     // r14 ADVICE: GZIPInputStream reads the gzip header in its
     // CONSTRUCTOR, so these defects used to escape the fetch guard
