@@ -162,24 +162,6 @@ object Bench {
       "q_m14_flac_meta", "q_m15_mp3_census", "q_v20_ann_ivfadc",
       "q_tar2_webdataset_export", "q_u9_crawl_delay")
 
-    // Giant-codegen queries (adjudicated r11b for q_sp14, r12 VERDICT #1
-    // artifact for q_t28): their generated classes are churned OUT of
-    // Spark's bounded generated-class cache by the ~190 queries that run
-    // before them, so even a 3-rep MEDIAN can catch two JIT-compile reps
-    // (r12: q_t28 median 6.29 s vs 0.97 s warm, plan unchanged). These
-    // run ONE untimed-but-REPORTED warm-up rep ("warmups" in
-    // bench_out.json — the JIT cost stays visible, it just stops
-    // masquerading as per-rep execution time) so the median reports what
-    // the plan actually costs to EXECUTE.
-    val jitWarm = Set(
-      "q_t28_repetition_card", "q_sp14_split_leak_audit",
-      "q_a10_sketches", "q_t21_char_entropy",
-      // r13 VERDICT #1: q_g1's checkpoint-dir init + per-round generated
-      // classes are evicted by the ~190 preceding queries — driver median
-      // 14.6 s vs 2.2-2.4 s isolated steady-state. q_h10/q_h1 showed the
-      // same first-rep spread (minima at r12 level) in the r13 grading.
-      "q_g1_pagerank", "q_h10_returned_items", "q_h1_pricing_summary")
-
     // Headline queries run 3 reps and report the MEDIAN: the single-shot
     // noise floor on this box is ±2x (calibrated rounds 5-6), which made
     // round-over-round comparisons re-litigate phantom regressions. All
@@ -187,18 +169,22 @@ object Bench {
     // distribution is still visible. Non-headline queries stay single-shot
     // (86 queries x 3 would triple the driver's bench wall-clock for
     // numbers nobody compares).
+    //
+    // ADAPTIVE warm-up (r14 VERDICT #4, replacing three rounds of
+    // hand-listed jitWarm sets): giant-codegen queries get their
+    // generated classes churned OUT of Spark's bounded generated-class
+    // cache by the ~190 queries that run before them, so even a 3-rep
+    // median can catch two JIT-compile reps (r12: q_t28 median 6.29 s
+    // vs 0.97 s warm, plan unchanged; r13: q_g1 14.6 s vs 2.3 s). The
+    // rule: while the median of the LAST 3 reps exceeds 2x their
+    // minimum, the distribution is bimodal-by-JIT — run one more rep
+    // (capped at 3 extras). Reported reps are the final window; the
+    // discarded reps' total stays visible in "warmups" (the JIT cost
+    // never masquerades as per-rep execution time, and never hides).
     val warmups = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val timed = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      if (jitWarm(name)) {
-        val t0 = System.nanoTime()
-        // NonFatal only: an OOM/linkage error must kill the bench, not
-        // leave the timed reps running on a broken JVM
-        try Force.rows(fn(spark, sfDir))
-        catch { case scala.util.control.NonFatal(_) => () }
-        warmups(name) = (System.nanoTime() - t0) / 1e9
-      }
       val nReps = if (headline(name)) 3 else 1
-      val runs = (1 to nReps).map { _ =>
+      def rep(): (Double, Option[String]) = {
         val t0 = System.nanoTime()
         val err = try { Force.rows(fn(spark, sfDir)); None } catch {
           case e: Throwable =>
@@ -207,9 +193,22 @@ object Bench {
         }
         ((System.nanoTime() - t0) / 1e9, err)
       }
-      val secs = runs.map(_._1).sorted
+      val runs = scala.collection.mutable.ArrayBuffer.empty[(Double, Option[String])]
+      (1 to nReps).foreach(_ => runs += rep())
+      if (nReps > 1) {
+        def window = runs.takeRight(nReps).map(_._1).sorted
+        var extra = 0
+        while (extra < 3 && window(nReps / 2) > 2 * window.head) {
+          runs += rep()
+          extra += 1
+        }
+        if (runs.size > nReps)
+          warmups(name) = runs.dropRight(nReps).map(_._1).sum
+      }
+      val kept = runs.takeRight(nReps)
+      val secs = kept.map(_._1).sorted
       val median = secs(secs.size / 2)
-      (name, median, runs.flatMap(_._2).headOption, runs.map(_._1))
+      (name, median, runs.flatMap(_._2).headOption, kept.map(_._1).toSeq)
     }
     val errs = timed.collect { case (k, _, Some(m), _) => s""""$k":"${esc(m)}"""" }
       .mkString("{", ",", "}")

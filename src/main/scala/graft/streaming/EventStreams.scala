@@ -36,6 +36,14 @@ case class SessionBuffer(ts: Seq[Long], value: Seq[Double])
   */
 case class FunnelBuffer(us: Seq[Long], tpe: Seq[String])
 
+/** Per-window Misra-Gries summary: parallel (key, counter) sequences plus
+  * the window's exact row total. At most k = ceil(slack/theta) counters
+  * per window — the state bound the frequent-items shape needs (ranking
+  * aggregations bound rows per window, not the KEY UNIVERSE per window).
+  * Top-level for the state encoder, like [[SessionBuffer]].
+  */
+case class MgSummary(keys: Seq[String], counts: Seq[Long], n: Long)
+
 object EventStreams {
 
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
@@ -277,5 +285,128 @@ object EventStreams {
       .orderBy(col("n").desc, col(keyCol))
     counts.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+  }
+
+  /** One sealed-window frequent-item candidate: the Misra-Gries residual
+    * counter is a LOWER bound on the key's true count (decrement steps
+    * only ever subtract); `n_total` is the window's exact row count. */
+  case class HitterCandidate(window_start: Timestamp, key: String,
+                             mg_count: Long, n_total: Long)
+
+  /** Streaming heavy-hitter CANDIDATES per tumbling event-time window:
+    * Misra-Gries with k = ceil(slack/theta) counters per window inside
+    * `flatMapGroupsWithState`, emitted when the watermark seals the
+    * window. This is pass 1 of the batch [[graft.operators.HeavyHitters]]
+    * scheme lifted to streams — the frequent-items shape [[windowedTopK]]
+    * does not cover: that aggregation bounds ROWS per window but shuffles
+    * every distinct key; this bounds STATE by k·(open windows) however
+    * large the key universe grows (URLs, n-grams at 100 TB/day).
+    *
+    * Guarantees (order-insensitive, so full event-time disorder within
+    * the watermark changes nothing):
+    *   - NO FALSE NEGATIVES: any key with true count > n/(k+1) is in the
+    *     final summary; with k >= slack/theta every theta-hitter
+    *     qualifies (pigeonhole — the batch pass-1 guarantee).
+    *   - at most k candidates per window leave the operator;
+    *   - `mg_count` is a lower bound, `mg_count + floor(n/(k+1))` an
+    *     upper bound on the true count.
+    * Exactness needs a second look at the sealed rows —
+    * [[verifiedHitters]], the streaming twin of batch pass 2. A single
+    * bounded-state pass provably cannot emit exact counts; the candidate
+    * cut is what makes the exact pass cheap (it counts <= k keys per
+    * window, never the universe).
+    */
+  def heavyHitterCandidates(events: DataFrame, keyCol: String,
+                            theta: Double, slack: Int = 2,
+                            windowSeconds: Long = 3600L,
+                            watermark: String = "2 hours"): Dataset[HitterCandidate] = {
+    require(theta > 0 && theta <= 1, s"theta must be in (0,1], got $theta")
+    require(slack >= 1 && windowSeconds >= 1)
+    val k = math.max(1, math.ceil(slack / theta).toInt)
+    val spark = events.sparkSession
+    import spark.implicits._
+    val windowMs = windowSeconds * 1000L
+    events
+      .withWatermark("ts", watermark)
+      // the watermarked ts column rides along: EventTimeTimeout needs the
+      // event-time column to survive the projection
+      .select(col("ts"),
+        window(col("ts"), s"$windowSeconds seconds")
+          .getField("start").as("ws"),
+        col(keyCol).cast("string").as("k"))
+      .filter(col("k").isNotNull)
+      .as[(Timestamp, Timestamp, String)]
+      .groupByKey(_._2.getTime)
+      .flatMapGroupsWithState[MgSummary, HitterCandidate](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (ws: Long, batch: Iterator[(Timestamp, Timestamp, String)],
+         state: GroupState[MgSummary]) =>
+          if (state.hasTimedOut) {
+            // watermark passed window end: no admissible event can join
+            // this window anymore — seal, emit, evict
+            val st = state.get
+            state.remove()
+            st.keys.iterator.zip(st.counts.iterator).map { case (key, c) =>
+              HitterCandidate(new Timestamp(ws), key, c, st.n)
+            }
+          } else {
+            val prior = state.getOption.getOrElse(MgSummary(Nil, Nil, 0L))
+            val counters = new java.util.HashMap[String, Long](k * 2)
+            prior.keys.iterator.zip(prior.counts.iterator)
+              .foreach { case (key, c) => counters.put(key, c) }
+            var n = prior.n
+            batch.foreach { case (_, _, x) =>
+              // the batch operator's exact insert discipline
+              val c = counters.getOrDefault(x, 0L)
+              if (c > 0L) counters.put(x, c + 1L)
+              else if (counters.size < k) counters.put(x, 1L)
+              else {
+                val itk = counters.entrySet().iterator()
+                while (itk.hasNext) {
+                  val e = itk.next()
+                  if (e.getValue == 1L) itk.remove()
+                  else e.setValue(e.getValue - 1L)
+                }
+              }
+              n += 1L
+            }
+            val ks = Seq.newBuilder[String]
+            val cs = Seq.newBuilder[Long]
+            counters.forEach((key, c) => { ks += key; cs += c })
+            state.update(MgSummary(ks.result(), cs.result(), n))
+            // seal at window end (strictly beyond the current watermark,
+            // as EventTimeTimeout requires)
+            state.setTimeoutTimestamp(
+              math.max(ws + windowMs, state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+  }
+
+  /** Pass 2 for [[heavyHitterCandidates]]: exact verification of the
+    * sealed candidates against the sealed rows themselves (landed to the
+    * lake by the same pipeline — the standard stream+batch composition).
+    * Identical semantics to the batch operator's verification join:
+    * count candidate keys only (a broadcast semi-join — at most
+    * k keys/window, never the universe), threshold at theta·n_total with
+    * n_total taken from the STREAM state's exact row count. Output rows
+    * equal `HeavyHitters.heavyHitters` run on each sealed window. */
+  def verifiedHitters(candidates: DataFrame, sealedEvents: DataFrame,
+                      keyCol: String, theta: Double,
+                      windowSeconds: Long = 3600L): DataFrame = {
+    val keyed = sealedEvents
+      .select(
+        window(col("ts"), s"$windowSeconds seconds")
+          .getField("start").as("window_start"),
+        col(keyCol).cast("string").as("k"))
+      .filter(col("k").isNotNull)
+    keyed
+      .join(broadcast(candidates.select(col("window_start"),
+        col("key").as("k"), col("n_total"))), Seq("window_start", "k"))
+      .groupBy("window_start", "k")
+      .agg(count(lit(1)).as("cnt"), first("n_total").as("n_total"))
+      .filter(col("cnt") >= col("n_total") * theta)
+      .select(col("window_start"), col("k").as(keyCol), col("cnt"),
+        round(col("cnt") / col("n_total"), 6).as("frac"))
   }
 }
