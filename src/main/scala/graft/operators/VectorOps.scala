@@ -411,7 +411,7 @@ object VectorOps {
     * distance (nlist-bounded, driver-side), keep `nprobe`, precompute
     * each kept list's residual distance table — nprobe · m · ksub longs
     * of closure data. */
-  private def probeTables(model: IvfPqModel, query: Array[Float],
+  private[operators] def probeTables(model: IvfPqModel, query: Array[Float],
                           nprobe: Int): Map[Int, Array[Array[Long]]] = {
     val pq = model.pq
     val d = model.coarse(0).length

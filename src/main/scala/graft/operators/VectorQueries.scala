@@ -147,6 +147,40 @@ object VectorQueries {
         .orderBy(col("cosine").desc, col("vec_id"))
     }),
 
+    // Graded SELECTIVE-probe ANN (r14 VERDICT #6): a planted-cluster
+    // twin of q_v20 where routing itself sits under the driver hash —
+    // nprobe 4 of nlist 16, and the oracle still demands exact top-10.
+    // Vectors are built in-query from vec_id arithmetic: 16 tight,
+    // well-separated clusters (within-cluster cosine ≥ 0.9999 vs best
+    // cross-cluster 0.6703 — verified at 500 and 2000 rows), all values
+    // dyadic rationals so float32 storage and the oracle's doubles agree
+    // bit-for-bit. The true top-10 live in the query's cluster; a
+    // routing defect that misses its list CANNOT be healed by the
+    // margin, so the hash pins selective probing, not just ADC recall.
+    // The probe runs against the ON-DISK list-partitioned index — the
+    // stored 100 TB shape, where the 4/16 list cut is a FILE cut
+    // (PqSpec holds the inputFiles receipt).
+    "q_v21_ann_selective_probe" -> ((s, dir) => {
+      val plantExpr = "transform(sequence(0, 15), d -> CAST(" +
+        "((vec_id % 16) * 2897 + d * 541 + 3) % 17 - 8 + " +
+        "(((vec_id * 13 + d * 7) % 9) - 4) / 64.0D AS FLOAT))"
+      val planted = s.read.parquet(s"$dir/embeddings.parquet")
+        .select("vec_id").withColumn("embedding", expr(plantExpr))
+      val queryVec = Array.tabulate(16)(d =>
+        (((5 % 16) * 2897 + d * 541 + 3) % 17 - 8 +
+          (((5 * 13 + d * 7) % 9) - 4) / 64.0).toFloat)
+      val corpus = planted.filter(col("vec_id") =!= 5)
+      val model = VectorOps.ivfPqTrain(corpus, "vec_id", "embedding",
+        nlist = 16, m = 4, ksub = 16, iterations = 3)
+      val codes = VectorOps.ivfPqEncode(corpus, "vec_id", "embedding", model)
+      val idx = s"${System.getProperty("java.io.tmpdir", "/tmp")}" +
+        s"/graft_ivfidx/run-${System.nanoTime()}"
+      VectorOps.ivfPqWriteIndex(codes, idx)
+      VectorOps.ivfPqTopKIndexed(corpus, idx, "vec_id", "embedding",
+          model, queryVec, k = 10, nprobe = 4, margin = 32)
+        .orderBy(col("cosine").desc, col("vec_id"))
+    }),
+
     // Grouped vector aggregation: per-label centroid (class prototype),
     // reported through its scalar L2 norm so the driver check stays
     // array-free. posexplode → (label, dim) decimal-exact means → fold
@@ -384,6 +418,25 @@ object VectorQueries {
         |            * sqrt(list_sum(list_transform(q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
         |         6) AS cosine
         |FROM embeddings, q WHERE vec_id <> 2
+        |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+
+    // brute-force cosine top-10 over the ANALYTIC planted-cluster replay
+    // (all dyadic values — doubles here equal the float32s Spark stores)
+    "q_v21_ann_selective_probe" ->
+      """WITH v AS (
+        |  SELECT vec_id,
+        |         list_transform(generate_series(0, 15), d ->
+        |           CAST(((vec_id % 16) * 2897 + d * 541 + 3) % 17 - 8 AS DOUBLE)
+        |           + (((vec_id * 13 + d * 7) % 9) - 4) / 64.0) AS e
+        |  FROM embeddings),
+        |q AS (SELECT e AS qe FROM v WHERE vec_id = 5)
+        |SELECT v.vec_id,
+        |       round(list_sum(list_transform(generate_series(1, 16),
+        |               i -> v.e[i] * q.qe[i]))
+        |         / (sqrt(list_sum(list_transform(v.e, x -> x * x)))
+        |            * sqrt(list_sum(list_transform(q.qe, x -> x * x)))),
+        |         6) AS cosine
+        |FROM v, q WHERE v.vec_id <> 5
         |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
 
     "q_v8_label_centroids" ->

@@ -144,6 +144,39 @@ class PqSpec extends SparkTestBase {
     assert(got == brute, s"\ngot:   $got\nbrute: $brute")
   }
 
+  test("q_v21 receipt: planted clusters probe 4 of 16 lists — file cut <= nprobe/nlist + eps, exact top-k") {
+    // the q_v21 construction verbatim: 16 tight well-separated clusters
+    // from vec_id arithmetic, 320 vectors
+    val plantExpr = "transform(sequence(0, 15), d -> CAST(" +
+      "((vec_id % 16) * 2897 + d * 541 + 3) % 17 - 8 + " +
+      "(((vec_id * 13 + d * 7) % 9) - 4) / 64.0D AS FLOAT))"
+    val planted = spark.range(320).select(col("id").as("vec_id"))
+      .withColumn("embedding", expr(plantExpr))
+    val queryVec = Array.tabulate(16)(d =>
+      (((5 % 16) * 2897 + d * 541 + 3) % 17 - 8 +
+        (((5 * 13 + d * 7) % 9) - 4) / 64.0).toFloat)
+    val corpus = planted.filter(col("vec_id") =!= 5)
+    val model = VectorOps.ivfPqTrain(corpus, "vec_id", "embedding",
+      nlist = 16, m = 4, ksub = 16, iterations = 3)
+    val codes = VectorOps.ivfPqEncode(corpus, "vec_id", "embedding", model)
+    val path = java.nio.file.Files.createTempDirectory("graft-v21").toString
+    VectorOps.ivfPqWriteIndex(codes, path)
+    // the FILE cut: the probed read plans at most nprobe/nlist + eps of
+    // the index's files (eps absorbs list-size imbalance)
+    val probedLists = VectorOps.probeTables(model, queryVec, 4).keySet.toSeq.sorted
+    assert(probedLists.size == 4)
+    val probedFiles = VectorOps.ivfPqReadLists(spark, path, probedLists)
+      .get.inputFiles.length
+    val allFiles = spark.read.parquet(path).inputFiles.length
+    assert(probedFiles.toDouble / allFiles <= 4.0 / 16 + 0.1,
+      s"probe planned $probedFiles of $allFiles index files")
+    // and the 4-of-16 probe is still EXACT against brute force
+    val got = VectorOps.ivfPqTopKIndexed(corpus, path, "vec_id", "embedding",
+        model, queryVec, k = 10, nprobe = 4, margin = 32)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == bruteTopK(corpus, queryVec, 10), s"got $got")
+  }
+
   test("training refuses a corpus smaller than the seed counts — loudly, not silently") {
     // r14 ADVICE: the requires validated only the trainSample PARAMETER;
     // a small corpus silently trained fewer centroids than requested
