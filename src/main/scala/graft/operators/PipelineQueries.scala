@@ -519,9 +519,13 @@ object PipelineQueries {
     // scan) as insert/delete row images. The oracle computes the same
     // diff as multiset algebra (EXCEPT ALL both ways).
     "q_l9_snapshot_changes" -> ((s, dir) => {
+      // localCheckpoint: the base frame feeds FOUR legs (overwrite,
+      // updates, inserts, delete keys) — materialize the 3-column
+      // projection once instead of re-scanning orders.parquet per leg
       val base = s.read.parquet(s"$dir/orders.parquet")
         .withColumn("o_year", year(col("o_orderdate")))
         .select("o_orderkey", "o_year", "o_totalprice")
+        .localCheckpoint()
       val path = s"${System.getProperty("java.io.tmpdir", "/tmp")}" +
         s"/graft_snapcdc/run-${System.nanoTime()}"
       graft.sources.SnapshotTable.commitOverwrite(base, path, Seq("o_year"))

@@ -276,7 +276,25 @@ object SnapshotTable {
     * enforced at commit time). `None` when the manifest does not exist
     * (vacuum legitimately reclaims expired versions — probes must
     * degrade, not throw). */
+  /** Session-scoped header cache (r14 VERDICT #7): manifests are written
+    * once by a no-replace ATOMIC_MOVE and never rewritten, and version
+    * numbers never recycle (allocation takes the max over ALL manifests,
+    * vacuum keeps the pointer), so a (table, version) header is immutable
+    * for the life of the session — chained lifecycle compositions
+    * (q_l9/q_l10: a `#prev` walk + txn probe per commit) stop re-reading
+    * the same headers per commit. Bounded LRU; misses (absent manifests)
+    * are NOT cached — a prepared manifest can appear later. */
+  private val headerCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, Map[String, String]](1024, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Map[String, String]]): Boolean =
+        size() > 4096
+    })
+
   private def headersOf(tablePath: String, version: Long): Option[Map[String, String]] = {
+    val cacheKey = s"${root(tablePath)}#$version"
+    val hit = headerCache.get(cacheKey)
+    if (hit != null) return Some(hit)
     val p = manifestPath(tablePath, version)
     if (!Files.exists(p)) return None
     val ch = Files.newByteChannel(p)
@@ -292,10 +310,13 @@ object SnapshotTable {
     } finally ch.close()
     val cut = head.lastIndexOf('\n')
     val complete = if (cut < 0) "" else head.substring(0, cut)
-    Some(complete.split("\n", -1).iterator.takeWhile(_.startsWith("#")).map { l =>
-      val eq = l.indexOf('=')
-      if (eq < 0) l.drop(1) -> "" else l.substring(1, eq) -> l.substring(eq + 1)
-    }.toMap)
+    val parsed = complete.split("\n", -1).iterator
+      .takeWhile(_.startsWith("#")).map { l =>
+        val eq = l.indexOf('=')
+        if (eq < 0) l.drop(1) -> "" else l.substring(1, eq) -> l.substring(eq + 1)
+      }.toMap
+    headerCache.put(cacheKey, parsed)
+    Some(parsed)
   }
 
   /** The transaction id snapshot `version` was committed under, if any —
