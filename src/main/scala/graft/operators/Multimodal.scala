@@ -359,6 +359,84 @@ object Multimodal {
       }
   }
 
+  /** Mono 16-bit PCM at a normalized rate, or the propagated parse
+    * defect — [[pcmMonoResample]]'s output row. */
+  case class ResampledPcm(id: Long, valid: Boolean, reason: String,
+                          sample_rate: Int, n_samples: Long, pcm: Array[Byte])
+
+  /** Channel mixdown + rational-factor resample — the speech-model prep
+    * step on the WAV branch (r14 VERDICT #8): every model-input pipeline
+    * normalizes to mono at one rate (16 kHz for speech) before
+    * featurization. INTEGER-EXACT s16 arithmetic throughout, so the
+    * driver oracle replays it bit-for-bit:
+    *
+    *   - mixdown: `mono[i] = floorDiv(sum over channels, channels)` —
+    *     the mean of in-range s16 samples, floor-rounded; stays inside
+    *     [-32768, 32767] by construction (no clipping stage needed);
+    *   - resample src→dst with `up = dst/g, down = src/g`
+    *     (g = gcd): output j sits at rational source position
+    *     `j·down/up`; `out[j] = floorDiv(mono[i0]·(up-rem) +
+    *     mono[i0+1]·rem, up)` with `i0 = (j·down)/up`,
+    *     `rem = (j·down) mod up` — exact linear interpolation in
+    *     integers (pure decimation when up = 1: `out[j] = mono[j·down]`).
+    *     `n_out = (n_in-1)·up/down + 1` (every output position ≤ the
+    *     last input sample). Interpolation between in-range endpoints
+    *     never leaves the s16 range.
+    *
+    * Honest scope: linear interpolation applies no anti-alias low-pass —
+    * for analysis pipelines over synthetic/band-limited content that is
+    * the documented trade; a windowed-sinc stage would compose in front
+    * of the same integer core. Row-local typed pass, payloads never
+    * visit the driver. */
+  def pcmMonoResample(wavs: Dataset[WavRecord], dstRate: Int): Dataset[ResampledPcm] = {
+    require(dstRate >= 1)
+    val spark = wavs.sparkSession
+    import spark.implicits._
+    wavs.map { w =>
+      if (!w.valid)
+        ResampledPcm(w.id, valid = false, w.reason, 0, 0L, Array.emptyByteArray)
+      else {
+        val ch = w.channels
+        val n = w.n_samples.toInt
+        val src = w.pcm
+        def s16(i: Int, c: Int): Int = {
+          val o = (i * ch + c) * 2
+          ((src(o) & 0xff) | (src(o + 1) << 8)).toShort.toInt
+        }
+        val mono = new Array[Int](n)
+        var i = 0
+        while (i < n) {
+          var sum = 0L
+          var c = 0
+          while (c < ch) { sum += s16(i, c); c += 1 }
+          mono(i) = Math.floorDiv(sum, ch.toLong).toInt
+          i += 1
+        }
+        val g = java.math.BigInteger.valueOf(w.sample_rate)
+          .gcd(java.math.BigInteger.valueOf(dstRate)).longValueExact()
+        val up = (dstRate / g).toInt
+        val down = (w.sample_rate / g).toInt
+        val nOut = if (n == 0) 0 else ((n - 1).toLong * up / down + 1).toInt
+        val out = new Array[Byte](nOut * 2)
+        var j = 0
+        while (j < nOut) {
+          val num = j.toLong * down
+          val i0 = (num / up).toInt
+          val rem = (num % up).toInt
+          val v =
+            if (rem == 0) mono(i0)
+            else Math.floorDiv(
+              mono(i0).toLong * (up - rem) + mono(i0 + 1).toLong * rem,
+              up.toLong).toInt
+          out(j * 2) = (v & 0xff).toByte
+          out(j * 2 + 1) = ((v >> 8) & 0xff).toByte
+          j += 1
+        }
+        ResampledPcm(w.id, valid = true, "", dstRate, nOut.toLong, out)
+      }
+    }
+  }
+
   /** Build canonical 16-bit PCM WAV bytes — the fixture/oracle writer
     * ([[ImageCodec.grayBmp]]'s audio twin). `extraChunks` are inserted
     * between `fmt ` and `data` (odd-sized payloads get the RIFF pad). */

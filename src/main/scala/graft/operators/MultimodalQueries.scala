@@ -335,6 +335,52 @@ object MultimodalQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // Mono mixdown + rational resample (r14 VERDICT #8): stereo 48 kHz
+    // planted tones → mono 32 kHz through the REAL WAV container
+    // (pcmWav → parseWav → pcmMonoResample), up/down = 2/3 so the
+    // integer linear interpolation actually interpolates (odd output
+    // positions sit halfway between sources). The oracle replays the
+    // whole integer chain analytically — floorDiv mixdown, rational
+    // position arithmetic, interp — over generate_series. Row-local
+    // typed passes; the only exchange is the final orderBy.
+    "q_m17_pcm_resample" -> ((s, dir) => {
+      import s.implicits._
+      val wavBytes = s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id").as[Long].map { id =>
+          val buf = java.nio.ByteBuffer.allocate(96 * 2 * 2)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          var i = 0
+          while (i < 96) {
+            buf.putShort((((id * 31 + i * 17) % 1201) * 27 - 16000).toShort)
+            buf.putShort((((id * 13 + i * 23) % 997) * 31 - 15000).toShort)
+            i += 1
+          }
+          (id, Multimodal.pcmWav(48000, 2, buf.array()))
+        }.toDF("doc_id", "payload")
+      Multimodal.pcmMonoResample(
+          Multimodal.parseWav(wavBytes, "doc_id", "payload"), 32000)
+        .map { r =>
+          val n = r.n_samples.toInt
+          def s16(j: Int): Int =
+            ((r.pcm(2 * j) & 0xff) | (r.pcm(2 * j + 1) << 8)).toShort.toInt
+          var sum = 0L
+          var mn = Int.MaxValue
+          var mx = Int.MinValue
+          var j = 0
+          while (j < n) {
+            val v = s16(j)
+            sum += v
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+            j += 1
+          }
+          (r.id, n.toLong, sum, mn, mx, s16(0), s16(n - 1))
+        }
+        .toDF("doc_id", "n_out", "sum_out", "min_out", "max_out",
+          "first_out", "last_out")
+        .orderBy("doc_id")
+    }),
+
     // Voice-activity detection on RAW PCM — real decode-free audio DSP
     // (s16le framing + exact integer energies), not a stub: segments =
     // runs of loud frames, energies exact LONGs. One typed scan pass.
@@ -710,6 +756,38 @@ object MultimodalQueries {
         |                 WHEN doc_id % 2 = 0 OR doc_id % 7 = 0 THEN 1
         |                 ELSE 0 END AS INTEGER) AS cbr
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // analytic replay of the integer resample chain: floorDiv stereo
+    // mixdown, rational position (num = j·down, i0 = num//up,
+    // rem = num mod up), integer linear interp at up = 2, down = 3
+    "q_m17_pcm_resample" ->
+      """WITH pos AS (
+        |  SELECT doc_id, g.j AS j, (g.j * 3) // 2 AS i0, (g.j * 3) % 2 AS rem
+        |  FROM documents, generate_series(0, 63) AS g(j)),
+        |m AS (
+        |  SELECT doc_id, j, rem,
+        |         CAST(floor((
+        |             ((doc_id * 31 + i0 * 17) % 1201) * 27 - 16000
+        |           + ((doc_id * 13 + i0 * 23) % 997) * 31 - 15000) / 2.0)
+        |           AS BIGINT) AS m0,
+        |         CAST(floor((
+        |             ((doc_id * 31 + (i0 + 1) * 17) % 1201) * 27 - 16000
+        |           + ((doc_id * 13 + (i0 + 1) * 23) % 997) * 31 - 15000) / 2.0)
+        |           AS BIGINT) AS m1
+        |  FROM pos),
+        |o AS (
+        |  SELECT doc_id, j,
+        |         CASE WHEN rem = 0 THEN m0
+        |              ELSE CAST(floor((m0 + m1) / 2.0) AS BIGINT) END AS v
+        |  FROM m)
+        |SELECT doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_out,
+        |       CAST(sum(v) AS BIGINT) AS sum_out,
+        |       CAST(min(v) AS INT) AS min_out,
+        |       CAST(max(v) AS INT) AS max_out,
+        |       CAST(min(CASE WHEN j = 0 THEN v END) AS INT) AS first_out,
+        |       CAST(min(CASE WHEN j = 63 THEN v END) AS INT) AS last_out
+        |FROM o GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // analytic replay of m16Pixel (cells → aHash/dHash, the q_m9 CTE
     // discipline incl. the cell-63 sign-bit dance) followed by BRUTE

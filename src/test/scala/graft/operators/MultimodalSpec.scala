@@ -227,4 +227,54 @@ class MultimodalSpec extends SparkTestBase {
       (4L, 0, 0, 0, 1, 2000000L),
       (5L, 0, 0, 0, 1, 32768L * 32768L)))
   }
+
+  test("pcmMonoResample: floorDiv mixdown, 48k→16k decimation length, interp, s16 bounds") {
+    import spark.implicits._
+    def s16le(vals: Int*): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(vals.size * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      vals.foreach(v => b.putShort(v.toShort))
+      b.array()
+    }
+    def run(rate: Int, ch: Int, pcm: Array[Byte], dst: Int): Multimodal.ResampledPcm =
+      Multimodal.pcmMonoResample(
+        Multimodal.parseWav(
+          Seq((1L, Multimodal.pcmWav(rate, ch, pcm))).toDF("id", "wav"),
+          "id", "wav"), dst).collect().head
+    def samples(r: Multimodal.ResampledPcm): Seq[Int] =
+      (0 until r.n_samples.toInt).map(j =>
+        ((r.pcm(2 * j) & 0xff) | (r.pcm(2 * j + 1) << 8)).toShort.toInt)
+
+    // stereo→mono exactness incl. floorDiv on NEGATIVE odd sums:
+    // (-3 + 2)/2 → floor(-0.5) = -1, never trunc's 0
+    val mono = run(16000, 2, s16le(-3, 2, 5, 4, -7, -8), 16000)
+    assert(mono.valid && mono.n_samples == 3 && samples(mono) == Seq(-1, 4, -8))
+
+    // 48k→16k: up = 1, down = 3 — pure decimation out[j] = mono[3j],
+    // n_out = (n-1)/3 + 1
+    val dec = run(48000, 1, s16le((0 until 10).map(i => i * 100): _*), 16000)
+    assert(dec.sample_rate == 16000 && dec.n_samples == 4 &&
+      samples(dec) == Seq(0, 300, 600, 900))
+
+    // rational 48k→32k: up = 2, down = 3 — odd outputs interpolate
+    // halfway: out = floorDiv(m0 + m1, 2)
+    val rat = run(48000, 1, s16le(0, 100, 200, 301, 400, 500), 32000)
+    assert(rat.n_samples == 4 && samples(rat) == Seq(0, 150, 301, 450))
+
+    // clipping bounds: full-scale extremes mix and resample INSIDE s16 —
+    // floorDiv(32767 + -32768, 2) = -1, endpoints preserved exactly
+    val full = run(48000, 2,
+      s16le(32767, -32768, -32768, -32768, 32767, 32767), 16000)
+    assert(samples(full) == Seq(-1))
+    val edge = run(48000, 1, s16le(-32768, 32767, -32768, 32767), 32000)
+    assert(samples(edge).forall(v => v >= -32768 && v <= 32767) &&
+      samples(edge).head == -32768)
+
+    // invalid parse rows propagate as invalid, never throw
+    val bad = Multimodal.pcmMonoResample(
+      Multimodal.parseWav(
+        Seq((9L, Array[Byte](1, 2, 3))).toDF("id", "wav"), "id", "wav"),
+      16000).collect().head
+    assert(!bad.valid && bad.reason == "truncated-preamble")
+  }
 }
