@@ -186,8 +186,10 @@ object Bench {
       val nReps = if (headline(name)) 3 else 1
       def rep(): (Double, Option[String]) = {
         val t0 = System.nanoTime()
+        // NonFatal only: an OOM/linkage error must kill the bench, not
+        // leave later reps running on a broken JVM
         val err = try { Force.rows(fn(spark, sfDir)); None } catch {
-          case e: Throwable =>
+          case scala.util.control.NonFatal(e) =>
             System.err.println(s"[bench] $name FAILED: $e")
             Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
         }
@@ -208,7 +210,10 @@ object Bench {
       val kept = runs.takeRight(nReps)
       val secs = kept.map(_._1).sorted
       val median = secs(secs.size / 2)
-      (name, median, runs.flatMap(_._2).headOption, kept.map(_._1).toSeq)
+      // error attribution follows the KEPT window: a transient failure
+      // in a discarded warm-up rep must not mark a healthy median as
+      // errored (r15 review)
+      (name, median, kept.flatMap(_._2).headOption, kept.map(_._1).toSeq)
     }
     val errs = timed.collect { case (k, _, Some(m), _) => s""""$k":"${esc(m)}"""" }
       .mkString("{", ",", "}")

@@ -777,6 +777,33 @@ object ScaleBench {
         val codes = operators.VectorOps.pqEncode(e, "vec_id", "embedding", model)
         operators.VectorOps.pqTopK(e, codes, "vec_id", "embedding", model,
           queryVec, k = 10, margin = 32)
+      })) :+
+      // Banded Hamming near-dup over perceptual hashes (round 15): the
+      // q_m16 shape — decode planted BMPs (twin per 7th doc), banded
+      // pigeonhole join on aHash with dHash carried. The receipt is the
+      // candidate shape: shuffle carries (chunk, id, hashes) rows only,
+      // never a pair-quadratic term.
+      ("hamming_neardup_scale" -> ((s: SparkSession, d: String) => {
+        // the q_m16 corpus builder itself (shared — no formula drift)
+        val hashes = operators.ImageCodec
+          .decodeImages(operators.MultimodalQueries.m16Images(s, d),
+            "media_id", "payload").toDF()
+          .filter(col("decoded")).select("media_id", "ahash", "dhash")
+        operators.Dedup.hammingNearDuplicates64(hashes, "media_id", "ahash",
+            maxDist = 4, carry = Seq("dhash"))
+          .filter(operators.Dedup.hamming64(col("dhash_a"), col("dhash_b")) <= 4)
+      })) :+
+      // PCM mixdown + rational resample (round 15): the q_m17 shape —
+      // stereo 48k WAVs through parse → mono 32k. Pure row-local integer
+      // DSP: wall must track the scan, zero shuffle beyond the count.
+      ("pcm_resample_scale" -> ((s: SparkSession, d: String) => {
+        // the q_m17 corpus builder itself (shared — no formula drift)
+        operators.Multimodal.pcmMonoResample(
+            operators.Multimodal.parseWav(
+              operators.MultimodalQueries.m17Wavs(s, d),
+              "doc_id", "payload"), 32000)
+          .toDF()
+          .agg(sum("n_samples").as("n_out_total"), count(lit(1)).as("n"))
       }))
 
     val listener = new TaskMetricsListener

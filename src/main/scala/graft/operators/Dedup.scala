@@ -983,8 +983,12 @@ object Dedup {
             col(s"a.$idCol") < col(s"b.$idCol"))
         .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
           hamming64(col("a.sim"), col("b.sim")).as("hamming"))
-        .distinct()
+        // filter BEFORE distinct: hamming is a pure function of the
+        // pair, so the order is semantically free — and far pairs that
+        // collided on one chunk die before the dedup exchange instead
+        // of shuffling through it (r15 review)
         .filter(col("hamming") <= maxDist)
+        .distinct()
         .pipe(materialize)
     } finally sigs.unpersist()
   }
@@ -1036,8 +1040,11 @@ object Dedup {
             col("a.chunk_val") === col("b.chunk_val") &&
             col(s"a.$idCol") < col(s"b.$idCol"))
         .select(pairCols: _*)
-        .distinct()
+        // filter BEFORE distinct (same rationale as simHashNearDuplicates:
+        // far chunk-collision pairs and their carry payloads must die
+        // before the dedup exchange, not after)
         .filter(col("hamming") <= maxDist)
+        .distinct()
         .pipe(materialize)
     } finally base.unpersist()
   }

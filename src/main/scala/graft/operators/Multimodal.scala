@@ -353,6 +353,11 @@ object Multimodal {
           else if (format != 1) invalid("not-pcm")
           else if (bits != 16) invalid("unsupported-bits")
           else if (channels < 1) invalid("bad-channels")
+          // rate is an unsigned 32-bit field: 0 and > Int.MaxValue (which
+          // wrapped negative through toInt) are corrupt headers, and a
+          // zero rate would crash downstream rate arithmetic
+          // ([[pcmMonoResample]]'s gcd/division) instead of quarantining
+          else if (rate < 1) invalid("bad-rate")
           else WavRecord(id, valid = true, "", rate, channels, bits,
             pcm.length / 2L / channels, pcm)
         }
@@ -395,6 +400,8 @@ object Multimodal {
     wavs.map { w =>
       if (!w.valid)
         ResampledPcm(w.id, valid = false, w.reason, 0, 0L, Array.emptyByteArray)
+      else if (w.sample_rate < 1) // hand-built record bypassing parseWav
+        ResampledPcm(w.id, valid = false, "bad-rate", 0, 0L, Array.emptyByteArray)
       else {
         val ch = w.channels
         val n = w.n_samples.toInt

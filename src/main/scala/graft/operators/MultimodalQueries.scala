@@ -72,7 +72,7 @@ object MultimodalQueries {
     * +160 mod 256 — a re-encode-style perturbation that flips a few
     * aHash/dHash bits (0-9 across the corpus, straddling the query's
     * maxDist = 4) while never colliding exactly. */
-  private def m16Images(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def m16Images(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     s.read.parquet(s"$dir/documents.parquet").select("doc_id").as[Long]
       .flatMap { id =>
@@ -111,6 +111,26 @@ object MultimodalQueries {
         else Iterator((id, bmp(false)))
       }
       .toDF("media_id", "payload")
+  }
+
+  /** q_m17 corpus: per doc one stereo 48 kHz WAV of 96 planted-tone
+    * samples — L/R from modular doc_id arithmetic, all inside s16.
+    * Shared with ScaleBench's `pcm_resample_scale` so the scale leg can
+    * never drift from the graded construction. */
+  private[graft] def m17Wavs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id").as[Long].map { id =>
+        val buf = java.nio.ByteBuffer.allocate(96 * 2 * 2)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        var i = 0
+        while (i < 96) {
+          buf.putShort((((id * 31 + i * 17) % 1201) * 27 - 16000).toShort)
+          buf.putShort((((id * 13 + i * 23) % 997) * 31 - 15000).toShort)
+          i += 1
+        }
+        (id, Multimodal.pcmWav(48000, 2, buf.array()))
+      }.toDF("doc_id", "payload")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -345,20 +365,8 @@ object MultimodalQueries {
     // typed passes; the only exchange is the final orderBy.
     "q_m17_pcm_resample" -> ((s, dir) => {
       import s.implicits._
-      val wavBytes = s.read.parquet(s"$dir/documents.parquet")
-        .select("doc_id").as[Long].map { id =>
-          val buf = java.nio.ByteBuffer.allocate(96 * 2 * 2)
-            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-          var i = 0
-          while (i < 96) {
-            buf.putShort((((id * 31 + i * 17) % 1201) * 27 - 16000).toShort)
-            buf.putShort((((id * 13 + i * 23) % 997) * 31 - 15000).toShort)
-            i += 1
-          }
-          (id, Multimodal.pcmWav(48000, 2, buf.array()))
-        }.toDF("doc_id", "payload")
       Multimodal.pcmMonoResample(
-          Multimodal.parseWav(wavBytes, "doc_id", "payload"), 32000)
+          Multimodal.parseWav(m17Wavs(s, dir), "doc_id", "payload"), 32000)
         .map { r =>
           val n = r.n_samples.toInt
           def s16(j: Int): Int =

@@ -1316,6 +1316,13 @@ object SnapshotTable {
     all.filterNot(keep.contains)
       .filter(v => oldEnough(manifestPath(tablePath, v))).foreach { v =>
         Files.deleteIfExists(manifestPath(tablePath, v))
+        // deleting an ABOVE-POINTER orphan manifest frees its version
+        // number for reallocation (allocation takes max over manifests),
+        // so a cached header for it would serve a DEAD transaction's
+        // #txn/#prev under the recycled version — an exactly-once hole
+        // (r15 review). Evict the whole version from the cache here,
+        // under the same table lock every settle/commit takes.
+        headerCache.remove(s"$r#$v")
         manifestsDeleted += 1
       }
     // remove commit DIRECTORIES that no retained manifest references at

@@ -276,5 +276,24 @@ class MultimodalSpec extends SparkTestBase {
         Seq((9L, Array[Byte](1, 2, 3))).toDF("id", "wav"), "id", "wav"),
       16000).collect().head
     assert(!bad.valid && bad.reason == "truncated-preamble")
+
+    // a zeroed rate field is a CORRUPT header, not a valid record — it
+    // must quarantine at parse, never reach the resampler's rate
+    // arithmetic as a divide-by-zero (r15 review); > 2^31 rates wrap
+    // negative through the u32 read and die on the same check
+    val zeroRate = Multimodal.pcmWav(44100, 1, s16le(1, 2, 3))
+    // fmt chunk layout: "RIFF"+size+"WAVE" (12) + "fmt "+size (8) +
+    // format(2)+channels(2) → rate at offset 24
+    for (o <- 24 until 28) zeroRate(o) = 0
+    val zr = Multimodal.pcmMonoResample(
+      Multimodal.parseWav(Seq((10L, zeroRate)).toDF("id", "wav"), "id", "wav"),
+      16000).collect().head
+    assert(!zr.valid && zr.reason == "bad-rate", s"got $zr")
+    val bigRate = Multimodal.pcmWav(44100, 1, s16le(1, 2, 3))
+    bigRate(27) = 0x80.toByte // rate = 2^31: wraps negative via toInt
+    val br = Multimodal.pcmMonoResample(
+      Multimodal.parseWav(Seq((11L, bigRate)).toDF("id", "wav"), "id", "wav"),
+      16000).collect().head
+    assert(!br.valid && br.reason == "bad-rate", s"got $br")
   }
 }
