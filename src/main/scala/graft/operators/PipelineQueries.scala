@@ -560,9 +560,12 @@ object PipelineQueries {
     // mods so the two queries cannot mask each other).
     "q_l10_follow_changes" -> ((s, dir) => {
       import s.implicits._
+      // localCheckpoint: the base frame feeds FOUR legs (overwrite,
+      // updates, inserts, delete keys) — the q_l9 discipline
       val base = s.read.parquet(s"$dir/orders.parquet")
         .withColumn("o_year", year(col("o_orderdate")))
         .select("o_orderkey", "o_year", "o_totalprice")
+        .localCheckpoint()
       val root = s"${System.getProperty("java.io.tmpdir", "/tmp")}" +
         s"/graft_follow/run-${System.nanoTime()}"
       val path = s"$root/tbl"
@@ -571,9 +574,11 @@ object PipelineQueries {
       val rounds = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long, Long)]
       def follow(round: Int): Unit =
         graft.sources.SnapshotTable.followChanges(s, path, wm) { (df, vf, vt) =>
-          val ins = df.filter(col("_change_type") === "insert").count()
-          val del = df.filter(col("_change_type") === "delete").count()
-          rounds += ((round, vf, vt, ins, del))
+          // one aggregate job per round, not one count() per change type
+          val r = df.agg(
+            count(when(col("_change_type") === "insert", 1)).as("ins"),
+            count(when(col("_change_type") === "delete", 1)).as("del")).head()
+          rounds += ((round, vf, vt, r.getLong(0), r.getLong(1)))
         }
       follow(1) // initial load
       val updates = base.filter(col("o_orderkey") % 4 === 0)
