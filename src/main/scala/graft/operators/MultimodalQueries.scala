@@ -355,6 +355,26 @@ object MultimodalQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // The media-dedup story COMPLETED: q_m16's Hamming pairs → connected
+    // components (iterative min-label propagation) → canonical cluster
+    // label per media id — the q_d5 text-cluster shape on perceptual
+    // hashes, so a chain of re-encodes (A~B, B~C, A!~C) still collapses
+    // to one keeper. Oracle = the q_m16 hash replay + a recursive-CTE
+    // label walk.
+    "q_m18_image_dedup_clusters" -> ((s, dir) => {
+      val hashes = ImageCodec.decodeImages(m16Images(s, dir), "media_id", "payload")
+        .toDF()
+        .filter(col("decoded"))
+        .select("media_id", "ahash", "dhash")
+      val pairs = Dedup.hammingNearDuplicates64(hashes, "media_id", "ahash",
+          maxDist = 4, carry = Seq("dhash"))
+        .filter(Dedup.hamming64(col("dhash_a"), col("dhash_b")) <= 4)
+        .select("id_a", "id_b")
+      Dedup.connectedComponents(pairs)
+        .withColumnRenamed("id", "media_id")
+        .orderBy("media_id")
+    }),
+
     // Mono mixdown + rational resample (r14 VERDICT #8): stereo 48 kHz
     // planted tones → mono 32 kHz through the REAL WAV container
     // (pcmWav → parseWav → pcmMonoResample), up/down = 2/3 so the
@@ -764,6 +784,57 @@ object MultimodalQueries {
         |                 WHEN doc_id % 2 = 0 OR doc_id % 7 = 0 THEN 1
         |                 ELSE 0 END AS INTEGER) AS cbr
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the q_m16 hash replay + recursive-CTE min-label walk (the q_d5
+    // connected-components oracle discipline on perceptual-hash edges)
+    "q_m18_image_dedup_clusters" ->
+      """WITH RECURSIVE m AS (
+        |  SELECT doc_id, doc_id AS media_id, FALSE AS var FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, doc_id + 900000, TRUE FROM documents WHERE doc_id % 7 = 0),
+        |px AS (
+        |  SELECT media_id,
+        |         ((p // 16) // 2) * 8 + (p % 16) // 2 AS cell,
+        |         CASE WHEN var AND p // 16 < 2 AND p % 16 < 6
+        |              THEN ((s * s * s >> 8) % 256 + 160) % 256
+        |              ELSE (s * s * s >> 8) % 256 END AS v
+        |  FROM (SELECT media_id, var, g.p AS p,
+        |               (doc_id * 541 + g.p * 2897 + 1) % 65536 AS s
+        |        FROM m, generate_series(0, 255) AS g(p))),
+        |cells AS (SELECT media_id, cell, sum(v) AS s FROM px GROUP BY 1, 2),
+        |tot AS (SELECT media_id, sum(s) AS t FROM cells GROUP BY 1),
+        |ah AS (SELECT c.media_id,
+        |              CAST(sum(CASE WHEN c.s * 64 <= t.t THEN 0
+        |                            WHEN c.cell = 63
+        |                            THEN CAST(-9223372036854775807 AS BIGINT) - 1
+        |                            ELSE (CAST(1 AS BIGINT) << CAST(c.cell AS INT))
+        |                            END) AS BIGINT) AS ahash
+        |       FROM cells c JOIN tot t USING (media_id) GROUP BY 1),
+        |dh AS (SELECT a.media_id,
+        |              CAST(sum(CASE WHEN a.s > b.s
+        |                            THEN (CAST(1 AS BIGINT)
+        |                                  << CAST((a.cell // 8) * 7 + a.cell % 8 AS INT))
+        |                            ELSE 0 END) AS BIGINT) AS dhash
+        |       FROM cells a
+        |       JOIN cells b ON a.media_id = b.media_id AND b.cell = a.cell + 1
+        |                   AND a.cell % 8 < 7
+        |       GROUP BY 1),
+        |h AS (SELECT ah.media_id, ah.ahash, dh.dhash
+        |      FROM ah JOIN dh USING (media_id)),
+        |pairs AS (
+        |  SELECT a.media_id AS id_a, b.media_id AS id_b
+        |  FROM h a JOIN h b ON a.media_id < b.media_id
+        |  WHERE bit_count(xor(a.ahash, b.ahash)) <= 4
+        |    AND bit_count(xor(a.dhash, b.dhash)) <= 4),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |walk(id, label) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.id)
+        |SELECT id AS media_id, min(label) AS cluster
+        |FROM walk GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // analytic replay of the integer resample chain: floorDiv stereo
     // mixdown, rational position (num = j·down, i0 = num//up,
