@@ -156,6 +156,9 @@ object Bench {
       // r13 new queries (typed decode/commit pipelines, one-time codegen)
       "q_m9_image_ahash_dedup", "q_m10_image_caption_align",
       "q_m11_wav_vad", "q_m12_mp4_meta", "q_tf1_tfrecord_roundtrip",
+      // r15: the pair→CC composition reads ~2.2 s single-shot at sf0.1
+      // (decode + banded join + iterative label propagation)
+      "q_m18_image_dedup_clusters",
       // r14 new queries (lifecycle/commit pipelines + decode kernels)
       "q_l11_snapshot_refs", "q_u8_robots_wildcards",
       "q_tar1_webdataset_shards", "q_m13_exif_gps", "q_v19_ann_ivfpq",

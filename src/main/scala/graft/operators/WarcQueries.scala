@@ -195,6 +195,39 @@ object WarcQueries {
       good.unionByName(bad).orderBy("key")
     }),
 
+    // EXACTLY-ONCE PUBLISHING under the hash (round 15): three waves
+    // commit through writeTxn, wave 0 REPLAYED between them — the
+    // catalog read must show every doc exactly once with its exact
+    // payload digest, so a replay that re-ships (or a crash path that
+    // drops) shards flips n_copies and fails the hash. The table
+    // persists across invocations keyed by dataset dir (the q_l1
+    // discipline): bench reps re-run every writeTxn as a replay, making
+    // exactly-once itself the thing that keeps the result stable.
+    "q_tar3_exactly_once_publish" -> ((s, dir) => {
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      val table =
+        s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_tarpub/$key"
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      def wave(w: Int) = docs.filter(col("doc_id") % 3 === w).selectExpr(
+        "doc_id % 4 AS fkey", "doc_id AS ord",
+        "concat(lpad(CAST(doc_id AS STRING), 8, '0'), '.txt') AS name",
+        "encode(concat('doc-', CAST(doc_id AS STRING)), 'UTF-8') AS payload")
+      val st = graft.sources.TarShardIO
+      st.writeTxn(wave(0), "fkey", "ord", "name", "payload", table, 4, s"wave-0-$key")
+      st.writeTxn(wave(1), "fkey", "ord", "name", "payload", table, 4, s"wave-1-$key")
+      // the replay: already committed — must not ship a byte
+      st.writeTxn(wave(0), "fkey", "ord", "name", "payload", table, 4, s"wave-0-$key")
+      st.writeTxn(wave(2), "fkey", "ord", "name", "payload", table, 4, s"wave-2-$key")
+      st.readPublished(s, table).toDF()
+        .filter(col("valid"))
+        .select(expr("CAST(substring(key, 1, 8) AS BIGINT)").as("doc_id"),
+          md5(col("payload")).as("payload_md5"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_copies"), min("payload_md5").as("payload_md5"))
+        .orderBy("doc_id")
+    }),
+
     // WEBDATASET EXPORT (round 14): the training-data DELIVERY shape —
     // the corpus packed into loader-ready tar shards, two members per
     // sample (payload .txt + metadata .json), sample members adjacent,
@@ -280,6 +313,12 @@ object WarcQueries {
         |UNION ALL
         |SELECT CAST(-4 AS BIGINT), 'payload-crc-mismatch'
         |ORDER BY key""".stripMargin,
+
+    // exactly-once: every doc exactly ONE committed member, digest exact
+    "q_tar3_exactly_once_publish" ->
+      """SELECT doc_id, CAST(1 AS BIGINT) AS n_copies,
+        |       md5('doc-' || CAST(doc_id AS VARCHAR)) AS payload_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // split/shard routing, member digests, and adjacency all replay from
     // doc_id arithmetic — the oracle never touches tar bytes
