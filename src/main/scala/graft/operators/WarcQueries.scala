@@ -228,6 +228,42 @@ object WarcQueries {
         .orderBy("doc_id")
     }),
 
+    // RESHARD (round 15): the loader-parallelism repack — q_tar3's
+    // committed 4-shard table rewritten as 5 shards through another
+    // exactly-once txn, routed by doc-id arithmetic so the oracle
+    // replays shard membership exactly. Both the source read (committed
+    // catalog only) and the delivery (writeTxn) are the audited paths;
+    // per-shard member counts and doc-id sums pin the routing AND that
+    // no member was dropped or duplicated crossing the repack.
+    "q_tar4_reshard" -> ((s, dir) => {
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      val src =
+        s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_tarpub/$key"
+      // ensure the q_tar3 source table exists (idempotent: replays no-op)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      def wave(w: Int) = docs.filter(col("doc_id") % 3 === w).selectExpr(
+        "doc_id % 4 AS fkey", "doc_id AS ord",
+        "concat(lpad(CAST(doc_id AS STRING), 8, '0'), '.txt') AS name",
+        "encode(concat('doc-', CAST(doc_id AS STRING)), 'UTF-8') AS payload")
+      val st = graft.sources.TarShardIO
+      (0 to 2).foreach(w => st.writeTxn(wave(w), "fkey", "ord", "name",
+        "payload", src, 4, s"wave-$w-$key"))
+      val dst =
+        s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_tarpub/re-$key"
+      st.reshard(s, src, dst, numFiles = 5, txnId = s"reshard-$key",
+        routeBy = expr("CAST(substring(key, 1, 8) AS BIGINT) % 5"))
+      st.readPublished(s, dst).toDF()
+        .filter(col("valid"))
+        .select(
+          expr("CAST(regexp_extract(file, 'shard-(\\\\d+)', 1) AS INT)")
+            .as("shard_idx"),
+          expr("CAST(substring(key, 1, 8) AS BIGINT)").as("doc_id"))
+        .groupBy("shard_idx")
+        .agg(count(lit(1)).as("n_members"), sum("doc_id").as("sum_doc_ids"))
+        .orderBy("shard_idx")
+    }),
+
     // WEBDATASET EXPORT (round 14): the training-data DELIVERY shape —
     // the corpus packed into loader-ready tar shards, two members per
     // sample (payload .txt + metadata .json), sample members adjacent,
@@ -319,6 +355,13 @@ object WarcQueries {
       """SELECT doc_id, CAST(1 AS BIGINT) AS n_copies,
         |       md5('doc-' || CAST(doc_id AS VARCHAR)) AS payload_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // reshard routing is pure doc-id arithmetic: shard = doc_id % 5
+    "q_tar4_reshard" ->
+      """SELECT CAST(doc_id % 5 AS INT) AS shard_idx,
+        |       CAST(count(*) AS BIGINT) AS n_members,
+        |       CAST(sum(doc_id) AS BIGINT) AS sum_doc_ids
+        |FROM documents GROUP BY 1 ORDER BY shard_idx""".stripMargin,
 
     // split/shard routing, member digests, and adjacency all replay from
     // doc_id arithmetic — the oracle never touches tar bytes

@@ -186,6 +186,36 @@ object TarShardIO {
     SnapshotTable.readSnapshot(spark, tableDir)
       .select("shard", "n_members", "bytes")
 
+  /** Re-shard a published table into `numFiles` shards at `dstTable` —
+    * the loader-parallelism repack (training fleets want shard counts
+    * matched to reader parallelism; crawls produce whatever the ingest
+    * wrote). Members route by `routeBy` (default: a hash of the sample
+    * KEY STEM, so a sample's members always land in one shard — the
+    * WebDataset adjacency contract; pass an explicit column for
+    * arithmetic routing, values must land in [0, numFiles) or the write
+    * fails loudly) and sort within a shard by (key, name), making the
+    * output BYTE-DETERMINISTIC like every other shard write. Source =
+    * the COMMITTED catalog only; delivery goes through [[writeTxn]], so
+    * a reshard is itself exactly-once under `txnId`. One exchange: the
+    * route-keyed sort. */
+  def reshard(spark: SparkSession, srcTable: String, dstTable: String,
+              numFiles: Int, txnId: String,
+              routeBy: org.apache.spark.sql.Column = null,
+              compress: Boolean = false): Long = {
+    val route = Option(routeBy)
+      .getOrElse(pmod(xxhash64(col("key")), lit(numFiles)))
+    val m = readPublished(spark, srcTable).toDF()
+      .filter(col("valid"))
+      .withColumn("fkey", route.cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("fkey").orderBy("key", "name")
+    val routed = m
+      .withColumn("ord", row_number().over(w).cast("long"))
+      .select("fkey", "ord", "name", "payload")
+    writeTxn(routed, "fkey", "ord", "name", "payload", dstTable,
+      numFiles, txnId, compress)
+  }
+
   /** Stream the members of every COMMITTED shard of a [[writeTxn]]
     * table — staged-but-uncommitted directories from crashed attempts
     * are invisible here, exactly like uncommitted data files are to a

@@ -875,6 +875,16 @@ class SnapshotTableSpec extends SparkTestBase {
     val after = SnapshotTable.metadataAggregate(spark, t, Seq("id"))
       .agg(sum("n_rows")).head().getLong(0)
     assert(after == 9L)
+    // TIME TRAVEL: the aggregate answers for any historical version
+    val tv = freshTable()
+    SnapshotTable.commitOverwrite(rows(2000, 6, "a"), tv, Seq("year"),
+      statsCols = Seq("id"))
+    SnapshotTable.commitAppend(rows(2000, 4, "b"), tv, Seq("year"),
+      statsCols = Seq("id"))
+    def totalAt(v: Long) =
+      SnapshotTable.metadataAggregate(spark, tv, version = Some(v))
+        .agg(sum("n_rows")).head().getLong(0)
+    assert(totalAt(1L) == 6L && totalAt(2L) == 10L)
     // commit WITHOUT statsCols records no row counts — refuse
     val t2 = freshTable()
     SnapshotTable.commitOverwrite(rows(2000, 4, "a"), t2, Seq("year"))

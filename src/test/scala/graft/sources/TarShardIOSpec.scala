@@ -251,6 +251,43 @@ class TarShardIOSpec extends SparkTestBase {
     assert(v3 == prepared, "replay must roll the prepared commit forward")
     assert(stagingDirs() == staged3, "roll-forward must not re-stage")
     assert(TarShardIO.readPublished(spark, table).count() == 48)
+    // the gz transport publishes through the same txn machinery
+    TarShardIO.writeTxn(members(6, shards = 2), "fkey", "ord", "name",
+      "payload", table, 2, "txn-D", compress = true)
+    val cat3 = TarShardIO.publishedShards(spark, table).collect()
+    assert(cat3.count(_.getAs[String]("shard").endsWith(".tar.gz")) == 2)
+    assert(TarShardIO.readPublished(spark, table).count() == 60)
+  }
+
+  test("reshard: lossless repack, sample adjacency preserved, byte-deterministic, exactly-once") {
+    val src = freshDir() + "/src"
+    val members24 = members(12) // 24 members, keys 000000..000011, 2 each
+    TarShardIO.writeTxn(members24, "fkey", "ord", "name", "payload",
+      src, 3, "pub")
+    val dst = freshDir() + "/dst"
+    val v = TarShardIO.reshard(spark, src, dst, numFiles = 5, txnId = "re")
+    // lossless: same member multiset (name → payload), nothing dropped
+    val before = TarShardIO.readPublished(spark, src).collect()
+      .map(e => e.name -> new String(e.payload, "UTF-8")).sorted.toSeq
+    val after = TarShardIO.readPublished(spark, dst).collect()
+    assert(after.map(e => e.name -> new String(e.payload, "UTF-8"))
+      .sorted.toSeq == before)
+    // adjacency: both members of a sample share a shard and are adjacent
+    val byKey = after.groupBy(_.key)
+    byKey.foreach { case (k, es) =>
+      assert(es.map(_.file).distinct.length == 1, s"sample $k split across shards")
+      assert(math.abs(es(0).entry_idx - es(1).entry_idx) == 1,
+        s"sample $k members not adjacent")
+    }
+    // replay: no-op at the same version; byte-determinism: a second
+    // reshard to a FRESH table produces byte-identical shards
+    assert(TarShardIO.reshard(spark, src, dst, 5, "re") == v)
+    val dst2 = freshDir() + "/dst2"
+    TarShardIO.reshard(spark, src, dst2, 5, "re2")
+    def shardBytes(t: String) = TarShardIO.publishedShards(spark, t)
+      .collect().map(_.getAs[String]("shard")).sorted.map(rel =>
+        Files.readAllBytes(Paths.get(s"$t/$rel")).toSeq)
+    assert(shardBytes(dst).toSeq == shardBytes(dst2).toSeq)
   }
 
   test("empty and gzip-header-corrupt .tar.gz quarantine, never kill the read job") {
