@@ -216,6 +216,11 @@ object RelationalQueries {
     // 1e-4 contract).
     // SketchSpec still pins the tighter numeric bounds.
     "q_a10_sketches" -> ((s, dir) => {
+      // NOTE (r15 perf sweep): do NOT localCheckpoint anything here —
+      // cutting the lineage anywhere in this query forces the sketch
+      // aggregates off the vectorized-parquet/codegen path and runs
+      // ~10x slower (measured 30-35 s vs 3.5 s at sf0.1); letting
+      // Catalyst recompute the shared subplans is the cheaper plan.
       val li = t(s, dir, "lineitem")
       val agg = li.groupBy("l_returnflag")
         .agg(
