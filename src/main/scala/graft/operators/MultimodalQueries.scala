@@ -113,6 +113,60 @@ object MultimodalQueries {
       .toDF("media_id", "payload")
   }
 
+  /** The q_m16/q_m18 shared pair frame: decode → banded pigeonhole
+    * join on aHash (maxDist 4, dHash carried) → multi-index AND filter.
+    * Columns: id_a, id_b, hamming (aHash), ham_d (dHash), carry columns
+    * suffixed _a and _b. ONE definition so the pair semantics can never drift
+    * between the pair query and the cluster query (r15 review). */
+  private def m16Pairs(s: SparkSession, dir: String): DataFrame = {
+    val hashes = ImageCodec.decodeImages(m16Images(s, dir), "media_id", "payload")
+      .toDF()
+      .filter(col("decoded"))
+      .select("media_id", "ahash", "dhash")
+    Dedup.hammingNearDuplicates64(hashes, "media_id", "ahash",
+        maxDist = 4, carry = Seq("dhash"))
+      .withColumn("ham_d", Dedup.hamming64(col("dhash_a"), col("dhash_b")))
+      .filter(col("ham_d") <= 4)
+  }
+
+  /** The m16 ANALYTIC hash replay, shared verbatim by the q_m16 and
+    * q_m18 oracles (pixels → cells → aHash/dHash, incl. the cell-63
+    * sign-bit dance): ends with CTE `h(media_id, ahash, dhash)`. */
+  private val m16HashCte: String =
+    """m AS (
+      |  SELECT doc_id, doc_id AS media_id, FALSE AS var FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, doc_id + 900000, TRUE FROM documents WHERE doc_id % 7 = 0),
+      |px AS (
+      |  SELECT media_id,
+      |         ((p // 16) // 2) * 8 + (p % 16) // 2 AS cell,
+      |         CASE WHEN var AND p // 16 < 2 AND p % 16 < 6
+      |              THEN ((s * s * s >> 8) % 256 + 160) % 256
+      |              ELSE (s * s * s >> 8) % 256 END AS v
+      |  FROM (SELECT media_id, var, g.p AS p,
+      |               (doc_id * 541 + g.p * 2897 + 1) % 65536 AS s
+      |        FROM m, generate_series(0, 255) AS g(p))),
+      |cells AS (SELECT media_id, cell, sum(v) AS s FROM px GROUP BY 1, 2),
+      |tot AS (SELECT media_id, sum(s) AS t FROM cells GROUP BY 1),
+      |ah AS (SELECT c.media_id,
+      |              CAST(sum(CASE WHEN c.s * 64 <= t.t THEN 0
+      |                            WHEN c.cell = 63
+      |                            THEN CAST(-9223372036854775807 AS BIGINT) - 1
+      |                            ELSE (CAST(1 AS BIGINT) << CAST(c.cell AS INT))
+      |                            END) AS BIGINT) AS ahash
+      |       FROM cells c JOIN tot t USING (media_id) GROUP BY 1),
+      |dh AS (SELECT a.media_id,
+      |              CAST(sum(CASE WHEN a.s > b.s
+      |                            THEN (CAST(1 AS BIGINT)
+      |                                  << CAST((a.cell // 8) * 7 + a.cell % 8 AS INT))
+      |                            ELSE 0 END) AS BIGINT) AS dhash
+      |       FROM cells a
+      |       JOIN cells b ON a.media_id = b.media_id AND b.cell = a.cell + 1
+      |                   AND a.cell % 8 < 7
+      |       GROUP BY 1),
+      |h AS (SELECT ah.media_id, ah.ahash, dh.dhash
+      |      FROM ah JOIN dh USING (media_id))""".stripMargin
+
   /** q_m17 corpus: per doc one stereo 48 kHz WAV of 96 planted-tone
     * samples — L/R from modular doc_id arithmetic, all inside s16.
     * Shared with ScaleBench's `pcm_resample_scale` so the scale leg can
@@ -341,19 +395,11 @@ object MultimodalQueries {
     // oracle replays the pixel formula analytically and brute-forces
     // Hamming <= 4 over ALL pairs — so both the decode and the banding
     // are under the driver hash.
-    "q_m16_image_hamming_dedup" -> ((s, dir) => {
-      val hashes = ImageCodec.decodeImages(m16Images(s, dir), "media_id", "payload")
-        .toDF()
-        .filter(col("decoded"))
-        .select("media_id", "ahash", "dhash")
-      Dedup.hammingNearDuplicates64(hashes, "media_id", "ahash",
-          maxDist = 4, carry = Seq("dhash"))
-        .withColumn("ham_d", Dedup.hamming64(col("dhash_a"), col("dhash_b")))
-        .filter(col("ham_d") <= 4)
+    "q_m16_image_hamming_dedup" -> ((s, dir) =>
+      m16Pairs(s, dir)
         .select(col("id_a"), col("id_b"), col("hamming").as("ham_a"),
           col("ham_d"))
-        .orderBy("id_a", "id_b")
-    }),
+        .orderBy("id_a", "id_b")),
 
     // The media-dedup story COMPLETED: q_m16's Hamming pairs → connected
     // components (iterative min-label propagation) → canonical cluster
@@ -361,19 +407,10 @@ object MultimodalQueries {
     // hashes, so a chain of re-encodes (A~B, B~C, A!~C) still collapses
     // to one keeper. Oracle = the q_m16 hash replay + a recursive-CTE
     // label walk.
-    "q_m18_image_dedup_clusters" -> ((s, dir) => {
-      val hashes = ImageCodec.decodeImages(m16Images(s, dir), "media_id", "payload")
-        .toDF()
-        .filter(col("decoded"))
-        .select("media_id", "ahash", "dhash")
-      val pairs = Dedup.hammingNearDuplicates64(hashes, "media_id", "ahash",
-          maxDist = 4, carry = Seq("dhash"))
-        .filter(Dedup.hamming64(col("dhash_a"), col("dhash_b")) <= 4)
-        .select("id_a", "id_b")
-      Dedup.connectedComponents(pairs)
+    "q_m18_image_dedup_clusters" -> ((s, dir) =>
+      Dedup.connectedComponents(m16Pairs(s, dir).select("id_a", "id_b"))
         .withColumnRenamed("id", "media_id")
-        .orderBy("media_id")
-    }),
+        .orderBy("media_id")),
 
     // Mono mixdown + rational resample (r14 VERDICT #8): stereo 48 kHz
     // planted tones → mono 32 kHz through the REAL WAV container
@@ -788,39 +825,7 @@ object MultimodalQueries {
     // the q_m16 hash replay + recursive-CTE min-label walk (the q_d5
     // connected-components oracle discipline on perceptual-hash edges)
     "q_m18_image_dedup_clusters" ->
-      """WITH RECURSIVE m AS (
-        |  SELECT doc_id, doc_id AS media_id, FALSE AS var FROM documents
-        |  UNION ALL
-        |  SELECT doc_id, doc_id + 900000, TRUE FROM documents WHERE doc_id % 7 = 0),
-        |px AS (
-        |  SELECT media_id,
-        |         ((p // 16) // 2) * 8 + (p % 16) // 2 AS cell,
-        |         CASE WHEN var AND p // 16 < 2 AND p % 16 < 6
-        |              THEN ((s * s * s >> 8) % 256 + 160) % 256
-        |              ELSE (s * s * s >> 8) % 256 END AS v
-        |  FROM (SELECT media_id, var, g.p AS p,
-        |               (doc_id * 541 + g.p * 2897 + 1) % 65536 AS s
-        |        FROM m, generate_series(0, 255) AS g(p))),
-        |cells AS (SELECT media_id, cell, sum(v) AS s FROM px GROUP BY 1, 2),
-        |tot AS (SELECT media_id, sum(s) AS t FROM cells GROUP BY 1),
-        |ah AS (SELECT c.media_id,
-        |              CAST(sum(CASE WHEN c.s * 64 <= t.t THEN 0
-        |                            WHEN c.cell = 63
-        |                            THEN CAST(-9223372036854775807 AS BIGINT) - 1
-        |                            ELSE (CAST(1 AS BIGINT) << CAST(c.cell AS INT))
-        |                            END) AS BIGINT) AS ahash
-        |       FROM cells c JOIN tot t USING (media_id) GROUP BY 1),
-        |dh AS (SELECT a.media_id,
-        |              CAST(sum(CASE WHEN a.s > b.s
-        |                            THEN (CAST(1 AS BIGINT)
-        |                                  << CAST((a.cell // 8) * 7 + a.cell % 8 AS INT))
-        |                            ELSE 0 END) AS BIGINT) AS dhash
-        |       FROM cells a
-        |       JOIN cells b ON a.media_id = b.media_id AND b.cell = a.cell + 1
-        |                   AND a.cell % 8 < 7
-        |       GROUP BY 1),
-        |h AS (SELECT ah.media_id, ah.ahash, dh.dhash
-        |      FROM ah JOIN dh USING (media_id)),
+      s"""WITH RECURSIVE $m16HashCte,
         |pairs AS (
         |  SELECT a.media_id AS id_a, b.media_id AS id_b
         |  FROM h a JOIN h b ON a.media_id < b.media_id
@@ -873,39 +878,7 @@ object MultimodalQueries {
     // all-pairs Hamming <= 4 on both hashes — the exact semantics the
     // Spark side must reproduce through decode + banded pigeonhole join
     "q_m16_image_hamming_dedup" ->
-      """WITH m AS (
-        |  SELECT doc_id, doc_id AS media_id, FALSE AS var FROM documents
-        |  UNION ALL
-        |  SELECT doc_id, doc_id + 900000, TRUE FROM documents WHERE doc_id % 7 = 0),
-        |px AS (
-        |  SELECT media_id,
-        |         ((p // 16) // 2) * 8 + (p % 16) // 2 AS cell,
-        |         CASE WHEN var AND p // 16 < 2 AND p % 16 < 6
-        |              THEN ((s * s * s >> 8) % 256 + 160) % 256
-        |              ELSE (s * s * s >> 8) % 256 END AS v
-        |  FROM (SELECT media_id, var, g.p AS p,
-        |               (doc_id * 541 + g.p * 2897 + 1) % 65536 AS s
-        |        FROM m, generate_series(0, 255) AS g(p))),
-        |cells AS (SELECT media_id, cell, sum(v) AS s FROM px GROUP BY 1, 2),
-        |tot AS (SELECT media_id, sum(s) AS t FROM cells GROUP BY 1),
-        |ah AS (SELECT c.media_id,
-        |              CAST(sum(CASE WHEN c.s * 64 <= t.t THEN 0
-        |                            WHEN c.cell = 63
-        |                            THEN CAST(-9223372036854775807 AS BIGINT) - 1
-        |                            ELSE (CAST(1 AS BIGINT) << CAST(c.cell AS INT))
-        |                            END) AS BIGINT) AS ahash
-        |       FROM cells c JOIN tot t USING (media_id) GROUP BY 1),
-        |dh AS (SELECT a.media_id,
-        |              CAST(sum(CASE WHEN a.s > b.s
-        |                            THEN (CAST(1 AS BIGINT)
-        |                                  << CAST((a.cell // 8) * 7 + a.cell % 8 AS INT))
-        |                            ELSE 0 END) AS BIGINT) AS dhash
-        |       FROM cells a
-        |       JOIN cells b ON a.media_id = b.media_id AND b.cell = a.cell + 1
-        |                   AND a.cell % 8 < 7
-        |       GROUP BY 1),
-        |h AS (SELECT ah.media_id, ah.ahash, dh.dhash
-        |      FROM ah JOIN dh USING (media_id))
+      s"""WITH $m16HashCte
         |SELECT a.media_id AS id_a, b.media_id AS id_b,
         |       CAST(bit_count(xor(a.ahash, b.ahash)) AS INT) AS ham_a,
         |       CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS ham_d

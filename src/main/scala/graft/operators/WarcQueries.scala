@@ -114,6 +114,38 @@ object WarcQueries {
       }
   }
 
+  /** The q_tar3/q_tar4 shared persistent table: three doc waves
+    * committed exactly-once (wave 0 REPLAYED mid-sequence — the receipt)
+    * into a /tmp table keyed by dataset dir AND content generation
+    * (size ^ mtime of documents.parquet), so regenerated data at the
+    * same path gets a fresh table instead of replaying stale commits
+    * (r15 review). Idempotent across invocations: every writeTxn is a
+    * settleTxn no-op once committed. */
+  private def tarPubTable(s: SparkSession, dir: String): String = {
+    val f = new java.io.File(s"$dir/documents.parquet")
+    val gen =
+      if (f.isDirectory)
+        Option(f.listFiles()).map(_.map(c => c.length ^ c.lastModified).sum)
+          .getOrElse(0L)
+      else f.length ^ f.lastModified
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir#$gen".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    val table =
+      s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_tarpub/$key"
+    def wave(w: Int) = docs(s, dir).filter(col("doc_id") % 3 === w).selectExpr(
+      "doc_id % 4 AS fkey", "doc_id AS ord",
+      "concat(lpad(CAST(doc_id AS STRING), 8, '0'), '.txt') AS name",
+      "encode(concat('doc-', CAST(doc_id AS STRING)), 'UTF-8') AS payload")
+    val st = graft.sources.TarShardIO
+    st.writeTxn(wave(0), "fkey", "ord", "name", "payload", table, 4, s"wave-0-$key")
+    st.writeTxn(wave(1), "fkey", "ord", "name", "payload", table, 4, s"wave-1-$key")
+    // the replay: already committed — must not ship a byte
+    st.writeTxn(wave(0), "fkey", "ord", "name", "payload", table, 4, s"wave-0-$key")
+    st.writeTxn(wave(2), "fkey", "ord", "name", "payload", table, 4, s"wave-2-$key")
+    table
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TFRecord ROUND-TRIP (round 13): payloads written through the real
     // framing (uint64-LE length + masked CRC32C twice), read back
@@ -204,22 +236,8 @@ object WarcQueries {
     // discipline): bench reps re-run every writeTxn as a replay, making
     // exactly-once itself the thing that keeps the result stable.
     "q_tar3_exactly_once_publish" -> ((s, dir) => {
-      val key = java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-      val table =
-        s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_tarpub/$key"
-      val docs = s.read.parquet(s"$dir/documents.parquet")
-      def wave(w: Int) = docs.filter(col("doc_id") % 3 === w).selectExpr(
-        "doc_id % 4 AS fkey", "doc_id AS ord",
-        "concat(lpad(CAST(doc_id AS STRING), 8, '0'), '.txt') AS name",
-        "encode(concat('doc-', CAST(doc_id AS STRING)), 'UTF-8') AS payload")
-      val st = graft.sources.TarShardIO
-      st.writeTxn(wave(0), "fkey", "ord", "name", "payload", table, 4, s"wave-0-$key")
-      st.writeTxn(wave(1), "fkey", "ord", "name", "payload", table, 4, s"wave-1-$key")
-      // the replay: already committed — must not ship a byte
-      st.writeTxn(wave(0), "fkey", "ord", "name", "payload", table, 4, s"wave-0-$key")
-      st.writeTxn(wave(2), "fkey", "ord", "name", "payload", table, 4, s"wave-2-$key")
-      st.readPublished(s, table).toDF()
+      val table = tarPubTable(s, dir)
+      graft.sources.TarShardIO.readPublished(s, table).toDF()
         .filter(col("valid"))
         .select(expr("CAST(substring(key, 1, 8) AS BIGINT)").as("doc_id"),
           md5(col("payload")).as("payload_md5"))
@@ -236,22 +254,11 @@ object WarcQueries {
     // per-shard member counts and doc-id sums pin the routing AND that
     // no member was dropped or duplicated crossing the repack.
     "q_tar4_reshard" -> ((s, dir) => {
-      val key = java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-      val src =
-        s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_tarpub/$key"
-      // ensure the q_tar3 source table exists (idempotent: replays no-op)
-      val docs = s.read.parquet(s"$dir/documents.parquet")
-      def wave(w: Int) = docs.filter(col("doc_id") % 3 === w).selectExpr(
-        "doc_id % 4 AS fkey", "doc_id AS ord",
-        "concat(lpad(CAST(doc_id AS STRING), 8, '0'), '.txt') AS name",
-        "encode(concat('doc-', CAST(doc_id AS STRING)), 'UTF-8') AS payload")
+      val src = tarPubTable(s, dir) // idempotent: q_tar3's table, shared
+      val dst = s"$src-re"
       val st = graft.sources.TarShardIO
-      (0 to 2).foreach(w => st.writeTxn(wave(w), "fkey", "ord", "name",
-        "payload", src, 4, s"wave-$w-$key"))
-      val dst =
-        s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_tarpub/re-$key"
-      st.reshard(s, src, dst, numFiles = 5, txnId = s"reshard-$key",
+      st.reshard(s, src, dst, numFiles = 5,
+        txnId = s"reshard-${src.split('/').last}",
         routeBy = expr("CAST(substring(key, 1, 8) AS BIGINT) % 5"))
       st.readPublished(s, dst).toDF()
         .filter(col("valid"))

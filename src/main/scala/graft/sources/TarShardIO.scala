@@ -201,20 +201,37 @@ object TarShardIO {
   def reshard(spark: SparkSession, srcTable: String, dstTable: String,
               numFiles: Int, txnId: String,
               routeBy: org.apache.spark.sql.Column = null,
-              compress: Boolean = false): Long = {
-    val route = Option(routeBy)
-      .getOrElse(pmod(xxhash64(col("key")), lit(numFiles)))
-    val m = readPublished(spark, srcTable).toDF()
-      .filter(col("valid"))
-      .withColumn("fkey", route.cast("long"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("fkey").orderBy("key", "name")
-    val routed = m
-      .withColumn("ord", row_number().over(w).cast("long"))
-      .select("fkey", "ord", "name", "payload")
-    writeTxn(routed, "fkey", "ord", "name", "payload", dstTable,
-      numFiles, txnId, compress)
-  }
+              compress: Boolean = false): Long =
+    // settle FIRST (the writeTxn structure): a replayed reshard must not
+    // re-read the source catalog just to discover it has nothing to do
+    SnapshotTable.settleTxn(dstTable, txnId) match {
+      case Some(v) => v
+      case None =>
+        val route = Option(routeBy)
+          .getOrElse(pmod(xxhash64(col("key")), lit(numFiles)))
+        // two streaming passes (audit, then write) — NOT a checkpoint:
+        // materializing every payload in memory is exactly what the
+        // O(largest member) shard reader exists to avoid
+        val all = readPublished(spark, srcTable).toDF()
+        // LOSSLESS means loud, not lossy: a quarantined source shard has
+        // already lost members — publishing a clean-looking dst table
+        // over it would swallow the read path's quarantine discipline
+        val nBad = all.filter(!col("valid")).count()
+        require(nBad == 0,
+          s"source table has $nBad quarantined shard rows — repair or " +
+            "re-publish the source before resharding")
+        val m = all.withColumn("fkey", route.cast("long"))
+        // md5(payload) tiebreaks duplicate (key, name) members published
+        // by distinct txns — without it row_number ties nondeterministically
+        // and the output loses its byte-determinism contract
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("fkey").orderBy(col("key"), col("name"), md5(col("payload")))
+        val routed = m
+          .withColumn("ord", row_number().over(w).cast("long"))
+          .select("fkey", "ord", "name", "payload")
+        writeTxn(routed, "fkey", "ord", "name", "payload", dstTable,
+          numFiles, txnId, compress)
+    }
 
   /** Stream the members of every COMMITTED shard of a [[writeTxn]]
     * table — staged-but-uncommitted directories from crashed attempts

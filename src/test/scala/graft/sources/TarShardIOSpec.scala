@@ -288,6 +288,22 @@ class TarShardIOSpec extends SparkTestBase {
       .collect().map(_.getAs[String]("shard")).sorted.map(rel =>
         Files.readAllBytes(Paths.get(s"$t/$rel")).toSeq)
     assert(shardBytes(dst).toSeq == shardBytes(dst2).toSeq)
+    // LOSSLESS means loud: a quarantined source shard must refuse the
+    // repack, never publish a clean-looking dst missing members
+    val srcShard = TarShardIO.publishedShards(spark, src)
+      .collect().map(_.getAs[String]("shard")).sorted.head
+    val corrupted = Files.readAllBytes(Paths.get(s"$src/$srcShard"))
+    corrupted(0) = (corrupted(0) ^ 1).toByte
+    Files.write(Paths.get(s"$src/$srcShard"), corrupted)
+    // drop Hadoop's local-FS checksum sidecar so OUR header checksum is
+    // the gate that catches the flip
+    val crcSide = Paths.get(s"$src/$srcShard").getParent
+      .resolve("." + Paths.get(srcShard).getFileName + ".crc")
+    Files.deleteIfExists(crcSide)
+    val e = intercept[IllegalArgumentException] {
+      TarShardIO.reshard(spark, src, freshDir() + "/dst3", 5, "re3")
+    }
+    assert(e.getMessage.contains("quarantined"), e.getMessage)
   }
 
   test("empty and gzip-header-corrupt .tar.gz quarantine, never kill the read job") {
