@@ -793,6 +793,25 @@ object ScaleBench {
             maxDist = 4, carry = Seq("dhash"))
           .filter(operators.Dedup.hamming64(col("dhash_a"), col("dhash_b")) <= 4)
       })) :+
+      // Exactly-once publish + reshard (round 15): commit the corpus as
+      // 32 tar shards through writeTxn, then repack to 8 through
+      // reshard — the loader-parallelism pipeline. The receipt: wall
+      // tracks member volume (two streamed passes + one route-keyed
+      // sort), and the txn/commit overhead is FIXED per publish, never
+      // data-coupled.
+      ("tar_reshard_scale" -> ((s: SparkSession, d: String) => {
+        val out = Files.createTempDirectory("graft-sb-repub").toString
+        val docs = s.read.parquet(s"$d/documents.parquet")
+        val members = docs.selectExpr(
+          "doc_id % 32 AS fkey", "doc_id AS ord",
+          "concat(lpad(CAST(doc_id AS STRING), 14, '0'), '.txt') AS name",
+          "encode(substring(coalesce(text, ''), 1, 512), 'UTF-8') AS payload")
+        sources.TarShardIO.writeTxn(members, "fkey", "ord", "name",
+          "payload", s"$out/src", 32, "pub")
+        sources.TarShardIO.reshard(s, s"$out/src", s"$out/dst", 8, "re")
+        sources.TarShardIO.publishedShards(s, s"$out/dst")
+          .agg(count(lit(1)).as("n_shards"), sum("n_members").as("n"))
+      })) :+
       // PCM mixdown + rational resample (round 15): the q_m17 shape —
       // stereo 48k WAVs through parse → mono 32k. Pure row-local integer
       // DSP: wall must track the scan, zero shuffle beyond the count.
