@@ -71,7 +71,12 @@ object MultimodalQueries {
     * top-left 6×2 pixel patch (grid cells 0-2) is brightness-shifted
     * +160 mod 256 — a re-encode-style perturbation that flips a few
     * aHash/dHash bits (0-9 across the corpus, straddling the query's
-    * maxDist = 4) while never colliding exactly. */
+    * maxDist = 4) while never colliding exactly. The twin lives at
+    * `-(doc_id + 1)` — a namespace DISJOINT from every nonnegative
+    * doc_id at ANY corpus size (r15 ADVICE: the old `doc_id + 900000`
+    * offset aliased real ids past ~900k docs, silently merging a
+    * planted twin with an unrelated document in larger ScaleBench
+    * legs that share this builder). */
   private[graft] def m16Images(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     s.read.parquet(s"$dir/documents.parquet").select("doc_id").as[Long]
@@ -87,7 +92,7 @@ object MultimodalQueries {
           }
           ImageCodec.grayBmp(16, 16, px)
         }
-        if (id % 7 == 0) Iterator((id, bmp(false)), (id + 900000L, bmp(true)))
+        if (id % 7 == 0) Iterator((id, bmp(false)), (-(id + 1L), bmp(true)))
         else Iterator((id, bmp(false)))
       }
       .toDF("media_id", "payload")
@@ -136,7 +141,7 @@ object MultimodalQueries {
     """m AS (
       |  SELECT doc_id, doc_id AS media_id, FALSE AS var FROM documents
       |  UNION ALL
-      |  SELECT doc_id, doc_id + 900000, TRUE FROM documents WHERE doc_id % 7 = 0),
+      |  SELECT doc_id, -(doc_id + 1), TRUE FROM documents WHERE doc_id % 7 = 0),
       |px AS (
       |  SELECT media_id,
       |         ((p // 16) // 2) * 8 + (p % 16) // 2 AS cell,
@@ -424,6 +429,12 @@ object MultimodalQueries {
       import s.implicits._
       Multimodal.pcmMonoResample(
           Multimodal.parseWav(m17Wavs(s, dir), "doc_id", "payload"), 32000)
+        // quarantine discipline, not job failure (r15 ADVICE): an invalid
+        // parse or zero-length WAV propagates as valid=false / n_samples=0
+        // — skip it instead of indexing pcm at -1/-2 and killing the query
+        .flatMap { r =>
+          if (!r.valid || r.n_samples == 0L) None else Some(r)
+        }
         .map { r =>
           val n = r.n_samples.toInt
           def s16(j: Int): Int =

@@ -283,20 +283,46 @@ object SnapshotTable {
     * for the life of the session — chained lifecycle compositions
     * (q_l9/q_l10: a `#prev` walk + txn probe per commit) stop re-reading
     * the same headers per commit. Bounded LRU; misses (absent manifests)
-    * are NOT cached — a prepared manifest can appear later. */
+    * are NOT cached — a prepared manifest can appear later.
+    *
+    * Entries are SELF-VALIDATING (r15 ADVICE, medium): each carries the
+    * manifest file's identity (platform fileKey — the inode on POSIX —
+    * plus size) captured at fill time, and every hit re-stats the file
+    * before being trusted. A stale entry — the manifest was vacuumed and
+    * the table directory recreated at the same path, or a racing
+    * fill re-inserted a just-deleted orphan's header after vacuum's
+    * eviction — fails the identity check and falls through to a fresh
+    * read (or a miss, if the file is gone). The stat is one syscall vs
+    * the read+parse it replaces, so the cache's purpose survives; what
+    * can no longer happen is a replayed dead txn seeing the dead
+    * manifest's `#txn`/`#prev` under a recycled version number. */
+  private final case class CachedHeader(identity: String, parsed: Map[String, String])
   private val headerCache = java.util.Collections.synchronizedMap(
-    new java.util.LinkedHashMap[String, Map[String, String]](1024, 0.75f, true) {
+    new java.util.LinkedHashMap[String, CachedHeader](1024, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[String, Map[String, String]]): Boolean =
+          e: java.util.Map.Entry[String, CachedHeader]): Boolean =
         size() > 4096
     })
 
+  /** Platform identity of a manifest file: fileKey (inode) + size. Returns
+    * null when the file does not exist (races with vacuum are expected —
+    * callers treat null as "gone"). */
+  private def manifestIdentity(p: java.nio.file.Path): String =
+    try {
+      val a = Files.readAttributes(p, classOf[java.nio.file.attribute.BasicFileAttributes])
+      s"${a.fileKey()}#${a.size()}"
+    } catch { case _: java.io.IOException => null }
+
   private def headersOf(tablePath: String, version: Long): Option[Map[String, String]] = {
     val cacheKey = s"${root(tablePath)}#$version"
-    val hit = headerCache.get(cacheKey)
-    if (hit != null) return Some(hit)
     val p = manifestPath(tablePath, version)
-    if (!Files.exists(p)) return None
+    val identity = manifestIdentity(p)
+    val hit = headerCache.get(cacheKey)
+    if (hit != null) {
+      if (identity != null && identity == hit.identity) return Some(hit.parsed)
+      headerCache.remove(cacheKey) // stale: vacuumed, or path recreated
+    }
+    if (identity == null) return None
     val ch = Files.newByteChannel(p)
     val head = try {
       // loop to fill: a single read() may legally return short of the
@@ -315,7 +341,12 @@ object SnapshotTable {
         val eq = l.indexOf('=')
         if (eq < 0) l.drop(1) -> "" else l.substring(1, eq) -> l.substring(eq + 1)
       }.toMap
-    headerCache.put(cacheKey, parsed)
+    // Re-stat AFTER the read: if the file changed identity mid-read (vacuum
+    // deleted it and a recreated table reused the version number), the
+    // parse may be of either incarnation — cache nothing, return what was
+    // read only if the file is still the one opened.
+    val after = manifestIdentity(p)
+    if (after != null && after == identity) headerCache.put(cacheKey, CachedHeader(identity, parsed))
     Some(parsed)
   }
 

@@ -901,4 +901,30 @@ class SnapshotTableSpec extends SparkTestBase {
     }
     assert(e3.getMessage.contains("no bounds for column payload"), e3.getMessage)
   }
+
+  test("header cache never serves a dead table's headers after the path is " +
+       "recreated at the same version numbers (r15 ADVICE, medium)") {
+    val t = freshTable()
+    SnapshotTable.commitAppendTxn(rows(2000, 4, "old"), t, Seq("year"), "txn-OLD")
+    // fill the cache with v1's header through the public probe
+    assert(SnapshotTable.txnOf(t, 1L).contains("txn-OLD"))
+    // simulate the table directory deleted and RECREATED at the same path
+    // (same version numbers recycled — the exactly-once hole the r15
+    // advice describes: a stale cached header would let a replay of the
+    // dead txn no-op as 'committed')
+    def rmTree(p: java.nio.file.Path): Unit = {
+      if (Files.isDirectory(p))
+        Files.list(p).forEach(rmTree(_))
+      Files.deleteIfExists(p)
+    }
+    rmTree(Paths.get(t))
+    Files.createDirectories(Paths.get(t))
+    SnapshotTable.commitAppendTxn(rows(2010, 3, "new"), t, Seq("year"), "txn-NEW")
+    // the v1 header must be the NEW table's, not the cached dead one
+    assert(SnapshotTable.txnOf(t, 1L).contains("txn-NEW"))
+    // and the replay contract follows: the dead txn is NOT committed here,
+    // so commitAppendTxn("txn-OLD") must apply (new version), not no-op
+    val v = SnapshotTable.commitAppendTxn(rows(2020, 2, "re"), t, Seq("year"), "txn-OLD")
+    assert(v == 2L, s"dead txn replayed as no-op against recreated table (got v$v)")
+  }
 }
