@@ -72,6 +72,30 @@ object ScaleBench {
     }
   }
 
+  /** Clustered-signature candidate frame for the two Hamming-geometry
+    * receipt legs: 64 fixed clusters over the documents table's ids,
+    * centroid xxhash64(cluster), 6–15 deterministic bit flips per member
+    * (positions xxhash64(doc_id, j) mod 64 — no RNG, replayable at any
+    * scale). Returns the PRE-verification candidate pairs from
+    * [[graft.operators.Dedup.hammingCandidates64]] at the requested
+    * geometry; Force.rows on it IS the candidate count. The persisted
+    * signature base (16 B/row) is left for session teardown — the legs
+    * share a short-lived process. */
+  private def hammingCandidateLeg(
+      s: SparkSession, d: String, chunks: Int): DataFrame = {
+    val sigs = s.read.parquet(s"$d/documents.parquet").selectExpr(
+      "doc_id",
+      """xxhash64(CAST(doc_id % 64 AS STRING)) ^
+         aggregate(sequence(1, CAST(6 + doc_id % 10 AS INT)),
+                   CAST(0 AS BIGINT),
+                   (acc, j) -> acc ^ shiftleft(CAST(1 AS BIGINT),
+                                CAST(pmod(xxhash64(doc_id, j), 64) AS INT)))
+         AS h64""")
+    val (_, cands) = operators.Dedup.hammingCandidates64(
+      sigs, "doc_id", "h64", maxDist = 4, chunks = chunks)
+    cands
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val outFile = args(1)
@@ -790,9 +814,27 @@ object ScaleBench {
             "media_id", "payload").toDF()
           .filter(col("decoded")).select("media_id", "ahash", "dhash")
         operators.Dedup.hammingNearDuplicates64(hashes, "media_id", "ahash",
-            maxDist = 4, carry = Seq("dhash"))
+            maxDist = 4, carry = Seq("dhash"), chunks = 10)
           .filter(operators.Dedup.hamming64(col("dhash_a"), col("dhash_b")) <= 4)
       })) :+
+      // CANDIDATE-volume receipts on a CLUSTERED signature corpus (r15
+      // VERDICT #1): real perceptual hashes cluster (popular templates,
+      // re-crops), and clustering is exactly what blows up the minimal
+      // maxDist+1 banding — far intra-cluster pairs (distance ~10..30,
+      // NEVER output) still agree on one narrow 13-bit chunk ~16% of the
+      // time, so candidate volume tracks Σ cluster_size², i.e. N²/K.
+      // The corpus: 64 fixed clusters (size grows LINEARLY with the
+      // scale factor — the pathology), centroid = xxhash64(cluster),
+      // each member flips 6..15 deterministic bit positions, so true
+      // <= 4 matches are a thin sliver and the two legs' row counts are
+      // (to first order) pure candidate volume. Both legs count the SAME
+      // frame shape (pre-verification pairs incl. the hamming column);
+      // only the geometry differs — minimal c = 5 is the before-curve,
+      // combo c = 10 (C(10,4) = 210 keys of ~38 bits) the after.
+      ("hamming_cand_minimal" -> ((s: SparkSession, d: String) =>
+        hammingCandidateLeg(s, d, chunks = 5))) :+
+      ("hamming_cand_combo" -> ((s: SparkSession, d: String) =>
+        hammingCandidateLeg(s, d, chunks = 10))) :+
       // Exactly-once publish + reshard (round 15): commit the corpus as
       // 32 tar shards through writeTxn, then repack to 8 through
       // reshard — the loader-parallelism pipeline. The receipt: wall

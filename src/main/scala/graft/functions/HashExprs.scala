@@ -143,6 +143,118 @@ case class SimHash60Expr(child: Expression, family: String = HashFamily.Md5)
     copy(child = newChild)
 }
 
+/** Precomputed pigeonhole banding geometry for Hamming-distance search
+  * (Manku, Jain & Das Sarma, WWW'07 §3 is the published shape): `bits`
+  * split into `chunks` near-equal chunks (boundaries at i·bits/chunks),
+  * one combination key per (chunks − maxDist)-subset of chunk indices in
+  * lexicographic order, each key the concatenation of its chunks' values
+  * (low selected chunk in the low bits). A pair within Hamming distance
+  * maxDist flips bits in ≤ maxDist chunks, so it AGREES on ≥
+  * chunks − maxDist whole chunks — hence shares ≥ 1 combination key:
+  * recall is exactly 100% at every geometry. The flattened
+  * (comboChunk, comboShift) tables make the per-row key loop a handful of
+  * shift/mask/or ops per slot — built once per geometry, cached, shared by
+  * interpreted eval and codegen.
+  */
+final class PigeonholeGeometry(val bits: Int, val chunks: Int, val maxDist: Int) {
+  require(bits >= 1 && bits <= 64)
+  require(maxDist >= 0 && maxDist < bits,
+    s"pigeonhole banding needs maxDist in [0, $bits), got $maxDist")
+  require(chunks > maxDist && chunks <= bits,
+    s"chunk count must be in (maxDist, bits] = ($maxDist, $bits], got $chunks")
+
+  private val lo = Array.tabulate(chunks + 1)(c => c * bits / chunks)
+  private def width(i: Int) = lo(i + 1) - lo(i)
+  private val combos = (0 until chunks).combinations(chunks - maxDist).toArray
+  require(combos.length <= 4096,
+    s"C($chunks, $maxDist) = ${combos.length} key expansions per row — cap " +
+      "is 4096; lower the chunk count or split the distance budget across " +
+      "AND-ed indexes")
+
+  val comboLen: Int = chunks - maxDist
+  val nCombos: Int = combos.length
+  // slot tables, flattened combo-major: source shift, mask, dest shift
+  private val srcShift = new Array[Int](nCombos * comboLen)
+  private val mask = new Array[Long](nCombos * comboLen)
+  private val dstShift = new Array[Int](nCombos * comboLen)
+  for (c <- 0 until nCombos) {
+    var off = 0
+    for (s <- 0 until comboLen) {
+      val ch = combos(c)(s)
+      val k = c * comboLen + s
+      srcShift(k) = lo(ch)
+      mask(k) = if (width(ch) == 64) -1L else (1L << width(ch)) - 1L
+      dstShift(k) = off
+      off += width(ch)
+    }
+  }
+
+  def keys(h: Long): Array[Long] = {
+    val out = new Array[Long](nCombos)
+    var k = 0
+    var c = 0
+    while (c < nCombos) {
+      var key = 0L
+      var s = 0
+      while (s < comboLen) {
+        key |= ((h >>> srcShift(k)) & mask(k)) << dstShift(k)
+        s += 1; k += 1
+      }
+      out(c) = key
+      c += 1
+    }
+    out
+  }
+}
+
+object PigeonholeGeometry {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), PigeonholeGeometry]()
+  def get(bits: Int, chunks: Int, maxDist: Int): PigeonholeGeometry =
+    cache.computeIfAbsent((bits, chunks, maxDist),
+      k => new PigeonholeGeometry(k._1, k._2, k._3))
+}
+
+/** `pigeonhole_keys(h, bits, chunks, maxDist)`: the combination-key array of
+  * [[PigeonholeGeometry]] over a LONG signature column — ONE small codegen'd
+  * loop regardless of C(chunks, maxDist). The equivalent SQL array literal
+  * of shift/or expressions blows the 64 KB Janino method limit at ~200
+  * combos and drops the whole stage to interpreted eval (measured 6x on
+  * q_m16's geometry); this expression IS the declarative plan's scale dial.
+  */
+case class PigeonholeKeysExpr(child: Expression, bits: Int, chunks: Int, maxDist: Int)
+    extends UnaryExpression {
+  // constructing the geometry eagerly validates the (bits, chunks, maxDist)
+  // triple at plan time, not first-row time
+  @transient private lazy val geom = PigeonholeGeometry.get(bits, chunks, maxDist)
+  PigeonholeGeometry.get(bits, chunks, maxDist)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"pigeonhole_keys expects a bigint signature, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "pigeonhole_keys"
+
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(geom.keys(input.asInstanceOf[Long]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val g = ctx.addMutableState("graft.functions.PigeonholeGeometry", "pigeonGeom",
+        v => s"$v = graft.functions.PigeonholeGeometry.get($bits, $chunks, $maxDist);")
+      s"""
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray($g.keys($a));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PigeonholeKeysExpr =
+    copy(child = newChild)
+}
+
 /** MinHash signature: each shingle is hashed once (XXH64), then the j-th
   * signature entry is the minimum of hashLong(h, j) over all shingles.
   * Empty input yields a signature of Long.MaxValue entries.

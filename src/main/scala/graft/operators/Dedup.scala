@@ -947,45 +947,66 @@ object Dedup {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** The pigeonhole banding geometry DIAL (r15 VERDICT #1), shared by
+    * [[simHashNearDuplicates]] and [[hammingNearDuplicates64]] through the
+    * codegen'd `pigeonhole_keys` expression
+    * ([[graft.functions.PigeonholeGeometry]] holds the construction and
+    * its recall proof). Why the dial matters at 10^9+ signatures: the
+    * minimal geometry (chunks = maxDist + 1, the default) has keys only
+    * bits/(maxDist+1) wide — at maxDist 4 that is ~13-bit keys, ~8k
+    * buckets, and EXPECTED candidate volume ≈ (maxDist+1)·N²/2^13 even on
+    * uniform data (worse on clustered perceptual hashes). At chunks = 10,
+    * maxDist = 4 over 64 bits, keys are ~38 bits wide (≈3×10^11 buckets)
+    * at C(10,4) = 210 key expansions per row: candidate volume drops from
+    * N²-scaled to N·(N/2^38)-scaled — the difference between a mega-corpus
+    * join that finishes and one that computes 10^16 bit_counts. Every key
+    * fits one LONG (selected widths sum to ≤ bits ≤ 64); the join key is
+    * (combo_idx, combo_val).
+    */
+  private def pigeonholeKeys(
+      bits: Int, chunks: Int, maxDist: Int, hCol: String): String = {
+    // eager validation at operator-construction time (the expression
+    // validates again at analysis)
+    graft.functions.PigeonholeGeometry.get(bits, chunks, maxDist)
+    s"pigeonhole_keys($hCol, $bits, $chunks, $maxDist)"
+  }
+
   /** SimHash near-duplicates with Hamming distance <= maxDist: the 60-bit
-    * signature is banded into `maxDist + 1` chunks, so by pigeonhole any
-    * pair within maxDist agrees exactly on at least one chunk — candidates
-    * come from ONE equi-join on (chunk index, chunk value) and are then
+    * signature is banded by [[pigeonholeKeys]], so any pair within
+    * maxDist shares at least one combination key — candidates come from
+    * ONE equi-join on (combo index, combo value) and are then
     * exact-verified with bit_count. Recall is therefore 100% for every
-    * maxDist in [0, 60); larger maxDist honestly costs more chunks (more
-    * candidate pairs), it never silently loses pairs.
+    * maxDist in [0, 60) at EVERY `chunks` geometry; larger maxDist
+    * honestly costs more candidate pairs, it never silently loses pairs.
+    * `chunks = 0` (default) means the minimal maxDist + 1 geometry —
+    * right for corpora up to ~10^7 docs; pass a larger chunk count
+    * (e.g. 8–10) to trade key expansions for exponentially more buckets
+    * at web scale (scaladoc on [[pigeonholeKeys]]).
     */
   def simHashNearDuplicates(
       docs: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 3,
-      family: String = graft.functions.HashFamily.Xx64): DataFrame = {
-    require(maxDist >= 0 && maxDist < 60,
-      "pigeonhole banding needs maxDist + 1 chunks of >= 1 bit over a 60-bit signature")
+      family: String = graft.functions.HashFamily.Xx64,
+      chunks: Int = 0): DataFrame = {
     graft.plans.GraftExtensions.register(docs.sparkSession)
-    // maxDist + 1 chunks with near-equal widths (boundaries at c*60/n).
-    val n = maxDist + 1
-    val chunkArray = (0 until n).map { c =>
-      val lo = c * 60 / n
-      val hi = (c + 1) * 60 / n
-      s"shiftright(sim, $lo) & ${(1L << (hi - lo)) - 1}L"
-    }.mkString("array(", ", ", ")")
-    // Persisted across the two sides of the chunk self-join, released after
+    val c = if (chunks == 0) maxDist + 1 else chunks
+    val keysExpr = pigeonholeKeys(60, c, maxDist, "sim")
+    // Persisted across the two sides of the key self-join, released after
     // the eager localCheckpoint materializes the result.
     val sigs = docs.select(col(idCol), simHash60(textCol, family).as("sim")).persist()
     try {
-      val chunks = sigs.select(col(idCol), col("sim"),
-        posexplode(expr(chunkArray))
-          .as(Seq("chunk_idx", "chunk_val")))
-      chunks.as("a")
-        .join(chunks.as("b"),
-          col("a.chunk_idx") === col("b.chunk_idx") &&
-            col("a.chunk_val") === col("b.chunk_val") &&
+      val keyed = sigs.select(col(idCol), col("sim"),
+        posexplode(expr(keysExpr)).as(Seq("combo_idx", "combo_val")))
+      keyed.as("a")
+        .join(keyed.as("b"),
+          col("a.combo_idx") === col("b.combo_idx") &&
+            col("a.combo_val") === col("b.combo_val") &&
             col(s"a.$idCol") < col(s"b.$idCol"))
         .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
           hamming64(col("a.sim"), col("b.sim")).as("hamming"))
         // filter BEFORE distinct: hamming is a pure function of the
         // pair, so the order is semantically free — and far pairs that
-        // collided on one chunk die before the dedup exchange instead
+        // collided on one key die before the dedup exchange instead
         // of shuffling through it (r15 review)
         .filter(col("hamming") <= maxDist)
         .distinct()
@@ -997,56 +1018,69 @@ object Dedup {
     * column (perceptual image hashes — aHash/dHash from
     * [[ImageCodec]] — or any other 64-bit fingerprint): the
     * [[simHashNearDuplicates]] pigeonhole, generalized. The signature is
-    * banded into `maxDist + 1` chunks, so any pair within `maxDist`
-    * agrees exactly on at least one chunk — candidates come from ONE
-    * equi-join on (chunk index, chunk value), then exact `bit_count`
-    * verification. Recall is 100% for every maxDist in [0, 64); a
+    * banded by [[pigeonholeKeys]], so any pair within `maxDist`
+    * agrees exactly on at least one combination key — candidates come
+    * from ONE equi-join on (combo index, combo value), then exact
+    * `bit_count` verification. Recall is 100% for every maxDist in
+    * [0, 64) at every chunk geometry; a
     * 1-bit re-encode of an image can never escape the way it escapes
     * exact-equality grouping. `carry` columns ride along as
     * `<col>_a`/`<col>_b` (e.g. a SECOND hash for a multi-index AND
     * filter) so callers need no re-join against the corpus. At 100 TB
-    * the only exchange is the chunk-keyed candidate join; candidate
-    * count is governed by chunk width 64/(maxDist+1), not corpus pairs.
+    * the only exchange is the key-equi candidate join; `chunks` is the
+    * [[pigeonholeKeys]] geometry dial — 0 (default) is the minimal
+    * maxDist + 1 banding, a larger count (8–10 for image lakes) widens
+    * the join keys so candidate volume is governed by 2^keybits instead
+    * of 2^(64/(maxDist+1)).
     */
   def hammingNearDuplicates64(
       sigs: DataFrame, idCol: String, hashCol: String,
-      maxDist: Int, carry: Seq[String] = Nil): DataFrame = {
-    require(maxDist >= 0 && maxDist < 64,
-      "pigeonhole banding needs maxDist + 1 chunks of >= 1 bit over a 64-bit signature")
-    val n = maxDist + 1
-    val chunkArray = (0 until n).map { c =>
-      val lo = c * 64 / n
-      val hi = (c + 1) * 64 / n
-      // Java shifts are mod 64, so the single full-width chunk (n = 1)
-      // must bypass the mask; arithmetic shiftright is safe under the
-      // mask for every narrower chunk
-      if (hi - lo == 64) "h64"
-      else s"shiftright(h64, $lo) & ${(1L << (hi - lo)) - 1}L"
-    }.mkString("array(", ", ", ")")
-    val base = sigs.select(
-      (col(idCol) +: col(hashCol).as("h64") +: carry.map(col)): _*)
-      .persist()
+      maxDist: Int, carry: Seq[String] = Nil, chunks: Int = 0): DataFrame = {
+    val (base, cands) =
+      hammingCandidates64(sigs, idCol, hashCol, maxDist, carry, chunks)
     try {
-      val chunks = base.select(col("*"),
-        posexplode(expr(chunkArray)).as(Seq("chunk_idx", "chunk_val")))
-      val pairCols =
-        Seq(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
-          hamming64(col("a.h64"), col("b.h64")).as("hamming")) ++
-          carry.flatMap(c => Seq(col(s"a.$c").as(s"${c}_a"),
-            col(s"b.$c").as(s"${c}_b")))
-      chunks.as("a")
-        .join(chunks.as("b"),
-          col("a.chunk_idx") === col("b.chunk_idx") &&
-            col("a.chunk_val") === col("b.chunk_val") &&
-            col(s"a.$idCol") < col(s"b.$idCol"))
-        .select(pairCols: _*)
+      cands
         // filter BEFORE distinct (same rationale as simHashNearDuplicates:
-        // far chunk-collision pairs and their carry payloads must die
+        // far key-collision pairs and their carry payloads must die
         // before the dedup exchange, not after)
         .filter(col("hamming") <= maxDist)
         .distinct()
         .pipe(materialize)
     } finally base.unpersist()
+  }
+
+  /** The PRE-VERIFICATION candidate frame behind [[hammingNearDuplicates64]]
+    * — every (id_a < id_b) pair sharing at least one pigeonhole key, with
+    * the exact `hamming` column computed but NOT yet filtered, and NOT yet
+    * de-duplicated across keys. Exposed for the scale receipts: candidate
+    * volume (this frame's row count) is the quantity the chunk-geometry
+    * dial controls, and output-pair counts alone cannot show it. Returns
+    * the persisted signature base too — the CALLER must unpersist it after
+    * materializing whatever it derives from the candidates. */
+  private[graft] def hammingCandidates64(
+      sigs: DataFrame, idCol: String, hashCol: String,
+      maxDist: Int, carry: Seq[String] = Nil,
+      chunks: Int = 0): (DataFrame, DataFrame) = {
+    graft.plans.GraftExtensions.register(sigs.sparkSession)
+    val c = if (chunks == 0) maxDist + 1 else chunks
+    val keysExpr = pigeonholeKeys(64, c, maxDist, "h64")
+    val base = sigs.select(
+      (col(idCol) +: col(hashCol).as("h64") +: carry.map(col)): _*)
+      .persist()
+    val keyed = base.select(col("*"),
+      posexplode(expr(keysExpr)).as(Seq("combo_idx", "combo_val")))
+    val pairCols =
+      Seq(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        hamming64(col("a.h64"), col("b.h64")).as("hamming")) ++
+        carry.flatMap(c => Seq(col(s"a.$c").as(s"${c}_a"),
+          col(s"b.$c").as(s"${c}_b")))
+    val cands = keyed.as("a")
+      .join(keyed.as("b"),
+        col("a.combo_idx") === col("b.combo_idx") &&
+          col("a.combo_val") === col("b.combo_val") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(pairCols: _*)
+    (base, cands)
   }
 
   // -----------------------------------------------------------------------

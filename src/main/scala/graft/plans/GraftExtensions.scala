@@ -57,6 +57,16 @@ object GraftExtensions {
         require(args.length == 2, s"minhash_sig expects 2 arguments, got ${args.length}")
         MinHashSignatureExpr(args.head, intArg(args(1), "minhash_sig"))
       }),
+    (FunctionIdentifier("pigeonhole_keys"),
+      new ExpressionInfo(classOf[graft.functions.PigeonholeKeysExpr].getName,
+        "pigeonhole_keys"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4,
+          s"pigeonhole_keys expects (h, bits, chunks, maxDist), got ${args.length} arguments")
+        graft.functions.PigeonholeKeysExpr(args.head,
+          intArg(args(1), "pigeonhole_keys"), intArg(args(2), "pigeonhole_keys"),
+          intArg(args(3), "pigeonhole_keys"))
+      }),
     (FunctionIdentifier("srp_buckets"),
       new ExpressionInfo(classOf[SrpBucketKeysExpr].getName, "srp_buckets"),
       (args: Seq[Expression]) => {

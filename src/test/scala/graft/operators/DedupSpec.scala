@@ -314,14 +314,22 @@ class DedupSpec extends SparkTestBase {
         (i.toLong * 2 + 1, flip(v, (0 until j).map(b => (b * 11 + i * 7) % 64).distinct)))
     }
     val sigs = rows.toDF("id", "h")
-    for (maxDist <- Seq(0, 1, 3, 5, 63)) {
-      val got = Dedup.hammingNearDuplicates64(sigs, "id", "h", maxDist)
+    // every (maxDist, chunk-geometry) cell must equal brute force —
+    // chunks = 0 is the minimal maxDist+1 banding, the wider counts are
+    // the combination-key geometries of the r15 VERDICT #1 scale dial
+    for ((maxDist, chunksList) <- Seq(
+           0 -> Seq(0, 2, 64), 1 -> Seq(0, 3, 10), 3 -> Seq(0, 5, 10),
+           5 -> Seq(0, 7, 10), 63 -> Seq(0, 64));
+         chunks <- chunksList) {
+      val got = Dedup.hammingNearDuplicates64(sigs, "id", "h", maxDist,
+          chunks = chunks)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
       val brute = (for {
         a <- rows; b <- rows if a._1 < b._1
         d = java.lang.Long.bitCount(a._2 ^ b._2) if d <= maxDist
       } yield (a._1, b._1, d)).toSet
-      assert(got == brute, s"maxDist=$maxDist\ngot:   $got\nbrute: $brute")
+      assert(got == brute,
+        s"maxDist=$maxDist chunks=$chunks\ngot:   $got\nbrute: $brute")
     }
     // carry columns ride through as <col>_a / <col>_b
     val withCarry = Dedup.hammingNearDuplicates64(
@@ -332,5 +340,57 @@ class DedupSpec extends SparkTestBase {
       r.getAs[String]("tag_a") == s"tag${r.getAs[Long]("id_a")}" &&
         r.getAs[String]("tag_b") == s"tag${r.getAs[Long]("id_b")}"
     })
+  }
+
+  test("wide combination-key geometry collapses candidate volume on a " +
+       "clustered corpus while output pairs stay identical") {
+    import spark.implicits._
+    // The perceptual-hash pathology (r15 VERDICT #1): signatures CLUSTER.
+    // 8 clusters × 80 members, each member the centroid with 6..13 planted
+    // bit flips — intra-cluster pairs sit at distance ~6..26, far above
+    // maxDist = 4, so they are (almost) never OUTPUT, but under the
+    // minimal 5-chunk banding a large fraction still agrees on one narrow
+    // 13-bit chunk and floods the candidate join.
+    def mix(x: Long): Long = { // splitmix64 finalizer — deterministic
+      var z = x + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    val rows = for (cl <- 0 until 8; m <- 0 until 80) yield {
+      val id = cl * 1000L + m
+      val flips = (0 until (6 + (m % 8))).map(j => (mix(id * 97 + j) & 63L).toInt)
+      (id, flips.foldLeft(mix(cl.toLong * 7919))((a, b) => a ^ (1L << b)))
+    }
+    val sigs = rows.toDF("id", "h")
+    def run(chunks: Int): (Long, Set[(Long, Long)]) = {
+      val (base, cands) = Dedup.hammingCandidates64(
+        sigs, "id", "h", maxDist = 4, chunks = chunks)
+      try {
+        val nCands = cands.count()
+        val pairs = cands.filter(org.apache.spark.sql.functions.col("hamming") <= 4)
+          .select("id_a", "id_b")
+          .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        (nCands, pairs)
+      } finally base.unpersist()
+    }
+    val (candMinimal, pairsMinimal) = run(5)   // maxDist + 1: the before
+    val (candCombo, pairsCombo) = run(10)      // C(10,4)=210 keys of ~38 bits
+    assert(pairsMinimal == pairsCombo, "geometries must agree on output")
+    // the receipt: same output, an order of magnitude fewer candidates —
+    // this gap GROWS with cluster size (quadratically under minimal
+    // banding), which is what makes the dial the 10^9-corpus survival knob
+    assert(candCombo * 10 <= candMinimal,
+      s"expected >=10x candidate collapse, got minimal=$candMinimal combo=$candCombo")
+  }
+
+  test("simHashNearDuplicates pair set is geometry-invariant (chunks dial)") {
+    val base = Dedup.simHashNearDuplicates(df(corpus), "doc_id", "text",
+        maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wide = Dedup.simHashNearDuplicates(df(corpus), "doc_id", "text",
+        maxDist = 3, chunks = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(base == wide)
   }
 }
