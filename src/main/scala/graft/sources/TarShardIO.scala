@@ -93,19 +93,29 @@ object TarShardIO {
       numFiles, compress).map(_._2).sum
 
   /** [[write]] with the per-shard member counts kept: `(shard index,
-    * members)` in index order — the metadata [[writeTxn]] commits. */
+    * members, audit failures)` in index order — the metadata [[writeTxn]]
+    * commits. `validCol` (r15 VERDICT #3) rides a quarantine AUDIT on the
+    * write pass itself: rows whose flag is false are never written, only
+    * counted — the transactional caller checks the count BEFORE commit, so
+    * the audit costs zero extra source reads (the alternative, a separate
+    * `filter(!valid).count()` pass, re-read the whole source catalog; a
+    * `Dataset.observe` counter cannot serve here because the shard writer
+    * executes through an RDD action, which never fires the SQL observed-
+    * metrics listener). */
   private def writeShards(df: DataFrame, fileKeyCol: String, sortCol: String,
                           nameCol: String, payloadCol: String, dir: String,
-                          numFiles: Int, compress: Boolean): Seq[(Int, Long)] = {
+                          numFiles: Int, compress: Boolean,
+                          validCol: Option[String] = None): Seq[(Int, Long, Long)] = {
     require(numFiles >= 1)
     val spark = df.sparkSession
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     val pairs = df
       .select(col(fileKeyCol).cast("long"), col(sortCol).cast("long"),
-        col(nameCol).cast("string"), col(payloadCol))
+        col(nameCol).cast("string"), col(payloadCol),
+        validCol.map(col).getOrElse(lit(true)).cast("boolean"))
       .rdd.map(r => ((r.getLong(0), r.getLong(1)),
-        (r.getString(2), r.getAs[Array[Byte]](3))))
+        (r.getString(2), r.getAs[Array[Byte]](3), r.getBoolean(4))))
     val partitioner = new org.apache.spark.Partitioner {
       override def numPartitions: Int = numFiles
       override def getPartition(key: Any): Int = {
@@ -128,18 +138,22 @@ object TarShardIO {
           if (compress) new java.util.zip.GZIPOutputStream(raw, 64 * 1024)
           else raw
         var n = 0L
+        var nBad = 0L
         try {
-          it.foreach { case (_, (name, payloadOrNull)) =>
-            val payload =
-              if (payloadOrNull == null) Array.emptyByteArray else payloadOrNull
-            out.write(header(name, payload.length.toLong))
-            out.write(payload)
-            out.write(new Array[Byte](padLen(payload.length.toLong)))
-            n += 1
+          it.foreach { case (_, (name, payloadOrNull, valid)) =>
+            if (!valid) nBad += 1
+            else {
+              val payload =
+                if (payloadOrNull == null) Array.emptyByteArray else payloadOrNull
+              out.write(header(name, payload.length.toLong))
+              out.write(payload)
+              out.write(new Array[Byte](padLen(payload.length.toLong)))
+              n += 1
+            }
           }
           out.write(new Array[Byte](2 * Block)) // end-of-archive
         } finally out.close()
-        Iterator.single((idx, n))
+        Iterator.single((idx, n, nBad))
       }
       .collect().toSeq.sortBy(_._1)
   }
@@ -159,7 +173,8 @@ object TarShardIO {
   def writeTxn(df: DataFrame, fileKeyCol: String, sortCol: String,
                nameCol: String, payloadCol: String, tableDir: String,
                numFiles: Int, txnId: String,
-               compress: Boolean = false): Long =
+               compress: Boolean = false,
+               auditValidCol: Option[String] = None): Long =
     SnapshotTable.settleTxn(tableDir, txnId) match {
       case Some(v) => v
       case None =>
@@ -167,11 +182,26 @@ object TarShardIO {
         import spark.implicits._
         val stageRel = f"shards/u${System.nanoTime()}%016x"
         val counts = writeShards(df, fileKeyCol, sortCol, nameCol,
-          payloadCol, s"$tableDir/$stageRel", numFiles, compress)
-        val ext = if (compress) "tar.gz" else "tar"
+          payloadCol, s"$tableDir/$stageRel", numFiles, compress,
+          auditValidCol)
         val fs = new org.apache.hadoop.fs.Path(tableDir)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val meta = counts.map { case (idx, n) =>
+        // In-flight audit gate (r15 VERDICT #3): checked AFTER staging but
+        // BEFORE commit — staging is invisible to consumers, so aborting
+        // here is exactly as safe as never having started, and the audit
+        // rode the one write pass instead of buying its own source read.
+        val nBad = counts.map(_._3).sum
+        if (nBad > 0) {
+          // the staged directory is a deliberately-abandoned attempt;
+          // reclaim it eagerly rather than leaving crash-style garbage
+          fs.delete(new org.apache.hadoop.fs.Path(s"$tableDir/$stageRel"), true)
+          throw new IllegalArgumentException(
+            s"input has $nBad quarantined rows ('${auditValidCol.get}' " +
+              "false) — staging aborted before commit; repair or " +
+              "re-publish the source")
+        }
+        val ext = if (compress) "tar.gz" else "tar"
+        val meta = counts.map { case (idx, n, _) =>
           val rel = f"$stageRel/shard-$idx%05d.$ext"
           val len = fs.getFileStatus(
             new org.apache.hadoop.fs.Path(s"$tableDir/$rel")).getLen
@@ -209,18 +239,21 @@ object TarShardIO {
       case None =>
         val route = Option(routeBy)
           .getOrElse(pmod(xxhash64(col("key")), lit(numFiles)))
-        // two streaming passes (audit, then write) — NOT a checkpoint:
-        // materializing every payload in memory is exactly what the
-        // O(largest member) shard reader exists to avoid
+        // ONE streaming pass (r15 VERDICT #3): the quarantine audit rides
+        // the write itself — LOSSLESS means loud, not lossy: a quarantined
+        // source shard has already lost members, so the writer counts
+        // valid=false rows in-flight and writeTxn aborts BEFORE commit
+        // (staging is consumer-invisible, so the late abort is exactly as
+        // safe as the old up-front `filter(!valid).count()` pass, minus
+        // that pass's full second read of the source catalog). NOT a
+        // checkpoint either: materializing every payload in memory is
+        // exactly what the O(largest member) shard reader exists to avoid.
         val all = readPublished(spark, srcTable).toDF()
-        // LOSSLESS means loud, not lossy: a quarantined source shard has
-        // already lost members — publishing a clean-looking dst table
-        // over it would swallow the read path's quarantine discipline
-        val nBad = all.filter(!col("valid")).count()
-        require(nBad == 0,
-          s"source table has $nBad quarantined shard rows — repair or " +
-            "re-publish the source before resharding")
-        val m = all.withColumn("fkey", route.cast("long"))
+        // quarantine rows route to shard 0 (their key/name are empty
+        // placeholders, not routable data); the writer never emits them —
+        // they exist only to trip the pre-commit audit
+        val m = all.withColumn("fkey",
+          when(col("valid"), route.cast("long")).otherwise(lit(0L)))
         // md5(payload) tiebreaks duplicate (key, name) members published
         // by distinct txns — without it row_number ties nondeterministically
         // and the output loses its byte-determinism contract
@@ -228,9 +261,9 @@ object TarShardIO {
           .partitionBy("fkey").orderBy(col("key"), col("name"), md5(col("payload")))
         val routed = m
           .withColumn("ord", row_number().over(w).cast("long"))
-          .select("fkey", "ord", "name", "payload")
+          .select("fkey", "ord", "name", "payload", "valid")
         writeTxn(routed, "fkey", "ord", "name", "payload", dstTable,
-          numFiles, txnId, compress)
+          numFiles, txnId, compress, auditValidCol = Some("valid"))
     }
 
   /** Stream the members of every COMMITTED shard of a [[writeTxn]]
@@ -279,11 +312,20 @@ object TarShardIO {
   /** Stream an explicit shard-file list — the shared scan both the
     * directory listing ([[read]]) and the committed-catalog path
     * ([[readPublished]]) drive. */
+  /** Receipt counter: shard-file streams opened by [[readFiles]] since JVM
+    * start — one increment per (file, task attempt). Meaningful in
+    * single-JVM (local-mode) tests only, where it IS the source-read-count
+    * receipt: the r16 single-pass reshard asserts each source shard is
+    * opened exactly once per repack (the audit used to buy a second full
+    * read). One atomic add per FILE; invisible at member granularity. */
+  private[sources] val shardFileOpens = new java.util.concurrent.atomic.AtomicLong
+
   private def readFiles(spark: SparkSession, files: Seq[String]): Dataset[TarEntry] = {
     import spark.implicits._
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     spark.createDataset(files.sorted).flatMap { f =>
+      shardFileOpens.incrementAndGet()
       if (f.endsWith(".tar")) streamFile(f, conf) else streamGzFile(f, conf)
     }
   }

@@ -306,6 +306,22 @@ class TarShardIOSpec extends SparkTestBase {
     assert(e.getMessage.contains("quarantined"), e.getMessage)
   }
 
+  test("reshard is single-pass: each source shard opened exactly once " +
+       "(r15 VERDICT #3 receipt)") {
+    val src = freshDir() + "/src"
+    TarShardIO.writeTxn(members(12), "fkey", "ord", "name", "payload",
+      src, 3, "pub")
+    val dst = freshDir() + "/dst"
+    val before = TarShardIO.shardFileOpens.get()
+    TarShardIO.reshard(spark, src, dst, numFiles = 5, txnId = "re")
+    val opens = TarShardIO.shardFileOpens.get() - before
+    // 3 committed source shards -> exactly 3 stream opens for the whole
+    // repack (the write pass). The old audit-then-write shape opened 6.
+    assert(opens == 3L, s"expected 3 source-shard opens, saw $opens")
+    // and the repack stayed lossless under the in-flight audit
+    assert(TarShardIO.readPublished(spark, dst).count() == 24L)
+  }
+
   test("empty and gzip-header-corrupt .tar.gz quarantine, never kill the read job") {
     // r14 ADVICE: GZIPInputStream reads the gzip header in its
     // CONSTRUCTOR, so these defects used to escape the fetch guard
