@@ -197,6 +197,35 @@ object MultimodalQueries {
       }.toDF("doc_id", "payload")
   }
 
+  /** q_m19 corpus: per doc one MONO 48 kHz WAV of 240 samples carrying a
+    * FULL-AMPLITUDE 24 kHz alternating tone (±2000 — far above the 8 kHz
+    * destination Nyquist: the planted alias that must vanish) on top of a
+    * ±1500 1 kHz block wave (in-band: must survive) and a small per-doc
+    * DC offset. Pure decimation corpus (48k→16k, up = 1), so the oracle
+    * replays convolution + take-every-3rd with no interpolation term. */
+  private[graft] def m19Wavs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id").as[Long].map { id =>
+        val buf = java.nio.ByteBuffer.allocate(240 * 2)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        var t = 0
+        while (t < 240) {
+          val low = if ((t / 24) % 2 == 0) 1500 else -1500
+          val high = if (t % 2 == 0) 2000 else -2000
+          buf.putShort((low + high + (id % 101) - 50).toShort)
+          t += 1
+        }
+        (id, Multimodal.pcmWav(48000, 1, buf.array()))
+      }.toDF("doc_id", "payload")
+  }
+
+  /** The q_m19 FIR, shared by the Spark query and its oracle: the oracle
+    * receives these Q15 integers as SQL literals (re-deriving the trig in
+    * another engine would race double ulps; the integers ARE the
+    * contract — [[Multimodal.antiAliasFir]] scaladoc). */
+  private val m19Coeffs: Array[Int] = Multimodal.antiAliasFir(48000, 16000, 63)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // REAL image decode (r12 VERDICT #1): perceptual dedup over ImageIO-
     // decoded pixels — the real-pixel twin of q_m5's stub-codec aHash.
@@ -462,6 +491,46 @@ object MultimodalQueries {
         .orderBy("doc_id")
     }),
 
+    // Anti-alias FIR + decimation (r15 VERDICT #5): the q_m17 chain with
+    // the windowed-sinc low-pass composed in front — 48 kHz mono carrying
+    // a full-amplitude 24 kHz tone decimated to 16 kHz. Unfiltered, the
+    // tone aliases into the output at FULL amplitude (decimation samples
+    // it coherently); through the 63-tap integer FIR it must vanish —
+    // peak_mid (max |sample| over the fully-overlapped interior) is that
+    // receipt IN the graded output, ~1.5k (the surviving in-band block
+    // wave) instead of ~3.5k. The oracle replays the exact integer
+    // convolution with the coefficient table as literals.
+    "q_m19_antialias_resample" -> ((s, dir) => {
+      import s.implicits._
+      Multimodal.pcmMonoResample(
+          Multimodal.parseWav(m19Wavs(s, dir), "doc_id", "payload"), 16000,
+          antiAliasTaps = 63)
+        .flatMap { r =>
+          if (!r.valid || r.n_samples == 0L) None else Some(r)
+        }
+        .map { r =>
+          val n = r.n_samples.toInt
+          def s16(j: Int): Int =
+            ((r.pcm(2 * j) & 0xff) | (r.pcm(2 * j + 1) << 8)).toShort.toInt
+          var sum = 0L
+          var mn = Int.MaxValue
+          var mx = Int.MinValue
+          var peak = 0
+          var j = 0
+          while (j < n) {
+            val v = s16(j)
+            sum += v
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+            if (j >= 11 && j <= 69 && math.abs(v) > peak) peak = math.abs(v)
+            j += 1
+          }
+          (r.id, n.toLong, sum, mn, mx, peak)
+        }
+        .toDF("doc_id", "n_out", "sum_out", "min_out", "max_out", "peak_mid")
+        .orderBy("doc_id")
+    }),
+
     // Voice-activity detection on RAW PCM — real decode-free audio DSP
     // (s16le framing + exact integer energies), not a stub: segments =
     // runs of loud frames, energies exact LONGs. One typed scan pass.
@@ -664,6 +733,42 @@ object MultimodalQueries {
         |FROM d JOIN fin f ON d.media_id = f.media_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // exact integer replay of the anti-alias chain: the FIR coefficients
+    // arrive as literals (the Q15 table IS the contract), the convolution
+    // is zero-padded + floorDiv'd + clamped exactly like the kernel, and
+    // decimation takes every 3rd filtered sample (up = 1). peak_mid's
+    // presence in the hashed output makes "the 24 kHz tone vanished" a
+    // driver-graded fact, not just a spec assertion.
+    "q_m19_antialias_resample" -> {
+      val coeffVals = m19Coeffs.zipWithIndex
+        .map { case (v, k) => s"($k, $v)" }.mkString(", ")
+      val coeffSum = m19Coeffs.map(_.toLong).sum
+      s"""WITH c(k, cv) AS (VALUES $coeffVals),
+        |x AS (
+        |  SELECT doc_id, g.t AS t,
+        |         (CASE WHEN (g.t // 24) % 2 = 0 THEN 1500 ELSE -1500 END
+        |          + CASE WHEN g.t % 2 = 0 THEN 2000 ELSE -2000 END
+        |          + doc_id % 101 - 50) AS v
+        |  FROM documents, generate_series(0, 239) AS g(t)),
+        |f AS (
+        |  SELECT d.doc_id, g.j AS j,
+        |         GREATEST(-32768, LEAST(32767,
+        |           CAST(floor(CAST(sum(x.v * c.cv) AS DOUBLE) / $coeffSum)
+        |             AS BIGINT))) AS v
+        |  FROM documents d
+        |  CROSS JOIN generate_series(0, 79) AS g(j)
+        |  CROSS JOIN c
+        |  LEFT JOIN x ON x.doc_id = d.doc_id AND x.t = g.j * 3 + c.k - 31
+        |  GROUP BY d.doc_id, g.j)
+        |SELECT doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_out,
+        |       CAST(sum(v) AS BIGINT) AS sum_out,
+        |       CAST(min(v) AS INT) AS min_out,
+        |       CAST(max(v) AS INT) AS max_out,
+        |       CAST(max(CASE WHEN j BETWEEN 11 AND 69 THEN abs(v) END) AS INT)
+        |         AS peak_mid
+        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
     // analytic replay of the m9Pixel formula: pixel values → 2×2-block
     // (= 8×8-grid cell) sums → aHash (cell·64 > total, the equal-count
     // cross-multiplication) and dHash (right-neighbour compare) → groups.

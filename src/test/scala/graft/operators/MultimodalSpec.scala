@@ -296,4 +296,61 @@ class MultimodalSpec extends SparkTestBase {
       16000).collect().head
     assert(!br.valid && br.reason == "bad-rate", s"got $br")
   }
+
+  test("anti-alias FIR: a planted above-Nyquist tone VANISHES through the " +
+       "filter and survives decimation at full amplitude without it") {
+    import spark.implicits._
+    def s16le(vals: Seq[Int]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(vals.size * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      vals.foreach(v => b.putShort(v.toShort))
+      b.array()
+    }
+    def samples(r: Multimodal.ResampledPcm): Seq[Int] =
+      (0 until r.n_samples.toInt).map(j =>
+        ((r.pcm(2 * j) & 0xff) | (r.pcm(2 * j + 1) << 8)).toShort.toInt)
+    def run(pcm: Seq[Int], taps: Int): Seq[Int] =
+      samples(Multimodal.pcmMonoResample(
+        Multimodal.parseWav(
+          Seq((1L, Multimodal.pcmWav(48000, 1, s16le(pcm)))).toDF("id", "wav"),
+          "id", "wav"), 16000, antiAliasTaps = taps).collect().head)
+
+    // pure 24 kHz tone (±2000, the 48 kHz Nyquist alternation — far above
+    // the 8 kHz destination Nyquist): unfiltered decimation samples it
+    // COHERENTLY (every 3rd sample alternates sign) and ships a
+    // full-amplitude 8 kHz alias; the 63-tap FIR kills it (>50 dB Hamming
+    // stopband → < 1% residual)
+    val tone = (0 until 480).map(t => if (t % 2 == 0) 2000 else -2000)
+    val aliased = run(tone, taps = 0)
+    assert(aliased.drop(11).dropRight(11).exists(v => math.abs(v) == 2000),
+      "unfiltered decimation must alias the tone at full amplitude")
+    val filtered = run(tone, taps = 63)
+    val interior = filtered.drop(11).dropRight(11)
+    assert(interior.forall(v => math.abs(v) <= 20),
+      s"24 kHz tone survived the FIR: peak ${interior.map(math.abs).max}")
+
+    // an IN-BAND signal survives: 1 kHz block wave keeps its fundamental
+    // (smoothed corners, amplitude within ~25% of the input)
+    val block = (0 until 480).map(t => if ((t / 24) % 2 == 0) 1500 else -1500)
+    val kept = run(block, taps = 63).drop(11).dropRight(11)
+    assert(kept.map(math.abs).max >= 1100,
+      s"in-band block wave lost its amplitude: ${kept.map(math.abs).max}")
+    // DC gain is exactly 1: a constant signal passes through untouched
+    val dc = run(Seq.fill(480)(1234), taps = 63).drop(11).dropRight(11)
+    assert(dc.forall(_ == 1234), s"DC gain != 1: ${dc.distinct}")
+
+    // taps = 0 (default) is byte-identical to the r15 kernel — q_m17's pin
+    val plain = run(tone, taps = 0)
+    assert(plain == samples(Multimodal.pcmMonoResample(
+      Multimodal.parseWav(
+        Seq((1L, Multimodal.pcmWav(48000, 1, s16le(tone)))).toDF("id", "wav"),
+        "id", "wav"), 16000).collect().head))
+    // upsampling never filters (no aliases to prevent): flag is a no-op
+    def up(taps: Int): Seq[Int] = samples(Multimodal.pcmMonoResample(
+      Multimodal.parseWav(
+        Seq((1L, Multimodal.pcmWav(48000, 1, s16le(block.take(96)))))
+          .toDF("id", "wav"),
+        "id", "wav"), 96000, antiAliasTaps = taps).collect().head)
+    assert(up(63) == up(0))
+  }
 }
