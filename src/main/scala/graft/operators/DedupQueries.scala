@@ -383,8 +383,10 @@ object DedupQueries {
       val entries = (if (src.isDirectory) src.listFiles().sortBy(_.getName).toSeq
                      else Seq(src))
         .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      // PersistentLayout.Fmt in the key (r15 VERDICT #6): a global layout
+      // bump invalidates this cache alongside every other /tmp artifact
       val key = java.security.MessageDigest.getInstance("MD5")
-        .digest((dir +: entries).mkString("|").getBytes("UTF-8"))
+        .digest((PersistentLayout.Fmt +: dir +: entries).mkString("|").getBytes("UTF-8"))
         .map("%02x".format(_)).mkString
       // v2: centroids moved from an in-root `_centroids` sidecar to the
       // sibling `<path>__centroids` dir (keeps "All paths were ignored"

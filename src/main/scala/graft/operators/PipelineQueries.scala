@@ -815,9 +815,13 @@ object PipelineQueries {
     * the table name and the on-disk path (the d6 v2 migration) lands once.
     */
   private[graft] def indexLocation(prefix: String, dir: String,
-                                   version: String): (String, String) = {
+                                   version: String,
+                                   fmt: String = PersistentLayout.Fmt): (String, String) = {
+    // fmt folded into the hash (r15 VERDICT #6): a global layout bump
+    // moves EVERY index's table name and path in one line — old-layout
+    // artifacts become unreachable instead of misread
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      .digest(s"$fmt|$dir".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
     (s"${prefix}_${key}_$version",
       s"${System.getProperty("java.io.tmpdir", "/tmp")}/$prefix/$key-$version")
   }

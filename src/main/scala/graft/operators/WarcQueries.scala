@@ -128,8 +128,11 @@ object WarcQueries {
         Option(f.listFiles()).map(_.map(c => c.length ^ c.lastModified).sum)
           .getOrElse(0L)
       else f.length ^ f.lastModified
+    // PersistentLayout.Fmt in the key (r15 VERDICT #6 — this table had NO
+    // layout version): a future shard-layout/schema change can never
+    // replay stale commits against an old-layout table across rounds
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$dir#$gen".getBytes("UTF-8"))
+      .digest(s"${PersistentLayout.Fmt}|$dir#$gen".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(12)
     val table =
       s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_tarpub/$key"
