@@ -495,6 +495,49 @@ object TextQueries {
         .orderBy("lang")
     }),
 
+    // Unigram-LM tokenizer TRAINING (r15 VERDICT #7; Kudo 2018): seed
+    // substrings → 2 hard-EM rounds (Viterbi re-estimation under the
+    // integer ilog likelihoods) → usage pruning → final prune to 120
+    // pieces. One corpus pass + driver folds (the bpeTrainLocal
+    // discipline). The oracle replays EVERY round analytically — seeding,
+    // both Viterbi DPs (list-state recursive CTEs), both usage backtraces,
+    // both prunes — so one wrong count, score, or tie-break anywhere in
+    // training fails the hash.
+    "q_t41_unigram_train" -> ((s, dir) =>
+      Tokenizer.unigramTrainFrame(docs(s, dir), "text", vocabSize = 120,
+          maxPieceLen = 3, rounds = 2)
+        .orderBy("token_id")),
+
+    // BPE vs unigram FERTILITY on the SAME corpus — the tokenizer-eval
+    // comparison the q_t27 card could not make while only BPE existed:
+    // per-language token mass and tokens-per-word under BOTH trained
+    // tokenizers (BPE: 6 merges, the q_t18/q_t19 contract; unigram: the
+    // q_t41 contract), one row per language. Encodes are row-local
+    // single-node expressions; training reruns in-query so the pair is
+    // self-contained.
+    "q_t42_unigram_fertility" -> ((s, dir) => {
+      val merges = Tokenizer.bpeTrainLocal(docs(s, dir), "text", numMerges = 6)
+      val (model, _) = Tokenizer.unigramTrainLocal(docs(s, dir), "text",
+        vocabSize = 120, maxPieceLen = 3, rounds = 2)
+      val bpe = Tokenizer.bpeEncodeCounts(docs(s, dir), "doc_id", "text", merges)
+        .withColumnRenamed("n_tokens", "n_tokens_bpe")
+      val uni = Tokenizer.unigramEncodeCounts(docs(s, dir), "doc_id", "text", model)
+        .select(col("doc_id"), col("n_tokens").as("n_tokens_uni"))
+      docs(s, dir).select("doc_id", "lang")
+        .join(bpe, "doc_id").join(uni, "doc_id")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_words").as("n_words"),
+          sum("n_tokens_bpe").as("n_tokens_bpe"),
+          sum("n_tokens_uni").as("n_tokens_uni"))
+        .withColumn("fertility_bpe",
+          when(col("n_words") > 0, round(col("n_tokens_bpe") / col("n_words"), 6))
+            .otherwise(lit(0d)))
+        .withColumn("fertility_uni",
+          when(col("n_words") > 0, round(col("n_tokens_uni") / col("n_words"), 6))
+            .otherwise(lit(0d)))
+        .orderBy("lang")
+    }),
+
     // Tokenizer-AWARE sequence packing: the q_t6 bin arithmetic driven by
     // REAL subword counts from the trained BPE (not whitespace tokens) —
     // the packing a trainer actually runs, since its context budget is in
@@ -1011,7 +1054,158 @@ object TextQueries {
        |$stages""".stripMargin
   }
 
+  /** The q_t41/q_t42 unigram-LM training replay (r15 VERDICT #7): seeding,
+    * `rounds` hard-EM rounds — integer ilog scores, Viterbi DP, usage
+    * backtrace, zero-usage pruning — and the final vocab prune, as a CTE
+    * chain. The DP is UNROLLED to `maxW` per-position stages (the
+    * bpeOracleStages discipline) because DuckDB's recursive CTEs silently
+    * yield NULL from a correlated join subquery on the first iteration;
+    * `uw0` fails loudly (string→INT cast) if any corpus word outgrows the
+    * unroll. ilog is the integer piecewise-linear log2 of
+    * [[graft.functions.UnigramCodec]]: `floor(log2)` is exact at powers of
+    * two in both engines, everything else is BIGINT arithmetic. All CTEs
+    * are `u`-prefixed so the chain composes beside the BPE stages in one
+    * WITH. */
+  private def unigramOracleStages(vocabSize: Int, maxLen: Int, rounds: Int,
+                                  maxW: Int = 12): String = {
+    def ilog(x: String): String =
+      s"""(1000 * CAST(floor(log2($x)) AS BIGINT)
+         | + (1000 * ($x - (CAST(1 AS BIGINT) << CAST(floor(log2($x)) AS INT))))
+         | // (CAST(1 AS BIGINT) << CAST(floor(log2($x)) AS INT)))""".stripMargin
+    def dpStages(r: Int, prevCounts: String): String = {
+      val head =
+        s"""ul$r AS MATERIALIZED (
+           |  SELECT piece, ${ilog("(c + 1)")} AS l FROM $prevCounts),
+           |ult$r AS MATERIALIZED (
+           |  SELECT ${ilog("tt")} AS lt FROM (
+           |    SELECT CAST(sum(c + 1) AS BIGINT) AS tt FROM $prevCounts)),
+           |udp${r}_0 AS (
+           |  SELECT word, freq,
+           |         [struct_pack(sc := CAST(0 AS BIGINT), np := 0, k := 0)] AS dps
+           |  FROM uw0)""".stripMargin
+      val dps = (1 to maxW).map { j =>
+        s"""udp${r}_$j AS MATERIALIZED (
+           |  SELECT word, freq,
+           |         CASE WHEN length(word) < $j THEN dps
+           |              ELSE list_append(dps, (
+           |                SELECT struct_pack(
+           |                         sc := dps[$j - t.k + 1].sc + s.l - (SELECT lt FROM ult$r),
+           |                         np := dps[$j - t.k + 1].np + 1, k := t.k)
+           |                FROM unnest(generate_series(1, least($maxLen, $j))) AS t(k)
+           |                JOIN ul$r s ON s.piece = substr(word, $j - t.k + 1, t.k)
+           |                ORDER BY dps[$j - t.k + 1].sc + s.l DESC,
+           |                         dps[$j - t.k + 1].np ASC, t.k DESC
+           |                LIMIT 1)) END AS dps
+           |  FROM udp${r}_${j - 1})""".stripMargin
+      }
+      val bt0 =
+        s"""ubt${r}_0 AS (
+           |  SELECT word, freq, dps, CAST(length(word) AS INT) AS j,
+           |         CAST([] AS VARCHAR[]) AS ps
+           |  FROM udp${r}_$maxW)""".stripMargin
+      val bts = (1 to maxW).map { i =>
+        s"""ubt${r}_$i AS MATERIALIZED (
+           |  SELECT word, freq, dps,
+           |         CASE WHEN j > 0 THEN j - dps[j + 1].k ELSE j END AS j,
+           |         CASE WHEN j > 0
+           |              THEN list_append(ps, substr(word, j - dps[j + 1].k + 1, dps[j + 1].k))
+           |              ELSE ps END AS ps
+           |  FROM ubt${r}_${i - 1})""".stripMargin
+      }
+      val tail =
+        s"""uu$r AS MATERIALIZED (
+           |  SELECT piece, CAST(sum(freq) AS BIGINT) AS c FROM (
+           |    SELECT freq, unnest(ps) AS piece FROM ubt${r}_$maxW)
+           |  GROUP BY 1),
+           |uc$r AS MATERIALIZED (
+           |  SELECT piece, c FROM uu$r
+           |  UNION ALL
+           |  SELECT piece, CAST(0 AS BIGINT) AS c FROM usingles
+           |  WHERE piece NOT IN (SELECT piece FROM uu$r))""".stripMargin
+      (head +: dps :+ bt0) ++ bts :+ tail
+    }.mkString(",\n")
+    val emRounds = (1 to rounds).map(r => dpStages(r, s"uc${r - 1}")).mkString(",\n")
+    s"""uw0 AS MATERIALIZED (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+       |    SELECT unnest(list_filter(string_split(text, ' '), x -> x != '')) AS word
+       |    FROM documents)
+       |  GROUP BY 1
+       |  HAVING 1 = min(CASE WHEN length(word) <= $maxW THEN 1
+       |                      ELSE CAST('word-exceeds-unrolled-DP-depth' AS INT) END)),
+       |usingles AS MATERIALIZED (
+       |  SELECT DISTINCT substr(word, i, 1) AS piece
+       |  FROM uw0, unnest(generate_series(1, length(word))) AS t(i)),
+       |uc0 AS MATERIALIZED (
+       |  SELECT piece, CAST(sum(freq) AS BIGINT) AS c FROM (
+       |    SELECT freq, substr(word, i, k) AS piece
+       |    FROM uw0,
+       |         unnest(generate_series(1, length(word))) AS t(i),
+       |         unnest(generate_series(1, $maxLen)) AS u(k)
+       |    WHERE i + k - 1 <= length(word))
+       |  GROUP BY 1),
+       |$emRounds,
+       |ufin AS MATERIALIZED (
+       |  SELECT piece, c FROM uc$rounds WHERE length(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, c FROM (
+       |    SELECT piece, c, row_number() OVER (ORDER BY c DESC, piece) AS rn
+       |    FROM uc$rounds WHERE length(piece) > 1)
+       |  WHERE rn <= $vocabSize - (SELECT count(*) FROM uc$rounds
+       |                            WHERE length(piece) = 1)),
+       |${dpStages(rounds + 1, "ufin")}""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    // full analytic replay of unigram training: seeding, 2 hard-EM rounds
+    // (integer Viterbi + backtrace usage + pruning), final vocab prune,
+    // final usage pass, id assignment — one wrong integer anywhere in the
+    // chain moves a count or an id and fails the hash
+    "q_t41_unigram_train" ->
+      s"""WITH ${unigramOracleStages(120, 3, 2)},
+         |uart AS (
+         |  SELECT f.piece, coalesce(u.c, 0) AS usage
+         |  FROM ufin f LEFT JOIN uu3 u USING (piece))
+         |SELECT CAST(row_number() OVER (ORDER BY usage DESC, piece) - 1 AS INT)
+         |         AS token_id,
+         |       piece, CAST(usage AS BIGINT) AS usage
+         |FROM uart ORDER BY token_id""".stripMargin,
+
+    // both tokenizers replayed end to end on the same corpus: the BPE
+    // merge chain (q_t18 stages) AND the unigram training chain, then
+    // per-word token counts joined back through every doc's word list
+    "q_t42_unigram_fertility" ->
+      s"""WITH ${bpeOracleStages(6)},
+         |${unigramOracleStages(120, 3, 2)},
+         |wt AS (
+         |  SELECT word,
+         |         len(list_filter(string_split(sym, '  '), x -> x != '')) AS btoks
+         |  FROM s6),
+         |uwt AS (
+         |  SELECT word, dps[length(word) + 1].np AS utoks
+         |  FROM udp3_12),
+         |dw AS (
+         |  SELECT doc_id,
+         |         unnest(list_filter(string_split(text, ' '), x -> x != '')) AS word
+         |  FROM documents),
+         |agg AS (
+         |  SELECT doc_id, count(*) AS n_words, sum(btoks) AS n_tokens_bpe,
+         |         sum(utoks) AS n_tokens_uni
+         |  FROM dw JOIN wt USING (word) JOIN uwt USING (word) GROUP BY 1),
+         |per AS (
+         |  SELECT lang, count(*) AS n_docs,
+         |         CAST(sum(coalesce(n_words, 0)) AS BIGINT) AS n_words,
+         |         CAST(sum(coalesce(n_tokens_bpe, 0)) AS BIGINT) AS n_tokens_bpe,
+         |         CAST(sum(coalesce(n_tokens_uni, 0)) AS BIGINT) AS n_tokens_uni
+         |  FROM documents d LEFT JOIN agg USING (doc_id)
+         |  GROUP BY 1)
+         |SELECT lang, n_docs, n_words, n_tokens_bpe, n_tokens_uni,
+         |       CASE WHEN n_words > 0
+         |            THEN round(CAST(n_tokens_bpe AS DOUBLE) / n_words, 6)
+         |            ELSE 0.0 END AS fertility_bpe,
+         |       CASE WHEN n_words > 0
+         |            THEN round(CAST(n_tokens_uni AS DOUBLE) / n_words, 6)
+         |            ELSE 0.0 END AS fertility_uni
+         |FROM per ORDER BY lang""".stripMargin,
     "q_t0_word_freq" ->
       """SELECT word, count(*) AS n FROM (
         |  SELECT unnest(list_filter(string_split(text, ' '), x -> x != '')) AS word

@@ -358,4 +358,149 @@ object Tokenizer {
     }
     sym.split("  ", -1).filter(_.nonEmpty).toSeq
   }
+
+  // ------------------- unigram-LM trainer (r15 VERDICT #7) -------------------
+
+  /** The unigram-LM training artifact: pieces with their final counts
+    * (ids are positions in (usage desc, piece UTF-8 asc) order) plus the
+    * encode kernel over them. */
+  final case class UnigramModel(pieces: Seq[(String, Long)], maxPieceLen: Int) {
+    def codec: graft.functions.UnigramCodec =
+      new graft.functions.UnigramCodec(pieces.map(_._1).toArray,
+        pieces.map(_._2).toArray, maxPieceLen)
+  }
+
+  /** Unigram-LM (SentencePiece-style) tokenizer trainer — the alternative
+    * to BPE that segments by MAXIMUM LIKELIHOOD over a learned piece
+    * inventory instead of by greedy merge history (Kudo 2018,
+    * arXiv:1804.10959). [[bpeTrainLocal]]'s driver-fold discipline: ONE
+    * corpus pass builds the word-frequency table, everything after is a
+    * vocabulary-sized fold on the driver; scores are the integer
+    * `ilog`-scaled likelihoods of [[graft.functions.UnigramCodec]] so the
+    * oracle replays every round bit-for-bit.
+    *
+    * The HARD-EM variant (Viterbi re-estimation), with usage-based
+    * pruning — the standard engineering simplification of Kudo's
+    * full-lattice EM + likelihood-loss pruning (expected counts over the
+    * single best segmentation instead of the full lattice; both converge
+    * to the same inventory on well-separated corpora, and hard-EM is
+    * exactly replayable in integer arithmetic, which full-lattice
+    * log-sum-exp is not):
+    *
+    *  1. SEED: every substring of length ≤ `maxPieceLen` of every corpus
+    *     word, count = Σ freq(word)·occurrences (overlapping counted).
+    *  2. EM round ×`rounds`: Viterbi-segment every distinct word under
+    *     the current counts ([[graft.functions.UnigramCodec]]'s integer
+    *     scores + tie order); new count(p) = Σ freq(word)·uses. PRUNE
+    *     pieces that no segmentation used — except single characters,
+    *     which are kept (at count 0) for open coverage.
+    *  3. FINAL PRUNE to `vocabSize`: all single chars + the top
+    *     (vocabSize − #chars) multi-char pieces by (count desc, piece
+    *     UTF-8 asc).
+    *  4. The artifact's `usage` is one more Viterbi pass under the final
+    *     inventory; token ids are (usage desc, piece asc) positions.
+    */
+  def unigramTrainFromWordFreq(wordFreq: Seq[(String, Long)], vocabSize: Int,
+                               maxPieceLen: Int = 3,
+                               rounds: Int = 2): (UnigramModel, Seq[(Int, String, Long)]) = {
+    require(vocabSize >= 1 && maxPieceLen >= 1 && rounds >= 1)
+    import scala.collection.mutable
+    def cpSyms(w: String): Array[String] = {
+      val cps = w.codePoints().toArray
+      val a = new Array[String](cps.length)
+      var i = 0
+      while (i < cps.length) { a(i) = new String(Character.toChars(cps(i))); i += 1 }
+      a
+    }
+    val words = wordFreq.map { case (w, f) => (cpSyms(w), w, f) }
+    val singles: Set[String] = words.iterator.flatMap(_._1).toSet
+    // 1. seed counts
+    val seed = mutable.HashMap.empty[String, Long]
+    words.foreach { case (cps, _, f) =>
+      var i = 0
+      while (i < cps.length) {
+        var k = 1
+        val sb = new java.lang.StringBuilder()
+        while (k <= maxPieceLen && i + k <= cps.length) {
+          sb.append(cps(i + k - 1))
+          val p = sb.toString
+          seed.update(p, seed.getOrElse(p, 0L) + f)
+          k += 1
+        }
+        i += 1
+      }
+    }
+    def segmentUsage(counts: Map[String, Long]): mutable.HashMap[String, Long] = {
+      val codec = new graft.functions.UnigramCodec(counts.keys.toArray,
+        counts.keys.toArray.map(counts), maxPieceLen)
+      val usage = mutable.HashMap.empty[String, Long]
+      words.foreach { case (_, w, f) =>
+        codec.tokens(w).foreach(p => usage.update(p, usage.getOrElse(p, 0L) + f))
+      }
+      usage
+    }
+    // 2. EM rounds with usage pruning
+    var counts: Map[String, Long] = seed.toMap
+    (1 to rounds).foreach { _ =>
+      val usage = segmentUsage(counts)
+      counts = usage.toMap ++
+        singles.iterator.filterNot(usage.contains).map(_ -> 0L)
+    }
+    // 3. final prune to vocabSize
+    val multiBudget = math.max(0, vocabSize - singles.size)
+    val keptMulti = counts.iterator
+      .filter { case (p, _) => p.codePointCount(0, p.length) > 1 }
+      .toSeq
+      .sortWith { case ((pa, ca), (pb, cb)) =>
+        ca > cb || (ca == cb && utf8Lt(pa, pb))
+      }
+      .take(multiBudget)
+    val finalCounts =
+      singles.iterator.map(s => s -> counts.getOrElse(s, 0L)).toMap ++ keptMulti
+    // 4. final usage + ids
+    val finalUsage = segmentUsage(finalCounts)
+    val model = UnigramModel(
+      finalCounts.toSeq.sortWith { case ((pa, _), (pb, _)) => utf8Lt(pa, pb) },
+      maxPieceLen)
+    val artifact = finalCounts.keys.toSeq
+      .map(p => (p, finalUsage.getOrElse(p, 0L)))
+      .sortWith { case ((pa, ua), (pb, ub)) =>
+        ua > ub || (ua == ub && utf8Lt(pa, pb))
+      }
+      .zipWithIndex
+      .map { case ((p, u), id) => (id, p, u) }
+    (model, artifact)
+  }
+
+  /** [[unigramTrainFromWordFreq]] over the corpus — one corpus pass, then
+    * driver folds (the [[bpeTrainLocal]] bounded-collect class). */
+  def unigramTrainLocal(docs: DataFrame, textCol: String, vocabSize: Int,
+                        maxPieceLen: Int = 3,
+                        rounds: Int = 2): (UnigramModel, Seq[(Int, String, Long)]) = {
+    val wf = wordFreq(docs, textCol).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    unigramTrainFromWordFreq(wf, vocabSize, maxPieceLen, rounds)
+  }
+
+  /** The training artifact as a DataFrame (token_id, piece, usage). */
+  def unigramTrainFrame(docs: DataFrame, textCol: String, vocabSize: Int,
+                        maxPieceLen: Int = 3, rounds: Int = 2): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    unigramTrainLocal(docs, textCol, vocabSize, maxPieceLen, rounds)
+      ._2.toDF("token_id", "piece", "usage")
+  }
+
+  /** ENCODE under a trained unigram model: per-document token counts —
+    * (idCol, n_words, n_tokens), row-local, zero-shuffle, the piece table
+    * riding as data in ONE codegen'd node (the [[bpeEncodeCounts]]
+    * contract with Viterbi instead of merge replay). */
+  def unigramEncodeCounts(docs: DataFrame, idCol: String, textCol: String,
+                          model: UnigramModel): DataFrame = {
+    val ws = expr(Dedup.tokensExpr(textCol))
+    docs.select(
+      col(idCol),
+      size(ws).cast("long").as("n_words"),
+      graft.functions.UnigramExprs.docTokenCount(ws, model.codec).as("n_tokens"))
+  }
 }
