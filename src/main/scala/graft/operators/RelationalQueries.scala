@@ -736,6 +736,69 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"), dsum("value").as("total_value"))
         .orderBy("hour_start", "event_type")),
 
+    // E7 — STREAMING Misra-Gries heavy hitters under the driver hash (r15
+    // VERDICT #8): the sealed events table replayed through a REAL
+    // Structured Streaming query — file source (one file per microbatch,
+    // so the watermark genuinely advances between batches), watermarked
+    // event-time windows, flatMapGroupsWithState candidates with k = 4
+    // counters against a 5-key universe (slack = 1, theta = 0.25: the
+    // eviction path BINDS — MG must drop a key every window — yet the
+    // pigeonhole bound n/(k+1) = n/5 < 0.25·n keeps every true hitter),
+    // then the exact verification join against the sealed rows. Two
+    // far-future sentinel files push the final watermark past every real
+    // window end, so all real windows seal; the sentinels' own windows
+    // never earn verified rows (their keys aren't in the sealed table).
+    // Output = exact per-window theta-hitters — deterministic whatever
+    // the batch boundaries — so the plain SQL HAVING replay grades the
+    // WHOLE stream path: a dropped candidate, wrong n_total, or
+    // mis-sealed window loses a row and fails the hash.
+    "q_e7_stream_heavy_hitters" -> ((s, dir) => {
+      val events = t(s, dir, "events")
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft_e7_replay").toString
+      val in = s"$stage/in"
+      // ts is TIMESTAMP_NTZ in the sealed table: sentinels must match the
+      // schema exactly or the file-source union refuses the staged files
+      val maxLdt = events.agg(max(col("ts"))).head()
+        .get(0).asInstanceOf[java.time.LocalDateTime]
+      def sentinel(plusDays: Int, tag: String) = {
+        import s.implicits._
+        Seq((-1L, maxLdt.plusDays(plusDays.toLong), -1L, tag, 0.0, ""))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      }
+      events.coalesce(1).write.parquet(s"$in/b1")
+      sentinel(5, "zz_s1").write.parquet(s"$in/b2")
+      sentinel(10, "zz_s2").write.parquet(s"$in/b3")
+      // distinct mtimes pin the file-source batch order: real, s1, s2
+      Seq("b1", "b2", "b3").zipWithIndex.foreach { case (b, i) =>
+        Option(new java.io.File(s"$in/$b").listFiles()).getOrElse(Array.empty)
+          .foreach(f => f.setLastModified(1700000000000L + i * 60000L))
+      }
+      // watermarks require TIMESTAMP; the table is NTZ — cast both the
+      // stream and the verification side identically (session tz is UTC,
+      // so the hourly buckets are the same instants either way)
+      val src = s.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(in)
+        .withColumn("ts", col("ts").cast("timestamp"))
+      val cands = graft.streaming.EventStreams.heavyHitterCandidates(
+        src, "event_type", theta = 0.25, slack = 1,
+        windowSeconds = 3600L, watermark = "2 hours")
+      val sink = s"graft_e7_c_${System.nanoTime()}"
+      val q = cands.writeStream.format("memory").queryName(sink)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+      try q.processAllAvailable() finally q.stop()
+      graft.streaming.EventStreams.verifiedHitters(
+          s.table(sink).toDF(),
+          events.withColumn("ts", col("ts").cast("timestamp")),
+          "event_type", theta = 0.25, windowSeconds = 3600L)
+        .select(
+          date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+          col("event_type"), col("cnt"), col("frac"))
+        .orderBy("hour_start", "event_type")
+    }),
+
     // TS1 — time-series regularization: dense daily grid per event type
     // with forward-filled gaps (sparse high-value observations; 46 of 150
     // grid days are gaps at sf0.01). Two keyed windows + one join.
@@ -1342,6 +1405,23 @@ object RelationalQueries {
         |       event_type, count(*) AS n,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the stream's verified output is EXACT by construction (candidates
+    // only prune; verification recounts), so the oracle is a plain
+    // full-count HAVING per hourly window — the q_a14 discipline lifted
+    // to event-time windows. Every window of the table is sealed (the
+    // sentinels push the final watermark past all real window ends).
+    "q_e7_stream_heavy_hitters" ->
+      """WITH c AS (
+        |  SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT ws, CAST(sum(cnt) AS BIGINT) AS n FROM c GROUP BY 1)
+        |SELECT strftime(c.ws, '%Y-%m-%d %H:%M:%S') AS hour_start,
+        |       c.event_type, CAST(c.cnt AS BIGINT) AS cnt,
+        |       round(CAST(c.cnt AS DOUBLE) / t.n, 6) AS frac
+        |FROM c JOIN t USING (ws)
+        |WHERE c.cnt >= t.n * 0.25
+        |ORDER BY hour_start, event_type""".stripMargin,
 
     "q_ts1_gapfill" ->
       """WITH daily AS (
