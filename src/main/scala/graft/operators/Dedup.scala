@@ -971,6 +971,55 @@ object Dedup {
     s"pigeonhole_keys($hCol, $bits, $chunks, $maxDist)"
   }
 
+  /** The geometry AUTO-DIAL: pick the chunk count minimizing the modeled
+    * work of a pigeonhole join over `n` signatures — the
+    * [[graft.operators.SimilaritySearch.nearDupPairsAuto]] cost-planning
+    * discipline applied to Hamming banding. Work model per candidate
+    * geometry c (m = C(c, maxDist) key expansions, keybits =
+    * bits·(c−maxDist)/c):
+    *
+    *   work(c) ≈ m·n  (explode + shuffle rows)  +  m·n²/2^keybits
+    *             (expected random-collision candidates, each one
+    *             bit_count + filter inside the join)
+    *
+    * Small corpora land on the minimal maxDist+1 banding (the expansion
+    * term dominates — break-even is ~3×10^5 uniform 64-bit signatures at
+    * maxDist 4, receipts in SCALING.md r16); web-scale corpora land on
+    * wide combination keys where the candidate term would otherwise be
+    * quadratic. Clustered real-world signatures shift the break-even
+    * LOWER (collisions above the uniform model), so the model is
+    * conservative in exactly the safe direction at scale. Pure driver
+    * arithmetic over (n, bits, maxDist); recall is 100% at every answer.
+    */
+  def pigeonholeChunksAuto(n: Long, bits: Int, maxDist: Int): Int = {
+    require(n >= 0 && maxDist >= 0 && maxDist < bits)
+    def comb(c: Int, k: Int): Long =
+      (0 until k).foldLeft(1L)((a, i) => a * (c - i) / (i + 1))
+    val candidates = (maxDist + 1) to math.min(bits, 16)
+    candidates
+      .filter(c => comb(c, maxDist) <= 4096)
+      .minBy { c =>
+        val m = comb(c, maxDist).toDouble
+        val keyBits = bits.toDouble * (c - maxDist) / c
+        val buckets = math.pow(2.0, math.min(62.0, keyBits))
+        m * n + m * n.toDouble * n.toDouble / buckets
+      }
+  }
+
+  /** [[hammingNearDuplicates64]] with the geometry chosen by
+    * [[pigeonholeChunksAuto]] from the corpus size — the production entry
+    * point (one count job, then the banded join at the right scale
+    * posture; identical output at every geometry). */
+  def hammingNearDuplicates64Auto(
+      sigs: DataFrame, idCol: String, hashCol: String,
+      maxDist: Int, carry: Seq[String] = Nil): DataFrame = {
+    val n = sigs.count()
+    val c = pigeonholeChunksAuto(n, 64, maxDist)
+    System.err.println(
+      s"hammingNearDuplicates64Auto: n=$n maxDist=$maxDist -> chunks=$c")
+    hammingNearDuplicates64(sigs, idCol, hashCol, maxDist, carry, chunks = c)
+  }
+
   /** SimHash near-duplicates with Hamming distance <= maxDist: the 60-bit
     * signature is banded by [[pigeonholeKeys]], so any pair within
     * maxDist shares at least one combination key — candidates come from
