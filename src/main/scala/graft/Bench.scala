@@ -227,7 +227,11 @@ object Bench {
         if (first > 3.0 ||
             (first > 1.0 && priorSecs.get(name).exists(p => first > 3 * p))) {
           runs += rep()
-          val best = runs.minBy(_._1)
+          // keep the fastest SUCCESSFUL rep (the guard above means the
+          // first rep succeeded): a transient failure in the extra rep
+          // must not replace a healthy run with a fast-failing one
+          // (the r15 kept-window discipline, extended here)
+          val best = runs.filter(_._2.isEmpty).minBy(_._1)
           warmups(name) = runs.map(_._1).sum - best._1
           runs.clear()
           runs += best

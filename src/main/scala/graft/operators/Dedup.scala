@@ -995,7 +995,11 @@ object Dedup {
     require(n >= 0 && maxDist >= 0 && maxDist < bits)
     def comb(c: Int, k: Int): Long =
       (0 until k).foldLeft(1L)((a, i) => a * (c - i) / (i + 1))
-    val candidates = (maxDist + 1) to math.min(bits, 16)
+    // the range always contains maxDist + 1 (its expansion count is
+    // maxDist + 1 <= 4096 for every legal maxDist), so the minBy can
+    // never see an empty set — maxDist >= 16 degrades to the minimal
+    // geometry instead of crashing a domain the fixed dial accepts
+    val candidates = (maxDist + 1) to math.min(bits, math.max(16, maxDist + 1))
     candidates
       .filter(c => comb(c, maxDist) <= 4096)
       .minBy { c =>
@@ -1013,11 +1017,18 @@ object Dedup {
   def hammingNearDuplicates64Auto(
       sigs: DataFrame, idCol: String, hashCol: String,
       maxDist: Int, carry: Seq[String] = Nil): DataFrame = {
-    val n = sigs.count()
-    val c = pigeonholeChunksAuto(n, 64, maxDist)
-    System.err.println(
-      s"hammingNearDuplicates64Auto: n=$n maxDist=$maxDist -> chunks=$c")
-    hammingNearDuplicates64(sigs, idCol, hashCol, maxDist, carry, chunks = c)
+    // persist BEFORE the sizing count: sigs is typically a decode-heavy
+    // frame (image decode -> perceptual hash), and without the cache the
+    // count job and the banded join would each run the full upstream
+    // lineage — one whole extra corpus pass at lake scale
+    val cached = sigs.persist()
+    try {
+      val n = cached.count()
+      val c = pigeonholeChunksAuto(n, 64, maxDist)
+      System.err.println(
+        s"hammingNearDuplicates64Auto: n=$n maxDist=$maxDist -> chunks=$c")
+      hammingNearDuplicates64(cached, idCol, hashCol, maxDist, carry, chunks = c)
+    } finally cached.unpersist()
   }
 
   /** SimHash near-duplicates with Hamming distance <= maxDist: the 60-bit

@@ -441,7 +441,9 @@ object Multimodal {
         val mono =
           if (antiAliasTaps == 0 || dstRate >= w.sample_rate) mixed
           else {
-            val cs = antiAliasFir(w.sample_rate, dstRate, antiAliasTaps)
+            val cs = firCache.computeIfAbsent(
+              (w.sample_rate, dstRate, antiAliasTaps),
+              k => antiAliasFir(k._1, k._2, k._3))
             val s = cs.map(_.toLong).sum
             val m = (antiAliasTaps - 1) / 2
             val f = new Array[Int](n)
@@ -503,6 +505,12 @@ object Multimodal {
     * and external replay (the q_m19 oracle) takes the integers as
     * literals rather than re-deriving trig, so engine ulp differences
     * can't desynchronize the replay. */
+  /** Per-executor coefficient cache keyed by (src, dst, taps) — the
+    * PigeonholeGeometry.get discipline: the trig runs once per geometry
+    * per JVM, the per-row path is table lookups only. */
+  private val firCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Int]]()
+
   def antiAliasFir(srcRate: Int, dstRate: Int, taps: Int): Array[Int] = {
     require(taps >= 3 && taps % 2 == 1, s"taps must be odd >= 3, got $taps")
     require(srcRate > dstRate && dstRate >= 1,

@@ -789,14 +789,24 @@ object RelationalQueries {
       val q = cands.writeStream.format("memory").queryName(sink)
         .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
       try q.processAllAvailable() finally q.stop()
-      graft.streaming.EventStreams.verifiedHitters(
+      // materialize the (hitter-sized) result EAGERLY so the staging dir
+      // and memory sink can be reclaimed before returning — bench reps
+      // must not accrete a parquet copy of the events table per run
+      val out = graft.streaming.EventStreams.verifiedHitters(
           s.table(sink).toDF(),
           events.withColumn("ts", col("ts").cast("timestamp")),
           "event_type", theta = 0.25, windowSeconds = 3600L)
         .select(
           date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
           col("event_type"), col("cnt"), col("frac"))
-        .orderBy("hour_start", "event_type")
+        .localCheckpoint()
+      s.catalog.dropTempView(sink)
+      def rmTree(p: java.io.File): Unit = {
+        Option(p.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+        p.delete()
+      }
+      rmTree(new java.io.File(stage))
+      out.orderBy("hour_start", "event_type")
     }),
 
     // TS1 — time-series regularization: dense daily grid per event type

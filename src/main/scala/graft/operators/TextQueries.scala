@@ -504,8 +504,8 @@ object TextQueries {
     // both prunes — so one wrong count, score, or tie-break anywhere in
     // training fails the hash.
     "q_t41_unigram_train" -> ((s, dir) =>
-      Tokenizer.unigramTrainFrame(docs(s, dir), "text", vocabSize = 120,
-          maxPieceLen = 3, rounds = 2)
+      Tokenizer.unigramTrainFrame(docs(s, dir), "text", vocabSize = UniVocab,
+          maxPieceLen = UniMaxLen, rounds = UniRounds)
         .orderBy("token_id")),
 
     // BPE vs unigram FERTILITY on the SAME corpus — the tokenizer-eval
@@ -518,7 +518,7 @@ object TextQueries {
     "q_t42_unigram_fertility" -> ((s, dir) => {
       val merges = Tokenizer.bpeTrainLocal(docs(s, dir), "text", numMerges = 6)
       val (model, _) = Tokenizer.unigramTrainLocal(docs(s, dir), "text",
-        vocabSize = 120, maxPieceLen = 3, rounds = 2)
+        vocabSize = UniVocab, maxPieceLen = UniMaxLen, rounds = UniRounds)
       val bpe = Tokenizer.bpeEncodeCounts(docs(s, dir), "doc_id", "text", merges)
         .withColumnRenamed("n_tokens", "n_tokens_bpe")
       val uni = Tokenizer.unigramEncodeCounts(docs(s, dir), "doc_id", "text", model)
@@ -1054,6 +1054,15 @@ object TextQueries {
        |$stages""".stripMargin
   }
 
+  /** The q_t41/q_t42 unigram training configuration — ONE definition for
+    * the Spark side, the oracle stage generator, and the oracle's
+    * references to generated CTE names (the udp<rounds+1>_<maxW> final
+    * DP stage), so a setting bump can never desynchronize them. */
+  private val UniVocab = 120
+  private val UniMaxLen = 3
+  private val UniRounds = 2
+  private val UniMaxW = 12
+
   /** The q_t41/q_t42 unigram-LM training replay (r15 VERDICT #7): seeding,
     * `rounds` hard-EM rounds — integer ilog scores, Viterbi DP, usage
     * backtrace, zero-usage pruning — and the final vocab prune, as a CTE
@@ -1161,10 +1170,10 @@ object TextQueries {
     // final usage pass, id assignment — one wrong integer anywhere in the
     // chain moves a count or an id and fails the hash
     "q_t41_unigram_train" ->
-      s"""WITH ${unigramOracleStages(120, 3, 2)},
+      s"""WITH ${unigramOracleStages(UniVocab, UniMaxLen, UniRounds, UniMaxW)},
          |uart AS (
          |  SELECT f.piece, coalesce(u.c, 0) AS usage
-         |  FROM ufin f LEFT JOIN uu3 u USING (piece))
+         |  FROM ufin f LEFT JOIN uu${UniRounds + 1} u USING (piece))
          |SELECT CAST(row_number() OVER (ORDER BY usage DESC, piece) - 1 AS INT)
          |         AS token_id,
          |       piece, CAST(usage AS BIGINT) AS usage
@@ -1175,14 +1184,14 @@ object TextQueries {
     // per-word token counts joined back through every doc's word list
     "q_t42_unigram_fertility" ->
       s"""WITH ${bpeOracleStages(6)},
-         |${unigramOracleStages(120, 3, 2)},
+         |${unigramOracleStages(UniVocab, UniMaxLen, UniRounds, UniMaxW)},
          |wt AS (
          |  SELECT word,
          |         len(list_filter(string_split(sym, '  '), x -> x != '')) AS btoks
          |  FROM s6),
          |uwt AS (
          |  SELECT word, dps[length(word) + 1].np AS utoks
-         |  FROM udp3_12),
+         |  FROM udp${UniRounds + 1}_$UniMaxW),
          |dw AS (
          |  SELECT doc_id,
          |         unnest(list_filter(string_split(text, ' '), x -> x != '')) AS word

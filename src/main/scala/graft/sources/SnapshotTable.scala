@@ -323,7 +323,16 @@ object SnapshotTable {
       headerCache.remove(cacheKey) // stale: vacuumed, or path recreated
     }
     if (identity == null) return None
-    val ch = Files.newByteChannel(p)
+    // stat-then-open race with vacuum: the manifest can vanish between
+    // manifestIdentity() and the open — absent is a legitimate probe
+    // answer (the same contract as the identity == null branch), never
+    // a crash in a commit replay
+    val ch =
+      try Files.newByteChannel(p)
+      catch {
+        case _: java.nio.file.NoSuchFileException |
+             _: java.io.FileNotFoundException => return None
+      }
     val head = try {
       // loop to fill: a single read() may legally return short of the
       // 4096-byte window (r14 ADVICE — a short read that cut before the
