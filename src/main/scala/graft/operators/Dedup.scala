@@ -1031,6 +1031,22 @@ object Dedup {
     } finally cached.unpersist()
   }
 
+  /** [[simHashNearDuplicates]] with the geometry chosen by
+    * [[pigeonholeChunksAuto]] from the corpus size — the text twin of
+    * [[hammingNearDuplicates64Auto]] (the doc count is a metadata-cheap
+    * scan; the signature build itself is persisted inside the banded
+    * join either way). */
+  def simHashNearDuplicatesAuto(
+      docs: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3,
+      family: String = graft.functions.HashFamily.Xx64): DataFrame = {
+    val n = docs.count()
+    val c = pigeonholeChunksAuto(n, 60, maxDist)
+    System.err.println(
+      s"simHashNearDuplicatesAuto: n=$n maxDist=$maxDist -> chunks=$c")
+    simHashNearDuplicates(docs, idCol, textCol, maxDist, family, chunks = c)
+  }
+
   /** SimHash near-duplicates with Hamming distance <= maxDist: the 60-bit
     * signature is banded by [[pigeonholeKeys]], so any pair within
     * maxDist shares at least one combination key — candidates come from

@@ -418,5 +418,9 @@ class DedupSpec extends SparkTestBase {
         maxDist = 3, chunks = 8)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(base == wide)
+    val auto = Dedup.simHashNearDuplicatesAuto(df(corpus), "doc_id", "text",
+        maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(base == auto)
   }
 }
