@@ -132,6 +132,12 @@ final class UnigramCodec(val pieces: Array[String], val counts: Array[Long],
     out.reverseIterator.toArray
   }
 
+  /** [[tokens]] as catalyst ArrayData of UTF8Strings — the codegen entry
+    * (the BpeCodec.tokensOf shape). */
+  def tokensUtf8(word: UTF8String): ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      tokens(word.toString).map(UTF8String.fromString).asInstanceOf[Array[Any]])
+
   /** `Σ countTokens(word)` over an array<string> of words. */
   def countDocTokens(words: ArrayData): Long = {
     var total = 0L
@@ -164,6 +170,30 @@ object UnigramExprs {
     * expression node; the piece table never appears in the plan. */
   def docTokenCount(words: Column, codec: UnigramCodec): Column =
     Bridge.column(UnigramDocTokenCount(Bridge.expression(words), codec))
+
+  /** Viterbi piece array of a single-word string column under `codec`. */
+  def encodeTokens(word: Column, codec: UnigramCodec): Column =
+    Bridge.column(UnigramEncodeTokens(Bridge.expression(word), codec))
+}
+
+/** `tokens(word)` of a string column → array<string> (the Viterbi
+  * segmentation itself, in order). */
+case class UnigramEncodeTokens(child: Expression, codec: UnigramCodec)
+    extends UnaryExpression {
+  override def prettyName: String = "unigram_encode"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string, got ${child.dataType.simpleString}")
+  override protected def nullSafeEval(word: Any): Any =
+    codec.tokensUtf8(word.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("unigramCodec", codec, classOf[UnigramCodec].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.tokensUtf8($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
 }
 
 /** `SUM(viterbi token count(word))` over an `array<string>` → long. */

@@ -508,6 +508,28 @@ object TextQueries {
           maxPieceLen = UniMaxLen, rounds = UniRounds)
         .orderBy("token_id")),
 
+    // Unigram token IDS per word (the q_t37 surface for the unigram
+    // tokenizer): every distinct corpus word's Viterbi segmentation as
+    // (word, pos, token_id, token) under the q_t41 artifact's id
+    // assignment — training + segmentation + id mapping all under one
+    // hash. Encode is the codegen'd Viterbi kernel; the id table
+    // broadcasts (vocabulary-sized).
+    "q_t43_unigram_token_ids" -> ((s, dir) => {
+      import s.implicits._
+      val (model, artifact) = Tokenizer.unigramTrainLocal(docs(s, dir), "text",
+        vocabSize = UniVocab, maxPieceLen = UniMaxLen, rounds = UniRounds)
+      val ids = broadcast(artifact.toDF("token_id", "piece", "usage"))
+      Tokenizer.wordFreq(docs(s, dir), "text")
+        .select(col("word"),
+          posexplode(graft.functions.UnigramExprs
+            .encodeTokens(col("word"), model.codec))
+            .as(Seq("pos", "token")))
+        .join(ids, col("token") === col("piece"))
+        .select(col("word"), col("pos"),
+          col("token_id").cast("long").as("token_id"), col("token"))
+        .orderBy("word", "pos")
+    }),
+
     // BPE vs unigram FERTILITY on the SAME corpus — the tokenizer-eval
     // comparison the q_t27 card could not make while only BPE existed:
     // per-language token mass and tokens-per-word under BOTH trained
@@ -1178,6 +1200,29 @@ object TextQueries {
          |         AS token_id,
          |       piece, CAST(usage AS BIGINT) AS usage
          |FROM uart ORDER BY token_id""".stripMargin,
+
+    // the training replay (q_t41 stages) + the final backtrace's piece
+    // lists REVERSED into word order + the artifact id assignment —
+    // segmentation order, piece identity, and ids all under the hash
+    "q_t43_unigram_token_ids" ->
+      s"""WITH ${unigramOracleStages(UniVocab, UniMaxLen, UniRounds, UniMaxW)},
+         |uart AS (
+         |  SELECT f.piece, coalesce(u.c, 0) AS usage
+         |  FROM ufin f LEFT JOIN uu${UniRounds + 1} u USING (piece)),
+         |uids AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY usage DESC, piece) - 1
+         |           AS BIGINT) AS token_id, piece
+         |  FROM uart),
+         |tk AS (
+         |  SELECT word, x['pos'] AS pos, x['tok'] AS tok FROM (
+         |    SELECT word,
+         |           unnest(list_transform(list_reverse(ps),
+         |                  (t, i) -> {'pos': i - 1, 'tok': t})) AS x
+         |    FROM ubt${UniRounds + 1}_$UniMaxW))
+         |SELECT tk.word, CAST(tk.pos AS INTEGER) AS pos, v.token_id,
+         |       tk.tok AS token
+         |FROM tk JOIN uids v ON tk.tok = v.piece
+         |ORDER BY word, pos""".stripMargin,
 
     // both tokenizers replayed end to end on the same corpus: the BPE
     // merge chain (q_t18 stages) AND the unigram training chain, then
