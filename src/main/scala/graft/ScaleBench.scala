@@ -854,6 +854,16 @@ object ScaleBench {
         sources.TarShardIO.publishedShards(s, s"$out/dst")
           .agg(count(lit(1)).as("n_shards"), sum("n_members").as("n"))
       })) :+
+      // Unigram-LM training (round 16): the q_t41 shape — ONE corpus
+      // pass builds the word-frequency table, then every EM round is a
+      // driver fold over the DISTINCT-WORD table. The receipt: wall is
+      // FLAT in corpus size (the synth corpus's vocabulary doesn't grow
+      // with docs), because nothing after the first aggregation ever
+      // touches corpus-sized data — the bpeTrainLocal scale posture.
+      ("unigram_train_scale" -> ((s: SparkSession, d: String) =>
+        operators.Tokenizer.unigramTrainFrame(
+          s.read.parquet(s"$d/documents.parquet"), "text",
+          vocabSize = 120, maxPieceLen = 3, rounds = 2))) :+
       // PCM mixdown + rational resample (round 15): the q_m17 shape —
       // stereo 48k WAVs through parse → mono 32k. Pure row-local integer
       // DSP: wall must track the scan, zero shuffle beyond the count.
