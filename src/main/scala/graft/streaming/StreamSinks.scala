@@ -42,4 +42,32 @@ object StreamSinks {
     df.withColumn("batch_id", lit(batchId))
       .write.mode("append").jdbc(url, table, props)
   }
+
+  /** Exactly-once tar/WebDataset micro-batch delivery (round 16): each
+    * micro-batch's members commit as a shard set through
+    * [[graft.sources.TarShardIO.writeTxn]] under a batch-id-derived txn
+    * id — a re-executed micro-batch settles as a committed-txn no-op
+    * WITHOUT re-shipping a byte (and a crash between staging and commit
+    * converges to byte-identical shards on replay, the writeTxn
+    * contract), so this sink needs no delete-then-append dance: the
+    * atomic metadata commit IS the idempotence. Consumers stream the
+    * committed union via `readPublished`; half-delivered batches are
+    * invisible. This is the training-data egress shape at 100 TB/day —
+    * curated samples flowing continuously into loader-ready WebDataset
+    * shards with exactly-once semantics end to end (checkpointed source
+    * offsets × idempotent txn commits).
+    *
+    * `df` must carry the [[graft.sources.TarShardIO.writeTxn]] member
+    * columns; `numFiles` is shards PER MICRO-BATCH (route by key stem
+    * upstream to keep sample adjacency within the batch).
+    */
+  def tarTxnSink(tableDir: String, numFiles: Int, txnPrefix: String,
+                 fileKeyCol: String = "fkey", sortCol: String = "ord",
+                 nameCol: String = "name", payloadCol: String = "payload",
+                 compress: Boolean = false): (DataFrame, Long) => Unit =
+    (df, batchId) => {
+      graft.sources.TarShardIO.writeTxn(df, fileKeyCol, sortCol, nameCol,
+        payloadCol, tableDir, numFiles, s"$txnPrefix-b$batchId", compress)
+      ()
+    }
 }

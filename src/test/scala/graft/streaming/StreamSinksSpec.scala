@@ -38,4 +38,47 @@ class StreamSinksSpec extends SparkTestBase {
       assert(read().select("event_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
     } finally q.stop()
   }
+
+  test("tar txn sink: micro-batches commit shards exactly once — replays " +
+       "settle as no-ops, half-delivered batches invisible") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sources.TarShardIO
+    val table = Files.createTempDirectory("sink-tar").toString + "/t"
+    def member(id: Long) = (id % 2, id,
+      f"$id%08d.txt", s"doc-$id".getBytes("UTF-8"))
+    val sink = StreamSinks.tarTxnSink(table, numFiles = 2, txnPrefix = "cur")
+
+    val input = MemoryStream[Long]
+    val q = input.toDS()
+      .map(member)
+      .toDF("fkey", "ord", "name", "payload")
+      .writeStream.foreachBatch(sink).start()
+    try {
+      input.addData(1L, 2L, 3L)
+      q.processAllAvailable()
+      input.addData(4L, 5L)
+      q.processAllAvailable()
+      def published() = TarShardIO.readPublished(spark, table).collect()
+        .map(e => e.name -> new String(e.payload, "UTF-8")).sorted.toSeq
+      val after2 = published()
+      assert(after2.map(_._2) == (1L to 5L).map(i => s"doc-$i"))
+
+      // failure replay of batch 1 (same batchId, same data): the txn
+      // settles committed — no new shards, catalog byte-stable
+      val catBefore = TarShardIO.publishedShards(spark, table)
+        .collect().map(_.toString).sorted.toSeq
+      val replay = spark.createDataset(Seq(4L, 5L)).map(member)
+        .toDF("fkey", "ord", "name", "payload")
+      sink(replay, 1L)
+      assert(published() == after2, "replayed micro-batch duplicated members")
+      assert(TarShardIO.publishedShards(spark, table)
+        .collect().map(_.toString).sorted.toSeq == catBefore)
+
+      // a NEW batch id appends its own shard set
+      sink(spark.createDataset(Seq(6L)).map(member)
+        .toDF("fkey", "ord", "name", "payload"), 2L)
+      assert(published().map(_._2) == (1L to 6L).map(i => s"doc-$i"))
+    } finally q.stop()
+  }
 }
