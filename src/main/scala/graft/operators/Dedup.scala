@@ -1040,11 +1040,18 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 3,
       family: String = graft.functions.HashFamily.Xx64): DataFrame = {
-    val n = docs.count()
-    val c = pigeonholeChunksAuto(n, 60, maxDist)
-    System.err.println(
-      s"simHashNearDuplicatesAuto: n=$n maxDist=$maxDist -> chunks=$c")
-    simHashNearDuplicates(docs, idCol, textCol, maxDist, family, chunks = c)
+    // persist BEFORE the sizing count (the hamming twin's discipline):
+    // docs is typically a derived frame (parsed/filtered text), and the
+    // count would otherwise re-run its full lineage beside the signature
+    // build's own pass
+    val cached = docs.persist()
+    try {
+      val n = cached.count()
+      val c = pigeonholeChunksAuto(n, 60, maxDist)
+      System.err.println(
+        s"simHashNearDuplicatesAuto: n=$n maxDist=$maxDist -> chunks=$c")
+      simHashNearDuplicates(cached, idCol, textCol, maxDist, family, chunks = c)
+    } finally cached.unpersist()
   }
 
   /** SimHash near-duplicates with Hamming distance <= maxDist: the 60-bit

@@ -765,17 +765,18 @@ object RelationalQueries {
         .createTempDirectory("graft_e7_replay").toString
       val in = s"$stage/in"
       // ts is TIMESTAMP_NTZ in the sealed table: sentinels must match the
-      // schema exactly or the file-source union refuses the staged files
-      val maxLdt = events.agg(max(col("ts"))).head()
-        .get(0).asInstanceOf[java.time.LocalDateTime]
+      // schema exactly or the file-source union refuses the staged files.
+      // Sentinel instants derive ARITHMETICALLY from the slice bound (no
+      // max scan needed: every sliced event is < minLdt+7d, so +12d/+17d
+      // sit far past every window end plus the 2 h watermark delay)
       def sentinel(plusDays: Int, tag: String) = {
         import s.implicits._
-        Seq((-1L, maxLdt.plusDays(plusDays.toLong), -1L, tag, 0.0, ""))
+        Seq((-1L, minLdt.plusDays(plusDays.toLong), -1L, tag, 0.0, ""))
           .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       }
       events.coalesce(1).write.parquet(s"$in/b1")
-      sentinel(5, "zz_s1").write.parquet(s"$in/b2")
-      sentinel(10, "zz_s2").write.parquet(s"$in/b3")
+      sentinel(12, "zz_s1").write.parquet(s"$in/b2")
+      sentinel(17, "zz_s2").write.parquet(s"$in/b3")
       // distinct mtimes pin the file-source batch order: real, s1, s2
       Seq("b1", "b2", "b3").zipWithIndex.foreach { case (b, i) =>
         Option(new java.io.File(s"$in/$b").listFiles()).getOrElse(Array.empty)
@@ -1436,8 +1437,10 @@ object RelationalQueries {
     // the stream's verified output is EXACT by construction (candidates
     // only prune; verification recounts), so the oracle is a plain
     // full-count HAVING per hourly window — the q_a14 discipline lifted
-    // to event-time windows. Every window of the table is sealed (the
-    // sentinels push the final watermark past all real window ends).
+    // to event-time windows over the query's 7-DAY SLICE (first 7 days
+    // of the table, 168 hourly windows — mirrored in the e7 CTE). Every
+    // window of the slice is sealed (the sentinels push the final
+    // watermark past all sliced window ends).
     "q_e7_stream_heavy_hitters" ->
       """WITH e7 AS (
         |  SELECT * FROM events

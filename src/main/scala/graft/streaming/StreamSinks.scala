@@ -60,14 +60,26 @@ object StreamSinks {
     * `df` must carry the [[graft.sources.TarShardIO.writeTxn]] member
     * columns; `numFiles` is shards PER MICRO-BATCH (route by key stem
     * upstream to keep sample adjacency within the batch).
+    *
+    * **`txnAppId` is the Delta `txn.appId` discipline and MUST be unique
+    * per (checkpoint location, destination table) pair** — the txn id is
+    * `appId-b<batchId>`, and batch ids are only meaningful within one
+    * checkpoint lifetime. Restarting a query against the same table with
+    * a FRESH checkpoint but a reused appId restarts batch ids at 0, and
+    * every batch whose id was already committed settles as a no-op: NEW
+    * data silently dropped. Tie the appId to the checkpoint (e.g. a hash
+    * of its path, or a per-deployment constant that changes when the
+    * checkpoint does). A per-run random component would be WRONG the
+    * other way — a crash-replayed batch from the SAME checkpoint would
+    * get a new txn id and commit twice.
     */
-  def tarTxnSink(tableDir: String, numFiles: Int, txnPrefix: String,
+  def tarTxnSink(tableDir: String, numFiles: Int, txnAppId: String,
                  fileKeyCol: String = "fkey", sortCol: String = "ord",
                  nameCol: String = "name", payloadCol: String = "payload",
                  compress: Boolean = false): (DataFrame, Long) => Unit =
     (df, batchId) => {
       graft.sources.TarShardIO.writeTxn(df, fileKeyCol, sortCol, nameCol,
-        payloadCol, tableDir, numFiles, s"$txnPrefix-b$batchId", compress)
+        payloadCol, tableDir, numFiles, s"$txnAppId-b$batchId", compress)
       ()
     }
 }

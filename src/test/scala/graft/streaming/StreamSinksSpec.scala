@@ -47,7 +47,7 @@ class StreamSinksSpec extends SparkTestBase {
     val table = Files.createTempDirectory("sink-tar").toString + "/t"
     def member(id: Long) = (id % 2, id,
       f"$id%08d.txt", s"doc-$id".getBytes("UTF-8"))
-    val sink = StreamSinks.tarTxnSink(table, numFiles = 2, txnPrefix = "cur")
+    val sink = StreamSinks.tarTxnSink(table, numFiles = 2, txnAppId = "cur")
 
     val input = MemoryStream[Long]
     val q = input.toDS()
