@@ -993,8 +993,24 @@ object Dedup {
     */
   def pigeonholeChunksAuto(n: Long, bits: Int, maxDist: Int): Int = {
     require(n >= 0 && maxDist >= 0 && maxDist < bits)
-    def comb(c: Int, k: Int): Long =
-      (0 until k).foldLeft(1L)((a, i) => a * (c - i) / (i + 1))
+    // symmetric form + saturation: C(c, k) = C(c, c-k), and the candidate
+    // range keeps c - maxDist small, so reducing k to min(k, c-k) bounds the
+    // running product for every legal maxDist (< bits). If an intermediate
+    // would still overflow Long, saturate to Long.MaxValue — the <= 4096
+    // filter then rejects that geometry instead of comparing garbage, so
+    // the c = maxDist + 1 candidate (C = maxDist + 1) always survives.
+    def comb(c: Int, k0: Int): Long = {
+      val k = math.min(k0, c - k0)
+      var a = 1L
+      var i = 0
+      while (i < k) {
+        val num = c - i
+        if (a > Long.MaxValue / num) return Long.MaxValue
+        a = a * num / (i + 1)
+        i += 1
+      }
+      a
+    }
     // the range always contains maxDist + 1 (its expansion count is
     // maxDist + 1 <= 4096 for every legal maxDist), so the minBy can
     // never see an empty set — maxDist >= 16 degrades to the minimal

@@ -385,10 +385,12 @@ object PipelineQueries {
         dels.unionByName(ins), Seq("o_year", "o_orderstatus"),
         countCol = "n_orders", sumCols = Map("revenue" -> col("rev")),
         partitionCols = Seq("o_year"), deleteCol = Some("_del"))
-      s.read.parquet(path)
-        .select(col("o_year").cast("int").as("o_year"), col("o_orderstatus"),
-          col("n_orders"), col("revenue").cast("double").as("revenue"))
-        .orderBy("o_year", "o_orderstatus")
+      RunDirs.seal(
+        s.read.parquet(path)
+          .select(col("o_year").cast("int").as("o_year"), col("o_orderstatus"),
+            col("n_orders"), col("revenue").cast("double").as("revenue"))
+          .orderBy("o_year", "o_orderstatus"),
+        path)
     }),
 
     // Snapshot-table TIME TRAVEL (r11 VERDICT #2): v1 = the base orders
@@ -423,7 +425,8 @@ object PipelineQueries {
               .cast("long")) / 100.0).as("revenue"))
           .select(lit(v.toInt).as("version"), col("o_year"),
             col("n_orders"), col("revenue"))
-      snap(1L).unionByName(snap(2L)).orderBy("version", "o_year")
+      RunDirs.seal(
+        snap(1L).unionByName(snap(2L)).orderBy("version", "o_year"), path)
     }),
 
     // Snapshot-atomic AGGREGATE maintenance (the q_l3 delta algebra with
@@ -457,8 +460,10 @@ object PipelineQueries {
           .select(lit(v.toInt).as("version"),
             col("o_year").cast("int").as("o_year"), col("o_orderstatus"),
             col("n_orders"), col("revenue").cast("double").as("revenue"))
-      snap(1L).unionByName(snap(2L))
-        .orderBy("version", "o_year", "o_orderstatus")
+      RunDirs.seal(
+        snap(1L).unionByName(snap(2L))
+          .orderBy("version", "o_year", "o_orderstatus"),
+        path)
     }),
 
     // Manifest COLUMN-STATS file skipping (r12 VERDICT #2): the orders
@@ -476,15 +481,17 @@ object PipelineQueries {
       graft.sources.SnapshotTable.commitOverwrite(base, path, Nil,
         filesPerPartition = 16, clusterBy = Seq(col("o_custkey")),
         statsCols = Seq("o_custkey"))
-      graft.sources.SnapshotTable.readSnapshot(s, path,
-          statsPruning = st =>
-            graft.sources.ColStats.overlaps(st, "o_custkey", "500", "1200"))
-        .filter(col("o_custkey").between(500L, 1200L))
-        .groupBy("o_orderstatus")
-        .agg(count(lit(1)).as("n_orders"),
-          (sum((col("o_totalprice").cast("decimal(18,2)") * 100)
-            .cast("long")) / 100.0).as("revenue"))
-        .orderBy("o_orderstatus")
+      RunDirs.seal(
+        graft.sources.SnapshotTable.readSnapshot(s, path,
+            statsPruning = st =>
+              graft.sources.ColStats.overlaps(st, "o_custkey", "500", "1200"))
+          .filter(col("o_custkey").between(500L, 1200L))
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_orders"),
+            (sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+              .cast("long")) / 100.0).as("revenue"))
+          .orderBy("o_orderstatus"),
+        path)
     }),
 
     // MERGE-ON-READ delete (r12 VERDICT #5): v2 removes the %13 keys as
@@ -509,7 +516,8 @@ object PipelineQueries {
               .cast("long")) / 100.0).as("revenue"))
           .select(lit(v.toInt).as("version"), col("o_year"),
             col("n_orders"), col("revenue"))
-      snap(1L).unionByName(snap(2L)).orderBy("version", "o_year")
+      RunDirs.seal(
+        snap(1L).unionByName(snap(2L)).orderBy("version", "o_year"), path)
     }),
 
     // CDC CHANGES read (r12 VERDICT #6): v2 = mergeUpsert (%5 price
@@ -542,13 +550,15 @@ object PipelineQueries {
       graft.sources.SnapshotTable.commitDeleteByKeys(s, path,
         base.filter(col("o_orderkey") % 13 === 0).select("o_orderkey"),
         Seq("o_orderkey"))
-      graft.sources.SnapshotTable.changes(s, path, 1L, 3L)
-        .groupBy(col("_change_type").as("change_type"),
-          col("o_year").cast("int").as("o_year"))
-        .agg(count(lit(1)).as("n_rows"),
-          (sum((col("o_totalprice").cast("decimal(18,2)") * 100)
-            .cast("long")) / 100.0).as("revenue"))
-        .orderBy("change_type", "o_year")
+      RunDirs.seal(
+        graft.sources.SnapshotTable.changes(s, path, 1L, 3L)
+          .groupBy(col("_change_type").as("change_type"),
+            col("o_year").cast("int").as("o_year"))
+          .agg(count(lit(1)).as("n_rows"),
+            (sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+              .cast("long")) / 100.0).as("revenue"))
+          .orderBy("change_type", "o_year"),
+        path)
     }),
 
     // followChanges E2E under the hash gate (round 13): the incremental
@@ -596,8 +606,10 @@ object PipelineQueries {
         Seq("o_orderkey"))
       follow(2) // fused (1, 3] range
       follow(3) // caught up: must emit NO row
-      rounds.toSeq.toDF("round", "v_from", "v_to", "n_inserts", "n_deletes")
-        .orderBy("round")
+      RunDirs.seal(
+        rounds.toSeq.toDF("round", "v_from", "v_to", "n_inserts", "n_deletes")
+          .orderBy("round"),
+        root)
     }),
 
     // NAMED REFS lifecycle (round 14): branch/tag pointers driven through
@@ -634,7 +646,8 @@ object PipelineQueries {
           .select(lit(ref).as("ref"),
             lit(st.refVersion(path, ref).get.toInt).as("ref_version"),
             col("o_year"), col("n_orders"), col("revenue"))
-      agg("rel").unionByName(agg("exp")).orderBy("ref", "o_year")
+      RunDirs.seal(
+        agg("rel").unionByName(agg("exp")).orderBy("ref", "o_year"), path)
     }),
 
     // Metadata-ONLY aggregates (r14 VERDICT #2): per-partition file/row
@@ -658,15 +671,17 @@ object PipelineQueries {
         base.filter(col("o_orderkey") % 5 === 0)
           .withColumn("o_orderkey", col("o_orderkey") + lit(700000000L)),
         path, Seq("o_year"), statsCols = statsCols)
-      st.metadataAggregate(s, path, statsCols)
-        .select(
-          expr("CAST(split(part_spec, '=')[1] AS INT)").as("o_year"),
-          col("n_files"), col("n_rows"),
-          expr("CAST(mins['o_orderkey'] AS BIGINT)").as("min_key"),
-          expr("CAST(maxs['o_orderkey'] AS BIGINT)").as("max_key"),
-          expr("CAST(mins['o_totalprice'] AS DOUBLE)").as("min_price"),
-          expr("CAST(maxs['o_totalprice'] AS DOUBLE)").as("max_price"))
-        .orderBy("o_year")
+      RunDirs.seal(
+        st.metadataAggregate(s, path, statsCols)
+          .select(
+            expr("CAST(split(part_spec, '=')[1] AS INT)").as("o_year"),
+            col("n_files"), col("n_rows"),
+            expr("CAST(mins['o_orderkey'] AS BIGINT)").as("min_key"),
+            expr("CAST(maxs['o_orderkey'] AS BIGINT)").as("max_key"),
+            expr("CAST(mins['o_totalprice'] AS DOUBLE)").as("min_price"),
+            expr("CAST(maxs['o_totalprice'] AS DOUBLE)").as("max_price"))
+          .orderBy("o_year"),
+        path)
     }),
 
     "q_l1_merge_upsert" -> ((s, dir) => {

@@ -799,14 +799,20 @@ object RelationalQueries {
       // overhead — run the stream at 8 partitions and restore after (at
       // production scale the dial goes the other way, with the key
       // universe; the operator itself is partitioning-agnostic)
+      // hold the 8-partition conf until the stream has actually DRAINED:
+      // batch-0 planning (which pins the state-store partition count) is
+      // async after start(), so restoring in a finally right at start()
+      // races it — keep the override through processAllAvailable() and
+      // restore alongside stop()
       val priorParts = s.conf.get("spark.sql.shuffle.partitions")
-      val q =
-        try {
-          s.conf.set("spark.sql.shuffle.partitions", "8")
-          cands.writeStream.format("memory").queryName(sink)
-            .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
-        } finally s.conf.set("spark.sql.shuffle.partitions", priorParts)
-      try q.processAllAvailable() finally q.stop()
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = cands.writeStream.format("memory").queryName(sink)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+      try q.processAllAvailable()
+      finally {
+        q.stop()
+        s.conf.set("spark.sql.shuffle.partitions", priorParts)
+      }
       // materialize the (hitter-sized) result EAGERLY so the staging dir
       // and memory sink can be reclaimed before returning — bench reps
       // must not accrete a parquet copy of the events table per run

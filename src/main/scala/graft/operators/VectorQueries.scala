@@ -176,9 +176,11 @@ object VectorQueries {
       val idx = s"${System.getProperty("java.io.tmpdir", "/tmp")}" +
         s"/graft_ivfidx/run-${System.nanoTime()}"
       VectorOps.ivfPqWriteIndex(codes, idx)
-      VectorOps.ivfPqTopKIndexed(corpus, idx, "vec_id", "embedding",
-          model, queryVec, k = 10, nprobe = 4, margin = 32)
-        .orderBy(col("cosine").desc, col("vec_id"))
+      RunDirs.seal(
+        VectorOps.ivfPqTopKIndexed(corpus, idx, "vec_id", "embedding",
+            model, queryVec, k = 10, nprobe = 4, margin = 32)
+          .orderBy(col("cosine").desc, col("vec_id")),
+        idx)
     }),
 
     // Grouped vector aggregation: per-label centroid (class prototype),

@@ -177,14 +177,16 @@ object WarcQueries {
       // corrupted — OUR CRC must be the one that catches the flip
       java.nio.file.Files.deleteIfExists(
         java.nio.file.Paths.get(s"$out/.part-00003.tfrecord.crc"))
-      graft.sources.TfRecordIO.read(s, out).toDF()
-        .selectExpr(
-          """CASE WHEN valid
-            |     THEN CAST(split(decode(payload, 'UTF-8'), '\\|')[0] AS BIGINT)
-            |     ELSE -CAST(regexp_extract(file, 'part-0*([0-9]+)', 1) AS BIGINT) - 1
-            |END AS key""".stripMargin,
-          "CASE WHEN valid THEN md5(payload) ELSE reason END AS val")
-        .orderBy("key")
+      RunDirs.seal(
+        graft.sources.TfRecordIO.read(s, out).toDF()
+          .selectExpr(
+            """CASE WHEN valid
+              |     THEN CAST(split(decode(payload, 'UTF-8'), '\\|')[0] AS BIGINT)
+              |     ELSE -CAST(regexp_extract(file, 'part-0*([0-9]+)', 1) AS BIGINT) - 1
+              |END AS key""".stripMargin,
+            "CASE WHEN valid THEN md5(payload) ELSE reason END AS val")
+          .orderBy("key"),
+        out)
     }),
 
     // TAR/WEBDATASET shards (round 14): per-doc .txt + .cls members
@@ -227,7 +229,7 @@ object WarcQueries {
           lit(-1L).as("n_members"),
           lit(null).cast("string").as("txt_md5"),
           lit(null).cast("string").as("cls_md5"))
-      good.unionByName(bad).orderBy("key")
+      RunDirs.seal(good.unionByName(bad).orderBy("key"), out)
     }),
 
     // EXACTLY-ONCE PUBLISHING under the hash (round 15): three waves
@@ -309,12 +311,14 @@ object WarcQueries {
         .select(col("key"),
           regexp_extract(col("file"), "shard-0*([0-9]+)", 1).cast("int")
             .as("shard"))
-      graft.sources.TarShardIO.samples(entries)
-        .join(shards, Seq("key"))
-        .select(col("key"), col("shard"), col("n_members"),
-          md5(element_at(col("members"), "txt")).as("txt_md5"),
-          md5(element_at(col("members"), "json")).as("json_md5"))
-        .orderBy("key")
+      RunDirs.seal(
+        graft.sources.TarShardIO.samples(entries)
+          .join(shards, Seq("key"))
+          .select(col("key"), col("shard"), col("n_members"),
+            md5(element_at(col("members"), "txt")).as("txt_md5"),
+            md5(element_at(col("members"), "json")).as("json_md5"))
+          .orderBy("key"),
+        out)
     }),
 
     // WARC record split: constructed gzip segments -> records with exact

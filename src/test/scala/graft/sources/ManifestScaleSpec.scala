@@ -56,6 +56,17 @@ class ManifestScaleSpec extends SparkTestBase {
     ts.sorted.apply(reps / 2)
   }
 
+  /** Wall-clock bounds are perf RECEIPTS, not correctness (r16 ADVICE #3):
+    * on a loaded shared box even generous slack can flake. They hard-fail
+    * only when GRAFT_PERF_RECEIPTS=1 (how the curve is recertified for
+    * SCALING.md); otherwise a violation is surfaced loudly via alert()
+    * without failing the suite. Functional assertions above stay hard
+    * either way. */
+  private val strictTiming = sys.env.get("GRAFT_PERF_RECEIPTS").contains("1")
+  private def assertTiming(cond: => Boolean, msg: => String): Unit =
+    if (strictTiming) assert(cond, msg)
+    else if (!cond) alert(s"perf receipt exceeded (non-strict run): $msg")
+
   test("manifest parse + metadata aggregate stay linear to 1e5 entries") {
     val sizes = Seq(1000, 10000, 100000)
     val results = sizes.map { n =>
@@ -74,13 +85,13 @@ class ManifestScaleSpec extends SparkTestBase {
     val (_, p4, a4) = results(1)
     val (_, p5, a5) = results(2)
     // absolute sanity: a 15 MB / 1e5-entry manifest parses well under 2 s
-    assert(p5 < 2.0, f"1e5-entry parse took $p5%.2f s")
-    assert(a5 < 3.0, f"1e5-entry metadataAggregate took $a5%.2f s")
+    assertTiming(p5 < 2.0, f"1e5-entry parse took $p5%.2f s")
+    assertTiming(a5 < 3.0, f"1e5-entry metadataAggregate took $a5%.2f s")
     // linearity: 10x entries <= ~30x wall (3x slack for GC/alloc jitter on
     // sub-100ms numbers). A bending curve here is the signal to add the
     // Iceberg-style manifest-list layer.
-    assert(p5 < 30 * p4 + 0.1, f"parse bends: 1e4=$p4%.3f s -> 1e5=$p5%.3f s")
-    assert(a5 < 30 * a4 + 0.1, f"aggregate bends: 1e4=$a4%.3f s -> 1e5=$a5%.3f s")
+    assertTiming(p5 < 30 * p4 + 0.1, f"parse bends: 1e4=$p4%.3f s -> 1e5=$p5%.3f s")
+    assertTiming(a5 < 30 * a4 + 0.1, f"aggregate bends: 1e4=$a4%.3f s -> 1e5=$a5%.3f s")
   }
 
   test("pruned readSnapshot: 1e4 cold entries ride the parse, never the plan") {
@@ -118,7 +129,7 @@ class ManifestScaleSpec extends SparkTestBase {
     // the 1e4 extra entries may add parse cost (linear, ~10 ms class) but
     // never a planning term: the wall must stay within the baseline plus
     // a generous parse+jitter allowance, nowhere near 100x
-    assert(withFakes < baseline * 3 + 0.5,
+    assertTiming(withFakes < baseline * 3 + 0.5,
       f"pruned read no longer tracks kept files: $baseline%.3f s -> $withFakes%.3f s")
   }
 }
