@@ -684,6 +684,140 @@ object PipelineQueries {
         path)
     }),
 
+    // FIELD-ID SCHEMA EVOLUTION (r16 VERDICT #2): the full Iceberg-class
+    // lifecycle under the driver hash — v1 commits the base table, v2
+    // RENAMES o_totalprice to price and ADDS segment, v3 appends rows
+    // that carry both, v4 DROPS segment, v5 RE-ADDS the same name. The
+    // two graded reads pin the semantics field ids exist for: at v3 the
+    // renamed column must read the OLD files' o_totalprice values (same
+    // field id — rename is not drop+add) while segment is non-null only
+    // for appended rows; at v5 segment must be NULL EVERYWHERE (the
+    // re-added name has a fresh id, so the appended files' dropped
+    // values cannot resurrect). The oracle replays both projections
+    // analytically from orders.parquet — a name-based resolver diverges
+    // on either read and fails the hash.
+    "q_l13_schema_evolution" -> ((s, dir) => {
+      val base = s.read.parquet(s"$dir/orders.parquet")
+        .withColumn("o_year", year(col("o_orderdate")))
+        .select("o_orderkey", "o_year", "o_totalprice")
+      val path = RunDirs.fresh("graft_snapevo")
+      val st = graft.sources.SnapshotTable
+      st.commitOverwrite(base, path, Seq("o_year")) // v1
+      st.evolveSchema(path, Seq(
+        st.RenameColumn("o_totalprice", "price"),
+        st.AddColumn("segment", "string"))) // v2
+      st.commitAppend(
+        base.filter(col("o_orderkey") % 7 === 0)
+          .select(
+            (col("o_orderkey") + lit(600000000L)).as("o_orderkey"),
+            col("o_year"),
+            col("o_totalprice").as("price"),
+            concat(lit("s"), col("o_orderkey") % 3).as("segment")),
+        path, Seq("o_year")) // v3
+      st.evolveSchema(path, Seq(st.DropColumn("segment"))) // v4
+      st.evolveSchema(path, Seq(st.AddColumn("segment", "string"))) // v5
+      def snap(v: Long) =
+        st.readSnapshot(s, path, Some(v), allowSchemaEvolution = true)
+          .groupBy(col("o_year").cast("int").as("o_year"))
+          .agg(count(lit(1)).as("n_orders"),
+            (sum((col("price").cast("decimal(18,2)") * 100)
+              .cast("long")) / 100.0).as("revenue"),
+            count(col("segment")).as("n_seg"))
+          .select(lit(v.toInt).as("version"), col("o_year"),
+            col("n_orders"), col("revenue"), col("n_seg"))
+      RunDirs.seal(
+        snap(3L).unionByName(snap(5L)).orderBy("version", "o_year"), path)
+    }),
+
+    // EXACTLY-ONCE STREAMING INGESTION into the snapshot table (r16
+    // VERDICT #3) under the driver hash: the orders corpus staged as 3
+    // mtime-ordered files, replayed through a REAL Structured Streaming
+    // query (file source, one file per micro-batch) whose foreachBatch is
+    // [[graft.streaming.StreamSinks.snapshotTxnSink]] — each micro-batch
+    // one atomic commitAppendTxn. After the stream drains, batch 1 is
+    // FAILURE-REPLAYED through the same sink: the txn must settle as a
+    // committed no-op. The output reads the ingested table back plus the
+    // count of data-bearing commits — a duplicated batch fails on
+    // n_orders/revenue AND n_commits; a dropped batch on the totals.
+    "q_l14_stream_snapshot_ingest" -> ((s, dir) => {
+      // localCheckpoint: feeds three staged slices + the replay without
+      // re-scanning orders.parquet per leg (the q_l9 discipline)
+      val base = s.read.parquet(s"$dir/orders.parquet")
+        .withColumn("o_year", year(col("o_orderdate")))
+        .select("o_orderkey", "o_year", "o_totalprice")
+        .localCheckpoint()
+      val root = RunDirs.fresh("graft_snapstream")
+      val in = s"$root/in"
+      val table = s"$root/tbl"
+      (0 until 3).foreach { k =>
+        base.filter(col("o_orderkey") % 3 === k)
+          .coalesce(1).write.parquet(s"$in/b$k")
+        // distinct mtimes pin the file-source batch order b0, b1, b2
+        Option(new java.io.File(s"$in/b$k").listFiles())
+          .getOrElse(Array.empty)
+          .foreach(f => f.setLastModified(1700000000000L + k * 60000L))
+      }
+      val src = s.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(in)
+      val sink = graft.streaming.StreamSinks.snapshotTxnSink(
+        table, Seq("o_year"), txnAppId = "l14")
+      val q = src.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", s"$root/ckpt").start()
+      try q.processAllAvailable() finally q.stop()
+      // failure replay of micro-batch 1: settleTxn probes it COMMITTED
+      // and returns before staging a byte — no version, no files, no rows
+      sink(base.filter(col("o_orderkey") % 3 === 1), 1L)
+      val st = graft.sources.SnapshotTable
+      val nCommits = st.manifest(table).filterNot(_.isDelete)
+        .map(_.commitVersion).distinct.size
+      RunDirs.seal(
+        st.readSnapshot(s, table)
+          .groupBy(col("o_year").cast("int").as("o_year"))
+          .agg(count(lit(1)).as("n_orders"),
+            (sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+              .cast("long")) / 100.0).as("revenue"))
+          .select(col("o_year"), col("n_orders"), col("revenue"),
+            lit(nCommits).as("n_commits"))
+          .orderBy("o_year"),
+        root)
+    }),
+
+    // MoR DELETE-FILE MAINTENANCE (r16 VERDICT #4) under the driver
+    // hash: v1 commits the orders table, v2 lands a %13 merge-on-read
+    // key delete, then rewriteDeletes folds the delete file into
+    // rewritten partition files. The graded read is the POST-maintenance
+    // version — identical numbers to the q_l8 resolved read but with
+    // ZERO delete entries in the manifest (pinned via n_del; the
+    // anti-join-free plan shape is RewriteDeletesSpec's receipt). An
+    // over-eager rewrite (dropping rows), an under-eager one (dropped
+    // delete file still needed), or a partition the victim scan missed
+    // all change the totals and fail the hash.
+    "q_l15_mor_rewrite" -> ((s, dir) => {
+      val base = s.read.parquet(s"$dir/orders.parquet")
+        .withColumn("o_year", year(col("o_orderdate")))
+        .select("o_orderkey", "o_year", "o_totalprice")
+      val path = RunDirs.fresh("graft_snaprw")
+      val st = graft.sources.SnapshotTable
+      st.commitOverwrite(base, path, Seq("o_year"))
+      st.commitDeleteByKeys(s, path,
+        base.filter(col("o_orderkey") % 13 === 0).select("o_orderkey"),
+        Seq("o_orderkey"))
+      val v = st.rewriteDeletes(s, path, Seq("o_year"))
+      val nDel = st.manifest(path, Some(v)).count(_.isDelete)
+      RunDirs.seal(
+        st.readSnapshot(s, path, Some(v))
+          .groupBy(col("o_year").cast("int").as("o_year"))
+          .agg(count(lit(1)).as("n_orders"),
+            (sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+              .cast("long")) / 100.0).as("revenue"))
+          .select(col("o_year"), col("n_orders"), col("revenue"),
+            lit(nDel).as("n_del"))
+          .orderBy("o_year"),
+        path)
+    }),
+
     "q_l1_merge_upsert" -> ((s, dir) => {
       val base = s.read.parquet(s"$dir/orders.parquet")
         .withColumn("o_year", year(col("o_orderdate")))
@@ -1262,6 +1396,61 @@ object PipelineQueries {
           |       min(o_totalprice) AS min_price,
           |       max(o_totalprice) AS max_price
           |FROM all_rows GROUP BY 1 ORDER BY o_year""".stripMargin,
+
+      // analytic replay of both evolution reads: v3 = base rows (price =
+      // the renamed o_totalprice, segment NULL) + appended rows (segment
+      // populated); v5 = the same rows with segment NULL everywhere (the
+      // re-added column has a fresh field id)
+      "q_l13_schema_evolution" ->
+        """WITH base AS (
+          |  SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS o_year,
+          |         o_totalprice
+          |  FROM orders),
+          |rows3 AS (
+          |  SELECT o_year, o_totalprice AS price,
+          |         CAST(NULL AS VARCHAR) AS segment
+          |  FROM base
+          |  UNION ALL
+          |  SELECT o_year, o_totalprice,
+          |         's' || CAST(o_orderkey % 3 AS VARCHAR)
+          |  FROM base WHERE o_orderkey % 7 = 0),
+          |lab AS (
+          |  SELECT 3 AS version, o_year, price, segment FROM rows3
+          |  UNION ALL
+          |  SELECT 5, o_year, price, CAST(NULL AS VARCHAR) FROM rows3)
+          |SELECT version, o_year, count(*) AS n_orders,
+          |       CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE)
+          |         AS revenue,
+          |       count(segment) AS n_seg
+          |FROM lab GROUP BY 1, 2 ORDER BY version, o_year""".stripMargin,
+
+      // analytic twin: the table must hold exactly the base rows (each
+      // staged batch exactly once, the replay a no-op) across exactly 3
+      // data-bearing commits
+      "q_l14_stream_snapshot_ingest" ->
+        """WITH base AS (
+          |  SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS o_year,
+          |         o_totalprice
+          |  FROM orders)
+          |SELECT o_year, count(*) AS n_orders,
+          |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          |         AS revenue,
+          |       3 AS n_commits
+          |FROM base GROUP BY 1 ORDER BY o_year""".stripMargin,
+
+      // resolved read after delete-file maintenance: base minus the %13
+      // keys, with zero delete files left in the manifest
+      "q_l15_mor_rewrite" ->
+        """WITH base AS (
+          |  SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS o_year,
+          |         o_totalprice
+          |  FROM orders
+          |  WHERE o_orderkey % 13 != 0)
+          |SELECT o_year, count(*) AS n_orders,
+          |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          |         AS revenue,
+          |       0 AS n_del
+          |FROM base GROUP BY 1 ORDER BY o_year""".stripMargin,
 
       "q_l1_merge_upsert" ->
         """WITH base AS (

@@ -124,6 +124,20 @@ object ColStats {
   */
 object SnapshotTable {
 
+  /** One field of a versioned table schema: `id` is the Iceberg-style
+    * FIELD ID — assigned once when the column first appears and stable
+    * across renames, so column identity is the id, never the name.
+    * `dataType` is the Catalyst catalogString. */
+  final case class FieldDef(id: Int, name: String, dataType: String)
+
+  /** Explicit schema-evolution operations ([[evolveSchema]]) — the
+    * Iceberg DDL discipline: data commits never drop or rename columns,
+    * only these metadata-only commits do. */
+  sealed trait SchemaOp
+  final case class AddColumn(name: String, dataType: String) extends SchemaOp
+  final case class RenameColumn(from: String, to: String) extends SchemaOp
+  final case class DropColumn(name: String) extends SchemaOp
+
   final case class ManifestEntry(partSpec: String, relPath: String,
                                  attrs: Map[String, String] = Map.empty) {
     /** Merge-on-read delete-key file? */
@@ -406,6 +420,172 @@ object SnapshotTable {
     cur == v
   }
 
+  // ------------------------------------------------------------- schemas
+
+  private def schemaDir(t: String) = Paths.get(root(t), "_schemas")
+  private def schemaPath(t: String, id: Long) =
+    schemaDir(t).resolve(f"s$id%08d.schema")
+
+  /** Schema files are immutable once moved into place (no-replace
+    * ATOMIC_MOVE, ids never recycle — allocation takes the max over all
+    * schema files), so a session-scoped cache needs no validation. */
+  private val schemaFileCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[FieldDef]]()
+
+  private def readSchemaFile(tablePath: String, id: Long): Seq[FieldDef] =
+    schemaFileCache.computeIfAbsent(s"${root(tablePath)}#$id", _ => {
+      val p = schemaPath(tablePath, id)
+      new String(Files.readAllBytes(p), "UTF-8").split("\n", -1).toSeq
+        .filter(_.nonEmpty).map { l =>
+          val f = l.split("\t", -1)
+          FieldDef(f(0).toInt, f(1), f(2))
+        }
+    })
+
+  /** Write the schema as a new immutable schema file; returns its id.
+    * Called under the table lock (every commit path holds it). */
+  private def writeSchemaFile(tablePath: String, fields: Seq[FieldDef]): Long = {
+    Files.createDirectories(schemaDir(tablePath))
+    val existing = listSchemaIds(tablePath)
+    val id = existing.maxOption.getOrElse(0L) + 1
+    val body = fields.map(f => s"${f.id}\t${f.name}\t${f.dataType}")
+      .mkString("", "\n", "\n")
+    val tmp = schemaDir(tablePath).resolve(f"s$id%08d.schema.tmp")
+    Files.write(tmp, body.getBytes("UTF-8"))
+    Files.move(tmp, schemaPath(tablePath, id), StandardCopyOption.ATOMIC_MOVE)
+    id
+  }
+
+  private def listSchemaIds(tablePath: String): Seq[Long] = {
+    val d = schemaDir(tablePath)
+    if (!Files.exists(d)) return Nil
+    val ls = Files.list(d)
+    try {
+      val b = Seq.newBuilder[Long]
+      ls.forEach { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith("s") && n.endsWith(".schema"))
+          b += n.stripPrefix("s").stripSuffix(".schema").toLong
+      }
+      b.result().sorted
+    } finally ls.close()
+  }
+
+  /** The FIELD-ID schema of snapshot `version` (default: the pointer),
+    * `None` for legacy snapshots committed before schemas were recorded
+    * — readers then fall back to name-based resolution. */
+  def schemaOf(tablePath: String, version: Option[Long] = None): Option[Seq[FieldDef]] = {
+    val v = version.orElse(currentVersion(tablePath)).getOrElse(return None)
+    headersOf(tablePath, v).flatMap(_.get("schemaid"))
+      .map(id => readSchemaFile(tablePath, id.toLong))
+  }
+
+  /** Highest field id EVER allocated for this table, across every schema
+    * file (schema files are immutable and never vacuumed, so this is the
+    * Iceberg `last-column-id` without a separate counter). Fresh ids MUST
+    * allocate above it — allocating above only the current schema would
+    * recycle a dropped column's id and resurrect its data. */
+  private def maxFieldIdEver(tablePath: String): Int =
+    listSchemaIds(tablePath)
+      .flatMap(id => readSchemaFile(tablePath, id).map(_.id))
+      .maxOption.getOrElse(0)
+
+  /** Compose the schema a data commit records: the previous snapshot's
+    * fields carried forward BY ID (renames/drops happen only through
+    * [[evolveSchema]]), name-matched df columns refresh their type in
+    * place, and df columns the schema has never seen are appended with
+    * FRESH ids (allocated above `baseId`, the table's highest-ever field
+    * id) — mergeSchema-style evolution-on-write, but recorded so a later
+    * drop+re-add cannot resurrect them. Bootstrap (no previous schema):
+    * ids 1..n in df column order. */
+  private def composeSchema(prev: Option[Seq[FieldDef]],
+                            dfCols: Seq[(String, String)],
+                            baseId: Int): Seq[FieldDef] =
+    prev match {
+      case None =>
+        dfCols.zipWithIndex.map { case ((n, t), i) => FieldDef(i + 1, n, t) }
+      case Some(fields) =>
+        val byName = fields.map(f => f.name -> f).toMap
+        var nextId = math.max(baseId, fields.map(_.id).max)
+        val refreshed = fields.map { f =>
+          dfCols.find(_._1 == f.name) match {
+            case Some((_, t)) => f.copy(dataType = t)
+            case None => f
+          }
+        }
+        refreshed ++ dfCols.collect {
+          case (n, t) if !byName.contains(n) =>
+            nextId += 1
+            FieldDef(nextId, n, t)
+        }
+    }
+
+  /** Metadata-ONLY schema evolution commit — the Iceberg ALTER TABLE
+    * surface: the new snapshot references exactly the current file set
+    * under an evolved schema. Field ids make the semantics:
+    *
+    *  - [[RenameColumn]] keeps the field id — existing files' physical
+    *    column (written under the old name) still resolves to this field,
+    *    so a rename is NOT a drop+add;
+    *  - [[DropColumn]] removes the id from the schema — the physical data
+    *    stays in old files but no reader resolves it again;
+    *  - [[AddColumn]] allocates a FRESH id — re-adding a dropped name
+    *    reads NULL from every pre-add file instead of resurrecting the
+    *    dropped column's values.
+    *
+    * Partition columns can be neither renamed nor dropped (their names
+    * are baked into hive directory paths); delete-key columns of pending
+    * merge-on-read deletes likewise ([[compact]] first). Evolution-aware
+    * reads opt in via `readSnapshot(allowSchemaEvolution = true)`.
+    * Returns the committed version. */
+  def evolveSchema(tablePath: String, ops: Seq[SchemaOp]): Long =
+    lockFor(tablePath).synchronized {
+      val cur = currentVersion(tablePath).getOrElse(
+        sys.error(s"no committed snapshot at $tablePath"))
+      val entries = manifest(tablePath, Some(cur))
+      val partCols = entries.filterNot(_.isDelete).flatMap(_.partSpec.split("/"))
+        .filter(_.nonEmpty).map(_.takeWhile(_ != '=')).toSet
+      val pendingDeleteKeys = entries.filter(_.isDelete)
+        .flatMap(_.deleteKeyCols).toSet
+      val base = schemaOf(tablePath, Some(cur)).getOrElse(
+        sys.error(s"snapshot v$cur has no recorded schema at $tablePath — " +
+          "evolution needs a table whose commits recorded schemas"))
+      def protect(name: String, what: String): Unit = {
+        require(!partCols.contains(name),
+          s"cannot $what partition column $name (hive paths bake the name)")
+        require(!pendingDeleteKeys.contains(name),
+          s"cannot $what $name: pending merge-on-read deletes key on it; compact() first")
+      }
+      val evolved = ops.foldLeft(base) { (sch, op) =>
+        op match {
+          case AddColumn(n, t) =>
+            require(!sch.exists(_.name == n), s"column $n already exists")
+            require(n.forall(ch => ch.isLetterOrDigit || ch == '_'),
+              s"unsafe column name: $n")
+            // fresh id above the table-lifetime max: a dropped column's id
+            // must never be recycled (it would resurrect the dropped data)
+            sch :+ FieldDef(
+              math.max(maxFieldIdEver(tablePath), sch.map(_.id).max) + 1, n, t)
+          case RenameColumn(from, to) =>
+            require(sch.exists(_.name == from), s"no column $from to rename")
+            require(!sch.exists(_.name == to), s"column $to already exists")
+            require(to.forall(ch => ch.isLetterOrDigit || ch == '_'),
+              s"unsafe column name: $to")
+            protect(from, "rename")
+            sch.map(f => if (f.name == from) f.copy(name = to) else f)
+          case DropColumn(n) =>
+            require(sch.exists(_.name == n), s"no column $n to drop")
+            protect(n, "drop")
+            require(sch.size > 1, "cannot drop the last column")
+            sch.filterNot(_.name == n)
+        }
+      }
+      val v = commitManifest(tablePath, Nil, None,
+        schemaFields = Some(evolved))((prev, _) => prev)
+      swapPointer(tablePath, v)
+      v
+    }
+
   // ---------------------------------------------------------------- read
 
   /** Read a snapshot — the committed one, or any historical `version`
@@ -427,15 +607,22 @@ object SnapshotTable {
     val kept = dataEntries
       .filter(e => partitionPruning(e.partSpec))
       .filter(e => statsPruning(e.stats))
+    // evolution-aware reads resolve every commit group to the TARGET
+    // version's field-id schema (rename ≠ drop+add); tables without
+    // recorded schemas fall back to name-based allowMissingColumns
+    val targetSchema =
+      if (allowSchemaEvolution)
+        schemaOf(tablePath, version.orElse(currentVersion(tablePath)))
+      else None
     // a predicate that legitimately excludes EVERY file ("query misses
     // the table") returns the empty frame, not an error — schema from
     // one un-pruned file, zero rows planned
     if (kept.isEmpty)
       readEntries(spark, tablePath, Seq(dataEntries.head), Nil,
-        allowSchemaEvolution).limit(0)
+        allowSchemaEvolution, targetSchema).limit(0)
     else
       readEntries(spark, tablePath, kept, deleteGroups(spark, tablePath, delEntries),
-        allowSchemaEvolution)
+        allowSchemaEvolution, targetSchema)
   }
 
   /** The Iceberg `files` metadata-table surface: one row per LIVE data
@@ -515,7 +702,8 @@ object SnapshotTable {
   private def readEntries(spark: SparkSession, tablePath: String,
                           dataEntries: Seq[ManifestEntry],
                           deletes: Seq[(Long, Seq[String], DataFrame)],
-                          allowSchemaEvolution: Boolean): DataFrame = {
+                          allowSchemaEvolution: Boolean,
+                          targetSchema: Option[Seq[FieldDef]] = None): DataFrame = {
     val r = root(tablePath)
     val byCommit = dataEntries.groupBy(_.relPath.split("/").take(2).mkString("/"))
     byCommit.toSeq.sortBy(_._1).map { case (commitDir, es) =>
@@ -523,15 +711,37 @@ object SnapshotTable {
         .option("basePath", s"$r/$commitDir")
         .parquet(es.map(e => s"$r/${e.relPath}"): _*)
       val fileV = es.head.commitVersion
-      deletes.filter(_._1 > fileV).foldLeft(raw) {
+      val resolved = deletes.filter(_._1 > fileV).foldLeft(raw) {
         case (acc, (_, keys, delDf)) =>
           acc.join(delDf.select(keys.map(col): _*), keys, "left_anti")
       }
+      // FIELD-ID resolution (evolution-aware reads): project every commit
+      // group onto the target schema by id — the group's physical column
+      // for the id (whatever it was NAMED when the group committed), cast
+      // to the target type; ids the group never wrote read NULL. A group
+      // whose commit predates schema recording (or whose manifest was
+      // vacuumed) name-matches — the only semantics available for it.
+      targetSchema match {
+        case Some(tgt) =>
+          val srcSchema = schemaOf(tablePath, Some(fileV))
+          val byId = srcSchema.getOrElse(Nil).map(f => f.id -> f.name).toMap
+          val cols = resolved.columns.toSet
+          resolved.select(tgt.map { f =>
+            byId.get(f.id).orElse(if (srcSchema.isEmpty) Some(f.name) else None)
+              .filter(cols.contains) match {
+                case Some(phys) => col(phys).cast(f.dataType).as(f.name)
+                case None => lit(null).cast(f.dataType).as(f.name)
+              }
+          }: _*)
+        case None => resolved
+      }
     // strict by default: a column appearing/vanishing between commits is
-    // an error unless the reader opts into evolution, in which case rows
-    // from commits without the column read NULL (Delta's mergeSchema
-    // read semantics)
-    }.reduce(_.unionByName(_, allowMissingColumns = allowSchemaEvolution))
+    // an error unless the reader opts into evolution. With recorded
+    // schemas the groups are already id-aligned above (strict union);
+    // without, rows from commits lacking a column read NULL (Delta's
+    // mergeSchema read semantics).
+    }.reduce(_.unionByName(_, allowMissingColumns =
+      allowSchemaEvolution && targetSchema.isEmpty))
   }
 
   // ------------------------------------------------------------- commits
@@ -632,11 +842,17 @@ object SnapshotTable {
     lockFor(tablePath).synchronized {
       val cur = currentVersion(tablePath).getOrElse(0L)
       if (cur != base) checkRebase(tablePath, base, cur, mkPolicy(fresh))
-      val v = commitManifest(tablePath, fresh, None, headers)(compose)
+      val v = commitManifest(tablePath, fresh, None, headers,
+        dfCols = dfColsOf(df))(compose)
       swapPointer(tablePath, v)
       v
     }
   }
+
+  /** (name, catalogString) pairs of a commit's write-side schema — what
+    * [[composeSchema]] name-matches against the recorded field ids. */
+  private def dfColsOf(df: DataFrame): Seq[(String, String)] =
+    df.schema.fields.toSeq.map(f => f.name -> f.dataType.catalogString)
 
   /** Is rebasing onto `cur` safe for a commit prepared against `base`?
     * The interleaved net change is ONE manifest diff (files present in
@@ -732,8 +948,8 @@ object SnapshotTable {
           settleTxn(tablePath, txnId) match {
             case Some(v) => v // a concurrent replay won; our files orphan
             case None =>
-              val v = commitManifest(tablePath, fresh,
-                Some(txnId))((prev, f) => prev ++ f)
+              val v = commitManifest(tablePath, fresh, Some(txnId),
+                dfCols = dfColsOf(df))((prev, f) => prev ++ f)
               swapPointer(tablePath, v)
               v
           }
@@ -751,7 +967,7 @@ object SnapshotTable {
                               (compose: (Seq[ManifestEntry], Seq[ManifestEntry]) => Seq[ManifestEntry]): Long = {
     val fresh = writeData(df, tablePath, partitionCols, filesPerPartition,
       clusterBy, statsCols)
-    commitManifest(tablePath, fresh, txn)(compose)
+    commitManifest(tablePath, fresh, txn, dfCols = dfColsOf(df))(compose)
   }
 
   /** Write `df` into a fresh uniquely-named data directory; return its
@@ -861,10 +1077,32 @@ object SnapshotTable {
     * commit version stamped here — the version is only known now. */
   private def commitManifest(tablePath: String, fresh: Seq[ManifestEntry],
                              txn: Option[String],
-                             headers: Map[String, String] = Map.empty)
+                             headers: Map[String, String] = Map.empty,
+                             dfCols: Seq[(String, String)] = Nil,
+                             schemaFields: Option[Seq[FieldDef]] = None)
                             (compose: (Seq[ManifestEntry], Seq[ManifestEntry]) => Seq[ManifestEntry]): Long = {
     val prevV = currentVersion(tablePath)
     val prev = prevV.map(v => manifest(tablePath, Some(v))).getOrElse(Nil)
+    // FIELD-ID schema tracking: every manifest records its snapshot's
+    // schema via a #schemaid header. Data commits carry the previous
+    // schema forward ([[composeSchema]]); [[evolveSchema]] passes the
+    // evolved field list explicitly; delete-key commits (no dfCols)
+    // reuse the previous schema id verbatim. An unchanged schema reuses
+    // the previous file — one schema file per distinct schema, however
+    // many commits share it.
+    val prevSchemaId: Option[Long] = prevV
+      .flatMap(pv => headersOf(tablePath, pv)).flatMap(_.get("schemaid"))
+      .map(_.toLong)
+    val prevSchema = prevSchemaId.map(readSchemaFile(tablePath, _))
+    val nextSchema: Option[Seq[FieldDef]] = schemaFields.orElse {
+      if (dfCols.nonEmpty)
+        Some(composeSchema(prevSchema, dfCols, maxFieldIdEver(tablePath)))
+      else prevSchema
+    }
+    val schemaIdHeader: Option[Long] = nextSchema.map { s =>
+      if (prevSchema.contains(s)) prevSchemaId.get
+      else writeSchemaFile(tablePath, s)
+    }
     // next version clears committed manifests, crash-orphaned manifests,
     // AND legacy data-dir shells
     val v = (snapshots(tablePath) ++ dataDirVersions(tablePath))
@@ -880,6 +1118,7 @@ object SnapshotTable {
       s"txn id must be <= 256 chars without newlines, got ${id.length}"))
     val header = txn.map(id => s"#txn=$id\n").getOrElse("") +
       s"#prev=${prevV.getOrElse(0L)}\n" +
+      schemaIdHeader.map(id => s"#schemaid=$id\n").getOrElse("") +
       headers.toSeq.sorted.map { case (k, hv) => s"#$k=$hv\n" }.mkString
     val lines = header + compose(prev, stamped).map(renderEntry).mkString("\n")
     Files.createDirectories(manifestDir(tablePath))
@@ -947,10 +1186,15 @@ object SnapshotTable {
     // with the table's schema, and the merge reduces to the inserts
     val hasAffectedFiles = manifest(tablePath, Some(base))
       .exists(e => !e.isDelete && affected.contains(e.partSpec))
+    // evolution-aware when schemas are recorded: a merge over a renamed
+    // table resolves old files by field id and rewrites current names
+    val evo = schemaOf(tablePath, Some(base)).isDefined
     val current =
       if (hasAffectedFiles)
-        readSnapshot(spark, tablePath, Some(base), partitionPruning = affected.contains)
-      else readSnapshot(spark, tablePath, Some(base)).limit(0)
+        readSnapshot(spark, tablePath, Some(base),
+          partitionPruning = affected.contains, allowSchemaEvolution = evo)
+      else readSnapshot(spark, tablePath, Some(base),
+        allowSchemaEvolution = evo).limit(0)
     val dataCols = current.columns.toSeq
     val changeKeys = changes.select(keyCols.map(col): _*).distinct()
     val upserts = deleteCol match {
@@ -999,12 +1243,15 @@ object SnapshotTable {
       .map(row => partitionCols.zipWithIndex
         .map { case (p, i) => s"$p=${row.get(i)}" }.mkString("/")).toSet
     require(affected.nonEmpty, "empty changeset")
-    val baseDf = readSnapshot(spark, tablePath, Some(base))
+    val evo = schemaOf(tablePath, Some(base)).isDefined
+    val baseDf = readSnapshot(spark, tablePath, Some(base),
+      allowSchemaEvolution = evo)
     val hasAffectedFiles = manifest(tablePath, Some(base))
       .exists(e => !e.isDelete && affected.contains(e.partSpec))
     val current =
       if (hasAffectedFiles)
-        readSnapshot(spark, tablePath, Some(base), partitionPruning = affected.contains)
+        readSnapshot(spark, tablePath, Some(base),
+          partitionPruning = affected.contains, allowSchemaEvolution = evo)
       else baseDf.limit(0)
     val typed = LakeLayout.combineAggregate(current, delta,
       // schema from the snapshot read (partition cols included, in the
@@ -1298,11 +1545,89 @@ object SnapshotTable {
     val base = currentVersion(tablePath).getOrElse(
       sys.error(s"no committed snapshot at $tablePath"))
     // the #compaction=true header lets changes() cancel a row-preserving
-    // range at the manifest level instead of two full-table scans
-    commit(readSnapshot(spark, tablePath, Some(base)), tablePath,
+    // range at the manifest level instead of two full-table scans.
+    // Evolution-aware read when the table records schemas: a compaction
+    // spanning a rename must resolve pre-rename files by FIELD ID and
+    // rewrite everything under the CURRENT names (the rewrite also
+    // retires the old physical names — post-compaction reads need no id
+    // mapping for these files).
+    commit(readSnapshot(spark, tablePath, Some(base),
+        allowSchemaEvolution = schemaOf(tablePath, Some(base)).isDefined),
+      tablePath,
       partitionCols, filesPerPartition, clusterBy, statsCols, Some(base),
       headers = Map("compaction" -> "true"))(_ => OverwritePolicy) {
       (_, fresh) => fresh
+    }
+  }
+
+  /** DELETE-FILE MAINTENANCE (r16 VERDICT #4 — the Iceberg "rewrite
+    * position deletes" pass): fold every pending merge-on-read delete-key
+    * file into rewritten data files, committing a version whose read
+    * needs NO anti-join. Unlike [[compact]] this touches only the
+    * partitions that actually HOLD doomed rows:
+    *
+    *  1. one semi-join scan finds the partitions containing any pending
+    *     delete key (the unavoidable victim-location cost — keys are
+    *     global, so dropping a delete file is only safe once every
+    *     partition it could bite has been rewritten or proven clean);
+    *  2. those partitions are re-read RESOLVED (anti-joins applied) and
+    *     rewritten — untouched partitions keep their files byte-for-byte;
+    *  3. one commit replaces the affected partitions' entries AND drops
+    *     every delete entry from the manifest.
+    *
+    * Without this pass delete files accumulate forever and the read-side
+    * anti-join grows without bound under a delete-heavy workload; after
+    * it, reads are plain scans again and [[metadataAggregate]] works
+    * (it refuses tables with pending deletes). Interleaved commits
+    * rebase/abort exactly like [[commitReplacePartitions]] (any
+    * concurrent delete commit conflicts — it could bite a partition
+    * this pass just proved clean). Returns the committed version (the
+    * unchanged current version when there are no pending deletes). */
+  def rewriteDeletes(spark: SparkSession, tablePath: String,
+                     partitionCols: Seq[String],
+                     filesPerPartition: Int = 1): Long = {
+    val base = currentVersion(tablePath).getOrElse(
+      sys.error(s"no committed snapshot at $tablePath"))
+    val entries = manifest(tablePath, Some(base))
+    val (dels, datas) = entries.partition(_.isDelete)
+    if (dels.isEmpty) return base
+    require(datas.nonEmpty, s"snapshot has only delete files at $tablePath")
+    val evo = schemaOf(tablePath, Some(base)).isDefined
+    // victim location: per distinct key-set, semi-join the UNRESOLVED
+    // data against the (small, scanned-per-read anyway) key union; the
+    // output is partition-value-bounded. Rows re-inserted AFTER a delete
+    // flag their partition too — harmless: the resolved rewrite keeps
+    // them (the anti-join only applies to files older than the delete).
+    val groups = deleteGroups(spark, tablePath, dels)
+    val targetSchema = if (evo) schemaOf(tablePath, Some(base)) else None
+    val unresolved = readEntries(spark, tablePath, datas, Nil, evo, targetSchema)
+    val affected: Set[String] = groups.map(_._2).distinct.flatMap { keyCols =>
+      val keys = groups.filter(_._2 == keyCols)
+        .map(_._3.select(keyCols.map(col): _*)).reduce(_.unionByName(_))
+        .distinct()
+      unresolved.join(keys, keyCols, "left_semi")
+        .select(partitionCols.map(col): _*).distinct().collect()
+        .map(row => partitionCols.zipWithIndex
+          .map { case (p, i) => s"$p=${row.get(i)}" }.mkString("/"))
+    }.toSet
+    if (affected.isEmpty) {
+      // every pending delete bites nothing: drop the delete entries with
+      // a metadata-only commit
+      return lockFor(tablePath).synchronized {
+        val v = commitManifest(tablePath, Nil, None,
+          headers = Map("rewrite_deletes" -> "true"))(
+          (prev, _) => prev.filterNot(_.isDelete))
+        swapPointer(tablePath, v)
+        v
+      }
+    }
+    val resolved = readSnapshot(spark, tablePath, Some(base),
+        partitionPruning = affected.contains, allowSchemaEvolution = evo)
+      .localCheckpoint() // lineage cut before the overwrite (mergeUpsert discipline)
+    commit(resolved, tablePath, partitionCols, filesPerPartition, Nil, Nil,
+        Some(base), headers = Map("rewrite_deletes" -> "true"))(
+      _ => ReplacePolicy(affected)) { (prev, fresh) =>
+      prev.filterNot(e => e.isDelete || affected.contains(e.partSpec)) ++ fresh
     }
   }
 

@@ -82,4 +82,39 @@ object StreamSinks {
         payloadCol, tableDir, numFiles, s"$txnAppId-b$batchId", compress)
       ()
     }
+
+  /** Exactly-once streaming ingestion into a [[graft.sources.SnapshotTable]]
+    * (r16 VERDICT #3) — the loop-closer: continuous corpus ingestion
+    * landing in the engine's own versioned, CDC-capable, time-travel
+    * store. Each micro-batch is one idempotent
+    * [[graft.sources.SnapshotTable.commitAppendTxn]] under the
+    * batch-id-derived txn id `appId-b<batchId>`:
+    *
+    *  - a re-executed micro-batch probes its txn COMMITTED and settles as
+    *    a no-op before staging a byte ([[graft.sources.SnapshotTable.settleTxn]]);
+    *  - a crash between data write and pointer swap rolls FORWARD on
+    *    replay (the prepared manifest is complete — only the pointer
+    *    moves);
+    *  - every batch is an atomic snapshot commit, so downstream
+    *    [[graft.sources.SnapshotTable.followChanges]] consumers see each
+    *    batch's rows exactly once, per committed version range — the
+    *    stream feeds the table and the table feeds incremental consumers,
+    *    with no at-least-once seam in between.
+    *
+    * **`txnAppId` carries the same uniqueness contract as [[tarTxnSink]]**
+    * (Delta's `txn.appId`): unique per (checkpoint location, table) pair,
+    * stable across restarts of the SAME checkpoint — a reused appId with
+    * a fresh checkpoint silently no-ops new data; a per-run random appId
+    * double-commits crash replays.
+    *
+    * Use as:
+    * `df.writeStream.foreachBatch(StreamSinks.snapshotTxnSink(path, Seq("year"), appId)).option("checkpointLocation", ckpt).start()`
+    */
+  def snapshotTxnSink(tablePath: String, partitionCols: Seq[String],
+                      txnAppId: String, filesPerPartition: Int = 1)
+      : (DataFrame, Long) => Unit = (df, batchId) => {
+    graft.sources.SnapshotTable.commitAppendTxn(df, tablePath,
+      partitionCols, s"$txnAppId-b$batchId", filesPerPartition)
+    ()
+  }
 }
