@@ -163,7 +163,11 @@ object Bench {
       "q_l11_snapshot_refs", "q_u8_robots_wildcards",
       "q_tar1_webdataset_shards", "q_m13_exif_gps", "q_v19_ann_ivfpq",
       "q_m14_flac_meta", "q_m15_mp3_census", "q_v20_ann_ivfadc",
-      "q_tar2_webdataset_export", "q_u9_crawl_delay")
+      "q_tar2_webdataset_export", "q_u9_crawl_delay",
+      // r17 new queries (lifecycle commit pipelines + the in-query IVF
+      // index build — the one-time-JIT class)
+      "q_l13_schema_evolution", "q_l14_stream_snapshot_ingest",
+      "q_l15_mor_rewrite", "q_v22_knn_join")
 
     // Headline queries run 3 reps and report the MEDIAN: the single-shot
     // noise floor on this box is ±2x (calibrated rounds 5-6), which made

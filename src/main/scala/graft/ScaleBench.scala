@@ -267,6 +267,28 @@ object ScaleBench {
           "vec_id", "embedding", k = 4, minCosine = 0.85,
           targetRecall = 0.999, thresholdBounded = true)
       })) :+
+      // Batch kNN-JOIN through IVF probes (r17, the q_v22 operator at its
+      // production posture): corpus×corpus self-join, nlist scaled with
+      // sqrt(n) (the FAISS rule) so candidate volume grows ~n^1.5 —
+      // sub-quadratic where the brute join is n². The leg's curve IS the
+      // receipt: x30 candidates must land far under 900× the x1 volume
+      // (~165× at the sqrt dial), and shuffle bytes must track the
+      // candidate frame, not the square. Output is aggregated (per-rank
+      // cosine sums) so rows stay k-bounded while every candidate is
+      // scored.
+      ("q_v22_knn_join_scale" -> ((s: SparkSession, d: String) => {
+        val e = s.read.parquet(s"$d/embeddings.parquet")
+          .select("vec_id", "embedding")
+        val n = e.count()
+        val nlist = math.max(16, math.round(math.sqrt(n.toDouble)).toInt)
+        val idx = operators.SimilaritySearch.ivfIndex(
+          e, "vec_id", "embedding", nlist = nlist, maxIter = 3,
+          trainFraction = math.min(1.0, 20000.0 / n))
+        operators.SimilaritySearch.knnJoin(idx, e, "vec_id", "embedding",
+            k = 4, nprobe = 4)
+          .groupBy("rank")
+          .agg(count(lit(1)).as("n"), sum("cosine").as("cos_sum"))
+      })) :+
       // HTML boilerplate extraction: pure row-local regexp/array pipeline
       // (zero exchanges) — the curve must track raw scan throughput, and
       // any superlinearity means a regex went catastrophic on longer docs

@@ -486,6 +486,70 @@ object SimilaritySearch {
       idCol, embCol, query, k)
   }
 
+  /** Batch kNN-JOIN through IVF probes (r16 VERDICT #5) — [[ivfTopK]]
+    * generalized from one query vector to a QUERY CORPUS: the
+    * corpus×corpus k-nearest-neighbour primitive SemDeDup / alignment
+    * mining approximate around when both sides are large. Per left row:
+    * exact top-k (cosine) among the corpus vectors in its `nprobe`
+    * nearest inverted lists.
+    *
+    * Scale shape, stage by stage:
+    *  1. ROUTING is row-local — every left vector scores the nlist
+    *     centroid literals (plan constants, never shuffled with the
+    *     corpus) and explodes to its nprobe probe rows; no job, no
+    *     exchange.
+    *  2. CANDIDATES come from ONE equi-join on `list_id` — both sides
+    *     hash-partition on the list key, so each task joins one list's
+    *     queries against that list's vectors. Candidate volume is
+    *     n_left × nprobe × (n_corpus / nlist) in expectation —
+    *     sub-quadratic by the nprobe/nlist fraction, and each corpus
+    *     vector lives in exactly ONE list so no pair arrives twice.
+    *  3. RERANK is the exact codegen'd cosine on the candidate frame,
+    *     then one window on `q_id` (candidate-frame-sized shuffle) keeps
+    *     k per query.
+    *
+    * Determinism: cosines are 6-dp-rounded scaled LONGS and every rank
+    * orders by (c6 DESC, neighbor id) — a total order, so the output is
+    * bit-stable and externally replayable (the margin-alignment
+    * discipline). Recall is governed by nprobe exactly as in [[ivfTopK]];
+    * nprobe = nlist degrades to the exact brute-force join. Returns
+    * (q_id, n_id, rank, cosine) with rank 1..k per left row. */
+  def knnJoin(index: IvfIndex, left: DataFrame, idCol: String,
+              embCol: String, k: Int, nprobe: Int = 4,
+              excludeSelf: Boolean = true): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(nprobe >= 1 && nprobe <= index.centroids.length,
+      s"nprobe must be in [1, ${index.centroids.length}], got $nprobe")
+    import org.apache.spark.sql.expressions.Window
+    val spark = left.sparkSession
+    val entries = index.centroids.zipWithIndex.map { case (c, i) =>
+      struct(sqDistTo(col("_nvec"), c).as("d"), lit(i).as("i"))
+    }
+    // array_sort on (d, i) structs: distance asc, ties to the lowest
+    // list id — the ivfAssign rule, so a query's own list is always
+    // probe 1
+    val routed = left
+      .select(col(idCol).as("q_id"), col(embCol).as("q_emb"))
+      .withColumn("_nvec", l2normalized("q_emb"))
+      .withColumn("list_id", explode(transform(
+        slice(array_sort(array(entries: _*)), 1, nprobe), s => s("i"))))
+      .drop("_nvec")
+    val corpus = index.assigned.select(col("list_id"),
+      col(idCol).as("n_id"), col(embCol).as("n_emb"))
+    val cands = routed.join(corpus, Seq("list_id"))
+    val kept = if (excludeSelf) cands.filter(col("q_id") =!= col("n_id"))
+               else cands
+    val w = Window.partitionBy("q_id").orderBy(col("c6").desc, col("n_id"))
+    kept
+      .withColumn("c6",
+        round(round(VectorExprs.cosineFast(spark, "q_emb", "n_emb"), 6) * 1e6)
+          .cast("long"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank"),
+        (col("c6") / 1e6).as("cosine"))
+  }
+
   /** Squared euclidean distance between a (normalized) array<double>
     * column and one centroid literal — Column-API twin of
     * [[graft.functions.VectorExprs.sqDist]]. */

@@ -183,6 +183,33 @@ object VectorQueries {
         idx)
     }),
 
+    // Batch kNN-JOIN through IVF probes (r16 VERDICT #5): the
+    // corpus×corpus top-k primitive, graded on the q_v21 planted-cluster
+    // corpus so EXACT recall sits under the driver hash — every query's
+    // true top-4 live in its own tight cluster (within-cluster cosine
+    // >= 0.9999 vs best cross-cluster 0.6703, dyadic-rational values so
+    // float32 storage and the oracle's doubles agree bit-for-bit), and
+    // the oracle is the brute per-row top-4 over all pairs. The left
+    // side is the %50 query subset (the oracle's cross product stays
+    // sf-bounded); the INDEX side is the full corpus, so routing, the
+    // list_id candidate join, and the windowed rerank all run at corpus
+    // scale. nprobe = 4 of nlist = 16 covers k-means splitting a planted
+    // cluster across up to four centroids; a routing defect that misses
+    // a query's cluster loses its true neighbors and fails the hash.
+    "q_v22_knn_join" -> ((s, dir) => {
+      val plantExpr = "transform(sequence(0, 15), d -> CAST(" +
+        "((vec_id % 16) * 2897 + d * 541 + 3) % 17 - 8 + " +
+        "(((vec_id * 13 + d * 7) % 9) - 4) / 64.0D AS FLOAT))"
+      val planted = s.read.parquet(s"$dir/embeddings.parquet")
+        .select("vec_id").withColumn("embedding", expr(plantExpr))
+      val idx = SimilaritySearch.ivfIndex(planted, "vec_id", "embedding",
+        nlist = 16, maxIter = 3)
+      val left = planted.filter(col("vec_id") % 50 === 0)
+      SimilaritySearch.knnJoin(idx, left, "vec_id", "embedding",
+          k = 4, nprobe = 4)
+        .orderBy("q_id", "rank")
+    }),
+
     // Grouped vector aggregation: per-label centroid (class prototype),
     // reported through its scalar L2 norm so the driver check stays
     // array-free. posexplode → (label, dim) decimal-exact means → fold
@@ -440,6 +467,32 @@ object VectorQueries {
         |         6) AS cosine
         |FROM v, q WHERE v.vec_id <> 5
         |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+
+      // brute-force per-query top-4 over the planted corpus — the exact
+      // twin of the IVF-routed kNN join
+      "q_v22_knn_join" ->
+        """WITH v AS (
+          |  SELECT vec_id,
+          |         list_transform(generate_series(0, 15), d ->
+          |           CAST(((vec_id % 16) * 2897 + d * 541 + 3) % 17 - 8 AS DOUBLE)
+          |           + (((vec_id * 13 + d * 7) % 9) - 4) / 64.0) AS e
+          |  FROM embeddings),
+          |q AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id % 50 = 0),
+          |pairs AS (
+          |  SELECT q.q_id, v.vec_id AS n_id,
+          |         CAST(round(round(list_sum(list_transform(generate_series(1, 16),
+          |                 i -> v.e[i] * q.qe[i]))
+          |           / (sqrt(list_sum(list_transform(v.e, x -> x * x)))
+          |              * sqrt(list_sum(list_transform(q.qe, x -> x * x)))), 6)
+          |           * 1e6, 0) AS BIGINT) AS c6
+          |  FROM v, q WHERE v.vec_id <> q.q_id),
+          |ranked AS (
+          |  SELECT q_id, n_id, c6,
+          |         CAST(row_number() OVER (
+          |           PARTITION BY q_id ORDER BY c6 DESC, n_id) AS INT) AS rank
+          |  FROM pairs)
+          |SELECT q_id, n_id, rank, c6 / 1e6 AS cosine
+          |FROM ranked WHERE rank <= 4 ORDER BY q_id, rank""".stripMargin,
 
     "q_v8_label_centroids" ->
       """SELECT label,

@@ -72,6 +72,47 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.9, s"clustered IVF recall $recall: ivf=$probed brute=$brute")
   }
 
+  test("knnJoin: IVF-routed batch top-k recovers the brute per-row top-k " +
+       "on clustered vectors; candidates stay sub-quadratic") {
+    // the q_v22 clustered posture: every row's true neighbors live in its
+    // own cluster, so routing the query corpus through nprobe=2 of 8
+    // lists must reproduce the exact brute answer — while scoring only
+    // the probed fraction of all pairs.
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val centers = Array.fill(8)(Array.fill(16)(rnd.nextGaussian()))
+    val rows = for (c <- centers.indices; i <- 0 until 25) yield {
+      val v = centers(c).map(x => (x + 0.05 * rnd.nextGaussian()).toFloat)
+      (c.toLong * 25 + i, v)
+    }
+    val df = rows.toDF("vec_id", "embedding").localCheckpoint()
+    val idx = SimilaritySearch.ivfIndex(df, "vec_id", "embedding", nlist = 8)
+    val knn = SimilaritySearch.knnJoin(idx, df, "vec_id", "embedding",
+        k = 3, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+    assert(knn.size == rows.size * 3, "k rows per query")
+    // brute referee: exact per-row top-3 via the all-pairs frame
+    import org.apache.spark.sql.expressions.Window
+    val a = df.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val b = df.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+    val w = Window.partitionBy("q_id").orderBy(col("c6").desc, col("n_id"))
+    val brute = a.crossJoin(b).filter(col("q_id") =!= col("n_id"))
+      .withColumn("c6", round(round(
+        graft.functions.VectorExprs.cosineFast(spark, "q_emb", "n_emb"), 6) * 1e6)
+        .cast("long"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("rank")) ->
+        r.getAs[Long]("n_id")).toMap
+    assert(knn == brute, "IVF-routed kNN join must equal brute per-row top-k")
+    // sub-quadratic receipt: the candidate frame is bounded by
+    // n * nprobe * max-list-size, well under the n^2 brute pairs
+    val listSizes = idx.assigned.groupBy("list_id").count()
+      .collect().map(_.getLong(1))
+    val candBound = rows.size.toLong * 2 * listSizes.max
+    assert(candBound < rows.size.toLong * rows.size / 2,
+      s"candidate bound $candBound not sub-quadratic vs ${rows.size.toLong * rows.size}")
+  }
+
   test("ivfAssign matches the MLlib model's list assignment on the corpus") {
     val idx = SimilaritySearch.ivfIndex(emb, "vec_id", "embedding", nlist = 8)
     val fromModel = idx.assigned.select("vec_id", "list_id").collect()
