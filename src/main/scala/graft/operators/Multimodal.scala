@@ -795,6 +795,132 @@ object Multimodal {
       }
   }
 
+  // ------------------------------------------------------ G.711 companding
+
+  /** G.711 µ-law byte → s16 (ITU-T G.711, public): complement, split
+    * into sign/segment/mantissa, expand `((man·8 + 0x84) << seg) − 0x84`.
+    * Pure integer — one table-free expression per sample. */
+  @inline private[operators] def ulawToPcm(b: Byte): Int = {
+    val u = (~b) & 0xff
+    val mag = ((((u & 0x0f) << 3) + 0x84) << ((u >> 4) & 0x07)) - 0x84
+    if ((u & 0x80) != 0) -mag else mag
+  }
+
+  /** G.711 A-law byte → s16: even-bit inversion (XOR 0x55), then the
+    * segment expansion; sign bit SET means positive (the A-law
+    * convention, opposite µ-law's). */
+  @inline private[operators] def alawToPcm(b: Byte): Int = {
+    val a = (b ^ 0x55) & 0xff
+    val man = (a & 0x0f) << 4
+    val seg = (a >> 4) & 0x07
+    val mag =
+      if (seg == 0) man + 8
+      else (man + 0x108) << (seg - 1)
+    if ((a & 0x80) != 0) mag else -mag
+  }
+
+  /** Parse + decode G.711 companded WAVs (WAVE_FORMAT_ALAW = 6,
+    * WAVE_FORMAT_MULAW = 7; 8 bits/sample, the telephony/callcenter
+    * archive format) to 16-bit PCM [[WavRecord]]s — the second real
+    * compressed-audio path beside [[parseWavAdpcm]], and the simpler
+    * one: G.711 is STATELESS (one byte → one sample), so decode is a
+    * row-local table-free expression and any channel count passes
+    * through (bytes interleave exactly like PCM frames). Output
+    * composes into [[pcmMonoResample]]/[[pcmVad]] unchanged. */
+  def parseWavG711(df: DataFrame, idCol: String,
+                   payloadCol: String): Dataset[WavRecord] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .map { case (id, payload) =>
+        def invalid(reason: String) =
+          WavRecord(id, valid = false, reason, 0, 0, 0, 0L, Array.emptyByteArray)
+        val b = if (payload == null) Array.emptyByteArray else payload
+        def u16(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+        def u32(o: Int): Long = (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+          ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+        def tag(o: Int): String =
+          new String(b, o, 4, StandardCharsets.US_ASCII)
+        if (b.length < 12) invalid("truncated-preamble")
+        else if (tag(0) != "RIFF") invalid("bad-magic")
+        else if (tag(8) != "WAVE") invalid("not-wave")
+        else {
+          var off = 12
+          var fmtSeen = false
+          var format = 0
+          var channels = 0
+          var rate = 0
+          var bits = 0
+          var dataOff = -1
+          var dataLen = 0
+          var defect: String = null
+          while (defect == null && dataOff < 0 && off + 8 <= b.length) {
+            val id4 = tag(off)
+            val size = u32(off + 4)
+            val body = off + 8
+            if (size < 0 || body + size > b.length) defect = "chunk-overruns-file"
+            else id4 match {
+              case "fmt " =>
+                if (size < 16) defect = "fmt-too-short"
+                else {
+                  format = u16(body)
+                  channels = u16(body + 2)
+                  rate = u32(body + 4).toInt
+                  bits = u16(body + 14)
+                  fmtSeen = true
+                }
+              case "data" =>
+                if (!fmtSeen) defect = "data-before-fmt"
+                else { dataOff = body; dataLen = size.toInt }
+              case _ => ()
+            }
+            off = body + size.toInt + (size.toInt & 1)
+          }
+          if (defect != null) invalid(defect)
+          else if (dataOff < 0) invalid(if (fmtSeen) "no-data-chunk" else "no-fmt-chunk")
+          else if (format != 6 && format != 7) invalid("not-g711")
+          else if (bits != 8) invalid("unsupported-bits")
+          else if (channels < 1) invalid("bad-channels")
+          else if (rate < 1) invalid("bad-rate")
+          else {
+            val pcm = java.nio.ByteBuffer.allocate(dataLen * 2)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            var i = dataOff
+            val end = dataOff + dataLen
+            while (i < end) {
+              val s = if (format == 7) ulawToPcm(b(i)) else alawToPcm(b(i))
+              pcm.putShort(s.toShort)
+              i += 1
+            }
+            WavRecord(id, valid = true, "", rate, channels, 16,
+              dataLen.toLong / channels, pcm.array())
+          }
+        }
+      }
+  }
+
+  /** Build a G.711 WAV container (format 6 = A-law, 7 = µ-law; 8-bit). */
+  def g711Wav(sampleRate: Int, channels: Int, format: Int,
+              bytes: Array[Byte]): Array[Byte] = {
+    require(format == 6 || format == 7, s"format must be 6 or 7: $format")
+    require(channels >= 1 && sampleRate >= 1)
+    val riffSize = 4 + (8 + 18) + 8 + bytes.length + (bytes.length & 1)
+    val out = java.nio.ByteBuffer.allocate(8 + riffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes(StandardCharsets.US_ASCII)).putInt(riffSize)
+      .put("WAVE".getBytes(StandardCharsets.US_ASCII))
+    out.put("fmt ".getBytes(StandardCharsets.US_ASCII)).putInt(18)
+      .putShort(format.toShort).putShort(channels.toShort)
+      .putInt(sampleRate).putInt(sampleRate * channels)
+      .putShort(channels.toShort).putShort(8.toShort)
+      .putShort(0.toShort) // cbSize = 0
+    out.put("data".getBytes(StandardCharsets.US_ASCII)).putInt(bytes.length)
+      .put(bytes)
+    if ((bytes.length & 1) == 1) out.put(0.toByte)
+    out.array()
+  }
+
   /** Parsed MP4 (ISO-BMFF) container metadata, or a `valid = false` row
     * naming the defect — the [[parseWav]] totality contract for the
     * VIDEO branch. Decode stays honestly out of scope (no codec ships

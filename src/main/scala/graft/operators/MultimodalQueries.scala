@@ -244,6 +244,19 @@ object MultimodalQueries {
       }.toDF("doc_id", "payload")
   }
 
+  /** q_m21 corpus: per doc 200 G.711 bytes byte_t = (doc_id*11 + t*29)
+    * % 256, companded as A-law for even doc_ids and µ-law for odd — both
+    * branches of the stateless telephony codec under one hash. */
+  private[graft] def m21Wavs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id").as[Long].map { id =>
+        val bytes = Array.tabulate(200)(t => (((id * 11 + t * 29) % 256)).toByte)
+        val fmt = if (id % 2 == 0) 6 else 7
+        (id, Multimodal.g711Wav(8000, 1, fmt, bytes))
+      }.toDF("doc_id", "payload")
+  }
+
   /** The q_m19 FIR, shared by the Spark query and its oracle: the oracle
     * receives these Q15 integers as SQL literals (re-deriving the trig in
     * another engine would race double ulps; the integers ARE the
@@ -524,6 +537,41 @@ object MultimodalQueries {
     // receipt IN the graded output, ~1.5k (the surviving in-band block
     // wave) instead of ~3.5k. The oracle replays the exact integer
     // convolution with the coefficient table as literals.
+    // G.711 µ-law/A-law decode (r17, beside q_m20's ADPCM): the
+    // STATELESS telephony codec — one byte, one sample — through the
+    // same container walk, both companding branches graded in one hash.
+    // The oracle replays the expansion formulas per (doc, t) as plain
+    // row arithmetic (no recursion needed: G.711 carries no state), so
+    // a complement/XOR slip, a segment-shift off-by-one, or the A-law
+    // sign convention inverted (its sign bit means POSITIVE — the
+    // opposite of µ-law) flips some doc's sum/min/max and fails.
+    "q_m21_g711_decode" -> ((s, dir) => {
+      import s.implicits._
+      Multimodal.parseWavG711(m21Wavs(s, dir), "doc_id", "payload")
+        .filter(_.valid)
+        .map { r =>
+          val bb = java.nio.ByteBuffer.wrap(r.pcm)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          var sum = 0L
+          var mn = Int.MaxValue
+          var mx = Int.MinValue
+          var i = 0L
+          while (i < r.n_samples) {
+            val v = bb.getShort.toInt
+            sum += v
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+            i += 1
+          }
+          (r.id, r.n_samples, sum, mn, mx)
+        }
+        .toDF("doc_id", "n_samples", "s_sum", "s_min", "s_max")
+        .withColumn("codec",
+          when(col("doc_id") % 2 === 0, "alaw").otherwise("ulaw"))
+        .select("doc_id", "codec", "n_samples", "s_sum", "s_min", "s_max")
+        .orderBy("doc_id")
+    }),
+
     // IMA ADPCM decode (r16 VERDICT #8): real COMPRESSED audio through
     // the container walk + integer state machine of
     // [[Multimodal.parseWavAdpcm]], graded end to end — the oracle
@@ -796,6 +844,37 @@ object MultimodalQueries {
     // decimation takes every 3rd filtered sample (up = 1). peak_mid's
     // presence in the hashed output makes "the 24 kHz tone vanished" a
     // driver-graded fact, not just a spec assertion.
+    // per-sample replay of both G.711 expansion formulas — stateless,
+    // so plain row arithmetic over (doc, t)
+    "q_m21_g711_decode" ->
+      """WITH raw AS (
+        |  SELECT doc_id, g.t AS t, (doc_id * 11 + g.t * 29) % 256 AS bt
+        |  FROM documents, generate_series(0, 199) AS g(t)),
+        |dec AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 1 THEN
+        |      CASE WHEN (255 - bt) >= 128
+        |        THEN -(((((255 - bt) % 16) * 8 + 132)
+        |                << (((255 - bt) // 16) % 8)) - 132)
+        |        ELSE ((((255 - bt) % 16) * 8 + 132)
+        |                << (((255 - bt) // 16) % 8)) - 132
+        |      END
+        |    ELSE
+        |      (CASE WHEN xor(bt, 85) >= 128 THEN 1 ELSE -1 END) *
+        |      (CASE WHEN (xor(bt, 85) // 16) % 8 = 0
+        |            THEN (xor(bt, 85) % 16) * 16 + 8
+        |            ELSE ((xor(bt, 85) % 16) * 16 + 264)
+        |                 << ((xor(bt, 85) // 16) % 8 - 1) END)
+        |    END AS v
+        |  FROM raw)
+        |SELECT doc_id,
+        |       CASE WHEN doc_id % 2 = 0 THEN 'alaw' ELSE 'ulaw' END AS codec,
+        |       CAST(count(*) AS BIGINT) AS n_samples,
+        |       CAST(sum(v) AS BIGINT) AS s_sum,
+        |       CAST(min(v) AS INT) AS s_min,
+        |       CAST(max(v) AS INT) AS s_max
+        |FROM dec GROUP BY 1, 2 ORDER BY doc_id""".stripMargin,
+
     // recursive-CTE replay of the IMA state machine: pure arithmetic per
     // step (list-literal table lookups, no joins in the recursive member
     // — the engine-gotcha rule), state = (pred, idx, running sum/min/max)

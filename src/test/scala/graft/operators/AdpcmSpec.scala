@@ -105,6 +105,45 @@ class AdpcmSpec extends SparkTestBase {
       "block-index-out-of-range")
   }
 
+  test("G.711 decode matches the spec anchor values; both companding " +
+       "laws round-trip the container") {
+    // spec anchors (ITU-T G.711 / public reference code): µ-law 0x00 is
+    // the most-negative code (-32124), 0x80 its positive mirror, 0xff
+    // decodes to +0; A-law 0x55 is -8 (xor mask zero), 0xd5 is +8
+    assert(Multimodal.ulawToPcm(0x00.toByte) == -32124)
+    assert(Multimodal.ulawToPcm(0x80.toByte) == 32124)
+    assert(Multimodal.ulawToPcm(0xff.toByte) == 0)
+    assert(Multimodal.alawToPcm(0x55.toByte) == -8)
+    assert(Multimodal.alawToPcm(0xd5.toByte) == 8)
+    assert(Multimodal.alawToPcm(0x2a.toByte) == -32256)
+    assert(Multimodal.alawToPcm(0xaa.toByte) == 32256)
+    // µ-law's 256 codes cover 255 distinct values (+0 and -0 collide)
+    assert((0 until 256).map(b => Multimodal.ulawToPcm(b.toByte)).distinct.size == 255)
+    assert((0 until 256).map(b => Multimodal.alawToPcm(b.toByte)).distinct.size == 256)
+    // container round trip, one WAV per law
+    val bytes = Array.tabulate(64)(i => (i * 4 + 1).toByte)
+    for ((fmt, dec) <- Seq(
+        6 -> ((b: Byte) => Multimodal.alawToPcm(b)),
+        7 -> ((b: Byte) => Multimodal.ulawToPcm(b)))) {
+      val r = Multimodal.parseWavG711(
+        Seq((1L, Multimodal.g711Wav(8000, 1, fmt, bytes)))
+          .toDF("doc_id", "payload"), "doc_id", "payload").collect().head
+      assert(r.valid && r.n_samples == 64L && r.bits == 16)
+      val got = {
+        val bb = java.nio.ByteBuffer.wrap(r.pcm)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        (0 until 64).map(_ => bb.getShort.toInt)
+      }
+      assert(got == bytes.map(dec).toSeq)
+    }
+    // PCM (format 1) through the G.711 parser quarantines
+    val pcmWav = Multimodal.pcmWav(8000, 1, Array.fill(8)(0.toByte))
+    val bad = Multimodal.parseWavG711(
+      Seq((1L, pcmWav)).toDF("doc_id", "payload"), "doc_id", "payload")
+      .collect().head
+    assert(!bad.valid && bad.reason == "not-g711")
+  }
+
   test("decoded ADPCM composes into the PCM pipeline (resample)") {
     val src = Array.tabulate(97)(i => (math.sin(i * 0.2) * 9000).toShort)
     val (p, i, d) = Multimodal.adpcmEncodeBlock(src, idx0 = 50)
