@@ -1276,10 +1276,14 @@ object SnapshotTable {
     * an update appears as its delete+insert pair. File rewrites that
     * preserve rows (compaction) cancel out via multiset difference.
     *
-    * CONTRACT: the table schema must be stable across `[vFrom, vTo]` —
-    * the row diffs union by name strictly, so a range spanning a
-    * schema-evolution commit fails loudly (diff the sub-ranges on
-    * either side of the evolution instead). */
+    * Schema evolution: when the table records field-id schemas, the
+    * whole range resolves to the `vTo` ([[readSnapshot]]'s schemaV)
+    * schema by id — a range spanning a rename diffs correctly, with
+    * pre-rename rows surfacing under the current name (r17; before
+    * field ids the strict union failed loudly across evolution commits,
+    * which remains the behavior for legacy schema-less tables). An
+    * evolution commit by itself changes no files, so it contributes no
+    * change rows. */
   def changes(spark: SparkSession, tablePath: String,
               vFrom: Long, vTo: Long): DataFrame = {
     require(vFrom <= vTo, s"vFrom=$vFrom must be <= vTo=$vTo")
@@ -1320,11 +1324,17 @@ object SnapshotTable {
     // schema probe from whichever endpoint still HAS data files (vTo can
     // be all-deletes when a delete commit follows a full replace-away)
     val schemaV = if (to.exists(!_.isDelete)) vTo else vFrom
-    val schema = readSnapshot(spark, tablePath, Some(schemaV)).limit(0)
+    // resolve the WHOLE range to schemaV's field-id schema when recorded:
+    // both endpoints project onto the same target, so exceptAll compares
+    // like with like even across a rename inside the range
+    val evoSchema = schemaOf(tablePath, Some(schemaV))
+    val schema = readSnapshot(spark, tablePath, Some(schemaV),
+      allowSchemaEvolution = evoSchema.isDefined).limit(0)
     def readOr(entries: Seq[ManifestEntry],
                dels: Seq[(Long, Seq[String], DataFrame)]): DataFrame =
       if (entries.isEmpty) schema
-      else readEntries(spark, tablePath, entries, dels, allowSchemaEvolution = false)
+      else readEntries(spark, tablePath, entries, dels,
+        allowSchemaEvolution = evoSchema.isDefined, targetSchema = evoSchema)
     // rows visible among the added files at vTo / the removed files at vFrom
     val inserted = readOr(addedData, delTo)
     val removed = readOr(removedData, delFrom)

@@ -125,6 +125,22 @@ class SchemaEvolutionSpec extends SparkTestBase {
     }
   }
 
+  test("changes() diffs correctly across a rename inside the range") {
+    val t = tmp()
+    commitOverwrite(Seq((1L, 2000, 5.0), (2L, 2001, 7.0))
+      .toDF("id", "year", "price"), t, Seq("year"))
+    evolveSchema(t, Seq(RenameColumn("price", "amount"))) // v2: no rows
+    commitAppend(Seq((3L, 2000, 9.0)).toDF("id", "year", "amount"),
+      t, Seq("year")) // v3
+    val ch = changes(spark, t, 1L, 3L)
+      .select("_change_type", "id", "amount").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    // only the appended row changed; it surfaces under the CURRENT name
+    assert(ch == Seq(("insert", 3L, 9.0)))
+    // a range ending AT the evolution commit is a no-op diff
+    assert(changes(spark, t, 1L, 2L).count() == 0L)
+  }
+
   test("schema survives txn appends, compaction, and vacuum") {
     val t = tmp()
     commitOverwrite(Seq((1L, 2000, 1.0)).toDF("id", "year", "price"),
