@@ -622,8 +622,10 @@ object Multimodal {
     * through the mirrored state machine (encoder and decoder run the
     * SAME reconstruction, so state never drifts — the property the
     * round-trip spec pins). Returns (headerPredictor, headerIndex,
-    * packed nibble bytes, finalIndex). Sample count must be odd (header
-    * + 2 per byte — the WAV samplesPerBlock shape). */
+    * packed nibble bytes); each block is self-contained — its header
+    * restarts the decoder state, so multi-block encodes need no state
+    * threading. Sample count must be odd (header + 2 per byte — the
+    * WAV samplesPerBlock shape). */
   private[operators] def adpcmEncodeBlock(samples: Array[Short],
                                           idx0: Int): (Int, Int, Array[Byte]) = {
     require(samples.nonEmpty && samples.length % 2 == 1,
@@ -763,8 +765,13 @@ object Multimodal {
           else if (rate < 1) invalid("bad-rate")
           else if (blockAlign < 5) invalid("bad-block-align")
           else {
-            // decode block by block; any malformed block quarantines the
-            // whole record (a half-decoded stream is worse than none)
+            // decode block by block. A PARTIAL FINAL block (data length
+            // not a blockAlign multiple) is the WAV convention for a
+            // stream whose true sample count ends mid-block — it decodes
+            // to its shorter sample run; only a fragment too small for a
+            // block header (< 5 bytes) quarantines, along with any
+            // malformed header (a half-decoded stream there is worse
+            // than none)
             val outBlocks = Seq.newBuilder[Array[Short]]
             var pos = dataOff
             val end = dataOff + dataLen
@@ -883,6 +890,10 @@ object Multimodal {
           else if (bits != 8) invalid("unsupported-bits")
           else if (channels < 1) invalid("bad-channels")
           else if (rate < 1) invalid("bad-rate")
+          // a data length not divisible by the channel count is a torn
+          // final frame: n_samples and the decoded buffer would disagree
+          // (the parseWav PCM invariant consumers iterate by)
+          else if (dataLen % channels != 0) invalid("partial-frame")
           else {
             val pcm = java.nio.ByteBuffer.allocate(dataLen * 2)
               .order(java.nio.ByteOrder.LITTLE_ENDIAN)

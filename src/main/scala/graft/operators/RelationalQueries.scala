@@ -806,13 +806,14 @@ object RelationalQueries {
       // restore alongside stop()
       val priorParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
-      val q = cands.writeStream.format("memory").queryName(sink)
-        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
-      try q.processAllAvailable()
-      finally {
-        q.stop()
-        s.conf.set("spark.sql.shuffle.partitions", priorParts)
-      }
+      // restore on EVERY exit — including start() itself throwing (an
+      // unguarded throw there would leak 8 partitions into the whole
+      // remaining battery)
+      try {
+        val q = cands.writeStream.format("memory").queryName(sink)
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", priorParts)
       // materialize the (hitter-sized) result EAGERLY so the staging dir
       // and memory sink can be reclaimed before returning — bench reps
       // must not accrete a parquet copy of the events table per run

@@ -173,8 +173,7 @@ object VectorQueries {
       val model = VectorOps.ivfPqTrain(corpus, "vec_id", "embedding",
         nlist = 16, m = 4, ksub = 16, iterations = 3)
       val codes = VectorOps.ivfPqEncode(corpus, "vec_id", "embedding", model)
-      val idx = s"${System.getProperty("java.io.tmpdir", "/tmp")}" +
-        s"/graft_ivfidx/run-${System.nanoTime()}"
+      val idx = RunDirs.fresh("graft_ivfidx")
       VectorOps.ivfPqWriteIndex(codes, idx)
       RunDirs.seal(
         VectorOps.ivfPqTopKIndexed(corpus, idx, "vec_id", "embedding",

@@ -427,20 +427,33 @@ object SnapshotTable {
     schemaDir(t).resolve(f"s$id%08d.schema")
 
   /** Schema files are immutable once moved into place (no-replace
-    * ATOMIC_MOVE, ids never recycle — allocation takes the max over all
-    * schema files), so a session-scoped cache needs no validation. */
+    * ATOMIC_MOVE, ids never recycle within a table's life) — but the
+    * TABLE DIRECTORY can be deleted and recreated at the same path,
+    * recycling schema ids from 1 (the headerCache hazard, r15). Entries
+    * therefore carry the schema file's platform identity (inode + size)
+    * and every hit re-stats before being trusted — a stale entry falls
+    * through to a fresh read instead of serving the dead table's
+    * field map. */
+  private final case class CachedSchema(identity: String, fields: Seq[FieldDef])
   private val schemaFileCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[FieldDef]]()
+    new java.util.concurrent.ConcurrentHashMap[String, CachedSchema]()
 
-  private def readSchemaFile(tablePath: String, id: Long): Seq[FieldDef] =
-    schemaFileCache.computeIfAbsent(s"${root(tablePath)}#$id", _ => {
-      val p = schemaPath(tablePath, id)
+  private def readSchemaFile(tablePath: String, id: Long): Seq[FieldDef] = {
+    val key = s"${root(tablePath)}#$id"
+    val p = schemaPath(tablePath, id)
+    val identity = manifestIdentity(p)
+    require(identity != null, s"schema file missing: $p")
+    val hit = schemaFileCache.get(key)
+    if (hit != null && hit.identity == identity) return hit.fields
+    val fields =
       new String(Files.readAllBytes(p), "UTF-8").split("\n", -1).toSeq
         .filter(_.nonEmpty).map { l =>
           val f = l.split("\t", -1)
           FieldDef(f(0).toInt, f(1), f(2))
         }
-    })
+    schemaFileCache.put(key, CachedSchema(identity, fields))
+    fields
+  }
 
   /** Write the schema as a new immutable schema file; returns its id.
     * Called under the table lock (every commit path holds it). */
@@ -711,9 +724,30 @@ object SnapshotTable {
         .option("basePath", s"$r/$commitDir")
         .parquet(es.map(e => s"$r/${e.relPath}"): _*)
       val fileV = es.head.commitVersion
+      // delete keys are named under the schema AT THE DELETE'S COMMIT;
+      // this group's physical columns under the schema at ITS commit. A
+      // rename between the two would make a name-keyed anti-join crash
+      // (or worse, miss) — so when schemas are recorded, each delete key
+      // resolves name → field id (delete-commit schema) → this group's
+      // physical name. Legacy links (either schema unrecorded, or the
+      // id absent from the group) keep the raw name — the only
+      // semantics available there.
+      val groupSchema = schemaOf(tablePath, Some(fileV))
       val resolved = deletes.filter(_._1 > fileV).foldLeft(raw) {
-        case (acc, (_, keys, delDf)) =>
-          acc.join(delDf.select(keys.map(col): _*), keys, "left_anti")
+        case (acc, (delV, keys, delDf)) =>
+          val delSchema = schemaOf(tablePath, Some(delV))
+          val mapped = keys.map { k =>
+            val phys = for {
+              ds <- delSchema
+              f <- ds.find(_.name == k)
+              gs <- groupSchema
+              g <- gs.find(_.id == f.id)
+            } yield g.name
+            k -> phys.getOrElse(k)
+          }
+          acc.join(
+            delDf.select(mapped.map { case (k, p) => col(k).as(p) }: _*),
+            mapped.map(_._2), "left_anti")
       }
       // FIELD-ID resolution (evolution-aware reads): project every commit
       // group onto the target schema by id — the group's physical column
@@ -1288,7 +1322,9 @@ object SnapshotTable {
               vFrom: Long, vTo: Long): DataFrame = {
     require(vFrom <= vTo, s"vFrom=$vFrom must be <= vTo=$vTo")
     def noChanges(): DataFrame =
-      readSnapshot(spark, tablePath, Some(vTo)).limit(0)
+      readSnapshot(spark, tablePath, Some(vTo),
+          allowSchemaEvolution = schemaOf(tablePath, Some(vTo)).isDefined)
+        .limit(0)
         .withColumn("_change_type", lit(""))
     if (vFrom == vTo) return noChanges()
     // Compaction fast path (r13 VERDICT #6): a compaction replaces every
@@ -1403,7 +1439,8 @@ object SnapshotTable {
     if (cur <= wm) return None
     val frame =
       if (wm == 0L)
-        readSnapshot(spark, tablePath, Some(cur))
+        readSnapshot(spark, tablePath, Some(cur),
+            allowSchemaEvolution = schemaOf(tablePath, Some(cur)).isDefined)
           .withColumn("_change_type", lit("insert"))
       else changes(spark, tablePath, wm, cur)
     process(frame, wm, cur)
@@ -1622,11 +1659,19 @@ object SnapshotTable {
     }.toSet
     if (affected.isEmpty) {
       // every pending delete bites nothing: drop the delete entries with
-      // a metadata-only commit
+      // a metadata-only commit. Drop exactly the BASE snapshot's delete
+      // entries (the ones the victim scan proved clean) — a delete
+      // commit interleaving between the scan and this commit stays in
+      // the manifest untouched (review r17: filterNot(_.isDelete) here
+      // would silently erase it and resurrect its rows; base deletes
+      // can never bite data committed after them, so the scoped drop
+      // needs no conflict check at all)
+      val baseDeletePaths = dels.map(_.relPath).toSet
       return lockFor(tablePath).synchronized {
         val v = commitManifest(tablePath, Nil, None,
           headers = Map("rewrite_deletes" -> "true"))(
-          (prev, _) => prev.filterNot(_.isDelete))
+          (prev, _) => prev.filterNot(e =>
+            e.isDelete && baseDeletePaths(e.relPath)))
         swapPointer(tablePath, v)
         v
       }

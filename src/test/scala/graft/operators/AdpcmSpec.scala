@@ -136,12 +136,41 @@ class AdpcmSpec extends SparkTestBase {
       }
       assert(got == bytes.map(dec).toSeq)
     }
+    // a stereo stream with a torn final frame quarantines (n_samples
+    // and the decoded buffer would disagree otherwise — review r17 #7)
+    val torn = Multimodal.parseWavG711(
+      Seq((1L, Multimodal.g711Wav(8000, 2, 7, Array.fill(7)(0x40.toByte))))
+        .toDF("doc_id", "payload"), "doc_id", "payload").collect().head
+    assert(!torn.valid && torn.reason == "partial-frame")
     // PCM (format 1) through the G.711 parser quarantines
     val pcmWav = Multimodal.pcmWav(8000, 1, Array.fill(8)(0.toByte))
     val bad = Multimodal.parseWavG711(
       Seq((1L, pcmWav)).toDF("doc_id", "payload"), "doc_id", "payload")
       .collect().head
     assert(!bad.valid && bad.reason == "not-g711")
+  }
+
+  test("partial final ADPCM block decodes short (the WAV convention); " +
+       "sub-header fragments quarantine") {
+    val (p1, i1, d1) = Multimodal.adpcmEncodeBlock(
+      Array.tabulate(9)(i => (i * 100).toShort), idx0 = 10)
+    val full = Multimodal.adpcmWav(8000, Seq((p1, i1, d1)))
+    // chop the data chunk 2 bytes short and patch sizes: the final block
+    // decodes its shorter run — valid, 2 fewer samples
+    val cut = full.dropRight(2)
+    val bb = java.nio.ByteBuffer.wrap(cut).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(4, cut.length - 8)            // RIFF size
+    bb.putInt(cut.length - 4 - 2 - 8 + 4, 6) // data size: 4 hdr + 2 nibble bytes
+    val shortRec = decodeOne(cut)
+    assert(shortRec.valid && shortRec.n_samples == 5L)
+    // a fragment smaller than a block header quarantines
+    val frag = full.dropRight(5)
+    val fb = java.nio.ByteBuffer.wrap(frag).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    fb.putInt(4, frag.length - 8)
+    fb.putInt(frag.length - 3 - 8 + 4 - 4 + 4, 3)
+    // (sizes: data chunk declared 3 bytes — under the 5-byte header floor)
+    val fragRec = decodeOne(frag)
+    assert(!fragRec.valid && fragRec.reason == "truncated-block-header")
   }
 
   test("decoded ADPCM composes into the PCM pipeline (resample)") {

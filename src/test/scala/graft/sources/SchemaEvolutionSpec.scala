@@ -125,6 +125,39 @@ class SchemaEvolutionSpec extends SparkTestBase {
     }
   }
 
+  test("MoR delete keyed on a POST-rename name anti-joins pre-rename " +
+       "files by field id (review r17 #2)") {
+    val t = tmp()
+    commitOverwrite(Seq((1L, 2000, "x"), (2L, 2000, "y"), (3L, 2001, "z"))
+      .toDF("a", "year", "payload"), t, Seq("year"))
+    evolveSchema(t, Seq(RenameColumn("a", "b")))
+    // keys under the NEW name against files whose physical column is 'a'
+    commitDeleteByKeys(spark, t, Seq(2L).toDF("b"), Seq("b"))
+    val out = readSnapshot(spark, t, allowSchemaEvolution = true)
+      .select("b").as[Long].collect().sorted.toSeq
+    assert(out == Seq(1L, 3L), s"delete under renamed key must bite: $out")
+    // and rewriteDeletes resolves the same link
+    val v = rewriteDeletes(spark, t, Seq("year"))
+    assert(readSnapshot(spark, t, Some(v), allowSchemaEvolution = true)
+      .select("b").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+  }
+
+  test("followChanges initial load works on an evolved table (review r17 #3)") {
+    val t = tmp()
+    commitOverwrite(Seq((1L, 2000, 5.0)).toDF("id", "year", "price"),
+      t, Seq("year"))
+    evolveSchema(t, Seq(RenameColumn("price", "amount"),
+      AddColumn("note", "string")))
+    commitAppend(Seq((2L, 2000, 7.0, "n")).toDF("id", "year", "amount", "note"),
+      t, Seq("year"))
+    val wm = Files.createTempDirectory("graft-evo-wm").toString + "/wm"
+    var got: Seq[(Long, Double)] = Nil
+    followChanges(spark, t, wm) { (df, _, _) =>
+      got = df.select("id", "amount").as[(Long, Double)].collect().sorted.toSeq
+    }
+    assert(got == Seq((1L, 5.0), (2L, 7.0)))
+  }
+
   test("changes() diffs correctly across a rename inside the range") {
     val t = tmp()
     commitOverwrite(Seq((1L, 2000, 5.0), (2L, 2001, 7.0))
