@@ -942,6 +942,177 @@ object Multimodal {
                      major_brand: String, timescale: Long, duration: Long,
                      n_top_boxes: Int)
 
+  // ------------------------------------------------------------- AVI
+
+  /** One video frame pulled from an AVI container (or a `valid = false`
+    * quarantine row for the whole file): `fourcc` is the stream
+    * handler/compression tag — `"DIB "` frames carry UNCOMPRESSED
+    * bottom-up BGR rows (rows padded to 4 bytes, exactly the BMP pixel
+    * array), `"MJPG"` frames carry standalone JPEGs that feed
+    * [[ImageCodec.decodeImages]] unchanged. */
+  case class AviFrame(id: Long, valid: Boolean, reason: String,
+                      frame_index: Int, width: Int, height: Int,
+                      fourcc: String, n_frames: Int, payload: Array[Byte])
+
+  /** Walk AVI containers (RIFF 'AVI ' — the public Microsoft/OpenDML
+    * layout) and emit ONE ROW PER VIDEO FRAME — the first real video
+    * FRAME-EXTRACTION path beside [[parseMp4Meta]]'s metadata walk:
+    * `hdrl` gives dimensions + the stream's compression tag (from the
+    * strf BITMAPINFOHEADER; 0 = DIB uncompressed, else the fourcc),
+    * `movi` yields the `..db`/`..dc` frame chunks in stream order
+    * (nested `rec ` LISTs honored). DIB frames are decodable by pure
+    * byte arithmetic downstream; MJPG frames compose into the REAL
+    * JPEG decoder. Every defect class (bad magic, missing hdrl/movi,
+    * chunk overrun mid-frame) quarantines the FILE as one
+    * `valid = false` row — the [[parseWav]] totality contract. One
+    * typed flatMap pass; payloads never visit the driver. */
+  def aviFrames(df: DataFrame, idCol: String,
+                payloadCol: String): Dataset[AviFrame] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, payload) =>
+        def invalid(reason: String) = Seq(AviFrame(id, valid = false,
+          reason, -1, 0, 0, "", 0, Array.emptyByteArray))
+        val b = if (payload == null) Array.emptyByteArray else payload
+        def u16(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+        def u32(o: Int): Long = (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+          ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+        def tag(o: Int): String =
+          new String(b, o, 4, StandardCharsets.US_ASCII)
+        if (b.length < 12) invalid("truncated-preamble")
+        else if (tag(0) != "RIFF") invalid("bad-magic")
+        else if (tag(8) != "AVI ") invalid("not-avi")
+        else {
+          var width = 0
+          var height = 0
+          var fourcc = ""
+          var hdrlSeen = false
+          var moviSeen = false
+          var defect: String = null
+          val frames = Seq.newBuilder[Array[Byte]]
+          // walk a chunk run [from, until); LISTs recurse (hdrl for the
+          // headers, movi/rec for frames); other chunks skip
+          def walk(from: Int, until: Int, inMovi: Boolean): Unit = {
+            var off = from
+            while (defect == null && off + 8 <= until) {
+              val id4 = tag(off)
+              val size = u32(off + 4)
+              val body = off + 8
+              if (size < 0 || body + size > until) defect = "chunk-overruns-file"
+              else if (id4 == "LIST") {
+                if (size < 4) defect = "list-too-short"
+                else {
+                  val listType = tag(body)
+                  if (listType == "hdrl") { hdrlSeen = true; walk(body + 4, body + size.toInt, inMovi = false) }
+                  else if (listType == "strl") walk(body + 4, body + size.toInt, inMovi = false)
+                  else if (listType == "movi") { moviSeen = true; walk(body + 4, body + size.toInt, inMovi = true) }
+                  else if (listType == "rec ") walk(body + 4, body + size.toInt, inMovi)
+                  // other lists (odml, INFO) skipped whole
+                }
+              } else if (id4 == "strf" && size >= 40) {
+                // BITMAPINFOHEADER: biWidth @+4, biHeight @+8,
+                // biCompression @+16 (0 = BI_RGB -> "DIB ")
+                width = u32(body + 4).toInt
+                height = u32(body + 8).toInt
+                val comp = u32(body + 16)
+                fourcc = if (comp == 0L) "DIB " else tag(body + 16)
+              } else if (inMovi && id4.length == 4 &&
+                         id4(0).isDigit && id4(1).isDigit &&
+                         (id4.substring(2) == "db" || id4.substring(2) == "dc")) {
+                frames += java.util.Arrays.copyOfRange(b, body, body + size.toInt)
+              }
+              off = body + size.toInt + (size.toInt & 1) // RIFF even padding
+            }
+          }
+          walk(12, b.length, inMovi = false)
+          if (defect != null) invalid(defect)
+          else if (!hdrlSeen) invalid("no-hdrl")
+          else if (!moviSeen) invalid("no-movi")
+          else if (width <= 0 || height <= 0) invalid("bad-dimensions")
+          else {
+            val fs = frames.result()
+            fs.zipWithIndex.map { case (f, i) =>
+              AviFrame(id, valid = true, "", i, width, height, fourcc,
+                fs.size, f)
+            }
+          }
+        }
+      }
+  }
+
+  /** Build an AVI container around prepared frame payloads (`"DIB "` →
+    * `00db` chunks of raw bottom-up BGR rows; anything else → `00dc`,
+    * e.g. `"MJPG"` with JPEG bytes). Minimal-but-conformant: avih +
+    * one video strl (strh/strf) + movi; no idx1 (optional per spec,
+    * and [[aviFrames]] reads stream order). */
+  def aviWrite(width: Int, height: Int, fps: Int, fourcc: String,
+               frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(width > 0 && height > 0 && fps > 0 && frames.nonEmpty)
+    require(fourcc.length == 4, s"fourcc must be 4 chars: '$fourcc'")
+    def chunk(id4: String, body: Array[Byte]): Array[Byte] = {
+      val out = java.nio.ByteBuffer
+        .allocate(8 + body.length + (body.length & 1))
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put(id4.getBytes(StandardCharsets.US_ASCII)).putInt(body.length)
+        .put(body)
+      out.array() // trailing pad byte (if any) stays zero
+    }
+    def list(listType: String, bodies: Seq[Array[Byte]]): Array[Byte] = {
+      val inner = bodies.flatten.toArray
+      val out = java.nio.ByteBuffer.allocate(12 + inner.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put("LIST".getBytes(StandardCharsets.US_ASCII))
+        .putInt(4 + inner.length)
+        .put(listType.getBytes(StandardCharsets.US_ASCII)).put(inner)
+      out.array()
+    }
+    val isDib = fourcc == "DIB "
+    val avih = {
+      val o = java.nio.ByteBuffer.allocate(56)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      o.putInt(1000000 / fps).putInt(0).putInt(0).putInt(0)
+        .putInt(frames.size).putInt(0).putInt(1).putInt(0)
+        .putInt(width).putInt(height)
+      o.array()
+    }
+    val strh = {
+      val o = java.nio.ByteBuffer.allocate(56)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      o.put("vids".getBytes(StandardCharsets.US_ASCII))
+        .put((if (isDib) "DIB " else fourcc)
+          .getBytes(StandardCharsets.US_ASCII))
+        .putInt(0).putShort(0.toShort).putShort(0.toShort).putInt(0)
+        .putInt(1).putInt(fps).putInt(0).putInt(frames.size)
+        .putInt(0).putInt(-1).putInt(0)
+        .putShort(0.toShort).putShort(0.toShort)
+        .putShort(width.toShort).putShort(height.toShort)
+      o.array()
+    }
+    val strf = {
+      val o = java.nio.ByteBuffer.allocate(40)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      o.putInt(40).putInt(width).putInt(height).putShort(1.toShort)
+        .putShort(24.toShort)
+      if (isDib) o.putInt(0) // biCompression = BI_RGB
+      else o.put(fourcc.getBytes(StandardCharsets.US_ASCII))
+      o.putInt(0).putInt(0).putInt(0).putInt(0).putInt(0)
+      o.array()
+    }
+    val hdrl = list("hdrl", Seq(chunk("avih", avih),
+      list("strl", Seq(chunk("strh", strh), chunk("strf", strf)))))
+    val movi = list("movi",
+      frames.map(f => chunk(if (isDib) "00db" else "00dc", f)))
+    val inner = hdrl ++ movi
+    val out = java.nio.ByteBuffer.allocate(12 + inner.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes(StandardCharsets.US_ASCII))
+      .putInt(4 + inner.length)
+      .put("AVI ".getBytes(StandardCharsets.US_ASCII)).put(inner)
+    out.array()
+  }
+
   /** Walk an MP4's top-level box list (ISO 14496-12: `size(4 BE)
     * type(4)`, size 1 → 64-bit largesize, size 0 → to-EOF) and `moov`'s
     * children for `mvhd` (v0 and v1 layouts); overruns, truncations and

@@ -257,6 +257,29 @@ object MultimodalQueries {
       }.toDF("doc_id", "payload")
   }
 
+  /** q_m22 corpus: per doc one AVI of 3 uncompressed 6x4 DIB frames
+    * (row stride 20 = 18 data + 2 pad bytes), pixel byte at payload row
+    * r, column x, channel c (BGR order):
+    * (doc_id*3 + f*7 + r*11 + x*13 + c*17) % 251. Every %37 doc is
+    * truncated 10 bytes short — its last frame chunk overruns and the
+    * whole file must quarantine. */
+  private[graft] def m22Avis(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id").as[Long].map { id =>
+        val stride = 20
+        val frames = (0 until 3).map { f =>
+          val p = new Array[Byte](stride * 4)
+          for (r <- 0 until 4; x <- 0 until 6; c <- 0 until 3)
+            p(r * stride + x * 3 + c) =
+              ((id * 3 + f * 7 + r * 11 + x * 13 + c * 17) % 251).toByte
+          p
+        }
+        val avi = Multimodal.aviWrite(6, 4, 10, "DIB ", frames)
+        (id, if (id % 37 == 0) avi.dropRight(10) else avi)
+      }.toDF("doc_id", "payload")
+  }
+
   /** The q_m19 FIR, shared by the Spark query and its oracle: the oracle
     * receives these Q15 integers as SQL literals (re-deriving the trig in
     * another engine would race double ulps; the integers ARE the
@@ -537,6 +560,53 @@ object MultimodalQueries {
     // receipt IN the graded output, ~1.5k (the surviving in-band block
     // wave) instead of ~3.5k. The oracle replays the exact integer
     // convolution with the coefficient table as literals.
+    // AVI FRAME EXTRACTION + DIB decode (r17): real VIDEO container walk
+    // graded end to end — hdrl/strl/strf headers, movi frame chunks, and
+    // the uncompressed bottom-up BGR pixel layout all under one hash.
+    // Each frame's pixels fold into a POSITION-WEIGHTED integer luma sum
+    // ((f+1)·(y·W+x+1)·((77R+150G+29B)>>8)), so a frame-order swap, a
+    // bottom-up/top-down confusion, a BGR/RGB swap, or a stride/pad
+    // misread all change some doc's number. Every %37 doc is truncated
+    // mid-frame and must surface as its quarantine reason, not a task
+    // failure. One typed flatMap riding the scan; the only exchange is
+    // the per-doc fold.
+    "q_m22_avi_dib_frames" -> ((s, dir) => {
+      import s.implicits._
+      Multimodal.aviFrames(m22Avis(s, dir), "doc_id", "payload")
+        .map { fr =>
+          if (!fr.valid) (fr.id, false, fr.reason, -1, 0L)
+          else {
+            val w = fr.width
+            val h = fr.height
+            val stride = ((w * 3 + 3) / 4) * 4
+            var wsum = 0L
+            var y = 0
+            while (y < h) {
+              val r = h - 1 - y // payload rows are bottom-up
+              var x = 0
+              while (x < w) {
+                val base = r * stride + x * 3
+                val bB = fr.payload(base) & 0xff
+                val g = fr.payload(base + 1) & 0xff
+                val rr = fr.payload(base + 2) & 0xff
+                val lum = (77 * rr + 150 * g + 29 * bB) >> 8
+                wsum += (fr.frame_index + 1).toLong * (y * w + x + 1) * lum
+                x += 1
+              }
+              y += 1
+            }
+            (fr.id, true, fr.fourcc, fr.n_frames, wsum)
+          }
+        }
+        .toDF("doc_id", "ok", "tag", "nf", "w")
+        .groupBy("doc_id")
+        .agg(
+          max(when(col("ok"), col("nf")).otherwise(-1)).as("n_frames"),
+          max(col("tag")).as("fourcc"),
+          sum(when(col("ok"), col("w"))).as("wsum"))
+        .orderBy("doc_id")
+    }),
+
     // G.711 µ-law/A-law decode (r17, beside q_m20's ADPCM): the
     // STATELESS telephony codec — one byte, one sample — through the
     // same container walk, both companding branches graded in one hash.
@@ -844,6 +914,34 @@ object MultimodalQueries {
     // decimation takes every 3rd filtered sample (up = 1). peak_mid's
     // presence in the hashed output makes "the 24 kHz tone vanished" a
     // driver-graded fact, not just a spec assertion.
+    // analytic replay of the DIB pixel formula: payload row r = H-1-y,
+    // BGR channel bytes from the modular arithmetic, integer luma,
+    // position-and-frame-weighted sum per doc; %37 docs are the planted
+    // truncation quarantine
+    "q_m22_avi_dib_frames" ->
+      """WITH px AS (
+        |  SELECT doc_id, f.f, y.y, x.x, 3 - y.y AS r
+        |  FROM documents,
+        |       generate_series(0, 2) AS f(f),
+        |       generate_series(0, 3) AS y(y),
+        |       generate_series(0, 5) AS x(x)
+        |  WHERE doc_id % 37 != 0),
+        |lum AS (
+        |  SELECT doc_id,
+        |         sum((f + 1) * (y * 6 + x + 1) *
+        |           ((77 * ((doc_id * 3 + f * 7 + r * 11 + x * 13 + 2 * 17) % 251)
+        |             + 150 * ((doc_id * 3 + f * 7 + r * 11 + x * 13 + 1 * 17) % 251)
+        |             + 29 * ((doc_id * 3 + f * 7 + r * 11 + x * 13 + 0 * 17) % 251))
+        |            // 256)) AS wsum
+        |  FROM px GROUP BY doc_id)
+        |SELECT doc_id, 3 AS n_frames, 'DIB ' AS fourcc,
+        |       CAST(wsum AS BIGINT) AS wsum
+        |FROM lum
+        |UNION ALL
+        |SELECT doc_id, -1, 'chunk-overruns-file', CAST(NULL AS BIGINT)
+        |FROM documents WHERE doc_id % 37 = 0
+        |ORDER BY doc_id""".stripMargin,
+
     // per-sample replay of both G.711 expansion formulas — stateless,
     // so plain row arithmetic over (doc, t)
     "q_m21_g711_decode" ->
