@@ -784,6 +784,44 @@ object PipelineQueries {
         root)
     }),
 
+    // TYPE WIDENING under the driver hash (r17, completing the field-id
+    // evolution surface): v1 commits INT key/cents columns, v2 widens
+    // both to BIGINT (ids unchanged — WidenColumn), v3 appends rows
+    // whose values only fit the WIDENED types (keys + 5e9, cents +
+    // 3e9). The graded read folds old-file int values (cast up by the
+    // id-resolution read) together with the new bigint rows — a reader
+    // that re-reads old files under the old type, or a widening that
+    // secretly re-ids the column (NULLing old files), shifts the sums
+    // and fails the hash.
+    "q_l16_type_widening" -> ((s, dir) => {
+      val base = s.read.parquet(s"$dir/orders.parquet")
+        .select(
+          col("o_orderkey").cast("int").as("okey"),
+          year(col("o_orderdate")).as("o_year"),
+          expr("CAST(floor(o_totalprice * 100D + 0.5D) AS INT)").as("cents"))
+      val path = RunDirs.fresh("graft_snapwide")
+      val st = graft.sources.SnapshotTable
+      st.commitOverwrite(base, path, Seq("o_year")) // v1: int columns
+      st.evolveSchema(path, Seq(
+        st.WidenColumn("okey", "bigint"),
+        st.WidenColumn("cents", "bigint"))) // v2
+      st.commitAppend(
+        base.filter(col("okey") % 7 === 0)
+          .select(
+            (col("okey").cast("bigint") + lit(5000000000L)).as("okey"),
+            col("o_year"),
+            (col("cents").cast("bigint") + lit(3000000000L)).as("cents")),
+        path, Seq("o_year")) // v3: values beyond int range
+      RunDirs.seal(
+        st.readSnapshot(s, path, allowSchemaEvolution = true)
+          .groupBy(col("o_year").cast("int").as("o_year"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum("okey").as("sum_okey"),
+            sum("cents").as("sum_cents"))
+          .orderBy("o_year"),
+        path)
+    }),
+
     // MoR DELETE-FILE MAINTENANCE (r16 VERDICT #4) under the driver
     // hash: v1 commits the orders table, v2 lands a %13 merge-on-read
     // key delete, then rewriteDeletes folds the delete file into
@@ -1437,6 +1475,24 @@ object PipelineQueries {
           |         AS revenue,
           |       3 AS n_commits
           |FROM base GROUP BY 1 ORDER BY o_year""".stripMargin,
+
+      // analytic twin of the widened read: base int values + the %7
+      // appended bigint rows, summed in one 64-bit domain
+      "q_l16_type_widening" ->
+        """WITH base AS (
+          |  SELECT CAST(o_orderkey AS BIGINT) AS okey,
+          |         CAST(year(o_orderdate) AS INT) AS o_year,
+          |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+          |  FROM orders),
+          |allr AS (
+          |  SELECT okey, o_year, cents FROM base
+          |  UNION ALL
+          |  SELECT okey + 5000000000, o_year, cents + 3000000000
+          |  FROM base WHERE okey % 7 = 0)
+          |SELECT o_year, count(*) AS n_rows,
+          |       CAST(sum(okey) AS BIGINT) AS sum_okey,
+          |       CAST(sum(cents) AS BIGINT) AS sum_cents
+          |FROM allr GROUP BY 1 ORDER BY o_year""".stripMargin,
 
       // resolved read after delete-file maintenance: base minus the %13
       // keys, with zero delete files left in the manifest

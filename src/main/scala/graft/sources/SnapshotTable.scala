@@ -137,6 +137,11 @@ object SnapshotTable {
   final case class AddColumn(name: String, dataType: String) extends SchemaOp
   final case class RenameColumn(from: String, to: String) extends SchemaOp
   final case class DropColumn(name: String) extends SchemaOp
+  /** Lossless type promotion (Iceberg's type-evolution matrix):
+    * smallint→int/bigint, int→bigint, float→double, and decimal
+    * precision widening at fixed scale. The field id is unchanged;
+    * readers cast old files' physical values up to the target type. */
+  final case class WidenColumn(name: String, toType: String) extends SchemaOp
 
   final case class ManifestEntry(partSpec: String, relPath: String,
                                  attrs: Map[String, String] = Map.empty) {
@@ -388,6 +393,34 @@ object SnapshotTable {
   def prevOf(tablePath: String, version: Long): Option[Long] =
     headersOf(tablePath, version).flatMap(_.get("prev")).map(_.toLong)
 
+  /** Commit wall-clock of snapshot `version` (`#ts` header, epoch ms) —
+    * recorded from round 17 on; `None` for older manifests. */
+  def commitTimestamp(tablePath: String, version: Long): Option[Long] =
+    headersOf(tablePath, version).flatMap(_.get("ts")).map(_.toLong)
+
+  /** TIMESTAMP time travel: the newest version on the COMMITTED chain
+    * whose commit time is ≤ `tsMillis` — `readSnapshot(versionAt(...))`
+    * is the Delta/Iceberg `AS OF TIMESTAMP` surface. `None` when the
+    * table has no commit that old (or predates `#ts` recording).
+    * Commit timestamps are driver wall-clocks: monotone per table in
+    * practice (commits serialize on the table lock), but use versions
+    * for exact replay semantics. */
+  def versionAt(tablePath: String, tsMillis: Long): Option[Long] = {
+    val cur = currentVersion(tablePath).getOrElse(return None)
+    var v = cur
+    while (v > 0) {
+      commitTimestamp(tablePath, v) match {
+        case Some(ts) if ts <= tsMillis => return Some(v)
+        case _ => ()
+      }
+      prevOf(tablePath, v) match {
+        case Some(p) if p < v => v = p
+        case _ => return None
+      }
+    }
+    None
+  }
+
   /** Was snapshot `version` committed by [[compact]] (row-preserving —
     * every file replaced, no row added, removed, or changed)? A
     * vacuumed/unknown version answers false — callers fall back to the
@@ -493,6 +526,20 @@ object SnapshotTable {
       .map(id => readSchemaFile(tablePath, id.toLong))
   }
 
+  private val DecimalType = """decimal\((\d+),(\d+)\)""".r
+  /** Is `from` → `to` a LOSSLESS promotion (every old value representable
+    * exactly in the new type)? The Iceberg evolution matrix. */
+  private[sources] def widenLegal(from: String, to: String): Boolean =
+    (from, to) match {
+      case (a, b) if a == b => true
+      case ("smallint", "int") | ("smallint", "bigint") => true
+      case ("int", "bigint") => true
+      case ("float", "double") => true
+      case (DecimalType(p1, s1), DecimalType(p2, s2)) =>
+        s1 == s2 && p2.toInt >= p1.toInt
+      case _ => false
+    }
+
   /** Highest field id EVER allocated for this table, across every schema
     * file (schema files are immutable and never vacuumed, so this is the
     * Iceberg `last-column-id` without a separate counter). Fresh ids MUST
@@ -591,6 +638,14 @@ object SnapshotTable {
             protect(n, "drop")
             require(sch.size > 1, "cannot drop the last column")
             sch.filterNot(_.name == n)
+          case WidenColumn(n, to) =>
+            val f = sch.find(_.name == n).getOrElse(
+              sys.error(s"no column $n to widen"))
+            require(widenLegal(f.dataType, to),
+              s"illegal widening ${f.dataType} -> $to for $n " +
+                "(allowed: smallint->int/bigint, int->bigint, " +
+                "float->double, decimal(p,s)->decimal(p'>=p,s))")
+            sch.map(g => if (g.name == n) g.copy(dataType = to) else g)
         }
       }
       val v = commitManifest(tablePath, Nil, None,
@@ -1153,6 +1208,7 @@ object SnapshotTable {
     val header = txn.map(id => s"#txn=$id\n").getOrElse("") +
       s"#prev=${prevV.getOrElse(0L)}\n" +
       schemaIdHeader.map(id => s"#schemaid=$id\n").getOrElse("") +
+      s"#ts=${System.currentTimeMillis()}\n" +
       headers.toSeq.sorted.map { case (k, hv) => s"#$k=$hv\n" }.mkString
     val lines = header + compose(prev, stamped).map(renderEntry).mkString("\n")
     Files.createDirectories(manifestDir(tablePath))
@@ -1632,7 +1688,8 @@ object SnapshotTable {
     * unchanged current version when there are no pending deletes). */
   def rewriteDeletes(spark: SparkSession, tablePath: String,
                      partitionCols: Seq[String],
-                     filesPerPartition: Int = 1): Long = {
+                     filesPerPartition: Int = 1,
+                     statsCols: Seq[String] = Nil): Long = {
     val base = currentVersion(tablePath).getOrElse(
       sys.error(s"no committed snapshot at $tablePath"))
     val entries = manifest(tablePath, Some(base))
@@ -1679,8 +1736,12 @@ object SnapshotTable {
     val resolved = readSnapshot(spark, tablePath, Some(base),
         partitionPruning = affected.contains, allowSchemaEvolution = evo)
       .localCheckpoint() // lineage cut before the overwrite (mergeUpsert discipline)
-    commit(resolved, tablePath, partitionCols, filesPerPartition, Nil, Nil,
-        Some(base), headers = Map("rewrite_deletes" -> "true"))(
+    // statsCols: re-record per-file bounds + row counts for the
+    // rewritten partitions, so a stats-maintained table keeps
+    // metadataAggregate working straight after maintenance (clean
+    // partitions keep their original stats untouched)
+    commit(resolved, tablePath, partitionCols, filesPerPartition, Nil,
+        statsCols, Some(base), headers = Map("rewrite_deletes" -> "true"))(
       _ => ReplacePolicy(affected)) { (prev, fresh) =>
       prev.filterNot(e => e.isDelete || affected.contains(e.partSpec)) ++ fresh
     }

@@ -139,9 +139,10 @@ class RewriteDeletesSpec extends SparkTestBase {
     // lack them, so metadataAggregate still refuses on missing rows.
     // The supported path: rewriteDeletes clears deletes; a stats-carrying
     // compact then re-enables metadata aggregates. Assert both hold.
-    val v = rewriteDeletes(spark, t, Seq("year"))
+    // statsCols passthrough: rewritten partitions re-record bounds +
+    // row counts, so metadataAggregate works STRAIGHT after maintenance
+    val v = rewriteDeletes(spark, t, Seq("year"), statsCols = Seq("id"))
     assert(manifest(t, Some(v)).count(_.isDelete) == 0)
-    compact(spark, t, Seq("year"), statsCols = Seq("id"))
     val agg = metadataAggregate(spark, t, Seq("id")).collect()
     assert(agg.map(_.getAs[Long]("n_rows")).sum == 98L)
   }

@@ -158,6 +158,48 @@ class SchemaEvolutionSpec extends SparkTestBase {
     assert(got == Seq((1L, 5.0), (2L, 7.0)))
   }
 
+  test("WidenColumn promotes losslessly; illegal widenings refuse") {
+    val t = tmp()
+    commitOverwrite(Seq((1, 2000, 3.5f)).toDF("id", "year", "score"),
+      t, Seq("year"))
+    assert(schemaOf(t).get.map(_.dataType) == Seq("int", "year" match {
+      case _ => "int"
+    }, "float"))
+    evolveSchema(t, Seq(WidenColumn("id", "bigint"),
+      WidenColumn("score", "double")))
+    // append values only representable in the WIDENED types
+    commitAppend(Seq((5000000000L, 2000, 1.25e40))
+      .toDF("id", "year", "score"), t, Seq("year"))
+    val out = readSnapshot(spark, t, allowSchemaEvolution = true)
+      .orderBy("id").collect()
+    assert(out.map(_.getAs[Long]("id")).toSeq == Seq(1L, 5000000000L))
+    assert(out.head.getAs[Double]("score") == 3.5)
+    assert(out(1).getAs[Double]("score") == 1.25e40)
+    intercept[RuntimeException] {
+      evolveSchema(t, Seq(WidenColumn("id", "int"))) // narrowing
+    }
+    intercept[RuntimeException] {
+      evolveSchema(t, Seq(WidenColumn("score", "string"))) // not numeric widening
+    }
+  }
+
+  test("versionAt: timestamp time travel lands on the committed chain") {
+    val t = tmp()
+    val t0 = System.currentTimeMillis() - 1
+    commitOverwrite(Seq((1L, 2000)).toDF("id", "year"), t, Seq("year"))
+    Thread.sleep(5)
+    val t1 = System.currentTimeMillis()
+    Thread.sleep(5)
+    commitAppend(Seq((2L, 2000)).toDF("id", "year"), t, Seq("year"))
+    val t2 = System.currentTimeMillis() + 1
+    assert(versionAt(t, t0).isEmpty, "before the first commit")
+    assert(versionAt(t, t1).contains(1L))
+    assert(versionAt(t, t2).contains(2L))
+    assert(commitTimestamp(t, 1L).exists(_ <= commitTimestamp(t, 2L).get))
+    // reads compose: AS OF t1 sees only the first row
+    assert(readSnapshot(spark, t, versionAt(t, t1)).count() == 1L)
+  }
+
   test("changes() diffs correctly across a rename inside the range") {
     val t = tmp()
     commitOverwrite(Seq((1L, 2000, 5.0), (2L, 2001, 7.0))
