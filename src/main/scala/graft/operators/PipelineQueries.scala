@@ -784,6 +784,56 @@ object PipelineQueries {
         root)
     }),
 
+    // EXACTLY-ONCE TABLE MIRROR under the driver hash (r17): a source
+    // lifecycle — overwrite, merge (updates with embedded deletes +
+    // inserts), MoR key delete — replicated version-by-version into a
+    // SECOND snapshot table through mirrorChanges' txn-keyed commits,
+    // then the DESTINATION graded against the source-algebra oracle.
+    // The mirror is re-run after catching up (all txns must settle as
+    // no-ops), and the destination's commit count is part of the hash —
+    // a replay that double-applies, a crash protocol that loses the
+    // delete leg, or an update pair applied in the wrong order all
+    // shift the totals or the commit count.
+    "q_l17_mirror" -> ((s, dir) => {
+      val base = s.read.parquet(s"$dir/orders.parquet")
+        .withColumn("o_year", year(col("o_orderdate")))
+        .select("o_orderkey", "o_year", "o_totalprice")
+        .localCheckpoint()
+      val root = RunDirs.fresh("graft_snapmirror")
+      val src = s"$root/src"
+      val dst = s"$root/dst"
+      val wm = s"$root/wm"
+      val st = graft.sources.SnapshotTable
+      st.commitOverwrite(base, src, Seq("o_year")) // v1
+      val updates = base.filter(col("o_orderkey") % 6 === 0)
+        .withColumn("o_totalprice",
+          expr("floor(o_totalprice * 1.4D * 100D + 0.5D) / 100D"))
+        .withColumn("_deleted", col("o_orderkey") % 5 === 0)
+      val inserts = base.filter(col("o_orderkey") % 13 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(800000000L))
+        .withColumn("_deleted", lit(false))
+      st.mergeUpsert(s, src, updates.unionByName(inserts),
+        keyCols = Seq("o_orderkey"), partitionCols = Seq("o_year"),
+        deleteCol = Some("_deleted")) // v2
+      st.commitDeleteByKeys(s, src,
+        base.filter(col("o_orderkey") % 19 === 0).select("o_orderkey"),
+        Seq("o_orderkey")) // v3
+      st.mirrorChanges(s, src, dst, wm, Seq("o_orderkey"), Seq("o_year"))
+      // caught-up replay: every txn settles, no new dst version
+      st.mirrorChanges(s, src, dst, wm, Seq("o_orderkey"), Seq("o_year"))
+      val nDst = st.currentVersion(dst).get.toInt
+      RunDirs.seal(
+        st.readSnapshot(s, dst)
+          .groupBy(col("o_year").cast("int").as("o_year"))
+          .agg(count(lit(1)).as("n_orders"),
+            (sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+              .cast("long")) / 100.0).as("revenue"))
+          .select(col("o_year"), col("n_orders"), col("revenue"),
+            lit(nDst).as("n_dst_commits"))
+          .orderBy("o_year"),
+        root)
+    }),
+
     // TYPE WIDENING under the driver hash (r17, completing the field-id
     // evolution surface): v1 commits INT key/cents columns, v2 widens
     // both to BIGINT (ids unchanged — WidenColumn), v3 appends rows
@@ -1475,6 +1525,31 @@ object PipelineQueries {
           |         AS revenue,
           |       3 AS n_commits
           |FROM base GROUP BY 1 ORDER BY o_year""".stripMargin,
+
+      // source-algebra twin of the mirrored destination: survivors of
+      // the %6 merge (update-deletes %5 removed, prices *1.4), the %13
+      // shifted inserts, minus the %19 MoR delete keys — across exactly
+      // 4 destination commits (initial + merge delete/insert legs +
+      // the key-delete leg)
+      "q_l17_mirror" ->
+        """WITH base AS (
+          |  SELECT o_orderkey AS k, CAST(year(o_orderdate) AS INT) AS o_year,
+          |         o_totalprice AS p
+          |  FROM orders),
+          |merged AS (
+          |  SELECT k, o_year, p FROM base WHERE k % 6 != 0
+          |  UNION ALL
+          |  SELECT k, o_year, floor(p * CAST(1.4 AS DOUBLE) * 100 + 0.5) / 100
+          |  FROM base WHERE k % 6 = 0 AND k % 5 != 0
+          |  UNION ALL
+          |  SELECT k + 800000000, o_year, p FROM base WHERE k % 13 = 0),
+          |fin AS (
+          |  SELECT * FROM merged
+          |  WHERE k NOT IN (SELECT k FROM base WHERE k % 19 = 0))
+          |SELECT o_year, count(*) AS n_orders,
+          |       CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+          |       4 AS n_dst_commits
+          |FROM fin GROUP BY 1 ORDER BY o_year""".stripMargin,
 
       // analytic twin of the widened read: base int values + the %7
       // appended bigint rows, summed in one 64-bit domain

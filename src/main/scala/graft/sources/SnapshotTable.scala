@@ -899,18 +899,27 @@ object SnapshotTable {
     * everything committed before it). */
   def commitDeleteByKeys(spark: SparkSession, tablePath: String,
                          keys: DataFrame, keyCols: Seq[String],
-                         filesPerPartition: Int = 1): Long = {
+                         filesPerPartition: Int = 1,
+                         txnId: Option[String] = None): Long = {
     require(keyCols.nonEmpty, "delete needs at least one key column")
     keyCols.foreach(c => require(c.forall(ch =>
       ch.isLetterOrDigit || ch == '_'), s"unsafe delete key column name: $c"))
+    // txn-keyed deletes get the commitAppendTxn exactly-once protocol:
+    // probe-settle first (no bytes staged on replay), re-probe under the
+    // lock (a concurrent replay of the SAME txn lands one snapshot)
+    txnId.flatMap(settleTxn(tablePath, _)).foreach(v => return v)
     val fresh0 = writeData(keys.select(keyCols.map(col): _*).distinct(),
       tablePath, Nil, filesPerPartition, Nil, Nil)
     val fresh = fresh0.map(e => e.copy(attrs =
       e.attrs + ("kind" -> "d", "keys" -> keyCols.mkString(","))))
     lockFor(tablePath).synchronized {
-      val v = commitManifest(tablePath, fresh, None)((prev, f) => prev ++ f)
-      swapPointer(tablePath, v)
-      v
+      txnId.flatMap(settleTxn(tablePath, _)) match {
+        case Some(v) => v // a concurrent replay won; our files orphan
+        case None =>
+          val v = commitManifest(tablePath, fresh, txnId)((prev, f) => prev ++ f)
+          swapPointer(tablePath, v)
+          v
+      }
     }
   }
 
@@ -1506,6 +1515,70 @@ object SnapshotTable {
     Files.move(tmp, wmPath, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
     Some((wm, cur))
+  }
+
+  /** EXACTLY-ONCE incremental table MIRROR (round 17): replicate `src`
+    * into `dst` one source VERSION at a time — the composition the
+    * [[followChanges]] scaladoc promises ("snapshot-table sinks should
+    * key commitAppendTxn by the from version"), hardened into a real
+    * primitive. Per source version v (from the watermark forward):
+    *
+    *  - v = 1 → the initial snapshot delivered as inserts; otherwise
+    *    `changes(v-1, v)` — a single-commit range, so retries always
+    *    redeliver EXACTLY the same rows (a multi-commit range would
+    *    widen under a crash-retry and either lose or double-apply the
+    *    widened sliver, which is why this loops versions individually);
+    *  - deletes apply FIRST as a txn-keyed delete-key commit
+    *    (`<appId>-v<v>-d`), then inserts as a txn-keyed append
+    *    (`<appId>-v<v>-i`) — an update's delete+insert pair lands with
+    *    the insert surviving (MoR deletes only bite older files);
+    *  - the watermark advances only after both commits settle, so every
+    *    crash point replays idempotently (settled txns no-op).
+    *
+    * The mirror needs `src` retention ≥ its lag: a vacuumed intermediate
+    * version fails loudly (changes() requires both manifests). Source
+    * schema evolution mid-stream is resolved by changes() to each
+    * version's schema. Returns the number of versions applied. */
+  def mirrorChanges(spark: SparkSession, src: String, dst: String,
+                    watermarkFile: String, keyCols: Seq[String],
+                    partitionCols: Seq[String], txnAppId: String = "mirror",
+                    filesPerPartition: Int = 1): Int = {
+    val wmPath = Paths.get(root(watermarkFile))
+    val wm =
+      if (Files.exists(wmPath))
+        new String(Files.readAllBytes(wmPath), "UTF-8").trim.toLong
+      else 0L
+    val cur = currentVersion(src).getOrElse(
+      sys.error(s"no committed snapshot at $src"))
+    var applied = 0
+    var v = wm + 1
+    while (v <= cur) {
+      val frame =
+        if (v == 1L) readSnapshot(spark, src, Some(1L))
+          .withColumn("_change_type", lit("insert"))
+        else changes(spark, src, v - 1, v)
+      // one materialization feeds both legs (the change frame is
+      // changed-file-bounded, not table-sized)
+      val ch = frame.localCheckpoint()
+      val dels = ch.filter(col("_change_type") === "delete")
+        .select(keyCols.map(col): _*).distinct()
+      val ins = ch.filter(col("_change_type") === "insert")
+        .drop("_change_type")
+      if (!dels.isEmpty && currentVersion(dst).isDefined)
+        commitDeleteByKeys(spark, dst, dels, keyCols,
+          txnId = Some(s"$txnAppId-v$v-d"))
+      if (!ins.isEmpty)
+        commitAppendTxn(ins, dst, partitionCols, s"$txnAppId-v$v-i",
+          filesPerPartition)
+      if (wmPath.getParent != null) Files.createDirectories(wmPath.getParent)
+      val tmp = wmPath.resolveSibling(s"${wmPath.getFileName}.tmp.$v")
+      Files.write(tmp, v.toString.getBytes("UTF-8"))
+      Files.move(tmp, wmPath, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+      applied += 1
+      v += 1
+    }
+    applied
   }
 
   // ---------------------------------------------------------------- refs
