@@ -114,6 +114,56 @@ object Dedup {
       .distinct()
   }
 
+  /** b-BIT MinHash similarity estimation (Li & Konig, WWW 2011) — the
+    * STORAGE-scale variant of the minhash sketch: keep only the lowest
+    * `b` bits of each of `numHashes` permutation minima (b = 2, k = 24:
+    * 6 bytes per doc vs 192 for full 64-bit signatures — the difference
+    * between a sketch column that fits executor memory at 10^10 docs
+    * and one that doesn't). Two sketches estimate Jaccard from their
+    * match fraction M with the collision-corrected unbiased estimator
+    *
+    *   J_est = (M − 2^-b) / (1 − 2^-b)
+    *
+    * (random b-bit values collide with probability 2^-b, so raw M
+    * overestimates; the correction subtracts the collision floor).
+    * Hash family is the md5 oracle mode ([[graft.operators.TextAnalysis.md5Hash60]]
+    * per permutation index), so an external engine replays every bit.
+    * This entry computes ALL pairs of the given frame (the estimator
+    * kernel + its exact-Jaccard referee in one row) — callers bound the
+    * frame (a graded subset here; the production path bands candidates
+    * first and estimates only within buckets). Output:
+    * (id_a, id_b, m, j_est, jaccard). */
+  def bBitMinHashEstimates(docs: DataFrame, idCol: String, textCol: String,
+                           shingleSize: Int = 2, numHashes: Int = 24,
+                           b: Int = 2): DataFrame = {
+    require(b >= 1 && b <= 16, s"b must be in [1,16], got $b")
+    require(numHashes >= 1)
+    val mod = 1L << b
+    val minExpr = graft.operators.TextAnalysis.md5Hash60(
+      "concat(CAST(j AS STRING), ':', x)")
+    val sigExpr =
+      s"""transform(sequence(0, ${numHashes - 1}), j ->
+         |  aggregate(sh, CAST(9223372036854775807 AS BIGINT),
+         |    (acc, x) -> least(acc, $minExpr)) % $mod)""".stripMargin
+    val base = docs
+      .select(col(idCol).as("id"), shingles(textCol, shingleSize).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("bb", expr(sigExpr))
+    val a = base.select(col("id").as("id_a"), col("sh").as("sh_a"),
+      col("bb").as("bb_a"))
+    val bfr = base.select(col("id").as("id_b"), col("sh").as("sh_b"),
+      col("bb").as("bb_b"))
+    a.join(bfr, col("id_a") < col("id_b"))
+      .withColumn("m", expr(
+        "size(filter(zip_with(bb_a, bb_b, (x, y) -> x = y), v -> v))"))
+      // fixed-order double algebra (all constants dyadic at b = 2), so
+      // the oracle replays the rounding bit-for-bit
+      .withColumn("j_est", round(
+        (col("m").cast("double") / numHashes - 1.0 / mod) / (1.0 - 1.0 / mod), 6))
+      .withColumn("jaccard", round(jaccard("sh_a", "sh_b"), 6))
+      .select("id_a", "id_b", "m", "j_est", "jaccard")
+  }
+
   /** End-to-end MinHash-LSH near-duplicate detection: returns (id_a, id_b,
     * jaccard) for all pairs with exact shingle-Jaccard >= threshold that LSH
     * surfaced as candidates. With the default 128 hashes in 32 bands of 4,

@@ -41,6 +41,20 @@ object DedupQueries {
     // listing, the clusters, the surviving corpus) fed from one shared,
     // checkpointed pair set — the artifact shape a real pipeline has;
     // the shared build is timed separately in Bench (`d3_pairs`).
+    // b-BIT MinHash estimation (r17; Li & Konig 2011): the 2-bit/24-hash
+    // sketch estimator against its exact-Jaccard referee over the %20
+    // doc subset's full pair set — signature minima (md5 family, so the
+    // oracle recomputes every permutation), the b-bit truncation, the
+    // match count, and the collision-corrected estimator algebra all
+    // under one hash. The graded numbers double as the accuracy receipt:
+    // j_est tracks jaccard to the sketch's variance.
+    "q_d18_bbit_minhash" -> ((s, dir) =>
+      Dedup.bBitMinHashEstimates(
+          s.read.parquet(s"$dir/documents.parquet")
+            .filter(col("doc_id") % 20 === 0),
+          "doc_id", "text")
+        .orderBy("id_a", "id_b")),
+
     "q_d3_minhash_neardup" -> ((s, dir) =>
       textPairsShared(s, dir)
         .withColumn("jaccard", round(col("jaccard"), 6))
@@ -463,6 +477,34 @@ object DedupQueries {
          |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.sim, b.sim)) <= 3
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // full replay of the 2-bit sketch: per-permutation md5 minima,
+    // low-2-bit truncation, match count, and the (M - 1/4) / 0.75
+    // estimator in the same double order
+    "q_d18_bbit_minhash" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, $shingleSql AS sh
+         |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS w
+         |        FROM documents WHERE doc_id % 20 = 0)),
+         |ne AS (SELECT * FROM d WHERE len(sh) > 0),
+         |sig AS (
+         |  SELECT doc_id, sh,
+         |         list_transform(generate_series(0, 23), j ->
+         |           list_min(list_transform(sh, x ->
+         |             ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || x), 1, 15))::BIGINT))
+         |           % 4) AS bb
+         |  FROM ne),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |         len(list_filter(generate_series(1, 24),
+         |           i -> a.bb[i] = b.bb[i])) AS m,
+         |         round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |               / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+         |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, CAST(m AS INT) AS m,
+         |       round((CAST(m AS DOUBLE) / 24 - 0.25) / 0.75, 6) AS j_est,
+         |       jaccard
+         |FROM pairs ORDER BY id_a, id_b""".stripMargin,
 
     "q_d3_minhash_neardup" ->
       s"""WITH d AS (
