@@ -752,6 +752,69 @@ object RelationalQueries {
     // the batch boundaries — so the plain SQL HAVING replay grades the
     // WHOLE stream path: a dropped candidate, wrong n_total, or
     // mis-sealed window loses a row and fails the hash.
+    // STREAM-STREAM interval join (r17): the remaining Structured
+    // Streaming surface — two watermarked event streams (views,
+    // purchases) joined on user with a 24 h time-range condition, the
+    // attribution-join shape. The 7-day slice is staged as THREE
+    // CONSECUTIVE TIME WINDOWS (one file per micro-batch, mtime-ordered),
+    // so the watermark advances monotonically across batches — nothing
+    // is late — while pairs genuinely span batch boundaries (views near
+    // a window's end match purchases early in the next), so the join's
+    // buffered state does real work; output = the exact qualifying pair
+    // set, deterministic under that staging, and the oracle is the plain
+    // batch interval join. A dropped buffered row (over-eager state
+    // eviction) loses a cross-batch pair; either direction fails the
+    // hash. (Striping by event_id instead would make most rows late vs
+    // the watermark and drop them at the source — measured: 83 of 198
+    // pairs survive — which is why the staging is time-ordered.)
+    "q_e8_stream_stream_join" -> ((s, dir) => {
+      val allEvents = t(s, dir, "events")
+      val minLdt = allEvents.agg(min(col("ts"))).head()
+        .get(0).asInstanceOf[java.time.LocalDateTime]
+      val events = allEvents.filter(col("ts") < lit(minLdt.plusDays(7L)))
+        .filter(col("event_type").isin("view", "purchase"))
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft_e8_join").toString
+      val in = s"$stage/in"
+      (0 until 3).foreach { k =>
+        events.filter(
+            col("ts") >= lit(minLdt.plusHours(k * 56L)) &&
+              col("ts") < lit(minLdt.plusHours((k + 1) * 56L)))
+          .coalesce(1).write.parquet(s"$in/b$k")
+        Option(new java.io.File(s"$in/b$k").listFiles())
+          .getOrElse(Array.empty)
+          .foreach(f => f.setLastModified(1700000000000L + k * 60000L))
+      }
+      def src(kind: String, idAs: String, tsAs: String, userAs: String) =
+        s.readStream.schema(events.schema)
+          .option("maxFilesPerTrigger", "1")
+          .option("recursiveFileLookup", "true")
+          .parquet(in)
+          .filter(col("event_type") === kind)
+          .select(col("event_id").as(idAs),
+            col("user_id").as(userAs),
+            col("ts").cast("timestamp").as(tsAs))
+          .withWatermark(tsAs, "2 hours")
+      val views = src("view", "view_id", "v_ts", "v_user")
+      val purchases = src("purchase", "purchase_id", "p_ts", "p_user")
+      val joined = purchases.join(views,
+        expr("p_user = v_user AND " +
+          "v_ts BETWEEN p_ts - INTERVAL 24 HOURS AND p_ts"))
+        .select("purchase_id", "view_id")
+      val sink = s"graft_e8_j_${System.nanoTime()}"
+      val priorParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = joined.writeStream.format("memory").queryName(sink)
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", priorParts)
+      val out = s.table(sink).toDF().localCheckpoint()
+      s.catalog.dropTempView(sink)
+      graft.operators.RunDirs.delete(new java.io.File(stage))
+      out.orderBy("purchase_id", "view_id")
+    }),
+
     "q_e7_stream_heavy_hitters" -> ((s, dir) => {
       // the FIRST 7 DAYS of the table: 168 hourly windows exercise every
       // property the receipt needs (hundreds of seals, MG eviction per
@@ -1051,6 +1114,20 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // batch twin of the stream-stream interval join: identical pair set
+    "q_e8_stream_stream_join" ->
+      """WITH e AS (
+        |  SELECT * FROM events
+        |  WHERE ts < (SELECT min(ts) FROM events) + INTERVAL 7 DAY),
+        |v AS (SELECT event_id AS view_id, user_id, ts FROM e
+        |      WHERE event_type = 'view'),
+        |p AS (SELECT event_id AS purchase_id, user_id, ts FROM e
+        |      WHERE event_type = 'purchase')
+        |SELECT p.purchase_id, v.view_id
+        |FROM p JOIN v ON p.user_id = v.user_id
+        |  AND v.ts BETWEEN p.ts - INTERVAL 24 HOUR AND p.ts
+        |ORDER BY purchase_id, view_id""".stripMargin,
+
     // exact-twin oracles for the sketch queries: DuckDB recomputes the
     // exact counts; the *_ok invariant gates are TRUE by contract — a
     // sketch drifting past its bound flips them false and fails the hash
