@@ -168,7 +168,9 @@ object Bench {
       // index build — the one-time-JIT class)
       "q_l13_schema_evolution", "q_l14_stream_snapshot_ingest",
       "q_l15_mor_rewrite", "q_v22_knn_join",
-      "q_l16_type_widening", "q_l17_mirror", "q_m22_avi_dib_frames")
+      "q_l16_type_widening", "q_l17_mirror", "q_m22_avi_dib_frames",
+      "q_d18_bbit_minhash", "q_e8_stream_stream_join",
+      "q_l18_bloom_point_lookup")
 
     // Headline queries run 3 reps and report the MEDIAN: the single-shot
     // noise floor on this box is ±2x (calibrated rounds 5-6), which made

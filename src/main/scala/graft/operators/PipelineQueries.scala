@@ -784,6 +784,33 @@ object PipelineQueries {
         root)
     }),
 
+    // BLOOM point-lookup file skipping (r17): per-file manifest blooms
+    // prune EQUALITY probes on an unclustered layout where min/max stats
+    // cannot (every file's key range overlaps). Six analytically-chosen
+    // orderkeys are each fetched through a bloom-pruned read; the oracle
+    // is the plain key join, so a bloom that wrongly prunes the match's
+    // file loses a row and fails the hash (false positives only cost
+    // extra reads — BloomPruneSpec holds the pruning-fraction receipt).
+    "q_l18_bloom_point_lookup" -> ((s, dir) => {
+      import s.implicits._
+      val base = s.read.parquet(s"$dir/orders.parquet")
+        .withColumn("o_year", year(col("o_orderdate")))
+        .select("o_orderkey", "o_year", "o_totalprice")
+      val path = RunDirs.fresh("graft_snapbloom")
+      val st = graft.sources.SnapshotTable
+      st.commitOverwrite(base, path, Seq("o_year"), filesPerPartition = 4,
+        bloomCols = Seq("o_orderkey"))
+      val keys = base.filter(col("o_orderkey") % 1999 === 0)
+        .select("o_orderkey").orderBy("o_orderkey").limit(6)
+        .as[Long].collect() // 6 keys — bounded by construction
+      val results = keys.map { k =>
+        st.readSnapshot(s, path,
+            bloomPruning = st.bloomPrune("o_orderkey", k))
+          .filter(col("o_orderkey") === k)
+      }.reduce(_.unionByName(_))
+      RunDirs.seal(results.orderBy("o_orderkey"), path)
+    }),
+
     // EXACTLY-ONCE TABLE MIRROR under the driver hash (r17): a source
     // lifecycle — overwrite, merge (updates with embedded deletes +
     // inserts), MoR key delete — replicated version-by-version into a
@@ -1525,6 +1552,16 @@ object PipelineQueries {
           |         AS revenue,
           |       3 AS n_commits
           |FROM base GROUP BY 1 ORDER BY o_year""".stripMargin,
+
+      // plain key-join twin of the bloom-pruned point lookups
+      "q_l18_bloom_point_lookup" ->
+        """WITH keys AS (
+          |  SELECT o_orderkey FROM orders
+          |  WHERE o_orderkey % 1999 = 0 ORDER BY 1 LIMIT 6)
+          |SELECT o.o_orderkey, CAST(year(o.o_orderdate) AS INT) AS o_year,
+          |       o.o_totalprice
+          |FROM orders o JOIN keys k USING (o_orderkey)
+          |ORDER BY o_orderkey""".stripMargin,
 
       // source-algebra twin of the mirrored destination: survivors of
       // the %6 merge (update-deletes %5 removed, prices *1.4), the %13

@@ -168,6 +168,14 @@ object SnapshotTable {
       * (commits with `statsCols` record it from the same read-back pass
       * that bounds the columns). */
     def rowCount: Option[Long] = attrs.get("rows").map(_.toLong)
+
+    /** Per-file BLOOM FILTERS (col → serialized spark.util.sketch bytes),
+      * recorded when the committer passes `bloomCols` — the point-lookup
+      * twin of [[stats]]: min/max bounds prune RANGE predicates on
+      * clustered layouts, blooms prune EQUALITY probes on layouts where
+      * every file's key range overlaps (the common unclustered case). */
+    def blooms: Map[String, Array[Byte]] =
+      attrs.get("bloom").map(decodeBlooms).getOrElse(Map.empty)
   }
 
   // ---------------------------------------------------------------- paths
@@ -252,6 +260,18 @@ object SnapshotTable {
     s.split("\\|").iterator.filter(_.nonEmpty).map { f =>
       val p = f.split("~")
       p(0) -> ColStats(p(1), b64d(p(2)), b64d(p(3)))
+    }.toMap
+
+  /** `col~b64url(bytes)` joined by `|` — the [[encodeStats]] shape. */
+  private[sources] def encodeBlooms(m: Map[String, Array[Byte]]): String =
+    m.toSeq.sortBy(_._1).map { case (c, b) =>
+      s"$c~${Base64.getUrlEncoder.withoutPadding.encodeToString(b)}"
+    }.mkString("|")
+
+  private[sources] def decodeBlooms(sv: String): Map[String, Array[Byte]] =
+    sv.split("\\|").iterator.filter(_.nonEmpty).map { f =>
+      val i = f.indexOf('~')
+      f.substring(0, i) -> Base64.getUrlDecoder.decode(f.substring(i + 1))
     }.toMap
 
   private def renderEntry(e: ManifestEntry): String = {
@@ -668,13 +688,15 @@ object SnapshotTable {
                    version: Option[Long] = None,
                    partitionPruning: String => Boolean = _ => true,
                    allowSchemaEvolution: Boolean = false,
-                   statsPruning: Map[String, ColStats] => Boolean = _ => true): DataFrame = {
+                   statsPruning: Map[String, ColStats] => Boolean = _ => true,
+                   bloomPruning: Map[String, Array[Byte]] => Boolean = _ => true): DataFrame = {
     val all = manifest(tablePath, version)
     val (delEntries, dataEntries) = all.partition(_.isDelete)
     require(dataEntries.nonEmpty, s"snapshot has no data files at $tablePath")
     val kept = dataEntries
       .filter(e => partitionPruning(e.partSpec))
       .filter(e => statsPruning(e.stats))
+      .filter(e => bloomPruning(e.blooms))
     // evolution-aware reads resolve every commit group to the TARGET
     // version's field-id schema (rename ≠ drop+add); tables without
     // recorded schemas fall back to name-based allowMissingColumns
@@ -691,6 +713,25 @@ object SnapshotTable {
     else
       readEntries(spark, tablePath, kept, deleteGroups(spark, tablePath, delEntries),
         allowSchemaEvolution, targetSchema)
+  }
+
+  /** POINT-LOOKUP file pruning predicate for [[readSnapshot]]'s
+    * `bloomPruning`: may a file whose manifest bloom for `colName` was
+    * recorded contain `value`? Files without a recorded bloom always MAY
+    * (skipping is proven, never guessed — the [[ColStats.overlaps]]
+    * contract). `value` must be the probe in the COLUMN'S type (Long for
+    * bigint, Int for int, String, …): the stored items are
+    * `xxhash64(col)`, and xxhash64 is type-sensitive. Deterministic:
+    * Spark's sketch bloom is seed-fixed, so a given table prunes the
+    * same file set on every read. */
+  def bloomPrune(colName: String, value: Any): Map[String, Array[Byte]] => Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    val h = XxHash64(Seq(Literal(value)), 42L).eval(null).asInstanceOf[Long]
+    blooms => blooms.get(colName).forall { bytes =>
+      org.apache.spark.util.sketch.BloomFilter
+        .readFrom(new java.io.ByteArrayInputStream(bytes))
+        .mightContainLong(h)
+    }
   }
 
   /** The Iceberg `files` metadata-table surface: one row per LIVE data
@@ -848,9 +889,11 @@ object SnapshotTable {
                       filesPerPartition: Int = 1,
                       clusterBy: Seq[Column] = Nil,
                       statsCols: Seq[String] = Nil,
-                      baseVersion: Option[Long] = None): Long =
+                      baseVersion: Option[Long] = None,
+                      bloomCols: Seq[String] = Nil): Long =
     commit(df, tablePath, partitionCols, filesPerPartition, clusterBy,
-      statsCols, baseVersion)(_ => OverwritePolicy) { (_, fresh) => fresh }
+      statsCols, baseVersion, bloomCols = bloomCols)(
+      _ => OverwritePolicy) { (_, fresh) => fresh }
 
   /** Append commit: snapshot N+1 = snapshot N's files plus `df`'s.
     * Rebases over any interleaved commit (appends are commutative). */
@@ -858,9 +901,11 @@ object SnapshotTable {
                    partitionCols: Seq[String] = Nil,
                    filesPerPartition: Int = 1,
                    clusterBy: Seq[Column] = Nil,
-                   statsCols: Seq[String] = Nil): Long =
+                   statsCols: Seq[String] = Nil,
+                   bloomCols: Seq[String] = Nil): Long =
     commit(df, tablePath, partitionCols, filesPerPartition, clusterBy,
-      statsCols, None)(_ => AppendPolicy) { (prev, fresh) => prev ++ fresh }
+      statsCols, None, bloomCols = bloomCols)(
+      _ => AppendPolicy) { (prev, fresh) => prev ++ fresh }
 
   /** Replace-partitions commit (dynamic-overwrite semantics, atomically):
     * snapshot N+1 drops every prior file belonging to a replaced
@@ -931,12 +976,13 @@ object SnapshotTable {
                      partitionCols: Seq[String], filesPerPartition: Int,
                      clusterBy: Seq[Column], statsCols: Seq[String],
                      baseVersion: Option[Long],
-                     headers: Map[String, String] = Map.empty)
+                     headers: Map[String, String] = Map.empty,
+                     bloomCols: Seq[String] = Nil)
                     (mkPolicy: Seq[ManifestEntry] => ConflictPolicy)
                     (compose: (Seq[ManifestEntry], Seq[ManifestEntry]) => Seq[ManifestEntry]): Long = {
     val base = baseVersion.getOrElse(currentVersion(tablePath).getOrElse(0L))
     val fresh = writeData(df, tablePath, partitionCols, filesPerPartition,
-      clusterBy, statsCols)
+      clusterBy, statsCols, bloomCols)
     lockFor(tablePath).synchronized {
       val cur = currentVersion(tablePath).getOrElse(0L)
       if (cur != base) checkRebase(tablePath, base, cur, mkPolicy(fresh))
@@ -1086,11 +1132,19 @@ object SnapshotTable {
     * rendering mismatch would flip prune comparisons, and wrongly
     * SKIPPING a file is data loss. Measured at x30 the whole stats
     * commit is ~2 s (SCALING r13). */
+  /** Per-file bloom sizing: 4096 expected items / 32768 bits (4 KB raw,
+    * ~5.5 KB base64 per (file, column) manifest entry) — ~1% FPP at the
+    * expected fill, degrading gracefully (false positives only cost
+    * pruning efficiency, never correctness) when files run larger. */
+  private val BloomItems = 4096L
+  private val BloomBits = 32768L
+
   private def writeData(df: DataFrame, tablePath: String,
                         partitionCols: Seq[String], filesPerPartition: Int,
                         clusterBy: Seq[Column],
-                        statsCols: Seq[String]): Seq[ManifestEntry] = {
-    statsCols.foreach(c => require(c.forall(ch =>
+                        statsCols: Seq[String],
+                        bloomCols: Seq[String] = Nil): Seq[ManifestEntry] = {
+    (statsCols ++ bloomCols).foreach(c => require(c.forall(ch =>
       ch.isLetterOrDigit || ch == '_'), s"unsafe stats column name: $c"))
     val r = root(tablePath)
     // unique name: no version claim, no collision between racing writers
@@ -1125,20 +1179,27 @@ object SnapshotTable {
       .parquet(dataDir)
     val spark = df.sparkSession
     val files = listDataFiles(spark, dataDir)
-    val statsByFile: Map[String, (Long, Map[String, ColStats])] =
-      if (statsCols.isEmpty || files.isEmpty) Map.empty
+    val statsByFile: Map[String, (Long, Map[String, ColStats], Map[String, Array[Byte]])] =
+      if ((statsCols.isEmpty && bloomCols.isEmpty) || files.isEmpty) Map.empty
       else {
+        if (bloomCols.nonEmpty)
+          graft.plans.GraftExtensions.register(spark) // bloom_agg (idempotent)
         val back = spark.read.parquet(dataDir)
         val typeOf = back.schema.fields.map(f => f.name -> f.dataType.catalogString).toMap
-        statsCols.foreach(c => require(typeOf.contains(c),
+        (statsCols ++ bloomCols).foreach(c => require(typeOf.contains(c),
           s"stats column $c not in written schema ${typeOf.keys.toSeq.sorted}"))
         // the same pass also records the EXACT per-file row count (the
         // Iceberg record_count), making metadata-only count(*) /
         // per-partition counts answerable without planning a data file
-        // ([[metadataAggregate]])
-        val aggs = count(lit(1)).as("__rows") +: statsCols.flatMap(c => Seq(
-          min(col(c)).cast("string").as(s"__min_$c"),
-          max(col(c)).cast("string").as(s"__max_$c")))
+        // ([[metadataAggregate]]); bloomCols add a per-file bloom of
+        // xxhash64(col) values in the same aggregation
+        val aggs = count(lit(1)).as("__rows") +:
+          (statsCols.flatMap(c => Seq(
+            min(col(c)).cast("string").as(s"__min_$c"),
+            max(col(c)).cast("string").as(s"__max_$c"))) ++
+           bloomCols.map(c => expr(
+             s"bloom_agg(xxhash64($c), ${BloomItems}L, ${BloomBits}L)")
+             .as(s"__bloom_$c")))
         back.groupBy(input_file_name().as("__file"))
           .agg(aggs.head, aggs.tail: _*)
           .collect() // file-count-bounded
@@ -1152,7 +1213,10 @@ object SnapshotTable {
               if (mn == null || mx == null) None
               else Some(c -> ColStats(typeOf(c), mn, mx))
             }.toMap
-            f -> (row.getAs[Long]("__rows"), st)
+            val bl = bloomCols.flatMap { c =>
+              Option(row.getAs[Array[Byte]](s"__bloom_$c")).map(c -> _)
+            }.toMap
+            f -> (row.getAs[Long]("__rows"), st, bl)
           }.toMap
       }
     files.map { abs =>
@@ -1160,9 +1224,10 @@ object SnapshotTable {
       val inCommit = rel.stripPrefix(dirName + "/")
       val partSpec = inCommit.split("/").dropRight(1).mkString("/")
       val attrs = statsByFile.get(abs) match {
-        case Some((rows, st)) =>
+        case Some((rows, st, bl)) =>
           Map("rows" -> rows.toString) ++
-            (if (st.nonEmpty) Map("stats" -> encodeStats(st)) else Map.empty)
+            (if (st.nonEmpty) Map("stats" -> encodeStats(st)) else Map.empty) ++
+            (if (bl.nonEmpty) Map("bloom" -> encodeBlooms(bl)) else Map.empty)
         case None => Map.empty[String, String]
       }
       ManifestEntry(partSpec, rel, attrs)
