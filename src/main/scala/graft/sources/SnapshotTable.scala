@@ -715,6 +715,23 @@ object SnapshotTable {
         allowSchemaEvolution, targetSchema)
   }
 
+  /** Partition-VALUE pruning predicate for [[readSnapshot]]'s
+    * `partitionPruning` that stays correct across PARTITION-SPEC
+    * evolution (a table whose early commits were unpartitioned or
+    * partitioned differently): entries whose hive spec CARRIES `colName`
+    * prune by `keep(value)`; entries without the column (other
+    * generations of the layout) are KEPT — they may contain matching
+    * rows, and only a residual row filter can decide. Compose with a
+    * row-level filter exactly like stats pruning. */
+  def columnPrune(colName: String, keep: String => Boolean): String => Boolean =
+    spec => spec.split("/").filter(_.nonEmpty)
+      .collectFirst {
+        case kv if kv.takeWhile(_ != '=') == colName => kv.drop(colName.length + 1)
+      } match {
+        case Some(v) => keep(v)
+        case None => true
+      }
+
   /** POINT-LOOKUP file pruning predicate for [[readSnapshot]]'s
     * `bloomPruning`: may a file whose manifest bloom for `colName` was
     * recorded contain `value`? Files without a recorded bloom always MAY
