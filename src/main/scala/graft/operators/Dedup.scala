@@ -145,8 +145,15 @@ object Dedup {
       s"""transform(sequence(0, ${numHashes - 1}), j ->
          |  aggregate(sh, CAST(9223372036854775807 AS BIGINT),
          |    (acc, x) -> least(acc, $minExpr)) % $mod)""".stripMargin
-    val base = docs
-      .select(col(idCol).as("id"), shingles(textCol, shingleSize).as("sh"))
+    // r17 perf: spread BEFORE the signature build — the md5-per-(shingle,
+    // permutation) kernel and the all-pairs BNLJ stream below otherwise
+    // run on the source's split count (ONE task on the graded single-row-
+    // group parquet: measured 4.5 s with two >1.7 s single-task jobs).
+    // Only (id, text) moves; signatures and shingle sets are computed
+    // after the exchange (guide §2.5/§8).
+    val base = Tables.spread(
+        docs.select(col(idCol).as("id"), col(textCol).as("tx")), col("id"))
+      .select(col("id"), shingles("tx", shingleSize).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("bb", expr(sigExpr))
     val a = base.select(col("id").as("id_a"), col("sh").as("sh_a"),
@@ -1245,7 +1252,12 @@ object Dedup {
     * instead of the (0, 0, '') an empty-text doc gets.
     */
   private def wordsFrame(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.selectExpr(s"$idCol AS id",
+    // r17 perf: spread the THIN (id, text) rows before tokenization — the
+    // window explosion and span assembly downstream otherwise inherit the
+    // source's split count (ONE task on the graded single-row-group
+    // parquet: q_d10 measured two 0.56 s single-task jobs). Guide §2.5;
+    // only raw text crosses the exchange, word arrays are built after.
+    Tables.spread(docs, col(idCol)).selectExpr(s"$idCol AS id",
       s"coalesce(${tokensExpr(textCol)}, CAST(array() AS ARRAY<STRING>)) AS ws")
 
   /** Every length-`k` word-window site in the corpus: (id, pos, gkey) with
@@ -1593,7 +1605,10 @@ object Dedup {
                      family: String = graft.functions.HashFamily.Xx64): DataFrame = {
     require(minShared >= 1 && maxDf >= 2,
       s"minShared >= 1 and maxDf >= 2 required, got $minShared / $maxDf")
-    val fps = docs
+    // r17 perf: spread before the fingerprint kernel (shingle hash + min-
+    // window scan per doc) — single-split sources otherwise compute the
+    // whole sketch serially (guide §2.5); only (id, text) crosses.
+    val fps = Tables.spread(docs, col(idCol))
       .select(col(idCol).as("id"),
         explode(winnowingFingerprintsCol(textCol, k, window, family)).as("fp"))
       .persist()

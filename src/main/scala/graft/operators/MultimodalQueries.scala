@@ -79,7 +79,12 @@ object MultimodalQueries {
     * legs that share this builder). */
   private[graft] def m16Images(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    s.read.parquet(s"$dir/documents.parquet").select("doc_id").as[Long]
+    // r17 perf: spread the THIN id frame before the render/decode kernel
+    // (single-split source ⇒ the whole BMP render otherwise runs in one
+    // task — guide §2.5; only doc_ids cross the exchange, payloads are
+    // born post-shuffle)
+    Tables.spread(s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id"), col("doc_id")).as[Long]
       .flatMap { id =>
         def bmp(variant: Boolean): Array[Byte] = {
           val px = new Array[Int](256)
@@ -100,7 +105,9 @@ object MultimodalQueries {
 
   private def m9Images(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    s.read.parquet(s"$dir/documents.parquet").select("doc_id").as[Long]
+    // r17 perf: same spread-before-render as m16Images (guide §2.5)
+    Tables.spread(s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id"), col("doc_id")).as[Long]
       .flatMap { id =>
         def bmp(variant: Boolean): Array[Byte] = {
           val px = new Array[Int](256)

@@ -162,7 +162,10 @@ object PipelineQueries {
           coalesce(col("text"), lit("")),
           when(col("doc_id") % 9 === 0, lit(" version 3.14 build 42"))
             .otherwise(lit(""))).as("text"))
-      planted
+      // r17 perf: spread before the five-pattern regex battery — it
+      // otherwise runs on the scan's single split (two ~0.64 s one-task
+      // jobs measured at sf0.1); only (doc_id, text) crosses (guide §2.5)
+      Tables.spread(planted, col("doc_id"))
         .select(col("doc_id"), Pipeline.redactTyped(col("text")).as("p"))
         .select(col("doc_id"),
           col("p.n_emails").as("n_emails"), col("p.n_phones").as("n_phones"),

