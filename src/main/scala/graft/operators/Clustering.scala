@@ -52,7 +52,10 @@ object Clustering {
                 iterations: Int, scale: Long = 1000000L,
                 shift: Double = 1.0): DataFrame = {
     require(k >= 1 && iterations >= 1, "k and iterations must be >= 1")
-    val quant = emb.select(
+    // r17 perf: spread before quantization so the checkpointed frame —
+    // and every per-iteration assignment scan over it — is parallel even
+    // from a single-split source (guide §2.5)
+    val quant = Tables.spread(emb, col(idCol)).select(
       col(idCol),
       transform(col(embCol),
         x => round((x.cast("double") + shift) * scale).cast("long")).as("q"))

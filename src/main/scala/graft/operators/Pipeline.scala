@@ -584,7 +584,11 @@ object Pipeline {
       strideTokens <= chunkTokens,
       s"need 1 <= stride <= chunk, got chunk=$chunkTokens stride=$strideTokens")
     val (c, s) = (chunkTokens, strideTokens)
-    df.selectExpr(s"$idCol AS id", s"${Dedup.tokensExpr(textCol)} AS ws")
+    // r17 perf: spread before tokenize+chunk-explode — the kernel (and
+    // q_t23's hashed-BoW build above it) otherwise inherits the source's
+    // split count (one 1.3 s single-task job at sf0.1); guide §2.5
+    Tables.spread(df, col(idCol))
+      .selectExpr(s"$idCol AS id", s"${Dedup.tokensExpr(textCol)} AS ws")
       .where(expr("size(ws) >= 1"))
       .selectExpr("id", "ws",
         // 1 + ceil(max(n - c, 0) / s) chunks; sequence is safe because the

@@ -85,7 +85,11 @@ object SimilaritySearch {
     */
   def allPairsCosine(emb: DataFrame, idCol: String, embCol: String,
                      threshold: Double): DataFrame = {
-    val a = emb.select(col(idCol).as("id_a"), col(embCol).as("emb_a"))
+    // r17 perf: spread the streamed side of the cartesian — two single-
+    // split inputs otherwise score the full cosine matrix in ONE task
+    // (q_v4 measured 0.89 s + 0.82 s single-task jobs at sf0.1; §2.5)
+    val a = Tables.spread(
+      emb.select(col(idCol).as("id_a"), col(embCol).as("emb_a")), col("id_a"))
     val b = emb.select(col(idCol).as("id_b"), col(embCol).as("emb_b"))
     a.crossJoin(b)
       .filter(col("id_a") < col("id_b"))
@@ -130,7 +134,11 @@ object SimilaritySearch {
     require(k >= 1, s"k must be >= 1, got $k")
     import org.apache.spark.sql.expressions.Window
     val spark = left.sparkSession
-    val x = left.select(col(idCol).as("x_id"), col(embCol).as("x_emb"))
+    // r17 perf: spread the streamed side — a cartesian over two single-
+    // split frames yields ONE task for the whole cosine matrix (q_v15
+    // measured a 1.46 s single-task job at sf0.1); guide §2.5
+    val x = Tables.spread(
+      left.select(col(idCol).as("x_id"), col(embCol).as("x_emb")), col("x_id"))
     val y = right.select(col(idCol).as("y_id"), col(embCol).as("y_emb"))
     val pairs = x.crossJoin(y)
       .withColumn("c6",
@@ -161,7 +169,11 @@ object SimilaritySearch {
                            minCosine: Double): DataFrame = {
     val spark = corpus.sparkSession
     val floor6 = Math.round(minCosine * 1e6)
-    corpus.select(col(idCol).as("id"), col(embCol).as("x_emb"))
+    // r17 perf: spread the streamed corpus side of the broadcast nested
+    // loop — single-split sources otherwise score |corpus|×|bench|
+    // cosines in one task (guide §2.5)
+    Tables.spread(
+        corpus.select(col(idCol).as("id"), col(embCol).as("x_emb")), col("id"))
       .crossJoin(broadcast(bench.select(col(benchIdCol).as("bench_id"),
         col(benchEmbCol).as("b_emb"))))
       .withColumn("c6",
@@ -217,7 +229,10 @@ object SimilaritySearch {
     val spark = corpus.sparkSession
     val floor6 = Math.round(minCosine * 1e6)
     val ceil6 = Math.round(maxCosine * 1e6)
-    corpus.select(col(idCol).as("neg_id"), col(embCol).as("c_emb"))
+    // r17 perf: spread the streamed corpus side (see semanticFlaggedPairs)
+    Tables.spread(
+        corpus.select(col(idCol).as("neg_id"), col(embCol).as("c_emb")),
+        col("neg_id"))
       .crossJoin(broadcast(queries.select(
         col(queryIdCol).as("query_id"),
         col(positiveIdCol).as("positive_id"),
@@ -826,7 +841,12 @@ object SimilaritySearch {
     // 64-float payload through them (and a distinct over it) multiplies
     // shuffle bytes ~30x. Vectors are re-attached per UNIQUE candidate pair
     // afterwards; the embedding side is dimension-small, so AQE broadcasts it.
-    val withBuckets = emb
+    // r17 perf: spread before the SRP projection kernel (tables × bits
+    // sign dots per row) — a single-split source otherwise hashes the
+    // whole corpus in one task (q_v4 measured 0.89 s + 0.81 s single-task
+    // jobs at sf0.1); guide §2.5
+    val spreadEmb = Tables.spread(emb, col(idCol))
+    val withBuckets = spreadEmb
       .select(col(idCol),
         posexplode(srpBucketKeys(hashCol, tables, useBits, seed)).as(Seq("tbl", "bucket")))
     val probes =
@@ -842,8 +862,8 @@ object SimilaritySearch {
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .distinct()
     candidates
-      .join(emb.select(col(idCol).as("id_a"), col(embCol).as("emb_a")), "id_a")
-      .join(emb.select(col(idCol).as("id_b"), col(embCol).as("emb_b")), "id_b")
+      .join(spreadEmb.select(col(idCol).as("id_a"), col(embCol).as("emb_a")), "id_a")
+      .join(spreadEmb.select(col(idCol).as("id_b"), col(embCol).as("emb_b")), "id_b")
       .withColumn("cosine", VectorExprs.cosineFast(emb.sparkSession, "emb_a", "emb_b"))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")

@@ -134,7 +134,11 @@ object VectorOps {
                         scale: Long, shift: Double): DataFrame = {
     val n = s"greatest(sqrt(aggregate($embCol, CAST(0 AS DOUBLE), " +
       s"(a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 1e-12D)"
-    emb.selectExpr(idCol,
+    // r17 perf: spread before the normalize/quantize HOF and the typed
+    // encode/ADC kernels above it — a single-split source otherwise runs
+    // the whole PQ pipeline in one task (q_v19 measured 1.0 s + 0.85 s
+    // single-task jobs at sf0.1); only (id, embedding) crosses (§2.5)
+    Tables.spread(emb, col(idCol)).selectExpr(idCol,
       s"transform($embCol, x -> CAST(round((CAST(x AS DOUBLE) / $n + " +
         s"CAST($shift AS DOUBLE)) * $scale) AS BIGINT)) AS q")
   }
