@@ -55,8 +55,14 @@ object Graph {
         .select(col("dst").as("node"),
           expr("rank div outdeg").as("c"))
         .groupBy("node").agg(sum("c").as("contrib"))
-      // left join: a node with no in-edges keeps only the base mass
-      ranks = ranks.select("node")
+      // left join: a node with no in-edges keeps only the base mass.
+      // r17 perf: join from the CHECKPOINTED node frame, not
+      // ranks.select("node") — the node set is invariant (the left join
+      // preserves every node each round), and referencing `ranks` twice
+      // per round doubled the unevaluated plan per iteration (round k
+      // carried 2^k copies of the base subtree for Catalyst to analyze /
+      // dedupe; plan growth is linear from `nodes`).
+      ranks = nodes
         .join(contrib, Seq("node"), "left")
         .select(col("node"),
           (lit(base) +

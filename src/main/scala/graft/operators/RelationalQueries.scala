@@ -221,6 +221,13 @@ object RelationalQueries {
       // aggregates off the vectorized-parquet/codegen path and runs
       // ~10x slower (measured 30-35 s vs 3.5 s at sf0.1); letting
       // Catalyst recompute the shared subplans is the cheaper plan.
+      // r17 perf note: left EXACTLY as the r15 sweep shaped it. Two
+      // rediscoveries this round, both reverted: a spread before the
+      // aggregate moves the percentile-sketch build off the vectorized
+      // parquet scan (7.4 s for that stage vs 1.45 s); collecting the
+      // 3-row agg into a LocalRelation to avoid the double subtree
+      // evaluation re-trips the same off-codegen cliff (36 s measured).
+      // Catalyst recomputing the shared subplans is the cheapest plan.
       val li = t(s, dir, "lineitem")
       val agg = li.groupBy("l_returnflag")
         .agg(

@@ -371,7 +371,9 @@ object TextAnalysis {
   def boilerplateNgramStats(docs: DataFrame, idCol: String, textCol: String,
                             n: Int = 5, minDf: Int = 2): DataFrame = {
     require(minDf >= 1, s"minDf must be >= 1, got $minDf")
-    val grams = docs.select(col(idCol),
+    // r17 perf: spread before the shingle explosion (guide §2.5); `grams`
+    // feeds two aggregates, both still map-side combined
+    val grams = Tables.spread(docs, col(idCol)).select(col(idCol),
       explode(Dedup.shingles(textCol, n)).as("gram"))
     // shingles are DISTINCT per doc, so count(*) per gram == document freq
     val df = grams.groupBy("gram").agg(count(lit(1)).as("df"))
@@ -463,7 +465,11 @@ object TextAnalysis {
                     dims: Int,
                     family: String = graft.functions.HashFamily.Xx64): DataFrame = {
     require(dims >= 2, s"dims must be >= 2, got $dims")
-    df.select(keyCols.map(col) :+
+    // r17 perf: spread before tokenize/explode/hash — the per-token hash
+    // kernel otherwise inherits the source's split count (guide §2.5),
+    // and the grouped counts downstream keep their map-side combine
+    Tables.spread(df, col(keyCols.head))
+      .select(keyCols.map(col) :+
         explode(expr(Dedup.tokensExpr(textCol))).as("w"): _*)
       .withColumn("dim", pmod(expr(hash60("w", family)), lit(dims)).cast("int"))
       .groupBy((keyCols :+ "dim").map(col): _*)
@@ -745,7 +751,10 @@ object TextAnalysis {
     val bucket = s"${hash60("x", family)} % $dim"
     val weight9 =
       s"${hash60(s"concat('$seed:', CAST($bucket AS STRING))", family)} % 2000000001 - 1000000000"
-    docs.select(
+    // r17 perf: spread before the per-token double-hash aggregate — it
+    // otherwise runs on the source's split count (q_t17 measured two
+    // ~0.9 s single-task jobs at sf0.1); guide §2.5
+    Tables.spread(docs, col(idCol)).select(
       col(idCol),
       expr(Dedup.letBind(w(textCol), "wv",
         s"""named_struct(
