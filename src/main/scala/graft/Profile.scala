@@ -78,6 +78,14 @@ object Profile {
         println(f"[profile]   job ${j.id}%3d ${(j.end - j.start) / 1e3}%7.3f s  " +
           f"stages=${j.stages}%2d tasks=${j.tasks}%4d stageMs=${j.taskMs}%6d  ${j.site}")
       }
+      // inter-job driver gaps (planning/manifest/local-fs), largest first
+      val ordered = js.sortBy(_.start)
+      ordered.sliding(2).collect {
+        case Seq(a, b) if b.start - a.end > 100 =>
+          (a.id, b.id, (b.start - a.end) / 1e3)
+      }.toSeq.sortBy(-_._3).take(8).foreach { case (a, b, gap) =>
+        println(f"[profile]   gap after job $a%3d -> $b%3d: $gap%7.3f s")
+      }
     }
     spark.stop()
   }

@@ -17,6 +17,26 @@ object RelationalQueries {
     if (name == "events") Tables.events(s, dir)
     else s.read.parquet(s"$dir/$name.parquet")
 
+  /** Scratch root for IN-QUERY ephemeral streams (q_e7/q_e8): the staged
+    * microbatch files, offset/commit logs, and state-store checkpoints of
+    * a stream that is started, drained, and DELETED inside one query.
+    * r17 perf: prefer a memory-backed tmpfs (/dev/shm) when present —
+    * the HDFS-backed state store fsyncs one delta file per (operator,
+    * partition, batch), and on disk-backed /tmp those tiny synchronous
+    * writes dominated the drain (~1 s/query at sf0.1 for 8 partitions ×
+    * 3-5 batches). Durability is irrelevant by construction here (the
+    * checkpoint can never be resumed — it is removed before the query
+    * returns); a production stream would point checkpointLocation at
+    * durable storage instead. Falls back to java.io.tmpdir. */
+  private def ephemeralStreamDir(prefix: String): String = {
+    val shm = new java.io.File("/dev/shm")
+    val base =
+      if (shm.isDirectory && shm.canWrite) shm.toPath
+      else java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir", "/tmp"))
+    java.nio.file.Files.createTempDirectory(base, prefix).toString
+  }
+
   /** Millisecond floor of a timestamp, as DuckDB's `epoch_ms` computes it
     * for the post-1970 event range — pure integer arithmetic (no double
     * division whose rounding could straddle a session-gap boundary).
@@ -780,15 +800,23 @@ object RelationalQueries {
         .get(0).asInstanceOf[java.time.LocalDateTime]
       val events = allEvents.filter(col("ts") < lit(minLdt.plusDays(7L)))
         .filter(col("event_type").isin("view", "purchase"))
-      val stage = java.nio.file.Files
-        .createTempDirectory("graft_e8_join").toString
+      val stage = ephemeralStreamDir("graft_e8_join")
       val in = s"$stage/in"
+      // r17 perf: stage all three time windows in ONE write job (was
+      // three filter-scan + coalesce(1) + write jobs — 3x the staging
+      // cost for identical files): the window index becomes a hive
+      // partition dir (b=0/b=1/b=2, pruned from the file content exactly
+      // like the old b0/b1/b2 dirs — recursiveFileLookup reads the same
+      // schema), and one task writes each dir's single file.
+      events
+        .withColumn("b", floor(
+          (Tables.epochMicros(col("ts")) -
+            lit(minLdt.toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L)) /
+            lit(56L * 3600L * 1000000L)).cast("int"))
+        .coalesce(1)
+        .write.partitionBy("b").parquet(in)
       (0 until 3).foreach { k =>
-        events.filter(
-            col("ts") >= lit(minLdt.plusHours(k * 56L)) &&
-              col("ts") < lit(minLdt.plusHours((k + 1) * 56L)))
-          .coalesce(1).write.parquet(s"$in/b$k")
-        Option(new java.io.File(s"$in/b$k").listFiles())
+        Option(new java.io.File(s"$in/b=$k").listFiles())
           .getOrElse(Array.empty)
           .foreach(f => f.setLastModified(1700000000000L + k * 60000L))
       }
@@ -813,6 +841,7 @@ object RelationalQueries {
       s.conf.set("spark.sql.shuffle.partitions", "8")
       try {
         val q = joined.writeStream.format("memory").queryName(sink)
+          .option("checkpointLocation", s"$stage/ckpt")
           .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
         try q.processAllAvailable() finally q.stop()
       } finally s.conf.set("spark.sql.shuffle.partitions", priorParts)
@@ -831,8 +860,7 @@ object RelationalQueries {
       val minLdt = allEvents.agg(min(col("ts"))).head()
         .get(0).asInstanceOf[java.time.LocalDateTime]
       val events = allEvents.filter(col("ts") < lit(minLdt.plusDays(7L)))
-      val stage = java.nio.file.Files
-        .createTempDirectory("graft_e7_replay").toString
+      val stage = ephemeralStreamDir("graft_e7_replay")
       val in = s"$stage/in"
       // ts is TIMESTAMP_NTZ in the sealed table: sentinels must match the
       // schema exactly or the file-source union refuses the staged files.
@@ -881,6 +909,7 @@ object RelationalQueries {
       // remaining battery)
       try {
         val q = cands.writeStream.format("memory").queryName(sink)
+          .option("checkpointLocation", s"$stage/ckpt")
           .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
         try q.processAllAvailable() finally q.stop()
       } finally s.conf.set("spark.sql.shuffle.partitions", priorParts)

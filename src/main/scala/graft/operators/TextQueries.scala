@@ -248,8 +248,13 @@ object TextQueries {
     // the operator fails the hash instead of cancelling out. All
     // row-local string expressions, one codegen span, zero exchanges
     // before the output sort.
+    // r17 perf: spread the thin (id, text) input before the repair
+    // battery — the kernel's OUTPUT still never shuffles (the sort is
+    // above a 1:1 projection); only the scan's single split made it
+    // serial (1.0 s one-task job at sf0.1; guide §2.5)
     "q_t29_mojibake_repair" -> ((s, dir) =>
-      mojibakeRepairQuery(docs(s, dir)).orderBy("doc_id")),
+      mojibakeRepairQuery(Tables.spread(docs(s, dir), col("doc_id")))
+        .orderBy("doc_id")),
 
     // HTML boilerplate extraction (trafilatura/Arc90 shape): raw web text
     // arrives as markup; each doc is wrapped IN-QUERY in a deterministic
@@ -259,8 +264,11 @@ object TextQueries {
     // script/style, split on block tags, and keep exactly the blocks with
     // >= 25 chars of text at <= 30% link density. The oracle replays the
     // planting and the strip/density arithmetic in DuckDB byte-for-byte.
+    // r17 perf: same spread-before-kernel as q_t29 (the block-split +
+    // link-density battery ran in one task on the single-split scan)
     "q_t26_html_extract" -> ((s, dir) =>
-      TextAnalysis.extractMainText(withPlantedHtml(docs(s, dir)),
+      TextAnalysis.extractMainText(
+          Tables.spread(withPlantedHtml(docs(s, dir)), col("doc_id")),
           "doc_id", "html", minChars = 25, maxLinkPct = 30)
         .select(col("doc_id"), col("n_blocks"), col("n_kept"),
           length(col("extracted")).cast("long").as("extracted_chars"),

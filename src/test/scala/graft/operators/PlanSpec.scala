@@ -200,9 +200,13 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("HTML extraction is one row-local pass: no exchange before the output sort") {
+    // r17: a hash spread of the THIN (id, html) input precedes the
+    // extraction kernel (parallelism on few-split scans); the kernel's
+    // OUTPUT still never shuffles — only the input spread + output sort.
     val p = plan("q_t26_html_extract")
     val exchanges = "Exchange (hash|range)partitioning".r.findAllIn(p).length
-    assert(exchanges <= 1, s"extraction must not shuffle (only the sort may):\n$p")
+    assert(exchanges <= 2,
+      s"extraction may pay only the input spread + sort ($exchanges):\n$p")
   }
 
   test("round-10 cards: caption alignment rides the scan; pref pairs pay exactly the dedup exchange") {
@@ -234,8 +238,10 @@ class PlanSpec extends SparkTestBase {
     }
     // mojibake keeps the plain trailing sort (its projection is cheap
     // enough that sampling it is fine) — still at most one exchange
+    // r17: q_t29 pays the thin input spread + the output sort (the
+    // repair battery's output still never shuffles)
     val pm = plan("q_t29_mojibake_repair")
     val em = "Exchange (hash|range)partitioning".r.findAllIn(pm).length
-    assert(em <= 1, s"q_t29 must not shuffle beyond the output sort:\n$pm")
+    assert(em <= 2, s"q_t29 may pay only the input spread + sort ($em):\n$pm")
   }
 }
