@@ -34,7 +34,10 @@ object MultimodalQueries {
     * compare. */
   private def plantedPcm(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    s.read.parquet(s"$dir/documents.parquet").select("doc_id").as[Long]
+    // r17 perf: spread the thin id frame before the render kernel
+    // (single-split source; guide §2.5)
+    Tables.spread(s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id"), col("doc_id")).as[Long]
       .map { id =>
         val buf = java.nio.ByteBuffer.allocate(8 * 4 * 2)
           .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -190,8 +193,9 @@ object MultimodalQueries {
     * never drift from the graded construction. */
   private[graft] def m17Wavs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    s.read.parquet(s"$dir/documents.parquet")
-      .select("doc_id").as[Long].map { id =>
+    // r17 perf: spread the thin id frame before the render kernel (§2.5)
+    Tables.spread(s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id"), col("doc_id")).as[Long].map { id =>
         val buf = java.nio.ByteBuffer.allocate(96 * 2 * 2)
           .order(java.nio.ByteOrder.LITTLE_ENDIAN)
         var i = 0
@@ -212,8 +216,9 @@ object MultimodalQueries {
     * replays convolution + take-every-3rd with no interpolation term. */
   private[graft] def m19Wavs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    s.read.parquet(s"$dir/documents.parquet")
-      .select("doc_id").as[Long].map { id =>
+    // r17 perf: spread the thin id frame before the render kernel (§2.5)
+    Tables.spread(s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id"), col("doc_id")).as[Long].map { id =>
         val buf = java.nio.ByteBuffer.allocate(240 * 2)
           .order(java.nio.ByteOrder.LITTLE_ENDIAN)
         var t = 0
@@ -235,8 +240,9 @@ object MultimodalQueries {
     * replays the decode without parsing a byte of RIFF. */
   private[graft] def m20Wavs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    s.read.parquet(s"$dir/documents.parquet")
-      .select("doc_id").as[Long].map { id =>
+    // r17 perf: spread the thin id frame before the render kernel (§2.5)
+    Tables.spread(s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id"), col("doc_id")).as[Long].map { id =>
         val data = new Array[Byte](60)
         var j = 0
         while (j < 60) {
@@ -256,8 +262,9 @@ object MultimodalQueries {
     * branches of the stateless telephony codec under one hash. */
   private[graft] def m21Wavs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    s.read.parquet(s"$dir/documents.parquet")
-      .select("doc_id").as[Long].map { id =>
+    // r17 perf: spread the thin id frame before the render kernel (§2.5)
+    Tables.spread(s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id"), col("doc_id")).as[Long].map { id =>
         val bytes = Array.tabulate(200)(t => (((id * 11 + t * 29) % 256)).toByte)
         val fmt = if (id % 2 == 0) 6 else 7
         (id, Multimodal.g711Wav(8000, 1, fmt, bytes))
@@ -272,8 +279,9 @@ object MultimodalQueries {
     * whole file must quarantine. */
   private[graft] def m22Avis(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    s.read.parquet(s"$dir/documents.parquet")
-      .select("doc_id").as[Long].map { id =>
+    // r17 perf: spread the thin id frame before the render kernel (§2.5)
+    Tables.spread(s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id"), col("doc_id")).as[Long].map { id =>
         val stride = 20
         val frames = (0 until 3).map { f =>
           val p = new Array[Byte](stride * 4)
@@ -334,6 +342,11 @@ object MultimodalQueries {
             expr("substring(reverse(coalesce(text, '')), 1, 96)"))
             .otherwise(expr("substring(coalesce(text, ''), 1, 96)"))
             .as("caption"))
+      // r17 perf note: a spread before this render was MEASURED WORSE
+      // (4.4 s vs ~2.1 s isolated — the two feature passes each re-ran
+      // the exchange+render at a higher per-stage constant) and reverted;
+      // the downstream feature extraction dominates and parallelizes at
+      // its own aggregation exchange.
       val media = d.as[(Long, String, String)].map { case (id, prefix, caption) =>
         val bytes = (if (prefix == null) "" else prefix)
           .getBytes(StandardCharsets.UTF_8)
@@ -396,8 +409,9 @@ object MultimodalQueries {
     // inventory needs. Oracle: pure doc_id arithmetic.
     "q_m12_mp4_meta" -> ((s, dir) => {
       import s.implicits._
-      val media = s.read.parquet(s"$dir/documents.parquet")
-        .select("doc_id").as[Long].map { id =>
+      val media = // r17 perf: spread the thin id frame before the render kernel (§2.5)
+ Tables.spread(s.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id"), col("doc_id")).as[Long].map { id =>
           val brand = if (id % 2 == 0) "isom" else "mp42"
           val ts = 600L * (1L + id % 4)
           val dur = id % 100000L + 1L
@@ -420,8 +434,9 @@ object MultimodalQueries {
     // everywhere while orientation/datetime survive.
     "q_m13_exif_gps" -> ((s, dir) => {
       import s.implicits._
-      val media = s.read.parquet(s"$dir/documents.parquet")
-        .select("doc_id").as[Long].map { id =>
+      val media = // r17 perf: spread the thin id frame before the render kernel (§2.5)
+ Tables.spread(s.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id"), col("doc_id")).as[Long].map { id =>
           val dtp = f"2024:01:${id % 28 + 1}%02d ${id % 24}%02d:00:00"
           val gps =
             if (id % 3 == 0)
@@ -454,8 +469,9 @@ object MultimodalQueries {
     "q_m14_flac_meta" -> ((s, dir) => {
       import s.implicits._
       val rates = Array(8000, 16000, 44100, 48000)
-      val media = s.read.parquet(s"$dir/documents.parquet")
-        .select("doc_id").as[Long].map { id =>
+      val media = // r17 perf: spread the thin id frame before the render kernel (§2.5)
+ Tables.spread(s.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id"), col("doc_id")).as[Long].map { id =>
           val bytes = Multimodal.flacMeta(rates((id % 4).toInt),
             (id % 2 + 1).toInt, 16 + (id % 3).toInt, id * 131 % 1000000,
             padding = id % 5 == 0)
@@ -475,8 +491,9 @@ object MultimodalQueries {
     // lost-sync corpus-wide), and a %13 sync-corruption class.
     "q_m15_mp3_census" -> ((s, dir) => {
       import s.implicits._
-      val media = s.read.parquet(s"$dir/documents.parquet")
-        .select("doc_id").as[Long].map { id =>
+      val media = // r17 perf: spread the thin id frame before the render kernel (§2.5)
+ Tables.spread(s.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id"), col("doc_id")).as[Long].map { id =>
           val n = (id % 7 + 1).toInt
           val brs = (0 until n).map(f =>
             if (id % 2 == 0) 9 else ((f + id) % 5 + 5).toInt)
