@@ -406,9 +406,12 @@ object SimilaritySearch {
     val n = math.max(x.count(), y.count())
     val useBits = if (bits > 0) bits else bitsForExactKey(n, tune, targetRecall)
     val tables = tablesForRecall(tune, useBits, targetRecall, multiprobe = false)
-    val bx = x.select(col("x_id"),
+    // r17 perf: spread both sides before the SRP projection kernel
+    // (tables × bits sign dots per row — serial on few-split inputs
+    // otherwise; guide §2.5)
+    val bx = Tables.spread(x, col("x_id")).select(col("x_id"),
       posexplode(srpBucketKeys(hx, tables, useBits, seed)).as(Seq("tbl", "bucket")))
-    val by = y.select(col("y_id"),
+    val by = Tables.spread(y, col("y_id")).select(col("y_id"),
       posexplode(srpBucketKeys(hy, tables, useBits, seed)).as(Seq("tbl", "bucket")))
     // candidate IDs only through the bucket join; vectors re-attach per
     // unique pair (the embeddingNearDupPairs shuffle discipline)
