@@ -196,7 +196,11 @@ object RelationalQueries {
     // carries the exact twins + gate bits; a drifting sketch fails the
     // driver hash even though the estimate itself is never hashed.
     "q_a16_approx_quantiles" -> ((s, dir) => {
-      val ord = t(s, dir, "orders")
+      // r17 perf experiment: spread + project to the one used column
+      // before the two global percentile passes (single-split source ran
+      // both single-task: 0.82 s + 0.40 s)
+      val ord = Tables.spread(
+        t(s, dir, "orders").select("o_totalprice"), col("o_totalprice"))
       val approx = ord.agg(expr(
         "approx_percentile(o_totalprice, array(0.25D, 0.5D, 0.9D), 100)").as("ap"))
       def okBit(idx: Int, lo: Double, hi: Double) =
@@ -562,7 +566,12 @@ object RelationalQueries {
     // is deterministic under any partitioning, unlike corr()'s running
     // double accumulator. One aggregate, one exchange.
     "q_a20_correlation" -> ((s, dir) =>
-      t(s, dir, "lineitem")
+      // r17 perf experiment: spread + project before the decimal-moment
+      // partial aggregation (ran on the scan's 3 splits — 1.13 s job)
+      Tables.spread(
+          t(s, dir, "lineitem")
+            .select("l_returnflag", "l_quantity", "l_extendedprice"),
+          col("l_extendedprice"))
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"),
           sum(col("l_quantity").cast("decimal(18,2)")).as("sq"),

@@ -288,7 +288,10 @@ object Tokenizer {
   def vocabFrame(docs: DataFrame, textCol: String, merges: Seq[Merge]): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val chars = docs
+    // r17 perf: spread before the double explosion (one task on a
+    // single-split source otherwise — ~1 s measured at sf0.1 for q_t37);
+    // the distinct stays alphabet-sized
+    val chars = Tables.spread(docs.select(textCol), expr(textCol))
       .select(explode(expr(Dedup.tokensExpr(textCol))).as("w"))
       .select(explode(expr(
         "transform(sequence(1, length(w)), i -> substring(w, i, 1))")).as("c"))
