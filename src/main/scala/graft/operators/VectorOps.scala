@@ -487,7 +487,13 @@ object VectorOps {
     * and plans ONLY the probed directories ([[ivfPqTopKIndexed]]), so
     * the ADC row cut becomes a FILE cut before any Spark scan exists. */
   def ivfPqWriteIndex(codes: DataFrame, path: String): Unit =
-    codes.write.mode("overwrite").partitionBy("list_id").parquet(path)
+    // r17 perf: cluster by list before the hive-partitioned write — with
+    // an upstream of N tasks every task otherwise opens a file in every
+    // list dir (N×nlist tiny files; a probe then plans nprobe×N files
+    // instead of nprobe). One file per list is the stored 100 TB shape
+    // (guide §6: writers sized by partition value, not task count).
+    codes.repartition(col("list_id"))
+      .write.mode("overwrite").partitionBy("list_id").parquet(path)
 
   /** Probe-only read of a written index: the probed lists' directories,
     * selected DRIVER-SIDE through the Hadoop filesystem of `path` (so

@@ -60,11 +60,17 @@ class SemanticDecontamSpec extends SparkTestBase {
     assert(fast === brute)
   }
 
-  test("the benchmark side broadcasts; the corpus side never shuffles") {
+  test("the benchmark side broadcasts; the corpus pays only its input spread") {
+    // r17: the corpus side is hash-SPREAD before the scoring kernel
+    // (parallelism on few-split scans) — that one thin pre-kernel
+    // exchange is allowed; the benchmark side must still broadcast and
+    // nothing downstream of the join may shuffle (the pair output is
+    // never exchanged here).
     val p = SimilaritySearch.semanticFlaggedPairs(
         corpus, "vec_id", "embedding", bench, "bench_id", "b_emb", 0.9)
       .queryExecution.executedPlan.toString
     assert(p.contains("BroadcastNestedLoopJoin"), p)
-    assert("Exchange (hash|range)partitioning".r.findAllIn(p).isEmpty, p)
+    assert("Exchange (hash|range)partitioning".r.findAllIn(p).length <= 1, p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
   }
 }
