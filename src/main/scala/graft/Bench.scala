@@ -20,6 +20,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // r18 (guide §1.2 step 3, config AFTER algorithm): the generated-
+      // class cache default (100 entries) thrashes under a battery of 241
+      // distinct plans — kernel-heavy queries re-Janino-compile subtrees
+      // that an earlier query already compiled. 8192 entries holds the
+      // whole battery (measured: -12.6 s / geomean 0.936 over the full
+      // single-shot battery, wins concentrated in the kernel queries).
+      // Scale-independent: any long-lived session running many distinct
+      // queries (a 100 TB driver more so) wants the same headroom; the
+      // cost is bounded driver metaspace.
+      .config("spark.sql.codegen.cache.maxEntries", "8192")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // The only unpartitioned windows left are LIMIT-BOUNDED rank slices

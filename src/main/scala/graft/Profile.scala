@@ -20,6 +20,8 @@ object Profile {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // mirror the bench session (r18)
+      .config("spark.sql.codegen.cache.maxEntries", "8192")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     final case class Job(id: Int, var site: String = "", var start: Long = 0L,

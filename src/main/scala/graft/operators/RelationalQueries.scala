@@ -820,7 +820,11 @@ object RelationalQueries {
       events
         .withColumn("b", floor(
           (Tables.epochMicros(col("ts")) -
-            lit(minLdt.toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L)) /
+            // epoch base derives through the SAME session-tz cast as the
+            // ts column (r17 ADVICE): a UTC-pinned base would shift the
+            // bucket boundaries under a non-UTC session while the column
+            // side followed the session zone
+            Tables.epochMicros(lit(minLdt))) /
             lit(56L * 3600L * 1000000L)).cast("int"))
         .coalesce(1)
         .write.partitionBy("b").parquet(in)

@@ -66,8 +66,14 @@ object Tokenizer {
     // r17 perf: spread before the tokenize+explode so the corpus pass
     // parallelizes even when the source is a single split (guide §2.5);
     // the groupBy's partial aggregation still combines map-side, so the
-    // word shuffle volume is unchanged
-    Tables.spread(docs.select(textCol), expr(textCol))
+    // word shuffle volume is unchanged. Keyed on hash(text, row position)
+    // rather than the text value (r17 ADVICE): dedup-style corpora hold
+    // many identical (or null) texts by construction, and a value-keyed
+    // hash would re-concentrate exactly those duplicates onto one task.
+    // The row position is deterministic for a deterministic scan, so
+    // retries reproduce the same placement (no rand(), SPARK-38388).
+    Tables.spread(docs.select(textCol),
+        xxhash64(expr(textCol), monotonically_increasing_id()))
       .select(explode(expr(Dedup.tokensExpr(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
 
@@ -290,8 +296,10 @@ object Tokenizer {
     import spark.implicits._
     // r17 perf: spread before the double explosion (one task on a
     // single-split source otherwise — ~1 s measured at sf0.1 for q_t37);
-    // the distinct stays alphabet-sized
-    val chars = Tables.spread(docs.select(textCol), expr(textCol))
+    // the distinct stays alphabet-sized. Same duplicate-robust spread
+    // key as [[wordFreq]] (r17 ADVICE).
+    val chars = Tables.spread(docs.select(textCol),
+        xxhash64(expr(textCol), monotonically_increasing_id()))
       .select(explode(expr(Dedup.tokensExpr(textCol))).as("w"))
       .select(explode(expr(
         "transform(sequence(1, length(w)), i -> substring(w, i, 1))")).as("c"))

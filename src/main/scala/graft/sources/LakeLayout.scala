@@ -280,7 +280,11 @@ object LakeLayout {
     require(groupCols.nonEmpty && partitionCols.nonEmpty)
     require(partitionCols.forall(groupCols.contains),
       "partition columns must be group columns")
-    val delta = aggregateDelta(changes, groupCols, countCol, sumCols, deleteCol)
+    // r18 perf: the delta feeds BOTH the affected-partition collect and
+    // the combine — materialize the group-count-sized aggregate once
+    // (guide §5) instead of re-running the changeset aggregation twice
+    val delta = aggregateDelta(changes, groupCols, countCol, sumCols,
+      deleteCol).localCheckpoint()
     val affected = delta.select(partitionCols.map(col): _*).distinct().collect()
     if (affected.isEmpty) return 0L
     val prune = affected.map { row =>

@@ -1418,8 +1418,12 @@ object SnapshotTable {
       "partition columns must be group columns")
     val base = currentVersion(tablePath).getOrElse(
       sys.error(s"no committed snapshot at $tablePath"))
+    // r18 perf: the delta is consumed TWICE (the affected-partition
+    // collect below and the combine) — materialize the group-count-sized
+    // aggregate once instead of re-running the changeset aggregation per
+    // consumer (guide §5: localCheckpoint for a reused small intermediate)
     val delta = LakeLayout.aggregateDelta(changes, groupCols, countCol,
-      sumCols, deleteCol)
+      sumCols, deleteCol).localCheckpoint()
     val affected = delta.select(partitionCols.map(col): _*).distinct().collect()
       .map(row => partitionCols.zipWithIndex
         .map { case (p, i) => s"$p=${row.get(i)}" }.mkString("/")).toSet
@@ -1646,10 +1650,17 @@ object SnapshotTable {
         .select(keyCols.map(col): _*).distinct()
       val ins = ch.filter(col("_change_type") === "insert")
         .drop("_change_type")
-      if (!dels.isEmpty && currentVersion(dst).isDefined)
+      // r18 perf: ONE ≤2-row aggregate over the checkpoint decides both
+      // emptiness probes — the two isEmpty calls each cost a planned
+      // limit-1 job, pure per-version fixed overhead (guide §1.2: fewer
+      // actions), and the counts job reads the already-materialized
+      // blocks only
+      val nByType = ch.groupBy("_change_type").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      if (nByType.getOrElse("delete", 0L) > 0L && currentVersion(dst).isDefined)
         commitDeleteByKeys(spark, dst, dels, keyCols,
           txnId = Some(s"$txnAppId-v$v-d"))
-      if (!ins.isEmpty)
+      if (nByType.getOrElse("insert", 0L) > 0L)
         commitAppendTxn(ins, dst, partitionCols, s"$txnAppId-v$v-i",
           filesPerPartition)
       if (wmPath.getParent != null) Files.createDirectories(wmPath.getParent)

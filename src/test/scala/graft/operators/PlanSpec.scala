@@ -204,9 +204,17 @@ class PlanSpec extends SparkTestBase {
     // extraction kernel (parallelism on few-split scans); the kernel's
     // OUTPUT still never shuffles — only the input spread + output sort.
     val p = plan("q_t26_html_extract")
-    val exchanges = "Exchange (hash|range)partitioning".r.findAllIn(p).length
-    assert(exchanges <= 2,
-      s"extraction may pay only the input spread + sort ($exchanges):\n$p")
+    // r17 ADVICE: count alone can't tell "input spread + sort" from two
+    // unrelated hash exchanges — pin each exchange's KIND and the spread's
+    // key, so a regression that drops the spread while adding some other
+    // hash exchange fails.
+    val eh = "Exchange hashpartitioning".r.findAllIn(p).length
+    val er = "Exchange rangepartitioning".r.findAllIn(p).length
+    assert(eh <= 1 && er <= 1,
+      s"extraction may pay only the input spread (hash) + sort (range) ($eh/$er):\n$p")
+    if (eh == 1)
+      assert(p.contains("Exchange hashpartitioning(doc_id"),
+        s"the one hash exchange must be the doc_id input spread:\n$p")
   }
 
   test("round-10 cards: caption alignment rides the scan; pref pairs pay exactly the dedup exchange") {
@@ -218,8 +226,12 @@ class PlanSpec extends SparkTestBase {
     // q_f5: row-local parse/validate/flatten + ONE fixed-width prompt-key
     // exchange for the keep-first window + the output sort
     val pf = plan("q_f5_pref_pairs")
-    val ef = "Exchange (hash|range)partitioning".r.findAllIn(pf).length
-    assert(ef <= 2, s"pref pairs must pay only dedup + sort exchanges ($ef):\n$pf")
+    // r17 ADVICE: pin exchange kinds — one hash (prompt-key dedup) + one
+    // range (output sort) — instead of any-two
+    val efh = "Exchange hashpartitioning".r.findAllIn(pf).length
+    val efr = "Exchange rangepartitioning".r.findAllIn(pf).length
+    assert(efh <= 1 && efr <= 1,
+      s"pref pairs must pay only the dedup hash + sort range exchange ($efh/$efr):\n$pf")
   }
 
   test("pre-sorted-scan reshape: heavy row-local cards ride ONE range exchange, no Sort above them") {
@@ -241,7 +253,13 @@ class PlanSpec extends SparkTestBase {
     // r17: q_t29 pays the thin input spread + the output sort (the
     // repair battery's output still never shuffles)
     val pm = plan("q_t29_mojibake_repair")
-    val em = "Exchange (hash|range)partitioning".r.findAllIn(pm).length
-    assert(em <= 2, s"q_t29 may pay only the input spread + sort ($em):\n$pm")
+    // r17 ADVICE: pin kinds + the spread key, not just the count
+    val emh = "Exchange hashpartitioning".r.findAllIn(pm).length
+    val emr = "Exchange rangepartitioning".r.findAllIn(pm).length
+    assert(emh <= 1 && emr <= 1,
+      s"q_t29 may pay only the input spread (hash) + sort (range) ($emh/$emr):\n$pm")
+    if (emh == 1)
+      assert(pm.contains("Exchange hashpartitioning(doc_id"),
+        s"the one hash exchange must be the doc_id input spread:\n$pm")
   }
 }

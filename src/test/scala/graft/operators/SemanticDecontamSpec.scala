@@ -70,7 +70,12 @@ class SemanticDecontamSpec extends SparkTestBase {
         corpus, "vec_id", "embedding", bench, "bench_id", "b_emb", 0.9)
       .queryExecution.executedPlan.toString
     assert(p.contains("BroadcastNestedLoopJoin"), p)
-    assert("Exchange (hash|range)partitioning".r.findAllIn(p).length <= 1, p)
+    // r17 ADVICE: the one allowed exchange must BE the corpus input
+    // spread (hash on the operator's internal corpus id column), not
+    // just any single exchange
+    val eh = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(eh <= 1, p)
+    if (eh == 1) assert(p.contains("Exchange hashpartitioning(id#"), p)
     assert(!p.contains("Exchange rangepartitioning"), p)
   }
 }

@@ -77,4 +77,28 @@ class SketchSpec extends SparkTestBase {
       }
     }
   }
+
+  test("q_a16 gate bits hold under the query's own spread at the c8/c32 bench configs") {
+    // r17 ADVICE: the in-query spread takes its partition count from
+    // spark.sql.shuffle.partitions, and the driver benches at BOTH 32 and
+    // 8 cores — replay the exact query shape (hash spread on the value
+    // column, duplicates co-located) at those counts plus a stress value,
+    // on the larger sf the oracle checks, and pin the okBit rank bounds.
+    val ord10 = spark.read.parquet(s"${sfDir("0.01")}/orders.parquet")
+      .select("o_totalprice")
+    val n = ord10.count().toDouble
+    for (parts <- Seq(4, 8, 32)) {
+      val o = ord10.repartition(parts, col("o_totalprice"))
+      val approx = o.agg(expr(
+        "approx_percentile(o_totalprice, array(0.25D, 0.5D, 0.9D), 100)"))
+        .head().getSeq[Double](0)
+      // the query gates at p ± 0.04; a correct sketch must sit strictly
+      // inside at every config the driver measures
+      Seq(0.25, 0.5, 0.9).zip(approx).foreach { case (p, a) =>
+        val rank = ord10.filter(col("o_totalprice") <= a).count() / n
+        assert(math.abs(rank - p) <= 0.04,
+          s"spread parts=$parts p=$p approx=$a rank=$rank")
+      }
+    }
+  }
 }
