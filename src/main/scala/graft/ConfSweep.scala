@@ -57,7 +57,8 @@ object ConfSweep {
       org.apache.spark.sql.functions.xxhash64(col("l_orderkey")))).count()
     Option(new java.io.File(sfDir).listFiles()).getOrElse(Array.empty)
       .filter(_.getName.endsWith(".parquet"))
-      .foreach(f => spark.read.parquet(f.getPath).limit(1).count())
+      .foreach(f => graft.operators.Tables.read(spark, sfDir,
+        f.getName.stripSuffix(".parquet")).limit(1).count())
     // shared artifact builds (untimed, same as Bench)
     graft.operators.DedupQueries.ivfCached(spark, sfDir, nlist = 32)
     graft.operators.PipelineQueries.d6IndexCached(spark, sfDir)

@@ -26,7 +26,8 @@ object Profile {
     spark.sparkContext.setLogLevel("WARN")
     final case class Job(id: Int, var site: String = "", var start: Long = 0L,
                          var end: Long = 0L, var stages: Int = 0,
-                         var tasks: Int = 0, var taskMs: Long = 0L)
+                         var tasks: Int = 0, var taskMs: Long = 0L,
+                         var stageName: String = "")
     val jobs = scala.collection.mutable.LinkedHashMap.empty[Int, Job]
     val stageToJob = scala.collection.mutable.HashMap.empty[Int, Int]
     val listener = new SparkListener {
@@ -48,6 +49,7 @@ object Profile {
             j.tasks += info.numTasks
             j.taskMs += (for {s <- info.submissionTime; c <- info.completionTime}
               yield c - s).getOrElse(0L)
+            if (j.stageName.isEmpty) j.stageName = info.name.take(70)
           }
         }
     }
@@ -78,7 +80,8 @@ object Profile {
         "(gap = driver planning/manifest/localfs)")
       js.sortBy(j => -(j.end - j.start)).take(12).foreach { j =>
         println(f"[profile]   job ${j.id}%3d ${(j.end - j.start) / 1e3}%7.3f s  " +
-          f"stages=${j.stages}%2d tasks=${j.tasks}%4d stageMs=${j.taskMs}%6d  ${j.site}")
+          f"stages=${j.stages}%2d tasks=${j.tasks}%4d stageMs=${j.taskMs}%6d  " +
+          f"${j.site} ${j.stageName}")
       }
       // inter-job driver gaps (planning/manifest/local-fs), largest first
       val ordered = js.sortBy(_.start)

@@ -25,7 +25,7 @@ import org.apache.spark.sql.functions._
 object ConversationQueries {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/documents.parquet")
+    Tables.read(s, dir, "documents")
 
   // the four planted turn contents (text is lowercase words + spaces at
   // every sf, so splicing into JSON needs no escaping; substrings past the

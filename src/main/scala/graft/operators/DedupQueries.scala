@@ -13,9 +13,9 @@ import org.apache.spark.sql.functions._
 object DedupQueries {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/documents.parquet")
+    Tables.read(s, dir, "documents")
   private def emb(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/embeddings.parquet")
+    Tables.read(s, dir, "embeddings")
 
   /** q_d16's boilerplate planting: each doc keeps its own (unique) body
     * paragraph and gains 0-3 corpus-shared footer paragraphs by doc_id
@@ -50,7 +50,7 @@ object DedupQueries {
     // j_est tracks jaccard to the sketch's variance.
     "q_d18_bbit_minhash" -> ((s, dir) =>
       Dedup.bBitMinHashEstimates(
-          s.read.parquet(s"$dir/documents.parquet")
+          Tables.read(s, dir, "documents")
             .filter(col("doc_id") % 20 === 0),
           "doc_id", "text")
         .orderBy("id_a", "id_b")),

@@ -38,8 +38,8 @@ object JoinQueries {
 
     // Salted skew join: must produce exactly the plain join's aggregate.
     "q_j7_salted_join" -> ((s, dir) => {
-      val li = s.read.parquet(s"$dir/lineitem.parquet")
-      val part = s.read.parquet(s"$dir/part.parquet").select("p_partkey", "p_brand")
+      val li = Tables.read(s, dir, "lineitem")
+      val part = Tables.read(s, dir, "part").select("p_partkey", "p_brand")
       Joins.saltedJoin(
         li.withColumnRenamed("l_partkey", "p_partkey"), part, "p_partkey",
         saltFactor = 8,
@@ -54,7 +54,7 @@ object JoinQueries {
     // within edit distance 1 inside 16-char prefix blocks, summarized per
     // block. Blocking replaces the all-pairs comparison with one equi-join.
     "q_str2_fuzzy_block" -> ((s, dir) =>
-      Joins.fuzzyJoin(s.read.parquet(s"$dir/customer.parquet"),
+      Joins.fuzzyJoin(Tables.read(s, dir, "customer"),
           "c_custkey", "c_name", blockLen = 16, maxDist = 1)
         .groupBy("block")
         .agg(count(lit(1)).as("n_pairs"))
@@ -66,8 +66,8 @@ object JoinQueries {
     // oracle is the PLAIN join: any bloom false positive is removed by the
     // exact equi-join, so the result must be bit-identical.
     "q_j8_bloom_prune" -> ((s, dir) => {
-      val li = s.read.parquet(s"$dir/lineitem.parquet")
-      val urgent = s.read.parquet(s"$dir/orders.parquet")
+      val li = Tables.read(s, dir, "lineitem")
+      val urgent = Tables.read(s, dir, "orders")
         .filter(col("o_orderpriority") === "1-URGENT")
         .select("o_orderkey", "o_orderpriority")
       Joins.bloomPrunedJoin(
@@ -81,7 +81,7 @@ object JoinQueries {
 
     // String-function battery over part names.
     "q_str1_functions" -> ((s, dir) =>
-      s.read.parquet(s"$dir/part.parquet")
+      Tables.read(s, dir, "part")
         .select(
           col("p_partkey"),
           upper(col("p_name")).as("name_upper"),
@@ -104,9 +104,9 @@ object JoinQueries {
       // table names in the shared session); the oracle text keeps the
       // plain names DuckDB binds to the raw tables.
       val tag = "j9"
-      s.read.parquet(s"$dir/customer.parquet")
+      Tables.read(s, dir, "customer")
         .createOrReplaceTempView(s"v_customer_$tag")
-      s.read.parquet(s"$dir/orders.parquet")
+      Tables.read(s, dir, "orders")
         .createOrReplaceTempView(s"v_orders_$tag")
       s.sql(lateralTopkSql
         .replace("FROM customer c", s"FROM v_customer_$tag c")

@@ -22,11 +22,11 @@ object KernelQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_k1_fulfillment" -> ((s, dir) => {
       import s.implicits._
-      val stock = s.read.parquet(s"$dir/part.parquet")
+      val stock = Tables.read(s, dir, "part")
         .select(col("p_partkey"), (col("p_size") * 50).as("stock"))
         .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
       val stockB = s.sparkContext.broadcast(stock)
-      s.read.parquet(s"$dir/lineitem.parquet")
+      Tables.read(s, dir, "lineitem")
         .select(
           col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
           col("l_quantity").cast("int").as("qty"),

@@ -20,7 +20,7 @@ object MultimodalQueries {
     * cosine collapses (the planted misalignment).
     */
   private def withPlantedCaptions(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
-    s.read.parquet(s"$dir/documents.parquet")
+    Tables.read(s, dir, "documents")
       .select(col("doc_id"),
         encode(col("text"), "UTF-8").as("payload"),
         when(col("doc_id") % 6 === 0, expr("substring(reverse(text), 1, 96)"))
@@ -36,7 +36,7 @@ object MultimodalQueries {
     import s.implicits._
     // r17 perf: spread the thin id frame before the render kernel
     // (single-split source; guide §2.5)
-    Tables.spread(s.read.parquet(s"$dir/documents.parquet")
+    Tables.spread(Tables.read(s, dir, "documents")
         .select("doc_id"), col("doc_id")).as[Long]
       .map { id =>
         val buf = java.nio.ByteBuffer.allocate(8 * 4 * 2)
@@ -86,7 +86,7 @@ object MultimodalQueries {
     // (single-split source ⇒ the whole BMP render otherwise runs in one
     // task — guide §2.5; only doc_ids cross the exchange, payloads are
     // born post-shuffle)
-    Tables.spread(s.read.parquet(s"$dir/documents.parquet")
+    Tables.spread(Tables.read(s, dir, "documents")
         .select("doc_id"), col("doc_id")).as[Long]
       .flatMap { id =>
         def bmp(variant: Boolean): Array[Byte] = {
@@ -109,7 +109,7 @@ object MultimodalQueries {
   private def m9Images(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // r17 perf: same spread-before-render as m16Images (guide §2.5)
-    Tables.spread(s.read.parquet(s"$dir/documents.parquet")
+    Tables.spread(Tables.read(s, dir, "documents")
         .select("doc_id"), col("doc_id")).as[Long]
       .flatMap { id =>
         def bmp(variant: Boolean): Array[Byte] = {
@@ -194,7 +194,7 @@ object MultimodalQueries {
   private[graft] def m17Wavs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // r17 perf: spread the thin id frame before the render kernel (§2.5)
-    Tables.spread(s.read.parquet(s"$dir/documents.parquet")
+    Tables.spread(Tables.read(s, dir, "documents")
         .select("doc_id"), col("doc_id")).as[Long].map { id =>
         val buf = java.nio.ByteBuffer.allocate(96 * 2 * 2)
           .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -217,7 +217,7 @@ object MultimodalQueries {
   private[graft] def m19Wavs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // r17 perf: spread the thin id frame before the render kernel (§2.5)
-    Tables.spread(s.read.parquet(s"$dir/documents.parquet")
+    Tables.spread(Tables.read(s, dir, "documents")
         .select("doc_id"), col("doc_id")).as[Long].map { id =>
         val buf = java.nio.ByteBuffer.allocate(240 * 2)
           .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -241,7 +241,7 @@ object MultimodalQueries {
   private[graft] def m20Wavs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // r17 perf: spread the thin id frame before the render kernel (§2.5)
-    Tables.spread(s.read.parquet(s"$dir/documents.parquet")
+    Tables.spread(Tables.read(s, dir, "documents")
         .select("doc_id"), col("doc_id")).as[Long].map { id =>
         val data = new Array[Byte](60)
         var j = 0
@@ -263,7 +263,7 @@ object MultimodalQueries {
   private[graft] def m21Wavs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // r17 perf: spread the thin id frame before the render kernel (§2.5)
-    Tables.spread(s.read.parquet(s"$dir/documents.parquet")
+    Tables.spread(Tables.read(s, dir, "documents")
         .select("doc_id"), col("doc_id")).as[Long].map { id =>
         val bytes = Array.tabulate(200)(t => (((id * 11 + t * 29) % 256)).toByte)
         val fmt = if (id % 2 == 0) 6 else 7
@@ -280,7 +280,7 @@ object MultimodalQueries {
   private[graft] def m22Avis(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // r17 perf: spread the thin id frame before the render kernel (§2.5)
-    Tables.spread(s.read.parquet(s"$dir/documents.parquet")
+    Tables.spread(Tables.read(s, dir, "documents")
         .select("doc_id"), col("doc_id")).as[Long].map { id =>
         val stride = 20
         val frames = (0 until 3).map { f =>
@@ -335,19 +335,31 @@ object MultimodalQueries {
     // breaks that equality against the oracle's analytic replay.
     "q_m10_image_caption_align" -> ((s, dir) => {
       import s.implicits._
-      val d = s.read.parquet(s"$dir/documents.parquet")
+      val d = Tables.read(s, dir, "documents")
         .select(col("doc_id"),
           expr("substring(coalesce(text, ''), 1, 96)").as("prefix"),
           when(col("doc_id") % 6 === 0,
             expr("substring(reverse(coalesce(text, '')), 1, 96)"))
             .otherwise(expr("substring(coalesce(text, ''), 1, 96)"))
             .as("caption"))
-      // r17 perf note: a spread before this render was MEASURED WORSE
-      // (4.4 s vs ~2.1 s isolated — the two feature passes each re-ran
-      // the exchange+render at a higher per-stage constant) and reverted;
-      // the downstream feature extraction dominates and parallelizes at
-      // its own aggregation exchange.
-      val media = d.as[(Long, String, String)].map { case (id, prefix, caption) =>
+      // r18 perf — the q_t28/q_t21/q_t5 pre-sorted-scan reshape (guide
+      // §2.4/§2.5): the r17 finding was that a HASH spread made this
+      // query worse (4.4 s vs 2.1) because the trailing orderBy's range
+      // partitioner SAMPLES its input — executing the render+decode+
+      // feature subtree twice. The cure is the reshape the text cards
+      // already use: range-repartition the THIN (id, prefix, caption)
+      // input by the output key and sort within partitions FIRST, run
+      // the heavy render/decode/feature projection ABOVE the sorted
+      // exchange (sampling only ever re-reads the cheap scan), and emit
+      // with no Sort after the expensive work — row-local 1:1 stages
+      // preserve the per-partition order and the range partitions are
+      // globally ordered, so the output order is identical. Measured
+      // isolated (TimeQuery, sf0.1): 2.1-2.5 s steady -> 0.51-0.59 s.
+      val sortedIn = d
+        .repartitionByRange(
+          s.sessionState.conf.numShufflePartitions, col("doc_id"))
+        .sortWithinPartitions("doc_id")
+      val media = sortedIn.as[(Long, String, String)].map { case (id, prefix, caption) =>
         val bytes = (if (prefix == null) "" else prefix)
           .getBytes(StandardCharsets.UTF_8)
         val px = new Array[Int](96)
@@ -362,7 +374,6 @@ object MultimodalQueries {
           expr(Multimodal.alignmentScore6("media_feats", "caption_feats")))
         .withColumn("aligned", (col("align6") >= 200000L).cast("int"))
         .select("media_id", "caption_chars", "align6", "aligned")
-        .orderBy("media_id")
     }),
 
     // REAL WAV container parsing feeding the VAD (round 13): each doc's
@@ -410,7 +421,7 @@ object MultimodalQueries {
     "q_m12_mp4_meta" -> ((s, dir) => {
       import s.implicits._
       val media = // r17 perf: spread the thin id frame before the render kernel (§2.5)
- Tables.spread(s.read.parquet(s"$dir/documents.parquet")
+ Tables.spread(Tables.read(s, dir, "documents")
           .select("doc_id"), col("doc_id")).as[Long].map { id =>
           val brand = if (id % 2 == 0) "isom" else "mp42"
           val ts = 600L * (1L + id % 4)
@@ -435,7 +446,7 @@ object MultimodalQueries {
     "q_m13_exif_gps" -> ((s, dir) => {
       import s.implicits._
       val media = // r17 perf: spread the thin id frame before the render kernel (§2.5)
- Tables.spread(s.read.parquet(s"$dir/documents.parquet")
+ Tables.spread(Tables.read(s, dir, "documents")
           .select("doc_id"), col("doc_id")).as[Long].map { id =>
           val dtp = f"2024:01:${id % 28 + 1}%02d ${id % 24}%02d:00:00"
           val gps =
@@ -470,7 +481,7 @@ object MultimodalQueries {
       import s.implicits._
       val rates = Array(8000, 16000, 44100, 48000)
       val media = // r17 perf: spread the thin id frame before the render kernel (§2.5)
- Tables.spread(s.read.parquet(s"$dir/documents.parquet")
+ Tables.spread(Tables.read(s, dir, "documents")
           .select("doc_id"), col("doc_id")).as[Long].map { id =>
           val bytes = Multimodal.flacMeta(rates((id % 4).toInt),
             (id % 2 + 1).toInt, 16 + (id % 3).toInt, id * 131 % 1000000,
@@ -492,7 +503,7 @@ object MultimodalQueries {
     "q_m15_mp3_census" -> ((s, dir) => {
       import s.implicits._
       val media = // r17 perf: spread the thin id frame before the render kernel (§2.5)
- Tables.spread(s.read.parquet(s"$dir/documents.parquet")
+ Tables.spread(Tables.read(s, dir, "documents")
           .select("doc_id"), col("doc_id")).as[Long].map { id =>
           val n = (id % 7 + 1).toInt
           val brs = (0 until n).map(f =>
@@ -743,7 +754,7 @@ object MultimodalQueries {
     // Binary column metadata: byte length + first code point, computed from
     // an encoded binary payload (stand-in for image/audio blobs).
     "q_m1_binary_meta" -> ((s, dir) =>
-      s.read.parquet(s"$dir/documents.parquet")
+      Tables.read(s, dir, "documents")
         .select(
           col("doc_id"),
           encode(col("text"), "UTF-8").as("payload"),
@@ -761,7 +772,7 @@ object MultimodalQueries {
     // pattern) so both engines derive the same corpus. One hash-key
     // shuffle of (key, id); payloads never co-locate.
     "q_m4_media_dedup" -> ((s, dir) => {
-      val base = s.read.parquet(s"$dir/documents.parquet")
+      val base = Tables.read(s, dir, "documents")
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
       val reuploads = base.filter(col("doc_id") % 7 === 0)
         .select((col("doc_id") + 100000L).as("doc_id"), col("payload"))
@@ -780,7 +791,7 @@ object MultimodalQueries {
     // (documents are ASCII: byte offsets == char offsets).
     "q_m3_frame_sample" -> ((s, dir) =>
       Multimodal.sampleFrames(
-          Multimodal.mediaFromDocuments(s.read.parquet(s"$dir/documents.parquet")),
+          Multimodal.mediaFromDocuments(Tables.read(s, dir, "documents")),
           n = 4, frameBytes = 32)
         .toDF()
         .select(col("media_id"), col("frame_idx"),
@@ -797,7 +808,7 @@ object MultimodalQueries {
     // bit-for-bit; the oracle recomputes features + cosine + top-10.
     "q_m2_media_similarity" -> ((s, dir) => {
       val feats = Multimodal.decodeFeatures(
-        Multimodal.mediaFromDocuments(s.read.parquet(s"$dir/documents.parquet")))
+        Multimodal.mediaFromDocuments(Tables.read(s, dir, "documents")))
         .toDF().select(col("media_id"), col("features"))
       val query = feats.filter(col("media_id") === 0)
         .head().getSeq[Float](1).toArray
@@ -850,7 +861,7 @@ object MultimodalQueries {
     // n_byte_variants counts the planted members per group. One
     // hash-key shuffle; features and hashes ride the scan.
     "q_m5_perceptual_dedup" -> ((s, dir) => {
-      val d = s.read.parquet(s"$dir/documents.parquet")
+      val d = Tables.read(s, dir, "documents")
         .select("doc_id", "text")
       val variants = d
         .filter(col("doc_id") % 9 === 0 && length(col("text")) >= 17 &&

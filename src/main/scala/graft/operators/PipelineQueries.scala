@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
 object PipelineQueries {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/documents.parquet")
+    Tables.read(s, dir, "documents")
 
   private val splitFractions =
     Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)
@@ -348,7 +348,7 @@ object PipelineQueries {
     // one shuffle on the key.
     "q_l2_scd2" -> ((s, dir) =>
       graft.operators.TimeSeries.scd2(
-          s.read.parquet(s"$dir/orders.parquet")
+          Tables.read(s, dir, "orders")
             .select("o_custkey", "o_orderdate", "o_orderkey",
               "o_orderstatus", "o_totalprice"),
           "o_custkey", "o_orderdate", tieBreakCols = Seq("o_orderkey"))
@@ -369,7 +369,7 @@ object PipelineQueries {
     // against a mutated table would double-count, so the table is
     // run-scoped; LakeLayoutSpec pins the partition-rewrite receipts).
     "q_l3_agg_maintain" -> ((s, dir) => {
-      val base = s.read.parquet(s"$dir/orders.parquet")
+      val base = Tables.read(s, dir, "orders")
         .withColumn("o_year", year(col("o_orderdate")))
         .withColumn("rev", col("o_totalprice").cast("decimal(18,2)"))
       val agg0 = base.groupBy("o_year", "o_orderstatus")
@@ -405,7 +405,7 @@ object PipelineQueries {
     // math. The table is run-scoped (commits are versioned; a shared
     // table would accrete history across invocations).
     "q_l5_snapshot_time_travel" -> ((s, dir) => {
-      val base = s.read.parquet(s"$dir/orders.parquet")
+      val base = Tables.read(s, dir, "orders")
         .withColumn("o_year", year(col("o_orderdate")))
       val path = s"${System.getProperty("java.io.tmpdir", "/tmp")}" +
         s"/graft_snap/run-${System.nanoTime()}"
@@ -440,7 +440,7 @@ object PipelineQueries {
     // still show the PRE-maintenance numbers after v2 commits. Different
     // mods than q_l3 so the two queries can't mask each other.
     "q_l6_snapshot_agg_maintain" -> ((s, dir) => {
-      val base = s.read.parquet(s"$dir/orders.parquet")
+      val base = Tables.read(s, dir, "orders")
         .withColumn("o_year", year(col("o_orderdate")))
         .withColumn("rev", col("o_totalprice").cast("decimal(18,2)"))
       val agg0 = base.groupBy("o_year", "o_orderstatus")
@@ -478,7 +478,7 @@ object PipelineQueries {
     // bounds lied about). SnapshotTableSpec asserts the <0.5 file-touch
     // fraction; this query pins the numbers.
     "q_l7_snapshot_stats_skipping" -> ((s, dir) => {
-      val base = s.read.parquet(s"$dir/orders.parquet")
+      val base = Tables.read(s, dir, "orders")
       val path = s"${System.getProperty("java.io.tmpdir", "/tmp")}" +
         s"/graft_snapstats/run-${System.nanoTime()}"
       graft.sources.SnapshotTable.commitOverwrite(base, path, Nil,
@@ -503,7 +503,7 @@ object PipelineQueries {
     // older files. Both versions read from the same post-delete table
     // state: v1 must still show the full corpus.
     "q_l8_snapshot_mor_delete" -> ((s, dir) => {
-      val base = s.read.parquet(s"$dir/orders.parquet")
+      val base = Tables.read(s, dir, "orders")
         .withColumn("o_year", year(col("o_orderdate")))
       val path = s"${System.getProperty("java.io.tmpdir", "/tmp")}" +
         s"/graft_snapmor/run-${System.nanoTime()}"
@@ -533,7 +533,7 @@ object PipelineQueries {
       // localCheckpoint: the base frame feeds FOUR legs (overwrite,
       // updates, inserts, delete keys) — materialize the 3-column
       // projection once instead of re-scanning orders.parquet per leg
-      val base = s.read.parquet(s"$dir/orders.parquet")
+      val base = Tables.read(s, dir, "orders")
         .withColumn("o_year", year(col("o_orderdate")))
         .select("o_orderkey", "o_year", "o_totalprice")
         .localCheckpoint()
@@ -575,7 +575,7 @@ object PipelineQueries {
       import s.implicits._
       // localCheckpoint: the base frame feeds FOUR legs (overwrite,
       // updates, inserts, delete keys) — the q_l9 discipline
-      val base = s.read.parquet(s"$dir/orders.parquet")
+      val base = Tables.read(s, dir, "orders")
         .withColumn("o_year", year(col("o_orderdate")))
         .select("o_orderkey", "o_year", "o_totalprice")
         .localCheckpoint()
@@ -624,7 +624,7 @@ object PipelineQueries {
     // advance rides a compaction commit, proving refs survive full file
     // rewrites (content, not files, is what a ref pins).
     "q_l11_snapshot_refs" -> ((s, dir) => {
-      val base = s.read.parquet(s"$dir/orders.parquet")
+      val base = Tables.read(s, dir, "orders")
         .withColumn("o_year", year(col("o_orderdate")))
         .select("o_orderkey", "o_year", "o_totalprice")
       val path = s"${System.getProperty("java.io.tmpdir", "/tmp")}" +
@@ -662,7 +662,7 @@ object PipelineQueries {
     // full-scan twin exactly. At 100 TB this is the difference between
     // microseconds over kilobytes of manifest and a full-table scan.
     "q_l12_metadata_aggregates" -> ((s, dir) => {
-      val base = s.read.parquet(s"$dir/orders.parquet")
+      val base = Tables.read(s, dir, "orders")
         .withColumn("o_year", year(col("o_orderdate")))
         .select("o_orderkey", "o_year", "o_totalprice")
       val path = s"${System.getProperty("java.io.tmpdir", "/tmp")}" +
@@ -700,7 +700,7 @@ object PipelineQueries {
     // analytically from orders.parquet — a name-based resolver diverges
     // on either read and fails the hash.
     "q_l13_schema_evolution" -> ((s, dir) => {
-      val base = s.read.parquet(s"$dir/orders.parquet")
+      val base = Tables.read(s, dir, "orders")
         .withColumn("o_year", year(col("o_orderdate")))
         .select("o_orderkey", "o_year", "o_totalprice")
       val path = RunDirs.fresh("graft_snapevo")
@@ -745,7 +745,7 @@ object PipelineQueries {
     "q_l14_stream_snapshot_ingest" -> ((s, dir) => {
       // localCheckpoint: feeds three staged slices + the replay without
       // re-scanning orders.parquet per leg (the q_l9 discipline)
-      val base = s.read.parquet(s"$dir/orders.parquet")
+      val base = Tables.read(s, dir, "orders")
         .withColumn("o_year", year(col("o_orderdate")))
         .select("o_orderkey", "o_year", "o_totalprice")
         .localCheckpoint()
@@ -796,7 +796,7 @@ object PipelineQueries {
     // extra reads — BloomPruneSpec holds the pruning-fraction receipt).
     "q_l18_bloom_point_lookup" -> ((s, dir) => {
       import s.implicits._
-      val base = s.read.parquet(s"$dir/orders.parquet")
+      val base = Tables.read(s, dir, "orders")
         .withColumn("o_year", year(col("o_orderdate")))
         .select("o_orderkey", "o_year", "o_totalprice")
       val path = RunDirs.fresh("graft_snapbloom")
@@ -825,7 +825,7 @@ object PipelineQueries {
     // delete leg, or an update pair applied in the wrong order all
     // shift the totals or the commit count.
     "q_l17_mirror" -> ((s, dir) => {
-      val base = s.read.parquet(s"$dir/orders.parquet")
+      val base = Tables.read(s, dir, "orders")
         .withColumn("o_year", year(col("o_orderdate")))
         .select("o_orderkey", "o_year", "o_totalprice")
         .localCheckpoint()
@@ -874,7 +874,7 @@ object PipelineQueries {
     // secretly re-ids the column (NULLing old files), shifts the sums
     // and fails the hash.
     "q_l16_type_widening" -> ((s, dir) => {
-      val base = s.read.parquet(s"$dir/orders.parquet")
+      val base = Tables.read(s, dir, "orders")
         .select(
           col("o_orderkey").cast("int").as("okey"),
           year(col("o_orderdate")).as("o_year"),
@@ -913,7 +913,7 @@ object PipelineQueries {
     // delete file still needed), or a partition the victim scan missed
     // all change the totals and fail the hash.
     "q_l15_mor_rewrite" -> ((s, dir) => {
-      val base = s.read.parquet(s"$dir/orders.parquet")
+      val base = Tables.read(s, dir, "orders")
         .withColumn("o_year", year(col("o_orderdate")))
         .select("o_orderkey", "o_year", "o_totalprice")
       val path = RunDirs.fresh("graft_snaprw")
@@ -937,7 +937,7 @@ object PipelineQueries {
     }),
 
     "q_l1_merge_upsert" -> ((s, dir) => {
-      val base = s.read.parquet(s"$dir/orders.parquet")
+      val base = Tables.read(s, dir, "orders")
         .withColumn("o_year", year(col("o_orderdate")))
       val key = java.security.MessageDigest.getInstance("MD5")
         .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
@@ -1015,7 +1015,7 @@ object PipelineQueries {
     // is the query result, so the oracle hash pins every single draw.
     "q_sp8_negative_sample" -> ((s, dir) =>
       Pipeline.negativeSample(
-          s.read.parquet(s"$dir/documents.parquet").select("doc_id"),
+          Tables.read(s, dir, "documents").select("doc_id"),
           "doc_id", k = 3, seed = "graft-neg-7")
         .orderBy("anchor", "j")),
 
@@ -1026,9 +1026,9 @@ object PipelineQueries {
     // 13th edited, every 29th re-added under a shifted id — so DuckDB can
     // replay the exact change set.
     "q_l4_snapshot_diff" -> ((s, dir) => {
-      val prev = s.read.parquet(s"$dir/documents.parquet")
+      val prev = Tables.read(s, dir, "documents")
         .select(col("doc_id"), md5(col("text")).as("fp"))
-      val src = s.read.parquet(s"$dir/documents.parquet")
+      val src = Tables.read(s, dir, "documents")
       val cur = src.filter(col("doc_id") % 17 =!= 3)
         .select(col("doc_id"),
           md5(when(col("doc_id") % 13 === 1, concat(col("text"), lit(" v2")))

@@ -15,7 +15,7 @@ object RelationalQueries {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") Tables.events(s, dir)
-    else s.read.parquet(s"$dir/$name.parquet")
+    else Tables.read(s, dir, name)
 
   /** Scratch root for IN-QUERY ephemeral streams (q_e7/q_e8): the staged
     * microbatch files, offset/commit logs, and state-store checkpoints of

@@ -19,7 +19,7 @@ object SrpSizingProbe {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     for (dir <- dirs) {
-      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val emb = Tables.read(spark, dir, "embeddings")
       val n = emb.count()
       val st = SimilaritySearch.dimStats(emb, "embedding")
       val centered = SimilaritySearch.centeredThresholdEstimate(0.9, st)

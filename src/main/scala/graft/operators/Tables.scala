@@ -7,6 +7,30 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
 /** Table access helpers for the testdata star schema. */
 object Tables {
 
+  /** Session-lifetime SCHEMA cache for the IMMUTABLE testdata tables
+    * (r18 perf): every bare `spark.read.parquet(path)` runs a footer
+    * schema-inference job plus its driver planning gap (~50-100 ms
+    * measured per read site), and the battery re-inferred the same six
+    * static schemas hundreds of times — pure per-query fixed cost at any
+    * scale (a catalog would hold the schema; this is the path-based
+    * equivalent). Data is still read from parquet on every execution —
+    * only the STRUCT TYPE is cached, keyed by (dir, table, nanosAsLong)
+    * since that legacy flag changes what inference returns. Never use
+    * for mutable run-dir tables. */
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, String), org.apache.spark.sql.types.StructType]()
+
+  /** Read an immutable testdata table with the cached schema (one
+    * inference per (dir, table) per JVM; an explicit schema skips the
+    * footer-inference job on every later read). */
+  def read(s: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val nanos = s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+    val schema = schemaCache.computeIfAbsent((dir, name, nanos),
+      _ => s.read.parquet(path).schema)
+    s.read.schema(schema).parquet(path)
+  }
+
   /** The events table has shipped with two parquet timestamp generations:
     * TIMESTAMP(NANOS), which Spark 4 refuses to read natively (sessions set
     * `spark.sql.legacy.parquet.nanosAsLong=true` and we rebuild the
@@ -16,7 +40,7 @@ object Tables {
     * TIMESTAMP_NTZ and needs no rewrite.
     */
   def events(s: SparkSession, dir: String): DataFrame = {
-    val df = s.read.parquet(s"$dir/events.parquet")
+    val df = read(s, dir, "events")
     df.schema("ts").dataType match {
       case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ => df

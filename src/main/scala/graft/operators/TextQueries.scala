@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
 object TextQueries {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/documents.parquet")
+    Tables.read(s, dir, "documents")
 
   /** Whitespace tokens with empties dropped, as a SQL expression string. */
   private val wordsExpr = "filter(split(text, ' '), x -> x != '')"
@@ -323,7 +323,7 @@ object TextQueries {
           Seq("spark", "window", "query", "zzyzx"))
         .orderBy(bmOrd: _*).limit(100)
         .withColumn("r_bm", rankSlice(bmOrd))
-      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val e = Tables.read(s, dir, "embeddings")
       val query = broadcast(e.filter(col("vec_id") === 0)
         .select(col("embedding").as("q_emb")))
       import graft.functions.VectorExprs

@@ -25,7 +25,7 @@ import org.apache.spark.sql.functions._
 object UrlQueries {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/documents.parquet")
+    Tables.read(s, dir, "documents")
 
   private val tokensSql = "filter(split(text, ' '), x -> x != '')"
   private val duckTokens = "list_filter(string_split(text, ' '), x -> x != '')"

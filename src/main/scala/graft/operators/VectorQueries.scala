@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
 object VectorQueries {
 
   private def emb(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/embeddings.parquet")
+    Tables.read(s, dir, "embeddings")
 
   /** Ingest-time int8 quantized corpus, memoized per (source-file
     * fingerprint) under /tmp like the IVF index: phase-1 ANN scans read
@@ -164,7 +164,7 @@ object VectorQueries {
       val plantExpr = "transform(sequence(0, 15), d -> CAST(" +
         "((vec_id % 16) * 2897 + d * 541 + 3) % 17 - 8 + " +
         "(((vec_id * 13 + d * 7) % 9) - 4) / 64.0D AS FLOAT))"
-      val planted = s.read.parquet(s"$dir/embeddings.parquet")
+      val planted = Tables.read(s, dir, "embeddings")
         .select("vec_id").withColumn("embedding", expr(plantExpr))
       val queryVec = Array.tabulate(16)(d =>
         (((5 % 16) * 2897 + d * 541 + 3) % 17 - 8 +
@@ -199,7 +199,7 @@ object VectorQueries {
       val plantExpr = "transform(sequence(0, 15), d -> CAST(" +
         "((vec_id % 16) * 2897 + d * 541 + 3) % 17 - 8 + " +
         "(((vec_id * 13 + d * 7) % 9) - 4) / 64.0D AS FLOAT))"
-      val planted = s.read.parquet(s"$dir/embeddings.parquet")
+      val planted = Tables.read(s, dir, "embeddings")
         .select("vec_id").withColumn("embedding", expr(plantExpr))
       val idx = SimilaritySearch.ivfIndex(planted, "vec_id", "embedding",
         nlist = 16, maxIter = 3)

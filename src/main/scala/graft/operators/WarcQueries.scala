@@ -25,7 +25,7 @@ import org.apache.spark.sql.functions._
 object WarcQueries {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/documents.parquet")
+    Tables.read(s, dir, "documents")
 
   private[graft] val SegDocs = 50
   private[graft] val BaseEpoch = 1704067200L // 2024-01-01T00:00:00Z
@@ -161,7 +161,7 @@ object WarcQueries {
     "q_tf1_tfrecord_roundtrip" -> ((s, dir) => {
       val out = s"${System.getProperty("java.io.tmpdir", "/tmp")}" +
         s"/graft_tfrec/run-${System.nanoTime()}"
-      val payloads = s.read.parquet(s"$dir/documents.parquet")
+      val payloads = Tables.read(s, dir, "documents")
         .selectExpr("doc_id % 8 AS fkey", "doc_id",
           "encode(concat(CAST(doc_id AS STRING), '|', " +
             "substring(coalesce(text, ''), 1, 40)), 'UTF-8') AS payload")
@@ -199,7 +199,7 @@ object WarcQueries {
     "q_tar1_webdataset_shards" -> ((s, dir) => {
       val out = s"${System.getProperty("java.io.tmpdir", "/tmp")}" +
         s"/graft_tar/run-${System.nanoTime()}"
-      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val docs = Tables.read(s, dir, "documents")
       val members = docs.selectExpr(
         "doc_id % 8 AS fkey", "doc_id * 2 AS ord",
         "concat(lpad(CAST(doc_id AS STRING), 8, '0'), '.txt') AS name",
@@ -286,7 +286,7 @@ object WarcQueries {
     "q_tar2_webdataset_export" -> ((s, dir) => {
       val out = s"${System.getProperty("java.io.tmpdir", "/tmp")}" +
         s"/graft_tarx/run-${System.nanoTime()}"
-      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val docs = Tables.read(s, dir, "documents")
         .selectExpr("doc_id", "coalesce(text, '') AS text",
           """CASE WHEN doc_id % 10 < 8 THEN 'train'
             |     WHEN doc_id % 10 = 8 THEN 'valid'

@@ -240,8 +240,11 @@ class PlanSpec extends SparkTestBase {
     // projection sits ABOVE the sorted exchange so the range partitioner
     // never samples (= double-executes) it, and a global Sort operator
     // must not reappear downstream of the expensive work.
+    // q_m10 joined the class in r18: the render/decode/feature tower sits
+    // above the range-partitioned thin input, so the range sampler never
+    // double-executes it and the trailing global Sort is gone
     for (q <- Seq("q_t28_repetition_card", "q_t21_char_entropy",
-        "q_t5_fingerprint")) {
+        "q_t5_fingerprint", "q_m10_image_caption_align")) {
       val p = plan(q)
       val exchanges = "Exchange (hash|range)partitioning".r.findAllIn(p).length
       assert(exchanges == 1, s"$q: expected exactly the range exchange ($exchanges):\n$p")
