@@ -240,35 +240,45 @@ object RelationalQueries {
     // 1e-4 contract).
     // SketchSpec still pins the tighter numeric bounds.
     "q_a10_sketches" -> ((s, dir) => {
-      // NOTE (r15 perf sweep): do NOT localCheckpoint anything here —
-      // cutting the lineage anywhere in this query forces the sketch
-      // aggregates off the vectorized-parquet/codegen path and runs
-      // ~10x slower (measured 30-35 s vs 3.5 s at sf0.1); letting
-      // Catalyst recompute the shared subplans is the cheaper plan.
-      // r17 perf note: left EXACTLY as the r15 sweep shaped it. Two
-      // rediscoveries this round, both reverted: a spread before the
-      // aggregate moves the percentile-sketch build off the vectorized
-      // parquet scan (7.4 s for that stage vs 1.45 s); collecting the
-      // 3-row agg into a LocalRelation to avoid the double subtree
-      // evaluation re-trips the same off-codegen cliff (36 s measured).
-      // Catalyst recomputing the shared subplans is the cheapest plan.
+      // NOTE (r15 perf sweep, still binding): do NOT localCheckpoint
+      // anything here — cutting the lineage forces the sketch aggregates
+      // off the vectorized-parquet/codegen path (~10x: 30-35 s measured);
+      // a spread before the percentile aggregate does the same (7.4 s vs
+      // 1.45 s for that stage). Catalyst recomputing the scan per subtree
+      // is the cheapest plan.
       val li = t(s, dir, "lineitem")
-      val agg = li.groupBy("l_returnflag")
-        .agg(
+      // r18 perf (guide §2.3 — shuffle fewer bytes): countDistinct beside
+      // the HLL sketch keyed the distinct-rewrite's first aggregate by
+      // (l_returnflag, l_orderkey) and shipped the ~410-long partial HLL
+      // buffer per DISTINCT ORDER through the exchange (the r17 plan's
+      // Exchange carried 413-column rows, ~3.3 KB per order — the query's
+      // whole cost, and the part that blew up under battery memory
+      // pressure). Aggregate to distinct (flag, order) pairs first — the
+      // exchange then carries 3 thin columns — and build the sketch per
+      // FLAG over the deduped pairs. Identical results: HLL++ register
+      // state is duplicate-insensitive, n = sum of pair counts,
+      // exact_orders = non-null pair count. The percentile digest keeps
+      // its r15 shape (ObjectHashAggregate straight off the vectorized
+      // scan — computed ONCE now, only inside the ranks broadcast).
+      val dist = li.groupBy("l_returnflag", "l_orderkey")
+        .agg(count(lit(1)).as("c"))
+        .groupBy("l_returnflag").agg(
+          count(col("l_orderkey")).as("exact_orders"),
           approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
-          countDistinct(col("l_orderkey")).as("exact_orders"),
+          sum("c").as("n"))
+      val pct = li.groupBy("l_returnflag")
+        .agg(
           expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("p50"),
-          expr("approx_percentile(l_extendedprice, 0.99, 10000)").as("p99"),
-          count(lit(1)).as("n"))
+          expr("approx_percentile(l_extendedprice, 0.99, 10000)").as("p99"))
       // the percentile estimates' true ranks, measured against the data
       val ranks = li
-        .join(broadcast(agg.select("l_returnflag", "p50", "p99")), "l_returnflag")
+        .join(broadcast(pct), "l_returnflag")
         .groupBy("l_returnflag")
         .agg(
           avg(when(col("l_extendedprice") < col("p50"), 1d).otherwise(0d)).as("lt50"),
           avg(when(col("l_extendedprice") <= col("p50"), 1d).otherwise(0d)).as("le50"),
           avg(when(col("l_extendedprice") <= col("p99"), 1d).otherwise(0d)).as("le99"))
-      agg.join(ranks, "l_returnflag")
+      dist.join(ranks, "l_returnflag")
         .select(
           col("l_returnflag"), col("n"), col("exact_orders"),
           (abs(col("approx_orders") - col("exact_orders"))

@@ -764,13 +764,26 @@ object TextQueries {
         explode(expr(wordsExpr)).as("w"))
       val tris = spreadDocs.select(col("lang"),
         explode(Dedup.shingles("text", 3)).as("g"))
-      val wAgg = words.groupBy("lang").agg(
-        count(lit(1)).as("n_tokens"),
-        countDistinct(col("w")).as("exact_words"),
-        approx_count_distinct(col("w"), 0.02).as("aw"))
-      val tAgg = tris.groupBy("lang").agg(
-        countDistinct(col("g")).as("exact_trigrams"),
-        approx_count_distinct(col("g"), 0.02).as("ag"))
+      // r18 perf (guide §2.3 — shuffle fewer bytes): countDistinct beside
+      // approx_count_distinct makes the single-distinct rewrite key its
+      // first aggregate by (lang, w) — and the HLL partial buffer
+      // (~410 longs at rsd 0.02) then travels the exchange PER DISTINCT
+      // WORD/GRAM (~3.3 KB each; the r17 plan showed 400+-column Exchange
+      // rows). Pre-aggregating to distinct pairs shuffles 3 thin columns
+      // and builds the sketch once per LANG in the second aggregate.
+      // Results are identical: n_tokens = sum of pair counts, exact_* =
+      // non-null pair count, and HLL++ register state is duplicate-
+      // insensitive (max per register over hashed values), so the
+      // estimate over the deduped frame is the same bits.
+      val wAgg = words.groupBy("lang", "w").agg(count(lit(1)).as("c"))
+        .groupBy("lang").agg(
+          sum("c").as("n_tokens"),
+          count(col("w")).as("exact_words"),
+          approx_count_distinct(col("w"), 0.02).as("aw"))
+      val tAgg = tris.distinct()
+        .groupBy("lang").agg(
+          count(col("g")).as("exact_trigrams"),
+          approx_count_distinct(col("g"), 0.02).as("ag"))
       wAgg.join(tAgg, "lang")
         .select(col("lang"), col("n_tokens"), col("exact_words"),
           col("exact_trigrams"),
