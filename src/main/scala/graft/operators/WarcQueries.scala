@@ -159,8 +159,7 @@ object WarcQueries {
     // quarantine row analytically, so a framing/CRC/order bug anywhere
     // in write OR read diverges.
     "q_tf1_tfrecord_roundtrip" -> ((s, dir) => {
-      val out = s"${System.getProperty("java.io.tmpdir", "/tmp")}" +
-        s"/graft_tfrec/run-${System.nanoTime()}"
+      val out = RunDirs.fresh("graft_tfrec")
       val payloads = Tables.read(s, dir, "documents")
         .selectExpr("doc_id % 8 AS fkey", "doc_id",
           "encode(concat(CAST(doc_id AS STRING), '|', " +
@@ -197,8 +196,7 @@ object WarcQueries {
     // corruption discipline on the tar container. Content digests are
     // analytic ('doc-<id>' / 'cls-<id%7>'): the oracle never parses tar.
     "q_tar1_webdataset_shards" -> ((s, dir) => {
-      val out = s"${System.getProperty("java.io.tmpdir", "/tmp")}" +
-        s"/graft_tar/run-${System.nanoTime()}"
+      val out = RunDirs.fresh("graft_tar")
       val docs = Tables.read(s, dir, "documents")
       val members = docs.selectExpr(
         "doc_id % 8 AS fkey", "doc_id * 2 AS ord",
@@ -284,8 +282,7 @@ object WarcQueries {
     // landed in are analytic — a routing or adjacency bug moves a
     // sample to the wrong shard and fails the hash.
     "q_tar2_webdataset_export" -> ((s, dir) => {
-      val out = s"${System.getProperty("java.io.tmpdir", "/tmp")}" +
-        s"/graft_tarx/run-${System.nanoTime()}"
+      val out = RunDirs.fresh("graft_tarx")
       val docs = Tables.read(s, dir, "documents")
         .selectExpr("doc_id", "coalesce(text, '') AS text",
           """CASE WHEN doc_id % 10 < 8 THEN 'train'
