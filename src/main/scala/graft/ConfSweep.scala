@@ -30,6 +30,7 @@ object ConfSweep {
       .config("spark.sql.session.timeZone", "UTC")
       // Bench's adopted r18 config — the control for further sweeps
       .config("spark.sql.codegen.cache.maxEntries", "8192")
+      .config("spark.cleaner.periodicGC.interval", "120s")
     overrides.foreach { case (k, v) => b = b.config(k, v) }
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -22,6 +22,7 @@ object Profile {
       .config("spark.sql.session.timeZone", "UTC")
       // mirror the bench session (r18)
       .config("spark.sql.codegen.cache.maxEntries", "8192")
+      .config("spark.cleaner.periodicGC.interval", "120s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     final case class Job(id: Int, var site: String = "", var start: Long = 0L,

@@ -20,6 +20,7 @@ object TimeQuery {
       // mirror the bench session (r18): isolated adjudication numbers
       // must see the same codegen-cache behavior Bench does
       .config("spark.sql.codegen.cache.maxEntries", "8192")
+      .config("spark.cleaner.periodicGC.interval", "120s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val fn = SparkEntry.queries(name)
