@@ -1223,6 +1223,12 @@ object Dedup {
     val base = sigs.select(
       (col(idCol) +: col(hashCol).as("h64") +: carry.map(col)): _*)
       .persist()
+    // warm the cache ONCE before the self-join: its two map stages are
+    // submitted concurrently by AQE, and a cold cache makes each recompute
+    // the signature pipeline (for the image queries that is the full
+    // render+decode kernel — profiled as twin 5.2 s 32-task jobs in one
+    // q_m16 action)
+    base.count()
     val keyed = base.select(col("*"),
       posexplode(expr(keysExpr)).as(Seq("combo_idx", "combo_val")))
     val pairCols =
